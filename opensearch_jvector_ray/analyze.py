@@ -1,0 +1,114 @@
+"""Vectorized text analysis (tokenizer + stopword filter + positions).
+
+The analog of the Lucene analysis chain the reference delegates to
+(StandardAnalyzer tokenization -> lowercase -> stop filter), visible in the
+repo only as the postings delegate (`KNN10010Codec.java:39-41`); the
+per-field transform hook structure mirrors `NormalizeVectorTransformer` /
+`PerDimensionProcessor` (`KNNVectorFieldMapper.java:611-642`) — a pure,
+stateless, batch-vectorized transform applied before indexing.
+
+Everything here is Arrow-native: `pyarrow.compute.utf8_lower` +
+`split_pattern_regex` (RE2) + `list_flatten`/`list_parent_indices`, then
+numpy for group-wise position numbering. No Python loop touches a token.
+
+Semantics (documented invariants, mirrored exactly by the DuckDB oracle SQL
+and the brute-force test oracle):
+  - token     = maximal run not matching ``cfg.split_pattern`` after
+                optional lowercasing; empty strings dropped.
+  - position  = 0-based index of the token within its document counted
+                BEFORE stopword removal (stop filter leaves position gaps,
+                like Lucene's StopFilter with enablePositionIncrements).
+  - doc_len   = number of tokens AFTER stopword removal (what the BM25
+                norm counts — Lucene's FieldInvertState.length counts only
+                emitted tokens).
+  - null/empty text -> zero tokens, doc_len 0 (docs may miss the field;
+    reference test `KNNJVectorTests.java:113-169`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from opensearch_jvector_ray.config import EngineConfig
+
+
+@dataclass
+class TokenStream:
+    """Flat token table for one batch of documents.
+
+    ``doc_idx`` indexes into the batch's rows (int64, non-decreasing);
+    ``terms`` / ``positions`` are parallel arrays of surviving
+    (post-stopword) tokens; ``doc_len`` has one entry per input row.
+    """
+
+    doc_idx: np.ndarray      # int64 [n_tokens]
+    terms: pa.Array          # string [n_tokens]
+    positions: np.ndarray    # int32 [n_tokens]
+    doc_len: np.ndarray      # int32 [n_docs]
+
+
+def _positions_within_groups(parents: np.ndarray) -> np.ndarray:
+    """0-based rank of each element within its (sorted, contiguous) group."""
+    n = len(parents)
+    if n == 0:
+        return np.zeros(0, dtype=np.int32)
+    idx = np.arange(n, dtype=np.int64)
+    # index of the first element of each group, broadcast to group members
+    boundary = np.ones(n, dtype=bool)
+    boundary[1:] = parents[1:] != parents[:-1]
+    group_start = idx[boundary]
+    starts_for_each = np.repeat(group_start, np.diff(np.append(group_start, n)))
+    return (idx - starts_for_each).astype(np.int32)
+
+
+def tokenize(texts: pa.Array | pa.ChunkedArray, cfg: EngineConfig) -> TokenStream:
+    """Tokenize a column of documents into a flat (doc, term, pos) stream."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n_docs = len(texts)
+    lowered = pc.utf8_lower(texts) if cfg.lowercase else texts
+    token_lists = pc.split_pattern_regex(lowered, pattern=cfg.split_pattern)
+    flat = pc.list_flatten(token_lists)
+    parents = pc.list_parent_indices(token_lists).to_numpy(zero_copy_only=False)
+
+    # drop empty tokens produced by leading/trailing separators
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat = flat.filter(pa.array(nonempty))
+    parents = parents[nonempty]
+
+    positions = _positions_within_groups(parents)
+
+    if cfg.stopwords:
+        stop = pc.is_in(flat, value_set=pa.array(list(cfg.stopwords), type=pa.string()))
+        keep = np.invert(stop.to_numpy(zero_copy_only=False))
+        flat = flat.filter(pa.array(keep))
+        parents = parents[keep]
+        positions = positions[keep]
+
+    doc_len = np.bincount(parents, minlength=n_docs).astype(np.int32)
+    return TokenStream(doc_idx=parents.astype(np.int64), terms=flat,
+                       positions=positions, doc_len=doc_len)
+
+
+def analyze_query(text: str, cfg: EngineConfig) -> list[str]:
+    """Analyze a query string with the exact same chain as indexing.
+
+    Returns the surviving terms in order (duplicates preserved — a repeated
+    query term contributes its BM25 score once per occurrence, matching
+    Lucene's one-TermQuery-per-token BooleanQuery expansion).
+    """
+    stream = tokenize(pa.array([text], type=pa.string()), cfg)
+    return stream.terms.to_pylist()
+
+
+def query_term_weights(text: str, cfg: EngineConfig) -> list[tuple[str, int]]:
+    """(term, occurrence_count) in first-appearance order."""
+    terms = analyze_query(text, cfg)
+    out: dict[str, int] = {}
+    for t in terms:
+        out[t] = out.get(t, 0) + 1
+    return list(out.items())

@@ -1,0 +1,293 @@
+"""Compressed posting lists: delta-gap varint + per-block block-max metadata.
+
+This is our native re-implementation of the posting codec the reference
+delegates to Lucene for (delegation point `KNN10010Codec.java:39-41`;
+[Lucene public semantics]: 128-doc posting blocks, delta-gap docIDs,
+bit-packed/varint compression, per-block impact (block-max) metadata).
+The segment-artifact shape (per-field blobs + offset metadata records)
+mirrors `JVectorWriter.writeGraph` / `VectorIndexFieldMetadata`
+(`JVectorWriter.java:311-379,419-457`) — blobs with offset lists — but the
+byte format is original.
+
+Everything is numpy-vectorized: encoding the whole segment's gaps in ONE
+varint pass, then slicing per-term blobs via Arrow binary-array offsets.
+No Python loop runs per posting or per term.
+
+Layout per term (one row of the postings table):
+  term      : string        (table sorted by term — enables parquet
+                             row-group pruning on term filters)
+  df        : int32         postings (docs) for the term in this segment
+  cf        : int64         total term frequency
+  ords_enc  : large_binary  varint(delta-gapped doc ordinals; first value
+                             is the absolute ordinal)
+  tfs_enc   : large_binary  varint(term frequencies)
+  pos_enc   : large_binary  varint(position deltas; per posting the first
+                             value is absolute, lengths given by tf)
+  blk_last_ord : list<int32> last ordinal of each 128-posting block
+  blk_max_tf   : list<int32> max tf within the block       (impact upper bound)
+  blk_min_dl   : list<int32> min doc length within block   (impact upper bound:
+                  BM25 tf-part is increasing in tf, decreasing in dl, so
+                  score(block) <= idf * S(max_tf, min_dl))
+  blk_off_ord  : list<int64> byte offset of each block within ords_enc
+  blk_off_tf   : list<int64> byte offset of each block within tfs_enc
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from opensearch_jvector_ray.config import EngineConfig
+
+POSTINGS_SCHEMA = pa.schema([
+    ("term", pa.string()),
+    ("df", pa.int32()),
+    ("cf", pa.int64()),
+    ("ords_enc", pa.large_binary()),
+    ("tfs_enc", pa.large_binary()),
+    ("pos_enc", pa.large_binary()),
+    ("blk_last_ord", pa.list_(pa.int32())),
+    ("blk_max_tf", pa.list_(pa.int32())),
+    ("blk_min_dl", pa.list_(pa.int32())),
+    ("blk_off_ord", pa.list_(pa.int64())),
+    ("blk_off_tf", pa.list_(pa.int64())),
+])
+
+
+# ---------------------------------------------------------------------------
+# varint codec (LEB128, low 7 bits per byte, high bit = continuation)
+# ---------------------------------------------------------------------------
+
+def varint_lengths(values: np.ndarray) -> np.ndarray:
+    """Encoded byte length of each value (vectorized)."""
+    a = np.asarray(values, dtype=np.uint64)
+    lens = np.ones(len(a), dtype=np.int64)
+    for shift in (7, 14, 21, 28, 35, 42, 49, 56, 63):
+        lens += (a >= (np.uint64(1) << np.uint64(shift)))
+    return lens
+
+
+def varint_encode(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Encode an array of non-negative ints.
+
+    Returns ``(bytes, lens)`` where ``bytes`` is a uint8 array holding the
+    concatenated encodings and ``lens`` the per-value byte lengths (so
+    callers can slice sub-ranges without re-scanning).
+    """
+    a = np.asarray(values, dtype=np.uint64)
+    if len(a) == 0:
+        return np.zeros(0, dtype=np.uint8), np.zeros(0, dtype=np.int64)
+    lens = varint_lengths(a)
+    total = int(lens.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    pos = np.zeros(len(a), dtype=np.int64)
+    np.cumsum(lens[:-1], out=pos[1:])
+    rem = a.copy()
+    max_len = int(lens.max())
+    for i in range(max_len):
+        active = lens > i
+        byte = (rem[active] & np.uint64(0x7F)).astype(np.uint8)
+        more = (i + 1) < lens[active]
+        out[pos[active] + i] = byte | (more.astype(np.uint8) << 7)
+        rem >>= np.uint64(7)
+    return out, lens
+
+
+def varint_decode(buf: np.ndarray | bytes) -> np.ndarray:
+    """Decode a varint byte stream into a uint64 array (vectorized)."""
+    b = np.frombuffer(buf, dtype=np.uint8) if isinstance(buf, (bytes, memoryview)) else np.asarray(buf, dtype=np.uint8)
+    if len(b) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    is_end = (b & 0x80) == 0
+    n_values = int(is_end.sum())
+    value_idx = np.zeros(len(b), dtype=np.int64)
+    value_idx[1:] = np.cumsum(is_end[:-1])
+    # byte index within each value
+    ends = np.flatnonzero(is_end)
+    starts = np.empty(n_values, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    byte_pos = np.arange(len(b), dtype=np.int64) - starts[value_idx]
+    vals = np.zeros(n_values, dtype=np.uint64)
+    np.add.at(vals, value_idx, (b & np.uint64(0x7F)).astype(np.uint64) << (np.uint64(7) * byte_pos.astype(np.uint64)))
+    return vals
+
+
+# ---------------------------------------------------------------------------
+# group-wise helpers
+# ---------------------------------------------------------------------------
+
+def groupwise_delta(values: np.ndarray, group_starts_mask: np.ndarray) -> np.ndarray:
+    """values -> gaps, resetting at each group start (first = absolute value)."""
+    v = np.asarray(values, dtype=np.int64)
+    out = np.empty_like(v)
+    out[0:1] = v[0:1]
+    out[1:] = v[1:] - v[:-1]
+    out[group_starts_mask] = v[group_starts_mask]
+    return out
+
+
+def groupwise_cumsum(gaps: np.ndarray, group_start_idx: np.ndarray) -> np.ndarray:
+    """Inverse of groupwise_delta: reconstruct absolute values."""
+    g = np.asarray(gaps, dtype=np.int64)
+    if len(g) == 0:
+        return g
+    cum = np.cumsum(g)
+    base = cum[group_start_idx] - g[group_start_idx]
+    lens = np.diff(np.append(group_start_idx, len(g)))
+    return cum - np.repeat(base, lens)
+
+
+def _large_binary_from_slices(data: np.ndarray, offsets: np.ndarray) -> pa.Array:
+    """Zero-copy large_binary array: offsets (int64, len n+1) into data."""
+    return pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), len(offsets) - 1,
+        [None, pa.py_buffer(offsets.astype(np.int64).tobytes()),
+         pa.py_buffer(data.tobytes())])
+
+
+def _list_array(offsets: np.ndarray, values: np.ndarray, typ) -> pa.Array:
+    return pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()),
+                                    pa.array(values, type=typ))
+
+
+# ---------------------------------------------------------------------------
+# posting-list builder (per segment)
+# ---------------------------------------------------------------------------
+
+def build_postings_table(doc_ord: np.ndarray, terms: pa.Array,
+                         positions: np.ndarray, doc_len: np.ndarray,
+                         cfg: EngineConfig) -> pa.Table:
+    """Build the segment's postings table from a flat token stream.
+
+    ``doc_ord`` — int ordinal (0..n_docs-1) of each token's document;
+    ``terms`` — parallel string array; ``positions`` — parallel in-doc
+    positions; ``doc_len`` — per-ordinal post-stopword token count.
+
+    The per-term single-value guard of the reference
+    (`JVectorWriter.java:524-531` — same docID twice is an error) maps to
+    ordinals being unique by construction (one row per (conv_id, turn_idx)
+    after last-write-wins dedup).
+    """
+    n_tokens = len(doc_ord)
+    if n_tokens == 0:
+        return POSTINGS_SCHEMA.empty_table()
+
+    # --- dictionary-encode terms, remap codes to sorted-term order -------
+    dict_arr = terms.dictionary_encode() if not isinstance(terms, pa.DictionaryArray) else terms
+    vocab = dict_arr.dictionary
+    codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    import pyarrow.compute as pc
+    sort_idx = pc.sort_indices(vocab).to_numpy(zero_copy_only=False).astype(np.int64)
+    rank = np.empty_like(sort_idx)
+    rank[sort_idx] = np.arange(len(sort_idx))
+    codes = rank[codes]
+    vocab_sorted = vocab.take(pa.array(sort_idx))
+
+    # --- sort tokens by (term, ord, pos) --------------------------------
+    order = np.lexsort((positions, doc_ord, codes))
+    t_code = codes[order]
+    t_ord = np.asarray(doc_ord, dtype=np.int64)[order]
+    t_pos = np.asarray(positions, dtype=np.int64)[order]
+
+    # --- collapse to postings: boundaries where (term, ord) changes ------
+    is_new_posting = np.ones(n_tokens, dtype=bool)
+    is_new_posting[1:] = (t_code[1:] != t_code[:-1]) | (t_ord[1:] != t_ord[:-1])
+    posting_start = np.flatnonzero(is_new_posting)              # token idx
+    p_code = t_code[posting_start]
+    p_ord = t_ord[posting_start]
+    p_tf = np.diff(np.append(posting_start, n_tokens))          # tokens per posting
+    n_postings = len(posting_start)
+
+    # --- per-term posting ranges ----------------------------------------
+    is_new_term = np.ones(n_postings, dtype=bool)
+    is_new_term[1:] = p_code[1:] != p_code[:-1]
+    term_start = np.flatnonzero(is_new_term)                    # posting idx
+    n_terms = len(term_start)
+    term_df = np.diff(np.append(term_start, n_postings))
+    term_cf = np.add.reduceat(p_tf, term_start)
+
+    # --- encode ord gaps and tfs over the WHOLE segment at once ----------
+    ord_gaps = groupwise_delta(p_ord, is_new_term)
+    ord_bytes, ord_lens = varint_encode(ord_gaps)
+    tf_bytes, tf_lens = varint_encode(p_tf)
+    ord_cum = np.zeros(n_postings + 1, dtype=np.int64)
+    np.cumsum(ord_lens, out=ord_cum[1:])
+    tf_cum = np.zeros(n_postings + 1, dtype=np.int64)
+    np.cumsum(tf_lens, out=tf_cum[1:])
+    term_end = np.append(term_start[1:], n_postings)
+    ords_enc = _large_binary_from_slices(ord_bytes, ord_cum[np.append(term_start, n_postings)])
+    tfs_enc = _large_binary_from_slices(tf_bytes, tf_cum[np.append(term_start, n_postings)])
+
+    # --- positions: delta within each posting, sliced per term -----------
+    if cfg.with_positions:
+        pos_gaps = groupwise_delta(t_pos, is_new_posting)
+        pos_bytes, pos_lens = varint_encode(pos_gaps)
+        pos_cum = np.zeros(n_tokens + 1, dtype=np.int64)
+        np.cumsum(pos_lens, out=pos_cum[1:])
+        term_tok_start = posting_start[term_start]              # token idx of term start
+        pos_enc = _large_binary_from_slices(
+            pos_bytes, pos_cum[np.append(term_tok_start, n_tokens)])
+    else:
+        empty_off = np.zeros(n_terms + 1, dtype=np.int64)
+        pos_enc = _large_binary_from_slices(np.zeros(0, dtype=np.uint8), empty_off)
+
+    # --- block metadata (per cfg.block_size postings) --------------------
+    B = cfg.block_size
+    blocks_per_term = (term_df + B - 1) // B
+    n_blocks = int(blocks_per_term.sum())
+    term_of_block = np.repeat(np.arange(n_terms), blocks_per_term)
+    first_block_of_term = np.zeros(n_terms, dtype=np.int64)
+    np.cumsum(blocks_per_term[:-1], out=first_block_of_term[1:])
+    blk_rank = np.arange(n_blocks) - first_block_of_term[term_of_block]
+    blk_start = term_start[term_of_block] + blk_rank * B        # posting idx
+    blk_end = np.minimum(blk_start + B, term_end[term_of_block])
+    dl_per_posting = np.asarray(doc_len, dtype=np.int64)[p_ord]
+
+    blk_last_ord = p_ord[blk_end - 1].astype(np.int32)
+    blk_max_tf = np.maximum.reduceat(p_tf, blk_start).astype(np.int32)
+    blk_min_dl = np.minimum.reduceat(dl_per_posting, blk_start).astype(np.int32)
+    blk_off_ord = ord_cum[blk_start] - ord_cum[term_start][term_of_block]
+    blk_off_tf = tf_cum[blk_start] - tf_cum[term_start][term_of_block]
+
+    blk_offsets = np.zeros(n_terms + 1, dtype=np.int64)
+    np.cumsum(blocks_per_term, out=blk_offsets[1:])
+
+    return pa.table({
+        "term": vocab_sorted.take(pa.array(p_code[term_start])),
+        "df": pa.array(term_df.astype(np.int32)),
+        "cf": pa.array(term_cf.astype(np.int64)),
+        "ords_enc": ords_enc,
+        "tfs_enc": tfs_enc,
+        "pos_enc": pos_enc,
+        "blk_last_ord": _list_array(blk_offsets, blk_last_ord, pa.int32()),
+        "blk_max_tf": _list_array(blk_offsets, blk_max_tf, pa.int32()),
+        "blk_min_dl": _list_array(blk_offsets, blk_min_dl, pa.int32()),
+        "blk_off_ord": _list_array(blk_offsets, blk_off_ord, pa.int64()),
+        "blk_off_tf": _list_array(blk_offsets, blk_off_tf, pa.int64()),
+    }, schema=POSTINGS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# decode (query side)
+# ---------------------------------------------------------------------------
+
+def decode_posting_list(ords_enc: bytes, tfs_enc: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Decode one term's postings -> (ordinals int64 asc, tfs int64)."""
+    gaps = varint_decode(ords_enc).astype(np.int64)
+    ords = np.cumsum(gaps)
+    tfs = varint_decode(tfs_enc).astype(np.int64)
+    return ords, tfs
+
+
+def decode_positions(pos_enc: bytes, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Decode one term's positions blob.
+
+    Returns ``(flat_positions, posting_offsets)`` where posting i's
+    positions are ``flat_positions[posting_offsets[i]:posting_offsets[i+1]]``.
+    """
+    gaps = varint_decode(pos_enc).astype(np.int64)
+    offsets = np.zeros(len(tfs) + 1, dtype=np.int64)
+    np.cumsum(np.asarray(tfs, dtype=np.int64), out=offsets[1:])
+    flat = groupwise_cumsum(gaps, offsets[:-1]) if len(gaps) else gaps
+    return flat, offsets

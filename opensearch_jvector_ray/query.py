@@ -1,0 +1,435 @@
+"""Query side: BM25 top-k over the segmented inverted index.
+
+The analog of the reference's query lifecycle (`SURVEY.md` §3.3):
+  - query parse/validate -> ``IndexSearcher._prepare``
+    (`KNNQueryBuilder.java:228-281,438-508` — driver-side prep, small)
+  - per-segment search    -> ``SegmentSearcher`` actor pool
+    (`JVectorReader.search`, `JVectorReader.java:131-212`; stateful reader
+    constructed once per actor — S5)
+  - bounded top-k heap    -> per-segment heap/argpartition
+    (`JVectorKnnCollector.java:16-64` — O1)
+  - per-leaf -> global reduce -> driver merge of <= S small k-lists
+    (`ResultUtil.reduceToTopK` — A1: partial + final aggregate, NOT a
+    global sort)
+  - filtered search       -> pre-filter mask over the docs table
+    (`KNNQueryBuilder.java:534-539`, bits conversion
+    `JVectorReader.java:167-181` — J2)
+  - two-pass rescore      -> quantized-norm first pass k' =
+    clamp(k*oversample, 100, 10000), exact second pass
+    (`RescoreContext.java:17-97` — O2)
+  - block-max WAND        -> ``mode="wand"`` [Lucene public semantics:
+    impacts/BMW; the reference's approx+rerank two-phase is the same
+    shape, `JVectorReader.java:154-166`]
+
+Scoring is float64 end-to-end; per-query term contributions are summed in
+analyzed term order, so scores are bit-stable across segmentations (the
+rank-identity requirement, SURVEY §7 "hard parts").
+"""
+
+from __future__ import annotations
+
+import heapq
+import os
+from typing import Any, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from opensearch_jvector_ray.analyze import query_term_weights
+from opensearch_jvector_ray.config import EngineConfig
+from opensearch_jvector_ray.functions.scoring import (
+    bm25_idf, bm25_tf_part, quantize_doc_len,
+)
+from opensearch_jvector_ray.postings import (
+    decode_posting_list, varint_decode,
+)
+from opensearch_jvector_ray.state.manifest import (
+    CONFIG_NAME, DOCS_NAME, POSTINGS_NAME, SEGMENTS_DIR, STATS_NAME, read_json,
+)
+
+
+# ---------------------------------------------------------------------------
+# per-segment scoring
+# ---------------------------------------------------------------------------
+
+class _TermCursor:
+    """Block-lazy posting-list iterator with GEQ skipping (WAND path).
+
+    Decodes one 128-posting block at a time using the per-block byte
+    offsets; ``blk_last_ord`` drives the binary-search seek, the per-block
+    (max_tf, min_dl) pair gives the block-max score upper bound.
+    """
+
+    __slots__ = ("ords_enc", "tfs_enc", "blk_last", "blk_off_o", "blk_off_t",
+                 "blk_ub", "ub", "weight_idf", "k1", "b", "avgdl",
+                 "blk_idx", "ords", "tfs", "pos", "exhausted")
+
+    def __init__(self, row: dict, weight_idf: float, k1: float, b: float,
+                 avgdl: float):
+        self.ords_enc = row["ords_enc"]
+        self.tfs_enc = row["tfs_enc"]
+        self.blk_last = np.asarray(row["blk_last_ord"], dtype=np.int64)
+        self.blk_off_o = np.asarray(row["blk_off_ord"], dtype=np.int64)
+        self.blk_off_t = np.asarray(row["blk_off_tf"], dtype=np.int64)
+        self.weight_idf = weight_idf
+        self.k1, self.b, self.avgdl = k1, b, avgdl
+        max_tf = np.asarray(row["blk_max_tf"], dtype=np.float64)
+        min_dl = np.asarray(row["blk_min_dl"], dtype=np.float64)
+        tfp = bm25_tf_part(max_tf, min_dl, avgdl, k1, b)
+        self.blk_ub = weight_idf * tfp * (1.0 + 1e-12) + 1e-12
+        self.ub = float(self.blk_ub.max())
+        self.blk_idx = -1
+        self.exhausted = False
+        self._load_block(0)
+
+    def _load_block(self, bi: int) -> None:
+        if bi >= len(self.blk_last):
+            self.exhausted = True
+            return
+        o_end = self.blk_off_o[bi + 1] if bi + 1 < len(self.blk_off_o) else len(self.ords_enc)
+        t_end = self.blk_off_t[bi + 1] if bi + 1 < len(self.blk_off_t) else len(self.tfs_enc)
+        gaps = varint_decode(self.ords_enc[self.blk_off_o[bi]:o_end]).astype(np.int64)
+        base = int(self.blk_last[bi - 1]) if bi > 0 else 0
+        self.ords = base + np.cumsum(gaps)
+        self.tfs = varint_decode(self.tfs_enc[self.blk_off_t[bi]:t_end]).astype(np.int64)
+        self.blk_idx = bi
+        self.pos = 0
+
+    @property
+    def cur_doc(self) -> int:
+        return int(self.ords[self.pos])
+
+    @property
+    def cur_tf(self) -> int:
+        return int(self.tfs[self.pos])
+
+    def block_ub(self) -> float:
+        return float(self.blk_ub[self.blk_idx])
+
+    def next(self) -> None:
+        self.pos += 1
+        if self.pos >= len(self.ords):
+            self._load_block(self.blk_idx + 1)
+
+    def seek_geq(self, target: int) -> None:
+        """Advance to the first posting with ord >= target (block skip)."""
+        if self.exhausted or self.cur_doc >= target:
+            return
+        if self.ords[-1] < target:       # beyond current block: binary search blocks
+            bi = int(np.searchsorted(self.blk_last, target, side="left"))
+            if bi >= len(self.blk_last):
+                self.exhausted = True
+                return
+            if bi != self.blk_idx:
+                self._load_block(bi)
+            else:
+                self.pos = 0
+        self.pos = int(np.searchsorted(self.ords, target, side="left"))
+        if self.pos >= len(self.ords):   # can only happen on corrupt metadata
+            self._load_block(self.blk_idx + 1)
+
+
+def _wand_topk(cursors: list[_TermCursor], k: int, dl: np.ndarray,
+               mask: np.ndarray | None, k1: float, b: float,
+               avgdl: float) -> tuple[np.ndarray, np.ndarray]:
+    """Block-max WAND: exact top-k with (score desc, ord asc) tie-break."""
+    heap: list[tuple[float, int]] = []   # (score, -ord) min-heap of keepers
+    live = [c for c in cursors if not c.exhausted]
+    while live:
+        live.sort(key=lambda c: c.cur_doc)
+        theta = heap[0][0] if len(heap) >= k else -np.inf
+        acc = 0.0
+        pivot_i = -1
+        for i, c in enumerate(live):
+            acc += c.ub
+            if acc >= theta:
+                pivot_i = i
+                break
+        if pivot_i < 0:
+            break
+        pivot_doc = live[pivot_i].cur_doc
+        if live[0].cur_doc == pivot_doc:
+            contrib = [c for c in live if not c.exhausted and c.cur_doc == pivot_doc]
+            allowed = mask is None or bool(mask[pivot_doc])
+            if allowed:
+                blk_ub_sum = sum(c.block_ub() for c in contrib)
+                if blk_ub_sum >= theta:   # block-max check before exact scoring
+                    d = float(dl[pivot_doc])
+                    score = 0.0
+                    for c in contrib:
+                        tf = float(c.cur_tf)
+                        score += c.weight_idf * (tf / (tf + k1 * (1.0 - b + b * d / avgdl)))
+                    entry = (score, -pivot_doc)
+                    if len(heap) < k:
+                        heapq.heappush(heap, entry)
+                    elif entry > heap[0]:
+                        heapq.heapreplace(heap, entry)
+            for c in contrib:
+                c.next()
+        else:
+            live[0].seek_geq(pivot_doc)
+        live = [c for c in live if not c.exhausted]
+    out = sorted(heap, key=lambda e: (-e[0], -e[1]))
+    ords = np.array([-e[1] for e in out], dtype=np.int64)
+    scores = np.array([e[0] for e in out], dtype=np.float64)
+    return ords, scores
+
+
+def _topk_from_scores(scores: np.ndarray, candidates: np.ndarray,
+                      k: int) -> tuple[np.ndarray, np.ndarray]:
+    """(score desc, ord asc) top-k via bounded argpartition — never sorts
+    the full candidate set (O1: bounded collector)."""
+    n = min(k, len(candidates))
+    if n == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+    cand_scores = scores[candidates]
+    if len(candidates) > n:
+        part = np.argpartition(-cand_scores, n - 1)[:n]
+    else:
+        part = np.arange(len(candidates))
+    sel_ord = candidates[part]
+    sel_sc = cand_scores[part]
+    order = np.lexsort((sel_ord, -sel_sc))
+    return sel_ord[order], sel_sc[order]
+
+
+class SegmentSearcher:
+    """Actor-pool stage: scores every query against one segment per batch
+    row.  Stateful per the reference's per-segment reader (S5,
+    `JVectorReader.java:42-331`): the payload (analyzed queries + global
+    stats) is deserialized once per actor in ``__init__``."""
+
+    def __init__(self, payload: dict):
+        self.p = payload
+        self.k1 = payload["k1"]
+        self.b = payload["b"]
+        self.avgdl = payload["avgdl"]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tables = [self._search_segment(d) for d in batch["seg_dir"].to_pylist()]
+        tables = [t for t in tables if t is not None]
+        if not tables:
+            return self._empty()
+        return pa.concat_tables(tables)
+
+    # -- helpers ---------------------------------------------------------
+    def _empty(self) -> pa.Table:
+        cols: dict[str, pa.Array] = {"query_id": pa.array([], type=pa.string())}
+        for kc, kt in self.p["key_types"]:
+            cols[kc] = pa.array([], type=kt)
+        cols["score"] = pa.array([], type=pa.float64())
+        return pa.table(cols)
+
+    def _search_segment(self, seg_dir: str) -> pa.Table | None:
+        p = self.p
+        union_terms = p["union_terms"]
+        if not union_terms:
+            return None
+        docs = pq.read_table(os.path.join(seg_dir, DOCS_NAME))
+        n_docs = docs.num_rows
+        if n_docs == 0:
+            return None
+        dl = docs["doc_len"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+        mask: np.ndarray | None = None
+        if p["filter"] is not None:
+            with_ord = docs.append_column(
+                "__ord", pa.array(np.arange(n_docs, dtype=np.int64)))
+            kept = with_ord.filter(p["filter"])["__ord"].to_numpy(zero_copy_only=False)
+            mask = np.zeros(n_docs, dtype=bool)
+            mask[kept] = True
+
+        postings = pq.read_table(
+            os.path.join(seg_dir, POSTINGS_NAME),
+            filters=[("term", "in", list(union_terms))])
+        rows: dict[str, dict] = {}
+        for i in range(postings.num_rows):
+            rows[postings["term"][i].as_py()] = {
+                c: postings[c][i].as_py() if c not in ("ords_enc", "tfs_enc", "pos_enc")
+                else postings[c][i].as_py()
+                for c in postings.column_names}
+        decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for t, r in rows.items():
+            decoded[t] = decode_posting_list(r["ords_enc"], r["tfs_enc"])
+
+        out_qid: list[str] = []
+        out_ord: list[np.ndarray] = []
+        out_sc: list[np.ndarray] = []
+        mode = p["mode"]
+        for q in p["queries"]:
+            terms = [(t, w, idf) for (t, w, idf) in q["terms"] if t in rows]
+            if not terms:
+                continue
+            if mode == "wand":
+                cursors = [_TermCursor(rows[t], w * idf, self.k1, self.b, self.avgdl)
+                           for (t, w, idf) in terms]
+                ords, scores = _wand_topk(cursors, q["k"], dl, mask,
+                                          self.k1, self.b, self.avgdl)
+            else:
+                ords, scores = self._taat(terms, decoded, dl, mask, q["k"],
+                                          rescore=p["rescore_oversample"] if mode == "rescore" else None)
+            out_qid.extend([q["query_id"]] * len(ords))
+            out_ord.append(ords)
+            out_sc.append(scores)
+        if not out_qid:
+            return None
+        ords_all = np.concatenate(out_ord)
+        cols: dict[str, Any] = {"query_id": pa.array(out_qid, type=pa.string())}
+        take_idx = pa.array(ords_all)
+        for kc, _ in p["key_types"]:
+            cols[kc] = docs[kc].take(take_idx)
+        cols["score"] = pa.array(np.concatenate(out_sc), type=pa.float64())
+        return pa.table(cols)
+
+    def _taat(self, terms, decoded, dl, mask, k, rescore=None):
+        """Term-at-a-time vectorized scoring; optional two-pass rescore."""
+        n_docs = len(dl)
+        if rescore is not None:
+            # first pass: lossy quantized norms (PQ-approx analog)
+            dl_q = quantize_doc_len(dl)
+            k1 = self.p["first_pass_k"](k, rescore)
+            scores_q = np.zeros(n_docs, dtype=np.float64)
+            for t, w, idf in terms:
+                ords, tfs = decoded[t]
+                scores_q[ords] += w * idf * bm25_tf_part(tfs, dl_q[ords], self.avgdl,
+                                                         self.k1, self.b)
+            if mask is not None:
+                scores_q[~mask] = 0.0
+            cand = np.flatnonzero(scores_q > 0.0)
+            cand, _ = _topk_from_scores(scores_q, cand, k1)
+            # second pass: exact BM25 on the candidate set only
+            cand_sorted = np.sort(cand)
+            exact = np.zeros(len(cand_sorted), dtype=np.float64)
+            for t, w, idf in terms:
+                ords, tfs = decoded[t]
+                pos = np.searchsorted(ords, cand_sorted)
+                pos = np.clip(pos, 0, len(ords) - 1)
+                hit = ords[pos] == cand_sorted
+                if hit.any():
+                    tf_h = tfs[pos[hit]]
+                    exact[hit] += w * idf * bm25_tf_part(
+                        tf_h, dl[cand_sorted[hit]], self.avgdl, self.k1, self.b)
+            scores = np.zeros(n_docs, dtype=np.float64)
+            scores[cand_sorted] = exact
+            cand2 = cand_sorted[exact > 0.0]
+            return _topk_from_scores(scores, cand2, k)
+
+        scores = np.zeros(n_docs, dtype=np.float64)
+        for t, w, idf in terms:      # fixed analyzed order -> stable fp sums
+            ords, tfs = decoded[t]
+            scores[ords] += w * idf * bm25_tf_part(tfs, dl[ords], self.avgdl,
+                                                   self.k1, self.b)
+        if mask is not None:
+            scores[~mask] = 0.0
+        candidates = np.flatnonzero(scores > 0.0)
+        return _topk_from_scores(scores, candidates, k)
+
+
+# ---------------------------------------------------------------------------
+# driver-side searcher
+# ---------------------------------------------------------------------------
+
+class IndexSearcher:
+    """Loads index metadata once; fans queries out over segments."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        meta = read_json(os.path.join(index_dir, CONFIG_NAME))
+        self.cfg = EngineConfig.from_json(meta["config"])
+        self.spec = meta["spec"]
+        self.stats = read_json(os.path.join(index_dir, STATS_NAME))
+        seg_root = os.path.join(index_dir, SEGMENTS_DIR)
+        self.seg_dirs = sorted(
+            os.path.join(seg_root, d) for d in os.listdir(seg_root)
+            if d.startswith("seg="))
+        self.key_cols: list[str] = list(self.spec["key_cols"])
+
+    # -- dictionary lookup: filtered read, never loads the full vocab ----
+    def lookup_df(self, terms: Sequence[str]) -> dict[str, int]:
+        dict_dir = os.path.join(self.index_dir, "dictionary")
+        if not terms or not os.path.isdir(dict_dir) or not os.listdir(dict_dir):
+            return {}
+        tbl = pq.read_table(dict_dir, filters=[("term", "in", list(terms))],
+                            columns=["term", "df"])
+        return dict(zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()))
+
+    def _prepare(self, queries: dict[str, str], k: int) -> tuple[list[dict], list[str]]:
+        all_terms: set[str] = set()
+        parsed = []
+        for qid, text in queries.items():
+            tw = query_term_weights(text, self.cfg)
+            parsed.append((qid, tw))
+            all_terms.update(t for t, _ in tw)
+        df_map = self.lookup_df(sorted(all_terms))
+        n = float(self.stats["n_docs_indexed"])
+        prepared = []
+        union: set[str] = set()
+        for qid, tw in parsed:
+            terms = []
+            for t, w in tw:
+                df = df_map.get(t, 0)
+                if df > 0:
+                    terms.append((t, float(w), float(bm25_idf(n, df))))
+                    union.add(t)
+            prepared.append({"query_id": qid, "terms": terms, "k": k})
+        return prepared, sorted(union)
+
+    def search(self, queries: dict[str, str], k: int | None = None,
+               mode: str = "taat", filter: Any = None,
+               rescore_oversample: float | None = None,
+               concurrency: int | None = None) -> pd.DataFrame:
+        """Top-k BM25 for a batch of queries.
+
+        Returns a DataFrame (query_id, rank, *key_cols, score) with global
+        (score desc, key asc) ordering and rank starting at 1.
+        """
+        cfg = self.cfg
+        k = k or cfg.default_k
+        if k > cfg.max_k:
+            raise ValueError(f"k={k} exceeds max_k={cfg.max_k}")   # K_MAX guard
+        if rescore_oversample is not None:
+            mode = "rescore"
+        prepared, union = self._prepare(queries, k)
+        key_types = []
+        if self.seg_dirs:
+            docs_schema = pq.read_schema(os.path.join(self.seg_dirs[0], DOCS_NAME))
+            key_types = [(kc, docs_schema.field(kc).type) for kc in self.key_cols]
+        cfg_obj = cfg
+        payload = {
+            "queries": prepared, "union_terms": union, "mode": mode,
+            "k1": cfg.k1, "b": cfg.b, "avgdl": float(self.stats["avgdl"] or 1.0),
+            "filter": filter, "rescore_oversample": rescore_oversample,
+            "key_types": key_types,
+            "first_pass_k": cfg_obj.first_pass_k,
+        }
+        if not union or not self.seg_dirs:
+            return self._finalize(pd.DataFrame(
+                columns=["query_id", *self.key_cols, "score"]), k)
+
+        seg_ds = rd.from_items([{"seg_dir": d} for d in self.seg_dirs])
+        n_actors = concurrency or min(len(self.seg_dirs), 16)
+        hits = seg_ds.map_batches(
+            SegmentSearcher, fn_constructor_kwargs={"payload": payload},
+            batch_format="pyarrow", batch_size=1,
+            concurrency=n_actors, num_cpus=1)
+        frames = [b.to_pandas() for b in hits.iter_batches(batch_format="pyarrow")]
+        df = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+            columns=["query_id", *self.key_cols, "score"])
+        return self._finalize(df, k)
+
+    def _finalize(self, df: pd.DataFrame, k: int) -> pd.DataFrame:
+        """Global reduce: merge per-segment k-lists (A1)."""
+        if df.empty:
+            df["rank"] = pd.Series(dtype="int64")
+            return df[["query_id", "rank", *self.key_cols, "score"]]
+        df = df.sort_values(
+            ["query_id", "score", *self.key_cols],
+            ascending=[True, False] + [True] * len(self.key_cols),
+            kind="mergesort").groupby("query_id", sort=False).head(k)
+        df["rank"] = df.groupby("query_id", sort=False).cumcount() + 1
+        return df[["query_id", "rank", *self.key_cols, "score"]].reset_index(drop=True)

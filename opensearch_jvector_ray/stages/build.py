@@ -1,0 +1,321 @@
+"""Index build pipeline: Parquet transcripts -> per-segment inverted index.
+
+The Ray-Data-native analog of the reference's segment flush lifecycle
+(`JVectorWriter.flush`, `JVectorWriter.java:198-250`: buffer field values ->
+sort remap -> build per-segment structure -> write files + metadata) and of
+the Lucene postings delegate it rides on (`KNN10010Codec.java:39-41`).
+
+Pipeline shape (streaming-executed, one explicit shuffle):
+
+    read_parquet(columns pruned)
+      -> map_batches(assign __seg = stable_hash(conv_id) % P; resume filter)
+      -> groupby("__seg").map_groups(build_segment)     # THE shuffle
+           per segment: sort (conv_id, turn_idx[, ts]) -> LWW dedup ->
+           tombstone anti-join -> ordinals -> tokenize -> vectorized
+           posting build -> write postings.parquet + docs.parquet +
+           manifest.json (atomic, checkpoint)
+      -> tiny per-segment summary rows back to the driver
+    then: dictionary aggregation over per-segment (term, df, cf) partials
+          (two-phase salted groupby) + global stats.json
+
+Scale/skew notes (explicit, per the north rule):
+  - The shuffle is keyed on hash(conv_id): uniform by construction, and it
+    moves each input row exactly once.  Head-TERM skew (Zipf) never hits
+    this shuffle because postings are built term-grouped *locally* inside
+    each doc-partition segment (numpy lexsort — no token ever crosses the
+    wire).  This is the same doc-partitioned design OpenSearch shards use.
+  - The one term-keyed groupby (dictionary aggregation) consumes only
+    per-segment partials (<= 1 row per term per segment — a combiner), and
+    is two-phase salted: groupby((term, salt)) -> groupby(term), so a head
+    term's partials never collapse onto a single reducer even with 10^5
+    segments.
+  - Per-128-posting blocks bound the unit of work/memory for head terms
+    inside a segment (a "the" posting list is processed block-wise).
+  - Resume: completed segments (manifest present) are filtered out at the
+    map stage, so a re-run re-reads but never re-shuffles/re-builds them.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from opensearch_jvector_ray.analyze import tokenize
+from opensearch_jvector_ray.config import EngineConfig
+from opensearch_jvector_ray.postings import build_postings_table
+from opensearch_jvector_ray.state.manifest import (
+    CONFIG_NAME, DICTIONARY_NAME, DOCS_NAME, POSTINGS_NAME, STATS_NAME,
+    SegmentManifest, StageTimer, completed_segments, segment_dir,
+    write_json_atomic,
+)
+
+SEG_COL = "__seg"
+DICT_ROW_GROUP = 16 * 1024
+POSTINGS_ROW_GROUP = 4 * 1024
+
+
+@dataclass(frozen=True)
+class IndexSpec:
+    """What to index: the analog of the field mapping
+    (`KNNVectorFieldMapper.java:97-212` — explicit schema, validated up
+    front, with defaulting)."""
+
+    text_col: str = "text"
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx")
+    store_cols: tuple[str, ...] = ("role", "tool", "ts")  # filterable metadata
+    ts_col: str = "ts"            # LWW tie-break column (D3: update = delete+insert)
+
+    def all_cols(self) -> list[str]:
+        cols = [*self.key_cols, self.text_col, *self.store_cols]
+        seen: list[str] = []
+        for c in cols:
+            if c not in seen:
+                seen.append(c)
+        return seen
+
+
+def stable_hash_strings(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Deterministic uint64 hash of a key column (stable across processes/
+    runs — required for resumable partitioning; the analog of OpenSearch's
+    deterministic doc-id -> shard routing)."""
+    values = arr.to_numpy(zero_copy_only=False)
+    return pd.util.hash_array(values, categorize=False)
+
+
+def _assign_segments(batch: pa.Table, spec: IndexSpec, num_segments: int,
+                     done: frozenset[int]) -> pa.Table:
+    h = stable_hash_strings(batch[spec.key_cols[0]])
+    seg = (h % np.uint64(num_segments)).astype(np.int32)
+    batch = batch.append_column(SEG_COL, pa.array(seg))
+    if done:
+        keep = ~np.isin(seg, np.fromiter(done, dtype=np.int32))
+        batch = batch.filter(pa.array(keep))
+    return batch
+
+
+def _last_write_wins(group: pa.Table, spec: IndexSpec) -> pa.Table:
+    """Keep the newest row per key (rows already sorted by key asc, ts asc).
+
+    Reference: update = delete + insert, newest wins
+    (`JVectorEngineIT.java:130` testUpdateDoc; `KNNRestTestCase.java:762-797`).
+    """
+    n = group.num_rows
+    if n <= 1:
+        return group
+    # row i is kept iff some key col changes between i and i+1 (last of group)
+    same = np.zeros(n, dtype=bool)
+    same[:-1] = True
+    for kc in spec.key_cols:
+        col = group[kc].to_numpy(zero_copy_only=False)
+        same[:-1] &= col[:-1] == col[1:]
+    keep = ~same
+    return group.filter(pa.array(keep))
+
+
+def _apply_tombstones(group: pa.Table, spec: IndexSpec,
+                      deletes: Sequence[tuple] | None) -> pa.Table:
+    """Anti-join against the (broadcast, small) tombstone key set (D2:
+    deleted docs dropped at build/merge, `JVectorWriter.java:611-658`)."""
+    if not deletes:
+        return group
+    key_strs = _composite_key(group, spec)
+    del_set = pa.array([
+        "\x1f".join(str(p) for p in key) for key in deletes], type=pa.string())
+    mask = pc.invert(pc.is_in(key_strs, value_set=del_set))
+    return group.filter(mask)
+
+
+def _composite_key(tbl: pa.Table, spec: IndexSpec) -> pa.Array:
+    parts = []
+    for kc in spec.key_cols:
+        col = tbl[kc]
+        if not pa.types.is_string(col.type):
+            col = pc.cast(col, pa.string())
+        parts.append(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+    if len(parts) == 1:
+        return parts[0]
+    return pc.binary_join_element_wise(*parts, "\x1f")
+
+
+def make_segment_builder(index_dir: str, cfg: EngineConfig, spec: IndexSpec,
+                         lineage: dict[str, Any] | None,
+                         deletes: Sequence[tuple] | None = None):
+    """Returns the map_groups fn that builds + persists ONE segment."""
+
+    def build_segment(group: pa.Table) -> pa.Table:
+        timer = StageTimer()
+        seg = int(group[SEG_COL][0].as_py())
+        rows_in = group.num_rows
+        group = group.drop_columns([SEG_COL])
+        out_dir = segment_dir(index_dir, seg)
+        os.makedirs(out_dir, exist_ok=True)
+
+        # -- stable ordering: the index-sort invariant (O3; reference sorts
+        # segments and remaps ordinals via Sorter.DocMap,
+        # `JVectorWriter.java:235-237`). Sorting by (key, ts) also makes the
+        # LWW "last row per key" rule a pure vectorized mask.
+        timer.start("sort")
+        sort_keys = [(k, "ascending") for k in spec.key_cols]
+        if cfg.last_write_wins and spec.ts_col in group.column_names:
+            sort_keys.append((spec.ts_col, "ascending"))
+        group = group.take(pc.sort_indices(group, sort_keys=sort_keys))
+        timer.stop()
+
+        timer.start("dedup")
+        if cfg.last_write_wins:
+            group = _last_write_wins(group, spec)
+        group = _apply_tombstones(group, spec, deletes)
+        timer.stop()
+
+        # -- analyze + posting build (all vectorized)
+        timer.start("tokenize")
+        stream = tokenize(group[spec.text_col], cfg)
+        timer.stop()
+        timer.start("postings")
+        postings = build_postings_table(stream.doc_idx, stream.terms,
+                                        stream.positions, stream.doc_len, cfg)
+        timer.stop()
+
+        # -- persist segment artifacts; manifest LAST (atomic checkpoint)
+        timer.start("write")
+        docs_cols = {k: group[k] for k in spec.all_cols() if k != spec.text_col}
+        docs_cols["doc_len"] = pa.array(stream.doc_len, type=pa.int32())
+        docs_tbl = pa.table(docs_cols)
+        pq.write_table(docs_tbl, os.path.join(out_dir, DOCS_NAME))
+        pq.write_table(postings, os.path.join(out_dir, POSTINGS_NAME),
+                       row_group_size=POSTINGS_ROW_GROUP)
+        timer.stop()
+
+        manifest = SegmentManifest(
+            seg=seg,
+            num_docs=group.num_rows,
+            num_docs_indexed=int((stream.doc_len > 0).sum()),
+            sum_doc_len=int(stream.doc_len.sum()),
+            num_terms=postings.num_rows,
+            num_postings=int(pc.sum(postings["df"]).as_py() or 0),
+            rows_in=rows_in,
+            config_fingerprint=cfg.fingerprint(),
+            lineage=lineage or {},
+            timings_sec={k: round(v, 4) for k, v in timer.timings.items()},
+        )
+        manifest.write(out_dir)
+        return pa.table({
+            "seg": pa.array([seg], type=pa.int32()),
+            "num_docs": pa.array([manifest.num_docs], type=pa.int64()),
+            "num_terms": pa.array([manifest.num_terms], type=pa.int64()),
+        })
+
+    return build_segment
+
+
+def aggregate_dictionary(index_dir: str, cfg: EngineConfig,
+                         segs: Sequence[int]) -> None:
+    """Global term dictionary: df/cf summed over per-segment partials.
+
+    This is the true global aggregate BM25 needs (A2: df(term), N, avgdl —
+    per-partition values would silently break score identity, SURVEY §7).
+    Two-phase salted aggregation; see module docstring for why.
+    """
+    dict_dir = os.path.join(index_dir, "dictionary")
+    paths = [os.path.join(segment_dir(index_dir, s), POSTINGS_NAME) for s in segs]
+    paths = [p for p in paths if os.path.exists(p)]
+    if not paths:
+        os.makedirs(dict_dir, exist_ok=True)
+        return
+    stats_ds = rd.read_parquet(paths, columns=["term", "df", "cf"])
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        salt = (stable_hash_strings(batch["term"]) % np.uint64(16)).astype(np.int32)
+        return batch.append_column("__salt", pa.array(salt))
+
+    partial = (stats_ds
+               .map_batches(add_salt, batch_format="pyarrow")
+               .groupby(["term", "__salt"])
+               .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf")))
+    final = (partial
+             .groupby("term")
+             .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
+             .sort("term"))
+    os.makedirs(dict_dir, exist_ok=True)
+    final.write_parquet(dict_dir)
+
+
+@dataclass
+class BuildResult:
+    index_dir: str
+    num_docs: int
+    num_docs_indexed: int
+    sum_doc_len: int
+    num_segments: int
+    segments_built: int
+    segments_skipped: int
+    build_sec: float
+    stats: dict[str, Any] = field(default_factory=dict)
+
+
+def build_index(ds: "rd.Dataset", index_dir: str, cfg: EngineConfig,
+                spec: IndexSpec | None = None,
+                lineage: dict[str, Any] | None = None,
+                deletes: Sequence[tuple] | None = None) -> BuildResult:
+    """Build (or resume) the inverted index for ``ds`` into ``index_dir``."""
+    spec = spec or IndexSpec()
+    t0 = time.perf_counter()
+    os.makedirs(index_dir, exist_ok=True)
+    write_json_atomic(os.path.join(index_dir, CONFIG_NAME), {
+        "config": cfg.to_json(),
+        "spec": {"text_col": spec.text_col, "key_cols": list(spec.key_cols),
+                 "store_cols": list(spec.store_cols), "ts_col": spec.ts_col},
+        "num_segments": cfg.num_segments,
+    })
+
+    done = frozenset(completed_segments(index_dir).keys())
+    ds = ds.select_columns(spec.all_cols())   # prune at the read
+
+    n_skipped = len(done)
+    if len(done) < cfg.num_segments:
+        shuffled = (ds
+                    .map_batches(_assign_segments, batch_format="pyarrow",
+                                 fn_kwargs={"spec": spec,
+                                            "num_segments": cfg.num_segments,
+                                            "done": done})
+                    .groupby(SEG_COL)
+                    .map_groups(make_segment_builder(index_dir, cfg, spec,
+                                                     lineage, deletes),
+                                batch_format="pyarrow"))
+        # consume: per-segment one-row summaries (tiny)
+        shuffled.take_all()
+
+    manifests = completed_segments(index_dir)
+    segs = sorted(manifests.keys())
+    aggregate_dictionary(index_dir, cfg, segs)
+
+    num_docs = sum(m.num_docs for m in manifests.values())
+    num_indexed = sum(m.num_docs_indexed for m in manifests.values())
+    sum_dl = sum(m.sum_doc_len for m in manifests.values())
+    stats = {
+        "n_docs": num_docs,
+        "n_docs_indexed": num_indexed,
+        "sum_doc_len": sum_dl,
+        "avgdl": (sum_dl / num_indexed) if num_indexed else 0.0,
+        "num_segments": len(segs),
+        "segments": segs,
+        "config_fingerprint": cfg.fingerprint(),
+    }
+    write_json_atomic(os.path.join(index_dir, STATS_NAME), stats)
+    return BuildResult(index_dir=index_dir, num_docs=num_docs,
+                       num_docs_indexed=num_indexed, sum_doc_len=sum_dl,
+                       num_segments=len(segs),
+                       segments_built=len(segs) - n_skipped,
+                       segments_skipped=n_skipped,
+                       build_sec=time.perf_counter() - t0, stats=stats)
