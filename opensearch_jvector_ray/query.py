@@ -190,10 +190,17 @@ def _topk_from_scores(scores: np.ndarray, candidates: np.ndarray,
     cand_scores = scores[candidates]
     if len(candidates) > n:
         part = np.argpartition(-cand_scores, n - 1)[:n]
+        # ties at the boundary must resolve by ord asc, not argpartition's
+        # arbitrary pick — keep all strictly-above, fill with smallest ords
+        # among the boundary-score ties (rank-identity requirement).
+        boundary = cand_scores[part].min()
+        above = candidates[cand_scores > boundary]
+        ties = np.sort(candidates[cand_scores == boundary])[: n - len(above)]
+        sel_ord = np.concatenate([above, ties])
+        sel_sc = scores[sel_ord]
     else:
-        part = np.arange(len(candidates))
-    sel_ord = candidates[part]
-    sel_sc = cand_scores[part]
+        sel_ord = candidates
+        sel_sc = cand_scores
     order = np.lexsort((sel_ord, -sel_sc))
     return sel_ord[order], sel_sc[order]
 
