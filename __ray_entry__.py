@@ -1,44 +1,308 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init`` / ``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` exposes the engine's operator surface (SURVEY.md §2 + the
+training-data pipeline operators); ``oracle_sql()`` returns, for every
+SQL-expressible entry, DuckDB SQL generated from the SAME analyzer
+config and query strings (see opensearch_jvector_ray/oracles.py), so
+tokenization, BM25 math, rounding and tie-breaks are symbol-identical.
+Entries without an oracle (approximate / stateful / non-SQL ops) get the
+driver's rows-only check and are covered by pytest oracles instead.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from opensearch_jvector_ray.config import EngineConfig
+from opensearch_jvector_ray.oracles import (
+    bm25_sql, collection_stats_sql, events_lww_sql, exact_dedup_sql,
+    fingerprint_sql, grouped_best_sql, knn_sql, lang_id_sql,
+    pricing_summary_sql, quality_sql, term_stats_sql, token_count_sql,
+)
+from opensearch_jvector_ray.pipelines import dedup as dedup_pl
+from opensearch_jvector_ray.pipelines import knn as knn_pl
+from opensearch_jvector_ray.pipelines import multimodal as mm_pl
+from opensearch_jvector_ray.pipelines import relational as rel_pl
+from opensearch_jvector_ray.pipelines import textstats as ts_pl
+from opensearch_jvector_ray.query import IndexSearcher
+from opensearch_jvector_ray.sources.tables import (
+    DOCUMENTS_CFG, documents_index, query_embeddings, read_table,
+    transcripts_index,
+)
+
+CFG = DOCUMENTS_CFG
+
+# fixed reference query set over the documents corpus (vocabulary drawn
+# from the corpus itself; q3 mixes stopwords to exercise the stop filter)
+BM25_QUERIES = {
+    "q1": "fast merge sort",
+    "q2": "query data filter join",
+    "q3": "the spark window batch",
+    "q4": "customer value row scan",
+}
+BM25_K = 10
+FILTER_LANG = "en"
+RADIAL_QUERY = {"qr": "fast merge sort"}
+RADIAL_MIN_SCORE = 0.55
+GROUP_QUERY = "query data filter join"
+TERM_STATS_TERMS = ["customer", "data", "fast", "merge", "query", "window"]
+KNN_QUERY_IDS = [0, 1, 2]
+KNN_K = 10
+TRANSCRIPT_QUERIES = {
+    "t1": "zebra quantum nebula",
+    "t2": "data model search index",
+    "t3": "checkpoint lineage metric",
+}
+
+
+def _round_hits(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df["score"] = np.round(df["score"].astype(np.float64), 6)
+    df["rank"] = df["rank"].astype(np.int64)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# query implementations (each callable: sf_dir -> DataFrame)
+# ---------------------------------------------------------------------------
+
+def _q_bm25(sf_dir: str) -> pd.DataFrame:
+    s = IndexSearcher(documents_index(sf_dir))
+    return _round_hits(s.search(BM25_QUERIES, k=BM25_K))
+
+
+def _q_bm25_wand(sf_dir: str) -> pd.DataFrame:
+    s = IndexSearcher(documents_index(sf_dir))
+    return _round_hits(s.search(BM25_QUERIES, k=BM25_K, mode="wand"))
+
+
+def _q_bm25_rescore(sf_dir: str) -> pd.DataFrame:
+    s = IndexSearcher(documents_index(sf_dir))
+    return _round_hits(s.search(BM25_QUERIES, k=BM25_K, rescore_oversample=3.0))
+
+
+def _q_bm25_filtered(sf_dir: str) -> pd.DataFrame:
+    s = IndexSearcher(documents_index(sf_dir))
+    return _round_hits(s.search(BM25_QUERIES, k=BM25_K,
+                                filter=pc.field("lang") == FILTER_LANG))
+
+
+def _q_bm25_radial(sf_dir: str) -> pd.DataFrame:
+    s = IndexSearcher(documents_index(sf_dir))
+    out = s.search(RADIAL_QUERY, k=CFG.max_k)
+    out = out[out["score"] >= RADIAL_MIN_SCORE].reset_index(drop=True)
+    return _round_hits(out)
+
+
+def _q_grouped_best(sf_dir: str) -> pd.DataFrame:
+    s = IndexSearcher(documents_index(sf_dir))
+    hits = s.search({"q": GROUP_QUERY}, k=CFG.max_k)
+    src = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "source"]).to_pandas()
+    m = hits.merge(src, on="doc_id")
+    best = (m.sort_values("rank").groupby("source", sort=True).head(1))
+    best = best.sort_values("source").reset_index(drop=True)
+    best["score"] = np.round(best["score"].astype(np.float64), 6)
+    return best[["source", "doc_id", "score"]]
+
+
+def _q_term_stats(sf_dir: str) -> pd.DataFrame:
+    idx = documents_index(sf_dir)
+    tbl = pq.read_table(os.path.join(idx, "dictionary"),
+                        filters=[("term", "in", TERM_STATS_TERMS)])
+    df = tbl.to_pandas().sort_values("term").reset_index(drop=True)
+    df["df"] = df["df"].astype(np.int64)
+    df["cf"] = df["cf"].astype(np.int64)
+    return df[["term", "df", "cf"]]
+
+
+def _q_collection_stats(sf_dir: str) -> pd.DataFrame:
+    from opensearch_jvector_ray.state.manifest import read_json
+    idx = documents_index(sf_dir)
+    st = read_json(os.path.join(idx, "stats.json"))
+    n_terms = pq.read_table(os.path.join(idx, "dictionary"),
+                            columns=["term"]).num_rows
+    return pd.DataFrame([{
+        "n_docs": np.int64(st["n_docs"]),
+        "n_docs_indexed": np.int64(st["n_docs_indexed"]),
+        "total_tokens": np.int64(st["sum_doc_len"]),
+        "avgdl": round(float(st["avgdl"]), 6),
+        "n_terms": np.int64(n_terms),
+    }])
+
+
+def _q_token_count(sf_dir: str) -> pd.DataFrame:
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = (ds.map_batches(ts_pl.token_count_stage(CFG, "doc_id", "text"),
+                          batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_fingerprint(sf_dir: str) -> pd.DataFrame:
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = (ds.map_batches(ts_pl.fingerprint_stage(CFG, "doc_id", "text"),
+                          batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_exact_dedup(sf_dir: str) -> pd.DataFrame:
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = dedup_pl.exact_dedup(ds, CFG, "doc_id", "text").to_pandas()
+    out["canonical_id"] = out["canonical_id"].astype(np.int64)
+    out["n_dups"] = out["n_dups"].astype(np.int64)
+    return out.sort_values("text_hash").reset_index(drop=True)
+
+
+def _q_quality(sf_dir: str) -> pd.DataFrame:
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = (ds.map_batches(ts_pl.quality_stage(CFG, "doc_id", "text"),
+                          batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_lang_id(sf_dir: str) -> pd.DataFrame:
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = (ds.map_batches(ts_pl.lang_id_stage(CFG, "doc_id", "text"),
+                          batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_knn(metric: str):
+    def fn(sf_dir: str) -> pd.DataFrame:
+        ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        queries = query_embeddings(sf_dir, KNN_QUERY_IDS)
+        out = knn_pl.brute_force_topk(ds, queries, KNN_K, metric=metric)
+        return _round_hits(out)
+    return fn
+
+
+def _q_knn_ivf(sf_dir: str) -> pd.DataFrame:
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    queries = query_embeddings(sf_dir, KNN_QUERY_IDS)
+    out = knn_pl.ivf_topk(ds, queries, KNN_K, n_centroids=8, n_probe=3)
+    return _round_hits(out)
+
+
+def _q_events_lww(sf_dir: str) -> pd.DataFrame:
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type", "value"])
+    return rel_pl.events_last_write_wins(ds)
+
+
+def _q_pricing(sf_dir: str) -> pd.DataFrame:
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_linestatus", "l_quantity",
+                             "l_extendedprice", "l_discount", "l_shipdate"])
+    return rel_pl.pricing_summary(ds)
+
+
+def _q_transcripts_bm25(sf_dir: str) -> pd.DataFrame:
+    s = IndexSearcher(transcripts_index(sf_dir))
+    return _round_hits(s.search(TRANSCRIPT_QUERIES, k=10))
+
+
+def _q_minhash(sf_dir: str) -> pd.DataFrame:
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup_pl.minhash_lsh_dedup(ds, CFG, "doc_id", "text",
+                                      threshold=0.5)
+
+
+def _q_simhash(sf_dir: str) -> pd.DataFrame:
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup_pl.simhash_near_dups(ds, CFG, "doc_id", "text",
+                                      max_hamming=6)
+
+
+def _q_embedding_dups(sf_dir: str) -> pd.DataFrame:
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return knn_pl.embedding_near_dups(ds, threshold=0.95)
+
+
+def _q_multimodal(sf_dir: str) -> pd.DataFrame:
+    tbl = mm_pl.synth_media_table(200)
+    out = mm_pl.decode_features(rd.from_arrow(tbl), fake=True).to_pandas()
+    out["n_features"] = out["feature"].map(len).astype(np.int64)
+    return (out[["media_id", "kind", "n_features"]]
+            .sort_values("media_id").reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build the transcript BM25 index at sf0.001 scale and run
+    the golden query set."""
+    return _q_transcripts_bm25("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # core BM25 engine surface (S12/M6/A2/O1/O2/O5/J2/J3 analogs)
+        "bm25_topk": _q_bm25,
+        "bm25_topk_wand": _q_bm25_wand,
+        "bm25_topk_rescore": _q_bm25_rescore,
+        "bm25_topk_filtered": _q_bm25_filtered,
+        "bm25_radial": _q_bm25_radial,
+        "grouped_best_doc": _q_grouped_best,
+        "term_stats": _q_term_stats,
+        "collection_stats": _q_collection_stats,
+        # text-analysis pipeline operators
+        "token_count": _q_token_count,
+        "doc_fingerprint": _q_fingerprint,
+        "exact_dedup": _q_exact_dedup,
+        "quality_score": _q_quality,
+        "lang_id": _q_lang_id,
+        # vector scoring surface (§2.8 kernels)
+        "knn_cosine_topk": _q_knn("cosine"),
+        "knn_l2_topk": _q_knn("l2"),
+        "knn_ivf_cosine": _q_knn_ivf,
+        # relational / lifecycle operators
+        "events_last_write_wins": _q_events_lww,
+        "pricing_summary": _q_pricing,
+        # flagship transcript engine (pytest-oracle'd; not SQL-registered)
+        "transcripts_bm25": _q_transcripts_bm25,
+        # near-dup family (approximate; pytest-oracle'd)
+        "minhash_dedup": _q_minhash,
+        "simhash_near_dups": _q_simhash,
+        "embedding_near_dups": _q_embedding_dups,
+        # multimodal plumbing (decode stubbed; rows-only)
+        "multimodal_decode": _q_multimodal,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    exact_bm25 = bm25_sql(BM25_QUERIES, BM25_K, CFG)
+    return {
+        "bm25_topk": exact_bm25,
+        "bm25_topk_wand": exact_bm25,
+        "bm25_topk_rescore": exact_bm25,
+        "bm25_topk_filtered": bm25_sql(BM25_QUERIES, BM25_K, CFG,
+                                       filter_sql=f"__f.lang = '{FILTER_LANG}'"),
+        "bm25_radial": bm25_sql(RADIAL_QUERY, CFG.max_k, CFG,
+                                min_score=RADIAL_MIN_SCORE),
+        "grouped_best_doc": grouped_best_sql(GROUP_QUERY, CFG),
+        "term_stats": term_stats_sql(TERM_STATS_TERMS, CFG),
+        "collection_stats": collection_stats_sql(CFG),
+        "token_count": token_count_sql(CFG),
+        "doc_fingerprint": fingerprint_sql(CFG),
+        "exact_dedup": exact_dedup_sql(CFG),
+        "quality_score": quality_sql(CFG),
+        "lang_id": lang_id_sql(CFG),
+        "knn_cosine_topk": knn_sql("cosine", KNN_QUERY_IDS, KNN_K),
+        "knn_l2_topk": knn_sql("l2", KNN_QUERY_IDS, KNN_K),
+        "events_last_write_wins": events_lww_sql(),
+        "pricing_summary": pricing_summary_sql(),
+    }

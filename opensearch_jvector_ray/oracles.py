@@ -1,0 +1,294 @@
+"""DuckDB oracle-SQL generators.
+
+Each generator mirrors one engine pipeline symbol-for-symbol:
+  - identical tokenization (same RE2 split pattern — DuckDB's regex engine
+    is also RE2 — same lowercase, same stop list),
+  - identical BM25 formula (Lucene form, float64),
+  - identical rounding (round(x, 6) on reported scores only; ranking
+    happens on unrounded values on both sides),
+  - identical tie-breaks (score desc, id asc).
+
+The query terms embedded in the SQL are produced by the engine's own
+analyzer (`analyze.query_term_weights`), so query-side analysis can never
+drift between the two implementations.
+"""
+
+from __future__ import annotations
+
+from opensearch_jvector_ray.analyze import query_term_weights
+from opensearch_jvector_ray.config import EngineConfig
+
+
+def sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def stoplist_sql(cfg: EngineConfig) -> str:
+    return "[" + ", ".join(sql_quote(w) for w in cfg.stopwords) + "]"
+
+
+def toks_cte(cfg: EngineConfig, table: str = "documents",
+             id_col: str = "doc_id", text_col: str = "text") -> str:
+    """Shared CTE prefix: tok0 (all non-empty tokens) and toks (post-stop)."""
+    pat = sql_quote(cfg.split_pattern)
+    stop = stoplist_sql(cfg)
+    return f"""
+tok0 AS (
+  SELECT {id_col}, unnest(regexp_split_to_array(lower({text_col}), {pat})) AS term
+  FROM {table}
+),
+toks AS (
+  SELECT {id_col}, term FROM tok0
+  WHERE term <> '' AND NOT list_contains({stop}, term)
+)"""
+
+
+def norm_text_expr(cfg: EngineConfig, text_col: str = "text") -> str:
+    """Normalized text: space-joined non-empty lowered tokens (stop kept)."""
+    pat = sql_quote(cfg.split_pattern)
+    return (f"array_to_string(list_filter(regexp_split_to_array("
+            f"lower({text_col}), {pat}), x -> x <> ''), ' ')")
+
+
+def bm25_sql(queries: dict[str, str], k: int, cfg: EngineConfig,
+             table: str = "documents", id_col: str = "doc_id",
+             text_col: str = "text", filter_sql: str | None = None,
+             min_score: float | None = None) -> str:
+    """Top-k (or radial, if min_score given) BM25 oracle.
+
+    Output columns: query_id, rank, {id_col}, score — identical names to
+    the engine output (driver compares by sorted column names).
+    Filter semantics match the engine's pre-filter: candidates restricted,
+    global df/N/avgdl UNALTERED.
+    """
+    qt_rows = []
+    for qid, text in sorted(queries.items()):
+        for term, w in query_term_weights(text, cfg):
+            qt_rows.append(f"({sql_quote(qid)}, {sql_quote(term)}, {float(w)!r})")
+    qt_values = ",\n       ".join(qt_rows) if qt_rows else "('__none__', '__none__', 0.0)"
+    flt = f"JOIN {table} __f ON __f.{id_col} = tf.{id_col} AND ({filter_sql})" \
+        if filter_sql else ""
+    limit_clause = f"WHERE rank <= {k}" if min_score is None else \
+        f"WHERE score__raw >= {min_score!r}"
+    return f"""
+WITH {toks_cte(cfg, table, id_col, text_col)},
+dl AS (
+  SELECT {id_col}, count(*)::DOUBLE AS dl FROM toks GROUP BY {id_col}
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl
+),
+qt(query_id, term, w) AS (VALUES {qt_values}),
+df AS (
+  SELECT term, count(DISTINCT {id_col})::DOUBLE AS df FROM toks
+  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY term
+),
+tf AS (
+  SELECT {id_col}, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY {id_col}, term
+),
+scores AS (
+  SELECT qt.query_id, tf.{id_col},
+         sum(qt.w * ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf / (tf.tf + {cfg.k1!r} * (1.0 - {cfg.b!r} + {cfg.b!r} * dl.dl / stats.avgdl)))
+            ) AS score__raw
+  FROM qt
+  JOIN tf ON tf.term = qt.term
+  JOIN df ON df.term = qt.term
+  JOIN dl ON dl.{id_col} = tf.{id_col}
+  CROSS JOIN stats
+  {flt}
+  GROUP BY qt.query_id, tf.{id_col}
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score__raw DESC, {id_col} ASC) AS rank,
+         {id_col}, score__raw
+  FROM scores
+)
+SELECT query_id, rank, {id_col}, round(score__raw, 6) AS score
+FROM ranked {limit_clause}
+ORDER BY query_id, rank
+"""
+
+
+def term_stats_sql(terms: list[str], cfg: EngineConfig,
+                   table: str = "documents", id_col: str = "doc_id",
+                   text_col: str = "text") -> str:
+    tlist = "(" + ", ".join(sql_quote(t) for t in sorted(terms)) + ")"
+    return f"""
+WITH {toks_cte(cfg, table, id_col, text_col)}
+SELECT term,
+       count(DISTINCT {id_col})::BIGINT AS df,
+       count(*)::BIGINT AS cf
+FROM toks WHERE term IN {tlist}
+GROUP BY term ORDER BY term
+"""
+
+
+def collection_stats_sql(cfg: EngineConfig, table: str = "documents",
+                         id_col: str = "doc_id", text_col: str = "text") -> str:
+    return f"""
+WITH {toks_cte(cfg, table, id_col, text_col)},
+dl AS (SELECT {id_col}, count(*) AS dl FROM toks GROUP BY {id_col})
+SELECT (SELECT count(*) FROM {table})::BIGINT AS n_docs,
+       (SELECT count(*) FROM dl)::BIGINT AS n_docs_indexed,
+       (SELECT coalesce(sum(dl), 0) FROM dl)::BIGINT AS total_tokens,
+       round((SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM dl), 6) AS avgdl,
+       (SELECT count(DISTINCT term) FROM toks)::BIGINT AS n_terms
+"""
+
+
+def token_count_sql(cfg: EngineConfig, table: str = "documents",
+                    id_col: str = "doc_id", text_col: str = "text") -> str:
+    return f"""
+WITH {toks_cte(cfg, table, id_col, text_col)},
+dl AS (SELECT {id_col}, count(*) AS n FROM toks GROUP BY {id_col})
+SELECT d.{id_col}, coalesce(dl.n, 0)::BIGINT AS n_tokens
+FROM {table} d LEFT JOIN dl ON dl.{id_col} = d.{id_col}
+ORDER BY d.{id_col}
+"""
+
+
+def fingerprint_sql(cfg: EngineConfig, table: str = "documents",
+                    id_col: str = "doc_id", text_col: str = "text") -> str:
+    return f"""
+SELECT {id_col}, md5({norm_text_expr(cfg, text_col)}) AS fingerprint
+FROM {table} ORDER BY {id_col}
+"""
+
+
+def exact_dedup_sql(cfg: EngineConfig, table: str = "documents",
+                    id_col: str = "doc_id", text_col: str = "text") -> str:
+    return f"""
+SELECT md5({norm_text_expr(cfg, text_col)}) AS text_hash,
+       min({id_col})::BIGINT AS canonical_id,
+       count(*)::BIGINT AS n_dups
+FROM {table} GROUP BY 1 ORDER BY text_hash
+"""
+
+
+def quality_sql(cfg: EngineConfig, table: str = "documents",
+                id_col: str = "doc_id", text_col: str = "text") -> str:
+    pat = sql_quote(cfg.split_pattern)
+    stop = stoplist_sql(cfg)
+    return f"""
+WITH t AS (
+  SELECT {id_col},
+         list_filter(regexp_split_to_array(lower({text_col}), {pat}),
+                     x -> x <> '') AS toks
+  FROM {table}
+), f AS (
+  SELECT {id_col},
+         len(toks)::BIGINT AS total,
+         len(list_filter(toks, x -> list_contains({stop}, x)))::DOUBLE AS nstop,
+         coalesce(list_aggregate(list_transform(toks, x -> strlen(x)), 'sum'), 0)::DOUBLE AS sumlen
+  FROM t
+)
+SELECT {id_col},
+       total AS n_tokens_all,
+       round(nstop / greatest(total, 1), 6) AS stop_ratio,
+       round(sumlen / greatest(total, 1), 6) AS mean_token_len
+FROM f ORDER BY {id_col}
+"""
+
+
+def lang_id_sql(cfg: EngineConfig, threshold: float = 0.1,
+                table: str = "documents", id_col: str = "doc_id",
+                text_col: str = "text") -> str:
+    pat = sql_quote(cfg.split_pattern)
+    stop = stoplist_sql(cfg)
+    return f"""
+WITH t AS (
+  SELECT {id_col},
+         list_filter(regexp_split_to_array(lower({text_col}), {pat}),
+                     x -> x <> '') AS toks
+  FROM {table}
+)
+SELECT {id_col},
+       CASE WHEN round(len(list_filter(toks, x -> list_contains({stop}, x)))::DOUBLE
+                 / greatest(len(toks), 1), 6) >= {threshold!r}
+            THEN 'en' ELSE 'other' END AS pred_lang
+FROM t ORDER BY {id_col}
+"""
+
+
+def grouped_best_sql(query_text: str, cfg: EngineConfig,
+                     group_col: str = "source", table: str = "documents",
+                     id_col: str = "doc_id", text_col: str = "text") -> str:
+    """Best-scoring doc per group for ONE query (the nested/parent
+    diversification analog J3/D4: one hit per parent).  The per-group
+    winner is chosen on the UNROUNDED score with the (score desc, id asc)
+    tie-break — same as the engine."""
+    inner = bm25_sql({"q": query_text}, 10 ** 9, cfg, table=table,
+                     id_col=id_col, text_col=text_col)
+    return f"""
+WITH hits AS ({inner}),
+best AS (
+  SELECT d.{group_col}, h.{id_col}, h.score,
+         row_number() OVER (PARTITION BY d.{group_col} ORDER BY h.rank) AS rn
+  FROM hits h JOIN {table} d USING ({id_col})
+)
+SELECT {group_col}, {id_col}, score FROM best WHERE rn = 1
+ORDER BY {group_col}
+"""
+
+
+def knn_sql(metric: str, query_vec_ids: list[int], k: int,
+            table: str = "embeddings", id_col: str = "vec_id",
+            vec_col: str = "embedding") -> str:
+    """Exact top-k vector search oracle; DOUBLE[] casts force float64 math
+    to match the numpy kernels."""
+    if metric == "cosine":
+        score = (f"round((1.0 + list_cosine_similarity("
+                 f"CAST(e.{vec_col} AS DOUBLE[]), CAST(q.{vec_col} AS DOUBLE[]))) / 2.0, 6)")
+    elif metric == "l2":
+        score = (f"round(1.0 / (1.0 + power(list_distance("
+                 f"CAST(e.{vec_col} AS DOUBLE[]), CAST(q.{vec_col} AS DOUBLE[])), 2)), 6)")
+    else:
+        raise ValueError(metric)
+    qids = ", ".join(str(int(v)) for v in query_vec_ids)
+    return f"""
+WITH q AS (SELECT {id_col} AS qvid, {vec_col} FROM {table}
+           WHERE {id_col} IN ({qids})),
+scored AS (
+  SELECT 'vq' || q.qvid AS query_id, e.{id_col}, {score} AS score
+  FROM {table} e CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, {id_col} ASC) AS rank,
+         {id_col}, score
+  FROM scored
+)
+SELECT query_id, rank, {id_col}, score FROM ranked
+WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+def events_lww_sql() -> str:
+    return """
+SELECT user_id, ts, event_type, value FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) = 1
+ORDER BY user_id
+"""
+
+
+def pricing_summary_sql(cutoff: str = "1998-09-02") -> str:
+    """TPC-H-Q1-flavoured aggregate; money summed as exact integer cents
+    (both sides) so the oracle compare is fp-noise-free."""
+    return f"""
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(round(l_quantity) AS BIGINT))::BIGINT AS sum_qty,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0,
+             4) AS sum_disc_price,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{cutoff} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""

@@ -1,0 +1,220 @@
+"""Similarity search over an embedding column (list<float>).
+
+Brute-force top-k is the exact baseline (per-batch numpy matmul against a
+broadcast query matrix -> bounded per-batch partial top-k -> driver merge
+— the same partial+final reduce shape as BM25's A1); IVF is the scale
+path (k-means coarse quantizer trained on a sample — the analog of the
+reference's PQ training-then-encode lifecycle T2,
+`JVectorWriter.java:381-414`: sample -> train once -> broadcast -> encode
+in parallel).
+
+Distance kernels + score translations come from functions/scoring.py
+(the KNNScoringUtil surface, §2.8).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from opensearch_jvector_ray.functions import scoring
+
+METRICS: dict[str, tuple[Callable, Callable, bool]] = {
+    # name -> (raw kernel, lucene score translation, higher_is_better_raw)
+    "l2": (scoring.l2_squared, scoring.l2_score, False),
+    "cosine": (scoring.cosine_similarity, scoring.cosine_score, True),
+    "innerproduct": (scoring.inner_product, scoring.inner_product_score, True),
+    "l1": (scoring.l1_norm, scoring.l1_score, False),
+    "linf": (scoring.linf_norm, scoring.linf_score, False),
+}
+
+
+def _vecs_from_batch(batch: pa.Table, vec_col: str) -> np.ndarray:
+    col = batch[vec_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(col)
+    return flat.reshape(n, -1)
+
+
+def brute_force_topk(ds: "rd.Dataset", queries: dict[str, np.ndarray],
+                     k: int, metric: str = "cosine", id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> pd.DataFrame:
+    """Exact top-k for each query vector.
+
+    Returns (query_id, rank, id, score) with Lucene-style score ordering
+    (higher = closer) and (score desc, id asc) tie-break.  The query
+    matrix is put in the object store ONCE and read per task — never
+    re-shipped per batch.
+    """
+    kernel, translate, higher = METRICS[metric]
+    qids = sorted(queries)
+    qmat_ref = ray.put(np.stack([queries[q] for q in qids]).astype(np.float64))
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        qmat = ray.get(qmat_ref)
+        vecs = _vecs_from_batch(batch, vec_col)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        out_q, out_id, out_s = [], [], []
+        for qi, qid in enumerate(qids):
+            raw = kernel(vecs, qmat[qi])
+            score = translate(raw)
+            n = min(k, len(ids))
+            part = np.argpartition(-score, n - 1)[:n] if len(ids) > n else np.arange(len(ids))
+            order = np.lexsort((ids[part], -score[part]))
+            sel = part[order]
+            out_q.extend([qid] * len(sel))
+            out_id.append(ids[sel])
+            out_s.append(score[sel])
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.string()),
+            id_col: pa.array(np.concatenate(out_id)),
+            "score": pa.array(np.concatenate(out_s), type=pa.float64()),
+        })
+
+    parts = ds.map_batches(score_batch, batch_format="pyarrow",
+                           batch_size=8192).to_pandas()
+    if parts.empty:
+        return pd.DataFrame(columns=["query_id", "rank", id_col, "score"])
+    out = (parts.sort_values(["query_id", "score", id_col],
+                             ascending=[True, False, True], kind="mergesort")
+                .groupby("query_id", sort=False).head(k))
+    out["rank"] = out.groupby("query_id", sort=False).cumcount() + 1
+    return out[["query_id", "rank", id_col, "score"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) approximate search — the scale path
+# ---------------------------------------------------------------------------
+
+def train_centroids(ds: "rd.Dataset", n_centroids: int, vec_col: str,
+                    sample_frac: float = 0.25, iters: int = 10,
+                    seed: int = 42) -> np.ndarray:
+    """k-means on a sample (sample stage -> single training task ->
+    broadcastable centroid matrix; T2 lifecycle)."""
+    sample = ds.random_sample(min(1.0, sample_frac), seed=seed)
+    mats = [
+        _vecs_from_batch(b, vec_col)
+        for b in sample.iter_batches(batch_format="pyarrow", batch_size=65536)]
+    X = np.concatenate(mats) if mats else np.zeros((0, 2))
+    rng = np.random.default_rng(seed)
+    n_centroids = min(n_centroids, max(1, len(X)))
+    cent = X[rng.choice(len(X), size=n_centroids, replace=False)].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(n_centroids):
+            m = assign == c
+            if m.any():
+                cent[c] = X[m].mean(axis=0)
+    return cent
+
+
+def ivf_topk(ds: "rd.Dataset", queries: dict[str, np.ndarray], k: int,
+             *, n_centroids: int = 16, n_probe: int = 4,
+             metric: str = "cosine", id_col: str = "vec_id",
+             vec_col: str = "embedding", centroids: np.ndarray | None = None,
+             ) -> pd.DataFrame:
+    """Approximate top-k: probe the n_probe nearest coarse cells per query
+    and brute-force only within them.  At scale the assignment is a build-
+    time partitioning (write one parquet dir per cell — pruned reads);
+    here the cell filter runs inline to keep the pipeline one-pass."""
+    if centroids is None:
+        centroids = train_centroids(ds, n_centroids, vec_col)
+    cent_ref = ray.put(centroids)
+    qids = sorted(queries)
+    qmat = np.stack([queries[q] for q in qids]).astype(np.float64)
+    # cells to probe per query (by centroid L2)
+    qd = ((qmat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    probe = np.argsort(qd, axis=1)[:, :n_probe]
+    probe_sets = {qid: set(probe[i].tolist()) for i, qid in enumerate(qids)}
+    kernel, translate, _ = METRICS[metric]
+    qmat_ref = ray.put(qmat)
+    probe_ref = ray.put(probe_sets)
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        qm = ray.get(qmat_ref)
+        probes = ray.get(probe_ref)
+        vecs = _vecs_from_batch(batch, vec_col)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        d = ((vecs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        cell = d.argmin(axis=1)
+        out_q, out_id, out_s = [], [], []
+        for qi, qid in enumerate(qids):
+            mask = np.isin(cell, list(probes[qid]))
+            if not mask.any():
+                continue
+            sub = vecs[mask]
+            sub_ids = ids[mask]
+            score = translate(kernel(sub, qm[qi]))
+            n = min(k, len(sub_ids))
+            part = np.argpartition(-score, n - 1)[:n] if len(sub_ids) > n else np.arange(len(sub_ids))
+            out_q.extend([qid] * len(part))
+            out_id.append(sub_ids[part])
+            out_s.append(score[part])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], type=pa.string()),
+                             id_col: pa.array([], type=batch[id_col].type),
+                             "score": pa.array([], type=pa.float64())})
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.string()),
+            id_col: pa.array(np.concatenate(out_id)),
+            "score": pa.array(np.concatenate(out_s), type=pa.float64()),
+        })
+
+    parts = ds.map_batches(score_batch, batch_format="pyarrow",
+                           batch_size=8192).to_pandas()
+    if parts.empty:
+        return pd.DataFrame(columns=["query_id", "rank", id_col, "score"])
+    out = (parts.sort_values(["query_id", "score", id_col],
+                             ascending=[True, False, True], kind="mergesort")
+                .groupby("query_id", sort=False).head(k))
+    out["rank"] = out.groupby("query_id", sort=False).cumcount() + 1
+    return out[["query_id", "rank", id_col, "score"]].reset_index(drop=True)
+
+
+def embedding_near_dups(ds: "rd.Dataset", threshold: float = 0.995,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        n_planes: int = 8, seed: int = 7) -> pd.DataFrame:
+    """Embedding-cosine near-dup pairs via random-hyperplane LSH buckets:
+    sign-signature groupby, exact cosine verify within buckets."""
+    def bucket(batch: pa.Table) -> pa.Table:
+        vecs = _vecs_from_batch(batch, vec_col)
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((vecs.shape[1], n_planes))
+        signs = (vecs @ planes) > 0
+        sig = (signs.astype(np.uint64)
+               << np.arange(n_planes, dtype=np.uint64)[None, :]).sum(axis=1)
+        return pa.table({"bucket": pa.array(sig.astype(np.int64)),
+                         id_col: batch[id_col], vec_col: batch[vec_col]})
+
+    def verify(group: pa.Table) -> pa.Table:
+        vecs = _vecs_from_batch(group, vec_col)
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms[:, None]
+        sim = unit @ unit.T
+        iu = np.triu_indices(len(ids), k=1)
+        hit = sim[iu] >= threshold
+        a, b = ids[iu[0][hit]], ids[iu[1][hit]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table({"id_a": pa.array(lo), "id_b": pa.array(hi),
+                         "cosine": pa.array(np.round(sim[iu][hit], 6))})
+
+    out = (ds.map_batches(bucket, batch_format="pyarrow")
+             .groupby("bucket")
+             .map_groups(verify, batch_format="pyarrow")
+             .to_pandas())
+    if out.empty:
+        return pd.DataFrame(columns=["id_a", "id_b", "cosine"])
+    return (out.drop_duplicates(subset=["id_a", "id_b"])
+               .sort_values(["id_a", "id_b"]).reset_index(drop=True))

@@ -1,0 +1,118 @@
+"""Text-analysis pipelines over a document table: token counts, quality
+scoring, language-ID heuristic, document fingerprinting.
+
+These are first-class training-data-pipeline operators (not in the
+reference, which delegates text analysis to Lucene — the analyzer
+semantics here are shared with `analyze.py` so index and corpus-analytics
+agree).  Every function is a vectorized ``map_batches`` stage over Arrow
+batches; each has an exactly-matching DuckDB SQL oracle built by
+``__ray_entry__.oracle_sql`` (same RE2 split pattern, same stop list,
+same rounding).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from opensearch_jvector_ray.analyze import tokenize
+from opensearch_jvector_ray.config import EngineConfig
+
+
+def _token_lists(texts: pa.Array, cfg: EngineConfig) -> pa.Array:
+    """list<string> of non-empty lowered tokens per doc (stopwords KEPT —
+    callers decide; order preserved)."""
+    lowered = pc.utf8_lower(texts) if cfg.lowercase else texts
+    lists = pc.split_pattern_regex(lowered, pattern=cfg.split_pattern)
+    # drop empty strings but keep list structure
+    flat = pc.list_flatten(lists)
+    parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat = flat.filter(pa.array(keep))
+    parents = parents[keep]
+    counts = np.bincount(parents, minlength=len(texts))
+    offsets = np.zeros(len(texts) + 1, dtype=np.int32)
+    np.cumsum(counts, out=offsets[1:])
+    return pa.ListArray.from_arrays(pa.array(offsets), flat)
+
+
+def token_count_stage(cfg: EngineConfig, id_col: str, text_col: str):
+    """(id, n_tokens) — tokens AFTER stopword removal (matches doc_len)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        stream = tokenize(batch[text_col], cfg)
+        return pa.table({
+            id_col: batch[id_col],
+            "n_tokens": pa.array(stream.doc_len.astype(np.int64)),
+        })
+    return fn
+
+
+def quality_stage(cfg: EngineConfig, id_col: str, text_col: str):
+    """Quality signals: total tokens, stopword ratio, mean token length,
+    all round(6) for oracle parity."""
+    stop_set = pa.array(list(cfg.stopwords), type=pa.string())
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lists = _token_lists(batch[text_col].combine_chunks()
+                             if isinstance(batch[text_col], pa.ChunkedArray)
+                             else batch[text_col], cfg)
+        flat = pc.list_flatten(lists)
+        parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        total = np.bincount(parents, minlength=n).astype(np.float64)
+        is_stop = pc.is_in(flat, value_set=stop_set).to_numpy(zero_copy_only=False)
+        n_stop = np.bincount(parents[is_stop], minlength=n).astype(np.float64)
+        tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.float64)
+        sum_len = np.zeros(n, dtype=np.float64)
+        np.add.at(sum_len, parents, tok_len)
+        safe = np.maximum(total, 1.0)
+        return pa.table({
+            id_col: batch[id_col],
+            "n_tokens_all": pa.array(total.astype(np.int64)),
+            "stop_ratio": pa.array(np.round(n_stop / safe, 6)),
+            "mean_token_len": pa.array(np.round(sum_len / safe, 6)),
+        })
+    return fn
+
+
+def lang_id_stage(cfg: EngineConfig, id_col: str, text_col: str,
+                  threshold: float = 0.1):
+    """N-gram-free language-ID heuristic: English iff stopword ratio >=
+    threshold (deterministic; the SQL oracle uses the same CASE)."""
+    quality = quality_stage(cfg, id_col, text_col)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        q = quality(batch)
+        pred = pc.if_else(pc.greater_equal(q["stop_ratio"], pa.scalar(threshold)),
+                          pa.scalar("en"), pa.scalar("other"))
+        return pa.table({id_col: q[id_col], "pred_lang": pred})
+    return fn
+
+
+def fingerprint_stage(cfg: EngineConfig, id_col: str, text_col: str):
+    """Document fingerprint: md5 hex of the space-joined normalized token
+    sequence (stopwords kept — a canonical-form fingerprint, whitespace/
+    punctuation-insensitive).  DuckDB oracle:
+    md5(array_to_string(list_filter(regexp_split_to_array(lower(text), P),
+    x -> x <> ''), ' '))."""
+    def fn(batch: pa.Table) -> pa.Table:
+        lists = _token_lists(batch[text_col].combine_chunks()
+                             if isinstance(batch[text_col], pa.ChunkedArray)
+                             else batch[text_col], cfg)
+        joined = pc.binary_join(lists, " ")
+        fps = [hashlib.md5(s.encode()).hexdigest() if s is not None else None
+               for s in joined.to_pylist()]
+        return pa.table({id_col: batch[id_col],
+                         "fingerprint": pa.array(fps, type=pa.string())})
+    return fn
+
+
+def normalized_text(batch_texts: pa.Array, cfg: EngineConfig) -> pa.Array:
+    lists = _token_lists(batch_texts, cfg)
+    return pc.binary_join(lists, " ")

@@ -174,10 +174,12 @@ def build_postings_table(doc_ord: np.ndarray, terms: pa.Array,
         return POSTINGS_SCHEMA.empty_table()
 
     # --- dictionary-encode terms, remap codes to sorted-term order -------
+    import pyarrow.compute as pc
+    if isinstance(terms, pa.ChunkedArray):
+        terms = terms.combine_chunks()
     dict_arr = terms.dictionary_encode() if not isinstance(terms, pa.DictionaryArray) else terms
     vocab = dict_arr.dictionary
     codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    import pyarrow.compute as pc
     sort_idx = pc.sort_indices(vocab).to_numpy(zero_copy_only=False).astype(np.int64)
     rank = np.empty_like(sort_idx)
     rank[sort_idx] = np.arange(len(sort_idx))
@@ -197,7 +199,35 @@ def build_postings_table(doc_ord: np.ndarray, terms: pa.Array,
     p_code = t_code[posting_start]
     p_ord = t_ord[posting_start]
     p_tf = np.diff(np.append(posting_start, n_tokens))          # tokens per posting
-    n_postings = len(posting_start)
+    return encode_posting_arrays(vocab_sorted, p_code, p_ord, p_tf, t_pos,
+                                 doc_len, cfg)
+
+
+def encode_posting_arrays(vocab_sorted: pa.Array, p_code: np.ndarray,
+                          p_ord: np.ndarray, p_tf: np.ndarray,
+                          t_pos: np.ndarray | None, doc_len: np.ndarray,
+                          cfg: EngineConfig) -> pa.Table:
+    """Encode posting-level arrays (sorted by (term code, ord)) into the
+    compressed postings table.  Shared by the flush path (from a token
+    stream) and the merge path (from decoded+remapped input postings —
+    the analog of `JVectorWriter.merge` re-serializing the merged view,
+    `JVectorWriter.java:850-969`).
+
+    ``t_pos`` is token-level positions aligned with postings expanded by
+    tf (ascending within each posting), or None when positions are off.
+    """
+    n_postings = len(p_code)
+    if n_postings == 0:
+        return POSTINGS_SCHEMA.empty_table()
+    p_code = np.asarray(p_code, dtype=np.int64)
+    p_ord = np.asarray(p_ord, dtype=np.int64)
+    p_tf = np.asarray(p_tf, dtype=np.int64)
+    n_tokens = int(p_tf.sum())
+    # token-level posting-start mask (for position delta resets)
+    posting_start = np.zeros(n_postings, dtype=np.int64)
+    np.cumsum(p_tf[:-1], out=posting_start[1:])
+    is_new_posting = np.zeros(n_tokens, dtype=bool)
+    is_new_posting[posting_start] = True
 
     # --- per-term posting ranges ----------------------------------------
     is_new_term = np.ones(n_postings, dtype=bool)
@@ -220,7 +250,7 @@ def build_postings_table(doc_ord: np.ndarray, terms: pa.Array,
     tfs_enc = _large_binary_from_slices(tf_bytes, tf_cum[np.append(term_start, n_postings)])
 
     # --- positions: delta within each posting, sliced per term -----------
-    if cfg.with_positions:
+    if cfg.with_positions and t_pos is not None:
         pos_gaps = groupwise_delta(t_pos, is_new_posting)
         pos_bytes, pos_lens = varint_encode(pos_gaps)
         pos_cum = np.zeros(n_tokens + 1, dtype=np.int64)

@@ -1,0 +1,77 @@
+"""Table sources: testdata parquet readers + cached index builds.
+
+Index builds for the driver's ``queries()`` calls are cached under
+/tmp keyed by (sf_dir basename, config fingerprint) — the per-partition
+manifests make a half-built cache self-healing (build resumes), and a
+config change changes the key.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from opensearch_jvector_ray.config import EngineConfig
+from opensearch_jvector_ray.stages.build import IndexSpec, build_index
+from opensearch_jvector_ray.state.manifest import STATS_NAME
+from opensearch_jvector_ray.synth import n_convs_for_sf, sf_from_dir, synth_parquet
+
+CACHE_ROOT = "/tmp/ojr_cache"
+
+DOCUMENTS_CFG = EngineConfig(num_segments=4)
+DOCUMENTS_SPEC = IndexSpec(text_col="text", key_cols=("doc_id",),
+                           store_cols=("lang", "source", "n_chars"),
+                           ts_col="")
+TRANSCRIPTS_CFG = EngineConfig(num_segments=8)
+TRANSCRIPTS_SPEC = IndexSpec()
+
+
+def read_table(sf_dir: str, name: str, columns: list[str] | None = None) -> "rd.Dataset":
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"),
+                           columns=columns)
+
+
+def _index_complete(index_dir: str) -> bool:
+    return os.path.exists(os.path.join(index_dir, STATS_NAME))
+
+
+def documents_index(sf_dir: str) -> str:
+    """Build (once) the BM25 index over the documents table."""
+    key = os.path.basename(os.path.normpath(sf_dir))
+    idx = os.path.join(CACHE_ROOT, f"docidx_{key}_{DOCUMENTS_CFG.fingerprint()}")
+    if not _index_complete(idx):
+        ds = read_table(sf_dir, "documents",
+                        columns=["doc_id", "text", "lang", "source", "n_chars"])
+        build_index(ds, idx, DOCUMENTS_CFG, DOCUMENTS_SPEC,
+                    lineage={"source": os.path.join(sf_dir, "documents.parquet")})
+    return idx
+
+
+def transcripts_path(sf_dir: str) -> str:
+    """Deterministic synthetic transcripts parquet scaled to the sf."""
+    return synth_parquet(n_convs_for_sf(sf_from_dir(sf_dir)))
+
+
+def transcripts_index(sf_dir: str) -> str:
+    key = os.path.basename(os.path.normpath(sf_dir))
+    idx = os.path.join(CACHE_ROOT, f"tridx_{key}_{TRANSCRIPTS_CFG.fingerprint()}")
+    if not _index_complete(idx):
+        path = transcripts_path(sf_dir)
+        ds = rd.read_parquet(path)
+        build_index(ds, idx, TRANSCRIPTS_CFG, TRANSCRIPTS_SPEC,
+                    lineage={"source": path})
+    return idx
+
+
+def query_embeddings(sf_dir: str, vec_ids: list[int]) -> dict[str, np.ndarray]:
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        filters=[("vec_id", "in", vec_ids)])
+    out = {}
+    for i in range(tbl.num_rows):
+        vid = tbl["vec_id"][i].as_py()
+        out[f"vq{vid}"] = np.array(tbl["embedding"][i].as_py(), dtype=np.float64)
+    return out

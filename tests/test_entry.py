@@ -1,0 +1,63 @@
+"""Replicates the driver's correctness gate: every ``queries()`` entry
+with an ``oracle_sql()`` entry must match DuckDB on row count, sorted
+column names, and (order-insensitive) values."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __ray_entry__ as E
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return c
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    if hasattr(df, "to_pandas"):
+        df = df.to_pandas()
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+ORACLE_NAMES = sorted(E.oracle_sql().keys())
+ROWS_ONLY = sorted(set(E.queries().keys()) - set(ORACLE_NAMES))
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_query_matches_oracle(name, con):
+    got = _norm(E.queries()[name](SF))
+    exp = _norm(con.sql(E.oracle_sql()[name]).df())
+    assert list(got.columns) == list(exp.columns), (got.columns, exp.columns)
+    assert len(got) == len(exp)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(name):
+    out = E.queries()[name](SF)
+    out = out.to_pandas() if hasattr(out, "to_pandas") else out
+    assert out is not None and len(out.columns) > 0
+    # deterministic across invocations (retries must be safe)
+    out2 = E.queries()[name](SF)
+    out2 = out2.to_pandas() if hasattr(out2, "to_pandas") else out2
+    pd.testing.assert_frame_equal(out.reset_index(drop=True),
+                                  out2.reset_index(drop=True))
+
+
+def test_entry_smoke():
+    res = E.entry()
+    df = res.to_pandas() if hasattr(res, "to_pandas") else res
+    assert len(df) > 0
+    assert list(df.columns) == ["query_id", "rank", "conv_id", "turn_idx", "score"]
+    # the planted phrase must hit its planted positions (golden answer)
+    t1 = df[df.query_id == "t1"]
+    assert len(t1) > 0 and all(t1.turn_idx == 1)

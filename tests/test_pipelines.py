@@ -1,0 +1,122 @@
+"""Oracles for the approximate / non-SQL pipelines: MinHash-LSH, SimHash,
+embedding near-dups (vs brute force), IVF recall (vs exact — the analog
+of the reference's recall gate, `RecallTestsIT.java:101-180`), and the
+multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from opensearch_jvector_ray.config import EngineConfig
+from opensearch_jvector_ray.pipelines import dedup as dd
+from opensearch_jvector_ray.pipelines import knn as knn_pl
+from opensearch_jvector_ray.pipelines import multimodal as mm
+
+CFG = EngineConfig()
+
+
+def _doc_table(texts: list[str]) -> pa.Table:
+    return pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                     "text": pa.array(texts, type=pa.string())})
+
+
+BASE = ("the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill every single morning")
+
+
+def test_minhash_finds_planted_near_dups():
+    texts = [BASE,
+             BASE.replace("warm", "cold"),               # near-dup of 0
+             BASE + " and then some extra words appear", # near-dup of 0
+             "completely different content about database engines and queries",
+             "another unrelated sentence mentioning vectors and indexes only"]
+    out = dd.minhash_lsh_dedup(rd.from_arrow(_doc_table(texts)), CFG,
+                               "doc_id", "text", threshold=0.4)
+    clusters = dict(zip(out.doc_id, out.cluster_id))
+    assert clusters.get(1) == 0 and clusters.get(2) == 0
+    assert 3 not in clusters and 4 not in clusters
+
+
+def test_minhash_exact_duplicates_always_cluster():
+    texts = ["alpha beta gamma delta epsilon zeta eta theta"] * 3 + ["iota kappa"]
+    out = dd.minhash_lsh_dedup(rd.from_arrow(_doc_table(texts)), CFG,
+                               "doc_id", "text", threshold=0.9)
+    clusters = dict(zip(out.doc_id, out.cluster_id))
+    assert clusters == {0: 0, 1: 0, 2: 0}
+
+
+def test_simhash_identical_docs_zero_hamming():
+    texts = ["one two three four five six", "one two three four five six",
+             "seven eight nine ten eleven twelve"]
+    out = dd.simhash_near_dups(rd.from_arrow(_doc_table(texts)), CFG,
+                               "doc_id", "text", max_hamming=0)
+    assert [(r.id_a, r.id_b) for r in out.itertuples()] == [(0, 1)]
+
+
+def _vec_table(vecs: np.ndarray) -> pa.Table:
+    return pa.table({
+        "vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              type=pa.list_(pa.float32())),
+    })
+
+
+def test_embedding_near_dups_vs_bruteforce():
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((60, 16)).astype(np.float32)
+    vecs[10] = vecs[3] + 1e-4          # planted near-dup
+    vecs[41] = vecs[20] * 1.5          # same direction = cosine 1
+    out = knn_pl.embedding_near_dups(rd.from_arrow(_vec_table(vecs)),
+                                     threshold=0.999)
+    got = {(r.id_a, r.id_b) for r in out.itertuples()}
+    # brute-force oracle
+    unit = vecs.astype(np.float64)
+    unit /= np.linalg.norm(unit, axis=1, keepdims=True)
+    sim = unit @ unit.T
+    iu = np.triu_indices(len(vecs), k=1)
+    exp = {(int(a), int(b)) for a, b in zip(*[x[sim[iu] >= 0.999] for x in iu])}
+    # LSH may miss pairs split across all buckets, but planted pairs with
+    # cosine ~1 share every bucket: they MUST be found
+    assert (3, 10) in got and (20, 41) in got
+    assert got <= exp                    # no false positives (exact verify)
+
+
+def test_ivf_recall_vs_bruteforce():
+    rng = np.random.default_rng(9)
+    centers = rng.standard_normal((8, 32)) * 4
+    vecs = np.concatenate([
+        c + rng.standard_normal((50, 32)) for c in centers]).astype(np.float32)
+    ds = rd.from_arrow(_vec_table(vecs))
+    queries = {f"q{i}": vecs[i * 37].astype(np.float64) for i in range(5)}
+    exact = knn_pl.brute_force_topk(ds, queries, 10, metric="cosine")
+    approx = knn_pl.ivf_topk(ds, queries, 10, n_centroids=8, n_probe=3,
+                             metric="cosine")
+    recalls = []
+    for q in queries:
+        e = set(exact[exact.query_id == q].vec_id)
+        a = set(approx[approx.query_id == q].vec_id)
+        recalls.append(len(e & a) / len(e))
+    # recall gate: within 0.25 of perfect (reference RecallTestsIT floor)
+    assert np.mean(recalls) >= 0.75, recalls
+
+
+def test_multimodal_decode_stub():
+    tbl = mm.synth_media_table(50)
+    out = mm.decode_features(rd.from_arrow(tbl), fake=True,
+                             feature_dim=8).to_pandas()
+    assert len(out) == 50
+    assert all(len(f) == 8 for f in out.feature)
+    # deterministic across runs
+    out2 = mm.decode_features(rd.from_arrow(tbl), fake=True,
+                              feature_dim=8).to_pandas()
+    f1 = np.stack(out.sort_values("media_id").feature.to_numpy())
+    f2 = np.stack(out2.sort_values("media_id").feature.to_numpy())
+    np.testing.assert_array_equal(f1, f2)
+
+
+def test_multimodal_real_decode_raises():
+    stub = mm.DecodeStub(fake=False)
+    with pytest.raises(NotImplementedError):
+        stub._decode_one(b"payload", "image")
