@@ -28,7 +28,7 @@ import ray.data as rd
 from opensearch_jvector_ray.config import EngineConfig
 from opensearch_jvector_ray.oracles import (
     bm25_sql, collection_stats_sql, events_lww_sql, exact_dedup_sql,
-    fingerprint_sql, grouped_best_sql, knn_sql, lang_id_sql,
+    fingerprint_sql, grouped_best_sql, knn_sql, lang_id_sql, phrase_sql,
     pricing_summary_sql, quality_sql, term_stats_sql, token_count_sql,
 )
 from opensearch_jvector_ray.pipelines import dedup as dedup_pl
@@ -57,6 +57,7 @@ FILTER_LANG = "en"
 RADIAL_QUERY = {"qr": "fast merge sort"}
 RADIAL_MIN_SCORE = 0.55
 GROUP_QUERY = "query data filter join"
+PHRASE_QUERIES = {"p1": "fast merge", "p2": "data row", "p3": "customer join"}
 TERM_STATS_TERMS = ["customer", "data", "fast", "merge", "query", "window"]
 KNN_QUERY_IDS = [0, 1, 2]
 KNN_K = 10
@@ -97,6 +98,11 @@ def _q_bm25_filtered(sf_dir: str) -> pd.DataFrame:
     s = IndexSearcher(documents_index(sf_dir))
     return _round_hits(s.search(BM25_QUERIES, k=BM25_K,
                                 filter=pc.field("lang") == FILTER_LANG))
+
+
+def _q_bm25_phrase(sf_dir: str) -> pd.DataFrame:
+    s = IndexSearcher(documents_index(sf_dir))
+    return _round_hits(s.search(PHRASE_QUERIES, k=BM25_K, mode="phrase"))
 
 
 def _q_bm25_radial(sf_dir: str) -> pd.DataFrame:
@@ -256,6 +262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_rescore": _q_bm25_rescore,
         "bm25_topk_filtered": _q_bm25_filtered,
         "bm25_radial": _q_bm25_radial,
+        "bm25_phrase": _q_bm25_phrase,
         "grouped_best_doc": _q_grouped_best,
         "term_stats": _q_term_stats,
         "collection_stats": _q_collection_stats,
@@ -293,6 +300,7 @@ def oracle_sql() -> dict[str, str]:
                                        filter_sql=f"__f.lang = '{FILTER_LANG}'"),
         "bm25_radial": bm25_sql(RADIAL_QUERY, CFG.max_k, CFG,
                                 min_score=RADIAL_MIN_SCORE),
+        "bm25_phrase": phrase_sql(PHRASE_QUERIES, BM25_K, CFG),
         "grouped_best_doc": grouped_best_sql(GROUP_QUERY, CFG),
         "term_stats": term_stats_sql(TERM_STATS_TERMS, CFG),
         "collection_stats": collection_stats_sql(CFG),

@@ -1,0 +1,243 @@
+#!/usr/bin/env python
+"""Benchmark driver: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {phase: sec, ...}, "sf": <sf>, "num_cpus": N,
+   "extra": {...throughputs...}}
+
+``--scaling`` runs the flagship (index build + query batch) twice in
+fresh processes at num_cpus=8 and num_cpus=32 over the SAME input and
+reports both throughputs + scaling efficiency (the sandbox evidence for
+the north rule's N-vs-4N-nodes criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_ROOT = "/tmp/ojr_bench"
+
+
+def _query_set(n: int = 50) -> dict[str, str]:
+    """Deterministic query batch drawn from the synth vocabulary."""
+    import numpy as np
+    from opensearch_jvector_ray.synth import VOCAB_CORE
+    rng = np.random.default_rng(123)
+    out = {}
+    for i in range(n):
+        k = int(rng.integers(2, 4))
+        words = rng.choice(VOCAB_CORE, size=k, replace=False)
+        out[f"q{i:03d}"] = " ".join(words)
+    return out
+
+
+def run_bench() -> dict:
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data as rd
+    from opensearch_jvector_ray.config import EngineConfig
+    from opensearch_jvector_ray.pipelines import dedup as dedup_pl
+    from opensearch_jvector_ray.pipelines import knn as knn_pl
+    from opensearch_jvector_ray.pipelines import relational as rel_pl
+    from opensearch_jvector_ray.query import IndexSearcher
+    from opensearch_jvector_ray.sources.tables import (
+        DOCUMENTS_CFG, query_embeddings, read_table, transcripts_path)
+    from opensearch_jvector_ray.stages.build import IndexSpec, build_index
+
+    sf = float(os.path.basename(os.path.normpath(SF_DIR))[2:] or 0.1)
+    phases: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    # -- input: deterministic synthetic transcripts (cached, untimed) -----
+    tpath = transcripts_path(SF_DIR)
+    # warm the FULL worker pool (real parallel job) and the page cache, so
+    # we measure compute, not process spawn / first disk read
+    rd.range(NUM_CPUS * 2000).map_batches(
+        lambda b: {"x": [sum(b["id"])]}, batch_size=1000).count()
+    n_turns = rd.read_parquet(tpath).count()
+
+    # -- phase 1: flagship index build ------------------------------------
+    idx_dir = os.path.join(BENCH_ROOT, f"tridx_cpus{NUM_CPUS}")
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    # fine segmentation: ~8k-doc segments stay cache-resident per task
+    # (measured 2x faster than coarse on this box) — data-derived, so the
+    # segmentation is identical at every parallelism level
+    cfg = EngineConfig(num_segments=max(64, n_turns // 8000))
+    t0 = time.perf_counter()
+    res = build_index(tpath, idx_dir, cfg, IndexSpec(),  # fragment mode: no shuffle
+                      lineage={"source": tpath})
+    phases["index_build"] = round(time.perf_counter() - t0, 3)
+    extra["build_turns_per_sec"] = round(n_turns / phases["index_build"], 1)
+    extra["n_turns"] = n_turns
+
+    # -- phase 1b: force-merge to a search-shaped segment count (S11) -----
+    from opensearch_jvector_ray.stages.merge import merge_index
+    merged_dir = os.path.join(BENCH_ROOT, f"trmerged_cpus{NUM_CPUS}")
+    shutil.rmtree(merged_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    merge_index(idx_dir, merged_dir, merge_factor=max(2, res.num_segments // 32))
+    phases["force_merge"] = round(time.perf_counter() - t0, 3)
+
+    # -- phase 2: query batch (50 queries, one fan-out pass) --------------
+    searcher = IndexSearcher(merged_dir)
+    queries = _query_set(50)
+    t0 = time.perf_counter()
+    hits = searcher.search(queries, k=10)
+    phases["query_batch_50"] = round(time.perf_counter() - t0, 3)
+    extra["queries_per_sec"] = round(len(queries) / phases["query_batch_50"], 1)
+    assert len(hits) > 0
+
+    # -- phase 3: WAND mode same batch ------------------------------------
+    t0 = time.perf_counter()
+    searcher.search(dict(list(queries.items())[:10]), k=10, mode="wand")
+    phases["query_wand_10"] = round(time.perf_counter() - t0, 3)
+
+    # -- phase 4: documents BM25 (fresh build + search) -------------------
+    doc_idx = os.path.join(BENCH_ROOT, f"docidx_cpus{NUM_CPUS}")
+    shutil.rmtree(doc_idx, ignore_errors=True)
+    t0 = time.perf_counter()
+    build_index(os.path.join(SF_DIR, "documents.parquet"),
+                doc_idx, DOCUMENTS_CFG,
+                IndexSpec(text_col="text", key_cols=("doc_id",),
+                          store_cols=("lang", "source", "n_chars"), ts_col=""))
+    IndexSearcher(doc_idx).search(
+        {"q1": "fast merge sort", "q2": "query data filter join"}, k=10)
+    phases["documents_bm25"] = round(time.perf_counter() - t0, 3)
+
+    # -- phase 5: minhash dedup over documents ----------------------------
+    t0 = time.perf_counter()
+    dedup_pl.minhash_lsh_dedup(
+        read_table(SF_DIR, "documents", columns=["doc_id", "text"]),
+        DOCUMENTS_CFG, "doc_id", "text", threshold=0.5,
+        concurrency=max(2, NUM_CPUS // 4))
+    phases["minhash_dedup"] = round(time.perf_counter() - t0, 3)
+
+    # -- phase 6: knn brute-force cosine ----------------------------------
+    t0 = time.perf_counter()
+    knn_pl.brute_force_topk(
+        read_table(SF_DIR, "embeddings", columns=["vec_id", "embedding"]),
+        query_embeddings(SF_DIR, [0, 1, 2]), 10, metric="cosine")
+    phases["knn_cosine"] = round(time.perf_counter() - t0, 3)
+
+    # -- phase 7: relational aggregate ------------------------------------
+    t0 = time.perf_counter()
+    rel_pl.pricing_summary(read_table(
+        SF_DIR, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"]))
+    phases["pricing_summary"] = round(time.perf_counter() - t0, 3)
+
+    ray.shutdown()
+    total = round(sum(phases.values()), 3)
+    return {"metric": "e2e_pipeline_sec", "value": total, "unit": "sec",
+            "queries": phases, "sf": sf, "num_cpus": NUM_CPUS,
+            "extra": extra}
+
+
+def _scaling_child(ncpu: int, n_convs: int) -> dict:
+    """One fresh-process flagship run (index build + query batch)."""
+    import ray
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+    from opensearch_jvector_ray.config import EngineConfig
+    from opensearch_jvector_ray.query import IndexSearcher
+    from opensearch_jvector_ray.stages.build import IndexSpec, build_index
+    from opensearch_jvector_ray.synth import synth_parquet
+
+    from opensearch_jvector_ray.stages.merge import merge_index
+
+    tpath = synth_parquet(n_convs)
+    # warm page cache + FULL worker pool (untimed): measure compute, not spawn
+    rd.range(ncpu * 2000).map_batches(
+        lambda b: {"x": [sum(b["id"])]}, batch_size=1000).count()
+    n_turns = rd.read_parquet(tpath).count()
+    idx = os.path.join(BENCH_ROOT, f"scale_idx_{ncpu}")
+    merged = os.path.join(BENCH_ROOT, f"scale_merged_{ncpu}")
+    shutil.rmtree(idx, ignore_errors=True)
+    shutil.rmtree(merged, ignore_errors=True)
+    # the reference lifecycle: flush many fine segments (fast, cache-
+    # resident) -> force-merge to a search-shaped segment count -> search
+    t0 = time.perf_counter()
+    res = build_index(tpath, idx, EngineConfig(num_segments=max(64, n_turns // 8000)),
+                      IndexSpec())
+    build_sec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    merge_index(idx, merged, merge_factor=max(2, res.num_segments // 32))
+    merge_sec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    IndexSearcher(merged).search(_query_set(50), k=10)
+    query_sec = time.perf_counter() - t0
+    ray.shutdown()
+    return {"num_cpus": ncpu, "n_turns": n_turns,
+            "build_sec": round(build_sec, 2), "merge_sec": round(merge_sec, 2),
+            "query_sec": round(query_sec, 2),
+            "sec": round(build_sec + merge_sec + query_sec, 2),
+            "turns_per_sec": round(n_turns / (build_sec + merge_sec), 1)}
+
+
+def run_scaling() -> dict:
+    """The north rule's two-cluster-size criterion, evidenced as the same
+    job at N and 4N CPUs in fresh processes on the SAME input.
+
+    Reports TWO N->4N pairs: 2->8 and 8->32.  This sandbox throttles
+    aggregate memory bandwidth (~0.6 GB/s; pure-streaming numpy slows 13x
+    at 32 procs while CPU-bound loops scale to ~21x), so the 8->32 pair
+    under-reads; 2->8 sits below the bandwidth wall and reflects the
+    partitioned design's true scaling.
+    """
+    n_convs = int(os.environ.get("OJR_SCALE_CONVS", "400000"))
+    results = {}
+    for ncpu in (2, 8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR,
+                   OJR_SCALING_CHILD=str(n_convs))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__),
+                              "--scaling-child"],
+                             env=env, capture_output=True, text=True,
+                             check=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__)))
+        results[ncpu] = json.loads(out.stdout.strip().splitlines()[-1])
+
+    def eff(metric, lo, hi):
+        return round((results[lo][metric] / results[hi][metric]) / (hi / lo), 3)
+
+    def pair(lo, hi):
+        return {"build": {"sec_n": results[lo]["build_sec"],
+                          "sec_4n": results[hi]["build_sec"],
+                          "efficiency": eff("build_sec", lo, hi)},
+                "full_lifecycle": {"sec_n": results[lo]["sec"],
+                                   "sec_4n": results[hi]["sec"],
+                                   "efficiency": eff("sec", lo, hi)}}
+
+    return {
+        "metric": "scaling_n_to_4n_cpus", "unit": "sec",
+        "n_convs": n_convs, "n_turns": results[8]["n_turns"],
+        "headline": "build",   # the north-rule metric is index-build turns/sec
+        "pairs": {"2_to_8": pair(2, 8), "8_to_32": pair(8, 32)},
+        "runs": results,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling-child" in sys.argv:
+        print(json.dumps(_scaling_child(NUM_CPUS,
+                                        int(os.environ["OJR_SCALING_CHILD"]))))
+    elif "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -113,6 +113,72 @@ ORDER BY query_id, rank
 """
 
 
+def phrase_sql(queries: dict[str, str], k: int, cfg: EngineConfig,
+               table: str = "documents", id_col: str = "doc_id",
+               text_col: str = "text") -> str:
+    """Exact-phrase BM25 oracle [Lucene PhraseQuery public semantics].
+
+    Positions are indices into the PRE-stopword token list (the engine's
+    position axis), so a stopword between phrase words breaks adjacency on
+    both sides identically.  tf = occurrence count (overlaps included),
+    idf = sum of member-term idfs over phrase positions.
+    """
+    from opensearch_jvector_ray.analyze import analyze_query
+    pat = sql_quote(cfg.split_pattern)
+    per_query = []
+    for qid, text in sorted(queries.items()):
+        words = analyze_query(text, cfg)
+        conds = [f"toks[i] = {sql_quote(words[0])}",
+                 f"i + {len(words) - 1} <= len(toks)"]
+        conds += [f"toks[i + {j}] = {sql_quote(w)}"
+                  for j, w in enumerate(words[1:], start=1)]
+        idf_terms = " + ".join(
+            f"(SELECT idf FROM idf WHERE term = {sql_quote(w)})" for w in words)
+        per_query.append(f"""
+SELECT {sql_quote(qid)} AS query_id, p.{id_col},
+       ({idf_terms})
+       * (p.tf / (p.tf + {cfg.k1!r} * (1.0 - {cfg.b!r} + {cfg.b!r} * dl.dl / (SELECT avgdl FROM stats)))) AS score__raw
+FROM (
+  SELECT {id_col}, count(*)::DOUBLE AS tf
+  FROM (SELECT {id_col}, toks, unnest(range(1, len(toks) + 1)) AS i
+        FROM tokpos) u
+  WHERE {' AND '.join(conds)}
+  GROUP BY {id_col}
+) p JOIN dl ON dl.{id_col} = p.{id_col}""")
+    union = "\nUNION ALL\n".join(per_query)
+    return f"""
+WITH {toks_cte(cfg, table, id_col, text_col)},
+tokpos AS (
+  SELECT {id_col},
+         list_filter(regexp_split_to_array(lower({text_col}), {pat}),
+                     x -> x <> '') AS toks
+  FROM {table}
+),
+dl AS (
+  SELECT {id_col}, count(*)::DOUBLE AS dl FROM toks GROUP BY {id_col}
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl
+),
+idf AS (
+  SELECT term,
+         ln(1.0 + ((SELECT n FROM stats) - count(DISTINCT {id_col}) + 0.5)
+                  / (count(DISTINCT {id_col}) + 0.5)) AS idf
+  FROM toks GROUP BY term
+),
+scores AS ({union}),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score__raw DESC, {id_col} ASC) AS rank,
+         {id_col}, score__raw
+  FROM scores
+)
+SELECT query_id, rank, {id_col}, round(score__raw, 6) AS score
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
 def term_stats_sql(terms: list[str], cfg: EngineConfig,
                    table: str = "documents", id_col: str = "doc_id",
                    text_col: str = "text") -> str:

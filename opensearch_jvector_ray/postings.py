@@ -77,6 +77,10 @@ def varint_encode(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     a = np.asarray(values, dtype=np.uint64)
     if len(a) == 0:
         return np.zeros(0, dtype=np.uint8), np.zeros(0, dtype=np.int64)
+    if a.max() < 128:
+        # single-byte fast path: the common case for tf values, position
+        # deltas and dense-posting ord gaps — one pass instead of ~10
+        return a.astype(np.uint8), np.ones(len(a), dtype=np.int64)
     lens = varint_lengths(a)
     total = int(lens.sum())
     out = np.zeros(total, dtype=np.uint8)
@@ -98,6 +102,8 @@ def varint_decode(buf: np.ndarray | bytes) -> np.ndarray:
     b = np.frombuffer(buf, dtype=np.uint8) if isinstance(buf, (bytes, memoryview)) else np.asarray(buf, dtype=np.uint8)
     if len(b) == 0:
         return np.zeros(0, dtype=np.uint64)
+    if b.max() < 128:
+        return b.astype(np.uint64)   # all single-byte values: one pass
     is_end = (b & 0x80) == 0
     n_values = int(is_end.sum())
     value_idx = np.zeros(len(b), dtype=np.int64)
@@ -144,6 +150,22 @@ def _large_binary_from_slices(data: np.ndarray, offsets: np.ndarray) -> pa.Array
         pa.large_binary(), len(offsets) - 1,
         [None, pa.py_buffer(offsets.astype(np.int64).tobytes()),
          pa.py_buffer(data.tobytes())])
+
+
+def binary_column_bytes(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Zero-copy concatenation of a (large_)binary column's bytes.
+
+    Row payloads are contiguous in the values buffer in row order, so the
+    whole column's bytes are one slice — no per-row Python bytes objects.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(col) == 0:
+        return np.zeros(0, dtype=np.uint8)
+    off_dtype = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+    offsets = np.frombuffer(col.buffers()[1], dtype=off_dtype)
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    return data[offsets[col.offset]:offsets[col.offset + len(col)]]
 
 
 def _list_array(offsets: np.ndarray, values: np.ndarray, typ) -> pa.Array:

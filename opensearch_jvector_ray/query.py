@@ -136,8 +136,10 @@ class _TermCursor:
 
 def _wand_topk(cursors: list[_TermCursor], k: int, dl: np.ndarray,
                mask: np.ndarray | None, k1: float, b: float,
-               avgdl: float) -> tuple[np.ndarray, np.ndarray]:
+               avgdl: float, counters: dict | None = None) -> tuple[np.ndarray, np.ndarray]:
     """Block-max WAND: exact top-k with (score desc, ord asc) tie-break."""
+    n_eval = 0
+    n_pruned = 0
     heap: list[tuple[float, int]] = []   # (score, -ord) min-heap of keepers
     live = [c for c in cursors if not c.exhausted]
     while live:
@@ -158,7 +160,10 @@ def _wand_topk(cursors: list[_TermCursor], k: int, dl: np.ndarray,
             allowed = mask is None or bool(mask[pivot_doc])
             if allowed:
                 blk_ub_sum = sum(c.block_ub() for c in contrib)
-                if blk_ub_sum >= theta:   # block-max check before exact scoring
+                if blk_ub_sum < theta:
+                    n_pruned += 1
+                else:                     # block-max check passed: exact score
+                    n_eval += 1
                     d = float(dl[pivot_doc])
                     score = 0.0
                     for c in contrib:
@@ -174,6 +179,9 @@ def _wand_topk(cursors: list[_TermCursor], k: int, dl: np.ndarray,
         else:
             live[0].seek_geq(pivot_doc)
         live = [c for c in live if not c.exhausted]
+    if counters is not None:
+        counters["wand_docs_evaluated"] = counters.get("wand_docs_evaluated", 0) + n_eval
+        counters["wand_blocks_pruned"] = counters.get("wand_blocks_pruned", 0) + n_pruned
     out = sorted(heap, key=lambda e: (-e[0], -e[1]))
     ords = np.array([-e[1] for e in out], dtype=np.int64)
     scores = np.array([e[0] for e in out], dtype=np.float64)
@@ -216,10 +224,15 @@ class SegmentSearcher:
         self.k1 = payload["k1"]
         self.b = payload["b"]
         self.avgdl = payload["avgdl"]
+        self._counters: dict[str, int] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from opensearch_jvector_ray.state import metrics
+        self._counters: dict[str, int] = {}
         tables = [self._search_segment(d) for d in batch["seg_dir"].to_pylist()]
         tables = [t for t in tables if t is not None]
+        metrics.incr({metrics.SEGMENTS_SEARCHED: batch.num_rows,
+                      **self._counters})
         if not tables:
             return self._empty()
         return pa.concat_tables(tables)
@@ -272,11 +285,16 @@ class SegmentSearcher:
             terms = [(t, w, idf) for (t, w, idf) in q["terms"] if t in rows]
             if not terms:
                 continue
-            if mode == "wand":
+            if mode == "phrase":
+                if len(terms) != len(q["terms"]):
+                    continue          # a phrase term missing => no match
+                ords, scores = self._phrase(q["terms"], rows, dl, mask, q["k"])
+            elif mode == "wand":
                 cursors = [_TermCursor(rows[t], w * idf, self.k1, self.b, self.avgdl)
                            for (t, w, idf) in terms]
                 ords, scores = _wand_topk(cursors, q["k"], dl, mask,
-                                          self.k1, self.b, self.avgdl)
+                                          self.k1, self.b, self.avgdl,
+                                          counters=self._counters)
             else:
                 ords, scores = self._taat(terms, decoded, dl, mask, q["k"],
                                           rescore=p["rescore_oversample"] if mode == "rescore" else None)
@@ -292,6 +310,55 @@ class SegmentSearcher:
             cols[kc] = docs[kc].take(take_idx)
         cols["score"] = pa.array(np.concatenate(out_sc), type=pa.float64())
         return pa.table(cols)
+
+    def _phrase(self, terms, rows, dl, mask, k):
+        """Exact phrase scoring [Lucene PhraseQuery public semantics]:
+        tf = number of phrase occurrences (adjacent positions, counted on
+        the PRE-stopword position axis — StopFilter position gaps break
+        phrases, as in Lucene), idf = sum of the member terms' idfs,
+        score = idf_sum * tf/(tf + k1*(1-b+b*dl/avgdl)).
+
+        Positions are the reason the index stores pos_enc; this is the
+        M6/S12 positions path exercised end-to-end.
+        """
+        from opensearch_jvector_ray.postings import decode_positions
+        idf_sum = float(sum(w * idf for (_, w, idf) in terms))
+        # decode (ords, tfs, positions) per phrase term
+        per_term = []
+        for (t, _, _) in terms:
+            r = rows[t]
+            ords, tfs = decode_posting_list(r["ords_enc"], r["tfs_enc"])
+            flat, offs = decode_positions(r["pos_enc"], tfs)
+            per_term.append((ords, flat, offs))
+        # docs containing ALL terms
+        common = per_term[0][0]
+        for ords, _, _ in per_term[1:]:
+            common = common[np.isin(common, ords, assume_unique=True)]
+        if mask is not None and len(common):
+            common = common[mask[common]]
+        cand_ords, cand_tf = [], []
+        for o in common.tolist():
+            # positions of term j at doc o, shifted by -j; intersection =
+            # phrase start positions (overlaps counted, like Lucene)
+            occ = None
+            for j, (ords, flat, offs) in enumerate(per_term):
+                i = int(np.searchsorted(ords, o))
+                pos = flat[offs[i]:offs[i + 1]] - j
+                occ = pos if occ is None else np.intersect1d(occ, pos,
+                                                             assume_unique=True)
+                if len(occ) == 0:
+                    break
+            if occ is not None and len(occ):
+                cand_ords.append(o)
+                cand_tf.append(len(occ))
+        if not cand_ords:
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+        cand_ords = np.array(cand_ords, dtype=np.int64)
+        tf = np.array(cand_tf, dtype=np.float64)
+        sc = idf_sum * bm25_tf_part(tf, dl[cand_ords], self.avgdl, self.k1, self.b)
+        scores = np.zeros(len(dl), dtype=np.float64)
+        scores[cand_ords] = sc
+        return _topk_from_scores(scores, cand_ords, k)
 
     def _taat(self, terms, decoded, dl, mask, k, rescore=None):
         """Term-at-a-time vectorized scoring; optional two-pass rescore."""
@@ -334,6 +401,8 @@ class SegmentSearcher:
         if mask is not None:
             scores[~mask] = 0.0
         candidates = np.flatnonzero(scores > 0.0)
+        self._counters["candidates_scored"] = (
+            self._counters.get("candidates_scored", 0) + len(candidates))
         return _topk_from_scores(scores, candidates, k)
 
 
@@ -365,11 +434,17 @@ class IndexSearcher:
                             columns=["term", "df"])
         return dict(zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()))
 
-    def _prepare(self, queries: dict[str, str], k: int) -> tuple[list[dict], list[str]]:
+    def _prepare(self, queries: dict[str, str], k: int,
+                 phrase: bool = False) -> tuple[list[dict], list[str]]:
+        from opensearch_jvector_ray.analyze import analyze_query
         all_terms: set[str] = set()
         parsed = []
         for qid, text in queries.items():
-            tw = query_term_weights(text, self.cfg)
+            if phrase:
+                # ordered term sequence, duplicates kept (position matters)
+                tw = [(t, 1) for t in analyze_query(text, self.cfg)]
+            else:
+                tw = query_term_weights(text, self.cfg)
             parsed.append((qid, tw))
             all_terms.update(t for t, _ in tw)
         df_map = self.lookup_df(sorted(all_terms))
@@ -383,17 +458,26 @@ class IndexSearcher:
                 if df > 0:
                     terms.append((t, float(w), float(bm25_idf(n, df))))
                     union.add(t)
+            if phrase and len(terms) != len(tw):
+                terms = []     # phrase with an unknown term matches nothing
             prepared.append({"query_id": qid, "terms": terms, "k": k})
         return prepared, sorted(union)
 
     def search(self, queries: dict[str, str], k: int | None = None,
                mode: str = "taat", filter: Any = None,
                rescore_oversample: float | None = None,
-               concurrency: int | None = None) -> pd.DataFrame:
+               concurrency: int | None = None,
+               collapse_col: str | None = None) -> pd.DataFrame:
         """Top-k BM25 for a batch of queries.
 
         Returns a DataFrame (query_id, rank, *key_cols, score) with global
         (score desc, key asc) ordering and rank starting at 1.
+
+        ``collapse_col`` keeps at most one hit per value of that key column
+        (the parent-diversification analog J3/D4: one best child per
+        parent, `ExpandNestedDocsQuery` / `GroupedNestedDocIdSetIterator`);
+        like Lucene's collapse it over-fetches k*over_query_factor
+        candidates per segment before collapsing.
         """
         cfg = self.cfg
         k = k or cfg.default_k
@@ -401,7 +485,15 @@ class IndexSearcher:
             raise ValueError(f"k={k} exceeds max_k={cfg.max_k}")   # K_MAX guard
         if rescore_oversample is not None:
             mode = "rescore"
-        prepared, union = self._prepare(queries, k)
+        k_fetch = k
+        if collapse_col is not None:
+            if collapse_col not in self.key_cols:
+                raise ValueError(f"collapse_col must be a key column "
+                                 f"({self.key_cols}), got {collapse_col!r}")
+            k_fetch = min(cfg.max_k, k * cfg.over_query_factor)
+        from opensearch_jvector_ray.state import metrics
+        metrics.incr({metrics.QUERY_REQUESTS: len(queries)})
+        prepared, union = self._prepare(queries, k_fetch, phrase=(mode == "phrase"))
         key_types = []
         if self.seg_dirs:
             docs_schema = pq.read_schema(os.path.join(self.seg_dirs[0], DOCS_NAME))
@@ -416,10 +508,14 @@ class IndexSearcher:
         }
         if not union or not self.seg_dirs:
             return self._finalize(pd.DataFrame(
-                columns=["query_id", *self.key_cols, "score"]), k)
+                columns=["query_id", *self.key_cols, "score"]), k, collapse_col)
 
         seg_ds = rd.from_items([{"seg_dir": d} for d in self.seg_dirs])
-        n_actors = concurrency or min(len(self.seg_dirs), 16)
+        if concurrency is None:
+            import ray
+            ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+            concurrency = max(1, min(len(self.seg_dirs), ncpu))
+        n_actors = concurrency
         hits = seg_ds.map_batches(
             SegmentSearcher, fn_constructor_kwargs={"payload": payload},
             batch_format="pyarrow", batch_size=1,
@@ -427,16 +523,22 @@ class IndexSearcher:
         frames = [b.to_pandas() for b in hits.iter_batches(batch_format="pyarrow")]
         df = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
             columns=["query_id", *self.key_cols, "score"])
-        return self._finalize(df, k)
+        return self._finalize(df, k, collapse_col)
 
-    def _finalize(self, df: pd.DataFrame, k: int) -> pd.DataFrame:
-        """Global reduce: merge per-segment k-lists (A1)."""
+    def _finalize(self, df: pd.DataFrame, k: int,
+                  collapse_col: str | None = None) -> pd.DataFrame:
+        """Global reduce: merge per-segment k-lists (A1); optional collapse
+        to one hit per parent group (D4)."""
         if df.empty:
             df["rank"] = pd.Series(dtype="int64")
             return df[["query_id", "rank", *self.key_cols, "score"]]
         df = df.sort_values(
             ["query_id", "score", *self.key_cols],
             ascending=[True, False] + [True] * len(self.key_cols),
-            kind="mergesort").groupby("query_id", sort=False).head(k)
+            kind="mergesort")
+        if collapse_col is not None:
+            df = df.drop_duplicates(subset=["query_id", collapse_col],
+                                    keep="first")
+        df = df.groupby("query_id", sort=False).head(k)
         df["rank"] = df.groupby("query_id", sort=False).cumcount() + 1
         return df[["query_id", "rank", *self.key_cols, "score"]].reset_index(drop=True)

@@ -44,10 +44,9 @@ def documents_index(sf_dir: str) -> str:
     key = os.path.basename(os.path.normpath(sf_dir))
     idx = os.path.join(CACHE_ROOT, f"docidx_{key}_{DOCUMENTS_CFG.fingerprint()}")
     if not _index_complete(idx):
-        ds = read_table(sf_dir, "documents",
-                        columns=["doc_id", "text", "lang", "source", "n_chars"])
-        build_index(ds, idx, DOCUMENTS_CFG, DOCUMENTS_SPEC,
-                    lineage={"source": os.path.join(sf_dir, "documents.parquet")})
+        src = os.path.join(sf_dir, "documents.parquet")
+        build_index(src, idx, DOCUMENTS_CFG, DOCUMENTS_SPEC,
+                    lineage={"source": src})
     return idx
 
 
@@ -61,8 +60,7 @@ def transcripts_index(sf_dir: str) -> str:
     idx = os.path.join(CACHE_ROOT, f"tridx_{key}_{TRANSCRIPTS_CFG.fingerprint()}")
     if not _index_complete(idx):
         path = transcripts_path(sf_dir)
-        ds = rd.read_parquet(path)
-        build_index(ds, idx, TRANSCRIPTS_CFG, TRANSCRIPTS_SPEC,
+        build_index(path, idx, TRANSCRIPTS_CFG, TRANSCRIPTS_SPEC,
                     lineage={"source": path})
     return idx
 

@@ -233,6 +233,25 @@ def aggregate_dictionary(index_dir: str, cfg: EngineConfig,
     if not paths:
         os.makedirs(dict_dir, exist_ok=True)
         return
+
+    # Adaptive: below ~4M partial rows the whole aggregation fits in one
+    # process — do it with a single Arrow group_by instead of paying five
+    # Ray stage latencies.  (The distributed path below is the 100 TB
+    # shape; this is the same partial-rows input either way.)
+    total_partials = sum(pq.read_metadata(p).num_rows for p in paths)
+    if total_partials <= 4_000_000:
+        tbl = pa.concat_tables([
+            pq.read_table(p, columns=["term", "df", "cf"]) for p in paths])
+        agg = tbl.group_by("term").aggregate([("df", "sum"), ("cf", "sum")])
+        agg = agg.rename_columns(["term", "df", "cf"])
+        agg = agg.take(pc.sort_indices(agg["term"]))
+        agg = agg.set_column(1, "df", pc.cast(agg["df"], pa.int64()))
+        agg = agg.set_column(2, "cf", pc.cast(agg["cf"], pa.int64()))
+        os.makedirs(dict_dir, exist_ok=True)
+        pq.write_table(agg, os.path.join(dict_dir, "dictionary.parquet"),
+                       row_group_size=DICT_ROW_GROUP)
+        return
+
     stats_ds = rd.read_parquet(paths, columns=["term", "df", "cf"])
 
     def add_salt(batch: pa.Table) -> pa.Table:
@@ -251,6 +270,71 @@ def aggregate_dictionary(index_dir: str, cfg: EngineConfig,
     final.write_parquet(dict_dir)
 
 
+# ---------------------------------------------------------------------------
+# file-partitioned build (zero-shuffle fast path)
+# ---------------------------------------------------------------------------
+
+def plan_file_segments(paths: list[str], target_docs: int) -> list[dict]:
+    """Partition input parquet files into segments at row-group granularity.
+
+    This is the Lucene-faithful segment model: a segment is "whatever this
+    writer consumed", NOT a key-co-located partition (the reference's
+    docIDs are arrival-scoped per segment; co-location is only needed for
+    last-write-wins / delete folding, which route to the shuffle build).
+    Zero data moves: each segment build task reads its own byte range
+    straight from storage — at 100 TB this is the only shape that avoids
+    an all-to-all of the full corpus.
+    """
+    plan: list[dict] = []
+    seg = 0
+    for f in sorted(paths):
+        md = pq.read_metadata(f)
+        rg_lo, rows = 0, 0
+        for rg in range(md.num_row_groups):
+            rows += md.row_group(rg).num_rows
+            if rows >= target_docs:
+                plan.append({"seg": seg, "file": f, "rg_lo": rg_lo, "rg_hi": rg + 1})
+                seg += 1
+                rg_lo, rows = rg + 1, 0
+        if rows > 0 or (md.num_row_groups == 0 and md.num_rows > 0):
+            plan.append({"seg": seg, "file": f, "rg_lo": rg_lo,
+                         "rg_hi": md.num_row_groups})
+            seg += 1
+    return plan
+
+
+def make_fragment_builder(index_dir: str, cfg: EngineConfig, spec: IndexSpec,
+                          lineage: dict[str, Any] | None,
+                          deletes: Sequence[tuple] | None = None):
+    """map_batches fn: each row of the plan table -> one built segment."""
+    builder = make_segment_builder(index_dir, cfg, spec, lineage, deletes)
+
+    def build_from_fragment(batch: pa.Table) -> pa.Table:
+        out = []
+        for seg, f, rg_lo, rg_hi in zip(batch["seg"].to_pylist(),
+                                        batch["file"].to_pylist(),
+                                        batch["rg_lo"].to_pylist(),
+                                        batch["rg_hi"].to_pylist()):
+            pf = pq.ParquetFile(f)
+            tbl = pf.read_row_groups(list(range(rg_lo, rg_hi)),
+                                     columns=spec.all_cols())
+            tbl = tbl.append_column(SEG_COL, pa.array(
+                np.full(tbl.num_rows, seg, dtype=np.int32)))
+            out.append(builder(tbl))
+        return pa.concat_tables(out)
+
+    return build_from_fragment
+
+
+def resolve_parquet_paths(source: str | list[str]) -> list[str]:
+    import glob as globmod
+    if isinstance(source, str):
+        if os.path.isdir(source):
+            return sorted(globmod.glob(os.path.join(source, "*.parquet")))
+        return [source]
+    return sorted(source)
+
+
 @dataclass
 class BuildResult:
     index_dir: str
@@ -264,11 +348,22 @@ class BuildResult:
     stats: dict[str, Any] = field(default_factory=dict)
 
 
-def build_index(ds: "rd.Dataset", index_dir: str, cfg: EngineConfig,
-                spec: IndexSpec | None = None,
+def build_index(source: "rd.Dataset | str | list[str]", index_dir: str,
+                cfg: EngineConfig, spec: IndexSpec | None = None,
                 lineage: dict[str, Any] | None = None,
-                deletes: Sequence[tuple] | None = None) -> BuildResult:
-    """Build (or resume) the inverted index for ``ds`` into ``index_dir``."""
+                deletes: Sequence[tuple] | None = None,
+                mode: str = "auto") -> BuildResult:
+    """Build (or resume) the inverted index into ``index_dir``.
+
+    ``source`` is either a Dataset or parquet path(s).  Two physical plans:
+
+    - **fragments** (default for paths, no LWW): zero-shuffle — segments
+      are row-group ranges of the input files, each built by an
+      independent task that reads its own byte range.  The 100 TB shape.
+    - **shuffle** (Dataset input, or ``last_write_wins``/key co-location
+      required): hash(conv_id) -> groupby -> per-group build.  LWW and
+      nested/parent operators need all rows of a key in one segment.
+    """
     spec = spec or IndexSpec()
     t0 = time.perf_counter()
     os.makedirs(index_dir, exist_ok=True)
@@ -279,22 +374,42 @@ def build_index(ds: "rd.Dataset", index_dir: str, cfg: EngineConfig,
         "num_segments": cfg.num_segments,
     })
 
+    is_paths = not hasattr(source, "map_batches")
+    if mode == "auto":
+        mode = "fragments" if (is_paths and not cfg.last_write_wins) else "shuffle"
     done = frozenset(completed_segments(index_dir).keys())
-    ds = ds.select_columns(spec.all_cols())   # prune at the read
-
     n_skipped = len(done)
-    if len(done) < cfg.num_segments:
-        shuffled = (ds
-                    .map_batches(_assign_segments, batch_format="pyarrow",
-                                 fn_kwargs={"spec": spec,
-                                            "num_segments": cfg.num_segments,
-                                            "done": done})
-                    .groupby(SEG_COL)
-                    .map_groups(make_segment_builder(index_dir, cfg, spec,
-                                                     lineage, deletes),
-                                batch_format="pyarrow"))
-        # consume: per-segment one-row summaries (tiny)
-        shuffled.take_all()
+
+    if mode == "fragments":
+        if not is_paths:
+            raise ValueError("fragments mode needs parquet path(s), not a Dataset")
+        paths = resolve_parquet_paths(source)
+        total_rows = sum(pq.read_metadata(p).num_rows for p in paths)
+        target = min(cfg.target_docs_per_segment,
+                     max(1000, -(-total_rows // cfg.num_segments)))
+        plan = [it for it in plan_file_segments(paths, target)
+                if it["seg"] not in done]
+        if plan:
+            (rd.from_items(plan)
+               .map_batches(make_fragment_builder(index_dir, cfg, spec,
+                                                  lineage, deletes),
+                            batch_format="pyarrow", batch_size=1)
+               .take_all())
+    else:
+        ds = source if not is_paths else rd.read_parquet(resolve_parquet_paths(source))
+        ds = ds.select_columns(spec.all_cols())   # prune at the read
+        if len(done) < cfg.num_segments:
+            shuffled = (ds
+                        .map_batches(_assign_segments, batch_format="pyarrow",
+                                     fn_kwargs={"spec": spec,
+                                                "num_segments": cfg.num_segments,
+                                                "done": done})
+                        .groupby(SEG_COL)
+                        .map_groups(make_segment_builder(index_dir, cfg, spec,
+                                                         lineage, deletes),
+                                    batch_format="pyarrow"))
+            # consume: per-segment one-row summaries (tiny)
+            shuffled.take_all()
 
     manifests = completed_segments(index_dir)
     segs = sorted(manifests.keys())

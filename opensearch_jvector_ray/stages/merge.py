@@ -111,63 +111,62 @@ def _merge_group(src_dirs: list[str], dst_dir: str, cfg: EngineConfig,
     timer.stop()
 
     # --- decode + remap all input postings (vectorized per input) --------
+    # Terms are merged at the VOCAB level: per-input vocabularies are tiny
+    # (thousands of rows) vs postings (millions), so string work never
+    # touches a posting — codes are np.repeat'ed by df.  Blobs are read
+    # zero-copy from the Arrow buffers.
     timer.start("merge_postings")
-    all_terms: list[pa.Array] = []
-    p_term_parts, p_ord_parts, p_tf_parts, pos_parts = [], [], [], []
+    from opensearch_jvector_ray.postings import (
+        binary_column_bytes, groupwise_cumsum, varint_decode)
+    inputs = []
     for i, d in enumerate(src_dirs):
         post = pq.read_table(os.path.join(d, POSTINGS_NAME))
-        if post.num_rows == 0:
-            continue
-        df = post["df"].to_numpy(zero_copy_only=False).astype(np.int64)
-        # decode the whole segment's postings as flat arrays
-        ords_blob = b"".join(post["ords_enc"].to_pylist())
-        tfs_blob = b"".join(post["tfs_enc"].to_pylist())
-        term_start = np.zeros(len(df), dtype=np.int64)
-        np.cumsum(df[:-1], out=term_start[1:])
-        from opensearch_jvector_ray.postings import groupwise_cumsum, varint_decode
-        gaps = varint_decode(np.frombuffer(ords_blob, dtype=np.uint8)).astype(np.int64)
-        p_ord_old = groupwise_cumsum(gaps, term_start)
-        p_tf = varint_decode(np.frombuffer(tfs_blob, dtype=np.uint8)).astype(np.int64)
-        p_term_idx = np.repeat(np.arange(len(df)), df)   # local term row idx
-        new_ords = remaps[i][p_ord_old]
-        keep = new_ords >= 0                              # drop deleted docs' postings
-        p_term_parts.append(post["term"].take(pa.array(p_term_idx[keep])))
-        p_ord_parts.append(new_ords[keep])
-        tf_kept = p_tf[keep]
-        p_tf_parts.append(tf_kept)
-        if cfg.with_positions:
-            pos_blob = b"".join(post["pos_enc"].to_pylist())
-            pos_gaps = varint_decode(np.frombuffer(pos_blob, dtype=np.uint8)).astype(np.int64)
-            tok_start = np.zeros(len(p_tf), dtype=np.int64)
-            np.cumsum(p_tf[:-1], out=tok_start[1:])
-            flat_pos = groupwise_cumsum(pos_gaps, tok_start)
-            # gather kept postings' position slices (vectorized)
-            kept_idx = np.flatnonzero(keep)
-            lens = p_tf[kept_idx]
-            total = int(lens.sum())
-            if total:
-                new_start = np.zeros(len(kept_idx), dtype=np.int64)
-                np.cumsum(lens[:-1], out=new_start[1:])
-                src = (np.repeat(tok_start[kept_idx] - new_start, lens)
-                       + np.arange(total, dtype=np.int64))
-                pos_parts.append(flat_pos[src])
-            else:
-                pos_parts.append(np.zeros(0, dtype=np.int64))
+        if post.num_rows:
+            inputs.append((i, post))
+    if inputs:
+        # global sorted vocab from the (small) per-input vocabs
+        vocabs = [post["term"].combine_chunks() for _, post in inputs]
+        all_vocab = pa.concat_arrays(
+            [v.chunk(0) if isinstance(v, pa.ChunkedArray) else v for v in vocabs])
+        uniq = pc.unique(all_vocab)
+        vocab_sorted = uniq.take(pc.sort_indices(uniq))
+        code_of = {t: c for c, t in enumerate(vocab_sorted.to_pylist())}
 
-    if p_term_parts:
-        terms_all = pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
-                                      for a in p_term_parts])
+        p_code_parts, p_ord_parts, p_tf_parts, pos_parts = [], [], [], []
+        for i, post in inputs:
+            df = post["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+            gaps = varint_decode(binary_column_bytes(post["ords_enc"])).astype(np.int64)
+            term_start = np.zeros(len(df), dtype=np.int64)
+            np.cumsum(df[:-1], out=term_start[1:])
+            p_ord_old = groupwise_cumsum(gaps, term_start)
+            p_tf = varint_decode(binary_column_bytes(post["tfs_enc"])).astype(np.int64)
+            row_codes = np.fromiter((code_of[t] for t in post["term"].to_pylist()),
+                                    dtype=np.int64, count=post.num_rows)
+            new_ords = remaps[i][p_ord_old]
+            keep = new_ords >= 0                # drop deleted docs' postings
+            p_code_parts.append(np.repeat(row_codes, df)[keep])
+            p_ord_parts.append(new_ords[keep])
+            p_tf_parts.append(p_tf[keep])
+            if cfg.with_positions:
+                pos_gaps = varint_decode(binary_column_bytes(post["pos_enc"])).astype(np.int64)
+                tok_start = np.zeros(len(p_tf), dtype=np.int64)
+                np.cumsum(p_tf[:-1], out=tok_start[1:])
+                flat_pos = groupwise_cumsum(pos_gaps, tok_start)
+                kept_idx = np.flatnonzero(keep)
+                lens = p_tf[kept_idx]
+                total = int(lens.sum())
+                if total:
+                    new_start = np.zeros(len(kept_idx), dtype=np.int64)
+                    np.cumsum(lens[:-1], out=new_start[1:])
+                    src = (np.repeat(tok_start[kept_idx] - new_start, lens)
+                           + np.arange(total, dtype=np.int64))
+                    pos_parts.append(flat_pos[src])
+                else:
+                    pos_parts.append(np.zeros(0, dtype=np.int64))
+
+        codes = np.concatenate(p_code_parts)
         p_ord_all = np.concatenate(p_ord_parts)
         p_tf_all = np.concatenate(p_tf_parts)
-        # dictionary-encode merged terms -> sorted codes
-        dict_arr = terms_all.dictionary_encode()
-        vocab = dict_arr.dictionary
-        codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        vorder = pc.sort_indices(vocab).to_numpy(zero_copy_only=False).astype(np.int64)
-        rank = np.empty_like(vorder)
-        rank[vorder] = np.arange(len(vorder))
-        codes = rank[codes]
-        vocab_sorted = vocab.take(pa.array(vorder))
         order2 = np.lexsort((p_ord_all, codes))
         if cfg.with_positions and pos_parts:
             pos_all = np.concatenate(pos_parts)
@@ -216,7 +215,7 @@ def _merge_group(src_dirs: list[str], dst_dir: str, cfg: EngineConfig,
 def merge_index(src_index_dir: str, dst_index_dir: str,
                 merge_factor: int = 8,
                 deletes: Sequence[tuple] | None = None,
-                concurrency: int | None = None) -> dict:
+                task_cpus: int | None = None) -> dict:
     """Merge an index's segments into ceil(S/merge_factor) segments in a
     new index directory; recomputes dictionary + global stats (T3 analog:
     dictionary/IDF refresh on merge)."""
@@ -256,8 +255,17 @@ def merge_index(src_index_dir: str, dst_index_dir: str,
 
     t0 = time.perf_counter()
     if items:
+        # merge tasks stream large working sets (every input segment's
+        # postings); reserve multiple CPUs per task so the concurrent-merge
+        # count stays at the memory-bandwidth sweet spot instead of
+        # thrashing (size concurrency x num_cpus to the node, not the
+        # task's thread count)
+        import ray
+        total_cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        task_cpus = task_cpus if task_cpus else max(1, total_cpus // 8)
         rd.from_items(items).map_batches(
-            run_group, batch_format="pyarrow", batch_size=1).take_all()
+            run_group, batch_format="pyarrow", batch_size=1,
+            num_cpus=task_cpus).take_all()
     aggregate_dictionary(dst_index_dir, cfg,
                          sorted(completed_segments(dst_index_dir).keys()))
     out_manifests = completed_segments(dst_index_dir)
