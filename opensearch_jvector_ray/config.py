@@ -59,6 +59,9 @@ class EngineConfig:
     # --- index layout ---
     num_segments: int = 8          # doc partitions (hash(conv_id) % P)
     block_size: int = 128          # postings per block (block-max unit)
+    codec: str = "varint"          # posting-block codec: varint | pfor
+                                   # (pfor = per-block frame-of-reference
+                                   # bit packing, the PForDelta analog)
     target_docs_per_segment: int = 2_000_000  # used by auto-sizing at scale
 
     # --- query defaults ---
@@ -84,6 +87,8 @@ class EngineConfig:
             raise ValueError(f"block_size must be >= 1, got {self.block_size}")
         if self.default_k < 1 or self.default_k > self.max_k:
             raise ValueError(f"default_k must be in [1,{self.max_k}]")
+        if self.codec not in ("varint", "pfor"):
+            raise ValueError(f"codec must be 'varint' or 'pfor', got {self.codec!r}")
         object.__setattr__(self, "stopwords", tuple(self.stopwords))
 
     # -- serialization (manifests record the exact config that built a segment)

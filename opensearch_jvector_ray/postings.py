@@ -120,6 +120,105 @@ def varint_decode(buf: np.ndarray | bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# FOR bit-packing codec ("pfor": the PForDelta analog — per-block frame-of-
+# reference packing at the block's max bit width, 1-byte width header)
+# [Lucene public semantics: 128-posting blocks, bit-packed deltas]
+# ---------------------------------------------------------------------------
+
+def for_pack_block(values: np.ndarray) -> bytes:
+    """Pack one block: [width:1 byte][ceil(n*width/8) packed bytes]."""
+    v = np.asarray(values, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
+        return b"\x00"
+    mx = int(v.max())
+    width = max(1, mx.bit_length())
+    pos = np.arange(n, dtype=np.uint64) * np.uint64(width)
+    wi = (pos >> np.uint64(6)).astype(np.int64)
+    sh = pos & np.uint64(63)
+    words = np.zeros(int(wi[-1]) + 2, dtype=np.uint64)
+    np.bitwise_or.at(words, wi, v << sh)
+    spill = (sh + np.uint64(width)) > np.uint64(64)
+    if spill.any():
+        safe_shift = (np.uint64(64) - sh[spill])
+        np.bitwise_or.at(words, wi[spill] + 1, v[spill] >> safe_shift)
+    n_bytes = (n * width + 7) // 8
+    return bytes([width]) + words.tobytes()[:n_bytes]
+
+
+def for_unpack_block(buf: bytes | np.ndarray, n: int) -> np.ndarray:
+    """Inverse of for_pack_block (n = number of values in the block)."""
+    b = np.frombuffer(buf, dtype=np.uint8) if isinstance(buf, (bytes, memoryview)) else np.asarray(buf, dtype=np.uint8)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    width = int(b[0])
+    payload = b[1:]
+    words = np.zeros((len(payload) + 7) // 8 + 1, dtype=np.uint64)
+    words[: len(payload) // 8] = np.frombuffer(
+        payload[: (len(payload) // 8) * 8].tobytes(), dtype=np.uint64)
+    tail = payload[(len(payload) // 8) * 8:]
+    if len(tail):
+        words[len(payload) // 8] = np.frombuffer(
+            tail.tobytes() + b"\x00" * (8 - len(tail)), dtype=np.uint64)[0]
+    pos = np.arange(n, dtype=np.uint64) * np.uint64(width)
+    wi = (pos >> np.uint64(6)).astype(np.int64)
+    sh = pos & np.uint64(63)
+    lo = words[wi] >> sh
+    spill = (sh + np.uint64(width)) > np.uint64(64)
+    hi = np.zeros(n, dtype=np.uint64)
+    if spill.any():
+        hi[spill] = words[wi[spill] + 1] << (np.uint64(64) - sh[spill])
+    mask = np.uint64((1 << width) - 1) if width < 64 else np.uint64(0xFFFFFFFFFFFFFFFF)
+    return (lo | hi) & mask
+
+
+def pfor_encode_runs(values: np.ndarray, run_starts: np.ndarray,
+                     block_size: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Encode each run (= one term's posting values) as FOR-packed blocks.
+
+    Returns ``(bytes, run_byte_offsets[n_runs+1], block_byte_offsets)``
+    where block offsets are relative to the run start (for block-skip
+    decode), concatenated in block order.
+    """
+    n = len(values)
+    n_runs = len(run_starts)
+    run_ends = np.append(run_starts[1:], n)
+    chunks: list[bytes] = []
+    run_off = np.zeros(n_runs + 1, dtype=np.int64)
+    blk_off: list[int] = []
+    total = 0
+    for r in range(n_runs):
+        rel = 0
+        for s in range(int(run_starts[r]), int(run_ends[r]), block_size):
+            e = min(s + block_size, int(run_ends[r]))
+            blk = for_pack_block(values[s:e])
+            chunks.append(blk)
+            blk_off.append(rel)
+            rel += len(blk)
+            total += len(blk)
+        run_off[r + 1] = total
+    data = np.frombuffer(b"".join(chunks), dtype=np.uint8) if chunks else np.zeros(0, np.uint8)
+    return data, run_off, np.array(blk_off, dtype=np.int64)
+
+
+def pfor_decode_run(blob: bytes | np.ndarray, n_values: int,
+                    block_size: int) -> np.ndarray:
+    """Decode one term's FOR-packed blob back to values."""
+    out = np.zeros(n_values, dtype=np.uint64)
+    b = np.frombuffer(blob, dtype=np.uint8) if isinstance(blob, (bytes, memoryview)) else np.asarray(blob, dtype=np.uint8)
+    off = 0
+    done = 0
+    while done < n_values:
+        cnt = min(block_size, n_values - done)
+        width = int(b[off])
+        nbytes = 1 + (cnt * width + 7) // 8
+        out[done:done + cnt] = for_unpack_block(b[off:off + nbytes], cnt)
+        off += nbytes
+        done += cnt
+    return out
+
+
+# ---------------------------------------------------------------------------
 # group-wise helpers
 # ---------------------------------------------------------------------------
 
@@ -260,16 +359,25 @@ def encode_posting_arrays(vocab_sorted: pa.Array, p_code: np.ndarray,
     term_cf = np.add.reduceat(p_tf, term_start)
 
     # --- encode ord gaps and tfs over the WHOLE segment at once ----------
-    ord_gaps = groupwise_delta(p_ord, is_new_term)
-    ord_bytes, ord_lens = varint_encode(ord_gaps)
-    tf_bytes, tf_lens = varint_encode(p_tf)
-    ord_cum = np.zeros(n_postings + 1, dtype=np.int64)
-    np.cumsum(ord_lens, out=ord_cum[1:])
-    tf_cum = np.zeros(n_postings + 1, dtype=np.int64)
-    np.cumsum(tf_lens, out=tf_cum[1:])
     term_end = np.append(term_start[1:], n_postings)
-    ords_enc = _large_binary_from_slices(ord_bytes, ord_cum[np.append(term_start, n_postings)])
-    tfs_enc = _large_binary_from_slices(tf_bytes, tf_cum[np.append(term_start, n_postings)])
+    ord_gaps = groupwise_delta(p_ord, is_new_term)
+    if cfg.codec == "pfor":
+        ord_bytes_p, ord_run_off, blk_rel_ord = pfor_encode_runs(
+            ord_gaps, term_start, cfg.block_size)
+        tf_bytes_p, tf_run_off, blk_rel_tf = pfor_encode_runs(
+            p_tf, term_start, cfg.block_size)
+        ords_enc = _large_binary_from_slices(ord_bytes_p, ord_run_off)
+        tfs_enc = _large_binary_from_slices(tf_bytes_p, tf_run_off)
+        ord_cum = tf_cum = None
+    else:
+        ord_bytes, ord_lens = varint_encode(ord_gaps)
+        tf_bytes, tf_lens = varint_encode(p_tf)
+        ord_cum = np.zeros(n_postings + 1, dtype=np.int64)
+        np.cumsum(ord_lens, out=ord_cum[1:])
+        tf_cum = np.zeros(n_postings + 1, dtype=np.int64)
+        np.cumsum(tf_lens, out=tf_cum[1:])
+        ords_enc = _large_binary_from_slices(ord_bytes, ord_cum[np.append(term_start, n_postings)])
+        tfs_enc = _large_binary_from_slices(tf_bytes, tf_cum[np.append(term_start, n_postings)])
 
     # --- positions: delta within each posting, sliced per term -----------
     if cfg.with_positions and t_pos is not None:
@@ -299,8 +407,12 @@ def encode_posting_arrays(vocab_sorted: pa.Array, p_code: np.ndarray,
     blk_last_ord = p_ord[blk_end - 1].astype(np.int32)
     blk_max_tf = np.maximum.reduceat(p_tf, blk_start).astype(np.int32)
     blk_min_dl = np.minimum.reduceat(dl_per_posting, blk_start).astype(np.int32)
-    blk_off_ord = ord_cum[blk_start] - ord_cum[term_start][term_of_block]
-    blk_off_tf = tf_cum[blk_start] - tf_cum[term_start][term_of_block]
+    if cfg.codec == "pfor":
+        blk_off_ord = blk_rel_ord
+        blk_off_tf = blk_rel_tf
+    else:
+        blk_off_ord = ord_cum[blk_start] - ord_cum[term_start][term_of_block]
+        blk_off_tf = tf_cum[blk_start] - tf_cum[term_start][term_of_block]
 
     blk_offsets = np.zeros(n_terms + 1, dtype=np.int64)
     np.cumsum(blocks_per_term, out=blk_offsets[1:])
@@ -324,12 +436,40 @@ def encode_posting_arrays(vocab_sorted: pa.Array, p_code: np.ndarray,
 # decode (query side)
 # ---------------------------------------------------------------------------
 
-def decode_posting_list(ords_enc: bytes, tfs_enc: bytes) -> tuple[np.ndarray, np.ndarray]:
+def decode_posting_list(ords_enc: bytes, tfs_enc: bytes,
+                        codec: str = "varint", df: int | None = None,
+                        block_size: int = 128) -> tuple[np.ndarray, np.ndarray]:
     """Decode one term's postings -> (ordinals int64 asc, tfs int64)."""
-    gaps = varint_decode(ords_enc).astype(np.int64)
+    if codec == "pfor":
+        gaps = pfor_decode_run(ords_enc, int(df), block_size).astype(np.int64)
+        tfs = pfor_decode_run(tfs_enc, int(df), block_size).astype(np.int64)
+    else:
+        gaps = varint_decode(ords_enc).astype(np.int64)
+        tfs = varint_decode(tfs_enc).astype(np.int64)
     ords = np.cumsum(gaps)
-    tfs = varint_decode(tfs_enc).astype(np.int64)
     return ords, tfs
+
+
+def decode_segment_postings(post: "pa.Table", codec: str = "varint",
+                            block_size: int = 128) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode a whole postings table -> (term_start, p_ord, p_tf) flat
+    arrays (used by the merge path)."""
+    df = post["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+    term_start = np.zeros(len(df), dtype=np.int64)
+    np.cumsum(df[:-1], out=term_start[1:])
+    if codec == "pfor":
+        gap_parts, tf_parts = [], []
+        for i in range(post.num_rows):
+            n = int(df[i])
+            gap_parts.append(pfor_decode_run(post["ords_enc"][i].as_py(), n, block_size))
+            tf_parts.append(pfor_decode_run(post["tfs_enc"][i].as_py(), n, block_size))
+        gaps = np.concatenate(gap_parts).astype(np.int64) if gap_parts else np.zeros(0, np.int64)
+        p_tf = np.concatenate(tf_parts).astype(np.int64) if tf_parts else np.zeros(0, np.int64)
+    else:
+        gaps = varint_decode(binary_column_bytes(post["ords_enc"])).astype(np.int64)
+        p_tf = varint_decode(binary_column_bytes(post["tfs_enc"])).astype(np.int64)
+    p_ord = groupwise_cumsum(gaps, term_start)
+    return term_start, p_ord, p_tf
 
 
 def decode_positions(pos_enc: bytes, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

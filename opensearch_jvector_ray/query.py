@@ -67,12 +67,16 @@ class _TermCursor:
 
     __slots__ = ("ords_enc", "tfs_enc", "blk_last", "blk_off_o", "blk_off_t",
                  "blk_ub", "ub", "weight_idf", "k1", "b", "avgdl",
-                 "blk_idx", "ords", "tfs", "pos", "exhausted")
+                 "blk_idx", "ords", "tfs", "pos", "exhausted",
+                 "codec", "block_size", "df")
 
     def __init__(self, row: dict, weight_idf: float, k1: float, b: float,
-                 avgdl: float):
+                 avgdl: float, codec: str = "varint", block_size: int = 128):
         self.ords_enc = row["ords_enc"]
         self.tfs_enc = row["tfs_enc"]
+        self.codec = codec
+        self.block_size = block_size
+        self.df = int(row["df"])
         self.blk_last = np.asarray(row["blk_last_ord"], dtype=np.int64)
         self.blk_off_o = np.asarray(row["blk_off_ord"], dtype=np.int64)
         self.blk_off_t = np.asarray(row["blk_off_tf"], dtype=np.int64)
@@ -93,10 +97,19 @@ class _TermCursor:
             return
         o_end = self.blk_off_o[bi + 1] if bi + 1 < len(self.blk_off_o) else len(self.ords_enc)
         t_end = self.blk_off_t[bi + 1] if bi + 1 < len(self.blk_off_t) else len(self.tfs_enc)
-        gaps = varint_decode(self.ords_enc[self.blk_off_o[bi]:o_end]).astype(np.int64)
+        if self.codec == "pfor":
+            from opensearch_jvector_ray.postings import for_unpack_block
+            n_blk = min(self.block_size, self.df - bi * self.block_size)
+            gaps = for_unpack_block(self.ords_enc[self.blk_off_o[bi]:o_end],
+                                    n_blk).astype(np.int64)
+            tfs = for_unpack_block(self.tfs_enc[self.blk_off_t[bi]:t_end],
+                                   n_blk).astype(np.int64)
+        else:
+            gaps = varint_decode(self.ords_enc[self.blk_off_o[bi]:o_end]).astype(np.int64)
+            tfs = varint_decode(self.tfs_enc[self.blk_off_t[bi]:t_end]).astype(np.int64)
         base = int(self.blk_last[bi - 1]) if bi > 0 else 0
         self.ords = base + np.cumsum(gaps)
-        self.tfs = varint_decode(self.tfs_enc[self.blk_off_t[bi]:t_end]).astype(np.int64)
+        self.tfs = tfs
         self.blk_idx = bi
         self.pos = 0
 
@@ -275,7 +288,9 @@ class SegmentSearcher:
                 for c in postings.column_names}
         decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         for t, r in rows.items():
-            decoded[t] = decode_posting_list(r["ords_enc"], r["tfs_enc"])
+            decoded[t] = decode_posting_list(
+                r["ords_enc"], r["tfs_enc"], codec=p.get("codec", "varint"),
+                df=r["df"], block_size=p.get("block_size", 128))
 
         out_qid: list[str] = []
         out_ord: list[np.ndarray] = []
@@ -290,7 +305,10 @@ class SegmentSearcher:
                     continue          # a phrase term missing => no match
                 ords, scores = self._phrase(q["terms"], rows, dl, mask, q["k"])
             elif mode == "wand":
-                cursors = [_TermCursor(rows[t], w * idf, self.k1, self.b, self.avgdl)
+                cursors = [_TermCursor(rows[t], w * idf, self.k1, self.b,
+                                       self.avgdl,
+                                       codec=self.p.get("codec", "varint"),
+                                       block_size=self.p.get("block_size", 128))
                            for (t, w, idf) in terms]
                 ords, scores = _wand_topk(cursors, q["k"], dl, mask,
                                           self.k1, self.b, self.avgdl,
@@ -327,7 +345,9 @@ class SegmentSearcher:
         per_term = []
         for (t, _, _) in terms:
             r = rows[t]
-            ords, tfs = decode_posting_list(r["ords_enc"], r["tfs_enc"])
+            ords, tfs = decode_posting_list(
+                r["ords_enc"], r["tfs_enc"], codec=self.p.get("codec", "varint"),
+                df=r["df"], block_size=self.p.get("block_size", 128))
             flat, offs = decode_positions(r["pos_enc"], tfs)
             per_term.append((ords, flat, offs))
         # docs containing ALL terms
@@ -501,6 +521,7 @@ class IndexSearcher:
         cfg_obj = cfg
         payload = {
             "queries": prepared, "union_terms": union, "mode": mode,
+            "codec": cfg.codec, "block_size": cfg.block_size,
             "k1": cfg.k1, "b": cfg.b, "avgdl": float(self.stats["avgdl"] or 1.0),
             "filter": filter, "rescore_oversample": rescore_oversample,
             "key_types": key_types,

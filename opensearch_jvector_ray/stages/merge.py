@@ -135,11 +135,9 @@ def _merge_group(src_dirs: list[str], dst_dir: str, cfg: EngineConfig,
         p_code_parts, p_ord_parts, p_tf_parts, pos_parts = [], [], [], []
         for i, post in inputs:
             df = post["df"].to_numpy(zero_copy_only=False).astype(np.int64)
-            gaps = varint_decode(binary_column_bytes(post["ords_enc"])).astype(np.int64)
-            term_start = np.zeros(len(df), dtype=np.int64)
-            np.cumsum(df[:-1], out=term_start[1:])
-            p_ord_old = groupwise_cumsum(gaps, term_start)
-            p_tf = varint_decode(binary_column_bytes(post["tfs_enc"])).astype(np.int64)
+            from opensearch_jvector_ray.postings import decode_segment_postings
+            _, p_ord_old, p_tf = decode_segment_postings(
+                post, codec=cfg.codec, block_size=cfg.block_size)
             row_codes = np.fromiter((code_of[t] for t in post["term"].to_pylist()),
                                     dtype=np.int64, count=post.num_rows)
             new_ords = remaps[i][p_ord_old]
