@@ -105,6 +105,19 @@ def run_bench() -> dict:
     searcher.search(dict(list(queries.items())[:10]), k=10, mode="wand")
     phases["query_wand_10"] = round(time.perf_counter() - t0, 3)
 
+    # -- phase 3b: persistent serving (warm actors + postings cache) ------
+    from opensearch_jvector_ray.serve import SearchService
+    svc = SearchService(merged_dir, num_shards=min(8, NUM_CPUS))
+    svc.search(dict(list(queries.items())[:5]), k=10)   # warm (untimed)
+    t0 = time.perf_counter()
+    n_served = 0
+    for _ in range(3):
+        svc.search(queries, k=10)
+        n_served += len(queries)
+    phases["query_serve_150"] = round(time.perf_counter() - t0, 3)
+    extra["serve_queries_per_sec"] = round(n_served / phases["query_serve_150"], 1)
+    svc.shutdown()
+
     # -- phase 4: documents BM25 (fresh build + search) -------------------
     doc_idx = os.path.join(BENCH_ROOT, f"docidx_cpus{NUM_CPUS}")
     shutil.rmtree(doc_idx, ignore_errors=True)

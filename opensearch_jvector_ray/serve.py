@@ -1,0 +1,207 @@
+"""Persistent query service: long-lived segment-searcher actors.
+
+``IndexSearcher.search`` spins an actor pool per call — right for batch
+pipelines, wasteful for query serving.  ``SearchService`` is the serving
+shape: N named actors, each owning a static subset of segments, created
+once and reused across searches.  Each actor keeps hot state in memory:
+
+  - the segments' docs tables + doc-length arrays (the held-open reader,
+    S5: `JVectorReader` keeps meta + mmap slices open,
+    `JVectorReader.java:42-331`),
+  - an LRU cache of decoded posting lists keyed by (segment, term) — the
+    analog of the node-level `QuantizationStateCache` (T6,
+    `quantization/models/quantizationState/QuantizationStateCache.java`),
+  - the global dictionary rows it has already looked up.
+
+The driver fans a query batch to all actors (`ray.get` on N futures) and
+heap-merges the per-actor top-k lists (A1), identical math/tie-break to
+``IndexSearcher`` — asserted by tests.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import OrderedDict
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+
+from opensearch_jvector_ray.analyze import query_term_weights
+from opensearch_jvector_ray.config import EngineConfig
+from opensearch_jvector_ray.functions.scoring import bm25_idf, bm25_tf_part
+from opensearch_jvector_ray.postings import decode_posting_list
+from opensearch_jvector_ray.query import _topk_from_scores
+from opensearch_jvector_ray.state.manifest import (
+    CONFIG_NAME, DOCS_NAME, POSTINGS_NAME, SEGMENTS_DIR, STATS_NAME, read_json,
+)
+
+
+@ray.remote
+class SegmentShardActor:
+    """Owns a subset of segments; state survives across searches."""
+
+    def __init__(self, seg_dirs: list[str], cfg_json: str, key_cols: list[str],
+                 term_cache_size: int = 50_000):
+        self.cfg = EngineConfig.from_json(cfg_json)
+        self.key_cols = key_cols
+        self.segs: list[dict] = []
+        for d in seg_dirs:
+            docs = pq.read_table(os.path.join(d, DOCS_NAME))
+            self.segs.append({
+                "dir": d,
+                "docs": docs,
+                "dl": docs["doc_len"].to_numpy(zero_copy_only=False).astype(np.int64),
+            })
+        self.term_cache: OrderedDict[tuple[str, str], tuple] = OrderedDict()
+        self.term_cache_size = term_cache_size
+        self.hits = 0
+        self.misses = 0
+
+    def _postings_for(self, seg: dict, terms: list[str]) -> dict[str, tuple]:
+        out = {}
+        missing = []
+        for t in terms:
+            key = (seg["dir"], t)
+            if key in self.term_cache:
+                self.term_cache.move_to_end(key)
+                out[t] = self.term_cache[key]
+                self.hits += 1
+            else:
+                missing.append(t)
+        if missing:
+            self.misses += len(missing)
+            tbl = pq.read_table(os.path.join(seg["dir"], POSTINGS_NAME),
+                                filters=[("term", "in", missing)],
+                                columns=["term", "df", "ords_enc", "tfs_enc"])
+            found = set()
+            for i in range(tbl.num_rows):
+                t = tbl["term"][i].as_py()
+                ords, tfs = decode_posting_list(
+                    tbl["ords_enc"][i].as_py(), tbl["tfs_enc"][i].as_py(),
+                    codec=self.cfg.codec, df=tbl["df"][i].as_py(),
+                    block_size=self.cfg.block_size)
+                entry = (ords, tfs)
+                self.term_cache[(seg["dir"], t)] = entry
+                out[t] = entry
+                found.add(t)
+            for t in missing:           # negative caching for absent terms
+                if t not in found:
+                    self.term_cache[(seg["dir"], t)] = None
+            while len(self.term_cache) > self.term_cache_size:
+                self.term_cache.popitem(last=False)
+        return {t: v for t, v in out.items() if v is not None}
+
+    def search(self, queries: list[dict], k: int, avgdl: float) -> pa.Table:
+        """queries: [{query_id, terms: [(term, weight, idf)]}]"""
+        cfg = self.cfg
+        union = sorted({t for q in queries for (t, _, _) in q["terms"]})
+        parts: list[pa.Table] = []
+        for seg in self.segs:
+            plists = self._postings_for(seg, union)
+            dl = seg["dl"]
+            n_docs = len(dl)
+            scores = np.zeros(n_docs, dtype=np.float64)
+            for q in queries:
+                scores[:] = 0.0
+                any_term = False
+                for (t, w, idf) in q["terms"]:
+                    if t not in plists:
+                        continue
+                    any_term = True
+                    ords, tfs = plists[t]
+                    scores[ords] += w * idf * bm25_tf_part(
+                        tfs, dl[ords], avgdl, cfg.k1, cfg.b)
+                if not any_term:
+                    continue
+                cand = np.flatnonzero(scores > 0.0)
+                ords_k, sc_k = _topk_from_scores(scores, cand, k)
+                if len(ords_k) == 0:
+                    continue
+                take = pa.array(ords_k)
+                cols: dict[str, Any] = {
+                    "query_id": pa.array([q["query_id"]] * len(ords_k),
+                                         type=pa.string())}
+                for kc in self.key_cols:     # preserves source column dtypes
+                    cols[kc] = seg["docs"][kc].take(take)
+                cols["score"] = pa.array(sc_k, type=pa.float64())
+                parts.append(pa.table(cols))
+        if not parts:
+            cols = {"query_id": pa.array([], type=pa.string())}
+            for kc in self.key_cols:
+                cols[kc] = self.segs[0]["docs"][kc].slice(0, 0) if self.segs \
+                    else pa.array([], type=pa.string())
+            cols["score"] = pa.array([], type=pa.float64())
+            return pa.table(cols)
+        return pa.concat_tables(parts)
+
+    def cache_stats(self) -> dict:
+        return {"hits": self.hits, "misses": self.misses,
+                "cached_terms": len(self.term_cache)}
+
+
+class SearchService:
+    """Driver-side handle: create once, search many times."""
+
+    def __init__(self, index_dir: str, num_shards: int = 8,
+                 term_cache_size: int = 50_000):
+        meta = read_json(os.path.join(index_dir, CONFIG_NAME))
+        self.cfg = EngineConfig.from_json(meta["config"])
+        self.stats = read_json(os.path.join(index_dir, STATS_NAME))
+        self.key_cols = list(meta["spec"]["key_cols"])
+        self.index_dir = index_dir
+        seg_root = os.path.join(index_dir, SEGMENTS_DIR)
+        seg_dirs = sorted(os.path.join(seg_root, d) for d in os.listdir(seg_root)
+                          if d.startswith("seg="))
+        num_shards = max(1, min(num_shards, len(seg_dirs)))
+        shards = [seg_dirs[i::num_shards] for i in range(num_shards)]
+        self.actors = [
+            SegmentShardActor.options(num_cpus=1).remote(
+                s, self.cfg.to_json(), self.key_cols, term_cache_size)
+            for s in shards]
+
+    # dictionary lookup identical to IndexSearcher (global stats)
+    def _prepare(self, queries: dict[str, str], k: int) -> list[dict]:
+        from opensearch_jvector_ray.query import IndexSearcher
+        terms_all: set[str] = set()
+        parsed = []
+        for qid, text in queries.items():
+            tw = query_term_weights(text, self.cfg)
+            parsed.append((qid, tw))
+            terms_all.update(t for t, _ in tw)
+        df_map = IndexSearcher.lookup_df(self, sorted(terms_all))  # reuse impl
+        n = float(self.stats["n_docs_indexed"])
+        out = []
+        for qid, tw in parsed:
+            terms = [(t, float(w), float(bm25_idf(n, df_map[t])))
+                     for t, w in tw if df_map.get(t, 0) > 0]
+            out.append({"query_id": qid, "terms": terms})
+        return out
+
+    def search(self, queries: dict[str, str], k: int = 10) -> pd.DataFrame:
+        prepared = self._prepare(queries, k)
+        avgdl = float(self.stats["avgdl"] or 1.0)
+        futures = [a.search.remote(prepared, k, avgdl) for a in self.actors]
+        tables = [t for t in ray.get(futures) if t.num_rows]
+        if not tables:
+            df = pd.DataFrame(columns=["query_id", *self.key_cols, "score"])
+        else:
+            df = pa.concat_tables(tables).to_pandas()
+        df = df.sort_values(
+            ["query_id", "score", *self.key_cols],
+            ascending=[True, False] + [True] * len(self.key_cols),
+            kind="mergesort").groupby("query_id", sort=False).head(k)
+        df["rank"] = df.groupby("query_id", sort=False).cumcount() + 1
+        return df[["query_id", "rank", *self.key_cols, "score"]].reset_index(drop=True)
+
+    def cache_stats(self) -> list[dict]:
+        return ray.get([a.cache_stats.remote() for a in self.actors])
+
+    def shutdown(self) -> None:
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []
