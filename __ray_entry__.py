@@ -194,6 +194,13 @@ def _q_knn(metric: str):
     return fn
 
 
+def _q_knn_hamming(sf_dir: str) -> pd.DataFrame:
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    queries = query_embeddings(sf_dir, KNN_QUERY_IDS)
+    out = knn_pl.hamming_topk(ds, queries, KNN_K)
+    return _round_hits(out)
+
+
 def _q_knn_ivf(sf_dir: str) -> pd.DataFrame:
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     queries = query_embeddings(sf_dir, KNN_QUERY_IDS)
@@ -276,6 +283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_topk": _q_knn("cosine"),
         "knn_l2_topk": _q_knn("l2"),
         "knn_ivf_cosine": _q_knn_ivf,
+        "knn_hamming_topk": _q_knn_hamming,
         # relational / lifecycle operators
         "events_last_write_wins": _q_events_lww,
         "pricing_summary": _q_pricing,

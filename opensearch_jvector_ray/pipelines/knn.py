@@ -35,6 +35,28 @@ METRICS: dict[str, tuple[Callable, Callable, bool]] = {
 }
 
 
+def _partial_topk(ids: np.ndarray, score: np.ndarray,
+                  k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-batch bounded top-k with EXACT boundary ties (score desc, id
+    asc) — argpartition's arbitrary pick at tied boundaries would make the
+    result depend on batching (same fix as the BM25 collector)."""
+    n = min(k, len(ids))
+    if n == 0:
+        return ids[:0], score[:0]
+    if len(ids) > n:
+        part = np.argpartition(-score, n - 1)[:n]
+        boundary = score[part].min()
+        above = np.flatnonzero(score > boundary)
+        tie_pos = np.flatnonzero(score == boundary)
+        tie_idx = tie_pos[np.argsort(ids[tie_pos], kind="stable")][: n - len(above)]
+        sel = np.concatenate([above, tie_idx])
+    else:
+        sel = np.arange(len(ids))
+    order = np.lexsort((ids[sel], -score[sel]))
+    sel = sel[order]
+    return ids[sel], score[sel]
+
+
 def _vecs_from_batch(batch: pa.Table, vec_col: str) -> np.ndarray:
     col = batch[vec_col]
     if isinstance(col, pa.ChunkedArray):
@@ -66,13 +88,10 @@ def brute_force_topk(ds: "rd.Dataset", queries: dict[str, np.ndarray],
         for qi, qid in enumerate(qids):
             raw = kernel(vecs, qmat[qi])
             score = translate(raw)
-            n = min(k, len(ids))
-            part = np.argpartition(-score, n - 1)[:n] if len(ids) > n else np.arange(len(ids))
-            order = np.lexsort((ids[part], -score[part]))
-            sel = part[order]
-            out_q.extend([qid] * len(sel))
-            out_id.append(ids[sel])
-            out_s.append(score[sel])
+            sel_ids, sel_sc = _partial_topk(ids, score, k)
+            out_q.extend([qid] * len(sel_ids))
+            out_id.append(sel_ids)
+            out_s.append(sel_sc)
         return pa.table({
             "query_id": pa.array(out_q, type=pa.string()),
             id_col: pa.array(np.concatenate(out_id)),
@@ -155,15 +174,67 @@ def ivf_topk(ds: "rd.Dataset", queries: dict[str, np.ndarray], k: int,
             sub = vecs[mask]
             sub_ids = ids[mask]
             score = translate(kernel(sub, qm[qi]))
-            n = min(k, len(sub_ids))
-            part = np.argpartition(-score, n - 1)[:n] if len(sub_ids) > n else np.arange(len(sub_ids))
-            out_q.extend([qid] * len(part))
-            out_id.append(sub_ids[part])
-            out_s.append(score[part])
+            sel_ids, sel_sc = _partial_topk(sub_ids, score, k)
+            out_q.extend([qid] * len(sel_ids))
+            out_id.append(sel_ids)
+            out_s.append(sel_sc)
         if not out_q:
             return pa.table({"query_id": pa.array([], type=pa.string()),
                              id_col: pa.array([], type=batch[id_col].type),
                              "score": pa.array([], type=pa.float64())})
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.string()),
+            id_col: pa.array(np.concatenate(out_id)),
+            "score": pa.array(np.concatenate(out_s), type=pa.float64()),
+        })
+
+    parts = ds.map_batches(score_batch, batch_format="pyarrow",
+                           batch_size=8192).to_pandas()
+    if parts.empty:
+        return pd.DataFrame(columns=["query_id", "rank", id_col, "score"])
+    out = (parts.sort_values(["query_id", "score", id_col],
+                             ascending=[True, False, True], kind="mergesort")
+                .groupby("query_id", sort=False).head(k))
+    out["rank"] = out.groupby("query_id", sort=False).cumcount() + 1
+    return out[["query_id", "rank", id_col, "score"]].reset_index(drop=True)
+
+
+def binary_quantize_batch(batch: pa.Table, vec_col: str = "embedding",
+                          out_col: str = "bits") -> pa.Table:
+    """Sign-bit binary quantization: float vector -> packed uint8 bytes,
+    1 bit/dimension (the reference's `binary` VectorDataType,
+    `VectorDataType.java:38` — dimension counted in bits)."""
+    vecs = _vecs_from_batch(batch, vec_col)
+    bits = np.packbits((vecs > 0).astype(np.uint8), axis=1)
+    return batch.append_column(out_col, pa.array([b.tobytes() for b in bits],
+                                                 type=pa.binary()))
+
+
+def hamming_topk(ds: "rd.Dataset", queries: dict[str, np.ndarray], k: int,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 ) -> pd.DataFrame:
+    """Top-k by bit-level hamming over sign-quantized vectors; score =
+    1/(1+d) (`SpaceType.HAMMING` ordering).  Same partial+final reduce
+    shape as brute_force_topk."""
+    qids = sorted(queries)
+    qbits = np.stack([np.packbits((queries[q] > 0).astype(np.uint8))
+                      for q in qids])
+    qref = ray.put(qbits)
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        qb = ray.get(qref)
+        vecs = _vecs_from_batch(batch, vec_col)
+        bits = np.packbits((vecs > 0).astype(np.uint8), axis=1)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        out_q, out_id, out_s = [], [], []
+        for qi, qid in enumerate(qids):
+            d = np.unpackbits(np.bitwise_xor(bits, qb[qi][None, :]),
+                              axis=1).sum(axis=1).astype(np.float64)
+            score = 1.0 / (1.0 + d)
+            sel_ids, sel_sc = _partial_topk(ids, score, k)
+            out_q.extend([qid] * len(sel_ids))
+            out_id.append(sel_ids)
+            out_s.append(sel_sc)
         return pa.table({
             "query_id": pa.array(out_q, type=pa.string()),
             id_col: pa.array(np.concatenate(out_id)),

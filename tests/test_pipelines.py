@@ -120,3 +120,30 @@ def test_multimodal_real_decode_raises():
     stub = mm.DecodeStub(fake=False)
     with pytest.raises(NotImplementedError):
         stub._decode_one(b"payload", "image")
+
+
+def test_hamming_topk_vs_numpy_oracle():
+    rng = np.random.default_rng(13)
+    vecs = rng.standard_normal((120, 32)).astype(np.float32)
+    ds = rd.from_arrow(_vec_table(vecs))
+    queries = {"h0": vecs[0].astype(np.float64), "h1": vecs[50].astype(np.float64)}
+    out = knn_pl.hamming_topk(ds, queries, 8)
+    bits = np.packbits((vecs > 0).astype(np.uint8), axis=1)
+    for qid, q in queries.items():
+        qb = np.packbits((q > 0).astype(np.uint8))
+        d = np.unpackbits(np.bitwise_xor(bits, qb[None, :]), axis=1).sum(axis=1)
+        score = 1.0 / (1.0 + d.astype(np.float64))
+        order = np.lexsort((np.arange(len(vecs)), -score))[:8]
+        got = out[out.query_id == qid]
+        assert got.vec_id.tolist() == order.tolist()
+        np.testing.assert_allclose(got.score.to_numpy(), score[order], atol=1e-12)
+    # the query vector itself is its own nearest neighbor (distance 0)
+    assert out[out.query_id == "h0"].iloc[0].vec_id == 0
+
+
+def test_binary_quantize_batch():
+    vecs = np.array([[1.0, -1.0, 0.5, -0.5] * 4], dtype=np.float32)
+    tbl = _vec_table(vecs)
+    out = knn_pl.binary_quantize_batch(tbl)
+    bits = np.frombuffer(out["bits"][0].as_py(), dtype=np.uint8)
+    assert np.unpackbits(bits).tolist() == [1, 0, 1, 0] * 4
