@@ -133,32 +133,88 @@ def minhash_lsh_dedup(ds: "rd.Dataset", cfg: EngineConfig, id_col: str,
         -> driver union-find over verified pairs (small by construction)
     """
     rows_per_band = num_perm // bands
-    hasher = MinHasher(num_perm=num_perm, shingle_k=shingle_k)
+    rng = np.random.default_rng(42)
+    perm_a = rng.integers(1, int(_MERSENNE), size=num_perm, dtype=np.uint64)
+    perm_b = rng.integers(0, int(_MERSENNE), size=num_perm, dtype=np.uint64)
+    MIX = np.uint64(0x9E3779B97F4A7C15)    # shingle hash combiner multiplier
 
     class Signer:
-        def __init__(self):
-            self.h = hasher
+        """Fully vectorized per-batch minhash signer.
+
+        Shingle hashes are built by combining consecutive TOKEN hashes
+        (h = ((h0*MIX + h1)*MIX + h2) mod 2^64) — no shingle strings are
+        ever materialized; signatures are a (windows x num_perm) affine
+        transform min-reduced per document.  Stateless math, stable
+        everywhere (pd.util.hash_array base + fixed seeds).
+        """
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            norm = normalized_text(
-                batch[text_col].combine_chunks()
-                if isinstance(batch[text_col], pa.ChunkedArray)
-                else batch[text_col], cfg)
-            ids_out, band_out, bhash_out = [], [], []
-            for rid, text in zip(batch[id_col].to_pylist(), norm.to_pylist()):
-                sig = self.h.signature(word_shingles((text or "").split(), shingle_k))
-                bands_view = sig.reshape(bands, rows_per_band)
+            import pyarrow.compute as pc
+            from opensearch_jvector_ray.pipelines.textstats import _token_lists
+            texts = batch[text_col]
+            if isinstance(texts, pa.ChunkedArray):
+                texts = texts.combine_chunks()
+            lists = _token_lists(texts, cfg)
+            flat = pc.list_flatten(lists)
+            n_docs = batch.num_rows
+            counts = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+            starts = np.zeros(n_docs + 1, dtype=np.int64)
+            np.cumsum(counts, out=starts[1:])
+            th = pd.util.hash_array(flat.to_numpy(zero_copy_only=False),
+                                    categorize=False)
+            # shingle (window) hashes; docs shorter than k get ONE window
+            # combining all their tokens (word_shingles semantics)
+            n_tok = len(th)
+            win_hash_parts, win_doc_parts = [], []
+            full = counts >= shingle_k
+            if full.any():
+                sh = th[: n_tok - shingle_k + 1].copy() if n_tok >= shingle_k else np.zeros(0, np.uint64)
+                for j in range(1, shingle_k):
+                    sh = sh * MIX + th[j: n_tok - shingle_k + 1 + j]
+                # a window starting at t is valid iff it stays inside its doc
+                win_doc = np.repeat(np.arange(n_docs), counts)[: len(sh)]
+                pos_in_doc = (np.arange(len(sh)) - starts[win_doc])
+                valid = pos_in_doc <= (counts[win_doc] - shingle_k)
+                win_hash_parts.append(sh[valid])
+                win_doc_parts.append(win_doc[valid])
+            short = np.flatnonzero((counts > 0) & (~full))
+            for d in short.tolist():          # rare: docs with < k tokens
+                h = th[starts[d]]
+                for t in range(starts[d] + 1, starts[d + 1]):
+                    h = h * MIX + th[t]
+                win_hash_parts.append(np.array([h], dtype=np.uint64))
+                win_doc_parts.append(np.array([d], dtype=np.int64))
+            if win_hash_parts:
+                wh = np.concatenate(win_hash_parts)
+                wd = np.concatenate(win_doc_parts)
+                order = np.argsort(wd, kind="stable")
+                wh, wd = wh[order], wd[order]
+            else:
+                wh = np.zeros(0, dtype=np.uint64)
+                wd = np.zeros(0, dtype=np.int64)
+
+            sigs = np.full((n_docs, num_perm), np.iinfo(np.uint64).max,
+                           dtype=np.uint64)
+            if len(wh):
+                mat = (wh[:, None] * perm_a[None, :] + perm_b[None, :]) % _MERSENNE
+                present = np.unique(wd)
+                doc_starts = np.searchsorted(wd, present)
+                sigs[present] = np.minimum.reduceat(mat, doc_starts, axis=0)
+
+            # band hashes (one hash per 4-row band), vectorized per band
+            ids = batch[id_col]
+            parts = []
+            bands_view = sigs.reshape(n_docs, bands, rows_per_band)
+            for bidx in range(bands):
+                view = np.ascontiguousarray(bands_view[:, bidx, :])
                 bh = pd.util.hash_array(
-                    np.ascontiguousarray(bands_view).view(
-                        [("", np.uint64)] * rows_per_band).ravel())
-                ids_out.extend([rid] * bands)
-                band_out.extend(range(bands))
-                bhash_out.extend(bh.tolist())
-            return pa.table({
-                "band": pa.array(band_out, type=pa.int32()),
-                "band_hash": pa.array(np.array(bhash_out, dtype=np.uint64).astype(np.int64)),
-                id_col: pa.array(ids_out),
-            })
+                    view.view([("", np.uint64)] * rows_per_band).ravel())
+                parts.append(pa.table({
+                    "band": pa.array(np.full(n_docs, bidx, dtype=np.int32)),
+                    "band_hash": pa.array(bh.astype(np.int64)),
+                    id_col: ids,
+                }))
+            return pa.concat_tables(parts)
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         ids = sorted(group[id_col].to_pylist())
