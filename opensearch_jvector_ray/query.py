@@ -149,11 +149,12 @@ class _TermCursor:
 
 def _wand_topk(cursors: list[_TermCursor], k: int, dl: np.ndarray,
                mask: np.ndarray | None, k1: float, b: float,
-               avgdl: float, counters: dict | None = None) -> tuple[np.ndarray, np.ndarray]:
-    """Block-max WAND: exact top-k with (score desc, ord asc) tie-break."""
+               avgdl: float, counters: dict | None = None,
+               tie: np.ndarray | None = None) -> tuple[np.ndarray, np.ndarray]:
+    """Block-max WAND: exact top-k with (score desc, key-rank asc) ties."""
     n_eval = 0
     n_pruned = 0
-    heap: list[tuple[float, int]] = []   # (score, -ord) min-heap of keepers
+    heap: list[tuple[float, int, int]] = []  # (score, -tie_rank, ord) min-heap
     live = [c for c in cursors if not c.exhausted]
     while live:
         live.sort(key=lambda c: c.cur_doc)
@@ -182,10 +183,11 @@ def _wand_topk(cursors: list[_TermCursor], k: int, dl: np.ndarray,
                     for c in contrib:
                         tf = float(c.cur_tf)
                         score += c.weight_idf * (tf / (tf + k1 * (1.0 - b + b * d / avgdl)))
-                    entry = (score, -pivot_doc)
+                    rank_key = pivot_doc if tie is None else int(tie[pivot_doc])
+                    entry = (score, -rank_key, pivot_doc)
                     if len(heap) < k:
                         heapq.heappush(heap, entry)
-                    elif entry > heap[0]:
+                    elif entry[:2] > heap[0][:2]:
                         heapq.heapreplace(heap, entry)
             for c in contrib:
                 c.next()
@@ -196,33 +198,41 @@ def _wand_topk(cursors: list[_TermCursor], k: int, dl: np.ndarray,
         counters["wand_docs_evaluated"] = counters.get("wand_docs_evaluated", 0) + n_eval
         counters["wand_blocks_pruned"] = counters.get("wand_blocks_pruned", 0) + n_pruned
     out = sorted(heap, key=lambda e: (-e[0], -e[1]))
-    ords = np.array([-e[1] for e in out], dtype=np.int64)
+    ords = np.array([e[2] for e in out], dtype=np.int64)
     scores = np.array([e[0] for e in out], dtype=np.float64)
     return ords, scores
 
 
 def _topk_from_scores(scores: np.ndarray, candidates: np.ndarray,
-                      k: int) -> tuple[np.ndarray, np.ndarray]:
-    """(score desc, ord asc) top-k via bounded argpartition — never sorts
-    the full candidate set (O1: bounded collector)."""
+                      k: int, tie: np.ndarray | None = None
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """(score desc, doc-key asc) top-k via bounded argpartition — never
+    sorts the full candidate set (O1: bounded collector).
+
+    ``tie`` maps ordinal -> key rank for tie-breaking.  Build-time
+    segments are key-sorted so ord IS the key rank (tie=None); bulk-merged
+    segments carry an explicit ``key_rank`` column (segment-major ordinals
+    are NOT key-ordered there).
+    """
     n = min(k, len(candidates))
     if n == 0:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
     cand_scores = scores[candidates]
+    tie_of = (lambda o: o) if tie is None else (lambda o: tie[o])
     if len(candidates) > n:
         part = np.argpartition(-cand_scores, n - 1)[:n]
-        # ties at the boundary must resolve by ord asc, not argpartition's
-        # arbitrary pick — keep all strictly-above, fill with smallest ords
-        # among the boundary-score ties (rank-identity requirement).
+        # ties at the boundary must resolve by key rank asc, not
+        # argpartition's arbitrary pick (rank-identity requirement)
         boundary = cand_scores[part].min()
         above = candidates[cand_scores > boundary]
-        ties = np.sort(candidates[cand_scores == boundary])[: n - len(above)]
-        sel_ord = np.concatenate([above, ties])
+        tied = candidates[cand_scores == boundary]
+        tied = tied[np.argsort(tie_of(tied), kind="stable")][: n - len(above)]
+        sel_ord = np.concatenate([above, tied])
         sel_sc = scores[sel_ord]
     else:
         sel_ord = candidates
         sel_sc = cand_scores
-    order = np.lexsort((sel_ord, -sel_sc))
+    order = np.lexsort((tie_of(sel_ord), -sel_sc))
     return sel_ord[order], sel_sc[order]
 
 
@@ -268,6 +278,11 @@ class SegmentSearcher:
         if n_docs == 0:
             return None
         dl = docs["doc_len"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # bulk-merged segments carry segment-major ordinals + a key_rank
+        # column for exact (score, key) tie-breaks; build-time segments
+        # are key-sorted so ord == key rank
+        tie = (docs["key_rank"].to_numpy(zero_copy_only=False).astype(np.int64)
+               if "key_rank" in docs.column_names else None)
 
         mask: np.ndarray | None = None
         if p["filter"] is not None:
@@ -303,7 +318,8 @@ class SegmentSearcher:
             if mode == "phrase":
                 if len(terms) != len(q["terms"]):
                     continue          # a phrase term missing => no match
-                ords, scores = self._phrase(q["terms"], rows, dl, mask, q["k"])
+                ords, scores = self._phrase(q["terms"], rows, dl, mask,
+                                            q["k"], tie)
             elif mode == "wand":
                 cursors = [_TermCursor(rows[t], w * idf, self.k1, self.b,
                                        self.avgdl,
@@ -312,10 +328,11 @@ class SegmentSearcher:
                            for (t, w, idf) in terms]
                 ords, scores = _wand_topk(cursors, q["k"], dl, mask,
                                           self.k1, self.b, self.avgdl,
-                                          counters=self._counters)
+                                          counters=self._counters, tie=tie)
             else:
                 ords, scores = self._taat(terms, decoded, dl, mask, q["k"],
-                                          rescore=p["rescore_oversample"] if mode == "rescore" else None)
+                                          rescore=p["rescore_oversample"] if mode == "rescore" else None,
+                                          tie=tie)
             out_qid.extend([q["query_id"]] * len(ords))
             out_ord.append(ords)
             out_sc.append(scores)
@@ -329,7 +346,7 @@ class SegmentSearcher:
         cols["score"] = pa.array(np.concatenate(out_sc), type=pa.float64())
         return pa.table(cols)
 
-    def _phrase(self, terms, rows, dl, mask, k):
+    def _phrase(self, terms, rows, dl, mask, k, tie=None):
         """Exact phrase scoring [Lucene PhraseQuery public semantics]:
         tf = number of phrase occurrences (adjacent positions, counted on
         the PRE-stopword position axis — StopFilter position gaps break
@@ -378,9 +395,9 @@ class SegmentSearcher:
         sc = idf_sum * bm25_tf_part(tf, dl[cand_ords], self.avgdl, self.k1, self.b)
         scores = np.zeros(len(dl), dtype=np.float64)
         scores[cand_ords] = sc
-        return _topk_from_scores(scores, cand_ords, k)
+        return _topk_from_scores(scores, cand_ords, k, tie)
 
-    def _taat(self, terms, decoded, dl, mask, k, rescore=None):
+    def _taat(self, terms, decoded, dl, mask, k, rescore=None, tie=None):
         """Term-at-a-time vectorized scoring; optional two-pass rescore."""
         n_docs = len(dl)
         if rescore is not None:
@@ -395,7 +412,7 @@ class SegmentSearcher:
             if mask is not None:
                 scores_q[~mask] = 0.0
             cand = np.flatnonzero(scores_q > 0.0)
-            cand, _ = _topk_from_scores(scores_q, cand, k1)
+            cand, _ = _topk_from_scores(scores_q, cand, k1, tie)
             # second pass: exact BM25 on the candidate set only
             cand_sorted = np.sort(cand)
             exact = np.zeros(len(cand_sorted), dtype=np.float64)
@@ -411,7 +428,7 @@ class SegmentSearcher:
             scores = np.zeros(n_docs, dtype=np.float64)
             scores[cand_sorted] = exact
             cand2 = cand_sorted[exact > 0.0]
-            return _topk_from_scores(scores, cand2, k)
+            return _topk_from_scores(scores, cand2, k, tie)
 
         scores = np.zeros(n_docs, dtype=np.float64)
         for t, w, idf in terms:      # fixed analyzed order -> stable fp sums
@@ -423,7 +440,7 @@ class SegmentSearcher:
         candidates = np.flatnonzero(scores > 0.0)
         self._counters["candidates_scored"] = (
             self._counters.get("candidates_scored", 0) + len(candidates))
-        return _topk_from_scores(scores, candidates, k)
+        return _topk_from_scores(scores, candidates, k, tie)
 
 
 # ---------------------------------------------------------------------------

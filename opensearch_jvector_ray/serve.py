@@ -52,10 +52,13 @@ class SegmentShardActor:
         self.segs: list[dict] = []
         for d in seg_dirs:
             docs = pq.read_table(os.path.join(d, DOCS_NAME))
+            import numpy as _np
             self.segs.append({
                 "dir": d,
                 "docs": docs,
-                "dl": docs["doc_len"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "dl": docs["doc_len"].to_numpy(zero_copy_only=False).astype(_np.int64),
+                "tie": (docs["key_rank"].to_numpy(zero_copy_only=False).astype(_np.int64)
+                        if "key_rank" in docs.column_names else None),
             })
         self.term_cache: OrderedDict[tuple[str, str], tuple] = OrderedDict()
         self.term_cache_size = term_cache_size
@@ -119,7 +122,7 @@ class SegmentShardActor:
                 if not any_term:
                     continue
                 cand = np.flatnonzero(scores > 0.0)
-                ords_k, sc_k = _topk_from_scores(scores, cand, k)
+                ords_k, sc_k = _topk_from_scores(scores, cand, k, seg["tie"])
                 if len(ords_k) == 0:
                     continue
                 take = pa.array(ords_k)

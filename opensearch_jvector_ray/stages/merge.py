@@ -69,11 +69,184 @@ def plan_merge_groups(manifests: dict[int, Any], merge_factor: int) -> list[list
     return [sorted(g) for g in groups if g]
 
 
+def _drop_key_rank(tbl: pa.Table) -> pa.Table:
+    """Strip a previous merge's key_rank column (re-derived per merge)."""
+    return tbl.drop_columns(["key_rank"]) if "key_rank" in tbl.column_names else tbl
+
+
+def _first_varint(blob: bytes) -> tuple[int, int]:
+    """(value, byte_length) of the first varint in a blob."""
+    val = 0
+    shift = 0
+    for i, byte in enumerate(blob):
+        val |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            return val, i + 1
+        shift += 7
+    raise ValueError("truncated varint")
+
+
+def _encode_one_varint(value: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = value & 0x7F
+        value >>= 7
+        if value:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _bulk_merge_group(src_dirs: list[str], dst_dir: str, cfg: EngineConfig,
+                      spec: IndexSpec) -> SegmentManifest:
+    """Zero-recompression merge (the reference's incremental-merge branch:
+    no deletes -> reuse existing structures, `JVectorWriter.java:922-941`).
+
+    Ordinals are SEGMENT-MAJOR (new_ord = input_offset + old_ord), so each
+    term's merged posting run is the byte-level concatenation of the input
+    runs with exactly ONE varint patched per run (the run's first gap must
+    bridge from the previous run's last ordinal).  tf and position blobs
+    concatenate unchanged; block metadata shifts by offsets.  Because
+    segment-major ordinals are not key-ordered, the docs table gains a
+    ``key_rank`` column that the query side uses for exact tie-breaks.
+    """
+    timer = StageTimer()
+    timer.start("read_docs")
+    docs_tables = [_drop_key_rank(pq.read_table(os.path.join(d, DOCS_NAME)))
+                   for d in src_dirs]
+    posts = [pq.read_table(os.path.join(d, POSTINGS_NAME)) for d in src_dirs]
+    timer.stop()
+
+    timer.start("remap")
+    n_per = [t.num_rows for t in docs_tables]
+    offsets = np.zeros(len(n_per), dtype=np.int64)
+    np.cumsum(n_per[:-1], out=offsets[1:])
+    docs_all = pa.concat_tables(docs_tables)
+    sort_keys = [(k, "ascending") for k in spec.key_cols]
+    order = pc.sort_indices(docs_all, sort_keys=sort_keys).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    key_rank = np.empty(docs_all.num_rows, dtype=np.int32)
+    key_rank[order] = np.arange(docs_all.num_rows, dtype=np.int32)
+    docs_out = docs_all.append_column("key_rank", pa.array(key_rank))
+    dl_all = docs_all["doc_len"].to_numpy(zero_copy_only=False).astype(np.int64) \
+        if docs_all.num_rows else np.zeros(0, dtype=np.int64)
+    timer.stop()
+
+    # --- k-way walk over the sorted term rows of every input -------------
+    timer.start("merge_postings")
+    views = []
+    for i, post in enumerate(posts):
+        views.append({
+            "terms": post["term"].to_pylist(),
+            "df": post["df"].to_numpy(zero_copy_only=False),
+            "cf": post["cf"].to_numpy(zero_copy_only=False),
+            "ords": post["ords_enc"].to_pylist(),
+            "tfs": post["tfs_enc"].to_pylist(),
+            "pos": post["pos_enc"].to_pylist(),
+            "blast": post["blk_last_ord"].to_pylist(),
+            "bmax": post["blk_max_tf"].to_pylist(),
+            "bmin": post["blk_min_dl"].to_pylist(),
+            "boff_o": post["blk_off_ord"].to_pylist(),
+            "boff_t": post["blk_off_tf"].to_pylist(),
+            "ptr": 0,
+        })
+    o_term, o_df, o_cf = [], [], []
+    o_ords, o_tfs, o_pos = [], [], []
+    o_blast, o_bmax, o_bmin, o_boffo, o_bofft = [], [], [], [], []
+    while True:
+        cur = [v["terms"][v["ptr"]] for v in views if v["ptr"] < len(v["terms"])]
+        if not cur:
+            break
+        term = min(cur)
+        contrib = [(i, v) for i, v in enumerate(views)
+                   if v["ptr"] < len(v["terms"]) and v["terms"][v["ptr"]] == term]
+        df = cf = 0
+        ord_chunks, tf_chunks, pos_chunks = [], [], []
+        blast, bmax, bmin, boffo, bofft = [], [], [], [], []
+        cum_o = cum_t = 0
+        prev_last = 0
+        first_run = True
+        for i, v in contrib:
+            r = v["ptr"]
+            v["ptr"] += 1
+            off = int(offsets[i])
+            blob_o = v["ords"][r]
+            first_val, first_len = _first_varint(blob_o)
+            new_first = first_val + off - (0 if first_run else prev_last)
+            head = _encode_one_varint(new_first)
+            ord_chunks.append(head)
+            ord_chunks.append(blob_o[first_len:])
+            delta = len(head) - first_len
+            run_blast = v["blast"][r]
+            boffo.extend(cum_o + (o + delta if o > 0 else 0)
+                         for o in v["boff_o"][r])
+            cum_o += len(head) + len(blob_o) - first_len
+            blast.extend(b + off for b in run_blast)
+            bmax.extend(v["bmax"][r])
+            bmin.extend(v["bmin"][r])
+            blob_t = v["tfs"][r]
+            bofft.extend(cum_t + o for o in v["boff_t"][r])
+            cum_t += len(blob_t)
+            tf_chunks.append(blob_t)
+            pos_chunks.append(v["pos"][r])
+            df += int(v["df"][r])
+            cf += int(v["cf"][r])
+            prev_last = run_blast[-1] + off
+            first_run = False
+        o_term.append(term)
+        o_df.append(df)
+        o_cf.append(cf)
+        o_ords.append(b"".join(ord_chunks))
+        o_tfs.append(b"".join(tf_chunks))
+        o_pos.append(b"".join(pos_chunks))
+        o_blast.append(blast)
+        o_bmax.append(bmax)
+        o_bmin.append(bmin)
+        o_boffo.append(boffo)
+        o_bofft.append(bofft)
+    postings_tbl = pa.table({
+        "term": pa.array(o_term, type=pa.string()),
+        "df": pa.array(o_df, type=pa.int32()),
+        "cf": pa.array(o_cf, type=pa.int64()),
+        "ords_enc": pa.array(o_ords, type=pa.large_binary()),
+        "tfs_enc": pa.array(o_tfs, type=pa.large_binary()),
+        "pos_enc": pa.array(o_pos, type=pa.large_binary()),
+        "blk_last_ord": pa.array(o_blast, type=pa.list_(pa.int32())),
+        "blk_max_tf": pa.array(o_bmax, type=pa.list_(pa.int32())),
+        "blk_min_dl": pa.array(o_bmin, type=pa.list_(pa.int32())),
+        "blk_off_ord": pa.array(o_boffo, type=pa.list_(pa.int64())),
+        "blk_off_tf": pa.array(o_bofft, type=pa.list_(pa.int64())),
+    }, schema=POSTINGS_SCHEMA)
+    timer.stop()
+
+    timer.start("write")
+    os.makedirs(dst_dir, exist_ok=True)
+    pq.write_table(docs_out, os.path.join(dst_dir, DOCS_NAME))
+    pq.write_table(postings_tbl, os.path.join(dst_dir, POSTINGS_NAME),
+                   row_group_size=POSTINGS_ROW_GROUP)
+    timer.stop()
+    return SegmentManifest(
+        seg=-1,
+        num_docs=docs_out.num_rows,
+        num_docs_indexed=int((dl_all > 0).sum()),
+        sum_doc_len=int(dl_all.sum()),
+        num_terms=postings_tbl.num_rows,
+        num_postings=int(sum(o_df)),
+        rows_in=int(docs_all.num_rows),
+        config_fingerprint=cfg.fingerprint(),
+        lineage={"merged_from": [os.path.basename(d) for d in src_dirs],
+                 "strategy": "bulk"},
+        timings_sec={k: round(v, 4) for k, v in timer.timings.items()},
+    )
+
+
 def _merge_group(src_dirs: list[str], dst_dir: str, cfg: EngineConfig,
                  spec: IndexSpec, deletes_keys: pa.Array | None) -> SegmentManifest:
     timer = StageTimer()
     timer.start("read_docs")
-    docs_tables = [pq.read_table(os.path.join(d, DOCS_NAME)) for d in src_dirs]
+    docs_tables = [_drop_key_rank(pq.read_table(os.path.join(d, DOCS_NAME)))
+                   for d in src_dirs]
     timer.stop()
 
     # --- unified, key-sorted doc table + per-input ordinal remap ---------
@@ -245,7 +418,14 @@ def merge_index(src_index_dir: str, dst_index_dir: str,
         for gid, src_dirs in zip(batch["gid"].to_pylist(),
                                  batch["src_dirs"].to_pylist()):
             dst = segment_dir(dst_index_dir, gid)
-            m = _merge_group(list(src_dirs), dst, cfg, spec, del_keys)
+            # the reference's merge decision tree (JVectorWriter.java:850-969):
+            # no deletes -> incremental/bulk reuse of existing structures;
+            # deletes (or a codec whose blocks aren't byte-spliceable) ->
+            # full decode+rebuild
+            if del_keys is None and cfg.codec == "varint":
+                m = _bulk_merge_group(list(src_dirs), dst, cfg, spec)
+            else:
+                m = _merge_group(list(src_dirs), dst, cfg, spec, del_keys)
             m.seg = gid
             m.write(dst)
             out.append(gid)

@@ -89,3 +89,33 @@ def test_plan_merge_groups_balances_by_size():
     assert sorted(s for g in groups for s in g) == list(range(6))
     sizes = [sum(manifests[s].num_docs for s in g) for g in groups]
     assert max(sizes) - min(sizes) <= 60   # greedy balance, not worst-case
+
+
+def test_two_level_merge(tmp_path):
+    """Merging already-merged (bulk) segments re-derives key_rank and
+    stays rank-identical to a single-segment build."""
+    corpus = generate_conversations(np.arange(120))
+    idx = _build(tmp_path, "fine", corpus, 12)
+    mid = str(tmp_path / "mid")
+    merge_index(idx, mid, merge_factor=3)       # 12 -> 4 (bulk)
+    top = str(tmp_path / "top")
+    merge_index(mid, top, merge_factor=4)       # 4 -> 1 (bulk of bulk)
+    a = IndexSearcher(_build(tmp_path, "p1", corpus, 1)).search(QUERIES, k=15)
+    b = IndexSearcher(top).search(QUERIES, k=15)
+    c = IndexSearcher(top).search(QUERIES, k=15, mode="wand")
+    pd.testing.assert_frame_equal(a, b, atol=1e-12)
+    pd.testing.assert_frame_equal(b, c, atol=1e-9)
+
+
+def test_bulk_merge_phrase_positions(tmp_path):
+    """Positions blobs concatenate unchanged through bulk merge: phrase
+    queries on the merged index equal the fine index."""
+    corpus = generate_conversations(np.arange(150))
+    idx = _build(tmp_path, "fine", corpus, 8)
+    merged = str(tmp_path / "m")
+    merge_index(idx, merged, merge_factor=8)
+    p = {"p": "zebra quantum nebula"}
+    a = IndexSearcher(idx).search(p, k=20, mode="phrase")
+    b = IndexSearcher(merged).search(p, k=20, mode="phrase")
+    pd.testing.assert_frame_equal(a, b, atol=1e-12)
+    assert len(b) > 0 and all(b.turn_idx == 1)
