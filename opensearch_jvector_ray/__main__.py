@@ -61,6 +61,9 @@ def main(argv: list[str] | None = None) -> int:
     st = sub.add_parser("stats")
     st.add_argument("--index", required=True)
 
+    vf = sub.add_parser("verify")
+    vf.add_argument("--index", required=True)
+
     sy = sub.add_parser("synth")
     sy.add_argument("--out", default="/tmp/ojr_synth")
     sy.add_argument("--convs", type=int, default=1000)
@@ -106,6 +109,11 @@ def main(argv: list[str] | None = None) -> int:
             print(es["segments"].to_string(index=False))
             if es["counters"]:
                 print(json.dumps(es["counters"]))
+        elif args.cmd == "verify":
+            from opensearch_jvector_ray.state.manifest import verify_index
+            report = verify_index(args.index)
+            print(json.dumps(report))
+            return 0 if report["ok"] else 2
         elif args.cmd == "synth":
             from opensearch_jvector_ray.synth import synth_parquet
             path = synth_parquet(args.convs, root=args.out)

@@ -500,6 +500,44 @@ class IndexSearcher:
             prepared.append({"query_id": qid, "terms": terms, "k": k})
         return prepared, sorted(union)
 
+    def search_with_udf(self, queries: dict[str, str], k: int,
+                        score_udf, oversample: float = 3.0,
+                        **search_kwargs) -> pd.DataFrame:
+        """Two-phase scoring with a user-supplied scoring function — the
+        script-score surface (§2.8/§2.10: `KNNScoreScript`,
+        `plugin/script/KNNScoringScriptEngine.java:22-38` — a compiled
+        per-request script re-scores candidates).
+
+        Phase 1 fetches k' = clamp(k*oversample, 100, 10000) BM25
+        candidates; phase 2 calls ``score_udf(hits_df, docs_df)`` — where
+        ``docs_df`` carries the candidates' stored columns — and must
+        return a float array of new scores.  Final ranking: (udf score
+        desc, key asc).
+        """
+        k1 = self.cfg.first_pass_k(k, oversample)
+        hits = self.search(queries, k=k1, **search_kwargs)
+        if hits.empty:
+            return hits
+        docs = self._fetch_doc_fields(hits)
+        new_scores = np.asarray(score_udf(hits, docs), dtype=np.float64)
+        hits = hits.assign(score=new_scores)
+        hits = (hits.sort_values(["query_id", "score", *self.key_cols],
+                                 ascending=[True, False] + [True] * len(self.key_cols),
+                                 kind="mergesort")
+                    .groupby("query_id", sort=False).head(k))
+        hits["rank"] = hits.groupby("query_id", sort=False).cumcount() + 1
+        return hits.reset_index(drop=True)
+
+    def _fetch_doc_fields(self, hits: pd.DataFrame) -> pd.DataFrame:
+        """Stored fields for a (small) hit set: per-segment docs tables are
+        filtered by the hit keys — the hit -> _source fetch (J4)."""
+        frames = []
+        keyset = hits[self.key_cols].drop_duplicates()
+        for d in self.seg_dirs:
+            tbl = pq.read_table(os.path.join(d, DOCS_NAME)).to_pandas()
+            frames.append(tbl.merge(keyset, on=self.key_cols))
+        return pd.concat(frames, ignore_index=True)
+
     def search(self, queries: dict[str, str], k: int | None = None,
                mode: str = "taat", filter: Any = None,
                rescore_oversample: float | None = None,

@@ -86,6 +86,53 @@ def read_json(path: str) -> Any:
         return json.load(f)
 
 
+def verify_index(index_dir: str) -> dict:
+    """Integrity audit: per-segment file presence + row-count/posting-sum
+    cross-checks against the manifests (the checksum/footer verification
+    analog, `JVectorReader.java:84-96`; Parquet supplies page checksums).
+
+    Returns {"ok": bool, "segments": n, "errors": [...]}.
+    """
+    import pyarrow.compute as pc_
+    import pyarrow.parquet as pq_
+    errors: list[str] = []
+    manifests = completed_segments(index_dir)
+    for seg, m in sorted(manifests.items()):
+        d = segment_dir(index_dir, seg)
+        for fname in (DOCS_NAME, POSTINGS_NAME):
+            if not os.path.exists(os.path.join(d, fname)):
+                errors.append(f"seg={seg}: missing {fname}")
+                continue
+        try:
+            docs_md = pq_.read_metadata(os.path.join(d, DOCS_NAME))
+            if docs_md.num_rows != m.num_docs:
+                errors.append(f"seg={seg}: docs rows {docs_md.num_rows} != "
+                              f"manifest num_docs {m.num_docs}")
+            post = pq_.read_table(os.path.join(d, POSTINGS_NAME),
+                                  columns=["df", "cf"])
+            n_post = int(pc_.sum(post["df"]).as_py() or 0)
+            if n_post != m.num_postings:
+                errors.append(f"seg={seg}: postings {n_post} != "
+                              f"manifest {m.num_postings}")
+            if post.num_rows != m.num_terms:
+                errors.append(f"seg={seg}: terms {post.num_rows} != "
+                              f"manifest {m.num_terms}")
+            dl = pq_.read_table(os.path.join(d, DOCS_NAME),
+                                columns=["doc_len"])["doc_len"]
+            if int(pc_.sum(dl).as_py() or 0) != m.sum_doc_len:
+                errors.append(f"seg={seg}: sum(doc_len) mismatch")
+        except Exception as e:        # torn/corrupt file
+            errors.append(f"seg={seg}: unreadable ({e})")
+    stats_path = os.path.join(index_dir, STATS_NAME)
+    if os.path.exists(stats_path):
+        st = read_json(stats_path)
+        if st.get("n_docs") != sum(m.num_docs for m in manifests.values()):
+            errors.append("stats.json n_docs != sum of manifests")
+    else:
+        errors.append("missing stats.json")
+    return {"ok": not errors, "segments": len(manifests), "errors": errors}
+
+
 class StageTimer:
     """Tiny per-stage wall-clock recorder (T7/A5 analog: KNNStats counters,
     `plugin/stats/KNNStats.java:28-78`, merge-time metric
