@@ -27,7 +27,8 @@ import ray.data as rd
 
 from opensearch_jvector_ray.config import EngineConfig
 from opensearch_jvector_ray.oracles import (
-    bm25_sql, collection_stats_sql, events_lww_sql, exact_dedup_sql,
+    bm25_sql, collection_stats_sql, events_asof_orders_sql, events_lww_sql,
+    events_window_sql, exact_dedup_sql,
     fingerprint_sql, grouped_best_sql, knn_sql, lang_id_sql, phrase_sql,
     pricing_summary_sql, quality_sql, term_stats_sql, token_count_sql,
 )
@@ -214,6 +215,18 @@ def _q_events_lww(sf_dir: str) -> pd.DataFrame:
     return rel_pl.events_last_write_wins(ds)
 
 
+def _q_events_window(sf_dir: str) -> pd.DataFrame:
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+    return rel_pl.events_window_agg(ds)
+
+
+def _q_events_asof(sf_dir: str) -> pd.DataFrame:
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    od = read_table(sf_dir, "orders",
+                    columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    return rel_pl.events_asof_orders(ev, od)
+
+
 def _q_pricing(sf_dir: str) -> pd.DataFrame:
     ds = read_table(sf_dir, "lineitem",
                     columns=["l_returnflag", "l_linestatus", "l_quantity",
@@ -286,6 +299,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_hamming_topk": _q_knn_hamming,
         # relational / lifecycle operators
         "events_last_write_wins": _q_events_lww,
+        "events_window_agg": _q_events_window,
+        "events_asof_orders": _q_events_asof,
         "pricing_summary": _q_pricing,
         # flagship transcript engine (pytest-oracle'd; not SQL-registered)
         "transcripts_bm25": _q_transcripts_bm25,
@@ -320,5 +335,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_cosine_topk": knn_sql("cosine", KNN_QUERY_IDS, KNN_K),
         "knn_l2_topk": knn_sql("l2", KNN_QUERY_IDS, KNN_K),
         "events_last_write_wins": events_lww_sql(),
+        "events_window_agg": events_window_sql(),
+        "events_asof_orders": events_asof_orders_sql(),
         "pricing_summary": pricing_summary_sql(),
     }

@@ -334,6 +334,38 @@ WHERE rank <= {k} ORDER BY query_id, rank
 """
 
 
+def events_window_sql() -> str:
+    """Tumbling daily windows per event type; integer-cents money math."""
+    return """
+SELECT event_type,
+       date_trunc('day', ts) AS window_start,
+       count(*)::BIGINT AS n_events,
+       round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
+FROM events
+GROUP BY event_type, date_trunc('day', ts)
+ORDER BY event_type, window_start
+"""
+
+
+def events_asof_orders_sql() -> str:
+    """As-of oracle WITHOUT native ASOF (whose duplicate-timestamp pick is
+    unspecified): explicit row_number with the deterministic
+    (o_orderdate desc, o_orderkey desc) tie rule used by the engine."""
+    return """
+SELECT event_id, user_id, ts, o_orderkey, o_orderdate
+FROM (
+  SELECT e.event_id, e.user_id, e.ts,
+         o.o_orderkey, CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e
+  JOIN orders o ON o.o_custkey = e.user_id
+               AND CAST(o.o_orderdate AS TIMESTAMP) <= e.ts
+)
+WHERE rn = 1 ORDER BY event_id
+"""
+
+
 def events_lww_sql() -> str:
     return """
 SELECT user_id, ts, event_type, value FROM events

@@ -29,6 +29,104 @@ def events_last_write_wins(ds: "rd.Dataset") -> pd.DataFrame:
     return out[["user_id", "ts", "event_type", "value"]]
 
 
+def events_window_agg(ds: "rd.Dataset") -> pd.DataFrame:
+    """Tumbling daily window aggregate per event type (the windowed-
+    aggregate custom operator: floor-to-window inside map_batches partials,
+    then a small groupby — no event-time machinery needed for a bounded
+    log).  Money summed as integer cents for an fp-noise-free oracle."""
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        day = ts.astype("datetime64[D]").astype("datetime64[us]")
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_pylist(),
+            "window_start": day,
+            "n_events": 1,
+            "cents": np.rint(batch["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64),
+        })
+        g = (df.groupby(["event_type", "window_start"], sort=False)
+               .agg(n_events=("n_events", "sum"), cents=("cents", "sum"))
+               .reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["event_type", "window_start"])
+             .aggregate(Sum("n_events", alias_name="n_events"),
+                        Sum("cents", alias_name="cents"))
+             .to_pandas())
+    agg["sum_value"] = np.round(agg.pop("cents") / 100.0, 2)
+    agg["n_events"] = agg["n_events"].astype(np.int64)
+    return (agg.sort_values(["event_type", "window_start"])
+               .reset_index(drop=True)[["event_type", "window_start",
+                                        "n_events", "sum_value"]])
+
+
+def events_asof_orders(events: "rd.Dataset", orders: "rd.Dataset") -> pd.DataFrame:
+    """As-of join (custom operator b-category): for every event, the
+    latest order of the same customer at or before the event time.
+
+    Partitioning assumption (documented per the brief): both sides are
+    co-grouped on the join key by ONE shuffle — the two tables are
+    tag-unioned into a shared schema and grouped by key, so each group
+    task sees all events + all orders of one customer and runs a sorted
+    searchsorted as-of inside.  Ties on equal order date resolve to the
+    max o_orderkey (deterministic; the SQL oracle uses the same rule).
+    """
+    def tag_events(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "key": pc.cast(batch["user_id"], pa.int64()),
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
+            "event_id": batch["event_id"],
+            "ts": batch["ts"],
+            "o_orderkey": pa.array(np.full(n, -1, dtype=np.int64)),
+            "o_orderdate": pa.nulls(n, type=pa.timestamp("us")),
+        })
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "key": pc.cast(batch["o_custkey"], pa.int64()),
+            "side": pa.array(np.ones(n, dtype=np.int8)),
+            "event_id": pa.array(np.full(n, -1, dtype=np.int64)),
+            "ts": pa.nulls(n, type=pa.timestamp("us")),
+            "o_orderkey": batch["o_orderkey"],
+            "o_orderdate": pc.cast(batch["o_orderdate"], pa.timestamp("us")),
+        })
+
+    unioned = (events.map_batches(tag_events, batch_format="pyarrow")
+               .union(orders.map_batches(tag_orders, batch_format="pyarrow")))
+
+    def asof_group(group: pd.DataFrame) -> pd.DataFrame:
+        ev = group[group.side == 0]
+        od = group[group.side == 1].sort_values(["o_orderdate", "o_orderkey"])
+        if ev.empty or od.empty:
+            return pd.DataFrame(columns=["event_id", "user_id", "ts",
+                                         "o_orderkey", "o_orderdate"])
+        dates = od["o_orderdate"].to_numpy()
+        idx = np.searchsorted(dates, ev["ts"].to_numpy(), side="right") - 1
+        hit = idx >= 0
+        ev = ev[hit]
+        sel = od.iloc[idx[hit]]
+        return pd.DataFrame({
+            "event_id": ev["event_id"].to_numpy(),
+            "user_id": ev["key"].to_numpy(),
+            "ts": ev["ts"].to_numpy(),
+            "o_orderkey": sel["o_orderkey"].to_numpy(),
+            "o_orderdate": sel["o_orderdate"].to_numpy(),
+        })
+
+    out = (unioned.groupby("key")
+           .map_groups(asof_group, batch_format="pandas")
+           .to_pandas())
+    if out.empty:
+        return pd.DataFrame(columns=["event_id", "user_id", "ts",
+                                     "o_orderkey", "o_orderdate"])
+    out["event_id"] = out["event_id"].astype(np.int64)
+    out["user_id"] = out["user_id"].astype(np.int64)
+    out["o_orderkey"] = out["o_orderkey"].astype(np.int64)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def pricing_summary(ds: "rd.Dataset", cutoff: str = "1998-09-02") -> pd.DataFrame:
     """Groupby aggregate with EXACT integer-cents money math (so the
     DuckDB oracle compare is fp-noise-free) and per-batch partial
