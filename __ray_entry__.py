@@ -195,6 +195,19 @@ def _q_knn(metric: str):
     return fn
 
 
+def _q_knn_ivf_partitioned(sf_dir: str) -> pd.DataFrame:
+    import os
+    from opensearch_jvector_ray.sources.tables import CACHE_ROOT
+    key = os.path.basename(os.path.normpath(sf_dir))
+    idx = os.path.join(CACHE_ROOT, f"ivfidx_{key}")
+    if not os.path.exists(os.path.join(idx, "_centroids.npy")):
+        ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        knn_pl.build_ivf_index(ds, idx, n_centroids=8)
+    queries = query_embeddings(sf_dir, KNN_QUERY_IDS)
+    out = knn_pl.ivf_index_topk(idx, queries, KNN_K, n_probe=3)
+    return _round_hits(out)
+
+
 def _q_knn_hamming(sf_dir: str) -> pd.DataFrame:
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     queries = query_embeddings(sf_dir, KNN_QUERY_IDS)
@@ -296,6 +309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_topk": _q_knn("cosine"),
         "knn_l2_topk": _q_knn("l2"),
         "knn_ivf_cosine": _q_knn_ivf,
+        "knn_ivf_partitioned": _q_knn_ivf_partitioned,
         "knn_hamming_topk": _q_knn_hamming,
         # relational / lifecycle operators
         "events_last_write_wins": _q_events_lww,

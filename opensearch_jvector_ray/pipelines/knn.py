@@ -252,6 +252,103 @@ def hamming_topk(ds: "rd.Dataset", queries: dict[str, np.ndarray], k: int,
     return out[["query_id", "rank", id_col, "score"]].reset_index(drop=True)
 
 
+def build_ivf_index(ds: "rd.Dataset", index_dir: str, *,
+                    n_centroids: int = 16, vec_col: str = "embedding",
+                    id_col: str = "vec_id", sample_frac: float = 0.25,
+                    seed: int = 42) -> np.ndarray:
+    """Persist an IVF index: one parquet DIRECTORY per coarse cell.
+
+    The scale path promised by ``ivf_topk``'s docstring: train the coarse
+    quantizer on a sample (T2 lifecycle), broadcast the centroids, assign
+    cells in one vectorized pass, and write ``cell=K/`` partition
+    directories so query-time probing READS ONLY the probed cells
+    (prune-at-the-read, not a post-read filter).  Centroids are saved to
+    ``centroids.npy`` alongside.
+    """
+    import os
+    os.makedirs(index_dir, exist_ok=True)
+    centroids = train_centroids(ds, n_centroids, vec_col,
+                                sample_frac=sample_frac, seed=seed)
+    cent_ref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        vecs = _vecs_from_batch(batch, vec_col)
+        d = ((vecs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        return batch.append_column("cell", pa.array(d.argmin(axis=1).astype(np.int32)))
+
+    (ds.map_batches(assign, batch_format="pyarrow")
+       .write_parquet(index_dir, partition_cols=["cell"]))
+    # "_"-prefixed files are ignored by parquet dataset discovery
+    np.save(os.path.join(index_dir, "_centroids.npy"), centroids)
+    return centroids
+
+
+def ivf_index_topk(index_dir: str, queries: dict[str, np.ndarray], k: int,
+                   *, n_probe: int = 4, metric: str = "cosine",
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   ) -> pd.DataFrame:
+    """Query a persisted IVF index: per query, read ONLY the n_probe
+    nearest cell directories, brute-force within, merge.  Union of probed
+    cells is read once and scored per query with its own probe mask."""
+    import os
+    centroids = np.load(os.path.join(index_dir, "_centroids.npy"))
+    qids = sorted(queries)
+    qmat = np.stack([queries[q] for q in qids]).astype(np.float64)
+    qd = ((qmat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    probe = np.argsort(qd, axis=1)[:, :n_probe]
+    probe_sets = {qid: set(probe[i].tolist()) for i, qid in enumerate(qids)}
+    union_cells = sorted({c for s in probe_sets.values() for c in s})
+    kernel, translate, _ = METRICS[metric]
+
+    # prune at the read: ONLY the probed cell directories are listed
+    import glob as globmod
+    from ray.data.datasource.partitioning import Partitioning
+    paths = sorted(f for c in union_cells
+                   for f in globmod.glob(os.path.join(index_dir, f"cell={c}", "*.parquet")))
+    if not paths:
+        return pd.DataFrame(columns=["query_id", "rank", id_col, "score"])
+    ds = rd.read_parquet(paths,
+                         partitioning=Partitioning("hive", base_dir=index_dir))
+    qref = ray.put((qmat, probe_sets))
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        qm, probes = ray.get(qref)
+        import pyarrow.compute as pc
+        vecs = _vecs_from_batch(batch, vec_col)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        cells = pc.cast(batch["cell"], pa.int64()).to_numpy(zero_copy_only=False)
+        out_q, out_id, out_s = [], [], []
+        for qi, qid in enumerate(qids):
+            mask = np.isin(cells, list(probes[qid]))
+            if not mask.any():
+                continue
+            score = translate(kernel(vecs[mask], qm[qi]))
+            sel_ids, sel_sc = _partial_topk(ids[mask], score, k)
+            out_q.extend([qid] * len(sel_ids))
+            out_id.append(sel_ids)
+            out_s.append(sel_sc)
+        if not out_q:
+            return pa.table({"query_id": pa.array([], type=pa.string()),
+                             id_col: pa.array([], type=batch[id_col].type),
+                             "score": pa.array([], type=pa.float64())})
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.string()),
+            id_col: pa.array(np.concatenate(out_id)),
+            "score": pa.array(np.concatenate(out_s), type=pa.float64()),
+        })
+
+    parts = ds.map_batches(score_batch, batch_format="pyarrow",
+                           batch_size=8192).to_pandas()
+    if parts.empty:
+        return pd.DataFrame(columns=["query_id", "rank", id_col, "score"])
+    out = (parts.sort_values(["query_id", "score", id_col],
+                             ascending=[True, False, True], kind="mergesort")
+                .groupby("query_id", sort=False).head(k))
+    out["rank"] = out.groupby("query_id", sort=False).cumcount() + 1
+    return out[["query_id", "rank", id_col, "score"]].reset_index(drop=True)
+
+
 def embedding_near_dups(ds: "rd.Dataset", threshold: float = 0.995,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         n_planes: int = 8, seed: int = 7) -> pd.DataFrame:

@@ -147,3 +147,23 @@ def test_binary_quantize_batch():
     out = knn_pl.binary_quantize_batch(tbl)
     bits = np.frombuffer(out["bits"][0].as_py(), dtype=np.uint8)
     assert np.unpackbits(bits).tolist() == [1, 0, 1, 0] * 4
+
+
+def test_ivf_partitioned_index(tmp_path):
+    """Build-time cell partitioning: query reads ONLY probed cell dirs and
+    meets the recall floor on clustered data."""
+    import os
+    rng = np.random.default_rng(21)
+    centers = rng.standard_normal((6, 24)) * 5
+    vecs = np.concatenate([c + rng.standard_normal((60, 24))
+                           for c in centers]).astype(np.float32)
+    ds = rd.from_arrow(_vec_table(vecs))
+    idx = str(tmp_path / "ivf")
+    knn_pl.build_ivf_index(ds, idx, n_centroids=6)
+    assert sorted(d for d in os.listdir(idx) if d.startswith("cell="))
+    queries = {f"q{i}": vecs[i * 47].astype(np.float64) for i in range(4)}
+    out = knn_pl.ivf_index_topk(idx, queries, 10, n_probe=2)
+    exact = knn_pl.brute_force_topk(ds, queries, 10)
+    recalls = [len(set(exact[exact.query_id == q].vec_id)
+                   & set(out[out.query_id == q].vec_id)) / 10 for q in queries]
+    assert np.mean(recalls) >= 0.75, recalls
