@@ -28,7 +28,7 @@ import ray.data as rd
 from opensearch_jvector_ray.config import EngineConfig
 from opensearch_jvector_ray.oracles import (
     bm25_sql, collection_stats_sql, events_asof_orders_sql, events_lww_sql,
-    events_window_sql, exact_dedup_sql,
+    events_window_sql, exact_dedup_sql, revenue_by_nation_sql,
     fingerprint_sql, grouped_best_sql, knn_sql, lang_id_sql, phrase_sql,
     pricing_summary_sql, quality_sql, term_stats_sql, token_count_sql,
 )
@@ -240,6 +240,13 @@ def _q_events_asof(sf_dir: str) -> pd.DataFrame:
     return rel_pl.events_asof_orders(ev, od)
 
 
+def _q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    return rel_pl.revenue_by_nation(
+        orders, os.path.join(sf_dir, "customer.parquet"),
+        os.path.join(sf_dir, "nation.parquet"))
+
+
 def _q_pricing(sf_dir: str) -> pd.DataFrame:
     ds = read_table(sf_dir, "lineitem",
                     columns=["l_returnflag", "l_linestatus", "l_quantity",
@@ -316,6 +323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_agg": _q_events_window,
         "events_asof_orders": _q_events_asof,
         "pricing_summary": _q_pricing,
+        "revenue_by_nation": _q_revenue_by_nation,
         # flagship transcript engine (pytest-oracle'd; not SQL-registered)
         "transcripts_bm25": _q_transcripts_bm25,
         # near-dup family (approximate; pytest-oracle'd)
@@ -352,4 +360,5 @@ def oracle_sql() -> dict[str, str]:
         "events_window_agg": events_window_sql(),
         "events_asof_orders": events_asof_orders_sql(),
         "pricing_summary": pricing_summary_sql(),
+        "revenue_by_nation": revenue_by_nation_sql(),
     }

@@ -366,6 +366,20 @@ WHERE rn = 1 ORDER BY event_id
 """
 
 
+def revenue_by_nation_sql() -> str:
+    """Broadcast-join oracle (integer-cents money math)."""
+    return """
+SELECT n.n_name,
+       count(*)::BIGINT AS n_orders,
+       round(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+         AS total_revenue
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name ORDER BY n.n_name
+"""
+
+
 def events_lww_sql() -> str:
     return """
 SELECT user_id, ts, event_type, value FROM events

@@ -29,6 +29,51 @@ def events_last_write_wins(ds: "rd.Dataset") -> pd.DataFrame:
     return out[["user_id", "ts", "event_type", "value"]]
 
 
+def revenue_by_nation(orders: "rd.Dataset", customer_path: str,
+                      nation_path: str) -> pd.DataFrame:
+    """Broadcast hash-join + combiner aggregate: orders (large, streamed)
+    joined to customer->nation (small side, `ray.put` ONCE and read per
+    task — never re-shipped per batch), partial-aggregated inside
+    map_batches, reduced by a tiny groupby.  Money as integer cents.
+
+    The J-pattern for small-side joins at 100 TB: the fact table never
+    shuffles; only (nation, partial-sum) rows do.
+    """
+    import pyarrow.parquet as pq
+    import ray
+
+    cust = pq.read_table(customer_path, columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(nation_path, columns=["n_nationkey", "n_name"])
+    cust_to_nation = dict(zip(cust["c_custkey"].to_pylist(),
+                              cust["c_nationkey"].to_pylist()))
+    nation_name = dict(zip(nation["n_nationkey"].to_pylist(),
+                           nation["n_name"].to_pylist()))
+    lookup_ref = ray.put((cust_to_nation, nation_name))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c2n, n_name = ray.get(lookup_ref)
+        cust_keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        cents = np.rint(batch["o_totalprice"].to_numpy(zero_copy_only=False)
+                        * 100).astype(np.int64)
+        names = [n_name.get(c2n.get(int(ck), -1), None) for ck in cust_keys]
+        df = pd.DataFrame({"n_name": names, "cents": cents, "n_orders": 1})
+        df = df[df.n_name.notna()]
+        g = (df.groupby("n_name", sort=False)
+               .agg(cents=("cents", "sum"), n_orders=("n_orders", "sum"))
+               .reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (orders.map_batches(partial, batch_format="pyarrow")
+           .groupby("n_name")
+           .aggregate(Sum("cents", alias_name="cents"),
+                      Sum("n_orders", alias_name="n_orders"))
+           .to_pandas())
+    agg["total_revenue"] = np.round(agg.pop("cents") / 100.0, 2)
+    agg["n_orders"] = agg["n_orders"].astype(np.int64)
+    return (agg.sort_values("n_name").reset_index(drop=True)
+            [["n_name", "n_orders", "total_revenue"]])
+
+
 def events_window_agg(ds: "rd.Dataset") -> pd.DataFrame:
     """Tumbling daily window aggregate per event type (the windowed-
     aggregate custom operator: floor-to-window inside map_batches partials,
