@@ -265,6 +265,12 @@ def _q_minhash(sf_dir: str) -> pd.DataFrame:
                                       threshold=0.5)
 
 
+def _q_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup_pl.ngram_jaccard_pairs(ds, CFG, "doc_id", "text",
+                                        threshold=0.3, lsh_threshold=0.2)
+
+
 def _q_simhash(sf_dir: str) -> pd.DataFrame:
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return dedup_pl.simhash_near_dups(ds, CFG, "doc_id", "text",
@@ -328,6 +334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_bm25": _q_transcripts_bm25,
         # near-dup family (approximate; pytest-oracle'd)
         "minhash_dedup": _q_minhash,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
         "simhash_near_dups": _q_simhash,
         "embedding_near_dups": _q_embedding_dups,
         # multimodal plumbing (decode stubbed; rows-only)

@@ -268,6 +268,49 @@ def minhash_lsh_dedup(ds: "rd.Dataset", cfg: EngineConfig, id_col: str,
     return out.reset_index(drop=True)
 
 
+def ngram_jaccard_pairs(ds: "rd.Dataset", cfg: EngineConfig, id_col: str,
+                        text_col: str, *, n: int = 5,
+                        threshold: float = 0.5,
+                        lsh_threshold: float = 0.2) -> pd.DataFrame:
+    """Character n-gram Jaccard near-dup pairs.
+
+    Blocking: word-shingle MinHash-LSH candidates (near dups share words,
+    so word-level banding is a sound blocker for char-level similarity);
+    scoring: exact char-n-gram Jaccard on the normalized text of the
+    (small) candidate set.  Returns (id_a, id_b, jaccard) pairs with
+    jaccard >= threshold, rounded to 6.
+    """
+    clusters_or_pairs = minhash_lsh_dedup(ds, cfg, id_col, text_col,
+                                          threshold=lsh_threshold)
+    # minhash_lsh_dedup returns clusters; recover member pairs per cluster
+    pairs = []
+    for cid, grp in clusters_or_pairs.groupby("cluster_id"):
+        ids = sorted(grp[id_col])
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.append((ids[i], ids[j]))
+    if not pairs:
+        return pd.DataFrame(columns=["id_a", "id_b", "jaccard"])
+    cand_ids = sorted({i for p in pairs for i in p})
+    texts = (ds.map_batches(
+        lambda b: pa.table({id_col: b[id_col],
+                            "__norm": normalized_text(
+                                b[text_col].combine_chunks()
+                                if isinstance(b[text_col], pa.ChunkedArray)
+                                else b[text_col], cfg)}),
+        batch_format="pyarrow")
+        .filter(expr=f"{id_col} in {cand_ids!r}")
+        .to_pandas())
+    text_of = dict(zip(texts[id_col], texts["__norm"]))
+    grams = {i: char_ngrams(text_of.get(i) or "", n) for i in cand_ids}
+    out = [(a, b, round(jaccard(grams[a], grams[b]), 6))
+           for a, b in pairs if jaccard(grams[a], grams[b]) >= threshold]
+    if not out:
+        return pd.DataFrame(columns=["id_a", "id_b", "jaccard"])
+    return (pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"])
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+
 # ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------

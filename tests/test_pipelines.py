@@ -167,3 +167,21 @@ def test_ivf_partitioned_index(tmp_path):
     recalls = [len(set(exact[exact.query_id == q].vec_id)
                    & set(out[out.query_id == q].vec_id)) / 10 for q in queries]
     assert np.mean(recalls) >= 0.75, recalls
+
+
+def test_ngram_jaccard_pairs_planted():
+    texts = [BASE,
+             BASE.replace("warm", "cold"),   # high char-ngram overlap with 0
+             "entirely different words about engines and distributed query planning",
+             "more unrelated content mentioning vectors tokens and languages"]
+    out = dd.ngram_jaccard_pairs(rd.from_arrow(_doc_table(texts)), CFG,
+                                 "doc_id", "text", threshold=0.5,
+                                 lsh_threshold=0.2)
+    got = {(r.id_a, r.id_b) for r in out.itertuples()}
+    assert (0, 1) in got
+    # exact jaccard check against the kernel directly
+    from opensearch_jvector_ray.pipelines.dedup import char_ngrams, jaccard
+    row = out[(out.id_a == 0) & (out.id_b == 1)].iloc[0]
+    exp = jaccard(char_ngrams(texts[0], 5), char_ngrams(texts[1], 5))
+    assert abs(row.jaccard - round(exp, 6)) < 1e-9
+    assert not any(2 in p or 3 in p for p in got)
