@@ -89,8 +89,13 @@ tf AS (
 ),
 scores AS (
   SELECT qt.query_id, tf.{id_col},
+         -- ORDER BY inside the aggregate pins the fp summation order:
+         -- without it DuckDB's parallel aggregation adds contributions in
+         -- a run-dependent order, so two docs with IDENTICAL contribution
+         -- multisets can differ by 1 ulp and dodge the tie-break
          sum(qt.w * ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
              * (tf.tf / (tf.tf + {cfg.k1!r} * (1.0 - {cfg.b!r} + {cfg.b!r} * dl.dl / stats.avgdl)))
+             ORDER BY qt.term
             ) AS score__raw
   FROM qt
   JOIN tf ON tf.term = qt.term

@@ -95,3 +95,38 @@ def test_lww_routes_to_shuffle_mode(tmp_path):
     assert res.num_docs == 1
     out = IndexSearcher(idx).search({"q": "banana"}, k=5)
     assert len(out) == 1
+
+
+def test_staged_mode_lww_from_paths(tmp_path):
+    """Path input + LWW routes to the staged partitioned-write exchange
+    (auto mode) and produces results identical to the in-memory shuffle
+    build."""
+    corpus, src = _write_corpus(tmp_path, n=150, files=4)
+    # plant a duplicate key with a later ts that must win
+    import pyarrow.parquet as pq2
+    dup = corpus.slice(0, 1)
+    import pyarrow as pa2
+    dup = pa2.table({
+        "conv_id": dup["conv_id"],
+        "turn_idx": dup["turn_idx"],
+        "role": dup["role"],
+        "text": pa2.array(["updated banana text wins"], type=pa2.string()),
+        "tool": dup["tool"],
+        "ts": pa2.array([9_999_999_999_000_000], type=pa2.timestamp("us")),
+    })
+    pq2.write_table(dup, str(tmp_path / "input" / "zz-dup.parquet"))
+
+    cfg = EngineConfig(num_segments=6, last_write_wins=True)
+    idx_staged = str(tmp_path / "staged")
+    res = build_index(src, idx_staged, cfg, IndexSpec())   # auto -> staged
+    assert res.num_docs == corpus.num_rows                 # dup collapsed
+    assert not os.path.exists(os.path.join(idx_staged, "_staging"))
+
+    all_rows = pa.concat_tables([corpus, dup])
+    idx_shuf = str(tmp_path / "shuf")
+    build_index(rd.from_arrow(all_rows), idx_shuf, cfg, IndexSpec())
+    q = {"a": "updated banana", "b": "data model search"}
+    a = IndexSearcher(idx_staged).search(q, k=10)
+    b = IndexSearcher(idx_shuf).search(q, k=10)
+    pd.testing.assert_frame_equal(a, b, atol=1e-12)
+    assert len(a[a.query_id == "a"]) >= 1                  # update visible
