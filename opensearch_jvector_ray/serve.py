@@ -99,8 +99,12 @@ class SegmentShardActor:
                 self.term_cache.popitem(last=False)
         return {t: v for t, v in out.items() if v is not None}
 
-    def search(self, queries: list[dict], k: int, avgdl: float) -> pa.Table:
-        """queries: [{query_id, terms: [(term, weight, idf)]}]"""
+    def search(self, queries: list[dict], k: int, avgdl: float,
+               filter=None) -> pa.Table:
+        """queries: [{query_id, terms: [(term, weight, idf)]}];
+        ``filter`` is an optional pyarrow dataset Expression evaluated as a
+        pre-filter mask over each segment's docs table (J2 semantics:
+        candidates restricted, global stats untouched)."""
         cfg = self.cfg
         union = sorted({t for q in queries for (t, _, _) in q["terms"]})
         parts: list[pa.Table] = []
@@ -108,6 +112,13 @@ class SegmentShardActor:
             plists = self._postings_for(seg, union)
             dl = seg["dl"]
             n_docs = len(dl)
+            mask = None
+            if filter is not None and n_docs:
+                with_ord = seg["docs"].append_column(
+                    "__ord", pa.array(np.arange(n_docs, dtype=np.int64)))
+                kept = with_ord.filter(filter)["__ord"].to_numpy(zero_copy_only=False)
+                mask = np.zeros(n_docs, dtype=bool)
+                mask[kept] = True
             scores = np.zeros(n_docs, dtype=np.float64)
             for q in queries:
                 scores[:] = 0.0
@@ -121,6 +132,8 @@ class SegmentShardActor:
                         tfs, dl[ords], avgdl, cfg.k1, cfg.b)
                 if not any_term:
                     continue
+                if mask is not None:
+                    scores[~mask] = 0.0
                 cand = np.flatnonzero(scores > 0.0)
                 ords_k, sc_k = _topk_from_scores(scores, cand, k, seg["tie"])
                 if len(ords_k) == 0:
@@ -185,10 +198,12 @@ class SearchService:
             out.append({"query_id": qid, "terms": terms})
         return out
 
-    def search(self, queries: dict[str, str], k: int = 10) -> pd.DataFrame:
+    def search(self, queries: dict[str, str], k: int = 10,
+               filter=None) -> pd.DataFrame:
         prepared = self._prepare(queries, k)
         avgdl = float(self.stats["avgdl"] or 1.0)
-        futures = [a.search.remote(prepared, k, avgdl) for a in self.actors]
+        futures = [a.search.remote(prepared, k, avgdl, filter)
+                   for a in self.actors]
         tables = [t for t in ray.get(futures) if t.num_rows]
         if not tables:
             df = pd.DataFrame(columns=["query_id", *self.key_cols, "score"])

@@ -46,3 +46,19 @@ def test_service_unknown_terms(tmp_path):
         assert out.empty
     finally:
         svc.shutdown()
+
+
+def test_service_filtered_search(tmp_path):
+    import pyarrow.compute as pc
+    corpus = generate_conversations(np.arange(120))
+    idx = str(tmp_path / "idx")
+    build_index(rd.from_arrow(corpus), idx, EngineConfig(num_segments=4),
+                IndexSpec())
+    f = pc.field("role") == "assistant"
+    base = IndexSearcher(idx).search({"q": "data model search"}, k=10, filter=f)
+    svc = SearchService(idx, num_shards=2)
+    try:
+        out = svc.search({"q": "data model search"}, k=10, filter=f)
+        pd.testing.assert_frame_equal(base, out, atol=1e-12)
+    finally:
+        svc.shutdown()
