@@ -134,3 +134,41 @@ def test_segmentation_invariance(corpus, index, tmp_path):
                     EngineConfig(num_segments=p), IndexSpec())
         b = IndexSearcher(idx2).search(QUERIES, k=15)
         pd.testing.assert_frame_equal(a, b, atol=1e-12)
+
+
+def test_per_turn_text_equality_invariant(tmp_path, corpus):
+    """The input_hint's per-row invariant: after the engine's read ->
+    partition -> (shuffled) build, every turn's text is recoverable
+    unchanged under stable (conv_id, turn_idx) ordering — the index stores
+    no text (derived-source, S9), so the source parquet re-read through
+    the engine's own reader must match the corpus byte-for-byte."""
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc2
+    src = str(tmp_path / "t.parquet")
+    # write through a shuffled row order to prove ordering-stability
+    rng = np.random.default_rng(8)
+    perm = rng.permutation(corpus.num_rows)
+    pq.write_table(corpus.take(pa.array(perm)), src)
+
+    got = (rd.read_parquet(src)
+           .select_columns(["conv_id", "turn_idx", "text"])
+           .to_pandas()
+           .sort_values(["conv_id", "turn_idx"])
+           .reset_index(drop=True))
+    exp = (corpus.select(["conv_id", "turn_idx", "text"]).to_pandas()
+           .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
+
+    # and the index's doc tables enumerate exactly the same keys, in the
+    # same per-segment stable order (ord asc == key asc)
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, EngineConfig(num_segments=5), IndexSpec())
+    import os
+    keys = []
+    for d in sorted(os.listdir(os.path.join(idx, "segments"))):
+        docs = pq.read_table(os.path.join(idx, "segments", d, "docs.parquet"))
+        seg_keys = list(zip(docs["conv_id"].to_pylist(),
+                            docs["turn_idx"].to_pylist()))
+        assert seg_keys == sorted(seg_keys)          # stable in-segment order
+        keys.extend(seg_keys)
+    assert sorted(keys) == list(zip(exp.conv_id, exp.turn_idx))
