@@ -25,7 +25,6 @@ import pyarrow.parquet as pq
 
 import ray.data as rd
 
-from opensearch_jvector_ray.config import EngineConfig
 from opensearch_jvector_ray.oracles import (
     bm25_sql, collection_stats_sql, events_asof_orders_sql, events_lww_sql,
     events_window_sql, exact_dedup_sql, revenue_by_nation_sql,

@@ -59,7 +59,7 @@ from opensearch_jvector_ray.analyze import tokenize
 from opensearch_jvector_ray.config import EngineConfig
 from opensearch_jvector_ray.postings import build_postings_table
 from opensearch_jvector_ray.state.manifest import (
-    CONFIG_NAME, DICTIONARY_NAME, DOCS_NAME, POSTINGS_NAME, STATS_NAME,
+    CONFIG_NAME, DOCS_NAME, POSTINGS_NAME, STATS_NAME,
     SegmentManifest, StageTimer, completed_segments, segment_dir,
     write_json_atomic,
 )

@@ -29,9 +29,7 @@ merge itself resumable (skip groups whose output manifest exists).
 from __future__ import annotations
 
 import os
-import shutil
 import time
-from dataclasses import dataclass
 from typing import Any, Sequence
 
 import numpy as np
@@ -43,8 +41,7 @@ import ray.data as rd
 
 from opensearch_jvector_ray.config import EngineConfig
 from opensearch_jvector_ray.postings import (
-    POSTINGS_SCHEMA, decode_posting_list, decode_positions,
-    encode_posting_arrays,
+    POSTINGS_SCHEMA, encode_posting_arrays,
 )
 from opensearch_jvector_ray.stages.build import (
     POSTINGS_ROW_GROUP, IndexSpec, aggregate_dictionary,

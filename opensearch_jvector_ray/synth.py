@@ -22,7 +22,6 @@ import os
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.parquet as pq
 
 import ray.data as rd
 
