@@ -28,6 +28,7 @@ import ray.data as rd
 from opensearch_jvector_ray.oracles import (
     bm25_sql, collection_stats_sql, events_asof_orders_sql, events_lww_sql,
     events_window_sql, exact_dedup_sql, revenue_by_nation_sql,
+    top_order_revenue_sql,
     fingerprint_sql, grouped_best_sql, knn_sql, lang_id_sql, phrase_sql,
     pricing_summary_sql, quality_sql, term_stats_sql, token_count_sql,
 )
@@ -239,6 +240,14 @@ def _q_events_asof(sf_dir: str) -> pd.DataFrame:
     return rel_pl.events_asof_orders(ev, od)
 
 
+def _q_top_order_revenue(sf_dir: str) -> pd.DataFrame:
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderdate"])
+    lineitem = read_table(sf_dir, "lineitem",
+                          columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    return rel_pl.top_order_revenue(orders, lineitem, k=10)
+
+
 def _q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
     orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     return rel_pl.revenue_by_nation(
@@ -329,6 +338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_orders": _q_events_asof,
         "pricing_summary": _q_pricing,
         "revenue_by_nation": _q_revenue_by_nation,
+        "top_order_revenue": _q_top_order_revenue,
         # flagship transcript engine (pytest-oracle'd; not SQL-registered)
         "transcripts_bm25": _q_transcripts_bm25,
         # near-dup family (approximate; pytest-oracle'd)
@@ -367,4 +377,5 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_orders": events_asof_orders_sql(),
         "pricing_summary": pricing_summary_sql(),
         "revenue_by_nation": revenue_by_nation_sql(),
+        "top_order_revenue": top_order_revenue_sql(),
     }

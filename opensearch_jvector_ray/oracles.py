@@ -385,6 +385,24 @@ GROUP BY n.n_name ORDER BY n.n_name
 """
 
 
+def top_order_revenue_sql(k: int = 10,
+                          orderdate_before: str = "1998-01-01") -> str:
+    """Big-big join oracle; integer-cents revenue (price_c*(100-disc_c)
+    summed as BIGINT then /10000) so sums are exact; (revenue desc,
+    o_orderkey asc) tie rule."""
+    return f"""
+SELECT o.o_orderkey, CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+       round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0,
+             4) AS revenue
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate < TIMESTAMP '{orderdate_before} 00:00:00'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o.o_orderkey ASC
+LIMIT {k}
+"""
+
+
 def events_lww_sql() -> str:
     return """
 SELECT user_id, ts, event_type, value FROM events

@@ -105,6 +105,71 @@ def events_window_agg(ds: "rd.Dataset") -> pd.DataFrame:
                                         "n_events", "sum_value"]])
 
 
+def top_order_revenue(orders: "rd.Dataset", lineitem: "rd.Dataset",
+                      k: int = 10, orderdate_before: str = "1998-01-01",
+                      ) -> pd.DataFrame:
+    """Big-big equi-join (TPC-H-Q3 flavour): revenue per order from
+    lineitem, joined to the order's metadata, top-k by revenue.
+
+    Both sides are large, so neither is broadcast: lineitem is first
+    partial-aggregated per order key inside map_batches (integer-cents
+    combiner — the heavy table collapses to one row per key before any
+    exchange), then the two key-level tables are co-grouped on
+    o_orderkey with ONE shuffle (tag-union + groupby, the partitioned
+    hash-join pattern) and joined inside each group.  Ties on equal
+    revenue resolve by o_orderkey asc (deterministic; oracle identical).
+    """
+    cutoff = np.datetime64(f"{orderdate_before}T00:00:00", "us")
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        key = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        price_c = np.rint(batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        disc_c = np.rint(batch["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        df = pd.DataFrame({"key": key, "cents": price_c * (100 - disc_c)})
+        g = df.groupby("key", sort=False)["cents"].sum().reset_index()
+        g["side"] = np.int8(1)
+        g["o_orderdate"] = pd.NaT
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def o_tag(batch: pa.Table) -> pa.Table:
+        dates = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        keep = dates < cutoff
+        batch = batch.filter(pa.array(keep))
+        n = batch.num_rows
+        return pa.table({
+            "key": pc.cast(batch["o_orderkey"], pa.int64()),
+            "cents": pa.array(np.zeros(n, dtype=np.int64)),
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
+            "o_orderdate": pc.cast(batch["o_orderdate"], pa.timestamp("us")),
+        })
+
+    li = lineitem.map_batches(li_partial, batch_format="pyarrow")
+    od = orders.map_batches(o_tag, batch_format="pyarrow")
+
+    def join_group(group: pd.DataFrame) -> pd.DataFrame:
+        o = group[group.side == 0]
+        l = group[group.side == 1]
+        if o.empty or l.empty:
+            return pd.DataFrame(columns=["o_orderkey", "o_orderdate", "cents"])
+        return pd.DataFrame({
+            "o_orderkey": [int(group["key"].iloc[0])],
+            "o_orderdate": [o["o_orderdate"].iloc[0]],
+            "cents": [int(l["cents"].sum())],
+        })
+
+    joined = (od.union(li).groupby("key")
+              .map_groups(join_group, batch_format="pandas")
+              .to_pandas())
+    if joined.empty:
+        return pd.DataFrame(columns=["o_orderkey", "o_orderdate", "revenue"])
+    joined["revenue"] = np.round(joined.pop("cents") / 10000.0, 4)
+    joined["o_orderkey"] = joined["o_orderkey"].astype(np.int64)
+    out = (joined.sort_values(["revenue", "o_orderkey"],
+                              ascending=[False, True], kind="mergesort")
+                 .head(k).reset_index(drop=True))
+    return out[["o_orderkey", "o_orderdate", "revenue"]]
+
+
 def events_asof_orders(events: "rd.Dataset", orders: "rd.Dataset") -> pd.DataFrame:
     """As-of join (custom operator b-category): for every event, the
     latest order of the same customer at or before the event time.
