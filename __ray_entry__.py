@@ -27,7 +27,8 @@ import ray.data as rd
 
 from opensearch_jvector_ray.oracles import (
     bm25_sql, collection_stats_sql, events_asof_orders_sql, events_lww_sql,
-    events_window_sql, exact_dedup_sql, revenue_by_nation_sql,
+    events_sessionize_sql, events_window_sql, exact_dedup_sql,
+    revenue_by_nation_sql,
     top_order_revenue_sql,
     fingerprint_sql, grouped_best_sql, knn_sql, lang_id_sql, phrase_sql,
     pricing_summary_sql, quality_sql, term_stats_sql, token_count_sql,
@@ -240,6 +241,11 @@ def _q_events_asof(sf_dir: str) -> pd.DataFrame:
     return rel_pl.events_asof_orders(ev, od)
 
 
+def _q_events_sessionize(sf_dir: str) -> pd.DataFrame:
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    return rel_pl.events_sessionize(ds)
+
+
 def _q_top_order_revenue(sf_dir: str) -> pd.DataFrame:
     orders = read_table(sf_dir, "orders",
                         columns=["o_orderkey", "o_orderdate"])
@@ -335,6 +341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational / lifecycle operators
         "events_last_write_wins": _q_events_lww,
         "events_window_agg": _q_events_window,
+        "events_sessionize": _q_events_sessionize,
         "events_asof_orders": _q_events_asof,
         "pricing_summary": _q_pricing,
         "revenue_by_nation": _q_revenue_by_nation,
@@ -374,6 +381,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_l2_topk": knn_sql("l2", KNN_QUERY_IDS, KNN_K),
         "events_last_write_wins": events_lww_sql(),
         "events_window_agg": events_window_sql(),
+        "events_sessionize": events_sessionize_sql(),
         "events_asof_orders": events_asof_orders_sql(),
         "pricing_summary": pricing_summary_sql(),
         "revenue_by_nation": revenue_by_nation_sql(),

@@ -385,6 +385,30 @@ GROUP BY n.n_name ORDER BY n.n_name
 """
 
 
+def events_sessionize_sql(gap_minutes: int = 30) -> str:
+    """Session-window oracle via lag + running sum of new-session flags."""
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL {gap_minutes} MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM e
+)
+SELECT user_id, session_idx::BIGINT AS session_idx,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*)::BIGINT AS n_events
+FROM s GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx
+"""
+
+
 def top_order_revenue_sql(k: int = 10,
                           orderdate_before: str = "1998-01-01") -> str:
     """Big-big join oracle; integer-cents revenue (price_c*(100-disc_c)

@@ -105,6 +105,45 @@ def events_window_agg(ds: "rd.Dataset") -> pd.DataFrame:
                                         "n_events", "sum_value"]])
 
 
+def events_sessionize(ds: "rd.Dataset", gap_minutes: int = 30) -> pd.DataFrame:
+    """Session windows (gap-based) per user: a new session starts when the
+    gap to the previous event exceeds ``gap_minutes``.
+
+    The streaming-shaped custom operator from the brief: the event log is
+    treated as an ordered, key-partitioned stream — one groupby(user_id)
+    shuffle co-locates each key, and the windowing itself is a sorted
+    numpy pass inside the group (the guide's session-window recipe).
+    Ordering ties on equal ts resolve by event_id (both sides).
+    """
+    gap_us = np.int64(gap_minutes) * 60 * 1_000_000
+
+    def sessionize(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"], kind="mergesort")
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        new = np.ones(len(g), dtype=np.int64)
+        new[1:] = (ts[1:] - ts[:-1] > gap_us).astype(np.int64)
+        sess = np.cumsum(new)
+        out = pd.DataFrame({"user_id": g["user_id"].to_numpy(),
+                            "session_idx": sess, "ts": g["ts"].to_numpy(),
+                            "one": 1})
+        agg = (out.groupby("session_idx", sort=True)
+                  .agg(user_id=("user_id", "first"),
+                       session_start=("ts", "min"),
+                       session_end=("ts", "max"),
+                       n_events=("one", "sum"))
+                  .reset_index())
+        return agg[["user_id", "session_idx", "session_start", "session_end",
+                    "n_events"]]
+
+    out = (ds.groupby("user_id")
+             .map_groups(sessionize, batch_format="pandas")
+             .to_pandas())
+    out["session_idx"] = out["session_idx"].astype(np.int64)
+    out["n_events"] = out["n_events"].astype(np.int64)
+    return (out.sort_values(["user_id", "session_idx"])
+               .reset_index(drop=True))
+
+
 def top_order_revenue(orders: "rd.Dataset", lineitem: "rd.Dataset",
                       k: int = 10, orderdate_before: str = "1998-01-01",
                       ) -> pd.DataFrame:
