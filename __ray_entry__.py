@@ -28,8 +28,8 @@ import ray.data as rd
 from opensearch_jvector_ray.oracles import (
     bm25_sql, collection_stats_sql, events_asof_orders_sql, events_lww_sql,
     events_sessionize_sql, events_window_sql, exact_dedup_sql,
-    revenue_by_nation_sql,
-    top_order_revenue_sql,
+    ivf_fixed_sql, revenue_by_nation_sql, simhash_sql,
+    top_order_revenue_sql, transcripts_bm25_sql,
     fingerprint_sql, grouped_best_sql, knn_sql, lang_id_sql, phrase_sql,
     pricing_summary_sql, quality_sql, term_stats_sql, token_count_sql,
 )
@@ -63,6 +63,10 @@ PHRASE_QUERIES = {"p1": "fast merge", "p2": "data row", "p3": "customer join"}
 TERM_STATS_TERMS = ["customer", "data", "fast", "merge", "query", "window"]
 KNN_QUERY_IDS = [0, 1, 2]
 KNN_K = 10
+KNN_FILTER_LABEL = 3          # pre-filter: embeddings.label == 3
+KNN_RADIAL_MIN_SCORE = 0.62   # cosine score (1+cos)/2 threshold
+IVF_CENTROID_IDS = list(range(8))   # fixed data-row coarse centers
+IVF_N_PROBE = 3
 TRANSCRIPT_QUERIES = {
     "t1": "zebra quantum nebula",
     "t2": "data model search index",
@@ -108,15 +112,17 @@ def _q_bm25_phrase(sf_dir: str) -> pd.DataFrame:
 
 
 def _q_bm25_radial(sf_dir: str) -> pd.DataFrame:
+    # UNCAPPED score>=theta predicate path (O5) — no max_k truncation
     s = IndexSearcher(documents_index(sf_dir))
-    out = s.search(RADIAL_QUERY, k=CFG.max_k)
-    out = out[out["score"] >= RADIAL_MIN_SCORE].reset_index(drop=True)
-    return _round_hits(out)
+    return _round_hits(s.search(RADIAL_QUERY, min_score=RADIAL_MIN_SCORE))
 
 
 def _q_grouped_best(sf_dir: str) -> pd.DataFrame:
     s = IndexSearcher(documents_index(sf_dir))
-    hits = s.search({"q": GROUP_QUERY}, k=CFG.max_k)
+    # min_score=0.0 returns EVERY matching doc (scores are strictly
+    # positive), so the per-group winner can never fall beyond a k cap —
+    # rank-identical to the oracle's unbounded ranking
+    hits = s.search({"q": GROUP_QUERY}, min_score=0.0)
     src = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
                         columns=["doc_id", "source"]).to_pandas()
     m = hits.merge(src, on="doc_id")
@@ -187,46 +193,66 @@ def _q_lang_id(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
-def _q_knn(metric: str):
+def _q_knn(metric: str, columns=("vec_id", "embedding"), **kw):
     def fn(sf_dir: str) -> pd.DataFrame:
-        ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        ds = read_table(sf_dir, "embeddings", columns=list(columns))
         queries = query_embeddings(sf_dir, KNN_QUERY_IDS)
-        out = knn_pl.brute_force_topk(ds, queries, KNN_K, metric=metric)
+        out = knn_pl.brute_force_topk(ds, queries, KNN_K, metric=metric,
+                                      round_decimals=6, **kw)
         return _round_hits(out)
     return fn
+
+
+def _q_knn_filtered(sf_dir: str) -> pd.DataFrame:
+    return _q_knn("cosine", columns=("vec_id", "embedding", "label"),
+                  filter_expr=pc.field("label") == KNN_FILTER_LABEL)(sf_dir)
+
+
+def _q_knn_radial(sf_dir: str) -> pd.DataFrame:
+    return _q_knn("cosine", min_score=KNN_RADIAL_MIN_SCORE)(sf_dir)
 
 
 def _q_knn_ivf_partitioned(sf_dir: str) -> pd.DataFrame:
     import os
     from opensearch_jvector_ray.sources.tables import CACHE_ROOT
     key = os.path.basename(os.path.normpath(sf_dir))
-    idx = os.path.join(CACHE_ROOT, f"ivfidx_{key}")
+    idx = os.path.join(CACHE_ROOT, f"ivffix_{key}")
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cent = knn_pl.fixed_centroids(ds, IVF_CENTROID_IDS)
     if not os.path.exists(os.path.join(idx, "_centroids.npy")):
-        ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-        knn_pl.build_ivf_index(ds, idx, n_centroids=8)
+        knn_pl.build_ivf_index(ds, idx, centroids=cent)
     queries = query_embeddings(sf_dir, KNN_QUERY_IDS)
-    out = knn_pl.ivf_index_topk(idx, queries, KNN_K, n_probe=3)
+    out = knn_pl.ivf_index_topk(idx, queries, KNN_K, n_probe=IVF_N_PROBE,
+                                round_decimals=6)
     return _round_hits(out)
 
 
 def _q_knn_hamming(sf_dir: str) -> pd.DataFrame:
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     queries = query_embeddings(sf_dir, KNN_QUERY_IDS)
-    out = knn_pl.hamming_topk(ds, queries, KNN_K)
+    out = knn_pl.hamming_topk(ds, queries, KNN_K, round_decimals=6)
     return _round_hits(out)
 
 
 def _q_knn_ivf(sf_dir: str) -> pd.DataFrame:
+    # fixed data-row coarse centers -> deterministic AND SQL-oracled; the
+    # k-means-trained path is exercised by the pytest recall gate
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cent = knn_pl.fixed_centroids(ds, IVF_CENTROID_IDS)
     queries = query_embeddings(sf_dir, KNN_QUERY_IDS)
-    out = knn_pl.ivf_topk(ds, queries, KNN_K, n_centroids=8, n_probe=3)
+    out = knn_pl.ivf_topk(ds, queries, KNN_K, centroids=cent,
+                          n_probe=IVF_N_PROBE, round_decimals=6)
     return _round_hits(out)
 
 
 def _q_events_lww(sf_dir: str) -> pd.DataFrame:
     ds = read_table(sf_dir, "events",
                     columns=["event_id", "user_id", "ts", "event_type", "value"])
-    return rel_pl.events_last_write_wins(ds)
+    # operator returns a Dataset (table-sized at scale); the driver
+    # contract wants a DataFrame — convert at the edge only
+    out = rel_pl.events_last_write_wins(ds).to_pandas()
+    return (out.sort_values("user_id").reset_index(drop=True)
+            [["user_id", "ts", "event_type", "value"]])
 
 
 def _q_events_window(sf_dir: str) -> pd.DataFrame:
@@ -238,12 +264,18 @@ def _q_events_asof(sf_dir: str) -> pd.DataFrame:
     ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
     od = read_table(sf_dir, "orders",
                     columns=["o_orderkey", "o_custkey", "o_orderdate"])
-    return rel_pl.events_asof_orders(ev, od)
+    out = rel_pl.events_asof_orders(ev, od).to_pandas()
+    if out.empty:
+        return pd.DataFrame(columns=["event_id", "user_id", "ts",
+                                     "o_orderkey", "o_orderdate"])
+    return out.sort_values("event_id").reset_index(drop=True)
 
 
 def _q_events_sessionize(sf_dir: str) -> pd.DataFrame:
     ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
-    return rel_pl.events_sessionize(ds)
+    out = rel_pl.events_sessionize(ds).to_pandas()
+    return (out.sort_values(["user_id", "session_idx"])
+               .reset_index(drop=True))
 
 
 def _q_top_order_revenue(sf_dir: str) -> pd.DataFrame:
@@ -270,7 +302,12 @@ def _q_pricing(sf_dir: str) -> pd.DataFrame:
 
 def _q_transcripts_bm25(sf_dir: str) -> pd.DataFrame:
     s = IndexSearcher(transcripts_index(sf_dir))
-    return _round_hits(s.search(TRANSCRIPT_QUERIES, k=10))
+    out = _round_hits(s.search(TRANSCRIPT_QUERIES, k=10))
+    # zero-padded composite key: lexicographic order == (conv_id, turn_idx)
+    # order, so the oracle's string tie-break matches the engine's
+    out["doc_id"] = (out["conv_id"] + ":" +
+                     out["turn_idx"].astype(int).astype(str).str.zfill(4))
+    return out[["query_id", "rank", "doc_id", "score"]]
 
 
 def _q_minhash(sf_dir: str) -> pd.DataFrame:
@@ -286,9 +323,11 @@ def _q_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
 
 
 def _q_simhash(sf_dir: str) -> pd.DataFrame:
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    return dedup_pl.simhash_near_dups(ds, CFG, "doc_id", "text",
-                                      max_hamming=6)
+    # max_hamming=3: the 4x16-bit chunk blocking is EXACT at this radius,
+    # so the distributed result equals the O(n^2) DuckDB oracle
+    return dedup_pl.simhash_near_dups(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+        CFG, "doc_id", "text", max_hamming=3)
 
 
 def _q_embedding_dups(sf_dir: str) -> pd.DataFrame:
@@ -335,6 +374,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # vector scoring surface (§2.8 kernels)
         "knn_cosine_topk": _q_knn("cosine"),
         "knn_l2_topk": _q_knn("l2"),
+        "knn_cosine_filtered": _q_knn_filtered,
+        "knn_cosine_radial": _q_knn_radial,
         "knn_ivf_cosine": _q_knn_ivf,
         "knn_ivf_partitioned": _q_knn_ivf_partitioned,
         "knn_hamming_topk": _q_knn_hamming,
@@ -358,6 +399,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _transcripts_oracle() -> str:
+    """Multi-scale transcript BM25 oracle: one read_parquet arm per known
+    test scale, selected at SQL runtime by the lineitem view's row count
+    (unique per sf).  Synthesis is deterministic and cached; materializing
+    the arms here keeps read_parquet bindable at every scale."""
+    import pyarrow.parquet as _pq
+    from opensearch_jvector_ray.sources.tables import (
+        TRANSCRIPTS_CFG, transcripts_path,
+    )
+    arms = []
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        d = f"/root/testdata/{sf}"
+        li = os.path.join(d, "lineitem.parquet")
+        if not os.path.exists(li):
+            continue
+        arms.append((transcripts_path(d), _pq.read_metadata(li).num_rows))
+    return transcripts_bm25_sql(TRANSCRIPT_QUERIES, 10, TRANSCRIPTS_CFG,
+                                arms)
+
+
 def oracle_sql() -> dict[str, str]:
     exact_bm25 = bm25_sql(BM25_QUERIES, BM25_K, CFG)
     return {
@@ -379,6 +440,18 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": lang_id_sql(CFG),
         "knn_cosine_topk": knn_sql("cosine", KNN_QUERY_IDS, KNN_K),
         "knn_l2_topk": knn_sql("l2", KNN_QUERY_IDS, KNN_K),
+        "knn_hamming_topk": knn_sql("hamming", KNN_QUERY_IDS, KNN_K),
+        "knn_cosine_filtered": knn_sql(
+            "cosine", KNN_QUERY_IDS, KNN_K,
+            filter_sql=f"e.label = {KNN_FILTER_LABEL}"),
+        "knn_cosine_radial": knn_sql("cosine", KNN_QUERY_IDS, KNN_K,
+                                     min_score=KNN_RADIAL_MIN_SCORE),
+        "knn_ivf_cosine": ivf_fixed_sql("cosine", KNN_QUERY_IDS, KNN_K,
+                                        IVF_CENTROID_IDS, IVF_N_PROBE),
+        "knn_ivf_partitioned": ivf_fixed_sql("cosine", KNN_QUERY_IDS, KNN_K,
+                                             IVF_CENTROID_IDS, IVF_N_PROBE),
+        "simhash_near_dups": simhash_sql(CFG, max_hamming=3),
+        "transcripts_bm25": _transcripts_oracle(),
         "events_last_write_wins": events_lww_sql(),
         "events_window_agg": events_window_sql(),
         "events_sessionize": events_sessionize_sql(),

@@ -53,7 +53,8 @@ def norm_text_expr(cfg: EngineConfig, text_col: str = "text") -> str:
 def bm25_sql(queries: dict[str, str], k: int, cfg: EngineConfig,
              table: str = "documents", id_col: str = "doc_id",
              text_col: str = "text", filter_sql: str | None = None,
-             min_score: float | None = None) -> str:
+             min_score: float | None = None,
+             prefix_cte: str | None = None) -> str:
     """Top-k (or radial, if min_score given) BM25 oracle.
 
     Output columns: query_id, rank, {id_col}, score — identical names to
@@ -70,8 +71,9 @@ def bm25_sql(queries: dict[str, str], k: int, cfg: EngineConfig,
         if filter_sql else ""
     limit_clause = f"WHERE rank <= {k}" if min_score is None else \
         f"WHERE score__raw >= {min_score!r}"
+    pre = f"{prefix_cte},\n" if prefix_cte else ""
     return f"""
-WITH {toks_cte(cfg, table, id_col, text_col)},
+WITH {pre}{toks_cte(cfg, table, id_col, text_col)},
 dl AS (
   SELECT {id_col}, count(*)::DOUBLE AS dl FROM toks GROUP BY {id_col}
 ),
@@ -306,26 +308,102 @@ ORDER BY {group_col}
 """
 
 
+def _knn_score_expr(metric: str, vec_col: str) -> str:
+    """Rounded (6dp) Lucene-ordered score expression — RANKING happens on
+    this rounded value on BOTH sides (the engine rounds before top-k
+    selection too: one tie rule, no sub-5e-7 rank drift)."""
+    if metric == "cosine":
+        return (f"round((1.0 + list_cosine_similarity("
+                f"CAST(e.{vec_col} AS DOUBLE[]), CAST(q.{vec_col} AS DOUBLE[]))) / 2.0, 6)")
+    if metric == "l2":
+        return (f"round(1.0 / (1.0 + power(list_distance("
+                f"CAST(e.{vec_col} AS DOUBLE[]), CAST(q.{vec_col} AS DOUBLE[])), 2)), 6)")
+    if metric == "hamming":
+        return (f"round(1.0 / (1.0 + len(list_filter(list_zip("
+                f"CAST(e.{vec_col} AS DOUBLE[]), CAST(q.{vec_col} AS DOUBLE[])), "
+                f"z -> (z[1] > 0) <> (z[2] > 0)))), 6)")
+    raise ValueError(metric)
+
+
 def knn_sql(metric: str, query_vec_ids: list[int], k: int,
             table: str = "embeddings", id_col: str = "vec_id",
-            vec_col: str = "embedding") -> str:
-    """Exact top-k vector search oracle; DOUBLE[] casts force float64 math
-    to match the numpy kernels."""
-    if metric == "cosine":
-        score = (f"round((1.0 + list_cosine_similarity("
-                 f"CAST(e.{vec_col} AS DOUBLE[]), CAST(q.{vec_col} AS DOUBLE[]))) / 2.0, 6)")
-    elif metric == "l2":
-        score = (f"round(1.0 / (1.0 + power(list_distance("
-                 f"CAST(e.{vec_col} AS DOUBLE[]), CAST(q.{vec_col} AS DOUBLE[])), 2)), 6)")
-    else:
-        raise ValueError(metric)
+            vec_col: str = "embedding", filter_sql: str | None = None,
+            min_score: float | None = None) -> str:
+    """Exact top-k (or radial / pre-filtered) vector search oracle; DOUBLE[]
+    casts force float64 math to match the numpy kernels.  ``filter_sql``
+    restricts candidates (alias ``e``) — the engine's pre-filter; with
+    ``min_score`` the rank cap is replaced by a score threshold (radial)."""
+    score = _knn_score_expr(metric, vec_col)
     qids = ", ".join(str(int(v)) for v in query_vec_ids)
+    flt = f"WHERE ({filter_sql})" if filter_sql else ""
+    limit_clause = f"WHERE rank <= {k}" if min_score is None else \
+        f"WHERE score >= {min_score!r}"
     return f"""
 WITH q AS (SELECT {id_col} AS qvid, {vec_col} FROM {table}
            WHERE {id_col} IN ({qids})),
 scored AS (
   SELECT 'vq' || q.qvid AS query_id, e.{id_col}, {score} AS score
   FROM {table} e CROSS JOIN q
+  {flt}
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, {id_col} ASC) AS rank,
+         {id_col}, score
+  FROM scored
+)
+SELECT query_id, rank, {id_col}, score FROM ranked
+{limit_clause} ORDER BY query_id, rank
+"""
+
+
+def ivf_fixed_sql(metric: str, query_vec_ids: list[int], k: int,
+                  centroid_ids: list[int], n_probe: int,
+                  table: str = "embeddings", id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> str:
+    """IVF oracle with FIXED data-row coarse centers (pipelines.knn.
+    fixed_centroids): cell = argmin squared-L2 to the centers (ties ->
+    lower cell), probe = n_probe nearest cells per query (same tie rule),
+    exact metric ranking within the probed cells.  Deterministic and fully
+    SQL-expressible — the hard driver gate for the IVF machinery."""
+    score = _knn_score_expr(metric, vec_col)
+    qids = ", ".join(str(int(v)) for v in query_vec_ids)
+    cids = ", ".join(str(int(v)) for v in sorted(centroid_ids))
+    return f"""
+WITH centi AS (
+  SELECT row_number() OVER (ORDER BY {id_col}) - 1 AS cell,
+         CAST({vec_col} AS DOUBLE[]) AS cvec
+  FROM {table} WHERE {id_col} IN ({cids})
+),
+assign AS (
+  SELECT {id_col}, cell FROM (
+    SELECT e.{id_col}, c.cell,
+           row_number() OVER (PARTITION BY e.{id_col}
+                              ORDER BY power(list_distance(
+                                CAST(e.{vec_col} AS DOUBLE[]), c.cvec), 2) ASC,
+                              c.cell ASC) AS rn
+    FROM {table} e CROSS JOIN centi c
+  ) WHERE rn = 1
+),
+q AS (SELECT {id_col} AS qvid, {vec_col} FROM {table}
+      WHERE {id_col} IN ({qids})),
+qprobe AS (
+  SELECT qvid, cell FROM (
+    SELECT q.qvid, c.cell,
+           row_number() OVER (PARTITION BY q.qvid
+                              ORDER BY power(list_distance(
+                                CAST(q.{vec_col} AS DOUBLE[]), c.cvec), 2) ASC,
+                              c.cell ASC) AS rn
+    FROM q CROSS JOIN centi c
+  ) WHERE rn <= {n_probe}
+),
+scored AS (
+  SELECT 'vq' || q.qvid AS query_id, e.{id_col}, {score} AS score
+  FROM q
+  JOIN qprobe ON qprobe.qvid = q.qvid
+  JOIN assign ON assign.cell = qprobe.cell
+  JOIN {table} e ON e.{id_col} = assign.{id_col}
 ),
 ranked AS (
   SELECT query_id,
@@ -337,6 +415,72 @@ ranked AS (
 SELECT query_id, rank, {id_col}, score FROM ranked
 WHERE rank <= {k} ORDER BY query_id, rank
 """
+
+
+def simhash_sql(cfg: EngineConfig, max_hamming: int = 3,
+                table: str = "documents", id_col: str = "doc_id",
+                text_col: str = "text") -> str:
+    """EXACT all-pairs simhash oracle (O(n^2) is fine at oracle scale; the
+    engine's 4x16-bit chunk blocking is exact for max_hamming<=3, so the
+    distributed result must equal this).  Token bits come from md5 — the
+    one hash family both numpy and DuckDB reproduce bit-for-bit."""
+    return f"""
+WITH {toks_cte(cfg, table, id_col, text_col)},
+tf AS (
+  SELECT {id_col}, term, count(*)::BIGINT AS tf FROM toks
+  GROUP BY {id_col}, term
+),
+th AS (
+  SELECT DISTINCT term,
+         ('0x' || substr(md5(term), 1, 16))::UBIGINT AS h
+  FROM toks
+),
+votes AS (
+  SELECT tf.{id_col}, i.i,
+         sum(tf.tf * (CASE WHEN (th.h >> i.i) & 1 = 1 THEN 1 ELSE -1 END)) AS v
+  FROM tf JOIN th USING (term) CROSS JOIN (SELECT unnest(range(64)) AS i) i
+  GROUP BY tf.{id_col}, i.i
+),
+sim0 AS (
+  SELECT {id_col},
+         CAST(sum(CASE WHEN v > 0 THEN (1::UBIGINT << i) ELSE 0::UBIGINT END)
+              AS UBIGINT) AS sh
+  FROM votes GROUP BY {id_col}
+),
+sim AS (
+  SELECT d.{id_col}, coalesce(s.sh, 0::UBIGINT) AS sh
+  FROM {table} d LEFT JOIN sim0 s USING ({id_col})
+)
+SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+       bit_count(xor(a.sh, b.sh))::INT AS hamming
+FROM sim a JOIN sim b ON a.{id_col} < b.{id_col}
+WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+ORDER BY id_a, id_b
+"""
+
+
+def transcripts_bm25_sql(queries: dict[str, str], k: int, cfg: EngineConfig,
+                         arms: list[tuple[str, int]]) -> str:
+    """Flagship transcript-corpus BM25 oracle.
+
+    The driver registers only the star-schema views, and the synthetic
+    transcript corpus is scale-dependent — so the oracle reads the
+    (deterministic, cached) transcript parquet directly, choosing the arm
+    whose scale matches via the lineitem view's row count (unique per sf).
+    ``arms`` = [(transcript_parquet_dir, lineitem_rowcount), ...]; every
+    listed dir must exist (read_parquet binds eagerly).  Keys are the
+    zero-padded composite (conv_id:turn_idx) string, whose lexicographic
+    order equals the engine's (conv_id, turn_idx) tie order.
+    """
+    sel = "\n  UNION ALL\n".join(
+        f"  SELECT conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0')"
+        f" AS doc_id, text\n"
+        f"  FROM read_parquet('{path}/*.parquet')\n"
+        f"  WHERE (SELECT count(*) FROM lineitem) = {int(n)}"
+        for path, n in arms)
+    prefix = f"transcripts AS (\n{sel}\n)"
+    return bm25_sql(queries, k, cfg, table="transcripts", id_col="doc_id",
+                    prefix_cte=prefix)
 
 
 def events_window_sql() -> str:

@@ -89,6 +89,153 @@ def jaccard(a: set, b: set) -> float:
     return inter / (len(a) + len(b) - inter)
 
 
+# ---------------------------------------------------------------------------
+# shared near-dup machinery: bounded bucket edges + distributed pair verify
+# ---------------------------------------------------------------------------
+
+def bounded_bucket_edges(ids_sorted: np.ndarray, cap: int = 512,
+                         ) -> tuple[np.ndarray, np.ndarray]:
+    """Candidate edges for one LSH bucket, with BOUNDED cost.
+
+    Buckets up to ``cap`` members emit all pairs (vectorized triu — exact);
+    oversize buckets emit star edges (min-id hub -> member), so a hot
+    bucket (boilerplate docs sharing a band hash) costs O(n) rows instead
+    of O(n^2).  Star edges trade transitive-only pairs for boundedness —
+    members similar to the hub still cluster via union-find; this is the
+    standard web-dedup compromise for degenerate buckets.
+    """
+    n = len(ids_sorted)
+    if n < 2:
+        z = np.zeros(0, dtype=ids_sorted.dtype)
+        return z, z
+    if n <= cap:
+        iu = np.triu_indices(n, k=1)
+        return ids_sorted[iu[0]], ids_sorted[iu[1]]
+    hub = np.full(n - 1, ids_sorted[0], dtype=ids_sorted.dtype)
+    return hub, ids_sorted[1:]
+
+
+def attach_pair_payloads(pairs: "rd.Dataset", payload_ds: "rd.Dataset",
+                         id_col: str, payload_col: str,
+                         num_parts: int = 64) -> "rd.Dataset":
+    """Attach per-id payloads (texts, vectors) to BOTH sides of a candidate
+    pair Dataset — distributed, nothing corpus-sized on the driver.
+
+    ``payload_ds`` must already be restricted to candidate ids (small by
+    construction: candidates are near-dup suspects).  Each side is attached
+    by ONE hash-co-partitioned shuffle of (pairs + candidate payloads):
+    rows are tag-unioned into a shared schema, bucketed by hash(key) %
+    num_parts, and each bucket is joined VECTORIZED (pandas merge) inside
+    map_groups — one Python call per bucket, never per key.
+    Output columns: id_a, id_b, text_a, text_b (payloads as text_*).
+    """
+    def _attach(side: str, pair_cols: tuple, pair_types: dict):
+        # pair_cols/pair_types passed explicitly: these fns execute LAZILY
+        # (when the dataset is consumed), after the loop has moved on
+        key_of = "id_a" if side == "a" else "id_b"
+        out_col = f"text_{side}"
+
+        def tag_pairs(b: pa.Table) -> pa.Table:
+            cols = {c: b[c] for c in b.column_names}
+            cols["__key"] = b[key_of]
+            cols["__pay"] = pa.nulls(b.num_rows, type=payload_type)
+            cols["__side"] = pa.array(np.ones(b.num_rows, dtype=np.int8))
+            return pa.table(cols)
+
+        def tag_payload(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            cols = {c: pa.nulls(n, type=pair_types[c])
+                    for c in pair_cols}
+            cols["__key"] = b[id_col]
+            cols["__pay"] = b[payload_col]
+            cols["__side"] = pa.array(np.zeros(n, dtype=np.int8))
+            return pa.table(cols)
+
+        def bucket(b: pa.Table) -> pa.Table:
+            k = b["__key"].to_numpy(zero_copy_only=False)
+            part = (pd.util.hash_array(np.asarray(k), categorize=False)
+                    % np.uint64(num_parts)).astype(np.int32)
+            return b.append_column("__part", pa.array(part))
+
+        def join_bucket(df: pd.DataFrame) -> pa.Table:
+            pay = df[df["__side"] == 0][["__key", "__pay"]]
+            pr = df[df["__side"] == 1][list(pair_cols)]
+            merged = pr.merge(pay, left_on=key_of, right_on="__key",
+                              how="inner")
+            # rebuild an EXPLICITLY-typed arrow table (payloads may be
+            # strings or vectors — pandas object dtype loses the type)
+            cols = {c: pa.array(merged[c].tolist(), type=pair_types[c])
+                    for c in pair_cols}
+            cols[out_col] = pa.array(merged["__pay"].tolist(),
+                                     type=payload_type)
+            return pa.table(cols)
+
+        return tag_pairs, tag_payload, bucket, join_bucket
+
+    def _pa_schema(ds_) -> pa.Schema:
+        sch = ds_.schema()
+        base = getattr(sch, "base_schema", None)
+        if isinstance(base, pa.Schema):
+            return base
+        fields = []    # pandas-block schema: names/types lists, numpy dtypes
+        for n, t in zip(sch.names, sch.types):
+            if not isinstance(t, pa.DataType):
+                t = pa.from_numpy_dtype(np.dtype(t))
+            fields.append(pa.field(n, t))
+        return pa.schema(fields)
+
+    payload_type = _pa_schema(payload_ds).field(payload_col).type
+    cur = pairs
+    for side in ("a", "b"):
+        sch = _pa_schema(cur)
+        tag_pairs, tag_payload, bucket, join_bucket = _attach(
+            side, tuple(sch.names), {f.name: f.type for f in sch})
+        unioned = (cur.map_batches(tag_pairs, batch_format="pyarrow")
+                   .union(payload_ds.map_batches(tag_payload,
+                                                 batch_format="pyarrow")))
+        cur = (unioned.map_batches(bucket, batch_format="pyarrow")
+               .groupby("__part")
+               .map_groups(join_bucket, batch_format="pandas"))
+    return cur
+
+
+def candidate_payloads(ds: "rd.Dataset", pairs: "rd.Dataset", id_col: str,
+                       make_payload) -> "rd.Dataset":
+    """Corpus scan restricted to the ids appearing in ``pairs``.
+
+    The candidate ID SET (ids only, not payloads) is collected and
+    broadcast once via ``ray.put``; the corpus scan then streams and keeps
+    only candidate rows, transformed by ``make_payload(batch) -> Table``.
+    """
+    import ray as _ray
+    ids: set = set()
+    for b in pairs.iter_batches(batch_format="pyarrow"):
+        ids.update(b["id_a"].to_pylist())
+        ids.update(b["id_b"].to_pylist())
+    id_ref = _ray.put(np.array(sorted(ids)))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        cand = _ray.get(id_ref)
+        mask = np.isin(batch[id_col].to_numpy(zero_copy_only=False), cand)
+        return make_payload(batch.filter(pa.array(mask)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def attach_pair_texts(pairs: "rd.Dataset", ds: "rd.Dataset",
+                      cfg: EngineConfig, id_col: str,
+                      text_col: str) -> "rd.Dataset":
+    """Normalized-text payload attach (see attach_pair_payloads)."""
+    def payload(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        return pa.table({id_col: batch[id_col],
+                         "__payload": normalized_text(col, cfg)})
+
+    texts = candidate_payloads(ds, pairs, id_col, payload)
+    return attach_pair_payloads(pairs, texts, id_col, "__payload")
+
+
 class MinHasher:
     """Vectorized 64-permutation minhash over word shingles.
 
@@ -114,23 +261,23 @@ class MinHasher:
         return h.min(axis=0)
 
 
-def minhash_lsh_dedup(ds: "rd.Dataset", cfg: EngineConfig, id_col: str,
-                      text_col: str, *, num_perm: int = 64, bands: int = 16,
-                      shingle_k: int = 3, threshold: float = 0.6,
-                      concurrency: int = 2) -> pd.DataFrame:
-    """Near-duplicate clusters by MinHash+LSH.
+def minhash_candidate_pairs(ds: "rd.Dataset", cfg: EngineConfig, id_col: str,
+                            text_col: str, *, num_perm: int = 64,
+                            bands: int = 16, shingle_k: int = 3,
+                            concurrency: int = 2,
+                            bucket_cap: int = 512) -> "rd.Dataset":
+    """Distinct candidate pairs (id_a, id_b) by MinHash+LSH banding.
 
-    Returns a DataFrame (id, cluster_id) for every doc that belongs to a
-    near-dup cluster (cluster_id = min member id).  Pipeline:
+    Pipeline (all distributed, bucket cost BOUNDED):
 
-      map_batches(Signer actor: tokenize -> shingle -> minhash -> band
-      hashes, one row per (band, band_hash, id))          [stateful: M4]
+      map_batches(Signer: tokenize -> shingle -> minhash -> band hashes,
+      one row per (band, band_hash, id))                   [stateful: M4]
         -> groupby(band, band_hash)  [LSH bucket shuffle — bucket rows
            are (band_hash, id) pairs only, tiny vs the corpus]
-        -> map_groups: emit candidate pairs per bucket
-        -> verify stage: exact shingle-Jaccard per pair (pairs carry both
-           texts — broadcast-free because pairs are few)
-        -> driver union-find over verified pairs (small by construction)
+        -> map_groups: BOUNDED candidate edges per bucket (all pairs up to
+           ``bucket_cap`` members, star edges above — a hot bucket costs
+           O(n), never O(n^2))
+        -> groupby(id_a, id_b): distinct pairs across bands
     """
     rows_per_band = num_perm // bands
     rng = np.random.default_rng(42)
@@ -217,41 +364,61 @@ def minhash_lsh_dedup(ds: "rd.Dataset", cfg: EngineConfig, id_col: str,
             return pa.concat_tables(parts)
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(group[id_col].to_pylist())
-        a_out, b_out = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_out.append(ids[i])
-                b_out.append(ids[j])
-        return pa.table({"id_a": pa.array(a_out), "id_b": pa.array(b_out)})
+        ids = np.sort(group[id_col].to_numpy(zero_copy_only=False))
+        a, b = bounded_bucket_edges(ids, cap=bucket_cap)
+        return pa.table({"id_a": pa.array(a), "id_b": pa.array(b)})
 
-    pairs = (ds.map_batches(Signer, batch_format="pyarrow",
-                            concurrency=concurrency, num_cpus=1)
-               .groupby(["band", "band_hash"])
-               .map_groups(bucket_pairs, batch_format="pyarrow")
-               .to_pandas().drop_duplicates())
-    if pairs.empty:
+    return (ds.map_batches(Signer, batch_format="pyarrow",
+                           concurrency=concurrency, num_cpus=1)
+              .groupby(["band", "band_hash"])
+              .map_groups(bucket_pairs, batch_format="pyarrow")
+              .groupby(["id_a", "id_b"])      # distinct: same pair can
+              .aggregate(Count(alias_name="__n"))  # surface from many bands
+              .drop_columns(["__n"])
+              .materialize())    # tiny; consumed twice (id scan + attach)
+
+
+def minhash_lsh_dedup(ds: "rd.Dataset", cfg: EngineConfig, id_col: str,
+                      text_col: str, *, num_perm: int = 64, bands: int = 16,
+                      shingle_k: int = 3, threshold: float = 0.6,
+                      concurrency: int = 2,
+                      bucket_cap: int = 512) -> pd.DataFrame:
+    """Near-duplicate clusters by MinHash+LSH.
+
+    Returns a DataFrame (id, cluster_id) for every doc that belongs to a
+    near-dup cluster (cluster_id = min member id).  Candidates come from
+    ``minhash_candidate_pairs``; verification is exact shingle-Jaccard per
+    pair, DISTRIBUTED (candidate texts co-grouped onto the pairs Dataset
+    via attach_pair_payloads, scored inside map_batches); only the
+    union-find over VERIFIED pairs (small) runs on the driver.
+    """
+    pairs = minhash_candidate_pairs(ds, cfg, id_col, text_col,
+                                    num_perm=num_perm, bands=bands,
+                                    shingle_k=shingle_k,
+                                    concurrency=concurrency,
+                                    bucket_cap=bucket_cap)
+
+    # distributed verify: pairs co-grouped with the candidate docs' texts
+    # (two candidate-sized shuffles), exact shingle Jaccard per pair inside
+    # map_batches — nothing doc-sized ever lands on the driver
+    def _verify(batch: pa.Table) -> pa.Table:
+        na = batch["text_a"].to_pylist()
+        nb = batch["text_b"].to_pylist()
+        ok = [jaccard(word_shingles((ta or "").split(), shingle_k),
+                      word_shingles((tb or "").split(), shingle_k)) >= threshold
+              for ta, tb in zip(na, nb)]
+        return batch.filter(pa.array(ok)).select(["id_a", "id_b"])
+
+    verified_ds = attach_pair_texts(
+        pairs, ds, cfg, id_col, text_col).map_batches(
+            _verify, batch_format="pyarrow")
+    verified = [(r["id_a"], r["id_b"])
+                for b in verified_ds.iter_batches(batch_format="pandas")
+                for r in b.to_dict("records")]
+
+    if not verified:
         return pd.DataFrame(columns=[id_col, "cluster_id"])
-
-    # verify candidates with exact shingle Jaccard (candidate set is small:
-    # fetch only the candidate docs' texts, broadcast-free)
-    cand_ids = sorted(set(pairs.id_a) | set(pairs.id_b))
-    texts = (ds.map_batches(
-        lambda b: pa.table({id_col: b[id_col],
-                            "__norm": normalized_text(
-                                b[text_col].combine_chunks()
-                                if isinstance(b[text_col], pa.ChunkedArray)
-                                else b[text_col], cfg)}),
-        batch_format="pyarrow")
-        .filter(expr=f"{id_col} in {cand_ids!r}")
-        .to_pandas())
-    text_of = dict(zip(texts[id_col], texts["__norm"]))
-    sh = {i: word_shingles((text_of.get(i) or "").split(), shingle_k)
-          for i in cand_ids}
-    verified = [(a, b) for a, b in zip(pairs.id_a, pairs.id_b)
-                if jaccard(sh[a], sh[b]) >= threshold]
-
-    # union-find over verified pairs (tiny)
+    # union-find over verified pairs only (small by construction)
     parent: dict = {}
     def find(x):
         while parent.setdefault(x, x) != x:
@@ -274,61 +441,73 @@ def ngram_jaccard_pairs(ds: "rd.Dataset", cfg: EngineConfig, id_col: str,
                         lsh_threshold: float = 0.2) -> pd.DataFrame:
     """Character n-gram Jaccard near-dup pairs.
 
-    Blocking: word-shingle MinHash-LSH candidates (near dups share words,
-    so word-level banding is a sound blocker for char-level similarity);
-    scoring: exact char-n-gram Jaccard on the normalized text of the
-    (small) candidate set.  Returns (id_a, id_b, jaccard) pairs with
-    jaccard >= threshold, rounded to 6.
+    Blocking: word-shingle MinHash-LSH CANDIDATE PAIRS (near dups share
+    words, so word-level banding is a sound blocker for char-level
+    similarity — and candidate pairs are used directly, so no pair is
+    lost to a collapsed cluster); scoring: exact char-n-gram Jaccard per
+    pair, distributed (texts co-grouped onto the pairs Dataset), computed
+    ONCE per pair.  Returns (id_a, id_b, jaccard) with jaccard >=
+    threshold, rounded to 6.  ``lsh_threshold`` only documents the banding
+    operating point; the banding params are the defaults.
     """
-    clusters_or_pairs = minhash_lsh_dedup(ds, cfg, id_col, text_col,
-                                          threshold=lsh_threshold)
-    # minhash_lsh_dedup returns clusters; recover member pairs per cluster
-    pairs = []
-    for cid, grp in clusters_or_pairs.groupby("cluster_id"):
-        ids = sorted(grp[id_col])
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                pairs.append((ids[i], ids[j]))
-    if not pairs:
+    pairs = minhash_candidate_pairs(ds, cfg, id_col, text_col)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        ta = batch["text_a"].to_pylist()
+        tb = batch["text_b"].to_pylist()
+        js = [jaccard(char_ngrams(a or "", n), char_ngrams(b or "", n))
+              for a, b in zip(ta, tb)]
+        out = batch.select(["id_a", "id_b"]).append_column(
+            "jaccard", pa.array(np.round(np.asarray(js, dtype=np.float64), 6)))
+        return out.filter(pa.array(np.asarray(js) >= threshold))
+
+    out = (attach_pair_texts(pairs, ds, cfg, id_col, text_col)
+           .map_batches(_score, batch_format="pyarrow")
+           .to_pandas())
+    if out.empty:
         return pd.DataFrame(columns=["id_a", "id_b", "jaccard"])
-    cand_ids = sorted({i for p in pairs for i in p})
-    texts = (ds.map_batches(
-        lambda b: pa.table({id_col: b[id_col],
-                            "__norm": normalized_text(
-                                b[text_col].combine_chunks()
-                                if isinstance(b[text_col], pa.ChunkedArray)
-                                else b[text_col], cfg)}),
-        batch_format="pyarrow")
-        .filter(expr=f"{id_col} in {cand_ids!r}")
-        .to_pandas())
-    text_of = dict(zip(texts[id_col], texts["__norm"]))
-    grams = {i: char_ngrams(text_of.get(i) or "", n) for i in cand_ids}
-    out = [(a, b, round(jaccard(grams[a], grams[b]), 6))
-           for a, b in pairs if jaccard(grams[a], grams[b]) >= threshold]
-    if not out:
-        return pd.DataFrame(columns=["id_a", "id_b", "jaccard"])
-    return (pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"])
-            .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------
 
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount_u64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (byte-LUT, no Python loop)."""
+    b = np.ascontiguousarray(x).view(np.uint8)
+    return _POP8[b].reshape(*x.shape, 8).sum(axis=-1, dtype=np.int32)
+
+
+def _md5_u64(terms: np.ndarray) -> np.ndarray:
+    """First 8 bytes of md5(term) as uint64 — the SQL-shared hash family
+    (DuckDB: ('0x' || substr(md5(term),1,16))::UBIGINT).  Hashing runs per
+    UNIQUE term only; occurrences are gathered back vectorized."""
+    import hashlib
+    uniq, inv = np.unique(terms, return_inverse=True)
+    hu = np.fromiter(
+        (int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+         for t in uniq), dtype=np.uint64, count=len(uniq))
+    return hu[inv]
+
+
 def simhash_stage(cfg: EngineConfig, id_col: str, text_col: str):
-    """64-bit SimHash per doc (tf-weighted token hashes), vectorized."""
+    """64-bit SimHash per doc: tf-weighted ±1 votes of md5-derived token
+    bits (integer votes — no fp ties), vectorized."""
     def fn(batch: pa.Table) -> pa.Table:
         from opensearch_jvector_ray.analyze import tokenize
         stream = tokenize(batch[text_col], cfg)
         n = batch.num_rows
-        out = np.zeros((n, 64), dtype=np.float64)
+        votes = np.zeros((n, 64), dtype=np.int64)
         if len(stream.doc_idx):
-            h = pd.util.hash_array(stream.terms.to_numpy(zero_copy_only=False),
-                                   categorize=False)
+            h = _md5_u64(stream.terms.to_numpy(zero_copy_only=False))
             bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                    & np.uint64(1)).astype(np.float64) * 2.0 - 1.0
-            np.add.at(out, stream.doc_idx, bits)
-        sim = (out > 0).astype(np.uint64)
+                    & np.uint64(1)).astype(np.int64) * 2 - 1
+            np.add.at(votes, stream.doc_idx, bits)
+        sim = (votes > 0).astype(np.uint64)
         vals = (sim << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1,
                                                                     dtype=np.uint64)
         return pa.table({id_col: batch[id_col],
@@ -336,11 +515,63 @@ def simhash_stage(cfg: EngineConfig, id_col: str, text_col: str):
     return fn
 
 
+def _bucket_hamming_pairs(ids: np.ndarray, hs: np.ndarray, max_h: int,
+                          cap: int = 4096, window: int = 128,
+                          ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All (i<j) pairs within hamming<=max_h inside one bucket — BOUNDED.
+
+    Buckets <= cap: exact, block-vectorized all-pairs popcount.  Oversize
+    buckets: Manku-style sorted sliding window (sort by fingerprint, each
+    row vs its next ``window`` neighbours — O(n*window), approximate only
+    in the degenerate hot-bucket case, and near-equal fingerprints sort
+    adjacently so real near-dups survive).
+    """
+    n = len(ids)
+    a_out, b_out, d_out = [], [], []
+    if n < 2:
+        pass
+    elif n <= cap:
+        blk = 512
+        for i0 in range(0, n, blk):
+            hi = hs[i0:i0 + blk]
+            d = _popcount_u64(hi[:, None] ^ hs[None, :])
+            ii, jj = np.nonzero(d <= max_h)
+            keep = (ii + i0) < jj          # strict upper triangle
+            a_out.append(ids[ii[keep] + i0])
+            b_out.append(ids[jj[keep]])
+            d_out.append(d[ii[keep], jj[keep]])
+    else:
+        order = np.lexsort((ids, hs))
+        sh, sid = hs[order], ids[order]
+        for w in range(1, min(window, n - 1) + 1):
+            d = _popcount_u64(sh[:-w] ^ sh[w:])
+            hit = d <= max_h
+            a_out.append(sid[:-w][hit])
+            b_out.append(sid[w:][hit])
+            d_out.append(d[hit].astype(d.dtype))
+    if not a_out:
+        z = np.zeros(0, dtype=ids.dtype)
+        return z, z, np.zeros(0, dtype=np.int32)
+    a = np.concatenate(a_out)
+    b = np.concatenate(b_out)
+    d = np.concatenate(d_out).astype(np.int32)
+    lo, hi_ = np.minimum(a, b), np.maximum(a, b)
+    return lo, hi_, d
+
+
 def simhash_near_dups(ds: "rd.Dataset", cfg: EngineConfig, id_col: str,
-                      text_col: str, max_hamming: int = 3) -> pd.DataFrame:
-    """Near-dup pairs by SimHash: band the 64 bits into 4x16-bit chunks
-    (any pair within hamming<=3 shares at least one chunk by pigeonhole
-    when bits differ in <=3 of 4 chunks), groupby chunk, verify hamming."""
+                      text_col: str, max_hamming: int = 3,
+                      bucket_cap: int = 4096) -> pd.DataFrame:
+    """Near-dup pairs by SimHash: band the 64 bits into 4x16-bit chunks —
+    EXACT blocking for max_hamming<=3 (pigeonhole: <=3 differing bits can
+    ruin at most 3 of the 4 chunks, so every qualifying pair shares at
+    least one chunk) — groupby chunk, verify hamming vectorized with
+    bounded per-bucket cost (_bucket_hamming_pairs).  With md5-derived
+    token bits the whole operator is deterministic AND DuckDB-expressible
+    (oracles.simhash_sql reproduces it symbol-for-symbol)."""
+    if max_hamming > 3:
+        raise ValueError("4x16-bit banding is exact only for max_hamming<=3; "
+                         "use more/narrower chunks for a wider radius")
     sims = ds.map_batches(simhash_stage(cfg, id_col, text_col),
                           batch_format="pyarrow")
 
@@ -359,17 +590,11 @@ def simhash_near_dups(ds: "rd.Dataset", cfg: EngineConfig, id_col: str,
         return pa.concat_tables(parts)
 
     def pairs_in_bucket(group: pa.Table) -> pa.Table:
-        ids = group[id_col].to_pylist()
+        ids = group[id_col].to_numpy(zero_copy_only=False)
         hs = group["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        a_out, b_out, d_out = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                d = int(bin(int(hs[i]) ^ int(hs[j])).count("1"))
-                if d <= max_hamming:
-                    lo, hi = sorted((ids[i], ids[j]))
-                    a_out.append(lo); b_out.append(hi); d_out.append(d)
-        return pa.table({"id_a": pa.array(a_out), "id_b": pa.array(b_out),
-                         "hamming": pa.array(d_out, type=pa.int32())})
+        a, b, d = _bucket_hamming_pairs(ids, hs, max_hamming, cap=bucket_cap)
+        return pa.table({"id_a": pa.array(a), "id_b": pa.array(b),
+                         "hamming": pa.array(d, type=pa.int32())})
 
     out = (sims.map_batches(explode, batch_format="pyarrow")
                .groupby(["chunk_id", "chunk_val"])

@@ -57,41 +57,79 @@ def _partial_topk(ids: np.ndarray, score: np.ndarray,
     return ids[sel], score[sel]
 
 
+def _rounder(round_decimals: int | None):
+    """One tie rule on BOTH sides: when an entry is oracle-checked, scores
+    are rounded BEFORE top-k selection (the DuckDB oracle ranks on the
+    rounded value too) — ranking raw here and rounded there lets sub-5e-7
+    raw gaps produce different orders (the rounding-drift rule in
+    CLAUDE.md)."""
+    if round_decimals is None:
+        return lambda s: s
+    return lambda s: np.round(s, round_decimals)
+
+
 def _vecs_from_batch(batch: pa.Table, vec_col: str) -> np.ndarray:
     col = batch[vec_col]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     n = len(col)
+    if n == 0:
+        return np.zeros((0, 1), dtype=np.float64)
+    if pa.types.is_list(col.type) or pa.types.is_large_list(col.type) or \
+            pa.types.is_fixed_size_list(col.type):
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    else:   # object column of per-row arrays (post-pandas-join payloads)
+        flat = np.concatenate([np.asarray(v, dtype=np.float64)
+                               for v in col.to_pylist()])
     return flat.reshape(n, -1)
 
 
 def brute_force_topk(ds: "rd.Dataset", queries: dict[str, np.ndarray],
-                     k: int, metric: str = "cosine", id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> pd.DataFrame:
-    """Exact top-k for each query vector.
+                     k: int | None, metric: str = "cosine",
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     *, round_decimals: int | None = None,
+                     filter_expr=None,
+                     min_score: float | None = None) -> pd.DataFrame:
+    """Exact top-k (or radial, if ``min_score`` given) for each query vector.
 
     Returns (query_id, rank, id, score) with Lucene-style score ordering
     (higher = closer) and (score desc, id asc) tie-break.  The query
     matrix is put in the object store ONCE and read per task — never
     re-shipped per batch.
+
+    ``filter_expr`` is a pyarrow dataset expression applied to each batch
+    BEFORE scoring — the pre-filter semantics of the reference's filtered
+    knn (`KNNQueryBuilder.java:534-539`, J2 for vectors).  ``min_score``
+    switches to radial search: EVERY vector scoring >= min_score is
+    returned, unbounded (`KNNQueryBuilder.java:438-472` min_score path);
+    ``k`` is ignored in that mode.
     """
     kernel, translate, higher = METRICS[metric]
+    rnd = _rounder(round_decimals)
     qids = sorted(queries)
     qmat_ref = ray.put(np.stack([queries[q] for q in qids]).astype(np.float64))
 
     def score_batch(batch: pa.Table) -> pa.Table:
         qmat = ray.get(qmat_ref)
+        if filter_expr is not None:
+            batch = batch.filter(filter_expr)
         vecs = _vecs_from_batch(batch, vec_col)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         out_q, out_id, out_s = [], [], []
         for qi, qid in enumerate(qids):
-            raw = kernel(vecs, qmat[qi])
-            score = translate(raw)
-            sel_ids, sel_sc = _partial_topk(ids, score, k)
+            score = rnd(translate(kernel(vecs, qmat[qi])))
+            if min_score is not None:
+                keep = score >= min_score
+                sel_ids, sel_sc = ids[keep], score[keep]
+            else:
+                sel_ids, sel_sc = _partial_topk(ids, score, k)
             out_q.extend([qid] * len(sel_ids))
             out_id.append(sel_ids)
             out_s.append(sel_sc)
+        if not out_q:
+            return pa.table({"query_id": pa.array([], type=pa.string()),
+                             id_col: pa.array([], type=batch[id_col].type),
+                             "score": pa.array([], type=pa.float64())})
         return pa.table({
             "query_id": pa.array(out_q, type=pa.string()),
             id_col: pa.array(np.concatenate(out_id)),
@@ -103,8 +141,9 @@ def brute_force_topk(ds: "rd.Dataset", queries: dict[str, np.ndarray],
     if parts.empty:
         return pd.DataFrame(columns=["query_id", "rank", id_col, "score"])
     out = (parts.sort_values(["query_id", "score", id_col],
-                             ascending=[True, False, True], kind="mergesort")
-                .groupby("query_id", sort=False).head(k))
+                             ascending=[True, False, True], kind="mergesort"))
+    if min_score is None:
+        out = out.groupby("query_id", sort=False).head(k)
     out["rank"] = out.groupby("query_id", sort=False).cumcount() + 1
     return out[["query_id", "rank", id_col, "score"]].reset_index(drop=True)
 
@@ -113,34 +152,95 @@ def brute_force_topk(ds: "rd.Dataset", queries: dict[str, np.ndarray],
 # IVF (inverted-file) approximate search — the scale path
 # ---------------------------------------------------------------------------
 
+def _sq_dists(vecs: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """(n, k) squared L2 distances via one pass per centroid — exact
+    ((v-c)^2 summed, the same pairwise op the SQL oracle's list_distance
+    uses) without the (n, k, d) broadcast blow-up."""
+    n, k = len(vecs), len(cent)
+    d = np.empty((n, k), dtype=np.float64)
+    for c in range(k):
+        diff = vecs - cent[c][None, :]
+        d[:, c] = np.einsum("ij,ij->i", diff, diff)
+    return d
+
+
+def _assign_cells(vecs: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """Coarse-cell assignment: argmin squared-L2, ties to the LOWEST cell
+    index (np.argmin's rule — the SQL oracle uses (dist asc, cell asc))."""
+    return _sq_dists(vecs, cent).argmin(axis=1)
+
+
+def _probe_cells(qmat: np.ndarray, cent: np.ndarray, n_probe: int) -> np.ndarray:
+    """(n_queries, n_probe) nearest cells per query; ties to lower cell id
+    (stable sort — same rule as the oracle's (dist asc, cell asc))."""
+    qd = _sq_dists(qmat, cent)
+    return np.argsort(qd, axis=1, kind="stable")[:, :n_probe]
+
+
 def train_centroids(ds: "rd.Dataset", n_centroids: int, vec_col: str,
-                    sample_frac: float = 0.25, iters: int = 10,
-                    seed: int = 42) -> np.ndarray:
-    """k-means on a sample (sample stage -> single training task ->
-    broadcastable centroid matrix; T2 lifecycle)."""
-    sample = ds.random_sample(min(1.0, sample_frac), seed=seed)
-    mats = [
-        _vecs_from_batch(b, vec_col)
-        for b in sample.iter_batches(batch_format="pyarrow", batch_size=65536)]
-    X = np.concatenate(mats) if mats else np.zeros((0, 2))
-    rng = np.random.default_rng(seed)
-    n_centroids = min(n_centroids, max(1, len(X)))
-    cent = X[rng.choice(len(X), size=n_centroids, replace=False)].copy()
-    for _ in range(iters):
-        d = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
-        for c in range(n_centroids):
-            m = assign == c
-            if m.any():
-                cent[c] = X[m].mean(axis=0)
-    return cent
+                    sample_size: int = 65536, iters: int = 10,
+                    seed: int = 42, sample_frac: float | None = None,
+                    ) -> np.ndarray:
+    """k-means coarse quantizer trained on a BOUNDED sample (T2 lifecycle,
+    `JVectorWriter.java:381-414`: train on bounded segment data, broadcast).
+
+    Scale shape: the sample is thinned distributedly (seeded
+    ``random_sample`` sized off the row count, capped at ``sample_size``
+    rows), its blocks stay in the object store, and Lloyd iterations run in
+    ONE Ray task over the bounded matrix — trainer memory is independent of
+    corpus size and nothing concentrates on the driver.
+    """
+    if sample_frac is None:
+        n_rows = ds.count() or 1
+        # 1.5x headroom so the Bernoulli thinning rarely undershoots; the
+        # limit() below enforces the hard cap either way
+        sample_frac = min(1.0, 1.5 * sample_size / n_rows)
+    sample = ds.select_columns([vec_col])
+    if sample_frac < 1.0:
+        sample = sample.random_sample(sample_frac, seed=seed)
+    refs = sample.limit(sample_size).to_arrow_refs()
+
+    @ray.remote
+    def _train(*blocks) -> np.ndarray:
+        mats = [_vecs_from_batch(b, vec_col) for b in blocks if b.num_rows]
+        X = np.concatenate(mats) if mats else np.zeros((0, 2))
+        rng = np.random.default_rng(seed)
+        k = min(n_centroids, max(1, len(X)))
+        cent = X[rng.choice(len(X), size=k, replace=False)].copy()
+        for _ in range(iters):
+            assign = _sq_dists(X, cent).argmin(axis=1)
+            sums = np.zeros_like(cent)
+            np.add.at(sums, assign, X)
+            counts = np.bincount(assign, minlength=k)
+            nz = counts > 0
+            cent[nz] = sums[nz] / counts[nz, None]
+        return cent
+
+    return ray.get(_train.remote(*refs))
+
+
+def fixed_centroids(ds: "rd.Dataset", centroid_ids: list[int],
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    ) -> np.ndarray:
+    """Deterministic coarse centers taken from FIXED data rows (by id).
+
+    A valid coarse quantizer whose centers are SQL-expressible — the
+    driver-oracle path for the IVF machinery (assignment, probing, ranked
+    merge) runs with these; k-means-quality centers (``train_centroids``)
+    are the recall path, gated in pytest."""
+    tbl = pa.concat_tables(
+        ds.filter(expr=f"{id_col} in {[int(i) for i in centroid_ids]!r}")
+          .select_columns([id_col, vec_col])
+          .iter_batches(batch_format="pyarrow"))
+    order = np.argsort(tbl[id_col].to_numpy(zero_copy_only=False), kind="stable")
+    return _vecs_from_batch(tbl, vec_col)[order]
 
 
 def ivf_topk(ds: "rd.Dataset", queries: dict[str, np.ndarray], k: int,
              *, n_centroids: int = 16, n_probe: int = 4,
              metric: str = "cosine", id_col: str = "vec_id",
              vec_col: str = "embedding", centroids: np.ndarray | None = None,
-             ) -> pd.DataFrame:
+             round_decimals: int | None = None) -> pd.DataFrame:
     """Approximate top-k: probe the n_probe nearest coarse cells per query
     and brute-force only within them.  At scale the assignment is a build-
     time partitioning (write one parquet dir per cell — pruned reads);
@@ -150,11 +250,10 @@ def ivf_topk(ds: "rd.Dataset", queries: dict[str, np.ndarray], k: int,
     cent_ref = ray.put(centroids)
     qids = sorted(queries)
     qmat = np.stack([queries[q] for q in qids]).astype(np.float64)
-    # cells to probe per query (by centroid L2)
-    qd = ((qmat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-    probe = np.argsort(qd, axis=1)[:, :n_probe]
+    probe = _probe_cells(qmat, centroids, n_probe)
     probe_sets = {qid: set(probe[i].tolist()) for i, qid in enumerate(qids)}
     kernel, translate, _ = METRICS[metric]
+    rnd = _rounder(round_decimals)
     qmat_ref = ray.put(qmat)
     probe_ref = ray.put(probe_sets)
 
@@ -164,8 +263,7 @@ def ivf_topk(ds: "rd.Dataset", queries: dict[str, np.ndarray], k: int,
         probes = ray.get(probe_ref)
         vecs = _vecs_from_batch(batch, vec_col)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        d = ((vecs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        cell = d.argmin(axis=1)
+        cell = _assign_cells(vecs, cent)
         out_q, out_id, out_s = [], [], []
         for qi, qid in enumerate(qids):
             mask = np.isin(cell, list(probes[qid]))
@@ -173,7 +271,7 @@ def ivf_topk(ds: "rd.Dataset", queries: dict[str, np.ndarray], k: int,
                 continue
             sub = vecs[mask]
             sub_ids = ids[mask]
-            score = translate(kernel(sub, qm[qi]))
+            score = rnd(translate(kernel(sub, qm[qi])))
             sel_ids, sel_sc = _partial_topk(sub_ids, score, k)
             out_q.extend([qid] * len(sel_ids))
             out_id.append(sel_ids)
@@ -212,7 +310,7 @@ def binary_quantize_batch(batch: pa.Table, vec_col: str = "embedding",
 
 def hamming_topk(ds: "rd.Dataset", queries: dict[str, np.ndarray], k: int,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 ) -> pd.DataFrame:
+                 round_decimals: int | None = None) -> pd.DataFrame:
     """Top-k by bit-level hamming over sign-quantized vectors; score =
     1/(1+d) (`SpaceType.HAMMING` ordering).  Same partial+final reduce
     shape as brute_force_topk."""
@@ -220,6 +318,7 @@ def hamming_topk(ds: "rd.Dataset", queries: dict[str, np.ndarray], k: int,
     qbits = np.stack([np.packbits((queries[q] > 0).astype(np.uint8))
                       for q in qids])
     qref = ray.put(qbits)
+    rnd = _rounder(round_decimals)
 
     def score_batch(batch: pa.Table) -> pa.Table:
         qb = ray.get(qref)
@@ -230,7 +329,7 @@ def hamming_topk(ds: "rd.Dataset", queries: dict[str, np.ndarray], k: int,
         for qi, qid in enumerate(qids):
             d = np.unpackbits(np.bitwise_xor(bits, qb[qi][None, :]),
                               axis=1).sum(axis=1).astype(np.float64)
-            score = 1.0 / (1.0 + d)
+            score = rnd(1.0 / (1.0 + d))
             sel_ids, sel_sc = _partial_topk(ids, score, k)
             out_q.extend([qid] * len(sel_ids))
             out_id.append(sel_ids)
@@ -254,8 +353,9 @@ def hamming_topk(ds: "rd.Dataset", queries: dict[str, np.ndarray], k: int,
 
 def build_ivf_index(ds: "rd.Dataset", index_dir: str, *,
                     n_centroids: int = 16, vec_col: str = "embedding",
-                    id_col: str = "vec_id", sample_frac: float = 0.25,
-                    seed: int = 42) -> np.ndarray:
+                    id_col: str = "vec_id", sample_size: int = 65536,
+                    seed: int = 42,
+                    centroids: np.ndarray | None = None) -> np.ndarray:
     """Persist an IVF index: one parquet DIRECTORY per coarse cell.
 
     The scale path promised by ``ivf_topk``'s docstring: train the coarse
@@ -267,15 +367,16 @@ def build_ivf_index(ds: "rd.Dataset", index_dir: str, *,
     """
     import os
     os.makedirs(index_dir, exist_ok=True)
-    centroids = train_centroids(ds, n_centroids, vec_col,
-                                sample_frac=sample_frac, seed=seed)
+    if centroids is None:
+        centroids = train_centroids(ds, n_centroids, vec_col,
+                                    sample_size=sample_size, seed=seed)
     cent_ref = ray.put(centroids)
 
     def assign(batch: pa.Table) -> pa.Table:
         cent = ray.get(cent_ref)
         vecs = _vecs_from_batch(batch, vec_col)
-        d = ((vecs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        return batch.append_column("cell", pa.array(d.argmin(axis=1).astype(np.int32)))
+        cell = _assign_cells(vecs, cent).astype(np.int32)
+        return batch.append_column("cell", pa.array(cell))
 
     (ds.map_batches(assign, batch_format="pyarrow")
        .write_parquet(index_dir, partition_cols=["cell"]))
@@ -287,7 +388,7 @@ def build_ivf_index(ds: "rd.Dataset", index_dir: str, *,
 def ivf_index_topk(index_dir: str, queries: dict[str, np.ndarray], k: int,
                    *, n_probe: int = 4, metric: str = "cosine",
                    id_col: str = "vec_id", vec_col: str = "embedding",
-                   ) -> pd.DataFrame:
+                   round_decimals: int | None = None) -> pd.DataFrame:
     """Query a persisted IVF index: per query, read ONLY the n_probe
     nearest cell directories, brute-force within, merge.  Union of probed
     cells is read once and scored per query with its own probe mask."""
@@ -295,11 +396,11 @@ def ivf_index_topk(index_dir: str, queries: dict[str, np.ndarray], k: int,
     centroids = np.load(os.path.join(index_dir, "_centroids.npy"))
     qids = sorted(queries)
     qmat = np.stack([queries[q] for q in qids]).astype(np.float64)
-    qd = ((qmat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-    probe = np.argsort(qd, axis=1)[:, :n_probe]
+    probe = _probe_cells(qmat, centroids, n_probe)
     probe_sets = {qid: set(probe[i].tolist()) for i, qid in enumerate(qids)}
     union_cells = sorted({c for s in probe_sets.values() for c in s})
     kernel, translate, _ = METRICS[metric]
+    rnd = _rounder(round_decimals)
 
     # prune at the read: ONLY the probed cell directories are listed
     import glob as globmod
@@ -323,7 +424,7 @@ def ivf_index_topk(index_dir: str, queries: dict[str, np.ndarray], k: int,
             mask = np.isin(cells, list(probes[qid]))
             if not mask.any():
                 continue
-            score = translate(kernel(vecs[mask], qm[qi]))
+            score = rnd(translate(kernel(vecs[mask], qm[qi])))
             sel_ids, sel_sc = _partial_topk(ids[mask], score, k)
             out_q.extend([qid] * len(sel_ids))
             out_id.append(sel_ids)
@@ -351,37 +452,79 @@ def ivf_index_topk(index_dir: str, queries: dict[str, np.ndarray], k: int,
 
 def embedding_near_dups(ds: "rd.Dataset", threshold: float = 0.995,
                         id_col: str = "vec_id", vec_col: str = "embedding",
-                        n_planes: int = 8, seed: int = 7) -> pd.DataFrame:
-    """Embedding-cosine near-dup pairs via random-hyperplane LSH buckets:
-    sign-signature groupby, exact cosine verify within buckets."""
+                        n_bands: int = 8, band_planes: int = 16,
+                        seed: int = 7,
+                        bucket_cap: int = 512) -> pd.DataFrame:
+    """Embedding-cosine near-dup pairs via BANDED random-hyperplane LSH.
+
+    n_bands independent sign-signatures of band_planes hyperplanes each
+    (the minhash-banding shape: a pair is a candidate if ANY band's 16-bit
+    signature matches — recall ~1-(1-p^16)^8 with p = 1-theta/pi, ~0.999
+    at cos 0.995).  Buckets carry (band, signature, id) rows ONLY — no
+    vectors ride the shuffle; per-bucket candidate edges are BOUNDED
+    (all-pairs up to bucket_cap, star edges above), and the exact cosine
+    verify runs distributed over the pairs Dataset with vectors attached
+    by hash-co-partitioned joins (attach_pair_payloads).
+    """
+    from opensearch_jvector_ray.pipelines.dedup import (
+        attach_pair_payloads, bounded_bucket_edges, candidate_payloads,
+    )
+    from ray.data.aggregate import Count
+
     def bucket(batch: pa.Table) -> pa.Table:
         vecs = _vecs_from_batch(batch, vec_col)
         rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((vecs.shape[1], n_planes))
-        signs = (vecs @ planes) > 0
-        sig = (signs.astype(np.uint64)
-               << np.arange(n_planes, dtype=np.uint64)[None, :]).sum(axis=1)
-        return pa.table({"bucket": pa.array(sig.astype(np.int64)),
-                         id_col: batch[id_col], vec_col: batch[vec_col]})
+        planes = rng.standard_normal((vecs.shape[1], n_bands * band_planes))
+        signs = ((vecs @ planes) > 0).astype(np.uint64)
+        sig = signs.reshape(len(vecs), n_bands, band_planes)
+        sig = (sig << np.arange(band_planes, dtype=np.uint64)[None, None, :]
+               ).sum(axis=2)
+        ids = batch[id_col]
+        parts = [pa.table({
+            "band": pa.array(np.full(len(vecs), b, dtype=np.int32)),
+            "sig": pa.array(sig[:, b].astype(np.int64)),
+            id_col: ids}) for b in range(n_bands)]
+        return pa.concat_tables(parts)
 
-    def verify(group: pa.Table) -> pa.Table:
-        vecs = _vecs_from_batch(group, vec_col)
-        ids = group[id_col].to_numpy(zero_copy_only=False)
-        norms = np.linalg.norm(vecs, axis=1)
-        norms[norms == 0] = 1.0
-        unit = vecs / norms[:, None]
-        sim = unit @ unit.T
-        iu = np.triu_indices(len(ids), k=1)
-        hit = sim[iu] >= threshold
-        a, b = ids[iu[0][hit]], ids[iu[1][hit]]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pa.table({"id_a": pa.array(lo), "id_b": pa.array(hi),
-                         "cosine": pa.array(np.round(sim[iu][hit], 6))})
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = np.sort(group[id_col].to_numpy(zero_copy_only=False))
+        a, b = bounded_bucket_edges(ids, cap=bucket_cap)
+        return pa.table({"id_a": pa.array(a), "id_b": pa.array(b)})
 
-    out = (ds.map_batches(bucket, batch_format="pyarrow")
-             .groupby("bucket")
-             .map_groups(verify, batch_format="pyarrow")
-             .to_pandas())
+    pairs = (ds.map_batches(bucket, batch_format="pyarrow")
+               .groupby(["band", "sig"])
+               .map_groups(bucket_pairs, batch_format="pyarrow")
+               .groupby(["id_a", "id_b"])
+               .aggregate(Count(alias_name="__n"))
+               .drop_columns(["__n"])
+               .materialize())
+
+    def payload(batch: pa.Table) -> pa.Table:
+        return pa.table({id_col: batch[id_col], "__payload": batch[vec_col]})
+
+    cand_vecs = candidate_payloads(ds, pairs, id_col, payload)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"id_a": pa.array([], type=pa.int64()),
+                             "id_b": pa.array([], type=pa.int64()),
+                             "cosine": pa.array([], type=pa.float64())})
+        va = _vecs_from_batch(batch, "text_a")
+        vb = _vecs_from_batch(batch, "text_b")
+        na = np.linalg.norm(va, axis=1)
+        nb = np.linalg.norm(vb, axis=1)
+        denom = na * nb
+        denom[denom == 0] = 1.0
+        cos = np.einsum("ij,ij->i", va, vb) / denom
+        hit = cos >= threshold
+        return pa.table({
+            "id_a": batch["id_a"].filter(pa.array(hit)),
+            "id_b": batch["id_b"].filter(pa.array(hit)),
+            "cosine": pa.array(np.round(cos[hit], 6))})
+
+    out = (attach_pair_payloads(pairs, cand_vecs, id_col, "__payload")
+           .map_batches(verify, batch_format="pyarrow")
+           .to_pandas())
     if out.empty:
         return pd.DataFrame(columns=["id_a", "id_b", "cosine"])
     return (out.drop_duplicates(subset=["id_a", "id_b"])

@@ -1,0 +1,239 @@
+"""Product-quantization lifecycle: train -> encode -> approx+rerank query
+-> refine-on-merge.
+
+The vector-side analog of the BM25 two-pass rescore already shipped, and
+of the reference's PQ lifecycle: codebook trained once per index on
+bounded data (`JVectorWriter.java:381-414` trains PQ on flush from the
+segment's vectors), merges REFINE the existing codebook instead of
+retraining (`JVectorWriter.java:886-913`), and queries run a
+PQ-approximate first pass with an exact rerank of the oversampled
+candidate set (`JVectorReader.java:154-166`).
+
+Ray-Data shapes:
+  - training: bounded sample -> ONE remote task -> per-subspace k-means
+    (trainer memory independent of corpus size), codebook broadcast via
+    ``ray.put``;
+  - encoding: stateless vectorized map_batches (no shuffle);
+  - query: one map_batches pass per batch does BOTH phases — ADC
+    lookup-table scoring over the codes, then EXACT metric scoring of the
+    batch's top-(k*oversample) survivors only (their float vectors are in
+    the same batch: no second read) -> bounded partials -> driver merge.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+from opensearch_jvector_ray.functions import scoring
+from opensearch_jvector_ray.pipelines.knn import (
+    METRICS, _partial_topk, _rounder, _sq_dists, _vecs_from_batch,
+)
+
+CODEBOOK_NAME = "_pq_codebook.npy"
+
+
+def train_pq_codebook(ds: "rd.Dataset", *, m_subspaces: int = 8,
+                      n_codes: int = 16, vec_col: str = "embedding",
+                      sample_size: int = 65536, iters: int = 10,
+                      seed: int = 42) -> np.ndarray:
+    """Codebook (m_subspaces, n_codes, d/m) from per-subspace k-means on a
+    BOUNDED distributed sample (same shape as knn.train_centroids)."""
+    n_rows = ds.count() or 1
+    frac = min(1.0, 1.5 * sample_size / n_rows)
+    sample = ds.select_columns([vec_col])
+    if frac < 1.0:
+        sample = sample.random_sample(frac, seed=seed)
+    refs = sample.limit(sample_size).to_arrow_refs()
+
+    @ray.remote
+    def _train(*blocks) -> np.ndarray:
+        mats = [_vecs_from_batch(b, vec_col) for b in blocks if b.num_rows]
+        X = np.concatenate(mats)
+        d = X.shape[1]
+        if d % m_subspaces != 0:
+            raise ValueError(f"dim {d} not divisible by m={m_subspaces}")
+        dsub = d // m_subspaces
+        rng = np.random.default_rng(seed)
+        k = min(n_codes, len(X))
+        book = np.zeros((m_subspaces, k, dsub), dtype=np.float64)
+        for m in range(m_subspaces):
+            Xm = X[:, m * dsub:(m + 1) * dsub]
+            cent = Xm[rng.choice(len(Xm), size=k, replace=False)].copy()
+            for _ in range(iters):
+                assign = _sq_dists(Xm, cent).argmin(axis=1)
+                sums = np.zeros_like(cent)
+                np.add.at(sums, assign, Xm)
+                counts = np.bincount(assign, minlength=k)
+                nz = counts > 0
+                cent[nz] = sums[nz] / counts[nz, None]
+            book[m] = cent
+        return book
+
+    return ray.get(_train.remote(*refs))
+
+
+def pq_encode(vecs: np.ndarray, book: np.ndarray) -> np.ndarray:
+    """(n, M) uint8 codes: nearest sub-centroid per subspace (ties to the
+    lowest code, argmin rule)."""
+    m, k, dsub = book.shape
+    codes = np.empty((len(vecs), m), dtype=np.uint8)
+    for mi in range(m):
+        codes[:, mi] = _sq_dists(vecs[:, mi * dsub:(mi + 1) * dsub],
+                                 book[mi]).argmin(axis=1)
+    return codes
+
+
+def build_pq_index(ds: "rd.Dataset", index_dir: str, *,
+                   m_subspaces: int = 8, n_codes: int = 16,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   codebook: np.ndarray | None = None,
+                   part: int = 0) -> np.ndarray:
+    """Persist codes + vectors, partitioned for resumable writes.
+
+    One parquet directory per ``part`` (an incoming segment of vectors);
+    ``refine_pq_index`` appends further parts WITHOUT retraining — the
+    reference's merge rule (reuse the already-trained quantizer,
+    `JVectorWriter.java:886-913`)."""
+    os.makedirs(index_dir, exist_ok=True)
+    book_path = os.path.join(index_dir, CODEBOOK_NAME)
+    if codebook is None:
+        if os.path.exists(book_path):
+            codebook = np.load(book_path)     # refine: NEVER retrain
+        else:
+            codebook = train_pq_codebook(ds, m_subspaces=m_subspaces,
+                                         n_codes=n_codes, vec_col=vec_col)
+    book_ref = ray.put(codebook)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        book = ray.get(book_ref)
+        vecs = _vecs_from_batch(batch, vec_col)
+        codes = pq_encode(vecs, book)
+        return pa.table({
+            id_col: batch[id_col],
+            vec_col: batch[vec_col],
+            "codes": pa.array([c.tobytes() for c in codes],
+                              type=pa.binary()),
+        })
+
+    out_dir = os.path.join(index_dir, f"part={part}")
+    (ds.map_batches(encode, batch_format="pyarrow").write_parquet(out_dir))
+    if not os.path.exists(book_path):
+        np.save(book_path, codebook)
+    return codebook
+
+
+def refine_pq_index(new_ds: "rd.Dataset", index_dir: str, *,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    ) -> int:
+    """Merge-refine: encode NEW vectors with the EXISTING codebook and
+    append them as the next part.  Returns the new part id."""
+    parts = [int(d.split("=")[1]) for d in os.listdir(index_dir)
+             if d.startswith("part=")]
+    nxt = (max(parts) + 1) if parts else 0
+    book = np.load(os.path.join(index_dir, CODEBOOK_NAME))
+    build_pq_index(new_ds, index_dir, id_col=id_col, vec_col=vec_col,
+                   codebook=book, part=nxt)
+    return nxt
+
+
+def _adc_lut(book: np.ndarray, q: np.ndarray, metric: str) -> np.ndarray:
+    """(M, K) lookup table of per-subspace partial contributions for one
+    query: dot products for cosine/innerproduct, squared distances for l2
+    (asymmetric distance computation)."""
+    m, k, dsub = book.shape
+    lut = np.empty((m, k), dtype=np.float64)
+    for mi in range(m):
+        qm = q[mi * dsub:(mi + 1) * dsub]
+        if metric == "l2":
+            diff = book[mi] - qm[None, :]
+            lut[mi] = np.einsum("ij,ij->i", diff, diff)
+        else:                      # cosine / innerproduct: partial dots
+            lut[mi] = book[mi] @ qm
+    return lut
+
+
+def pq_rerank_topk(source: "rd.Dataset | str",
+                   queries: dict[str, np.ndarray], k: int, *,
+                   oversample: float = 4.0, metric: str = "cosine",
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   codebook: np.ndarray | None = None,
+                   round_decimals: int | None = None) -> pd.DataFrame:
+    """Two-phase PQ search: ADC-approximate first pass prunes each batch to
+    k' = ceil(k*oversample) candidates, exact metric scores ONLY those
+    (vectors are co-resident in the batch), driver merges exact partials.
+
+    ``source`` is a built index dir (reads codes; skips re-encoding) or a
+    raw Dataset (codes computed on the fly from ``codebook``)."""
+    if isinstance(source, str):
+        book = np.load(os.path.join(source, CODEBOOK_NAME))
+        ds = rd.read_parquet([os.path.join(source, d)
+                              for d in sorted(os.listdir(source))
+                              if d.startswith("part=")])
+        have_codes = True
+    else:
+        ds = source
+        book = codebook
+        if book is None:
+            raise ValueError("raw-Dataset source needs an explicit codebook")
+        have_codes = False
+
+    kernel, translate, _ = METRICS[metric]
+    rnd = _rounder(round_decimals)
+    qids = sorted(queries)
+    qmat = np.stack([queries[q] for q in qids]).astype(np.float64)
+    luts = np.stack([_adc_lut(book, qmat[i], metric)
+                     for i in range(len(qids))])
+    payload_ref = ray.put((book, qmat, luts))
+    k_prime = max(k, int(np.ceil(k * oversample)))
+    approx_best = metric != "l2"        # l2 LUT is a distance: lower=better
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        book_, qm, luts_ = ray.get(payload_ref)
+        vecs = _vecs_from_batch(batch, vec_col)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        if have_codes:
+            raw = b"".join(batch["codes"].to_pylist())
+            codes = np.frombuffer(raw, dtype=np.uint8).reshape(len(ids), -1)
+        else:
+            codes = pq_encode(vecs, book_)
+        m = codes.shape[1]
+        out_q, out_id, out_s = [], [], []
+        for qi, qid in enumerate(qids):
+            approx = luts_[qi][np.arange(m)[None, :], codes].sum(axis=1)
+            if not approx_best:
+                approx = -approx
+            n_keep = min(k_prime, len(ids))
+            cand = np.argpartition(-approx, n_keep - 1)[:n_keep] \
+                if len(ids) > n_keep else np.arange(len(ids))
+            exact = rnd(translate(kernel(vecs[cand], qm[qi])))
+            sel_ids, sel_sc = _partial_topk(ids[cand], exact, k)
+            out_q.extend([qid] * len(sel_ids))
+            out_id.append(sel_ids)
+            out_s.append(sel_sc)
+        if not out_q:
+            return pa.table({"query_id": pa.array([], type=pa.string()),
+                             id_col: pa.array([], type=batch[id_col].type),
+                             "score": pa.array([], type=pa.float64())})
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.string()),
+            id_col: pa.array(np.concatenate(out_id)),
+            "score": pa.array(np.concatenate(out_s), type=pa.float64()),
+        })
+
+    parts = ds.map_batches(score_batch, batch_format="pyarrow",
+                           batch_size=8192).to_pandas()
+    if parts.empty:
+        return pd.DataFrame(columns=["query_id", "rank", id_col, "score"])
+    out = (parts.sort_values(["query_id", "score", id_col],
+                             ascending=[True, False, True], kind="mergesort")
+                .groupby("query_id", sort=False).head(k))
+    out["rank"] = out.groupby("query_id", sort=False).cumcount() + 1
+    return out[["query_id", "rank", id_col, "score"]].reset_index(drop=True)

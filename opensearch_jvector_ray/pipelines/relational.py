@@ -1,7 +1,17 @@
 """Relational pipelines over the star-schema tables: last-write-wins on
-the events log (D3 analog at table scale) and a TPC-H-Q1-flavoured
-partial-aggregate groupby (the A2-style combiner pattern: pre-aggregate
-inside map_batches, then a tiny groupby over partials)."""
+the events log (D3 analog at table scale), broadcast + big-big joins,
+windowed/session aggregates, and a TPC-H-Q1-flavoured partial-aggregate
+groupby (the A2-style combiner pattern: pre-aggregate inside map_batches,
+then a tiny groupby over partials).
+
+Scale shapes used throughout (the round-1 verdict's fixes):
+  - per-key logic never runs one Python call per key: keys are
+    hash-bucketed into ``num_parts`` co-partitions (``hash_copartition``)
+    and each WHOLE bucket is processed vectorized (pandas/numpy C paths);
+  - operators that produce table-sized output return a ``Dataset``
+    (callers sample/convert; nothing table-sized is pandas'd inside);
+  - every shuffle is preceded by a per-batch combiner where one exists.
+"""
 
 from __future__ import annotations
 
@@ -13,20 +23,49 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Sum
 
+DEFAULT_PARTS = 64
 
-def events_last_write_wins(ds: "rd.Dataset") -> pd.DataFrame:
+
+def hash_copartition(ds: "rd.Dataset", key_col: str, fn,
+                     num_parts: int = DEFAULT_PARTS) -> "rd.Dataset":
+    """groupby over hash(key) % num_parts: ``fn`` (pandas DataFrame ->
+    DataFrame) sees a WHOLE co-partition — every row of every key that
+    hashes into the bucket — and runs vectorized.  One Python call per
+    bucket, never per key; same exchange volume as groupby(key)."""
+    def add_part(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False)
+        part = (pd.util.hash_array(np.asarray(k), categorize=False)
+                % np.uint64(num_parts)).astype(np.int32)
+        return batch.append_column("__part", pa.array(part))
+
+    def run(df: pd.DataFrame) -> pd.DataFrame:
+        return fn(df.drop(columns="__part"))
+
+    return (ds.map_batches(add_part, batch_format="pyarrow")
+              .groupby("__part")
+              .map_groups(run, batch_format="pandas"))
+
+
+def events_last_write_wins(ds: "rd.Dataset") -> "rd.Dataset":
     """Latest event per user (ts desc, event_id desc tie-break) — the
-    update-wins rule of D3 applied to an event log via groupby+map_groups."""
-    def latest(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(group, sort_keys=[("ts", "descending"),
-                                                ("event_id", "descending")])
-        return group.take(idx[:1])
+    update-wins rule of D3 applied to an event log.
 
-    out = (ds.groupby("user_id")
-             .map_groups(latest, batch_format="pyarrow")
-             .to_pandas())
-    out = out.sort_values("user_id").reset_index(drop=True)
-    return out[["user_id", "ts", "event_type", "value"]]
+    Per-batch COMBINER first (latest-per-user within the batch), so only
+    one (user, latest) partial per user per batch rides the shuffle; the
+    hash-co-partitioned reduce then picks the global latest vectorized.
+    Returns a Dataset (one row per user — table-sized at scale)."""
+    def latest_per_user(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        return g.drop_duplicates(subset="user_id", keep="last")
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        df = batch.select(["user_id", "ts", "event_type", "value",
+                           "event_id"]).to_pandas()
+        return pa.Table.from_pandas(latest_per_user(df), preserve_index=False)
+
+    partials = ds.map_batches(combiner, batch_format="pyarrow")
+    out = hash_copartition(partials, "user_id", latest_per_user)
+    return out.drop_columns(["event_id"])
 
 
 def revenue_by_nation(orders: "rd.Dataset", customer_path: str,
@@ -42,26 +81,41 @@ def revenue_by_nation(orders: "rd.Dataset", customer_path: str,
     import pyarrow.parquet as pq
     import ray
 
+    # broadcast SORTED numpy arrays (not Python dicts): the probe is a
+    # vectorized searchsorted, no per-row boxing — millions of customers
+    # cost two array binary-searches per batch, not len(batch) dict gets
     cust = pq.read_table(customer_path, columns=["c_custkey", "c_nationkey"])
     nation = pq.read_table(nation_path, columns=["n_nationkey", "n_name"])
-    cust_to_nation = dict(zip(cust["c_custkey"].to_pylist(),
-                              cust["c_nationkey"].to_pylist()))
-    nation_name = dict(zip(nation["n_nationkey"].to_pylist(),
-                           nation["n_name"].to_pylist()))
-    lookup_ref = ray.put((cust_to_nation, nation_name))
+    ck = cust["c_custkey"].to_numpy(zero_copy_only=False)
+    cn = cust["c_nationkey"].to_numpy(zero_copy_only=False)
+    o = np.argsort(ck, kind="stable")
+    nk = nation["n_nationkey"].to_numpy(zero_copy_only=False)
+    nname = np.asarray(nation["n_name"].to_pylist(), dtype=object)
+    no = np.argsort(nk, kind="stable")
+    lookup_ref = ray.put((ck[o], cn[o], nk[no], nname[no]))
 
     def partial(batch: pa.Table) -> pa.Table:
-        c2n, n_name = ray.get(lookup_ref)
-        cust_keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        ck_s, cn_s, nk_s, nname_s = ray.get(lookup_ref)
+        keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
         cents = np.rint(batch["o_totalprice"].to_numpy(zero_copy_only=False)
                         * 100).astype(np.int64)
-        names = [n_name.get(c2n.get(int(ck), -1), None) for ck in cust_keys]
-        df = pd.DataFrame({"n_name": names, "cents": cents, "n_orders": 1})
-        df = df[df.n_name.notna()]
-        g = (df.groupby("n_name", sort=False)
-               .agg(cents=("cents", "sum"), n_orders=("n_orders", "sum"))
-               .reset_index())
-        return pa.Table.from_pandas(g, preserve_index=False)
+        pos = np.clip(np.searchsorted(ck_s, keys), 0, len(ck_s) - 1)
+        hit = ck_s[pos] == keys
+        nat = cn_s[pos[hit]]
+        npos = np.clip(np.searchsorted(nk_s, nat), 0, len(nk_s) - 1)
+        nhit = nk_s[npos] == nat
+        idx = npos[nhit]
+        # per-batch combiner: bincount over the nation INDEX (cents fit
+        # float64 exactly at batch granularity: << 2^53)
+        n_orders = np.bincount(idx, minlength=len(nk_s))
+        sums = np.bincount(idx, weights=cents[hit][nhit].astype(np.float64),
+                           minlength=len(nk_s)).astype(np.int64)
+        nz = n_orders > 0
+        return pa.table({
+            "n_name": pa.array(nname_s[nz].tolist(), type=pa.string()),
+            "cents": pa.array(sums[nz]),
+            "n_orders": pa.array(n_orders[nz].astype(np.int64)),
+        })
 
     agg = (orders.map_batches(partial, batch_format="pyarrow")
            .groupby("n_name")
@@ -110,38 +164,46 @@ def events_sessionize(ds: "rd.Dataset", gap_minutes: int = 30) -> pd.DataFrame:
     gap to the previous event exceeds ``gap_minutes``.
 
     The streaming-shaped custom operator from the brief: the event log is
-    treated as an ordered, key-partitioned stream — one groupby(user_id)
-    shuffle co-locates each key, and the windowing itself is a sorted
-    numpy pass inside the group (the guide's session-window recipe).
-    Ordering ties on equal ts resolve by event_id (both sides).
+    treated as an ordered, key-partitioned stream — ONE hash-co-partition
+    shuffle co-locates each key, and the windowing is a single vectorized
+    pass over the whole bucket (all its users at once: a session break is
+    "user changed OR gap exceeded").  Ordering ties on equal ts resolve by
+    event_id (both sides).  Returns a Dataset (one row per session —
+    table-sized at scale).
     """
     gap_us = np.int64(gap_minutes) * 60 * 1_000_000
 
-    def sessionize(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"], kind="mergesort")
+    def sessionize(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        new = np.ones(len(g), dtype=np.int64)
-        new[1:] = (ts[1:] - ts[:-1] > gap_us).astype(np.int64)
-        sess = np.cumsum(new)
-        out = pd.DataFrame({"user_id": g["user_id"].to_numpy(),
-                            "session_idx": sess, "ts": g["ts"].to_numpy(),
-                            "one": 1})
-        agg = (out.groupby("session_idx", sort=True)
-                  .agg(user_id=("user_id", "first"),
-                       session_start=("ts", "min"),
+        uid = g["user_id"].to_numpy()
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame(columns=["user_id", "session_idx",
+                                         "session_start", "session_end",
+                                         "n_events"])
+        user_change = np.ones(n, dtype=bool)
+        user_change[1:] = uid[1:] != uid[:-1]
+        new = user_change.copy()
+        new[1:] |= (ts[1:] - ts[:-1]) > gap_us
+        run = np.cumsum(new)                       # global session run id
+        # per-user session_idx: run minus the run at the user's first row
+        first_run = run[user_change]               # one per user, in order
+        user_ord = np.cumsum(user_change) - 1      # 0-based user number
+        sess = run - first_run[user_ord] + 1
+        out = pd.DataFrame({"user_id": uid, "session_idx": sess,
+                            "ts": g["ts"].to_numpy(), "one": 1})
+        agg = (out.groupby(["user_id", "session_idx"], sort=True)
+                  .agg(session_start=("ts", "min"),
                        session_end=("ts", "max"),
                        n_events=("one", "sum"))
                   .reset_index())
+        agg["session_idx"] = agg["session_idx"].astype(np.int64)
+        agg["n_events"] = agg["n_events"].astype(np.int64)
         return agg[["user_id", "session_idx", "session_start", "session_end",
                     "n_events"]]
 
-    out = (ds.groupby("user_id")
-             .map_groups(sessionize, batch_format="pandas")
-             .to_pandas())
-    out["session_idx"] = out["session_idx"].astype(np.int64)
-    out["n_events"] = out["n_events"].astype(np.int64)
-    return (out.sort_values(["user_id", "session_idx"])
-               .reset_index(drop=True))
+    return hash_copartition(ds, "user_id", sessionize)
 
 
 def top_order_revenue(orders: "rd.Dataset", lineitem: "rd.Dataset",
@@ -153,10 +215,12 @@ def top_order_revenue(orders: "rd.Dataset", lineitem: "rd.Dataset",
     Both sides are large, so neither is broadcast: lineitem is first
     partial-aggregated per order key inside map_batches (integer-cents
     combiner — the heavy table collapses to one row per key before any
-    exchange), then the two key-level tables are co-grouped on
-    o_orderkey with ONE shuffle (tag-union + groupby, the partitioned
-    hash-join pattern) and joined inside each group.  Ties on equal
-    revenue resolve by o_orderkey asc (deterministic; oracle identical).
+    exchange), then the two key-level tables are co-partitioned on
+    hash(o_orderkey) with ONE shuffle (tag-union + hash_copartition, the
+    partitioned hash-join pattern) and joined VECTORIZED per bucket, with
+    a per-bucket top-k so the driver merges num_parts * k rows, never the
+    joined table.  Ties on equal revenue resolve by o_orderkey asc
+    (deterministic; oracle identical).
     """
     cutoff = np.datetime64(f"{orderdate_before}T00:00:00", "us")
 
@@ -164,9 +228,11 @@ def top_order_revenue(orders: "rd.Dataset", lineitem: "rd.Dataset",
         key = batch["l_orderkey"].to_numpy(zero_copy_only=False)
         price_c = np.rint(batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
         disc_c = np.rint(batch["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
-        df = pd.DataFrame({"key": key, "cents": price_c * (100 - disc_c)})
-        g = df.groupby("key", sort=False)["cents"].sum().reset_index()
-        g["side"] = np.int8(1)
+        df = pd.DataFrame({"key": key, "cents": price_c * (100 - disc_c),
+                           "side": np.int8(1)})
+        g = (df.groupby("key", sort=False)
+               .agg(cents=("cents", "sum"), side=("side", "first"))
+               .reset_index())
         g["o_orderdate"] = pd.NaT
         return pa.Table.from_pandas(g, preserve_index=False)
 
@@ -185,27 +251,31 @@ def top_order_revenue(orders: "rd.Dataset", lineitem: "rd.Dataset",
     li = lineitem.map_batches(li_partial, batch_format="pyarrow")
     od = orders.map_batches(o_tag, batch_format="pyarrow")
 
-    def join_group(group: pd.DataFrame) -> pd.DataFrame:
-        o = group[group.side == 0]
-        l = group[group.side == 1]
+    def join_partition(df: pd.DataFrame) -> pd.DataFrame:
+        """Whole co-partition at once: sum lineitem partials per key and
+        hash-join to the orders side — vectorized pandas merge, ONE call
+        per bucket (not per order key), then a per-partition top-k so only
+        num_parts * k rows ever reach the driver."""
+        o = df[df.side == 0][["key", "o_orderdate"]]
+        l = df[df.side == 1].groupby("key", sort=False)["cents"].sum()
         if o.empty or l.empty:
-            return pd.DataFrame(columns=["o_orderkey", "o_orderdate", "cents"])
-        return pd.DataFrame({
-            "o_orderkey": [int(group["key"].iloc[0])],
-            "o_orderdate": [o["o_orderdate"].iloc[0]],
-            "cents": [int(l["cents"].sum())],
-        })
+            return pd.DataFrame(columns=["o_orderkey", "o_orderdate",
+                                         "revenue"])
+        m = o.merge(l.rename("cents"), left_on="key", right_index=True,
+                    how="inner")
+        m["revenue"] = np.round(m.pop("cents") / 10000.0, 4)
+        m = m.rename(columns={"key": "o_orderkey"})
+        m = m.sort_values(["revenue", "o_orderkey"],
+                          ascending=[False, True], kind="mergesort").head(k)
+        return m[["o_orderkey", "o_orderdate", "revenue"]]
 
-    joined = (od.union(li).groupby("key")
-              .map_groups(join_group, batch_format="pandas")
-              .to_pandas())
-    if joined.empty:
+    tops = hash_copartition(od.union(li), "key", join_partition).to_pandas()
+    if tops.empty:
         return pd.DataFrame(columns=["o_orderkey", "o_orderdate", "revenue"])
-    joined["revenue"] = np.round(joined.pop("cents") / 10000.0, 4)
-    joined["o_orderkey"] = joined["o_orderkey"].astype(np.int64)
-    out = (joined.sort_values(["revenue", "o_orderkey"],
-                              ascending=[False, True], kind="mergesort")
-                 .head(k).reset_index(drop=True))
+    tops["o_orderkey"] = tops["o_orderkey"].astype(np.int64)
+    out = (tops.sort_values(["revenue", "o_orderkey"],
+                            ascending=[False, True], kind="mergesort")
+               .head(k).reset_index(drop=True))
     return out[["o_orderkey", "o_orderdate", "revenue"]]
 
 
@@ -214,11 +284,14 @@ def events_asof_orders(events: "rd.Dataset", orders: "rd.Dataset") -> pd.DataFra
     latest order of the same customer at or before the event time.
 
     Partitioning assumption (documented per the brief): both sides are
-    co-grouped on the join key by ONE shuffle — the two tables are
-    tag-unioned into a shared schema and grouped by key, so each group
-    task sees all events + all orders of one customer and runs a sorted
-    searchsorted as-of inside.  Ties on equal order date resolve to the
-    max o_orderkey (deterministic; the SQL oracle uses the same rule).
+    co-grouped on the join key by ONE hash-co-partition shuffle — the two
+    tables are tag-unioned into a shared schema and bucketed by
+    hash(key), so each bucket task sees all events + all orders of its
+    customers and runs ONE vectorized ``pd.merge_asof(by=key)`` (C path,
+    no per-key Python).  Ties on equal order date resolve to the max
+    o_orderkey (merge_asof keeps the LAST among equal 'on' values given
+    the (o_orderdate, o_orderkey) sort; the SQL oracle uses the same
+    rule).  Returns a Dataset (event-log-sized output at scale).
     """
     def tag_events(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -245,35 +318,32 @@ def events_asof_orders(events: "rd.Dataset", orders: "rd.Dataset") -> pd.DataFra
     unioned = (events.map_batches(tag_events, batch_format="pyarrow")
                .union(orders.map_batches(tag_orders, batch_format="pyarrow")))
 
-    def asof_group(group: pd.DataFrame) -> pd.DataFrame:
-        ev = group[group.side == 0]
-        od = group[group.side == 1].sort_values(["o_orderdate", "o_orderkey"])
-        if ev.empty or od.empty:
-            return pd.DataFrame(columns=["event_id", "user_id", "ts",
-                                         "o_orderkey", "o_orderdate"])
-        dates = od["o_orderdate"].to_numpy()
-        idx = np.searchsorted(dates, ev["ts"].to_numpy(), side="right") - 1
-        hit = idx >= 0
-        ev = ev[hit]
-        sel = od.iloc[idx[hit]]
-        return pd.DataFrame({
-            "event_id": ev["event_id"].to_numpy(),
-            "user_id": ev["key"].to_numpy(),
-            "ts": ev["ts"].to_numpy(),
-            "o_orderkey": sel["o_orderkey"].to_numpy(),
-            "o_orderdate": sel["o_orderdate"].to_numpy(),
-        })
+    empty_cols = ["event_id", "user_id", "ts", "o_orderkey", "o_orderdate"]
 
-    out = (unioned.groupby("key")
-           .map_groups(asof_group, batch_format="pandas")
-           .to_pandas())
-    if out.empty:
-        return pd.DataFrame(columns=["event_id", "user_id", "ts",
-                                     "o_orderkey", "o_orderdate"])
-    out["event_id"] = out["event_id"].astype(np.int64)
-    out["user_id"] = out["user_id"].astype(np.int64)
-    out["o_orderkey"] = out["o_orderkey"].astype(np.int64)
-    return out.sort_values("event_id").reset_index(drop=True)
+    def asof_partition(df: pd.DataFrame) -> pd.DataFrame:
+        ev = df[df.side == 0][["key", "event_id", "ts"]]
+        od = df[df.side == 1][["key", "o_orderkey", "o_orderdate"]]
+        if ev.empty or od.empty:
+            return pd.DataFrame(columns=empty_cols)
+        # merge_asof: both frames sorted by the 'on' column; among equal
+        # o_orderdate rows the LAST (max o_orderkey, via the secondary
+        # sort) wins — the deterministic tie rule
+        ev = ev.sort_values(["ts", "event_id"], kind="mergesort")
+        od = od.sort_values(["o_orderdate", "o_orderkey"], kind="mergesort")
+        m = pd.merge_asof(ev, od, left_on="ts", right_on="o_orderdate",
+                          by="key", direction="backward",
+                          allow_exact_matches=True)
+        m = m[m["o_orderkey"].notna()]
+        out = pd.DataFrame({
+            "event_id": m["event_id"].to_numpy(dtype=np.int64),
+            "user_id": m["key"].to_numpy(dtype=np.int64),
+            "ts": m["ts"].to_numpy(),
+            "o_orderkey": m["o_orderkey"].to_numpy(dtype=np.int64),
+            "o_orderdate": m["o_orderdate"].to_numpy(),
+        })
+        return out
+
+    return hash_copartition(unioned, "key", asof_partition)
 
 
 def pricing_summary(ds: "rd.Dataset", cutoff: str = "1998-09-02") -> pd.DataFrame:

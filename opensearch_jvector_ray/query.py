@@ -67,10 +67,12 @@ class _TermCursor:
     __slots__ = ("ords_enc", "tfs_enc", "blk_last", "blk_off_o", "blk_off_t",
                  "blk_ub", "ub", "weight_idf", "k1", "b", "avgdl",
                  "blk_idx", "ords", "tfs", "pos", "exhausted",
-                 "codec", "block_size", "df")
+                 "codec", "block_size", "df", "term_idx")
 
     def __init__(self, row: dict, weight_idf: float, k1: float, b: float,
-                 avgdl: float, codec: str = "varint", block_size: int = 128):
+                 avgdl: float, codec: str = "varint", block_size: int = 128,
+                 term_idx: int = 0):
+        self.term_idx = term_idx
         self.ords_enc = row["ords_enc"]
         self.tfs_enc = row["tfs_enc"]
         self.codec = codec
@@ -179,7 +181,10 @@ def _wand_topk(cursors: list[_TermCursor], k: int, dl: np.ndarray,
                     n_eval += 1
                     d = float(dl[pivot_doc])
                     score = 0.0
-                    for c in contrib:
+                    # sum in ANALYZED TERM ORDER (not mutable live-list
+                    # order): ulp-identical to _taat's per-term accumulation,
+                    # so exact (score, key) ties rank identically
+                    for c in sorted(contrib, key=lambda c: c.term_idx):
                         tf = float(c.cur_tf)
                         score += c.weight_idf * (tf / (tf + k1 * (1.0 - b + b * d / avgdl)))
                     rank_key = pivot_doc if tie is None else int(tie[pivot_doc])
@@ -323,15 +328,17 @@ class SegmentSearcher:
                 cursors = [_TermCursor(rows[t], w * idf, self.k1, self.b,
                                        self.avgdl,
                                        codec=self.p.get("codec", "varint"),
-                                       block_size=self.p.get("block_size", 128))
-                           for (t, w, idf) in terms]
+                                       block_size=self.p.get("block_size", 128),
+                                       term_idx=ti)
+                           for ti, (t, w, idf) in enumerate(terms)]
                 ords, scores = _wand_topk(cursors, q["k"], dl, mask,
                                           self.k1, self.b, self.avgdl,
                                           counters=self._counters, tie=tie)
             else:
                 ords, scores = self._taat(terms, decoded, dl, mask, q["k"],
                                           rescore=p["rescore_oversample"] if mode == "rescore" else None,
-                                          tie=tie)
+                                          tie=tie,
+                                          min_score=p.get("min_score"))
             out_qid.extend([q["query_id"]] * len(ords))
             out_ord.append(ords)
             out_sc.append(scores)
@@ -396,8 +403,13 @@ class SegmentSearcher:
         scores[cand_ords] = sc
         return _topk_from_scores(scores, cand_ords, k, tie)
 
-    def _taat(self, terms, decoded, dl, mask, k, rescore=None, tie=None):
-        """Term-at-a-time vectorized scoring; optional two-pass rescore."""
+    def _taat(self, terms, decoded, dl, mask, k, rescore=None, tie=None,
+              min_score=None):
+        """Term-at-a-time vectorized scoring; optional two-pass rescore.
+
+        ``min_score`` switches to the UNCAPPED radial predicate (O5 is a
+        score>=theta predicate, not a heap): every candidate at or above
+        the threshold is returned — no silent max_k truncation."""
         n_docs = len(dl)
         if rescore is not None:
             # first pass: lossy quantized norms (PQ-approx analog)
@@ -439,6 +451,9 @@ class SegmentSearcher:
         candidates = np.flatnonzero(scores > 0.0)
         self._counters["candidates_scored"] = (
             self._counters.get("candidates_scored", 0) + len(candidates))
+        if min_score is not None:
+            candidates = candidates[scores[candidates] >= min_score]
+            return _topk_from_scores(scores, candidates, len(candidates), tie)
         return _topk_from_scores(scores, candidates, k, tie)
 
 
@@ -546,7 +561,8 @@ class IndexSearcher:
                mode: str = "taat", filter: Any = None,
                rescore_oversample: float | None = None,
                concurrency: int | None = None,
-               collapse_col: str | None = None) -> pd.DataFrame:
+               collapse_col: str | None = None,
+               min_score: float | None = None) -> pd.DataFrame:
         """Top-k BM25 for a batch of queries.
 
         Returns a DataFrame (query_id, rank, *key_cols, score) with global
@@ -559,9 +575,16 @@ class IndexSearcher:
         candidates per segment before collapsing.
         """
         cfg = self.cfg
-        k = k or cfg.default_k
-        if k > cfg.max_k:
-            raise ValueError(f"k={k} exceeds max_k={cfg.max_k}")   # K_MAX guard
+        if min_score is not None:
+            # radial is an UNCAPPED score>=theta predicate (O5), streamed
+            # per segment — k and the K_MAX guard do not apply
+            if mode not in ("taat",):
+                raise ValueError("min_score radial search requires mode='taat'")
+            k = k or cfg.default_k
+        else:
+            k = k or cfg.default_k
+            if k > cfg.max_k:
+                raise ValueError(f"k={k} exceeds max_k={cfg.max_k}")   # K_MAX guard
         if rescore_oversample is not None:
             mode = "rescore"
         k_fetch = k
@@ -585,10 +608,12 @@ class IndexSearcher:
             "filter": filter, "rescore_oversample": rescore_oversample,
             "key_types": key_types,
             "first_pass_k": cfg_obj.first_pass_k,
+            "min_score": min_score,
         }
         if not union or not self.seg_dirs:
             return self._finalize(pd.DataFrame(
-                columns=["query_id", *self.key_cols, "score"]), k, collapse_col)
+                columns=["query_id", *self.key_cols, "score"]), k, collapse_col,
+                cap_k=min_score is None)
 
         seg_ds = rd.from_items([{"seg_dir": d} for d in self.seg_dirs])
         # stateless task fan-out: one-shot searches pay no actor spin-up
@@ -601,10 +626,11 @@ class IndexSearcher:
         frames = [b.to_pandas() for b in hits.iter_batches(batch_format="pyarrow")]
         df = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
             columns=["query_id", *self.key_cols, "score"])
-        return self._finalize(df, k, collapse_col)
+        return self._finalize(df, k, collapse_col, cap_k=min_score is None)
 
     def _finalize(self, df: pd.DataFrame, k: int,
-                  collapse_col: str | None = None) -> pd.DataFrame:
+                  collapse_col: str | None = None,
+                  cap_k: bool = True) -> pd.DataFrame:
         """Global reduce: merge per-segment k-lists (A1); optional collapse
         to one hit per parent group (D4)."""
         if df.empty:
@@ -617,6 +643,7 @@ class IndexSearcher:
         if collapse_col is not None:
             df = df.drop_duplicates(subset=["query_id", collapse_col],
                                     keep="first")
-        df = df.groupby("query_id", sort=False).head(k)
+        if cap_k:
+            df = df.groupby("query_id", sort=False).head(k)
         df["rank"] = df.groupby("query_id", sort=False).cumcount() + 1
         return df[["query_id", "rank", *self.key_cols, "score"]].reset_index(drop=True)

@@ -157,7 +157,8 @@ def make_segment_builder(index_dir: str, cfg: EngineConfig, spec: IndexSpec,
                          deletes: Sequence[tuple] | None = None):
     """Returns the map_groups fn that builds + persists ONE segment."""
 
-    def build_segment(group: pa.Table) -> pa.Table:
+    def build_segment(group: pa.Table,
+                      lineage_extra: dict[str, Any] | None = None) -> pa.Table:
         timer = StageTimer()
         seg = int(group[SEG_COL][0].as_py())
         rows_in = group.num_rows
@@ -210,7 +211,7 @@ def make_segment_builder(index_dir: str, cfg: EngineConfig, spec: IndexSpec,
             num_postings=int(pc.sum(postings["df"]).as_py() or 0),
             rows_in=rows_in,
             config_fingerprint=cfg.fingerprint(),
-            lineage=lineage or {},
+            lineage={**(lineage or {}), **(lineage_extra or {})},
             timings_sec={k: round(v, 4) for k, v in timer.timings.items()},
         )
         manifest.write(out_dir)
@@ -324,7 +325,8 @@ def make_fragment_builder(index_dir: str, cfg: EngineConfig, spec: IndexSpec,
                                      columns=spec.all_cols())
             tbl = tbl.append_column(SEG_COL, pa.array(
                 np.full(tbl.num_rows, seg, dtype=np.int32)))
-            out.append(builder(tbl))
+            out.append(builder(tbl, lineage_extra={
+                "fragment": {"file": f, "rg_lo": rg_lo, "rg_hi": rg_hi}}))
         return pa.concat_tables(out)
 
     return build_from_fragment
@@ -386,7 +388,14 @@ def build_index(source: "rd.Dataset | str | list[str]", index_dir: str,
             mode = "staged"      # key co-location via partitioned write
         else:
             mode = "shuffle"
-    done = frozenset(completed_segments(index_dir).keys())
+    # Resume trusts a manifest ONLY if it was built under the CURRENT
+    # config (analyzer/codec/layout changes invalidate it — otherwise a
+    # re-run into an existing index_dir silently mixes segments built
+    # under different analyzers); fragment-lineage is checked per-plan-item
+    # below for the fragments path.
+    prior = completed_segments(index_dir)
+    done = frozenset(s for s, m in prior.items()
+                     if m.config_fingerprint == cfg.fingerprint())
     n_skipped = len(done)
 
     if mode == "staged":
@@ -403,6 +412,11 @@ def build_index(source: "rd.Dataset | str | list[str]", index_dir: str,
         ds = ds.select_columns(spec.all_cols())
         staging = os.path.join(index_dir, "_staging")
         if not os.path.exists(os.path.join(staging, "_DONE")):
+            # a crash mid-write leaves partial files with no _DONE; a rerun
+            # that appended into them would duplicate rows — start clean
+            if os.path.isdir(staging):
+                import shutil as _sh
+                _sh.rmtree(staging, ignore_errors=True)
             ds.map_batches(_assign_segments, batch_format="pyarrow",
                            fn_kwargs={"spec": spec,
                                       "num_segments": cfg.num_segments,
@@ -442,8 +456,24 @@ def build_index(source: "rd.Dataset | str | list[str]", index_dir: str,
         total_rows = sum(pq.read_metadata(p).num_rows for p in paths)
         target = min(cfg.target_docs_per_segment,
                      max(1000, -(-total_rows // cfg.num_segments)))
-        plan = [it for it in plan_file_segments(paths, target)
-                if it["seg"] not in done]
+        full_plan = plan_file_segments(paths, target)
+        # a completed segment is reusable only if it covers the SAME byte
+        # range of the SAME file as the current plan (input change => rebuild)
+        def _plan_matches(it: dict) -> bool:
+            m = prior.get(it["seg"])
+            return (it["seg"] in done and m is not None
+                    and m.lineage.get("fragment") == {
+                        "file": it["file"], "rg_lo": it["rg_lo"],
+                        "rg_hi": it["rg_hi"]})
+        stale = set(done) - {it["seg"] for it in full_plan}
+        if stale:
+            raise ValueError(
+                f"index dir {index_dir!r} contains completed segments "
+                f"{sorted(stale)} not in the current fragment plan "
+                f"(input files changed?) — refusing to mix; use a fresh "
+                f"index_dir or delete the stale segments")
+        plan = [it for it in full_plan if not _plan_matches(it)]
+        n_skipped = len(full_plan) - len(plan)
         if plan:
             (rd.from_items(plan)
                .map_batches(make_fragment_builder(index_dir, cfg, spec,
@@ -467,6 +497,15 @@ def build_index(source: "rd.Dataset | str | list[str]", index_dir: str,
             shuffled.take_all()
 
     manifests = completed_segments(index_dir)
+    mixed = sorted(s for s, m in manifests.items()
+                   if m.config_fingerprint != cfg.fingerprint())
+    if mixed:
+        # only reachable when a foreign-config segment was never re-planned
+        # (e.g. num_segments shrank): refuse to publish a mixed index
+        raise ValueError(
+            f"index dir {index_dir!r} still contains segments {mixed} built "
+            f"under a different config fingerprint — refusing to mix; use a "
+            f"fresh index_dir or delete them")
     segs = sorted(manifests.keys())
     aggregate_dictionary(index_dir, cfg, segs)
 

@@ -57,7 +57,8 @@ def test_entry_smoke():
     res = E.entry()
     df = res.to_pandas() if hasattr(res, "to_pandas") else res
     assert len(df) > 0
-    assert list(df.columns) == ["query_id", "rank", "conv_id", "turn_idx", "score"]
-    # the planted phrase must hit its planted positions (golden answer)
+    assert list(df.columns) == ["query_id", "rank", "doc_id", "score"]
+    # the planted phrase must hit its planted positions (golden answer);
+    # doc_id is the padded composite key conv_id:turn_idx
     t1 = df[df.query_id == "t1"]
-    assert len(t1) > 0 and all(t1.turn_idx == 1)
+    assert len(t1) > 0 and all(t1.doc_id.str.endswith(":0001"))

@@ -185,3 +185,57 @@ def test_ngram_jaccard_pairs_planted():
     exp = jaccard(char_ngrams(texts[0], 5), char_ngrams(texts[1], 5))
     assert abs(row.jaccard - round(exp, 6)) < 1e-9
     assert not any(2 in p or 3 in p for p in got)
+
+
+def test_bounded_bucket_edges_unit():
+    ids = np.arange(5, dtype=np.int64)
+    a, b = dd.bounded_bucket_edges(ids, cap=10)
+    assert len(a) == 10                      # all 5*4/2 pairs
+    assert (a < b).all()
+    a2, b2 = dd.bounded_bucket_edges(ids, cap=3)   # oversize -> star
+    assert len(a2) == 4 and (a2 == 0).all()
+    assert sorted(b2.tolist()) == [1, 2, 3, 4]
+
+
+def test_minhash_hot_bucket_bounded():
+    """A 10k-member identical-text bucket must complete in bounded time
+    (star edges, not O(n^2) pairs) and still cluster every member."""
+    import time
+    n = 10_000
+    texts = [BASE] * n
+    ds = rd.from_arrow(_doc_table(texts))
+    t0 = time.perf_counter()
+    out = dd.minhash_lsh_dedup(ds, CFG, "doc_id", "text", threshold=0.5)
+    elapsed = time.perf_counter() - t0
+    assert len(out) == n
+    assert (out["cluster_id"] == 0).all()
+    assert elapsed < 180, f"hot bucket took {elapsed:.1f}s - unbounded?"
+
+
+def test_simhash_hot_bucket_bounded():
+    """Oversize simhash buckets go through the sorted-window path; exact
+    duplicates (hamming 0) must still pair up."""
+    texts = [BASE] * 50 + [f"unique doc number {i} talking about topic {i}"
+                           for i in range(20)]
+    ds = rd.from_arrow(_doc_table(texts))
+    out = dd.simhash_near_dups(ds, CFG, "doc_id", "text", max_hamming=3,
+                               bucket_cap=16)   # force the windowed path
+    # identical docs sort adjacently -> every consecutive pair found; the
+    # union of windowed pairs must cover all 50 identical docs
+    ids = set(out["id_a"]) | set(out["id_b"])
+    assert set(range(50)) <= ids
+    assert (out["hamming"] <= 3).all()
+
+
+def test_embedding_near_dups_banded_recall():
+    """Planted near-identical vectors must survive the banded LSH."""
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((40, 32))
+    dup = base[:10] + 1e-4 * rng.standard_normal((10, 32))
+    vecs = np.concatenate([base, dup]).astype(np.float32)
+    tbl = pa.table({"vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+                    "embedding": pa.array([v for v in vecs],
+                                          type=pa.list_(pa.float32()))})
+    out = knn_pl.embedding_near_dups(rd.from_arrow(tbl), threshold=0.999)
+    found = {(int(a), int(b)) for a, b in zip(out["id_a"], out["id_b"])}
+    assert {(i, 40 + i) for i in range(10)} <= found

@@ -55,7 +55,10 @@ def test_modes_agree_with_oracle_randomized(seed, tmp_path):
 
     queries = {}
     for qi in range(6):
-        n_terms = int(rng.integers(1, 4))
+        # up to 6 terms: >=3-term queries exercise WAND's analyzed-term-
+        # order summation (tie rank-identity breaks if contributions are
+        # summed in mutable cursor order — the ADVICE.md finding)
+        n_terms = int(rng.integers(1, 7))
         queries[f"q{qi}"] = " ".join(rng.choice(VOCAB, size=n_terms))
     k = int(rng.integers(1, 40))
 

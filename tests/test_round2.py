@@ -1,0 +1,138 @@
+"""Round-2 regression tests: uncapped radial (O5 predicate semantics),
+WAND analyzed-term-order tie identity at >=3 terms, fixed-centroid IVF
+inline/partitioned equivalence, and the filtered/radial vector paths."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from opensearch_jvector_ray.config import EngineConfig
+from opensearch_jvector_ray.pipelines import knn as knn_pl
+from opensearch_jvector_ray.query import IndexSearcher
+from opensearch_jvector_ray.stages.build import IndexSpec, build_index
+
+
+def _corpus(texts: list[str]) -> pa.Table:
+    n = len(texts)
+    return pa.table({
+        "conv_id": [f"c{i:05d}" for i in range(n)],
+        "turn_idx": pa.array([0] * n, type=pa.int32()),
+        "role": ["user"] * n,
+        "text": pa.array(texts, type=pa.string()),
+        "tool": [""] * n,
+        "ts": pa.array(list(range(n)), type=pa.timestamp("us")),
+    })
+
+
+def test_radial_uncapped_beyond_max_k(tmp_path):
+    """More docs pass the threshold than max_k allows: the radial
+    predicate path must return them ALL (no silent truncation)."""
+    n = 60
+    texts = [f"zebra filler{i} filler{i}" for i in range(n)]
+    idx = str(tmp_path / "idx")
+    cfg = EngineConfig(num_segments=3, max_k=20, default_k=5)
+    build_index(rd.from_arrow(_corpus(texts)), idx, cfg, IndexSpec())
+    s = IndexSearcher(idx)
+    out = s.search({"q": "zebra"}, min_score=0.0)
+    assert len(out) == n > cfg.max_k
+    # rank covers 1..n; ordering is (score desc, key asc)
+    assert out["rank"].tolist() == list(range(1, n + 1))
+    assert (np.diff(out["score"].to_numpy()) <= 1e-12).all()
+
+
+def test_radial_threshold_matches_filtered_topk(tmp_path):
+    texts = ["zebra alpha", "zebra zebra beta", "gamma delta", "zebra"] * 5
+    idx = str(tmp_path / "idx")
+    cfg = EngineConfig(num_segments=2)
+    build_index(rd.from_arrow(_corpus(texts)), idx, cfg, IndexSpec())
+    s = IndexSearcher(idx)
+    full = s.search({"q": "zebra"}, min_score=0.0)
+    theta = float(full["score"].iloc[len(full) // 2])
+    radial = s.search({"q": "zebra"}, min_score=theta)
+    exp = full[full["score"] >= theta]
+    assert radial["conv_id"].tolist() == exp["conv_id"].tolist()
+    assert len(radial) < len(full)
+
+
+def test_wand_taat_identical_with_many_term_ties(tmp_path):
+    """Docs with identical contribution multisets over >=3 terms: WAND's
+    analyzed-term-order summation must reproduce TAAT's exact fp sums so
+    the (score desc, key asc) tie rank is identical."""
+    words = ["alpha", "beta", "gamma", "delta", "eps"]
+    rng = np.random.default_rng(3)
+    texts = []
+    for i in range(40):
+        perm = list(rng.permutation(words))   # same multiset, rotated order
+        texts.append(" ".join(perm))
+    texts += ["alpha beta", "gamma delta eps alpha"] * 3
+    idx = str(tmp_path / "idx")
+    build_index(rd.from_arrow(_corpus(texts)), idx,
+                EngineConfig(num_segments=3, block_size=4), IndexSpec())
+    s = IndexSearcher(idx)
+    qs = {"q1": "alpha beta gamma", "q2": "alpha beta gamma delta eps",
+          "q3": "eps delta gamma beta"}
+    for k in (5, 17, 50):
+        taat = s.search(qs, k=k)
+        wand = s.search(qs, k=k, mode="wand")
+        pd.testing.assert_frame_equal(taat, wand)
+
+
+def _vec_table(vecs: np.ndarray) -> pa.Table:
+    return pa.table({
+        "vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array([i % 4 for i in range(len(vecs))],
+                          type=pa.int32()),
+    })
+
+
+def test_ivf_fixed_inline_equals_partitioned(tmp_path):
+    """Shared fixed centroids => the inline cell-filter path and the
+    persisted cell-partitioned path are result-identical."""
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((300, 24)).astype(np.float32)
+    ds = rd.from_arrow(_vec_table(vecs))
+    cent = knn_pl.fixed_centroids(ds, list(range(6)))
+    queries = {f"q{i}": vecs[i * 31].astype(np.float64) for i in range(4)}
+    inline = knn_pl.ivf_topk(ds, queries, 10, centroids=cent, n_probe=2,
+                             round_decimals=6)
+    idx = str(tmp_path / "ivf")
+    knn_pl.build_ivf_index(ds, idx, centroids=cent)
+    part = knn_pl.ivf_index_topk(idx, queries, 10, n_probe=2,
+                                 round_decimals=6)
+    pd.testing.assert_frame_equal(inline, part)
+
+
+def test_knn_filtered_and_radial():
+    rng = np.random.default_rng(17)
+    vecs = rng.standard_normal((200, 16)).astype(np.float32)
+    ds = rd.from_arrow(_vec_table(vecs))
+    queries = {"q": vecs[0].astype(np.float64)}
+    flt = knn_pl.brute_force_topk(ds, queries, 10, metric="cosine",
+                                  filter_expr=pc.field("label") == 2,
+                                  round_decimals=6)
+    assert (np.array(flt["vec_id"]) % 4 == 2).all()
+    # radial: threshold taken from the filtered-free top-k boundary
+    full = knn_pl.brute_force_topk(ds, queries, 20, metric="cosine",
+                                   round_decimals=6)
+    theta = float(full["score"].iloc[9])
+    rad = knn_pl.brute_force_topk(ds, queries, None, metric="cosine",
+                                  min_score=theta, round_decimals=6)
+    exp_ids = set(full[full["score"] >= theta]["vec_id"])
+    assert set(rad["vec_id"]) == exp_ids
+
+
+def test_trained_centroids_bounded_sample():
+    """Trainer must respect the sample cap and still produce k centroids
+    of the right dimensionality."""
+    rng = np.random.default_rng(23)
+    vecs = rng.standard_normal((500, 12)).astype(np.float32)
+    ds = rd.from_arrow(_vec_table(vecs))
+    cent = knn_pl.train_centroids(ds, 7, "embedding", sample_size=128)
+    assert cent.shape == (7, 12)
+    # deterministic given the same seed/sample
+    cent2 = knn_pl.train_centroids(ds, 7, "embedding", sample_size=128)
+    np.testing.assert_array_equal(cent, cent2)
