@@ -30,7 +30,8 @@ from opensearch_jvector_ray.oracles import (
     events_sessionize_sql, events_window_sql, exact_dedup_sql,
     ivf_fixed_sql, revenue_by_nation_sql, simhash_sql,
     top_order_revenue_sql, transcripts_bm25_sql,
-    fingerprint_sql, grouped_best_sql, knn_sql, lang_id_sql, phrase_sql,
+    fingerprint_sql, grouped_best_sql, grouped_expand_sql, knn_sql,
+    lang_id_sql, phrase_sql,
     pricing_summary_sql, quality_sql, term_stats_sql, token_count_sql,
 )
 from opensearch_jvector_ray.pipelines import dedup as dedup_pl
@@ -59,6 +60,7 @@ FILTER_LANG = "en"
 RADIAL_QUERY = {"qr": "fast merge sort"}
 RADIAL_MIN_SCORE = 0.55
 GROUP_QUERY = "query data filter join"
+EXPAND_GROUPS = 5
 PHRASE_QUERIES = {"p1": "fast merge", "p2": "data row", "p3": "customer join"}
 TERM_STATS_TERMS = ["customer", "data", "fast", "merge", "query", "window"]
 KNN_QUERY_IDS = [0, 1, 2]
@@ -130,6 +132,29 @@ def _q_grouped_best(sf_dir: str) -> pd.DataFrame:
     best = best.sort_values("source").reset_index(drop=True)
     best["score"] = np.round(best["score"].astype(np.float64), 6)
     return best[["source", "doc_id", "score"]]
+
+
+def _q_grouped_expand(sf_dir: str) -> pd.DataFrame:
+    """Expand-nested (ExpandNestedDocsQuery analog, J3's other half):
+    collapse finds the winning parents; expand re-attaches ALL their
+    matching children with scores.  One uncapped search serves both
+    phases; the group filter is a driver-side mask over the (small)
+    hit->group map."""
+    s = IndexSearcher(documents_index(sf_dir))
+    hits = s.search({"q": GROUP_QUERY}, min_score=0.0)
+    src = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "source"]).to_pandas()
+    m = hits.merge(src, on="doc_id")
+    best = (m.groupby("source", sort=False)["rank"].min()
+             .reset_index().sort_values(["rank", "source"]))
+    winners = set(best.head(EXPAND_GROUPS)["source"])
+    out = m[m["source"].isin(winners)].sort_values("rank")
+    out = out.assign(group_rank=(out.groupby("source", sort=False)
+                                    .cumcount() + 1),
+                     score=np.round(out["score"].astype(np.float64), 6))
+    out = out.sort_values(["source", "group_rank"]).reset_index(drop=True)
+    out["group_rank"] = out["group_rank"].astype(np.int64)
+    return out[["source", "doc_id", "score", "group_rank"]]
 
 
 def _q_term_stats(sf_dir: str) -> pd.DataFrame:
@@ -224,6 +249,23 @@ def _q_knn_ivf_partitioned(sf_dir: str) -> pd.DataFrame:
     queries = query_embeddings(sf_dir, KNN_QUERY_IDS)
     out = knn_pl.ivf_index_topk(idx, queries, KNN_K, n_probe=IVF_N_PROBE,
                                 round_decimals=6)
+    return _round_hits(out)
+
+
+def _q_knn_pq_rerank(sf_dir: str) -> pd.DataFrame:
+    # PQ lifecycle entry: train-once codebook (cached index), ADC first
+    # pass + exact rerank (approximate -> pytest recall gate, no SQL)
+    import os
+    from opensearch_jvector_ray.pipelines import pq as pq_pl
+    from opensearch_jvector_ray.sources.tables import CACHE_ROOT
+    key = os.path.basename(os.path.normpath(sf_dir))
+    idx = os.path.join(CACHE_ROOT, f"pqidx_{key}")
+    if not os.path.exists(os.path.join(idx, pq_pl.CODEBOOK_NAME)):
+        ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        pq_pl.build_pq_index(ds, idx, m_subspaces=8, n_codes=16)
+    queries = query_embeddings(sf_dir, KNN_QUERY_IDS)
+    out = pq_pl.pq_rerank_topk(idx, queries, KNN_K, oversample=8.0,
+                               round_decimals=6)
     return _round_hits(out)
 
 
@@ -363,6 +405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_radial": _q_bm25_radial,
         "bm25_phrase": _q_bm25_phrase,
         "grouped_best_doc": _q_grouped_best,
+        "grouped_expand": _q_grouped_expand,
         "term_stats": _q_term_stats,
         "collection_stats": _q_collection_stats,
         # text-analysis pipeline operators
@@ -378,6 +421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_radial": _q_knn_radial,
         "knn_ivf_cosine": _q_knn_ivf,
         "knn_ivf_partitioned": _q_knn_ivf_partitioned,
+        "knn_pq_rerank": _q_knn_pq_rerank,
         "knn_hamming_topk": _q_knn_hamming,
         # relational / lifecycle operators
         "events_last_write_wins": _q_events_lww,
@@ -431,6 +475,7 @@ def oracle_sql() -> dict[str, str]:
                                 min_score=RADIAL_MIN_SCORE),
         "bm25_phrase": phrase_sql(PHRASE_QUERIES, BM25_K, CFG),
         "grouped_best_doc": grouped_best_sql(GROUP_QUERY, CFG),
+        "grouped_expand": grouped_expand_sql(GROUP_QUERY, EXPAND_GROUPS, CFG),
         "term_stats": term_stats_sql(TERM_STATS_TERMS, CFG),
         "collection_stats": collection_stats_sql(CFG),
         "token_count": token_count_sql(CFG),

@@ -325,6 +325,37 @@ def _knn_score_expr(metric: str, vec_col: str) -> str:
     raise ValueError(metric)
 
 
+def grouped_expand_sql(query_text: str, n_groups: int, cfg: EngineConfig,
+                       group_col: str = "source", table: str = "documents",
+                       id_col: str = "doc_id", text_col: str = "text") -> str:
+    """Expand-nested oracle (ExpandNestedDocsQuery analog): the top
+    ``n_groups`` groups by their best hit, then ALL matching docs of those
+    groups, ranked within each group.  Winner ties are impossible (global
+    ranks are unique); within-group order is the global (score desc, id
+    asc) order."""
+    inner = bm25_sql({"q": query_text}, 10 ** 9, cfg, table=table,
+                     id_col=id_col, text_col=text_col)
+    return f"""
+WITH hits AS ({inner}),
+joined AS (
+  SELECT d.{group_col}, h.{id_col}, h.score, h.rank
+  FROM hits h JOIN {table} d USING ({id_col})
+),
+winners AS (
+  SELECT {group_col} FROM (
+    SELECT {group_col},
+           row_number() OVER (ORDER BY min(rank), {group_col}) AS grp_rn
+    FROM joined GROUP BY {group_col}
+  ) WHERE grp_rn <= {n_groups}
+)
+SELECT j.{group_col}, j.{id_col}, j.score,
+       row_number() OVER (PARTITION BY j.{group_col}
+                          ORDER BY j.rank) AS group_rank
+FROM joined j JOIN winners USING ({group_col})
+ORDER BY j.{group_col}, group_rank
+"""
+
+
 def knn_sql(metric: str, query_vec_ids: list[int], k: int,
             table: str = "embeddings", id_col: str = "vec_id",
             vec_col: str = "embedding", filter_sql: str | None = None,

@@ -173,10 +173,12 @@ def pq_rerank_topk(source: "rd.Dataset | str",
     ``source`` is a built index dir (reads codes; skips re-encoding) or a
     raw Dataset (codes computed on the fly from ``codebook``)."""
     if isinstance(source, str):
+        import glob as globmod
         book = np.load(os.path.join(source, CODEBOOK_NAME))
-        ds = rd.read_parquet([os.path.join(source, d)
-                              for d in sorted(os.listdir(source))
-                              if d.startswith("part=")])
+        files = sorted(f for d in os.listdir(source) if d.startswith("part=")
+                       for f in globmod.glob(os.path.join(source, d,
+                                                          "*.parquet")))
+        ds = rd.read_parquet(files)
         have_codes = True
     else:
         ds = source

@@ -30,6 +30,13 @@ Layout per term (one row of the postings table):
                   score(block) <= idf * S(max_tf, min_dl))
   blk_off_ord  : list<int64> byte offset of each block within ords_enc
   blk_off_tf   : list<int64> byte offset of each block within tfs_enc
+  blk_n        : list<int32> values per block.  Build-time blocks are
+                  uniform (block_size, short tail), but BULK-merged runs
+                  concatenate input runs at their original block
+                  boundaries, so counts become irregular — this column is
+                  what lets the pfor codec byte-splice on merge instead of
+                  decode+rebuild (varint is self-delimiting and only needs
+                  it implicitly).
 """
 
 from __future__ import annotations
@@ -51,6 +58,7 @@ POSTINGS_SCHEMA = pa.schema([
     ("blk_min_dl", pa.list_(pa.int32())),
     ("blk_off_ord", pa.list_(pa.int64())),
     ("blk_off_tf", pa.list_(pa.int64())),
+    ("blk_n", pa.list_(pa.int32())),
 ])
 
 
@@ -202,19 +210,27 @@ def pfor_encode_runs(values: np.ndarray, run_starts: np.ndarray,
 
 
 def pfor_decode_run(blob: bytes | np.ndarray, n_values: int,
-                    block_size: int) -> np.ndarray:
-    """Decode one term's FOR-packed blob back to values."""
+                    block_size: int,
+                    blk_n: "np.ndarray | list | None" = None) -> np.ndarray:
+    """Decode one term's FOR-packed blob back to values.
+
+    ``blk_n`` gives per-block value counts for IRREGULAR blocks (bulk-
+    merged runs); without it blocks are the uniform build-time layout
+    (block_size values, short tail)."""
     out = np.zeros(n_values, dtype=np.uint64)
     b = np.frombuffer(blob, dtype=np.uint8) if isinstance(blob, (bytes, memoryview)) else np.asarray(blob, dtype=np.uint8)
     off = 0
     done = 0
+    bi = 0
     while done < n_values:
-        cnt = min(block_size, n_values - done)
+        cnt = int(blk_n[bi]) if blk_n is not None else \
+            min(block_size, n_values - done)
         width = int(b[off])
         nbytes = 1 + (cnt * width + 7) // 8
         out[done:done + cnt] = for_unpack_block(b[off:off + nbytes], cnt)
         off += nbytes
         done += cnt
+        bi += 1
     return out
 
 
@@ -429,6 +445,9 @@ def encode_posting_arrays(vocab_sorted: pa.Array, p_code: np.ndarray,
         "blk_min_dl": _list_array(blk_offsets, blk_min_dl, pa.int32()),
         "blk_off_ord": _list_array(blk_offsets, blk_off_ord, pa.int64()),
         "blk_off_tf": _list_array(blk_offsets, blk_off_tf, pa.int64()),
+        "blk_n": _list_array(blk_offsets,
+                             (blk_end - blk_start).astype(np.int32),
+                             pa.int32()),
     }, schema=POSTINGS_SCHEMA)
 
 
@@ -438,11 +457,14 @@ def encode_posting_arrays(vocab_sorted: pa.Array, p_code: np.ndarray,
 
 def decode_posting_list(ords_enc: bytes, tfs_enc: bytes,
                         codec: str = "varint", df: int | None = None,
-                        block_size: int = 128) -> tuple[np.ndarray, np.ndarray]:
+                        block_size: int = 128,
+                        blk_n=None) -> tuple[np.ndarray, np.ndarray]:
     """Decode one term's postings -> (ordinals int64 asc, tfs int64)."""
     if codec == "pfor":
-        gaps = pfor_decode_run(ords_enc, int(df), block_size).astype(np.int64)
-        tfs = pfor_decode_run(tfs_enc, int(df), block_size).astype(np.int64)
+        gaps = pfor_decode_run(ords_enc, int(df), block_size,
+                               blk_n=blk_n).astype(np.int64)
+        tfs = pfor_decode_run(tfs_enc, int(df), block_size,
+                              blk_n=blk_n).astype(np.int64)
     else:
         gaps = varint_decode(ords_enc).astype(np.int64)
         tfs = varint_decode(tfs_enc).astype(np.int64)
@@ -458,11 +480,15 @@ def decode_segment_postings(post: "pa.Table", codec: str = "varint",
     term_start = np.zeros(len(df), dtype=np.int64)
     np.cumsum(df[:-1], out=term_start[1:])
     if codec == "pfor":
+        has_bn = "blk_n" in post.column_names
         gap_parts, tf_parts = [], []
         for i in range(post.num_rows):
             n = int(df[i])
-            gap_parts.append(pfor_decode_run(post["ords_enc"][i].as_py(), n, block_size))
-            tf_parts.append(pfor_decode_run(post["tfs_enc"][i].as_py(), n, block_size))
+            bn = post["blk_n"][i].as_py() if has_bn else None
+            gap_parts.append(pfor_decode_run(post["ords_enc"][i].as_py(), n,
+                                             block_size, blk_n=bn))
+            tf_parts.append(pfor_decode_run(post["tfs_enc"][i].as_py(), n,
+                                            block_size, blk_n=bn))
         gaps = np.concatenate(gap_parts).astype(np.int64) if gap_parts else np.zeros(0, np.int64)
         p_tf = np.concatenate(tf_parts).astype(np.int64) if tf_parts else np.zeros(0, np.int64)
     else:

@@ -67,12 +67,14 @@ class _TermCursor:
     __slots__ = ("ords_enc", "tfs_enc", "blk_last", "blk_off_o", "blk_off_t",
                  "blk_ub", "ub", "weight_idf", "k1", "b", "avgdl",
                  "blk_idx", "ords", "tfs", "pos", "exhausted",
-                 "codec", "block_size", "df", "term_idx")
+                 "codec", "block_size", "df", "term_idx", "blk_n")
 
     def __init__(self, row: dict, weight_idf: float, k1: float, b: float,
                  avgdl: float, codec: str = "varint", block_size: int = 128,
                  term_idx: int = 0):
         self.term_idx = term_idx
+        bn = row.get("blk_n")
+        self.blk_n = np.asarray(bn, dtype=np.int64) if bn is not None else None
         self.ords_enc = row["ords_enc"]
         self.tfs_enc = row["tfs_enc"]
         self.codec = codec
@@ -100,7 +102,10 @@ class _TermCursor:
         t_end = self.blk_off_t[bi + 1] if bi + 1 < len(self.blk_off_t) else len(self.tfs_enc)
         if self.codec == "pfor":
             from opensearch_jvector_ray.postings import for_unpack_block
-            n_blk = min(self.block_size, self.df - bi * self.block_size)
+            if self.blk_n is not None:      # bulk-merged: irregular blocks
+                n_blk = int(self.blk_n[bi])
+            else:
+                n_blk = min(self.block_size, self.df - bi * self.block_size)
             gaps = for_unpack_block(self.ords_enc[self.blk_off_o[bi]:o_end],
                                     n_blk).astype(np.int64)
             tfs = for_unpack_block(self.tfs_enc[self.blk_off_t[bi]:t_end],
@@ -309,7 +314,8 @@ class SegmentSearcher:
         for t, r in rows.items():
             decoded[t] = decode_posting_list(
                 r["ords_enc"], r["tfs_enc"], codec=p.get("codec", "varint"),
-                df=r["df"], block_size=p.get("block_size", 128))
+                df=r["df"], block_size=p.get("block_size", 128),
+                blk_n=r.get("blk_n"))
 
         out_qid: list[str] = []
         out_ord: list[np.ndarray] = []
@@ -370,7 +376,8 @@ class SegmentSearcher:
             r = rows[t]
             ords, tfs = decode_posting_list(
                 r["ords_enc"], r["tfs_enc"], codec=self.p.get("codec", "varint"),
-                df=r["df"], block_size=self.p.get("block_size", 128))
+                df=r["df"], block_size=self.p.get("block_size", 128),
+                blk_n=r.get("blk_n"))
             flat, offs = decode_positions(r["pos_enc"], tfs)
             per_term.append((ords, flat, offs))
         # docs containing ALL terms
@@ -548,12 +555,18 @@ class IndexSearcher:
         return hits.reset_index(drop=True)
 
     def _fetch_doc_fields(self, hits: pd.DataFrame) -> pd.DataFrame:
-        """Stored fields for a (small) hit set: per-segment docs tables are
-        filtered by the hit keys — the hit -> _source fetch (J4)."""
+        """Stored fields for a (small) hit set: the first key column's
+        value set is pushed into the parquet read (row-group/page pruning
+        — never a full docs-table scan), then the composite key is matched
+        exactly — the hit -> _source fetch (J4)."""
         frames = []
         keyset = hits[self.key_cols].drop_duplicates()
+        first_key = self.key_cols[0]
+        key_vals = keyset[first_key].unique().tolist()
         for d in self.seg_dirs:
-            tbl = pq.read_table(os.path.join(d, DOCS_NAME)).to_pandas()
+            tbl = pq.read_table(os.path.join(d, DOCS_NAME),
+                                filters=[(first_key, "in", key_vals)]
+                                ).to_pandas()
             frames.append(tbl.merge(keyset, on=self.key_cols))
         return pd.concat(frames, ignore_index=True)
 

@@ -102,11 +102,16 @@ def _bulk_merge_group(src_dirs: list[str], dst_dir: str, cfg: EngineConfig,
 
     Ordinals are SEGMENT-MAJOR (new_ord = input_offset + old_ord), so each
     term's merged posting run is the byte-level concatenation of the input
-    runs with exactly ONE varint patched per run (the run's first gap must
-    bridge from the previous run's last ordinal).  tf and position blobs
-    concatenate unchanged; block metadata shifts by offsets.  Because
-    segment-major ordinals are not key-ordered, the docs table gains a
-    ``key_rank`` column that the query side uses for exact tie-breaks.
+    runs with only the run's FIRST gap patched (it must bridge from the
+    previous run's last ordinal): one varint rewritten for the varint
+    codec, one 128-value block re-packed for pfor (the rest of the run is
+    byte-spliced either way).  tf and position blobs concatenate
+    unchanged; block metadata shifts by offsets, and the merged rows carry
+    ``blk_n`` (per-block value counts) because spliced runs keep their
+    ORIGINAL block boundaries — blocks are no longer uniformly
+    block_size-long.  Because segment-major ordinals are not key-ordered,
+    the docs table gains a ``key_rank`` column that the query side uses
+    for exact tie-breaks.
     """
     timer = StageTimer()
     timer.start("read_docs")
@@ -132,6 +137,8 @@ def _bulk_merge_group(src_dirs: list[str], dst_dir: str, cfg: EngineConfig,
 
     # --- k-way walk over the sorted term rows of every input -------------
     timer.start("merge_postings")
+    from opensearch_jvector_ray.postings import for_pack_block, for_unpack_block
+    B = cfg.block_size
     views = []
     for i, post in enumerate(posts):
         views.append({
@@ -146,11 +153,20 @@ def _bulk_merge_group(src_dirs: list[str], dst_dir: str, cfg: EngineConfig,
             "bmin": post["blk_min_dl"].to_pylist(),
             "boff_o": post["blk_off_ord"].to_pylist(),
             "boff_t": post["blk_off_tf"].to_pylist(),
+            "bn": (post["blk_n"].to_pylist()
+                   if "blk_n" in post.column_names else None),
             "ptr": 0,
         })
+
+    def _run_blk_n(v: dict, r: int) -> list[int]:
+        if v["bn"] is not None:
+            return list(v["bn"][r])
+        df_run = int(v["df"][r])        # uniform build-time layout
+        return [min(B, df_run - s) for s in range(0, df_run, B)]
+
     o_term, o_df, o_cf = [], [], []
     o_ords, o_tfs, o_pos = [], [], []
-    o_blast, o_bmax, o_bmin, o_boffo, o_bofft = [], [], [], [], []
+    o_blast, o_bmax, o_bmin, o_boffo, o_bofft, o_bn = [], [], [], [], [], []
     while True:
         cur = [v["terms"][v["ptr"]] for v in views if v["ptr"] < len(v["terms"])]
         if not cur:
@@ -160,7 +176,7 @@ def _bulk_merge_group(src_dirs: list[str], dst_dir: str, cfg: EngineConfig,
                    if v["ptr"] < len(v["terms"]) and v["terms"][v["ptr"]] == term]
         df = cf = 0
         ord_chunks, tf_chunks, pos_chunks = [], [], []
-        blast, bmax, bmin, boffo, bofft = [], [], [], [], []
+        blast, bmax, bmin, boffo, bofft, bns = [], [], [], [], [], []
         cum_o = cum_t = 0
         prev_last = 0
         first_run = True
@@ -169,9 +185,20 @@ def _bulk_merge_group(src_dirs: list[str], dst_dir: str, cfg: EngineConfig,
             v["ptr"] += 1
             off = int(offsets[i])
             blob_o = v["ords"][r]
-            first_val, first_len = _first_varint(blob_o)
-            new_first = first_val + off - (0 if first_run else prev_last)
-            head = _encode_one_varint(new_first)
+            run_bn = _run_blk_n(v, r)
+            if cfg.codec == "pfor":
+                # re-pack ONLY the run's first block with the bridged gap;
+                # splice the remaining blocks byte-for-byte
+                boffs = v["boff_o"][r]
+                first_len = int(boffs[1]) if len(boffs) > 1 else len(blob_o)
+                gaps0 = for_unpack_block(blob_o[:first_len],
+                                         run_bn[0]).astype(np.int64)
+                gaps0[0] += off - (0 if first_run else prev_last)
+                head = for_pack_block(gaps0.astype(np.uint64))
+            else:
+                first_val, first_len = _first_varint(blob_o)
+                new_first = first_val + off - (0 if first_run else prev_last)
+                head = _encode_one_varint(new_first)
             ord_chunks.append(head)
             ord_chunks.append(blob_o[first_len:])
             delta = len(head) - first_len
@@ -180,6 +207,7 @@ def _bulk_merge_group(src_dirs: list[str], dst_dir: str, cfg: EngineConfig,
                          for o in v["boff_o"][r])
             cum_o += len(head) + len(blob_o) - first_len
             blast.extend(b + off for b in run_blast)
+            bns.extend(run_bn)
             bmax.extend(v["bmax"][r])
             bmin.extend(v["bmin"][r])
             blob_t = v["tfs"][r]
@@ -202,6 +230,7 @@ def _bulk_merge_group(src_dirs: list[str], dst_dir: str, cfg: EngineConfig,
         o_bmin.append(bmin)
         o_boffo.append(boffo)
         o_bofft.append(bofft)
+        o_bn.append(bns)
     postings_tbl = pa.table({
         "term": pa.array(o_term, type=pa.string()),
         "df": pa.array(o_df, type=pa.int32()),
@@ -214,6 +243,7 @@ def _bulk_merge_group(src_dirs: list[str], dst_dir: str, cfg: EngineConfig,
         "blk_min_dl": pa.array(o_bmin, type=pa.list_(pa.int32())),
         "blk_off_ord": pa.array(o_boffo, type=pa.list_(pa.int64())),
         "blk_off_tf": pa.array(o_bofft, type=pa.list_(pa.int64())),
+        "blk_n": pa.array(o_bn, type=pa.list_(pa.int32())),
     }, schema=POSTINGS_SCHEMA)
     timer.stop()
 
@@ -416,10 +446,11 @@ def merge_index(src_index_dir: str, dst_index_dir: str,
                                  batch["src_dirs"].to_pylist()):
             dst = segment_dir(dst_index_dir, gid)
             # the reference's merge decision tree (JVectorWriter.java:850-969):
-            # no deletes -> incremental/bulk reuse of existing structures;
-            # deletes (or a codec whose blocks aren't byte-spliceable) ->
-            # full decode+rebuild
-            if del_keys is None and cfg.codec == "varint":
+            # no deletes -> incremental/bulk reuse of existing structures
+            # (varint patches one varint per run; pfor re-packs one block
+            # per run — blk_n records the irregular boundaries);
+            # deletes -> full decode+rebuild
+            if del_keys is None:
                 m = _bulk_merge_group(list(src_dirs), dst, cfg, spec)
             else:
                 m = _merge_group(list(src_dirs), dst, cfg, spec, del_keys)

@@ -79,3 +79,30 @@ def test_pfor_merge(tmp_path):
     a = IndexSearcher(idx).search(QUERIES, k=10)
     b = IndexSearcher(merged).search(QUERIES, k=10)
     pd.testing.assert_frame_equal(a, b, atol=1e-12)
+
+
+def test_pfor_bulk_merge_strategy_and_wand(tmp_path):
+    """pfor merges take the byte-splice (bulk) path — one block re-packed
+    per run, blk_n recording irregular boundaries — and the merged index
+    answers WAND (block-skip) queries identically, including a second-
+    level merge whose inputs already have irregular blocks."""
+    from opensearch_jvector_ray.state.manifest import SegmentManifest, segment_dir
+    import pyarrow.parquet as pq_
+    corpus = generate_conversations(np.arange(120))
+    idx = str(tmp_path / "src")
+    cfg = EngineConfig(num_segments=8, codec="pfor", block_size=8)
+    build_index(rd.from_arrow(corpus), idx, cfg, IndexSpec())
+    m1 = str(tmp_path / "m1")
+    merge_index(idx, m1, merge_factor=4)
+    man = SegmentManifest.read(segment_dir(m1, 0))
+    assert man.lineage.get("strategy") == "bulk"
+    post = pq_.read_table(f"{segment_dir(m1, 0)}/postings.parquet")
+    assert "blk_n" in post.column_names
+    m2 = str(tmp_path / "m2")          # bulk-of-bulk: irregular inputs
+    merge_index(m1, m2, merge_factor=4)
+    for mode in ("taat", "wand"):
+        a = IndexSearcher(idx).search(QUERIES, k=12, mode=mode)
+        b = IndexSearcher(m1).search(QUERIES, k=12, mode=mode)
+        c = IndexSearcher(m2).search(QUERIES, k=12, mode=mode)
+        pd.testing.assert_frame_equal(a, b, atol=1e-12)
+        pd.testing.assert_frame_equal(a, c, atol=1e-12)

@@ -136,3 +136,79 @@ def test_trained_centroids_bounded_sample():
     # deterministic given the same seed/sample
     cent2 = knn_pl.train_centroids(ds, 7, "embedding", sample_size=128)
     np.testing.assert_array_equal(cent, cent2)
+
+
+# ---------------------------------------------------------------------------
+# PQ lifecycle (train -> encode -> approx+rerank -> refine-on-merge)
+# ---------------------------------------------------------------------------
+
+def _clustered_vecs(seed=31, n_centers=6, per=60, d=32):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_centers, d)) * 4
+    return np.concatenate([c + rng.standard_normal((per, d))
+                           for c in centers]).astype(np.float32)
+
+
+def test_pq_rerank_recall_and_exactness(tmp_path):
+    from opensearch_jvector_ray.pipelines import pq as pq_pl
+    vecs = _clustered_vecs()
+    ds = rd.from_arrow(_vec_table(vecs))
+    queries = {f"q{i}": vecs[i * 41].astype(np.float64) for i in range(5)}
+    exact = knn_pl.brute_force_topk(ds, queries, 10, metric="cosine",
+                                    round_decimals=6)
+    idx = str(tmp_path / "pq")
+    pq_pl.build_pq_index(ds, idx, m_subspaces=8, n_codes=16)
+    approx = pq_pl.pq_rerank_topk(idx, queries, 10, oversample=8.0,
+                                  metric="cosine", round_decimals=6)
+    recalls = []
+    for q in queries:
+        e = set(exact[exact.query_id == q].vec_id)
+        a = set(approx[approx.query_id == q].vec_id)
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.75, recalls
+    # surviving hits carry EXACT scores (second pass), not ADC estimates
+    merged = approx.merge(exact, on=["query_id", "vec_id"],
+                          suffixes=("_pq", "_ex"))
+    np.testing.assert_allclose(merged["score_pq"], merged["score_ex"],
+                               atol=0)
+
+
+def test_pq_full_oversample_equals_bruteforce(tmp_path):
+    """With the first pass pruning nothing (k' >= n), PQ+rerank IS exact
+    brute force — the rescore-identity analog of the BM25 two-pass test."""
+    from opensearch_jvector_ray.pipelines import pq as pq_pl
+    vecs = _clustered_vecs(seed=7, n_centers=4, per=30)
+    ds = rd.from_arrow(_vec_table(vecs))
+    queries = {"q": vecs[5].astype(np.float64)}
+    exact = knn_pl.brute_force_topk(ds, queries, 10, metric="cosine",
+                                    round_decimals=6)
+    idx = str(tmp_path / "pq")
+    pq_pl.build_pq_index(ds, idx, m_subspaces=4, n_codes=8)
+    out = pq_pl.pq_rerank_topk(idx, queries, 10, oversample=1000.0,
+                               metric="cosine", round_decimals=6)
+    pd.testing.assert_frame_equal(out, exact)
+
+
+def test_pq_refine_keeps_codebook(tmp_path):
+    """Merge-refine: new vectors are encoded with the EXISTING codebook
+    (never retrained) and become searchable."""
+    from opensearch_jvector_ray.pipelines import pq as pq_pl
+    vecs = _clustered_vecs(seed=13, n_centers=4, per=40)
+    half = len(vecs) // 2
+    t1 = _vec_table(vecs[:half])
+    idx = str(tmp_path / "pq")
+    book1 = pq_pl.build_pq_index(rd.from_arrow(t1), idx, m_subspaces=8)
+    # second half arrives later with SHIFTED ids
+    import pyarrow as _pa
+    t2 = _pa.table({
+        "vec_id": _pa.array(range(half, len(vecs)), type=_pa.int64()),
+        "embedding": _pa.array([v.tolist() for v in vecs[half:]],
+                               type=_pa.list_(_pa.float32())),
+        "label": _pa.array([0] * (len(vecs) - half), type=_pa.int32()),
+    })
+    pq_pl.refine_pq_index(rd.from_arrow(t2), idx)
+    book2 = np.load(f"{idx}/{pq_pl.CODEBOOK_NAME}")
+    np.testing.assert_array_equal(book1, book2)
+    q = {"q": vecs[half + 3].astype(np.float64)}
+    out = pq_pl.pq_rerank_topk(idx, q, 5, metric="cosine")
+    assert int(out.iloc[0].vec_id) == half + 3   # its own nearest neighbor
