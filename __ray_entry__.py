@@ -269,6 +269,23 @@ def _q_knn_pq_rerank(sf_dir: str) -> pd.DataFrame:
     return _round_hits(out)
 
 
+def _q_knn_graph(sf_dir: str) -> pd.DataFrame:
+    # graph-ANN (jVector/DiskANN-class) entry: per-partition navigable
+    # graphs, beam-searched, exact-rescored (approximate -> pytest gates)
+    import os
+    from opensearch_jvector_ray.pipelines import graph as graph_pl
+    from opensearch_jvector_ray.sources.tables import CACHE_ROOT
+    key = os.path.basename(os.path.normpath(sf_dir))
+    idx = os.path.join(CACHE_ROOT, f"graphidx_{key}")
+    if not os.path.exists(os.path.join(idx, graph_pl.META_NAME)):
+        ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        graph_pl.build_graph_index(ds, idx, num_parts=4)
+    queries = query_embeddings(sf_dir, KNN_QUERY_IDS)
+    out = graph_pl.graph_topk(idx, queries, KNN_K, ef_search=64,
+                              round_decimals=6)
+    return _round_hits(out)
+
+
 def _q_knn_hamming(sf_dir: str) -> pd.DataFrame:
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     queries = query_embeddings(sf_dir, KNN_QUERY_IDS)
@@ -422,6 +439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_cosine": _q_knn_ivf,
         "knn_ivf_partitioned": _q_knn_ivf_partitioned,
         "knn_pq_rerank": _q_knn_pq_rerank,
+        "knn_graph_topk": _q_knn_graph,
         "knn_hamming_topk": _q_knn_hamming,
         # relational / lifecycle operators
         "events_last_write_wins": _q_events_lww,

@@ -40,12 +40,12 @@ from opensearch_jvector_ray.config import EngineConfig
 class TokenStream:
     """Flat token table for one batch of documents.
 
-    ``doc_idx`` indexes into the batch's rows (int64, non-decreasing);
+    ``doc_idx`` indexes into the batch's rows (int32, non-decreasing);
     ``terms`` / ``positions`` are parallel arrays of surviving
     (post-stopword) tokens; ``doc_len`` has one entry per input row.
     """
 
-    doc_idx: np.ndarray      # int64 [n_tokens]
+    doc_idx: np.ndarray      # int32 [n_tokens]
     terms: pa.Array          # string [n_tokens]
     positions: np.ndarray    # int32 [n_tokens]
     doc_len: np.ndarray      # int32 [n_docs]
@@ -90,7 +90,10 @@ def tokenize(texts: pa.Array | pa.ChunkedArray, cfg: EngineConfig) -> TokenStrea
         positions = positions[keep]
 
     doc_len = np.bincount(parents, minlength=n_docs).astype(np.int32)
-    return TokenStream(doc_idx=parents.astype(np.int64), terms=flat,
+    # int32 throughout: a segment holds < 2^31 docs by construction, and
+    # halving the sort/gather traffic measurably helps build scaling on
+    # memory-bandwidth-bound nodes
+    return TokenStream(doc_idx=parents.astype(np.int32), terms=flat,
                        positions=positions, doc_len=doc_len)
 
 

@@ -117,18 +117,50 @@ def bounded_bucket_edges(ids_sorted: np.ndarray, cap: int = 512,
 
 def attach_pair_payloads(pairs: "rd.Dataset", payload_ds: "rd.Dataset",
                          id_col: str, payload_col: str,
-                         num_parts: int = 64) -> "rd.Dataset":
+                         num_parts: int = 64,
+                         n_candidate_ids: int | None = None,
+                         broadcast_max_ids: int = 100_000) -> "rd.Dataset":
     """Attach per-id payloads (texts, vectors) to BOTH sides of a candidate
     pair Dataset — distributed, nothing corpus-sized on the driver.
 
     ``payload_ds`` must already be restricted to candidate ids (small by
-    construction: candidates are near-dup suspects).  Each side is attached
-    by ONE hash-co-partitioned shuffle of (pairs + candidate payloads):
-    rows are tag-unioned into a shared schema, bucketed by hash(key) %
-    num_parts, and each bucket is joined VECTORIZED (pandas merge) inside
-    map_groups — one Python call per bucket, never per key.
+    construction: candidates are near-dup suspects).  Two physical plans:
+
+    - **broadcast** (candidate set <= broadcast_max_ids): the candidate
+      payload blocks stay in the object store (``to_arrow_refs``) and each
+      pairs batch attaches both sides from the shared table — ONE stage,
+      no shuffle (the small-side broadcast-join rule).
+    - **co-partition** (large candidate sets): each side is attached by
+      one hash-co-partitioned shuffle of (pairs + candidate payloads):
+      rows are tag-unioned into a shared schema, bucketed by hash(key) %
+      num_parts, and each bucket joined VECTORIZED (pandas merge) inside
+      map_groups — one Python call per bucket, never per key.
+
     Output columns: id_a, id_b, text_a, text_b (payloads as text_*).
     """
+    if n_candidate_ids is not None and n_candidate_ids <= broadcast_max_ids:
+        import ray as _ray
+        psch0 = payload_ds.schema()
+        base0 = getattr(psch0, "base_schema", None)
+        ptype = (base0.field(payload_col).type
+                 if isinstance(base0, pa.Schema) else pa.string())
+        refs = payload_ds.to_arrow_refs()
+
+        def attach(batch: pa.Table) -> pa.Table:
+            tbls = [t for t in _ray.get(list(refs)) if t.num_rows]
+            lut: dict = {}
+            for t in tbls:
+                lut.update(zip(t[id_col].to_pylist(),
+                               t[payload_col].to_pylist()))
+            a = [lut.get(i) for i in batch["id_a"].to_pylist()]
+            b = [lut.get(i) for i in batch["id_b"].to_pylist()]
+            out = batch.append_column("text_a", pa.array(a, type=ptype))
+            out = out.append_column("text_b", pa.array(b, type=ptype))
+            # drop pairs whose payload is missing (inner-join semantics)
+            keep = [x is not None and y is not None for x, y in zip(a, b)]
+            return out.filter(pa.array(keep))
+
+        return pairs.map_batches(attach, batch_format="pyarrow")
     def _attach(side: str, pair_cols: tuple, pair_types: dict):
         # pair_cols/pair_types passed explicitly: these fns execute LAZILY
         # (when the dataset is consumed), after the loop has moved on
@@ -200,12 +232,14 @@ def attach_pair_payloads(pairs: "rd.Dataset", payload_ds: "rd.Dataset",
 
 
 def candidate_payloads(ds: "rd.Dataset", pairs: "rd.Dataset", id_col: str,
-                       make_payload) -> "rd.Dataset":
+                       make_payload) -> tuple["rd.Dataset", int]:
     """Corpus scan restricted to the ids appearing in ``pairs``.
 
     The candidate ID SET (ids only, not payloads) is collected and
     broadcast once via ``ray.put``; the corpus scan then streams and keeps
     only candidate rows, transformed by ``make_payload(batch) -> Table``.
+    Returns (payload_ds, n_candidate_ids) — the count picks the attach
+    plan (broadcast vs co-partition).
     """
     import ray as _ray
     ids: set = set()
@@ -219,7 +253,7 @@ def candidate_payloads(ds: "rd.Dataset", pairs: "rd.Dataset", id_col: str,
         mask = np.isin(batch[id_col].to_numpy(zero_copy_only=False), cand)
         return make_payload(batch.filter(pa.array(mask)))
 
-    return ds.map_batches(keep, batch_format="pyarrow")
+    return ds.map_batches(keep, batch_format="pyarrow"), len(ids)
 
 
 def attach_pair_texts(pairs: "rd.Dataset", ds: "rd.Dataset",
@@ -232,8 +266,9 @@ def attach_pair_texts(pairs: "rd.Dataset", ds: "rd.Dataset",
         return pa.table({id_col: batch[id_col],
                          "__payload": normalized_text(col, cfg)})
 
-    texts = candidate_payloads(ds, pairs, id_col, payload)
-    return attach_pair_payloads(pairs, texts, id_col, "__payload")
+    texts, n_ids = candidate_payloads(ds, pairs, id_col, payload)
+    return attach_pair_payloads(pairs, texts, id_col, "__payload",
+                                n_candidate_ids=n_ids)
 
 
 class MinHasher:
@@ -368,8 +403,9 @@ def minhash_candidate_pairs(ds: "rd.Dataset", cfg: EngineConfig, id_col: str,
         a, b = bounded_bucket_edges(ids, cap=bucket_cap)
         return pa.table({"id_a": pa.array(a), "id_b": pa.array(b)})
 
-    return (ds.map_batches(Signer, batch_format="pyarrow",
-                           concurrency=concurrency, num_cpus=1)
+    # Signer is pure math (no per-actor state): run it on the TASK pool —
+    # an instance is a plain UDF, so no actor spin-up cost
+    return (ds.map_batches(Signer(), batch_format="pyarrow")
               .groupby(["band", "band_hash"])
               .map_groups(bucket_pairs, batch_format="pyarrow")
               .groupby(["id_a", "id_b"])      # distinct: same pair can

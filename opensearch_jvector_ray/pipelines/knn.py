@@ -502,7 +502,7 @@ def embedding_near_dups(ds: "rd.Dataset", threshold: float = 0.995,
     def payload(batch: pa.Table) -> pa.Table:
         return pa.table({id_col: batch[id_col], "__payload": batch[vec_col]})
 
-    cand_vecs = candidate_payloads(ds, pairs, id_col, payload)
+    cand_vecs, n_ids = candidate_payloads(ds, pairs, id_col, payload)
 
     def verify(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -522,7 +522,8 @@ def embedding_near_dups(ds: "rd.Dataset", threshold: float = 0.995,
             "id_b": batch["id_b"].filter(pa.array(hit)),
             "cosine": pa.array(np.round(cos[hit], 6))})
 
-    out = (attach_pair_payloads(pairs, cand_vecs, id_col, "__payload")
+    out = (attach_pair_payloads(pairs, cand_vecs, id_col, "__payload",
+                                n_candidate_ids=n_ids)
            .map_batches(verify, batch_format="pyarrow")
            .to_pandas())
     if out.empty:

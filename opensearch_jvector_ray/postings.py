@@ -316,18 +316,22 @@ def build_postings_table(doc_ord: np.ndarray, terms: pa.Array,
         terms = terms.combine_chunks()
     dict_arr = terms.dictionary_encode() if not isinstance(terms, pa.DictionaryArray) else terms
     vocab = dict_arr.dictionary
-    codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    # int32 end-to-end in the token-level hot path (lexsort + gathers are
+    # memory-bandwidth-bound; 4-byte keys halve the traffic)
+    codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int32)
     sort_idx = pc.sort_indices(vocab).to_numpy(zero_copy_only=False).astype(np.int64)
-    rank = np.empty_like(sort_idx)
-    rank[sort_idx] = np.arange(len(sort_idx))
+    rank = np.empty(len(sort_idx), dtype=np.int32)
+    rank[sort_idx] = np.arange(len(sort_idx), dtype=np.int32)
     codes = rank[codes]
     vocab_sorted = vocab.take(pa.array(sort_idx))
 
     # --- sort tokens by (term, ord, pos) --------------------------------
-    order = np.lexsort((positions, doc_ord, codes))
+    doc_ord32 = np.asarray(doc_ord, dtype=np.int32)
+    pos32 = np.asarray(positions, dtype=np.int32)
+    order = np.lexsort((pos32, doc_ord32, codes))
     t_code = codes[order]
-    t_ord = np.asarray(doc_ord, dtype=np.int64)[order]
-    t_pos = np.asarray(positions, dtype=np.int64)[order]
+    t_ord = doc_ord32[order]
+    t_pos = pos32[order]
 
     # --- collapse to postings: boundaries where (term, ord) changes ------
     is_new_posting = np.ones(n_tokens, dtype=bool)

@@ -71,28 +71,68 @@ def _drop_key_rank(tbl: pa.Table) -> pa.Table:
     return tbl.drop_columns(["key_rank"]) if "key_rank" in tbl.column_names else tbl
 
 
-def _first_varint(blob: bytes) -> tuple[int, int]:
-    """(value, byte_length) of the first varint in a blob."""
-    val = 0
-    shift = 0
-    for i, byte in enumerate(blob):
-        val |= (byte & 0x7F) << shift
-        if not byte & 0x80:
-            return val, i + 1
-        shift += 7
-    raise ValueError("truncated varint")
+def _first_varints(buf: np.ndarray, starts: np.ndarray
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized (value, byte_length) of the varint at each start offset."""
+    n = len(starts)
+    if n == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    padded = np.concatenate([buf, np.zeros(10, dtype=np.uint8)])
+    cols = np.stack([padded[starts + j] for j in range(10)], axis=1)
+    is_end = (cols & 0x80) == 0
+    first_len = is_end.argmax(axis=1) + 1
+    active = (np.arange(10)[None, :] < first_len[:, None])
+    vals = ((cols.astype(np.uint64) & np.uint64(0x7F))
+            << (np.uint64(7) * np.arange(10, dtype=np.uint64))[None, :])
+    vals = np.where(active, vals, np.uint64(0)).sum(axis=1).astype(np.int64)
+    return vals, first_len.astype(np.int64)
 
 
-def _encode_one_varint(value: int) -> bytes:
-    out = bytearray()
-    while True:
-        b = value & 0x7F
-        value >>= 7
-        if value:
-            out.append(b | 0x80)
-        else:
-            out.append(b)
-            return bytes(out)
+def _copy_runs(out: np.ndarray, dst_starts: np.ndarray, src: np.ndarray,
+               src_starts: np.ndarray, lens: np.ndarray) -> None:
+    """out[dst_starts[r] : +lens[r]] = src[src_starts[r] : +lens[r]] for
+    every run r — one fancy-indexed copy, no Python loop."""
+    total = int(lens.sum())
+    if total == 0:
+        return
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(lens) - lens, lens)
+    out[np.repeat(dst_starts, lens) + within] = \
+        src[np.repeat(src_starts, lens) + within]
+
+
+def _gather_runs(src: np.ndarray, src_starts: np.ndarray,
+                 lens: np.ndarray) -> np.ndarray:
+    """Concatenate src[src_starts[r] : +lens[r]] over runs, vectorized."""
+    total = int(lens.sum())
+    out = np.empty(total, dtype=src.dtype)
+    dst = np.cumsum(lens) - lens
+    _copy_runs(out, dst, src, src_starts, lens)
+    return out
+
+
+def _binary_offsets(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Per-row byte offsets (len n+1) of a (large_)binary column."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(col) == 0:
+        return np.zeros(1, dtype=np.int64)
+    off_dtype = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+    offs = np.frombuffer(col.buffers()[1], dtype=off_dtype)
+    offs = offs[col.offset: col.offset + len(col) + 1].astype(np.int64)
+    return offs - offs[0]
+
+
+def _list_offsets_and_values(col: pa.Array | pa.ChunkedArray,
+                             dtype) -> tuple[np.ndarray, np.ndarray]:
+    """(row offsets len n+1, flat values) of a list column."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offs = np.asarray(col.offsets.to_numpy(zero_copy_only=False),
+                      dtype=np.int64)
+    vals = col.flatten().to_numpy(zero_copy_only=False).astype(dtype)
+    return offs - offs[0], vals
 
 
 def _bulk_merge_group(src_dirs: list[str], dst_dir: str, cfg: EngineConfig,
@@ -135,116 +175,194 @@ def _bulk_merge_group(src_dirs: list[str], dst_dir: str, cfg: EngineConfig,
         if docs_all.num_rows else np.zeros(0, dtype=np.int64)
     timer.stop()
 
-    # --- k-way walk over the sorted term rows of every input -------------
+    # --- vectorized run-level splice -------------------------------------
+    # A "run" is one input term row; the merged term is its runs spliced
+    # in input order.  All byte movement happens in a handful of fancy-
+    # indexed copies over the concatenated input buffers — no Python loop
+    # touches a term (pfor is the one exception: its per-run FIRST block
+    # is re-packed in a tight loop of <=block_size-value codec calls).
     timer.start("merge_postings")
-    from opensearch_jvector_ray.postings import for_pack_block, for_unpack_block
+    from opensearch_jvector_ray.postings import (
+        _large_binary_from_slices, binary_column_bytes, for_pack_block,
+        for_unpack_block, varint_encode,
+    )
     B = cfg.block_size
-    views = []
-    for i, post in enumerate(posts):
-        views.append({
-            "terms": post["term"].to_pylist(),
-            "df": post["df"].to_numpy(zero_copy_only=False),
-            "cf": post["cf"].to_numpy(zero_copy_only=False),
-            "ords": post["ords_enc"].to_pylist(),
-            "tfs": post["tfs_enc"].to_pylist(),
-            "pos": post["pos_enc"].to_pylist(),
-            "blast": post["blk_last_ord"].to_pylist(),
-            "bmax": post["blk_max_tf"].to_pylist(),
-            "bmin": post["blk_min_dl"].to_pylist(),
-            "boff_o": post["blk_off_ord"].to_pylist(),
-            "boff_t": post["blk_off_tf"].to_pylist(),
-            "bn": (post["blk_n"].to_pylist()
-                   if "blk_n" in post.column_names else None),
-            "ptr": 0,
-        })
+    nonempty = [(i, p) for i, p in enumerate(posts) if p.num_rows]
+    if not nonempty:
+        postings_tbl = POSTINGS_SCHEMA.empty_table()
+    else:
+        # global sorted vocab (vocab-level: tiny vs postings)
+        vocabs = [p["term"].combine_chunks() for _, p in nonempty]
+        all_vocab = pa.concat_arrays(
+            [v.chunk(0) if isinstance(v, pa.ChunkedArray) else v
+             for v in vocabs])
+        uniq = pc.unique(all_vocab)
+        vocab_sorted = uniq.take(pc.sort_indices(uniq))
 
-    def _run_blk_n(v: dict, r: int) -> list[int]:
-        if v["bn"] is not None:
-            return list(v["bn"][r])
-        df_run = int(v["df"][r])        # uniform build-time layout
-        return [min(B, df_run - s) for s in range(0, df_run, B)]
-
-    o_term, o_df, o_cf = [], [], []
-    o_ords, o_tfs, o_pos = [], [], []
-    o_blast, o_bmax, o_bmin, o_boffo, o_bofft, o_bn = [], [], [], [], [], []
-    while True:
-        cur = [v["terms"][v["ptr"]] for v in views if v["ptr"] < len(v["terms"])]
-        if not cur:
-            break
-        term = min(cur)
-        contrib = [(i, v) for i, v in enumerate(views)
-                   if v["ptr"] < len(v["terms"]) and v["terms"][v["ptr"]] == term]
-        df = cf = 0
-        ord_chunks, tf_chunks, pos_chunks = [], [], []
-        blast, bmax, bmin, boffo, bofft, bns = [], [], [], [], [], []
-        cum_o = cum_t = 0
-        prev_last = 0
-        first_run = True
-        for i, v in contrib:
-            r = v["ptr"]
-            v["ptr"] += 1
-            off = int(offsets[i])
-            blob_o = v["ords"][r]
-            run_bn = _run_blk_n(v, r)
-            if cfg.codec == "pfor":
-                # re-pack ONLY the run's first block with the bridged gap;
-                # splice the remaining blocks byte-for-byte
-                boffs = v["boff_o"][r]
-                first_len = int(boffs[1]) if len(boffs) > 1 else len(blob_o)
-                gaps0 = for_unpack_block(blob_o[:first_len],
-                                         run_bn[0]).astype(np.int64)
-                gaps0[0] += off - (0 if first_run else prev_last)
-                head = for_pack_block(gaps0.astype(np.uint64))
+        # per-ROW attributes, concatenated over inputs (input order)
+        code_p, docoff_p, df_p, cf_p = [], [], [], []
+        ostart_p, olen_p, tstart_p, tlen_p, pstart_p, plen_p = [], [], [], [], [], []
+        bstart_p, bcnt_p = [], []
+        obuf_p, tbuf_p, pbuf_p = [], [], []
+        blast_p, bmax_p, bmin_p, boffo_p, bofft_p, bn_p = [], [], [], [], [], []
+        obase = tbase = pbase = bbase = 0
+        for i, p in nonempty:
+            nrow = p.num_rows
+            code_p.append(pc.index_in(p["term"], value_set=vocab_sorted)
+                          .to_numpy(zero_copy_only=False).astype(np.int64))
+            docoff_p.append(np.full(nrow, offsets[i], dtype=np.int64))
+            df_p.append(p["df"].to_numpy(zero_copy_only=False).astype(np.int64))
+            cf_p.append(p["cf"].to_numpy(zero_copy_only=False).astype(np.int64))
+            for col, buf_list, start_list, len_list, base in (
+                    ("ords_enc", obuf_p, ostart_p, olen_p, obase),
+                    ("tfs_enc", tbuf_p, tstart_p, tlen_p, tbase),
+                    ("pos_enc", pbuf_p, pstart_p, plen_p, pbase)):
+                offs = _binary_offsets(p[col])
+                buf_list.append(binary_column_bytes(p[col]))
+                start_list.append(offs[:-1] + base)
+                len_list.append(np.diff(offs))
+            obase += len(obuf_p[-1])
+            tbase += len(tbuf_p[-1])
+            pbase += len(pbuf_p[-1])
+            loffs, lvals = _list_offsets_and_values(p["blk_last_ord"], np.int64)
+            bstart_p.append(loffs[:-1] + bbase)
+            bcnt_p.append(np.diff(loffs))
+            bbase += len(lvals)
+            blast_p.append(lvals)
+            bmax_p.append(_list_offsets_and_values(p["blk_max_tf"], np.int64)[1])
+            bmin_p.append(_list_offsets_and_values(p["blk_min_dl"], np.int64)[1])
+            boffo_p.append(_list_offsets_and_values(p["blk_off_ord"], np.int64)[1])
+            bofft_p.append(_list_offsets_and_values(p["blk_off_tf"], np.int64)[1])
+            if "blk_n" in p.column_names:
+                bn_p.append(_list_offsets_and_values(p["blk_n"], np.int64)[1])
             else:
-                first_val, first_len = _first_varint(blob_o)
-                new_first = first_val + off - (0 if first_run else prev_last)
-                head = _encode_one_varint(new_first)
-            ord_chunks.append(head)
-            ord_chunks.append(blob_o[first_len:])
-            delta = len(head) - first_len
-            run_blast = v["blast"][r]
-            boffo.extend(cum_o + (o + delta if o > 0 else 0)
-                         for o in v["boff_o"][r])
-            cum_o += len(head) + len(blob_o) - first_len
-            blast.extend(b + off for b in run_blast)
-            bns.extend(run_bn)
-            bmax.extend(v["bmax"][r])
-            bmin.extend(v["bmin"][r])
-            blob_t = v["tfs"][r]
-            bofft.extend(cum_t + o for o in v["boff_t"][r])
-            cum_t += len(blob_t)
-            tf_chunks.append(blob_t)
-            pos_chunks.append(v["pos"][r])
-            df += int(v["df"][r])
-            cf += int(v["cf"][r])
-            prev_last = run_blast[-1] + off
-            first_run = False
-        o_term.append(term)
-        o_df.append(df)
-        o_cf.append(cf)
-        o_ords.append(b"".join(ord_chunks))
-        o_tfs.append(b"".join(tf_chunks))
-        o_pos.append(b"".join(pos_chunks))
-        o_blast.append(blast)
-        o_bmax.append(bmax)
-        o_bmin.append(bmin)
-        o_boffo.append(boffo)
-        o_bofft.append(bofft)
-        o_bn.append(bns)
-    postings_tbl = pa.table({
-        "term": pa.array(o_term, type=pa.string()),
-        "df": pa.array(o_df, type=pa.int32()),
-        "cf": pa.array(o_cf, type=pa.int64()),
-        "ords_enc": pa.array(o_ords, type=pa.large_binary()),
-        "tfs_enc": pa.array(o_tfs, type=pa.large_binary()),
-        "pos_enc": pa.array(o_pos, type=pa.large_binary()),
-        "blk_last_ord": pa.array(o_blast, type=pa.list_(pa.int32())),
-        "blk_max_tf": pa.array(o_bmax, type=pa.list_(pa.int32())),
-        "blk_min_dl": pa.array(o_bmin, type=pa.list_(pa.int32())),
-        "blk_off_ord": pa.array(o_boffo, type=pa.list_(pa.int64())),
-        "blk_off_tf": pa.array(o_bofft, type=pa.list_(pa.int64())),
-        "blk_n": pa.array(o_bn, type=pa.list_(pa.int32())),
-    }, schema=POSTINGS_SCHEMA)
+                # uniform build-time layout: B per block, short tail
+                df_i = df_p[-1]
+                nb_i = np.diff(loffs)
+                bn_flat = np.full(int(nb_i.sum()), B, dtype=np.int64)
+                last_idx = np.cumsum(nb_i) - 1
+                bn_flat[last_idx] = df_i - (nb_i - 1) * B
+                bn_p.append(bn_flat)
+
+        code_a = np.concatenate(code_p)
+        docoff_a = np.concatenate(docoff_p)
+        df_a = np.concatenate(df_p)
+        cf_a = np.concatenate(cf_p)
+        ostart_a = np.concatenate(ostart_p); olen_a = np.concatenate(olen_p)
+        tstart_a = np.concatenate(tstart_p); tlen_a = np.concatenate(tlen_p)
+        pstart_a = np.concatenate(pstart_p); plen_a = np.concatenate(plen_p)
+        bstart_a = np.concatenate(bstart_p); bcnt_a = np.concatenate(bcnt_p)
+        obuf = np.concatenate(obuf_p); tbuf = np.concatenate(tbuf_p)
+        pbuf = np.concatenate(pbuf_p)
+        blast_f = np.concatenate(blast_p); bmax_f = np.concatenate(bmax_p)
+        bmin_f = np.concatenate(bmin_p); boffo_f = np.concatenate(boffo_p)
+        bofft_f = np.concatenate(bofft_p); bn_f = np.concatenate(bn_p)
+
+        # run order: (term code, input index) — splice runs input-major
+        input_of = np.concatenate([np.full(len(c), j, dtype=np.int64)
+                                   for j, c in enumerate(code_p)])
+        g = np.lexsort((input_of, code_a))
+        n_runs = len(g)
+        r_code = code_a[g]
+        is_first = np.ones(n_runs, dtype=bool)
+        is_first[1:] = r_code[1:] != r_code[:-1]
+        term_run_start = np.flatnonzero(is_first)
+        runs_per_term = np.diff(np.append(term_run_start, n_runs))
+        n_terms_out = len(term_run_start)
+
+        r_docoff = docoff_a[g]
+        r_ostart = ostart_a[g]; r_olen = olen_a[g]
+        r_bstart = bstart_a[g]; r_nb = bcnt_a[g]
+        # last merged-space ordinal of each run -> the bridge for the next
+        r_last = blast_f[r_bstart + r_nb - 1] + r_docoff
+        prev_last = np.zeros(n_runs, dtype=np.int64)
+        prev_last[1:] = r_last[:-1]
+        prev_last[is_first] = 0
+
+        if cfg.codec == "pfor":
+            # first block byte length: offset of block 1, or the whole run
+            safe_next = np.minimum(r_bstart + 1, len(boffo_f) - 1)
+            first_len = np.where(r_nb > 1, boffo_f[safe_next], r_olen)
+            bridge = r_docoff - prev_last
+            heads: list[bytes] = []
+            for k in range(n_runs):
+                s = int(r_ostart[k])
+                gaps0 = for_unpack_block(
+                    obuf[s:s + int(first_len[k])],
+                    int(bn_f[r_bstart[k]])).astype(np.int64)
+                gaps0[0] += int(bridge[k])
+                heads.append(for_pack_block(gaps0.astype(np.uint64)))
+            head_lens = np.array([len(h) for h in heads], dtype=np.int64)
+            hbuf = np.frombuffer(b"".join(heads), dtype=np.uint8)
+            head_off = np.cumsum(head_lens) - head_lens
+        else:
+            first_val, first_len = _first_varints(obuf, r_ostart)
+            new_first = first_val + r_docoff - prev_last
+            hbuf, head_lens = varint_encode(new_first)
+            head_off = np.cumsum(head_lens) - head_lens
+
+        tail_start = r_ostart + first_len
+        tail_len = r_olen - first_len
+        out_lens = head_lens + tail_len
+        run_dst = np.cumsum(out_lens) - out_lens
+        out_obuf = np.empty(int(out_lens.sum()), dtype=np.uint8)
+        _copy_runs(out_obuf, run_dst, hbuf, head_off, head_lens)
+        _copy_runs(out_obuf, run_dst + head_lens, obuf, tail_start, tail_len)
+        term_obytes = np.add.reduceat(out_lens, term_run_start)
+        term_ooffs = np.concatenate([[0], np.cumsum(term_obytes)])
+
+        r_tstart = tstart_a[g]; r_tlen = tlen_a[g]
+        out_tbuf = _gather_runs(tbuf, r_tstart, r_tlen)
+        term_toffs = np.concatenate(
+            [[0], np.cumsum(np.add.reduceat(r_tlen, term_run_start))])
+        r_pstart = pstart_a[g]; r_plen = plen_a[g]
+        out_pbuf = _gather_runs(pbuf, r_pstart, r_plen)
+        term_poffs = np.concatenate(
+            [[0], np.cumsum(np.add.reduceat(r_plen, term_run_start))])
+
+        # block metadata: per-block gathers + per-run shifts
+        blk_src = _gather_runs(np.arange(len(blast_f), dtype=np.int64),
+                               r_bstart, r_nb)
+        docoff_rep = np.repeat(r_docoff, r_nb)
+        blast_out = blast_f[blk_src] + docoff_rep
+        bmax_out = bmax_f[blk_src]
+        bmin_out = bmin_f[blk_src]
+        bn_out = bn_f[blk_src]
+        # ord offsets: run's base within the term + original offset shifted
+        # by the head-length change (first block only keeps offset 0)
+        term_dst0 = np.repeat(run_dst[term_run_start], runs_per_term)
+        cum_o_run = run_dst - term_dst0
+        delta = head_lens - first_len
+        bo_vals = boffo_f[blk_src]
+        boffo_out = (np.repeat(cum_o_run, r_nb)
+                     + np.where(bo_vals > 0, bo_vals + np.repeat(delta, r_nb), 0))
+        run_tdst = np.cumsum(r_tlen) - r_tlen
+        term_tdst0 = np.repeat(run_tdst[term_run_start], runs_per_term)
+        bofft_out = np.repeat(run_tdst - term_tdst0, r_nb) + bofft_f[blk_src]
+        blk_per_term = np.add.reduceat(r_nb, term_run_start)
+        blk_offs32 = np.concatenate([[0], np.cumsum(blk_per_term)])
+
+        term_df = np.add.reduceat(df_a[g], term_run_start)
+        term_cf = np.add.reduceat(cf_a[g], term_run_start)
+
+        def _list32(vals, typ):
+            return pa.ListArray.from_arrays(
+                pa.array(blk_offs32, type=pa.int32()), pa.array(vals, type=typ))
+
+        postings_tbl = pa.table({
+            "term": vocab_sorted.take(pa.array(r_code[term_run_start])),
+            "df": pa.array(term_df.astype(np.int32)),
+            "cf": pa.array(term_cf.astype(np.int64)),
+            "ords_enc": _large_binary_from_slices(out_obuf, term_ooffs),
+            "tfs_enc": _large_binary_from_slices(out_tbuf, term_toffs),
+            "pos_enc": _large_binary_from_slices(out_pbuf, term_poffs),
+            "blk_last_ord": _list32(blast_out.astype(np.int32), pa.int32()),
+            "blk_max_tf": _list32(bmax_out.astype(np.int32), pa.int32()),
+            "blk_min_dl": _list32(bmin_out.astype(np.int32), pa.int32()),
+            "blk_off_ord": _list32(boffo_out, pa.int64()),
+            "blk_off_tf": _list32(bofft_out, pa.int64()),
+            "blk_n": _list32(bn_out.astype(np.int32), pa.int32()),
+        }, schema=POSTINGS_SCHEMA)
     timer.stop()
 
     timer.start("write")
@@ -259,7 +377,7 @@ def _bulk_merge_group(src_dirs: list[str], dst_dir: str, cfg: EngineConfig,
         num_docs_indexed=int((dl_all > 0).sum()),
         sum_doc_len=int(dl_all.sum()),
         num_terms=postings_tbl.num_rows,
-        num_postings=int(sum(o_df)),
+        num_postings=int(pc.sum(postings_tbl["df"]).as_py() or 0),
         rows_in=int(docs_all.num_rows),
         config_fingerprint=cfg.fingerprint(),
         lineage={"merged_from": [os.path.basename(d) for d in src_dirs],

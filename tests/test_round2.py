@@ -212,3 +212,70 @@ def test_pq_refine_keeps_codebook(tmp_path):
     q = {"q": vecs[half + 3].astype(np.float64)}
     out = pq_pl.pq_rerank_topk(idx, q, 5, metric="cosine")
     assert int(out.iloc[0].vec_id) == half + 3   # its own nearest neighbor
+
+
+# ---------------------------------------------------------------------------
+# Graph ANN (per-partition navigable graph, the jVector engine analog)
+# ---------------------------------------------------------------------------
+
+def test_graph_ann_recall_and_determinism(tmp_path):
+    from opensearch_jvector_ray.pipelines import graph as graph_pl
+    vecs = _clustered_vecs(seed=41, n_centers=6, per=80, d=32)
+    ds = rd.from_arrow(_vec_table(vecs))
+    idx = str(tmp_path / "graph")
+    graph_pl.build_graph_index(ds, idx, num_parts=4, m_degree=12,
+                               ef_construction=48)
+    queries = {f"q{i}": vecs[i * 53].astype(np.float64) for i in range(5)}
+    exact = knn_pl.brute_force_topk(ds, queries, 10, metric="cosine",
+                                    round_decimals=6)
+    approx = graph_pl.graph_topk(idx, queries, 10, ef_search=64,
+                                 round_decimals=6)
+    recalls = []
+    for q in queries:
+        e = set(exact[exact.query_id == q].vec_id)
+        a = set(approx[approx.query_id == q].vec_id)
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.75, recalls
+    # deterministic: same index + same queries -> identical frame
+    approx2 = graph_pl.graph_topk(idx, queries, 10, ef_search=64,
+                                  round_decimals=6)
+    pd.testing.assert_frame_equal(approx, approx2)
+    # surviving hits carry EXACT scores (never graph-approximated)
+    merged = approx.merge(exact, on=["query_id", "vec_id"],
+                          suffixes=("_g", "_e"))
+    np.testing.assert_allclose(merged["score_g"], merged["score_e"], atol=0)
+
+
+def test_graph_ann_full_beam_is_exact(tmp_path):
+    """ef_search >= partition size degenerates to exhaustive search of
+    every partition -> result equals brute force exactly."""
+    from opensearch_jvector_ray.pipelines import graph as graph_pl
+    rng = np.random.default_rng(59)
+    vecs = rng.standard_normal((120, 16)).astype(np.float32)
+    ds = rd.from_arrow(_vec_table(vecs))
+    idx = str(tmp_path / "graph")
+    graph_pl.build_graph_index(ds, idx, num_parts=2, m_degree=120,
+                               ef_construction=120)
+    queries = {"q": vecs[3].astype(np.float64)}
+    exact = knn_pl.brute_force_topk(ds, queries, 8, metric="cosine",
+                                    round_decimals=6)
+    out = graph_pl.graph_topk(idx, queries, 8, ef_search=120,
+                              round_decimals=6)
+    pd.testing.assert_frame_equal(out, exact)
+
+
+def test_graph_build_resume(tmp_path):
+    """Per-partition meta files are resume checkpoints: a rebuilt index
+    skips completed parts (graphs unchanged on disk)."""
+    import os
+    from opensearch_jvector_ray.pipelines import graph as graph_pl
+    rng = np.random.default_rng(61)
+    vecs = rng.standard_normal((80, 8)).astype(np.float32)
+    ds = rd.from_arrow(_vec_table(vecs))
+    idx = str(tmp_path / "graph")
+    graph_pl.build_graph_index(ds, idx, num_parts=3)
+    stamp = {p: os.path.getmtime(os.path.join(idx, p, "graph.parquet"))
+             for p in os.listdir(idx) if p.startswith("part=")}
+    graph_pl.build_graph_index(ds, idx, num_parts=3)   # resume: all done
+    for p, t in stamp.items():
+        assert os.path.getmtime(os.path.join(idx, p, "graph.parquet")) == t
