@@ -138,12 +138,32 @@ def run_bench() -> dict:
         concurrency=max(2, NUM_CPUS // 4))
     phases["minhash_dedup"] = round(time.perf_counter() - t0, 3)
 
+    # -- phase 5b: simhash near-dups (md5 bits, exact 4x16 blocking) ------
+    from opensearch_jvector_ray.pipelines import dedup as _dd
+    t0 = time.perf_counter()
+    _dd.simhash_near_dups(
+        read_table(SF_DIR, "documents", columns=["doc_id", "text"]),
+        DOCUMENTS_CFG, "doc_id", "text", max_hamming=3)
+    phases["simhash_dedup"] = round(time.perf_counter() - t0, 3)
+
     # -- phase 6: knn brute-force cosine ----------------------------------
     t0 = time.perf_counter()
     knn_pl.brute_force_topk(
         read_table(SF_DIR, "embeddings", columns=["vec_id", "embedding"]),
         query_embeddings(SF_DIR, [0, 1, 2]), 10, metric="cosine")
     phases["knn_cosine"] = round(time.perf_counter() - t0, 3)
+
+    # -- phase 6b: graph-ANN build + query (the jVector-engine analog) ----
+    from opensearch_jvector_ray.pipelines import graph as graph_pl
+    gidx = os.path.join(BENCH_ROOT, f"graphidx_cpus{NUM_CPUS}")
+    shutil.rmtree(gidx, ignore_errors=True)
+    t0 = time.perf_counter()
+    graph_pl.build_graph_index(
+        read_table(SF_DIR, "embeddings", columns=["vec_id", "embedding"]),
+        gidx, num_parts=min(8, NUM_CPUS))
+    graph_pl.graph_topk(gidx, query_embeddings(SF_DIR, [0, 1, 2]), 10,
+                        ef_search=64)
+    phases["knn_graph"] = round(time.perf_counter() - t0, 3)
 
     # -- phase 7: relational aggregate ------------------------------------
     t0 = time.perf_counter()

@@ -19,6 +19,7 @@ from typing import Callable
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.parquet as pq
 
 import ray
 import ray.data as rd
@@ -385,6 +386,79 @@ def build_ivf_index(ds: "rd.Dataset", index_dir: str, *,
     return centroids
 
 
+TOMBSTONES_NAME = "_tombstones.parquet"
+
+
+def add_to_ivf_index(new_ds: "rd.Dataset", index_dir: str, *,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     ) -> None:
+    """Incremental add: assign NEW vectors with the EXISTING coarse
+    centroids (refine-not-retrain — the merge rule of the reference's
+    quantizer lifecycle, `JVectorWriter.java:886-913`) and append files
+    into the cell directories.  No existing data is rewritten."""
+    import os
+    centroids = np.load(os.path.join(index_dir, "_centroids.npy"))
+    cent_ref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        vecs = _vecs_from_batch(batch, vec_col)
+        cell = _assign_cells(vecs, cent).astype(np.int32)
+        return batch.append_column("cell", pa.array(cell))
+
+    (new_ds.map_batches(assign, batch_format="pyarrow")
+     .write_parquet(index_dir, partition_cols=["cell"]))
+
+
+def delete_from_ivf_index(index_dir: str, vec_ids: list[int],
+                          id_col: str = "vec_id") -> None:
+    """Record tombstones (update = delete + insert, D3): deleted ids are
+    masked at query time and physically dropped by ``compact_ivf_index``
+    — the reference's deletes-route-to-rebuild decision, deferred."""
+    import os
+    path = os.path.join(index_dir, TOMBSTONES_NAME)
+    ids = set(int(i) for i in vec_ids)
+    if os.path.exists(path):
+        ids |= set(pq.read_table(path)[id_col].to_pylist())
+    pq.write_table(pa.table({id_col: pa.array(sorted(ids),
+                                              type=pa.int64())}), path)
+
+
+def _load_tombstones(index_dir: str, id_col: str) -> np.ndarray | None:
+    import os
+    path = os.path.join(index_dir, TOMBSTONES_NAME)
+    if not os.path.exists(path):
+        return None
+    return np.asarray(pq.read_table(path)[id_col].to_numpy(
+        zero_copy_only=False), dtype=np.int64)
+
+
+def compact_ivf_index(index_dir: str, dst_dir: str,
+                      id_col: str = "vec_id") -> None:
+    """Rewrite cell partitions dropping tombstoned rows; centroids are
+    carried over unchanged (refine-not-retrain).  Cell-parallel, per-cell
+    resumable (a finished cell dir is complete output)."""
+    import glob as globmod
+    import os
+    os.makedirs(dst_dir, exist_ok=True)
+    dead = _load_tombstones(index_dir, id_col)
+    for cdir in sorted(globmod.glob(os.path.join(index_dir, "cell=*"))):
+        name = os.path.basename(cdir)
+        out = os.path.join(dst_dir, name)
+        if os.path.isdir(out):
+            continue
+        tbl = pq.read_table(cdir)
+        if dead is not None:
+            keep = ~np.isin(tbl[id_col].to_numpy(zero_copy_only=False), dead)
+            tbl = tbl.filter(pa.array(keep))
+        if "cell" in tbl.column_names:      # partition col re-read inline
+            tbl = tbl.drop_columns(["cell"])
+        os.makedirs(out, exist_ok=True)
+        pq.write_table(tbl, os.path.join(out, "data.parquet"))
+    np.save(os.path.join(dst_dir, "_centroids.npy"),
+            np.load(os.path.join(index_dir, "_centroids.npy")))
+
+
 def ivf_index_topk(index_dir: str, queries: dict[str, np.ndarray], k: int,
                    *, n_probe: int = 4, metric: str = "cosine",
                    id_col: str = "vec_id", vec_col: str = "embedding",
@@ -411,11 +485,20 @@ def ivf_index_topk(index_dir: str, queries: dict[str, np.ndarray], k: int,
         return pd.DataFrame(columns=["query_id", "rank", id_col, "score"])
     ds = rd.read_parquet(paths,
                          partitioning=Partitioning("hive", base_dir=index_dir))
-    qref = ray.put((qmat, probe_sets))
+    dead = _load_tombstones(index_dir, id_col)
+    qref = ray.put((qmat, probe_sets, dead))
 
     def score_batch(batch: pa.Table) -> pa.Table:
-        qm, probes = ray.get(qref)
+        qm, probes, dead_ids = ray.get(qref)
         import pyarrow.compute as pc
+        if dead_ids is not None:
+            live = ~np.isin(batch[id_col].to_numpy(zero_copy_only=False),
+                            dead_ids)
+            batch = batch.filter(pa.array(live))
+            if batch.num_rows == 0:
+                return pa.table({"query_id": pa.array([], type=pa.string()),
+                                 id_col: pa.array([], type=pa.int64()),
+                                 "score": pa.array([], type=pa.float64())})
         vecs = _vecs_from_batch(batch, vec_col)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         cells = pc.cast(batch["cell"], pa.int64()).to_numpy(zero_copy_only=False)

