@@ -230,6 +230,77 @@ def build_graph_index(ds: "rd.Dataset", index_dir: str, *,
                    "id_col": id_col, "vec_col": vec_col}, f)
 
 
+def merge_graph_index(src_dir: str, dst_dir: str, *, merge_factor: int = 4,
+                      deletes: list[int] | None = None) -> None:
+    """Merge partition graphs: N input partitions -> ceil(N/factor)
+    coarser ones, dropping tombstoned ids.
+
+    The reference merges per-segment graphs on force-merge
+    (`JVectorWriter.java:850-969`); here each merge group concatenates its
+    partitions' vectors and REBUILDS one graph (graph edges don't survive
+    re-partitioning — the rebuild branch; per-group tasks run in
+    parallel, and a finished part dir is a resume checkpoint)."""
+    with open(os.path.join(src_dir, META_NAME)) as f:
+        meta = json.load(f)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    parts = sorted(d for d in os.listdir(src_dir) if d.startswith("part="))
+    n_groups = max(1, -(-len(parts) // merge_factor))
+    groups: list[list[str]] = [[] for _ in range(n_groups)]
+    for i, p in enumerate(parts):
+        groups[i % n_groups].append(os.path.join(src_dir, p))
+    os.makedirs(dst_dir, exist_ok=True)
+    dead = np.asarray(sorted(deletes), dtype=np.int64) if deletes else None
+    dead_ref = ray.put(dead)
+
+    def merge_one(batch: pa.Table) -> pa.Table:
+        dd = ray.get(dead_ref)
+        out_parts = []
+        for gid, dirs in zip(batch["gid"].to_pylist(),
+                             batch["dirs"].to_pylist()):
+            out = os.path.join(dst_dir, f"part={gid}")
+            meta_p = os.path.join(out, "_META")
+            if os.path.exists(meta_p):
+                out_parts.append(gid)
+                continue
+            tbls = [pq.read_table(os.path.join(d, "graph.parquet"),
+                                  columns=[id_col, vec_col]) for d in dirs]
+            tbl = pa.concat_tables(tbls)
+            if dd is not None:
+                keep = ~np.isin(tbl[id_col].to_numpy(zero_copy_only=False),
+                                dd)
+                tbl = tbl.filter(pa.array(keep))
+            order = np.argsort(tbl[id_col].to_numpy(zero_copy_only=False),
+                               kind="stable")
+            tbl = tbl.take(pa.array(order))
+            vecs = _vecs_from_batch(tbl, vec_col)
+            nbrs = build_graph(vecs, m_degree=meta["m_degree"],
+                               ef_construction=meta["ef_construction"])
+            os.makedirs(out, exist_ok=True)
+            merged = pa.table({
+                id_col: tbl[id_col],
+                vec_col: tbl[vec_col],
+                "neighbors": pa.array(
+                    [row[row >= 0].tolist() for row in nbrs],
+                    type=pa.list_(pa.int32())),
+            })
+            pq.write_table(merged, os.path.join(out, "graph.parquet"))
+            norms = np.linalg.norm(vecs, axis=1)
+            norms[norms == 0] = 1.0
+            unit = vecs / norms[:, None]
+            entries = sorted({_medoid(unit), *_entry_set(len(vecs))})
+            with open(meta_p, "w") as f:
+                json.dump({"entries": entries, "n": int(tbl.num_rows)}, f)
+            out_parts.append(gid)
+        return pa.table({"gid": pa.array(out_parts, type=pa.int32())})
+
+    items = [{"gid": gid, "dirs": dirs} for gid, dirs in enumerate(groups)]
+    (rd.from_items(items)
+       .map_batches(merge_one, batch_format="pyarrow", batch_size=1)
+       .materialize())
+    with open(os.path.join(dst_dir, META_NAME), "w") as f:
+        json.dump({**meta, "num_parts": n_groups}, f)
+
+
 def graph_topk(index_dir: str, queries: dict[str, np.ndarray], k: int, *,
                ef_search: int = 64, metric: str = "cosine",
                round_decimals: int | None = None) -> pd.DataFrame:

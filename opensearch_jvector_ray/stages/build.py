@@ -67,6 +67,10 @@ from opensearch_jvector_ray.state.manifest import (
 SEG_COL = "__seg"
 DICT_ROW_GROUP = 16 * 1024
 POSTINGS_ROW_GROUP = 4 * 1024
+# below this many (term, df, cf) partial rows the dictionary aggregation
+# runs in-process (one Arrow group_by beats five Ray stage latencies); at
+# scale the salted two-phase Ray path takes over
+DICT_LOCAL_MAX_PARTIALS = 4_000_000
 
 
 @dataclass(frozen=True)
@@ -244,7 +248,7 @@ def aggregate_dictionary(index_dir: str, cfg: EngineConfig,
     # Ray stage latencies.  (The distributed path below is the 100 TB
     # shape; this is the same partial-rows input either way.)
     total_partials = sum(pq.read_metadata(p).num_rows for p in paths)
-    if total_partials <= 4_000_000:
+    if total_partials <= DICT_LOCAL_MAX_PARTIALS:
         tbl = pa.concat_tables([
             pq.read_table(p, columns=["term", "df", "cf"]) for p in paths])
         agg = tbl.group_by("term").aggregate([("df", "sum"), ("cf", "sum")])

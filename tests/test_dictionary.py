@@ -84,3 +84,30 @@ def test_dictionary_df_equals_bruteforce(tmp_path):
         df.update(set(toks))
     assert dict(zip(d["term"], d["df"].astype(int))) == dict(df)
     assert dict(zip(d["term"], d["cf"].astype(int))) == dict(cf)
+
+
+def test_distributed_salted_path_equals_local(tmp_path, monkeypatch):
+    """Force the salted two-phase Ray aggregation (the 100-TB path) and
+    assert it produces the identical dictionary to the local path."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from opensearch_jvector_ray import synth
+    from opensearch_jvector_ray.config import EngineConfig
+    from opensearch_jvector_ray.stages import build as build_mod
+    from opensearch_jvector_ray.stages.build import IndexSpec, build_index
+
+    corpus = synth.generate_conversations(np.arange(60))
+    idx_local = str(tmp_path / "local")
+    build_index(rd.from_arrow(corpus), idx_local,
+                EngineConfig(num_segments=4), IndexSpec())
+    monkeypatch.setattr(build_mod, "DICT_LOCAL_MAX_PARTIALS", 0)
+    idx_ray = str(tmp_path / "ray")
+    build_index(rd.from_arrow(corpus), idx_ray,
+                EngineConfig(num_segments=4), IndexSpec())
+    a = pq.read_table(f"{idx_local}/dictionary").to_pandas()
+    b = pq.read_table(f"{idx_ray}/dictionary").to_pandas()
+    a = a.sort_values("term").reset_index(drop=True)[["term", "df", "cf"]]
+    b = b.sort_values("term").reset_index(drop=True)[["term", "df", "cf"]]
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)

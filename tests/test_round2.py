@@ -312,3 +312,30 @@ def test_ivf_lifecycle_add_delete_compact(tmp_path):
     knn_pl.compact_ivf_index(idx, idx2)
     out3 = knn_pl.ivf_index_topk(idx2, q, 5, n_probe=2, round_decimals=6)
     pd.testing.assert_frame_equal(out2, out3)
+
+
+def test_graph_merge_with_deletes(tmp_path):
+    """Graph force-merge: fewer coarser partitions, tombstones dropped,
+    recall preserved."""
+    import os
+    from opensearch_jvector_ray.pipelines import graph as graph_pl
+    vecs = _clustered_vecs(seed=67, n_centers=4, per=60, d=16)
+    ds = rd.from_arrow(_vec_table(vecs))
+    idx = str(tmp_path / "g1")
+    graph_pl.build_graph_index(ds, idx, num_parts=6, m_degree=12,
+                               ef_construction=48)
+    merged = str(tmp_path / "g2")
+    graph_pl.merge_graph_index(idx, merged, merge_factor=3,
+                               deletes=[5, 17])
+    parts = [d for d in os.listdir(merged) if d.startswith("part=")]
+    assert len(parts) == 2
+    queries = {"q": vecs[5].astype(np.float64)}   # the deleted vector
+    out = graph_pl.graph_topk(merged, queries, 10, ef_search=64,
+                              round_decimals=6)
+    got = set(out.vec_id)
+    assert 5 not in got and 17 not in got
+    exact = knn_pl.brute_force_topk(ds, queries, 12, metric="cosine",
+                                    round_decimals=6)
+    live_exact = [v for v in exact.vec_id if v not in (5, 17)][:10]
+    recall = len(set(live_exact) & got) / 10
+    assert recall >= 0.7, recall
