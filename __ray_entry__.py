@@ -241,7 +241,7 @@ def _q_knn_ivf_partitioned(sf_dir: str) -> pd.DataFrame:
     import os
     from opensearch_jvector_ray.sources.tables import CACHE_ROOT
     key = os.path.basename(os.path.normpath(sf_dir))
-    idx = os.path.join(CACHE_ROOT, f"ivffix_{key}")
+    idx = os.path.join(CACHE_ROOT, f"ivffix_{key}_c{len(IVF_CENTROID_IDS)}")
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     cent = knn_pl.fixed_centroids(ds, IVF_CENTROID_IDS)
     if not os.path.exists(os.path.join(idx, "_centroids.npy")):
@@ -259,7 +259,7 @@ def _q_knn_pq_rerank(sf_dir: str) -> pd.DataFrame:
     from opensearch_jvector_ray.pipelines import pq as pq_pl
     from opensearch_jvector_ray.sources.tables import CACHE_ROOT
     key = os.path.basename(os.path.normpath(sf_dir))
-    idx = os.path.join(CACHE_ROOT, f"pqidx_{key}")
+    idx = os.path.join(CACHE_ROOT, f"pqidx_{key}_m8c16")
     if not os.path.exists(os.path.join(idx, pq_pl.CODEBOOK_NAME)):
         ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
         pq_pl.build_pq_index(ds, idx, m_subspaces=8, n_codes=16)
@@ -276,7 +276,7 @@ def _q_knn_graph(sf_dir: str) -> pd.DataFrame:
     from opensearch_jvector_ray.pipelines import graph as graph_pl
     from opensearch_jvector_ray.sources.tables import CACHE_ROOT
     key = os.path.basename(os.path.normpath(sf_dir))
-    idx = os.path.join(CACHE_ROOT, f"graphidx_{key}")
+    idx = os.path.join(CACHE_ROOT, f"graphidx_{key}_p4m16e64")
     if not os.path.exists(os.path.join(idx, graph_pl.META_NAME)):
         ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
         graph_pl.build_graph_index(ds, idx, num_parts=4)

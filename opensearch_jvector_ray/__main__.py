@@ -7,6 +7,7 @@ Usage (each subcommand owns a Ray session; on a cluster, submit with
 
   python -m opensearch_jvector_ray build  --input DIR|FILE --index DIR
          [--segments N] [--lww] [--text-col C] [--key-cols A,B]
+  python -m opensearch_jvector_ray add    --input DIR|FILE --index DIR
   python -m opensearch_jvector_ray search --index DIR --query "..."
          [--k K] [--mode taat|wand|rescore|phrase] [--collapse COL]
   python -m opensearch_jvector_ray merge  --index DIR --out DIR
@@ -44,6 +45,10 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--text-col", default="text")
     b.add_argument("--key-cols", default="conv_id,turn_idx")
     b.add_argument("--store-cols", default="role,tool,ts")
+
+    ad = sub.add_parser("add")
+    ad.add_argument("--input", required=True)
+    ad.add_argument("--index", required=True)
 
     s = sub.add_parser("search")
     s.add_argument("--index", required=True)
@@ -85,6 +90,15 @@ def main(argv: list[str] | None = None) -> int:
                               "num_segments": res.num_segments,
                               "segments_built": res.segments_built,
                               "segments_skipped": res.segments_skipped,
+                              "build_sec": round(res.build_sec, 3)}))
+        elif args.cmd == "add":
+            from opensearch_jvector_ray.stages.build import add_segments
+            res = add_segments(args.index, args.input,
+                               lineage={"appended_from": args.input,
+                                        "cli": True})
+            print(json.dumps({"num_docs": res.num_docs,
+                              "num_segments": res.num_segments,
+                              "segments_built": res.segments_built,
                               "build_sec": round(res.build_sec, 3)}))
         elif args.cmd == "search":
             from opensearch_jvector_ray.query import IndexSearcher

@@ -500,6 +500,86 @@ def build_index(source: "rd.Dataset | str | list[str]", index_dir: str,
             # consume: per-segment one-row summaries (tiny)
             shuffled.take_all()
 
+    return _finish_index(index_dir, cfg, t0, n_skipped)
+
+
+def add_segments(index_dir: str, source: "rd.Dataset | str | list[str]",
+                 lineage: dict[str, Any] | None = None) -> BuildResult:
+    """Incremental ingest: append NEW data as NEW segments to an existing
+    index, then refresh the dictionary and global stats.
+
+    The reference's continuous-indexing lifecycle (a flush adds segments;
+    IDF/dictionary refresh on commit — S2/T3): existing segments are
+    untouched, new ones take the next ids, and the global df/N/avgdl are
+    re-aggregated over ALL segments so BM25 scores stay exact.  Duplicate
+    keys across old and new data follow the add-without-delete rule (both
+    retrievable); route updates through merge-with-tombstones or an LWW
+    rebuild.  Resumable: re-running skips appended segments whose
+    manifest + fragment lineage already match.
+    """
+    t0 = time.perf_counter()
+    from opensearch_jvector_ray.state.manifest import read_json
+    meta = read_json(os.path.join(index_dir, CONFIG_NAME))
+    cfg = EngineConfig.from_json(meta["config"])
+    spec = IndexSpec(text_col=meta["spec"]["text_col"],
+                     key_cols=tuple(meta["spec"]["key_cols"]),
+                     store_cols=tuple(meta["spec"]["store_cols"]),
+                     ts_col=meta["spec"]["ts_col"])
+    prior = completed_segments(index_dir)
+    mixed = sorted(s for s, m in prior.items()
+                   if m.config_fingerprint != cfg.fingerprint())
+    if mixed:
+        raise ValueError(f"index dir {index_dir!r} has segments {mixed} "
+                         f"with a foreign config fingerprint — refusing "
+                         f"to append into a mixed index")
+    base = (max(prior) + 1) if prior else 0
+
+    is_paths = not hasattr(source, "map_batches")
+    if is_paths:
+        paths = resolve_parquet_paths(source)
+        total_rows = sum(pq.read_metadata(p).num_rows for p in paths)
+        target = min(cfg.target_docs_per_segment,
+                     max(1000, -(-total_rows // cfg.num_segments)))
+        plan = plan_file_segments(paths, target)
+        for it in plan:
+            it["seg"] += base
+        todo = []
+        for it in plan:
+            m = prior.get(it["seg"])
+            if m is not None and m.lineage.get("fragment") == {
+                    "file": it["file"], "rg_lo": it["rg_lo"],
+                    "rg_hi": it["rg_hi"]}:
+                continue                      # resume: already appended
+            todo.append(it)
+        if todo:
+            (rd.from_items(todo)
+               .map_batches(make_fragment_builder(index_dir, cfg, spec,
+                                                  lineage),
+                            batch_format="pyarrow", batch_size=1)
+               .take_all())
+        n_skipped = len(plan) - len(todo) + len(prior)
+    else:
+        # Dataset input: hash-assign into num_segments NEW segments
+        done_new = frozenset(s - base for s in prior if s >= base)
+        shuffled = (source.select_columns(spec.all_cols())
+                    .map_batches(_assign_segments, batch_format="pyarrow",
+                                 fn_kwargs={"spec": spec,
+                                            "num_segments": cfg.num_segments,
+                                            "done": done_new})
+                    .map_batches(lambda b: b.set_column(
+                        b.column_names.index(SEG_COL), SEG_COL,
+                        pc.add(b[SEG_COL], base)), batch_format="pyarrow")
+                    .groupby(SEG_COL)
+                    .map_groups(make_segment_builder(index_dir, cfg, spec,
+                                                     lineage),
+                                batch_format="pyarrow"))
+        shuffled.take_all()
+        n_skipped = len(prior)
+    return _finish_index(index_dir, cfg, t0, n_skipped)
+
+
+def _finish_index(index_dir: str, cfg: EngineConfig, t0: float,
+                  n_skipped: int) -> BuildResult:
     manifests = completed_segments(index_dir)
     mixed = sorted(s for s, m in manifests.items()
                    if m.config_fingerprint != cfg.fingerprint())

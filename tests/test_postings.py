@@ -142,3 +142,26 @@ def test_empty_input():
     cfg = EngineConfig()
     tbl, _ = build_from_texts([], cfg)
     assert tbl.num_rows == 0
+
+
+def test_pfor_irregular_blk_n_roundtrip():
+    """Bulk-merged pfor runs have IRREGULAR block boundaries recorded in
+    blk_n; decode must honor them (hypothesis-style randomized check)."""
+    import numpy as np
+    from opensearch_jvector_ray.postings import (
+        for_pack_block, pfor_decode_run,
+    )
+    rng = np.random.default_rng(91)
+    for trial in range(25):
+        n_blocks = int(rng.integers(1, 8))
+        blk_n = rng.integers(1, 40, size=n_blocks)
+        values = rng.integers(0, 1 << int(rng.integers(1, 40)),
+                              size=int(blk_n.sum())).astype(np.uint64)
+        blob = b""
+        pos = 0
+        for bn in blk_n:
+            blob += for_pack_block(values[pos:pos + bn])
+            pos += bn
+        out = pfor_decode_run(blob, len(values), block_size=128,
+                              blk_n=blk_n.tolist())
+        np.testing.assert_array_equal(out, values)

@@ -339,3 +339,46 @@ def test_graph_merge_with_deletes(tmp_path):
     live_exact = [v for v in exact.vec_id if v not in (5, 17)][:10]
     recall = len(set(live_exact) & got) / 10
     assert recall >= 0.7, recall
+
+
+def test_add_segments_incremental_ingest(tmp_path):
+    """Appending new data as new segments + dictionary/stats refresh is
+    rank-identical to a one-shot build over the union (segmentation
+    invariance + truly-global df/N/avgdl after the refresh)."""
+    from opensearch_jvector_ray.stages.build import add_segments
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    rng = np.random.default_rng(83)
+    texts = [" ".join(rng.choice(words, size=int(rng.integers(2, 8))))
+             for _ in range(120)]
+    all_tbl = _corpus(texts)
+    cfg = EngineConfig(num_segments=3)
+    # one-shot reference build
+    idx_ref = str(tmp_path / "ref")
+    build_index(rd.from_arrow(all_tbl), idx_ref, cfg, IndexSpec())
+    # incremental: first 80 rows, then append the remaining 40
+    idx_inc = str(tmp_path / "inc")
+    build_index(rd.from_arrow(all_tbl.slice(0, 80)), idx_inc, cfg,
+                IndexSpec())
+    partial = IndexSearcher(idx_inc).search({"q": "alpha beta"}, k=10)
+    add_segments(idx_inc, rd.from_arrow(all_tbl.slice(80)))
+    qs = {"q1": "alpha beta gamma", "q2": "zeta eps", "q3": "delta"}
+    a = IndexSearcher(idx_ref).search(qs, k=25)
+    b = IndexSearcher(idx_inc).search(qs, k=25)
+    pd.testing.assert_frame_equal(a, b)
+    # global stats were refreshed (post-append scores differ from partial)
+    post = IndexSearcher(idx_inc).search({"q": "alpha beta"}, k=10)
+    assert len(post) >= len(partial)
+
+
+def test_add_segments_refuses_foreign_config(tmp_path):
+    import json, os, pytest
+    from opensearch_jvector_ray.stages.build import add_segments
+    idx = str(tmp_path / "idx")
+    build_index(rd.from_arrow(_corpus(["alpha beta"] * 10)), idx,
+                EngineConfig(num_segments=2), IndexSpec())
+    # corrupt one manifest's fingerprint -> append must refuse
+    man = os.path.join(idx, "segments", "seg=00000", "manifest.json")
+    d = json.load(open(man)); d["config_fingerprint"] = "deadbeef"
+    json.dump(d, open(man, "w"))
+    with pytest.raises(ValueError, match="foreign config"):
+        add_segments(idx, rd.from_arrow(_corpus(["gamma"] * 5)))
