@@ -26,7 +26,7 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 from opensearch_jvector_ray.oracles import (
-    bm25_sql, collection_stats_sql, events_asof_orders_sql, events_lww_sql,
+    bm25_sql, boolean_sql, collection_stats_sql, events_asof_orders_sql, events_lww_sql,
     events_sessionize_sql, events_window_sql, exact_dedup_sql,
     ivf_fixed_sql, revenue_by_nation_sql, simhash_sql,
     top_order_revenue_sql, transcripts_bm25_sql,
@@ -62,6 +62,12 @@ RADIAL_MIN_SCORE = 0.55
 GROUP_QUERY = "query data filter join"
 EXPAND_GROUPS = 5
 PHRASE_QUERIES = {"p1": "fast merge", "p2": "data row", "p3": "customer join"}
+BOOLEAN_QUERIES = {
+    "b1": "fast +merge -sort",
+    "b2": "+data query -window",
+    "b3": "customer +value scan",
+    "b4": "-the spark batch",
+}
 TERM_STATS_TERMS = ["customer", "data", "fast", "merge", "query", "window"]
 KNN_QUERY_IDS = [0, 1, 2]
 KNN_K = 10
@@ -111,6 +117,13 @@ def _q_bm25_filtered(sf_dir: str) -> pd.DataFrame:
 def _q_bm25_phrase(sf_dir: str) -> pd.DataFrame:
     s = IndexSearcher(documents_index(sf_dir))
     return _round_hits(s.search(PHRASE_QUERIES, k=BM25_K, mode="phrase"))
+
+
+def _q_bm25_boolean(sf_dir: str) -> pd.DataFrame:
+    # Lucene BooleanQuery semantics: +must filters AND scores, -must_not
+    # filters, bare should scores
+    s = IndexSearcher(documents_index(sf_dir))
+    return _round_hits(s.search(BOOLEAN_QUERIES, k=BM25_K, mode="boolean"))
 
 
 def _q_bm25_radial(sf_dir: str) -> pd.DataFrame:
@@ -421,6 +434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_filtered": _q_bm25_filtered,
         "bm25_radial": _q_bm25_radial,
         "bm25_phrase": _q_bm25_phrase,
+        "bm25_boolean": _q_bm25_boolean,
         "grouped_best_doc": _q_grouped_best,
         "grouped_expand": _q_grouped_expand,
         "term_stats": _q_term_stats,
@@ -492,6 +506,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_radial": bm25_sql(RADIAL_QUERY, CFG.max_k, CFG,
                                 min_score=RADIAL_MIN_SCORE),
         "bm25_phrase": phrase_sql(PHRASE_QUERIES, BM25_K, CFG),
+        "bm25_boolean": boolean_sql(BOOLEAN_QUERIES, BM25_K, CFG),
         "grouped_best_doc": grouped_best_sql(GROUP_QUERY, CFG),
         "grouped_expand": grouped_expand_sql(GROUP_QUERY, EXPAND_GROUPS, CFG),
         "term_stats": term_stats_sql(TERM_STATS_TERMS, CFG),

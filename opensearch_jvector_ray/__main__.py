@@ -55,7 +55,7 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--query", action="append", required=True)
     s.add_argument("--k", type=int, default=10)
     s.add_argument("--mode", default="taat",
-                   choices=["taat", "wand", "rescore", "phrase"])
+                   choices=["taat", "wand", "rescore", "phrase", "boolean"])
     s.add_argument("--collapse", default=None)
 
     m = sub.add_parser("merge")

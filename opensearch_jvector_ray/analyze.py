@@ -108,6 +108,25 @@ def analyze_query(text: str, cfg: EngineConfig) -> list[str]:
     return stream.terms.to_pylist()
 
 
+def parse_boolean_query(text: str, cfg: EngineConfig,
+                        ) -> tuple[list[str], list[str], list[str]]:
+    """Lucene simple-query-string style clause parsing: ``+chunk`` = MUST,
+    ``-chunk`` = MUST_NOT, bare = SHOULD.  Each chunk runs through the
+    full analysis chain (may yield 0..n terms).  Returns
+    (should, must, must_not) term lists in appearance order."""
+    should: list[str] = []
+    must: list[str] = []
+    must_not: list[str] = []
+    for chunk in text.split():
+        target = should
+        if chunk.startswith("+"):
+            target, chunk = must, chunk[1:]
+        elif chunk.startswith("-"):
+            target, chunk = must_not, chunk[1:]
+        target.extend(analyze_query(chunk, cfg))
+    return should, must, must_not
+
+
 def query_term_weights(text: str, cfg: EngineConfig) -> list[tuple[str, int]]:
     """(term, occurrence_count) in first-appearance order."""
     terms = analyze_query(text, cfg)

@@ -120,6 +120,90 @@ ORDER BY query_id, rank
 """
 
 
+def boolean_sql(queries: dict[str, str], k: int, cfg: EngineConfig,
+                table: str = "documents", id_col: str = "doc_id",
+                text_col: str = "text") -> str:
+    """Boolean (+must / -must_not / should) BM25 oracle [Lucene
+    BooleanQuery public semantics: MUST filters AND scores, SHOULD scores,
+    MUST_NOT only filters].  Clause parsing comes from the engine's own
+    ``parse_boolean_query`` so clause analysis can never drift."""
+    from opensearch_jvector_ray.analyze import parse_boolean_query
+    qt_rows, m_rows, n_rows = [], [], []
+    for qid, text in sorted(queries.items()):
+        should, must, must_not = parse_boolean_query(text, cfg)
+        counts: dict[str, int] = {}
+        order = []
+        for t in should + must:
+            if t not in counts:
+                order.append(t)
+            counts[t] = counts.get(t, 0) + 1
+        for t in order:
+            qt_rows.append(f"({sql_quote(qid)}, {sql_quote(t)}, "
+                           f"{float(counts[t])!r})")
+        for t in must:
+            m_rows.append(f"({sql_quote(qid)}, {sql_quote(t)})")
+        for t in must_not:
+            n_rows.append(f"({sql_quote(qid)}, {sql_quote(t)})")
+    qt_values = ",\n       ".join(qt_rows) or "('__none__', '__none__', 0.0)"
+    m_values = ",\n       ".join(m_rows) or "('__none__', '__none__')"
+    n_values = ",\n       ".join(n_rows) or "('__none__', '__none__')"
+    return f"""
+WITH {toks_cte(cfg, table, id_col, text_col)},
+dl AS (
+  SELECT {id_col}, count(*)::DOUBLE AS dl FROM toks GROUP BY {id_col}
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl
+),
+qt(query_id, term, w) AS (VALUES {qt_values}),
+mq(query_id, term) AS (VALUES {m_values}),
+nq(query_id, term) AS (VALUES {n_values}),
+df AS (
+  SELECT term, count(DISTINCT {id_col})::DOUBLE AS df FROM toks
+  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY term
+),
+tf AS (
+  SELECT {id_col}, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY {id_col}, term
+),
+scores AS (
+  SELECT qt.query_id, tf.{id_col},
+         sum(qt.w * ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf / (tf.tf + {cfg.k1!r} * (1.0 - {cfg.b!r} + {cfg.b!r} * dl.dl / stats.avgdl)))
+             ORDER BY qt.term
+            ) AS score__raw
+  FROM qt
+  JOIN tf ON tf.term = qt.term
+  JOIN df ON df.term = qt.term
+  JOIN dl ON dl.{id_col} = tf.{id_col}
+  CROSS JOIN stats
+  GROUP BY qt.query_id, tf.{id_col}
+),
+filtered AS (
+  SELECT s.query_id, s.{id_col}, s.score__raw FROM scores s
+  WHERE NOT EXISTS (                               -- every MUST term hits
+      SELECT 1 FROM mq
+      WHERE mq.query_id = s.query_id
+        AND NOT EXISTS (SELECT 1 FROM toks t
+                        WHERE t.{id_col} = s.{id_col}
+                          AND t.term = mq.term))
+    AND NOT EXISTS (                               -- no MUST_NOT term hits
+      SELECT 1 FROM nq
+      JOIN toks t ON t.term = nq.term AND t.{id_col} = s.{id_col}
+      WHERE nq.query_id = s.query_id)
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score__raw DESC, {id_col} ASC) AS rank,
+         {id_col}, score__raw
+  FROM filtered
+)
+SELECT query_id, rank, {id_col}, round(score__raw, 6) AS score
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
 def phrase_sql(queries: dict[str, str], k: int, cfg: EngineConfig,
                table: str = "documents", id_col: str = "doc_id",
                text_col: str = "text") -> str:

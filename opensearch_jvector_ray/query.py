@@ -340,6 +340,25 @@ class SegmentSearcher:
                 ords, scores = _wand_topk(cursors, q["k"], dl, mask,
                                           self.k1, self.b, self.avgdl,
                                           counters=self._counters, tie=tie)
+            elif mode == "boolean":
+                bmask = np.ones(len(dl), dtype=bool) if mask is None \
+                    else mask.copy()
+                ok = True
+                for t in q.get("must", ()):     # every MUST term present
+                    if t not in decoded:
+                        ok = False              # term absent from segment
+                        break
+                    m = np.zeros(len(dl), dtype=bool)
+                    m[decoded[t][0]] = True
+                    bmask &= m
+                if not ok:
+                    continue
+                for t in q.get("must_not", ()):
+                    if t in decoded:
+                        bmask[decoded[t][0]] = False
+                ords, scores = self._taat(terms, decoded, dl, bmask, q["k"],
+                                          tie=tie,
+                                          min_score=p.get("min_score"))
             else:
                 ords, scores = self._taat(terms, decoded, dl, mask, q["k"],
                                           rescore=p["rescore_oversample"] if mode == "rescore" else None,
@@ -498,23 +517,41 @@ class IndexSearcher:
         return dict(zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()))
 
     def _prepare(self, queries: dict[str, str], k: int,
-                 phrase: bool = False) -> tuple[list[dict], list[str]]:
-        from opensearch_jvector_ray.analyze import analyze_query
+                 phrase: bool = False,
+                 boolean: bool = False) -> tuple[list[dict], list[str]]:
+        from opensearch_jvector_ray.analyze import (
+            analyze_query, parse_boolean_query,
+        )
         all_terms: set[str] = set()
         parsed = []
         for qid, text in queries.items():
+            must: list[str] = []
+            must_not: list[str] = []
             if phrase:
                 # ordered term sequence, duplicates kept (position matters)
                 tw = [(t, 1) for t in analyze_query(text, self.cfg)]
+            elif boolean:
+                # Lucene BooleanQuery semantics: MUST clauses both filter
+                # AND score; SHOULD clauses score; MUST_NOT only filters
+                should, must, must_not = parse_boolean_query(text, self.cfg)
+                counts: dict[str, int] = {}
+                order_: list[str] = []
+                for t in should + must:
+                    if t not in counts:
+                        order_.append(t)
+                    counts[t] = counts.get(t, 0) + 1
+                tw = [(t, counts[t]) for t in order_]
             else:
                 tw = query_term_weights(text, self.cfg)
-            parsed.append((qid, tw))
+            parsed.append((qid, tw, must, must_not))
             all_terms.update(t for t, _ in tw)
+            all_terms.update(must)
+            all_terms.update(must_not)
         df_map = self.lookup_df(sorted(all_terms))
         n = float(self.stats["n_docs_indexed"])
         prepared = []
         union: set[str] = set()
-        for qid, tw in parsed:
+        for qid, tw, must, must_not in parsed:
             terms = []
             for t, w in tw:
                 df = df_map.get(t, 0)
@@ -523,7 +560,15 @@ class IndexSearcher:
                     union.add(t)
             if phrase and len(terms) != len(tw):
                 terms = []     # phrase with an unknown term matches nothing
-            prepared.append({"query_id": qid, "terms": terms, "k": k})
+            if any(df_map.get(t, 0) == 0 for t in must):
+                terms = []     # an impossible MUST clause matches nothing
+            mn = [t for t in must_not if df_map.get(t, 0) > 0]
+            union.update(mn)
+            entry = {"query_id": qid, "terms": terms, "k": k}
+            if must or mn:
+                entry["must"] = must
+                entry["must_not"] = mn
+            prepared.append(entry)
         return prepared, sorted(union)
 
     def search_with_udf(self, queries: dict[str, str], k: int,
@@ -608,7 +653,9 @@ class IndexSearcher:
             k_fetch = min(cfg.max_k, k * cfg.over_query_factor)
         from opensearch_jvector_ray.state import metrics
         metrics.incr({metrics.QUERY_REQUESTS: len(queries)})
-        prepared, union = self._prepare(queries, k_fetch, phrase=(mode == "phrase"))
+        prepared, union = self._prepare(queries, k_fetch,
+                                        phrase=(mode == "phrase"),
+                                        boolean=(mode == "boolean"))
         key_types = []
         if self.seg_dirs:
             docs_schema = pq.read_schema(os.path.join(self.seg_dirs[0], DOCS_NAME))

@@ -382,3 +382,26 @@ def test_add_segments_refuses_foreign_config(tmp_path):
     json.dump(d, open(man, "w"))
     with pytest.raises(ValueError, match="foreign config"):
         add_segments(idx, rd.from_arrow(_corpus(["gamma"] * 5)))
+
+
+def test_boolean_query_semantics(tmp_path):
+    """+must filters AND scores, -must_not filters, bare should scores —
+    verified against a per-doc containment oracle, across segments."""
+    texts = ["alpha beta", "alpha gamma", "beta gamma", "alpha beta gamma",
+             "gamma delta", "alpha", "beta", "delta eps"] * 6
+    idx = str(tmp_path / "idx")
+    build_index(rd.from_arrow(_corpus(texts)), idx,
+                EngineConfig(num_segments=4), IndexSpec())
+    s = IndexSearcher(idx)
+    out = s.search({"q": "alpha +beta -gamma"}, k=100, mode="boolean")
+    hit_texts = {texts[int(c[1:])] for c in out["conv_id"]}
+    # must contain beta, never gamma
+    assert hit_texts == {"alpha beta", "beta"}
+    # impossible MUST -> no hits; unknown MUST_NOT -> no effect
+    assert s.search({"q": "alpha +zzz"}, k=10, mode="boolean").empty
+    out2 = s.search({"q": "alpha -zzz"}, k=100, mode="boolean")
+    assert len(out2) == len(s.search({"q": "alpha"}, k=100))
+    # MUST terms score: '+alpha' ranks identically to plain 'alpha'
+    a = s.search({"q": "+alpha"}, k=100, mode="boolean")
+    b = s.search({"q": "alpha"}, k=100)
+    pd.testing.assert_frame_equal(a, b)
