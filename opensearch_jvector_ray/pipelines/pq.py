@@ -198,6 +198,10 @@ def pq_rerank_topk(source: "rd.Dataset | str",
     approx_best = metric != "l2"        # l2 LUT is a distance: lower=better
 
     def score_batch(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"query_id": pa.array([], type=pa.string()),
+                             id_col: pa.array([], type=pa.int64()),
+                             "score": pa.array([], type=pa.float64())})
         book_, qm, luts_ = ray.get(payload_ref)
         vecs = _vecs_from_batch(batch, vec_col)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
