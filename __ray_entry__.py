@@ -407,6 +407,17 @@ def _q_embedding_dups(sf_dir: str) -> pd.DataFrame:
     return knn_pl.embedding_near_dups(ds, threshold=0.95)
 
 
+def _q_multimodal_audio(sf_dir: str) -> pd.DataFrame:
+    # REAL WAV decode (stdlib wave) + featurization over an audio table
+    tbl = mm_pl.synth_audio_table(150)
+    out = mm_pl.decode_features(rd.from_arrow(tbl), fake=False).to_pandas()
+    feats = np.stack(out.sort_values("media_id").feature.to_numpy())
+    res = out.sort_values("media_id").reset_index(drop=True)
+    res["duration_sec"] = np.round(feats[:, 0].astype(np.float64), 4)
+    res["rms"] = np.round(feats[:, 1].astype(np.float64), 4)
+    return res[["media_id", "kind", "duration_sec", "rms"]]
+
+
 def _q_multimodal(sf_dir: str) -> pd.DataFrame:
     tbl = mm_pl.synth_media_table(200)
     out = mm_pl.decode_features(rd.from_arrow(tbl), fake=True).to_pandas()
@@ -472,6 +483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": _q_embedding_dups,
         # multimodal plumbing (decode stubbed; rows-only)
         "multimodal_decode": _q_multimodal,
+        "multimodal_audio_features": _q_multimodal_audio,
     }
 
 

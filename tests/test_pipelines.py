@@ -239,3 +239,30 @@ def test_embedding_near_dups_banded_recall():
     out = knn_pl.embedding_near_dups(rd.from_arrow(tbl), threshold=0.999)
     found = {(int(a), int(b)) for a, b in zip(out["id_a"], out["id_b"])}
     assert {(i, 40 + i) for i in range(10)} <= found
+
+
+def test_audio_decode_is_real():
+    """Audio WAV payloads decode for REAL (stdlib wave): a planted sine's
+    dominant frequency lands in the expected pooled-spectrum bin, and
+    duration/RMS come out physically right."""
+    rate = 16000
+    t = np.arange(int(0.2 * rate)) / rate
+    low = mm.wav_bytes(0.7 * np.sin(2 * np.pi * 300 * t), rate)    # ~300 Hz
+    high = mm.wav_bytes(0.7 * np.sin(2 * np.pi * 6000 * t), rate)  # ~6 kHz
+    stub = mm.DecodeStub(feature_dim=16, fake=False)
+    f_low = stub._decode_one(low, "audio")
+    f_high = stub._decode_one(high, "audio")
+    assert abs(f_low[0] - 0.2) < 1e-3          # duration
+    assert abs(f_low[1] - 0.7 / np.sqrt(2)) < 0.01   # sine RMS
+    spec_low, spec_high = f_low[3:], f_high[3:]
+    assert spec_low.argmax() < spec_high.argmax()    # freq ordering
+    # distributed real decode over an audio table
+    tbl = mm.synth_audio_table(40)
+    out = mm.decode_features(rd.from_arrow(tbl), fake=False).to_pandas()
+    assert len(out) == 40 and all(len(f) == 16 for f in out.feature)
+
+
+def test_image_decode_still_raises():
+    stub = mm.DecodeStub(fake=False)
+    with pytest.raises(NotImplementedError):
+        stub._decode_one(b"notanimage", "image")
