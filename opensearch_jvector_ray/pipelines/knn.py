@@ -445,7 +445,10 @@ def compact_ivf_index(index_dir: str, dst_dir: str,
     for cdir in sorted(globmod.glob(os.path.join(index_dir, "cell=*"))):
         name = os.path.basename(cdir)
         out = os.path.join(dst_dir, name)
-        if os.path.isdir(out):
+        final = os.path.join(out, "data.parquet")
+        # resume checkpoint is the DATA FILE, not the dir: a crash between
+        # makedirs and write_table must not look complete on rerun
+        if os.path.exists(final):
             continue
         tbl = pq.read_table(cdir)
         if dead is not None:
@@ -454,7 +457,9 @@ def compact_ivf_index(index_dir: str, dst_dir: str,
         if "cell" in tbl.column_names:      # partition col re-read inline
             tbl = tbl.drop_columns(["cell"])
         os.makedirs(out, exist_ok=True)
-        pq.write_table(tbl, os.path.join(out, "data.parquet"))
+        tmp = final + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, final)              # atomic publish
     np.save(os.path.join(dst_dir, "_centroids.npy"),
             np.load(os.path.join(index_dir, "_centroids.npy")))
 

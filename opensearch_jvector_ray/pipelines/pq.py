@@ -46,6 +46,9 @@ def train_pq_codebook(ds: "rd.Dataset", *, m_subspaces: int = 8,
                       seed: int = 42) -> np.ndarray:
     """Codebook (m_subspaces, n_codes, d/m) from per-subspace k-means on a
     BOUNDED distributed sample (same shape as knn.train_centroids)."""
+    if n_codes > 256:
+        raise ValueError(f"n_codes={n_codes} > 256: PQ codes are stored as "
+                         f"uint8; larger codebooks would silently wrap")
     n_rows = ds.count() or 1
     frac = min(1.0, 1.5 * sample_size / n_rows)
     sample = ds.select_columns([vec_col])
@@ -84,6 +87,9 @@ def pq_encode(vecs: np.ndarray, book: np.ndarray) -> np.ndarray:
     """(n, M) uint8 codes: nearest sub-centroid per subspace (ties to the
     lowest code, argmin rule)."""
     m, k, dsub = book.shape
+    if k > 256:
+        raise ValueError(f"codebook has {k} codes > 256: uint8 code storage "
+                         f"would wrap argmin indices")
     codes = np.empty((len(vecs), m), dtype=np.uint8)
     for mi in range(m):
         codes[:, mi] = _sq_dists(vecs[:, mi * dsub:(mi + 1) * dsub],

@@ -503,6 +503,30 @@ def build_index(source: "rd.Dataset | str | list[str]", index_dir: str,
     return _finish_index(index_dir, cfg, t0, n_skipped)
 
 
+def _append_journal_path(index_dir: str, fp: str) -> str:
+    d = os.path.join(index_dir, "_appends")
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, f"{fp}.json")
+
+
+def _append_fingerprint(paths: list[str] | None,
+                        lineage: dict[str, Any] | None) -> str:
+    """Identity of one logical append.  For path input it is derived from
+    the resolved file list (+ caller lineage), so an interrupted append
+    re-run with the same files resumes under the SAME journal.  Dataset
+    input has no stable content identity — the caller's ``lineage`` dict
+    is the identity; without one each call is a fresh (non-resumable)
+    append."""
+    import hashlib
+    import json as jsonmod
+    import uuid
+    if paths is None and not lineage:
+        return "ds-" + uuid.uuid4().hex[:16]
+    basis = {"paths": paths, "lineage": lineage or {}}
+    return hashlib.sha1(jsonmod.dumps(
+        basis, sort_keys=True, default=str).encode()).hexdigest()[:16]
+
+
 def add_segments(index_dir: str, source: "rd.Dataset | str | list[str]",
                  lineage: dict[str, Any] | None = None) -> BuildResult:
     """Incremental ingest: append NEW data as NEW segments to an existing
@@ -514,8 +538,16 @@ def add_segments(index_dir: str, source: "rd.Dataset | str | list[str]",
     re-aggregated over ALL segments so BM25 scores stay exact.  Duplicate
     keys across old and new data follow the add-without-delete rule (both
     retrievable); route updates through merge-with-tombstones or an LWW
-    rebuild.  Resumable: re-running skips appended segments whose
-    manifest + fragment lineage already match.
+    rebuild.
+
+    Resumable via an append JOURNAL: before building, the append's base
+    segment id is recorded under ``_appends/<fingerprint>.json`` keyed by
+    the source identity (resolved file list, or the caller ``lineage``
+    for Dataset input).  A re-run of the same logical append reuses the
+    journalled base, so already-built segments match by lineage and are
+    skipped instead of being duplicated past a shifted base.  A COMPLETE
+    journal makes the re-run a no-op (idempotent); to intentionally
+    append the same files twice pass a distinct ``lineage``.
     """
     t0 = time.perf_counter()
     from opensearch_jvector_ray.state.manifest import read_json
@@ -532,11 +564,23 @@ def add_segments(index_dir: str, source: "rd.Dataset | str | list[str]",
         raise ValueError(f"index dir {index_dir!r} has segments {mixed} "
                          f"with a foreign config fingerprint — refusing "
                          f"to append into a mixed index")
-    base = (max(prior) + 1) if prior else 0
 
     is_paths = not hasattr(source, "map_batches")
+    paths = resolve_parquet_paths(source) if is_paths else None
+    fp = _append_fingerprint(paths, lineage)
+    jpath = _append_journal_path(index_dir, fp)
+    journal = read_json(jpath) if os.path.exists(jpath) else None
+    if journal is not None:
+        base = int(journal["base"])           # resume: the ORIGINAL base
+    else:
+        base = (max(prior) + 1) if prior else 0
+        journal = {"base": base, "fingerprint": fp, "complete": False}
+        write_json_atomic(jpath, journal)     # journal BEFORE building
+    if journal.get("complete"):
+        # idempotent re-append: everything already built; refresh only
+        return _finish_index(index_dir, cfg, t0, len(prior))
+
     if is_paths:
-        paths = resolve_parquet_paths(source)
         total_rows = sum(pq.read_metadata(p).num_rows for p in paths)
         target = min(cfg.target_docs_per_segment,
                      max(1000, -(-total_rows // cfg.num_segments)))
@@ -559,7 +603,8 @@ def add_segments(index_dir: str, source: "rd.Dataset | str | list[str]",
                .take_all())
         n_skipped = len(plan) - len(todo) + len(prior)
     else:
-        # Dataset input: hash-assign into num_segments NEW segments
+        # Dataset input: hash-assign into num_segments NEW segments;
+        # done_new is non-empty on resume because base is journalled
         done_new = frozenset(s - base for s in prior if s >= base)
         shuffled = (source.select_columns(spec.all_cols())
                     .map_batches(_assign_segments, batch_format="pyarrow",
@@ -575,6 +620,7 @@ def add_segments(index_dir: str, source: "rd.Dataset | str | list[str]",
                                 batch_format="pyarrow"))
         shuffled.take_all()
         n_skipped = len(prior)
+    write_json_atomic(jpath, {**journal, "complete": True})
     return _finish_index(index_dir, cfg, t0, n_skipped)
 
 
