@@ -151,3 +151,107 @@ def test_pq_n_codes_over_256_rejected():
     book = np.zeros((2, 300, 4))
     with pytest.raises(ValueError, match="256"):
         pq_pl.pq_encode(vecs, book)
+
+
+# ---------------------------------------------------------------------------
+# Graph engine round 3: batched NN-descent build + incremental merge
+# ---------------------------------------------------------------------------
+
+def _clustered_vecs(seed=31, n_centers=6, per=60, d=32):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_centers, d)) * 4
+    return np.concatenate([c + rng.standard_normal((per, d))
+                           for c in centers]).astype(np.float32)
+
+
+def test_graph_incremental_merge_full_beam_exact(tmp_path):
+    """The reference's headline incremental merge: both merge branches,
+    searched at full beam, degenerate to brute force — so incremental
+    merge == rebuild merge == exact, hash-identical."""
+    from opensearch_jvector_ray.pipelines import graph as graph_pl
+    vecs = _clustered_vecs(seed=97, n_centers=5, per=60, d=16)
+    ds = rd.from_arrow(_vec_table(vecs))
+    idx = str(tmp_path / "g")
+    graph_pl.build_graph_index(ds, idx, num_parts=5, m_degree=12,
+                               ef_construction=48)
+    queries = {f"q{i}": vecs[i * 37].astype(np.float64) for i in range(4)}
+    exact = knn_pl.brute_force_topk(ds, queries, 10, metric="cosine",
+                                    round_decimals=6)
+    outs = {}
+    for mode in ("incremental", "rebuild"):
+        dst = str(tmp_path / f"m_{mode}")
+        graph_pl.merge_graph_index(idx, dst, merge_factor=5, mode=mode)
+        outs[mode] = graph_pl.graph_topk(dst, queries, 10, ef_search=400,
+                                         round_decimals=6)
+        pd.testing.assert_frame_equal(outs[mode], exact)
+    pd.testing.assert_frame_equal(outs["incremental"], outs["rebuild"])
+
+
+def test_graph_incremental_merge_recall_and_leading_reuse(tmp_path):
+    """Incremental merge keeps recall at normal beam width, and the
+    leading partition's rows come first in the merged part (edge reuse,
+    not a rebuild)."""
+    import json as jsonmod
+    from opensearch_jvector_ray.pipelines import graph as graph_pl
+    vecs = _clustered_vecs(seed=13, n_centers=4, per=80, d=24)
+    ds = rd.from_arrow(_vec_table(vecs))
+    idx = str(tmp_path / "g")
+    graph_pl.build_graph_index(ds, idx, num_parts=6, m_degree=12,
+                               ef_construction=48)
+    dst = str(tmp_path / "m")
+    graph_pl.merge_graph_index(idx, dst, merge_factor=6,
+                               mode="incremental")
+    parts = [p for p in os.listdir(dst) if p.startswith("part=")]
+    assert len(parts) == 1
+    queries = {f"q{i}": vecs[i * 29].astype(np.float64) for i in range(5)}
+    exact = knn_pl.brute_force_topk(ds, queries, 10, metric="cosine",
+                                    round_decimals=6)
+    out = graph_pl.graph_topk(dst, queries, 10, ef_search=64,
+                              round_decimals=6)
+    recalls = []
+    for q in queries:
+        e = set(exact[exact.query_id == q].vec_id)
+        a = set(out[out.query_id == q].vec_id)
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.75, recalls
+    # determinism
+    out2 = graph_pl.graph_topk(dst, queries, 10, ef_search=64,
+                               round_decimals=6)
+    pd.testing.assert_frame_equal(out, out2)
+
+
+def test_graph_incremental_merge_drops_tombstones(tmp_path):
+    from opensearch_jvector_ray.pipelines import graph as graph_pl
+    vecs = _clustered_vecs(seed=67, n_centers=4, per=60, d=16)
+    ds = rd.from_arrow(_vec_table(vecs))
+    idx = str(tmp_path / "g")
+    graph_pl.build_graph_index(ds, idx, num_parts=6, m_degree=12,
+                               ef_construction=48)
+    merged = str(tmp_path / "m")
+    graph_pl.merge_graph_index(idx, merged, merge_factor=3,
+                               deletes=[5, 17], mode="incremental")
+    queries = {"q": vecs[5].astype(np.float64)}
+    out = graph_pl.graph_topk(merged, queries, 10, ef_search=64,
+                              round_decimals=6)
+    got = set(out.vec_id)
+    assert 5 not in got and 17 not in got
+
+
+def test_graph_full_beam_reaches_every_node(tmp_path):
+    """The Hamilton-cycle insurance edge: every written partition graph
+    is strongly connected, so full beam visits all nodes even on data
+    whose KNN edges would fragment into cliques."""
+    from opensearch_jvector_ray.pipelines.graph import (
+        _beam_batch, _decode_adjacency, _ensure_cycle, build_graph,
+        _unitize,
+    )
+    # adversarial: far-apart tight cliques
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((10, 8)) * 100
+    vecs = np.concatenate([c + rng.standard_normal((30, 8)) * 0.01
+                           for c in centers])
+    nbrs = _ensure_cycle(build_graph(vecs, m_degree=6))
+    unit = _unitize(vecs)
+    n_nbrs = (nbrs >= 0).sum(axis=1).astype(np.int32)
+    D, V = _beam_batch(unit, nbrs, n_nbrs, [0], unit[:1], ef=len(vecs))
+    assert set(V[0].tolist()) == set(range(len(vecs)))
