@@ -28,7 +28,7 @@ import ray.data as rd
 from opensearch_jvector_ray.oracles import (
     bm25_sql, boolean_sql, collection_stats_sql, events_asof_orders_sql, events_lww_sql,
     events_sessionize_sql, events_window_sql, exact_dedup_sql,
-    ivf_fixed_sql, revenue_by_nation_sql, simhash_sql,
+    embedding_dups_sql, ivf_fixed_sql, revenue_by_nation_sql, simhash_sql,
     top_order_revenue_sql, transcripts_bm25_sql,
     fingerprint_sql, grouped_best_sql, grouped_expand_sql, knn_sql,
     lang_id_sql, phrase_sql,
@@ -267,7 +267,12 @@ def _q_knn_ivf_partitioned(sf_dir: str) -> pd.DataFrame:
 
 def _q_knn_pq_rerank(sf_dir: str) -> pd.DataFrame:
     # PQ lifecycle entry: train-once codebook (cached index), ADC first
-    # pass + exact rerank (approximate -> pytest recall gate, no SQL)
+    # pass + exact rerank — at the DEGENERATE-EXACT driver setting:
+    # oversample covers the whole table, so the ADC pass prunes nothing
+    # and the exact rerank equals brute force, giving the full PQ
+    # machinery (codes, LUT, rerank, merge) a HARD SQL oracle.  The
+    # approximate setting (oversample=8) stays gated by the pytest
+    # recall tests and timed by bench.py.
     import os
     from opensearch_jvector_ray.pipelines import pq as pq_pl
     from opensearch_jvector_ray.sources.tables import CACHE_ROOT
@@ -276,25 +281,34 @@ def _q_knn_pq_rerank(sf_dir: str) -> pd.DataFrame:
     if not os.path.exists(os.path.join(idx, pq_pl.CODEBOOK_NAME)):
         ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
         pq_pl.build_pq_index(ds, idx, m_subspaces=8, n_codes=16)
+    n_rows = pq.read_metadata(
+        os.path.join(sf_dir, "embeddings.parquet")).num_rows
     queries = query_embeddings(sf_dir, KNN_QUERY_IDS)
-    out = pq_pl.pq_rerank_topk(idx, queries, KNN_K, oversample=8.0,
+    out = pq_pl.pq_rerank_topk(idx, queries, KNN_K,
+                               oversample=max(1.0, n_rows / KNN_K),
                                round_decimals=6)
     return _round_hits(out)
 
 
 def _q_knn_graph(sf_dir: str) -> pd.DataFrame:
-    # graph-ANN (jVector/DiskANN-class) entry: per-partition navigable
-    # graphs, beam-searched, exact-rescored (approximate -> pytest gates)
+    # graph-ANN (jVector/DiskANN-class) entry at the DEGENERATE-EXACT
+    # driver setting: ef_search = table size makes every partition's beam
+    # exhaustive (the written Hamilton-cycle edge guarantees strong
+    # connectivity), so the result equals brute force — a HARD SQL oracle
+    # for build + persist + decode + beam + rescore + leaf merge.  The
+    # approximate beam stays gated by pytest recall and timed by bench.py.
     import os
     from opensearch_jvector_ray.pipelines import graph as graph_pl
     from opensearch_jvector_ray.sources.tables import CACHE_ROOT
     key = os.path.basename(os.path.normpath(sf_dir))
-    idx = os.path.join(CACHE_ROOT, f"graphidx_{key}_p4m16e64")
+    idx = os.path.join(CACHE_ROOT, f"graphidx_{key}_p4m16e64v3")
     if not os.path.exists(os.path.join(idx, graph_pl.META_NAME)):
         ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
         graph_pl.build_graph_index(ds, idx, num_parts=4)
+    n_rows = pq.read_metadata(
+        os.path.join(sf_dir, "embeddings.parquet")).num_rows
     queries = query_embeddings(sf_dir, KNN_QUERY_IDS)
-    out = graph_pl.graph_topk(idx, queries, KNN_K, ef_search=64,
+    out = graph_pl.graph_topk(idx, queries, KNN_K, ef_search=n_rows,
                               round_decimals=6)
     return _round_hits(out)
 
@@ -402,9 +416,26 @@ def _q_simhash(sf_dir: str) -> pd.DataFrame:
         CFG, "doc_id", "text", max_hamming=3)
 
 
+N_PLANTED_DUPS = 25
+PLANT_ID_OFFSET = 1_000_000
+
+
 def _q_embedding_dups(sf_dir: str) -> pd.DataFrame:
+    # the fixture has no natural near-dups (max pairwise cosine ~0.60 at
+    # every scale), so the entry PLANTS exact duplicates of the 25 lowest
+    # vec_ids at id+1e6: identical vectors share every LSH band signature,
+    # so the banded candidate generation finds them with probability 1 and
+    # the output is the deterministic 25-pair set — a HARD SQL oracle over
+    # the same augmented table (it was a 0-row dead check before).
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return knn_pl.embedding_near_dups(ds, threshold=0.95)
+
+    def plant(b):
+        b = b.filter(pc.less(b["vec_id"], N_PLANTED_DUPS))
+        return b.set_column(b.column_names.index("vec_id"), "vec_id",
+                            pc.add(b["vec_id"], PLANT_ID_OFFSET))
+
+    aug = ds.union(ds.map_batches(plant, batch_format="pyarrow"))
+    return knn_pl.embedding_near_dups(aug, threshold=0.95)
 
 
 def _q_multimodal_audio(sf_dir: str) -> pd.DataFrame:
@@ -540,6 +571,12 @@ def oracle_sql() -> dict[str, str]:
                                         IVF_CENTROID_IDS, IVF_N_PROBE),
         "knn_ivf_partitioned": ivf_fixed_sql("cosine", KNN_QUERY_IDS, KNN_K,
                                              IVF_CENTROID_IDS, IVF_N_PROBE),
+        # degenerate-exact settings: full oversample / full beam == brute
+        # force, so the approximate engines get HARD oracles too
+        "knn_pq_rerank": knn_sql("cosine", KNN_QUERY_IDS, KNN_K),
+        "knn_graph_topk": knn_sql("cosine", KNN_QUERY_IDS, KNN_K),
+        "embedding_near_dups": embedding_dups_sql(
+            0.95, N_PLANTED_DUPS, PLANT_ID_OFFSET),
         "simhash_near_dups": simhash_sql(CFG, max_hamming=3),
         "transcripts_bm25": _transcripts_oracle(),
         "events_last_write_wins": events_lww_sql(),

@@ -473,6 +473,37 @@ SELECT query_id, rank, {id_col}, score FROM ranked
 """
 
 
+def embedding_dups_sql(threshold: float, n_planted: int,
+                       id_offset: int, table: str = "embeddings",
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> str:
+    """Embedding near-dup oracle over the entry's augmented table (base
+    rows UNION exact duplicates of the ``n_planted`` lowest ids shifted by
+    ``id_offset``): ALL pairs with raw cosine >= threshold, cosine
+    reported rounded 6dp (the engine's verify rule).  Exactness holds
+    because identical vectors match every LSH band with probability 1 and
+    the fixture's natural max pairwise cosine (~0.60) is far below the
+    threshold — candidate recall is not part of the contract."""
+    return f"""
+WITH aug AS (
+  SELECT {id_col}, {vec_col} FROM {table}
+  UNION ALL
+  SELECT {id_col} + {id_offset}, {vec_col} FROM {table}
+  WHERE {id_col} < {n_planted}
+),
+pairs AS (
+  SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+         list_cosine_similarity(CAST(a.{vec_col} AS DOUBLE[]),
+                                CAST(b.{vec_col} AS DOUBLE[])) AS rawcos
+  FROM aug a JOIN aug b ON a.{id_col} < b.{id_col}
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       round(rawcos, 6) AS cosine
+FROM pairs WHERE rawcos >= {threshold!r}
+ORDER BY id_a, id_b
+"""
+
+
 def ivf_fixed_sql(metric: str, query_vec_ids: list[int], k: int,
                   centroid_ids: list[int], n_probe: int,
                   table: str = "embeddings", id_col: str = "vec_id",

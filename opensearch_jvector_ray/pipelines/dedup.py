@@ -115,6 +115,36 @@ def bounded_bucket_edges(ids_sorted: np.ndarray, cap: int = 512,
     return hub, ids_sorted[1:]
 
 
+class _BroadcastAttach:
+    """Actor-pool attach stage for the broadcast plan: the candidate
+    payload lookup (an Arrow value_set for ``pc.index_in``) is assembled
+    ONCE per actor in ``__init__`` from shared object-store blocks —
+    never per batch — and each batch is joined fully vectorized."""
+
+    def __init__(self, refs, id_col: str, payload_col: str):
+        import ray as _ray
+        tbls = [t for t in _ray.get(list(refs)) if t.num_rows]
+        if tbls:
+            cat = pa.concat_tables(tbls).combine_chunks()
+            self.ids = cat[id_col].combine_chunks()
+            self.pay = cat[payload_col].combine_chunks()
+        else:
+            self.ids = pa.array([], type=pa.int64())
+            self.pay = pa.array([], type=pa.string())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ia = pc.index_in(batch.column("id_a").combine_chunks(),
+                         value_set=self.ids)
+        ib = pc.index_in(batch.column("id_b").combine_chunks(),
+                         value_set=self.ids)
+        # drop pairs whose payload is missing (inner-join semantics)
+        keep = pc.and_(pc.is_valid(ia), pc.is_valid(ib))
+        batch = batch.filter(keep)
+        ia, ib = ia.filter(keep), ib.filter(keep)
+        out = batch.append_column("text_a", pc.take(self.pay, ia))
+        return out.append_column("text_b", pc.take(self.pay, ib))
+
+
 def attach_pair_payloads(pairs: "rd.Dataset", payload_ds: "rd.Dataset",
                          id_col: str, payload_col: str,
                          num_parts: int = 64,
@@ -139,28 +169,12 @@ def attach_pair_payloads(pairs: "rd.Dataset", payload_ds: "rd.Dataset",
     Output columns: id_a, id_b, text_a, text_b (payloads as text_*).
     """
     if n_candidate_ids is not None and n_candidate_ids <= broadcast_max_ids:
-        import ray as _ray
-        psch0 = payload_ds.schema()
-        base0 = getattr(psch0, "base_schema", None)
-        ptype = (base0.field(payload_col).type
-                 if isinstance(base0, pa.Schema) else pa.string())
         refs = payload_ds.to_arrow_refs()
-
-        def attach(batch: pa.Table) -> pa.Table:
-            tbls = [t for t in _ray.get(list(refs)) if t.num_rows]
-            lut: dict = {}
-            for t in tbls:
-                lut.update(zip(t[id_col].to_pylist(),
-                               t[payload_col].to_pylist()))
-            a = [lut.get(i) for i in batch["id_a"].to_pylist()]
-            b = [lut.get(i) for i in batch["id_b"].to_pylist()]
-            out = batch.append_column("text_a", pa.array(a, type=ptype))
-            out = out.append_column("text_b", pa.array(b, type=ptype))
-            # drop pairs whose payload is missing (inner-join semantics)
-            keep = [x is not None and y is not None for x, y in zip(a, b)]
-            return out.filter(pa.array(keep))
-
-        return pairs.map_batches(attach, batch_format="pyarrow")
+        return pairs.map_batches(
+            _BroadcastAttach, batch_format="pyarrow",
+            fn_constructor_kwargs={"refs": refs, "id_col": id_col,
+                                   "payload_col": payload_col},
+            concurrency=(1, 4))
     def _attach(side: str, pair_cols: tuple, pair_types: dict):
         # pair_cols/pair_types passed explicitly: these fns execute LAZILY
         # (when the dataset is consumed), after the loop has moved on
@@ -231,29 +245,53 @@ def attach_pair_payloads(pairs: "rd.Dataset", payload_ds: "rd.Dataset",
     return cur
 
 
+class _CandidateFilter:
+    """Actor-pool corpus filter: the distinct candidate-id array is
+    assembled ONCE per actor from shared object-store blocks (never per
+    batch, never on the driver)."""
+
+    def __init__(self, refs, id_col: str, make_payload):
+        import ray as _ray
+        tbls = [t for t in _ray.get(list(refs)) if t.num_rows]
+        self.cand = (np.concatenate(
+            [t.column(0).to_numpy(zero_copy_only=False) for t in tbls])
+            if tbls else np.empty(0, dtype=np.int64))
+        self.id_col = id_col
+        self.make_payload = make_payload
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mask = np.isin(batch[self.id_col].to_numpy(zero_copy_only=False),
+                       self.cand)
+        return self.make_payload(batch.filter(pa.array(mask)))
+
+
 def candidate_payloads(ds: "rd.Dataset", pairs: "rd.Dataset", id_col: str,
                        make_payload) -> tuple["rd.Dataset", int]:
     """Corpus scan restricted to the ids appearing in ``pairs``.
 
-    The candidate ID SET (ids only, not payloads) is collected and
-    broadcast once via ``ray.put``; the corpus scan then streams and keeps
-    only candidate rows, transformed by ``make_payload(batch) -> Table``.
-    Returns (payload_ds, n_candidate_ids) — the count picks the attach
-    plan (broadcast vs co-partition).
+    The DISTINCT candidate ids are computed by a Ray groupby (distributed
+    dedup — nothing id-set-sized ever lands on the driver; the driver
+    holds only block refs and a count); the corpus scan then streams and
+    keeps only candidate rows, transformed by ``make_payload(batch) ->
+    Table``.  Returns (payload_ds, n_candidate_ids) — the count picks
+    the attach plan (broadcast vs co-partition).
     """
-    import ray as _ray
-    ids: set = set()
-    for b in pairs.iter_batches(batch_format="pyarrow"):
-        ids.update(b["id_a"].to_pylist())
-        ids.update(b["id_b"].to_pylist())
-    id_ref = _ray.put(np.array(sorted(ids)))
+    def explode(b: pa.Table) -> pa.Table:
+        both = pa.concat_arrays([b.column("id_a").combine_chunks(),
+                                 b.column("id_b").combine_chunks()])
+        return pa.table({"__cid": both})
 
-    def keep(batch: pa.Table) -> pa.Table:
-        cand = _ray.get(id_ref)
-        mask = np.isin(batch[id_col].to_numpy(zero_copy_only=False), cand)
-        return make_payload(batch.filter(pa.array(mask)))
-
-    return ds.map_batches(keep, batch_format="pyarrow"), len(ids)
+    distinct = (pairs.map_batches(explode, batch_format="pyarrow")
+                .groupby("__cid").aggregate(Count(alias_name="__n"))
+                .drop_columns(["__n"]).materialize())
+    n_ids = distinct.count()
+    refs = distinct.to_arrow_refs()
+    payload_ds = ds.map_batches(
+        _CandidateFilter, batch_format="pyarrow",
+        fn_constructor_kwargs={"refs": refs, "id_col": id_col,
+                               "make_payload": make_payload},
+        concurrency=(1, 8))
+    return payload_ds, n_ids
 
 
 def attach_pair_texts(pairs: "rd.Dataset", ds: "rd.Dataset",
