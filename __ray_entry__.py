@@ -28,7 +28,7 @@ import ray.data as rd
 from opensearch_jvector_ray.oracles import (
     bm25_sql, boolean_sql, collection_stats_sql, events_asof_orders_sql, events_lww_sql,
     events_sessionize_sql, events_window_sql, exact_dedup_sql,
-    embedding_dups_sql, ivf_fixed_sql, revenue_by_nation_sql, simhash_sql,
+    byte_knn_sql, embedding_dups_sql, ivf_fixed_sql, revenue_by_nation_sql, simhash_sql,
     top_order_revenue_sql, transcripts_bm25_sql,
     fingerprint_sql, grouped_best_sql, grouped_expand_sql, knn_sql,
     lang_id_sql, phrase_sql,
@@ -73,6 +73,8 @@ KNN_QUERY_IDS = [0, 1, 2]
 KNN_K = 10
 KNN_FILTER_LABEL = 3          # pre-filter: embeddings.label == 3
 KNN_RADIAL_MIN_SCORE = 0.62   # cosine score (1+cos)/2 threshold
+KNN_RADIAL_MAX_DIST = 0.75    # cosine distance (1-cos); (2-d)/2 = 0.625 exact
+BYTE_SCALE = 64               # int8 quantization: floor(x * 64) in [-128,127]
 IVF_CENTROID_IDS = list(range(8))   # fixed data-row coarse centers
 IVF_N_PROBE = 3
 TRANSCRIPT_QUERIES = {
@@ -248,6 +250,40 @@ def _q_knn_filtered(sf_dir: str) -> pd.DataFrame:
 
 def _q_knn_radial(sf_dir: str) -> pd.DataFrame:
     return _q_knn("cosine", min_score=KNN_RADIAL_MIN_SCORE)(sf_dir)
+
+
+def _q_knn_radial_dist(sf_dir: str) -> pd.DataFrame:
+    # the reference's OTHER radial form (max_distance), translated
+    # per-space into min_score (KNNEngine.distanceToRadialThreshold)
+    return _q_knn("cosine", max_distance=KNN_RADIAL_MAX_DIST)(sf_dir)
+
+
+def _q_knn_byte(sf_dir: str) -> pd.DataFrame:
+    # byte (int8) vector data type (VectorDataType.java:31-84): the float
+    # fixture is quantized with floor(x*64) clamped to [-128, 127] —
+    # floor semantics are identical in numpy and DuckDB, so the byte
+    # path gets a HARD SQL oracle
+    import pyarrow as pa
+    from opensearch_jvector_ray.pipelines.knn import _vecs_from_batch
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def quant(b):
+        v = _vecs_from_batch(b, "embedding")
+        qv = np.clip(np.floor(v * float(BYTE_SCALE)), -128, 127)
+        n, d = qv.shape
+        offs = pa.array(np.arange(0, (n + 1) * d, max(d, 1),
+                                  dtype=np.int32)[: n + 1])
+        lst = pa.ListArray.from_arrays(offs, pa.array(qv.ravel()))
+        return b.set_column(b.column_names.index("embedding"),
+                            "embedding", lst)
+
+    qds = ds.map_batches(quant, batch_format="pyarrow")
+    queries = {q: np.clip(np.floor(v.astype(np.float64) * BYTE_SCALE),
+                          -128, 127)
+               for q, v in query_embeddings(sf_dir, KNN_QUERY_IDS).items()}
+    out = knn_pl.byte_topk(qds, queries, KNN_K, metric="l2",
+                           round_decimals=6)
+    return _round_hits(out)
 
 
 def _q_knn_ivf_partitioned(sf_dir: str) -> pd.DataFrame:
@@ -492,6 +528,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_l2_topk": _q_knn("l2"),
         "knn_cosine_filtered": _q_knn_filtered,
         "knn_cosine_radial": _q_knn_radial,
+        "knn_cosine_radial_dist": _q_knn_radial_dist,
+        "knn_byte_topk": _q_knn_byte,
         "knn_ivf_cosine": _q_knn_ivf,
         "knn_ivf_partitioned": _q_knn_ivf_partitioned,
         "knn_pq_rerank": _q_knn_pq_rerank,
@@ -567,6 +605,10 @@ def oracle_sql() -> dict[str, str]:
             filter_sql=f"e.label = {KNN_FILTER_LABEL}"),
         "knn_cosine_radial": knn_sql("cosine", KNN_QUERY_IDS, KNN_K,
                                      min_score=KNN_RADIAL_MIN_SCORE),
+        "knn_cosine_radial_dist": knn_sql("cosine", KNN_QUERY_IDS, KNN_K,
+                                          min_score=0.625),
+        "knn_byte_topk": byte_knn_sql("l2", KNN_QUERY_IDS, KNN_K,
+                                      scale=BYTE_SCALE),
         "knn_ivf_cosine": ivf_fixed_sql("cosine", KNN_QUERY_IDS, KNN_K,
                                         IVF_CENTROID_IDS, IVF_N_PROBE),
         "knn_ivf_partitioned": ivf_fixed_sql("cosine", KNN_QUERY_IDS, KNN_K,

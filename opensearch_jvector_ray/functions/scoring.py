@@ -114,3 +114,41 @@ def linf_score(d: np.ndarray) -> np.ndarray:
 
 def hamming_score(d: np.ndarray) -> np.ndarray:
     return 1.0 / (1.0 + d)
+
+
+# --- byte (int8) vector data type (VectorDataType.java:31-84) -------------
+
+def validate_byte_vector(vecs: np.ndarray) -> np.ndarray:
+    """The reference's byte-range validator
+    (`KNNValidationUtil.validateByteVectorValue`): every element must be a
+    WHOLE number within [-128, 127].  Returns the input as float64 (int8
+    values are exactly representable, so the shared kernels stay exact)."""
+    arr = np.asarray(vecs, dtype=np.float64)
+    if not np.isfinite(arr).all() or (arr != np.floor(arr)).any():
+        raise ValueError(
+            "byte vector values must be whole numbers "
+            "(KNNValidationUtil.validateByteVectorValue)")
+    if (arr < -128).any() or (arr > 127).any():
+        raise ValueError("byte vector values must be within [-128, 127] "
+                         "(KNNValidationUtil.validateByteVectorValue)")
+    return arr
+
+
+# --- radial distance <-> score translation (KNNEngine.java:100-192) -------
+
+def distance_to_min_score(metric: str, max_distance: float) -> float:
+    """Per-space translation of a radial ``max_distance`` threshold into
+    the equivalent Lucene-ordered ``min_score`` (the reference accepts
+    either form, `KNNQueryBuilder.java:438-472`;
+    `KNNEngine.distanceToRadialThreshold` / `SpaceType` translations).
+    Distances use each space's raw convention: squared-L2 for l2, 1-cos
+    for cosine, -ip for innerproduct, raw for l1/linf/hamming."""
+    if metric == "l2":
+        return float(l2_score(np.float64(max_distance)))
+    if metric == "cosine":
+        return float((2.0 - max_distance) / 2.0)
+    if metric == "innerproduct":
+        return float(inner_product_score(np.float64(-max_distance)))
+    if metric in ("l1", "linf", "hamming"):
+        return float(1.0 / (1.0 + max_distance))
+    raise ValueError(f"unknown metric {metric!r}")

@@ -473,6 +473,40 @@ SELECT query_id, rank, {id_col}, score FROM ranked
 """
 
 
+def byte_knn_sql(metric: str, query_vec_ids: list[int], k: int,
+                 scale: int = 64, table: str = "embeddings",
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> str:
+    """byte (int8) vector oracle: both sides quantize the float fixture
+    with floor(x * scale) clamped to [-128, 127] — floor has identical
+    semantics in numpy and DuckDB (unlike round's half-even vs
+    half-away), and the integral results are exact in float64, so the
+    byte path's scores hash-match the SQL bit for bit."""
+    score = _knn_score_expr(metric, vec_col)
+    qids = ", ".join(str(int(v)) for v in query_vec_ids)
+    quant = (f"list_transform(CAST({vec_col} AS DOUBLE[]), "
+             f"x -> greatest(-128.0, least(127.0, floor(x * {scale}))))")
+    return f"""
+WITH be AS (
+  SELECT {id_col}, {quant} AS {vec_col} FROM {table}
+),
+q AS (SELECT {id_col} AS qvid, {vec_col} FROM be
+      WHERE {id_col} IN ({qids})),
+scored AS (
+  SELECT 'vq' || q.qvid AS query_id, e.{id_col}, {score} AS score
+  FROM be e CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, {id_col} ASC) AS rank,
+         {id_col}, score
+  FROM scored
+)
+SELECT query_id, rank, {id_col}, score FROM ranked
+WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
 def embedding_dups_sql(threshold: float, n_planted: int,
                        id_offset: int, table: str = "embeddings",
                        id_col: str = "vec_id",

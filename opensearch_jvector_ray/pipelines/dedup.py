@@ -421,7 +421,12 @@ def minhash_candidate_pairs(ds: "rd.Dataset", cfg: EngineConfig, id_col: str,
                 doc_starts = np.searchsorted(wd, present)
                 sigs[present] = np.minimum.reduceat(mat, doc_starts, axis=0)
 
-            # band hashes (one hash per 4-row band), vectorized per band
+            # FUSED single-int64 bucket key per (band, band_hash): the
+            # band index is mixed into the hash in the signer itself, so
+            # the LSH shuffle sorts ONE key column instead of two and
+            # ships half the key bytes.  A cross-band hash collision only
+            # merges two buckets — extra candidate pairs, pruned by the
+            # exact verify (never a miss).
             ids = batch[id_col]
             parts = []
             bands_view = sigs.reshape(n_docs, bands, rows_per_band)
@@ -429,9 +434,9 @@ def minhash_candidate_pairs(ds: "rd.Dataset", cfg: EngineConfig, id_col: str,
                 view = np.ascontiguousarray(bands_view[:, bidx, :])
                 bh = pd.util.hash_array(
                     view.view([("", np.uint64)] * rows_per_band).ravel())
+                key = (bh + np.uint64(bidx) * MIX).astype(np.int64)
                 parts.append(pa.table({
-                    "band": pa.array(np.full(n_docs, bidx, dtype=np.int32)),
-                    "band_hash": pa.array(bh.astype(np.int64)),
+                    "bucket": pa.array(key),
                     id_col: ids,
                 }))
             return pa.concat_tables(parts)
@@ -444,7 +449,7 @@ def minhash_candidate_pairs(ds: "rd.Dataset", cfg: EngineConfig, id_col: str,
     # Signer is pure math (no per-actor state): run it on the TASK pool —
     # an instance is a plain UDF, so no actor spin-up cost
     return (ds.map_batches(Signer(), batch_format="pyarrow")
-              .groupby(["band", "band_hash"])
+              .groupby("bucket")
               .map_groups(bucket_pairs, batch_format="pyarrow")
               .groupby(["id_a", "id_b"])      # distinct: same pair can
               .aggregate(Count(alias_name="__n"))  # surface from many bands

@@ -90,7 +90,8 @@ def brute_force_topk(ds: "rd.Dataset", queries: dict[str, np.ndarray],
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      *, round_decimals: int | None = None,
                      filter_expr=None,
-                     min_score: float | None = None) -> pd.DataFrame:
+                     min_score: float | None = None,
+                     max_distance: float | None = None) -> pd.DataFrame:
     """Exact top-k (or radial, if ``min_score`` given) for each query vector.
 
     Returns (query_id, rank, id, score) with Lucene-style score ordering
@@ -103,8 +104,17 @@ def brute_force_topk(ds: "rd.Dataset", queries: dict[str, np.ndarray],
     knn (`KNNQueryBuilder.java:534-539`, J2 for vectors).  ``min_score``
     switches to radial search: EVERY vector scoring >= min_score is
     returned, unbounded (`KNNQueryBuilder.java:438-472` min_score path);
-    ``k`` is ignored in that mode.
+    ``k`` is ignored in that mode.  ``max_distance`` is the reference's
+    other radial form: it is translated per-space into the equivalent
+    min_score (`KNNEngine.distanceToRadialThreshold`,
+    `KNNEngine.java:100-192`) and follows the same path; passing both is
+    an error.
     """
+    if max_distance is not None:
+        if min_score is not None:
+            raise ValueError("pass min_score OR max_distance, not both "
+                             "(KNNQueryBuilder.java:438-472)")
+        min_score = scoring.distance_to_min_score(metric, max_distance)
     kernel, translate, higher = METRICS[metric]
     rnd = _rounder(round_decimals)
     qids = sorted(queries)
@@ -147,6 +157,36 @@ def brute_force_topk(ds: "rd.Dataset", queries: dict[str, np.ndarray],
         out = out.groupby("query_id", sort=False).head(k)
     out["rank"] = out.groupby("query_id", sort=False).cumcount() + 1
     return out[["query_id", "rank", id_col, "score"]].reset_index(drop=True)
+
+
+def byte_topk(ds: "rd.Dataset", queries: dict[str, np.ndarray],
+              k: int | None, metric: str = "l2",
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              *, round_decimals: int | None = None,
+              min_score: float | None = None,
+              max_distance: float | None = None) -> pd.DataFrame:
+    """``byte`` (int8) vector search (`VectorDataType.java:31-84`): every
+    vector and query is validated to whole numbers in [-128, 127]
+    (`KNNValidationUtil.validateByteVectorValue`), STORED as list<int8>
+    (4x smaller than float32 through the object store), and scored with
+    the shared float64 kernels — int8 values are exactly representable,
+    so scores are bit-identical to the float path on the same numbers."""
+    qv = {q: scoring.validate_byte_vector(v) for q, v in queries.items()}
+
+    def to_int8(batch: pa.Table) -> pa.Table:
+        vecs = scoring.validate_byte_vector(_vecs_from_batch(batch, vec_col))
+        n, d = vecs.shape if vecs.size else (batch.num_rows, 0)
+        offs = pa.array(np.arange(0, (n + 1) * d, max(d, 1),
+                                  dtype=np.int32)[: n + 1])
+        lst = pa.ListArray.from_arrays(
+            offs, pa.array(vecs.astype(np.int8).ravel()))
+        return batch.set_column(batch.column_names.index(vec_col),
+                                vec_col, lst)
+
+    byte_ds = ds.map_batches(to_int8, batch_format="pyarrow")
+    return brute_force_topk(byte_ds, qv, k, metric, id_col, vec_col,
+                            round_decimals=round_decimals,
+                            min_score=min_score, max_distance=max_distance)
 
 
 # ---------------------------------------------------------------------------

@@ -255,3 +255,61 @@ def test_graph_full_beam_reaches_every_node(tmp_path):
     n_nbrs = (nbrs >= 0).sum(axis=1).astype(np.int32)
     D, V = _beam_batch(unit, nbrs, n_nbrs, [0], unit[:1], ef=len(vecs))
     assert set(V[0].tolist()) == set(range(len(vecs)))
+
+
+# ---------------------------------------------------------------------------
+# byte (int8) vectors + max_distance radial (VectorDataType / KNNEngine)
+# ---------------------------------------------------------------------------
+
+def test_byte_vector_validator():
+    from opensearch_jvector_ray.functions.scoring import validate_byte_vector
+    ok = validate_byte_vector(np.array([[1.0, -128.0, 127.0]]))
+    assert ok.dtype == np.float64
+    with pytest.raises(ValueError, match="whole numbers"):
+        validate_byte_vector(np.array([[1.5, 2.0]]))
+    with pytest.raises(ValueError, match="-128, 127"):
+        validate_byte_vector(np.array([[200.0, 0.0]]))
+
+
+def test_byte_topk_matches_float_path_on_integral_vectors():
+    """int8 values are exactly representable in float64, so the byte path
+    must score bit-identically to the float path on the same numbers —
+    and it must actually ship int8 through the pipeline."""
+    rng = np.random.default_rng(21)
+    vecs = rng.integers(-128, 128, size=(200, 16)).astype(np.float64)
+    ds = rd.from_arrow(_vec_table(vecs.astype(np.float32)))
+    qs = {"q0": vecs[3], "q1": vecs[77]}
+    want = knn_pl.brute_force_topk(ds, qs, 5, metric="l2",
+                                   round_decimals=6)
+    got = knn_pl.byte_topk(ds, qs, 5, metric="l2", round_decimals=6)
+    pd.testing.assert_frame_equal(want, got)
+
+
+def test_byte_topk_rejects_fractional_vectors():
+    rng = np.random.default_rng(22)
+    vecs = rng.standard_normal((50, 8)).astype(np.float32)
+    ds = rd.from_arrow(_vec_table(vecs))
+    qs = {"q": np.round(vecs[0].astype(np.float64))}
+    with pytest.raises(Exception, match="whole numbers"):
+        knn_pl.byte_topk(ds, qs, 5, metric="l2")
+
+
+def test_max_distance_radial_equals_min_score_path():
+    from opensearch_jvector_ray.functions.scoring import distance_to_min_score
+    rng = np.random.default_rng(23)
+    vecs = rng.standard_normal((300, 12)).astype(np.float32)
+    ds = rd.from_arrow(_vec_table(vecs))
+    qs = {"q": vecs[5].astype(np.float64)}
+    # cosine: distance 0.75 -> score (2-0.75)/2 = 0.625 exactly
+    assert distance_to_min_score("cosine", 0.75) == 0.625
+    a = knn_pl.brute_force_topk(ds, qs, None, metric="cosine",
+                                round_decimals=6, max_distance=0.75)
+    b = knn_pl.brute_force_topk(ds, qs, None, metric="cosine",
+                                round_decimals=6, min_score=0.625)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
+    # l2: score = 1/(1+d)
+    assert distance_to_min_score("l2", 3.0) == 0.25
+    with pytest.raises(ValueError, match="not both"):
+        knn_pl.brute_force_topk(ds, qs, None, metric="cosine",
+                                min_score=0.5, max_distance=0.5)
