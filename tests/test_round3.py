@@ -313,3 +313,30 @@ def test_max_distance_radial_equals_min_score_path():
     with pytest.raises(ValueError, match="not both"):
         knn_pl.brute_force_topk(ds, qs, None, metric="cosine",
                                 min_score=0.5, max_distance=0.5)
+
+
+def test_dictionary_salted_distributed_path_identical(tmp_path, monkeypatch):
+    """NOTES item: force the distributed two-phase salted dictionary
+    aggregation (the 1e8+-term shape) by dropping the local-path
+    threshold to zero — the dictionary and search results must be
+    IDENTICAL to the local Arrow group_by path."""
+    import pyarrow.parquet as ppq
+    from opensearch_jvector_ray.stages import build as build_mod
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    rng = np.random.default_rng(117)
+    texts = [" ".join(rng.choice(words, size=int(rng.integers(2, 7))))
+             for _ in range(150)]
+    tbl = _corpus(texts)
+    cfg = EngineConfig(num_segments=4)
+    idx_local = str(tmp_path / "local")
+    build_index(rd.from_arrow(tbl), idx_local, cfg, IndexSpec())
+    monkeypatch.setattr(build_mod, "DICT_LOCAL_MAX_PARTIALS", 0)
+    idx_dist = str(tmp_path / "dist")
+    build_index(rd.from_arrow(tbl), idx_dist, cfg, IndexSpec())
+    a = ppq.read_table(os.path.join(idx_local, "dictionary")).to_pandas()
+    b = ppq.read_table(os.path.join(idx_dist, "dictionary")).to_pandas()
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    qs = {"q1": "alpha beta", "q2": "zeta eta gamma"}
+    pd.testing.assert_frame_equal(IndexSearcher(idx_local).search(qs, k=20),
+                                  IndexSearcher(idx_dist).search(qs, k=20))
