@@ -115,34 +115,54 @@ def bounded_bucket_edges(ids_sorted: np.ndarray, cap: int = 512,
     return hub, ids_sorted[1:]
 
 
-class _BroadcastAttach:
-    """Actor-pool attach stage for the broadcast plan: the candidate
-    payload lookup (an Arrow value_set for ``pc.index_in``) is assembled
-    ONCE per actor in ``__init__`` from shared object-store blocks —
-    never per batch — and each batch is joined fully vectorized."""
+# per-WORKER-PROCESS cache of structures assembled from object-store
+# block refs: the first task on a worker pays the ray.get + build, later
+# tasks (and batches) reuse it — once-per-worker state without the actor
+# spin-up cost an actor pool would add to every pipeline execution
+_REF_CACHE: dict = {}
 
-    def __init__(self, refs, id_col: str, payload_col: str):
+
+def _cached_from_refs(refs: tuple, build):
+    key = (tuple(r.hex() for r in refs), build.__name__)
+    hit = _REF_CACHE.get(key)
+    if hit is None:
         import ray as _ray
         tbls = [t for t in _ray.get(list(refs)) if t.num_rows]
+        hit = build(tbls)
+        if len(_REF_CACHE) >= 8:        # bound worker-resident state
+            _REF_CACHE.pop(next(iter(_REF_CACHE)))
+        _REF_CACHE[key] = hit
+    return hit
+
+
+def _make_broadcast_attach(refs: tuple, id_col: str, payload_col: str):
+    """Attach stage for the broadcast plan: the candidate payload lookup
+    (an Arrow value_set for ``pc.index_in``) is assembled once per WORKER
+    from shared object-store blocks — never per batch — and each batch
+    is joined fully vectorized."""
+
+    def _build_attach_lut(tbls):
         if tbls:
             cat = pa.concat_tables(tbls).combine_chunks()
-            self.ids = cat[id_col].combine_chunks()
-            self.pay = cat[payload_col].combine_chunks()
-        else:
-            self.ids = pa.array([], type=pa.int64())
-            self.pay = pa.array([], type=pa.string())
+            return (cat[id_col].combine_chunks(),
+                    cat[payload_col].combine_chunks())
+        return (pa.array([], type=pa.int64()),
+                pa.array([], type=pa.string()))
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def attach(batch: pa.Table) -> pa.Table:
+        ids, pay = _cached_from_refs(refs, _build_attach_lut)
         ia = pc.index_in(batch.column("id_a").combine_chunks(),
-                         value_set=self.ids)
+                         value_set=ids)
         ib = pc.index_in(batch.column("id_b").combine_chunks(),
-                         value_set=self.ids)
+                         value_set=ids)
         # drop pairs whose payload is missing (inner-join semantics)
         keep = pc.and_(pc.is_valid(ia), pc.is_valid(ib))
         batch = batch.filter(keep)
         ia, ib = ia.filter(keep), ib.filter(keep)
-        out = batch.append_column("text_a", pc.take(self.pay, ia))
-        return out.append_column("text_b", pc.take(self.pay, ib))
+        out = batch.append_column("text_a", pc.take(pay, ia))
+        return out.append_column("text_b", pc.take(pay, ib))
+
+    return attach
 
 
 def attach_pair_payloads(pairs: "rd.Dataset", payload_ds: "rd.Dataset",
@@ -169,12 +189,10 @@ def attach_pair_payloads(pairs: "rd.Dataset", payload_ds: "rd.Dataset",
     Output columns: id_a, id_b, text_a, text_b (payloads as text_*).
     """
     if n_candidate_ids is not None and n_candidate_ids <= broadcast_max_ids:
-        refs = payload_ds.to_arrow_refs()
+        refs = tuple(payload_ds.to_arrow_refs())
         return pairs.map_batches(
-            _BroadcastAttach, batch_format="pyarrow",
-            fn_constructor_kwargs={"refs": refs, "id_col": id_col,
-                                   "payload_col": payload_col},
-            concurrency=(1, 4))
+            _make_broadcast_attach(refs, id_col, payload_col),
+            batch_format="pyarrow")
     def _attach(side: str, pair_cols: tuple, pair_types: dict):
         # pair_cols/pair_types passed explicitly: these fns execute LAZILY
         # (when the dataset is consumed), after the loop has moved on
@@ -245,24 +263,22 @@ def attach_pair_payloads(pairs: "rd.Dataset", payload_ds: "rd.Dataset",
     return cur
 
 
-class _CandidateFilter:
-    """Actor-pool corpus filter: the distinct candidate-id array is
-    assembled ONCE per actor from shared object-store blocks (never per
-    batch, never on the driver)."""
+def _make_candidate_filter(refs: tuple, id_col: str, make_payload):
+    """Corpus filter: the distinct candidate-id array is assembled once
+    per WORKER from shared object-store blocks (never per batch, never
+    on the driver)."""
 
-    def __init__(self, refs, id_col: str, make_payload):
-        import ray as _ray
-        tbls = [t for t in _ray.get(list(refs)) if t.num_rows]
-        self.cand = (np.concatenate(
+    def _build_cand_ids(tbls):
+        return (np.concatenate(
             [t.column(0).to_numpy(zero_copy_only=False) for t in tbls])
             if tbls else np.empty(0, dtype=np.int64))
-        self.id_col = id_col
-        self.make_payload = make_payload
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        mask = np.isin(batch[self.id_col].to_numpy(zero_copy_only=False),
-                       self.cand)
-        return self.make_payload(batch.filter(pa.array(mask)))
+    def keep(batch: pa.Table) -> pa.Table:
+        cand = _cached_from_refs(refs, _build_cand_ids)
+        mask = np.isin(batch[id_col].to_numpy(zero_copy_only=False), cand)
+        return make_payload(batch.filter(pa.array(mask)))
+
+    return keep
 
 
 def candidate_payloads(ds: "rd.Dataset", pairs: "rd.Dataset", id_col: str,
@@ -285,12 +301,10 @@ def candidate_payloads(ds: "rd.Dataset", pairs: "rd.Dataset", id_col: str,
                 .groupby("__cid").aggregate(Count(alias_name="__n"))
                 .drop_columns(["__n"]).materialize())
     n_ids = distinct.count()
-    refs = distinct.to_arrow_refs()
+    refs = tuple(distinct.to_arrow_refs())
     payload_ds = ds.map_batches(
-        _CandidateFilter, batch_format="pyarrow",
-        fn_constructor_kwargs={"refs": refs, "id_col": id_col,
-                               "make_payload": make_payload},
-        concurrency=(1, 8))
+        _make_candidate_filter(refs, id_col, make_payload),
+        batch_format="pyarrow")
     return payload_ds, n_ids
 
 

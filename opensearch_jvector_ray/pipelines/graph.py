@@ -295,9 +295,7 @@ def _reciprocal_link_batch(unit: np.ndarray, nbrs: np.ndarray,
         cand[er[sel], m + within[sel]] = src[sel]
         valid = cand >= 0
         safe = np.where(valid, cand, 0)
-        uvec = unit[uniq[chunk]]
-        d = -np.einsum("rcd,rd->rc", unit[safe], uvec)
-        d = np.where(valid, d, np.inf)
+        d = _cand_neg_dots(unit, uniq[chunk], safe, valid)
         cc = _pairwise_cc(unit, safe)
         kept_cols, cnts = _diverse_select_batch(d, cc, valid, m, alpha)
         kmask = kept_cols >= 0
@@ -331,6 +329,24 @@ def bulk_insert(unit: np.ndarray, nbrs: np.ndarray, n_nbrs: np.ndarray,
 
 
 _DESCENT_CHUNK = 512
+# below this many rows, candidate distances come from ONE BLAS matmul
+# against the whole partition + a (R, C) float gather instead of the
+# (R, C, d) row gather + einsum — this sandbox is memory-bandwidth
+# throttled (~0.6 GB/s, see BASELINE.md) and the row gather's ~40 MB of
+# traffic cost 0.3s per sweep at n=267; the matmul path is ~40x faster
+_FULL_MM_MAX_N = 16384
+
+
+def _cand_neg_dots(unit: np.ndarray, q_idx: np.ndarray,
+                   cand_safe: np.ndarray, valid: np.ndarray) -> np.ndarray:
+    """(R, C) neg-dot distances from node q_idx[r] to cand_safe[r, c],
+    inf where invalid."""
+    if len(unit) <= _FULL_MM_MAX_N:
+        d_all = unit[q_idx] @ unit.T
+        d = -np.take_along_axis(d_all, cand_safe, axis=1)
+    else:
+        d = -np.einsum("rcd,rd->rc", unit[cand_safe], unit[q_idx])
+    return np.where(valid, d, np.inf)
 
 
 def _descent_sweep(unit: np.ndarray, nbrs: np.ndarray) -> int:
@@ -378,8 +394,7 @@ def _descent_sweep(unit: np.ndarray, nbrs: np.ndarray) -> int:
         np.put_along_axis(dmark, o, dup, 1)
         valid &= ~dmark
         safe = np.where(valid, cand, 0)
-        d = -np.einsum("bcd,bd->bc", unit[safe], unit[idx])
-        d = np.where(valid, d, np.inf)
+        d = _cand_neg_dots(unit, idx, safe, valid)
         k = min(m, d.shape[1])
         part = np.argpartition(d, k - 1, axis=1)[:, :k]
         dp = np.take_along_axis(d, part, 1)
@@ -413,8 +428,7 @@ def _finalize_graph(unit: np.ndarray, nbrs: np.ndarray, m: int,
         cand = nbrs[idx].astype(np.int64)
         valid = cand >= 0
         safe = np.where(valid, cand, 0)
-        d = -np.einsum("bcd,bd->bc", unit[safe], unit[idx])
-        d = np.where(valid, d, np.inf)
+        d = _cand_neg_dots(unit, idx, safe, valid)
         cc = _pairwise_cc(unit, safe)
         kept_cols, cnts = _diverse_select_batch(d, cc, valid, keep_m, alpha)
         kmask = kept_cols >= 0
@@ -559,7 +573,10 @@ def build_graph_index(ds: "rd.Dataset", index_dir: str, *,
     at 100 TB each partition is a bounded working set sized by
     ``num_parts``, and a failed run resumes past parts whose meta exists.
     """
+    import shutil
     os.makedirs(index_dir, exist_ok=True)
+    if os.path.exists(os.path.join(index_dir, META_NAME)):
+        return                                     # resume: complete index
 
     def assign(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
@@ -567,25 +584,41 @@ def build_graph_index(ds: "rd.Dataset", index_dir: str, *,
                 % np.uint64(num_parts)).astype(np.int32)
         return batch.append_column("__part", pa.array(part))
 
-    def build_one(df: pd.DataFrame) -> pd.DataFrame:
-        part = int(df["__part"].iloc[0])
-        out = os.path.join(index_dir, f"part={part}")
-        meta_p = os.path.join(out, "_META")
-        if os.path.exists(meta_p):                  # resume: skip done part
-            return pd.DataFrame({"part": [part], "n": [len(df)]})
-        df = df.sort_values(id_col, kind="mergesort")
-        vecs = np.stack([np.asarray(v, dtype=np.float64)
-                         for v in df[vec_col]])
-        nbrs = build_graph(vecs, m_degree=m_degree,
-                           ef_construction=ef_construction)
-        _write_part(out, df[id_col].to_numpy(dtype=np.int64), vecs, nbrs,
-                    id_col, vec_col)
-        return pd.DataFrame({"part": [part], "n": [len(df)]})
-
+    # DISK-STAGED repartition (the build.py staged-mode shape): a
+    # partitioned parquet write routes rows to their part dirs with NO
+    # all-to-all sort — measured faster than the groupby shuffle both at
+    # bench scale (the sort's per-block barrier dominates tiny blocks)
+    # and at data scale (the exchange spills by design and the staging
+    # dir checkpoints it)
+    stage = os.path.join(index_dir, "_stage")
+    shutil.rmtree(stage, ignore_errors=True)
     (ds.map_batches(assign, batch_format="pyarrow")
-       .groupby("__part")
-       .map_groups(build_one, batch_format="pandas")
+       .write_parquet(stage, partition_cols=["__part"]))
+
+    def build_part(batch: pa.Table) -> pa.Table:
+        built = []
+        for part in batch["part"].to_pylist():
+            out = os.path.join(index_dir, f"part={part}")
+            pdir = os.path.join(stage, f"__part={part}")
+            if os.path.exists(os.path.join(out, "_META")) or \
+                    not os.path.isdir(pdir):       # done / empty part
+                continue
+            tbl = pq.read_table(pdir, columns=[id_col, vec_col])
+            order = np.argsort(tbl[id_col].to_numpy(zero_copy_only=False),
+                               kind="stable")
+            tbl = tbl.take(pa.array(order))
+            vecs = _vecs_from_batch(tbl, vec_col)
+            nbrs = build_graph(vecs, m_degree=m_degree,
+                               ef_construction=ef_construction)
+            _write_part(out, tbl[id_col].to_numpy(zero_copy_only=False),
+                        vecs, nbrs, id_col, vec_col)
+            built.append(part)
+        return pa.table({"part": pa.array(built, type=pa.int32())})
+
+    (rd.from_items([{"part": p} for p in range(num_parts)])
+       .map_batches(build_part, batch_format="pyarrow", batch_size=1)
        .materialize())
+    shutil.rmtree(stage, ignore_errors=True)
     with open(os.path.join(index_dir, META_NAME), "w") as f:
         json.dump({"num_parts": num_parts, "m_degree": m_degree,
                    "ef_construction": ef_construction,
