@@ -752,6 +752,105 @@ def merge_graph_index(src_dir: str, dst_dir: str, *, merge_factor: int = 4,
         json.dump({**meta, "num_parts": n_groups}, f)
 
 
+@ray.remote
+class GraphShardActor:
+    """Serving-shape graph search (the `serve.py:SegmentShardActor`
+    pattern for the vector engine): owns a subset of partitions, decodes
+    each graph ONCE in ``__init__`` (unit matrix, rect adjacency, ids,
+    entries) and keeps it resident across searches — `graph_topk` re-reads
+    the parquet per call, right for batch pipelines, wasteful for query
+    serving (the held-open `JVectorReader` analog)."""
+
+    def __init__(self, part_dirs: list[str], id_col: str, vec_col: str):
+        self.parts = []
+        for pdir in part_dirs:
+            tbl = pq.read_table(os.path.join(pdir, "graph.parquet"))
+            with open(os.path.join(pdir, "_META")) as f:
+                pmeta = json.load(f)
+            vecs = _vecs_from_batch(tbl, vec_col)
+            nbrs, n_nbrs = _decode_adjacency(tbl)
+            self.parts.append({
+                "ids": tbl[id_col].to_numpy(zero_copy_only=False),
+                "vecs": vecs,
+                "unit": _unitize(vecs),
+                "nbrs": nbrs,
+                "n_nbrs": n_nbrs,
+                "entries": pmeta["entries"],
+            })
+
+    def search(self, qids: list[str], qmat: np.ndarray, k: int,
+               ef_search: int, metric: str,
+               round_decimals: int | None) -> pd.DataFrame:
+        kernel, translate, _ = METRICS[metric]
+        rnd = _rounder(round_decimals)
+        qnorm = np.linalg.norm(qmat, axis=1)
+        qnorm[qnorm == 0] = 1.0
+        Qn = (qmat / qnorm[:, None]).astype(np.float32)
+        out_q, out_id, out_s = [], [], []
+        for p in self.parts:
+            _, V = _beam_batch(p["unit"], p["nbrs"], p["n_nbrs"],
+                               entries=p["entries"], Q=Qn,
+                               ef=max(ef_search, k))
+            for qi, qid in enumerate(qids):
+                cand = V[qi][V[qi] >= 0]
+                if len(cand) == 0:
+                    continue
+                score = rnd(translate(kernel(p["vecs"][cand], qmat[qi])))
+                sel_ids, sel_sc = _partial_topk(p["ids"][cand], score, k)
+                out_q.extend([qid] * len(sel_ids))
+                out_id.append(sel_ids)
+                out_s.append(sel_sc)
+        if not out_q:
+            return pd.DataFrame(columns=["query_id", "vec_id", "score"])
+        return pd.DataFrame({
+            "query_id": out_q,
+            "vec_id": np.concatenate(out_id),
+            "score": np.concatenate(out_s)})
+
+
+class GraphSearchService:
+    """N long-lived actors, each owning a static subset of partitions;
+    results are identical to ``graph_topk`` (same beam, rescore and tie
+    rules) — asserted by tests."""
+
+    def __init__(self, index_dir: str, num_shards: int = 4):
+        with open(os.path.join(index_dir, META_NAME)) as f:
+            meta = json.load(f)
+        self.id_col, self.vec_col = meta["id_col"], meta["vec_col"]
+        parts = sorted(os.path.join(index_dir, d)
+                       for d in os.listdir(index_dir)
+                       if d.startswith("part="))
+        n = max(1, min(num_shards, len(parts)))
+        shards = [parts[i::n] for i in range(n)]
+        self.actors = [GraphShardActor.remote(s, self.id_col, self.vec_col)
+                       for s in shards if s]
+
+    def search(self, queries: dict[str, np.ndarray], k: int, *,
+               ef_search: int = 64, metric: str = "cosine",
+               round_decimals: int | None = None) -> pd.DataFrame:
+        qids = sorted(queries)
+        qmat = np.stack([queries[q] for q in qids]).astype(np.float64)
+        futs = [a.search.remote(qids, qmat, k, ef_search, metric,
+                                round_decimals) for a in self.actors]
+        out = pd.concat(ray.get(futs), ignore_index=True)
+        if out.empty:
+            return pd.DataFrame(
+                columns=["query_id", "rank", self.id_col, "score"])
+        out = (out.sort_values(["query_id", "score", "vec_id"],
+                               ascending=[True, False, True],
+                               kind="mergesort")
+                  .groupby("query_id", sort=False).head(k))
+        out["rank"] = out.groupby("query_id", sort=False).cumcount() + 1
+        out = out.rename(columns={"vec_id": self.id_col})
+        return out[["query_id", "rank", self.id_col,
+                    "score"]].reset_index(drop=True)
+
+    def shutdown(self) -> None:
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []
+
+
 def graph_topk(index_dir: str, queries: dict[str, np.ndarray], k: int, *,
                ef_search: int = 64, metric: str = "cosine",
                round_decimals: int | None = None) -> pd.DataFrame:

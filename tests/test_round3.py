@@ -340,3 +340,26 @@ def test_dictionary_salted_distributed_path_identical(tmp_path, monkeypatch):
     qs = {"q1": "alpha beta", "q2": "zeta eta gamma"}
     pd.testing.assert_frame_equal(IndexSearcher(idx_local).search(qs, k=20),
                                   IndexSearcher(idx_dist).search(qs, k=20))
+
+
+def test_graph_search_service_identical_to_graph_topk(tmp_path):
+    """The serving shape (long-lived per-partition actors, decoded-once
+    graphs) must return frames identical to the per-call graph_topk —
+    same beam, rescore and tie rules."""
+    from opensearch_jvector_ray.pipelines import graph as graph_pl
+    vecs = _clustered_vecs(seed=29, n_centers=4, per=60, d=16)
+    ds = rd.from_arrow(_vec_table(vecs))
+    idx = str(tmp_path / "g")
+    graph_pl.build_graph_index(ds, idx, num_parts=4, m_degree=12,
+                               ef_construction=48)
+    queries = {f"q{i}": vecs[i * 41].astype(np.float64) for i in range(4)}
+    want = graph_pl.graph_topk(idx, queries, 10, ef_search=64,
+                               round_decimals=6)
+    svc = graph_pl.GraphSearchService(idx, num_shards=2)
+    try:
+        got = svc.search(queries, 10, ef_search=64, round_decimals=6)
+        pd.testing.assert_frame_equal(want, got)
+        got2 = svc.search(queries, 10, ef_search=64, round_decimals=6)
+        pd.testing.assert_frame_equal(got, got2)     # warm rerun identical
+    finally:
+        svc.shutdown()
