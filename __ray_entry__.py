@@ -526,6 +526,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # vector scoring surface (§2.8 kernels)
         "knn_cosine_topk": _q_knn("cosine"),
         "knn_l2_topk": _q_knn("l2"),
+        "knn_ip_topk": _q_knn("innerproduct"),
+        "knn_l1_topk": _q_knn("l1"),
+        "knn_linf_topk": _q_knn("linf"),
         "knn_cosine_filtered": _q_knn_filtered,
         "knn_cosine_radial": _q_knn_radial,
         "knn_cosine_radial_dist": _q_knn_radial_dist,
@@ -599,6 +602,9 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": lang_id_sql(CFG),
         "knn_cosine_topk": knn_sql("cosine", KNN_QUERY_IDS, KNN_K),
         "knn_l2_topk": knn_sql("l2", KNN_QUERY_IDS, KNN_K),
+        "knn_ip_topk": knn_sql("innerproduct", KNN_QUERY_IDS, KNN_K),
+        "knn_l1_topk": knn_sql("l1", KNN_QUERY_IDS, KNN_K),
+        "knn_linf_topk": knn_sql("linf", KNN_QUERY_IDS, KNN_K),
         "knn_hamming_topk": knn_sql("hamming", KNN_QUERY_IDS, KNN_K),
         "knn_cosine_filtered": knn_sql(
             "cosine", KNN_QUERY_IDS, KNN_K,

@@ -406,6 +406,18 @@ def _knn_score_expr(metric: str, vec_col: str) -> str:
         return (f"round(1.0 / (1.0 + len(list_filter(list_zip("
                 f"CAST(e.{vec_col} AS DOUBLE[]), CAST(q.{vec_col} AS DOUBLE[])), "
                 f"z -> (z[1] > 0) <> (z[2] > 0)))), 6)")
+    if metric == "innerproduct":
+        ip = (f"list_dot_product(CAST(e.{vec_col} AS DOUBLE[]), "
+              f"CAST(q.{vec_col} AS DOUBLE[]))")
+        # SpaceType.INNER_PRODUCT translation: ip>=0 -> ip+1, else 1/(1-ip)
+        return (f"round(CASE WHEN {ip} >= 0 THEN {ip} + 1.0 "
+                f"ELSE 1.0 / (1.0 - {ip}) END, 6)")
+    if metric in ("l1", "linf"):
+        agg = "sum" if metric == "l1" else "max"
+        d = (f"list_aggregate(list_transform(list_zip("
+             f"CAST(e.{vec_col} AS DOUBLE[]), CAST(q.{vec_col} AS DOUBLE[])), "
+             f"z -> abs(z[1] - z[2])), '{agg}')")
+        return f"round(1.0 / (1.0 + {d}), 6)"
     raise ValueError(metric)
 
 
