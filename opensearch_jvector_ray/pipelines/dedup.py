@@ -263,48 +263,51 @@ def attach_pair_payloads(pairs: "rd.Dataset", payload_ds: "rd.Dataset",
     return cur
 
 
-def _make_candidate_filter(refs: tuple, id_col: str, make_payload):
-    """Corpus filter: the distinct candidate-id array is assembled once
-    per WORKER from shared object-store blocks (never per batch, never
-    on the driver)."""
-
-    def _build_cand_ids(tbls):
-        return (np.concatenate(
-            [t.column(0).to_numpy(zero_copy_only=False) for t in tbls])
-            if tbls else np.empty(0, dtype=np.int64))
-
-    def keep(batch: pa.Table) -> pa.Table:
-        cand = _cached_from_refs(refs, _build_cand_ids)
-        mask = np.isin(batch[id_col].to_numpy(zero_copy_only=False), cand)
-        return make_payload(batch.filter(pa.array(mask)))
-
-    return keep
-
-
 def candidate_payloads(ds: "rd.Dataset", pairs: "rd.Dataset", id_col: str,
                        make_payload) -> tuple["rd.Dataset", int]:
     """Corpus scan restricted to the ids appearing in ``pairs``.
 
-    The DISTINCT candidate ids are computed by a Ray groupby (distributed
-    dedup — nothing id-set-sized ever lands on the driver; the driver
-    holds only block refs and a count); the corpus scan then streams and
+    The DISTINCT candidate ids are computed off-driver: per-block unique
+    inside map_batches, then ONE worker task unions the block-unique
+    arrays and leaves the result in the object store (the driver holds a
+    ref and a count, never the ids); the corpus scan then streams and
     keeps only candidate rows, transformed by ``make_payload(batch) ->
     Table``.  Returns (payload_ds, n_candidate_ids) — the count picks
     the attach plan (broadcast vs co-partition).
     """
-    def explode(b: pa.Table) -> pa.Table:
-        both = pa.concat_arrays([b.column("id_a").combine_chunks(),
-                                 b.column("id_b").combine_chunks()])
-        return pa.table({"__cid": both})
+    import ray as _ray
 
-    distinct = (pairs.map_batches(explode, batch_format="pyarrow")
-                .groupby("__cid").aggregate(Count(alias_name="__n"))
-                .drop_columns(["__n"]).materialize())
-    n_ids = distinct.count()
-    refs = tuple(distinct.to_arrow_refs())
-    payload_ds = ds.map_batches(
-        _make_candidate_filter(refs, id_col, make_payload),
-        batch_format="pyarrow")
+    def explode(b: pa.Table) -> pa.Table:
+        both = np.concatenate([
+            b.column("id_a").to_numpy(zero_copy_only=False),
+            b.column("id_b").to_numpy(zero_copy_only=False)])
+        return pa.table({"__cid": pa.array(np.unique(both))})
+
+    refs = pairs.map_batches(explode, batch_format="pyarrow") \
+                .to_arrow_refs()
+
+    @_ray.remote
+    def _union(*tbls):
+        arrs = [t.column(0).to_numpy(zero_copy_only=False)
+                for t in tbls if t.num_rows]
+        return (np.unique(np.concatenate(arrs)) if arrs
+                else np.empty(0, dtype=np.int64))
+
+    cand_ref = _union.remote(*refs)
+
+    @_ray.remote
+    def _size(a) -> int:
+        return int(len(a))
+
+    n_ids = _ray.get(_size.remote(cand_ref))   # only the COUNT reaches
+    # the driver; the id array itself stays in the object store
+
+    def keep(batch: pa.Table) -> pa.Table:
+        cand = _ray.get(cand_ref)       # zero-copy per task
+        mask = np.isin(batch[id_col].to_numpy(zero_copy_only=False), cand)
+        return make_payload(batch.filter(pa.array(mask)))
+
+    payload_ds = ds.map_batches(keep, batch_format="pyarrow")
     return payload_ds, n_ids
 
 
