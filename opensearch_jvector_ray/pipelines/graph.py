@@ -114,6 +114,14 @@ def _beam_batch(unit: np.ndarray, nbrs: np.ndarray, n_nbrs: np.ndarray,
     if len(ent) == 0 or B == 0:
         return (np.full((B, ef), np.inf),
                 np.full((B, ef), -1, dtype=np.int64))
+    Q = np.asarray(Q, dtype=np.float32)
+    # bandwidth-aware: below the matmul threshold, ALL query->node dots
+    # are one BLAS (B, n) matmul up front and the beam only gathers
+    # floats — the per-iteration (A, m, d) row gather + einsum is what
+    # dominates on this memory-throttled sandbox
+    d_all = None
+    if len(unit) * B <= _FULL_MM_MAX_N * 64:
+        d_all = -(Q @ unit.T)                           # (B, n)
     d0 = -(unit[ent] @ Q.T).T                           # (B, E)
     order = np.argsort(d0, axis=1, kind="stable")
     e0 = min(len(ent), ef)
@@ -146,7 +154,10 @@ def _beam_batch(unit: np.ndarray, nbrs: np.ndarray, n_nbrs: np.ndarray,
             continue
         r, c = np.nonzero(valid)
         visited[act[r], neigh[r, c]] = True
-        dn = -np.einsum("amd,ad->am", unit[neigh_c], Q[act])
+        if d_all is not None:
+            dn = np.take_along_axis(d_all[act], neigh_c, axis=1)
+        else:
+            dn = -np.einsum("amd,ad->am", unit[neigh_c], Q[act])
         dn = np.where(valid, dn, np.inf)
         md = np.concatenate([pool_d[act], dn], axis=1)
         mv = np.concatenate([pool_v[act],
