@@ -14,6 +14,12 @@ Usage (each subcommand owns a Ray session; on a cluster, submit with
          [--merge-factor N]
   python -m opensearch_jvector_ray stats  --index DIR
   python -m opensearch_jvector_ray synth  --out DIR --convs N
+  python -m opensearch_jvector_ray knn-build  --input FILE --index DIR
+         --engine graph|ivf|pq [--num-parts N] [--cells K]
+  python -m opensearch_jvector_ray knn-search --index DIR --engine ...
+         --query "f1,f2,..." [--k K] [--metric cosine|l2|...] [--ef N]
+  python -m opensearch_jvector_ray knn-merge  --index DIR --out DIR
+         [--merge-factor N] [--mode incremental|rebuild]
 """
 
 from __future__ import annotations
@@ -72,6 +78,34 @@ def main(argv: list[str] | None = None) -> int:
     sy = sub.add_parser("synth")
     sy.add_argument("--out", default="/tmp/ojr_synth")
     sy.add_argument("--convs", type=int, default=1000)
+
+    kb = sub.add_parser("knn-build")
+    kb.add_argument("--input", required=True)
+    kb.add_argument("--index", required=True)
+    kb.add_argument("--engine", default="graph",
+                    choices=["graph", "ivf", "pq"])
+    kb.add_argument("--num-parts", type=int, default=8)
+    kb.add_argument("--cells", type=int, default=16)
+    kb.add_argument("--id-col", default="vec_id")
+    kb.add_argument("--vec-col", default="embedding")
+
+    ks = sub.add_parser("knn-search")
+    ks.add_argument("--index", required=True)
+    ks.add_argument("--engine", default="graph",
+                    choices=["graph", "ivf", "pq"])
+    ks.add_argument("--query", action="append", required=True,
+                    help="comma-separated floats; repeatable")
+    ks.add_argument("--k", type=int, default=10)
+    ks.add_argument("--metric", default="cosine")
+    ks.add_argument("--ef", type=int, default=64)
+    ks.add_argument("--n-probe", type=int, default=4)
+
+    km = sub.add_parser("knn-merge")
+    km.add_argument("--index", required=True)
+    km.add_argument("--out", required=True)
+    km.add_argument("--merge-factor", type=int, default=4)
+    km.add_argument("--mode", default="incremental",
+                    choices=["incremental", "rebuild"])
 
     args = p.parse_args(argv)
     ray = _ray_session()
@@ -132,6 +166,54 @@ def main(argv: list[str] | None = None) -> int:
             from opensearch_jvector_ray.synth import synth_parquet
             path = synth_parquet(args.convs, root=args.out)
             print(path)
+        elif args.cmd == "knn-build":
+            import ray.data as rd
+            ds = rd.read_parquet(args.input)
+            if args.engine == "graph":
+                from opensearch_jvector_ray.pipelines import graph as gpl
+                gpl.build_graph_index(ds, args.index,
+                                      num_parts=args.num_parts,
+                                      id_col=args.id_col,
+                                      vec_col=args.vec_col)
+            elif args.engine == "ivf":
+                from opensearch_jvector_ray.pipelines import knn as kpl
+                cent = kpl.train_centroids(ds, args.cells,
+                                           vec_col=args.vec_col)
+                kpl.build_ivf_index(ds, args.index, centroids=cent,
+                                    id_col=args.id_col,
+                                    vec_col=args.vec_col)
+            else:
+                from opensearch_jvector_ray.pipelines import pq as ppl
+                ppl.build_pq_index(ds, args.index, id_col=args.id_col,
+                                   vec_col=args.vec_col)
+            print(json.dumps({"engine": args.engine, "index": args.index}))
+        elif args.cmd == "knn-search":
+            import numpy as np
+            queries = {f"q{i}": np.array([float(x) for x in q.split(",")])
+                       for i, q in enumerate(args.query)}
+            if args.engine == "graph":
+                from opensearch_jvector_ray.pipelines import graph as gpl
+                out = gpl.graph_topk(args.index, queries, args.k,
+                                     ef_search=args.ef,
+                                     metric=args.metric, round_decimals=6)
+            elif args.engine == "ivf":
+                from opensearch_jvector_ray.pipelines import knn as kpl
+                out = kpl.ivf_index_topk(args.index, queries, args.k,
+                                         n_probe=args.n_probe,
+                                         metric=args.metric,
+                                         round_decimals=6)
+            else:
+                from opensearch_jvector_ray.pipelines import pq as ppl
+                out = ppl.pq_rerank_topk(args.index, queries, args.k,
+                                         metric=args.metric,
+                                         round_decimals=6)
+            print(out.to_string(index=False))
+        elif args.cmd == "knn-merge":
+            from opensearch_jvector_ray.pipelines import graph as gpl
+            gpl.merge_graph_index(args.index, args.out,
+                                  merge_factor=args.merge_factor,
+                                  mode=args.mode)
+            print(json.dumps({"merged": args.out, "mode": args.mode}))
     finally:
         ray.shutdown()
     return 0

@@ -363,3 +363,40 @@ def test_graph_search_service_identical_to_graph_topk(tmp_path):
         pd.testing.assert_frame_equal(got, got2)     # warm rerun identical
     finally:
         svc.shutdown()
+
+
+def test_cli_knn_roundtrip(tmp_path):
+    """knn-build -> knn-search -> knn-merge via the CLI (subprocesses own
+    their Ray sessions, like the BM25 CLI test)."""
+    import subprocess, sys
+    import pyarrow.parquet as ppq
+    rng = np.random.default_rng(31)
+    vecs = _clustered_vecs(seed=31, n_centers=4, per=50, d=8)
+    src = str(tmp_path / "vecs.parquet")
+    ppq.write_table(_vec_table(vecs), src)
+    env = {**os.environ, "PYTHONPATH": "/root/repo"}
+    idx = str(tmp_path / "gidx")
+    built = subprocess.run(
+        [sys.executable, "-m", "opensearch_jvector_ray", "knn-build",
+         "--input", src, "--index", idx, "--engine", "graph",
+         "--num-parts", "2"],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=300)
+    assert built.returncode == 0, built.stderr[-2000:]
+    q = ",".join(str(float(x)) for x in vecs[7])
+    found = subprocess.run(
+        [sys.executable, "-m", "opensearch_jvector_ray", "knn-search",
+         "--index", idx, "--engine", "graph", f"--query={q}", "--k", "3",
+         "--ef", "200"],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=300)
+    assert found.returncode == 0, found.stderr[-2000:]
+    assert " 7 " in found.stdout or found.stdout.strip().splitlines()[1].split()[2] == "7"
+    merged = str(tmp_path / "merged")
+    mg = subprocess.run(
+        [sys.executable, "-m", "opensearch_jvector_ray", "knn-merge",
+         "--index", idx, "--out", merged, "--merge-factor", "2"],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=300)
+    assert mg.returncode == 0, mg.stderr[-2000:]
+    assert os.path.isdir(os.path.join(merged, "part=0"))
