@@ -186,6 +186,15 @@ def run_bench() -> dict:
 
     timed("knn_graph", do_graph)
 
+    # -- phase 6c: incremental graph merge (the reference's headline) -----
+    def do_graph_merge():
+        dst = os.path.join(BENCH_ROOT, f"graphmerge_cpus{NUM_CPUS}")
+        shutil.rmtree(dst, ignore_errors=True)
+        graph_pl.merge_graph_index(gidx, dst, merge_factor=4,
+                                   mode="incremental")
+
+    timed("graph_incremental_merge", do_graph_merge)
+
     # -- phase 7: relational aggregate ------------------------------------
     timed("pricing_summary", lambda: rel_pl.pricing_summary(read_table(
         SF_DIR, "lineitem",
