@@ -474,6 +474,18 @@ def _q_embedding_dups(sf_dir: str) -> pd.DataFrame:
     return knn_pl.embedding_near_dups(aug, threshold=0.95)
 
 
+def _q_multimodal_image(sf_dir: str) -> pd.DataFrame:
+    # REAL PNG decode (stdlib zlib, RFC 2083 filters) + featurization
+    tbl = mm_pl.synth_image_table(150)
+    out = mm_pl.decode_features(rd.from_arrow(tbl), fake=False).to_pandas()
+    feats = np.stack(out["feature"].to_numpy())
+    out["width"] = feats[:, 0].astype(np.int64)
+    out["height"] = feats[:, 1].astype(np.int64)
+    out["mean_r"] = np.round(feats[:, 3].astype(np.float64), 6)
+    return (out[["media_id", "width", "height", "mean_r"]]
+            .sort_values("media_id").reset_index(drop=True))
+
+
 def _q_multimodal_audio(sf_dir: str) -> pd.DataFrame:
     # REAL WAV decode (stdlib wave) + featurization over an audio table
     tbl = mm_pl.synth_audio_table(150)
@@ -556,6 +568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing (decode stubbed; rows-only)
         "multimodal_decode": _q_multimodal,
         "multimodal_audio_features": _q_multimodal_audio,
+        "multimodal_image_features": _q_multimodal_image,
     }
 
 

@@ -9,11 +9,15 @@ Codec status (honest):
   - **audio: REAL** — WAV (PCM16) payloads are decoded with the stdlib
     ``wave`` module and featurized (duration, RMS, zero-crossing rate +
     pooled magnitude spectrum), no external library needed;
-  - image/video: STUBBED — PIL/ffmpeg are not available in this
-    environment; ``DecodeStub`` raises ``NotImplementedError`` for them
-    unless constructed with ``fake=True``, in which case every kind gets
-    a deterministic payload-hash fake so downstream stages and tests are
-    exercised end-to-end.
+  - **image: REAL** — PNG payloads (8-bit RGB/RGBA/gray, all five PNG
+    scanline filters, non-interlaced) are decoded with a pure
+    stdlib-zlib decoder implemented from the public PNG specification
+    (RFC 2083 §6: None/Sub/Up/Average/Paeth unfiltering) and featurized
+    (dims, channel means, luma stats + pooled luma profile);
+  - video: STUBBED — no stdlib container/codec exists and ffmpeg is not
+    in this environment; ``DecodeStub`` raises ``NotImplementedError``
+    for it unless constructed with ``fake=True`` (deterministic
+    payload-hash fake, so plumbing and tests run end-to-end).
 
 Design notes for 100 TB operation (why this shape):
   - binary payloads are large -> ``batch_size`` here defaults SMALL (64)
@@ -74,9 +78,119 @@ def synth_audio_table(n: int, seed: int = 42, rate: int = 16000) -> pa.Table:
     })
 
 
+def png_bytes(img: np.ndarray) -> bytes:
+    """8-bit PNG encoding of an (H, W), (H, W, 3) or (H, W, 4) uint8
+    array (stdlib zlib; filter 0 scanlines)."""
+    import struct
+    import zlib
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    color = {1: 0, 3: 2, 4: 6}[ch]
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        c = typ + data
+        return struct.pack(">I", len(data)) + c +             struct.pack(">I", zlib.crc32(c) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def png_decode(payload: bytes) -> np.ndarray:
+    """Pure-stdlib PNG decoder (public spec, RFC 2083): 8-bit gray/RGB/
+    RGBA, non-interlaced, all five scanline filters.  Returns (H, W, C)
+    uint8."""
+    import struct
+    import zlib
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, idat, meta = 8, [], None
+    while pos < len(payload):
+        (ln,) = struct.unpack(">I", payload[pos: pos + 4])
+        typ = payload[pos + 4: pos + 8]
+        data = payload[pos + 8: pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data)
+            if depth != 8 or interlace != 0 or color not in (0, 2, 6):
+                raise NotImplementedError(
+                    f"PNG depth={depth} color={color} interlace={interlace}")
+            meta = (w, h, {0: 1, 2: 3, 6: 4}[color])
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if meta is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, ch = meta
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(raw, dtype=np.uint8,
+                             count=stride, offset=y * (stride + 1) + 1)
+        if ftype == 0:                            # None
+            cur = line.copy()
+        elif ftype == 2:                          # Up (vectorized)
+            cur = line + prev
+        elif ftype in (1, 3, 4):                  # Sub / Average / Paeth
+            cur = np.empty(stride, dtype=np.uint8)
+            line_i = line.astype(np.int32)
+            prev_i = prev.astype(np.int32)
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                if ftype == 1:
+                    cur[x] = (line_i[x] + a) & 0xFF
+                elif ftype == 3:
+                    cur[x] = (line_i[x] + ((a + prev_i[x]) >> 1)) & 0xFF
+                else:
+                    b = int(prev_i[x])
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    p = a + b - c
+                    pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa_ <= pb and pa_ <= pc) else                         (b if pb <= pc else c)
+                    cur[x] = (line_i[x] + pr) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        out[y] = cur
+        prev = cur
+    return out.reshape(h, w, ch)
+
+
+def synth_image_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic REAL PNG rows: seeded two-tone gradient patterns
+    whose channel means are analytically known (the planted-signal test
+    hook, like the audio sine)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for _ in range(n):
+        w = int(rng.integers(8, 48))
+        h = int(rng.integers(8, 48))
+        base = rng.integers(0, 200, size=3, dtype=np.uint8)
+        img = np.empty((h, w, 3), dtype=np.uint8)
+        ramp = np.linspace(0, 55, w).astype(np.uint8)
+        for c in range(3):
+            img[:, :, c] = base[c] + ramp[None, :]
+        rows.append((png_bytes(img), w, h))
+    return pa.table({
+        "media_id": pa.array(np.arange(n, dtype=np.int64)),
+        "kind": pa.array(["image"] * n, type=pa.string()),
+        "payload": pa.array([p for p, _, _ in rows], type=pa.binary()),
+        "meta": pa.array([{"width": w, "height": h, "sample_rate": 0,
+                           "n_frames": 1} for _, w, h in rows],
+                         type=MEDIA_SCHEMA.field("meta").type),
+    })
+
+
 def synth_media_table(n: int, seed: int = 42) -> pa.Table:
     """Deterministic media rows for plumbing tests (audio rows carry REAL
-    WAV payloads; image/video payloads are opaque bytes)."""
+    WAV payloads, image rows REAL PNG payloads; video payloads are
+    opaque bytes)."""
     rng = np.random.default_rng(seed)
     kinds = np.array(["image", "audio", "video"])[rng.integers(0, 3, size=n)]
     payloads = []
@@ -85,6 +199,11 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
             freq = float(rng.uniform(200, 4000))
             t = np.arange(int(0.05 * 16000)) / 16000.0
             payloads.append(wav_bytes(0.7 * np.sin(2 * np.pi * freq * t)))
+        elif k == "image":
+            w = int(rng.integers(8, 32))
+            h = int(rng.integers(8, 32))
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payloads.append(png_bytes(img))
         else:
             payloads.append(rng.integers(0, 256,
                                          size=int(rng.integers(64, 512)),
@@ -121,10 +240,31 @@ class DecodeStub:
             return (raw % 1000).astype(np.float32) / 1000.0
         if kind == "audio":
             return self._decode_audio(payload)
+        if kind == "image":
+            return self._decode_image(payload)
         raise NotImplementedError(
-            f"{kind} codecs (PIL/ffmpeg) are unavailable in this "
-            f"environment; audio (WAV) decodes for real — construct "
-            f"DecodeStub(fake=True) for a deterministic stub of the rest")
+            f"{kind} codecs (ffmpeg) are unavailable in this "
+            f"environment; audio (WAV) and image (PNG) decode for real — "
+            f"construct DecodeStub(fake=True) for a deterministic stub "
+            f"of the rest")
+
+    def _decode_image(self, payload: bytes) -> np.ndarray:
+        """REAL PNG decode + featurize (stdlib zlib): feature vector =
+        [w, h, aspect, mean/channel(3), luma std, pooled luma column
+        profile]."""
+        img = png_decode(payload)
+        h, w, ch = img.shape
+        f = img.astype(np.float64) / 255.0
+        means = f.mean(axis=(0, 1))
+        means3 = np.resize(means, 3)
+        luma = f.mean(axis=2)
+        d_prof = max(1, self.feature_dim - 7)
+        edges = np.linspace(0, w, d_prof + 1).astype(np.int64)
+        prof = np.array([luma[:, a:b].mean() if b > a else 0.0
+                         for a, b in zip(edges[:-1], edges[1:])])
+        out = np.concatenate([[float(w), float(h), w / h],
+                              means3, [float(luma.std())], prof])
+        return out[: self.feature_dim].astype(np.float32)
 
     def _decode_audio(self, payload: bytes) -> np.ndarray:
         """REAL WAV decode + featurize (stdlib wave): feature vector =

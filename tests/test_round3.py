@@ -400,3 +400,105 @@ def test_cli_knn_roundtrip(tmp_path):
         timeout=300)
     assert mg.returncode == 0, mg.stderr[-2000:]
     assert os.path.isdir(os.path.join(merged, "part=0"))
+
+
+# ---------------------------------------------------------------------------
+# real PNG decode (stdlib zlib, RFC 2083 filters)
+# ---------------------------------------------------------------------------
+
+def test_png_roundtrip_rgb_and_gray():
+    from opensearch_jvector_ray.pipelines.multimodal import (
+        png_bytes, png_decode,
+    )
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(23, 17, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(png_decode(png_bytes(img)), img)
+    gray = rng.integers(0, 256, size=(9, 31), dtype=np.uint8)
+    np.testing.assert_array_equal(png_decode(png_bytes(gray)),
+                                  gray[:, :, None])
+    rgba = rng.integers(0, 256, size=(12, 8, 4), dtype=np.uint8)
+    np.testing.assert_array_equal(png_decode(png_bytes(rgba)), rgba)
+
+
+def test_png_decoder_handles_all_filters():
+    """Encode scanlines with each PNG filter (forward direction per the
+    spec) and assert the decoder unfilters back to the original."""
+    import struct
+    import zlib
+    from opensearch_jvector_ray.pipelines.multimodal import png_decode
+    rng = np.random.default_rng(7)
+    h, w, ch = 6, 5, 3
+    img = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    stride = w * ch
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa_ <= pb and pa_ <= pc) else (b if pb <= pc else c)
+
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ftype = y % 5                      # exercise every filter type
+        line = img[y].reshape(-1).astype(np.int32)
+        filt = np.empty(stride, dtype=np.uint8)
+        for x in range(stride):
+            a = int(line[x - ch]) if x >= ch else 0
+            b = int(prev[x])
+            c = int(prev[x - ch]) if x >= ch else 0
+            if ftype == 0:
+                v = line[x]
+            elif ftype == 1:
+                v = line[x] - a
+            elif ftype == 2:
+                v = line[x] - b
+            elif ftype == 3:
+                v = line[x] - ((a + b) >> 1)
+            else:
+                v = line[x] - paeth(a, b, c)
+            filt[x] = v & 0xFF
+        raw.append(ftype)
+        raw.extend(filt.tobytes())
+        prev = line
+
+    def chunk(typ, data):
+        c = typ + data
+        return struct.pack(">I", len(data)) + c + \
+            struct.pack(">I", zlib.crc32(c) & 0xFFFFFFFF)
+
+    payload = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(bytes(raw)))
+               + chunk(b"IEND", b""))
+    np.testing.assert_array_equal(png_decode(payload), img)
+
+
+def test_image_features_planted_gradient():
+    """Planted-signal test (the PNG analog of the WAV sine): a known
+    two-tone gradient's decoded channel means match analytic values."""
+    from opensearch_jvector_ray.pipelines.multimodal import (
+        DecodeStub, png_bytes,
+    )
+    w, h = 32, 16
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    img[:, :, 0] = 100
+    img[:, :, 1] = np.linspace(0, 200, w).astype(np.uint8)[None, :]
+    img[:, :, 2] = 50
+    feat = DecodeStub(feature_dim=16)._decode_one(png_bytes(img), "image")
+    assert feat[0] == w and feat[1] == h
+    assert abs(feat[3] - 100 / 255) < 1e-3          # mean R
+    assert abs(feat[5] - 50 / 255) < 1e-3           # mean B
+    g_expect = np.linspace(0, 200, w).astype(np.uint8).mean() / 255
+    assert abs(feat[4] - g_expect) < 1e-3           # mean G
+
+
+def test_decode_features_real_images_pipeline():
+    from opensearch_jvector_ray.pipelines import multimodal as mm
+    tbl = mm.synth_image_table(60)
+    out = mm.decode_features(rd.from_arrow(tbl), fake=False).to_pandas()
+    assert len(out) == 60
+    assert all(len(f) == 16 for f in out["feature"])
+    # widths recorded in meta match decoded feature[0]
+    widths = {m["width"] for m in tbl["meta"].to_pylist()}
+    got = {int(f[0]) for f in out["feature"]}
+    assert got == widths or got <= widths
