@@ -498,8 +498,10 @@ def _q_multimodal_audio(sf_dir: str) -> pd.DataFrame:
 
 
 def _q_multimodal(sf_dir: str) -> pd.DataFrame:
+    # ALL kinds decode for REAL now: WAV via stdlib wave, PNG via the
+    # stdlib-zlib decoder, video via the OJRV PNG-frame container
     tbl = mm_pl.synth_media_table(200)
-    out = mm_pl.decode_features(rd.from_arrow(tbl), fake=True).to_pandas()
+    out = mm_pl.decode_features(rd.from_arrow(tbl), fake=False).to_pandas()
     out["n_features"] = out["feature"].map(len).astype(np.int64)
     return (out[["media_id", "kind", "n_features"]]
             .sort_values("media_id").reset_index(drop=True))

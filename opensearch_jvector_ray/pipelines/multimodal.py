@@ -14,10 +14,13 @@ Codec status (honest):
     stdlib-zlib decoder implemented from the public PNG specification
     (RFC 2083 §6: None/Sub/Up/Average/Paeth unfiltering) and featurized
     (dims, channel means, luma stats + pooled luma profile);
-  - video: STUBBED — no stdlib container/codec exists and ffmpeg is not
-    in this environment; ``DecodeStub`` raises ``NotImplementedError``
-    for it unless constructed with ``fake=True`` (deterministic
-    payload-hash fake, so plumbing and tests run end-to-end).
+  - **video: REAL for the repo's own container** — an ``OJRV``
+    length-prefixed PNG-frame stream (motion-JPEG-style, built from the
+    PNG codec above) decodes with true frame-sampling semantics
+    (first/middle/last frame decode + luma motion estimate).  Foreign
+    containers (mp4/h264 etc.) still raise ``NotImplementedError``
+    honestly — they need ffmpeg, which this environment lacks —
+    unless constructed with ``fake=True``.
 
 Design notes for 100 TB operation (why this shape):
   - binary payloads are large -> ``batch_size`` here defaults SMALL (64)
@@ -162,6 +165,64 @@ def png_decode(payload: bytes) -> np.ndarray:
     return out.reshape(h, w, ch)
 
 
+VIDEO_MAGIC = b"OJRV"
+
+
+def video_bytes(frames: list[np.ndarray]) -> bytes:
+    """Naive motion-PNG container: magic + u32 frame count + length-
+    prefixed PNG frames (the repo's own deterministic video format)."""
+    import struct
+    parts = [VIDEO_MAGIC, struct.pack(">I", len(frames))]
+    for f in frames:
+        png = png_bytes(f)
+        parts.append(struct.pack(">I", len(png)))
+        parts.append(png)
+    return b"".join(parts)
+
+
+def video_frames(payload: bytes) -> list[bytes]:
+    """Parse an OJRV container into its PNG frame payloads."""
+    import struct
+    if payload[:4] != VIDEO_MAGIC:
+        raise NotImplementedError(
+            "foreign video containers (mp4/h264/...) need ffmpeg, which "
+            "is unavailable here; OJRV (length-prefixed PNG frames) "
+            "decodes for real")
+    (nf,) = struct.unpack(">I", payload[4:8])
+    pos, out = 8, []
+    for _ in range(nf):
+        (ln,) = struct.unpack(">I", payload[pos: pos + 4])
+        out.append(payload[pos + 4: pos + 4 + ln])
+        pos += 4 + ln
+    return out
+
+
+def synth_video_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic REAL OJRV rows: a moving bright square over a dark
+    background (known motion signal for the planted test)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for _ in range(n):
+        w = int(rng.integers(12, 32))
+        h = int(rng.integers(12, 32))
+        nf = int(rng.integers(2, 6))
+        frames = []
+        for f in range(nf):
+            img = np.full((h, w, 3), 20, dtype=np.uint8)
+            x = (f * max(1, w // nf)) % max(1, w - 4)
+            img[2:6, x: x + 4] = 230
+            frames.append(img)
+        rows.append((video_bytes(frames), w, h, nf))
+    return pa.table({
+        "media_id": pa.array(np.arange(n, dtype=np.int64)),
+        "kind": pa.array(["video"] * n, type=pa.string()),
+        "payload": pa.array([p for p, _, _, _ in rows], type=pa.binary()),
+        "meta": pa.array([{"width": w, "height": h, "sample_rate": 0,
+                           "n_frames": nf} for _, w, h, nf in rows],
+                         type=MEDIA_SCHEMA.field("meta").type),
+    })
+
+
 def synth_image_table(n: int, seed: int = 42) -> pa.Table:
     """Deterministic REAL PNG rows: seeded two-tone gradient patterns
     whose channel means are analytically known (the planted-signal test
@@ -205,9 +266,9 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
             img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
             payloads.append(png_bytes(img))
         else:
-            payloads.append(rng.integers(0, 256,
-                                         size=int(rng.integers(64, 512)),
-                                         dtype=np.uint8).tobytes())
+            img = np.full((8, 8, 3), 10, dtype=np.uint8)
+            img[2:5, 2:5] = 200
+            payloads.append(video_bytes([img, img]))
     meta = [{"width": int(rng.integers(16, 256)), "height": int(rng.integers(16, 256)),
              "sample_rate": 16000, "n_frames": int(rng.integers(1, 64))}
             for _ in range(n)]
@@ -242,11 +303,31 @@ class DecodeStub:
             return self._decode_audio(payload)
         if kind == "image":
             return self._decode_image(payload)
+        if kind == "video":
+            return self._decode_video(payload)
         raise NotImplementedError(
             f"{kind} codecs (ffmpeg) are unavailable in this "
             f"environment; audio (WAV) and image (PNG) decode for real — "
             f"construct DecodeStub(fake=True) for a deterministic stub "
             f"of the rest")
+
+    def _decode_video(self, payload: bytes) -> np.ndarray:
+        """REAL frame-sample decode for OJRV containers: decode first /
+        middle / last frames, features = [n_frames, w, h, per-sample
+        luma means, motion (mean |last - first| luma delta)]."""
+        pngs = video_frames(payload)
+        nf = len(pngs)
+        sample = sorted({0, nf // 2, nf - 1})
+        lumas = []
+        for i in sample:
+            img = png_decode(pngs[i]).astype(np.float64) / 255.0
+            lumas.append(img.mean(axis=2))
+        h, w = lumas[0].shape
+        motion = float(np.abs(lumas[-1] - lumas[0]).mean()) if nf > 1 else 0.0
+        means = [float(l.mean()) for l in lumas]
+        out = np.array([float(nf), float(w), float(h), motion] + means)
+        out = np.pad(out, (0, max(0, self.feature_dim - len(out))))
+        return out[: self.feature_dim].astype(np.float32)
 
     def _decode_image(self, payload: bytes) -> np.ndarray:
         """REAL PNG decode + featurize (stdlib zlib): feature vector =

@@ -502,3 +502,37 @@ def test_decode_features_real_images_pipeline():
     widths = {m["width"] for m in tbl["meta"].to_pylist()}
     got = {int(f[0]) for f in out["feature"]}
     assert got == widths or got <= widths
+
+
+def test_video_frame_sampling_planted_motion():
+    """OJRV (length-prefixed PNG frames) decodes for real: a moving
+    square yields nonzero motion; a static clip yields zero."""
+    from opensearch_jvector_ray.pipelines.multimodal import (
+        DecodeStub, video_bytes,
+    )
+    moving = []
+    for f in range(4):
+        img = np.full((12, 20, 3), 20, dtype=np.uint8)
+        img[2:6, f * 4: f * 4 + 4] = 230
+        moving.append(img)
+    stub = DecodeStub(feature_dim=16)
+    feat = stub._decode_one(video_bytes(moving), "video")
+    assert feat[0] == 4 and feat[1] == 20 and feat[2] == 12
+    assert feat[3] > 0.01                           # motion
+    static = stub._decode_one(video_bytes([moving[0]] * 4), "video")
+    assert static[3] == 0.0
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        stub._decode_one(b"\x00\x00\x00\x20ftypmp42", "video")
+
+
+def test_decode_features_real_video_pipeline():
+    from opensearch_jvector_ray.pipelines import multimodal as mm
+    tbl = mm.synth_video_table(40)
+    out = mm.decode_features(rd.from_arrow(tbl), fake=False).to_pandas()
+    assert len(out) == 40
+    nf = {int(f[0]) for f in out["feature"]}
+    assert nf <= set(range(2, 6))
+    # the mixed media table (now all-real payloads) decodes with fake=False
+    mixed = mm.decode_features(rd.from_arrow(mm.synth_media_table(60)),
+                               fake=False).to_pandas()
+    assert len(mixed) == 60
