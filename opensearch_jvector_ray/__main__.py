@@ -51,6 +51,11 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--text-col", default="text")
     b.add_argument("--key-cols", default="conv_id,turn_idx")
     b.add_argument("--store-cols", default="role,tool,ts")
+    b.add_argument("--format", default="auto",
+                   choices=["auto", "parquet", "jsonl", "csv"],
+                   help="input format; jsonl/csv are read into a Dataset "
+                        "(the bulk-JSON ingestion analog), parquet uses "
+                        "the zero-shuffle fragment build")
 
     ad = sub.add_parser("add")
     ad.add_argument("--input", required=True)
@@ -118,7 +123,18 @@ def main(argv: list[str] | None = None) -> int:
             spec = IndexSpec(text_col=args.text_col,
                              key_cols=tuple(args.key_cols.split(",")),
                              store_cols=tuple(c for c in args.store_cols.split(",") if c))
-            res = build_index(args.input, args.index, cfg, spec,
+            fmt = args.format
+            if fmt == "auto":
+                low = args.input.lower()
+                fmt = ("jsonl" if low.endswith((".jsonl", ".json"))
+                       else "csv" if low.endswith(".csv") else "parquet")
+            if fmt in ("jsonl", "csv"):
+                import ray.data as rd
+                src = (rd.read_json(args.input) if fmt == "jsonl"
+                       else rd.read_csv(args.input))
+            else:
+                src = args.input
+            res = build_index(src, args.index, cfg, spec,
                               lineage={"source": args.input, "cli": True})
             print(json.dumps({"num_docs": res.num_docs,
                               "num_segments": res.num_segments,

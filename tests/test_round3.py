@@ -536,3 +536,33 @@ def test_decode_features_real_video_pipeline():
     mixed = mm.decode_features(rd.from_arrow(mm.synth_media_table(60)),
                                fake=False).to_pandas()
     assert len(mixed) == 60
+
+
+def test_cli_build_from_jsonl(tmp_path):
+    """JSONL ingestion (the reference's bulk-JSON analog): build from a
+    .jsonl corpus via the CLI and search it."""
+    import subprocess, sys, json as jsonmod
+    src = tmp_path / "docs.jsonl"
+    with open(src, "w") as f:
+        for i in range(30):
+            f.write(jsonmod.dumps({
+                "conv_id": f"c{i:04d}", "turn_idx": 0, "role": "user",
+                "text": "zebra apple" if i % 3 == 0 else "pear plum",
+                "tool": "", "ts": i}) + "\n")
+    env = {**os.environ, "PYTHONPATH": "/root/repo"}
+    idx = str(tmp_path / "idx")
+    built = subprocess.run(
+        [sys.executable, "-m", "opensearch_jvector_ray", "build",
+         "--input", str(src), "--index", idx, "--segments", "2"],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=300)
+    assert built.returncode == 0, built.stderr[-2000:]
+    info = jsonmod.loads(built.stdout.strip().splitlines()[-1])
+    assert info["num_docs"] == 30
+    found = subprocess.run(
+        [sys.executable, "-m", "opensearch_jvector_ray", "search",
+         "--index", idx, "--query", "zebra", "--k", "20"],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=300)
+    assert found.returncode == 0, found.stderr[-2000:]
+    assert found.stdout.count("c0") >= 10        # the zebra third
