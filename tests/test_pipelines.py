@@ -116,10 +116,14 @@ def test_multimodal_decode_stub():
     np.testing.assert_array_equal(f1, f2)
 
 
-def test_multimodal_real_decode_raises():
+def test_multimodal_real_decode_rejects_junk():
+    # image decode is REAL now (stdlib PNG): junk bytes are a malformed
+    # payload (ValueError), and only unknown kinds raise NotImplemented
     stub = mm.DecodeStub(fake=False)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="not a PNG"):
         stub._decode_one(b"payload", "image")
+    with pytest.raises(NotImplementedError):
+        stub._decode_one(b"payload", "3dmesh")
 
 
 def test_hamming_topk_vs_numpy_oracle():
@@ -262,7 +266,7 @@ def test_audio_decode_is_real():
     assert len(out) == 40 and all(len(f) == 16 for f in out.feature)
 
 
-def test_image_decode_still_raises():
+def test_image_decode_rejects_non_png():
     stub = mm.DecodeStub(fake=False)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="not a PNG"):
         stub._decode_one(b"notanimage", "image")
