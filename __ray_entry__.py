@@ -28,7 +28,7 @@ import ray.data as rd
 from opensearch_jvector_ray.oracles import (
     bm25_sql, boolean_sql, collection_stats_sql, events_asof_orders_sql, events_lww_sql,
     events_sessionize_sql, events_window_sql, exact_dedup_sql,
-    byte_knn_sql, embedding_dups_sql, ivf_fixed_sql, revenue_by_nation_sql, simhash_sql,
+    byte_knn_sql, corpus_clean_sql, embedding_dups_sql, ivf_fixed_sql, revenue_by_nation_sql, simhash_sql,
     top_order_revenue_sql, transcripts_bm25_sql,
     fingerprint_sql, grouped_best_sql, grouped_expand_sql, knn_sql,
     lang_id_sql, phrase_sql,
@@ -223,6 +223,18 @@ def _q_quality(sf_dir: str) -> pd.DataFrame:
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     out = (ds.map_batches(ts_pl.quality_stage(CFG, "doc_id", "text"),
                           batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_corpus_clean(sf_dir: str) -> pd.DataFrame:
+    # composite LLM-data chain: quality -> language -> exact-dedup
+    # canonical, ONE fused text pass + one narrow hash groupby
+    from opensearch_jvector_ray.pipelines.corpus import clean_corpus
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = clean_corpus(ds, CFG, "doc_id", "text",
+                       min_tokens=5, stop_threshold=0.1).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["n_tokens"] = out["n_tokens"].astype(np.int64)
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -537,6 +549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _q_exact_dedup,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
+        "corpus_clean": _q_corpus_clean,
         # vector scoring surface (§2.8 kernels)
         "knn_cosine_topk": _q_knn("cosine"),
         "knn_l2_topk": _q_knn("l2"),
@@ -614,6 +627,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": fingerprint_sql(CFG),
         "exact_dedup": exact_dedup_sql(CFG),
         "quality_score": quality_sql(CFG),
+        "corpus_clean": corpus_clean_sql(CFG, 5, 0.1),
         "lang_id": lang_id_sql(CFG),
         "knn_cosine_topk": knn_sql("cosine", KNN_QUERY_IDS, KNN_K),
         "knn_l2_topk": knn_sql("l2", KNN_QUERY_IDS, KNN_K),

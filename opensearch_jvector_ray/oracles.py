@@ -485,6 +485,37 @@ SELECT query_id, rank, {id_col}, score FROM ranked
 """
 
 
+def corpus_clean_sql(cfg: EngineConfig, min_tokens: int,
+                     stop_threshold: float, table: str = "documents",
+                     id_col: str = "doc_id", text_col: str = "text") -> str:
+    """Composite cleaning-chain oracle (quality -> language ->
+    exact-dedup canonical): same split pattern, stop list, 6dp ratio
+    rounding and min-id tie rule as pipelines/corpus.clean_corpus."""
+    pat = sql_quote(cfg.split_pattern)
+    stop = stoplist_sql(cfg)
+    return f"""
+WITH t AS (
+  SELECT {id_col}, {text_col},
+         list_filter(regexp_split_to_array(lower({text_col}), {pat}),
+                     x -> x <> '') AS toks
+  FROM {table}
+), f AS (
+  SELECT {id_col}, {text_col},
+         len(toks)::BIGINT AS total,
+         round(len(list_filter(toks, x -> list_contains({stop}, x)))::DOUBLE
+               / greatest(len(toks), 1), 6) AS stop_ratio
+  FROM t
+), k AS (
+  SELECT * FROM f
+  WHERE total >= {min_tokens} AND stop_ratio >= {stop_threshold!r}
+)
+SELECT min({id_col})::BIGINT AS {id_col},
+       min(total)::BIGINT AS n_tokens
+FROM k GROUP BY md5({norm_text_expr(cfg, text_col)})
+ORDER BY {id_col}
+"""
+
+
 def byte_knn_sql(metric: str, query_vec_ids: list[int], k: int,
                  scale: int = 64, table: str = "embeddings",
                  id_col: str = "vec_id", vec_col: str = "embedding") -> str:

@@ -566,3 +566,23 @@ def test_cli_build_from_jsonl(tmp_path):
         timeout=300)
     assert found.returncode == 0, found.stderr[-2000:]
     assert found.stdout.count("c0") >= 10        # the zebra third
+
+
+def test_corpus_clean_composite_chain():
+    """Planted case for the quality->language->dedup composite: short
+    docs and stopword-free docs drop, duplicates collapse to min id."""
+    from opensearch_jvector_ray.pipelines.corpus import clean_corpus
+    texts = [
+        "the quick brown fox jumps over the lazy dog",   # 0 keeps
+        "the quick brown fox jumps over the lazy dog",   # 1 dup of 0
+        "tiny",                                          # 2 too short
+        "alpha beta gamma delta epsilon zeta eta",       # 3 no stopwords
+        "it is a warm day and the sun shines brightly",  # 4 keeps
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(5), type=pa.int64()),
+                    "text": pa.array(texts)})
+    out = (clean_corpus(rd.from_arrow(tbl), EngineConfig(), "doc_id",
+                        "text", min_tokens=5, stop_threshold=0.1)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["doc_id"].tolist() == [0, 4]
+    assert out["n_tokens"].tolist() == [9, 10]
