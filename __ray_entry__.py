@@ -29,7 +29,7 @@ from opensearch_jvector_ray.oracles import (
     bm25_sql, boolean_sql, collection_stats_sql, events_asof_orders_sql, events_lww_sql,
     events_sessionize_sql, events_window_sql, exact_dedup_sql,
     byte_knn_sql, corpus_clean_sql, embedding_dups_sql, ivf_fixed_sql, revenue_by_nation_sql, simhash_sql,
-    top_order_revenue_sql, transcripts_bm25_sql,
+    revenue_by_region_brand_sql, top_order_revenue_sql, transcripts_bm25_sql,
     fingerprint_sql, grouped_best_sql, grouped_expand_sql, knn_sql,
     lang_id_sql, phrase_sql,
     pricing_summary_sql, quality_sql, term_stats_sql, token_count_sql,
@@ -427,6 +427,18 @@ def _q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
         os.path.join(sf_dir, "nation.parquet"))
 
 
+def _q_revenue_region_brand(sf_dir: str) -> pd.DataFrame:
+    # star join: streamed lineitem fact x four broadcast dims
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_suppkey", "l_extendedprice",
+                             "l_discount"])
+    return rel_pl.revenue_by_region_brand(
+        li, os.path.join(sf_dir, "part.parquet"),
+        os.path.join(sf_dir, "supplier.parquet"),
+        os.path.join(sf_dir, "nation.parquet"),
+        os.path.join(sf_dir, "region.parquet"))
+
+
 def _q_pricing(sf_dir: str) -> pd.DataFrame:
     ds = read_table(sf_dir, "lineitem",
                     columns=["l_returnflag", "l_linestatus", "l_quantity",
@@ -572,6 +584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_orders": _q_events_asof,
         "pricing_summary": _q_pricing,
         "revenue_by_nation": _q_revenue_by_nation,
+        "revenue_by_region_brand": _q_revenue_region_brand,
         "top_order_revenue": _q_top_order_revenue,
         # flagship transcript engine (pytest-oracle'd; not SQL-registered)
         "transcripts_bm25": _q_transcripts_bm25,
@@ -662,5 +675,6 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_orders": events_asof_orders_sql(),
         "pricing_summary": pricing_summary_sql(),
         "revenue_by_nation": revenue_by_nation_sql(),
+        "revenue_by_region_brand": revenue_by_region_brand_sql(),
         "top_order_revenue": top_order_revenue_sql(),
     }

@@ -752,6 +752,25 @@ GROUP BY n.n_name ORDER BY n.n_name
 """
 
 
+def revenue_by_region_brand_sql() -> str:
+    """Star-join oracle (four broadcast dims; pricing_summary integer
+    money math on both sides)."""
+    return """
+SELECT r.r_name, p.p_brand,
+       count(*)::BIGINT AS n_items,
+       round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+             / 10000.0, 4) AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY r.r_name, p.p_brand
+ORDER BY r.r_name, p.p_brand
+"""
+
+
 def events_sessionize_sql(gap_minutes: int = 30) -> str:
     """Session-window oracle via lag + running sum of new-session flags."""
     return f"""

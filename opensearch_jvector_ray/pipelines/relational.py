@@ -128,6 +128,89 @@ def revenue_by_nation(orders: "rd.Dataset", customer_path: str,
             [["n_name", "n_orders", "total_revenue"]])
 
 
+def revenue_by_region_brand(lineitem: "rd.Dataset", part_path: str,
+                            supplier_path: str, nation_path: str,
+                            region_path: str) -> pd.DataFrame:
+    """Multi-way BROADCAST star join: the lineitem fact streams, all four
+    dimension tables (part, supplier, nation, region) are composed
+    in-process into two flat lookups — partkey -> brand index and
+    suppkey -> region index (supplier⋈nation⋈region collapsed before
+    broadcast) — `ray.put` ONCE and probed with vectorized searchsorted
+    per batch.  Revenue uses the pricing_summary integer trick
+    (price_cents * (100 - discount_pct), exact int math on BOTH sides),
+    and only (region, brand, partials) rows ever shuffle.
+    """
+    import pyarrow.parquet as pq
+    import ray
+
+    part = pq.read_table(part_path, columns=["p_partkey", "p_brand"])
+    supp = pq.read_table(supplier_path,
+                         columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(nation_path,
+                        columns=["n_nationkey", "n_regionkey"])
+    reg = pq.read_table(region_path, columns=["r_regionkey", "r_name"])
+
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False)
+    brands, bidx = np.unique(np.asarray(part["p_brand"].to_pylist(),
+                                        dtype=object), return_inverse=True)
+    po = np.argsort(pk, kind="stable")
+
+    nk = nat["n_nationkey"].to_numpy(zero_copy_only=False)
+    nreg = nat["n_regionkey"].to_numpy(zero_copy_only=False)
+    no = np.argsort(nk, kind="stable")
+    rk = reg["r_regionkey"].to_numpy(zero_copy_only=False)
+    rnames = np.asarray(reg["r_name"].to_pylist(), dtype=object)
+    ro = np.argsort(rk, kind="stable")
+    sk = supp["s_suppkey"].to_numpy(zero_copy_only=False)
+    sn = supp["s_nationkey"].to_numpy(zero_copy_only=False)
+    so = np.argsort(sk, kind="stable")
+    # collapse supplier -> region INDEX before broadcasting
+    npos = np.searchsorted(nk[no], sn[so])
+    sreg = rk_pos = np.searchsorted(rk[ro], nreg[no][npos])
+    lookup_ref = ray.put((pk[po], bidx[po], sk[so], sreg,
+                          brands, rnames[ro]))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pk_s, bid_s, sk_s, sreg_s, brands_, regions_ = ray.get(lookup_ref)
+        lpk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        lsk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        price_c = np.rint(batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        disc_c = np.rint(batch["l_discount"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        rev = price_c * (100 - disc_c)
+        ppos = np.clip(np.searchsorted(pk_s, lpk), 0, len(pk_s) - 1)
+        phit = pk_s[ppos] == lpk
+        spos = np.clip(np.searchsorted(sk_s, lsk), 0, len(sk_s) - 1)
+        shit = sk_s[spos] == lsk
+        hit = phit & shit
+        nb = len(brands_)
+        combined = sreg_s[spos[hit]] * nb + bid_s[ppos[hit]]
+        size = len(regions_) * nb
+        n_items = np.bincount(combined, minlength=size)
+        sums = np.bincount(combined, weights=rev[hit].astype(np.float64),
+                           minlength=size).astype(np.int64)
+        nz = np.flatnonzero(n_items)
+        return pa.table({
+            "r_name": pa.array([regions_[i // nb] for i in nz],
+                               type=pa.string()),
+            "p_brand": pa.array([brands_[i % nb] for i in nz],
+                                type=pa.string()),
+            "rev_i": pa.array(sums[nz]),
+            "n_items": pa.array(n_items[nz].astype(np.int64)),
+        })
+
+    agg = (lineitem.map_batches(partial, batch_format="pyarrow")
+           .groupby(["r_name", "p_brand"])
+           .aggregate(Sum("rev_i", alias_name="rev_i"),
+                      Sum("n_items", alias_name="n_items"))
+           .to_pandas())
+    agg["revenue"] = np.round(agg.pop("rev_i") / 10000.0, 4)
+    agg["n_items"] = agg["n_items"].astype(np.int64)
+    return (agg.sort_values(["r_name", "p_brand"]).reset_index(drop=True)
+            [["r_name", "p_brand", "n_items", "revenue"]])
+
+
 def events_window_agg(ds: "rd.Dataset") -> pd.DataFrame:
     """Tumbling daily window aggregate per event type (the windowed-
     aggregate custom operator: floor-to-window inside map_batches partials,
