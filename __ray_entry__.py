@@ -361,6 +361,32 @@ def _q_knn_graph(sf_dir: str) -> pd.DataFrame:
     return _round_hits(out)
 
 
+def _q_knn_graph_merged(sf_dir: str) -> pd.DataFrame:
+    # the INCREMENTAL merge itself under a hard gate: merge the 4-part
+    # graph index into 1 part via the leading-graph branch, then search
+    # at full beam — exhaustive (Hamilton cycle) => equals brute force
+    import os
+    import shutil
+    from opensearch_jvector_ray.pipelines import graph as graph_pl
+    from opensearch_jvector_ray.sources.tables import CACHE_ROOT
+    key = os.path.basename(os.path.normpath(sf_dir))
+    idx = os.path.join(CACHE_ROOT, f"graphidx_{key}_p4m16e64v3")
+    if not os.path.exists(os.path.join(idx, graph_pl.META_NAME)):
+        ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        graph_pl.build_graph_index(ds, idx, num_parts=4)
+    merged = os.path.join(CACHE_ROOT, f"graphmrg_{key}_v3")
+    if not os.path.exists(os.path.join(merged, graph_pl.META_NAME)):
+        shutil.rmtree(merged, ignore_errors=True)
+        graph_pl.merge_graph_index(idx, merged, merge_factor=4,
+                                   mode="incremental")
+    n_rows = pq.read_metadata(
+        os.path.join(sf_dir, "embeddings.parquet")).num_rows
+    queries = query_embeddings(sf_dir, KNN_QUERY_IDS)
+    out = graph_pl.graph_topk(merged, queries, KNN_K, ef_search=n_rows,
+                              round_decimals=6)
+    return _round_hits(out)
+
+
 def _q_knn_hamming(sf_dir: str) -> pd.DataFrame:
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     queries = query_embeddings(sf_dir, KNN_QUERY_IDS)
@@ -576,6 +602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_partitioned": _q_knn_ivf_partitioned,
         "knn_pq_rerank": _q_knn_pq_rerank,
         "knn_graph_topk": _q_knn_graph,
+        "knn_graph_merged": _q_knn_graph_merged,
         "knn_hamming_topk": _q_knn_hamming,
         # relational / lifecycle operators
         "events_last_write_wins": _q_events_lww,
@@ -665,6 +692,7 @@ def oracle_sql() -> dict[str, str]:
         # force, so the approximate engines get HARD oracles too
         "knn_pq_rerank": knn_sql("cosine", KNN_QUERY_IDS, KNN_K),
         "knn_graph_topk": knn_sql("cosine", KNN_QUERY_IDS, KNN_K),
+        "knn_graph_merged": knn_sql("cosine", KNN_QUERY_IDS, KNN_K),
         "embedding_near_dups": embedding_dups_sql(
             0.95, N_PLANTED_DUPS, PLANT_ID_OFFSET),
         "simhash_near_dups": simhash_sql(CFG, max_hamming=3),
