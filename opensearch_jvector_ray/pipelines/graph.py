@@ -432,6 +432,7 @@ def _finalize_graph(unit: np.ndarray, nbrs: np.ndarray, m: int,
     KNN edges would isolate."""
     n = len(nbrs)
     keep_m = max(1, m - n_long)
+    n_long = m - keep_m                # clamp for tiny degrees (m <= n_long)
     out = np.full((n, m), -1, dtype=np.int32)
     stride = max(1, int(round(n * 0.6180339887)))
     for lo in range(0, n, _DESCENT_CHUNK):

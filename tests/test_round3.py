@@ -586,3 +586,71 @@ def test_corpus_clean_composite_chain():
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert out["doc_id"].tolist() == [0, 4]
     assert out["n_tokens"].tolist() == [9, 10]
+
+
+def test_graph_full_beam_exactness_randomized():
+    """Property: for random shapes/degrees, full-beam search over a
+    built graph equals brute force EXACTLY (rounded-rank rule) — the
+    foundation of the degenerate-exact driver oracles."""
+    from opensearch_jvector_ray.pipelines.graph import (
+        _beam_batch, _ensure_cycle, _unitize, build_graph,
+    )
+    from opensearch_jvector_ray.functions.scoring import (
+        cosine_score, cosine_similarity,
+    )
+    rng = np.random.default_rng(1234)
+    for trial in range(10):
+        n = int(rng.integers(2, 80))
+        d = int(rng.integers(2, 24))
+        m = int(rng.integers(2, 10))
+        vecs = rng.standard_normal((n, d))
+        if trial % 3 == 0:                 # degenerate: duplicated rows
+            vecs[: n // 2] = vecs[0]
+        nbrs = _ensure_cycle(build_graph(vecs, m_degree=m,
+                                         ef_construction=16))
+        unit = _unitize(vecs)
+        n_nbrs = (nbrs >= 0).sum(axis=1).astype(np.int32)
+        q = vecs[int(rng.integers(0, n))]
+        qn = (q / (np.linalg.norm(q) or 1.0)).astype(np.float64)
+        _, V = _beam_batch(unit, nbrs, n_nbrs, [0], qn[None, :], ef=n)
+        got = set(V[0][V[0] >= 0].tolist())
+        assert got == set(range(n)), \
+            f"trial {trial}: full beam missed {set(range(n)) - got}"
+        # rounded-rank top-k equals brute force
+        k = min(5, n)
+        score = np.round(cosine_score(cosine_similarity(vecs, q)), 6)
+        order = np.lexsort((np.arange(n), -score))[:k]
+        cand = V[0][V[0] >= 0]
+        cs = np.round(cosine_score(cosine_similarity(vecs[cand], q)), 6)
+        corder = cand[np.lexsort((cand, -cs))][:k]
+        np.testing.assert_array_equal(corder, order)
+
+
+def test_graph_incremental_merge_exactness_randomized():
+    """Property: random partition splits merged incrementally stay
+    full-beam exact (every node reachable after leading-edge reuse +
+    bulk insert + cycle insurance)."""
+    from opensearch_jvector_ray.pipelines import graph as graph_pl
+    rng = np.random.default_rng(77)
+    for trial in range(4):
+        n_parts = int(rng.integers(2, 6))
+        vecs = _clustered_vecs(seed=int(rng.integers(0, 1000)),
+                               n_centers=3, per=40, d=12)
+        import tempfile
+        with tempfile.TemporaryDirectory() as td:
+            ds = rd.from_arrow(_vec_table(vecs))
+            idx = os.path.join(td, "g")
+            graph_pl.build_graph_index(ds, idx, num_parts=n_parts,
+                                       m_degree=8, ef_construction=24)
+            dst = os.path.join(td, "m")
+            graph_pl.merge_graph_index(idx, dst, merge_factor=n_parts,
+                                       mode="incremental")
+            queries = {"q": vecs[int(rng.integers(0, len(vecs)))]
+                       .astype(np.float64)}
+            exact = knn_pl.brute_force_topk(ds, queries, 8,
+                                            metric="cosine",
+                                            round_decimals=6)
+            out = graph_pl.graph_topk(dst, queries, 8,
+                                      ef_search=len(vecs),
+                                      round_decimals=6)
+            pd.testing.assert_frame_equal(out, exact)
