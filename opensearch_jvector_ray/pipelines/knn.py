@@ -174,8 +174,10 @@ def byte_topk(ds: "rd.Dataset", queries: dict[str, np.ndarray],
     qv = {q: scoring.validate_byte_vector(v) for q, v in queries.items()}
 
     def to_int8(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
         vecs = scoring.validate_byte_vector(_vecs_from_batch(batch, vec_col))
-        n, d = vecs.shape if vecs.size else (batch.num_rows, 0)
+        n, d = vecs.shape
         offs = pa.array(np.arange(0, (n + 1) * d, max(d, 1),
                                   dtype=np.int32)[: n + 1])
         lst = pa.ListArray.from_arrays(
