@@ -1,0 +1,145 @@
+"""JSON query DSL: the parser/translation surface of the reference's
+query builders (`query/parser/KNNQueryBuilderParser.java` — strict field
+validation, typed params, per-space radial forms — and the BM25 path the
+plugin delegates to OpenSearch's query DSL for).
+
+Supported bodies (one top-level clause per query):
+
+    {"match":  {"query": "...", "k": 10, "mode": "taat|wand|rescore|
+                "phrase", "min_score": f, "collapse": col}}
+    {"bool":   {"must": [...], "should": [...], "must_not": [...],
+                "k": 10}}           # term lists, Lucene BooleanQuery rules
+    {"knn":    {"vector": [...], "k": 10, "metric": "cosine|l2|...",
+                "min_score": f | "max_distance": f,
+                "filter": {"term": {col: value}}}}
+
+``parse_query`` validates STRICTLY (unknown fields are errors, like the
+reference parser's ParseField contract) and returns a plain spec dict;
+``execute_query`` runs it against an IndexSearcher (match/bool) or a
+vector Dataset (knn).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+_MATCH_FIELDS = {"query", "k", "mode", "min_score", "collapse"}
+_BOOL_FIELDS = {"must", "should", "must_not", "k"}
+_KNN_FIELDS = {"vector", "k", "metric", "min_score", "max_distance",
+               "filter"}
+_MODES = {"taat", "wand", "rescore", "phrase"}
+_METRICS = {"cosine", "l2", "innerproduct", "l1", "linf", "hamming"}
+
+
+def _require_known(clause: str, body: dict, allowed: set) -> None:
+    unknown = sorted(set(body) - allowed)
+    if unknown:
+        raise ValueError(
+            f"[{clause}] does not support {unknown}; allowed: "
+            f"{sorted(allowed)} (KNNQueryBuilderParser strictness)")
+
+
+def parse_query(body: dict[str, Any]) -> dict[str, Any]:
+    """Validate a query body and normalize it to a spec dict with a
+    ``type`` discriminator."""
+    if not isinstance(body, dict) or len(body) != 1:
+        raise ValueError("query body must have exactly one top-level "
+                         "clause: match | bool | knn")
+    (clause, spec), = body.items()
+    if not isinstance(spec, dict):
+        raise ValueError(f"[{clause}] body must be an object")
+    if clause == "match":
+        _require_known(clause, spec, _MATCH_FIELDS)
+        if not isinstance(spec.get("query"), str) or not spec["query"]:
+            raise ValueError("[match] needs a non-empty 'query' string")
+        mode = spec.get("mode", "taat")
+        if mode not in _MODES:
+            raise ValueError(f"[match] unknown mode {mode!r}")
+        return {"type": "match", "query": spec["query"],
+                "k": int(spec.get("k", 10)), "mode": mode,
+                "min_score": spec.get("min_score"),
+                "collapse": spec.get("collapse")}
+    if clause == "bool":
+        _require_known(clause, spec, _BOOL_FIELDS)
+        out = {"type": "bool", "k": int(spec.get("k", 10))}
+        for part in ("must", "should", "must_not"):
+            terms = spec.get(part, [])
+            if not isinstance(terms, list) or \
+                    not all(isinstance(t, str) for t in terms):
+                raise ValueError(f"[bool] '{part}' must be a list of "
+                                 f"term strings")
+            out[part] = list(terms)
+        if not (out["must"] or out["should"]):
+            raise ValueError("[bool] needs at least one must/should term")
+        return out
+    if clause == "knn":
+        _require_known(clause, spec, _KNN_FIELDS)
+        vec = spec.get("vector")
+        if not isinstance(vec, (list, tuple)) or not vec:
+            raise ValueError("[knn] needs a non-empty 'vector' array")
+        metric = spec.get("metric", "cosine")
+        if metric not in _METRICS:
+            raise ValueError(f"[knn] unknown metric {metric!r}")
+        if spec.get("min_score") is not None and \
+                spec.get("max_distance") is not None:
+            raise ValueError("[knn] pass min_score OR max_distance, not "
+                             "both (KNNQueryBuilder.java:438-472)")
+        flt = spec.get("filter")
+        if flt is not None:
+            if (not isinstance(flt, dict) or set(flt) != {"term"}
+                    or not isinstance(flt["term"], dict)
+                    or len(flt["term"]) != 1):
+                raise ValueError("[knn] filter must be "
+                                 "{'term': {column: value}}")
+        return {"type": "knn",
+                "vector": np.asarray(vec, dtype=np.float64),
+                "k": int(spec.get("k", 10)), "metric": metric,
+                "min_score": spec.get("min_score"),
+                "max_distance": spec.get("max_distance"),
+                "filter": flt}
+    raise ValueError(f"unknown query clause {clause!r} "
+                     f"(supported: match, bool, knn)")
+
+
+def execute_query(body: dict[str, Any], *, searcher=None, vector_ds=None,
+                  query_id: str = "q", round_decimals: int | None = 6):
+    """Run a parsed query: match/bool against an ``IndexSearcher``,
+    knn against a vector Dataset (brute-force path; point graph/IVF
+    searches at their own APIs)."""
+    spec = parse_query(body)
+    if spec["type"] in ("match", "bool"):
+        if searcher is None:
+            raise ValueError(f"[{spec['type']}] needs searcher=")
+        if spec["type"] == "bool":
+            text = " ".join(spec["should"]
+                            + [f"+{t}" for t in spec["must"]]
+                            + [f"-{t}" for t in spec["must_not"]])
+            return searcher.search({query_id: text}, k=spec["k"],
+                                   mode="boolean")
+        kwargs: dict[str, Any] = {}
+        mode = spec["mode"]
+        if mode == "rescore":
+            mode, kwargs = "taat", {"rescore_oversample": 3.0}
+        if spec["min_score"] is not None:
+            return searcher.search({query_id: spec["query"]},
+                                   min_score=spec["min_score"],
+                                   mode=mode, **kwargs)
+        return searcher.search({query_id: spec["query"]}, k=spec["k"],
+                               mode=mode,
+                               collapse_col=spec["collapse"], **kwargs)
+    if vector_ds is None:
+        raise ValueError("[knn] needs vector_ds=")
+    from opensearch_jvector_ray.pipelines.knn import brute_force_topk
+    filter_expr = None
+    if spec["filter"] is not None:
+        import pyarrow.compute as pc
+        ((col, val),) = spec["filter"]["term"].items()
+        filter_expr = pc.field(col) == val
+    return brute_force_topk(vector_ds, {query_id: spec["vector"]},
+                            spec["k"], metric=spec["metric"],
+                            round_decimals=round_decimals,
+                            filter_expr=filter_expr,
+                            min_score=spec["min_score"],
+                            max_distance=spec["max_distance"])

@@ -654,3 +654,65 @@ def test_graph_incremental_merge_exactness_randomized():
                                       ef_search=len(vecs),
                                       round_decimals=6)
             pd.testing.assert_frame_equal(out, exact)
+
+
+# ---------------------------------------------------------------------------
+# JSON query DSL (KNNQueryBuilderParser-strict parse + translate)
+# ---------------------------------------------------------------------------
+
+def test_query_dsl_validation():
+    from opensearch_jvector_ray.query_dsl import parse_query
+    with pytest.raises(ValueError, match="exactly one top-level"):
+        parse_query({"match": {}, "knn": {}})
+    with pytest.raises(ValueError, match="does not support"):
+        parse_query({"match": {"query": "x", "bogus": 1}})
+    with pytest.raises(ValueError, match="unknown mode"):
+        parse_query({"match": {"query": "x", "mode": "zap"}})
+    with pytest.raises(ValueError, match="not.*both|not .*both"):
+        parse_query({"knn": {"vector": [1.0], "min_score": 0.5,
+                             "max_distance": 0.5}})
+    with pytest.raises(ValueError, match="unknown query clause"):
+        parse_query({"fuzzy": {}})
+    s = parse_query({"knn": {"vector": [1, 2], "metric": "l2"}})
+    assert s["type"] == "knn" and s["k"] == 10
+
+
+def test_query_dsl_execution_matches_direct_calls(tmp_path):
+    from opensearch_jvector_ray.query_dsl import execute_query
+    texts = ["alpha beta", "alpha gamma", "beta gamma", "alpha beta gamma",
+             "delta eps"] * 4
+    idx = str(tmp_path / "idx")
+    build_index(rd.from_arrow(_corpus(texts)), idx,
+                EngineConfig(num_segments=2), IndexSpec())
+    s = IndexSearcher(idx)
+    a = execute_query({"match": {"query": "alpha beta", "k": 5}},
+                      searcher=s)
+    b = s.search({"q": "alpha beta"}, k=5)
+    pd.testing.assert_frame_equal(a, b)
+    a = execute_query({"bool": {"must": ["alpha"], "must_not": ["gamma"],
+                                "should": ["beta"], "k": 10}}, searcher=s)
+    b = s.search({"q": "beta +alpha -gamma"}, k=10, mode="boolean")
+    pd.testing.assert_frame_equal(a, b)
+    # knn with filter + max_distance
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((100, 8)).astype(np.float32)
+    vt = pa.table({
+        "vec_id": pa.array(range(100), type=pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array([i % 4 for i in range(100)], type=pa.int32())})
+    ds = rd.from_arrow(vt)
+    a = execute_query({"knn": {"vector": vecs[7].tolist(), "k": 5,
+                               "filter": {"term": {"label": 3}}}},
+                      vector_ds=ds)
+    import pyarrow.compute as pc2
+    b = knn_pl.brute_force_topk(ds, {"q": vecs[7].astype(np.float64)}, 5,
+                                metric="cosine", round_decimals=6,
+                                filter_expr=pc2.field("label") == 3)
+    pd.testing.assert_frame_equal(a, b)
+    a = execute_query({"knn": {"vector": vecs[7].tolist(),
+                               "max_distance": 0.75}}, vector_ds=ds)
+    b = knn_pl.brute_force_topk(ds, {"q": vecs[7].astype(np.float64)},
+                                None, metric="cosine", round_decimals=6,
+                                max_distance=0.75)
+    pd.testing.assert_frame_equal(a, b)
