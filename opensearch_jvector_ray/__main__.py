@@ -63,11 +63,13 @@ def main(argv: list[str] | None = None) -> int:
 
     s = sub.add_parser("search")
     s.add_argument("--index", required=True)
-    s.add_argument("--query", action="append", required=True)
+    s.add_argument("--query", action="append", default=None)
     s.add_argument("--k", type=int, default=10)
     s.add_argument("--mode", default="taat",
                    choices=["taat", "wand", "rescore", "phrase", "boolean"])
     s.add_argument("--collapse", default=None)
+    s.add_argument("--dsl", default=None,
+                   help="JSON query body (match | bool); overrides --query")
 
     m = sub.add_parser("merge")
     m.add_argument("--index", required=True)
@@ -152,6 +154,14 @@ def main(argv: list[str] | None = None) -> int:
                               "build_sec": round(res.build_sec, 3)}))
         elif args.cmd == "search":
             from opensearch_jvector_ray.query import IndexSearcher
+            if args.dsl:
+                from opensearch_jvector_ray.query_dsl import execute_query
+                out = execute_query(json.loads(args.dsl),
+                                    searcher=IndexSearcher(args.index))
+                print(out.to_string(index=False))
+                return 0
+            if not args.query:
+                p.error("search needs --query or --dsl")
             queries = {f"q{i}": q for i, q in enumerate(args.query)}
             kwargs = {}
             if args.mode == "rescore":
