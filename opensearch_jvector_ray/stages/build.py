@@ -603,22 +603,52 @@ def add_segments(index_dir: str, source: "rd.Dataset | str | list[str]",
                .take_all())
         n_skipped = len(plan) - len(todo) + len(prior)
     else:
-        # Dataset input: hash-assign into num_segments NEW segments;
-        # done_new is non-empty on resume because base is journalled
-        done_new = frozenset(s - base for s in prior if s >= base)
-        shuffled = (source.select_columns(spec.all_cols())
-                    .map_batches(_assign_segments, batch_format="pyarrow",
-                                 fn_kwargs={"spec": spec,
-                                            "num_segments": cfg.num_segments,
-                                            "done": done_new})
-                    .map_batches(lambda b: b.set_column(
-                        b.column_names.index(SEG_COL), SEG_COL,
-                        pc.add(b[SEG_COL], base)), batch_format="pyarrow")
-                    .groupby(SEG_COL)
-                    .map_groups(make_segment_builder(index_dir, cfg, spec,
-                                                     lineage),
-                                batch_format="pyarrow"))
-        shuffled.take_all()
+        # Dataset input: DISK-STAGED repartition into num_segments NEW
+        # segments (the build staged-mode shape — a partitioned write +
+        # partitioned read instead of the in-memory groupby exchange;
+        # measured 12.7s -> 11.0s e2e at 2.4M appended turns, and the
+        # staging dir checkpoints the exchange itself), resumable under
+        # the journalled base
+        import glob as globmod
+        import shutil as _sh
+        staging = os.path.join(index_dir, "_appends", f"{fp}_staging")
+        if not os.path.exists(os.path.join(staging, "_DONE")):
+            if os.path.isdir(staging):
+                _sh.rmtree(staging, ignore_errors=True)
+            (source.select_columns(spec.all_cols())
+               .map_batches(_assign_segments, batch_format="pyarrow",
+                            fn_kwargs={"spec": spec,
+                                       "num_segments": cfg.num_segments,
+                                       "done": frozenset()})
+               .map_batches(lambda b: b.set_column(
+                   b.column_names.index(SEG_COL), SEG_COL,
+                   pc.add(b[SEG_COL], base)), batch_format="pyarrow")
+               .write_parquet(staging, partition_cols=[SEG_COL]))
+            write_json_atomic(os.path.join(staging, "_DONE"), {"ok": True})
+        builder = make_segment_builder(index_dir, cfg, spec, lineage)
+
+        def build_staged(batch: pa.Table) -> pa.Table:
+            out = []
+            for seg in batch["seg"].to_pylist():
+                files = sorted(globmod.glob(
+                    os.path.join(staging, f"{SEG_COL}={seg}", "*.parquet")))
+                tbl = pa.concat_tables([
+                    pq.read_table(f, columns=spec.all_cols())
+                    for f in files])
+                tbl = tbl.append_column(SEG_COL, pa.array(
+                    np.full(tbl.num_rows, seg, dtype=np.int32)))
+                out.append(builder(tbl))
+            return pa.concat_tables(out)
+
+        seg_ids = sorted(
+            int(d.split("=")[1]) for d in os.listdir(staging)
+            if d.startswith(f"{SEG_COL}="))
+        todo = [{"seg": s} for s in seg_ids if s not in prior]
+        if todo:
+            rd.from_items(todo).map_batches(
+                build_staged, batch_format="pyarrow",
+                batch_size=1).take_all()
+        _sh.rmtree(staging, ignore_errors=True)
         n_skipped = len(prior)
     write_json_atomic(jpath, {**journal, "complete": True})
     return _finish_index(index_dir, cfg, t0, n_skipped)
