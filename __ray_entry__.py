@@ -387,6 +387,32 @@ def _q_knn_graph_merged(sf_dir: str) -> pd.DataFrame:
     return _round_hits(out)
 
 
+def _q_knn_graph_pq(sf_dir: str) -> pd.DataFrame:
+    # QUANTIZED graph search (the reference's PQ mode: segment-local
+    # codebook at flush, ADC lookup-sum traversal, exact rerank —
+    # `JVectorWriter.java:381-414`, `JVectorReader.java:154-166`) at the
+    # degenerate-exact setting: the codebook is DELIBERATELY coarse
+    # (16 codes) so the walk order is visibly approximate, but full beam
+    # still visits every node and the rescore is full-precision => equals
+    # brute force — a hard SQL oracle over train+encode+ADC-beam+rerank.
+    import os
+    from opensearch_jvector_ray.pipelines import graph as graph_pl
+    from opensearch_jvector_ray.sources.tables import CACHE_ROOT
+    key = os.path.basename(os.path.normpath(sf_dir))
+    idx = os.path.join(CACHE_ROOT, f"graphpq_{key}_p4m16e64c16v1")
+    if not os.path.exists(os.path.join(idx, graph_pl.META_NAME)):
+        ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        graph_pl.build_graph_index(ds, idx, num_parts=4,
+                                   pq_m_subspaces=8, pq_n_codes=16,
+                                   pq_min_rows=2)
+    n_rows = pq.read_metadata(
+        os.path.join(sf_dir, "embeddings.parquet")).num_rows
+    queries = query_embeddings(sf_dir, KNN_QUERY_IDS)
+    out = graph_pl.graph_topk(idx, queries, KNN_K, ef_search=n_rows,
+                              round_decimals=6, use_pq=True)
+    return _round_hits(out)
+
+
 def _q_knn_hamming(sf_dir: str) -> pd.DataFrame:
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     queries = query_embeddings(sf_dir, KNN_QUERY_IDS)
@@ -603,6 +629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_pq_rerank": _q_knn_pq_rerank,
         "knn_graph_topk": _q_knn_graph,
         "knn_graph_merged": _q_knn_graph_merged,
+        "knn_graph_pq": _q_knn_graph_pq,
         "knn_hamming_topk": _q_knn_hamming,
         # relational / lifecycle operators
         "events_last_write_wins": _q_events_lww,
@@ -693,6 +720,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_pq_rerank": knn_sql("cosine", KNN_QUERY_IDS, KNN_K),
         "knn_graph_topk": knn_sql("cosine", KNN_QUERY_IDS, KNN_K),
         "knn_graph_merged": knn_sql("cosine", KNN_QUERY_IDS, KNN_K),
+        "knn_graph_pq": knn_sql("cosine", KNN_QUERY_IDS, KNN_K),
         "embedding_near_dups": embedding_dups_sql(
             0.95, N_PLANTED_DUPS, PLANT_ID_OFFSET),
         "simhash_near_dups": simhash_sql(CFG, max_hamming=3),

@@ -91,7 +91,9 @@ def _entry_set(n_valid: int, rng_seed: int = 42,
 
 def _beam_batch(unit: np.ndarray, nbrs: np.ndarray, n_nbrs: np.ndarray,
                 entries: list[int], Q: np.ndarray, ef: int,
-                n_valid: int | None = None
+                n_valid: int | None = None,
+                lut: np.ndarray | None = None,
+                codes: np.ndarray | None = None
                 ) -> tuple[np.ndarray, np.ndarray]:
     """Lockstep beam search for B queries at once over the frozen graph.
 
@@ -100,6 +102,14 @@ def _beam_batch(unit: np.ndarray, nbrs: np.ndarray, n_nbrs: np.ndarray,
     unexpanded pool entry of EVERY active query simultaneously (neighbor
     gather + one batched einsum + one per-row merge sort) — the loop runs
     O(ef) times total, never once per vector.
+
+    When ``lut``/``codes`` are given, traversal distances come from PQ
+    asymmetric lookup sums instead of float dots (the quantized search
+    mode of `JVectorReader.search`, `JVectorReader.java:154-166`):
+    ``lut`` is (B, M*K) per-query negated partial dots, ``codes`` is the
+    (n, M) uint8 code matrix — a node's distance is M table gathers, no
+    vector memory is touched during the walk.  Exhaustiveness under full
+    beam is unchanged (pool ORDER is approximate, coverage is not).
 
     Returns (dists (B, ef) ascending, nodes (B, ef)); pads with
     (inf, -1).  With ``ef`` >= reachable-set size the search is
@@ -115,14 +125,22 @@ def _beam_batch(unit: np.ndarray, nbrs: np.ndarray, n_nbrs: np.ndarray,
         return (np.full((B, ef), np.inf),
                 np.full((B, ef), -1, dtype=np.int64))
     Q = np.asarray(Q, dtype=np.float32)
+    pq_off = None
+    if lut is not None:
+        M = codes.shape[1]
+        pq_off = np.arange(M, dtype=np.int64) * (lut.shape[1] // M)
     # bandwidth-aware: below the matmul threshold, ALL query->node dots
     # are one BLAS (B, n) matmul up front and the beam only gathers
     # floats — the per-iteration (A, m, d) row gather + einsum is what
     # dominates on this memory-throttled sandbox
     d_all = None
-    if len(unit) * B <= _FULL_MM_MAX_N * 64:
+    if lut is None and len(unit) * B <= _FULL_MM_MAX_N * 64:
         d_all = -(Q @ unit.T)                           # (B, n)
-    d0 = -(unit[ent] @ Q.T).T                           # (B, E)
+    if lut is not None:
+        idx0 = codes[ent].astype(np.int64) + pq_off     # (E, M)
+        d0 = lut[:, idx0].sum(axis=2)                   # (B, E)
+    else:
+        d0 = -(unit[ent] @ Q.T).T                       # (B, E)
     order = np.argsort(d0, axis=1, kind="stable")
     e0 = min(len(ent), ef)
     pool_d = np.full((B, ef), np.inf)
@@ -154,7 +172,11 @@ def _beam_batch(unit: np.ndarray, nbrs: np.ndarray, n_nbrs: np.ndarray,
             continue
         r, c = np.nonzero(valid)
         visited[act[r], neigh[r, c]] = True
-        if d_all is not None:
+        if lut is not None:
+            idxn = codes[neigh_c].astype(np.int64) + pq_off   # (A, m, M)
+            dn = np.take_along_axis(lut[act][:, None, :], idxn,
+                                    axis=2).sum(axis=2)
+        elif d_all is not None:
             dn = np.take_along_axis(d_all[act], neigh_c, axis=1)
         else:
             dn = -np.einsum("amd,ad->am", unit[neigh_c], Q[act])
@@ -551,8 +573,50 @@ def _ensure_cycle(nbrs: np.ndarray) -> np.ndarray:
     return nbrs
 
 
+PQ_NAME = "pq.npz"
+
+
+def _pq_neg_lut(book: np.ndarray, Qn: np.ndarray) -> np.ndarray:
+    """(B, M*K) float32 flattened lookup tables of NEGATED per-subspace
+    dots between unit queries and the partition codebook — the beam's
+    smaller-is-better convention, so a node's approximate distance is a
+    plain gather-sum over its M codes (asymmetric distance computation)."""
+    M, K, dsub = book.shape
+    Qs = np.asarray(Qn, dtype=np.float32).reshape(len(Qn), M, dsub)
+    lut = -np.einsum("mkd,bmd->bmk", book.astype(np.float32), Qs)
+    return np.ascontiguousarray(lut.reshape(len(Qn), M * K))
+
+
+def _train_part_pq(vecs_unit: np.ndarray, m_subspaces: int, n_codes: int,
+                   sample: int = 65536,
+                   seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    """Per-partition quantizer: codebook from a bounded seeded sample of
+    the partition's UNIT rows (traversal geometry), codes for every row.
+    The flush-time segment-local PQ train of `JVectorWriter.flush`
+    (`JVectorWriter.java:381-414`)."""
+    from opensearch_jvector_ray.pipelines.pq import (
+        _kmeans_subspaces, pq_encode,
+    )
+    X = vecs_unit
+    if len(X) > sample:
+        rng = np.random.default_rng(seed)
+        X = X[np.sort(rng.choice(len(X), size=sample, replace=False))]
+    book = _kmeans_subspaces(X, m_subspaces, n_codes, seed=seed)
+    return book, pq_encode(vecs_unit, book)
+
+
+def _load_part_pq(pdir: str) -> tuple[np.ndarray, np.ndarray] | None:
+    path = os.path.join(pdir, PQ_NAME)
+    if not os.path.exists(path):
+        return None
+    z = np.load(path)
+    return z["book"], z["codes"]
+
+
 def _write_part(out: str, ids: np.ndarray, vecs: np.ndarray,
-                nbrs: np.ndarray, id_col: str, vec_col: str) -> None:
+                nbrs: np.ndarray, id_col: str, vec_col: str,
+                pq_book: np.ndarray | None = None,
+                pq_codes: np.ndarray | None = None) -> None:
     os.makedirs(out, exist_ok=True)
     nbrs = _ensure_cycle(np.ascontiguousarray(nbrs))
     tbl = pa.table({
@@ -563,6 +627,8 @@ def _write_part(out: str, ids: np.ndarray, vecs: np.ndarray,
                               type=pa.list_(pa.int32())),
     })
     pq.write_table(tbl, os.path.join(out, "graph.parquet"))
+    if pq_book is not None:
+        np.savez(os.path.join(out, PQ_NAME), book=pq_book, codes=pq_codes)
     unit = _unitize(vecs)
     entries = sorted({_medoid(unit), *_entry_set(len(ids))})
     with open(os.path.join(out, "_META"), "w") as f:
@@ -577,6 +643,8 @@ def build_graph_index(ds: "rd.Dataset", index_dir: str, *,
                       num_parts: int = 8, m_degree: int = 16,
                       ef_construction: int = 64,
                       id_col: str = "vec_id", vec_col: str = "embedding",
+                      pq_m_subspaces: int | None = None,
+                      pq_n_codes: int = 256, pq_min_rows: int = 1024,
                       ) -> None:
     """Hash-partition vectors, build one graph per partition, persist.
 
@@ -584,6 +652,15 @@ def build_graph_index(ds: "rd.Dataset", index_dir: str, *,
     build is one shuffle + embarrassingly parallel graph constructions —
     at 100 TB each partition is a bounded working set sized by
     ``num_parts``, and a failed run resumes past parts whose meta exists.
+
+    With ``pq_m_subspaces`` set, each partition also trains a segment-
+    local PQ codebook and stores uint8 codes next to the graph (the
+    optional quantization of `JVectorWriter.flush`,
+    `JVectorWriter.java:381-414`); partitions smaller than
+    ``pq_min_rows`` skip quantization, the min-batch-for-quantization
+    rule (`common/KNNConstants.java:132`, default 1024).  Quantized
+    partitions are searched with PQ traversal + exact rerank unless the
+    caller opts out (``graph_topk(use_pq=False)``).
     """
     import shutil
     os.makedirs(index_dir, exist_ok=True)
@@ -622,8 +699,13 @@ def build_graph_index(ds: "rd.Dataset", index_dir: str, *,
             vecs = _vecs_from_batch(tbl, vec_col)
             nbrs = build_graph(vecs, m_degree=m_degree,
                                ef_construction=ef_construction)
+            book = codes = None
+            if pq_m_subspaces and len(vecs) >= max(pq_min_rows, 2):
+                book, codes = _train_part_pq(_unitize(vecs),
+                                             pq_m_subspaces, pq_n_codes)
             _write_part(out, tbl[id_col].to_numpy(zero_copy_only=False),
-                        vecs, nbrs, id_col, vec_col)
+                        vecs, nbrs, id_col, vec_col,
+                        pq_book=book, pq_codes=codes)
             built.append(part)
         return pa.table({"part": pa.array(built, type=pa.int32())})
 
@@ -634,7 +716,10 @@ def build_graph_index(ds: "rd.Dataset", index_dir: str, *,
     with open(os.path.join(index_dir, META_NAME), "w") as f:
         json.dump({"num_parts": num_parts, "m_degree": m_degree,
                    "ef_construction": ef_construction,
-                   "id_col": id_col, "vec_col": vec_col}, f)
+                   "id_col": id_col, "vec_col": vec_col,
+                   "pq_m_subspaces": pq_m_subspaces,
+                   "pq_n_codes": pq_n_codes,
+                   "pq_min_rows": pq_min_rows}, f)
 
 
 def _compact_leading(tbl: pa.Table, dead: np.ndarray | None,
@@ -752,7 +837,17 @@ def merge_graph_index(src_dir: str, dst_dir: str, *, merge_factor: int = 4,
                 n_nbrs[: len(ids0)] = n_nbrs0
                 bulk_insert(_unitize(vecs), nbrs, n_nbrs, len(ids0),
                             m_degree=m_degree, ef_construction=ef_c)
-            _write_part(out, ids, vecs, nbrs, id_col, vec_col)
+            # quantized leading segment: REUSE its codebook (refine, never
+            # retrain — `JVectorWriter.java:886-913`) and re-encode the
+            # merged rows; unquantized inputs merge to an unquantized part
+            book = codes = None
+            lead_pq = _load_part_pq(dirs[lead])
+            if lead_pq is not None and len(ids):
+                from opensearch_jvector_ray.pipelines.pq import pq_encode
+                book = lead_pq[0]
+                codes = pq_encode(_unitize(vecs), book)
+            _write_part(out, ids, vecs, nbrs, id_col, vec_col,
+                        pq_book=book, pq_codes=codes)
             out_parts.append(gid)
         return pa.table({"gid": pa.array(out_parts, type=pa.int32())})
 
@@ -788,11 +883,13 @@ class GraphShardActor:
                 "nbrs": nbrs,
                 "n_nbrs": n_nbrs,
                 "entries": pmeta["entries"],
+                "pq": _load_part_pq(pdir),
             })
 
     def search(self, qids: list[str], qmat: np.ndarray, k: int,
                ef_search: int, metric: str,
-               round_decimals: int | None) -> pd.DataFrame:
+               round_decimals: int | None, use_pq: bool = True,
+               overquery: int = 5) -> pd.DataFrame:
         kernel, translate, _ = METRICS[metric]
         rnd = _rounder(round_decimals)
         qnorm = np.linalg.norm(qmat, axis=1)
@@ -800,9 +897,15 @@ class GraphShardActor:
         Qn = (qmat / qnorm[:, None]).astype(np.float32)
         out_q, out_id, out_s = [], [], []
         for p in self.parts:
+            lut = codes = None
+            ef_eff = max(ef_search, k)
+            if use_pq and p["pq"] is not None:
+                lut = _pq_neg_lut(p["pq"][0], Qn)
+                codes = p["pq"][1]
+                ef_eff = max(ef_search, k * overquery)
             _, V = _beam_batch(p["unit"], p["nbrs"], p["n_nbrs"],
                                entries=p["entries"], Q=Qn,
-                               ef=max(ef_search, k))
+                               ef=ef_eff, lut=lut, codes=codes)
             for qi, qid in enumerate(qids):
                 cand = V[qi][V[qi] >= 0]
                 if len(cand) == 0:
@@ -839,11 +942,13 @@ class GraphSearchService:
 
     def search(self, queries: dict[str, np.ndarray], k: int, *,
                ef_search: int = 64, metric: str = "cosine",
-               round_decimals: int | None = None) -> pd.DataFrame:
+               round_decimals: int | None = None, use_pq: bool = True,
+               overquery: int = 5) -> pd.DataFrame:
         qids = sorted(queries)
         qmat = np.stack([queries[q] for q in qids]).astype(np.float64)
         futs = [a.search.remote(qids, qmat, k, ef_search, metric,
-                                round_decimals) for a in self.actors]
+                                round_decimals, use_pq, overquery)
+                for a in self.actors]
         out = pd.concat(ray.get(futs), ignore_index=True)
         if out.empty:
             return pd.DataFrame(
@@ -865,12 +970,20 @@ class GraphSearchService:
 
 def graph_topk(index_dir: str, queries: dict[str, np.ndarray], k: int, *,
                ef_search: int = 64, metric: str = "cosine",
-               round_decimals: int | None = None) -> pd.DataFrame:
+               round_decimals: int | None = None, use_pq: bool = True,
+               overquery: int = 5) -> pd.DataFrame:
     """Beam-search every partition graph, merge the per-partition top-k.
 
     One Ray task per partition (the per-leaf search of
     `JVectorReader.search`) running ONE lockstep batched beam for ALL
     queries; the driver's merge is over num_parts * k rows only.
+
+    Quantized partitions (built with ``pq_m_subspaces``) traverse on PQ
+    lookup sums and widen the pool to ``k * overquery`` (the reference's
+    over-query factor, default 5, `KNNConstants.java:119`); the final
+    scores are ALWAYS an exact full-precision rescore of the pool — PQ
+    changes which candidates are seen, never how hits are scored.
+    ``use_pq=False`` forces full-precision traversal everywhere.
     """
     with open(os.path.join(index_dir, META_NAME)) as f:
         meta = json.load(f)
@@ -896,9 +1009,16 @@ def graph_topk(index_dir: str, queries: dict[str, np.ndarray], k: int, *,
             qnorm = np.linalg.norm(qm, axis=1)
             qnorm[qnorm == 0] = 1.0
             Qn = qm / qnorm[:, None]
+            lut = codes = None
+            ef_eff = max(ef_search, k)
+            part_pq = _load_part_pq(pdir) if use_pq else None
+            if part_pq is not None:
+                lut = _pq_neg_lut(part_pq[0], Qn)
+                codes = part_pq[1]
+                ef_eff = max(ef_search, k * overquery)
             _, V = _beam_batch(unit, nbrs, n_nbrs,
                                entries=pmeta["entries"], Q=Qn,
-                               ef=max(ef_search, k))
+                               ef=ef_eff, lut=lut, codes=codes)
             for qi, qid in enumerate(qids):
                 cand = V[qi][V[qi] >= 0]
                 if len(cand) == 0:

@@ -40,6 +40,43 @@ from opensearch_jvector_ray.pipelines.knn import (
 CODEBOOK_NAME = "_pq_codebook.npy"
 
 
+def derive_pq_subspaces(dim: int, target: int = 8) -> int:
+    """Derived PQ parameter: the largest subspace count <= ``target`` that
+    divides ``dim`` (the `JVectorFormat` ships a default-subspaces-per-
+    vector derivation fn the same way, `JVectorFormat.java:22-196`)."""
+    for m in range(min(target, dim), 0, -1):
+        if dim % m == 0:
+            return m
+    return 1
+
+
+def _kmeans_subspaces(X: np.ndarray, m_subspaces: int, n_codes: int,
+                      iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Per-subspace k-means codebook (m_subspaces, k, d/m) over rows X.
+    The single-task trainer core, also called locally by the graph
+    engine's per-partition quantizer."""
+    d = X.shape[1]
+    if d % m_subspaces != 0:
+        raise ValueError(f"dim {d} not divisible by m={m_subspaces}")
+    dsub = d // m_subspaces
+    rng = np.random.default_rng(seed)
+    k = min(n_codes, len(X))
+    book = np.zeros((m_subspaces, k, dsub), dtype=np.float64)
+    for m in range(m_subspaces):
+        Xm = X[:, m * dsub:(m + 1) * dsub]
+        cent = Xm[rng.choice(len(Xm), size=k, replace=False)].astype(
+            np.float64).copy()
+        for _ in range(iters):
+            assign = _sq_dists(Xm, cent).argmin(axis=1)
+            sums = np.zeros_like(cent)
+            np.add.at(sums, assign, Xm)
+            counts = np.bincount(assign, minlength=k)
+            nz = counts > 0
+            cent[nz] = sums[nz] / counts[nz, None]
+        book[m] = cent
+    return book
+
+
 def train_pq_codebook(ds: "rd.Dataset", *, m_subspaces: int = 8,
                       n_codes: int = 16, vec_col: str = "embedding",
                       sample_size: int = 65536, iters: int = 10,
@@ -60,25 +97,8 @@ def train_pq_codebook(ds: "rd.Dataset", *, m_subspaces: int = 8,
     def _train(*blocks) -> np.ndarray:
         mats = [_vecs_from_batch(b, vec_col) for b in blocks if b.num_rows]
         X = np.concatenate(mats)
-        d = X.shape[1]
-        if d % m_subspaces != 0:
-            raise ValueError(f"dim {d} not divisible by m={m_subspaces}")
-        dsub = d // m_subspaces
-        rng = np.random.default_rng(seed)
-        k = min(n_codes, len(X))
-        book = np.zeros((m_subspaces, k, dsub), dtype=np.float64)
-        for m in range(m_subspaces):
-            Xm = X[:, m * dsub:(m + 1) * dsub]
-            cent = Xm[rng.choice(len(Xm), size=k, replace=False)].copy()
-            for _ in range(iters):
-                assign = _sq_dists(Xm, cent).argmin(axis=1)
-                sums = np.zeros_like(cent)
-                np.add.at(sums, assign, Xm)
-                counts = np.bincount(assign, minlength=k)
-                nz = counts > 0
-                cent[nz] = sums[nz] / counts[nz, None]
-            book[m] = cent
-        return book
+        return _kmeans_subspaces(X, m_subspaces, n_codes, iters=iters,
+                                 seed=seed)
 
     return ray.get(_train.remote(*refs))
 

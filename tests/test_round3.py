@@ -716,3 +716,96 @@ def test_query_dsl_execution_matches_direct_calls(tmp_path):
                                 None, metric="cosine", round_decimals=6,
                                 max_distance=0.75)
     pd.testing.assert_frame_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# Quantized graph search: PQ-scored traversal + exact rerank (the
+# reference's quantized mode — `JVectorWriter.flush` trains segment-local
+# PQ, `JVectorReader.search` walks on approximate scores and exact-reranks,
+# `JVectorReader.java:154-166`)
+# ---------------------------------------------------------------------------
+
+def test_graph_pq_full_beam_exact_and_merge_refines(tmp_path):
+    """Full beam + exact rerank == brute force EVEN with a deliberately
+    coarse codebook (PQ reorders the walk, never the scores); incremental
+    merge reuses the leading partition's codebook verbatim
+    (refine-never-retrain) and stays full-beam exact."""
+    from opensearch_jvector_ray.pipelines import graph as graph_pl
+    vecs = _clustered_vecs(seed=41, n_centers=5, per=70, d=16)
+    ds = rd.from_arrow(_vec_table(vecs))
+    idx = str(tmp_path / "g")
+    graph_pl.build_graph_index(ds, idx, num_parts=4, m_degree=12,
+                               ef_construction=48, pq_m_subspaces=4,
+                               pq_n_codes=8, pq_min_rows=2)
+    parts = sorted(p for p in os.listdir(idx) if p.startswith("part="))
+    assert all(os.path.exists(os.path.join(idx, p, "pq.npz"))
+               for p in parts)
+    queries = {f"q{i}": vecs[i * 31].astype(np.float64) for i in range(4)}
+    exact = knn_pl.brute_force_topk(ds, queries, 10, metric="cosine",
+                                    round_decimals=6)
+    out = graph_pl.graph_topk(idx, queries, 10, ef_search=400,
+                              round_decimals=6)
+    pd.testing.assert_frame_equal(out, exact)
+
+    lead_sizes = {p: papq.read_table(
+        os.path.join(idx, p, "graph.parquet")).num_rows for p in parts}
+    lead = max(lead_sizes, key=lambda p: lead_sizes[p])
+    lead_book = np.load(os.path.join(idx, lead, "pq.npz"))["book"]
+    merged = str(tmp_path / "m")
+    graph_pl.merge_graph_index(idx, merged, merge_factor=4,
+                               mode="incremental")
+    mbook = np.load(os.path.join(merged, "part=0", "pq.npz"))["book"]
+    np.testing.assert_array_equal(mbook, lead_book)
+    out_m = graph_pl.graph_topk(merged, queries, 10, ef_search=400,
+                                round_decimals=6)
+    pd.testing.assert_frame_equal(out_m, exact)
+
+
+def test_graph_pq_recall_and_service_identity(tmp_path):
+    """Quantized traversal at normal beam width keeps recall >= 0.75 (the
+    RecallTestsIT.java:101 floor), and the serve-shape actors return a
+    frame identical to graph_topk under the same PQ flags."""
+    from opensearch_jvector_ray.pipelines import graph as graph_pl
+    vecs = _clustered_vecs(seed=59, n_centers=5, per=80, d=32)
+    ds = rd.from_arrow(_vec_table(vecs))
+    idx = str(tmp_path / "g")
+    graph_pl.build_graph_index(ds, idx, num_parts=3, m_degree=12,
+                               ef_construction=48, pq_m_subspaces=8,
+                               pq_n_codes=64, pq_min_rows=2)
+    queries = {f"q{i}": vecs[i * 23].astype(np.float64) for i in range(5)}
+    exact = knn_pl.brute_force_topk(ds, queries, 10, metric="cosine",
+                                    round_decimals=6)
+    out = graph_pl.graph_topk(idx, queries, 10, ef_search=64,
+                              round_decimals=6)
+    recalls = [len(set(exact[exact.query_id == q].vec_id)
+                   & set(out[out.query_id == q].vec_id)) / 10
+               for q in queries]
+    assert np.mean(recalls) >= 0.75, recalls
+    svc = graph_pl.GraphSearchService(idx, num_shards=2)
+    try:
+        sv = svc.search(queries, 10, ef_search=64, round_decimals=6)
+    finally:
+        svc.shutdown()
+    pd.testing.assert_frame_equal(sv, out)
+
+
+def test_graph_pq_min_rows_skips_small_partitions(tmp_path):
+    """Partitions below pq_min_rows stay unquantized (the reference's
+    min-batch-for-quantization rule) and search falls back to
+    full-precision traversal there — identical to use_pq=False."""
+    from opensearch_jvector_ray.pipelines import graph as graph_pl
+    vecs = _clustered_vecs(seed=71, n_centers=3, per=40, d=16)
+    ds = rd.from_arrow(_vec_table(vecs))
+    idx = str(tmp_path / "g")
+    graph_pl.build_graph_index(ds, idx, num_parts=4, m_degree=12,
+                               ef_construction=48, pq_m_subspaces=4,
+                               pq_n_codes=16, pq_min_rows=10_000)
+    parts = sorted(p for p in os.listdir(idx) if p.startswith("part="))
+    assert not any(os.path.exists(os.path.join(idx, p, "pq.npz"))
+                   for p in parts)
+    queries = {f"q{i}": vecs[i * 17].astype(np.float64) for i in range(3)}
+    a = graph_pl.graph_topk(idx, queries, 10, ef_search=64,
+                            round_decimals=6, use_pq=True)
+    b = graph_pl.graph_topk(idx, queries, 10, ef_search=64,
+                            round_decimals=6, use_pq=False)
+    pd.testing.assert_frame_equal(a, b)
