@@ -267,33 +267,36 @@ def candidate_payloads(ds: "rd.Dataset", pairs: "rd.Dataset", id_col: str,
                        make_payload) -> tuple["rd.Dataset", int]:
     """Corpus scan restricted to the ids appearing in ``pairs``.
 
-    The DISTINCT candidate ids are computed off-driver: per-block unique
-    inside map_batches, then ONE worker task unions the block-unique
-    arrays and leaves the result in the object store (the driver holds a
-    ref and a count, never the ids); the corpus scan then streams and
-    keeps only candidate rows, transformed by ``make_payload(batch) ->
-    Table``.  Returns (payload_ds, n_candidate_ids) — the count picks
-    the attach plan (broadcast vs co-partition).
+    The DISTINCT candidate ids are computed off-driver: one raw Ray task
+    per pair block does the per-block unique, ONE union task combines
+    them and leaves the result in the object store (the driver holds a
+    ref and a count, never the ids).  Raw tasks over ``to_arrow_refs()``
+    — callers pass a MATERIALIZED pairs Dataset, so this skips a whole
+    extra streaming-executor run over tiny blocks (pure stage latency at
+    small scale).  The corpus scan then streams and keeps only candidate
+    rows, transformed by ``make_payload(batch) -> Table``.  Returns
+    (payload_ds, n_candidate_ids) — the count picks the attach plan
+    (broadcast vs co-partition).
     """
     import ray as _ray
 
-    def explode(b: pa.Table) -> pa.Table:
+    @_ray.remote
+    def _blk_ids(t: pa.Table):
+        if not t.num_rows:
+            return None
         both = np.concatenate([
-            b.column("id_a").to_numpy(zero_copy_only=False),
-            b.column("id_b").to_numpy(zero_copy_only=False)])
-        return pa.table({"__cid": pa.array(np.unique(both))})
-
-    refs = pairs.map_batches(explode, batch_format="pyarrow") \
-                .to_arrow_refs()
+            t.column("id_a").to_numpy(zero_copy_only=False),
+            t.column("id_b").to_numpy(zero_copy_only=False)])
+        return np.unique(both)
 
     @_ray.remote
-    def _union(*tbls):
-        arrs = [t.column(0).to_numpy(zero_copy_only=False)
-                for t in tbls if t.num_rows]
+    def _union(*arrs):
+        arrs = [a for a in arrs if a is not None and len(a)]
         return (np.unique(np.concatenate(arrs)) if arrs
                 else np.empty(0, dtype=np.int64))
 
-    cand_ref = _union.remote(*refs)
+    cand_ref = _union.remote(
+        *[_blk_ids.remote(r) for r in pairs.to_arrow_refs()])
 
     @_ray.remote
     def _size(a) -> int:
@@ -451,7 +454,12 @@ def minhash_candidate_pairs(ds: "rd.Dataset", cfg: EngineConfig, id_col: str,
                 view = np.ascontiguousarray(bands_view[:, bidx, :])
                 bh = pd.util.hash_array(
                     view.view([("", np.uint64)] * rows_per_band).ravel())
-                key = (bh + np.uint64(bidx) * MIX).astype(np.int64)
+                # band offset precomputed as a wrapped python int: numpy
+                # scalar uint64 multiply emits a RuntimeWarning per task
+                # (log-forwarded by every worker), and astype(int64) warns
+                # on out-of-range — .view reinterprets the same bits
+                off = np.uint64((bidx * int(MIX)) & 0xFFFFFFFFFFFFFFFF)
+                key = (bh + off).view(np.int64)
                 parts.append(pa.table({
                     "bucket": pa.array(key),
                     id_col: ids,
