@@ -338,6 +338,31 @@ def _q_knn_pq_rerank(sf_dir: str) -> pd.DataFrame:
     return _round_hits(out)
 
 
+def _q_knn_ivfpq(sf_dir: str) -> pd.DataFrame:
+    # combined IVF-PQ scale path (cell routing prunes the READ, codes
+    # prune the BYTES, exact rerank fixes the scores) at the degenerate-
+    # exact setting: every cell probed AND oversample covering the whole
+    # table => equals brute force — a hard SQL oracle over coarse train +
+    # assign + encode + ADC pass + candidate merge + exact rerank.
+    import os
+    from opensearch_jvector_ray.pipelines import pq as pq_pl
+    from opensearch_jvector_ray.sources.tables import CACHE_ROOT
+    key = os.path.basename(os.path.normpath(sf_dir))
+    n_cent = 8
+    idx = os.path.join(CACHE_ROOT, f"ivfpq_{key}_c{n_cent}_m8k16")
+    if not os.path.exists(os.path.join(idx, pq_pl.IVFPQ_CENTROIDS)):
+        ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        pq_pl.build_ivfpq_index(ds, idx, n_centroids=n_cent,
+                                m_subspaces=8, n_codes=16)
+    n_rows = pq.read_metadata(
+        os.path.join(sf_dir, "embeddings.parquet")).num_rows
+    queries = query_embeddings(sf_dir, KNN_QUERY_IDS)
+    out = pq_pl.ivfpq_topk(idx, queries, KNN_K, n_probe=n_cent,
+                           oversample=max(1.0, n_rows / KNN_K),
+                           round_decimals=6)
+    return _round_hits(out)
+
+
 def _q_knn_graph(sf_dir: str) -> pd.DataFrame:
     # graph-ANN (jVector/DiskANN-class) entry at the DEGENERATE-EXACT
     # driver setting: ef_search = table size makes every partition's beam
@@ -627,6 +652,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_cosine": _q_knn_ivf,
         "knn_ivf_partitioned": _q_knn_ivf_partitioned,
         "knn_pq_rerank": _q_knn_pq_rerank,
+        "knn_ivfpq_rerank": _q_knn_ivfpq,
         "knn_graph_topk": _q_knn_graph,
         "knn_graph_merged": _q_knn_graph_merged,
         "knn_graph_pq": _q_knn_graph_pq,
@@ -718,6 +744,7 @@ def oracle_sql() -> dict[str, str]:
         # degenerate-exact settings: full oversample / full beam == brute
         # force, so the approximate engines get HARD oracles too
         "knn_pq_rerank": knn_sql("cosine", KNN_QUERY_IDS, KNN_K),
+        "knn_ivfpq_rerank": knn_sql("cosine", KNN_QUERY_IDS, KNN_K),
         "knn_graph_topk": knn_sql("cosine", KNN_QUERY_IDS, KNN_K),
         "knn_graph_merged": knn_sql("cosine", KNN_QUERY_IDS, KNN_K),
         "knn_graph_pq": knn_sql("cosine", KNN_QUERY_IDS, KNN_K),

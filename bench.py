@@ -186,6 +186,21 @@ def run_bench() -> dict:
 
     timed("knn_graph", do_graph)
 
+    # -- phase 6d: IVF-PQ build + two-pass query (combined scale path) ----
+    from opensearch_jvector_ray.pipelines import pq as pq_pl
+    pidx = os.path.join(BENCH_ROOT, f"ivfpq_cpus{NUM_CPUS}")
+
+    def do_ivfpq():
+        shutil.rmtree(pidx, ignore_errors=True)
+        pq_pl.build_ivfpq_index(
+            read_table(SF_DIR, "embeddings",
+                       columns=["vec_id", "embedding"]),
+            pidx, n_centroids=16, m_subspaces=8, n_codes=64)
+        pq_pl.ivfpq_topk(pidx, query_embeddings(SF_DIR, [0, 1, 2]), 10,
+                         n_probe=4, oversample=4.0)
+
+    timed("knn_ivfpq", do_ivfpq)
+
     # -- phase 6c: incremental graph merge (the reference's headline) -----
     def do_graph_merge():
         dst = os.path.join(BENCH_ROOT, f"graphmerge_cpus{NUM_CPUS}")

@@ -90,7 +90,7 @@ def main(argv: list[str] | None = None) -> int:
     kb.add_argument("--input", required=True)
     kb.add_argument("--index", required=True)
     kb.add_argument("--engine", default="graph",
-                    choices=["graph", "ivf", "pq"])
+                    choices=["graph", "ivf", "pq", "ivfpq"])
     kb.add_argument("--num-parts", type=int, default=8)
     kb.add_argument("--cells", type=int, default=16)
     kb.add_argument("--id-col", default="vec_id")
@@ -99,7 +99,7 @@ def main(argv: list[str] | None = None) -> int:
     ks = sub.add_parser("knn-search")
     ks.add_argument("--index", required=True)
     ks.add_argument("--engine", default="graph",
-                    choices=["graph", "ivf", "pq"])
+                    choices=["graph", "ivf", "pq", "ivfpq"])
     ks.add_argument("--query", action="append", required=True,
                     help="comma-separated floats; repeatable")
     ks.add_argument("--k", type=int, default=10)
@@ -208,6 +208,12 @@ def main(argv: list[str] | None = None) -> int:
                 kpl.build_ivf_index(ds, args.index, centroids=cent,
                                     id_col=args.id_col,
                                     vec_col=args.vec_col)
+            elif args.engine == "ivfpq":
+                from opensearch_jvector_ray.pipelines import pq as ppl
+                ppl.build_ivfpq_index(ds, args.index,
+                                      n_centroids=args.cells,
+                                      id_col=args.id_col,
+                                      vec_col=args.vec_col)
             else:
                 from opensearch_jvector_ray.pipelines import pq as ppl
                 ppl.build_pq_index(ds, args.index, id_col=args.id_col,
@@ -228,6 +234,11 @@ def main(argv: list[str] | None = None) -> int:
                                          n_probe=args.n_probe,
                                          metric=args.metric,
                                          round_decimals=6)
+            elif args.engine == "ivfpq":
+                from opensearch_jvector_ray.pipelines import pq as ppl
+                out = ppl.ivfpq_topk(args.index, queries, args.k,
+                                     n_probe=args.n_probe,
+                                     metric=args.metric, round_decimals=6)
             else:
                 from opensearch_jvector_ray.pipelines import pq as ppl
                 out = ppl.pq_rerank_topk(args.index, queries, args.k,

@@ -269,3 +269,214 @@ def pq_rerank_topk(source: "rd.Dataset | str",
                 .groupby("query_id", sort=False).head(k))
     out["rank"] = out.groupby("query_id", sort=False).cumcount() + 1
     return out[["query_id", "rank", id_col, "score"]].reset_index(drop=True)
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse cells prune the READ, PQ codes prune the BYTES
+# ---------------------------------------------------------------------------
+
+IVFPQ_CENTROIDS = "_centroids.npy"
+
+
+def build_ivfpq_index(ds: "rd.Dataset", index_dir: str, *,
+                      n_centroids: int = 16, m_subspaces: int = 8,
+                      n_codes: int = 16, id_col: str = "vec_id",
+                      vec_col: str = "embedding", sample_size: int = 65536,
+                      seed: int = 42,
+                      centroids: np.ndarray | None = None,
+                      codebook: np.ndarray | None = None) -> None:
+    """Persist an IVF-PQ index: ``cell=K/`` parquet dirs carrying
+    (id, vector, pq-codes) rows.
+
+    The combined scale path for similarity search — the composition of
+    the coarse-cell routing of ``build_ivf_index`` with the quantized
+    first pass of the reference's PQ lifecycle
+    (`JVectorWriter.java:381-414`, `JVectorReader.java:154-166`): at
+    query time only the probed cell DIRECTORIES are listed (prune at the
+    read) and the first pass reads ONLY the (id, codes) columns — the
+    fat float vector column never leaves storage except for the final
+    exact rerank of the candidate ids.
+
+    One GLOBAL codebook over raw vectors (not per-cell residuals): the
+    rerank is always exact full-precision, so the codebook only shapes
+    candidate ORDER — and a global book lets every cell share one
+    broadcast LUT per query.  Both quantizers train on bounded
+    distributed samples; both are saved beside the cells, and incoming
+    merges would refine (re-encode), never retrain.
+    """
+    from opensearch_jvector_ray.pipelines.knn import (
+        _assign_cells, train_centroids,
+    )
+    os.makedirs(index_dir, exist_ok=True)
+    if centroids is None:
+        centroids = train_centroids(ds, n_centroids, vec_col,
+                                    sample_size=sample_size, seed=seed)
+    if codebook is None:
+        codebook = train_pq_codebook(ds, m_subspaces=m_subspaces,
+                                     n_codes=n_codes, vec_col=vec_col,
+                                     sample_size=sample_size, seed=seed)
+    ref = ray.put((centroids, codebook))
+
+    def assign_encode(batch: pa.Table) -> pa.Table:
+        cent, book = ray.get(ref)
+        vecs = _vecs_from_batch(batch, vec_col)
+        cell = _assign_cells(vecs, cent).astype(np.int32)
+        codes = pq_encode(vecs, book)
+        return pa.table({
+            id_col: batch[id_col],
+            vec_col: batch[vec_col],
+            "codes": pa.array([c.tobytes() for c in codes],
+                              type=pa.binary()),
+            "cell": pa.array(cell),
+        })
+
+    (ds.map_batches(assign_encode, batch_format="pyarrow")
+       .write_parquet(index_dir, partition_cols=["cell"]))
+    np.save(os.path.join(index_dir, IVFPQ_CENTROIDS), centroids)
+    np.save(os.path.join(index_dir, CODEBOOK_NAME), codebook)
+
+
+def ivfpq_topk(index_dir: str, queries: dict[str, np.ndarray], k: int, *,
+               n_probe: int = 4, oversample: float = 4.0,
+               metric: str = "cosine", id_col: str = "vec_id",
+               vec_col: str = "embedding",
+               round_decimals: int | None = None) -> pd.DataFrame:
+    """Query an IVF-PQ index: probe -> codes-only ADC pass -> exact rerank.
+
+    1. probe the ``n_probe`` nearest cells per query (tie to lower cell,
+       same rule as the IVF oracle);
+    2. FIRST PASS over the probed cells reading ONLY (id, codes): per
+       batch, ADC lookup-sum scores for every probing query, partial
+       approx top-k' (k' = ceil(k*oversample)); the driver merges the
+       BOUNDED partials to a global approx top-k' candidate set per
+       query — approx scores pick candidates, never final ranks;
+    3. SECOND PASS reads (id, vector) of the probed cells and
+       exact-scores ONLY candidate rows; final ranking is
+       (rounded score desc, id asc) — identical tie/round rules to
+       ``brute_force_topk``, so full probe + full oversample IS brute
+       force (the degenerate-exact driver gate).
+    """
+    import glob as globmod
+
+    from ray.data.datasource.partitioning import Partitioning
+
+    from opensearch_jvector_ray.pipelines.knn import _probe_cells
+
+    centroids = np.load(os.path.join(index_dir, IVFPQ_CENTROIDS))
+    book = np.load(os.path.join(index_dir, CODEBOOK_NAME))
+    kernel, translate, _ = METRICS[metric]
+    rnd = _rounder(round_decimals)
+    qids = sorted(queries)
+    qmat = np.stack([queries[q] for q in qids]).astype(np.float64)
+    probe = _probe_cells(qmat, centroids, n_probe)
+    probe_sets = {qid: set(probe[i].tolist()) for i, qid in enumerate(qids)}
+    union_cells = sorted({c for s in probe_sets.values() for c in s})
+    paths = sorted(
+        f for c in union_cells
+        for f in globmod.glob(os.path.join(index_dir, f"cell={c}",
+                                           "*.parquet")))
+    empty = pd.DataFrame(columns=["query_id", "rank", id_col, "score"])
+    if not paths:
+        return empty
+    k_prime = max(k, int(np.ceil(k * oversample)))
+    luts = np.stack([_adc_lut(book, qmat[i], metric)
+                     for i in range(len(qids))])
+    approx_best = metric != "l2"
+    part_scheme = Partitioning("hive", base_dir=index_dir)
+    pass1_ref = ray.put((luts, probe_sets))
+
+    def adc_batch(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        luts_, probes = ray.get(pass1_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        raw = b"".join(batch["codes"].to_pylist())
+        codes = np.frombuffer(raw, dtype=np.uint8).reshape(len(ids), -1)
+        cells = pc.cast(batch["cell"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        m = codes.shape[1]
+        out_q, out_id, out_s = [], [], []
+        for qi, qid in enumerate(qids):
+            mask = np.isin(cells, list(probes[qid]))
+            if not mask.any():
+                continue
+            approx = luts_[qi][np.arange(m)[None, :],
+                               codes[mask]].sum(axis=1)
+            if not approx_best:
+                approx = -approx
+            sel_ids, sel_sc = _partial_topk(ids[mask], approx, k_prime)
+            out_q.extend([qid] * len(sel_ids))
+            out_id.append(sel_ids)
+            out_s.append(sel_sc)
+        if not out_q:
+            return pa.table({"query_id": pa.array([], type=pa.string()),
+                             id_col: pa.array([], type=batch[id_col].type),
+                             "approx": pa.array([], type=pa.float64())})
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.string()),
+            id_col: pa.array(np.concatenate(out_id)),
+            "approx": pa.array(np.concatenate(out_s), type=pa.float64()),
+        })
+
+    cands = (rd.read_parquet(paths, partitioning=part_scheme,
+                             columns=[id_col, "codes", "cell"])
+             .map_batches(adc_batch, batch_format="pyarrow",
+                          batch_size=8192)
+             .to_pandas())
+    if cands.empty:
+        return empty
+    # global approx top-k' per query (candidate SELECTION only); ties on
+    # approx scores break by id asc for determinism
+    cands = (cands.sort_values(["query_id", "approx", id_col],
+                               ascending=[True, False, True],
+                               kind="mergesort")
+             .groupby("query_id", sort=False).head(k_prime))
+    cand_ids = {qid: np.sort(g[id_col].to_numpy())
+                for qid, g in cands.groupby("query_id", sort=False)}
+    union_ids = np.unique(cands[id_col].to_numpy())
+    pass2_ref = ray.put((qmat, cand_ids, union_ids))
+
+    def exact_batch(batch: pa.Table) -> pa.Table:
+        qm, cand, union = ray.get(pass2_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        keep = np.isin(ids, union)
+        if not keep.any():
+            return pa.table({"query_id": pa.array([], type=pa.string()),
+                             id_col: pa.array([], type=batch[id_col].type),
+                             "score": pa.array([], type=pa.float64())})
+        batch = batch.filter(pa.array(keep))
+        ids = ids[keep]
+        vecs = _vecs_from_batch(batch, vec_col)
+        out_q, out_id, out_s = [], [], []
+        for qi, qid in enumerate(qids):
+            cq = cand.get(qid)
+            if cq is None:
+                continue
+            mask = np.isin(ids, cq)
+            if not mask.any():
+                continue
+            exact = rnd(translate(kernel(vecs[mask], qm[qi])))
+            sel_ids, sel_sc = _partial_topk(ids[mask], exact, k)
+            out_q.extend([qid] * len(sel_ids))
+            out_id.append(sel_ids)
+            out_s.append(sel_sc)
+        if not out_q:
+            return pa.table({"query_id": pa.array([], type=pa.string()),
+                             id_col: pa.array([], type=batch[id_col].type),
+                             "score": pa.array([], type=pa.float64())})
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.string()),
+            id_col: pa.array(np.concatenate(out_id)),
+            "score": pa.array(np.concatenate(out_s), type=pa.float64()),
+        })
+
+    parts = (rd.read_parquet(paths, partitioning=part_scheme,
+                             columns=[id_col, vec_col])
+             .map_batches(exact_batch, batch_format="pyarrow",
+                          batch_size=8192)
+             .to_pandas())
+    if parts.empty:
+        return empty
+    out = (parts.sort_values(["query_id", "score", id_col],
+                             ascending=[True, False, True], kind="mergesort")
+                .groupby("query_id", sort=False).head(k))
+    out["rank"] = out.groupby("query_id", sort=False).cumcount() + 1
+    return out[["query_id", "rank", id_col, "score"]].reset_index(drop=True)

@@ -809,3 +809,56 @@ def test_graph_pq_min_rows_skips_small_partitions(tmp_path):
     b = graph_pl.graph_topk(idx, queries, 10, ef_search=64,
                             round_decimals=6, use_pq=False)
     pd.testing.assert_frame_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ combined index: cell routing prunes the read, ADC codes-only first
+# pass, exact rerank (the similarity-search scale path)
+# ---------------------------------------------------------------------------
+
+def test_ivfpq_full_probe_full_oversample_exact(tmp_path):
+    """All cells probed + oversample covering the table == brute force
+    (candidate selection saturates, rerank is exact full precision) —
+    the degenerate-exact identity behind the knn_ivfpq_rerank gate."""
+    from opensearch_jvector_ray.pipelines import pq as pq_pl
+    vecs = _clustered_vecs(seed=83, n_centers=4, per=60, d=16)
+    ds = rd.from_arrow(_vec_table(vecs))
+    idx = str(tmp_path / "ivfpq")
+    pq_pl.build_ivfpq_index(ds, idx, n_centroids=4, m_subspaces=4,
+                            n_codes=8)
+    queries = {f"q{i}": vecs[i * 37].astype(np.float64) for i in range(4)}
+    exact = knn_pl.brute_force_topk(ds, queries, 10, metric="cosine",
+                                    round_decimals=6)
+    out = pq_pl.ivfpq_topk(idx, queries, 10, n_probe=4,
+                           oversample=len(vecs) / 10.0, round_decimals=6)
+    pd.testing.assert_frame_equal(out, exact)
+
+
+def test_ivfpq_recall_and_probe_pruning(tmp_path):
+    """Normal settings keep recall >= 0.75 on clustered data, and every
+    returned hit belongs to a PROBED cell (the read really is pruned)."""
+    from opensearch_jvector_ray.pipelines import knn as knn_mod
+    from opensearch_jvector_ray.pipelines import pq as pq_pl
+    vecs = _clustered_vecs(seed=97, n_centers=6, per=60, d=32)
+    ds = rd.from_arrow(_vec_table(vecs))
+    idx = str(tmp_path / "ivfpq")
+    pq_pl.build_ivfpq_index(ds, idx, n_centroids=6, m_subspaces=8,
+                            n_codes=64)
+    queries = {f"q{i}": vecs[i * 41].astype(np.float64) for i in range(5)}
+    exact = knn_pl.brute_force_topk(ds, queries, 10, metric="cosine",
+                                    round_decimals=6)
+    out = pq_pl.ivfpq_topk(idx, queries, 10, n_probe=3, oversample=4.0,
+                           round_decimals=6)
+    recalls = [len(set(exact[exact.query_id == q].vec_id)
+                   & set(out[out.query_id == q].vec_id)) / 10
+               for q in queries]
+    assert np.mean(recalls) >= 0.75, recalls
+
+    centroids = np.load(os.path.join(idx, pq_pl.IVFPQ_CENTROIDS))
+    qmat = np.stack([queries[q] for q in sorted(queries)])
+    probe = knn_mod._probe_cells(qmat.astype(np.float64), centroids, 3)
+    cell_of = knn_mod._assign_cells(vecs.astype(np.float64), centroids)
+    for qi, qid in enumerate(sorted(queries)):
+        hit_cells = {int(cell_of[v]) for v in
+                     out[out.query_id == qid].vec_id}
+        assert hit_cells <= set(probe[qi].tolist())
