@@ -412,6 +412,33 @@ def _q_knn_graph_merged(sf_dir: str) -> pd.DataFrame:
     return _round_hits(out)
 
 
+def _q_knn_graph_filtered(sf_dir: str) -> pd.DataFrame:
+    # FILTERED graph search (J2 for the graph engine — the reference's
+    # pre-filter + over-query, `KNNQueryBuilder.java:534-539`): the
+    # allow-list is the ids whose label == KNN_FILTER_LABEL (a pushed-
+    # down parquet read), shipped once via ray.put; at full beam the
+    # pre-filter + exact rescore equals FILTERED brute force => the same
+    # hard SQL oracle as knn_cosine_filtered.
+    import os
+    from opensearch_jvector_ray.pipelines import graph as graph_pl
+    from opensearch_jvector_ray.sources.tables import CACHE_ROOT
+    key = os.path.basename(os.path.normpath(sf_dir))
+    idx = os.path.join(CACHE_ROOT, f"graphidx_{key}_p4m16e64v3")
+    if not os.path.exists(os.path.join(idx, graph_pl.META_NAME)):
+        ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        graph_pl.build_graph_index(ds, idx, num_parts=4)
+    allowed = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id"],
+        filters=[("label", "=", KNN_FILTER_LABEL)],
+    )["vec_id"].to_numpy(zero_copy_only=False)
+    n_rows = pq.read_metadata(
+        os.path.join(sf_dir, "embeddings.parquet")).num_rows
+    queries = query_embeddings(sf_dir, KNN_QUERY_IDS)
+    out = graph_pl.graph_topk(idx, queries, KNN_K, ef_search=n_rows,
+                              round_decimals=6, filter_ids=allowed)
+    return _round_hits(out)
+
+
 def _q_knn_graph_pq(sf_dir: str) -> pd.DataFrame:
     # QUANTIZED graph search (the reference's PQ mode: segment-local
     # codebook at flush, ADC lookup-sum traversal, exact rerank —
@@ -656,6 +683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph_topk": _q_knn_graph,
         "knn_graph_merged": _q_knn_graph_merged,
         "knn_graph_pq": _q_knn_graph_pq,
+        "knn_graph_filtered": _q_knn_graph_filtered,
         "knn_hamming_topk": _q_knn_hamming,
         # relational / lifecycle operators
         "events_last_write_wins": _q_events_lww,
@@ -748,6 +776,9 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph_topk": knn_sql("cosine", KNN_QUERY_IDS, KNN_K),
         "knn_graph_merged": knn_sql("cosine", KNN_QUERY_IDS, KNN_K),
         "knn_graph_pq": knn_sql("cosine", KNN_QUERY_IDS, KNN_K),
+        "knn_graph_filtered": knn_sql(
+            "cosine", KNN_QUERY_IDS, KNN_K,
+            filter_sql=f"e.label = {KNN_FILTER_LABEL}"),
         "embedding_near_dups": embedding_dups_sql(
             0.95, N_PLANTED_DUPS, PLANT_ID_OFFSET),
         "simhash_near_dups": simhash_sql(CFG, max_hamming=3),

@@ -859,6 +859,63 @@ def merge_graph_index(src_dir: str, dst_dir: str, *, merge_factor: int = 4,
         json.dump({**meta, "num_parts": n_groups}, f)
 
 
+def _part_pool_search(ids, vecs, unit, nbrs, n_nbrs, entries, part_pq,
+                      qm, Qn, k, ef_search, use_pq, overquery,
+                      kernel, translate, rnd,
+                      allowed=None, filter_overquery=5):
+    """Shared per-partition search: beam (float or PQ-ADC) + exact rescore,
+    with the reference's PRE-FILTER semantics (`KNNQueryBuilder` filter +
+    over-query, `KNNConstants.java:119`): ``allowed`` restricts which ids
+    may be returned, never how the graph is walked.
+
+    Filter rules (the Lucene filtered-kNN decision tree):
+    - the beam widens to ``k * filter_overquery`` so post-filtering the
+      pool still yields k survivors;
+    - EXACT FALLBACK: when the partition's filtered row count fits the
+      visit budget (ef), brute-force score those rows directly — cheaper
+      and exact for selective filters (Lucene's exact-search-when-
+      filter-is-small rule), and what makes full-beam filtered search
+      provably equal to filtered brute force.
+
+    Returns [(qi, sel_ids, sel_scores)] partial top-k per query.
+    """
+    out = []
+    ef_eff = max(ef_search, k)
+    lut = codes = None
+    if use_pq and part_pq is not None:
+        lut = _pq_neg_lut(part_pq[0], Qn)
+        codes = part_pq[1]
+        ef_eff = max(ef_search, k * overquery)
+    amask = None
+    if allowed is not None:
+        amask = np.isin(ids, allowed)
+        n_allowed = int(amask.sum())
+        if n_allowed == 0:
+            return out
+        ef_eff = max(ef_eff, k * filter_overquery)
+        if n_allowed <= ef_eff:
+            rows = np.flatnonzero(amask)
+            for qi in range(len(Qn)):
+                score = rnd(translate(kernel(vecs[rows], qm[qi])))
+                sel_ids, sel_sc = _partial_topk(ids[rows], score, k)
+                out.append((qi, sel_ids, sel_sc))
+            return out
+    _, V = _beam_batch(unit, nbrs, n_nbrs, entries=entries, Q=Qn,
+                       ef=ef_eff, lut=lut, codes=codes)
+    for qi in range(len(Qn)):
+        cand = V[qi][V[qi] >= 0]
+        if amask is not None and len(cand):
+            cand = cand[amask[cand]]
+        if len(cand) == 0:
+            continue
+        # EXACT metric scores for the candidates (graph prunes, the
+        # score is never approximated — the rerank rule)
+        score = rnd(translate(kernel(vecs[cand], qm[qi])))
+        sel_ids, sel_sc = _partial_topk(ids[cand], score, k)
+        out.append((qi, sel_ids, sel_sc))
+    return out
+
+
 @ray.remote
 class GraphShardActor:
     """Serving-shape graph search (the `serve.py:SegmentShardActor`
@@ -889,7 +946,8 @@ class GraphShardActor:
     def search(self, qids: list[str], qmat: np.ndarray, k: int,
                ef_search: int, metric: str,
                round_decimals: int | None, use_pq: bool = True,
-               overquery: int = 5) -> pd.DataFrame:
+               overquery: int = 5, filter_ids: np.ndarray | None = None,
+               filter_overquery: int = 5) -> pd.DataFrame:
         kernel, translate, _ = METRICS[metric]
         rnd = _rounder(round_decimals)
         qnorm = np.linalg.norm(qmat, axis=1)
@@ -897,22 +955,13 @@ class GraphShardActor:
         Qn = (qmat / qnorm[:, None]).astype(np.float32)
         out_q, out_id, out_s = [], [], []
         for p in self.parts:
-            lut = codes = None
-            ef_eff = max(ef_search, k)
-            if use_pq and p["pq"] is not None:
-                lut = _pq_neg_lut(p["pq"][0], Qn)
-                codes = p["pq"][1]
-                ef_eff = max(ef_search, k * overquery)
-            _, V = _beam_batch(p["unit"], p["nbrs"], p["n_nbrs"],
-                               entries=p["entries"], Q=Qn,
-                               ef=ef_eff, lut=lut, codes=codes)
-            for qi, qid in enumerate(qids):
-                cand = V[qi][V[qi] >= 0]
-                if len(cand) == 0:
-                    continue
-                score = rnd(translate(kernel(p["vecs"][cand], qmat[qi])))
-                sel_ids, sel_sc = _partial_topk(p["ids"][cand], score, k)
-                out_q.extend([qid] * len(sel_ids))
+            hits = _part_pool_search(
+                p["ids"], p["vecs"], p["unit"], p["nbrs"], p["n_nbrs"],
+                p["entries"], p["pq"], qmat, Qn, k, ef_search, use_pq,
+                overquery, kernel, translate, rnd,
+                allowed=filter_ids, filter_overquery=filter_overquery)
+            for qi, sel_ids, sel_sc in hits:
+                out_q.extend([qids[qi]] * len(sel_ids))
                 out_id.append(sel_ids)
                 out_s.append(sel_sc)
         if not out_q:
@@ -943,11 +992,15 @@ class GraphSearchService:
     def search(self, queries: dict[str, np.ndarray], k: int, *,
                ef_search: int = 64, metric: str = "cosine",
                round_decimals: int | None = None, use_pq: bool = True,
-               overquery: int = 5) -> pd.DataFrame:
+               overquery: int = 5, filter_ids: np.ndarray | None = None,
+               filter_overquery: int = 5) -> pd.DataFrame:
         qids = sorted(queries)
         qmat = np.stack([queries[q] for q in qids]).astype(np.float64)
+        filt = (ray.put(np.asarray(filter_ids))       # ship ONCE, not
+                if filter_ids is not None else None)  # once per shard
         futs = [a.search.remote(qids, qmat, k, ef_search, metric,
-                                round_decimals, use_pq, overquery)
+                                round_decimals, use_pq, overquery,
+                                filt, filter_overquery)
                 for a in self.actors]
         out = pd.concat(ray.get(futs), ignore_index=True)
         if out.empty:
@@ -971,7 +1024,9 @@ class GraphSearchService:
 def graph_topk(index_dir: str, queries: dict[str, np.ndarray], k: int, *,
                ef_search: int = 64, metric: str = "cosine",
                round_decimals: int | None = None, use_pq: bool = True,
-               overquery: int = 5) -> pd.DataFrame:
+               overquery: int = 5,
+               filter_ids: np.ndarray | list[int] | None = None,
+               filter_overquery: int = 5) -> pd.DataFrame:
     """Beam-search every partition graph, merge the per-partition top-k.
 
     One Ray task per partition (the per-leaf search of
@@ -984,6 +1039,14 @@ def graph_topk(index_dir: str, queries: dict[str, np.ndarray], k: int, *,
     scores are ALWAYS an exact full-precision rescore of the pool — PQ
     changes which candidates are seen, never how hits are scored.
     ``use_pq=False`` forces full-precision traversal everywhere.
+
+    ``filter_ids`` is the reference's PRE-FILTER (`KNNQueryBuilder`
+    filter + over-query): only listed ids may be returned; the beam
+    widens to ``k * filter_overquery`` and partitions whose filtered row
+    count fits the visit budget fall back to exact scoring of exactly
+    those rows (the Lucene exact-search-when-filter-is-small rule) — so
+    full-beam filtered search is provably filtered brute force.  The id
+    array ships to the cluster ONCE via ``ray.put``.
     """
     with open(os.path.join(index_dir, META_NAME)) as f:
         meta = json.load(f)
@@ -993,10 +1056,16 @@ def graph_topk(index_dir: str, queries: dict[str, np.ndarray], k: int, *,
     qids = sorted(queries)
     qmat = np.stack([queries[q] for q in qids]).astype(np.float64)
     qref = ray.put(qmat)
+    fref = (ray.put(np.asarray(filter_ids, dtype=np.int64))
+            if filter_ids is not None else None)
     parts = sorted(d for d in os.listdir(index_dir) if d.startswith("part="))
 
     def search_part(batch: pa.Table) -> pa.Table:
         qm = ray.get(qref)
+        allowed = ray.get(fref) if fref is not None else None
+        qnorm = np.linalg.norm(qm, axis=1)
+        qnorm[qnorm == 0] = 1.0
+        Qn = (qm / qnorm[:, None]).astype(np.float32)
         out_q, out_id, out_s = [], [], []
         for pdir in batch["dir"].to_pylist():
             tbl = pq.read_table(os.path.join(pdir, "graph.parquet"))
@@ -1005,29 +1074,14 @@ def graph_topk(index_dir: str, queries: dict[str, np.ndarray], k: int, *,
             vecs = _vecs_from_batch(tbl, vec_col)
             ids = tbl[id_col].to_numpy(zero_copy_only=False)
             nbrs, n_nbrs = _decode_adjacency(tbl)
-            unit = _unitize(vecs)
-            qnorm = np.linalg.norm(qm, axis=1)
-            qnorm[qnorm == 0] = 1.0
-            Qn = qm / qnorm[:, None]
-            lut = codes = None
-            ef_eff = max(ef_search, k)
             part_pq = _load_part_pq(pdir) if use_pq else None
-            if part_pq is not None:
-                lut = _pq_neg_lut(part_pq[0], Qn)
-                codes = part_pq[1]
-                ef_eff = max(ef_search, k * overquery)
-            _, V = _beam_batch(unit, nbrs, n_nbrs,
-                               entries=pmeta["entries"], Q=Qn,
-                               ef=ef_eff, lut=lut, codes=codes)
-            for qi, qid in enumerate(qids):
-                cand = V[qi][V[qi] >= 0]
-                if len(cand) == 0:
-                    continue
-                # EXACT metric scores for the candidates (graph prunes,
-                # the score is never approximated — the rerank rule)
-                score = rnd(translate(kernel(vecs[cand], qm[qi])))
-                sel_ids, sel_sc = _partial_topk(ids[cand], score, k)
-                out_q.extend([qid] * len(sel_ids))
+            hits = _part_pool_search(
+                ids, vecs, _unitize(vecs), nbrs, n_nbrs, pmeta["entries"],
+                part_pq, qm, Qn, k, ef_search, use_pq, overquery,
+                kernel, translate, rnd,
+                allowed=allowed, filter_overquery=filter_overquery)
+            for qi, sel_ids, sel_sc in hits:
+                out_q.extend([qids[qi]] * len(sel_ids))
                 out_id.append(sel_ids)
                 out_s.append(sel_sc)
         if not out_q:

@@ -862,3 +862,56 @@ def test_ivfpq_recall_and_probe_pruning(tmp_path):
         hit_cells = {int(cell_of[v]) for v in
                      out[out.query_id == qid].vec_id}
         assert hit_cells <= set(probe[qi].tolist())
+
+
+# ---------------------------------------------------------------------------
+# Filtered graph search (pre-filter + over-query, J2 for the graph engine)
+# ---------------------------------------------------------------------------
+
+def test_graph_filtered_full_beam_equals_filtered_brute_force(tmp_path):
+    """filter_ids is a PRE-filter (`KNNQueryBuilder.java:534-539`): at
+    full beam the filtered graph search must be hash-identical to brute
+    force over only the allowed rows — both the beam+post-filter path
+    (large allow-list) and the exact-fallback path (small allow-list)."""
+    import pyarrow.compute as pc
+    from opensearch_jvector_ray.pipelines import graph as graph_pl
+    vecs = _clustered_vecs(seed=71, n_centers=5, per=50, d=16)
+    ds = rd.from_arrow(_vec_table(vecs))
+    idx = str(tmp_path / "g")
+    graph_pl.build_graph_index(ds, idx, num_parts=4, m_degree=12,
+                               ef_construction=48)
+    queries = {f"q{i}": vecs[i * 37].astype(np.float64) for i in range(4)}
+    for allowed in (np.arange(0, len(vecs), 2),        # broad: beam path
+                    np.array([3, 17, 41, 99, 150])):   # selective: exact
+        exact = knn_pl.brute_force_topk(
+            ds, queries, 10, metric="cosine", round_decimals=6,
+            filter_expr=pc.field("vec_id").isin(pa.array(allowed)))
+        got = graph_pl.graph_topk(idx, queries, 10, ef_search=400,
+                                  round_decimals=6, filter_ids=allowed)
+        pd.testing.assert_frame_equal(got, exact)
+        assert set(got.vec_id) <= set(allowed.tolist())
+
+
+def test_graph_filtered_service_identical_and_empty_filter(tmp_path):
+    """The serving actors take the same filter and must match graph_topk
+    frame-for-frame; an allow-list hitting no rows returns empty."""
+    from opensearch_jvector_ray.pipelines import graph as graph_pl
+    vecs = _clustered_vecs(seed=83, n_centers=4, per=50, d=16)
+    ds = rd.from_arrow(_vec_table(vecs))
+    idx = str(tmp_path / "g")
+    graph_pl.build_graph_index(ds, idx, num_parts=3, m_degree=12,
+                               ef_construction=48)
+    queries = {f"q{i}": vecs[i * 31].astype(np.float64) for i in range(3)}
+    allowed = np.arange(0, len(vecs), 3)
+    want = graph_pl.graph_topk(idx, queries, 10, ef_search=64,
+                               round_decimals=6, filter_ids=allowed)
+    svc = graph_pl.GraphSearchService(idx, num_shards=2)
+    try:
+        got = svc.search(queries, 10, ef_search=64, round_decimals=6,
+                         filter_ids=allowed)
+        pd.testing.assert_frame_equal(want, got)
+        none = svc.search(queries, 10, ef_search=64, round_decimals=6,
+                          filter_ids=np.array([10**9]))
+        assert none.empty
+    finally:
+        svc.shutdown()
