@@ -439,6 +439,29 @@ def _q_knn_graph_filtered(sf_dir: str) -> pd.DataFrame:
     return _round_hits(out)
 
 
+def _q_knn_graph_radial(sf_dir: str) -> pd.DataFrame:
+    # RADIAL graph search (`KNNQueryBuilder.java:438-472` min_score path
+    # on the graph engine): every node scoring >= threshold, unbounded.
+    # At full beam the visited pool is the whole index (Hamilton-cycle
+    # connectivity), so the result is exactly brute-force radial => the
+    # same hard SQL oracle as knn_cosine_radial.
+    import os
+    from opensearch_jvector_ray.pipelines import graph as graph_pl
+    from opensearch_jvector_ray.sources.tables import CACHE_ROOT
+    key = os.path.basename(os.path.normpath(sf_dir))
+    idx = os.path.join(CACHE_ROOT, f"graphidx_{key}_p4m16e64v3")
+    if not os.path.exists(os.path.join(idx, graph_pl.META_NAME)):
+        ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        graph_pl.build_graph_index(ds, idx, num_parts=4)
+    n_rows = pq.read_metadata(
+        os.path.join(sf_dir, "embeddings.parquet")).num_rows
+    queries = query_embeddings(sf_dir, KNN_QUERY_IDS)
+    out = graph_pl.graph_topk(idx, queries, None, ef_search=n_rows,
+                              round_decimals=6,
+                              min_score=KNN_RADIAL_MIN_SCORE)
+    return _round_hits(out)
+
+
 def _q_knn_graph_pq(sf_dir: str) -> pd.DataFrame:
     # QUANTIZED graph search (the reference's PQ mode: segment-local
     # codebook at flush, ADC lookup-sum traversal, exact rerank —
@@ -684,6 +707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph_merged": _q_knn_graph_merged,
         "knn_graph_pq": _q_knn_graph_pq,
         "knn_graph_filtered": _q_knn_graph_filtered,
+        "knn_graph_radial": _q_knn_graph_radial,
         "knn_hamming_topk": _q_knn_hamming,
         # relational / lifecycle operators
         "events_last_write_wins": _q_events_lww,
@@ -779,6 +803,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph_filtered": knn_sql(
             "cosine", KNN_QUERY_IDS, KNN_K,
             filter_sql=f"e.label = {KNN_FILTER_LABEL}"),
+        "knn_graph_radial": knn_sql("cosine", KNN_QUERY_IDS, KNN_K,
+                                    min_score=KNN_RADIAL_MIN_SCORE),
         "embedding_near_dups": embedding_dups_sql(
             0.95, N_PLANTED_DUPS, PLANT_ID_OFFSET),
         "simhash_near_dups": simhash_sql(CFG, max_hamming=3),

@@ -50,6 +50,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
+from opensearch_jvector_ray.functions import scoring
 from opensearch_jvector_ray.pipelines.knn import (
     METRICS, _partial_topk, _rounder, _vecs_from_batch,
 )
@@ -862,7 +863,7 @@ def merge_graph_index(src_dir: str, dst_dir: str, *, merge_factor: int = 4,
 def _part_pool_search(ids, vecs, unit, nbrs, n_nbrs, entries, part_pq,
                       qm, Qn, k, ef_search, use_pq, overquery,
                       kernel, translate, rnd,
-                      allowed=None, filter_overquery=5):
+                      allowed=None, filter_overquery=5, min_score=None):
     """Shared per-partition search: beam (float or PQ-ADC) + exact rescore,
     with the reference's PRE-FILTER semantics (`KNNQueryBuilder` filter +
     over-query, `KNNConstants.java:119`): ``allowed`` restricts which ids
@@ -877,27 +878,43 @@ def _part_pool_search(ids, vecs, unit, nbrs, n_nbrs, entries, part_pq,
       filter-is-small rule), and what makes full-beam filtered search
       provably equal to filtered brute force.
 
-    Returns [(qi, sel_ids, sel_scores)] partial top-k per query.
+    ``min_score`` switches to RADIAL mode (`KNNQueryBuilder.java:438-472`):
+    every visited node whose EXACT score >= min_score is returned,
+    unbounded; ``k`` is ignored (pass None).  The visit budget is
+    ``ef_search`` alone — at full beam the pool is the whole connected
+    partition (Hamilton-cycle edge), so full-beam radial equals
+    brute-force radial.
+
+    Returns [(qi, sel_ids, sel_scores)] partial results per query.
     """
     out = []
-    ef_eff = max(ef_search, k)
+    radial = min_score is not None
+    kk = 0 if k is None else k
+
+    def _select(cand_ids, score):
+        if radial:
+            keep = score >= min_score
+            return cand_ids[keep], score[keep]
+        return _partial_topk(cand_ids, score, k)
+
+    ef_eff = max(ef_search, kk)
     lut = codes = None
     if use_pq and part_pq is not None:
         lut = _pq_neg_lut(part_pq[0], Qn)
         codes = part_pq[1]
-        ef_eff = max(ef_search, k * overquery)
+        ef_eff = max(ef_eff, kk * overquery)
     amask = None
     if allowed is not None:
         amask = np.isin(ids, allowed)
         n_allowed = int(amask.sum())
         if n_allowed == 0:
             return out
-        ef_eff = max(ef_eff, k * filter_overquery)
+        ef_eff = max(ef_eff, kk * filter_overquery)
         if n_allowed <= ef_eff:
             rows = np.flatnonzero(amask)
             for qi in range(len(Qn)):
                 score = rnd(translate(kernel(vecs[rows], qm[qi])))
-                sel_ids, sel_sc = _partial_topk(ids[rows], score, k)
+                sel_ids, sel_sc = _select(ids[rows], score)
                 out.append((qi, sel_ids, sel_sc))
             return out
     _, V = _beam_batch(unit, nbrs, n_nbrs, entries=entries, Q=Qn,
@@ -911,7 +928,7 @@ def _part_pool_search(ids, vecs, unit, nbrs, n_nbrs, entries, part_pq,
         # EXACT metric scores for the candidates (graph prunes, the
         # score is never approximated — the rerank rule)
         score = rnd(translate(kernel(vecs[cand], qm[qi])))
-        sel_ids, sel_sc = _partial_topk(ids[cand], score, k)
+        sel_ids, sel_sc = _select(ids[cand], score)
         out.append((qi, sel_ids, sel_sc))
     return out
 
@@ -943,11 +960,12 @@ class GraphShardActor:
                 "pq": _load_part_pq(pdir),
             })
 
-    def search(self, qids: list[str], qmat: np.ndarray, k: int,
+    def search(self, qids: list[str], qmat: np.ndarray, k: int | None,
                ef_search: int, metric: str,
                round_decimals: int | None, use_pq: bool = True,
                overquery: int = 5, filter_ids: np.ndarray | None = None,
-               filter_overquery: int = 5) -> pd.DataFrame:
+               filter_overquery: int = 5,
+               min_score: float | None = None) -> pd.DataFrame:
         kernel, translate, _ = METRICS[metric]
         rnd = _rounder(round_decimals)
         qnorm = np.linalg.norm(qmat, axis=1)
@@ -959,7 +977,8 @@ class GraphShardActor:
                 p["ids"], p["vecs"], p["unit"], p["nbrs"], p["n_nbrs"],
                 p["entries"], p["pq"], qmat, Qn, k, ef_search, use_pq,
                 overquery, kernel, translate, rnd,
-                allowed=filter_ids, filter_overquery=filter_overquery)
+                allowed=filter_ids, filter_overquery=filter_overquery,
+                min_score=min_score)
             for qi, sel_ids, sel_sc in hits:
                 out_q.extend([qids[qi]] * len(sel_ids))
                 out_id.append(sel_ids)
@@ -989,27 +1008,35 @@ class GraphSearchService:
         self.actors = [GraphShardActor.remote(s, self.id_col, self.vec_col)
                        for s in shards if s]
 
-    def search(self, queries: dict[str, np.ndarray], k: int, *,
+    def search(self, queries: dict[str, np.ndarray], k: int | None, *,
                ef_search: int = 64, metric: str = "cosine",
                round_decimals: int | None = None, use_pq: bool = True,
                overquery: int = 5, filter_ids: np.ndarray | None = None,
-               filter_overquery: int = 5) -> pd.DataFrame:
+               filter_overquery: int = 5,
+               min_score: float | None = None,
+               max_distance: float | None = None) -> pd.DataFrame:
+        if max_distance is not None:
+            if min_score is not None:
+                raise ValueError("pass min_score OR max_distance, not both "
+                                 "(KNNQueryBuilder.java:438-472)")
+            min_score = scoring.distance_to_min_score(metric, max_distance)
         qids = sorted(queries)
         qmat = np.stack([queries[q] for q in qids]).astype(np.float64)
         filt = (ray.put(np.asarray(filter_ids))       # ship ONCE, not
                 if filter_ids is not None else None)  # once per shard
         futs = [a.search.remote(qids, qmat, k, ef_search, metric,
                                 round_decimals, use_pq, overquery,
-                                filt, filter_overquery)
+                                filt, filter_overquery, min_score)
                 for a in self.actors]
         out = pd.concat(ray.get(futs), ignore_index=True)
         if out.empty:
             return pd.DataFrame(
                 columns=["query_id", "rank", self.id_col, "score"])
-        out = (out.sort_values(["query_id", "score", "vec_id"],
-                               ascending=[True, False, True],
-                               kind="mergesort")
-                  .groupby("query_id", sort=False).head(k))
+        out = out.sort_values(["query_id", "score", "vec_id"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        if min_score is None:
+            out = out.groupby("query_id", sort=False).head(k)
         out["rank"] = out.groupby("query_id", sort=False).cumcount() + 1
         out = out.rename(columns={"vec_id": self.id_col})
         return out[["query_id", "rank", self.id_col,
@@ -1021,12 +1048,15 @@ class GraphSearchService:
         self.actors = []
 
 
-def graph_topk(index_dir: str, queries: dict[str, np.ndarray], k: int, *,
+def graph_topk(index_dir: str, queries: dict[str, np.ndarray],
+               k: int | None, *,
                ef_search: int = 64, metric: str = "cosine",
                round_decimals: int | None = None, use_pq: bool = True,
                overquery: int = 5,
                filter_ids: np.ndarray | list[int] | None = None,
-               filter_overquery: int = 5) -> pd.DataFrame:
+               filter_overquery: int = 5,
+               min_score: float | None = None,
+               max_distance: float | None = None) -> pd.DataFrame:
     """Beam-search every partition graph, merge the per-partition top-k.
 
     One Ray task per partition (the per-leaf search of
@@ -1047,7 +1077,19 @@ def graph_topk(index_dir: str, queries: dict[str, np.ndarray], k: int, *,
     those rows (the Lucene exact-search-when-filter-is-small rule) — so
     full-beam filtered search is provably filtered brute force.  The id
     array ships to the cluster ONCE via ``ray.put``.
+
+    ``min_score`` switches to RADIAL mode: every node the beam visits
+    whose exact score >= min_score is returned, unbounded (``k`` is
+    ignored — pass None); at full beam this equals brute-force radial.
+    ``max_distance`` is the reference's other radial form, translated
+    per-space into min_score (`KNNEngine.distanceToRadialThreshold`,
+    `KNNEngine.java:100-192`); passing both is an error.
     """
+    if max_distance is not None:
+        if min_score is not None:
+            raise ValueError("pass min_score OR max_distance, not both "
+                             "(KNNQueryBuilder.java:438-472)")
+        min_score = scoring.distance_to_min_score(metric, max_distance)
     with open(os.path.join(index_dir, META_NAME)) as f:
         meta = json.load(f)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
@@ -1079,7 +1121,8 @@ def graph_topk(index_dir: str, queries: dict[str, np.ndarray], k: int, *,
                 ids, vecs, _unitize(vecs), nbrs, n_nbrs, pmeta["entries"],
                 part_pq, qm, Qn, k, ef_search, use_pq, overquery,
                 kernel, translate, rnd,
-                allowed=allowed, filter_overquery=filter_overquery)
+                allowed=allowed, filter_overquery=filter_overquery,
+                min_score=min_score)
             for qi, sel_ids, sel_sc in hits:
                 out_q.extend([qids[qi]] * len(sel_ids))
                 out_id.append(sel_ids)
@@ -1100,8 +1143,9 @@ def graph_topk(index_dir: str, queries: dict[str, np.ndarray], k: int, *,
            .to_pandas())
     if out.empty:
         return pd.DataFrame(columns=["query_id", "rank", id_col, "score"])
-    out = (out.sort_values(["query_id", "score", id_col],
-                           ascending=[True, False, True], kind="mergesort")
-              .groupby("query_id", sort=False).head(k))
+    out = out.sort_values(["query_id", "score", id_col],
+                          ascending=[True, False, True], kind="mergesort")
+    if min_score is None:
+        out = out.groupby("query_id", sort=False).head(k)
     out["rank"] = out.groupby("query_id", sort=False).cumcount() + 1
     return out[["query_id", "rank", id_col, "score"]].reset_index(drop=True)

@@ -915,3 +915,68 @@ def test_graph_filtered_service_identical_and_empty_filter(tmp_path):
         assert none.empty
     finally:
         svc.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# Radial graph search (min_score / max_distance, KNNQueryBuilder.java:438-472)
+# ---------------------------------------------------------------------------
+
+def test_graph_radial_full_beam_equals_brute_force(tmp_path):
+    """min_score switches the graph engine to radial mode: at full beam
+    the visited pool is the whole index (Hamilton-cycle connectivity), so
+    the unbounded score>=theta result must be frame-identical to
+    brute-force radial; max_distance is the translated form and must give
+    the same frame."""
+    from opensearch_jvector_ray.functions import scoring
+    from opensearch_jvector_ray.pipelines import graph as graph_pl
+    vecs = _clustered_vecs(seed=91, n_centers=5, per=50, d=16)
+    ds = rd.from_arrow(_vec_table(vecs))
+    idx = str(tmp_path / "g")
+    graph_pl.build_graph_index(ds, idx, num_parts=4, m_degree=12,
+                               ef_construction=48)
+    queries = {f"q{i}": vecs[i * 41].astype(np.float64) for i in range(4)}
+    theta = 0.9
+    exact = knn_pl.brute_force_topk(ds, queries, None, metric="cosine",
+                                    round_decimals=6, min_score=theta)
+    assert len(exact) > 0 and exact.groupby("query_id").size().max() > 10
+    got = graph_pl.graph_topk(idx, queries, None, ef_search=400,
+                              round_decimals=6, min_score=theta)
+    pd.testing.assert_frame_equal(got, exact)
+    # max_distance arm: cosine distance d -> min_score (2-d)/2
+    dist = scoring.distance_to_min_score("cosine", 0.2)
+    assert abs(dist - theta) < 1e-12
+    got_d = graph_pl.graph_topk(idx, queries, None, ef_search=400,
+                                round_decimals=6, max_distance=0.2)
+    pd.testing.assert_frame_equal(got_d, exact)
+    with pytest.raises(ValueError):
+        graph_pl.graph_topk(idx, queries, None, min_score=0.5,
+                            max_distance=0.2)
+
+
+def test_graph_radial_with_filter_and_service(tmp_path):
+    """Radial composes with the pre-filter (both must restrict), and the
+    serving actors return the identical frame."""
+    import pyarrow.compute as pc
+    from opensearch_jvector_ray.pipelines import graph as graph_pl
+    vecs = _clustered_vecs(seed=97, n_centers=4, per=50, d=16)
+    ds = rd.from_arrow(_vec_table(vecs))
+    idx = str(tmp_path / "g")
+    graph_pl.build_graph_index(ds, idx, num_parts=3, m_degree=12,
+                               ef_construction=48)
+    queries = {f"q{i}": vecs[i * 29].astype(np.float64) for i in range(3)}
+    allowed = np.arange(0, len(vecs), 2)
+    exact = knn_pl.brute_force_topk(
+        ds, queries, None, metric="cosine", round_decimals=6,
+        min_score=0.9,
+        filter_expr=pc.field("vec_id").isin(pa.array(allowed)))
+    got = graph_pl.graph_topk(idx, queries, None, ef_search=400,
+                              round_decimals=6, min_score=0.9,
+                              filter_ids=allowed)
+    pd.testing.assert_frame_equal(got, exact)
+    svc = graph_pl.GraphSearchService(idx, num_shards=2)
+    try:
+        got_s = svc.search(queries, None, ef_search=400, round_decimals=6,
+                           min_score=0.9, filter_ids=allowed)
+        pd.testing.assert_frame_equal(got_s, exact)
+    finally:
+        svc.shutdown()
