@@ -313,6 +313,29 @@ def _q_knn_ivf_partitioned(sf_dir: str) -> pd.DataFrame:
     return _round_hits(out)
 
 
+def _q_knn_ivf_filtered(sf_dir: str) -> pd.DataFrame:
+    # FILTERED IVF search (J2 for the IVF engine): pre-filter allow-list
+    # applied before scoring, at FULL probe (every cell read) — so the
+    # result is exactly filtered brute force => hard SQL oracle.
+    import os
+    from opensearch_jvector_ray.sources.tables import CACHE_ROOT
+    key = os.path.basename(os.path.normpath(sf_dir))
+    idx = os.path.join(CACHE_ROOT, f"ivffix_{key}_c{len(IVF_CENTROID_IDS)}")
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cent = knn_pl.fixed_centroids(ds, IVF_CENTROID_IDS)
+    if not os.path.exists(os.path.join(idx, "_centroids.npy")):
+        knn_pl.build_ivf_index(ds, idx, centroids=cent)
+    allowed = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id"],
+        filters=[("label", "=", KNN_FILTER_LABEL)],
+    )["vec_id"].to_numpy(zero_copy_only=False)
+    queries = query_embeddings(sf_dir, KNN_QUERY_IDS)
+    out = knn_pl.ivf_index_topk(idx, queries, KNN_K,
+                                n_probe=len(IVF_CENTROID_IDS),
+                                round_decimals=6, filter_ids=allowed)
+    return _round_hits(out)
+
+
 def _q_knn_pq_rerank(sf_dir: str) -> pd.DataFrame:
     # PQ lifecycle entry: train-once codebook (cached index), ADC first
     # pass + exact rerank — at the DEGENERATE-EXACT driver setting:
@@ -708,6 +731,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph_pq": _q_knn_graph_pq,
         "knn_graph_filtered": _q_knn_graph_filtered,
         "knn_graph_radial": _q_knn_graph_radial,
+        "knn_ivf_filtered": _q_knn_ivf_filtered,
         "knn_hamming_topk": _q_knn_hamming,
         # relational / lifecycle operators
         "events_last_write_wins": _q_events_lww,
@@ -805,6 +829,9 @@ def oracle_sql() -> dict[str, str]:
             filter_sql=f"e.label = {KNN_FILTER_LABEL}"),
         "knn_graph_radial": knn_sql("cosine", KNN_QUERY_IDS, KNN_K,
                                     min_score=KNN_RADIAL_MIN_SCORE),
+        "knn_ivf_filtered": knn_sql(
+            "cosine", KNN_QUERY_IDS, KNN_K,
+            filter_sql=f"e.label = {KNN_FILTER_LABEL}"),
         "embedding_near_dups": embedding_dups_sql(
             0.95, N_PLANTED_DUPS, PLANT_ID_OFFSET),
         "simhash_near_dups": simhash_sql(CFG, max_hamming=3),

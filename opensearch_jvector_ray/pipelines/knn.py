@@ -506,14 +506,32 @@ def compact_ivf_index(index_dir: str, dst_dir: str,
             np.load(os.path.join(index_dir, "_centroids.npy")))
 
 
-def ivf_index_topk(index_dir: str, queries: dict[str, np.ndarray], k: int,
+def ivf_index_topk(index_dir: str, queries: dict[str, np.ndarray],
+                   k: int | None,
                    *, n_probe: int = 4, metric: str = "cosine",
                    id_col: str = "vec_id", vec_col: str = "embedding",
-                   round_decimals: int | None = None) -> pd.DataFrame:
+                   round_decimals: int | None = None,
+                   filter_ids: np.ndarray | list[int] | None = None,
+                   min_score: float | None = None,
+                   max_distance: float | None = None) -> pd.DataFrame:
     """Query a persisted IVF index: per query, read ONLY the n_probe
     nearest cell directories, brute-force within, merge.  Union of probed
-    cells is read once and scored per query with its own probe mask."""
+    cells is read once and scored per query with its own probe mask.
+
+    ``filter_ids`` is the reference's PRE-FILTER allow-list
+    (`KNNQueryBuilder.java:534-539`): rows outside it are dropped before
+    scoring — at full probe the result is exactly filtered brute force.
+    ``min_score`` switches to RADIAL mode (unbounded score>=theta, ``k``
+    ignored — `KNNQueryBuilder.java:438-472`); ``max_distance`` is the
+    per-space translated radial form.  The allow-list ships to the
+    cluster ONCE via ``ray.put``."""
     import os
+    from opensearch_jvector_ray.functions import scoring as _scoring
+    if max_distance is not None:
+        if min_score is not None:
+            raise ValueError("pass min_score OR max_distance, not both "
+                             "(KNNQueryBuilder.java:438-472)")
+        min_score = _scoring.distance_to_min_score(metric, max_distance)
     centroids = np.load(os.path.join(index_dir, "_centroids.npy"))
     qids = sorted(queries)
     qmat = np.stack([queries[q] for q in qids]).astype(np.float64)
@@ -522,6 +540,8 @@ def ivf_index_topk(index_dir: str, queries: dict[str, np.ndarray], k: int,
     union_cells = sorted({c for s in probe_sets.values() for c in s})
     kernel, translate, _ = METRICS[metric]
     rnd = _rounder(round_decimals)
+    allowed = (np.asarray(filter_ids, dtype=np.int64)
+               if filter_ids is not None else None)
 
     # prune at the read: ONLY the probed cell directories are listed
     import glob as globmod
@@ -533,15 +553,20 @@ def ivf_index_topk(index_dir: str, queries: dict[str, np.ndarray], k: int,
     ds = rd.read_parquet(paths,
                          partitioning=Partitioning("hive", base_dir=index_dir))
     dead = _load_tombstones(index_dir, id_col)
-    qref = ray.put((qmat, probe_sets, dead))
+    qref = ray.put((qmat, probe_sets, dead, allowed))
 
     def score_batch(batch: pa.Table) -> pa.Table:
-        qm, probes, dead_ids = ray.get(qref)
+        qm, probes, dead_ids, allow = ray.get(qref)
         import pyarrow.compute as pc
+        row_ids = batch[id_col].to_numpy(zero_copy_only=False)
+        keep = None
         if dead_ids is not None:
-            live = ~np.isin(batch[id_col].to_numpy(zero_copy_only=False),
-                            dead_ids)
-            batch = batch.filter(pa.array(live))
+            keep = ~np.isin(row_ids, dead_ids)
+        if allow is not None:
+            amask = np.isin(row_ids, allow)
+            keep = amask if keep is None else (keep & amask)
+        if keep is not None:
+            batch = batch.filter(pa.array(keep))
             if batch.num_rows == 0:
                 return pa.table({"query_id": pa.array([], type=pa.string()),
                                  id_col: pa.array([], type=pa.int64()),
@@ -555,7 +580,11 @@ def ivf_index_topk(index_dir: str, queries: dict[str, np.ndarray], k: int,
             if not mask.any():
                 continue
             score = rnd(translate(kernel(vecs[mask], qm[qi])))
-            sel_ids, sel_sc = _partial_topk(ids[mask], score, k)
+            if min_score is not None:
+                r_keep = score >= min_score
+                sel_ids, sel_sc = ids[mask][r_keep], score[r_keep]
+            else:
+                sel_ids, sel_sc = _partial_topk(ids[mask], score, k)
             out_q.extend([qid] * len(sel_ids))
             out_id.append(sel_ids)
             out_s.append(sel_sc)
@@ -573,9 +602,10 @@ def ivf_index_topk(index_dir: str, queries: dict[str, np.ndarray], k: int,
                            batch_size=8192).to_pandas()
     if parts.empty:
         return pd.DataFrame(columns=["query_id", "rank", id_col, "score"])
-    out = (parts.sort_values(["query_id", "score", id_col],
-                             ascending=[True, False, True], kind="mergesort")
-                .groupby("query_id", sort=False).head(k))
+    out = parts.sort_values(["query_id", "score", id_col],
+                            ascending=[True, False, True], kind="mergesort")
+    if min_score is None:
+        out = out.groupby("query_id", sort=False).head(k)
     out["rank"] = out.groupby("query_id", sort=False).cumcount() + 1
     return out[["query_id", "rank", id_col, "score"]].reset_index(drop=True)
 

@@ -980,3 +980,45 @@ def test_graph_radial_with_filter_and_service(tmp_path):
         pd.testing.assert_frame_equal(got_s, exact)
     finally:
         svc.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# Filtered / radial IVF search (pre-filter + radial on the IVF engine)
+# ---------------------------------------------------------------------------
+
+def test_ivf_filtered_and_radial_full_probe_exact(tmp_path):
+    """At FULL probe (every cell read) the persisted-IVF search with a
+    pre-filter equals filtered brute force, and min_score/max_distance
+    radial equals brute radial; at partial probe the filter still
+    restricts results to the allow-list."""
+    import pyarrow.compute as pc
+    vecs = _clustered_vecs(seed=101, n_centers=6, per=40, d=16)
+    ds = rd.from_arrow(_vec_table(vecs))
+    idx = str(tmp_path / "ivf")
+    cent = knn_pl.fixed_centroids(ds, [0, 40, 80, 120, 160, 200])
+    knn_pl.build_ivf_index(ds, idx, centroids=cent)
+    queries = {f"q{i}": vecs[i * 43].astype(np.float64) for i in range(3)}
+    allowed = np.arange(0, len(vecs), 2)
+    exact = knn_pl.brute_force_topk(
+        ds, queries, 10, metric="cosine", round_decimals=6,
+        filter_expr=pc.field("vec_id").isin(pa.array(allowed)))
+    got = knn_pl.ivf_index_topk(idx, queries, 10, n_probe=6,
+                                round_decimals=6, filter_ids=allowed)
+    pd.testing.assert_frame_equal(got, exact)
+    # partial probe: approximate, but the allow-list still binds
+    part = knn_pl.ivf_index_topk(idx, queries, 10, n_probe=2,
+                                 round_decimals=6, filter_ids=allowed)
+    assert set(part.vec_id) <= set(allowed.tolist())
+    # radial: full probe == brute radial; max_distance arm identical
+    rexact = knn_pl.brute_force_topk(ds, queries, None, metric="cosine",
+                                     round_decimals=6, min_score=0.9)
+    assert len(rexact) > 0
+    rgot = knn_pl.ivf_index_topk(idx, queries, None, n_probe=6,
+                                 round_decimals=6, min_score=0.9)
+    pd.testing.assert_frame_equal(rgot, rexact)
+    rgot_d = knn_pl.ivf_index_topk(idx, queries, None, n_probe=6,
+                                   round_decimals=6, max_distance=0.2)
+    pd.testing.assert_frame_equal(rgot_d, rexact)
+    with pytest.raises(ValueError):
+        knn_pl.ivf_index_topk(idx, queries, None, min_score=0.5,
+                              max_distance=0.2)
