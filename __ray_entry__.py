@@ -386,6 +386,33 @@ def _q_knn_ivfpq(sf_dir: str) -> pd.DataFrame:
     return _round_hits(out)
 
 
+def _q_knn_ivfpq_filtered(sf_dir: str) -> pd.DataFrame:
+    # IVF-PQ with the pre-filter allow-list, at the degenerate-exact
+    # setting (full probe + full oversample) => filtered brute force
+    # => the same hard SQL oracle as knn_cosine_filtered.
+    import os
+    from opensearch_jvector_ray.pipelines import pq as pq_pl
+    from opensearch_jvector_ray.sources.tables import CACHE_ROOT
+    key = os.path.basename(os.path.normpath(sf_dir))
+    n_cent = 8
+    idx = os.path.join(CACHE_ROOT, f"ivfpq_{key}_c{n_cent}_m8k16")
+    if not os.path.exists(os.path.join(idx, pq_pl.IVFPQ_CENTROIDS)):
+        ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        pq_pl.build_ivfpq_index(ds, idx, n_centroids=n_cent,
+                                m_subspaces=8, n_codes=16)
+    allowed = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id"],
+        filters=[("label", "=", KNN_FILTER_LABEL)],
+    )["vec_id"].to_numpy(zero_copy_only=False)
+    n_rows = pq.read_metadata(
+        os.path.join(sf_dir, "embeddings.parquet")).num_rows
+    queries = query_embeddings(sf_dir, KNN_QUERY_IDS)
+    out = pq_pl.ivfpq_topk(idx, queries, KNN_K, n_probe=n_cent,
+                           oversample=max(1.0, n_rows / KNN_K),
+                           round_decimals=6, filter_ids=allowed)
+    return _round_hits(out)
+
+
 def _q_knn_graph(sf_dir: str) -> pd.DataFrame:
     # graph-ANN (jVector/DiskANN-class) entry at the DEGENERATE-EXACT
     # driver setting: ef_search = table size makes every partition's beam
@@ -732,6 +759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph_filtered": _q_knn_graph_filtered,
         "knn_graph_radial": _q_knn_graph_radial,
         "knn_ivf_filtered": _q_knn_ivf_filtered,
+        "knn_ivfpq_filtered": _q_knn_ivfpq_filtered,
         "knn_hamming_topk": _q_knn_hamming,
         # relational / lifecycle operators
         "events_last_write_wins": _q_events_lww,
@@ -830,6 +858,9 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph_radial": knn_sql("cosine", KNN_QUERY_IDS, KNN_K,
                                     min_score=KNN_RADIAL_MIN_SCORE),
         "knn_ivf_filtered": knn_sql(
+            "cosine", KNN_QUERY_IDS, KNN_K,
+            filter_sql=f"e.label = {KNN_FILTER_LABEL}"),
+        "knn_ivfpq_filtered": knn_sql(
             "cosine", KNN_QUERY_IDS, KNN_K,
             filter_sql=f"e.label = {KNN_FILTER_LABEL}"),
         "embedding_near_dups": embedding_dups_sql(

@@ -339,8 +339,16 @@ def ivfpq_topk(index_dir: str, queries: dict[str, np.ndarray], k: int, *,
                n_probe: int = 4, oversample: float = 4.0,
                metric: str = "cosine", id_col: str = "vec_id",
                vec_col: str = "embedding",
-               round_decimals: int | None = None) -> pd.DataFrame:
+               round_decimals: int | None = None,
+               filter_ids: np.ndarray | list[int] | None = None,
+               ) -> pd.DataFrame:
     """Query an IVF-PQ index: probe -> codes-only ADC pass -> exact rerank.
+
+    ``filter_ids`` is the reference's PRE-FILTER allow-list
+    (`KNNQueryBuilder.java:534-539`): rows outside it are dropped in the
+    ADC pass, before candidate selection — so every candidate (and hence
+    every hit) is allowed, and at the degenerate-exact setting (full
+    probe + full oversample) the result equals filtered brute force.
 
     1. probe the ``n_probe`` nearest cells per query (tie to lower cell,
        same rule as the IVF oracle);
@@ -382,16 +390,21 @@ def ivfpq_topk(index_dir: str, queries: dict[str, np.ndarray], k: int, *,
                      for i in range(len(qids))])
     approx_best = metric != "l2"
     part_scheme = Partitioning("hive", base_dir=index_dir)
-    pass1_ref = ray.put((luts, probe_sets))
+    allowed = (np.asarray(filter_ids, dtype=np.int64)
+               if filter_ids is not None else None)
+    pass1_ref = ray.put((luts, probe_sets, allowed))
 
     def adc_batch(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
-        luts_, probes = ray.get(pass1_ref)
+        luts_, probes, allow = ray.get(pass1_ref)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         raw = b"".join(batch["codes"].to_pylist())
         codes = np.frombuffer(raw, dtype=np.uint8).reshape(len(ids), -1)
         cells = pc.cast(batch["cell"], pa.int64()).to_numpy(
             zero_copy_only=False)
+        if allow is not None:
+            keep = np.isin(ids, allow)
+            ids, codes, cells = ids[keep], codes[keep], cells[keep]
         m = codes.shape[1]
         out_q, out_id, out_s = [], [], []
         for qi, qid in enumerate(qids):

@@ -1022,3 +1022,28 @@ def test_ivf_filtered_and_radial_full_probe_exact(tmp_path):
     with pytest.raises(ValueError):
         knn_pl.ivf_index_topk(idx, queries, None, min_score=0.5,
                               max_distance=0.2)
+
+
+def test_ivfpq_filtered_degenerate_exact(tmp_path):
+    """IVF-PQ pre-filter: at full probe + full oversample the filtered
+    search equals filtered brute force; at approximate settings hits
+    stay inside the allow-list."""
+    import pyarrow.compute as pc
+    from opensearch_jvector_ray.pipelines import pq as pq_pl
+    vecs = _clustered_vecs(seed=103, n_centers=5, per=40, d=16)
+    ds = rd.from_arrow(_vec_table(vecs))
+    idx = str(tmp_path / "ivfpq")
+    pq_pl.build_ivfpq_index(ds, idx, n_centroids=5, m_subspaces=8,
+                            n_codes=16)
+    queries = {f"q{i}": vecs[i * 47].astype(np.float64) for i in range(3)}
+    allowed = np.arange(0, len(vecs), 2)
+    exact = knn_pl.brute_force_topk(
+        ds, queries, 10, metric="cosine", round_decimals=6,
+        filter_expr=pc.field("vec_id").isin(pa.array(allowed)))
+    got = pq_pl.ivfpq_topk(idx, queries, 10, n_probe=5,
+                           oversample=len(vecs) / 10,
+                           round_decimals=6, filter_ids=allowed)
+    pd.testing.assert_frame_equal(got, exact)
+    part = pq_pl.ivfpq_topk(idx, queries, 10, n_probe=2, oversample=2.0,
+                            round_decimals=6, filter_ids=allowed)
+    assert set(part.vec_id) <= set(allowed.tolist())
