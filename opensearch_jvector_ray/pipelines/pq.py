@@ -103,6 +103,36 @@ def train_pq_codebook(ds: "rd.Dataset", *, m_subspaces: int = 8,
     return ray.get(_train.remote(*refs))
 
 
+def _train_ivfpq(ds: "rd.Dataset", *, n_centroids: int, m_subspaces: int,
+                 n_codes: int, vec_col: str, sample_size: int = 65536,
+                 iters: int = 10, seed: int = 42,
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """Both IVF-PQ quantizers (coarse centroids + PQ codebook) from ONE
+    bounded distributed sample and ONE remote task — output-identical to
+    calling ``train_centroids`` then ``train_pq_codebook`` with the same
+    seed (same sample, same k-means inits), at half the pipeline runs."""
+    from opensearch_jvector_ray.pipelines.knn import _kmeans_rows
+    if n_codes > 256:
+        raise ValueError(f"n_codes={n_codes} > 256: PQ codes are stored as "
+                         f"uint8; larger codebooks would silently wrap")
+    n_rows = ds.count() or 1
+    frac = min(1.0, 1.5 * sample_size / n_rows)
+    sample = ds.select_columns([vec_col])
+    if frac < 1.0:
+        sample = sample.random_sample(frac, seed=seed)
+    refs = sample.limit(sample_size).to_arrow_refs()
+
+    @ray.remote
+    def _train(*blocks) -> tuple[np.ndarray, np.ndarray]:
+        X = np.concatenate([_vecs_from_batch(b, vec_col)
+                            for b in blocks if b.num_rows])
+        return (_kmeans_rows(X, n_centroids, iters=iters, seed=seed),
+                _kmeans_subspaces(X, m_subspaces, n_codes, iters=iters,
+                                  seed=seed))
+
+    return ray.get(_train.remote(*refs))
+
+
 def pq_encode(vecs: np.ndarray, book: np.ndarray) -> np.ndarray:
     """(n, M) uint8 codes: nearest sub-centroid per subspace (ties to the
     lowest code, argmin rule)."""
@@ -307,6 +337,15 @@ def build_ivfpq_index(ds: "rd.Dataset", index_dir: str, *,
         _assign_cells, train_centroids,
     )
     os.makedirs(index_dir, exist_ok=True)
+    if centroids is None and codebook is None:
+        # FUSED trainer: one bounded sample fetch, one remote task doing
+        # BOTH k-means — identical outputs to the two separate trainers
+        # (same seed -> same sample -> same inits), one less full
+        # Dataset execution (pytest-asserted identity)
+        centroids, codebook = _train_ivfpq(
+            ds, n_centroids=n_centroids, m_subspaces=m_subspaces,
+            n_codes=n_codes, vec_col=vec_col, sample_size=sample_size,
+            seed=seed)
     if centroids is None:
         centroids = train_centroids(ds, n_centroids, vec_col,
                                     sample_size=sample_size, seed=seed)
@@ -329,8 +368,9 @@ def build_ivfpq_index(ds: "rd.Dataset", index_dir: str, *,
             "cell": pa.array(cell),
         })
 
-    (ds.map_batches(assign_encode, batch_format="pyarrow")
-       .write_parquet(index_dir, partition_cols=["cell"]))
+    from opensearch_jvector_ray.pipelines.knn import _stage_and_compact_cells
+    _stage_and_compact_cells(
+        ds.map_batches(assign_encode, batch_format="pyarrow"), index_dir)
     np.save(os.path.join(index_dir, IVFPQ_CENTROIDS), centroids)
     np.save(os.path.join(index_dir, CODEBOOK_NAME), codebook)
 

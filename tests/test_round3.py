@@ -1047,3 +1047,37 @@ def test_ivfpq_filtered_degenerate_exact(tmp_path):
     part = pq_pl.ivfpq_topk(idx, queries, 10, n_probe=2, oversample=2.0,
                             round_decimals=6, filter_ids=allowed)
     assert set(part.vec_id) <= set(allowed.tolist())
+
+
+def test_ivfpq_compacted_layout_and_fused_trainer(tmp_path):
+    """The IVF-PQ (and IVF) builders must emit ONE compacted file per
+    cell dir (tiny per-block files dominated query latency), and the
+    fused single-sample trainer must produce bit-identical quantizers to
+    the two separate trainers."""
+    import glob
+    from opensearch_jvector_ray.pipelines import pq as pq_pl
+    vecs = _clustered_vecs(seed=107, n_centers=4, per=60, d=16)
+    ds = rd.from_arrow(_vec_table(vecs))
+    cent_sep = knn_pl.train_centroids(ds, 4, "embedding")
+    book_sep = pq_pl.train_pq_codebook(ds, m_subspaces=8, n_codes=16,
+                                       vec_col="embedding")
+    cent_f, book_f = pq_pl._train_ivfpq(ds, n_centroids=4, m_subspaces=8,
+                                        n_codes=16, vec_col="embedding")
+    np.testing.assert_array_equal(cent_sep, cent_f)
+    np.testing.assert_array_equal(book_sep, book_f)
+    idx = str(tmp_path / "ivfpq")
+    pq_pl.build_ivfpq_index(ds, idx, n_centroids=4, m_subspaces=8,
+                            n_codes=16)
+    cells = glob.glob(str(tmp_path / "ivfpq" / "cell=*"))
+    assert cells
+    for c in cells:
+        assert [os.path.basename(f) for f in glob.glob(c + "/*.parquet")] \
+            == ["data-0.parquet"]
+    idx2 = str(tmp_path / "ivf")
+    knn_pl.build_ivf_index(ds, idx2, n_centroids=4)
+    for c in glob.glob(str(tmp_path / "ivf" / "cell=*")):
+        assert [os.path.basename(f) for f in glob.glob(c + "/*.parquet")] \
+            == ["data-0.parquet"]
+    with pytest.raises(ValueError):
+        pq_pl._train_ivfpq(ds, n_centroids=4, m_subspaces=8, n_codes=300,
+                           vec_col="embedding")
