@@ -106,6 +106,12 @@ def main(argv: list[str] | None = None) -> int:
     ks.add_argument("--metric", default="cosine")
     ks.add_argument("--ef", type=int, default=64)
     ks.add_argument("--n-probe", type=int, default=4)
+    ks.add_argument("--filter-ids", default=None,
+                    help="comma-separated allow-list of ids (pre-filter)")
+    ks.add_argument("--min-score", type=float, default=None,
+                    help="radial mode: every hit scoring >= threshold")
+    ks.add_argument("--max-distance", type=float, default=None,
+                    help="radial mode via per-space distance translation")
 
     km = sub.add_parser("knn-merge")
     km.add_argument("--index", required=True)
@@ -223,24 +229,39 @@ def main(argv: list[str] | None = None) -> int:
             import numpy as np
             queries = {f"q{i}": np.array([float(x) for x in q.split(",")])
                        for i, q in enumerate(args.query)}
+            fids = (np.array([int(x) for x in args.filter_ids.split(",")])
+                    if args.filter_ids else None)
+            radial = {"min_score": args.min_score,
+                      "max_distance": args.max_distance}
             if args.engine == "graph":
                 from opensearch_jvector_ray.pipelines import graph as gpl
                 out = gpl.graph_topk(args.index, queries, args.k,
                                      ef_search=args.ef,
-                                     metric=args.metric, round_decimals=6)
+                                     metric=args.metric, round_decimals=6,
+                                     filter_ids=fids, **radial)
             elif args.engine == "ivf":
                 from opensearch_jvector_ray.pipelines import knn as kpl
                 out = kpl.ivf_index_topk(args.index, queries, args.k,
                                          n_probe=args.n_probe,
                                          metric=args.metric,
-                                         round_decimals=6)
+                                         round_decimals=6,
+                                         filter_ids=fids, **radial)
             elif args.engine == "ivfpq":
                 from opensearch_jvector_ray.pipelines import pq as ppl
+                if args.min_score is not None or \
+                        args.max_distance is not None:
+                    p.error("radial mode is not supported by the ivfpq "
+                            "engine (use graph or ivf)")
                 out = ppl.ivfpq_topk(args.index, queries, args.k,
                                      n_probe=args.n_probe,
-                                     metric=args.metric, round_decimals=6)
+                                     metric=args.metric, round_decimals=6,
+                                     filter_ids=fids)
             else:
                 from opensearch_jvector_ray.pipelines import pq as ppl
+                if fids is not None or args.min_score is not None or \
+                        args.max_distance is not None:
+                    p.error("filter/radial flags are not supported by the "
+                            "pq engine (use graph, ivf, or ivfpq --filter-ids)")
                 out = ppl.pq_rerank_topk(args.index, queries, args.k,
                                          metric=args.metric,
                                          round_decimals=6)

@@ -1109,3 +1109,46 @@ def test_descent_wider_working_degree_breaks_uniform_plateau():
     # measured: q1~0.26 (the plateau), q2~0.67
     assert q2 > q1 + 0.25, (q1, q2)
     assert q2 > 0.5, q2
+
+
+def test_cli_knn_search_filter_and_radial(tmp_path):
+    """--filter-ids restricts CLI hits to the allow-list; --min-score
+    switches to radial; both flags on the pq engine error out."""
+    import subprocess, sys
+    import pyarrow.parquet as ppq
+    vecs = _clustered_vecs(seed=37, n_centers=3, per=40, d=8)
+    src = str(tmp_path / "vecs.parquet")
+    ppq.write_table(_vec_table(vecs), src)
+    env = {**os.environ, "PYTHONPATH": "/root/repo"}
+    idx = str(tmp_path / "gidx")
+    assert subprocess.run(
+        [sys.executable, "-m", "opensearch_jvector_ray", "knn-build",
+         "--input", src, "--index", idx, "--engine", "graph",
+         "--num-parts", "2"],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=300).returncode == 0
+    q = ",".join(str(float(x)) for x in vecs[7])
+    flt = subprocess.run(
+        [sys.executable, "-m", "opensearch_jvector_ray", "knn-search",
+         "--index", idx, "--engine", "graph", f"--query={q}", "--k", "3",
+         "--ef", "200", "--filter-ids", "2,4,6,8"],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=300)
+    assert flt.returncode == 0, flt.stderr[-2000:]
+    hits = {int(line.split()[2]) for line in
+            flt.stdout.strip().splitlines()[1:]}
+    assert hits <= {2, 4, 6, 8} and hits
+    rad = subprocess.run(
+        [sys.executable, "-m", "opensearch_jvector_ray", "knn-search",
+         "--index", idx, "--engine", "graph", f"--query={q}",
+         "--ef", "200", "--min-score", "0.99"],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=300)
+    assert rad.returncode == 0, rad.stderr[-2000:]
+    bad = subprocess.run(
+        [sys.executable, "-m", "opensearch_jvector_ray", "knn-search",
+         "--index", idx, "--engine", "pq", f"--query={q}",
+         "--min-score", "0.5"],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=300)
+    assert bad.returncode != 0
