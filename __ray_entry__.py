@@ -31,7 +31,7 @@ from opensearch_jvector_ray.oracles import (
     byte_knn_sql, corpus_clean_sql, embedding_dups_sql, ivf_fixed_sql, revenue_by_nation_sql, simhash_sql,
     revenue_by_region_brand_sql, top_order_revenue_sql, transcripts_bm25_sql,
     fingerprint_sql, grouped_best_sql, grouped_expand_sql, knn_sql,
-    lang_id_sql, phrase_sql,
+    hash_sample_sql, hash_split_sql, lang_id_sql, phrase_sql,
     pricing_summary_sql, quality_sql, term_stats_sql, token_count_sql,
 )
 from opensearch_jvector_ray.pipelines import dedup as dedup_pl
@@ -235,6 +235,32 @@ def _q_corpus_clean(sf_dir: str) -> pd.DataFrame:
                        min_tokens=5, stop_threshold=0.1).to_pandas()
     out["doc_id"] = out["doc_id"].astype(np.int64)
     out["n_tokens"] = out["n_tokens"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SAMPLE_RATE, SAMPLE_SALT = 0.25, "s1"
+SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _q_corpus_sample(sf_dir: str) -> pd.DataFrame:
+    # deterministic Bernoulli sample by md5(salt || id) — the
+    # reproducible dataset-mixing primitive; membership depends only on
+    # (id, salt), so the sample is stable across reruns and shards
+    from opensearch_jvector_ray.pipelines.corpus import hash_sample
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+    out = hash_sample(ds, "doc_id", SAMPLE_RATE,
+                      salt=SAMPLE_SALT).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_corpus_split(sf_dir: str) -> pd.DataFrame:
+    # deterministic train/val/test assignment by md5 hash range — no RNG
+    # state, no leakage across reruns or cluster sizes
+    from opensearch_jvector_ray.pipelines.corpus import hash_split
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+    out = hash_split(ds, "doc_id", SPLITS, salt=SAMPLE_SALT).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -739,6 +765,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
         "corpus_clean": _q_corpus_clean,
+        "corpus_sample": _q_corpus_sample,
+        "corpus_split": _q_corpus_split,
         # vector scoring surface (§2.8 kernels)
         "knn_cosine_topk": _q_knn("cosine"),
         "knn_l2_topk": _q_knn("l2"),
@@ -825,6 +853,8 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": exact_dedup_sql(CFG),
         "quality_score": quality_sql(CFG),
         "corpus_clean": corpus_clean_sql(CFG, 5, 0.1),
+        "corpus_sample": hash_sample_sql(SAMPLE_RATE, SAMPLE_SALT),
+        "corpus_split": hash_split_sql(SPLITS, SAMPLE_SALT),
         "lang_id": lang_id_sql(CFG),
         "knn_cosine_topk": knn_sql("cosine", KNN_QUERY_IDS, KNN_K),
         "knn_l2_topk": knn_sql("l2", KNN_QUERY_IDS, KNN_K),

@@ -837,3 +837,43 @@ WHERE l_shipdate <= TIMESTAMP '{cutoff} 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """
+
+
+def hash_sample_sql(rate: float, salt: str = "", table: str = "documents",
+                    id_col: str = "doc_id") -> str:
+    """Deterministic-sample oracle: the THRESHOLD comes from the engine's
+    own ``sample_threshold_hex`` (shared code — the rule cannot drift);
+    fixed-width lowercase hex makes the lexical compare numeric."""
+    from opensearch_jvector_ray.pipelines.corpus import sample_threshold_hex
+    thresh = sample_threshold_hex(rate)
+    return f"""
+SELECT {id_col}
+FROM {table}
+WHERE substr(md5({sql_quote(salt)} || {id_col}::VARCHAR), 1, 4)
+      < {sql_quote(thresh)}
+ORDER BY {id_col}
+"""
+
+
+def hash_split_sql(splits: dict[str, float], salt: str = "",
+                   table: str = "documents", id_col: str = "doc_id",
+                   out_col: str = "split") -> str:
+    """Split-assignment oracle: the same ascending CASE ladder over the
+    engine-shared hash-range edges as ``hash_split``."""
+    from opensearch_jvector_ray.pipelines.corpus import sample_threshold_hex
+    labels = sorted(splits)
+    acc = 0.0
+    arms = []
+    pref = f"substr(md5({sql_quote(salt)} || {id_col}::VARCHAR), 1, 4)"
+    for lab in labels[:-1]:
+        acc += float(splits[lab])
+        edge = sample_threshold_hex(min(acc, 1.0))
+        arms.append(f"WHEN {pref} < {sql_quote(edge)} "
+                    f"THEN {sql_quote(lab)}")
+    case = ("CASE " + " ".join(arms) +
+            f" ELSE {sql_quote(labels[-1])} END")
+    return f"""
+SELECT {id_col}, {case} AS {out_col}
+FROM {table}
+ORDER BY {id_col}
+"""

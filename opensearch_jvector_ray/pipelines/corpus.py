@@ -70,3 +70,84 @@ def clean_corpus(ds: "rd.Dataset", cfg: EngineConfig, id_col: str,
               .aggregate(Min(id_col, alias_name=id_col),
                          Min("n_tokens", alias_name="n_tokens"))
               .drop_columns(["text_hash"]))
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling / split assignment (dataset-mixing machinery)
+# ---------------------------------------------------------------------------
+
+def sample_threshold_hex(rate: float) -> str:
+    """4-hex-digit threshold for a keep-rate in (0, 1): a row is kept iff
+    the first 4 hex digits of its md5 sort LEXICALLY below this (fixed-
+    width lowercase hex, so lexical == numeric — no int parsing on either
+    side).  Resolution 1/65536; shared by the engine AND the SQL oracle
+    generator so the rule can never drift."""
+    return format(max(0, min(65535, int(round(rate * 65536)))), "04x")
+
+
+def _md5_prefix(ids: np.ndarray, salt: str) -> np.ndarray:
+    # per-row md5 kept deliberately for DuckDB parity (the exact_dedup
+    # rule): md5(salt || id::VARCHAR), first 4 hex chars
+    return np.array([hashlib.md5((salt + str(int(i))).encode())
+                     .hexdigest()[:4] for i in ids])
+
+
+def hash_sample(ds: "rd.Dataset", id_col: str, rate: float, *,
+                salt: str = "") -> "rd.Dataset":
+    """Deterministic Bernoulli sample: keep a row iff
+    md5(salt || id)[:4] < threshold(rate).
+
+    The reproducible-sampling primitive a 100-TB mixing pipeline needs:
+    membership depends only on (id, salt) — stable across reruns,
+    resumable shards, and machines (no RNG state, no global pass);
+    changing ``salt`` draws an independent sample (epoch reseeding).
+    Runs as a stateless filter inside map_batches — no shuffle, no
+    materialization, composes with any downstream stage."""
+    if rate >= 1.0:
+        return ds
+    thresh = sample_threshold_hex(rate)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or rate <= 0.0:
+            return batch.slice(0, 0)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(_md5_prefix(ids, salt) < thresh))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def hash_split(ds: "rd.Dataset", id_col: str,
+               splits: dict[str, float], *, salt: str = "",
+               out_col: str = "split") -> "rd.Dataset":
+    """Assign every row a deterministic split label by md5 hash range.
+
+    ``splits`` maps label -> fraction (must sum to <= 1; any remainder
+    falls into the LAST label, so {"train": .9, "val": .1} is exact).
+    Labels are laid out over [0, ffff] in SORTED-label order — the same
+    CASE ladder the SQL oracle emits — and assignment depends only on
+    (id, salt): a row keeps its split across reruns and cluster sizes,
+    which is what makes train/val leakage impossible at scale."""
+    labels = sorted(splits)
+    edges, acc = [], 0.0
+    for lab in labels:
+        acc += float(splits[lab])
+        edges.append(sample_threshold_hex(min(acc, 1.0)))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(out_col,
+                                       pa.array([], type=pa.string()))
+        pref = _md5_prefix(batch[id_col].to_numpy(zero_copy_only=False),
+                           salt)
+        # edges are monotonic, so claiming in ascending order gives each
+        # label exactly its [prev_edge, edge) hash range — the same
+        # first-match rule as the oracle's CASE ladder
+        out = np.full(len(pref), labels[-1], dtype=object)
+        claimed = np.zeros(len(pref), dtype=bool)
+        for lab, edge in zip(labels[:-1], edges[:-1]):
+            take = ~claimed & (pref < edge)
+            out[take] = lab
+            claimed |= take
+        return batch.append_column(out_col, pa.array(out, type=pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -1152,3 +1152,37 @@ def test_cli_knn_search_filter_and_radial(tmp_path):
         capture_output=True, text=True, env=env, cwd="/root/repo",
         timeout=300)
     assert bad.returncode != 0
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / split assignment (dataset-mixing machinery)
+# ---------------------------------------------------------------------------
+
+def test_hash_sample_and_split_deterministic():
+    """Membership depends only on (id, salt): stable across reruns and
+    input partitioning, rate approximately honored, splits partition the
+    corpus exactly, different salts draw different samples."""
+    from opensearch_jvector_ray.pipelines.corpus import (
+        hash_sample, hash_split, sample_threshold_hex,
+    )
+    ids = pa.table({"doc_id": pa.array(np.arange(10000, dtype=np.int64))})
+    ds = rd.from_arrow(ids)
+    s1 = hash_sample(ds, "doc_id", 0.3, salt="a").to_pandas()
+    s2 = hash_sample(rd.from_arrow(ids).repartition(7),
+                     "doc_id", 0.3, salt="a").to_pandas()
+    assert sorted(s1.doc_id) == sorted(s2.doc_id)      # partitioning-proof
+    assert abs(len(s1) / 10000 - 0.3) < 0.03           # rate honored
+    s3 = hash_sample(ds, "doc_id", 0.3, salt="b").to_pandas()
+    assert sorted(s1.doc_id) != sorted(s3.doc_id)      # salt reseeds
+    assert len(hash_sample(ds, "doc_id", 1.0).to_pandas()) == 10000
+    assert len(hash_sample(ds, "doc_id", 0.0).to_pandas()) == 0
+    sp = hash_split(ds, "doc_id",
+                    {"train": 0.8, "val": 0.1, "test": 0.1},
+                    salt="a").to_pandas()
+    assert len(sp) == 10000 and set(sp.split) == {"train", "val", "test"}
+    frac = sp.split.value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.02
+    # a sampled row keeps its split: sample is a PREFIX of the hash
+    # range, so sample(0.1, salt) ⊂ the first split edge range
+    assert sample_threshold_hex(0.0) == "0000"
+    assert sample_threshold_hex(0.5) == "8000"
