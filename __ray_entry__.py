@@ -31,7 +31,7 @@ from opensearch_jvector_ray.oracles import (
     byte_knn_sql, corpus_clean_sql, embedding_dups_sql, ivf_fixed_sql, revenue_by_nation_sql, simhash_sql,
     revenue_by_region_brand_sql, top_order_revenue_sql, transcripts_bm25_sql,
     fingerprint_sql, grouped_best_sql, grouped_expand_sql, knn_sql,
-    hash_sample_sql, hash_split_sql, lang_id_sql, phrase_sql,
+    hash_sample_sql, hash_split_sql, lang_id_sql, pack_chunks_sql, phrase_sql,
     pricing_summary_sql, quality_sql, term_stats_sql, token_count_sql,
 )
 from opensearch_jvector_ray.pipelines import dedup as dedup_pl
@@ -240,6 +240,7 @@ def _q_corpus_clean(sf_dir: str) -> pd.DataFrame:
 
 SAMPLE_RATE, SAMPLE_SALT = 0.25, "s1"
 SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+PACK_BUDGET = 512
 
 
 def _q_corpus_sample(sf_dir: str) -> pd.DataFrame:
@@ -261,6 +262,19 @@ def _q_corpus_split(sf_dir: str) -> pd.DataFrame:
     ds = read_table(sf_dir, "documents", columns=["doc_id"])
     out = hash_split(ds, "doc_id", SPLITS, salt=SAMPLE_SALT).to_pandas()
     out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_corpus_pack(sf_dir: str) -> pd.DataFrame:
+    # concat-and-chunk sequence packing at a token budget — the
+    # distributed prefix-scan primitive (per-block sums -> bounded
+    # driver prefix -> per-block global offsets)
+    from opensearch_jvector_ray.pipelines.corpus import pack_chunks
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = pack_chunks(ds, CFG, "doc_id", "text",
+                      budget=PACK_BUDGET).to_pandas()
+    for c in ("doc_id", "n_tokens", "pack_id", "pack_offset"):
+        out[c] = out[c].astype(np.int64)
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -767,6 +781,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_clean": _q_corpus_clean,
         "corpus_sample": _q_corpus_sample,
         "corpus_split": _q_corpus_split,
+        "corpus_pack": _q_corpus_pack,
         # vector scoring surface (§2.8 kernels)
         "knn_cosine_topk": _q_knn("cosine"),
         "knn_l2_topk": _q_knn("l2"),
@@ -855,6 +870,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_clean": corpus_clean_sql(CFG, 5, 0.1),
         "corpus_sample": hash_sample_sql(SAMPLE_RATE, SAMPLE_SALT),
         "corpus_split": hash_split_sql(SPLITS, SAMPLE_SALT),
+        "corpus_pack": pack_chunks_sql(CFG, PACK_BUDGET),
         "lang_id": lang_id_sql(CFG),
         "knn_cosine_topk": knn_sql("cosine", KNN_QUERY_IDS, KNN_K),
         "knn_l2_topk": knn_sql("l2", KNN_QUERY_IDS, KNN_K),

@@ -877,3 +877,31 @@ SELECT {id_col}, {case} AS {out_col}
 FROM {table}
 ORDER BY {id_col}
 """
+
+
+def pack_chunks_sql(cfg: EngineConfig, budget: int,
+                    table: str = "documents", id_col: str = "doc_id",
+                    text_col: str = "text") -> str:
+    """Sequence-packing oracle: the same post-stopword token counts as
+    token_count_sql, then a window prefix-sum in id order — pack_id =
+    exclusive-prefix // budget, pack_offset = prefix % budget."""
+    return f"""
+WITH {toks_cte(cfg, table, id_col, text_col)},
+dl AS (SELECT {id_col}, count(*) AS n FROM toks GROUP BY {id_col}),
+c AS (
+  SELECT d.{id_col}, coalesce(dl.n, 0)::BIGINT AS n_tokens
+  FROM {table} d LEFT JOIN dl ON dl.{id_col} = d.{id_col}
+),
+o AS (
+  SELECT {id_col}, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+             ORDER BY {id_col}
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0)::BIGINT AS off
+  FROM c
+)
+SELECT {id_col}, n_tokens,
+       (off // {budget})::BIGINT AS pack_id,
+       (off % {budget})::BIGINT AS pack_offset
+FROM o ORDER BY {id_col}
+"""

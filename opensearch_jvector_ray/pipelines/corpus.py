@@ -151,3 +151,56 @@ def hash_split(ds: "rd.Dataset", id_col: str,
         return batch.append_column(out_col, pa.array(out, type=pa.string()))
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (concat-and-chunk at a token budget)
+# ---------------------------------------------------------------------------
+
+def pack_chunks(ds: "rd.Dataset", cfg: EngineConfig, id_col: str,
+                text_col: str, *, budget: int = 1024) -> "rd.Dataset":
+    """GPT-style sequence packing: docs in id order are laid head-to-tail
+    on one global token tape and chunked every ``budget`` tokens —
+    returns (id, n_tokens, pack_id, pack_offset) where ``pack_id`` =
+    global-token-offset // budget and ``pack_offset`` the position of the
+    doc's first token inside its pack (docs may straddle packs, the
+    concat-then-chunk pretraining rule).
+
+    The distributed PREFIX-SCAN shape: tokenize+count per batch (text
+    never shuffles), one narrow (id, n_tokens) sort, per-block token
+    sums reduced to a num_blocks-sized vector the driver prefix-sums
+    (bounded by block count, not rows), then per-block tasks assign
+    global offsets — two passes over a two-column dataset, no
+    materialization on the driver."""
+    import ray
+
+    from opensearch_jvector_ray.pipelines.textstats import token_count_stage
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    counts = (ds.map_batches(token_count_stage(cfg, id_col, text_col),
+                             batch_format="pyarrow")
+                .sort(id_col))
+    refs = counts.to_arrow_refs()
+
+    @ray.remote
+    def _block_sum(tbl: pa.Table) -> int:
+        return int(np.sum(tbl["n_tokens"].to_numpy(zero_copy_only=False)))
+
+    sums = np.asarray(ray.get([_block_sum.remote(r) for r in refs]),
+                      dtype=np.int64)
+    offs = np.zeros(len(sums), dtype=np.int64)
+    if len(sums) > 1:
+        np.cumsum(sums[:-1], out=offs[1:])
+
+    @ray.remote
+    def _assign(tbl: pa.Table, base: int) -> pa.Table:
+        n = tbl["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        start = np.zeros(len(n), dtype=np.int64)
+        if len(n) > 1:
+            np.cumsum(n[:-1], out=start[1:])
+        start += base
+        return (tbl.append_column("pack_id", pa.array(start // budget))
+                   .append_column("pack_offset", pa.array(start % budget)))
+
+    out_refs = [_assign.remote(r, int(o)) for r, o in zip(refs, offs)]
+    return rd.from_arrow_refs(out_refs)

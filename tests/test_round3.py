@@ -1186,3 +1186,30 @@ def test_hash_sample_and_split_deterministic():
     # range, so sample(0.1, salt) ⊂ the first split edge range
     assert sample_threshold_hex(0.0) == "0000"
     assert sample_threshold_hex(0.5) == "8000"
+
+
+def test_pack_chunks_prefix_scan_invariants():
+    """pack_chunks must be a true global prefix scan: offsets contiguous
+    in id order, pack boundaries exactly at multiples of the budget, and
+    the result invariant to input partitioning."""
+    from opensearch_jvector_ray.pipelines.corpus import pack_chunks
+    rng = np.random.default_rng(5)
+    words = [" ".join(f"w{rng.integers(1000)}" for _ in range(rng.integers(1, 40)))
+             for _ in range(400)]
+    tbl = pa.table({"doc_id": pa.array(np.arange(400, dtype=np.int64)),
+                    "text": pa.array(words)})
+    cfg = EngineConfig()
+    out = (pack_chunks(rd.from_arrow(tbl), cfg, "doc_id", "text",
+                       budget=100).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert len(out) == 400
+    start = (out.pack_id * 100 + out.pack_offset).to_numpy()
+    expect = np.zeros(400, dtype=np.int64)
+    np.cumsum(out.n_tokens.to_numpy()[:-1], out=expect[1:])
+    np.testing.assert_array_equal(start, expect)        # global tape
+    out7 = (pack_chunks(rd.from_arrow(tbl).repartition(7), cfg,
+                        "doc_id", "text", budget=100).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, out7)            # partition-proof
+    with pytest.raises(ValueError):
+        pack_chunks(rd.from_arrow(tbl), cfg, "doc_id", "text", budget=0)
