@@ -432,18 +432,25 @@ def ivfpq_topk(index_dir: str, queries: dict[str, np.ndarray], k: int, *,
     part_scheme = Partitioning("hive", base_dir=index_dir)
     allowed = (np.asarray(filter_ids, dtype=np.int64)
                if filter_ids is not None else None)
-    pass1_ref = ray.put((luts, probe_sets, allowed))
+    from opensearch_jvector_ray.pipelines.knn import _load_tombstones
+    dead = _load_tombstones(index_dir, id_col)
+    pass1_ref = ray.put((luts, probe_sets, allowed, dead))
 
     def adc_batch(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
-        luts_, probes, allow = ray.get(pass1_ref)
+        luts_, probes, allow, dead_ids = ray.get(pass1_ref)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         raw = b"".join(batch["codes"].to_pylist())
         codes = np.frombuffer(raw, dtype=np.uint8).reshape(len(ids), -1)
         cells = pc.cast(batch["cell"], pa.int64()).to_numpy(
             zero_copy_only=False)
+        keep = None
+        if dead_ids is not None:
+            keep = ~np.isin(ids, dead_ids)
         if allow is not None:
-            keep = np.isin(ids, allow)
+            amask = np.isin(ids, allow)
+            keep = amask if keep is None else (keep & amask)
+        if keep is not None:
             ids, codes, cells = ids[keep], codes[keep], cells[keep]
         m = codes.shape[1]
         out_q, out_id, out_s = [], [], []
@@ -533,3 +540,58 @@ def ivfpq_topk(index_dir: str, queries: dict[str, np.ndarray], k: int, *,
                 .groupby("query_id", sort=False).head(k))
     out["rank"] = out.groupby("query_id", sort=False).cumcount() + 1
     return out[["query_id", "rank", id_col, "score"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ update lifecycle (refine-not-retrain, the merge rule)
+# ---------------------------------------------------------------------------
+
+def add_to_ivfpq_index(new_ds: "rd.Dataset", index_dir: str, *,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> None:
+    """Incremental add: NEW vectors are assigned with the EXISTING coarse
+    centroids and encoded with the EXISTING codebook (refine-never-
+    retrain — `JVectorWriter.java:886-913`), appended as new files into
+    the cell dirs.  No existing data is rewritten; ``compact_ivfpq_index``
+    re-packs fragmented cells."""
+    centroids = np.load(os.path.join(index_dir, IVFPQ_CENTROIDS))
+    book = np.load(os.path.join(index_dir, CODEBOOK_NAME))
+    from opensearch_jvector_ray.pipelines.knn import _assign_cells
+    ref = ray.put((centroids, book))
+
+    def assign_encode(batch: pa.Table) -> pa.Table:
+        cent, bk = ray.get(ref)
+        vecs = _vecs_from_batch(batch, vec_col)
+        cell = _assign_cells(vecs, cent).astype(np.int32)
+        codes = pq_encode(vecs, bk)
+        return pa.table({
+            id_col: batch[id_col],
+            vec_col: batch[vec_col],
+            "codes": pa.array([c.tobytes() for c in codes],
+                              type=pa.binary()),
+            "cell": pa.array(cell),
+        })
+
+    (new_ds.map_batches(assign_encode, batch_format="pyarrow")
+     .write_parquet(index_dir, partition_cols=["cell"]))
+
+
+def delete_from_ivfpq_index(index_dir: str, vec_ids: list[int],
+                            id_col: str = "vec_id") -> None:
+    """Tombstone deletes (the IVF rule — same sidecar file, masked in
+    the ADC pass, physically dropped by ``compact_ivfpq_index``)."""
+    from opensearch_jvector_ray.pipelines.knn import delete_from_ivf_index
+    delete_from_ivf_index(index_dir, vec_ids, id_col=id_col)
+
+
+def compact_ivfpq_index(index_dir: str, dst_dir: str,
+                        id_col: str = "vec_id") -> None:
+    """Rewrite cells dropping tombstoned rows; quantizers carry over
+    unchanged (refine-not-retrain).  Per-cell resumable on the data
+    file, like ``compact_ivf_index``."""
+    from opensearch_jvector_ray.pipelines.knn import compact_ivf_index
+    # IVFPQ_CENTROIDS shares the IVF sidecar name, so the base compaction
+    # already carries the coarse quantizer; only the codebook is extra
+    compact_ivf_index(index_dir, dst_dir, id_col=id_col)
+    np.save(os.path.join(dst_dir, CODEBOOK_NAME),
+            np.load(os.path.join(index_dir, CODEBOOK_NAME)))

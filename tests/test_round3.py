@@ -1213,3 +1213,52 @@ def test_pack_chunks_prefix_scan_invariants():
     pd.testing.assert_frame_equal(out, out7)            # partition-proof
     with pytest.raises(ValueError):
         pack_chunks(rd.from_arrow(tbl), cfg, "doc_id", "text", budget=0)
+
+
+def test_ivfpq_lifecycle_add_delete_compact(tmp_path):
+    """IVF-PQ refine-not-retrain lifecycle: added vectors are encoded
+    with the EXISTING quantizers, tombstoned ids vanish from results, and
+    compaction preserves exactness; degenerate-exact settings must equal
+    brute force over the live rows at every step."""
+    from opensearch_jvector_ray.pipelines import pq as pq_pl
+    vecs = _clustered_vecs(seed=109, n_centers=4, per=40, d=16)
+    base, extra = vecs[:120], vecs[120:]
+    ds_base = rd.from_arrow(_vec_table(base))
+    idx = str(tmp_path / "ivfpq")
+    pq_pl.build_ivfpq_index(ds_base, idx, n_centroids=4, m_subspaces=8,
+                            n_codes=16)
+    book_before = np.load(os.path.join(idx, pq_pl.CODEBOOK_NAME))
+    tbl_extra = pa.table({
+        "vec_id": pa.array(np.arange(120, len(vecs), dtype=np.int64)),
+        "embedding": pa.array([list(map(float, v)) for v in extra]),
+    })
+    pq_pl.add_to_ivfpq_index(rd.from_arrow(tbl_extra), idx)
+    np.testing.assert_array_equal(       # refine, never retrain
+        book_before, np.load(os.path.join(idx, pq_pl.CODEBOOK_NAME)))
+    queries = {f"q{i}": vecs[i * 31].astype(np.float64) for i in range(3)}
+    ds_all = rd.from_arrow(_vec_table(vecs))
+    exact = knn_pl.brute_force_topk(ds_all, queries, 10, metric="cosine",
+                                    round_decimals=6)
+    got = pq_pl.ivfpq_topk(idx, queries, 10, n_probe=4,
+                           oversample=len(vecs) / 10, round_decimals=6)
+    pd.testing.assert_frame_equal(got, exact)
+    # delete some of the exact winners — they must vanish
+    victims = exact.vec_id.unique()[:5].tolist()
+    pq_pl.delete_from_ivfpq_index(idx, victims)
+    keep_tbl = _vec_table(vecs).filter(
+        pa.compute.invert(pa.compute.is_in(
+            pa.array(np.arange(len(vecs), dtype=np.int64)),
+            value_set=pa.array(victims, type=pa.int64()))))
+    exact_live = knn_pl.brute_force_topk(rd.from_arrow(keep_tbl), queries,
+                                         10, metric="cosine",
+                                         round_decimals=6)
+    got_live = pq_pl.ivfpq_topk(idx, queries, 10, n_probe=4,
+                                oversample=len(vecs) / 10,
+                                round_decimals=6)
+    pd.testing.assert_frame_equal(got_live, exact_live)
+    # compact: tombstones physically dropped, results unchanged
+    dst = str(tmp_path / "compacted")
+    pq_pl.compact_ivfpq_index(idx, dst)
+    got_c = pq_pl.ivfpq_topk(dst, queries, 10, n_probe=4,
+                             oversample=len(vecs) / 10, round_decimals=6)
+    pd.testing.assert_frame_equal(got_c, exact_live)
