@@ -120,6 +120,21 @@ def main(argv: list[str] | None = None) -> int:
     km.add_argument("--mode", default="incremental",
                     choices=["incremental", "rebuild"])
 
+    ka = sub.add_parser("knn-add")
+    ka.add_argument("--input", required=True)
+    ka.add_argument("--index", required=True)
+    ka.add_argument("--engine", default="graph",
+                    choices=["graph", "ivf", "ivfpq"])
+    ka.add_argument("--id-col", default="vec_id")
+    ka.add_argument("--vec-col", default="embedding")
+
+    kd = sub.add_parser("knn-delete")
+    kd.add_argument("--index", required=True)
+    kd.add_argument("--engine", default="graph",
+                    choices=["graph", "ivf", "ivfpq"])
+    kd.add_argument("--ids", required=True,
+                    help="comma-separated ids to tombstone")
+
     args = p.parse_args(argv)
     ray = _ray_session()
     try:
@@ -272,6 +287,32 @@ def main(argv: list[str] | None = None) -> int:
                                   merge_factor=args.merge_factor,
                                   mode=args.mode)
             print(json.dumps({"merged": args.out, "mode": args.mode}))
+        elif args.cmd == "knn-add":
+            import ray.data as rd
+            ds = rd.read_parquet(args.input)
+            if args.engine == "graph":
+                from opensearch_jvector_ray.pipelines import graph as gpl
+                gpl.add_to_graph_index(ds, args.index)
+            elif args.engine == "ivf":
+                from opensearch_jvector_ray.pipelines import knn as kpl
+                kpl.add_to_ivf_index(ds, args.index, id_col=args.id_col,
+                                     vec_col=args.vec_col)
+            else:
+                from opensearch_jvector_ray.pipelines import pq as ppl
+                ppl.add_to_ivfpq_index(ds, args.index, id_col=args.id_col,
+                                       vec_col=args.vec_col)
+            print(json.dumps({"added_into": args.index,
+                              "engine": args.engine}))
+        elif args.cmd == "knn-delete":
+            ids = [int(x) for x in args.ids.split(",")]
+            if args.engine == "graph":
+                from opensearch_jvector_ray.pipelines import graph as gpl
+                gpl.delete_from_graph_index(args.index, ids)
+            else:
+                from opensearch_jvector_ray.pipelines import knn as kpl
+                kpl.delete_from_ivf_index(args.index, ids)
+            print(json.dumps({"tombstoned": len(ids),
+                              "engine": args.engine}))
     finally:
         ray.shutdown()
     return 0

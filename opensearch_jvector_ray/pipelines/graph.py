@@ -791,7 +791,14 @@ def merge_graph_index(src_dir: str, dst_dir: str, *, merge_factor: int = 4,
     for i, p in enumerate(parts):
         groups[i % n_groups].append(os.path.join(src_dir, p))
     os.makedirs(dst_dir, exist_ok=True)
-    dead = np.asarray(sorted(deletes), dtype=np.int64) if deletes else None
+    if deletes:
+        dead = np.asarray(sorted(deletes), dtype=np.int64)
+    else:
+        # default: the tombstone sidecar written by delete_from_graph_index
+        # (a compacting merge is what physically drops dead rows; the dst
+        # index carries NO sidecar afterwards)
+        from opensearch_jvector_ray.pipelines.knn import _load_tombstones
+        dead = _load_tombstones(src_dir, id_col)
     dead_ref = ray.put(dead)
 
     def merge_one(batch: pa.Table) -> pa.Table:
@@ -877,10 +884,122 @@ def merge_graph_index(src_dir: str, dst_dir: str, *, merge_factor: int = 4,
         json.dump({**meta, "num_parts": n_groups}, f)
 
 
+def add_to_graph_index(new_ds: "rd.Dataset", index_dir: str) -> None:
+    """Incremental ADD into an existing graph index (the reference's
+    index-update path: new docs join the live segment's graph through
+    the same insertion machinery the incremental merge uses,
+    `JVectorWriter.java:922-941` / `addKnnFieldVector`).
+
+    New vectors are routed by the SAME id-hash rule as the build (disk-
+    staged partitioned write), then each partition bulk-inserts its new
+    rows into the FROZEN existing graph (wave-batched beam+link — work
+    scales with the new rows, not the partition).  Quantized partitions
+    re-encode with their EXISTING codebook (refine-never-retrain).
+    IDEMPOTENT: incoming ids already present in a partition are dropped,
+    so an interrupted or repeated add never duplicates.  Files are
+    replaced via tmp + atomic rename (graph first, then meta — stale
+    meta entries are a valid subset, never wrong)."""
+    import shutil
+    with open(os.path.join(index_dir, META_NAME)) as f:
+        meta = json.load(f)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    num_parts, m_degree = meta["num_parts"], meta["m_degree"]
+    ef_c = meta["ef_construction"]
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        part = (pd.util.hash_array(np.asarray(ids), categorize=False)
+                % np.uint64(num_parts)).astype(np.int32)
+        return batch.append_column("__part", pa.array(part))
+
+    stage = os.path.join(index_dir, "_add_stage")
+    shutil.rmtree(stage, ignore_errors=True)
+    (new_ds.map_batches(assign, batch_format="pyarrow")
+       .write_parquet(stage, partition_cols=["__part"]))
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        done = []
+        for part in batch["part"].to_pylist():
+            pdir = os.path.join(stage, f"__part={part}")
+            if not os.path.isdir(pdir):
+                continue
+            tnew = pq.read_table(pdir, columns=[id_col, vec_col])
+            out = os.path.join(index_dir, f"part={part}")
+            gpath = os.path.join(out, "graph.parquet")
+            if os.path.exists(gpath):
+                tbl = pq.read_table(gpath)
+                ids0, vecs0, nbrs0, n_nbrs0 = _compact_leading(
+                    tbl, None, id_col, vec_col, m_degree)
+                fresh = ~np.isin(
+                    tnew[id_col].to_numpy(zero_copy_only=False), ids0)
+                tnew = tnew.filter(pa.array(fresh))
+            else:
+                ids0 = np.empty(0, dtype=np.int64)
+            if tnew.num_rows == 0:
+                continue
+            order = np.argsort(tnew[id_col].to_numpy(zero_copy_only=False),
+                               kind="stable")
+            tnew = tnew.take(pa.array(order))
+            ids_n = tnew[id_col].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            vecs_n = _vecs_from_batch(tnew, vec_col)
+            if len(ids0) == 0:           # partition had no rows yet
+                ids, vecs = ids_n, vecs_n
+                nbrs = build_graph(
+                    vecs, m_degree=m_degree, ef_construction=ef_c,
+                    build_degree_mult=meta.get("build_degree_mult", 1))
+            else:
+                ids = np.concatenate([ids0, ids_n])
+                vecs = np.concatenate([vecs0, vecs_n])
+                nbrs = np.full((len(ids), m_degree), -1, dtype=np.int32)
+                nbrs[: len(ids0), : nbrs0.shape[1]] = nbrs0
+                n_nbrs = np.zeros(len(ids), dtype=np.int32)
+                n_nbrs[: len(ids0)] = n_nbrs0
+                bulk_insert(_unitize(vecs), nbrs, n_nbrs, len(ids0),
+                            m_degree=m_degree, ef_construction=ef_c)
+            book = codes = None
+            part_pq = _load_part_pq(out)
+            if part_pq is not None:
+                from opensearch_jvector_ray.pipelines.pq import pq_encode
+                book = part_pq[0]
+                codes = pq_encode(_unitize(vecs), book)
+            tmp = out + ".addtmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            _write_part(tmp, ids, vecs, nbrs, id_col, vec_col,
+                        pq_book=book, pq_codes=codes)
+            os.makedirs(out, exist_ok=True)
+            os.replace(os.path.join(tmp, "graph.parquet"), gpath)
+            if book is not None:
+                os.replace(os.path.join(tmp, PQ_NAME),
+                           os.path.join(out, PQ_NAME))
+            os.replace(os.path.join(tmp, "_META"),
+                       os.path.join(out, "_META"))
+            shutil.rmtree(tmp, ignore_errors=True)
+            done.append(part)
+        return pa.table({"part": pa.array(done, type=pa.int32())})
+
+    (rd.from_items([{"part": p} for p in range(num_parts)])
+       .map_batches(add_part, batch_format="pyarrow", batch_size=1)
+       .materialize())
+    shutil.rmtree(stage, ignore_errors=True)
+
+
+def delete_from_graph_index(index_dir: str, vec_ids: list[int]) -> None:
+    """Tombstone deletes (the Lucene live-docs rule): dead ids stay in
+    the graph but are masked from every search; a compacting
+    ``merge_graph_index`` (which reads the sidecar by default) drops
+    them physically."""
+    from opensearch_jvector_ray.pipelines.knn import delete_from_ivf_index
+    with open(os.path.join(index_dir, META_NAME)) as f:
+        meta = json.load(f)
+    delete_from_ivf_index(index_dir, vec_ids, id_col=meta["id_col"])
+
+
 def _part_pool_search(ids, vecs, unit, nbrs, n_nbrs, entries, part_pq,
                       qm, Qn, k, ef_search, use_pq, overquery,
                       kernel, translate, rnd,
-                      allowed=None, filter_overquery=5, min_score=None):
+                      allowed=None, filter_overquery=5, min_score=None,
+                      denied=None):
     """Shared per-partition search: beam (float or PQ-ADC) + exact rescore,
     with the reference's PRE-FILTER semantics (`KNNQueryBuilder` filter +
     over-query, `KNNConstants.java:119`): ``allowed`` restricts which ids
@@ -902,6 +1021,11 @@ def _part_pool_search(ids, vecs, unit, nbrs, n_nbrs, entries, part_pq,
     partition (Hamilton-cycle edge), so full-beam radial equals
     brute-force radial.
 
+    ``denied`` is the tombstone DENY-list (deleted docs stay in the
+    graph until a compacting merge, the Lucene live-docs rule): dead
+    nodes are still walked but never returned — at full beam the result
+    equals brute force over the LIVE rows only.
+
     Returns [(qi, sel_ids, sel_scores)] partial results per query.
     """
     out = []
@@ -914,6 +1038,11 @@ def _part_pool_search(ids, vecs, unit, nbrs, n_nbrs, entries, part_pq,
             return cand_ids[keep], score[keep]
         return _partial_topk(cand_ids, score, k)
 
+    live = None
+    if denied is not None and len(denied):
+        live = ~np.isin(ids, denied)
+        if not live.any():
+            return out
     ef_eff = max(ef_search, kk)
     lut = codes = None
     if use_pq and part_pq is not None:
@@ -923,6 +1052,8 @@ def _part_pool_search(ids, vecs, unit, nbrs, n_nbrs, entries, part_pq,
     amask = None
     if allowed is not None:
         amask = np.isin(ids, allowed)
+        if live is not None:
+            amask &= live
         n_allowed = int(amask.sum())
         if n_allowed == 0:
             return out
@@ -940,6 +1071,8 @@ def _part_pool_search(ids, vecs, unit, nbrs, n_nbrs, entries, part_pq,
         cand = V[qi][V[qi] >= 0]
         if amask is not None and len(cand):
             cand = cand[amask[cand]]
+        elif live is not None and len(cand):
+            cand = cand[live[cand]]
         if len(cand) == 0:
             continue
         # EXACT metric scores for the candidates (graph prunes, the
@@ -982,7 +1115,8 @@ class GraphShardActor:
                round_decimals: int | None, use_pq: bool = True,
                overquery: int = 5, filter_ids: np.ndarray | None = None,
                filter_overquery: int = 5,
-               min_score: float | None = None) -> pd.DataFrame:
+               min_score: float | None = None,
+               denied: np.ndarray | None = None) -> pd.DataFrame:
         kernel, translate, _ = METRICS[metric]
         rnd = _rounder(round_decimals)
         qnorm = np.linalg.norm(qmat, axis=1)
@@ -995,7 +1129,7 @@ class GraphShardActor:
                 p["entries"], p["pq"], qmat, Qn, k, ef_search, use_pq,
                 overquery, kernel, translate, rnd,
                 allowed=filter_ids, filter_overquery=filter_overquery,
-                min_score=min_score)
+                min_score=min_score, denied=denied)
             for qi, sel_ids, sel_sc in hits:
                 out_q.extend([qids[qi]] * len(sel_ids))
                 out_id.append(sel_ids)
@@ -1016,6 +1150,7 @@ class GraphSearchService:
     def __init__(self, index_dir: str, num_shards: int = 4):
         with open(os.path.join(index_dir, META_NAME)) as f:
             meta = json.load(f)
+        self.index_dir = index_dir
         self.id_col, self.vec_col = meta["id_col"], meta["vec_col"]
         parts = sorted(os.path.join(index_dir, d)
                        for d in os.listdir(index_dir)
@@ -1041,9 +1176,12 @@ class GraphSearchService:
         qmat = np.stack([queries[q] for q in qids]).astype(np.float64)
         filt = (ray.put(np.asarray(filter_ids))       # ship ONCE, not
                 if filter_ids is not None else None)  # once per shard
+        from opensearch_jvector_ray.pipelines.knn import _load_tombstones
+        dead = _load_tombstones(self.index_dir, self.id_col)
+        dref = ray.put(dead) if dead is not None else None
         futs = [a.search.remote(qids, qmat, k, ef_search, metric,
                                 round_decimals, use_pq, overquery,
-                                filt, filter_overquery, min_score)
+                                filt, filter_overquery, min_score, dref)
                 for a in self.actors]
         out = pd.concat(ray.get(futs), ignore_index=True)
         if out.empty:
@@ -1117,11 +1255,15 @@ def graph_topk(index_dir: str, queries: dict[str, np.ndarray],
     qref = ray.put(qmat)
     fref = (ray.put(np.asarray(filter_ids, dtype=np.int64))
             if filter_ids is not None else None)
+    from opensearch_jvector_ray.pipelines.knn import _load_tombstones
+    dead = _load_tombstones(index_dir, id_col)
+    dref = ray.put(dead) if dead is not None else None
     parts = sorted(d for d in os.listdir(index_dir) if d.startswith("part="))
 
     def search_part(batch: pa.Table) -> pa.Table:
         qm = ray.get(qref)
         allowed = ray.get(fref) if fref is not None else None
+        denied = ray.get(dref) if dref is not None else None
         qnorm = np.linalg.norm(qm, axis=1)
         qnorm[qnorm == 0] = 1.0
         Qn = (qm / qnorm[:, None]).astype(np.float32)
@@ -1139,7 +1281,7 @@ def graph_topk(index_dir: str, queries: dict[str, np.ndarray],
                 part_pq, qm, Qn, k, ef_search, use_pq, overquery,
                 kernel, translate, rnd,
                 allowed=allowed, filter_overquery=filter_overquery,
-                min_score=min_score)
+                min_score=min_score, denied=denied)
             for qi, sel_ids, sel_sc in hits:
                 out_q.extend([qids[qi]] * len(sel_ids))
                 out_id.append(sel_ids)

@@ -1262,3 +1262,98 @@ def test_ivfpq_lifecycle_add_delete_compact(tmp_path):
     got_c = pq_pl.ivfpq_topk(dst, queries, 10, n_probe=4,
                              oversample=len(vecs) / 10, round_decimals=6)
     pd.testing.assert_frame_equal(got_c, exact_live)
+
+
+def test_graph_lifecycle_add_delete_merge(tmp_path):
+    """Graph-engine update lifecycle: add_to_graph_index bulk-inserts new
+    rows into the frozen partition graphs (idempotent on repeat),
+    delete_from_graph_index tombstones mask every search path, and a
+    compacting merge drops them physically — full beam == brute force
+    over the LIVE rows at every step."""
+    from opensearch_jvector_ray.pipelines import graph as graph_pl
+    vecs = _clustered_vecs(seed=113, n_centers=4, per=50, d=16)
+    base, extra = vecs[:150], vecs[150:]
+    idx = str(tmp_path / "g")
+    graph_pl.build_graph_index(rd.from_arrow(_vec_table(base)), idx,
+                               num_parts=3, m_degree=12,
+                               ef_construction=48)
+    tbl_extra = pa.table({
+        "vec_id": pa.array(np.arange(150, len(vecs), dtype=np.int64)),
+        "embedding": pa.array([list(map(float, v)) for v in extra]),
+    })
+    graph_pl.add_to_graph_index(rd.from_arrow(tbl_extra), idx)
+    queries = {f"q{i}": vecs[i * 53].astype(np.float64) for i in range(3)}
+    ds_all = rd.from_arrow(_vec_table(vecs))
+    exact = knn_pl.brute_force_topk(ds_all, queries, 10, metric="cosine",
+                                    round_decimals=6)
+    got = graph_pl.graph_topk(idx, queries, 10, ef_search=len(vecs),
+                              round_decimals=6)
+    pd.testing.assert_frame_equal(got, exact)
+    # repeated add must be a no-op (idempotence)
+    graph_pl.add_to_graph_index(rd.from_arrow(tbl_extra), idx)
+    got2 = graph_pl.graph_topk(idx, queries, 10, ef_search=len(vecs),
+                               round_decimals=6)
+    pd.testing.assert_frame_equal(got2, exact)
+    # tombstone some winners: masked in graph_topk AND the serve actors
+    victims = exact.vec_id.unique()[:4].tolist()
+    graph_pl.delete_from_graph_index(idx, victims)
+    keep_tbl = _vec_table(vecs).filter(
+        pa.compute.invert(pa.compute.is_in(
+            pa.array(np.arange(len(vecs), dtype=np.int64)),
+            value_set=pa.array(victims, type=pa.int64()))))
+    exact_live = knn_pl.brute_force_topk(rd.from_arrow(keep_tbl), queries,
+                                         10, metric="cosine",
+                                         round_decimals=6)
+    got_live = graph_pl.graph_topk(idx, queries, 10, ef_search=len(vecs),
+                                   round_decimals=6)
+    pd.testing.assert_frame_equal(got_live, exact_live)
+    svc = graph_pl.GraphSearchService(idx, num_shards=2)
+    try:
+        got_svc = svc.search(queries, 10, ef_search=len(vecs),
+                             round_decimals=6)
+        pd.testing.assert_frame_equal(got_svc, exact_live)
+    finally:
+        svc.shutdown()
+    # compacting merge reads the sidecar by default and drops dead rows
+    merged = str(tmp_path / "merged")
+    graph_pl.merge_graph_index(idx, merged, merge_factor=3,
+                               mode="incremental")
+    assert not os.path.exists(os.path.join(merged, "_tombstones.parquet"))
+    got_m = graph_pl.graph_topk(merged, queries, 10,
+                                ef_search=len(vecs), round_decimals=6)
+    pd.testing.assert_frame_equal(got_m, exact_live)
+
+
+def test_cli_knn_add_delete(tmp_path):
+    """knn-add routes new vectors into the existing graph index and
+    knn-delete tombstones ids — verified through the search CLI."""
+    import subprocess, sys
+    import pyarrow.parquet as ppq
+    vecs = _clustered_vecs(seed=41, n_centers=3, per=30, d=8)
+    src = str(tmp_path / "base.parquet")
+    ppq.write_table(_vec_table(vecs[:60]), src)
+    env = {**os.environ, "PYTHONPATH": "/root/repo"}
+    idx = str(tmp_path / "gidx")
+    run = lambda *a: subprocess.run(
+        [sys.executable, "-m", "opensearch_jvector_ray", *a],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=300)
+    assert run("knn-build", "--input", src, "--index", idx,
+               "--engine", "graph", "--num-parts", "2").returncode == 0
+    extra = pa.table({
+        "vec_id": pa.array(np.arange(60, len(vecs), dtype=np.int64)),
+        "embedding": pa.array([list(map(float, v)) for v in vecs[60:]]),
+    })
+    add_src = str(tmp_path / "extra.parquet")
+    ppq.write_table(extra, add_src)
+    assert run("knn-add", "--input", add_src, "--index", idx).returncode == 0
+    q = ",".join(str(float(x)) for x in vecs[75])
+    found = run("knn-search", "--index", idx, "--engine", "graph",
+                f"--query={q}", "--k", "1", "--ef", "200")
+    assert found.returncode == 0, found.stderr[-2000:]
+    assert int(found.stdout.strip().splitlines()[1].split()[2]) == 75
+    assert run("knn-delete", "--index", idx, "--ids", "75").returncode == 0
+    gone = run("knn-search", "--index", idx, "--engine", "graph",
+               f"--query={q}", "--k", "1", "--ef", "200")
+    assert gone.returncode == 0
+    assert int(gone.stdout.strip().splitlines()[1].split()[2]) != 75
