@@ -502,6 +502,35 @@ def _q_knn_graph_merged(sf_dir: str) -> pd.DataFrame:
     return _round_hits(out)
 
 
+def _q_knn_graph_added(sf_dir: str) -> pd.DataFrame:
+    # ADD lifecycle under a hard gate: build on the first half of the
+    # table, add_to_graph_index the second half (hash-routed bulk_insert
+    # into the frozen partition graphs), then full-beam search over the
+    # union == brute force == SQL.  The cached index is keyed by a
+    # lifecycle-specific suffix; the journal-free idempotence rule means
+    # a cached index is simply reused.
+    import os
+    from opensearch_jvector_ray.pipelines import graph as graph_pl
+    from opensearch_jvector_ray.sources.tables import CACHE_ROOT
+    key = os.path.basename(os.path.normpath(sf_dir))
+    idx = os.path.join(CACHE_ROOT, f"graphadd_{key}_p3m16e64v1")
+    n_rows = pq.read_metadata(
+        os.path.join(sf_dir, "embeddings.parquet")).num_rows
+    if not os.path.exists(os.path.join(idx, graph_pl.META_NAME)):
+        half = n_rows // 2
+        ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        first = ds.filter(expr=f"vec_id < {half}")
+        rest = read_table(sf_dir, "embeddings",
+                          columns=["vec_id", "embedding"]
+                          ).filter(expr=f"vec_id >= {half}")
+        graph_pl.build_graph_index(first, idx, num_parts=3)
+        graph_pl.add_to_graph_index(rest, idx)
+    queries = query_embeddings(sf_dir, KNN_QUERY_IDS)
+    out = graph_pl.graph_topk(idx, queries, KNN_K, ef_search=n_rows,
+                              round_decimals=6)
+    return _round_hits(out)
+
+
 def _q_knn_graph_filtered(sf_dir: str) -> pd.DataFrame:
     # FILTERED graph search (J2 for the graph engine — the reference's
     # pre-filter + over-query, `KNNQueryBuilder.java:534-539`): the
@@ -798,6 +827,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivfpq_rerank": _q_knn_ivfpq,
         "knn_graph_topk": _q_knn_graph,
         "knn_graph_merged": _q_knn_graph_merged,
+        "knn_graph_added": _q_knn_graph_added,
         "knn_graph_pq": _q_knn_graph_pq,
         "knn_graph_filtered": _q_knn_graph_filtered,
         "knn_graph_radial": _q_knn_graph_radial,
@@ -897,6 +927,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivfpq_rerank": knn_sql("cosine", KNN_QUERY_IDS, KNN_K),
         "knn_graph_topk": knn_sql("cosine", KNN_QUERY_IDS, KNN_K),
         "knn_graph_merged": knn_sql("cosine", KNN_QUERY_IDS, KNN_K),
+        "knn_graph_added": knn_sql("cosine", KNN_QUERY_IDS, KNN_K),
         "knn_graph_pq": knn_sql("cosine", KNN_QUERY_IDS, KNN_K),
         "knn_graph_filtered": knn_sql(
             "cosine", KNN_QUERY_IDS, KNN_K,
