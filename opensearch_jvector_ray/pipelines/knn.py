@@ -14,6 +14,7 @@ Distance kernels + score translations come from functions/scoring.py
 
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 import numpy as np
@@ -658,6 +659,130 @@ def ivf_index_topk(index_dir: str, queries: dict[str, np.ndarray],
         out = out.groupby("query_id", sort=False).head(k)
     out["rank"] = out.groupby("query_id", sort=False).cumcount() + 1
     return out[["query_id", "rank", id_col, "score"]].reset_index(drop=True)
+
+
+@ray.remote
+class IvfShardActor:
+    """Serving-shape IVF search: owns a static subset of CELLS, decoded
+    once in ``__init__`` (the held-open-reader analog of
+    serve.SegmentShardActor / graph.GraphShardActor) — `ivf_index_topk`
+    re-reads parquet per call, right for batch pipelines, wasteful for
+    query serving."""
+
+    def __init__(self, cell_dirs: list[str], id_col: str, vec_col: str):
+        self.id_col = id_col
+        self.cells = []
+        for cdir in cell_dirs:
+            cell_id = int(os.path.basename(cdir).split("=", 1)[1])
+            tbl = pq.read_table(cdir)
+            if tbl.num_rows == 0:
+                continue
+            self.cells.append({
+                "cell": cell_id,
+                "ids": tbl[id_col].to_numpy(zero_copy_only=False),
+                "vecs": _vecs_from_batch(tbl, vec_col),
+            })
+
+    def search(self, qids: list[str], qmat: np.ndarray,
+               probe_sets: dict[str, set], k: int | None, metric: str,
+               round_decimals: int | None,
+               min_score: float | None = None,
+               filter_ids: np.ndarray | None = None,
+               dead: np.ndarray | None = None) -> pd.DataFrame:
+        kernel, translate, _ = METRICS[metric]
+        rnd = _rounder(round_decimals)
+        out_q, out_id, out_s = [], [], []
+        for c in self.cells:
+            q_here = [qi for qi, qid in enumerate(qids)
+                      if c["cell"] in probe_sets[qid]]
+            if not q_here:
+                continue
+            ids, vecs = c["ids"], c["vecs"]
+            keep = None
+            if dead is not None:
+                keep = ~np.isin(ids, dead)
+            if filter_ids is not None:
+                amask = np.isin(ids, filter_ids)
+                keep = amask if keep is None else (keep & amask)
+            if keep is not None:
+                ids, vecs = ids[keep], vecs[keep]
+            if len(ids) == 0:
+                continue
+            for qi in q_here:
+                score = rnd(translate(kernel(vecs, qmat[qi])))
+                if min_score is not None:
+                    r_keep = score >= min_score
+                    sel_ids, sel_sc = ids[r_keep], score[r_keep]
+                else:
+                    sel_ids, sel_sc = _partial_topk(ids, score, k)
+                out_q.extend([qids[qi]] * len(sel_ids))
+                out_id.append(sel_ids)
+                out_s.append(sel_sc)
+        if not out_q:
+            return pd.DataFrame(columns=["query_id", self.id_col, "score"])
+        return pd.DataFrame({
+            "query_id": out_q,
+            self.id_col: np.concatenate(out_id),
+            "score": np.concatenate(out_s)})
+
+
+class IvfSearchService:
+    """N long-lived actors, each owning a static subset of cells;
+    results are frame-identical to ``ivf_index_topk`` (same probe rule,
+    masks, tie/round rules) — asserted by tests."""
+
+    def __init__(self, index_dir: str, num_shards: int = 4,
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+        import glob as globmod
+        self.index_dir, self.id_col = index_dir, id_col
+        self.centroids = np.load(os.path.join(index_dir, "_centroids.npy"))
+        cells = sorted(globmod.glob(os.path.join(index_dir, "cell=*")))
+        n = max(1, min(num_shards, len(cells)))
+        shards = [cells[i::n] for i in range(n)]
+        self.actors = [IvfShardActor.remote(s, id_col, vec_col)
+                       for s in shards if s]
+
+    def search(self, queries: dict[str, np.ndarray], k: int | None, *,
+               n_probe: int = 4, metric: str = "cosine",
+               round_decimals: int | None = None,
+               filter_ids: np.ndarray | list[int] | None = None,
+               min_score: float | None = None,
+               max_distance: float | None = None) -> pd.DataFrame:
+        from opensearch_jvector_ray.functions import scoring as _scoring
+        if max_distance is not None:
+            if min_score is not None:
+                raise ValueError("pass min_score OR max_distance, not both "
+                                 "(KNNQueryBuilder.java:438-472)")
+            min_score = _scoring.distance_to_min_score(metric, max_distance)
+        qids = sorted(queries)
+        qmat = np.stack([queries[q] for q in qids]).astype(np.float64)
+        probe = _probe_cells(qmat, self.centroids, n_probe)
+        probe_sets = {qid: set(probe[i].tolist())
+                      for i, qid in enumerate(qids)}
+        allow = (ray.put(np.asarray(filter_ids, dtype=np.int64))
+                 if filter_ids is not None else None)
+        dead = _load_tombstones(self.index_dir, self.id_col)
+        dref = ray.put(dead) if dead is not None else None
+        futs = [a.search.remote(qids, qmat, probe_sets, k, metric,
+                                round_decimals, min_score, allow, dref)
+                for a in self.actors]
+        out = pd.concat(ray.get(futs), ignore_index=True)
+        if out.empty:
+            return pd.DataFrame(
+                columns=["query_id", "rank", self.id_col, "score"])
+        out = out.sort_values(["query_id", "score", self.id_col],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        if min_score is None:
+            out = out.groupby("query_id", sort=False).head(k)
+        out["rank"] = out.groupby("query_id", sort=False).cumcount() + 1
+        return out[["query_id", "rank", self.id_col,
+                    "score"]].reset_index(drop=True)
+
+    def shutdown(self) -> None:
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []
 
 
 def embedding_near_dups(ds: "rd.Dataset", threshold: float = 0.995,

@@ -440,6 +440,10 @@ def ivfpq_topk(index_dir: str, queries: dict[str, np.ndarray], k: int, *,
         import pyarrow.compute as pc
         luts_, probes, allow, dead_ids = ray.get(pass1_ref)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
+        if len(ids) == 0:                # reshape(0, -1) raises
+            return pa.table({"query_id": pa.array([], type=pa.string()),
+                             id_col: pa.array([], type=pa.int64()),
+                             "approx": pa.array([], type=pa.float64())})
         raw = b"".join(batch["codes"].to_pylist())
         codes = np.frombuffer(raw, dtype=np.uint8).reshape(len(ids), -1)
         cells = pc.cast(batch["cell"], pa.int64()).to_numpy(

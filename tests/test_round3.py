@@ -1357,3 +1357,39 @@ def test_cli_knn_add_delete(tmp_path):
                f"--query={q}", "--k", "1", "--ef", "200")
     assert gone.returncode == 0
     assert int(gone.stdout.strip().splitlines()[1].split()[2]) != 75
+
+
+def test_ivf_search_service_identical_to_batch_path(tmp_path):
+    """IvfSearchService (resident decoded cells) must be frame-identical
+    to ivf_index_topk across plain / filtered / radial / tombstoned
+    searches."""
+    from opensearch_jvector_ray.pipelines.knn import IvfSearchService
+    vecs = _clustered_vecs(seed=127, n_centers=5, per=40, d=16)
+    ds = rd.from_arrow(_vec_table(vecs))
+    idx = str(tmp_path / "ivf")
+    cent = knn_pl.fixed_centroids(ds, [0, 40, 80, 120, 160])
+    knn_pl.build_ivf_index(ds, idx, centroids=cent)
+    queries = {f"q{i}": vecs[i * 37].astype(np.float64) for i in range(3)}
+    allowed = np.arange(0, len(vecs), 2)
+    svc = IvfSearchService(idx, num_shards=2)
+    try:
+        for kwargs in ({}, {"filter_ids": allowed}, {"min_score": 0.9},
+                       {"max_distance": 0.2}):
+            want = knn_pl.ivf_index_topk(
+                idx, queries, None if "min_score" in kwargs
+                or "max_distance" in kwargs else 10,
+                n_probe=3, round_decimals=6, **kwargs)
+            got = svc.search(
+                queries, None if "min_score" in kwargs
+                or "max_distance" in kwargs else 10,
+                n_probe=3, round_decimals=6, **kwargs)
+            pd.testing.assert_frame_equal(want, got)
+        knn_pl.delete_from_ivf_index(idx, [int(i) for i in
+                                           np.arange(0, 40)])
+        want = knn_pl.ivf_index_topk(idx, queries, 10, n_probe=3,
+                                     round_decimals=6)
+        got = svc.search(queries, 10, n_probe=3, round_decimals=6)
+        pd.testing.assert_frame_equal(want, got)
+        assert not set(got.vec_id) & set(range(40))
+    finally:
+        svc.shutdown()
