@@ -104,10 +104,17 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
 
 
 def execute_query(body: dict[str, Any], *, searcher=None, vector_ds=None,
+                  vector_index=None, vector_engine: str = "graph",
+                  filter_id_resolver=None, engine_kwargs=None,
                   query_id: str = "q", round_decimals: int | None = 6):
-    """Run a parsed query: match/bool against an ``IndexSearcher``,
-    knn against a vector Dataset (brute-force path; point graph/IVF
-    searches at their own APIs)."""
+    """Run a parsed query: match/bool against an ``IndexSearcher``; knn
+    against a vector Dataset (brute-force path) or, with
+    ``vector_index=`` (an index dir), against a persisted engine
+    (``vector_engine`` in graph | ivf | ivfpq).  Engine indexes store
+    only (id, vector[, codes]), so a ``filter`` clause there needs
+    ``filter_id_resolver`` — a callable mapping the filter spec to the
+    allow-list of ids (typically a pushed-down parquet read over the
+    source table)."""
     spec = parse_query(body)
     if spec["type"] in ("match", "bool"):
         if searcher is None:
@@ -129,8 +136,47 @@ def execute_query(body: dict[str, Any], *, searcher=None, vector_ds=None,
         return searcher.search({query_id: spec["query"]}, k=spec["k"],
                                mode=mode,
                                collapse_col=spec["collapse"], **kwargs)
+    if vector_index is not None:
+        fids = None
+        if spec["filter"] is not None:
+            if filter_id_resolver is None:
+                raise ValueError("[knn] a filter against an index engine "
+                                 "needs filter_id_resolver= (engines "
+                                 "store ids+vectors only)")
+            fids = filter_id_resolver(spec["filter"])
+        radial = (spec["min_score"] is not None
+                  or spec["max_distance"] is not None)
+        kk = None if radial else spec["k"]
+        ek = dict(engine_kwargs or {})   # ef_search / n_probe etc.
+        if vector_engine == "graph":
+            from opensearch_jvector_ray.pipelines.graph import graph_topk
+            return graph_topk(vector_index, {query_id: spec["vector"]},
+                              kk, metric=spec["metric"],
+                              round_decimals=round_decimals,
+                              filter_ids=fids,
+                              min_score=spec["min_score"],
+                              max_distance=spec["max_distance"], **ek)
+        if vector_engine == "ivf":
+            from opensearch_jvector_ray.pipelines.knn import ivf_index_topk
+            return ivf_index_topk(vector_index, {query_id: spec["vector"]},
+                                  kk, metric=spec["metric"],
+                                  round_decimals=round_decimals,
+                                  filter_ids=fids,
+                                  min_score=spec["min_score"],
+                                  max_distance=spec["max_distance"], **ek)
+        if vector_engine == "ivfpq":
+            if radial:
+                raise ValueError("[knn] radial mode is not supported by "
+                                 "the ivfpq engine (use graph or ivf)")
+            from opensearch_jvector_ray.pipelines.pq import ivfpq_topk
+            return ivfpq_topk(vector_index, {query_id: spec["vector"]},
+                              spec["k"], metric=spec["metric"],
+                              round_decimals=round_decimals,
+                              filter_ids=fids, **ek)
+        raise ValueError(f"unknown vector_engine {vector_engine!r} "
+                         f"(graph | ivf | ivfpq)")
     if vector_ds is None:
-        raise ValueError("[knn] needs vector_ds=")
+        raise ValueError("[knn] needs vector_ds= or vector_index=")
     from opensearch_jvector_ray.pipelines.knn import brute_force_topk
     filter_expr = None
     if spec["filter"] is not None:

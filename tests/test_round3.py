@@ -1393,3 +1393,46 @@ def test_ivf_search_service_identical_to_batch_path(tmp_path):
         assert not set(got.vec_id) & set(range(40))
     finally:
         svc.shutdown()
+
+
+def test_dsl_knn_routes_to_index_engines(tmp_path):
+    """A knn DSL clause with vector_index= must produce the same frame
+    as the engine's direct API — graph and ivf, including a term filter
+    resolved to an id allow-list and radial mode; ivfpq rejects radial."""
+    from opensearch_jvector_ray.pipelines import graph as graph_pl
+    from opensearch_jvector_ray.query_dsl import execute_query
+    vecs = _clustered_vecs(seed=131, n_centers=4, per=40, d=16)
+    labels = np.arange(len(vecs)) % 4
+    tbl = _vec_table(vecs).set_column(
+        2, "label", pa.array(labels.astype(np.int64)))
+    ds = rd.from_arrow(tbl)
+    gidx = str(tmp_path / "g")
+    graph_pl.build_graph_index(ds.select_columns(["vec_id", "embedding"]),
+                               gidx, num_parts=2, m_degree=12,
+                               ef_construction=48)
+    iidx = str(tmp_path / "ivf")
+    cent = knn_pl.fixed_centroids(ds, [0, 40, 80, 120])
+    knn_pl.build_ivf_index(ds.select_columns(["vec_id", "embedding"]),
+                           iidx, centroids=cent)
+    qv = [float(x) for x in vecs[7]]
+    resolver = lambda flt: np.flatnonzero(
+        labels == list(flt["term"].values())[0]).astype(np.int64)
+    body = {"knn": {"vector": qv, "k": 5,
+                    "filter": {"term": {"label": 1}}}}
+    want = graph_pl.graph_topk(gidx, {"q": np.array(qv)}, 5,
+                               round_decimals=6, ef_search=400,
+                               filter_ids=resolver(body["knn"]["filter"]))
+    got = execute_query(body, vector_index=gidx, vector_engine="graph",
+                        filter_id_resolver=resolver,
+                        engine_kwargs={"ef_search": 400})
+    pd.testing.assert_frame_equal(want, got)
+    body_r = {"knn": {"vector": qv, "metric": "cosine", "min_score": 0.9}}
+    want_r = knn_pl.ivf_index_topk(iidx, {"q": np.array(qv)}, None,
+                                   n_probe=4, round_decimals=6,
+                                   min_score=0.9)
+    got_r = execute_query(body_r, vector_index=iidx, vector_engine="ivf")
+    pd.testing.assert_frame_equal(want_r, got_r)
+    with pytest.raises(ValueError):
+        execute_query(body_r, vector_index=iidx, vector_engine="ivfpq")
+    with pytest.raises(ValueError):
+        execute_query(body, vector_index=gidx)   # filter w/o resolver
