@@ -93,6 +93,9 @@ def main(argv: list[str] | None = None) -> int:
                     choices=["graph", "ivf", "pq", "ivfpq"])
     kb.add_argument("--num-parts", type=int, default=8)
     kb.add_argument("--cells", type=int, default=16)
+    kb.add_argument("--build-degree-mult", type=int, default=1,
+                    help="graph engine: descent working-degree multiplier "
+                         "(2 cures the uniform-data quality plateau)")
     kb.add_argument("--id-col", default="vec_id")
     kb.add_argument("--vec-col", default="embedding")
 
@@ -221,7 +224,8 @@ def main(argv: list[str] | None = None) -> int:
                 gpl.build_graph_index(ds, args.index,
                                       num_parts=args.num_parts,
                                       id_col=args.id_col,
-                                      vec_col=args.vec_col)
+                                      vec_col=args.vec_col,
+                                      build_degree_mult=args.build_degree_mult)
             elif args.engine == "ivf":
                 from opensearch_jvector_ray.pipelines import knn as kpl
                 cent = kpl.train_centroids(ds, args.cells,

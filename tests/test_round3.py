@@ -1436,3 +1436,43 @@ def test_dsl_knn_routes_to_index_engines(tmp_path):
         execute_query(body_r, vector_index=iidx, vector_engine="ivfpq")
     with pytest.raises(ValueError):
         execute_query(body, vector_index=gidx)   # filter w/o resolver
+
+
+def test_merge_polish_sweeps_preserve_exactness_and_quality(tmp_path):
+    """polish_sweeps re-descends incrementally-merged groups: full-beam
+    exactness must hold (cycle edge re-ensured at write) and recall on
+    uniform data must not regress vs the unpolished merge."""
+    from opensearch_jvector_ray.pipelines import graph as graph_pl
+    rng = np.random.default_rng(17)
+    vecs = rng.standard_normal((1200, 32))
+    ds = rd.from_arrow(_vec_table(vecs))
+    idx = str(tmp_path / "g")
+    graph_pl.build_graph_index(ds, idx, num_parts=4, m_degree=12,
+                               ef_construction=48)
+    queries = {f"q{i}": vecs[i * 61].astype(np.float64) for i in range(4)}
+    exact = knn_pl.brute_force_topk(ds, queries, 10, metric="cosine",
+                                    round_decimals=6)
+
+    def rec(out):
+        hits = 0
+        for qid, g in out.groupby("query_id"):
+            want = set(exact[exact.query_id == qid].vec_id)
+            hits += len(set(g.vec_id) & want)
+        return hits / len(exact)
+
+    plain = str(tmp_path / "plain")
+    graph_pl.merge_graph_index(idx, plain, merge_factor=4)
+    pol = str(tmp_path / "polished")
+    graph_pl.merge_graph_index(idx, pol, merge_factor=4,
+                               polish_sweeps=2)
+    # full beam: both must be EXACT (connectivity is re-ensured)
+    for d in (plain, pol):
+        got = graph_pl.graph_topk(d, queries, 10, ef_search=len(vecs),
+                                  round_decimals=6)
+        pd.testing.assert_frame_equal(got, exact)
+    # approximate beam: polish must not regress recall
+    r_plain = rec(graph_pl.graph_topk(plain, queries, 10, ef_search=48,
+                                      round_decimals=6))
+    r_pol = rec(graph_pl.graph_topk(pol, queries, 10, ef_search=48,
+                                    round_decimals=6))
+    assert r_pol + 0.05 >= r_plain, (r_plain, r_pol)
