@@ -216,6 +216,26 @@ def run_bench() -> dict:
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice", "l_discount", "l_shipdate"])))
 
+    # -- phase 8: training-data composite (clean -> sample -> pack) -------
+    from opensearch_jvector_ray.config import EngineConfig
+    from opensearch_jvector_ray.pipelines import corpus as corpus_pl
+    _cfg = EngineConfig()
+
+    def do_corpus():
+        docs = read_table(SF_DIR, "documents", columns=["doc_id", "text"])
+        kept = corpus_pl.clean_corpus(docs, _cfg, "doc_id", "text",
+                                      min_tokens=5, stop_threshold=0.1)
+        n_kept = kept.count()
+        sampled = corpus_pl.hash_sample(
+            read_table(SF_DIR, "documents", columns=["doc_id", "text"]),
+            "doc_id", 0.5, salt="bench")
+        packed = corpus_pl.pack_chunks(sampled, _cfg, "doc_id", "text",
+                                       budget=1024)
+        n_packs = packed.count()
+        return n_kept, n_packs
+
+    timed("corpus_pipeline", do_corpus)
+
     ray.shutdown()
     total = round(sum(phases.values()), 3)
     extra["samples"] = samples
