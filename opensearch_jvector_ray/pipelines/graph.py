@@ -619,6 +619,37 @@ def _train_part_pq(vecs_unit: np.ndarray, m_subspaces: int, n_codes: int,
     return book, pq_encode(vecs_unit, book)
 
 
+BQ_NAME = "bq.npz"
+# per-byte popcount table: the BQ "codebook" is implicit (sign bits)
+_POPCNT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                        axis=1).sum(axis=1).astype(np.float32)
+
+
+def _bq_lut(Qn: np.ndarray, nbytes: int) -> np.ndarray:
+    """(B, nbytes*256) hamming lookup tables: entry [b, j*256 + v] is
+    popcount(v XOR query_bits[b, j]) — BQ traversal is the SAME
+    gather-sum ADC the PQ beam uses, with M = nbytes and K = 256 (the
+    Lucene BQ analog of the reference's 'PQ and BQ support',
+    `README.md:33`; smaller hamming = closer, matching the beam's
+    smaller-is-better convention)."""
+    qbits = np.packbits(np.asarray(Qn) > 0, axis=1)
+    if qbits.shape[1] < nbytes:           # pad to the stored byte width
+        qbits = np.pad(qbits, ((0, 0), (0, nbytes - qbits.shape[1])))
+    v = np.arange(256, dtype=np.uint8)
+    x = np.bitwise_xor(qbits[:, :, None], v[None, None, :])
+    return np.ascontiguousarray(
+        _POPCNT[x].reshape(len(qbits), -1))
+
+
+def _quant_lut_codes(part_quant, Qn) -> tuple[np.ndarray, np.ndarray]:
+    """LUT + codes for either quantization kind, feeding _beam_batch's
+    generic gather-sum traversal."""
+    if part_quant[0] == "pq":
+        return _pq_neg_lut(part_quant[1], Qn), part_quant[2]
+    codes = part_quant[1]
+    return _bq_lut(Qn, codes.shape[1]), codes
+
+
 def _load_part_pq(pdir: str) -> tuple[np.ndarray, np.ndarray] | None:
     path = os.path.join(pdir, PQ_NAME)
     if not os.path.exists(path):
@@ -627,10 +658,22 @@ def _load_part_pq(pdir: str) -> tuple[np.ndarray, np.ndarray] | None:
     return z["book"], z["codes"]
 
 
+def _load_part_quant(pdir: str):
+    """None | ("pq", book, codes) | ("bq", codes)."""
+    p = _load_part_pq(pdir)
+    if p is not None:
+        return ("pq", p[0], p[1])
+    path = os.path.join(pdir, BQ_NAME)
+    if os.path.exists(path):
+        return ("bq", np.load(path)["codes"])
+    return None
+
+
 def _write_part(out: str, ids: np.ndarray, vecs: np.ndarray,
                 nbrs: np.ndarray, id_col: str, vec_col: str,
                 pq_book: np.ndarray | None = None,
-                pq_codes: np.ndarray | None = None) -> None:
+                pq_codes: np.ndarray | None = None,
+                bq_codes: np.ndarray | None = None) -> None:
     os.makedirs(out, exist_ok=True)
     nbrs = _ensure_cycle(np.ascontiguousarray(nbrs))
     tbl = pa.table({
@@ -643,6 +686,8 @@ def _write_part(out: str, ids: np.ndarray, vecs: np.ndarray,
     pq.write_table(tbl, os.path.join(out, "graph.parquet"))
     if pq_book is not None:
         np.savez(os.path.join(out, PQ_NAME), book=pq_book, codes=pq_codes)
+    if bq_codes is not None:
+        np.savez(os.path.join(out, BQ_NAME), codes=bq_codes)
     unit = _unitize(vecs)
     entries = sorted({_medoid(unit), *_entry_set(len(ids))})
     with open(os.path.join(out, "_META"), "w") as f:
@@ -660,6 +705,7 @@ def build_graph_index(ds: "rd.Dataset", index_dir: str, *,
                       pq_m_subspaces: int | None = None,
                       pq_n_codes: int = 256, pq_min_rows: int = 1024,
                       build_degree_mult: int = 1,
+                      bq: bool = False,
                       ) -> None:
     """Hash-partition vectors, build one graph per partition, persist.
 
@@ -676,8 +722,17 @@ def build_graph_index(ds: "rd.Dataset", index_dir: str, *,
     rule (`common/KNNConstants.java:132`, default 1024).  Quantized
     partitions are searched with PQ traversal + exact rerank unless the
     caller opts out (``graph_topk(use_pq=False)``).
+
+    ``bq=True`` stores BINARY-quantized sign bits instead (the Lucene BQ
+    the reference supports alongside PQ, `README.md:33`): the beam
+    traverses on per-byte XOR-popcount hamming lookup sums — the same
+    gather-sum ADC machinery as PQ with M = ceil(dim/8) and K = 256 —
+    and hits are ALWAYS exact-rescored.  32x compression, no training,
+    no min-rows rule; mutually exclusive with ``pq_m_subspaces``.
     """
     import shutil
+    if bq and pq_m_subspaces:
+        raise ValueError("pass bq=True OR pq_m_subspaces, not both")
     os.makedirs(index_dir, exist_ok=True)
     if os.path.exists(os.path.join(index_dir, META_NAME)):
         return                                     # resume: complete index
@@ -715,13 +770,15 @@ def build_graph_index(ds: "rd.Dataset", index_dir: str, *,
             nbrs = build_graph(vecs, m_degree=m_degree,
                                ef_construction=ef_construction,
                                build_degree_mult=build_degree_mult)
-            book = codes = None
+            book = codes = bqc = None
             if pq_m_subspaces and len(vecs) >= max(pq_min_rows, 2):
                 book, codes = _train_part_pq(_unitize(vecs),
                                              pq_m_subspaces, pq_n_codes)
+            elif bq:
+                bqc = np.packbits(_unitize(vecs) > 0, axis=1)
             _write_part(out, tbl[id_col].to_numpy(zero_copy_only=False),
                         vecs, nbrs, id_col, vec_col,
-                        pq_book=book, pq_codes=codes)
+                        pq_book=book, pq_codes=codes, bq_codes=bqc)
             built.append(part)
         return pa.table({"part": pa.array(built, type=pa.int32())})
 
@@ -736,7 +793,8 @@ def build_graph_index(ds: "rd.Dataset", index_dir: str, *,
                    "pq_m_subspaces": pq_m_subspaces,
                    "pq_n_codes": pq_n_codes,
                    "pq_min_rows": pq_min_rows,
-                   "build_degree_mult": build_degree_mult}, f)
+                   "build_degree_mult": build_degree_mult,
+                   "bq": bq}, f)
 
 
 def _compact_leading(tbl: pa.Table, dead: np.ndarray | None,
@@ -878,15 +936,19 @@ def merge_graph_index(src_dir: str, dst_dir: str, *, merge_factor: int = 4,
                     nbrs = _finalize_graph(unit_m, nbrs, m_degree, 1.0)
             # quantized leading segment: REUSE its codebook (refine, never
             # retrain — `JVectorWriter.java:886-913`) and re-encode the
-            # merged rows; unquantized inputs merge to an unquantized part
-            book = codes = None
-            lead_pq = _load_part_pq(dirs[lead])
-            if lead_pq is not None and len(ids):
-                from opensearch_jvector_ray.pipelines.pq import pq_encode
-                book = lead_pq[0]
-                codes = pq_encode(_unitize(vecs), book)
+            # merged rows; BQ is training-free, so bits are just repacked;
+            # unquantized inputs merge to an unquantized part
+            book = codes = bqc = None
+            lead_q = _load_part_quant(dirs[lead])
+            if lead_q is not None and len(ids):
+                if lead_q[0] == "pq":
+                    from opensearch_jvector_ray.pipelines.pq import pq_encode
+                    book = lead_q[1]
+                    codes = pq_encode(_unitize(vecs), book)
+                else:
+                    bqc = np.packbits(_unitize(vecs) > 0, axis=1)
             _write_part(out, ids, vecs, nbrs, id_col, vec_col,
-                        pq_book=book, pq_codes=codes)
+                        pq_book=book, pq_codes=codes, bq_codes=bqc)
             out_parts.append(gid)
         return pa.table({"gid": pa.array(out_parts, type=pa.int32())})
 
@@ -971,21 +1033,27 @@ def add_to_graph_index(new_ds: "rd.Dataset", index_dir: str) -> None:
                 n_nbrs[: len(ids0)] = n_nbrs0
                 bulk_insert(_unitize(vecs), nbrs, n_nbrs, len(ids0),
                             m_degree=m_degree, ef_construction=ef_c)
-            book = codes = None
-            part_pq = _load_part_pq(out)
-            if part_pq is not None:
-                from opensearch_jvector_ray.pipelines.pq import pq_encode
-                book = part_pq[0]
-                codes = pq_encode(_unitize(vecs), book)
+            book = codes = bqc = None
+            part_q = _load_part_quant(out)
+            if part_q is not None:
+                if part_q[0] == "pq":
+                    from opensearch_jvector_ray.pipelines.pq import pq_encode
+                    book = part_q[1]
+                    codes = pq_encode(_unitize(vecs), book)
+                else:
+                    bqc = np.packbits(_unitize(vecs) > 0, axis=1)
             tmp = out + ".addtmp"
             shutil.rmtree(tmp, ignore_errors=True)
             _write_part(tmp, ids, vecs, nbrs, id_col, vec_col,
-                        pq_book=book, pq_codes=codes)
+                        pq_book=book, pq_codes=codes, bq_codes=bqc)
             os.makedirs(out, exist_ok=True)
             os.replace(os.path.join(tmp, "graph.parquet"), gpath)
             if book is not None:
                 os.replace(os.path.join(tmp, PQ_NAME),
                            os.path.join(out, PQ_NAME))
+            if bqc is not None:
+                os.replace(os.path.join(tmp, BQ_NAME),
+                           os.path.join(out, BQ_NAME))
             os.replace(os.path.join(tmp, "_META"),
                        os.path.join(out, "_META"))
             shutil.rmtree(tmp, ignore_errors=True)
@@ -1060,8 +1128,7 @@ def _part_pool_search(ids, vecs, unit, nbrs, n_nbrs, entries, part_pq,
     ef_eff = max(ef_search, kk)
     lut = codes = None
     if use_pq and part_pq is not None:
-        lut = _pq_neg_lut(part_pq[0], Qn)
-        codes = part_pq[1]
+        lut, codes = _quant_lut_codes(part_pq, Qn)
         ef_eff = max(ef_eff, kk * overquery)
     amask = None
     if allowed is not None:
@@ -1121,7 +1188,7 @@ class GraphShardActor:
                 "nbrs": nbrs,
                 "n_nbrs": n_nbrs,
                 "entries": pmeta["entries"],
-                "pq": _load_part_pq(pdir),
+                "pq": _load_part_quant(pdir),
             })
 
     def search(self, qids: list[str], qmat: np.ndarray, k: int | None,
@@ -1289,7 +1356,7 @@ def graph_topk(index_dir: str, queries: dict[str, np.ndarray],
             vecs = _vecs_from_batch(tbl, vec_col)
             ids = tbl[id_col].to_numpy(zero_copy_only=False)
             nbrs, n_nbrs = _decode_adjacency(tbl)
-            part_pq = _load_part_pq(pdir) if use_pq else None
+            part_pq = _load_part_quant(pdir) if use_pq else None
             hits = _part_pool_search(
                 ids, vecs, _unitize(vecs), nbrs, n_nbrs, pmeta["entries"],
                 part_pq, qm, Qn, k, ef_search, use_pq, overquery,

@@ -1476,3 +1476,44 @@ def test_merge_polish_sweeps_preserve_exactness_and_quality(tmp_path):
     r_pol = rec(graph_pl.graph_topk(pol, queries, 10, ef_search=48,
                                     round_decimals=6))
     assert r_pol + 0.05 >= r_plain, (r_plain, r_pol)
+
+
+def test_graph_bq_traversal_exact_and_recall(tmp_path):
+    """BQ mode (Lucene binary quantization, the reference's 'PQ and BQ
+    support'): the beam walks on XOR-popcount lookup sums, hits are
+    exact-rescored — full beam must equal brute force; approximate beam
+    must clear the recall gate; merge repacks bits (training-free) and
+    stays full-beam exact; bq + pq together is an error."""
+    from opensearch_jvector_ray.pipelines import graph as graph_pl
+    vecs = _clustered_vecs(seed=137, n_centers=5, per=50, d=32)
+    ds = rd.from_arrow(_vec_table(vecs))
+    idx = str(tmp_path / "g")
+    graph_pl.build_graph_index(ds, idx, num_parts=3, m_degree=12,
+                               ef_construction=48, bq=True)
+    assert os.path.exists(os.path.join(idx, "part=0", graph_pl.BQ_NAME))
+    queries = {f"q{i}": vecs[i * 43].astype(np.float64) for i in range(4)}
+    exact = knn_pl.brute_force_topk(ds, queries, 10, metric="cosine",
+                                    round_decimals=6)
+    got = graph_pl.graph_topk(idx, queries, 10, ef_search=len(vecs),
+                              round_decimals=6)
+    pd.testing.assert_frame_equal(got, exact)
+    approx = graph_pl.graph_topk(idx, queries, 10, ef_search=48,
+                                 round_decimals=6)
+    hits = sum(len(set(approx[approx.query_id == q].vec_id)
+                   & set(exact[exact.query_id == q].vec_id))
+               for q in queries)
+    assert hits / len(exact) >= 0.75
+    # use_pq=False must bypass the BQ codes entirely and stay exact
+    full_f = graph_pl.graph_topk(idx, queries, 10, ef_search=len(vecs),
+                                 round_decimals=6, use_pq=False)
+    pd.testing.assert_frame_equal(full_f, exact)
+    merged = str(tmp_path / "merged")
+    graph_pl.merge_graph_index(idx, merged, merge_factor=3)
+    assert os.path.exists(os.path.join(merged, "part=0",
+                                       graph_pl.BQ_NAME))
+    got_m = graph_pl.graph_topk(merged, queries, 10,
+                                ef_search=len(vecs), round_decimals=6)
+    pd.testing.assert_frame_equal(got_m, exact)
+    with pytest.raises(ValueError):
+        graph_pl.build_graph_index(ds, str(tmp_path / "bad"), bq=True,
+                                   pq_m_subspaces=8)
