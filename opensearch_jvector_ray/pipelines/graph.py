@@ -825,7 +825,8 @@ def _compact_leading(tbl: pa.Table, dead: np.ndarray | None,
 def merge_graph_index(src_dir: str, dst_dir: str, *, merge_factor: int = 4,
                       deletes: list[int] | None = None,
                       mode: str = "incremental",
-                      polish_sweeps: int = 0) -> None:
+                      polish_sweeps: int = 0,
+                      refine_quant_iters: int = 0) -> None:
     """Merge partition graphs: N input partitions -> ceil(N/factor)
     coarser ones, dropping tombstoned ids.
 
@@ -845,7 +846,13 @@ def merge_graph_index(src_dir: str, dst_dir: str, *, merge_factor: int = 4,
     8k+4k uniform 64-d, recall@10 0.750 incremental -> 0.776 with 2
     sweeps, above the 0.764 full rebuild, at ~1/5 the rebuild cost).
     Sweep cost is linear in the merged group size; 0 (default) keeps
-    the plain leading-graph merge."""
+    the plain leading-graph merge.
+
+    ``refine_quant_iters`` > 0 REFINES a PQ leading codebook against the
+    merged rows (a few Lloyd iterations seeded from the existing
+    centroids — the reference's quantization-refinement-during-merge,
+    `README.md:30`) before re-encoding; 0 (default) reuses the book
+    verbatim.  BQ is training-free and unaffected."""
     if mode not in ("incremental", "rebuild"):
         raise ValueError(f"unknown merge mode {mode!r}")
     with open(os.path.join(src_dir, META_NAME)) as f:
@@ -942,9 +949,13 @@ def merge_graph_index(src_dir: str, dst_dir: str, *, merge_factor: int = 4,
             lead_q = _load_part_quant(dirs[lead])
             if lead_q is not None and len(ids):
                 if lead_q[0] == "pq":
-                    from opensearch_jvector_ray.pipelines.pq import pq_encode
-                    book = lead_q[1]
-                    codes = pq_encode(_unitize(vecs), book)
+                    from opensearch_jvector_ray.pipelines.pq import (
+                        pq_encode, refine_codebook,
+                    )
+                    unit_q = _unitize(vecs)
+                    book = refine_codebook(lead_q[1], unit_q,
+                                           iters=refine_quant_iters)
+                    codes = pq_encode(unit_q, book)
                 else:
                     bqc = np.packbits(_unitize(vecs) > 0, axis=1)
             _write_part(out, ids, vecs, nbrs, id_col, vec_col,

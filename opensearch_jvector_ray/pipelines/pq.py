@@ -133,6 +133,37 @@ def _train_ivfpq(ds: "rd.Dataset", *, n_centroids: int, m_subspaces: int,
     return ray.get(_train.remote(*refs))
 
 
+def refine_codebook(book: np.ndarray, X: np.ndarray,
+                    iters: int = 2, sample: int = 65536,
+                    seed: int = 42) -> np.ndarray:
+    """REFINE an existing codebook against new data: a few Lloyd
+    iterations per subspace SEEDED from the current centroids — the
+    reference's quantization-refinement-during-merge ('more accurate
+    quantization and better recall without the penalty of full codebook
+    recomputation', `README.md:30`; `JVectorWriter.java:886-913`).
+    iters=0 returns the book unchanged; empty sub-cells keep their old
+    centroid (never re-randomized, so refinement is monotone-stable)."""
+    m, k, dsub = book.shape
+    if iters <= 0 or len(X) == 0:
+        return book.copy()
+    if len(X) > sample:
+        rng = np.random.default_rng(seed)
+        X = X[np.sort(rng.choice(len(X), size=sample, replace=False))]
+    out = book.astype(np.float64).copy()
+    for mi in range(m):
+        Xm = X[:, mi * dsub:(mi + 1) * dsub]
+        cent = out[mi]
+        for _ in range(iters):
+            assign = _sq_dists(Xm, cent).argmin(axis=1)
+            sums = np.zeros_like(cent)
+            np.add.at(sums, assign, Xm)
+            counts = np.bincount(assign, minlength=k)
+            nz = counts > 0
+            cent[nz] = sums[nz] / counts[nz, None]
+        out[mi] = cent
+    return out
+
+
 def pq_encode(vecs: np.ndarray, book: np.ndarray) -> np.ndarray:
     """(n, M) uint8 codes: nearest sub-centroid per subspace (ties to the
     lowest code, argmin rule)."""

@@ -1517,3 +1517,61 @@ def test_graph_bq_traversal_exact_and_recall(tmp_path):
     with pytest.raises(ValueError):
         graph_pl.build_graph_index(ds, str(tmp_path / "bad"), bq=True,
                                    pq_m_subspaces=8)
+
+
+def test_refine_codebook_on_merge_improves_quantization():
+    """refine_codebook runs Lloyd iterations seeded from the EXISTING
+    centroids: iters=0 is identity, refinement strictly reduces
+    quantization error on distribution-shifted data, and empty cells
+    keep their old centroid."""
+    from opensearch_jvector_ray.pipelines import pq as pq_pl
+    rng = np.random.default_rng(7)
+    old = rng.standard_normal((2000, 16))
+    book = pq_pl.train_pq_codebook(
+        rd.from_arrow(pa.table({
+            "embedding": pa.array([v.tolist() for v in old],
+                                  type=pa.list_(pa.float32()))})),
+        m_subspaces=4, n_codes=16, vec_col="embedding")
+    shifted = rng.standard_normal((2000, 16)) + 2.0   # moved distribution
+
+    def qerr(b, X):
+        codes = pq_pl.pq_encode(X, b)
+        m, k, dsub = b.shape
+        rec = np.concatenate([b[mi][codes[:, mi]] for mi in range(m)],
+                             axis=1)
+        return float(((X - rec) ** 2).sum(axis=1).mean())
+
+    same = pq_pl.refine_codebook(book, shifted, iters=0)
+    np.testing.assert_array_equal(same, book)
+    ref = pq_pl.refine_codebook(book, shifted, iters=3)
+    assert qerr(ref, shifted) < qerr(book, shifted) * 0.9
+    assert ref.shape == book.shape
+
+
+def test_graph_merge_with_refined_codebook_stays_exact(tmp_path):
+    """A PQ-quantized incremental merge with refine_quant_iters keeps
+    full-beam exactness (refined books only reorder the walk; scores are
+    always exact-rescored)."""
+    from opensearch_jvector_ray.pipelines import graph as graph_pl
+    vecs = _clustered_vecs(seed=139, n_centers=4, per=60, d=16)
+    ds = rd.from_arrow(_vec_table(vecs))
+    idx = str(tmp_path / "g")
+    graph_pl.build_graph_index(ds, idx, num_parts=3, m_degree=12,
+                               ef_construction=48, pq_m_subspaces=8,
+                               pq_n_codes=16, pq_min_rows=2)
+    merged = str(tmp_path / "merged")
+    graph_pl.merge_graph_index(idx, merged, merge_factor=3,
+                               refine_quant_iters=2)
+    queries = {f"q{i}": vecs[i * 59].astype(np.float64) for i in range(3)}
+    exact = knn_pl.brute_force_topk(ds, queries, 10, metric="cosine",
+                                    round_decimals=6)
+    got = graph_pl.graph_topk(merged, queries, 10, ef_search=len(vecs),
+                              round_decimals=6)
+    pd.testing.assert_frame_equal(got, exact)
+    # the refined book must differ from EVERY source book — it would
+    # equal the leading one verbatim had refinement not run
+    mrg = graph_pl._load_part_quant(os.path.join(merged, "part=0"))
+    assert mrg is not None and mrg[0] == "pq"
+    for p in range(3):
+        src = graph_pl._load_part_quant(os.path.join(idx, f"part={p}"))
+        assert not np.array_equal(src[1], mrg[1])
