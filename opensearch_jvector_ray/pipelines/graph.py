@@ -341,12 +341,21 @@ def _reciprocal_link_batch(unit: np.ndarray, nbrs: np.ndarray,
 
 def bulk_insert(unit: np.ndarray, nbrs: np.ndarray, n_nbrs: np.ndarray,
                 start: int, *, m_degree: int, ef_construction: int,
-                seed: int = 42, alpha: float = 1.0) -> None:
+                seed: int = 42, alpha: float = 1.0,
+                quant=None) -> None:
     """Insert nodes [start, n) into the frozen graph over [0, start) in
     geometrically-growing waves: each wave beam-searches the snapshot in
     ONE numpy lockstep pass, then links.  Shared by build (start = the
     bootstrap clique) and incremental merge (start = the leading graph's
-    size — the `buildAndMergeNewNodes` analog)."""
+    size — the `buildAndMergeNewNodes` analog).
+
+    ``quant`` — a tagged ("pq", book, codes) / ("bq", codes) tuple —
+    switches the wave beams to QUANTIZED construction (the reference's
+    'index construction w/ quantized vectors', `README.md:28`):
+    traversal distances come from per-wave ADC lookup sums over the
+    codes instead of float dots — no vector memory is touched during the
+    walk, at slightly approximate edge selection (the link step's
+    diversity pass stays full-precision)."""
     n = len(unit)
     mem_cap = max(32, _VISITED_BUDGET // max(n, 1))
     built = max(1, start)
@@ -356,8 +365,12 @@ def bulk_insert(unit: np.ndarray, nbrs: np.ndarray, n_nbrs: np.ndarray,
         wave = int(min(built, mem_cap, n - built))
         idx = np.arange(built, built + wave)
         entries = _entry_set(built, seed)
+        lut = codes = None
+        if quant is not None:
+            lut, codes = _quant_lut_codes(quant, unit[idx])
         D, V = _beam_batch(unit, nbrs, n_nbrs, entries, unit[idx],
-                           ef_construction, n_valid=built)
+                           ef_construction, n_valid=built,
+                           lut=lut, codes=codes)
         _link_wave(unit, nbrs, n_nbrs, idx, D, V, m_degree, alpha)
         built += wave
 
@@ -669,6 +682,22 @@ def _load_part_quant(pdir: str):
     return None
 
 
+def _merge_quant(lead_q, unit: np.ndarray, refine_iters: int):
+    """Quantization artifacts for a merged partition from its LEADING
+    segment's quantizer: PQ books are (optionally) refined against the
+    merged rows then re-encoded; BQ bits are repacked (training-free);
+    an unquantized leading segment yields None."""
+    if lead_q is None or len(unit) == 0:
+        return None
+    if lead_q[0] == "pq":
+        from opensearch_jvector_ray.pipelines.pq import (
+            pq_encode, refine_codebook,
+        )
+        book = refine_codebook(lead_q[1], unit, iters=refine_iters)
+        return ("pq", book, pq_encode(unit, book))
+    return ("bq", np.packbits(unit > 0, axis=1))
+
+
 def _write_part(out: str, ids: np.ndarray, vecs: np.ndarray,
                 nbrs: np.ndarray, id_col: str, vec_col: str,
                 pq_book: np.ndarray | None = None,
@@ -826,7 +855,8 @@ def merge_graph_index(src_dir: str, dst_dir: str, *, merge_factor: int = 4,
                       deletes: list[int] | None = None,
                       mode: str = "incremental",
                       polish_sweeps: int = 0,
-                      refine_quant_iters: int = 0) -> None:
+                      refine_quant_iters: int = 0,
+                      quantized_insert: bool = False) -> None:
     """Merge partition graphs: N input partitions -> ceil(N/factor)
     coarser ones, dropping tombstoned ids.
 
@@ -852,7 +882,14 @@ def merge_graph_index(src_dir: str, dst_dir: str, *, merge_factor: int = 4,
     merged rows (a few Lloyd iterations seeded from the existing
     centroids — the reference's quantization-refinement-during-merge,
     `README.md:30`) before re-encoding; 0 (default) reuses the book
-    verbatim.  BQ is training-free and unaffected."""
+    verbatim.  BQ is training-free and unaffected.
+
+    ``quantized_insert=True`` runs the incremental insert waves on ADC
+    lookup sums over the (refined) codes instead of float dots — the
+    reference's quantized index construction (`README.md:28`): no vector
+    memory is touched during the wave walks, at slightly approximate
+    edge selection; search-time full-beam exactness is unaffected (the
+    cycle edge and exact rescore hold regardless of edge quality)."""
     if mode not in ("incremental", "rebuild"):
         raise ValueError(f"unknown merge mode {mode!r}")
     with open(os.path.join(src_dir, META_NAME)) as f:
@@ -893,6 +930,7 @@ def merge_graph_index(src_dir: str, dst_dir: str, *, merge_factor: int = 4,
                     tbls[lead], dd, id_col, vec_col, m_degree)
             else:
                 ids0 = np.empty(0, dtype=np.int64)
+            pre_q = None
             if len(ids0) == 0:                   # rebuild branch
                 tbl = pa.concat_tables(
                     [t.select([id_col, vec_col]) for t in tbls])
@@ -935,8 +973,15 @@ def merge_graph_index(src_dir: str, dst_dir: str, *, merge_factor: int = 4,
                 n_nbrs = np.zeros(len(ids), dtype=np.int32)
                 n_nbrs[: len(ids0)] = n_nbrs0
                 unit_m = _unitize(vecs)
+                if quantized_insert:
+                    # quantized CONSTRUCTION (`README.md:28`): refine +
+                    # encode up front so the insert waves traverse on
+                    # ADC lookup sums instead of float dots
+                    pre_q = _merge_quant(_load_part_quant(dirs[lead]),
+                                         unit_m, refine_quant_iters)
                 bulk_insert(unit_m, nbrs, n_nbrs, len(ids0),
-                            m_degree=m_degree, ef_construction=ef_c)
+                            m_degree=m_degree, ef_construction=ef_c,
+                            quant=pre_q)
                 for _ in range(polish_sweeps):
                     _descent_sweep(unit_m, nbrs)
                 if polish_sweeps > 0:
@@ -946,18 +991,15 @@ def merge_graph_index(src_dir: str, dst_dir: str, *, merge_factor: int = 4,
             # merged rows; BQ is training-free, so bits are just repacked;
             # unquantized inputs merge to an unquantized part
             book = codes = bqc = None
-            lead_q = _load_part_quant(dirs[lead])
-            if lead_q is not None and len(ids):
-                if lead_q[0] == "pq":
-                    from opensearch_jvector_ray.pipelines.pq import (
-                        pq_encode, refine_codebook,
-                    )
-                    unit_q = _unitize(vecs)
-                    book = refine_codebook(lead_q[1], unit_q,
-                                           iters=refine_quant_iters)
-                    codes = pq_encode(unit_q, book)
+            mq = pre_q if pre_q is not None else (
+                _merge_quant(_load_part_quant(dirs[lead]),
+                             _unitize(vecs), refine_quant_iters)
+                if len(ids) else None)
+            if mq is not None:
+                if mq[0] == "pq":
+                    book, codes = mq[1], mq[2]
                 else:
-                    bqc = np.packbits(_unitize(vecs) > 0, axis=1)
+                    bqc = mq[1]
             _write_part(out, ids, vecs, nbrs, id_col, vec_col,
                         pq_book=book, pq_codes=codes, bq_codes=bqc)
             out_parts.append(gid)

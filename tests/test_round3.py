@@ -1575,3 +1575,35 @@ def test_graph_merge_with_refined_codebook_stays_exact(tmp_path):
     for p in range(3):
         src = graph_pl._load_part_quant(os.path.join(idx, f"part={p}"))
         assert not np.array_equal(src[1], mrg[1])
+
+
+def test_quantized_insert_merge_exact_and_recall(tmp_path):
+    """quantized_insert runs the merge's insert waves on ADC lookup sums
+    (the reference's quantized index construction): full-beam search
+    stays exact, approximate recall clears the gate, and it works for
+    both PQ and BQ leading segments."""
+    from opensearch_jvector_ray.pipelines import graph as graph_pl
+    vecs = _clustered_vecs(seed=149, n_centers=4, per=60, d=16)
+    ds = rd.from_arrow(_vec_table(vecs))
+    queries = {f"q{i}": vecs[i * 67].astype(np.float64) for i in range(3)}
+    exact = knn_pl.brute_force_topk(ds, queries, 10, metric="cosine",
+                                    round_decimals=6)
+    for kind, kwargs in (("pq", {"pq_m_subspaces": 8, "pq_n_codes": 16,
+                                 "pq_min_rows": 2}),
+                         ("bq", {"bq": True})):
+        idx = str(tmp_path / f"g_{kind}")
+        graph_pl.build_graph_index(ds, idx, num_parts=3, m_degree=12,
+                                   ef_construction=48, **kwargs)
+        merged = str(tmp_path / f"m_{kind}")
+        graph_pl.merge_graph_index(idx, merged, merge_factor=3,
+                                   quantized_insert=True,
+                                   refine_quant_iters=1)
+        got = graph_pl.graph_topk(merged, queries, 10,
+                                  ef_search=len(vecs), round_decimals=6)
+        pd.testing.assert_frame_equal(got, exact)
+        approx = graph_pl.graph_topk(merged, queries, 10, ef_search=64,
+                                     round_decimals=6)
+        hits = sum(len(set(approx[approx.query_id == q].vec_id)
+                       & set(exact[exact.query_id == q].vec_id))
+                   for q in queries)
+        assert hits / len(exact) >= 0.75
