@@ -1607,3 +1607,22 @@ def test_quantized_insert_merge_exact_and_recall(tmp_path):
                        & set(exact[exact.query_id == q].vec_id))
                    for q in queries)
         assert hits / len(exact) >= 0.75
+
+
+def test_bq_lut_gather_sum_equals_direct_hamming():
+    """The BQ lookup-table gather-sum must equal the directly-computed
+    hamming distance between sign bits for every (query, node) pair —
+    the LUT math validated independently of any search."""
+    from opensearch_jvector_ray.pipelines import graph as graph_pl
+    rng = np.random.default_rng(11)
+    X = rng.standard_normal((64, 20)).astype(np.float32)   # d=20: pad path
+    Q = rng.standard_normal((5, 20)).astype(np.float32)
+    codes = np.packbits(X > 0, axis=1)
+    lut = graph_pl._bq_lut(Q, codes.shape[1])
+    M = codes.shape[1]
+    off = np.arange(M, dtype=np.int64) * (lut.shape[1] // M)
+    got = lut[:, codes.astype(np.int64) + off[None, :]].sum(axis=2)
+    xbits = np.unpackbits(codes, axis=1)[:, :20]
+    qbits = np.unpackbits(np.packbits(Q > 0, axis=1), axis=1)[:, :20]
+    want = (xbits[None, :, :] != qbits[:, None, :]).sum(axis=2)
+    np.testing.assert_array_equal(got.astype(np.int64), want)
