@@ -31,7 +31,8 @@ from opensearch_jvector_ray.oracles import (
     byte_knn_sql, corpus_clean_sql, embedding_dups_sql, ivf_fixed_sql, revenue_by_nation_sql, simhash_sql,
     revenue_by_region_brand_sql, top_order_revenue_sql, transcripts_bm25_sql,
     fingerprint_sql, grouped_best_sql, grouped_expand_sql, knn_sql,
-    hash_sample_sql, hash_split_sql, lang_id_sql, pack_chunks_sql, phrase_sql,
+    hash_sample_sql, hash_split_sql, lang_id_sql, minhash_exact_sql,
+    pack_chunks_sql, phrase_sql,
     pricing_summary_sql, quality_sql, term_stats_sql, token_count_sql,
 )
 from opensearch_jvector_ray.pipelines import dedup as dedup_pl
@@ -241,6 +242,7 @@ def _q_corpus_clean(sf_dir: str) -> pd.DataFrame:
 SAMPLE_RATE, SAMPLE_SALT = 0.25, "s1"
 SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
 PACK_BUDGET = 512
+N_PLANT_MH, MH_PLANT_OFFSET = 10, 1000000
 
 
 def _q_corpus_sample(sf_dir: str) -> pd.DataFrame:
@@ -275,6 +277,36 @@ def _q_corpus_pack(sf_dir: str) -> pd.DataFrame:
                       budget=PACK_BUDGET).to_pandas()
     for c in ("doc_id", "n_tokens", "pack_id", "pack_offset"):
         out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_minhash_exact(sf_dir: str) -> pd.DataFrame:
+    # DEGENERATE-EXACT minhash dedup (threshold=1.0): identical texts
+    # have identical minhash signatures in EVERY band (candidate found
+    # with probability 1) and the exact shingle-Jaccard verify keeps
+    # only identical shingle SETS — so the full LSH machinery (sign ->
+    # band -> bucket -> candidate -> attach -> verify -> union-find)
+    # runs under a hard SQL oracle.  Planted copies of the N_PLANT_MH
+    # lowest doc_ids guarantee >0 rows at every scale (the natural
+    # corpus has no shingle-set dups below sf0.1 — verified).
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(batch):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        keep = batch.filter(pc.field("doc_id") < N_PLANT_MH)
+        if keep.num_rows == 0:
+            return batch
+        copies = keep.set_column(
+            keep.column_names.index("doc_id"), "doc_id",
+            pc.add(keep["doc_id"], MH_PLANT_OFFSET))
+        return pa.concat_tables([batch, copies])
+
+    aug = ds.map_batches(plant, batch_format="pyarrow")
+    out = dedup_pl.minhash_lsh_dedup(aug, CFG, "doc_id", "text",
+                                     threshold=1.0)
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["cluster_id"] = out["cluster_id"].astype(np.int64)
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -833,6 +865,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_sample": _q_corpus_sample,
         "corpus_split": _q_corpus_split,
         "corpus_pack": _q_corpus_pack,
+        "minhash_dedup_exact": _q_minhash_exact,
         # vector scoring surface (§2.8 kernels)
         "knn_cosine_topk": _q_knn("cosine"),
         "knn_l2_topk": _q_knn("l2"),
@@ -924,6 +957,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_sample": hash_sample_sql(SAMPLE_RATE, SAMPLE_SALT),
         "corpus_split": hash_split_sql(SPLITS, SAMPLE_SALT),
         "corpus_pack": pack_chunks_sql(CFG, PACK_BUDGET),
+        "minhash_dedup_exact": minhash_exact_sql(N_PLANT_MH, MH_PLANT_OFFSET),
         "lang_id": lang_id_sql(CFG),
         "knn_cosine_topk": knn_sql("cosine", KNN_QUERY_IDS, KNN_K),
         "knn_l2_topk": knn_sql("l2", KNN_QUERY_IDS, KNN_K),

@@ -905,3 +905,49 @@ SELECT {id_col}, n_tokens,
        (off % {budget})::BIGINT AS pack_offset
 FROM o ORDER BY {id_col}
 """
+
+
+def minhash_exact_sql(n_plant: int, offset: int, shingle_k: int = 3,
+                      table: str = "documents", id_col: str = "doc_id",
+                      text_col: str = "text") -> str:
+    """Degenerate-exact minhash oracle (threshold=1.0): clusters are the
+    equivalence classes of IDENTICAL word-shingle SETS (whitespace split,
+    case kept, the verify stage's rule; docs shorter than k get one
+    all-tokens shingle).  The corpus is augmented with ``n_plant``
+    planted copies of the lowest ids re-keyed to id+offset — identical
+    texts have identical shingle sets AND identical minhash signatures
+    in every band, so the LSH candidate stage finds them with
+    probability 1 and the exact verify keeps exactly these clusters."""
+    if shingle_k != 3:
+        raise ValueError("the SQL window join is written for shingle_k=3")
+    return f"""
+WITH aug AS (
+  SELECT {id_col}, {text_col} FROM {table}
+  UNION ALL
+  SELECT {id_col} + {offset}, {text_col} FROM {table}
+  WHERE {id_col} < {n_plant}
+), t AS (
+  SELECT {id_col},
+         list_filter(regexp_split_to_array({text_col}, '\\s+'),
+                     x -> x <> '') AS tk
+  FROM aug
+), s AS (
+  SELECT {id_col},
+    CASE WHEN len(tk) >= {shingle_k} THEN
+      list_transform(range(1, len(tk) - {shingle_k - 2}),
+                     i -> {" || ' ' || ".join(f"tk[i+{j}]" for j in range(3))})
+    WHEN len(tk) > 0 THEN [array_to_string(tk, ' ')]
+    ELSE [] END AS sh
+  FROM t
+), f AS (
+  SELECT {id_col},
+         md5(array_to_string(list_sort(list_distinct(sh)), chr(31))) AS fp
+  FROM s WHERE len(sh) > 0
+), g AS (
+  SELECT fp, min({id_col}) AS cluster_id, count(*) AS n
+  FROM f GROUP BY fp
+)
+SELECT f.{id_col}, g.cluster_id
+FROM f JOIN g USING (fp) WHERE g.n > 1
+ORDER BY f.{id_col}
+"""
