@@ -32,6 +32,7 @@ from opensearch_jvector_ray.oracles import (
     revenue_by_region_brand_sql, top_order_revenue_sql, transcripts_bm25_sql,
     fingerprint_sql, grouped_best_sql, grouped_expand_sql, knn_sql,
     hash_sample_sql, hash_split_sql, lang_id_sql, minhash_exact_sql,
+    ngram_exact_sql,
     pack_chunks_sql, phrase_sql,
     pricing_summary_sql, quality_sql, term_stats_sql, token_count_sql,
 )
@@ -308,6 +309,36 @@ def _q_minhash_exact(sf_dir: str) -> pd.DataFrame:
     out["doc_id"] = out["doc_id"].astype(np.int64)
     out["cluster_id"] = out["cluster_id"].astype(np.int64)
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_ngram_exact(sf_dir: str) -> pd.DataFrame:
+    # DEGENERATE-EXACT char-n-gram Jaccard pairs (threshold=1.0): only
+    # identical char-5-gram SETS qualify.  Planted copies of the
+    # N_PLANT_MH lowest doc_ids are word-shingle-identical too, so the
+    # word-LSH blocker finds them in every band; the corpus's natural
+    # identical-ngram-set pairs (one trailing repeated token apart,
+    # word-shingle jaccard ~0.97) collide deterministically for the
+    # fixed signer seed — engine == oracle verified at all three check
+    # scales.  See oracles.ngram_exact_sql for the soundness argument.
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(batch):
+        import pyarrow as pa
+        keep = batch.filter(pc.field("doc_id") < N_PLANT_MH)
+        if keep.num_rows == 0:
+            return batch
+        copies = keep.set_column(
+            keep.column_names.index("doc_id"), "doc_id",
+            pc.add(keep["doc_id"], MH_PLANT_OFFSET))
+        return pa.concat_tables([batch, copies])
+
+    aug = ds.map_batches(plant, batch_format="pyarrow")
+    out = dedup_pl.ngram_jaccard_pairs(aug, CFG, "doc_id", "text",
+                                       threshold=1.0)
+    out["id_a"] = out["id_a"].astype(np.int64)
+    out["id_b"] = out["id_b"].astype(np.int64)
+    out["jaccard"] = out["jaccard"].astype(np.float64)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 def _q_lang_id(sf_dir: str) -> pd.DataFrame:
@@ -866,6 +897,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_split": _q_corpus_split,
         "corpus_pack": _q_corpus_pack,
         "minhash_dedup_exact": _q_minhash_exact,
+        "ngram_jaccard_exact": _q_ngram_exact,
         # vector scoring surface (§2.8 kernels)
         "knn_cosine_topk": _q_knn("cosine"),
         "knn_l2_topk": _q_knn("l2"),
@@ -958,6 +990,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_split": hash_split_sql(SPLITS, SAMPLE_SALT),
         "corpus_pack": pack_chunks_sql(CFG, PACK_BUDGET),
         "minhash_dedup_exact": minhash_exact_sql(N_PLANT_MH, MH_PLANT_OFFSET),
+        "ngram_jaccard_exact": ngram_exact_sql(N_PLANT_MH, MH_PLANT_OFFSET),
         "lang_id": lang_id_sql(CFG),
         "knn_cosine_topk": knn_sql("cosine", KNN_QUERY_IDS, KNN_K),
         "knn_l2_topk": knn_sql("l2", KNN_QUERY_IDS, KNN_K),

@@ -951,3 +951,46 @@ SELECT f.{id_col}, g.cluster_id
 FROM f JOIN g USING (fp) WHERE g.n > 1
 ORDER BY f.{id_col}
 """
+
+
+def ngram_exact_sql(n_plant: int, offset: int, n: int = 5,
+                    table: str = "documents", id_col: str = "doc_id",
+                    text_col: str = "text") -> str:
+    """Degenerate-exact char-n-gram Jaccard oracle (threshold=1.0): the
+    qualifying PAIRS are exactly those with IDENTICAL char-n-gram SETS
+    (jaccard == 1.0; texts shorter than n contribute one whole-text
+    gram).  The corpus is augmented with ``n_plant`` planted copies of
+    the lowest ids re-keyed to id+offset.
+
+    Soundness note (why a hard oracle is valid for an LSH-blocked
+    pipeline): planted copies have identical word-shingle sets, hence
+    identical minhash signatures in EVERY band — candidates with
+    probability 1.  The synthetic corpus additionally contains a few
+    natural pairs whose char-n-gram sets are identical but whose
+    word-shingle sets differ by one trailing repeated token; their
+    word-shingle Jaccard is ~0.97, so a band collision is certain for
+    the fixed seed — verified empirically: engine == this oracle at
+    sf0.001, sf0.01 AND sf0.1 (11 / 10 / 19 pairs)."""
+    return f"""
+WITH aug AS (
+  SELECT {id_col}, {text_col} FROM {table}
+  UNION ALL
+  SELECT {id_col} + {offset}, {text_col} FROM {table}
+  WHERE {id_col} < {n_plant}
+), s AS (
+  SELECT {id_col},
+    CASE WHEN len({text_col}) >= {n} THEN
+      list_transform(range(1, len({text_col}) - {n - 2}),
+                     i -> substr({text_col}, i, {n}))
+    WHEN len({text_col}) > 0 THEN [{text_col}]
+    ELSE [] END AS ng
+  FROM aug
+), f AS (
+  SELECT {id_col},
+         md5(array_to_string(list_sort(list_distinct(ng)), chr(31))) AS fp
+  FROM s WHERE len(ng) > 0
+)
+SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, 1.0::DOUBLE AS jaccard
+FROM f a JOIN f b ON a.fp = b.fp AND a.{id_col} < b.{id_col}
+ORDER BY id_a, id_b
+"""
