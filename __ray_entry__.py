@@ -32,7 +32,7 @@ from opensearch_jvector_ray.oracles import (
     revenue_by_region_brand_sql, top_order_revenue_sql, transcripts_bm25_sql,
     fingerprint_sql, grouped_best_sql, grouped_expand_sql, knn_sql,
     hash_sample_sql, hash_split_sql, lang_id_sql, minhash_exact_sql,
-    ngram_exact_sql,
+    ngram_exact_sql, quantile_sql, range_join_sql,
     pack_chunks_sql, phrase_sql,
     pricing_summary_sql, quality_sql, term_stats_sql, token_count_sql,
 )
@@ -770,6 +770,26 @@ def _q_revenue_region_brand(sf_dir: str) -> pd.DataFrame:
         os.path.join(sf_dir, "region.parquet"))
 
 
+def _q_orders_range_join(sf_dir: str) -> pd.DataFrame:
+    # interval join (the as-of join's unbounded sibling): every order x
+    # all strictly-earlier orders of the same customer within 90 days
+    od = read_table(sf_dir, "orders",
+                    columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    out = rel_pl.orders_range_join(od, days=90).to_pandas()
+    if out.empty:
+        return pd.DataFrame(columns=["o_orderkey", "o_custkey",
+                                     "o_orderdate", "prev_orderkey",
+                                     "prev_orderdate", "day_gap"])
+    return (out.sort_values(["o_orderkey", "prev_orderkey"])
+               .reset_index(drop=True))
+
+
+def _q_lineitem_quantiles(sf_dir: str) -> pd.DataFrame:
+    # exact distributed quantiles from merged value counts (no full sort)
+    ds = read_table(sf_dir, "lineitem", columns=["l_extendedprice"])
+    return rel_pl.quantile_summary(ds, "l_extendedprice")
+
+
 def _q_pricing(sf_dir: str) -> pd.DataFrame:
     ds = read_table(sf_dir, "lineitem",
                     columns=["l_returnflag", "l_linestatus", "l_quantity",
@@ -927,6 +947,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_agg": _q_events_window,
         "events_sessionize": _q_events_sessionize,
         "events_asof_orders": _q_events_asof,
+        "orders_range_join": _q_orders_range_join,
+        "lineitem_quantiles": _q_lineitem_quantiles,
         "pricing_summary": _q_pricing,
         "revenue_by_nation": _q_revenue_by_nation,
         "revenue_by_region_brand": _q_revenue_region_brand,
@@ -1039,6 +1061,8 @@ def oracle_sql() -> dict[str, str]:
         "events_window_agg": events_window_sql(),
         "events_sessionize": events_sessionize_sql(),
         "events_asof_orders": events_asof_orders_sql(),
+        "orders_range_join": range_join_sql(days=90),
+        "lineitem_quantiles": quantile_sql(),
         "pricing_summary": pricing_summary_sql(),
         "revenue_by_nation": revenue_by_nation_sql(),
         "revenue_by_region_brand": revenue_by_region_brand_sql(),

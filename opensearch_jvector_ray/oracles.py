@@ -994,3 +994,32 @@ SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, 1.0::DOUBLE AS jaccard
 FROM f a JOIN f b ON a.fp = b.fp AND a.{id_col} < b.{id_col}
 ORDER BY id_a, id_b
 """
+
+
+def range_join_sql(days: int = 90, table: str = "orders") -> str:
+    """Interval self-join oracle: for every order, all strictly-earlier
+    orders of the same customer within ``days`` days (the engine's
+    orders_range_join semantics: 0 < gap <= days)."""
+    return f"""
+SELECT a.o_orderkey, a.o_custkey, a.o_orderdate,
+       b.o_orderkey AS prev_orderkey, b.o_orderdate AS prev_orderdate,
+       date_diff('day', b.o_orderdate, a.o_orderdate)::BIGINT AS day_gap
+FROM {table} a JOIN {table} b
+  ON a.o_custkey = b.o_custkey
+ AND b.o_orderdate < a.o_orderdate
+ AND b.o_orderdate >= a.o_orderdate - INTERVAL {days} DAY
+ORDER BY a.o_orderkey, prev_orderkey
+"""
+
+
+def quantile_sql(qs: tuple = (0.25, 0.5, 0.75, 0.9, 0.99),
+                 table: str = "lineitem",
+                 col: str = "l_extendedprice") -> str:
+    """Exact discrete-quantile oracle; selection rule is DuckDB's
+    quantile_disc (value at cumulative count >= ceil(q*n)), which the
+    engine's quantile_summary reproduces from merged value counts."""
+    arms = " UNION ALL ".join(
+        f"SELECT {q}::DOUBLE AS quantile, "
+        f"quantile_disc({col}, {q})::DOUBLE AS value FROM {table}"
+        for q in qs)
+    return f"{arms} ORDER BY quantile"

@@ -468,3 +468,91 @@ def pricing_summary(ds: "rd.Dataset", cutoff: str = "1998-09-02") -> pd.DataFram
     agg = agg.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
     return agg[["l_returnflag", "l_linestatus", "sum_qty", "sum_disc_price",
                 "count_order"]]
+
+
+def orders_range_join(orders: "rd.Dataset", days: int = 90,
+                      num_parts: int = DEFAULT_PARTS) -> "rd.Dataset":
+    """Range (interval) join — the as-of join's unbounded sibling
+    (custom operator a-category): for every order, ALL strictly-earlier
+    orders of the same customer within ``days`` days.
+
+    Partitioning assumption (documented per the brief): ONE
+    hash-co-partition shuffle on the join key (o_custkey); each bucket
+    task self-joins its customers vectorized (pandas merge on key +
+    range mask — C paths, no per-key Python).  Per-key fan-out is
+    bounded by orders-per-customer-per-window, so the per-bucket
+    intermediate is sum_k |O_k|^2 over the bucket's customers — bounded
+    when key cardinality grows with data (the TPC-H shape: ~10 orders
+    per customer regardless of scale).  Hot keys would salt the same
+    way the dictionary aggregation does.  Returns a Dataset
+    (join-sized output): (o_orderkey, o_custkey, o_orderdate,
+    prev_orderkey, prev_orderdate, day_gap).
+    """
+    window = np.timedelta64(days, "D").astype("timedelta64[us]")
+    empty = {
+        "o_orderkey": pa.array([], type=pa.int64()),
+        "o_custkey": pa.array([], type=pa.int64()),
+        "o_orderdate": pa.array([], type=pa.timestamp("us")),
+        "prev_orderkey": pa.array([], type=pa.int64()),
+        "prev_orderdate": pa.array([], type=pa.timestamp("us")),
+        "day_gap": pa.array([], type=pa.int64()),
+    }
+
+    def join_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pa.table(empty).to_pandas()
+        left = df[["o_orderkey", "o_custkey", "o_orderdate"]]
+        right = left.rename(columns={"o_orderkey": "prev_orderkey",
+                                     "o_orderdate": "prev_orderdate"})
+        m = left.merge(right, on="o_custkey")
+        gap = m["o_orderdate"].to_numpy() - m["prev_orderdate"].to_numpy()
+        keep = (gap > np.timedelta64(0, "us")) & (gap <= window)
+        out = m[keep][["o_orderkey", "o_custkey", "o_orderdate",
+                       "prev_orderkey", "prev_orderdate"]].copy()
+        out["day_gap"] = (gap[keep] // np.timedelta64(1, "D")).astype(np.int64)
+        return out
+
+    proj = orders.map_batches(
+        lambda b: b.select(["o_orderkey", "o_custkey", "o_orderdate"]),
+        batch_format="pyarrow")
+    return hash_copartition(proj, "o_custkey", join_partition,
+                            num_parts=num_parts)
+
+
+def quantile_summary(ds: "rd.Dataset", col: str,
+                     qs: tuple = (0.25, 0.5, 0.75, 0.9, 0.99),
+                     ) -> pd.DataFrame:
+    """EXACT distributed quantiles via a value-count combiner.
+
+    Shape: per-batch value counts (combiner — one (value, count) partial
+    per distinct value per batch) -> distributed groupby(value).sum ->
+    the driver pulls only the DISTINCT-VALUE-sized aggregate, sorts it
+    once, and selects quantiles from the cumulative counts.  No full
+    sort of the data, nothing row-sized on the driver; cost is bounded
+    by distinct-value cardinality (prices/quantities — not free text).
+
+    Selection rule matches DuckDB's quantile_disc: the value at
+    cumulative count >= ceil(q * n) (clamped to >= 1), with the q*n
+    product computed in float64 on both sides.
+    """
+    import math
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False)
+        vals, cnts = np.unique(v[~np.isnan(v)], return_counts=True)
+        return pa.table({"value": pa.array(vals, type=pa.float64()),
+                         "cnt": pa.array(cnts.astype(np.int64))})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("value")
+             .aggregate(Sum("cnt", alias_name="n"))
+             .to_pandas())
+    agg = agg.sort_values("value").reset_index(drop=True)
+    cum = agg["n"].to_numpy().cumsum()
+    total = int(cum[-1]) if len(cum) else 0
+    rows = []
+    for q in qs:
+        t = max(1, math.ceil(q * total))
+        idx = int(np.searchsorted(cum, t, side="left"))
+        rows.append((float(q), float(agg["value"].iloc[idx])))
+    return pd.DataFrame(rows, columns=["quantile", "value"])
