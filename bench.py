@@ -331,11 +331,189 @@ def run_scaling() -> dict:
     }
 
 
+def run_ann_sweep() -> dict:
+    """Reference-parity ANN benchmark sweep.
+
+    Mirrors the reference's JMH sweep shape (random vectors, dim=128,
+    numDocs in {1k, 10k, 100k} — `FormatBenchmarkQueryWithRandomVectors
+    .java:52-57`) and its OSB throughput/latency/recall story
+    (`README.md:109-148`): for each corpus size, build each engine
+    (graph / graph+PQ / IVF / IVF-PQ) and report build seconds, query
+    ms/op over a 100-query batch (median of 3 batches), and recall@10
+    vs exact brute force.  At the largest size it also times the
+    incremental-vs-rebuild graph merge (the `merge_times_*.png` analog).
+
+    Env knobs: OJR_ANN_SIZES (csv, default "1000,10000,100000"),
+    OJR_ANN_DIM (default 128), OJR_ANN_MERGE=0 to skip the merge A/B.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+    from opensearch_jvector_ray.pipelines import graph as graph_pl
+    from opensearch_jvector_ray.pipelines import knn as knn_pl
+    from opensearch_jvector_ray.pipelines import pq as pq_pl
+
+    sizes = [int(s) for s in os.environ.get(
+        "OJR_ANN_SIZES", "1000,10000,100000").split(",")]
+    dim = int(os.environ.get("OJR_ANN_DIM", "128"))
+    k, n_q = 10, 100
+    os.makedirs(BENCH_ROOT, exist_ok=True)
+
+    rng = np.random.default_rng(7)
+    queries = {f"q{i:03d}": rng.standard_normal(dim).astype(np.float32)
+               for i in range(n_q)}
+
+    def _data_path(n: int) -> str:
+        path = os.path.join(BENCH_ROOT, f"ann_data_{n}_{dim}.parquet")
+        if not os.path.exists(path):
+            g = np.random.default_rng(1000 + n)
+            mat = g.standard_normal((n, dim)).astype(np.float32)
+            tbl = pa.table({
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(mat.reshape(-1)), dim).cast(
+                        pa.list_(pa.float32())),
+            })
+            # many row groups so read_parquet yields parallel blocks
+            papq.write_table(tbl, path, row_group_size=4096)
+        return path
+
+    def _recall(df, truth) -> float:
+        got = df.groupby("query_id")["vec_id"].apply(set)
+        return round(float(np.mean([
+            len(got.get(q, set()) & truth[q]) / k for q in truth])), 4)
+
+    def _timed_query(fn) -> float:
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        return sorted(ts)[1]
+
+    # warm the worker pool + page cache (untimed): measure compute, not spawn
+    rd.range(NUM_CPUS * 2000).map_batches(
+        lambda b: {"x": [sum(b["id"])]}, batch_size=1000).count()
+
+    out: dict = {}
+    for n in sizes:
+        path = _data_path(n)
+        res: dict = {}
+        num_parts = 1 if n <= 2000 else (4 if n <= 20000 else 8)
+        # sqrt(n)/2 cells, ~25% probed: IID-gaussian data has no cluster
+        # structure, the IVF worst case — recall here is the honest floor
+        n_cent = max(8, int(n ** 0.5) // 2)
+        n_probe = max(2, n_cent // 4)
+
+        def ds():
+            return rd.read_parquet(path)
+
+        # exact baseline (also the ground truth)
+        t0 = time.perf_counter()
+        brute = knn_pl.brute_force_topk(ds(), queries, k)
+        brute_sec = time.perf_counter() - t0
+        truth = {q: set(g["vec_id"]) for q, g in brute.groupby("query_id")}
+        res["brute"] = {"build_sec": 0.0,
+                        "query_ms_per_op": round(brute_sec / n_q * 1e3, 3),
+                        "recall_at_10": 1.0}
+
+        # graph (float) — build_degree_mult=2: random/uniform data is the
+        # NN-descent hard case (clustered converges ~1.0 at the default)
+        gdir = os.path.join(BENCH_ROOT, f"ann_graph_{n}")
+        shutil.rmtree(gdir, ignore_errors=True)
+        t0 = time.perf_counter()
+        graph_pl.build_graph_index(ds(), gdir, num_parts=num_parts,
+                                   build_degree_mult=2)
+        b = time.perf_counter() - t0
+        qsec = _timed_query(lambda: graph_pl.graph_topk(
+            gdir, queries, k, ef_search=100))
+        res["graph"] = {
+            "build_sec": round(b, 2),
+            "query_ms_per_op": round(qsec / n_q * 1e3, 3),
+            "recall_at_10": _recall(
+                graph_pl.graph_topk(gdir, queries, k, ef_search=100),
+                truth)}
+
+        # graph + PQ traversal (pq_min_rows=1024: the reference's PQ
+        # threshold — 1k-corpus partitions skip quantization, same rule)
+        qdir = os.path.join(BENCH_ROOT, f"ann_graphpq_{n}")
+        shutil.rmtree(qdir, ignore_errors=True)
+        t0 = time.perf_counter()
+        graph_pl.build_graph_index(ds(), qdir, num_parts=num_parts,
+                                   build_degree_mult=2,
+                                   pq_m_subspaces=min(16, dim // 4))
+        b = time.perf_counter() - t0
+        qsec = _timed_query(lambda: graph_pl.graph_topk(
+            qdir, queries, k, ef_search=100))
+        res["graph_pq"] = {
+            "build_sec": round(b, 2),
+            "query_ms_per_op": round(qsec / n_q * 1e3, 3),
+            "recall_at_10": _recall(
+                graph_pl.graph_topk(qdir, queries, k, ef_search=100),
+                truth)}
+
+        # IVF (persisted cell layout, prune-at-the-read)
+        idir = os.path.join(BENCH_ROOT, f"ann_ivf_{n}")
+        shutil.rmtree(idir, ignore_errors=True)
+        t0 = time.perf_counter()
+        knn_pl.build_ivf_index(ds(), idir, n_centroids=n_cent)
+        b = time.perf_counter() - t0
+        qsec = _timed_query(lambda: knn_pl.ivf_index_topk(
+            idir, queries, k, n_probe=n_probe))
+        res["ivf"] = {
+            "build_sec": round(b, 2),
+            "query_ms_per_op": round(qsec / n_q * 1e3, 3),
+            "recall_at_10": _recall(
+                knn_pl.ivf_index_topk(idir, queries, k, n_probe=n_probe),
+                truth)}
+
+        # IVF-PQ (codes-only ADC first pass + exact rerank)
+        pdir = os.path.join(BENCH_ROOT, f"ann_ivfpq_{n}")
+        shutil.rmtree(pdir, ignore_errors=True)
+        t0 = time.perf_counter()
+        pq_pl.build_ivfpq_index(ds(), pdir, n_centroids=n_cent,
+                                m_subspaces=min(16, dim // 4), n_codes=256)
+        b = time.perf_counter() - t0
+        qsec = _timed_query(lambda: pq_pl.ivfpq_topk(
+            pdir, queries, k, n_probe=n_probe, oversample=4.0))
+        res["ivfpq"] = {
+            "build_sec": round(b, 2),
+            "query_ms_per_op": round(qsec / n_q * 1e3, 3),
+            "recall_at_10": _recall(
+                pq_pl.ivfpq_topk(pdir, queries, k, n_probe=n_probe,
+                                 oversample=4.0), truth)}
+
+        # merge A/B at the largest size (the merge_times_*.png analog)
+        if n == max(sizes) and os.environ.get("OJR_ANN_MERGE", "1") == "1":
+            for mode in ("incremental", "rebuild"):
+                dst = os.path.join(BENCH_ROOT, f"ann_merge_{mode}_{n}")
+                shutil.rmtree(dst, ignore_errors=True)
+                t0 = time.perf_counter()
+                graph_pl.merge_graph_index(gdir, dst, merge_factor=num_parts,
+                                           mode=mode)
+                res[f"graph_merge_{mode}_sec"] = round(
+                    time.perf_counter() - t0, 2)
+
+        out[str(n)] = res
+
+    ray.shutdown()
+    return {"metric": "ann_sweep", "unit": "mixed", "dim": dim, "k": k,
+            "n_queries": n_q, "num_cpus": NUM_CPUS, "sizes": out}
+
+
 if __name__ == "__main__":
     if "--scaling-child" in sys.argv:
         print(json.dumps(_scaling_child(NUM_CPUS,
                                         int(os.environ["OJR_SCALING_CHILD"]))))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--ann" in sys.argv:
+        print(json.dumps(run_ann_sweep()))
     else:
         print(json.dumps(run_bench()))

@@ -370,7 +370,9 @@ def minhash_candidate_pairs(ds: "rd.Dataset", cfg: EngineConfig, id_col: str,
         -> map_groups: BOUNDED candidate edges per bucket (all pairs up to
            ``bucket_cap`` members, star edges above — a hot bucket costs
            O(n), never O(n^2))
-        -> groupby(id_a, id_b): distinct pairs across bands
+        -> distinct across bands via per-block unique + ONE union task
+           (pair rows are candidate-sized, so no second hash shuffle —
+           the result stays in the object store as one Arrow block)
     """
     rows_per_band = num_perm // bands
     rng = np.random.default_rng(42)
@@ -473,13 +475,43 @@ def minhash_candidate_pairs(ds: "rd.Dataset", cfg: EngineConfig, id_col: str,
 
     # Signer is pure math (no per-actor state): run it on the TASK pool —
     # an instance is a plain UDF, so no actor spin-up cost
-    return (ds.map_batches(Signer(), batch_format="pyarrow")
-              .groupby("bucket")
-              .map_groups(bucket_pairs, batch_format="pyarrow")
-              .groupby(["id_a", "id_b"])      # distinct: same pair can
-              .aggregate(Count(alias_name="__n"))  # surface from many bands
-              .drop_columns(["__n"])
-              .materialize())    # tiny; consumed twice (id scan + attach)
+    raw = (ds.map_batches(Signer(), batch_format="pyarrow")
+             .groupby("bucket")
+             .map_groups(bucket_pairs, batch_format="pyarrow")
+             .materialize())
+
+    # distinct across bands WITHOUT a second hash shuffle: pair rows are
+    # candidate-sized by construction (bounded bucket edges), so the
+    # same off-driver shape as candidate_payloads suffices — per-block
+    # unique tasks + ONE union task; the result stays in the object
+    # store and the driver never sees a row.  This replaces a full
+    # groupby((id_a, id_b)) exchange with two raw-task rounds — pure
+    # stage-latency savings at every scale, same bound as the id set.
+    import ray as _ray
+
+    pair_dtype = np.dtype([("a", np.int64), ("b", np.int64)])
+
+    @_ray.remote
+    def _blk_unique(t: pa.Table):
+        if not t.num_rows:
+            return None
+        arr = np.empty(t.num_rows, dtype=pair_dtype)
+        arr["a"] = t.column("id_a").to_numpy(zero_copy_only=False)
+        arr["b"] = t.column("id_b").to_numpy(zero_copy_only=False)
+        return np.unique(arr)
+
+    @_ray.remote
+    def _distinct(*arrs) -> pa.Table:
+        arrs = [a for a in arrs if a is not None and len(a)]
+        if not arrs:
+            return pa.table({"id_a": pa.array([], type=pa.int64()),
+                             "id_b": pa.array([], type=pa.int64())})
+        u = np.unique(np.concatenate(arrs))
+        return pa.table({"id_a": pa.array(u["a"]), "id_b": pa.array(u["b"])})
+
+    ref = _distinct.remote(
+        *[_blk_unique.remote(r) for r in raw.to_arrow_refs()])
+    return rd.from_arrow_refs([ref])
 
 
 def minhash_lsh_dedup(ds: "rd.Dataset", cfg: EngineConfig, id_col: str,
