@@ -34,6 +34,10 @@ from opensearch_jvector_ray.config import EngineConfig
 from opensearch_jvector_ray.pipelines.textstats import normalized_text
 
 _MERSENNE = np.uint64((1 << 61) - 1)
+# Above this many raw candidate-pair rows the single-task union distinct
+# would concentrate too much in one worker; fall back to a groupby
+# exchange (16 bytes/pair -> ~800 MB at the cap, well under a worker heap)
+_UNION_MAX_PAIRS = 50_000_000
 
 
 def _stable_hash(strings: pa.Array) -> np.ndarray:
@@ -486,7 +490,17 @@ def minhash_candidate_pairs(ds: "rd.Dataset", cfg: EngineConfig, id_col: str,
     # unique tasks + ONE union task; the result stays in the object
     # store and the driver never sees a row.  This replaces a full
     # groupby((id_a, id_b)) exchange with two raw-task rounds — pure
-    # stage-latency savings at every scale, same bound as the id set.
+    # stage-latency savings.  GUARD: the union task holds every unique
+    # pair at once, so above _UNION_MAX_PAIRS raw rows (very high dup
+    # density at large scale) fall back to the fully-distributed
+    # groupby distinct — same output, one extra exchange, bounded tasks.
+    if raw.count() > _UNION_MAX_PAIRS:
+        from ray.data.aggregate import Count
+        return (raw.groupby(["id_a", "id_b"])
+                   .aggregate(Count(alias_name="__n"))
+                   .drop_columns(["__n"])
+                   .materialize())
+
     import ray as _ray
 
     pair_dtype = np.dtype([("a", np.int64), ("b", np.int64)])

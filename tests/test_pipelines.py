@@ -270,3 +270,18 @@ def test_image_decode_rejects_non_png():
     stub = mm.DecodeStub(fake=False)
     with pytest.raises(ValueError, match="not a PNG"):
         stub._decode_one(b"notanimage", "image")
+
+
+def test_minhash_pair_distinct_fallback_identical(monkeypatch):
+    """Above _UNION_MAX_PAIRS the pair distinct falls back to a groupby
+    exchange; both paths must return the same distinct pair set."""
+    texts = [BASE,
+             BASE.replace("warm", "cold"),
+             BASE + " and then some extra words appear",
+             "completely different content about database engines and queries"]
+    ds = rd.from_arrow(_doc_table(texts))
+    fast = dd.minhash_candidate_pairs(ds, CFG, "doc_id", "text").to_pandas()
+    monkeypatch.setattr(dd, "_UNION_MAX_PAIRS", 0)    # force groupby path
+    slow = dd.minhash_candidate_pairs(ds, CFG, "doc_id", "text").to_pandas()
+    key = lambda df: sorted(map(tuple, df[["id_a", "id_b"]].to_numpy()))
+    assert key(fast) == key(slow) and len(fast) > 0
