@@ -34,7 +34,8 @@ from opensearch_jvector_ray.oracles import (
     hash_sample_sql, hash_split_sql, lang_id_sql, minhash_exact_sql,
     ngram_exact_sql, quantile_sql, range_join_sql,
     pack_chunks_sql, phrase_sql,
-    pricing_summary_sql, quality_sql, term_stats_sql, token_count_sql,
+    pricing_summary_sql, quality_sql, repetition_sql, term_stats_sql,
+    token_count_sql,
 )
 from opensearch_jvector_ray.pipelines import dedup as dedup_pl
 from opensearch_jvector_ray.pipelines import knn as knn_pl
@@ -224,6 +225,13 @@ def _q_exact_dedup(sf_dir: str) -> pd.DataFrame:
 def _q_quality(sf_dir: str) -> pd.DataFrame:
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     out = (ds.map_batches(ts_pl.quality_stage(CFG, "doc_id", "text"),
+                          batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_repetition(sf_dir: str) -> pd.DataFrame:
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = (ds.map_batches(ts_pl.repetition_stage(CFG, "doc_id", "text"),
                           batch_format="pyarrow").to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
 
@@ -911,6 +919,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": _q_fingerprint,
         "exact_dedup": _q_exact_dedup,
         "quality_score": _q_quality,
+        "doc_repetition": _q_repetition,
         "lang_id": _q_lang_id,
         "corpus_clean": _q_corpus_clean,
         "corpus_sample": _q_corpus_sample,
@@ -1007,6 +1016,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": fingerprint_sql(CFG),
         "exact_dedup": exact_dedup_sql(CFG),
         "quality_score": quality_sql(CFG),
+        "doc_repetition": repetition_sql(CFG),
         "corpus_clean": corpus_clean_sql(CFG, 5, 0.1),
         "corpus_sample": hash_sample_sql(SAMPLE_RATE, SAMPLE_SALT),
         "corpus_split": hash_split_sql(SPLITS, SAMPLE_SALT),

@@ -489,9 +489,19 @@ def run_ann_sweep() -> dict:
                 pq_pl.ivfpq_topk(pdir, queries, k, n_probe=n_probe,
                                  oversample=4.0), truth)}
 
-        # merge A/B at the largest size (the merge_times_*.png analog)
-        if n == max(sizes) and os.environ.get("OJR_ANN_MERGE", "1") == "1":
-            for mode in ("incremental", "rebuild"):
+        # merge A/B at the largest size (the merge_times_*.png analog).
+        # OJR_ANN_MERGE: "1"/"both" = A/B both modes; "incremental" or
+        # "rebuild" = that mode only (a single-partition rebuild at 100k
+        # is deliberately pathological — that asymmetry IS the result —
+        # so the knob lets a time-boxed run measure just one arm); "0"
+        # = skip.
+        merge_env = os.environ.get("OJR_ANN_MERGE", "1")
+        modes = {"1": ("incremental", "rebuild"),
+                 "both": ("incremental", "rebuild"),
+                 "incremental": ("incremental",),
+                 "rebuild": ("rebuild",)}.get(merge_env, ())
+        if n == max(sizes):
+            for mode in modes:
                 dst = os.path.join(BENCH_ROOT, f"ann_merge_{mode}_{n}")
                 shutil.rmtree(dst, ignore_errors=True)
                 t0 = time.perf_counter()
@@ -501,6 +511,10 @@ def run_ann_sweep() -> dict:
                     time.perf_counter() - t0, 2)
 
         out[str(n)] = res
+        # partial results survive a killed/timed-out run (stderr so the
+        # final stdout JSON line stays the only stdout output)
+        print(json.dumps({"ann_partial": {str(n): res}}),
+              file=sys.stderr, flush=True)
 
     ray.shutdown()
     return {"metric": "ann_sweep", "unit": "mixed", "dim": dim, "k": k,

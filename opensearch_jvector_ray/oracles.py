@@ -351,6 +351,42 @@ FROM f ORDER BY {id_col}
 """
 
 
+def repetition_sql(cfg: EngineConfig, table: str = "documents",
+                   id_col: str = "doc_id", text_col: str = "text") -> str:
+    """Gopher-style repetition signals (engine: repetition_stage).
+    Bigram = term || ' ' || next term — injective because tokens match
+    [a-z0-9]+ (no spaces); parallel unnest zips (term, pos)."""
+    pat = sql_quote(cfg.split_pattern)
+    return f"""
+WITH t AS (
+  SELECT {id_col},
+         list_filter(regexp_split_to_array(lower({text_col}), {pat}),
+                     x -> x <> '') AS toks
+  FROM {table}
+), u AS (
+  SELECT {id_col}, unnest(toks) AS term,
+         unnest(range(len(toks))) AS pos
+  FROM t
+), b AS (
+  SELECT {id_col}, term,
+         lead(term) OVER (PARTITION BY {id_col} ORDER BY pos) AS nxt
+  FROM u
+), g AS (
+  SELECT {id_col},
+         count(*)::BIGINT AS nt,
+         count(DISTINCT term)::BIGINT AS dt,
+         count(nxt)::BIGINT AS nb,
+         count(DISTINCT term || ' ' || nxt)::BIGINT AS db
+  FROM b GROUP BY {id_col}
+)
+SELECT d.{id_col},
+       coalesce(round(1.0 - g.dt / nullif(g.nt, 0), 6), 0.0) AS dup_token_ratio,
+       coalesce(round(1.0 - g.db / nullif(g.nb, 0), 6), 0.0) AS dup_bigram_ratio
+FROM {table} d LEFT JOIN g ON g.{id_col} = d.{id_col}
+ORDER BY d.{id_col}
+"""
+
+
 def lang_id_sql(cfg: EngineConfig, threshold: float = 0.1,
                 table: str = "documents", id_col: str = "doc_id",
                 text_col: str = "text") -> str:

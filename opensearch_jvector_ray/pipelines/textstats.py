@@ -112,6 +112,66 @@ def fingerprint_stage(cfg: EngineConfig, id_col: str, text_col: str):
     return fn
 
 
+def repetition_stage(cfg: EngineConfig, id_col: str, text_col: str):
+    """Gopher-style intra-document repetition signals (the public rule
+    family of Rae et al. 2021, table A1): fraction of duplicated tokens
+    and duplicated word-bigrams per document, over the same lowered
+    non-empty token stream as ``quality_stage`` (stopwords KEPT —
+    repetition measures raw text structure).
+
+    dup_x_ratio = 1 - distinct/total (0.0 for docs with no tokens /
+    no bigrams), round(6) for oracle parity.  Token identity is EXACT:
+    Arrow dictionary-encode gives per-batch integer codes with no hash
+    collisions, so the DuckDB string-distinct oracle matches
+    bit-for-bit.  Fully vectorized (one lexsort per signal)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        lists = _token_lists(col, cfg)
+        flat = pc.list_flatten(lists)
+        parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        counts = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+
+        def distinct_per_doc(doc: np.ndarray, key: np.ndarray) -> np.ndarray:
+            if not len(doc):
+                return np.zeros(n, dtype=np.int64)
+            order = np.lexsort((key, doc))
+            d_s, k_s = doc[order], key[order]
+            first = np.ones(len(d_s), dtype=bool)
+            first[1:] = (d_s[1:] != d_s[:-1]) | (k_s[1:] != k_s[:-1])
+            return np.bincount(d_s[first], minlength=n).astype(np.int64)
+
+        dt = distinct_per_doc(parents, codes)
+
+        # bigram key: code pair packed into one int64 (V^2 < 2^63 for any
+        # realistic per-batch vocab); a window is valid iff both tokens
+        # share a parent doc
+        if len(codes) >= 2:
+            v = np.int64(len(enc.dictionary) + 1)
+            same = parents[1:] == parents[:-1]
+            bg = (codes[:-1] * v + codes[1:])[same]
+            bd = parents[:-1][same]
+            db = distinct_per_doc(bd, bg)
+        else:
+            db = np.zeros(n, dtype=np.int64)
+        nb = np.maximum(counts - 1, 0)
+
+        tok_ratio = np.where(counts > 0,
+                             1.0 - dt / np.maximum(counts, 1), 0.0)
+        big_ratio = np.where(nb > 0, 1.0 - db / np.maximum(nb, 1), 0.0)
+        return pa.table({
+            id_col: batch[id_col],
+            "dup_token_ratio": pa.array(np.round(tok_ratio, 6)),
+            "dup_bigram_ratio": pa.array(np.round(big_ratio, 6)),
+        })
+    return fn
+
+
 def normalized_text(batch_texts: pa.Array, cfg: EngineConfig) -> pa.Array:
     lists = _token_lists(batch_texts, cfg)
     return pc.binary_join(lists, " ")

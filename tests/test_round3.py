@@ -1626,3 +1626,29 @@ def test_bq_lut_gather_sum_equals_direct_hamming():
     qbits = np.unpackbits(np.packbits(Q > 0, axis=1), axis=1)[:, :20]
     want = (xbits[None, :, :] != qbits[:, None, :]).sum(axis=2)
     np.testing.assert_array_equal(got.astype(np.int64), want)
+
+
+def test_repetition_stage_matches_duckdb_edge_cases():
+    """Gopher-style repetition signals: engine batch fn == DuckDB oracle
+    on empty docs, single tokens, and pure-repetition docs."""
+    import duckdb
+    import pyarrow as pa
+    import pandas as pd
+    from opensearch_jvector_ray.config import EngineConfig
+    from opensearch_jvector_ray.pipelines.textstats import repetition_stage
+    from opensearch_jvector_ray.oracles import repetition_sql
+    cfg = EngineConfig()
+    texts = ["spam spam spam spam ham", "the quick brown fox", "",
+             "a a b b a b", "one", "x y x y x y x y",
+             "hello world hello world hello"]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                    "text": pa.array(texts)})
+    eng = (repetition_stage(cfg, "doc_id", "text")(tbl).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    ora = (con.execute(repetition_sql(cfg)).fetchdf()
+           .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=False)
+    assert eng.loc[0, "dup_token_ratio"] == 0.6       # spam x4 + ham
+    assert eng.loc[2, "dup_bigram_ratio"] == 0.0      # empty doc
