@@ -248,11 +248,46 @@ def _diverse_select_batch(d: np.ndarray, cc: np.ndarray, valid: np.ndarray,
     return np.where(sel_ok, sel, -1), counts
 
 
-def _pairwise_cc(unit: np.ndarray, cand: np.ndarray) -> np.ndarray:
+def _pairwise_cc(unit: np.ndarray, cand: np.ndarray,
+                 cvecs: np.ndarray | None = None) -> np.ndarray:
     """(R, C, C) neg-dot distances between candidates (cand must be
-    index-safe; invalid slots masked by the caller's ``valid``)."""
-    cvecs = unit[cand]
+    index-safe; invalid slots masked by the caller's ``valid``).
+    ``cvecs`` reuses a gather the caller already paid for."""
+    if cvecs is None:
+        cvecs = unit[cand]
     return -np.einsum("rcd,red->rce", cvecs, cvecs)
+
+
+def _forward_select(unit: np.ndarray, D: np.ndarray, V: np.ndarray,
+                    m_degree: int, alpha: float = 1.0
+                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Forward half of wave linking, PURE (no graph mutation): diverse-
+    select each wave node's forward neighbors from its beam pool.
+    Row-independent, so wave slices computed in parallel tasks
+    concatenate to exactly the single-call result.  Returns
+    (tgts (W, m) int64 padded -1, dsel (W, m) float, counts (W,))."""
+    W = len(D)
+    # cap the selection pool (sorted ascending already): 2m candidates is
+    # the standard working set for the heuristic, 4x cheaper than full ef
+    C_sel = min(D.shape[1], max(2 * m_degree, 32))
+    D, V = D[:, :C_sel], V[:, :C_sel]
+    valid = np.isfinite(D) & (V >= 0)
+    if not valid.any():
+        return (np.full((W, m_degree), -1, dtype=np.int64),
+                np.zeros((W, m_degree)), np.zeros(W, dtype=np.int64))
+    Vc = np.where(valid, V, 0)
+    cc = _pairwise_cc(unit, Vc)
+    kept_cols, counts = _diverse_select_batch(
+        np.where(valid, D, np.inf), cc, valid, m_degree, alpha)
+    kmask = kept_cols >= 0
+    safe = np.where(kmask, kept_cols, 0)
+    tgts = np.where(kmask, np.take_along_axis(V, safe, 1), -1)
+    dsel = np.take_along_axis(D, safe, 1)
+    if tgts.shape[1] < m_degree:            # tiny-ef pad to a fixed width
+        pad = m_degree - tgts.shape[1]
+        tgts = np.pad(tgts, ((0, 0), (0, pad)), constant_values=-1)
+        dsel = np.pad(dsel, ((0, 0), (0, pad)))
+    return tgts, dsel, counts
 
 
 def _link_wave(unit: np.ndarray, nbrs: np.ndarray, n_nbrs: np.ndarray,
@@ -261,40 +296,65 @@ def _link_wave(unit: np.ndarray, nbrs: np.ndarray, n_nbrs: np.ndarray,
     """Link a whole wave in batch: diverse-select each node's forward
     neighbors from its beam pool, fill them directly (wave nodes are
     new), then reciprocate grouped by target with the same heuristic."""
-    # cap the selection pool (sorted ascending already): 2m candidates is
-    # the standard working set for the heuristic, 4x cheaper than full ef
-    C_sel = min(D.shape[1], max(2 * m_degree, 32))
-    D, V = D[:, :C_sel], V[:, :C_sel]
-    valid = np.isfinite(D) & (V >= 0)
-    if not valid.any():
-        return
-    Vc = np.where(valid, V, 0)
-    cc = _pairwise_cc(unit, Vc)
-    kept_cols, counts = _diverse_select_batch(
-        np.where(valid, D, np.inf), cc, valid, m_degree, alpha)
-    kmask = kept_cols >= 0
-    safe = np.where(kmask, kept_cols, 0)
-    tgts = np.where(kmask, np.take_along_axis(V, safe, 1), -1)
+    tgts, dsel, counts = _forward_select(unit, D, V, m_degree, alpha)
+    _apply_wave_links(unit, nbrs, n_nbrs, wave_idx, tgts, dsel, counts,
+                      m_degree, alpha)
+
+
+def _apply_wave_links(unit: np.ndarray, nbrs: np.ndarray,
+                      n_nbrs: np.ndarray, wave_idx: np.ndarray,
+                      tgts: np.ndarray, dsel: np.ndarray,
+                      counts: np.ndarray, m_degree: int,
+                      alpha: float = 1.0, reselect_exec=None) -> None:
+    """Scatter a wave's forward selections into the graph, then
+    reciprocate grouped by target (``reselect_exec`` fans the overflow
+    re-selection chunks out as Ray tasks; None = inline)."""
     nbrs[wave_idx, : tgts.shape[1]] = tgts.astype(np.int32)
     n_nbrs[wave_idx] = counts.astype(np.int32)
-    e_r, e_c = np.nonzero(kmask)
+    e_r, e_c = np.nonzero(tgts >= 0)
     _reciprocal_link_batch(unit, nbrs, n_nbrs,
                            tgt=tgts[e_r, e_c].astype(np.int64),
                            src=wave_idx[e_r].astype(np.int64),
-                           dist=np.take_along_axis(D, safe, 1)[e_r, e_c],
-                           m=m_degree, alpha=alpha)
+                           dist=dsel[e_r, e_c],
+                           m=m_degree, alpha=alpha,
+                           reselect_exec=reselect_exec)
 
 
 _RECIP_CHUNK = 4096
 
 
+def _reselect_chunk(unit: np.ndarray, cand: np.ndarray,
+                    q_idx: np.ndarray, m: int, alpha: float
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """Re-select the neighbor sets of overflowing targets q_idx from
+    their candidate matrices (existing + incoming edges).  PURE and
+    chunk-independent — chunks partition the overflowing targets, so
+    fanning chunks out as Ray tasks is exactly the serial computation."""
+    valid = cand >= 0
+    safe = np.where(valid, cand, 0)
+    cvecs = unit[safe]          # ONE gather shared by d and cc
+    d = _cand_neg_dots(unit, q_idx, safe, valid, cvecs=cvecs)
+    cc = _pairwise_cc(unit, safe, cvecs=cvecs)
+    kept_cols, cnts = _diverse_select_batch(d, cc, valid, m, alpha)
+    kmask = kept_cols >= 0
+    ksafe = np.where(kmask, kept_cols, 0)
+    new_nb = np.where(kmask, np.take_along_axis(cand, ksafe, 1), -1)
+    return new_nb.astype(np.int32)[:, :m], cnts.astype(np.int32)
+
+
 def _reciprocal_link_batch(unit: np.ndarray, nbrs: np.ndarray,
                            n_nbrs: np.ndarray, tgt: np.ndarray,
                            src: np.ndarray, dist: np.ndarray,
-                           m: int, alpha: float = 1.0) -> None:
+                           m: int, alpha: float = 1.0,
+                           reselect_exec=None) -> None:
     """Apply back-edges src->tgt grouped by target: append while degree
     allows (one vectorized scatter), else re-select the target's neighbor
-    set from {existing + incoming} with the batched heuristic."""
+    set from {existing + incoming} with the batched heuristic.
+
+    ``reselect_exec(cand, q_idx) -> ObjectRef`` submits an overflow
+    chunk's re-selection as a Ray task (resolved at the end with
+    ray.get); None runs chunks inline.  Chunks read only rows they
+    write, so both paths produce bit-identical graphs."""
     order = np.lexsort((src, dist, tgt))
     tgt, src, dist = tgt[order], src[order], dist[order]
     uniq, starts, counts = np.unique(tgt, return_index=True,
@@ -317,6 +377,7 @@ def _reciprocal_link_batch(unit: np.ndarray, nbrs: np.ndarray,
         return
     urank = np.searchsorted(uniq, tgt)          # edge -> uniq row
     ov_rank = np.full(len(uniq), -1, dtype=np.int64)
+    pending = []
     for lo in range(0, len(ov), _RECIP_CHUNK):  # bound (R, C, C) memory
         chunk = ov[lo: lo + _RECIP_CHUNK]
         ov_rank[:] = -1
@@ -327,22 +388,48 @@ def _reciprocal_link_batch(unit: np.ndarray, nbrs: np.ndarray,
         cand = np.full((len(chunk), Cr), -1, dtype=np.int64)
         cand[:, :m] = nbrs[uniq[chunk], :m]
         cand[er[sel], m + within[sel]] = src[sel]
-        valid = cand >= 0
-        safe = np.where(valid, cand, 0)
-        d = _cand_neg_dots(unit, uniq[chunk], safe, valid)
-        cc = _pairwise_cc(unit, safe)
-        kept_cols, cnts = _diverse_select_batch(d, cc, valid, m, alpha)
-        kmask = kept_cols >= 0
-        ksafe = np.where(kmask, kept_cols, 0)
-        new_nb = np.where(kmask, np.take_along_axis(cand, ksafe, 1), -1)
-        nbrs[uniq[chunk], :m] = new_nb.astype(np.int32)[:, :m]
-        n_nbrs[uniq[chunk]] = cnts.astype(np.int32)
+        qrows = uniq[chunk]
+        if reselect_exec is not None:
+            pending.append((qrows, reselect_exec(cand, qrows)))
+        else:
+            new_nb, cnts = _reselect_chunk(unit, cand, qrows, m, alpha)
+            nbrs[qrows, :m] = new_nb
+            n_nbrs[qrows] = cnts
+    if pending:
+        import ray
+        for qrows, ref in pending:
+            new_nb, cnts = ray.get(ref)
+            nbrs[qrows, :m] = new_nb
+            n_nbrs[qrows] = cnts
+
+
+def _wave_search_select(unit: np.ndarray, nbrs: np.ndarray,
+                        n_nbrs: np.ndarray, entries: list[int],
+                        lo: int, hi: int, ef: int, n_valid: int,
+                        m_degree: int, alpha: float, quant
+                        ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One wave slice: beam-search the frozen snapshot for rows
+    [lo, hi) and diverse-select their forward neighbors.  PURE — both
+    halves are row-independent, so slice results concatenate to exactly
+    the single-call result."""
+    Q = unit[lo:hi]
+    lut = codes = None
+    if quant is not None:
+        lut, codes = _quant_lut_codes(quant, Q)
+    D, V = _beam_batch(unit, nbrs, n_nbrs, entries, Q, ef,
+                       n_valid=n_valid, lut=lut, codes=codes)
+    return _forward_select(unit, D, V, m_degree, alpha)
+
+
+_wave_search_remote = ray.remote(num_cpus=1)(_wave_search_select)
+_reselect_remote = ray.remote(num_cpus=1)(_reselect_chunk)
 
 
 def bulk_insert(unit: np.ndarray, nbrs: np.ndarray, n_nbrs: np.ndarray,
                 start: int, *, m_degree: int, ef_construction: int,
                 seed: int = 42, alpha: float = 1.0,
-                quant=None) -> None:
+                quant=None, n_tasks: int | None = None,
+                wave_cap: int | None = None) -> None:
     """Insert nodes [start, n) into the frozen graph over [0, start) in
     geometrically-growing waves: each wave beam-searches the snapshot in
     ONE numpy lockstep pass, then links.  Shared by build (start = the
@@ -355,23 +442,56 @@ def bulk_insert(unit: np.ndarray, nbrs: np.ndarray, n_nbrs: np.ndarray,
     traversal distances come from per-wave ADC lookup sums over the
     codes instead of float dots — no vector memory is touched during the
     walk, at slightly approximate edge selection (the link step's
-    diversity pass stays full-precision)."""
+    diversity pass stays full-precision).
+
+    ``n_tasks`` > 1 distributes each wave over that many Ray tasks:
+    the graph is FROZEN during a wave's search+select phase and both
+    halves are row-independent, so slicing a wave by rows (and the
+    overflow re-selection by target chunks) is bit-identical to the
+    serial computation — while waves grow ``n_tasks`` x larger (each
+    task keeps its own visited bitmap within budget).  This is what
+    keeps a single merge group from pinning one CPU while the rest of
+    the cluster idles.  ``wave_cap`` overrides the per-task visited-
+    budget row cap (tests use it to pin identical wave schedules)."""
     n = len(unit)
-    mem_cap = max(32, _VISITED_BUDGET // max(n, 1))
+    mem_cap = wave_cap or max(32, _VISITED_BUDGET // max(n, 1))
+    t = max(1, int(n_tasks or 1))
+    unit_ref = quant_ref = None
+    if t > 1:
+        unit_ref = ray.put(unit)
+        quant_ref = ray.put(quant)
     built = max(1, start)
     while built < n:
         # wave <= built: every wave node searches a snapshot at least as
         # large as itself (geometric doubling, O(log n) waves)
-        wave = int(min(built, mem_cap, n - built))
+        wave = int(min(built, mem_cap * t, n - built))
         idx = np.arange(built, built + wave)
         entries = _entry_set(built, seed)
-        lut = codes = None
-        if quant is not None:
-            lut, codes = _quant_lut_codes(quant, unit[idx])
-        D, V = _beam_batch(unit, nbrs, n_nbrs, entries, unit[idx],
-                           ef_construction, n_valid=built,
-                           lut=lut, codes=codes)
-        _link_wave(unit, nbrs, n_nbrs, idx, D, V, m_degree, alpha)
+        if t <= 1 or wave <= mem_cap:
+            tgts, dsel, counts = _wave_search_select(
+                unit, nbrs, n_nbrs, entries, built, built + wave,
+                ef_construction, built, m_degree, alpha, quant)
+            reselect_exec = None
+        else:
+            nbrs_ref = ray.put(nbrs)
+            nn_ref = ray.put(n_nbrs)
+            nslices = max(t, -(-wave // mem_cap))
+            futs = [
+                _wave_search_remote.remote(
+                    unit_ref, nbrs_ref, nn_ref, entries,
+                    int(s[0]), int(s[-1]) + 1, ef_construction,
+                    built, m_degree, alpha, quant_ref)
+                for s in np.array_split(idx, nslices) if len(s)]
+            parts = ray.get(futs)
+            tgts = np.concatenate([p[0] for p in parts])
+            dsel = np.concatenate([p[1] for p in parts])
+            counts = np.concatenate([p[2] for p in parts])
+
+            def reselect_exec(cand, qrows):
+                return _reselect_remote.remote(
+                    unit_ref, cand, qrows, m_degree, alpha)
+        _apply_wave_links(unit, nbrs, n_nbrs, idx, tgts, dsel, counts,
+                          m_degree, alpha, reselect_exec=reselect_exec)
         built += wave
 
 
@@ -385,14 +505,20 @@ _FULL_MM_MAX_N = 16384
 
 
 def _cand_neg_dots(unit: np.ndarray, q_idx: np.ndarray,
-                   cand_safe: np.ndarray, valid: np.ndarray) -> np.ndarray:
+                   cand_safe: np.ndarray, valid: np.ndarray,
+                   cvecs: np.ndarray | None = None) -> np.ndarray:
     """(R, C) neg-dot distances from node q_idx[r] to cand_safe[r, c],
-    inf where invalid."""
+    inf where invalid.  ``cvecs`` — the (R, C, d) gather a caller already
+    holds (the pairwise-cc pass gathers the same rows) — skips this
+    function's own gather on the big-n branch: at n > _FULL_MM_MAX_N the
+    gather IS the cost (~0.5s per 4k-row chunk on this 0.6 GB/s box),
+    not the einsum."""
     if len(unit) <= _FULL_MM_MAX_N:
         d_all = unit[q_idx] @ unit.T
         d = -np.take_along_axis(d_all, cand_safe, axis=1)
     else:
-        d = -np.einsum("rcd,rd->rc", unit[cand_safe], unit[q_idx])
+        cv = cvecs if cvecs is not None else unit[cand_safe]
+        d = -np.einsum("rcd,rd->rc", cv, unit[q_idx])
     return np.where(valid, d, np.inf)
 
 
@@ -476,8 +602,9 @@ def _finalize_graph(unit: np.ndarray, nbrs: np.ndarray, m: int,
         cand = nbrs[idx].astype(np.int64)
         valid = cand >= 0
         safe = np.where(valid, cand, 0)
-        d = _cand_neg_dots(unit, idx, safe, valid)
-        cc = _pairwise_cc(unit, safe)
+        cvecs = unit[safe]          # ONE gather shared by d and cc
+        d = _cand_neg_dots(unit, idx, safe, valid, cvecs=cvecs)
+        cc = _pairwise_cc(unit, safe, cvecs=cvecs)
         kept_cols, cnts = _diverse_select_batch(d, cc, valid, keep_m, alpha)
         kmask = kept_cols >= 0
         ksafe = np.where(kmask, kept_cols, 0)
@@ -911,6 +1038,14 @@ def merge_graph_index(src_dir: str, dst_dir: str, *, merge_factor: int = 4,
         from opensearch_jvector_ray.pipelines.knn import _load_tombstones
         dead = _load_tombstones(src_dir, id_col)
     dead_ref = ray.put(dead)
+    # CPUs not claimed by the group tasks themselves fan each group's
+    # insert waves out (`bulk_insert(n_tasks=...)`): a single merged
+    # segment stops pinning one CPU while the rest of the cluster idles
+    try:
+        total_cpus = int(ray.cluster_resources().get("CPU", 1))
+    except Exception:                                 # pragma: no cover
+        total_cpus = 1
+    insert_tasks = max(1, total_cpus // n_groups)
 
     def merge_one(batch: pa.Table) -> pa.Table:
         dd = ray.get(dead_ref)
@@ -981,7 +1116,7 @@ def merge_graph_index(src_dir: str, dst_dir: str, *, merge_factor: int = 4,
                                          unit_m, refine_quant_iters)
                 bulk_insert(unit_m, nbrs, n_nbrs, len(ids0),
                             m_degree=m_degree, ef_construction=ef_c,
-                            quant=pre_q)
+                            quant=pre_q, n_tasks=insert_tasks)
                 for _ in range(polish_sweeps):
                     _descent_sweep(unit_m, nbrs)
                 if polish_sweeps > 0:
@@ -1045,6 +1180,11 @@ def add_to_graph_index(new_ds: "rd.Dataset", index_dir: str) -> None:
     shutil.rmtree(stage, ignore_errors=True)
     (new_ds.map_batches(assign, batch_format="pyarrow")
        .write_parquet(stage, partition_cols=["__part"]))
+    try:
+        total_cpus = int(ray.cluster_resources().get("CPU", 1))
+    except Exception:                                 # pragma: no cover
+        total_cpus = 1
+    insert_tasks = max(1, total_cpus // max(1, num_parts))
 
     def add_part(batch: pa.Table) -> pa.Table:
         done = []
@@ -1085,7 +1225,8 @@ def add_to_graph_index(new_ds: "rd.Dataset", index_dir: str) -> None:
                 n_nbrs = np.zeros(len(ids), dtype=np.int32)
                 n_nbrs[: len(ids0)] = n_nbrs0
                 bulk_insert(_unitize(vecs), nbrs, n_nbrs, len(ids0),
-                            m_degree=m_degree, ef_construction=ef_c)
+                            m_degree=m_degree, ef_construction=ef_c,
+                            n_tasks=insert_tasks)
             book = codes = bqc = None
             part_q = _load_part_quant(out)
             if part_q is not None:

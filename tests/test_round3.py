@@ -1652,3 +1652,35 @@ def test_repetition_stage_matches_duckdb_edge_cases():
     pd.testing.assert_frame_equal(eng, ora, check_dtype=False)
     assert eng.loc[0, "dup_token_ratio"] == 0.6       # spam x4 + ham
     assert eng.loc[2, "dup_bigram_ratio"] == 0.0      # empty doc
+
+
+def test_bulk_insert_distributed_waves_bit_identical():
+    """A wave sliced over Ray tasks (beam+forward-select by rows,
+    overflow re-selection by target chunks) must produce the SAME graph
+    as the serial path — both are the same row-independent computation.
+    wave_cap pins identical wave schedules across the two runs."""
+    from opensearch_jvector_ray.pipelines import graph as g
+
+    rng = np.random.default_rng(11)
+    n, d, lead = 3000, 32, 400
+    unit = g._unitize(rng.standard_normal((n, d)).astype(np.float32))
+    nbrs_lead = g.build_graph(unit[:lead], m_degree=8, ef_construction=32)
+    m = nbrs_lead.shape[1]
+
+    def run(n_tasks, wave_cap):
+        nbrs = np.full((n, m), -1, dtype=np.int32)
+        nbrs[:lead] = nbrs_lead
+        n_nbrs = np.concatenate(
+            [(nbrs_lead >= 0).sum(1).astype(np.int32),
+             np.zeros(n - lead, dtype=np.int32)])
+        g.bulk_insert(unit, nbrs, n_nbrs, lead, m_degree=8,
+                      ef_construction=32, n_tasks=n_tasks,
+                      wave_cap=wave_cap)
+        return nbrs, n_nbrs
+
+    nb_s, nn_s = run(None, 100)    # serial: wave = min(built, 100, rest)
+    # distributed: same schedule (per-task cap 25 x 4 tasks = 100 rows
+    # per wave), beams sliced 4 ways, overflow chunks fanned out
+    nb_d, nn_d = run(4, 25)
+    assert np.array_equal(nn_s, nn_d)
+    assert np.array_equal(nb_s, nb_d)
