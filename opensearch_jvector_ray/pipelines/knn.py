@@ -208,6 +208,32 @@ def _sq_dists(vecs: np.ndarray, cent: np.ndarray) -> np.ndarray:
     return d
 
 
+def _argmin_cells_mm(vecs: np.ndarray, cent: np.ndarray,
+                     chunk: int = 4096) -> np.ndarray:
+    """Row-wise argmin of squared L2 — argmax(v.c - ||c||^2/2) via
+    CHUNKED matmul, never materializing the full (n, k) distance matrix
+    (each (chunk, k) block stays cache-resident; on this memory-
+    throttled box the k-per-centroid-passes form cost the IVF trainer
+    ~200s and the full (n, k) float64 intermediates another ~4x).
+    Ties go to the lowest index (argmax-first == argmin's rule).
+
+    For TRAINER / ENCODER paths only: the expansion reorders float
+    summation, so near-tie argmins can flip vs the pairwise form.  That
+    is immaterial where it's used — k-means is a heuristic and every
+    PQ/IVF-PQ driver oracle is degenerate-exact (codes only reorder the
+    walk; full probe/oversample/beam + exact rescore decide the rows) —
+    but cell ASSIGNMENT and PROBING with fixed centroids are mirrored
+    verbatim by the SQL oracles, so those stay on ``_sq_dists``."""
+    c2h = 0.5 * np.einsum("ij,ij->i", cent, cent)
+    centT = np.ascontiguousarray(cent.T)
+    out = np.empty(len(vecs), dtype=np.int64)
+    for lo in range(0, len(vecs), chunk):
+        blk = vecs[lo: lo + chunk] @ centT          # (B, k)
+        np.subtract(blk, c2h[None, :], out=blk)
+        out[lo: lo + chunk] = blk.argmax(axis=1)
+    return out
+
+
 def _assign_cells(vecs: np.ndarray, cent: np.ndarray) -> np.ndarray:
     """Coarse-cell assignment: argmin squared-L2, ties to the LOWEST cell
     index (np.argmin's rule — the SQL oracle uses (dist asc, cell asc))."""
@@ -253,6 +279,15 @@ def train_centroids(ds: "rd.Dataset", n_centroids: int, vec_col: str,
     return ray.get(_train.remote(*refs))
 
 
+def _cell_sums(X: np.ndarray, assign: np.ndarray, k: int) -> np.ndarray:
+    """Per-cell column sums via one bincount per column (np.add.at is an
+    unbuffered scatter, ~10x slower on wide matrices)."""
+    sums = np.empty((k, X.shape[1]), dtype=np.float64)
+    for j in range(X.shape[1]):
+        sums[:, j] = np.bincount(assign, weights=X[:, j], minlength=k)
+    return sums
+
+
 def _kmeans_rows(X: np.ndarray, n_centroids: int, iters: int = 10,
                  seed: int = 42) -> np.ndarray:
     """Lloyd k-means over rows X (the single-task trainer core shared by
@@ -261,9 +296,8 @@ def _kmeans_rows(X: np.ndarray, n_centroids: int, iters: int = 10,
     k = min(n_centroids, max(1, len(X)))
     cent = X[rng.choice(len(X), size=k, replace=False)].copy()
     for _ in range(iters):
-        assign = _sq_dists(X, cent).argmin(axis=1)
-        sums = np.zeros_like(cent)
-        np.add.at(sums, assign, X)
+        assign = _argmin_cells_mm(X, cent)
+        sums = _cell_sums(X, assign, k)
         counts = np.bincount(assign, minlength=k)
         nz = counts > 0
         cent[nz] = sums[nz] / counts[nz, None]

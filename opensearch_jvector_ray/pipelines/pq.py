@@ -34,7 +34,8 @@ import ray.data as rd
 
 from opensearch_jvector_ray.functions import scoring
 from opensearch_jvector_ray.pipelines.knn import (
-    METRICS, _partial_topk, _rounder, _sq_dists, _vecs_from_batch,
+    METRICS, _argmin_cells_mm, _cell_sums, _partial_topk, _rounder,
+    _vecs_from_batch,
 )
 
 CODEBOOK_NAME = "_pq_codebook.npy"
@@ -63,13 +64,12 @@ def _kmeans_subspaces(X: np.ndarray, m_subspaces: int, n_codes: int,
     k = min(n_codes, len(X))
     book = np.zeros((m_subspaces, k, dsub), dtype=np.float64)
     for m in range(m_subspaces):
-        Xm = X[:, m * dsub:(m + 1) * dsub]
+        Xm = np.ascontiguousarray(X[:, m * dsub:(m + 1) * dsub])
         cent = Xm[rng.choice(len(Xm), size=k, replace=False)].astype(
             np.float64).copy()
         for _ in range(iters):
-            assign = _sq_dists(Xm, cent).argmin(axis=1)
-            sums = np.zeros_like(cent)
-            np.add.at(sums, assign, Xm)
+            assign = _argmin_cells_mm(Xm, cent)
+            sums = _cell_sums(Xm, assign, k)
             counts = np.bincount(assign, minlength=k)
             nz = counts > 0
             cent[nz] = sums[nz] / counts[nz, None]
@@ -151,12 +151,11 @@ def refine_codebook(book: np.ndarray, X: np.ndarray,
         X = X[np.sort(rng.choice(len(X), size=sample, replace=False))]
     out = book.astype(np.float64).copy()
     for mi in range(m):
-        Xm = X[:, mi * dsub:(mi + 1) * dsub]
+        Xm = np.ascontiguousarray(X[:, mi * dsub:(mi + 1) * dsub])
         cent = out[mi]
         for _ in range(iters):
-            assign = _sq_dists(Xm, cent).argmin(axis=1)
-            sums = np.zeros_like(cent)
-            np.add.at(sums, assign, Xm)
+            assign = _argmin_cells_mm(Xm, cent)
+            sums = _cell_sums(Xm, assign, k)
             counts = np.bincount(assign, minlength=k)
             nz = counts > 0
             cent[nz] = sums[nz] / counts[nz, None]
@@ -173,8 +172,9 @@ def pq_encode(vecs: np.ndarray, book: np.ndarray) -> np.ndarray:
                          f"would wrap argmin indices")
     codes = np.empty((len(vecs), m), dtype=np.uint8)
     for mi in range(m):
-        codes[:, mi] = _sq_dists(vecs[:, mi * dsub:(mi + 1) * dsub],
-                                 book[mi]).argmin(axis=1)
+        codes[:, mi] = _argmin_cells_mm(
+            np.ascontiguousarray(vecs[:, mi * dsub:(mi + 1) * dsub]),
+            book[mi]).astype(np.uint8)
     return codes
 
 
