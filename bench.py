@@ -438,6 +438,9 @@ def run_ann_sweep() -> dict:
             "query_ms_per_op": round(qsec / n_q * 1e3, 3),
             "recall_at_10": _recall(
                 graph_pl.graph_topk(gdir, queries, k, ef_search=100),
+                truth),
+            "recall_at_10_ef256": _recall(
+                graph_pl.graph_topk(gdir, queries, k, ef_search=256),
                 truth)}
 
         # graph + PQ traversal (pq_min_rows=1024: the reference's PQ
@@ -509,6 +512,13 @@ def run_ann_sweep() -> dict:
                                            mode=mode)
                 res[f"graph_merge_{mode}_sec"] = round(
                     time.perf_counter() - t0, 2)
+                # merged-graph quality: the headline feature end-to-end
+                res[f"graph_merge_{mode}_recall_at_10"] = _recall(
+                    graph_pl.graph_topk(dst, queries, k, ef_search=100),
+                    truth)
+                res[f"graph_merge_{mode}_recall_at_10_ef256"] = _recall(
+                    graph_pl.graph_topk(dst, queries, k, ef_search=256),
+                    truth)
 
         out[str(n)] = res
         # partial results survive a killed/timed-out run (stderr so the

@@ -45,6 +45,55 @@ def _stable_hash(strings: pa.Array) -> np.ndarray:
                               categorize=False)
 
 
+def _distinct_pair_rows(raw: "rd.Dataset", extra_col: str | None = None,
+                        extra_type=None) -> "rd.Dataset":
+    """Distinct (id_a, id_b[, extra]) rows WITHOUT a hash shuffle: pair
+    rows are candidate-sized by construction (bounded bucket edges), so
+    per-block unique tasks + ONE union task suffice — the result stays
+    in the object store and the driver never sees a row.  ``extra_col``
+    must be pair-DETERMINED (e.g. a hamming distance), so unique over
+    the triple equals unique over the pair.  Callers guard with
+    ``_UNION_MAX_PAIRS`` and fall back to a groupby exchange."""
+    import ray as _ray
+
+    fields = [("a", np.int64), ("b", np.int64)]
+    if extra_col:
+        fields.append(("x", np.int64))
+    pair_dtype = np.dtype(fields)
+
+    @_ray.remote
+    def _blk_unique(t: pa.Table):
+        if not t.num_rows:
+            return None
+        arr = np.empty(t.num_rows, dtype=pair_dtype)
+        arr["a"] = t.column("id_a").to_numpy(zero_copy_only=False)
+        arr["b"] = t.column("id_b").to_numpy(zero_copy_only=False)
+        if extra_col:
+            arr["x"] = t.column(extra_col).to_numpy(zero_copy_only=False)
+        return np.unique(arr)
+
+    @_ray.remote
+    def _distinct(*arrs) -> pa.Table:
+        arrs = [a for a in arrs if a is not None and len(a)]
+        if not arrs:
+            cols = {"id_a": pa.array([], type=pa.int64()),
+                    "id_b": pa.array([], type=pa.int64())}
+            if extra_col:
+                cols[extra_col] = pa.array(
+                    [], type=extra_type or pa.int64())
+            return pa.table(cols)
+        u = np.unique(np.concatenate(arrs))
+        cols = {"id_a": pa.array(u["a"]), "id_b": pa.array(u["b"])}
+        if extra_col:
+            x = pa.array(u["x"])
+            cols[extra_col] = x.cast(extra_type) if extra_type else x
+        return pa.table(cols)
+
+    ref = _distinct.remote(
+        *[_blk_unique.remote(r) for r in raw.to_arrow_refs()])
+    return rd.from_arrow_refs([ref])
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -501,31 +550,7 @@ def minhash_candidate_pairs(ds: "rd.Dataset", cfg: EngineConfig, id_col: str,
                    .drop_columns(["__n"])
                    .materialize())
 
-    import ray as _ray
-
-    pair_dtype = np.dtype([("a", np.int64), ("b", np.int64)])
-
-    @_ray.remote
-    def _blk_unique(t: pa.Table):
-        if not t.num_rows:
-            return None
-        arr = np.empty(t.num_rows, dtype=pair_dtype)
-        arr["a"] = t.column("id_a").to_numpy(zero_copy_only=False)
-        arr["b"] = t.column("id_b").to_numpy(zero_copy_only=False)
-        return np.unique(arr)
-
-    @_ray.remote
-    def _distinct(*arrs) -> pa.Table:
-        arrs = [a for a in arrs if a is not None and len(a)]
-        if not arrs:
-            return pa.table({"id_a": pa.array([], type=pa.int64()),
-                             "id_b": pa.array([], type=pa.int64())})
-        u = np.unique(np.concatenate(arrs))
-        return pa.table({"id_a": pa.array(u["a"]), "id_b": pa.array(u["b"])})
-
-    ref = _distinct.remote(
-        *[_blk_unique.remote(r) for r in raw.to_arrow_refs()])
-    return rd.from_arrow_refs([ref])
+    return _distinct_pair_rows(raw)
 
 
 def minhash_lsh_dedup(ds: "rd.Dataset", cfg: EngineConfig, id_col: str,
@@ -746,11 +771,22 @@ def simhash_near_dups(ds: "rd.Dataset", cfg: EngineConfig, id_col: str,
         return pa.table({"id_a": pa.array(a), "id_b": pa.array(b),
                          "hamming": pa.array(d, type=pa.int32())})
 
-    out = (sims.map_batches(explode, batch_format="pyarrow")
+    raw = (sims.map_batches(explode, batch_format="pyarrow")
                .groupby(["chunk_id", "chunk_val"])
                .map_groups(pairs_in_bucket, batch_format="pyarrow")
-               .to_pandas())
+               .materialize())
+    # cross-chunk dedup happens DISTRIBUTED (per-block unique + one
+    # union task; hamming is pair-determined, so unique over the triple
+    # == unique over the pair), never as a driver-side drop_duplicates.
+    if raw.count() > _UNION_MAX_PAIRS:
+        out = (raw.groupby(["id_a", "id_b", "hamming"])
+                  .aggregate(Count(alias_name="__n"))
+                  .drop_columns(["__n"])
+                  .to_pandas())
+    else:
+        out = _distinct_pair_rows(raw, extra_col="hamming",
+                                  extra_type=pa.int32()).to_pandas()
     if out.empty:
         return pd.DataFrame(columns=["id_a", "id_b", "hamming"])
-    return (out.drop_duplicates(subset=["id_a", "id_b"])
-               .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    return (out.sort_values(["id_a", "id_b"])
+               .reset_index(drop=True)[["id_a", "id_b", "hamming"]])

@@ -424,6 +424,13 @@ def _wave_search_select(unit: np.ndarray, nbrs: np.ndarray,
 _wave_search_remote = ray.remote(num_cpus=1)(_wave_search_select)
 _reselect_remote = ray.remote(num_cpus=1)(_reselect_chunk)
 
+# minimum rows per distributed wave slice: below this the per-beam-
+# iteration numpy fixed costs dominate the slice's useful work
+_MIN_SLICE_ROWS = 128
+# sweep budget for polish_sweeps="auto" (seeded descent converges in
+# fewer sweeps than the from-random build; this is a runaway cap)
+_POLISH_MAX_SWEEPS = 8
+
 
 def bulk_insert(unit: np.ndarray, nbrs: np.ndarray, n_nbrs: np.ndarray,
                 start: int, *, m_degree: int, ef_construction: int,
@@ -455,6 +462,9 @@ def bulk_insert(unit: np.ndarray, nbrs: np.ndarray, n_nbrs: np.ndarray,
     budget row cap (tests use it to pin identical wave schedules)."""
     n = len(unit)
     mem_cap = wave_cap or max(32, _VISITED_BUDGET // max(n, 1))
+    # explicit wave_cap (tests) pins the wave schedule exactly:
+    # quality cap off (waves = mem_cap * t), no slice-size floor
+    min_slice = _MIN_SLICE_ROWS if wave_cap is None else 1
     t = max(1, int(n_tasks or 1))
     unit_ref = quant_ref = None
     if t > 1:
@@ -462,12 +472,26 @@ def bulk_insert(unit: np.ndarray, nbrs: np.ndarray, n_nbrs: np.ndarray,
         quant_ref = ray.put(quant)
     built = max(1, start)
     while built < n:
-        # wave <= built: every wave node searches a snapshot at least as
-        # large as itself (geometric doubling, O(log n) waves)
-        wave = int(min(built, mem_cap * t, n - built))
+        if t <= 1:
+            # wave <= built: every wave node searches a snapshot at
+            # least as large as itself (geometric growth, O(log n)
+            # waves); mem_cap bounds the visited bitmap
+            wave = int(min(built, mem_cap, n - built))
+        else:
+            # distributed: mem_cap only bounds the per-task SLICE, so
+            # the wave is bounded by QUALITY instead — nodes in one
+            # wave cannot link to each other (they all search the same
+            # frozen snapshot), so a wave is capped at built/8
+            # (intra-wave blindness <= ~11% of the graph).  Uncapped
+            # mem_cap*t waves measured recall@10 0.578 -> 0.131 on the
+            # 100k sweep merge: the last giant wave's nodes compete
+            # for back-edge slots and end up nearly unreachable.
+            qcap = (mem_cap * t if wave_cap is not None
+                    else max(mem_cap, built // 8))
+            wave = int(min(built, n - built, qcap))
         idx = np.arange(built, built + wave)
         entries = _entry_set(built, seed)
-        if t <= 1 or wave <= mem_cap:
+        if t <= 1 or wave <= max(mem_cap, min_slice):
             tgts, dsel, counts = _wave_search_select(
                 unit, nbrs, n_nbrs, entries, built, built + wave,
                 ef_construction, built, m_degree, alpha, quant)
@@ -475,7 +499,10 @@ def bulk_insert(unit: np.ndarray, nbrs: np.ndarray, n_nbrs: np.ndarray,
         else:
             nbrs_ref = ray.put(nbrs)
             nn_ref = ray.put(n_nbrs)
-            nslices = max(t, -(-wave // mem_cap))
+            # slices: >= min_slice rows each (beam-iteration fixed
+            # costs amortize), <= mem_cap rows (visited budget)
+            nslices = max(min(t, -(-wave // min_slice)),
+                          -(-wave // mem_cap))
             futs = [
                 _wave_search_remote.remote(
                     unit_ref, nbrs_ref, nn_ref, entries,
@@ -522,15 +549,9 @@ def _cand_neg_dots(unit: np.ndarray, q_idx: np.ndarray,
     return np.where(valid, d, np.inf)
 
 
-def _descent_sweep(unit: np.ndarray, nbrs: np.ndarray) -> int:
-    """One NN-descent iteration (Dong, Moses & Li 2011), fully
-    vectorized: every node's new neighbor list is the m nearest among
-    {current forward neighbors} ∪ {reverse neighbors (capped m)} ∪
-    {neighbors of both} — Jacobi-style (all rows update from the previous
-    graph), chunked to bound the (B, C, d) gather.  Returns the number of
-    changed adjacency entries (convergence signal)."""
+def _descent_rev(nbrs: np.ndarray) -> np.ndarray:
+    """Reverse adjacency, capped at m per target (deterministic)."""
     n, m = nbrs.shape
-    # reverse adjacency, capped at m per target (deterministic)
     src = np.repeat(np.arange(n, dtype=np.int64), m)
     tgt = nbrs.ravel().astype(np.int64)
     ok = tgt >= 0
@@ -543,11 +564,19 @@ def _descent_sweep(unit: np.ndarray, nbrs: np.ndarray) -> int:
     keep = within < m
     rev = np.full((n, m), -1, dtype=np.int64)
     rev[tgt[keep], within[keep]] = src[keep]
+    return rev
 
-    out = np.empty_like(nbrs)
+
+def _descent_rows(unit: np.ndarray, nbrs: np.ndarray, rev: np.ndarray,
+                  lo: int, hi: int) -> tuple[np.ndarray, int]:
+    """The descent update for rows [lo, hi) against the FROZEN previous
+    graph — Jacobi semantics make row ranges independent, so fanning
+    ranges out as Ray tasks is bit-identical to the serial sweep."""
+    n, m = nbrs.shape
+    out = np.empty((hi - lo, m), dtype=nbrs.dtype)
     changed = 0
-    for lo in range(0, n, _DESCENT_CHUNK):
-        idx = np.arange(lo, min(lo + _DESCENT_CHUNK, n))
+    for clo in range(lo, hi, _DESCENT_CHUNK):
+        idx = np.arange(clo, min(clo + _DESCENT_CHUNK, hi))
         B = len(idx)
         base = np.concatenate([nbrs[idx].astype(np.int64), rev[idx]],
                               axis=1)                       # (B, 2m)
@@ -579,8 +608,48 @@ def _descent_sweep(unit: np.ndarray, nbrs: np.ndarray) -> int:
             nb_new = np.pad(nb_new, ((0, 0), (0, m - k)),
                             constant_values=-1)
         changed += int((nb_new != nbrs[idx]).sum())
-        out[idx] = nb_new.astype(np.int32)
-    nbrs[:] = out
+        out[idx - lo] = nb_new.astype(np.int32)
+    return out, changed
+
+
+_descent_rows_remote = ray.remote(num_cpus=1)(_descent_rows)
+
+
+def _descent_sweep(unit: np.ndarray, nbrs: np.ndarray,
+                   n_tasks: int | None = None,
+                   unit_ref=None) -> int:
+    """One NN-descent iteration (Dong, Moses & Li 2011), fully
+    vectorized: every node's new neighbor list is the m nearest among
+    {current forward neighbors} ∪ {reverse neighbors (capped m)} ∪
+    {neighbors of both} — Jacobi-style (all rows update from the
+    previous graph), chunked to bound the (B, C, d) gather.  Returns the
+    number of changed adjacency entries (convergence signal).
+
+    ``n_tasks`` > 1 fans row ranges out as Ray tasks against the frozen
+    snapshot — bit-identical to serial (Jacobi) — so merge-time polish
+    sweeps over a big merged group use the whole cluster.  Pass
+    ``unit_ref`` (ray.put of unit) to reuse one object-store copy
+    across sweeps."""
+    n = len(nbrs)
+    rev = _descent_rev(nbrs)
+    t = max(1, int(n_tasks or 1))
+    if t <= 1 or n < 2 * _DESCENT_CHUNK:
+        out, changed = _descent_rows(unit, nbrs, rev, 0, n)
+        nbrs[:] = out
+        return changed
+    uref = unit_ref if unit_ref is not None else ray.put(unit)
+    nref = ray.put(nbrs)
+    rref = ray.put(rev)
+    bounds = np.linspace(0, n, t + 1).astype(np.int64)
+    futs = [_descent_rows_remote.remote(uref, nref, rref,
+                                        int(bounds[i]), int(bounds[i + 1]))
+            for i in range(t) if bounds[i] < bounds[i + 1]]
+    changed = 0
+    pos = 0
+    for out, ch in ray.get(futs):
+        nbrs[pos: pos + len(out)] = out
+        pos += len(out)
+        changed += ch
     return changed
 
 
@@ -622,7 +691,8 @@ def _finalize_graph(unit: np.ndarray, nbrs: np.ndarray, m: int,
 def build_graph(vecs: np.ndarray, *, m_degree: int = 16,
                 ef_construction: int = 64, seed: int = 42,
                 alpha: float = 1.0, max_iters: int = 10,
-                build_degree_mult: int = 1) -> np.ndarray:
+                build_degree_mult: int = 1,
+                n_tasks: int | None = None) -> np.ndarray:
     """Build a navigable graph over unit-normalized rows.
 
     Construction is NN-descent (random init, neighbor-of-neighbor
@@ -660,8 +730,10 @@ def build_graph(vecs: np.ndarray, *, m_degree: int = 16,
     rand = rng.integers(0, n - 1, size=(n, mw))
     rand += rand >= np.arange(n)[:, None]                 # skip self
     work[:] = rand
+    uref = ray.put(unit) if (n_tasks or 1) > 1 else None
     for _ in range(max_iters):
-        changed = _descent_sweep(unit, work)
+        changed = _descent_sweep(unit, work, n_tasks=n_tasks,
+                                 unit_ref=uref)
         if changed <= n * mw // 50:             # <2% of edges moved
             break
     return _finalize_graph(unit, work, m_degree, alpha)
@@ -981,7 +1053,7 @@ def _compact_leading(tbl: pa.Table, dead: np.ndarray | None,
 def merge_graph_index(src_dir: str, dst_dir: str, *, merge_factor: int = 4,
                       deletes: list[int] | None = None,
                       mode: str = "incremental",
-                      polish_sweeps: int = 0,
+                      polish_sweeps: int | str = 0,
                       refine_quant_iters: int = 0,
                       quantized_insert: bool = False) -> None:
     """Merge partition graphs: N input partitions -> ceil(N/factor)
@@ -997,13 +1069,20 @@ def merge_graph_index(src_dir: str, dst_dir: str, *, merge_factor: int = 4,
     graph dies entirely).  Per-group tasks run in parallel, and a
     finished part dir is a resume checkpoint.
 
-    ``polish_sweeps`` > 0 runs that many NN-descent sweeps + a diversity
+    ``polish_sweeps`` > 0 runs that many NN-descent sweeps (at the
+    build's working degree, seeded from the merged edges, DISTRIBUTED
+    over the cluster like the build's own sweeps) + a diversity
     finalize over each incrementally-merged group — the cure for edge-
     quality COMPOUNDING across chained incremental merges (measured:
     8k+4k uniform 64-d, recall@10 0.750 incremental -> 0.776 with 2
     sweeps, above the 0.764 full rebuild, at ~1/5 the rebuild cost).
+    ``"auto"`` sweeps to the build's own <2%-change convergence rule
+    (capped) — the near-rebuild-quality setting for merges whose insert
+    side DOMINATES the leading graph (a plain leading-edge merge is
+    only as good as the lead's coverage of the merged space: at the
+    100k sweep point with a 12.5% lead, recall@10 was 0.148 unpolished).
     Sweep cost is linear in the merged group size; 0 (default) keeps
-    the plain leading-graph merge.
+    the plain leading-graph merge for insert-minority merges.
 
     ``refine_quant_iters`` > 0 REFINES a PQ leading codebook against the
     merged rows (a few Lloyd iterations seeded from the existing
@@ -1081,7 +1160,8 @@ def merge_graph_index(src_dir: str, dst_dir: str, *, merge_factor: int = 4,
                 vecs = _vecs_from_batch(tbl, vec_col)
                 nbrs = build_graph(
                     vecs, m_degree=m_degree, ef_construction=ef_c,
-                    build_degree_mult=meta.get("build_degree_mult", 1))
+                    build_degree_mult=meta.get("build_degree_mult", 1),
+                    n_tasks=insert_tasks)
             else:
                 rest = [t.select([id_col, vec_col])
                         for i, t in enumerate(tbls) if i != lead]
@@ -1117,10 +1197,30 @@ def merge_graph_index(src_dir: str, dst_dir: str, *, merge_factor: int = 4,
                 bulk_insert(unit_m, nbrs, n_nbrs, len(ids0),
                             m_degree=m_degree, ef_construction=ef_c,
                             quant=pre_q, n_tasks=insert_tasks)
-                for _ in range(polish_sweeps):
-                    _descent_sweep(unit_m, nbrs)
-                if polish_sweeps > 0:
-                    nbrs = _finalize_graph(unit_m, nbrs, m_degree, 1.0)
+                if polish_sweeps:
+                    # polish at the BUILD's working degree (insert edges
+                    # seed the candidate lists; descent heals the stale
+                    # leading edges AND the compounded insert edges),
+                    # distributed like the build's own sweeps.  "auto"
+                    # sweeps to the build's own convergence rule — the
+                    # near-rebuild-quality setting; an int pins a budget.
+                    mult = max(1, int(meta.get("build_degree_mult", 1)))
+                    mw = min(m_degree * mult, max(1, len(ids) - 1))
+                    work = np.full((len(ids), mw), -1, dtype=np.int32)
+                    cp = min(mw, nbrs.shape[1])
+                    work[:, :cp] = nbrs[:, :cp]
+                    auto = polish_sweeps == "auto"
+                    budget = (_POLISH_MAX_SWEEPS if auto
+                              else int(polish_sweeps))
+                    pref = (ray.put(unit_m)
+                            if (insert_tasks or 1) > 1 else None)
+                    for _ in range(budget):
+                        ch = _descent_sweep(unit_m, work,
+                                            n_tasks=insert_tasks,
+                                            unit_ref=pref)
+                        if auto and ch <= len(ids) * mw // 50:
+                            break
+                    nbrs = _finalize_graph(unit_m, work, m_degree, 1.0)
             # quantized leading segment: REUSE its codebook (refine, never
             # retrain — `JVectorWriter.java:886-913`) and re-encode the
             # merged rows; BQ is training-free, so bits are just repacked;
@@ -1216,7 +1316,8 @@ def add_to_graph_index(new_ds: "rd.Dataset", index_dir: str) -> None:
                 ids, vecs = ids_n, vecs_n
                 nbrs = build_graph(
                     vecs, m_degree=m_degree, ef_construction=ef_c,
-                    build_degree_mult=meta.get("build_degree_mult", 1))
+                    build_degree_mult=meta.get("build_degree_mult", 1),
+                    n_tasks=insert_tasks)
             else:
                 ids = np.concatenate([ids0, ids_n])
                 vecs = np.concatenate([vecs0, vecs_n])

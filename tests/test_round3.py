@@ -1684,3 +1684,21 @@ def test_bulk_insert_distributed_waves_bit_identical():
     nb_d, nn_d = run(4, 25)
     assert np.array_equal(nn_s, nn_d)
     assert np.array_equal(nb_s, nb_d)
+
+
+def test_descent_sweep_distributed_bit_identical():
+    """Jacobi descent rows update from the frozen previous graph, so
+    fanning row ranges out as Ray tasks must equal the serial sweep."""
+    from opensearch_jvector_ray.pipelines import graph as g
+
+    rng = np.random.default_rng(13)
+    n, d, m = 4000, 24, 8
+    unit = g._unitize(rng.standard_normal((n, d)).astype(np.float32))
+    rand = rng.integers(0, n - 1, size=(n, m))
+    rand += rand >= np.arange(n)[:, None]
+    a = rand.astype(np.int32).copy()
+    b = a.copy()
+    ch_s = g._descent_sweep(unit, a)
+    ch_d = g._descent_sweep(unit, b, n_tasks=4)
+    assert ch_s == ch_d
+    assert np.array_equal(a, b)
