@@ -1702,3 +1702,42 @@ def test_descent_sweep_distributed_bit_identical():
     ch_d = g._descent_sweep(unit, b, n_tasks=4)
     assert ch_s == ch_d
     assert np.array_equal(a, b)
+
+
+def test_merge_polish_auto_exact_and_recovers_quality(tmp_path):
+    """polish_sweeps="auto" (sweep to the build's convergence rule at the
+    working degree) must keep full-beam exactness and lift an insert-
+    majority merge's recall toward the pre-merge level — the 100k sweep
+    regime (small lead, big insert side) in miniature."""
+    from opensearch_jvector_ray.pipelines import graph as graph_pl
+    rng = np.random.default_rng(23)
+    vecs = rng.standard_normal((2400, 32))
+    ds = rd.from_arrow(_vec_table(vecs))
+    idx = str(tmp_path / "g")
+    # 8 equal parts -> lead is only ~12.5% of the merged group
+    graph_pl.build_graph_index(ds, idx, num_parts=8, m_degree=12,
+                               ef_construction=48)
+    queries = {f"q{i}": vecs[i * 37].astype(np.float64) for i in range(6)}
+    exact = knn_pl.brute_force_topk(ds, queries, 10, metric="cosine",
+                                    round_decimals=6)
+
+    def rec(out):
+        hits = 0
+        for qid, g in out.groupby("query_id"):
+            want = set(exact[exact.query_id == qid].vec_id)
+            hits += len(set(g.vec_id) & want)
+        return hits / len(exact)
+
+    plain = str(tmp_path / "plain")
+    graph_pl.merge_graph_index(idx, plain, merge_factor=8)
+    auto = str(tmp_path / "auto")
+    graph_pl.merge_graph_index(idx, auto, merge_factor=8,
+                               polish_sweeps="auto")
+    got = graph_pl.graph_topk(auto, queries, 10, ef_search=len(vecs),
+                              round_decimals=6)
+    pd.testing.assert_frame_equal(got, exact)      # full beam == exact
+    r_plain = rec(graph_pl.graph_topk(plain, queries, 10, ef_search=48,
+                                      round_decimals=6))
+    r_auto = rec(graph_pl.graph_topk(auto, queries, 10, ef_search=48,
+                                     round_decimals=6))
+    assert r_auto + 0.05 >= r_plain, (r_plain, r_auto)
