@@ -653,21 +653,16 @@ def _descent_sweep(unit: np.ndarray, nbrs: np.ndarray,
     return changed
 
 
-def _finalize_graph(unit: np.ndarray, nbrs: np.ndarray, m: int,
-                    alpha: float, n_long: int = 2) -> np.ndarray:
-    """Navigability pass over the converged KNN graph: per node keep a
-    DIVERSE m - n_long selection of its nearest candidates (select-
-    neighbors heuristic) and reserve ``n_long`` slots for deterministic
-    long-range jumps (golden-ratio index stride — the Kleinberg
-    small-world shortcut), so beam search can cross clusters that pure
-    KNN edges would isolate."""
+def _finalize_rows(unit: np.ndarray, nbrs: np.ndarray, m: int,
+                   alpha: float, keep_m: int, n_long: int, stride: int,
+                   lo: int, hi: int) -> np.ndarray:
+    """Finalize rows [lo, hi) — pure and row-independent (reads the
+    frozen converged graph), so ranges fan out as Ray tasks
+    bit-identically to the serial pass."""
     n = len(nbrs)
-    keep_m = max(1, m - n_long)
-    n_long = m - keep_m                # clamp for tiny degrees (m <= n_long)
-    out = np.full((n, m), -1, dtype=np.int32)
-    stride = max(1, int(round(n * 0.6180339887)))
-    for lo in range(0, n, _DESCENT_CHUNK):
-        idx = np.arange(lo, min(lo + _DESCENT_CHUNK, n))
+    out = np.full((hi - lo, m), -1, dtype=np.int32)
+    for clo in range(lo, hi, _DESCENT_CHUNK):
+        idx = np.arange(clo, min(clo + _DESCENT_CHUNK, hi))
         cand = nbrs[idx].astype(np.int64)
         valid = cand >= 0
         safe = np.where(valid, cand, 0)
@@ -678,14 +673,48 @@ def _finalize_graph(unit: np.ndarray, nbrs: np.ndarray, m: int,
         kmask = kept_cols >= 0
         ksafe = np.where(kmask, kept_cols, 0)
         sel = np.where(kmask, np.take_along_axis(cand, ksafe, 1), -1)
-        out[idx, :keep_m] = sel.astype(np.int32)[:, :keep_m]
+        rows = idx - lo
+        out[rows, :keep_m] = sel.astype(np.int32)[:, :keep_m]
         # long jumps into the reserved tail slots (skip self/duplicates)
         for j in range(n_long):
             lj = (idx + (j + 1) * stride) % n
             lj = np.where(lj == idx, (lj + 1) % n, lj)
-            seen = (out[idx] == lj[:, None]).any(axis=1)
-            out[idx, keep_m + j] = np.where(seen, -1, lj).astype(np.int32)
+            seen = (out[rows] == lj[:, None]).any(axis=1)
+            out[rows, keep_m + j] = np.where(seen, -1, lj).astype(np.int32)
     return out
+
+
+_finalize_rows_remote = ray.remote(num_cpus=1)(_finalize_rows)
+
+
+def _finalize_graph(unit: np.ndarray, nbrs: np.ndarray, m: int,
+                    alpha: float, n_long: int = 2,
+                    n_tasks: int | None = None,
+                    unit_ref=None) -> np.ndarray:
+    """Navigability pass over the converged KNN graph: per node keep a
+    DIVERSE m - n_long selection of its nearest candidates (select-
+    neighbors heuristic) and reserve ``n_long`` slots for deterministic
+    long-range jumps (golden-ratio index stride — the Kleinberg
+    small-world shortcut), so beam search can cross clusters that pure
+    KNN edges would isolate.  ``n_tasks`` > 1 fans row ranges out as Ray
+    tasks (rows are independent — bit-identical to serial)."""
+    n = len(nbrs)
+    keep_m = max(1, m - n_long)
+    n_long = m - keep_m                # clamp for tiny degrees (m <= n_long)
+    stride = max(1, int(round(n * 0.6180339887)))
+    t = max(1, int(n_tasks or 1))
+    if t <= 1 or n < 2 * _DESCENT_CHUNK:
+        return _finalize_rows(unit, nbrs, m, alpha, keep_m, n_long,
+                              stride, 0, n)
+    uref = unit_ref if unit_ref is not None else ray.put(unit)
+    nref = ray.put(nbrs)
+    bounds = np.linspace(0, n, t + 1).astype(np.int64)
+    futs = [_finalize_rows_remote.remote(uref, nref, m, alpha, keep_m,
+                                         n_long, stride,
+                                         int(bounds[i]),
+                                         int(bounds[i + 1]))
+            for i in range(t) if bounds[i] < bounds[i + 1]]
+    return np.concatenate(ray.get(futs))
 
 
 def build_graph(vecs: np.ndarray, *, m_degree: int = 16,
@@ -736,7 +765,8 @@ def build_graph(vecs: np.ndarray, *, m_degree: int = 16,
                                  unit_ref=uref)
         if changed <= n * mw // 50:             # <2% of edges moved
             break
-    return _finalize_graph(unit, work, m_degree, alpha)
+    return _finalize_graph(unit, work, m_degree, alpha,
+                           n_tasks=n_tasks, unit_ref=uref)
 
 
 def _medoid(unit: np.ndarray, sample: int = 1024, seed: int = 7) -> int:
@@ -1220,7 +1250,9 @@ def merge_graph_index(src_dir: str, dst_dir: str, *, merge_factor: int = 4,
                                             unit_ref=pref)
                         if auto and ch <= len(ids) * mw // 50:
                             break
-                    nbrs = _finalize_graph(unit_m, work, m_degree, 1.0)
+                    nbrs = _finalize_graph(unit_m, work, m_degree, 1.0,
+                                           n_tasks=insert_tasks,
+                                           unit_ref=pref)
             # quantized leading segment: REUSE its codebook (refine, never
             # retrain — `JVectorWriter.java:886-913`) and re-encode the
             # merged rows; BQ is training-free, so bits are just repacked;

@@ -1741,3 +1741,19 @@ def test_merge_polish_auto_exact_and_recovers_quality(tmp_path):
     r_auto = rec(graph_pl.graph_topk(auto, queries, 10, ef_search=48,
                                      round_decimals=6))
     assert r_auto + 0.05 >= r_plain, (r_plain, r_auto)
+
+
+def test_finalize_graph_distributed_bit_identical():
+    """Finalize rows read the frozen converged graph, so fanning row
+    ranges out as Ray tasks must equal the serial pass."""
+    from opensearch_jvector_ray.pipelines import graph as g
+
+    rng = np.random.default_rng(19)
+    n, d, m = 3000, 24, 10
+    unit = g._unitize(rng.standard_normal((n, d)).astype(np.float32))
+    rand = rng.integers(0, n - 1, size=(n, 2 * m))
+    rand += rand >= np.arange(n)[:, None]
+    work = rand.astype(np.int32)
+    a = g._finalize_graph(unit, work, m, 1.0)
+    b = g._finalize_graph(unit, work, m, 1.0, n_tasks=4)
+    assert np.array_equal(a, b)
