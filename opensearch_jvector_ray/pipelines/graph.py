@@ -595,6 +595,18 @@ def _descent_rows(unit: np.ndarray, nbrs: np.ndarray, rev: np.ndarray,
         dmark = np.zeros_like(valid)
         np.put_along_axis(dmark, o, dup, 1)
         valid &= ~dmark
+        # COMPACT before the gather: as the graph converges, neighbor
+        # lists overlap heavily and the post-dedupe valid count drops
+        # far below the padded width C = 2m + 2m*m — pushing valid
+        # candidates left (stable: relative order of finite candidates,
+        # hence distance-tie resolution, is unchanged) shrinks the
+        # (B, C, d) vector gather, the dominant memory traffic on the
+        # big-n branch.  Bit-identical to the uncompacted pass.
+        c_ord = np.argsort(~valid, axis=1, kind="stable")
+        cmax = max(1, int(valid.sum(axis=1).max()))
+        c_ord = c_ord[:, :cmax]
+        cand = np.take_along_axis(cand, c_ord, 1)
+        valid = np.take_along_axis(valid, c_ord, 1)
         safe = np.where(valid, cand, 0)
         d = _cand_neg_dots(unit, idx, safe, valid)
         k = min(m, d.shape[1])
