@@ -20,6 +20,8 @@ Usage (each subcommand owns a Ray session; on a cluster, submit with
          --query "f1,f2,..." [--k K] [--metric cosine|l2|...] [--ef N]
   python -m opensearch_jvector_ray knn-merge  --index DIR --out DIR
          [--merge-factor N] [--mode incremental|rebuild]
+         [--polish N|auto] [--quantized-insert]
+         [--refine-quant-iters N]
 """
 
 from __future__ import annotations
@@ -122,6 +124,17 @@ def main(argv: list[str] | None = None) -> int:
     km.add_argument("--merge-factor", type=int, default=4)
     km.add_argument("--mode", default="incremental",
                     choices=["incremental", "rebuild"])
+    km.add_argument("--polish", default="0", metavar="N|auto",
+                    help="NN-descent polish sweeps over each merged "
+                         "group (int, or 'auto' = to convergence); "
+                         "see merge_graph_index")
+    km.add_argument("--quantized-insert", action="store_true",
+                    help="insert waves traverse on ADC code sums "
+                         "instead of float dots (quantized "
+                         "construction)")
+    km.add_argument("--refine-quant-iters", type=int, default=0,
+                    help="Lloyd iterations refining the leading "
+                         "codebook against the merged rows")
 
     ka = sub.add_parser("knn-add")
     ka.add_argument("--input", required=True)
@@ -287,10 +300,16 @@ def main(argv: list[str] | None = None) -> int:
             print(out.to_string(index=False))
         elif args.cmd == "knn-merge":
             from opensearch_jvector_ray.pipelines import graph as gpl
+            polish = (args.polish if args.polish == "auto"
+                      else int(args.polish))
             gpl.merge_graph_index(args.index, args.out,
                                   merge_factor=args.merge_factor,
-                                  mode=args.mode)
-            print(json.dumps({"merged": args.out, "mode": args.mode}))
+                                  mode=args.mode,
+                                  polish_sweeps=polish,
+                                  quantized_insert=args.quantized_insert,
+                                  refine_quant_iters=args.refine_quant_iters)
+            print(json.dumps({"merged": args.out, "mode": args.mode,
+                              "polish": args.polish}))
         elif args.cmd == "knn-add":
             import ray.data as rd
             ds = rd.read_parquet(args.input)
