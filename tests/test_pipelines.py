@@ -285,3 +285,20 @@ def test_minhash_pair_distinct_fallback_identical(monkeypatch):
     slow = dd.minhash_candidate_pairs(ds, CFG, "doc_id", "text").to_pandas()
     key = lambda df: sorted(map(tuple, df[["id_a", "id_b"]].to_numpy()))
     assert key(fast) == key(slow) and len(fast) > 0
+
+
+def test_simhash_pair_distinct_fallback_identical(monkeypatch):
+    """Simhash's cross-chunk distinct has the same two paths as minhash
+    (per-block unique + one union task vs groupby fallback); both must
+    return the same (id_a, id_b, hamming) set."""
+    texts = [BASE,
+             BASE,                              # exact dup: hamming 0
+             BASE + " tail tokens",
+             "completely different content about database engines"]
+    ds = rd.from_arrow(_doc_table(texts))
+    fast = dd.simhash_near_dups(ds, CFG, "doc_id", "text")
+    monkeypatch.setattr(dd, "_UNION_MAX_PAIRS", 0)    # force groupby path
+    slow = dd.simhash_near_dups(ds, CFG, "doc_id", "text")
+    key = lambda df: sorted(map(tuple,
+                                df[["id_a", "id_b", "hamming"]].to_numpy()))
+    assert key(fast) == key(slow) and len(fast) > 0
