@@ -430,6 +430,9 @@ _MIN_SLICE_ROWS = 128
 # sweep budget for polish_sweeps="auto" (seeded descent converges in
 # fewer sweeps than the from-random build; this is a runaway cap)
 _POLISH_MAX_SWEEPS = 8
+# adaptive num_parts=None target: keep per-partition builds inside the
+# matmul fast path (_FULL_MM_MAX_N)
+_PART_TARGET_ROWS = 16384
 
 
 def bulk_insert(unit: np.ndarray, nbrs: np.ndarray, n_nbrs: np.ndarray,
@@ -969,7 +972,7 @@ def _write_part(out: str, ids: np.ndarray, vecs: np.ndarray,
 # ---------------------------------------------------------------------------
 
 def build_graph_index(ds: "rd.Dataset", index_dir: str, *,
-                      num_parts: int = 8, m_degree: int = 16,
+                      num_parts: int | None = 8, m_degree: int = 16,
                       ef_construction: int = 64,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       pq_m_subspaces: int | None = None,
@@ -983,6 +986,11 @@ def build_graph_index(ds: "rd.Dataset", index_dir: str, *,
     build is one shuffle + embarrassingly parallel graph constructions —
     at 100 TB each partition is a bounded working set sized by
     ``num_parts``, and a failed run resumes past parts whose meta exists.
+
+    ``num_parts=None`` sizes partitions ADAPTIVELY to
+    ``_PART_TARGET_ROWS`` (the bandwidth-aware matmul fast-path bound,
+    `_FULL_MM_MAX_N`): a fixed part count silently produces giant
+    partitions at data scale, whose descent falls off the BLAS path.
 
     With ``pq_m_subspaces`` set, each partition also trains a segment-
     local PQ codebook and stores uint8 codes next to the graph (the
@@ -1006,6 +1014,8 @@ def build_graph_index(ds: "rd.Dataset", index_dir: str, *,
     os.makedirs(index_dir, exist_ok=True)
     if os.path.exists(os.path.join(index_dir, META_NAME)):
         return                                     # resume: complete index
+    if num_parts is None:
+        num_parts = max(1, -(-(ds.count() or 1) // _PART_TARGET_ROWS))
 
     def assign(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)

@@ -1757,3 +1757,26 @@ def test_finalize_graph_distributed_bit_identical():
     a = g._finalize_graph(unit, work, m, 1.0)
     b = g._finalize_graph(unit, work, m, 1.0, n_tasks=4)
     assert np.array_equal(a, b)
+
+
+def test_build_graph_index_adaptive_num_parts(tmp_path):
+    """num_parts=None sizes partitions to the matmul fast-path bound."""
+    from opensearch_jvector_ray.pipelines import graph as g
+    rng = np.random.default_rng(29)
+    vecs = rng.standard_normal((2000, 8))
+    ds = rd.from_arrow(_vec_table(vecs))
+    idx = str(tmp_path / "g")
+    with_target = __import__("pytest").MonkeyPatch()
+    with_target.setattr(g, "_PART_TARGET_ROWS", 600)
+    try:
+        g.build_graph_index(ds, idx, num_parts=None, m_degree=8,
+                            ef_construction=32)
+    finally:
+        with_target.undo()
+    parts = [d for d in os.listdir(idx) if d.startswith("part=")]
+    assert len(parts) == 4        # ceil(2000 / 600)
+    out = g.graph_topk(idx, {"q": vecs[5].astype(np.float64)}, 5,
+                       ef_search=2000, round_decimals=6)
+    exact = knn_pl.brute_force_topk(ds, {"q": vecs[5].astype(np.float64)},
+                                    5, metric="cosine", round_decimals=6)
+    pd.testing.assert_frame_equal(out, exact)
