@@ -437,7 +437,8 @@ def hamming_topk(ds: "rd.Dataset", queries: dict[str, np.ndarray], k: int,
 
 
 def build_ivf_index(ds: "rd.Dataset", index_dir: str, *,
-                    n_centroids: int = 16, vec_col: str = "embedding",
+                    n_centroids: int | None = 16,
+                    vec_col: str = "embedding",
                     id_col: str = "vec_id", sample_size: int = 65536,
                     seed: int = 42,
                     centroids: np.ndarray | None = None) -> np.ndarray:
@@ -453,6 +454,8 @@ def build_ivf_index(ds: "rd.Dataset", index_dir: str, *,
     import os
     os.makedirs(index_dir, exist_ok=True)
     if centroids is None:
+        if n_centroids is None:      # sqrt(n): the standard IVF sizing
+            n_centroids = max(8, int((ds.count() or 1) ** 0.5))
         centroids = train_centroids(ds, n_centroids, vec_col,
                                     sample_size=sample_size, seed=seed)
     cent_ref = ray.put(centroids)

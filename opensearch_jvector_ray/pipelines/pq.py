@@ -339,7 +339,7 @@ IVFPQ_CENTROIDS = "_centroids.npy"
 
 
 def build_ivfpq_index(ds: "rd.Dataset", index_dir: str, *,
-                      n_centroids: int = 16, m_subspaces: int = 8,
+                      n_centroids: int | None = 16, m_subspaces: int = 8,
                       n_codes: int = 16, id_col: str = "vec_id",
                       vec_col: str = "embedding", sample_size: int = 65536,
                       seed: int = 42,
@@ -368,6 +368,8 @@ def build_ivfpq_index(ds: "rd.Dataset", index_dir: str, *,
         _assign_cells, train_centroids,
     )
     os.makedirs(index_dir, exist_ok=True)
+    if n_centroids is None:          # sqrt(n): the standard IVF sizing
+        n_centroids = max(8, int((ds.count() or 1) ** 0.5))
     if centroids is None and codebook is None:
         # FUSED trainer: one bounded sample fetch, one remote task doing
         # BOTH k-means — identical outputs to the two separate trainers
