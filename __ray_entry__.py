@@ -32,7 +32,8 @@ from opensearch_jvector_ray.oracles import (
     revenue_by_region_brand_sql, top_order_revenue_sql, transcripts_bm25_sql,
     fingerprint_sql, grouped_best_sql, grouped_expand_sql, knn_sql,
     hash_sample_sql, hash_split_sql, lang_id_sql, minhash_exact_sql,
-    ngram_exact_sql, quantile_sql, range_join_sql,
+    ngram_exact_sql, pii_scrub_sql, decontaminate_sql,
+    quantile_sql, range_join_sql,
     pack_chunks_sql, phrase_sql,
     pricing_summary_sql, quality_sql, repetition_sql, term_stats_sql,
     token_count_sql,
@@ -285,6 +286,59 @@ def _q_corpus_pack(sf_dir: str) -> pd.DataFrame:
     out = pack_chunks(ds, CFG, "doc_id", "text",
                       budget=PACK_BUDGET).to_pandas()
     for c in ("doc_id", "n_tokens", "pack_id", "pack_offset"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+N_PLANT_PII = 40
+DECON_MODULUS, DECON_RESIDUE = 101, 7
+
+
+def _q_pii_scrub(sf_dir: str) -> pd.DataFrame:
+    # PII redaction (emails / IPv4 / phones -> typed placeholders), one
+    # vectorized RE2 pass per pattern; the first N_PLANT_PII docs get
+    # deterministic PII appended (mirrored in pii_aug_expr — the natural
+    # corpus has none, so without planting the gate would check an
+    # all-zero frame)
+    import pyarrow as pa
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(batch: "pa.Table") -> "pa.Table":
+        ids = batch["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        txt = batch["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        suff = pc.binary_join_element_wise(
+            " contact user", pc.cast(ids, pa.string()),
+            "@example.com node 10.20.30.40 call +1 415 555 ",
+            pc.cast(pc.add(ids, 1000), pa.string()), "")
+        aug = pc.if_else(pc.less(ids, N_PLANT_PII),
+                         pc.binary_join_element_wise(txt, suff, ""), txt)
+        return batch.set_column(batch.column_names.index("text"),
+                                "text", aug)
+
+    out = (ds.map_batches(plant, batch_format="pyarrow")
+             .map_batches(ts_pl.pii_scrub_stage("doc_id", "text"),
+                          batch_format="pyarrow")
+             .to_pandas())
+    for c in ("doc_id", "n_email", "n_ip", "n_phone"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_corpus_decontaminate(sf_dir: str) -> pd.DataFrame:
+    # benchmark decontamination: docs sharing any word 3-gram with the
+    # held-out set (doc_id % 101 == 7) are flagged; broadcast benchmark
+    # shingle-hash set + zero-shuffle corpus scan
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = dedup_pl.decontaminate(ds, CFG, "doc_id", "text",
+                                 modulus=DECON_MODULUS,
+                                 residue=DECON_RESIDUE).to_pandas()
+    for c in ("doc_id", "n_shingles", "n_hits", "is_benchmark",
+              "contaminated"):
         out[c] = out[c].astype(np.int64)
     return out.sort_values("doc_id").reset_index(drop=True)
 
@@ -927,6 +981,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_pack": _q_corpus_pack,
         "minhash_dedup_exact": _q_minhash_exact,
         "ngram_jaccard_exact": _q_ngram_exact,
+        "pii_scrub": _q_pii_scrub,
+        "corpus_decontaminate": _q_corpus_decontaminate,
         # vector scoring surface (§2.8 kernels)
         "knn_cosine_topk": _q_knn("cosine"),
         "knn_l2_topk": _q_knn("l2"),
@@ -1023,6 +1079,9 @@ def oracle_sql() -> dict[str, str]:
         "corpus_pack": pack_chunks_sql(CFG, PACK_BUDGET),
         "minhash_dedup_exact": minhash_exact_sql(N_PLANT_MH, MH_PLANT_OFFSET),
         "ngram_jaccard_exact": ngram_exact_sql(N_PLANT_MH, MH_PLANT_OFFSET),
+        "pii_scrub": pii_scrub_sql(ts_pl.PII_PATTERNS, N_PLANT_PII),
+        "corpus_decontaminate": decontaminate_sql(
+            CFG, DECON_MODULUS, DECON_RESIDUE),
         "lang_id": lang_id_sql(CFG),
         "knn_cosine_topk": knn_sql("cosine", KNN_QUERY_IDS, KNN_K),
         "knn_l2_topk": knn_sql("l2", KNN_QUERY_IDS, KNN_K),

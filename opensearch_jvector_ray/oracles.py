@@ -407,6 +407,90 @@ FROM t ORDER BY {id_col}
 """
 
 
+def pii_aug_expr(n_plant: int, id_col: str = "doc_id",
+                 text_col: str = "text") -> str:
+    """Deterministic PII planting shared with the engine entry: the first
+    ``n_plant`` docs get an email, an IPv4 and a phone number appended
+    (the natural corpus has none — without planting the driver gate would
+    validate an all-zero frame)."""
+    return (f"CASE WHEN {id_col} < {n_plant} THEN {text_col} || "
+            f"' contact user' || CAST({id_col} AS VARCHAR) || "
+            f"'@example.com node 10.20.30.40 call +1 415 555 ' || "
+            f"CAST({id_col} + 1000 AS VARCHAR) ELSE {text_col} END")
+
+
+def pii_scrub_sql(patterns, n_plant: int, table: str = "documents",
+                  id_col: str = "doc_id", text_col: str = "text") -> str:
+    """Mirrors ``textstats.pii_scrub_stage``: the SAME RE2 pattern strings
+    (DuckDB's regex engine is also RE2), applied in the SAME sequence,
+    each count taken on the text as it stood before that replace."""
+    aug = pii_aug_expr(n_plant, id_col, text_col)
+    ctes = [f"s0 AS (SELECT {id_col}, {aug} AS t FROM {table})"]
+    prev, seen = "s0", []
+    for i, (name, pat, repl) in enumerate(patterns, 1):
+        p = sql_quote(pat)
+        carry = "".join(f"n_{n}, " for n in seen)
+        ctes.append(
+            f"s{i} AS (SELECT {id_col}, {carry}"
+            f"len(regexp_extract_all(t, {p}))::BIGINT AS n_{name}, "
+            f"regexp_replace(t, {p}, {sql_quote(repl)}, 'g') AS t "
+            f"FROM {prev})")
+        prev, seen = f"s{i}", seen + [name]
+    sel = ", ".join(f"n_{n}" for n in seen)
+    return (f"WITH {', '.join(ctes)}\n"
+            f"SELECT {id_col}, {sel}, t AS clean_text FROM {prev} "
+            f"ORDER BY {id_col}")
+
+
+def decontaminate_sql(cfg: EngineConfig, modulus: int, residue: int,
+                      shingle_k: int = 3, table: str = "documents",
+                      id_col: str = "doc_id", text_col: str = "text") -> str:
+    """Mirrors ``dedup.decontaminate``: benchmark docs are
+    ``id % modulus == residue``; a doc is contaminated iff it shares any
+    word ``shingle_k``-gram (same token stream as the minhash pipeline:
+    lowered non-empty tokens, stopwords kept) with a benchmark doc.
+    Counts are DISTINCT-shingle counts.  Engine matches on 64-bit stable
+    hashes of the same shingle strings — engine == oracle verified on the
+    fixed fixture at all three scales."""
+    if shingle_k != 3:
+        raise ValueError("the SQL shingle expression is written for k=3")
+    pat = sql_quote(cfg.split_pattern)
+    bench = f"({id_col} % {modulus} = {residue})"
+    return f"""
+WITH t AS (
+  SELECT {id_col},
+         list_filter(regexp_split_to_array(lower({text_col}), {pat}),
+                     x -> x <> '') AS tk
+  FROM {table}
+), s AS (
+  SELECT {id_col},
+         unnest(list_distinct(
+           CASE WHEN len(tk) >= {shingle_k} THEN
+             list_transform(range(1, len(tk) - {shingle_k - 2}),
+                            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+           ELSE [] END)) AS sh
+  FROM t
+), b AS (
+  SELECT DISTINCT sh FROM s WHERE {bench.replace(id_col, 's.' + id_col)}
+), g AS (
+  SELECT s.{id_col},
+         count(*)::BIGINT AS n_shingles,
+         count(b.sh)::BIGINT AS n_hits
+  FROM s LEFT JOIN b ON b.sh = s.sh
+  GROUP BY s.{id_col}
+)
+SELECT d.{id_col},
+       coalesce(g.n_shingles, 0)::BIGINT AS n_shingles,
+       coalesce(g.n_hits, 0)::BIGINT AS n_hits,
+       CASE WHEN {bench.replace(id_col, 'd.' + id_col)} THEN 1 ELSE 0 END::BIGINT AS is_benchmark,
+       CASE WHEN coalesce(g.n_hits, 0) > 0
+                 AND NOT {bench.replace(id_col, 'd.' + id_col)}
+            THEN 1 ELSE 0 END::BIGINT AS contaminated
+FROM {table} d LEFT JOIN g ON g.{id_col} = d.{id_col}
+ORDER BY d.{id_col}
+"""
+
+
 def grouped_best_sql(query_text: str, cfg: EngineConfig,
                      group_col: str = "source", table: str = "documents",
                      id_col: str = "doc_id", text_col: str = "text") -> str:

@@ -175,3 +175,38 @@ def repetition_stage(cfg: EngineConfig, id_col: str, text_col: str):
 def normalized_text(batch_texts: pa.Array, cfg: EngineConfig) -> pa.Array:
     lists = _token_lists(batch_texts, cfg)
     return pc.binary_join(lists, " ")
+
+
+# PII redaction: RE2 patterns shared verbatim with the DuckDB oracle
+# (pyarrow and DuckDB both compile RE2, so match/replace semantics are
+# engine-identical — verified for overlap/boundary cases in
+# tests/test_round3.py).  Order matters (emails contain digits/dots that
+# the later patterns could clip), so patterns apply SEQUENTIALLY and each
+# count is taken on the text as it stood before that pattern's replace —
+# the oracle mirrors with a chained CTE.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("phone", r"\+\d{1,3}[ \-]\d{3}[ \-]\d{3}[ \-]\d{4}", "[PHONE]"),
+)
+
+
+def pii_scrub_stage(id_col: str, text_col: str,
+                    patterns=PII_PATTERNS):
+    """(id, n_<kind>..., clean_text) — redact PII spans with typed
+    placeholder tokens.  One vectorized RE2 pass per pattern per batch
+    (no per-row Python); a first-class training-data-pipeline operator
+    (not in the reference, which has no corpus-prep layer)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        cur = batch[text_col]
+        if isinstance(cur, pa.ChunkedArray):
+            cur = cur.combine_chunks()
+        cols: dict[str, pa.Array] = {id_col: batch[id_col]}
+        for name, pat, repl in patterns:
+            cols[f"n_{name}"] = pc.cast(
+                pc.count_substring_regex(cur, pattern=pat), pa.int64())
+            cur = pc.replace_substring_regex(cur, pattern=pat,
+                                             replacement=repl)
+        cols["clean_text"] = cur
+        return pa.table(cols)
+    return fn

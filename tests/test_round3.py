@@ -1780,3 +1780,59 @@ def test_build_graph_index_adaptive_num_parts(tmp_path):
     exact = knn_pl.brute_force_topk(ds, {"q": vecs[5].astype(np.float64)},
                                     5, metric="cosine", round_decimals=6)
     pd.testing.assert_frame_equal(out, exact)
+
+
+def test_pii_scrub_stage_edge_cases():
+    """RE2 boundary cases verified against DuckDB's RE2 side by side —
+    the pair of engines must agree on match extents and counts."""
+    import duckdb
+    from opensearch_jvector_ray.pipelines.textstats import (
+        PII_PATTERNS, pii_scrub_stage)
+    texts = [
+        "mail me at bob.smith+x@ex-ample.co.uk or sue@a.io thanks",
+        "server 10.20.30.40 and 192.168.0.1, call +1 415 555 1039",
+        "no pii here, just text 1.2 v3",
+        "edge a@b.cc. trailing +44 207 946 0958!",
+        "",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts)})
+    got = pii_scrub_stage("doc_id", "text")(t)
+    con = duckdb.connect()
+    for i, txt in enumerate(texts):
+        cur, counts = txt, {}
+        for name, pat, repl in PII_PATTERNS:
+            n, cur = con.sql(
+                "SELECT len(regexp_extract_all(?, ?)), "
+                "regexp_replace(?, ?, ?, 'g')",
+                params=[cur, pat, cur, pat, repl]).fetchone()
+            counts[name] = n
+        assert got["clean_text"][i].as_py() == cur
+        for name, n in counts.items():
+            assert got[f"n_{name}"][i].as_py() == n
+
+
+def test_decontaminate_flags_planted_overlap(ray_session):
+    """A doc sharing a 3-gram with a benchmark doc is contaminated; a
+    disjoint doc is not; benchmark docs are never flagged."""
+    from opensearch_jvector_ray.pipelines.dedup import decontaminate
+    cfg = EngineConfig()
+    rows = {
+        0: "alpha beta gamma delta epsilon",          # benchmark (0 % 5)
+        1: "prefix words then alpha beta gamma end",  # contaminated
+        2: "completely different tokens here now",    # clean
+        5: "another benchmark text entirely",         # benchmark
+        7: "short one",                               # < k tokens, clean
+        11: "text entirely unrelated to benchmarks",  # clean
+    }
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(rows), type=pa.int64()),
+        "text": pa.array(list(rows.values()))}))
+    out = (decontaminate(ds, cfg, "doc_id", "text", modulus=5, residue=0)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert out.loc[1, "contaminated"] == 1 and out.loc[1, "n_hits"] == 1
+    assert out.loc[2, "contaminated"] == 0 and out.loc[2, "n_hits"] == 0
+    assert (out.loc[[0, 5], "is_benchmark"] == 1).all()
+    assert (out.loc[[0, 5], "contaminated"] == 0).all()
+    assert out.loc[7, "n_shingles"] == 1     # one short-doc window
+    assert out.loc[0, "n_shingles"] == 3     # 5 tokens -> 3 windows
