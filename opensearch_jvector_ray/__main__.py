@@ -100,6 +100,12 @@ def main(argv: list[str] | None = None) -> int:
                          "(2 cures the uniform-data quality plateau)")
     kb.add_argument("--id-col", default="vec_id")
     kb.add_argument("--vec-col", default="embedding")
+    kb.add_argument("--quant", default=None, choices=["pq", "bq", "nvq"],
+                    help="graph engine: traversal quantization mode "
+                         "(segment-local PQ codebook, binary sign bits, "
+                         "or NVQ companded 8-bit scalar codes)")
+    kb.add_argument("--pq-m", type=int, default=8,
+                    help="graph engine --quant pq: subspace count")
 
     ks = sub.add_parser("knn-search")
     ks.add_argument("--index", required=True)
@@ -238,7 +244,12 @@ def main(argv: list[str] | None = None) -> int:
                                       num_parts=args.num_parts,
                                       id_col=args.id_col,
                                       vec_col=args.vec_col,
-                                      build_degree_mult=args.build_degree_mult)
+                                      build_degree_mult=args.build_degree_mult,
+                                      pq_m_subspaces=(args.pq_m if
+                                                      args.quant == "pq"
+                                                      else None),
+                                      bq=args.quant == "bq",
+                                      nvq=args.quant == "nvq")
             elif args.engine == "ivf":
                 from opensearch_jvector_ray.pipelines import knn as kpl
                 cent = kpl.train_centroids(ds, args.cells,

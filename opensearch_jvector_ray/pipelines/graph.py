@@ -94,7 +94,8 @@ def _beam_batch(unit: np.ndarray, nbrs: np.ndarray, n_nbrs: np.ndarray,
                 entries: list[int], Q: np.ndarray, ef: int,
                 n_valid: int | None = None,
                 lut: np.ndarray | None = None,
-                codes: np.ndarray | None = None
+                codes: np.ndarray | None = None,
+                affine: tuple | None = None
                 ) -> tuple[np.ndarray, np.ndarray]:
     """Lockstep beam search for B queries at once over the frozen graph.
 
@@ -140,6 +141,9 @@ def _beam_batch(unit: np.ndarray, nbrs: np.ndarray, n_nbrs: np.ndarray,
     if lut is not None:
         idx0 = codes[ent].astype(np.int64) + pq_off     # (E, M)
         d0 = lut[:, idx0].sum(axis=2)                   # (B, E)
+        if affine is not None:                          # NVQ per-row affine
+            a_, b_, qneg = affine
+            d0 = d0 * a_[ent][None, :] + b_[ent][None, :] * qneg[:, None]
     else:
         d0 = -(unit[ent] @ Q.T).T                       # (B, E)
     order = np.argsort(d0, axis=1, kind="stable")
@@ -177,6 +181,9 @@ def _beam_batch(unit: np.ndarray, nbrs: np.ndarray, n_nbrs: np.ndarray,
             idxn = codes[neigh_c].astype(np.int64) + pq_off   # (A, m, M)
             dn = np.take_along_axis(lut[act][:, None, :], idxn,
                                     axis=2).sum(axis=2)
+            if affine is not None:                      # NVQ per-row affine
+                a_, b_, qneg = affine
+                dn = dn * a_[neigh_c] + b_[neigh_c] * qneg[act][:, None]
         elif d_all is not None:
             dn = np.take_along_axis(d_all[act], neigh_c, axis=1)
         else:
@@ -413,11 +420,12 @@ def _wave_search_select(unit: np.ndarray, nbrs: np.ndarray,
     halves are row-independent, so slice results concatenate to exactly
     the single-call result."""
     Q = unit[lo:hi]
-    lut = codes = None
+    lut = codes = affine = None
     if quant is not None:
-        lut, codes = _quant_lut_codes(quant, Q)
+        lut, codes, affine = _quant_lut_codes(quant, Q)
     D, V = _beam_batch(unit, nbrs, n_nbrs, entries, Q, ef,
-                       n_valid=n_valid, lut=lut, codes=codes)
+                       n_valid=n_valid, lut=lut, codes=codes,
+                       affine=affine)
     return _forward_select(unit, D, V, m_degree, alpha)
 
 
@@ -898,13 +906,92 @@ def _bq_lut(Qn: np.ndarray, nbytes: int) -> np.ndarray:
         _POPCNT[x].reshape(len(qbits), -1))
 
 
-def _quant_lut_codes(part_quant, Qn) -> tuple[np.ndarray, np.ndarray]:
-    """LUT + codes for either quantization kind, feeding _beam_batch's
-    generic gather-sum traversal."""
+NVQ_NAME = "nvq.npz"
+# companding exponents tried by the per-partition NVQ fit; gamma > 1
+# spends more of the 8-bit budget near 0 (where unit-vector mass sits)
+_NVQ_GAMMA_GRID = (0.5, 0.667, 0.8, 1.0, 1.25, 1.5, 2.0)
+_NVQ_FIT_SAMPLE = 65536
+
+
+def _nvq_levels(gamma: float) -> np.ndarray:
+    """256 dequantization levels on [0, 1]: f(c) = (c/255)^gamma."""
+    return ((np.arange(256, dtype=np.float32) / np.float32(255.0))
+            ** np.float32(gamma))
+
+
+def _nvq_encode(vecs_unit: np.ndarray, gamma: float
+                ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-vector affine + shared companding encode: codes c =
+    round(255 * u^(1/gamma)) of u = (x - min_i) / (max_i - min_i);
+    dequant x^ = a_i * (c/255)^gamma + b_i.  Training-free given gamma
+    (a/b are per-vector statistics, not learned parameters)."""
+    X = np.asarray(vecs_unit, dtype=np.float32)
+    mn, mx = X.min(axis=1), X.max(axis=1)
+    a = mx - mn
+    a[a <= 0] = 1.0                       # constant rows: u = 0 everywhere
+    b = mn
+    u = (X - b[:, None]) / a[:, None]
+    codes = np.rint(255.0 * u ** np.float32(1.0 / gamma)).astype(np.uint8)
+    return a, b, codes
+
+
+def _train_part_nvq(vecs_unit: np.ndarray, seed: int = 42
+                    ) -> tuple[float, np.ndarray, np.ndarray, np.ndarray]:
+    """NVQ quantizer for one partition: nonuniform (companded) 8-bit
+    scalar quantization with PER-VECTOR affine normalization — the
+    reference's NVQ family (jVector's nonuniform vector quantization,
+    `README.md:33`) re-expressed for the numpy ADC path.  The companding
+    exponent gamma is fit per partition by reconstruction-MSE grid search
+    over a bounded sample (the flush-time segment-local train rule the PQ
+    mode follows, `JVectorWriter.java:381-414`); per-vector (a, b) are
+    closed-form, so encode stays training-free."""
+    X = np.asarray(vecs_unit, dtype=np.float32)
+    S = X
+    if len(S) > _NVQ_FIT_SAMPLE:
+        rng = np.random.default_rng(seed)
+        S = S[np.sort(rng.choice(len(S), size=_NVQ_FIT_SAMPLE,
+                                 replace=False))]
+    mn, mx = S.min(axis=1), S.max(axis=1)
+    a = mx - mn
+    a[a <= 0] = 1.0
+    u = (S - mn[:, None]) / a[:, None]
+    best_g, best_err = 1.0, np.inf
+    for g in _NVQ_GAMMA_GRID:
+        c = np.rint(255.0 * u ** np.float32(1.0 / g)).astype(np.uint8)
+        recon = _nvq_levels(g)[c]
+        # true squared error carries the per-vector scale a_i^2
+        err = float(((recon - u) ** 2).sum(axis=1) @ (a * a))
+        if err < best_err:
+            best_g, best_err = float(g), err
+    a_all, b_all, codes = _nvq_encode(X, best_g)
+    return best_g, a_all, b_all, codes
+
+
+def _nvq_lut(Qn: np.ndarray, gamma: float) -> np.ndarray:
+    """(B, d*256) negated lookup tables over the shared dequant levels:
+    entry [b, j*256 + c] = -q_j * f(c).  A node's gather-sum s then
+    yields its approximate distance via the per-ROW affine
+    a_i * s + b_i * (-sum(q)) — the correction `_beam_batch` applies
+    when given ``affine``."""
+    lev = _nvq_levels(gamma)
+    Qs = np.asarray(Qn, dtype=np.float32)
+    lut = -(Qs[:, :, None] * lev[None, None, :])
+    return np.ascontiguousarray(lut.reshape(len(Qs), -1))
+
+
+def _quant_lut_codes(part_quant, Qn
+                     ) -> tuple[np.ndarray, np.ndarray, tuple | None]:
+    """LUT + codes (+ per-row affine correction, NVQ only) for any
+    quantization kind, feeding _beam_batch's generic gather-sum
+    traversal."""
     if part_quant[0] == "pq":
-        return _pq_neg_lut(part_quant[1], Qn), part_quant[2]
+        return _pq_neg_lut(part_quant[1], Qn), part_quant[2], None
+    if part_quant[0] == "nvq":
+        _, gamma, a, b, codes = part_quant
+        qneg = -np.asarray(Qn, dtype=np.float32).sum(axis=1)
+        return _nvq_lut(Qn, gamma), codes, (a, b, qneg)
     codes = part_quant[1]
-    return _bq_lut(Qn, codes.shape[1]), codes
+    return _bq_lut(Qn, codes.shape[1]), codes, None
 
 
 def _load_part_pq(pdir: str) -> tuple[np.ndarray, np.ndarray] | None:
@@ -916,13 +1003,18 @@ def _load_part_pq(pdir: str) -> tuple[np.ndarray, np.ndarray] | None:
 
 
 def _load_part_quant(pdir: str):
-    """None | ("pq", book, codes) | ("bq", codes)."""
+    """None | ("pq", book, codes) | ("bq", codes) |
+    ("nvq", gamma, a, b, codes)."""
     p = _load_part_pq(pdir)
     if p is not None:
         return ("pq", p[0], p[1])
     path = os.path.join(pdir, BQ_NAME)
     if os.path.exists(path):
         return ("bq", np.load(path)["codes"])
+    path = os.path.join(pdir, NVQ_NAME)
+    if os.path.exists(path):
+        z = np.load(path)
+        return ("nvq", float(z["gamma"]), z["a"], z["b"], z["codes"])
     return None
 
 
@@ -939,6 +1031,13 @@ def _merge_quant(lead_q, unit: np.ndarray, refine_iters: int):
         )
         book = refine_codebook(lead_q[1], unit, iters=refine_iters)
         return ("pq", book, pq_encode(unit, book))
+    if lead_q[0] == "nvq":
+        # gamma comes from the leading segment (refine-never-retrain);
+        # per-vector (a, b) are closed-form statistics, so re-encoding
+        # the merged rows is training-free
+        gamma = lead_q[1]
+        a, b, codes = _nvq_encode(unit, gamma)
+        return ("nvq", gamma, a, b, codes)
     return ("bq", np.packbits(unit > 0, axis=1))
 
 
@@ -946,7 +1045,8 @@ def _write_part(out: str, ids: np.ndarray, vecs: np.ndarray,
                 nbrs: np.ndarray, id_col: str, vec_col: str,
                 pq_book: np.ndarray | None = None,
                 pq_codes: np.ndarray | None = None,
-                bq_codes: np.ndarray | None = None) -> None:
+                bq_codes: np.ndarray | None = None,
+                nvq_params: tuple | None = None) -> None:
     os.makedirs(out, exist_ok=True)
     nbrs = _ensure_cycle(np.ascontiguousarray(nbrs))
     tbl = pa.table({
@@ -961,6 +1061,10 @@ def _write_part(out: str, ids: np.ndarray, vecs: np.ndarray,
         np.savez(os.path.join(out, PQ_NAME), book=pq_book, codes=pq_codes)
     if bq_codes is not None:
         np.savez(os.path.join(out, BQ_NAME), codes=bq_codes)
+    if nvq_params is not None:
+        gamma, a, b, codes = nvq_params
+        np.savez(os.path.join(out, NVQ_NAME), gamma=gamma, a=a, b=b,
+                 codes=codes)
     unit = _unitize(vecs)
     entries = sorted({_medoid(unit), *_entry_set(len(ids))})
     with open(os.path.join(out, "_META"), "w") as f:
@@ -979,6 +1083,7 @@ def build_graph_index(ds: "rd.Dataset", index_dir: str, *,
                       pq_n_codes: int = 256, pq_min_rows: int = 1024,
                       build_degree_mult: int = 1,
                       bq: bool = False,
+                      nvq: bool = False,
                       ) -> None:
     """Hash-partition vectors, build one graph per partition, persist.
 
@@ -1009,8 +1114,9 @@ def build_graph_index(ds: "rd.Dataset", index_dir: str, *,
     no min-rows rule; mutually exclusive with ``pq_m_subspaces``.
     """
     import shutil
-    if bq and pq_m_subspaces:
-        raise ValueError("pass bq=True OR pq_m_subspaces, not both")
+    if sum((bool(bq), bool(pq_m_subspaces), bool(nvq))) > 1:
+        raise ValueError(
+            "pass at most ONE of bq=True / pq_m_subspaces / nvq=True")
     os.makedirs(index_dir, exist_ok=True)
     if os.path.exists(os.path.join(index_dir, META_NAME)):
         return                                     # resume: complete index
@@ -1050,15 +1156,18 @@ def build_graph_index(ds: "rd.Dataset", index_dir: str, *,
             nbrs = build_graph(vecs, m_degree=m_degree,
                                ef_construction=ef_construction,
                                build_degree_mult=build_degree_mult)
-            book = codes = bqc = None
+            book = codes = bqc = nvqp = None
             if pq_m_subspaces and len(vecs) >= max(pq_min_rows, 2):
                 book, codes = _train_part_pq(_unitize(vecs),
                                              pq_m_subspaces, pq_n_codes)
             elif bq:
                 bqc = np.packbits(_unitize(vecs) > 0, axis=1)
+            elif nvq:
+                nvqp = _train_part_nvq(_unitize(vecs))
             _write_part(out, tbl[id_col].to_numpy(zero_copy_only=False),
                         vecs, nbrs, id_col, vec_col,
-                        pq_book=book, pq_codes=codes, bq_codes=bqc)
+                        pq_book=book, pq_codes=codes, bq_codes=bqc,
+                        nvq_params=nvqp)
             built.append(part)
         return pa.table({"part": pa.array(built, type=pa.int32())})
 
@@ -1074,7 +1183,7 @@ def build_graph_index(ds: "rd.Dataset", index_dir: str, *,
                    "pq_n_codes": pq_n_codes,
                    "pq_min_rows": pq_min_rows,
                    "build_degree_mult": build_degree_mult,
-                   "bq": bq}, f)
+                   "bq": bq, "nvq": nvq}, f)
 
 
 def _compact_leading(tbl: pa.Table, dead: np.ndarray | None,
@@ -1279,7 +1388,7 @@ def merge_graph_index(src_dir: str, dst_dir: str, *, merge_factor: int = 4,
             # retrain — `JVectorWriter.java:886-913`) and re-encode the
             # merged rows; BQ is training-free, so bits are just repacked;
             # unquantized inputs merge to an unquantized part
-            book = codes = bqc = None
+            book = codes = bqc = nvqp = None
             mq = pre_q if pre_q is not None else (
                 _merge_quant(_load_part_quant(dirs[lead]),
                              _unitize(vecs), refine_quant_iters)
@@ -1287,10 +1396,13 @@ def merge_graph_index(src_dir: str, dst_dir: str, *, merge_factor: int = 4,
             if mq is not None:
                 if mq[0] == "pq":
                     book, codes = mq[1], mq[2]
+                elif mq[0] == "nvq":
+                    nvqp = mq[1:]
                 else:
                     bqc = mq[1]
             _write_part(out, ids, vecs, nbrs, id_col, vec_col,
-                        pq_book=book, pq_codes=codes, bq_codes=bqc)
+                        pq_book=book, pq_codes=codes, bq_codes=bqc,
+                        nvq_params=nvqp)
             out_parts.append(gid)
         return pa.table({"gid": pa.array(out_parts, type=pa.int32())})
 
@@ -1382,19 +1494,25 @@ def add_to_graph_index(new_ds: "rd.Dataset", index_dir: str) -> None:
                 bulk_insert(_unitize(vecs), nbrs, n_nbrs, len(ids0),
                             m_degree=m_degree, ef_construction=ef_c,
                             n_tasks=insert_tasks)
-            book = codes = bqc = None
+            book = codes = bqc = nvqp = None
             part_q = _load_part_quant(out)
             if part_q is not None:
                 if part_q[0] == "pq":
                     from opensearch_jvector_ray.pipelines.pq import pq_encode
                     book = part_q[1]
                     codes = pq_encode(_unitize(vecs), book)
+                elif part_q[0] == "nvq":
+                    # gamma stays (refine-never-retrain); (a, b, codes)
+                    # are closed-form over the grown row set
+                    nvqp = (part_q[1], *_nvq_encode(_unitize(vecs),
+                                                    part_q[1]))
                 else:
                     bqc = np.packbits(_unitize(vecs) > 0, axis=1)
             tmp = out + ".addtmp"
             shutil.rmtree(tmp, ignore_errors=True)
             _write_part(tmp, ids, vecs, nbrs, id_col, vec_col,
-                        pq_book=book, pq_codes=codes, bq_codes=bqc)
+                        pq_book=book, pq_codes=codes, bq_codes=bqc,
+                        nvq_params=nvqp)
             os.makedirs(out, exist_ok=True)
             os.replace(os.path.join(tmp, "graph.parquet"), gpath)
             if book is not None:
@@ -1403,6 +1521,9 @@ def add_to_graph_index(new_ds: "rd.Dataset", index_dir: str) -> None:
             if bqc is not None:
                 os.replace(os.path.join(tmp, BQ_NAME),
                            os.path.join(out, BQ_NAME))
+            if nvqp is not None:
+                os.replace(os.path.join(tmp, NVQ_NAME),
+                           os.path.join(out, NVQ_NAME))
             os.replace(os.path.join(tmp, "_META"),
                        os.path.join(out, "_META"))
             shutil.rmtree(tmp, ignore_errors=True)
@@ -1475,9 +1596,9 @@ def _part_pool_search(ids, vecs, unit, nbrs, n_nbrs, entries, part_pq,
         if not live.any():
             return out
     ef_eff = max(ef_search, kk)
-    lut = codes = None
+    lut = codes = affine = None
     if use_pq and part_pq is not None:
-        lut, codes = _quant_lut_codes(part_pq, Qn)
+        lut, codes, affine = _quant_lut_codes(part_pq, Qn)
         ef_eff = max(ef_eff, kk * overquery)
     amask = None
     if allowed is not None:
@@ -1496,7 +1617,7 @@ def _part_pool_search(ids, vecs, unit, nbrs, n_nbrs, entries, part_pq,
                 out.append((qi, sel_ids, sel_sc))
             return out
     _, V = _beam_batch(unit, nbrs, n_nbrs, entries=entries, Q=Qn,
-                       ef=ef_eff, lut=lut, codes=codes)
+                       ef=ef_eff, lut=lut, codes=codes, affine=affine)
     for qi in range(len(Qn)):
         cand = V[qi][V[qi] >= 0]
         if amask is not None and len(cand):

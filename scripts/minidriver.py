@@ -1,6 +1,7 @@
 """Replica of the driver's correctness gate: runs every queries() entry
 against its oracle_sql() via DuckDB (sorted columns + sorted rows, exact
-value compare).  Usage: python scripts/minidriver.py [sf_dir]"""
+value compare).  Usage: python scripts/minidriver.py [sf_dir] [name...]
+(optional names run only that subset of queries() entries)."""
 import sys, os, traceback
 import ray, duckdb, numpy as np, pandas as pd
 ray.init(address="local", num_cpus=8, include_dashboard=False,
@@ -21,6 +22,12 @@ def norm(df):
     return df
 
 qs, sqls = E.queries(), E.oracle_sql()
+if len(sys.argv) > 2:
+    only = set(sys.argv[2:])
+    unknown = only - set(qs)
+    if unknown:
+        sys.exit(f"unknown queries: {sorted(unknown)}")
+    qs = {k: v for k, v in qs.items() if k in only}
 fails = []
 for name, fn in qs.items():
     try:

@@ -1836,3 +1836,80 @@ def test_decontaminate_flags_planted_overlap(ray_session):
     assert (out.loc[[0, 5], "contaminated"] == 0).all()
     assert out.loc[7, "n_shingles"] == 1     # one short-doc window
     assert out.loc[0, "n_shingles"] == 3     # 5 tokens -> 3 windows
+
+
+def test_graph_nvq_traversal_exact_recall_and_lifecycle(tmp_path):
+    """NVQ mode (the reference's nonuniform vector quantization): the
+    beam walks on companded dequant-level lookup sums with a per-row
+    affine correction, hits are exact-rescored — full beam must equal
+    brute force; approximate beam must clear the recall gate; merge and
+    add keep the leading gamma (refine-never-retrain) and stay full-beam
+    exact; combining quant modes is an error."""
+    from opensearch_jvector_ray.pipelines import graph as graph_pl
+    vecs = _clustered_vecs(seed=31, n_centers=5, per=50, d=32)
+    ds = rd.from_arrow(_vec_table(vecs))
+    idx = str(tmp_path / "g")
+    graph_pl.build_graph_index(ds, idx, num_parts=3, m_degree=12,
+                               ef_construction=48, nvq=True)
+    assert os.path.exists(os.path.join(idx, "part=0", graph_pl.NVQ_NAME))
+    queries = {f"q{i}": vecs[i * 43].astype(np.float64) for i in range(4)}
+    exact = knn_pl.brute_force_topk(ds, queries, 10, metric="cosine",
+                                    round_decimals=6)
+    got = graph_pl.graph_topk(idx, queries, 10, ef_search=len(vecs),
+                              round_decimals=6)
+    pd.testing.assert_frame_equal(got, exact)
+    approx = graph_pl.graph_topk(idx, queries, 10, ef_search=48,
+                                 round_decimals=6)
+    hits = sum(len(set(approx[approx.query_id == q].vec_id)
+                   & set(exact[exact.query_id == q].vec_id))
+               for q in queries)
+    assert hits / len(exact) >= 0.75
+    g0 = graph_pl._load_part_quant(os.path.join(idx, "part=0"))[1]
+    merged = str(tmp_path / "merged")
+    graph_pl.merge_graph_index(idx, merged, merge_factor=3,
+                               quantized_insert=True)
+    mq = graph_pl._load_part_quant(os.path.join(merged, "part=0"))
+    assert mq[0] == "nvq"
+    got_m = graph_pl.graph_topk(merged, queries, 10,
+                                ef_search=len(vecs), round_decimals=6)
+    pd.testing.assert_frame_equal(got_m, exact)
+    # add lifecycle: codes re-derived over the grown rows, gamma kept
+    extra = _clustered_vecs(seed=77, n_centers=2, per=30, d=32)
+    t2 = _vec_table(extra)
+    t2 = t2.set_column(0, "vec_id", pa.array(
+        np.arange(len(vecs), len(vecs) + len(extra)), type=pa.int64()))
+    graph_pl.add_to_graph_index(rd.from_arrow(t2), merged)
+    aq = graph_pl._load_part_quant(os.path.join(merged, "part=0"))
+    assert aq[1] == mq[1] == g0          # gamma survives merge + add
+    all_tbl = pa.concat_tables([_vec_table(vecs), t2])
+    exact_all = knn_pl.brute_force_topk(rd.from_arrow(all_tbl), queries,
+                                        10, metric="cosine",
+                                        round_decimals=6)
+    got_a = graph_pl.graph_topk(merged, queries, 10,
+                                ef_search=len(all_tbl), round_decimals=6)
+    pd.testing.assert_frame_equal(got_a, exact_all)
+    with pytest.raises(ValueError):
+        graph_pl.build_graph_index(ds, str(tmp_path / "bad"), nvq=True,
+                                   bq=True)
+
+
+def test_nvq_gamma_fit_prefers_companding_on_skewed_data():
+    """The per-partition gamma grid search must pick a companding
+    exponent (gamma != 1) when component mass is skewed toward the
+    per-vector minimum, and the fitted quantizer must beat the uniform
+    gamma=1 baseline in reconstruction MSE."""
+    from opensearch_jvector_ray.pipelines.graph import (
+        _nvq_encode, _nvq_levels, _train_part_nvq, _unitize)
+    rng = np.random.default_rng(0)
+    X = _unitize(rng.exponential(1.0, size=(2000, 32)))
+    g, a, b, c = _train_part_nvq(X)
+    assert g > 1.0
+    recon = a[:, None] * _nvq_levels(g)[c] + b[:, None]
+    a1, b1, c1 = _nvq_encode(X, 1.0)
+    r1 = a1[:, None] * _nvq_levels(1.0)[c1] + b1[:, None]
+    assert ((recon - X) ** 2).mean() < ((r1 - X) ** 2).mean()
+    # constant rows are representable exactly (a floor, u = 0)
+    C = np.full((3, 8), 0.25, dtype=np.float32)
+    ac, bc, cc = _nvq_encode(C, g)
+    rc = ac[:, None] * _nvq_levels(g)[cc] + bc[:, None]
+    assert np.allclose(rc, C)
