@@ -461,6 +461,23 @@ def run_ann_sweep() -> dict:
                 graph_pl.graph_topk(qdir, queries, k, ef_search=100),
                 truth)}
 
+        # graph + NVQ traversal (companded 8-bit scalar codes, per-row
+        # affine gather-sum correction — the reference's NVQ family)
+        ndir = os.path.join(BENCH_ROOT, f"ann_graphnvq_{n}")
+        shutil.rmtree(ndir, ignore_errors=True)
+        t0 = time.perf_counter()
+        graph_pl.build_graph_index(ds(), ndir, num_parts=num_parts,
+                                   build_degree_mult=2, nvq=True)
+        b = time.perf_counter() - t0
+        qsec = _timed_query(lambda: graph_pl.graph_topk(
+            ndir, queries, k, ef_search=100))
+        res["graph_nvq"] = {
+            "build_sec": round(b, 2),
+            "query_ms_per_op": round(qsec / n_q * 1e3, 3),
+            "recall_at_10": _recall(
+                graph_pl.graph_topk(ndir, queries, k, ef_search=100),
+                truth)}
+
         # IVF (persisted cell layout, prune-at-the-read)
         idir = os.path.join(BENCH_ROOT, f"ann_ivf_{n}")
         shutil.rmtree(idir, ignore_errors=True)

@@ -131,19 +131,24 @@ def _beam_batch(unit: np.ndarray, nbrs: np.ndarray, n_nbrs: np.ndarray,
     if lut is not None:
         M = codes.shape[1]
         pq_off = np.arange(M, dtype=np.int64) * (lut.shape[1] // M)
+    a_ = b_ = qneg = nvq_lev = None
+    if affine is not None:                              # NVQ mode
+        a_, b_, qneg, nvq_lev = affine
+    quantized = lut is not None or nvq_lev is not None
     # bandwidth-aware: below the matmul threshold, ALL query->node dots
     # are one BLAS (B, n) matmul up front and the beam only gathers
     # floats — the per-iteration (A, m, d) row gather + einsum is what
     # dominates on this memory-throttled sandbox
     d_all = None
-    if lut is None and len(unit) * B <= _FULL_MM_MAX_N * 64:
+    if not quantized and len(unit) * B <= _FULL_MM_MAX_N * 64:
         d_all = -(Q @ unit.T)                           # (B, n)
     if lut is not None:
         idx0 = codes[ent].astype(np.int64) + pq_off     # (E, M)
         d0 = lut[:, idx0].sum(axis=2)                   # (B, E)
-        if affine is not None:                          # NVQ per-row affine
-            a_, b_, qneg = affine
-            d0 = d0 * a_[ent][None, :] + b_[ent][None, :] * qneg[:, None]
+    elif nvq_lev is not None:
+        deq = nvq_lev[codes[ent]]                       # (E, d) float32
+        d0 = -(deq @ Q.T).T                             # (B, E)
+        d0 = d0 * a_[ent][None, :] + b_[ent][None, :] * qneg[:, None]
     else:
         d0 = -(unit[ent] @ Q.T).T                       # (B, E)
     order = np.argsort(d0, axis=1, kind="stable")
@@ -181,9 +186,10 @@ def _beam_batch(unit: np.ndarray, nbrs: np.ndarray, n_nbrs: np.ndarray,
             idxn = codes[neigh_c].astype(np.int64) + pq_off   # (A, m, M)
             dn = np.take_along_axis(lut[act][:, None, :], idxn,
                                     axis=2).sum(axis=2)
-            if affine is not None:                      # NVQ per-row affine
-                a_, b_, qneg = affine
-                dn = dn * a_[neigh_c] + b_[neigh_c] * qneg[act][:, None]
+        elif nvq_lev is not None:
+            deq = nvq_lev[codes[neigh_c]]               # (A, m, d)
+            dn = -np.einsum("amd,ad->am", deq, Q[act])
+            dn = dn * a_[neigh_c] + b_[neigh_c] * qneg[act][:, None]
         elif d_all is not None:
             dn = np.take_along_axis(d_all[act], neigh_c, axis=1)
         else:
@@ -967,29 +973,24 @@ def _train_part_nvq(vecs_unit: np.ndarray, seed: int = 42
     return best_g, a_all, b_all, codes
 
 
-def _nvq_lut(Qn: np.ndarray, gamma: float) -> np.ndarray:
-    """(B, d*256) negated lookup tables over the shared dequant levels:
-    entry [b, j*256 + c] = -q_j * f(c).  A node's gather-sum s then
-    yields its approximate distance via the per-ROW affine
-    a_i * s + b_i * (-sum(q)) — the correction `_beam_batch` applies
-    when given ``affine``."""
-    lev = _nvq_levels(gamma)
-    Qs = np.asarray(Qn, dtype=np.float32)
-    lut = -(Qs[:, :, None] * lev[None, None, :])
-    return np.ascontiguousarray(lut.reshape(len(Qs), -1))
-
-
 def _quant_lut_codes(part_quant, Qn
-                     ) -> tuple[np.ndarray, np.ndarray, tuple | None]:
-    """LUT + codes (+ per-row affine correction, NVQ only) for any
-    quantization kind, feeding _beam_batch's generic gather-sum
-    traversal."""
+                     ) -> tuple[np.ndarray | None, np.ndarray,
+                                tuple | None]:
+    """(lut, codes, affine) for any quantization kind.  PQ/BQ feed
+    _beam_batch's generic gather-sum traversal through ``lut``; NVQ
+    returns ``lut=None`` plus ``affine = (a, b, qneg, levels)`` — the
+    beam dequantizes candidate code ROWS through the 256-entry level
+    table (L1-resident) and takes a BLAS dot, then corrects with the
+    per-row affine: dist = a_i * (-(deq_i . q)) + b_i * (-sum(q)).
+    A per-query LUT would carry d*256 entries here (M = d subspaces) —
+    measured ~4x slower than dequant-then-dot from the per-iteration
+    LUT row copies."""
     if part_quant[0] == "pq":
         return _pq_neg_lut(part_quant[1], Qn), part_quant[2], None
     if part_quant[0] == "nvq":
         _, gamma, a, b, codes = part_quant
         qneg = -np.asarray(Qn, dtype=np.float32).sum(axis=1)
-        return _nvq_lut(Qn, gamma), codes, (a, b, qneg)
+        return None, codes, (a, b, qneg, _nvq_levels(gamma))
     codes = part_quant[1]
     return _bq_lut(Qn, codes.shape[1]), codes, None
 
