@@ -814,11 +814,16 @@ def simhash_near_dups(ds: "rd.Dataset", cfg: EngineConfig, id_col: str,
 # ---------------------------------------------------------------------------
 
 def decontaminate(ds: "rd.Dataset", cfg: EngineConfig, id_col: str,
-                  text_col: str, *, modulus: int, residue: int,
+                  text_col: str, *, modulus: int | None = None,
+                  residue: int = 0, bench_ds: "rd.Dataset | None" = None,
                   shingle_k: int = 3) -> "rd.Dataset":
     """Benchmark decontamination: flag every corpus doc that shares any
-    word ``shingle_k``-gram with a held-out benchmark set (here: docs with
-    ``id % modulus == residue`` — in production, the eval-suite corpus).
+    word ``shingle_k``-gram with a held-out benchmark set — either a
+    SEPARATE benchmark Dataset (``bench_ds``, the production shape: the
+    eval suite is its own small table, so stage 1 never scans the
+    corpus) or an in-corpus subset (``id % modulus == residue``, the
+    self-contained fixture shape; such docs get ``is_benchmark=1`` and
+    are never flagged).
 
     The classic training-data hygiene pass (n-gram overlap against test
     sets, as in GPT-3 appendix C / PaLM §7): contaminated training docs
@@ -843,13 +848,20 @@ def decontaminate(ds: "rd.Dataset", cfg: EngineConfig, id_col: str,
     """
     import ray as _ray
 
+    if (modulus is None) == (bench_ds is None):
+        raise ValueError("pass exactly one of modulus= or bench_ds=")
+
     @_ray.remote
     def _blk_bench(t: pa.Table) -> np.ndarray | None:
-        ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        mask = (ids % modulus) == residue
-        if not mask.any():
+        if modulus is not None:
+            ids = t.column(id_col).to_numpy(zero_copy_only=False)
+            mask = (ids % modulus) == residue
+            if not mask.any():
+                return None
+            t = t.filter(pa.array(mask))
+        if not t.num_rows:
             return None
-        texts = t.filter(pa.array(mask)).column(text_col)
+        texts = t.column(text_col)
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
         wh, _ = _window_hashes(texts, cfg, shingle_k)
@@ -862,8 +874,9 @@ def decontaminate(ds: "rd.Dataset", cfg: EngineConfig, id_col: str,
             return np.zeros(0, dtype=np.uint64)
         return np.unique(np.concatenate(arrs))
 
+    bench_src = bench_ds if bench_ds is not None else ds
     bench_ref = _union_sorted.remote(
-        *[_blk_bench.remote(b) for b in ds.to_arrow_refs()])
+        *[_blk_bench.remote(b) for b in bench_src.to_arrow_refs()])
 
     def _get_bench() -> np.ndarray:
         key = ("decon_bench", bench_ref.hex())
@@ -897,8 +910,11 @@ def decontaminate(ds: "rd.Dataset", cfg: EngineConfig, id_col: str,
         if hit.any():
             hit[hit] = bench[pos[hit]] == wh_u[hit]
         n_hits = np.bincount(wd_u[hit], minlength=n).astype(np.int64)
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        is_bench = ((ids % modulus) == residue)
+        if modulus is not None:
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            is_bench = ((ids % modulus) == residue)
+        else:
+            is_bench = np.zeros(n, dtype=bool)
         contaminated = (n_hits > 0) & ~is_bench
         return pa.table({
             id_col: batch[id_col],

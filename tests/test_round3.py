@@ -1913,3 +1913,59 @@ def test_nvq_gamma_fit_prefers_companding_on_skewed_data():
     ac, bc, cc = _nvq_encode(C, g)
     rc = ac[:, None] * _nvq_levels(g)[cc] + bc[:, None]
     assert np.allclose(rc, C)
+
+
+def test_decontaminate_separate_benchmark_dataset(ray_session):
+    """bench_ds= is the production shape: the eval suite is its own
+    table, stage 1 scans ONLY it, and no corpus doc is is_benchmark."""
+    from opensearch_jvector_ray.pipelines.dedup import decontaminate
+    cfg = EngineConfig()
+    corpus = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array(["alpha beta gamma delta",
+                          "totally unrelated words here",
+                          "ends with alpha beta gamma"])}))
+    bench = rd.from_arrow(pa.table({
+        "doc_id": pa.array([900], type=pa.int64()),
+        "text": pa.array(["the eval set says alpha beta gamma"])}))
+    out = (decontaminate(corpus, cfg, "doc_id", "text", bench_ds=bench)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert out["is_benchmark"].sum() == 0
+    assert list(out["contaminated"]) == [1, 0, 1]
+    with pytest.raises(ValueError):
+        decontaminate(corpus, cfg, "doc_id", "text")
+    with pytest.raises(ValueError):
+        decontaminate(corpus, cfg, "doc_id", "text", modulus=5,
+                      bench_ds=bench)
+
+
+from hypothesis import given as _h_given, settings as _h_settings
+from hypothesis import strategies as _h_st
+
+_PII_ALPHABET = "ab.@+-01 9%_ABZ:/,()!\t\n'\"\\"
+
+
+@_h_given(_h_st.lists(_h_st.text(alphabet=_PII_ALPHABET, max_size=60),
+                      max_size=8))
+@_h_settings(max_examples=60, deadline=None)
+def test_pii_scrub_matches_duckdb_on_random_strings(texts):
+    """Property: the engine's pyarrow-RE2 pass and DuckDB's RE2 chain
+    agree on COUNTS and REPLACED TEXT for arbitrary strings over an
+    alphabet dense in the patterns' trigger characters — the no-drift
+    guarantee the pii_scrub oracle depends on."""
+    import duckdb
+    from opensearch_jvector_ray.pipelines.textstats import (
+        PII_PATTERNS, pii_scrub_stage)
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string())})
+    got = pii_scrub_stage("doc_id", "text")(t)
+    con = duckdb.connect()
+    for i, txt in enumerate(texts):
+        cur = txt
+        for name, pat, repl in PII_PATTERNS:
+            n, cur = con.sql(
+                "SELECT len(regexp_extract_all(?, ?)), "
+                "regexp_replace(?, ?, ?, 'g')",
+                params=[cur, pat, cur, pat, repl]).fetchone()
+            assert got[f"n_{name}"][i].as_py() == n, (txt, name)
+        assert got["clean_text"][i].as_py() == cur, txt
