@@ -36,10 +36,12 @@ from opensearch_jvector_ray.oracles import (
     quantile_sql, range_join_sql,
     pack_chunks_sql, phrase_sql,
     pricing_summary_sql, quality_sql, repetition_sql, term_stats_sql,
-    token_count_sql,
+    token_count_sql, conversation_sql, turn_dedup_sql, lm_xent_sql,
 )
 from opensearch_jvector_ray.pipelines import dedup as dedup_pl
 from opensearch_jvector_ray.pipelines import knn as knn_pl
+from opensearch_jvector_ray.pipelines import lm as lm_pl
+from opensearch_jvector_ray.pipelines import transcripts as tr_pl
 from opensearch_jvector_ray.pipelines import multimodal as mm_pl
 from opensearch_jvector_ray.pipelines import relational as rel_pl
 from opensearch_jvector_ray.pipelines import textstats as ts_pl
@@ -891,6 +893,31 @@ def _q_transcripts_bm25(sf_dir: str) -> pd.DataFrame:
     return out[["query_id", "rank", "doc_id", "score"]]
 
 
+def _q_lm_xent(sf_dir: str) -> pd.DataFrame:
+    # unigram-LM cross-entropy quality scorer (train + score, one corpus)
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = lm_pl.lm_xent(ds, CFG, "doc_id", "text").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_conversation_assemble(sf_dir: str) -> pd.DataFrame:
+    from opensearch_jvector_ray.sources.tables import transcripts_path
+    ds = rd.read_parquet(transcripts_path(sf_dir))
+    out = tr_pl.assemble_conversations(ds).to_pandas()
+    return out.sort_values("conv_id").reset_index(drop=True)
+
+
+def _q_turn_dedup(sf_dir: str) -> pd.DataFrame:
+    from opensearch_jvector_ray.sources.tables import (
+        TRANSCRIPTS_CFG, transcripts_path,
+    )
+    ds = rd.read_parquet(transcripts_path(sf_dir),
+                         columns=["conv_id", "turn_idx", "text"])
+    aug = tr_pl.plant_duplicate_turns(ds)
+    out = tr_pl.turn_dedup(aug, TRANSCRIPTS_CFG).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_minhash(sf_dir: str) -> pd.DataFrame:
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return dedup_pl.minhash_lsh_dedup(ds, CFG, "doc_id", "text",
@@ -1005,6 +1032,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_exact": _q_ngram_exact,
         "pii_scrub": _q_pii_scrub,
         "corpus_decontaminate": _q_corpus_decontaminate,
+        "lm_xent": _q_lm_xent,
+        # transcript-corpus assembly / unit dedup (input_hint shape)
+        "conversation_assemble": _q_conversation_assemble,
+        "turn_dedup": _q_turn_dedup,
         # vector scoring surface (§2.8 kernels)
         "knn_cosine_topk": _q_knn("cosine"),
         "knn_l2_topk": _q_knn("l2"),
@@ -1055,15 +1086,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
-def _transcripts_oracle() -> str:
-    """Multi-scale transcript BM25 oracle: one read_parquet arm per known
-    test scale, selected at SQL runtime by the lineitem view's row count
-    (unique per sf).  Synthesis is deterministic and cached; materializing
+def _transcript_arms() -> list[tuple[str, int]]:
+    """One (cached synthetic parquet dir, lineitem rowcount) arm per known
+    test scale; synthesis is deterministic and cached, so materializing
     the arms here keeps read_parquet bindable at every scale."""
     import pyarrow.parquet as _pq
-    from opensearch_jvector_ray.sources.tables import (
-        TRANSCRIPTS_CFG, transcripts_path,
-    )
+    from opensearch_jvector_ray.sources.tables import transcripts_path
     arms = []
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
         d = f"/root/testdata/{sf}"
@@ -1071,8 +1099,20 @@ def _transcripts_oracle() -> str:
         if not os.path.exists(li):
             continue
         arms.append((transcripts_path(d), _pq.read_metadata(li).num_rows))
+    return arms
+
+
+def _transcripts_oracle() -> str:
+    """Multi-scale transcript BM25 oracle, selected at SQL runtime by the
+    lineitem view's row count (unique per sf)."""
+    from opensearch_jvector_ray.sources.tables import TRANSCRIPTS_CFG
     return transcripts_bm25_sql(TRANSCRIPT_QUERIES, 10, TRANSCRIPTS_CFG,
-                                arms)
+                                _transcript_arms())
+
+
+def _turn_dedup_oracle() -> str:
+    from opensearch_jvector_ray.sources.tables import TRANSCRIPTS_CFG
+    return turn_dedup_sql(_transcript_arms(), TRANSCRIPTS_CFG)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1106,6 +1146,9 @@ def oracle_sql() -> dict[str, str]:
         "corpus_decontaminate": decontaminate_sql(
             CFG, DECON_MODULUS, DECON_RESIDUE),
         "lang_id": lang_id_sql(CFG),
+        "lm_xent": lm_xent_sql(CFG),
+        "conversation_assemble": conversation_sql(_transcript_arms()),
+        "turn_dedup": _turn_dedup_oracle(),
         "knn_cosine_topk": knn_sql("cosine", KNN_QUERY_IDS, KNN_K),
         "knn_l2_topk": knn_sql("l2", KNN_QUERY_IDS, KNN_K),
         "knn_ip_topk": knn_sql("innerproduct", KNN_QUERY_IDS, KNN_K),

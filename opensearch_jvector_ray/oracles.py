@@ -815,15 +815,108 @@ def transcripts_bm25_sql(queries: dict[str, str], k: int, cfg: EngineConfig,
     zero-padded composite (conv_id:turn_idx) string, whose lexicographic
     order equals the engine's (conv_id, turn_idx) tie order.
     """
+    prefix = transcripts_arms_cte(
+        arms, "conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0')"
+              " AS doc_id, text")
+    return bm25_sql(queries, k, cfg, table="transcripts", id_col="doc_id",
+                    prefix_cte=prefix)
+
+
+def transcripts_arms_cte(arms: list[tuple[str, int]],
+                         select_exprs: str) -> str:
+    """Multi-scale transcript CTE: one read_parquet arm per known test
+    scale, selected at SQL runtime by the lineitem view's row count
+    (unique per sf).  Every listed dir must exist (read_parquet binds
+    eagerly)."""
     sel = "\n  UNION ALL\n".join(
-        f"  SELECT conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0')"
-        f" AS doc_id, text\n"
+        f"  SELECT {select_exprs}\n"
         f"  FROM read_parquet('{path}/*.parquet')\n"
         f"  WHERE (SELECT count(*) FROM lineitem) = {int(n)}"
         for path, n in arms)
-    prefix = f"transcripts AS (\n{sel}\n)"
-    return bm25_sql(queries, k, cfg, table="transcripts", id_col="doc_id",
-                    prefix_cte=prefix)
+    return f"transcripts AS (\n{sel}\n)"
+
+
+def conversation_sql(arms: list[tuple[str, int]]) -> str:
+    """Oracle for assemble_conversations: ordered string_agg is DuckDB's
+    sequential left-to-right concat — identical to the engine's
+    lexsort + binary_join per conversation."""
+    cte = transcripts_arms_cte(arms, "conv_id, turn_idx, role, text")
+    return f"""
+WITH {cte}
+SELECT conv_id, count(*)::BIGINT AS n_turns,
+       string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx)
+         AS conv_text
+FROM transcripts GROUP BY conv_id ORDER BY conv_id
+"""
+
+
+def turn_dedup_sql(arms: list[tuple[str, int]], cfg: EngineConfig,
+                   plant_every: int = 97) -> str:
+    """Oracle for plant_duplicate_turns >> turn_dedup: same planting rule
+    ('dupe-' || zero-padded id of turn 1 of every plant_every-th
+    conversation; 'conv-' < 'dupe-' keeps originals canonical), same
+    normalized-text md5, same min-doc-key keep rule."""
+    cte = transcripts_arms_cte(arms, "conv_id, turn_idx, text")
+    return f"""
+WITH {cte},
+aug AS (
+  SELECT conv_id, turn_idx, text FROM transcripts
+  UNION ALL
+  SELECT 'dupe-' || substr(conv_id, 6) AS conv_id, turn_idx, text
+  FROM transcripts
+  WHERE CAST(substr(conv_id, 6) AS BIGINT) % {plant_every} = 0
+    AND turn_idx = 1
+),
+h AS (
+  SELECT conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0')
+           AS doc_id,
+         md5({norm_text_expr(cfg)}) AS text_hash
+  FROM aug
+)
+SELECT doc_id, text_hash,
+       CAST(doc_id = min(doc_id) OVER (PARTITION BY text_hash) AS BIGINT)
+         AS keep
+FROM h ORDER BY doc_id
+"""
+
+
+def lm_xent_sql(cfg: EngineConfig, table: str = "documents",
+                id_col: str = "doc_id", text_col: str = "text") -> str:
+    """Oracle for lm_xent (pipelines/lm.py): add-one unigram LM trained on
+    the same corpus, per-term log-probs quantized to integer micro units
+    BEFORE the per-doc sum — integer aggregation is order-free, so no
+    float summation-order pinning is needed (unlike BM25).  floor() has
+    no round-half hazard; the only shared float ops are the single
+    ln/div per vocab term and one final UNROUNDED division per doc
+    (identical integer inputs -> bit-equal doubles; round(,6) would hit
+    the decimal half-tie hazard)."""
+    pat = sql_quote(cfg.split_pattern)
+    return f"""
+WITH u AS (
+  SELECT {id_col}, term FROM (
+    SELECT {id_col},
+           unnest(regexp_split_to_array(lower({text_col}), {pat})) AS term
+    FROM {table}
+  ) WHERE term <> ''
+),
+voc AS (SELECT term, count(*)::BIGINT AS cw FROM u GROUP BY term),
+tot AS (SELECT CAST(sum(cw) AS DOUBLE) + CAST(count(*) AS DOUBLE) AS denom
+        FROM voc),
+q AS (SELECT term,
+             CAST(floor(ln((cw + 1.0) / denom) * 1000000.0) AS BIGINT) AS qm
+      FROM voc, tot),
+cnt AS (SELECT {id_col}, term, count(*)::BIGINT AS c
+        FROM u GROUP BY {id_col}, term),
+s AS (SELECT cnt.{id_col}, sum(cnt.c * q.qm)::BIGINT AS micro,
+             sum(cnt.c)::BIGINT AS n
+      FROM cnt JOIN q USING (term) GROUP BY cnt.{id_col})
+SELECT d.{id_col},
+       coalesce(s.n, 0)::BIGINT AS n_tokens_all,
+       coalesce(-(CAST(s.micro AS DOUBLE)) / (s.n * 1000000.0),
+                0.0) AS xent
+FROM {table} d LEFT JOIN s ON s.{id_col} = d.{id_col}
+ORDER BY d.{id_col}
+"""
 
 
 def events_window_sql() -> str:

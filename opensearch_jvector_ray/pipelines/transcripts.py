@@ -1,0 +1,135 @@
+"""Conversation-level operators over the `input_hint` transcripts table
+(conv_id, turn_idx, role, text, tool, ts) — the document-assembly and
+unit-dedup steps an LLM training pipeline runs between raw transcript
+turns and the tokenizer:
+
+  - ``assemble_conversations``: turns -> one training document per
+    conversation ("role: text" lines joined in turn order).  ONE shuffle
+    keyed on conv_id (``hash_copartition``), whole-bucket vectorized
+    assembly (lexsort + Arrow ``binary_join`` over a ListArray — no
+    per-conversation Python).
+  - ``turn_dedup``: turn-level exact dedup — the paragraph-dedup analog
+    at transcript granularity.  Every turn is hashed on its
+    analyzer-normalized text (the ``exact_dedup`` canon rule); the first
+    occurrence by document key keeps, later copies are flagged.  ONE
+    shuffle keyed on text_hash; rows carry (doc_id, hash) only, never
+    text.
+
+Both have symbol-exact DuckDB oracles (``oracles.conversation_sql`` /
+``oracles.turn_dedup_sql``) built on the multi-scale transcript-arm CTE,
+so both are HARD driver gates.  Doc key is the zero-padded composite
+``conv_id:turn_idx`` whose lexicographic order equals (conv_id, turn_idx)
+order — the engine-wide transcript tie rule.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from opensearch_jvector_ray.config import EngineConfig
+from opensearch_jvector_ray.pipelines.relational import hash_copartition
+from opensearch_jvector_ray.pipelines.textstats import normalized_text
+
+SEP = "\n"
+PLANT_EVERY = 97  # synth.py's planted-conversation stride, reused
+
+
+def _doc_key(conv: pa.Array, turn_idx: pa.Array) -> pa.Array:
+    padded = pc.utf8_lpad(pc.cast(turn_idx, pa.string()), 4, "0")
+    return pc.binary_join_element_wise(conv, padded, ":")
+
+
+def assemble_conversations(ds: "rd.Dataset",
+                           num_parts: int = 64) -> "rd.Dataset":
+    """(conv_id, n_turns, conv_text) — one row per conversation."""
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        conv = df["conv_id"].to_numpy()
+        order = np.lexsort((df["turn_idx"].to_numpy(), conv))
+        conv = conv[order]
+        lines = pa.array(
+            (df["role"].to_numpy()[order] + ": "
+             + df["text"].to_numpy()[order]), type=pa.string())
+        new = np.ones(len(conv), dtype=bool)
+        new[1:] = conv[1:] != conv[:-1]
+        starts = np.flatnonzero(new)
+        offsets = np.append(starts, len(conv)).astype(np.int32)
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets), lines), SEP)
+        return pd.DataFrame({
+            "conv_id": conv[starts],
+            "n_turns": np.diff(offsets).astype(np.int64),
+            "conv_text": joined.to_pandas(),
+        })
+
+    return hash_copartition(
+        ds.select_columns(["conv_id", "turn_idx", "role", "text"]),
+        "conv_id", bucket, num_parts)
+
+
+def plant_duplicate_turns(ds: "rd.Dataset",
+                          plant_every: int = PLANT_EVERY) -> "rd.Dataset":
+    """Deterministic duplicate planting (the embedding_near_dups trick):
+    copy turn 1 of every ``plant_every``-th conversation under a
+    ``dupe-``-prefixed conv_id.  'conv-' < 'dupe-' lexicographically, so
+    originals stay canonical.  Gives the dedup gate guaranteed positives
+    at every scale (the synth corpus has no natural turn-text dups)."""
+    def plant(batch: pa.Table) -> pa.Table:
+        conv = batch["conv_id"]
+        if isinstance(conv, pa.ChunkedArray):
+            conv = conv.combine_chunks()
+        tail = pc.utf8_slice_codeunits(conv, 5)  # past 'conv-'
+        cid = pc.cast(tail, pa.int64()).to_numpy(zero_copy_only=False)
+        turn = batch["turn_idx"].to_numpy(zero_copy_only=False)
+        mask = (cid % plant_every == 0) & (turn == 1)
+        kept = batch.filter(pa.array(mask))
+        new_conv = pc.binary_join_element_wise(
+            pa.array(["dupe-"] * kept.num_rows, type=pa.string()),
+            pc.utf8_slice_codeunits(
+                kept["conv_id"].combine_chunks()
+                if isinstance(kept["conv_id"], pa.ChunkedArray)
+                else kept["conv_id"], 5), "")
+        return kept.set_column(kept.column_names.index("conv_id"),
+                               "conv_id", new_conv)
+
+    return ds.union(ds.map_batches(plant, batch_format="pyarrow"))
+
+
+def turn_dedup(ds: "rd.Dataset", cfg: EngineConfig,
+               num_parts: int = 64) -> "rd.Dataset":
+    """(doc_id, text_hash, keep) per turn; keep=1 iff the turn's doc key
+    is the minimum among turns sharing its normalized-text hash."""
+    def stage(batch: pa.Table) -> pa.Table:
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        conv = batch["conv_id"]
+        if isinstance(conv, pa.ChunkedArray):
+            conv = conv.combine_chunks()
+        norm = normalized_text(texts, cfg)
+        hs = [hashlib.md5(s.encode()).hexdigest()
+              for s in norm.to_pylist()]
+        return pa.table({
+            "doc_id": _doc_key(conv, batch["turn_idx"]),
+            "text_hash": pa.array(hs, type=pa.string()),
+        })
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["text_hash"].to_numpy()
+        d = df["doc_id"].to_numpy()
+        order = np.lexsort((d, h))
+        h, d = h[order], d[order]
+        first = np.ones(len(h), dtype=bool)
+        first[1:] = h[1:] != h[:-1]
+        return pd.DataFrame({"doc_id": d, "text_hash": h,
+                             "keep": first.astype(np.int64)})
+
+    hashed = ds.select_columns(["conv_id", "turn_idx", "text"]) \
+               .map_batches(stage, batch_format="pyarrow")
+    return hash_copartition(hashed, "text_hash", bucket, num_parts)

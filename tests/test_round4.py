@@ -1,0 +1,140 @@
+"""Round-4 operators: unigram-LM cross-entropy scoring (pipelines/lm.py),
+conversation assembly and turn-level exact dedup over the input_hint
+transcript shape (pipelines/transcripts.py).
+
+The driver-gate parity of all three vs DuckDB is covered by
+minidriver/oracle entries; these tests cover what SQL can't: the LM's
+out-of-vocabulary path (train on A, score B), model reuse, and the
+structural invariants of the transcript operators against brute-force
+pandas references.
+"""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from opensearch_jvector_ray.config import EngineConfig
+from opensearch_jvector_ray.pipelines import lm as lm_pl
+from opensearch_jvector_ray.pipelines import transcripts as tr_pl
+
+CFG = EngineConfig()
+
+
+def _docs(texts: list[str]) -> "rd.Dataset":
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    }))
+
+
+def _brute_xent(texts: list[str], train_texts: list[str]) -> list[float]:
+    toks = [t.lower().split() for t in train_texts]
+    counts: dict[str, int] = {}
+    for ts in toks:
+        for w in ts:
+            counts[w] = counts.get(w, 0) + 1
+    T, V = sum(counts.values()), len(counts)
+    denom = float(T) + float(V)
+    q = {w: math.floor(math.log((c + 1.0) / denom) * 1e6)
+         for w, c in counts.items()}
+    q_oov = math.floor(math.log(1.0 / denom) * 1e6)
+    out = []
+    for t in texts:
+        ws = t.lower().split()
+        if not ws:
+            out.append(0.0)
+            continue
+        micro = sum(q.get(w, q_oov) for w in ws)
+        out.append(-float(micro) / (len(ws) * 1e6))
+    return out
+
+
+def test_lm_xent_self_matches_brute():
+    texts = ["data model data", "agent tool agent tool agent",
+             "data", "", "model model model model"]
+    got = lm_pl.lm_xent(_docs(texts), CFG, "doc_id", "text") \
+               .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    exp = _brute_xent(texts, texts)
+    assert got["xent"].tolist() == exp
+    assert got["n_tokens_all"].tolist() == [3, 5, 1, 0, 4]
+    # rarer tokens -> higher xent; the all-head-term doc scores lowest
+    assert got["xent"][4] < got["xent"][1]
+
+
+def test_lm_xent_oov_scores_held_out_split():
+    train = ["data model data model", "agent tool data"]
+    held = ["data zebra", "zebra nebula quantum"]  # all-OOV last doc
+    lm = lm_pl.train_unigram_lm(_docs(train), CFG, "text")
+    assert lm.total_tokens == 7 and lm.vocab_size == 4
+    got = lm_pl.lm_xent(_docs(held), CFG, "doc_id", "text", lm=lm) \
+               .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    exp = _brute_xent(held, train)
+    assert got["xent"].tolist() == exp
+    # the all-OOV doc must score exactly -q_oov/1e6 per token
+    assert got["xent"][1] == -float(lm.q_oov) / 1e6
+    # and strictly worse than the in-vocab-heavy doc
+    assert got["xent"][1] > got["xent"][0]
+
+
+def _turns(rows) -> "rd.Dataset":
+    conv, idx, role, text = zip(*rows)
+    return rd.from_arrow(pa.table({
+        "conv_id": pa.array(conv, type=pa.string()),
+        "turn_idx": pa.array(idx, type=pa.int32()),
+        "role": pa.array(role, type=pa.string()),
+        "text": pa.array(text, type=pa.string()),
+    }))
+
+
+def test_assemble_conversations_orders_and_joins():
+    # out-of-order input: assembly must sort by (conv_id, turn_idx)
+    ds = _turns([
+        ("conv-0000002", 1, "assistant", "two b"),
+        ("conv-0000001", 0, "user", "one a"),
+        ("conv-0000002", 0, "user", "two a"),
+        ("conv-0000001", 1, "assistant", "one b"),
+        ("conv-0000001", 2, "tool", "one c"),
+    ])
+    got = tr_pl.assemble_conversations(ds, num_parts=4).to_pandas() \
+               .sort_values("conv_id").reset_index(drop=True)
+    assert got["conv_id"].tolist() == ["conv-0000001", "conv-0000002"]
+    assert got["n_turns"].tolist() == [3, 2]
+    assert got["conv_text"][0] == "user: one a\nassistant: one b\ntool: one c"
+    assert got["conv_text"][1] == "user: two a\nassistant: two b"
+
+
+def test_turn_dedup_flags_planted_copies():
+    base = [
+        ("conv-0000000", 0, "user", "alpha beta"),
+        ("conv-0000000", 1, "assistant", "gamma delta"),  # plant target
+        ("conv-0000097", 0, "user", "epsilon zeta"),
+        ("conv-0000097", 1, "assistant", "eta theta"),    # plant target
+        ("conv-0000001", 0, "user", "alpha beta"),        # natural dup of turn 0
+    ]
+    aug = tr_pl.plant_duplicate_turns(_turns(base))
+    got = tr_pl.turn_dedup(aug, CFG, num_parts=4).to_pandas() \
+               .sort_values("doc_id").reset_index(drop=True)
+    assert len(got) == len(base) + 2  # two planted copies
+    by = dict(zip(got["doc_id"], got["keep"]))
+    # planted copies keep=0, originals keep=1
+    assert by["dupe-0000000:0001"] == 0 and by["conv-0000000:0001"] == 1
+    assert by["dupe-0000097:0001"] == 0 and by["conv-0000097:0001"] == 1
+    # natural dup: min doc key wins
+    assert by["conv-0000000:0000"] == 1 and by["conv-0000001:0000"] == 0
+    # hashes agree between original and planted copy
+    h = dict(zip(got["doc_id"], got["text_hash"]))
+    assert h["dupe-0000000:0001"] == h["conv-0000000:0001"]
+
+
+def test_turn_dedup_normalizes_punctuation_and_case():
+    ds = _turns([
+        ("conv-0000000", 0, "user", "Alpha, Beta!"),
+        ("conv-0000003", 0, "user", "alpha beta"),
+    ])
+    got = tr_pl.turn_dedup(ds, CFG, num_parts=2).to_pandas() \
+               .sort_values("doc_id").reset_index(drop=True)
+    assert got["keep"].tolist() == [1, 0]
+    assert got["text_hash"][0] == got["text_hash"][1]
