@@ -32,6 +32,7 @@ from opensearch_jvector_ray.oracles import (
     revenue_by_region_brand_sql, top_order_revenue_sql, transcripts_bm25_sql,
     fingerprint_sql, grouped_best_sql, grouped_expand_sql, knn_sql,
     hash_sample_sql, hash_split_sql, lang_id_sql, minhash_exact_sql,
+    mix_sources_sql,
     ngram_exact_sql, pii_scrub_sql, decontaminate_sql,
     quantile_sql, range_join_sql,
     pack_chunks_sql, phrase_sql,
@@ -253,6 +254,11 @@ def _q_corpus_clean(sf_dir: str) -> pd.DataFrame:
 
 SAMPLE_RATE, SAMPLE_SALT = 0.25, "s1"
 SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+# mixture weights: one full-keep source, graded downsampling, and a
+# default rate exercised by every unlisted source
+MIX_RATES = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25,
+             "src4": 0.1}
+MIX_DEFAULT, MIX_SALT = 0.05, "mix1"
 PACK_BUDGET = 512
 N_PLANT_MH, MH_PLANT_OFFSET = 10, 1000000
 
@@ -265,6 +271,17 @@ def _q_corpus_sample(sf_dir: str) -> pd.DataFrame:
     ds = read_table(sf_dir, "documents", columns=["doc_id"])
     out = hash_sample(ds, "doc_id", SAMPLE_RATE,
                       salt=SAMPLE_SALT).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_corpus_mix(sf_dir: str) -> pd.DataFrame:
+    # dataset mixing: per-source deterministic Bernoulli sampling to a
+    # target mixture (the Pile/CCNet mixture-weights step)
+    from opensearch_jvector_ray.pipelines.corpus import mix_sources
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    out = mix_sources(ds, "doc_id", "source", MIX_RATES, salt=MIX_SALT,
+                      default_rate=MIX_DEFAULT).to_pandas()
     out["doc_id"] = out["doc_id"].astype(np.int64)
     return out.sort_values("doc_id").reset_index(drop=True)
 
@@ -1026,6 +1043,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "corpus_clean": _q_corpus_clean,
         "corpus_sample": _q_corpus_sample,
+        "corpus_mix": _q_corpus_mix,
         "corpus_split": _q_corpus_split,
         "corpus_pack": _q_corpus_pack,
         "minhash_dedup_exact": _q_minhash_exact,
@@ -1138,6 +1156,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition": repetition_sql(CFG),
         "corpus_clean": corpus_clean_sql(CFG, 5, 0.1),
         "corpus_sample": hash_sample_sql(SAMPLE_RATE, SAMPLE_SALT),
+        "corpus_mix": mix_sources_sql(MIX_RATES, MIX_SALT, MIX_DEFAULT),
         "corpus_split": hash_split_sql(SPLITS, SAMPLE_SALT),
         "corpus_pack": pack_chunks_sql(CFG, PACK_BUDGET),
         "minhash_dedup_exact": minhash_exact_sql(N_PLANT_MH, MH_PLANT_OFFSET),

@@ -1068,6 +1068,36 @@ ORDER BY {id_col}
 """
 
 
+def mix_sources_sql(rates: dict[str, float], salt: str = "",
+                    default_rate: float = 0.0, table: str = "documents",
+                    id_col: str = "doc_id",
+                    source_col: str = "source") -> str:
+    """Dataset-mixing oracle: per-source CASE ladder over the SAME
+    ``sample_threshold_hex`` thresholds the engine uses (shared code —
+    the rule cannot drift); rate >= 1.0 keeps everything."""
+    from opensearch_jvector_ray.pipelines.corpus import sample_threshold_hex
+    arms = []
+    for s in sorted(rates):
+        r = rates[s]
+        cond = ("TRUE" if r >= 1.0 else
+                f"substr(md5({sql_quote(salt)} || {id_col}::VARCHAR), 1, 4)"
+                f" < {sql_quote(sample_threshold_hex(r))}")
+        arms.append(f"WHEN {sql_quote(s)} THEN {cond}")
+    default = ("TRUE" if default_rate >= 1.0 else
+               f"substr(md5({sql_quote(salt)} || {id_col}::VARCHAR), 1, 4)"
+               f" < {sql_quote(sample_threshold_hex(min(default_rate, 1.0)))}")
+    ladder = "\n        ".join(arms)
+    return f"""
+SELECT {id_col}, {source_col}
+FROM {table}
+WHERE CASE {source_col}
+        {ladder}
+        ELSE {default}
+      END
+ORDER BY {id_col}
+"""
+
+
 def hash_split_sql(splits: dict[str, float], salt: str = "",
                    table: str = "documents", id_col: str = "doc_id",
                    out_col: str = "split") -> str:

@@ -153,6 +153,41 @@ def hash_split(ds: "rd.Dataset", id_col: str,
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def mix_sources(ds: "rd.Dataset", id_col: str, source_col: str,
+                rates: dict[str, float], *, salt: str = "",
+                default_rate: float = 0.0) -> "rd.Dataset":
+    """Dataset mixing: per-source deterministic Bernoulli sampling to a
+    target mixture (the Pile / CCNet mixture-weights step — each corpus
+    source is up/down-sampled to its configured proportion).
+
+    Keep a row iff md5(salt || id)[:4] < threshold(rates[source])
+    (sources at rate >= 1.0 keep everything; sources missing from
+    ``rates`` use ``default_rate``).  Membership depends only on
+    (id, salt) — stable across reruns, shards and cluster sizes, and the
+    per-source thresholds compose with ``hash_split``'s disjoint ranges.
+    Stateless map_batches filter: no shuffle, no materialization."""
+    full = {s for s, r in rates.items() if r >= 1.0}
+    thresh = {s: sample_threshold_hex(r) for s, r in rates.items()
+              if r < 1.0}
+    default_full = default_rate >= 1.0
+    default_hex = sample_threshold_hex(min(default_rate, 1.0))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        src = batch[source_col].to_numpy(zero_copy_only=False)
+        pref = _md5_prefix(ids, salt)
+        th = np.asarray(
+            [thresh.get(s, default_hex) for s in src], dtype="U4")
+        is_full = np.asarray(
+            [s in full or (default_full and s not in thresh)
+             for s in src], dtype=bool)
+        return batch.filter(pa.array(is_full | (pref < th)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # sequence packing (concat-and-chunk at a token budget)
 # ---------------------------------------------------------------------------

@@ -138,3 +138,31 @@ def test_turn_dedup_normalizes_punctuation_and_case():
                .sort_values("doc_id").reset_index(drop=True)
     assert got["keep"].tolist() == [1, 0]
     assert got["text_hash"][0] == got["text_hash"][1]
+
+
+def test_mix_sources_rates_and_determinism():
+    from opensearch_jvector_ray.pipelines import corpus as corpus_pl
+    n = 2000
+    tbl = pa.table({
+        "doc_id": pa.array(range(n), type=pa.int64()),
+        "source": pa.array(["full", "half", "none", "other"][0:4] * (n // 4)),
+    })
+    rates = {"full": 1.0, "half": 0.5, "none": 0.0}
+    got = corpus_pl.mix_sources(rd.from_arrow(tbl), "doc_id", "source",
+                                rates, salt="t", default_rate=0.25) \
+                   .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    by = got.groupby("source").size().to_dict()
+    assert by.get("full") == n // 4            # rate>=1 keeps everything
+    assert "none" not in by                    # rate 0 drops everything
+    assert 0.35 * n / 4 < by.get("half", 0) < 0.65 * n / 4
+    assert 0.10 * n / 4 < by.get("other", 0) < 0.40 * n / 4  # default rate
+    # determinism: a second run is bit-identical
+    again = corpus_pl.mix_sources(rd.from_arrow(tbl), "doc_id", "source",
+                                  rates, salt="t", default_rate=0.25) \
+                     .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, again)
+    # independence: a different salt draws a different sample
+    other = corpus_pl.mix_sources(rd.from_arrow(tbl), "doc_id", "source",
+                                  rates, salt="u", default_rate=0.25) \
+                     .to_pandas()
+    assert set(other.doc_id) != set(got.doc_id)
