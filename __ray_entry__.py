@@ -32,7 +32,7 @@ from opensearch_jvector_ray.oracles import (
     revenue_by_region_brand_sql, top_order_revenue_sql, transcripts_bm25_sql,
     fingerprint_sql, grouped_best_sql, grouped_expand_sql, knn_sql,
     hash_sample_sql, hash_split_sql, lang_id_sql, minhash_exact_sql,
-    mix_sources_sql,
+    mix_sources_sql, bpe_count_sql,
     ngram_exact_sql, pii_scrub_sql, decontaminate_sql,
     quantile_sql, range_join_sql,
     pack_chunks_sql, phrase_sql,
@@ -207,6 +207,14 @@ def _q_collection_stats(sf_dir: str) -> pd.DataFrame:
 def _q_token_count(sf_dir: str) -> pd.DataFrame:
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     out = (ds.map_batches(ts_pl.token_count_stage(CFG, "doc_id", "text"),
+                          batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_token_count_bpe(sf_dir: str) -> pd.DataFrame:
+    # whitespace + BPE-ish regex token counts (the LLM token-budget proxy)
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = (ds.map_batches(ts_pl.bpe_count_stage("doc_id", "text"),
                           batch_format="pyarrow").to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
 
@@ -1036,6 +1044,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collection_stats": _q_collection_stats,
         # text-analysis pipeline operators
         "token_count": _q_token_count,
+        "token_count_bpe": _q_token_count_bpe,
         "doc_fingerprint": _q_fingerprint,
         "exact_dedup": _q_exact_dedup,
         "quality_score": _q_quality,
@@ -1150,6 +1159,7 @@ def oracle_sql() -> dict[str, str]:
         "term_stats": term_stats_sql(TERM_STATS_TERMS, CFG),
         "collection_stats": collection_stats_sql(CFG),
         "token_count": token_count_sql(CFG),
+        "token_count_bpe": bpe_count_sql(ts_pl.BPE_PATTERN),
         "doc_fingerprint": fingerprint_sql(CFG),
         "exact_dedup": exact_dedup_sql(CFG),
         "quality_score": quality_sql(CFG),

@@ -22,6 +22,12 @@ Usage (each subcommand owns a Ray session; on a cluster, submit with
          [--merge-factor N] [--mode incremental|rebuild]
          [--polish N|auto] [--quantized-insert]
          [--refine-quant-iters N]
+  python -m opensearch_jvector_ray corpus --input DIR|FILE --out DIR
+         --op clean|sample|split|mix|pack|lm-score|turn-dedup|assemble
+         [--rate R] [--salt S] [--splits train=0.8,val=0.1,test=0.1]
+         [--mix src0=1.0,src1=0.5,...] [--default-rate R] [--budget N]
+         [--id-col C] [--text-col C] [--source-col C]
+         (training-data corpus prep; output is partitioned parquet)
 """
 
 from __future__ import annotations
@@ -149,6 +155,24 @@ def main(argv: list[str] | None = None) -> int:
                     choices=["graph", "ivf", "ivfpq"])
     ka.add_argument("--id-col", default="vec_id")
     ka.add_argument("--vec-col", default="embedding")
+
+    cp = sub.add_parser("corpus")
+    cp.add_argument("--input", required=True)
+    cp.add_argument("--out", required=True)
+    cp.add_argument("--op", required=True,
+                    choices=["clean", "sample", "split", "mix", "pack",
+                             "lm-score", "turn-dedup", "assemble"])
+    cp.add_argument("--rate", type=float, default=0.1)
+    cp.add_argument("--salt", default="")
+    cp.add_argument("--splits", default="train=0.8,val=0.1,test=0.1")
+    cp.add_argument("--mix", default=None,
+                    help="comma list of source=rate pairs")
+    cp.add_argument("--default-rate", type=float, default=0.0)
+    cp.add_argument("--budget", type=int, default=2048)
+    cp.add_argument("--id-col", dest="cid_col", default="doc_id")
+    cp.add_argument("--text-col", dest="ctext_col", default="text")
+    cp.add_argument("--source-col", default="source")
+    cp.add_argument("--min-tokens", type=int, default=5)
 
     kd = sub.add_parser("knn-delete")
     kd.add_argument("--index", required=True)
@@ -337,6 +361,50 @@ def main(argv: list[str] | None = None) -> int:
                                        vec_col=args.vec_col)
             print(json.dumps({"added_into": args.index,
                               "engine": args.engine}))
+        elif args.cmd == "corpus":
+            import ray.data as rd
+            from opensearch_jvector_ray.config import EngineConfig
+            cfg = EngineConfig()
+            ds = rd.read_parquet(args.input)
+            idc, txc = args.cid_col, args.ctext_col
+            if args.op == "clean":
+                from opensearch_jvector_ray.pipelines.corpus import clean_corpus
+                out = clean_corpus(ds, cfg, idc, txc,
+                                   min_tokens=args.min_tokens)
+            elif args.op == "sample":
+                from opensearch_jvector_ray.pipelines.corpus import hash_sample
+                out = hash_sample(ds, idc, args.rate, salt=args.salt)
+            elif args.op == "split":
+                from opensearch_jvector_ray.pipelines.corpus import hash_split
+                splits = {k: float(v) for k, v in
+                          (kv.split("=") for kv in args.splits.split(","))}
+                out = hash_split(ds, idc, splits, salt=args.salt)
+            elif args.op == "mix":
+                from opensearch_jvector_ray.pipelines.corpus import mix_sources
+                if not args.mix:
+                    p.error("--op mix needs --mix source=rate,...")
+                rates = {k: float(v) for k, v in
+                         (kv.split("=") for kv in args.mix.split(","))}
+                out = mix_sources(ds, idc, args.source_col, rates,
+                                  salt=args.salt,
+                                  default_rate=args.default_rate)
+            elif args.op == "pack":
+                from opensearch_jvector_ray.pipelines.corpus import pack_chunks
+                out = pack_chunks(ds, cfg, idc, txc, budget=args.budget)
+            elif args.op == "lm-score":
+                from opensearch_jvector_ray.pipelines.lm import lm_xent
+                out = lm_xent(ds, cfg, idc, txc)
+            elif args.op == "turn-dedup":
+                from opensearch_jvector_ray.pipelines.transcripts import turn_dedup
+                out = turn_dedup(ds, cfg)
+            else:  # assemble
+                from opensearch_jvector_ray.pipelines.transcripts import (
+                    assemble_conversations,
+                )
+                out = assemble_conversations(ds)
+            out.write_parquet(args.out)
+            print(json.dumps({"op": args.op, "out": args.out,
+                              "rows": rd.read_parquet(args.out).count()}))
         elif args.cmd == "knn-delete":
             ids = [int(x) for x in args.ids.split(",")]
             if args.engine == "graph":

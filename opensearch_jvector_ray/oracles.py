@@ -308,6 +308,19 @@ ORDER BY d.{id_col}
 """
 
 
+def bpe_count_sql(pattern: str, table: str = "documents",
+                  id_col: str = "doc_id", text_col: str = "text") -> str:
+    """Oracle for bpe_count_stage: DuckDB's regexp_extract_all compiles
+    the SAME RE2 pattern string, so match counts are engine-identical."""
+    return f"""
+SELECT {id_col},
+       len(regexp_extract_all({text_col}, '\\S+'))::BIGINT AS n_ws_tokens,
+       len(regexp_extract_all({text_col}, {sql_quote(pattern)}))::BIGINT
+         AS n_bpe_tokens
+FROM {table} ORDER BY {id_col}
+"""
+
+
 def fingerprint_sql(cfg: EngineConfig, table: str = "documents",
                     id_col: str = "doc_id", text_col: str = "text") -> str:
     return f"""

@@ -52,6 +52,35 @@ def token_count_stage(cfg: EngineConfig, id_col: str, text_col: str):
     return fn
 
 
+# BPE-ish pre-tokenizer pattern (GPT-2-style word/number/punct runs with
+# common English contractions split off; RE2-safe — no lookarounds — so
+# pyarrow and DuckDB count matches identically from the SAME string).
+BPE_PATTERN = r"'(?:s|d|m|t|ll|ve|re)|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s']+"
+
+
+def bpe_count_stage(id_col: str, text_col: str,
+                    pattern: str = BPE_PATTERN):
+    """(id, n_ws_tokens, n_bpe_tokens) — whitespace-token count plus a
+    BPE-style pre-tokenizer match count (the LLM-budget proxy: BPE
+    subword counts are ~1.3x the pre-token count on English text).
+    Two vectorized RE2 passes per batch; the DuckDB oracle shares both
+    pattern strings verbatim (`len(regexp_extract_all(...))`)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        return pa.table({
+            id_col: batch[id_col],
+            "n_ws_tokens": pc.cast(
+                pc.count_substring_regex(texts, pattern=r"\S+"),
+                pa.int64()),
+            "n_bpe_tokens": pc.cast(
+                pc.count_substring_regex(texts, pattern=pattern),
+                pa.int64()),
+        })
+    return fn
+
+
 def quality_stage(cfg: EngineConfig, id_col: str, text_col: str):
     """Quality signals: total tokens, stopword ratio, mean token length,
     all round(6) for oracle parity."""

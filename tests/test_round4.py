@@ -166,3 +166,43 @@ def test_mix_sources_rates_and_determinism():
                                   rates, salt="u", default_rate=0.25) \
                      .to_pandas()
     assert set(other.doc_id) != set(got.doc_id)
+
+
+def test_bpe_count_stage_edges():
+    from opensearch_jvector_ray.pipelines.textstats import bpe_count_stage
+    texts = ["don't stop", "hello,world!!", "a1b2 c3", "", "   ",
+             "it's we'll they've I'd"]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                    "text": pa.array(texts, type=pa.string())})
+    got = bpe_count_stage("doc_id", "text")(tbl).to_pandas()
+    # don't -> don / 't / stop ; hello,world!! -> hello , world !!
+    assert got["n_bpe_tokens"].tolist() == [3, 4, 6, 0, 0, 8]
+    assert got["n_ws_tokens"].tolist() == [2, 1, 2, 0, 0, 4]
+
+
+def test_cli_corpus_ops(tmp_path):
+    import json as _json
+    import os
+    import subprocess
+    import sys
+    env = {**os.environ, "PYTHONPATH": "/root/repo"}
+
+    def run(*argv):
+        r = subprocess.run([sys.executable, "-m", "opensearch_jvector_ray",
+                            *argv], capture_output=True, text=True, env=env,
+                           cwd="/root/repo", timeout=300)
+        assert r.returncode == 0, r.stderr[-2000:]
+        return _json.loads(r.stdout.strip().splitlines()[-1])
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    out = run("corpus", "--input", docs, "--op", "sample",
+              "--rate", "0.25", "--salt", "s1",
+              "--out", str(tmp_path / "sample"))
+    assert 0 < out["rows"] < 500
+    out2 = run("corpus", "--input", docs, "--op", "mix",
+               "--mix", "src0=1.0,src1=0.5", "--default-rate", "0.0",
+               "--out", str(tmp_path / "mix"))
+    assert 25 <= out2["rows"] <= 40  # src0 fully kept, src1 halved
+    out3 = run("corpus", "--input", docs, "--op", "lm-score",
+               "--out", str(tmp_path / "lm"))
+    assert out3["rows"] == 500
