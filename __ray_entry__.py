@@ -32,7 +32,7 @@ from opensearch_jvector_ray.oracles import (
     revenue_by_region_brand_sql, top_order_revenue_sql, transcripts_bm25_sql,
     fingerprint_sql, grouped_best_sql, grouped_expand_sql, knn_sql,
     hash_sample_sql, hash_split_sql, lang_id_sql, minhash_exact_sql,
-    mix_sources_sql, bpe_count_sql,
+    mix_sources_sql, bpe_count_sql, gopher_filter_sql,
     ngram_exact_sql, pii_scrub_sql, decontaminate_sql,
     quantile_sql, range_join_sql,
     pack_chunks_sql, phrase_sql,
@@ -918,6 +918,18 @@ def _q_transcripts_bm25(sf_dir: str) -> pd.DataFrame:
     return out[["query_id", "rank", "doc_id", "score"]]
 
 
+def _q_gopher_filter(sf_dir: str) -> pd.DataFrame:
+    # Gopher-rules quality filter: six public rules fused in one pass,
+    # per-rule fail bitmask; thresholds sized so the fixture splits
+    # non-trivially (token-count floor 50 vs median 56; >=2 stop hits;
+    # dup-token cap 0.6 vs max 0.72)
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = (ds.map_batches(
+        ts_pl.gopher_filter_stage(CFG, "doc_id", "text"),
+        batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_lm_xent(sf_dir: str) -> pd.DataFrame:
     # unigram-LM cross-entropy quality scorer (train + score, one corpus)
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -1059,6 +1071,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_exact": _q_ngram_exact,
         "pii_scrub": _q_pii_scrub,
         "corpus_decontaminate": _q_corpus_decontaminate,
+        "gopher_filter": _q_gopher_filter,
         "lm_xent": _q_lm_xent,
         # transcript-corpus assembly / unit dedup (input_hint shape)
         "conversation_assemble": _q_conversation_assemble,
@@ -1175,6 +1188,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_decontaminate": decontaminate_sql(
             CFG, DECON_MODULUS, DECON_RESIDUE),
         "lang_id": lang_id_sql(CFG),
+        "gopher_filter": gopher_filter_sql(CFG),
         "lm_xent": lm_xent_sql(CFG),
         "conversation_assemble": conversation_sql(_transcript_arms()),
         "turn_dedup": _turn_dedup_oracle(),

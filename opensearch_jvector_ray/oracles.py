@@ -400,6 +400,79 @@ ORDER BY d.{id_col}
 """
 
 
+def gopher_filter_sql(cfg: EngineConfig, *, min_tokens: int = 50,
+                      max_tokens: int = 100_000,
+                      min_mean_len: float = 3.0, max_mean_len: float = 10.0,
+                      min_stop_hits: int = 2, min_alpha_ratio: float = 0.8,
+                      max_dup_token_ratio: float = 0.6,
+                      max_dup_bigram_ratio: float = 0.5,
+                      table: str = "documents", id_col: str = "doc_id",
+                      text_col: str = "text") -> str:
+    """Oracle for gopher_filter_stage: same six rules, same bit layout.
+    Every ratio is one IEEE division of exact integers (no rounding), so
+    comparisons are bit-identical to the engine."""
+    pat = sql_quote(cfg.split_pattern)
+    stop = stoplist_sql(cfg)
+    return f"""
+WITH t AS (
+  SELECT {id_col},
+         list_filter(regexp_split_to_array(lower({text_col}), {pat}),
+                     x -> x <> '') AS toks
+  FROM {table}
+), u AS (
+  SELECT {id_col}, unnest(toks) AS term,
+         unnest(range(len(toks))) AS pos
+  FROM t
+), b AS (
+  SELECT {id_col}, term,
+         lead(term) OVER (PARTITION BY {id_col} ORDER BY pos) AS nxt
+  FROM u
+), g AS (
+  SELECT {id_col},
+         count(*)::BIGINT AS nt,
+         sum(len(term))::BIGINT AS sum_len,
+         count(CASE WHEN list_contains({stop}, term) THEN 1 END)::BIGINT
+           AS n_stop,
+         count(CASE WHEN regexp_matches(term, '[a-z]') THEN 1 END)::BIGINT
+           AS n_alpha,
+         count(DISTINCT term)::BIGINT AS dt,
+         count(nxt)::BIGINT AS nb,
+         count(DISTINCT term || ' ' || nxt)::BIGINT AS db
+  FROM b GROUP BY {id_col}
+), m AS (
+  SELECT d.{id_col},
+         coalesce(g.nt, 0) AS nt, coalesce(g.sum_len, 0) AS sum_len,
+         coalesce(g.n_stop, 0) AS n_stop,
+         coalesce(g.n_alpha, 0) AS n_alpha,
+         coalesce(g.dt, 0) AS dt, coalesce(g.nb, 0) AS nb,
+         coalesce(g.db, 0) AS db
+  FROM {table} d LEFT JOIN g ON g.{id_col} = d.{id_col}
+), f AS (
+  SELECT {id_col}, nt,
+    (CASE WHEN nt < {min_tokens} OR nt > {max_tokens} THEN 1 ELSE 0 END
+     + CASE WHEN (CAST(sum_len AS DOUBLE) / greatest(nt, 1))
+                   < {min_mean_len!r}
+              OR (CAST(sum_len AS DOUBLE) / greatest(nt, 1))
+                   > {max_mean_len!r} THEN 2 ELSE 0 END
+     + CASE WHEN n_stop < {min_stop_hits} THEN 4 ELSE 0 END
+     + CASE WHEN (CAST(n_alpha AS DOUBLE) / greatest(nt, 1))
+                   < {min_alpha_ratio!r} THEN 8 ELSE 0 END
+     + CASE WHEN (CASE WHEN nt > 0
+                       THEN 1.0 - CAST(dt AS DOUBLE) / greatest(nt, 1)
+                       ELSE 0.0 END) > {max_dup_token_ratio!r}
+            THEN 16 ELSE 0 END
+     + CASE WHEN (CASE WHEN nb > 0
+                       THEN 1.0 - CAST(db AS DOUBLE) / greatest(nb, 1)
+                       ELSE 0.0 END) > {max_dup_bigram_ratio!r}
+            THEN 32 ELSE 0 END)::BIGINT AS fail_mask
+  FROM m
+)
+SELECT {id_col}, nt AS n_tokens_all, fail_mask,
+       (CASE WHEN fail_mask = 0 THEN 1 ELSE 0 END)::BIGINT AS keep
+FROM f ORDER BY {id_col}
+"""
+
+
 def lang_id_sql(cfg: EngineConfig, threshold: float = 0.1,
                 table: str = "documents", id_col: str = "doc_id",
                 text_col: str = "text") -> str:

@@ -201,6 +201,104 @@ def repetition_stage(cfg: EngineConfig, id_col: str, text_col: str):
     return fn
 
 
+def gopher_filter_stage(cfg: EngineConfig, id_col: str, text_col: str, *,
+                        min_tokens: int = 50, max_tokens: int = 100_000,
+                        min_mean_len: float = 3.0,
+                        max_mean_len: float = 10.0,
+                        min_stop_hits: int = 2,
+                        min_alpha_ratio: float = 0.8,
+                        max_dup_token_ratio: float = 0.6,
+                        max_dup_bigram_ratio: float = 0.5):
+    """Gopher-rules quality filter (Rae et al. 2021 table A1, the public
+    rule family) as ONE fused pass: token count range, mean token length
+    range, minimum stop-word hits, alphabetic-token ratio, and the two
+    repetition caps — emitting (id, n_tokens_all, fail_mask, keep).
+
+    fail_mask bit i set = rule i FAILED:
+      0 token count outside [min_tokens, max_tokens]
+      1 mean token length outside [min_mean_len, max_mean_len]
+      2 fewer than min_stop_hits stop-word tokens
+      3 alphabetic-token ratio below min_alpha_ratio
+      4 dup-token ratio above max_dup_token_ratio
+      5 dup-bigram ratio above max_dup_bigram_ratio
+
+    EXACTNESS: every ratio is a single IEEE division of exact integers
+    (no round() anywhere), so engine and DuckDB comparisons are
+    bit-identical; the output is all-integer."""
+    stop_set = pa.array(list(cfg.stopwords), type=pa.string())
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = _token_lists(texts, cfg)
+        flat = pc.list_flatten(lists)
+        parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        nt = np.bincount(parents, minlength=n).astype(np.int64)
+        safe = np.maximum(nt, 1).astype(np.float64)
+
+        tok_len = pc.utf8_length(flat).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        sum_len = np.bincount(parents, weights=tok_len, minlength=n)
+        mean_len = sum_len / safe
+
+        is_stop = pc.is_in(flat, value_set=stop_set).to_numpy(
+            zero_copy_only=False)
+        n_stop = np.bincount(parents[is_stop], minlength=n).astype(np.int64)
+
+        has_alpha = pc.match_substring_regex(flat, "[a-z]").to_numpy(
+            zero_copy_only=False)
+        n_alpha = np.bincount(parents[has_alpha],
+                              minlength=n).astype(np.float64)
+        alpha_ratio = n_alpha / safe
+
+        # distinct tokens / bigrams per doc (the repetition_stage method:
+        # dictionary-encode -> lexsort -> first-in-run counts; exact)
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+
+        def distinct_per_doc(doc: np.ndarray, key: np.ndarray) -> np.ndarray:
+            if not len(doc):
+                return np.zeros(n, dtype=np.int64)
+            order = np.lexsort((key, doc))
+            d_s, k_s = doc[order], key[order]
+            first = np.ones(len(d_s), dtype=bool)
+            first[1:] = (d_s[1:] != d_s[:-1]) | (k_s[1:] != k_s[:-1])
+            return np.bincount(d_s[first], minlength=n).astype(np.int64)
+
+        dt = distinct_per_doc(parents, codes).astype(np.float64)
+        if len(codes) >= 2:
+            v = np.int64(len(enc.dictionary) + 1)
+            same = parents[1:] == parents[:-1]
+            bg = (codes[:-1] * v + codes[1:])[same]
+            bd = parents[:-1][same]
+            db = distinct_per_doc(bd, bg).astype(np.float64)
+        else:
+            db = np.zeros(n, dtype=np.float64)
+        nb = np.maximum(nt - 1, 0)
+        dup_tok = np.where(nt > 0, 1.0 - dt / safe, 0.0)
+        dup_big = np.where(nb > 0,
+                           1.0 - db / np.maximum(nb, 1).astype(np.float64),
+                           0.0)
+
+        mask = np.zeros(n, dtype=np.int64)
+        mask |= ((nt < min_tokens) | (nt > max_tokens)) * 1
+        mask |= ((mean_len < min_mean_len)
+                 | (mean_len > max_mean_len)) * 2
+        mask |= (n_stop < min_stop_hits) * 4
+        mask |= (alpha_ratio < min_alpha_ratio) * 8
+        mask |= (dup_tok > max_dup_token_ratio) * 16
+        mask |= (dup_big > max_dup_bigram_ratio) * 32
+        return pa.table({
+            id_col: batch[id_col],
+            "n_tokens_all": pa.array(nt),
+            "fail_mask": pa.array(mask),
+            "keep": pa.array((mask == 0).astype(np.int64)),
+        })
+    return fn
+
+
 def normalized_text(batch_texts: pa.Array, cfg: EngineConfig) -> pa.Array:
     lists = _token_lists(batch_texts, cfg)
     return pc.binary_join(lists, " ")

@@ -206,3 +206,34 @@ def test_cli_corpus_ops(tmp_path):
     out3 = run("corpus", "--input", docs, "--op", "lm-score",
                "--out", str(tmp_path / "lm"))
     assert out3["rows"] == 500
+
+
+def test_gopher_filter_stage_rules():
+    from opensearch_jvector_ray.pipelines.textstats import gopher_filter_stage
+    texts = [
+        "the data model is good and the test will pass for sure",  # 12 toks
+        "",                                                 # empty
+        "word",                                             # single token
+        "spam spam spam spam spam spam",                    # repetitive
+        "the of and a b c d e f g h i j",                   # short tokens
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                    "text": pa.array(texts, type=pa.string())})
+    fn = gopher_filter_stage(CFG, "doc_id", "text", min_tokens=5,
+                             max_tokens=100, min_mean_len=2.0,
+                             max_mean_len=10.0, min_stop_hits=2,
+                             min_alpha_ratio=0.8,
+                             max_dup_token_ratio=0.5,
+                             max_dup_bigram_ratio=0.9)
+    got = fn(tbl).to_pandas()
+    assert got["keep"].tolist()[0] == 1 and got["fail_mask"][0] == 0
+    # empty doc: token count + mean-len + stop + alpha + (not dup: 0.0)
+    assert got["fail_mask"][1] & 1 and got["fail_mask"][1] & 2
+    assert got["fail_mask"][1] & 4 and got["fail_mask"][1] & 8
+    assert not (got["fail_mask"][1] & 16)
+    # single token: under min count, no stop hits
+    assert got["fail_mask"][2] & 1 and got["fail_mask"][2] & 4
+    # repetitive: dup-token ratio 1 - 1/6 > 0.5
+    assert got["fail_mask"][3] & 16
+    # short tokens: mean length (12+11 single chars)/13 < 2.0
+    assert got["fail_mask"][4] & 2
