@@ -937,6 +937,22 @@ def _q_lm_xent(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+CONV_QUERIES = {
+    "c1": "zebra quantum nebula",
+    "c2": "data model search index",
+    "c3": "checkpoint lineage metric",
+}
+
+
+def _q_conversations_bm25(sf_dir: str) -> pd.DataFrame:
+    # assemble -> index -> query: conversation-level BM25 over the
+    # assembled transcript docs (doc = conv_id)
+    from opensearch_jvector_ray.sources.tables import conversations_index
+    s = IndexSearcher(conversations_index(sf_dir))
+    out = _round_hits(s.search(CONV_QUERIES, k=10))
+    return out[["query_id", "rank", "conv_id", "score"]]
+
+
 def _q_conversation_assemble(sf_dir: str) -> pd.DataFrame:
     from opensearch_jvector_ray.sources.tables import transcripts_path
     ds = rd.read_parquet(transcripts_path(sf_dir))
@@ -1075,6 +1091,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_xent": _q_lm_xent,
         # transcript-corpus assembly / unit dedup (input_hint shape)
         "conversation_assemble": _q_conversation_assemble,
+        "conversations_bm25": _q_conversations_bm25,
         "turn_dedup": _q_turn_dedup,
         # vector scoring surface (§2.8 kernels)
         "knn_cosine_topk": _q_knn("cosine"),
@@ -1155,6 +1172,24 @@ def _turn_dedup_oracle() -> str:
     return turn_dedup_sql(_transcript_arms(), TRANSCRIPTS_CFG)
 
 
+def _conversations_bm25_oracle() -> str:
+    """Conversation-level BM25: the oracle assembles conversations with
+    an ordered string_agg (sequential concat == the engine's lexsort +
+    binary_join) and runs the shared BM25 CTE over them."""
+    from opensearch_jvector_ray.oracles import transcripts_arms_cte
+    from opensearch_jvector_ray.sources.tables import TRANSCRIPTS_CFG
+    cte = transcripts_arms_cte(_transcript_arms(),
+                               "conv_id, turn_idx, role, text")
+    prefix = (f"{cte},\nconversations AS (\n"
+              "  SELECT conv_id,\n"
+              "         string_agg(role || ': ' || text, chr(10)"
+              " ORDER BY turn_idx) AS conv_text\n"
+              "  FROM transcripts GROUP BY conv_id\n)")
+    return bm25_sql(CONV_QUERIES, 10, TRANSCRIPTS_CFG,
+                    table="conversations", id_col="conv_id",
+                    text_col="conv_text", prefix_cte=prefix)
+
+
 def oracle_sql() -> dict[str, str]:
     exact_bm25 = bm25_sql(BM25_QUERIES, BM25_K, CFG)
     return {
@@ -1191,6 +1226,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_filter": gopher_filter_sql(CFG),
         "lm_xent": lm_xent_sql(CFG),
         "conversation_assemble": conversation_sql(_transcript_arms()),
+        "conversations_bm25": _conversations_bm25_oracle(),
         "turn_dedup": _turn_dedup_oracle(),
         "knn_cosine_topk": knn_sql("cosine", KNN_QUERY_IDS, KNN_K),
         "knn_l2_topk": knn_sql("l2", KNN_QUERY_IDS, KNN_K),

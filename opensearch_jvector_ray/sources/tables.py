@@ -65,6 +65,37 @@ def transcripts_index(sf_dir: str) -> str:
     return idx
 
 
+CONVERSATIONS_SPEC = IndexSpec(text_col="conv_text",
+                               key_cols=("conv_id",),
+                               store_cols=("n_turns",), ts_col="")
+
+
+def conversations_index(sf_dir: str) -> str:
+    """Assemble conversations (turns -> one doc per conv_id) and build
+    (once) a conversation-level BM25 index over them — the composite
+    that connects the transcript-assembly operator to the flagship
+    engine.  Assembly output is staged to cached parquet so the build
+    takes the zero-shuffle fragment path."""
+    from opensearch_jvector_ray.pipelines.transcripts import (
+        assemble_conversations,
+    )
+    key = os.path.basename(os.path.normpath(sf_dir))
+    conv_dir = os.path.join(CACHE_ROOT, f"convs_{key}")
+    marker = os.path.join(conv_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        os.makedirs(conv_dir, exist_ok=True)
+        assemble_conversations(
+            rd.read_parquet(transcripts_path(sf_dir))).write_parquet(conv_dir)
+        with open(marker, "w") as f:
+            f.write("ok")
+    idx = os.path.join(CACHE_ROOT,
+                       f"convidx_{key}_{TRANSCRIPTS_CFG.fingerprint()}")
+    if not _index_complete(idx):
+        build_index(conv_dir, idx, TRANSCRIPTS_CFG, CONVERSATIONS_SPEC,
+                    lineage={"source": conv_dir})
+    return idx
+
+
 def query_embeddings(sf_dir: str, vec_ids: list[int]) -> dict[str, np.ndarray]:
     tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
                         filters=[("vec_id", "in", vec_ids)])
