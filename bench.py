@@ -236,6 +236,24 @@ def run_bench() -> dict:
 
     timed("corpus_pipeline", do_corpus)
 
+    # -- phase 9: quality-filter composite (gopher -> LM xent) ------------
+    from opensearch_jvector_ray.pipelines import lm as lm_pl
+    from opensearch_jvector_ray.pipelines import textstats as ts_pl
+
+    def do_quality():
+        docs = read_table(SF_DIR, "documents", columns=["doc_id", "text"])
+        flags = docs.map_batches(
+            ts_pl.gopher_filter_stage(_cfg, "doc_id", "text"),
+            batch_format="pyarrow")
+        n_keep = int(flags.sum(on="keep"))  # vectorized aggregate
+        scored = lm_pl.lm_xent(
+            read_table(SF_DIR, "documents", columns=["doc_id", "text"]),
+            _cfg, "doc_id", "text")
+        n_scored = scored.count()
+        return n_keep, n_scored
+
+    timed("quality_pipeline", do_quality)
+
     ray.shutdown()
     total = round(sum(phases.values()), 3)
     extra["samples"] = samples

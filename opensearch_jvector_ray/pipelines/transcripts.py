@@ -48,14 +48,30 @@ def _doc_key(conv: pa.Array, turn_idx: pa.Array) -> pa.Array:
 
 def assemble_conversations(ds: "rd.Dataset",
                            num_parts: int = 64) -> "rd.Dataset":
-    """(conv_id, n_turns, conv_text) — one row per conversation."""
+    """(conv_id, n_turns, conv_text) — one row per conversation.
+
+    The "role: text" line concat happens in the parallel PRE-shuffle
+    stage (Arrow kernel), so the exchange carries (conv_id, turn_idx,
+    line) only and the per-bucket work is pure lexsort + ListArray
+    ``binary_join``."""
+    def prep(batch: pa.Table) -> pa.Table:
+        role = batch["role"]
+        if isinstance(role, pa.ChunkedArray):
+            role = role.combine_chunks()
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        return pa.table({
+            "conv_id": batch["conv_id"],
+            "turn_idx": batch["turn_idx"],
+            "line": pc.binary_join_element_wise(role, text, ": "),
+        })
+
     def bucket(df: pd.DataFrame) -> pd.DataFrame:
         conv = df["conv_id"].to_numpy()
         order = np.lexsort((df["turn_idx"].to_numpy(), conv))
         conv = conv[order]
-        lines = pa.array(
-            (df["role"].to_numpy()[order] + ": "
-             + df["text"].to_numpy()[order]), type=pa.string())
+        lines = pa.array(df["line"].to_numpy()[order], type=pa.string())
         new = np.ones(len(conv), dtype=bool)
         new[1:] = conv[1:] != conv[:-1]
         starts = np.flatnonzero(new)
@@ -68,9 +84,9 @@ def assemble_conversations(ds: "rd.Dataset",
             "conv_text": joined.to_pandas(),
         })
 
-    return hash_copartition(
-        ds.select_columns(["conv_id", "turn_idx", "role", "text"]),
-        "conv_id", bucket, num_parts)
+    prepped = ds.select_columns(["conv_id", "turn_idx", "role", "text"]) \
+                .map_batches(prep, batch_format="pyarrow")
+    return hash_copartition(prepped, "conv_id", bucket, num_parts)
 
 
 def plant_duplicate_turns(ds: "rd.Dataset",
