@@ -32,7 +32,7 @@ from opensearch_jvector_ray.oracles import (
     revenue_by_region_brand_sql, top_order_revenue_sql, transcripts_bm25_sql,
     fingerprint_sql, grouped_best_sql, grouped_expand_sql, knn_sql,
     hash_sample_sql, hash_split_sql, lang_id_sql, minhash_exact_sql,
-    mix_sources_sql, bpe_count_sql, gopher_filter_sql,
+    mix_sources_sql, bpe_count_sql, gopher_filter_sql, tool_usage_sql,
     ngram_exact_sql, pii_scrub_sql, decontaminate_sql,
     quantile_sql, range_join_sql,
     pack_chunks_sql, phrase_sql,
@@ -960,6 +960,12 @@ def _q_conversation_assemble(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("conv_id").reset_index(drop=True)
 
 
+def _q_tool_usage(sf_dir: str) -> pd.DataFrame:
+    from opensearch_jvector_ray.sources.tables import transcripts_path
+    ds = rd.read_parquet(transcripts_path(sf_dir))
+    return tr_pl.tool_usage_stats(ds)
+
+
 def _q_turn_dedup(sf_dir: str) -> pd.DataFrame:
     from opensearch_jvector_ray.sources.tables import (
         TRANSCRIPTS_CFG, transcripts_path,
@@ -1093,6 +1099,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversation_assemble": _q_conversation_assemble,
         "conversations_bm25": _q_conversations_bm25,
         "turn_dedup": _q_turn_dedup,
+        "tool_usage_stats": _q_tool_usage,
         # vector scoring surface (§2.8 kernels)
         "knn_cosine_topk": _q_knn("cosine"),
         "knn_l2_topk": _q_knn("l2"),
@@ -1227,6 +1234,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_xent": lm_xent_sql(CFG),
         "conversation_assemble": conversation_sql(_transcript_arms()),
         "conversations_bm25": _conversations_bm25_oracle(),
+        "tool_usage_stats": tool_usage_sql(_transcript_arms()),
         "turn_dedup": _turn_dedup_oracle(),
         "knn_cosine_topk": knn_sql("cosine", KNN_QUERY_IDS, KNN_K),
         "knn_l2_topk": knn_sql("l2", KNN_QUERY_IDS, KNN_K),

@@ -966,6 +966,22 @@ FROM h ORDER BY doc_id
 """
 
 
+def tool_usage_sql(arms: list[tuple[str, int]]) -> str:
+    """Oracle for tool_usage_stats: straight grouped aggregates; the
+    mean is one integer division (bit-exact vs the engine)."""
+    cte = transcripts_arms_cte(arms, "conv_id, turn_idx, tool, ts")
+    return f"""
+WITH {cte}
+SELECT tool,
+       count(*)::BIGINT AS n_calls,
+       count(DISTINCT conv_id)::BIGINT AS n_convs,
+       CAST(sum(turn_idx) AS DOUBLE) / count(*) AS mean_turn_idx,
+       min(ts) AS first_ts, max(ts) AS last_ts
+FROM transcripts WHERE tool <> ''
+GROUP BY tool ORDER BY tool
+"""
+
+
 def lm_xent_sql(cfg: EngineConfig, table: str = "documents",
                 id_col: str = "doc_id", text_col: str = "text") -> str:
     """Oracle for lm_xent (pipelines/lm.py): add-one unigram LM trained on

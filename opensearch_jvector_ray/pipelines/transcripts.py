@@ -117,6 +117,60 @@ def plant_duplicate_turns(ds: "rd.Dataset",
     return ds.union(ds.map_batches(plant, batch_format="pyarrow"))
 
 
+def tool_usage_stats(ds: "rd.Dataset") -> pd.DataFrame:
+    """Per-tool usage over the transcript corpus: call count, distinct
+    conversations, mean turn position, first/last call timestamp —
+    exercising the input_hint ``tool``/``ts`` columns.
+
+    Combiner-first: each batch collapses to unique (tool, conv_id)
+    partials, ONE groupby merges them (pair-sized rows, never turns),
+    and the per-tool finish runs over tool-cardinality rows.  mean is a
+    single integer division (bit-exact vs the SQL oracle)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["tool", "conv_id", "turn_idx", "ts"]).to_pandas()
+        df = df[df["tool"] != ""]
+        # normalize to us first: int64 view of datetime64 is unit-relative
+        # (ns-resolution input would otherwise come back as year-55969)
+        df["ts_us"] = df["ts"].astype("datetime64[us]").astype("int64")
+        g = (df.groupby(["tool", "conv_id"], sort=False)
+               .agg(n_calls=("turn_idx", "size"),
+                    sum_turn=("turn_idx", "sum"),
+                    first_us=("ts_us", "min"), last_us=("ts_us", "max"))
+               .reset_index())
+        g["n_calls"] = g["n_calls"].astype(np.int64)
+        g["sum_turn"] = g["sum_turn"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    pairs = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby(["tool", "conv_id"])
+               .aggregate(Sum("n_calls", alias_name="n_calls"),
+                          Sum("sum_turn", alias_name="sum_turn"),
+                          Min("first_us", alias_name="first_us"),
+                          Max("last_us", alias_name="last_us")))
+
+    def per_tool(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("tool", sort=False)
+                  .agg(n_calls=("n_calls", "sum"),
+                       n_convs=("conv_id", "size"),
+                       sum_turn=("sum_turn", "sum"),
+                       first_us=("first_us", "min"),
+                       last_us=("last_us", "max"))
+                  .reset_index())
+
+    out = hash_copartition(pairs, "tool", per_tool).to_pandas()
+    out["n_calls"] = out["n_calls"].astype(np.int64)
+    out["n_convs"] = out["n_convs"].astype(np.int64)
+    out["mean_turn_idx"] = (out["sum_turn"].to_numpy(np.float64)
+                            / out["n_calls"].to_numpy())
+    out["first_ts"] = out["first_us"].astype("datetime64[us]")
+    out["last_ts"] = out["last_us"].astype("datetime64[us]")
+    return (out[["tool", "n_calls", "n_convs", "mean_turn_idx",
+                 "first_ts", "last_ts"]]
+            .sort_values("tool").reset_index(drop=True))
+
+
 def turn_dedup(ds: "rd.Dataset", cfg: EngineConfig,
                num_parts: int = 64) -> "rd.Dataset":
     """(doc_id, text_hash, keep) per turn; keep=1 iff the turn's doc key

@@ -237,3 +237,31 @@ def test_gopher_filter_stage_rules():
     assert got["fail_mask"][3] & 16
     # short tokens: mean length (12+11 single chars)/13 < 2.0
     assert got["fail_mask"][4] & 2
+
+
+def test_tool_usage_stats_brute():
+    import datetime
+    rows = []
+    base = datetime.datetime(2024, 1, 1)
+    for c in range(6):
+        for t in range(4):
+            tool = "search_tool" if (c + t) % 3 == 0 else \
+                   ("code_tool" if t == 2 else "")
+            rows.append({"conv_id": f"conv-{c:07d}", "turn_idx": t,
+                         "role": "user", "text": "x",
+                         "tool": tool,
+                         "ts": base + datetime.timedelta(seconds=c * 10 + t)})
+    df = pd.DataFrame(rows)
+    got = tr_pl.tool_usage_stats(rd.from_pandas(df))
+    ref = df[df.tool != ""].groupby("tool").agg(
+        n_calls=("turn_idx", "size"),
+        n_convs=("conv_id", "nunique"),
+        mean_turn_idx=("turn_idx", "mean"),
+        first_ts=("ts", "min"), last_ts=("ts", "max")).reset_index() \
+        .sort_values("tool").reset_index(drop=True)
+    assert got["tool"].tolist() == ref["tool"].tolist()
+    assert got["n_calls"].tolist() == ref["n_calls"].tolist()
+    assert got["n_convs"].tolist() == ref["n_convs"].tolist()
+    assert got["mean_turn_idx"].tolist() == ref["mean_turn_idx"].tolist()
+    assert (got["first_ts"].astype("datetime64[us]").tolist()
+            == ref["first_ts"].astype("datetime64[us]").tolist())
