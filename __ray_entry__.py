@@ -38,6 +38,7 @@ from opensearch_jvector_ray.oracles import (
     pack_chunks_sql, phrase_sql,
     pricing_summary_sql, quality_sql, repetition_sql, term_stats_sql,
     token_count_sql, conversation_sql, turn_dedup_sql, lm_xent_sql,
+    lm_xent_transfer_sql,
 )
 from opensearch_jvector_ray.pipelines import dedup as dedup_pl
 from opensearch_jvector_ray.pipelines import knn as knn_pl
@@ -960,6 +961,33 @@ def _q_conversation_assemble(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("conv_id").reset_index(drop=True)
 
 
+def _q_lm_xent_transfer(sf_dir: str) -> pd.DataFrame:
+    # the train-on-A-score-B (OOV) path under a HARD gate: LM trained on
+    # the documents corpus scores every transcript turn
+    from opensearch_jvector_ray.sources.tables import transcripts_path
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+    train = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    lm = lm_pl.train_unigram_lm(train, CFG, "text")
+
+    def key_stage(batch: _pa.Table) -> _pa.Table:
+        conv = batch["conv_id"]
+        if isinstance(conv, _pa.ChunkedArray):
+            conv = conv.combine_chunks()
+        padded = _pc.utf8_lpad(_pc.cast(batch["turn_idx"], _pa.string()),
+                               4, "0")
+        return _pa.table({
+            "doc_id": _pc.binary_join_element_wise(conv, padded, ":"),
+            "text": batch["text"],
+        })
+
+    turns = rd.read_parquet(transcripts_path(sf_dir),
+                            columns=["conv_id", "turn_idx", "text"]) \
+              .map_batches(key_stage, batch_format="pyarrow")
+    out = lm_pl.lm_xent(turns, CFG, "doc_id", "text", lm=lm).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_tool_usage(sf_dir: str) -> pd.DataFrame:
     from opensearch_jvector_ray.sources.tables import transcripts_path
     ds = rd.read_parquet(transcripts_path(sf_dir))
@@ -1095,6 +1123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_decontaminate": _q_corpus_decontaminate,
         "gopher_filter": _q_gopher_filter,
         "lm_xent": _q_lm_xent,
+        "lm_xent_transfer": _q_lm_xent_transfer,
         # transcript-corpus assembly / unit dedup (input_hint shape)
         "conversation_assemble": _q_conversation_assemble,
         "conversations_bm25": _q_conversations_bm25,
@@ -1232,6 +1261,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": lang_id_sql(CFG),
         "gopher_filter": gopher_filter_sql(CFG),
         "lm_xent": lm_xent_sql(CFG),
+        "lm_xent_transfer": lm_xent_transfer_sql(CFG, _transcript_arms()),
         "conversation_assemble": conversation_sql(_transcript_arms()),
         "conversations_bm25": _conversations_bm25_oracle(),
         "tool_usage_stats": tool_usage_sql(_transcript_arms()),

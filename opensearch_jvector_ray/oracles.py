@@ -982,6 +982,61 @@ GROUP BY tool ORDER BY tool
 """
 
 
+def lm_xent_transfer_sql(cfg: EngineConfig,
+                         arms: list[tuple[str, int]],
+                         train_table: str = "documents",
+                         train_id: str = "doc_id",
+                         train_text: str = "text") -> str:
+    """Oracle for the LM train-on-A-score-B path: unigram LM trained on
+    ``train_table``, scoring the transcript corpus — unseen terms take
+    q_oov = floor(ln(1/(T+V))*1e6) via a LEFT JOIN fallback.  Same
+    integer-micro exactness as lm_xent_sql."""
+    pat = sql_quote(cfg.split_pattern)
+    cte = transcripts_arms_cte(arms, "conv_id, turn_idx, text")
+    return f"""
+WITH {cte},
+tu AS (
+  SELECT term FROM (
+    SELECT unnest(regexp_split_to_array(lower({train_text}), {pat})) AS term
+    FROM {train_table}
+  ) WHERE term <> ''
+),
+voc AS (SELECT term, count(*)::BIGINT AS cw FROM tu GROUP BY term),
+tot AS (SELECT CAST(sum(cw) AS DOUBLE) + CAST(count(*) AS DOUBLE) AS denom
+        FROM voc),
+q AS (SELECT term,
+             CAST(floor(ln((cw + 1.0) / denom) * 1000000.0) AS BIGINT) AS qm
+      FROM voc, tot),
+docs AS (
+  SELECT conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0')
+           AS doc_id, text
+  FROM transcripts
+),
+su AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), {pat})) AS term
+    FROM docs
+  ) WHERE term <> ''
+),
+cnt AS (SELECT doc_id, term, count(*)::BIGINT AS c
+        FROM su GROUP BY doc_id, term),
+s AS (SELECT cnt.doc_id,
+             sum(cnt.c * coalesce(q.qm,
+                 CAST(floor(ln(1.0 / tot.denom) * 1000000.0) AS BIGINT))
+                )::BIGINT AS micro,
+             sum(cnt.c)::BIGINT AS n
+      FROM cnt LEFT JOIN q ON q.term = cnt.term CROSS JOIN tot
+      GROUP BY cnt.doc_id)
+SELECT d.doc_id,
+       coalesce(s.n, 0)::BIGINT AS n_tokens_all,
+       coalesce(-(CAST(s.micro AS DOUBLE)) / (s.n * 1000000.0),
+                0.0) AS xent
+FROM docs d LEFT JOIN s ON s.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def lm_xent_sql(cfg: EngineConfig, table: str = "documents",
                 id_col: str = "doc_id", text_col: str = "text") -> str:
     """Oracle for lm_xent (pipelines/lm.py): add-one unigram LM trained on
