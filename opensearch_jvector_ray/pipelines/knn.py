@@ -92,7 +92,8 @@ def brute_force_topk(ds: "rd.Dataset", queries: dict[str, np.ndarray],
                      *, round_decimals: int | None = None,
                      filter_expr=None,
                      min_score: float | None = None,
-                     max_distance: float | None = None) -> pd.DataFrame:
+                     max_distance: float | None = None,
+                     as_dataset: bool = False):
     """Exact top-k (or radial, if ``min_score`` given) for each query vector.
 
     Returns (query_id, rank, id, score) with Lucene-style score ordering
@@ -109,7 +110,9 @@ def brute_force_topk(ds: "rd.Dataset", queries: dict[str, np.ndarray],
     other radial form: it is translated per-space into the equivalent
     min_score (`KNNEngine.distanceToRadialThreshold`,
     `KNNEngine.java:100-192`) and follows the same path; passing both is
-    an error.
+    an error.  ``as_dataset=True`` (radial only) returns the qualifying
+    rows as a streaming Dataset — unranked, never driver-materialized —
+    mirroring the BM25 side's Dataset radial.
     """
     if max_distance is not None:
         if min_score is not None:
@@ -148,8 +151,14 @@ def brute_force_topk(ds: "rd.Dataset", queries: dict[str, np.ndarray],
             "score": pa.array(np.concatenate(out_s), type=pa.float64()),
         })
 
-    parts = ds.map_batches(score_batch, batch_format="pyarrow",
-                           batch_size=8192).to_pandas()
+    scored = ds.map_batches(score_batch, batch_format="pyarrow",
+                            batch_size=8192)
+    if min_score is not None and as_dataset:
+        # radial output is result-sized by definition; this variant keeps
+        # it a streaming Dataset (unranked — the global rank would force a
+        # full materialization) for the 100-TB serving path
+        return scored
+    parts = scored.to_pandas()
     if parts.empty:
         return pd.DataFrame(columns=["query_id", "rank", id_col, "score"])
     out = (parts.sort_values(["query_id", "score", id_col],

@@ -265,3 +265,23 @@ def test_tool_usage_stats_brute():
     assert got["mean_turn_idx"].tolist() == ref["mean_turn_idx"].tolist()
     assert (got["first_ts"].astype("datetime64[us]").tolist()
             == ref["first_ts"].astype("datetime64[us]").tolist())
+
+
+def test_brute_radial_dataset_variant_matches_pandas():
+    from opensearch_jvector_ray.pipelines import knn as knn_pl
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(300, 16)).astype(np.float32)
+    tbl = pa.table({"vec_id": pa.array(range(300), type=pa.int64()),
+                    "embedding": pa.array(list(vecs.tolist()))})
+    q = {"q0": vecs[5].astype(np.float64)}
+    df = knn_pl.brute_force_topk(rd.from_arrow(tbl), q, None,
+                                 metric="cosine", round_decimals=6,
+                                 min_score=0.2)
+    stream = knn_pl.brute_force_topk(rd.from_arrow(tbl), q, None,
+                                     metric="cosine", round_decimals=6,
+                                     min_score=0.2, as_dataset=True)
+    got = stream.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    exp = df.sort_values("vec_id").reset_index(drop=True)
+    assert got["vec_id"].tolist() == exp["vec_id"].tolist()
+    assert got["score"].tolist() == exp["score"].tolist()
+    assert len(got) > 0
