@@ -966,7 +966,6 @@ def _q_lm_xent_transfer(sf_dir: str) -> pd.DataFrame:
     # the documents corpus scores every transcript turn
     from opensearch_jvector_ray.sources.tables import transcripts_path
     import pyarrow as _pa
-    import pyarrow.compute as _pc
     train = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     lm = lm_pl.train_unigram_lm(train, CFG, "text")
 
@@ -974,10 +973,9 @@ def _q_lm_xent_transfer(sf_dir: str) -> pd.DataFrame:
         conv = batch["conv_id"]
         if isinstance(conv, _pa.ChunkedArray):
             conv = conv.combine_chunks()
-        padded = _pc.utf8_lpad(_pc.cast(batch["turn_idx"], _pa.string()),
-                               4, "0")
+        # the engine-wide composite key rule, single source of truth
         return _pa.table({
-            "doc_id": _pc.binary_join_element_wise(conv, padded, ":"),
+            "doc_id": tr_pl._doc_key(conv, batch["turn_idx"]),
             "text": batch["text"],
         })
 

@@ -400,17 +400,21 @@ ORDER BY d.{id_col}
 """
 
 
-def gopher_filter_sql(cfg: EngineConfig, *, min_tokens: int = 50,
-                      max_tokens: int = 100_000,
-                      min_mean_len: float = 3.0, max_mean_len: float = 10.0,
-                      min_stop_hits: int = 2, min_alpha_ratio: float = 0.8,
-                      max_dup_token_ratio: float = 0.6,
-                      max_dup_bigram_ratio: float = 0.5,
-                      table: str = "documents", id_col: str = "doc_id",
-                      text_col: str = "text") -> str:
+def gopher_filter_sql(cfg: EngineConfig, table: str = "documents",
+                      id_col: str = "doc_id", text_col: str = "text",
+                      **rules) -> str:
     """Oracle for gopher_filter_stage: same six rules, same bit layout.
     Every ratio is one IEEE division of exact integers (no rounding), so
-    comparisons are bit-identical to the engine."""
+    comparisons are bit-identical to the engine.  Thresholds default
+    from the ENGINE's GOPHER_DEFAULTS (shared constant — cannot drift)."""
+    from opensearch_jvector_ray.pipelines.textstats import GOPHER_DEFAULTS
+    p = {**GOPHER_DEFAULTS, **rules}
+    min_tokens, max_tokens = p["min_tokens"], p["max_tokens"]
+    min_mean_len, max_mean_len = p["min_mean_len"], p["max_mean_len"]
+    min_stop_hits = p["min_stop_hits"]
+    min_alpha_ratio = p["min_alpha_ratio"]
+    max_dup_token_ratio = p["max_dup_token_ratio"]
+    max_dup_bigram_ratio = p["max_dup_bigram_ratio"]
     pat = sql_quote(cfg.split_pattern)
     stop = stoplist_sql(cfg)
     return f"""
@@ -937,11 +941,15 @@ FROM transcripts GROUP BY conv_id ORDER BY conv_id
 
 
 def turn_dedup_sql(arms: list[tuple[str, int]], cfg: EngineConfig,
-                   plant_every: int = 97) -> str:
+                   plant_every: int | None = None) -> str:
     """Oracle for plant_duplicate_turns >> turn_dedup: same planting rule
     ('dupe-' || zero-padded id of turn 1 of every plant_every-th
     conversation; 'conv-' < 'dupe-' keeps originals canonical), same
-    normalized-text md5, same min-doc-key keep rule."""
+    normalized-text md5, same min-doc-key keep rule.  The stride
+    defaults from the ENGINE's shared constant."""
+    if plant_every is None:
+        from opensearch_jvector_ray.synth import PLANT_EVERY
+        plant_every = PLANT_EVERY
     cte = transcripts_arms_cte(arms, "conv_id, turn_idx, text")
     return f"""
 WITH {cte},
@@ -991,6 +999,7 @@ def lm_xent_transfer_sql(cfg: EngineConfig,
     ``train_table``, scoring the transcript corpus — unseen terms take
     q_oov = floor(ln(1/(T+V))*1e6) via a LEFT JOIN fallback.  Same
     integer-micro exactness as lm_xent_sql."""
+    from opensearch_jvector_ray.pipelines.lm import MICRO
     pat = sql_quote(cfg.split_pattern)
     cte = transcripts_arms_cte(arms, "conv_id, turn_idx, text")
     return f"""
@@ -1005,7 +1014,7 @@ voc AS (SELECT term, count(*)::BIGINT AS cw FROM tu GROUP BY term),
 tot AS (SELECT CAST(sum(cw) AS DOUBLE) + CAST(count(*) AS DOUBLE) AS denom
         FROM voc),
 q AS (SELECT term,
-             CAST(floor(ln((cw + 1.0) / denom) * 1000000.0) AS BIGINT) AS qm
+             CAST(floor(ln((cw + 1.0) / denom) * {MICRO!r}) AS BIGINT) AS qm
       FROM voc, tot),
 docs AS (
   SELECT conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0')
@@ -1023,14 +1032,14 @@ cnt AS (SELECT doc_id, term, count(*)::BIGINT AS c
         FROM su GROUP BY doc_id, term),
 s AS (SELECT cnt.doc_id,
              sum(cnt.c * coalesce(q.qm,
-                 CAST(floor(ln(1.0 / tot.denom) * 1000000.0) AS BIGINT))
+                 CAST(floor(ln(1.0 / tot.denom) * {MICRO!r}) AS BIGINT))
                 )::BIGINT AS micro,
              sum(cnt.c)::BIGINT AS n
       FROM cnt LEFT JOIN q ON q.term = cnt.term CROSS JOIN tot
       GROUP BY cnt.doc_id)
 SELECT d.doc_id,
        coalesce(s.n, 0)::BIGINT AS n_tokens_all,
-       coalesce(-(CAST(s.micro AS DOUBLE)) / (s.n * 1000000.0),
+       coalesce(-(CAST(s.micro AS DOUBLE)) / (s.n * {MICRO!r}),
                 0.0) AS xent
 FROM docs d LEFT JOIN s ON s.doc_id = d.doc_id
 ORDER BY d.doc_id
@@ -1046,7 +1055,9 @@ def lm_xent_sql(cfg: EngineConfig, table: str = "documents",
     no round-half hazard; the only shared float ops are the single
     ln/div per vocab term and one final UNROUNDED division per doc
     (identical integer inputs -> bit-equal doubles; round(,6) would hit
-    the decimal half-tie hazard)."""
+    the decimal half-tie hazard).  The micro scale is the ENGINE's
+    shared lm.MICRO constant."""
+    from opensearch_jvector_ray.pipelines.lm import MICRO
     pat = sql_quote(cfg.split_pattern)
     return f"""
 WITH u AS (
@@ -1060,7 +1071,7 @@ voc AS (SELECT term, count(*)::BIGINT AS cw FROM u GROUP BY term),
 tot AS (SELECT CAST(sum(cw) AS DOUBLE) + CAST(count(*) AS DOUBLE) AS denom
         FROM voc),
 q AS (SELECT term,
-             CAST(floor(ln((cw + 1.0) / denom) * 1000000.0) AS BIGINT) AS qm
+             CAST(floor(ln((cw + 1.0) / denom) * {MICRO!r}) AS BIGINT) AS qm
       FROM voc, tot),
 cnt AS (SELECT {id_col}, term, count(*)::BIGINT AS c
         FROM u GROUP BY {id_col}, term),
@@ -1069,7 +1080,7 @@ s AS (SELECT cnt.{id_col}, sum(cnt.c * q.qm)::BIGINT AS micro,
       FROM cnt JOIN q USING (term) GROUP BY cnt.{id_col})
 SELECT d.{id_col},
        coalesce(s.n, 0)::BIGINT AS n_tokens_all,
-       coalesce(-(CAST(s.micro AS DOUBLE)) / (s.n * 1000000.0),
+       coalesce(-(CAST(s.micro AS DOUBLE)) / (s.n * {MICRO!r}),
                 0.0) AS xent
 FROM {table} d LEFT JOIN s ON s.{id_col} = d.{id_col}
 ORDER BY d.{id_col}

@@ -119,6 +119,10 @@ def brute_force_topk(ds: "rd.Dataset", queries: dict[str, np.ndarray],
             raise ValueError("pass min_score OR max_distance, not both "
                              "(KNNQueryBuilder.java:438-472)")
         min_score = scoring.distance_to_min_score(metric, max_distance)
+    if as_dataset and min_score is None:
+        raise ValueError("as_dataset=True is radial-only (pass min_score "
+                         "or max_distance); ranked top-k is inherently a "
+                         "driver-side result")
     kernel, translate, higher = METRICS[metric]
     rnd = _rounder(round_decimals)
     qids = sorted(queries)

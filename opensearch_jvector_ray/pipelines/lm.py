@@ -64,7 +64,9 @@ class UnigramLM:
 
     @property
     def denom(self) -> float:
-        return float(self.total_tokens) + float(self.vocab_size)
+        # max(,1): a zero-token training corpus degenerates to q_oov=0
+        # (xent 0.0 everywhere) instead of ln(1/0)
+        return max(float(self.total_tokens) + float(self.vocab_size), 1.0)
 
     @property
     def q_oov(self) -> int:
@@ -89,13 +91,16 @@ def train_unigram_lm(ds: "rd.Dataset", cfg: EngineConfig,
                 .aggregate(Sum("cnt", alias_name="cnt"))
                 .materialize())
     agg = counts.aggregate(Sum("cnt", alias_name="total"))
-    total = int(agg["total"] if isinstance(agg, dict) else agg)
+    raw = agg["total"] if isinstance(agg, dict) else agg
+    total = int(raw) if raw is not None else 0   # Sum over empty -> None
     vocab = counts.count()
     return UnigramLM(refs=tuple(counts.to_arrow_refs()),
                      total_tokens=total, vocab_size=vocab)
 
 
 def _build_lut(tbls, denom: float):
+    if not tbls:                                  # zero-token training corpus
+        return pa.array([], type=pa.string()), np.zeros(0, dtype=np.int64)
     cat = pa.concat_tables(tbls).combine_chunks()
     vocab = cat["term"].combine_chunks()
     cnt = cat["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)

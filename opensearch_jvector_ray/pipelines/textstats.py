@@ -201,14 +201,18 @@ def repetition_stage(cfg: EngineConfig, id_col: str, text_col: str):
     return fn
 
 
-def gopher_filter_stage(cfg: EngineConfig, id_col: str, text_col: str, *,
-                        min_tokens: int = 50, max_tokens: int = 100_000,
-                        min_mean_len: float = 3.0,
-                        max_mean_len: float = 10.0,
-                        min_stop_hits: int = 2,
-                        min_alpha_ratio: float = 0.8,
-                        max_dup_token_ratio: float = 0.6,
-                        max_dup_bigram_ratio: float = 0.5):
+# single source of truth for the six rule thresholds — the SQL oracle
+# generator reads THIS dict, so engine and oracle can never drift
+GOPHER_DEFAULTS: dict = {
+    "min_tokens": 50, "max_tokens": 100_000,
+    "min_mean_len": 3.0, "max_mean_len": 10.0,
+    "min_stop_hits": 2, "min_alpha_ratio": 0.8,
+    "max_dup_token_ratio": 0.6, "max_dup_bigram_ratio": 0.5,
+}
+
+
+def gopher_filter_stage(cfg: EngineConfig, id_col: str, text_col: str,
+                        **rules):
     """Gopher-rules quality filter (Rae et al. 2021 table A1, the public
     rule family) as ONE fused pass: token count range, mean token length
     range, minimum stop-word hits, alphabetic-token ratio, and the two
@@ -224,7 +228,15 @@ def gopher_filter_stage(cfg: EngineConfig, id_col: str, text_col: str, *,
 
     EXACTNESS: every ratio is a single IEEE division of exact integers
     (no round() anywhere), so engine and DuckDB comparisons are
-    bit-identical; the output is all-integer."""
+    bit-identical; the output is all-integer.  Thresholds default from
+    ``GOPHER_DEFAULTS`` (shared with the oracle generator)."""
+    p = {**GOPHER_DEFAULTS, **rules}
+    min_tokens, max_tokens = p["min_tokens"], p["max_tokens"]
+    min_mean_len, max_mean_len = p["min_mean_len"], p["max_mean_len"]
+    min_stop_hits = p["min_stop_hits"]
+    min_alpha_ratio = p["min_alpha_ratio"]
+    max_dup_token_ratio = p["max_dup_token_ratio"]
+    max_dup_bigram_ratio = p["max_dup_bigram_ratio"]
     stop_set = pa.array(list(cfg.stopwords), type=pa.string())
 
     def fn(batch: pa.Table) -> pa.Table:

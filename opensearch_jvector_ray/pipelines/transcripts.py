@@ -37,8 +37,9 @@ from opensearch_jvector_ray.config import EngineConfig
 from opensearch_jvector_ray.pipelines.relational import hash_copartition
 from opensearch_jvector_ray.pipelines.textstats import normalized_text
 
+from opensearch_jvector_ray.synth import PLANT_EVERY  # shared stride
+
 SEP = "\n"
-PLANT_EVERY = 97  # synth.py's planted-conversation stride, reused
 
 
 def _doc_key(conv: pa.Array, turn_idx: pa.Array) -> pa.Array:

@@ -83,6 +83,11 @@ def conversations_index(sf_dir: str) -> str:
     conv_dir = os.path.join(CACHE_ROOT, f"convs_{key}")
     marker = os.path.join(conv_dir, "_SUCCESS")
     if not os.path.exists(marker):
+        # a missing marker with a present dir means a prior run crashed
+        # mid-write: clear it first, or the retry's write_parquet would
+        # APPEND a second file set and duplicate every conversation
+        import shutil
+        shutil.rmtree(conv_dir, ignore_errors=True)
         os.makedirs(conv_dir, exist_ok=True)
         assemble_conversations(
             rd.read_parquet(transcripts_path(sf_dir))).write_parquet(conv_dir)

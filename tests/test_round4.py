@@ -285,3 +285,12 @@ def test_brute_radial_dataset_variant_matches_pandas():
     assert got["vec_id"].tolist() == exp["vec_id"].tolist()
     assert got["score"].tolist() == exp["score"].tolist()
     assert len(got) > 0
+
+
+def test_lm_xent_zero_token_corpus_does_not_crash():
+    # review repro: Sum over the empty counts dataset returns None and
+    # _build_lut used to concat zero tables
+    out = lm_pl.lm_xent(_docs(["", "   "]), CFG, "doc_id", "text") \
+               .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["xent"].tolist() == [0.0, 0.0]
+    assert out["n_tokens_all"].tolist() == [0, 0]
