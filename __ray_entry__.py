@@ -33,7 +33,7 @@ from opensearch_jvector_ray.oracles import (
     fingerprint_sql, grouped_best_sql, grouped_expand_sql, knn_sql,
     hash_sample_sql, hash_split_sql, lang_id_sql, minhash_exact_sql,
     mix_sources_sql, bpe_count_sql, gopher_filter_sql, tool_usage_sql,
-    ngram_exact_sql, pii_scrub_sql, decontaminate_sql,
+    ngram_exact_sql, pii_scrub_sql, decontaminate_sql, self_overlap_sql,
     quantile_sql, range_join_sql,
     pack_chunks_sql, phrase_sql,
     pricing_summary_sql, quality_sql, repetition_sql, term_stats_sql,
@@ -1015,6 +1015,15 @@ def _q_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
                                         threshold=0.3, lsh_threshold=0.2)
 
 
+def _q_self_overlap(sf_dir: str) -> pd.DataFrame:
+    # corpus-internal n-gram overlap flagging (GPT-3 appx-C rule applied
+    # to the training corpus itself)
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = dedup_pl.self_overlap(ds, CFG, "doc_id", "text").to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_simhash(sf_dir: str) -> pd.DataFrame:
     # max_hamming=3: the 4x16-bit chunk blocking is EXACT at this radius,
     # so the distributed result equals the O(n^2) DuckDB oracle
@@ -1119,6 +1128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_exact": _q_ngram_exact,
         "pii_scrub": _q_pii_scrub,
         "corpus_decontaminate": _q_corpus_decontaminate,
+        "ngram_self_overlap": _q_self_overlap,
         "gopher_filter": _q_gopher_filter,
         "lm_xent": _q_lm_xent,
         "lm_xent_transfer": _q_lm_xent_transfer,
@@ -1256,6 +1266,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": pii_scrub_sql(ts_pl.PII_PATTERNS, N_PLANT_PII),
         "corpus_decontaminate": decontaminate_sql(
             CFG, DECON_MODULUS, DECON_RESIDUE),
+        "ngram_self_overlap": self_overlap_sql(CFG),
         "lang_id": lang_id_sql(CFG),
         "gopher_filter": gopher_filter_sql(CFG),
         "lm_xent": lm_xent_sql(CFG),

@@ -581,6 +581,44 @@ ORDER BY d.{id_col}
 """
 
 
+def self_overlap_sql(cfg: EngineConfig, shingle_k: int = 3,
+                     table: str = "documents", id_col: str = "doc_id",
+                     text_col: str = "text") -> str:
+    """Mirrors ``dedup.self_overlap``: per-doc DISTINCT word shingles, a
+    shingle is 'shared' iff >= 2 docs contain it; docs shorter than
+    shingle_k carry no windows and are absent on both sides.  Engine
+    matches on 64-bit hashes of the same shingle strings (equality up
+    to hash collisions — the decontaminate rule)."""
+    if shingle_k != 3:
+        raise ValueError("the SQL shingle expression is written for k=3")
+    pat = sql_quote(cfg.split_pattern)
+    return f"""
+WITH t AS (
+  SELECT {id_col},
+         list_filter(regexp_split_to_array(lower({text_col}), {pat}),
+                     x -> x <> '') AS tk
+  FROM {table}
+), s AS (
+  SELECT {id_col},
+         unnest(list_distinct(
+           CASE WHEN len(tk) >= {shingle_k} THEN
+             list_transform(range(1, len(tk) - {shingle_k - 2}),
+                            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+           ELSE [] END)) AS sh
+  FROM t
+), g AS (
+  SELECT sh, count(*)::BIGINT AS m FROM s GROUP BY sh
+)
+SELECT s.{id_col},
+       count(*)::BIGINT AS n_shingles,
+       sum(CASE WHEN g.m >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+       (CASE WHEN sum(CASE WHEN g.m >= 2 THEN 1 ELSE 0 END) > 0
+             THEN 1 ELSE 0 END)::BIGINT AS has_overlap
+FROM s JOIN g USING (sh)
+GROUP BY s.{id_col} ORDER BY s.{id_col}
+"""
+
+
 def grouped_best_sql(query_text: str, cfg: EngineConfig,
                      group_col: str = "source", table: str = "documents",
                      id_col: str = "doc_id", text_col: str = "text") -> str:

@@ -925,3 +925,78 @@ def decontaminate(ds: "rd.Dataset", cfg: EngineConfig, id_col: str,
         })
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def self_overlap(ds: "rd.Dataset", cfg: EngineConfig, id_col: str,
+                 text_col: str, *, shingle_k: int = 3,
+                 num_parts: int = 64) -> "rd.Dataset":
+    """Corpus-INTERNAL n-gram overlap: flag every doc that shares at
+    least one word ``shingle_k``-gram with ANY OTHER doc — the GPT-3
+    appendix-C overlap rule applied to the training corpus itself
+    (substring-level dedup signal, the doc-level complement of the
+    pairwise near-dup family).
+
+    Output: (id, n_shingles, n_hits, has_overlap) — n_shingles =
+    DISTINCT windows in the doc, n_hits = how many of them appear in at
+    least one other doc.  Docs shorter than ``shingle_k`` tokens carry
+    no windows and are absent (the oracle applies the same rule).
+
+    Scale shape: doc-level, LINEAR in hot windows — a window shared by
+    m docs contributes m rows, never C(m,2) pairs.  ONE
+    groupby(window-hash) shuffle over per-doc-distinct (hash, id) rows,
+    then a doc-keyed count reduce.  Matching is on the shared 64-bit
+    ``_window_hashes`` (the DuckDB oracle compares shingle STRINGS —
+    equality up to hash collisions, the decontaminate rule)."""
+    def windows(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        wh, wd = _window_hashes(texts, cfg, shingle_k)
+        # drop the one combined window of docs shorter than shingle_k
+        # (the SQL window expression emits nothing for them)
+        from opensearch_jvector_ray.pipelines.textstats import _token_lists
+        counts = pc.list_value_length(
+            _token_lists(texts, cfg)).to_numpy(zero_copy_only=False)
+        keep = counts[wd] >= shingle_k
+        wh, wd = wh[keep], wd[keep]
+        # per-doc DISTINCT windows: one lexsort
+        if len(wh):
+            order = np.lexsort((wh, wd))
+            wh_s, wd_s = wh[order], wd[order]
+            first = np.ones(len(wh_s), dtype=bool)
+            first[1:] = (wd_s[1:] != wd_s[:-1]) | (wh_s[1:] != wh_s[:-1])
+            wh_u, wd_u = wh_s[first], wd_s[first]
+        else:
+            wh_u = np.zeros(0, dtype=np.uint64)
+            wd_u = np.zeros(0, dtype=np.int64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "wh": pa.array(wh_u),
+            id_col: pa.array(ids[wd_u]),
+        })
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # rows are (wh, id), already distinct per doc; a window shared by
+        # m >= 2 docs marks each of its rows hit=1
+        m = df.groupby("wh", sort=False)["wh"].transform("size")
+        return pd.DataFrame({id_col: df[id_col],
+                             "hit": (m >= 2).astype(np.int64)})
+
+    from ray.data.aggregate import Sum
+    from opensearch_jvector_ray.pipelines.relational import hash_copartition
+    rows = ds.map_batches(windows, batch_format="pyarrow")
+    marked = hash_copartition(rows, "wh", bucket, num_parts)
+    out = (marked.groupby(id_col)
+                 .aggregate(Count(alias_name="n_shingles"),
+                            Sum("hit", alias_name="n_hits")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        hits = pc.cast(batch["n_hits"], pa.int64())
+        return pa.table({
+            id_col: batch[id_col],
+            "n_shingles": pc.cast(batch["n_shingles"], pa.int64()),
+            "n_hits": hits,
+            "has_overlap": pc.cast(pc.greater(hits, 0), pa.int64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")

@@ -294,3 +294,20 @@ def test_lm_xent_zero_token_corpus_does_not_crash():
                .to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert out["xent"].tolist() == [0.0, 0.0]
     assert out["n_tokens_all"].tolist() == [0, 0]
+
+
+def test_self_overlap_brute():
+    from opensearch_jvector_ray.pipelines import dedup as dedup_pl
+    texts = [
+        "alpha beta gamma delta",       # shares 'alpha beta gamma' w/ doc1
+        "alpha beta gamma epsilon",
+        "zeta eta theta iota",          # no shared windows
+        "xy",                           # < k tokens: absent from output
+    ]
+    ds = _docs(texts)
+    got = dedup_pl.self_overlap(ds, CFG, "doc_id", "text") \
+                  .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got["doc_id"].tolist() == [0, 1, 2]   # doc 3 has no windows
+    assert got["n_shingles"].tolist() == [2, 2, 2]
+    assert got["n_hits"].tolist() == [1, 1, 0]
+    assert got["has_overlap"].tolist() == [1, 1, 0]
