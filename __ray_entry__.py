@@ -31,6 +31,7 @@ from opensearch_jvector_ray.oracles import (
     byte_knn_sql, corpus_clean_sql, embedding_dups_sql, ivf_fixed_sql, revenue_by_nation_sql, simhash_sql,
     revenue_by_region_brand_sql, top_order_revenue_sql, transcripts_bm25_sql,
     fingerprint_sql, grouped_best_sql, grouped_expand_sql, knn_sql,
+    highlight_sql,
     hash_sample_sql, hash_split_sql, lang_id_sql, minhash_exact_sql,
     mix_sources_sql, bpe_count_sql, gopher_filter_sql, tool_usage_sql,
     ngram_exact_sql, pii_scrub_sql, decontaminate_sql, self_overlap_sql,
@@ -140,6 +141,16 @@ def _q_bm25_radial(sf_dir: str) -> pd.DataFrame:
     # UNCAPPED score>=theta predicate path (O5) — no max_k truncation
     s = IndexSearcher(documents_index(sf_dir))
     return _round_hits(s.search(RADIAL_QUERY, min_score=RADIAL_MIN_SCORE))
+
+
+def _q_bm25_highlight(sf_dir: str) -> pd.DataFrame:
+    # highlight surface: matched-term positions per top-k hit (the
+    # positions sidecar consumed as a user feature, not just by phrase)
+    s = IndexSearcher(documents_index(sf_dir))
+    out = s.matched_positions(BM25_QUERIES, k=BM25_K)
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["pos"] = out["pos"].astype(np.int64)
+    return out.reset_index(drop=True)
 
 
 def _q_grouped_best(sf_dir: str) -> pd.DataFrame:
@@ -1107,6 +1118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_radial": _q_bm25_radial,
         "bm25_phrase": _q_bm25_phrase,
         "bm25_boolean": _q_bm25_boolean,
+        "bm25_highlight": _q_bm25_highlight,
         "grouped_best_doc": _q_grouped_best,
         "grouped_expand": _q_grouped_expand,
         "term_stats": _q_term_stats,
@@ -1246,6 +1258,7 @@ def oracle_sql() -> dict[str, str]:
                                 min_score=RADIAL_MIN_SCORE),
         "bm25_phrase": phrase_sql(PHRASE_QUERIES, BM25_K, CFG),
         "bm25_boolean": boolean_sql(BOOLEAN_QUERIES, BM25_K, CFG),
+        "bm25_highlight": highlight_sql(BM25_QUERIES, BM25_K, CFG),
         "grouped_best_doc": grouped_best_sql(GROUP_QUERY, CFG),
         "grouped_expand": grouped_expand_sql(GROUP_QUERY, EXPAND_GROUPS, CFG),
         "term_stats": term_stats_sql(TERM_STATS_TERMS, CFG),

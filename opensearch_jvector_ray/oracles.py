@@ -120,6 +120,44 @@ ORDER BY query_id, rank
 """
 
 
+def highlight_sql(queries: dict[str, str], k: int, cfg: EngineConfig,
+                  table: str = "documents", id_col: str = "doc_id",
+                  text_col: str = "text") -> str:
+    """Oracle for IndexSearcher.matched_positions: top-k hits from the
+    shared BM25 oracle (nested WITH), joined to every occurrence of each
+    analyzed query term in the hit doc.  Positions are 0-based indices
+    on the non-empty token stream BEFORE stopword removal — exactly the
+    axis the index's pos_enc sidecar stores."""
+    pat = sql_quote(cfg.split_pattern)
+    qt_rows = []
+    for qid, text in sorted(queries.items()):
+        for term, _ in query_term_weights(text, cfg):
+            qt_rows.append(f"({sql_quote(qid)}, {sql_quote(term)})")
+    qt_values = ",\n       ".join(qt_rows) if qt_rows else \
+        "('__none__', '__none__')"
+    inner = bm25_sql(queries, k, cfg, table, id_col, text_col)
+    return f"""
+WITH hits AS ({inner}),
+ht AS (
+  SELECT {id_col},
+         list_filter(regexp_split_to_array(lower({text_col}), {pat}),
+                     x -> x <> '') AS tk
+  FROM {table}
+),
+u AS (
+  SELECT {id_col}, unnest(tk) AS term,
+         unnest(range(len(tk))) AS pos
+  FROM ht
+),
+hqt(query_id, term) AS (VALUES {qt_values})
+SELECT h.query_id, h.{id_col}, u.term, CAST(u.pos AS BIGINT) AS pos
+FROM hits h
+JOIN hqt ON hqt.query_id = h.query_id
+JOIN u ON u.{id_col} = h.{id_col} AND u.term = hqt.term
+ORDER BY h.query_id, h.{id_col}, u.term, pos
+"""
+
+
 def boolean_sql(queries: dict[str, str], k: int, cfg: EngineConfig,
                 table: str = "documents", id_col: str = "doc_id",
                 text_col: str = "text") -> str:

@@ -488,6 +488,79 @@ def _search_segments_task(batch: pa.Table, payload: dict) -> pa.Table:
     return SegmentSearcher(payload)(batch)
 
 
+def _positions_for_segment(seg_dir: str, p: dict) -> pa.Table | None:
+    """Matched-term positions for the hit docs living in one segment —
+    the highlight fetch (the J4 hit->source pattern applied to the
+    positions sidecar).  The hit set is k*queries rows, so the per-hit
+    loop is bounded by the RESULT size, never the corpus."""
+    from opensearch_jvector_ray.postings import (
+        decode_positions, decode_posting_list,
+    )
+    key_cols = p["key_cols"]
+    docs = pq.read_table(os.path.join(seg_dir, DOCS_NAME),
+                         columns=list(key_cols)).to_pandas()
+    docs["ord_"] = np.arange(len(docs), dtype=np.int64)
+    hitdf = pd.DataFrame(p["hits"])
+    m = hitdf.merge(docs, on=list(key_cols))
+    if m.empty:
+        return None
+    postings = pq.read_table(os.path.join(seg_dir, POSTINGS_NAME),
+                             filters=[("term", "in", p["union"])])
+    term_data: dict[str, tuple] = {}
+    has_blk = "blk_n" in postings.column_names
+    for i in range(postings.num_rows):
+        t = postings["term"][i].as_py()
+        tfs_pair = decode_posting_list(
+            postings["ords_enc"][i].as_py(), postings["tfs_enc"][i].as_py(),
+            codec=p["codec"], df=postings["df"][i].as_py(),
+            block_size=p["block_size"],
+            blk_n=postings["blk_n"][i].as_py() if has_blk else None)
+        ords, tfs = tfs_pair
+        flat, offs = decode_positions(postings["pos_enc"][i].as_py(), tfs)
+        term_data[t] = (ords, flat, offs)
+    out_q: list[str] = []
+    out_key: dict[str, list] = {kc: [] for kc in key_cols}
+    out_t: list[str] = []
+    out_p: list[np.ndarray] = []
+    for rec in m.to_dict("records"):
+        for t in p["qterms"].get(rec["query_id"], ()):
+            td = term_data.get(t)
+            if td is None:
+                continue
+            ords, flat, offs = td
+            i = int(np.searchsorted(ords, rec["ord_"]))
+            if i >= len(ords) or ords[i] != rec["ord_"]:
+                continue
+            pos = flat[offs[i]:offs[i + 1]]
+            out_q.extend([rec["query_id"]] * len(pos))
+            for kc in key_cols:
+                out_key[kc].extend([rec[kc]] * len(pos))
+            out_t.extend([t] * len(pos))
+            out_p.append(np.asarray(pos, dtype=np.int64))
+    if not out_q:
+        return None
+    cols: dict[str, Any] = {"query_id": pa.array(out_q, type=pa.string())}
+    for kc in key_cols:
+        cols[kc] = pa.array(out_key[kc])
+    cols["term"] = pa.array(out_t, type=pa.string())
+    cols["pos"] = pa.array(np.concatenate(out_p))
+    return pa.table(cols)
+
+
+def _positions_task(batch: pa.Table, payload: dict) -> pa.Table:
+    tables = [_positions_for_segment(d, payload)
+              for d in batch["seg_dir"].to_pylist()]
+    tables = [t for t in tables if t is not None]
+    if not tables:
+        cols: dict[str, Any] = {"query_id": pa.array([], type=pa.string())}
+        for kc, kt in payload["key_types"]:
+            cols[kc] = pa.array([], type=kt)
+        cols["term"] = pa.array([], type=pa.string())
+        cols["pos"] = pa.array([], type=pa.int64())
+        return pa.table(cols)
+    return pa.concat_tables(tables)
+
+
 # ---------------------------------------------------------------------------
 # driver-side searcher
 # ---------------------------------------------------------------------------
@@ -687,6 +760,46 @@ class IndexSearcher:
         df = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
             columns=["query_id", *self.key_cols, "score"])
         return self._finalize(df, k, collapse_col, cap_k=min_score is None)
+
+    def matched_positions(self, queries: dict[str, str],
+                          k: int | None = None,
+                          **search_kwargs) -> pd.DataFrame:
+        """Highlight surface: the positions of every matched query term
+        in each top-k hit — one row per (query_id, *key_cols, term,
+        pos).  Positions are on the PRE-stopword axis of the non-empty
+        token stream (the StopFilter gap rule the index stores), the
+        same numbers the phrase scorer consumes.
+
+        The analog of OpenSearch/Lucene highlighting: the hit set is
+        result-sized, so the fetch fans one task per segment (exactly
+        the search fan-out) and each task touches only the hit docs."""
+        hits = self.search(queries, k=k, **search_kwargs)
+        cols = ["query_id", *self.key_cols, "term", "pos"]
+        if hits.empty:
+            return pd.DataFrame(columns=cols)
+        prepared, union = self._prepare(queries, k or self.cfg.default_k)
+        qterms = {e["query_id"]: sorted({t for (t, _, _) in e["terms"]})
+                  for e in prepared}
+        docs_schema = pq.read_schema(
+            os.path.join(self.seg_dirs[0], DOCS_NAME))
+        payload = {
+            "hits": hits[["query_id", *self.key_cols]].to_dict("list"),
+            "qterms": qterms, "union": union, "key_cols": self.key_cols,
+            "codec": self.cfg.codec, "block_size": self.cfg.block_size,
+            "key_types": [(kc, docs_schema.field(kc).type)
+                          for kc in self.key_cols],
+        }
+        seg_ds = rd.from_items([{"seg_dir": d} for d in self.seg_dirs])
+        out = seg_ds.map_batches(_positions_task,
+                                 fn_kwargs={"payload": payload},
+                                 batch_format="pyarrow", batch_size=1)
+        frames = [b.to_pandas()
+                  for b in out.iter_batches(batch_format="pyarrow")]
+        frames = [f for f in frames if not f.empty]
+        if not frames:
+            return pd.DataFrame(columns=cols)
+        df = pd.concat(frames, ignore_index=True)
+        return df.sort_values(cols).reset_index(drop=True)[cols]
 
     def _finalize(self, df: pd.DataFrame, k: int,
                   collapse_col: str | None = None,

@@ -311,3 +311,32 @@ def test_self_overlap_brute():
     assert got["n_shingles"].tolist() == [2, 2, 2]
     assert got["n_hits"].tolist() == [1, 1, 0]
     assert got["has_overlap"].tolist() == [1, 1, 0]
+
+
+def test_matched_positions_highlight(tmp_path):
+    import ray.data as rd_
+    from opensearch_jvector_ray.stages.build import IndexSpec, build_index
+    from opensearch_jvector_ray.query import IndexSearcher
+    texts = [
+        "zebra the zebra jumps",     # zebra at pre-stop positions 0 and 2
+        "nothing relevant here",
+        "jumps over the lazy zebra", # zebra at 4, jumps at 0 (stop 'the'
+                                     # and 'over'? 'over' is not a stopword)
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    })
+    idx = str(tmp_path / "hidx")
+    build_index(rd_.from_arrow(tbl), idx, EngineConfig(num_segments=2),
+                IndexSpec(text_col="text", key_cols=("doc_id",),
+                          store_cols=(), ts_col=""))
+    out = IndexSearcher(idx).matched_positions({"q": "zebra jumps"}, k=3)
+    got = {(r.doc_id, r.term): [] for r in out.itertuples()}
+    for r in out.itertuples():
+        got[(r.doc_id, r.term)].append(r.pos)
+    assert got[(0, "zebra")] == [0, 2]
+    assert got[(0, "jumps")] == [3]
+    assert got[(2, "zebra")] == [4]
+    assert got[(2, "jumps")] == [0]
+    assert (1, "zebra") not in got and (1, "jumps") not in got
