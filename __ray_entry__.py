@@ -31,7 +31,7 @@ from opensearch_jvector_ray.oracles import (
     byte_knn_sql, corpus_clean_sql, embedding_dups_sql, ivf_fixed_sql, revenue_by_nation_sql, simhash_sql,
     revenue_by_region_brand_sql, top_order_revenue_sql, transcripts_bm25_sql,
     fingerprint_sql, grouped_best_sql, grouped_expand_sql, knn_sql,
-    highlight_sql,
+    highlight_sql, mlt_sql,
     hash_sample_sql, hash_split_sql, lang_id_sql, minhash_exact_sql,
     mix_sources_sql, bpe_count_sql, gopher_filter_sql, tool_usage_sql,
     ngram_exact_sql, pii_scrub_sql, decontaminate_sql, self_overlap_sql,
@@ -141,6 +141,23 @@ def _q_bm25_radial(sf_dir: str) -> pd.DataFrame:
     # UNCAPPED score>=theta predicate path (O5) — no max_k truncation
     s = IndexSearcher(documents_index(sf_dir))
     return _round_hits(s.search(RADIAL_QUERY, min_score=RADIAL_MIN_SCORE))
+
+
+MLT_SEEDS = {"m1": 7, "m2": 123, "m3": 321}
+
+
+def _q_bm25_mlt(sf_dir: str) -> pd.DataFrame:
+    # more-like-this: seed doc -> top tf*idf terms -> BM25 (Lucene MLT).
+    # Seed texts come from the SOURCE table by pushed-down key read (the
+    # index never duplicates text — S9)
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"],
+                        filters=[("doc_id", "in",
+                                  list(MLT_SEEDS.values()))])
+    by_id = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    seed_texts = {qid: by_id[sid] for qid, sid in MLT_SEEDS.items()}
+    s = IndexSearcher(documents_index(sf_dir))
+    return _round_hits(s.more_like_this(seed_texts, k=BM25_K))
 
 
 def _q_bm25_highlight(sf_dir: str) -> pd.DataFrame:
@@ -1119,6 +1136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_phrase": _q_bm25_phrase,
         "bm25_boolean": _q_bm25_boolean,
         "bm25_highlight": _q_bm25_highlight,
+        "bm25_more_like_this": _q_bm25_mlt,
         "grouped_best_doc": _q_grouped_best,
         "grouped_expand": _q_grouped_expand,
         "term_stats": _q_term_stats,
@@ -1259,6 +1277,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_phrase": phrase_sql(PHRASE_QUERIES, BM25_K, CFG),
         "bm25_boolean": boolean_sql(BOOLEAN_QUERIES, BM25_K, CFG),
         "bm25_highlight": highlight_sql(BM25_QUERIES, BM25_K, CFG),
+        "bm25_more_like_this": mlt_sql(MLT_SEEDS, BM25_K, 10, CFG),
         "grouped_best_doc": grouped_best_sql(GROUP_QUERY, CFG),
         "grouped_expand": grouped_expand_sql(GROUP_QUERY, EXPAND_GROUPS, CFG),
         "term_stats": term_stats_sql(TERM_STATS_TERMS, CFG),

@@ -78,6 +78,12 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--collapse", default=None)
     s.add_argument("--dsl", default=None,
                    help="JSON query body (match | bool); overrides --query")
+    s.add_argument("--highlight", action="store_true",
+                   help="emit matched-term positions per hit instead of "
+                        "the ranked hit list")
+    s.add_argument("--more-like", default=None, metavar="TEXT",
+                   help="more-like-this: derive the query from a seed "
+                        "text's top tf*idf terms; overrides --query")
 
     m = sub.add_parser("merge")
     m.add_argument("--index", required=True)
@@ -227,9 +233,20 @@ def main(argv: list[str] | None = None) -> int:
                                     searcher=IndexSearcher(args.index))
                 print(out.to_string(index=False))
                 return 0
+            if args.more_like:
+                out = IndexSearcher(args.index).more_like_this(
+                    {"q0": args.more_like}, k=args.k)
+                print(out.to_string(index=False))
+                return 0
             if not args.query:
-                p.error("search needs --query or --dsl")
+                p.error("search needs --query, --dsl, or --more-like")
             queries = {f"q{i}": q for i, q in enumerate(args.query)}
+            if args.highlight:
+                out = IndexSearcher(args.index).matched_positions(
+                    queries, k=args.k,
+                    mode=args.mode if args.mode != "rescore" else "taat")
+                print(out.to_string(index=False))
+                return 0
             kwargs = {}
             if args.mode == "rescore":
                 kwargs = {"rescore_oversample": 3.0}

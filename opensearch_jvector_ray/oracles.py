@@ -54,13 +54,17 @@ def bm25_sql(queries: dict[str, str], k: int, cfg: EngineConfig,
              table: str = "documents", id_col: str = "doc_id",
              text_col: str = "text", filter_sql: str | None = None,
              min_score: float | None = None,
-             prefix_cte: str | None = None) -> str:
+             prefix_cte: str | None = None,
+             qt_cte: str | None = None) -> str:
     """Top-k (or radial, if min_score given) BM25 oracle.
 
     Output columns: query_id, rank, {id_col}, score — identical names to
     the engine output (driver compares by sorted column names).
     Filter semantics match the engine's pre-filter: candidates restricted,
-    global df/N/avgdl UNALTERED.
+    global df/N/avgdl UNALTERED.  ``qt_cte``, when given, REPLACES the
+    static VALUES query-term block with SQL computing qt(query_id, term,
+    w) — the more-like-this path, where the query terms themselves come
+    from the corpus.
     """
     qt_rows = []
     for qid, text in sorted(queries.items()):
@@ -72,6 +76,8 @@ def bm25_sql(queries: dict[str, str], k: int, cfg: EngineConfig,
     limit_clause = f"WHERE rank <= {k}" if min_score is None else \
         f"WHERE score__raw >= {min_score!r}"
     pre = f"{prefix_cte},\n" if prefix_cte else ""
+    qt_block = qt_cte if qt_cte is not None else \
+        f"qt(query_id, term, w) AS (VALUES {qt_values})"
     return f"""
 WITH {pre}{toks_cte(cfg, table, id_col, text_col)},
 dl AS (
@@ -80,7 +86,7 @@ dl AS (
 stats AS (
   SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl
 ),
-qt(query_id, term, w) AS (VALUES {qt_values}),
+{qt_block},
 df AS (
   SELECT term, count(DISTINCT {id_col})::DOUBLE AS df FROM toks
   WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY term
@@ -118,6 +124,41 @@ SELECT query_id, rank, {id_col}, round(score__raw, 6) AS score
 FROM ranked {limit_clause}
 ORDER BY query_id, rank
 """
+
+
+def mlt_sql(seeds: dict[str, int], k: int, max_query_terms: int,
+            cfg: EngineConfig, table: str = "documents",
+            id_col: str = "doc_id", text_col: str = "text") -> str:
+    """Oracle for IndexSearcher.more_like_this: the query terms are the
+    seed doc's top ``max_query_terms`` post-stopword terms by tf*idf
+    (row_number ORDER BY tf*idf DESC, term ASC — the engine's exact
+    selection rule; tf*idf is BIGINT * the shared ln idf, bit-equal on
+    both sides), each with weight 1; the rest is the shared BM25 CTE."""
+    seed_rows = ",\n       ".join(
+        f"({sql_quote(qid)}, {int(sid)})" for qid, sid in sorted(seeds.items()))
+    qt_cte = f"""seeds(query_id, sid) AS (VALUES {seed_rows}),
+st AS (
+  SELECT s.query_id, t.term, count(*)::BIGINT AS tf
+  FROM toks t JOIN seeds s ON t.{id_col} = s.sid
+  GROUP BY s.query_id, t.term
+),
+sdf AS (
+  SELECT term, count(DISTINCT {id_col})::DOUBLE AS df FROM toks
+  WHERE term IN (SELECT DISTINCT term FROM st) GROUP BY term
+),
+qt AS (
+  SELECT query_id, term, 1.0 AS w FROM (
+    SELECT st.query_id, st.term,
+           row_number() OVER (
+             PARTITION BY st.query_id
+             ORDER BY st.tf * ln(1.0 + (stats.n - sdf.df + 0.5)
+                                 / (sdf.df + 0.5)) DESC,
+                      st.term ASC) AS rn
+    FROM st JOIN sdf USING (term) CROSS JOIN stats
+  ) WHERE rn <= {int(max_query_terms)}
+)"""
+    return bm25_sql({}, k, cfg, table=table, id_col=id_col,
+                    text_col=text_col, qt_cte=qt_cte)
 
 
 def highlight_sql(queries: dict[str, str], k: int, cfg: EngineConfig,

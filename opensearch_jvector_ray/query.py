@@ -761,6 +761,46 @@ class IndexSearcher:
             columns=["query_id", *self.key_cols, "score"])
         return self._finalize(df, k, collapse_col, cap_k=min_score is None)
 
+    def more_like_this(self, seed_texts: dict[str, str],
+                       k: int | None = None,
+                       max_query_terms: int = 10,
+                       **search_kwargs) -> pd.DataFrame:
+        """Lucene MoreLikeThis analog: for each seed TEXT, select its top
+        ``max_query_terms`` post-stopword terms by tf*idf (ties broken
+        term-ascending; idf from the index's global df/N) and run a
+        standard BM25 search with them (each term weight 1).
+
+        Takes seed texts, not keys: the index deliberately does NOT
+        duplicate the raw text (the S9 derived-source rule), so callers
+        fetch seed text from the source table (a pushed-down key read —
+        the J4 pattern) or pass arbitrary free text.  The seed doc may
+        appear in the results (Lucene include=true).
+
+        Term selection is deterministic and corpus-derived, so the
+        DuckDB oracle (`oracles.mlt_sql`) reproduces it
+        symbol-for-symbol."""
+        from collections import Counter
+
+        from opensearch_jvector_ray.analyze import tokenize
+        k = k or self.cfg.default_k
+        n = float(self.stats["n_docs_indexed"])
+        term_tfs: dict[str, Counter] = {}
+        all_terms: set[str] = set()
+        for qid, text in seed_texts.items():
+            stream = tokenize(pa.array([text], type=pa.string()), self.cfg)
+            tf = Counter(stream.terms.to_pylist())
+            term_tfs[qid] = tf
+            all_terms.update(tf)
+        df_map = self.lookup_df(sorted(all_terms))
+        queries: dict[str, str] = {}
+        for qid, tf in term_tfs.items():
+            scored = sorted(
+                (-(float(cnt) * float(bm25_idf(n, df_map[t]))), t)
+                for t, cnt in tf.items() if df_map.get(t, 0) > 0)
+            queries[qid] = " ".join(t for _, t in
+                                    scored[:max_query_terms])
+        return self.search(queries, k=k, **search_kwargs)
+
     def matched_positions(self, queries: dict[str, str],
                           k: int | None = None,
                           **search_kwargs) -> pd.DataFrame:

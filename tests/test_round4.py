@@ -340,3 +340,32 @@ def test_matched_positions_highlight(tmp_path):
     assert got[(2, "zebra")] == [4]
     assert got[(2, "jumps")] == [0]
     assert (1, "zebra") not in got and (1, "jumps") not in got
+
+
+def test_more_like_this_selects_rare_terms(tmp_path):
+    import ray.data as rd_
+    from opensearch_jvector_ray.stages.build import IndexSpec, build_index
+    from opensearch_jvector_ray.query import IndexSearcher
+    # 'common' is in every doc (low idf); 'quetzal' only in docs 0 and 3
+    texts = [
+        "common quetzal nebula",
+        "common filler words here",
+        "common other text entirely",
+        "common quetzal nebula again",
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    })
+    idx = str(tmp_path / "mltidx")
+    build_index(rd_.from_arrow(tbl), idx, EngineConfig(num_segments=2),
+                IndexSpec(text_col="text", key_cols=("doc_id",),
+                          store_cols=(), ts_col=""))
+    s = IndexSearcher(idx)
+    # limit to 2 terms: the rare pair (quetzal, nebula) must win over
+    # the ubiquitous 'common'
+    out = s.more_like_this({"m": texts[0]}, k=4, max_query_terms=2)
+    assert out.iloc[0]["doc_id"] in (0, 3)
+    hit_ids = set(out["doc_id"])
+    assert {0, 3} <= hit_ids
+    assert 1 not in hit_ids and 2 not in hit_ids  # 'common' not selected
