@@ -12,6 +12,8 @@ Supported bodies (one top-level clause per query):
     {"knn":    {"vector": [...], "k": 10, "metric": "cosine|l2|...",
                 "min_score": f | "max_distance": f,
                 "filter": {"term": {col: value}}}}
+    {"more_like_this": {"like": "seed text ...", "k": 10,
+                "max_query_terms": 10}}    # Lucene MLT clause
 
 ``parse_query`` validates STRICTLY (unknown fields are errors, like the
 reference parser's ParseField contract) and returns a plain spec dict;
@@ -29,6 +31,7 @@ _MATCH_FIELDS = {"query", "k", "mode", "min_score", "collapse"}
 _BOOL_FIELDS = {"must", "should", "must_not", "k"}
 _KNN_FIELDS = {"vector", "k", "metric", "min_score", "max_distance",
                "filter"}
+_MLT_FIELDS = {"like", "k", "max_query_terms"}
 _MODES = {"taat", "wand", "rescore", "phrase"}
 _METRICS = {"cosine", "l2", "innerproduct", "l1", "linf", "hamming"}
 
@@ -74,6 +77,14 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
         if not (out["must"] or out["should"]):
             raise ValueError("[bool] needs at least one must/should term")
         return out
+    if clause == "more_like_this":
+        _require_known(clause, spec, _MLT_FIELDS)
+        if not isinstance(spec.get("like"), str) or not spec["like"]:
+            raise ValueError("[more_like_this] needs a non-empty 'like' "
+                             "seed text")
+        return {"type": "more_like_this", "like": spec["like"],
+                "k": int(spec.get("k", 10)),
+                "max_query_terms": int(spec.get("max_query_terms", 10))}
     if clause == "knn":
         _require_known(clause, spec, _KNN_FIELDS)
         vec = spec.get("vector")
@@ -100,7 +111,7 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
                 "max_distance": spec.get("max_distance"),
                 "filter": flt}
     raise ValueError(f"unknown query clause {clause!r} "
-                     f"(supported: match, bool, knn)")
+                     f"(supported: match, bool, knn, more_like_this)")
 
 
 def execute_query(body: dict[str, Any], *, searcher=None, vector_ds=None,
@@ -116,6 +127,12 @@ def execute_query(body: dict[str, Any], *, searcher=None, vector_ds=None,
     allow-list of ids (typically a pushed-down parquet read over the
     source table)."""
     spec = parse_query(body)
+    if spec["type"] == "more_like_this":
+        if searcher is None:
+            raise ValueError("[more_like_this] needs searcher=")
+        return searcher.more_like_this(
+            {query_id: spec["like"]}, k=spec["k"],
+            max_query_terms=spec["max_query_terms"])
     if spec["type"] in ("match", "bool"):
         if searcher is None:
             raise ValueError(f"[{spec['type']}] needs searcher=")

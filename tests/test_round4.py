@@ -369,3 +369,30 @@ def test_more_like_this_selects_rare_terms(tmp_path):
     hit_ids = set(out["doc_id"])
     assert {0, 3} <= hit_ids
     assert 1 not in hit_ids and 2 not in hit_ids  # 'common' not selected
+
+
+def test_query_dsl_more_like_this(tmp_path):
+    import ray.data as rd_
+    from opensearch_jvector_ray.query import IndexSearcher
+    from opensearch_jvector_ray.query_dsl import execute_query, parse_query
+    from opensearch_jvector_ray.stages.build import IndexSpec, build_index
+    import pytest
+    with pytest.raises(ValueError):
+        parse_query({"more_like_this": {"like": ""}})
+    with pytest.raises(ValueError):
+        parse_query({"more_like_this": {"like": "x", "bogus": 1}})
+    texts = ["common quetzal nebula", "common filler words here",
+             "common other text entirely", "common quetzal nebula again"]
+    tbl = pa.table({"doc_id": pa.array(range(4), type=pa.int64()),
+                    "text": pa.array(texts, type=pa.string())})
+    idx = str(tmp_path / "didx")
+    build_index(rd_.from_arrow(tbl), idx, EngineConfig(num_segments=2),
+                IndexSpec(text_col="text", key_cols=("doc_id",),
+                          store_cols=(), ts_col=""))
+    s = IndexSearcher(idx)
+    via_dsl = execute_query(
+        {"more_like_this": {"like": texts[0], "k": 4,
+                            "max_query_terms": 2}}, searcher=s)
+    direct = s.more_like_this({"q": texts[0]}, k=4, max_query_terms=2)
+    assert via_dsl["doc_id"].tolist() == direct["doc_id"].tolist()
+    assert via_dsl["score"].tolist() == direct["score"].tolist()
