@@ -234,6 +234,11 @@ def main(argv: list[str] | None = None) -> int:
                 print(out.to_string(index=False))
                 return 0
             if args.more_like:
+                if args.query or args.highlight or args.collapse or \
+                        args.mode != "taat":
+                    p.error("--more-like is a standalone query form; it "
+                            "does not combine with --query/--highlight/"
+                            "--collapse/--mode")
                 out = IndexSearcher(args.index).more_like_this(
                     {"q0": args.more_like}, k=args.k)
                 print(out.to_string(index=False))
@@ -242,9 +247,12 @@ def main(argv: list[str] | None = None) -> int:
                 p.error("search needs --query, --dsl, or --more-like")
             queries = {f"q{i}": q for i, q in enumerate(args.query)}
             if args.highlight:
+                if args.collapse or args.mode in ("rescore", "boolean"):
+                    p.error("--highlight supports modes taat/wand/phrase "
+                            "and no --collapse (the highlighted hit set "
+                            "must be the searched hit set)")
                 out = IndexSearcher(args.index).matched_positions(
-                    queries, k=args.k,
-                    mode=args.mode if args.mode != "rescore" else "taat")
+                    queries, k=args.k, mode=args.mode)
                 print(out.to_string(index=False))
                 return 0
             kwargs = {}

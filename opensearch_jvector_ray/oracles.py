@@ -487,6 +487,10 @@ def gopher_filter_sql(cfg: EngineConfig, table: str = "documents",
     comparisons are bit-identical to the engine.  Thresholds default
     from the ENGINE's GOPHER_DEFAULTS (shared constant — cannot drift)."""
     from opensearch_jvector_ray.pipelines.textstats import GOPHER_DEFAULTS
+    unknown = sorted(set(rules) - set(GOPHER_DEFAULTS))
+    if unknown:
+        raise TypeError(f"unknown gopher rule(s) {unknown}; valid: "
+                        f"{sorted(GOPHER_DEFAULTS)}")
     p = {**GOPHER_DEFAULTS, **rules}
     min_tokens, max_tokens = p["min_tokens"], p["max_tokens"]
     min_mean_len, max_mean_len = p["min_mean_len"], p["max_mean_len"]

@@ -145,8 +145,22 @@ def jaccard(a: set, b: set) -> float:
 _SHINGLE_MIX = np.uint64(0x9E3779B97F4A7C15)   # shingle hash combiner
 
 
+def _distinct_doc_windows(wh: np.ndarray,
+                          wd: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct (doc, window-hash) pairs: one lexsort + first-occurrence
+    mask.  Shared by ``decontaminate`` and ``self_overlap``."""
+    if not len(wh):
+        return wh, wd
+    order = np.lexsort((wh, wd))
+    wh_s, wd_s = wh[order], wd[order]
+    first = np.ones(len(wh_s), dtype=bool)
+    first[1:] = (wd_s[1:] != wd_s[:-1]) | (wh_s[1:] != wh_s[:-1])
+    return wh_s[first], wd_s[first]
+
+
 def _window_hashes(texts: pa.Array, cfg: EngineConfig,
-                   shingle_k: int) -> tuple[np.ndarray, np.ndarray]:
+                   shingle_k: int,
+                   return_counts: bool = False):
     """Vectorized word-shingle hashes for a batch of texts: returns
     ``(wh, wd)`` — uint64 window hashes and their doc indices, sorted by
     doc.  A window hash combines consecutive TOKEN hashes
@@ -194,6 +208,8 @@ def _window_hashes(texts: pa.Array, cfg: EngineConfig,
     else:
         wh = np.zeros(0, dtype=np.uint64)
         wd = np.zeros(0, dtype=np.int64)
+    if return_counts:
+        return wh, wd, counts
     return wh, wd
 
 
@@ -895,15 +911,7 @@ def decontaminate(ds: "rd.Dataset", cfg: EngineConfig, id_col: str,
             texts = texts.combine_chunks()
         n = batch.num_rows
         wh, wd = _window_hashes(texts, cfg, shingle_k)
-        # distinct (doc, hash) windows: one lexsort + first-occurrence mask
-        if len(wh):
-            order = np.lexsort((wh, wd))
-            wh_s, wd_s = wh[order], wd[order]
-            first = np.ones(len(wh_s), dtype=bool)
-            first[1:] = (wd_s[1:] != wd_s[:-1]) | (wh_s[1:] != wh_s[:-1])
-            wh_u, wd_u = wh_s[first], wd_s[first]
-        else:
-            wh_u, wd_u = wh, wd
+        wh_u, wd_u = _distinct_doc_windows(wh, wd)
         n_shingles = np.bincount(wd_u, minlength=n).astype(np.int64)
         pos = np.searchsorted(bench, wh_u)
         hit = (pos < len(bench))
@@ -951,24 +959,13 @@ def self_overlap(ds: "rd.Dataset", cfg: EngineConfig, id_col: str,
         texts = batch[text_col]
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
-        wh, wd = _window_hashes(texts, cfg, shingle_k)
-        # drop the one combined window of docs shorter than shingle_k
-        # (the SQL window expression emits nothing for them)
-        from opensearch_jvector_ray.pipelines.textstats import _token_lists
-        counts = pc.list_value_length(
-            _token_lists(texts, cfg)).to_numpy(zero_copy_only=False)
+        # counts come back from the SAME tokenize pass (no second regex
+        # split over the corpus); drop the one combined window of docs
+        # shorter than shingle_k (the SQL expression emits nothing there)
+        wh, wd, counts = _window_hashes(texts, cfg, shingle_k,
+                                        return_counts=True)
         keep = counts[wd] >= shingle_k
-        wh, wd = wh[keep], wd[keep]
-        # per-doc DISTINCT windows: one lexsort
-        if len(wh):
-            order = np.lexsort((wh, wd))
-            wh_s, wd_s = wh[order], wd[order]
-            first = np.ones(len(wh_s), dtype=bool)
-            first[1:] = (wd_s[1:] != wd_s[:-1]) | (wh_s[1:] != wh_s[:-1])
-            wh_u, wd_u = wh_s[first], wd_s[first]
-        else:
-            wh_u = np.zeros(0, dtype=np.uint64)
-            wd_u = np.zeros(0, dtype=np.int64)
+        wh_u, wd_u = _distinct_doc_windows(wh[keep], wd[keep])
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         return pa.table({
             "wh": pa.array(wh_u),

@@ -230,6 +230,10 @@ def gopher_filter_stage(cfg: EngineConfig, id_col: str, text_col: str,
     (no round() anywhere), so engine and DuckDB comparisons are
     bit-identical; the output is all-integer.  Thresholds default from
     ``GOPHER_DEFAULTS`` (shared with the oracle generator)."""
+    unknown = sorted(set(rules) - set(GOPHER_DEFAULTS))
+    if unknown:
+        raise TypeError(f"unknown gopher rule(s) {unknown}; valid: "
+                        f"{sorted(GOPHER_DEFAULTS)}")
     p = {**GOPHER_DEFAULTS, **rules}
     min_tokens, max_tokens = p["min_tokens"], p["max_tokens"]
     min_mean_len, max_mean_len = p["min_mean_len"], p["max_mean_len"]

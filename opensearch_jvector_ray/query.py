@@ -813,6 +813,12 @@ class IndexSearcher:
         The analog of OpenSearch/Lucene highlighting: the hit set is
         result-sized, so the fetch fans one task per segment (exactly
         the search fan-out) and each task touches only the hit docs."""
+        if search_kwargs.get("mode") == "boolean":
+            # boolean queries analyze through a different path (+must /
+            # -must_not clause parsing); the term-prep below would
+            # diverge from the hit set's analysis
+            raise ValueError("matched_positions supports modes "
+                             "taat/wand/rescore/phrase, not boolean")
         hits = self.search(queries, k=k, **search_kwargs)
         cols = ["query_id", *self.key_cols, "term", "pos"]
         if hits.empty:

@@ -83,16 +83,29 @@ def conversations_index(sf_dir: str) -> str:
     conv_dir = os.path.join(CACHE_ROOT, f"convs_{key}")
     marker = os.path.join(conv_dir, "_SUCCESS")
     if not os.path.exists(marker):
-        # a missing marker with a present dir means a prior run crashed
-        # mid-write: clear it first, or the retry's write_parquet would
-        # APPEND a second file set and duplicate every conversation
+        # stage into a process-private tmp dir and atomically rename:
+        # a crash never leaves a half-written blessed dir, and two
+        # concurrent builders each write their own tmp — the rename
+        # loser just discards its copy (identical content: synthesis is
+        # deterministic)
         import shutil
-        shutil.rmtree(conv_dir, ignore_errors=True)
-        os.makedirs(conv_dir, exist_ok=True)
+        tmp = f"{conv_dir}.tmp{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
         assemble_conversations(
-            rd.read_parquet(transcripts_path(sf_dir))).write_parquet(conv_dir)
-        with open(marker, "w") as f:
+            rd.read_parquet(transcripts_path(sf_dir))).write_parquet(tmp)
+        with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
             f.write("ok")
+        try:
+            os.rename(tmp, conv_dir)
+        except OSError:
+            if os.path.exists(marker):
+                # another builder won the rename; identical content
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                # stale marker-less dir from an old crashed run: replace
+                shutil.rmtree(conv_dir, ignore_errors=True)
+                os.rename(tmp, conv_dir)
     idx = os.path.join(CACHE_ROOT,
                        f"convidx_{key}_{TRANSCRIPTS_CFG.fingerprint()}")
     if not _index_complete(idx):
