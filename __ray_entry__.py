@@ -31,7 +31,7 @@ from opensearch_jvector_ray.oracles import (
     byte_knn_sql, corpus_clean_sql, embedding_dups_sql, ivf_fixed_sql, revenue_by_nation_sql, simhash_sql,
     revenue_by_region_brand_sql, top_order_revenue_sql, transcripts_bm25_sql,
     fingerprint_sql, grouped_best_sql, grouped_expand_sql, knn_sql,
-    highlight_sql, mlt_sql,
+    highlight_sql, mlt_sql, prefix_sql, fuzzy_sql, facet_sql, page_sql,
     hash_sample_sql, hash_split_sql, lang_id_sql, minhash_exact_sql,
     mix_sources_sql, bpe_count_sql, gopher_filter_sql, tool_usage_sql,
     ngram_exact_sql, pii_scrub_sql, decontaminate_sql, self_overlap_sql,
@@ -168,6 +168,62 @@ def _q_bm25_highlight(sf_dir: str) -> pd.DataFrame:
     out["doc_id"] = out["doc_id"].astype(np.int64)
     out["pos"] = out["pos"].astype(np.int64)
     return out.reset_index(drop=True)
+
+
+PREFIX_QUERIES = {
+    "x1": "s* merge",        # s* -> scan sort slow stream spark small ...
+    "x2": "c* data row",     # c* -> column customer
+    "x3": "qu* filter",
+    "x4": "b* w*",
+}
+FUZZY_QUERIES = {
+    "f1": "qury merg",       # query / merge at distance 1
+    "f2": "scam dat",        # scan / data
+    "f3": "valu window",     # value / window
+}
+FUZZY_MAX_EDITS = 1
+FACET_COL = "lang"
+FACET_MIN_SCORE = 0.3
+
+
+def _q_bm25_prefix(sf_dir: str) -> pd.DataFrame:
+    # trailing-wildcard multi-term queries: dictionary-expanded prefix
+    # clauses (df DESC, term ASC cap) + literal terms, weights additive
+    s = IndexSearcher(documents_index(sf_dir))
+    return _round_hits(s.prefix_search(PREFIX_QUERIES, k=BM25_K))
+
+
+def _q_bm25_fuzzy(sf_dir: str) -> pd.DataFrame:
+    # fuzzy match queries: each analyzed term expands to its levenshtein<=1
+    # vocabulary neighborhood (dist ASC, df DESC, term ASC cap)
+    s = IndexSearcher(documents_index(sf_dir))
+    return _round_hits(s.fuzzy_search(FUZZY_QUERIES, k=BM25_K,
+                                      max_edits=FUZZY_MAX_EDITS))
+
+
+def _q_bm25_facets(sf_dir: str) -> pd.DataFrame:
+    # terms aggregation over the radial match set: per-segment
+    # facet-count partials -> driver sum (combiner-first; the hit set
+    # never leaves the tasks)
+    s = IndexSearcher(documents_index(sf_dir))
+    out = s.facet_counts(BM25_QUERIES, facet_col=FACET_COL,
+                         min_score=FACET_MIN_SCORE)
+    out["doc_count"] = out["doc_count"].astype(np.int64)
+    return out
+
+
+def _q_bm25_search_after(sf_dir: str) -> pd.DataFrame:
+    # deep pagination: page 2 via a search_after boundary pushed into
+    # every segment task (page 1 rows are never re-shipped); must equal
+    # global ranks k+1..2k of the full ranking, re-ranked 1..k
+    s = IndexSearcher(documents_index(sf_dir))
+    p1 = s.search(BM25_QUERIES, k=BM25_K)    # RAW scores feed the boundary
+    boundary = {}
+    for qid, g in p1.groupby("query_id"):
+        last = g.loc[g["rank"].idxmax()]
+        boundary[qid] = (float(last["score"]), int(last["doc_id"]))
+    return _round_hits(s.search(BM25_QUERIES, k=BM25_K,
+                                search_after=boundary))
 
 
 def _q_grouped_best(sf_dir: str) -> pd.DataFrame:
@@ -1137,6 +1193,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_boolean": _q_bm25_boolean,
         "bm25_highlight": _q_bm25_highlight,
         "bm25_more_like_this": _q_bm25_mlt,
+        "bm25_prefix": _q_bm25_prefix,
+        "bm25_fuzzy": _q_bm25_fuzzy,
+        "bm25_facets": _q_bm25_facets,
+        "bm25_search_after": _q_bm25_search_after,
         "grouped_best_doc": _q_grouped_best,
         "grouped_expand": _q_grouped_expand,
         "term_stats": _q_term_stats,
@@ -1278,6 +1338,12 @@ def oracle_sql() -> dict[str, str]:
         "bm25_boolean": boolean_sql(BOOLEAN_QUERIES, BM25_K, CFG),
         "bm25_highlight": highlight_sql(BM25_QUERIES, BM25_K, CFG),
         "bm25_more_like_this": mlt_sql(MLT_SEEDS, BM25_K, 10, CFG),
+        "bm25_prefix": prefix_sql(PREFIX_QUERIES, BM25_K, CFG),
+        "bm25_fuzzy": fuzzy_sql(FUZZY_QUERIES, BM25_K, CFG,
+                                max_edits=FUZZY_MAX_EDITS),
+        "bm25_facets": facet_sql(BM25_QUERIES, FACET_MIN_SCORE,
+                                 FACET_COL, CFG),
+        "bm25_search_after": page_sql(BM25_QUERIES, BM25_K, 2, CFG),
         "grouped_best_doc": grouped_best_sql(GROUP_QUERY, CFG),
         "grouped_expand": grouped_expand_sql(GROUP_QUERY, EXPAND_GROUPS, CFG),
         "term_stats": term_stats_sql(TERM_STATS_TERMS, CFG),

@@ -134,3 +134,35 @@ def query_term_weights(text: str, cfg: EngineConfig) -> list[tuple[str, int]]:
     for t in terms:
         out[t] = out.get(t, 0) + 1
     return list(out.items())
+
+
+def parse_prefix_query(text: str, cfg: EngineConfig,
+                       ) -> tuple[list[tuple[str, int]], list[str]]:
+    """Lucene query-string style trailing-wildcard parsing: a whitespace
+    chunk ending in ``*`` is a PREFIX clause (stem lowercased verbatim —
+    multi-term wildcards are not analyzed further, matching Lucene's
+    rule that wildcard terms bypass the analysis chain); every other
+    chunk runs through the full analysis chain and scores as a literal
+    term.  Returns (literal (term, count) list in first-appearance
+    order, unique prefix stems in first-appearance order).
+
+    Duplicate prefix clauses within one query are deduplicated (each
+    unique prefix contributes its expansion once); a bare ``*`` (empty
+    stem — an unbounded leading wildcard) is rejected, as in Lucene's
+    default allowLeadingWildcard=false posture.
+    """
+    lits: list[str] = []
+    prefixes: list[str] = []
+    for chunk in text.split():
+        if chunk.endswith("*"):
+            stem = chunk[:-1].lower()
+            if not stem:
+                raise ValueError("empty prefix stem: bare '*' not allowed")
+            if stem not in prefixes:
+                prefixes.append(stem)
+        else:
+            lits.extend(analyze_query(chunk, cfg))
+    out: dict[str, int] = {}
+    for t in lits:
+        out[t] = out.get(t, 0) + 1
+    return list(out.items()), prefixes

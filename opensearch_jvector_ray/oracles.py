@@ -126,6 +126,137 @@ ORDER BY query_id, rank
 """
 
 
+def _vocab_cte(id_col: str) -> str:
+    """Global term dictionary reconstructed from the corpus — identical
+    by construction to the engine's dictionary (df = distinct docs)."""
+    return (f"vocab AS (\n  SELECT term, count(DISTINCT {id_col})::BIGINT "
+            f"AS df FROM toks GROUP BY term\n)")
+
+
+def prefix_sql(queries: dict[str, str], k: int, cfg: EngineConfig,
+               max_expansions: int = 50, table: str = "documents",
+               id_col: str = "doc_id", text_col: str = "text") -> str:
+    """Oracle for IndexSearcher.prefix_search: trailing-``*`` chunks
+    expand to the top ``max_expansions`` vocabulary terms with that
+    prefix (df DESC, term ASC — the engine's exact cap rule); literal
+    chunks analyze normally; weights for the same term ADD.  The parse
+    is the engine's own ``parse_prefix_query``, so clause splitting can
+    never drift."""
+    from opensearch_jvector_ray.analyze import parse_prefix_query
+    lit_rows, pfx_rows = [], []
+    for qid, text in sorted(queries.items()):
+        lits, prefixes = parse_prefix_query(text, cfg)
+        for t, c in lits:
+            lit_rows.append(f"({sql_quote(qid)}, {sql_quote(t)}, {float(c)!r})")
+        for p in prefixes:
+            pfx_rows.append(f"({sql_quote(qid)}, {sql_quote(p)})")
+    lit_values = ",\n       ".join(lit_rows) if lit_rows else \
+        "('__none__', '__none__', 0.0)"
+    pfx_values = ",\n       ".join(pfx_rows) if pfx_rows else \
+        "('__none__', '¤¤')"
+    qt_cte = f"""{_vocab_cte(id_col)},
+pq0(query_id, pfx) AS (VALUES {pfx_values}),
+px AS (
+  SELECT query_id, term FROM (
+    SELECT p.query_id, v.term,
+           row_number() OVER (PARTITION BY p.query_id, p.pfx
+                              ORDER BY v.df DESC, v.term ASC) AS rn
+    FROM pq0 p JOIN vocab v ON starts_with(v.term, p.pfx))
+  WHERE rn <= {int(max_expansions)}
+),
+lit(query_id, term, w) AS (VALUES {lit_values}),
+qt AS (
+  SELECT query_id, term, sum(w)::DOUBLE AS w FROM (
+    SELECT query_id, term, 1.0 AS w FROM px
+    UNION ALL SELECT query_id, term, w FROM lit
+  ) GROUP BY query_id, term
+)"""
+    return bm25_sql({}, k, cfg, table=table, id_col=id_col,
+                    text_col=text_col, qt_cte=qt_cte)
+
+
+def fuzzy_sql(queries: dict[str, str], k: int, cfg: EngineConfig,
+              max_edits: int = 1, prefix_length: int = 0,
+              max_expansions: int = 50, table: str = "documents",
+              id_col: str = "doc_id", text_col: str = "text") -> str:
+    """Oracle for IndexSearcher.fuzzy_search: each analyzed query term
+    expands to vocabulary terms within ``max_edits`` unit-cost edits
+    (DuckDB ``levenshtein`` == the engine's vectorized DP: insert/
+    delete/substitute, no transposition), ordered (distance ASC, df
+    DESC, term ASC), capped; an expansion inherits the source term's
+    occurrence count as weight, weights for the same term ADD."""
+    fq_rows = []
+    for qid, text in sorted(queries.items()):
+        for t, c in query_term_weights(text, cfg):
+            fq_rows.append(f"({sql_quote(qid)}, {sql_quote(t)}, {float(c)!r})")
+    fq_values = ",\n       ".join(fq_rows) if fq_rows else \
+        "('__none__', '__none__', 0.0)"
+    pl = int(prefix_length)
+    pl_sql = (f"\n     AND substr(v.term, 1, {pl}) = substr(f.ft, 1, {pl})"
+              if pl > 0 else "")
+    qt_cte = f"""{_vocab_cte(id_col)},
+fq0(query_id, ft, w) AS (VALUES {fq_values}),
+fx AS (
+  SELECT query_id, term, w FROM (
+    SELECT f.query_id, v.term, f.w,
+           row_number() OVER (PARTITION BY f.query_id, f.ft
+                              ORDER BY levenshtein(v.term, f.ft) ASC,
+                                       v.df DESC, v.term ASC) AS rn
+    FROM fq0 f JOIN vocab v
+      ON levenshtein(v.term, f.ft) <= {int(max_edits)}{pl_sql})
+  WHERE rn <= {int(max_expansions)}
+),
+qt AS (
+  SELECT query_id, term, sum(w)::DOUBLE AS w FROM fx
+  GROUP BY query_id, term
+)"""
+    return bm25_sql({}, k, cfg, table=table, id_col=id_col,
+                    text_col=text_col, qt_cte=qt_cte)
+
+
+def facet_sql(queries: dict[str, str], min_score: float, facet_col: str,
+              cfg: EngineConfig, size: int | None = None,
+              table: str = "documents", id_col: str = "doc_id",
+              text_col: str = "text") -> str:
+    """Oracle for IndexSearcher.facet_counts: per-query doc counts per
+    facet value over the radial (score >= min_score) match set, ordered
+    (doc_count DESC, value ASC), optionally capped at ``size``."""
+    inner = bm25_sql(queries, 0, cfg, table=table, id_col=id_col,
+                     text_col=text_col, min_score=min_score)
+    body = f"""
+  SELECT h.query_id, d.{facet_col} AS {facet_col},
+         count(*)::BIGINT AS doc_count
+  FROM ({inner}) h JOIN {table} d USING ({id_col})
+  GROUP BY h.query_id, d.{facet_col}
+"""
+    if size is None:
+        return (f"SELECT query_id, {facet_col}, doc_count FROM ({body}) "
+                f"ORDER BY query_id, doc_count DESC, {facet_col}")
+    return f"""
+SELECT query_id, {facet_col}, doc_count FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY doc_count DESC, {facet_col} ASC
+                              ) AS rn
+  FROM ({body})
+) WHERE rn <= {int(size)}
+ORDER BY query_id, doc_count DESC, {facet_col}
+"""
+
+
+def page_sql(queries: dict[str, str], k: int, page: int,
+             cfg: EngineConfig, table: str = "documents",
+             id_col: str = "doc_id", text_col: str = "text") -> str:
+    """Oracle for search_after deep pagination: page N of size k is
+    global ranks (N-1)*k+1 .. N*k, re-ranked 1..k within the page — the
+    engine's boundary-pushdown result must equal the window of the full
+    ranking."""
+    off = int(k) * (int(page) - 1)
+    inner = bm25_sql(queries, int(k) * int(page), cfg, table=table,
+                     id_col=id_col, text_col=text_col)
+    return (f"SELECT query_id, rank - {off} AS rank, {id_col}, score "
+            f"FROM ({inner}) WHERE rank > {off} ORDER BY query_id, rank")
+
+
 def mlt_sql(seeds: dict[str, int], k: int, max_query_terms: int,
             cfg: EngineConfig, table: str = "documents",
             id_col: str = "doc_id", text_col: str = "text") -> str:

@@ -35,6 +35,7 @@ from typing import Any, Sequence
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray.data as rd
@@ -212,6 +213,54 @@ def _wand_topk(cursors: list[_TermCursor], k: int, dl: np.ndarray,
     return ords, scores
 
 
+def _levenshtein_vec(cands: Sequence[str], q: str) -> np.ndarray:
+    """Unit-cost Levenshtein distance from ``q`` to every candidate term
+    (insert/delete/substitute; no transposition — transpositions=false in
+    Lucene FuzzyQuery terms, and exactly DuckDB's ``levenshtein``).
+
+    The DP is vectorized across CANDIDATES: the python loops run over
+    query length × max candidate length (tens of iterations), each step
+    a numpy op over the whole candidate array.  Candidates are a pruned
+    VOCAB slice (length band + optional prefix range), never corpus rows.
+    Distances are codepoint-based on both sides (ASCII-identical to
+    DuckDB; the analyzer lowercases before comparison).
+    """
+    n = len(cands)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    qa = np.array([ord(c) for c in q], dtype=np.int64)
+    lens = np.array([len(t) for t in cands], dtype=np.int64)
+    lmax = int(lens.max())
+    T = np.zeros((n, lmax), dtype=np.int64)
+    for j, t in enumerate(cands):            # vocab-slice-sized fill
+        T[j, : len(t)] = [ord(c) for c in t]
+    prev = np.tile(np.arange(lmax + 1, dtype=np.int64), (n, 1))
+    for i in range(1, len(q) + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        sub = (T != qa[i - 1]).astype(np.int64)
+        for j in range(1, lmax + 1):
+            cur[:, j] = np.minimum(
+                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
+                prev[:, j - 1] + sub[:, j - 1])
+        prev = cur
+    return prev[np.arange(n), lens]
+
+
+def _key_gt(docs: pa.Table, key_cols: Sequence[str], ords: np.ndarray,
+            after_key: Sequence[Any]) -> np.ndarray:
+    """Lexicographic ``key > after_key`` over the composite key columns
+    for the given doc ordinals (the search_after boundary compare)."""
+    take = pa.array(ords)
+    gt = np.zeros(len(ords), dtype=bool)
+    eq = np.ones(len(ords), dtype=bool)
+    for kc, av in zip(key_cols, after_key):
+        vals = docs[kc].take(take).to_numpy(zero_copy_only=False)
+        gt |= eq & (vals > av)
+        eq &= vals == av
+    return gt
+
+
 def _topk_from_scores(scores: np.ndarray, candidates: np.ndarray,
                       k: int, tie: np.ndarray | None = None
                       ) -> tuple[np.ndarray, np.ndarray]:
@@ -272,6 +321,10 @@ class SegmentSearcher:
     # -- helpers ---------------------------------------------------------
     def _empty(self) -> pa.Table:
         cols: dict[str, pa.Array] = {"query_id": pa.array([], type=pa.string())}
+        if self.p.get("facet_col") is not None:
+            cols[self.p["facet_col"]] = pa.array([], type=self.p["facet_type"])
+            cols["doc_count"] = pa.array([], type=pa.int64())
+            return pa.table(cols)
         for kc, kt in self.p["key_types"]:
             cols[kc] = pa.array([], type=kt)
         cols["score"] = pa.array([], type=pa.float64())
@@ -321,6 +374,10 @@ class SegmentSearcher:
         out_ord: list[np.ndarray] = []
         out_sc: list[np.ndarray] = []
         mode = p["mode"]
+        facet_col = p.get("facet_col")
+        ftables: list[pa.Table] = []
+        sa_all = p.get("search_after") or {}
+        key_names = [kc for kc, _ in p["key_types"]]
         for q in p["queries"]:
             terms = [(t, w, idf) for (t, w, idf) in q["terms"] if t in rows]
             if not terms:
@@ -360,13 +417,37 @@ class SegmentSearcher:
                                           tie=tie,
                                           min_score=p.get("min_score"))
             else:
+                after = None
+                sa = sa_all.get(q["query_id"])
+                if sa is not None:
+                    after = (float(sa["score"]),
+                             lambda o, _k=sa["key"]: _key_gt(docs, key_names,
+                                                             o, _k))
                 ords, scores = self._taat(terms, decoded, dl, mask, q["k"],
                                           rescore=p["rescore_oversample"] if mode == "rescore" else None,
                                           tie=tie,
-                                          min_score=p.get("min_score"))
+                                          min_score=p.get("min_score"),
+                                          after=after)
+            if facet_col is not None:
+                # terms-aggregation partial: per-(query, facet value)
+                # counts over this segment's qualifying docs — only the
+                # facet-cardinality-sized partial leaves the task (A2's
+                # combiner-first rule), never the hit set
+                if len(ords):
+                    vc = (pa.table({"v": docs[facet_col].take(pa.array(ords))})
+                          .group_by("v").aggregate([("v", "count")]))
+                    ftables.append(pa.table({
+                        "query_id": pa.array([q["query_id"]] * vc.num_rows,
+                                             type=pa.string()),
+                        facet_col: vc["v"].combine_chunks(),
+                        "doc_count": pc.cast(vc["v_count"], pa.int64()),
+                    }))
+                continue
             out_qid.extend([q["query_id"]] * len(ords))
             out_ord.append(ords)
             out_sc.append(scores)
+        if facet_col is not None:
+            return pa.concat_tables(ftables) if ftables else None
         if not out_qid:
             return None
         ords_all = np.concatenate(out_ord)
@@ -430,14 +511,22 @@ class SegmentSearcher:
         return _topk_from_scores(scores, cand_ords, k, tie)
 
     def _taat(self, terms, decoded, dl, mask, k, rescore=None, tie=None,
-              min_score=None):
+              min_score=None, after=None):
         """Term-at-a-time vectorized scoring; optional two-pass rescore.
 
         ``min_score`` switches to the UNCAPPED radial predicate (O5 is a
         score>=theta predicate, not a heap): every candidate at or above
-        the threshold is returned — no silent max_k truncation."""
+        the threshold is returned — no silent max_k truncation.
+
+        ``after`` = (score, key_gt_fn) is the search_after boundary: a
+        candidate survives iff it sorts strictly AFTER the boundary in
+        the global (score desc, key asc) order — applied BEFORE the
+        local top-k so each segment returns its best k rows beyond the
+        boundary (deep pagination never re-ships earlier pages)."""
         n_docs = len(dl)
         if rescore is not None:
+            if after is not None:
+                raise ValueError("search_after is not supported with rescore")
             # first pass: lossy quantized norms (PQ-approx analog)
             dl_q = quantize_doc_len(dl)
             k1 = self.p["first_pass_k"](k, rescore)
@@ -477,6 +566,14 @@ class SegmentSearcher:
         candidates = np.flatnonzero(scores > 0.0)
         self._counters["candidates_scored"] = (
             self._counters.get("candidates_scored", 0) + len(candidates))
+        if after is not None and len(candidates):
+            s_a, key_gt = after
+            c_sc = scores[candidates]
+            keep = c_sc < s_a
+            eqm = c_sc == s_a
+            if eqm.any():
+                keep[eqm] = key_gt(candidates[eqm])
+            candidates = candidates[keep]
         if min_score is not None:
             candidates = candidates[scores[candidates] >= min_score]
             return _topk_from_scores(scores, candidates, len(candidates), tie)
@@ -589,9 +686,206 @@ class IndexSearcher:
                             columns=["term", "df"])
         return dict(zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()))
 
+    def _read_dictionary(self, filters=None) -> pa.Table:
+        dict_dir = os.path.join(self.index_dir, "dictionary")
+        if not os.path.isdir(dict_dir) or not os.listdir(dict_dir):
+            return pa.table({"term": pa.array([], type=pa.string()),
+                             "df": pa.array([], type=pa.int64())})
+        return pq.read_table(dict_dir, columns=["term", "df"],
+                             filters=filters)
+
+    # -- multi-term expansion (the Lucene MultiTermQuery rewrite family) --
+    def expand_prefix(self, prefix: str, max_expansions: int = 50,
+                      ) -> list[str]:
+        """Prefix (trailing-wildcard) term expansion [Lucene PrefixQuery
+        under a scoring-BooleanQuery rewrite with a deterministic cap]:
+        every dictionary term starting with ``prefix``, ordered
+        (df DESC, term ASC), capped at ``max_expansions`` — the highest-
+        df terms win the cap, mirroring Lucene's top-terms rewrites.
+
+        The dictionary is term-SORTED parquet, so the read pushes the
+        [prefix, successor(prefix)) range filter down to row groups —
+        only the matching vocab slice leaves storage, never a scan.
+        """
+        if not prefix:
+            raise ValueError("prefix must be non-empty")
+        filters: list[tuple] = [("term", ">=", prefix)]
+        last = ord(prefix[-1])
+        if last < 0x10FFFF:
+            filters.append(("term", "<", prefix[:-1] + chr(last + 1)))
+        tbl = self._read_dictionary(filters)
+        tbl = tbl.filter(pc.starts_with(tbl["term"], prefix))
+        idx = pc.sort_indices(tbl, sort_keys=[("df", "descending"),
+                                              ("term", "ascending")])
+        return tbl.take(idx[:max_expansions])["term"].to_pylist()
+
+    def expand_fuzzy(self, term: str, max_edits: int = 1,
+                     prefix_length: int = 0,
+                     max_expansions: int = 50) -> list[str]:
+        """Fuzzy term expansion [Lucene FuzzyQuery public semantics with
+        transpositions=false]: dictionary terms within ``max_edits``
+        unit-cost edits of ``term``, ordered (edit distance ASC, df
+        DESC, term ASC), capped at ``max_expansions``.
+
+        ``prefix_length`` chars must match exactly (candidate[:pl] ==
+        term[:pl], the slice-truncation rule — mirrored by the oracle's
+        substr compare) and PRUNE the dictionary read to one sorted term
+        range, the analog of Lucene walking only the matching FST
+        subtree.  With prefix_length=0 the read is vocab-sized — the
+        small side of the engine, but a real scan; at 1e8+ terms prefer
+        prefix_length>=1 (documented gap vs Lucene's Levenshtein
+        automaton).  A length band |len(t)-len(term)|<=max_edits prunes
+        before the DP; the DP itself is vectorized across candidates.
+        """
+        if max_edits < 0:
+            raise ValueError("max_edits must be >= 0")
+        filters = None
+        pl = min(prefix_length, len(term))
+        if pl > 0:
+            pfx = term[:pl]
+            filters = [("term", ">=", pfx)]
+            if ord(pfx[-1]) < 0x10FFFF:
+                filters.append(("term", "<", pfx[:-1] + chr(ord(pfx[-1]) + 1)))
+        tbl = self._read_dictionary(filters)
+        lens = pc.utf8_length(tbl["term"])
+        band = pc.and_(pc.greater_equal(lens, len(term) - max_edits),
+                       pc.less_equal(lens, len(term) + max_edits))
+        tbl = tbl.filter(band)
+        cands = tbl["term"].to_pylist()
+        if prefix_length > 0:
+            keep = [i for i, t in enumerate(cands)
+                    if t[:prefix_length] == term[:prefix_length]]
+            tbl = tbl.take(pa.array(keep, type=pa.int64()))
+            cands = [cands[i] for i in keep]
+        dist = _levenshtein_vec(cands, term)
+        dfv = tbl["df"].to_numpy(zero_copy_only=False)
+        hits = [(int(dist[i]), -int(dfv[i]), cands[i])
+                for i in np.flatnonzero(dist <= max_edits)]
+        hits.sort()
+        return [t for _, _, t in hits[:max_expansions]]
+
+    def prefix_search(self, queries: dict[str, str], k: int | None = None,
+                      max_expansions: int = 50,
+                      **search_kwargs) -> pd.DataFrame:
+        """Trailing-wildcard query strings: whitespace chunks ending in
+        ``*`` expand against the dictionary (see ``expand_prefix``); all
+        other chunks analyze and score as literal terms.  Expanded and
+        literal weights for the same term ADD (the flattened-Boolean
+        rewrite); scoring then rides the standard distributed BM25 path.
+        """
+        from opensearch_jvector_ray.analyze import parse_prefix_query
+        tw_map: dict[str, list[tuple[str, float]]] = {}
+        for qid, text in queries.items():
+            lits, prefixes = parse_prefix_query(text, self.cfg)
+            weights: dict[str, float] = {}
+            order: list[str] = []
+
+            def add(t: str, w: float) -> None:
+                if t not in weights:
+                    order.append(t)
+                    weights[t] = 0.0
+                weights[t] += w
+
+            for t, c in lits:
+                add(t, float(c))
+            for pfx in prefixes:
+                for t in self.expand_prefix(pfx, max_expansions):
+                    add(t, 1.0)
+            tw_map[qid] = [(t, weights[t]) for t in order]
+        return self.search(queries, k=k, term_weights=tw_map,
+                           **search_kwargs)
+
+    def fuzzy_search(self, queries: dict[str, str], k: int | None = None,
+                     max_edits: int = 1, prefix_length: int = 0,
+                     max_expansions: int = 50,
+                     **search_kwargs) -> pd.DataFrame:
+        """Match query with fuzziness [the OpenSearch ``match`` +
+        ``fuzziness`` surface]: each analyzed query term expands to its
+        fuzzy neighborhood (see ``expand_fuzzy``); an expansion inherits
+        the source term's occurrence count as weight, and weights for
+        the same expanded term ADD across source terms.  The exact term
+        itself is distance 0, so it always survives the cap first."""
+        tw_map: dict[str, list[tuple[str, float]]] = {}
+        for qid, text in queries.items():
+            weights: dict[str, float] = {}
+            order: list[str] = []
+            for t, c in query_term_weights(text, self.cfg):
+                for e in self.expand_fuzzy(t, max_edits, prefix_length,
+                                           max_expansions):
+                    if e not in weights:
+                        order.append(e)
+                        weights[e] = 0.0
+                    weights[e] += float(c)
+            tw_map[qid] = [(t, weights[t]) for t in order]
+        return self.search(queries, k=k, term_weights=tw_map,
+                           **search_kwargs)
+
+    def facet_counts(self, queries: dict[str, str], facet_col: str,
+                     min_score: float, size: int | None = None,
+                     term_weights: dict[str, list[tuple[str, float]]] | None = None,
+                     concurrency: int | None = None) -> pd.DataFrame:
+        """Terms aggregation (facets) over the query's radial match set
+        [OpenSearch terms-aggregation public semantics]: per query, the
+        count of matching docs (BM25 score >= min_score) per distinct
+        value of a stored doc column, ordered (doc_count DESC, value
+        ASC), optionally capped at ``size`` buckets.
+
+        Distribution shape: each segment task reduces its qualifying
+        docs to a (query, facet value, count) PARTIAL — only facet-
+        cardinality-sized partials reach the driver (combiner-first);
+        the hit set itself never leaves the tasks.
+        """
+        if not self.seg_dirs:
+            return pd.DataFrame(columns=["query_id", facet_col, "doc_count"])
+        docs_schema = pq.read_schema(
+            os.path.join(self.seg_dirs[0], DOCS_NAME))
+        if facet_col not in docs_schema.names:
+            raise ValueError(f"facet_col {facet_col!r} is not a stored "
+                             f"doc column ({docs_schema.names})")
+        prepared, union = self._prepare(queries, self.cfg.default_k,
+                                        term_weights=term_weights)
+        payload = {
+            "queries": prepared, "union_terms": union, "mode": "taat",
+            "codec": self.cfg.codec, "block_size": self.cfg.block_size,
+            "k1": self.cfg.k1, "b": self.cfg.b,
+            "avgdl": float(self.stats["avgdl"] or 1.0),
+            "filter": None, "rescore_oversample": None,
+            "key_types": [(kc, docs_schema.field(kc).type)
+                          for kc in self.key_cols],
+            "first_pass_k": self.cfg.first_pass_k,
+            "min_score": float(min_score),
+            "facet_col": facet_col,
+            "facet_type": docs_schema.field(facet_col).type,
+        }
+        cols = ["query_id", facet_col, "doc_count"]
+        if not union:
+            return pd.DataFrame(columns=cols)
+        seg_ds = rd.from_items([{"seg_dir": d} for d in self.seg_dirs])
+        extra = {"concurrency": concurrency} if concurrency else {}
+        out = seg_ds.map_batches(_search_segments_task,
+                                 fn_kwargs={"payload": payload},
+                                 batch_format="pyarrow", batch_size=1,
+                                 **extra)
+        frames = [b.to_pandas()
+                  for b in out.iter_batches(batch_format="pyarrow")]
+        frames = [f for f in frames if not f.empty]
+        if not frames:
+            return pd.DataFrame(columns=cols)
+        df = pd.concat(frames, ignore_index=True)
+        agg = (df.groupby(["query_id", facet_col], sort=False)["doc_count"]
+                 .sum().reset_index())
+        agg = agg.sort_values(["query_id", "doc_count", facet_col],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        if size is not None:
+            agg = agg.groupby("query_id", sort=False).head(size)
+        return agg.reset_index(drop=True)[cols]
+
     def _prepare(self, queries: dict[str, str], k: int,
                  phrase: bool = False,
-                 boolean: bool = False) -> tuple[list[dict], list[str]]:
+                 boolean: bool = False,
+                 term_weights: dict[str, list[tuple[str, float]]] | None = None,
+                 ) -> tuple[list[dict], list[str]]:
         from opensearch_jvector_ray.analyze import (
             analyze_query, parse_boolean_query,
         )
@@ -600,7 +894,12 @@ class IndexSearcher:
         for qid, text in queries.items():
             must: list[str] = []
             must_not: list[str] = []
-            if phrase:
+            if term_weights is not None:
+                # pre-expanded (term, weight) lists — the multi-term
+                # query path (prefix / fuzzy expansion) supplies its own
+                # analyzed terms
+                tw = list(term_weights[qid])
+            elif phrase:
                 # ordered term sequence, duplicates kept (position matters)
                 tw = [(t, 1) for t in analyze_query(text, self.cfg)]
             elif boolean:
@@ -693,7 +992,9 @@ class IndexSearcher:
                rescore_oversample: float | None = None,
                concurrency: int | None = None,
                collapse_col: str | None = None,
-               min_score: float | None = None) -> pd.DataFrame:
+               min_score: float | None = None,
+               term_weights: dict[str, list[tuple[str, float]]] | None = None,
+               search_after: dict[str, tuple] | None = None) -> pd.DataFrame:
         """Top-k BM25 for a batch of queries.
 
         Returns a DataFrame (query_id, rank, *key_cols, score) with global
@@ -704,8 +1005,27 @@ class IndexSearcher:
         parent, `ExpandNestedDocsQuery` / `GroupedNestedDocIdSetIterator`);
         like Lucene's collapse it over-fetches k*over_query_factor
         candidates per segment before collapsing.
+
+        ``term_weights`` (qid -> [(term, weight)]) bypasses query-text
+        analysis — the multi-term expansion path (prefix_search /
+        fuzzy_search supply pre-expanded weighted terms).
+
+        ``search_after`` (qid -> (score, *key)) is deep pagination
+        [Lucene/OpenSearch search_after public semantics]: only docs
+        sorting strictly AFTER the boundary in the (score desc, key asc)
+        total order are returned; the boundary tuple must carry the RAW
+        float64 score from a previous page of this same engine.  The
+        boundary is pushed into every segment task, so page N never
+        re-ships pages 1..N-1 — each segment still returns <= k rows.
+        Ranks restart at 1 per page.  Queries missing from the dict
+        return no rows (the resume token is required).  taat only.
         """
         cfg = self.cfg
+        if search_after is not None:
+            if mode != "taat" or rescore_oversample is not None \
+                    or min_score is not None or collapse_col is not None:
+                raise ValueError("search_after requires plain taat mode "
+                                 "(no rescore/min_score/collapse)")
         if min_score is not None:
             # radial is an UNCAPPED score>=theta predicate (O5), streamed
             # per segment — k and the K_MAX guard do not apply
@@ -726,9 +1046,13 @@ class IndexSearcher:
             k_fetch = min(cfg.max_k, k * cfg.over_query_factor)
         from opensearch_jvector_ray.state import metrics
         metrics.incr({metrics.QUERY_REQUESTS: len(queries)})
+        if search_after is not None:
+            queries = {qid: t for qid, t in queries.items()
+                       if qid in search_after}
         prepared, union = self._prepare(queries, k_fetch,
                                         phrase=(mode == "phrase"),
-                                        boolean=(mode == "boolean"))
+                                        boolean=(mode == "boolean"),
+                                        term_weights=term_weights)
         key_types = []
         if self.seg_dirs:
             docs_schema = pq.read_schema(os.path.join(self.seg_dirs[0], DOCS_NAME))
@@ -743,6 +1067,10 @@ class IndexSearcher:
             "first_pass_k": cfg_obj.first_pass_k,
             "min_score": min_score,
         }
+        if search_after is not None:
+            payload["search_after"] = {
+                qid: {"score": float(t[0]), "key": list(t[1:])}
+                for qid, t in search_after.items() if qid in queries}
         if not union or not self.seg_dirs:
             return self._finalize(pd.DataFrame(
                 columns=["query_id", *self.key_cols, "score"]), k, collapse_col,

@@ -1,0 +1,190 @@
+"""Round-5 query surface: multi-term expansion (prefix / fuzzy), terms
+facet aggregation, and search_after deep pagination.
+
+Driver-gate parity vs DuckDB (expansion rules, BM25 over expanded
+weighted terms, facet ordering, page tiling) is covered by the
+bm25_prefix / bm25_fuzzy / bm25_facets / bm25_search_after oracle
+entries at sf0.001/0.01/0.1; these tests cover what SQL parity can't:
+the vectorized Levenshtein DP itself, the expansion cap/order rules
+against brute force, boundary pushdown semantics (pages tile the full
+ranking, nothing re-shipped), and argument validation.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from opensearch_jvector_ray.analyze import parse_prefix_query
+from opensearch_jvector_ray.config import EngineConfig
+from opensearch_jvector_ray.query import IndexSearcher, _levenshtein_vec
+from opensearch_jvector_ray.stages.build import IndexSpec, build_index
+from opensearch_jvector_ray.synth import generate_conversations
+
+CFG = EngineConfig()
+
+
+def _lev_ref(a: str, b: str) -> int:
+    """Textbook unit-cost Levenshtein (no transposition)."""
+    dp = list(range(len(b) + 1))
+    for i in range(1, len(a) + 1):
+        prev, dp[0] = dp[0], i
+        for j in range(1, len(b) + 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                     prev + (a[i - 1] != b[j - 1]))
+    return dp[len(b)]
+
+
+@pytest.fixture(scope="module")
+def index(tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("r5idx") / "main")
+    corpus = generate_conversations(np.arange(220))
+    build_index(rd.from_arrow(corpus), idx, EngineConfig(num_segments=4),
+                IndexSpec())
+    return idx
+
+
+def test_levenshtein_vec_matches_reference():
+    rng = np.random.default_rng(7)
+    alpha = "abcde"
+    cands = ["".join(rng.choice(list(alpha), size=rng.integers(0, 9)))
+             for _ in range(80)] + ["", "query", "data"]
+    for q in ["", "a", "query", "abcde", "edcba"]:
+        got = _levenshtein_vec(cands, q)
+        exp = [_lev_ref(t, q) for t in cands]
+        assert got.tolist() == exp, q
+
+
+def test_expand_prefix_rule(index):
+    s = IndexSearcher(index)
+    vocab = s._read_dictionary().to_pandas()
+    for pfx in ["d", "mo", "se", "zzz"]:
+        hit = vocab[vocab["term"].str.startswith(pfx)]
+        exp = (hit.sort_values(["df", "term"], ascending=[False, True],
+                               kind="mergesort")["term"].head(3).tolist())
+        assert s.expand_prefix(pfx, max_expansions=3) == exp, pfx
+    with pytest.raises(ValueError):
+        s.expand_prefix("")
+    with pytest.raises(ValueError):
+        parse_prefix_query("data *", CFG)
+
+
+def test_expand_fuzzy_rule(index):
+    s = IndexSearcher(index)
+    vocab = s._read_dictionary().to_pandas()
+    terms = vocab["term"].tolist()
+    dfs = dict(zip(vocab["term"], vocab["df"]))
+    for q, me, pl in [("data", 1, 0), ("modell", 1, 0), ("serch", 2, 0),
+                      ("data", 2, 2), ("xyzq", 1, 0), ("data", 0, 0)]:
+        cands = [(_lev_ref(t, q), -int(dfs[t]), t) for t in terms
+                 if _lev_ref(t, q) <= me and t[:pl] == q[:pl]]
+        cands.sort()
+        exp = [t for _, _, t in cands[:5]]
+        assert s.expand_fuzzy(q, max_edits=me, prefix_length=pl,
+                              max_expansions=5) == exp, (q, me, pl)
+
+
+def test_prefix_search_equals_manual_expansion(index):
+    s = IndexSearcher(index)
+    queries = {"q": "dat* model"}
+    got = s.prefix_search(queries, k=8, max_expansions=10)
+    lits, prefixes = parse_prefix_query(queries["q"], s.cfg)
+    weights: dict[str, float] = {}
+    order: list[str] = []
+    for t, c in lits:
+        order.append(t)
+        weights[t] = float(c)
+    for p in prefixes:
+        for t in s.expand_prefix(p, 10):
+            if t not in weights:
+                order.append(t)
+                weights[t] = 0.0
+            weights[t] += 1.0
+    manual = s.search(queries, k=8,
+                      term_weights={"q": [(t, weights[t]) for t in order]})
+    pd.testing.assert_frame_equal(got, manual)
+    assert len(got) == 8
+    # overlapping literal+prefix weights ADD: "data dat*" must outscore
+    # plain "data" for the same top doc (weight 2 on 'data'-family terms)
+    both = s.prefix_search({"q": "data dat*"}, k=1)
+    plain = s.search({"q": "data"}, k=1)
+    assert both["score"].iloc[0] > plain["score"].iloc[0]
+
+
+def test_fuzzy_search_includes_exact_first(index):
+    s = IndexSearcher(index)
+    # max_expansions=1 keeps ONLY the distance-0 exact term -> identical
+    # to the plain search for an in-vocab query
+    got = s.fuzzy_search({"q": "data"}, k=5, max_edits=1, max_expansions=1)
+    plain = s.search({"q": "data"}, k=5)
+    pd.testing.assert_frame_equal(got, plain)
+    # an off-by-one typo still finds the real term's docs
+    typo = s.fuzzy_search({"q": "dataa"}, k=5, max_edits=1)
+    assert not typo.empty
+
+
+def test_search_after_pages_tile_full_ranking(index):
+    s = IndexSearcher(index)
+    queries = {"a": "data model search", "b": "checkpoint lineage"}
+    full = s.search(queries, k=30)
+    pages = [s.search(queries, k=10)]
+    for _ in range(2):
+        boundary = {}
+        for qid, g in pages[-1].groupby("query_id"):
+            last = g.loc[g["rank"].idxmax()]
+            boundary[qid] = (float(last["score"]), str(last["conv_id"]),
+                             int(last["turn_idx"]))
+        pages.append(s.search(queries, k=10, search_after=boundary))
+    tiled = pd.concat(pages, ignore_index=True)
+    for qid in queries:
+        f = full[full.query_id == qid].reset_index(drop=True)
+        t = tiled[tiled.query_id == qid].reset_index(drop=True)
+        assert len(t) == len(f)
+        assert t["conv_id"].tolist() == f["conv_id"].tolist()
+        assert t["turn_idx"].tolist() == f["turn_idx"].tolist()
+        assert t["score"].tolist() == f["score"].tolist()
+        # ranks restart per page
+        assert t["rank"].tolist() == [r for _ in range(3)
+                                      for r in range(1, 11)][:len(t)]
+    # a query missing from the boundary dict returns no rows
+    only_a = s.search(queries, k=10,
+                      search_after={"a": tuple(
+                          full[full.query_id == "a"].iloc[9][
+                              ["score", "conv_id", "turn_idx"]])})
+    assert set(only_a["query_id"]) == {"a"}
+
+
+def test_search_after_validations(index):
+    s = IndexSearcher(index)
+    b = {"a": (1.0, "c0", 0)}
+    for kw in ({"mode": "wand"}, {"rescore_oversample": 2.0},
+               {"min_score": 0.1}, {"collapse_col": "conv_id"}):
+        with pytest.raises(ValueError):
+            s.search({"a": "data"}, k=5, search_after=b, **kw)
+
+
+def test_facet_counts_matches_brute(index):
+    s = IndexSearcher(index)
+    queries = {"a": "data model search", "b": "zebra quantum nebula"}
+    theta = 0.4
+    got = s.facet_counts(queries, facet_col="role", min_score=theta)
+    hits = s.search(queries, min_score=theta)
+    docs = s._fetch_doc_fields(hits)[["conv_id", "turn_idx", "role"]]
+    brute = (hits.merge(docs.drop_duplicates(), on=["conv_id", "turn_idx"])
+                 .groupby(["query_id", "role"]).size()
+                 .rename("doc_count").reset_index())
+    brute = brute.sort_values(["query_id", "doc_count", "role"],
+                              ascending=[True, False, True],
+                              kind="mergesort").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got, brute[["query_id", "role", "doc_count"]],
+        check_dtype=False)
+    # size cap keeps the top buckets per query
+    capped = s.facet_counts(queries, facet_col="role", min_score=theta,
+                            size=1)
+    assert (capped.groupby("query_id").size() <= 1).all()
+    top = got.groupby("query_id").head(1).reset_index(drop=True)
+    pd.testing.assert_frame_equal(capped.reset_index(drop=True), top,
+                                  check_dtype=False)
+    with pytest.raises(ValueError):
+        s.facet_counts(queries, facet_col="nope", min_score=theta)
