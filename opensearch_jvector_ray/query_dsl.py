@@ -14,6 +14,13 @@ Supported bodies (one top-level clause per query):
                 "filter": {"term": {col: value}}}}
     {"more_like_this": {"like": "seed text ...", "k": 10,
                 "max_query_terms": 10}}    # Lucene MLT clause
+    {"prefix": {"query": "ser* data", "k": 10, "max_expansions": 50}}
+                                       # trailing-* multi-term expansion
+    {"fuzzy":  {"query": "qury", "k": 10, "max_edits": 1,
+                "prefix_length": 0, "max_expansions": 50}}
+    {"facets": {"query": "...", "field": col, "min_score": f,
+                "size": n}}            # terms aggregation over the
+                                       # radial match set
 
 ``parse_query`` validates STRICTLY (unknown fields are errors, like the
 reference parser's ParseField contract) and returns a plain spec dict;
@@ -27,11 +34,16 @@ from typing import Any
 
 import numpy as np
 
-_MATCH_FIELDS = {"query", "k", "mode", "min_score", "collapse"}
+_MATCH_FIELDS = {"query", "k", "mode", "min_score", "collapse",
+                 "search_after"}
 _BOOL_FIELDS = {"must", "should", "must_not", "k"}
 _KNN_FIELDS = {"vector", "k", "metric", "min_score", "max_distance",
                "filter"}
 _MLT_FIELDS = {"like", "k", "max_query_terms"}
+_PREFIX_FIELDS = {"query", "k", "max_expansions"}
+_FUZZY_FIELDS = {"query", "k", "max_edits", "prefix_length",
+                 "max_expansions"}
+_FACETS_FIELDS = {"query", "field", "min_score", "size"}
 _MODES = {"taat", "wand", "rescore", "phrase"}
 _METRICS = {"cosine", "l2", "innerproduct", "l1", "linf", "hamming"}
 
@@ -60,10 +72,18 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
         mode = spec.get("mode", "taat")
         if mode not in _MODES:
             raise ValueError(f"[match] unknown mode {mode!r}")
+        sa = spec.get("search_after")
+        if sa is not None:
+            if not isinstance(sa, (list, tuple)) or len(sa) < 2:
+                raise ValueError("[match] search_after must be the "
+                                 "boundary array [raw_score, *key] from "
+                                 "a previous page")
+            sa = tuple(sa)
         return {"type": "match", "query": spec["query"],
                 "k": int(spec.get("k", 10)), "mode": mode,
                 "min_score": spec.get("min_score"),
-                "collapse": spec.get("collapse")}
+                "collapse": spec.get("collapse"),
+                "search_after": sa}
     if clause == "bool":
         _require_known(clause, spec, _BOOL_FIELDS)
         out = {"type": "bool", "k": int(spec.get("k", 10))}
@@ -85,6 +105,39 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
         return {"type": "more_like_this", "like": spec["like"],
                 "k": int(spec.get("k", 10)),
                 "max_query_terms": int(spec.get("max_query_terms", 10))}
+    if clause == "prefix":
+        _require_known(clause, spec, _PREFIX_FIELDS)
+        if not isinstance(spec.get("query"), str) or not spec["query"]:
+            raise ValueError("[prefix] needs a non-empty 'query' string")
+        return {"type": "prefix", "query": spec["query"],
+                "k": int(spec.get("k", 10)),
+                "max_expansions": int(spec.get("max_expansions", 50))}
+    if clause == "fuzzy":
+        _require_known(clause, spec, _FUZZY_FIELDS)
+        if not isinstance(spec.get("query"), str) or not spec["query"]:
+            raise ValueError("[fuzzy] needs a non-empty 'query' string")
+        me = int(spec.get("max_edits", 1))
+        if me < 0 or me > 2:
+            raise ValueError("[fuzzy] max_edits must be 0..2 (the Lucene "
+                             "LevenshteinAutomata bound)")
+        return {"type": "fuzzy", "query": spec["query"],
+                "k": int(spec.get("k", 10)), "max_edits": me,
+                "prefix_length": int(spec.get("prefix_length", 0)),
+                "max_expansions": int(spec.get("max_expansions", 50))}
+    if clause == "facets":
+        _require_known(clause, spec, _FACETS_FIELDS)
+        if not isinstance(spec.get("query"), str) or not spec["query"]:
+            raise ValueError("[facets] needs a non-empty 'query' string")
+        if not isinstance(spec.get("field"), str) or not spec["field"]:
+            raise ValueError("[facets] needs a 'field' column name")
+        if "min_score" not in spec:
+            raise ValueError("[facets] needs 'min_score' (the radial "
+                             "match-set threshold)")
+        size = spec.get("size")
+        return {"type": "facets", "query": spec["query"],
+                "field": spec["field"],
+                "min_score": float(spec["min_score"]),
+                "size": None if size is None else int(size)}
     if clause == "knn":
         _require_known(clause, spec, _KNN_FIELDS)
         vec = spec.get("vector")
@@ -110,8 +163,9 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
                 "min_score": spec.get("min_score"),
                 "max_distance": spec.get("max_distance"),
                 "filter": flt}
-    raise ValueError(f"unknown query clause {clause!r} "
-                     f"(supported: match, bool, knn, more_like_this)")
+    raise ValueError(f"unknown query clause {clause!r} (supported: "
+                     f"match, bool, knn, more_like_this, prefix, fuzzy, "
+                     f"facets)")
 
 
 def execute_query(body: dict[str, Any], *, searcher=None, vector_ds=None,
@@ -133,6 +187,26 @@ def execute_query(body: dict[str, Any], *, searcher=None, vector_ds=None,
         return searcher.more_like_this(
             {query_id: spec["like"]}, k=spec["k"],
             max_query_terms=spec["max_query_terms"])
+    if spec["type"] == "prefix":
+        if searcher is None:
+            raise ValueError("[prefix] needs searcher=")
+        return searcher.prefix_search(
+            {query_id: spec["query"]}, k=spec["k"],
+            max_expansions=spec["max_expansions"])
+    if spec["type"] == "fuzzy":
+        if searcher is None:
+            raise ValueError("[fuzzy] needs searcher=")
+        return searcher.fuzzy_search(
+            {query_id: spec["query"]}, k=spec["k"],
+            max_edits=spec["max_edits"],
+            prefix_length=spec["prefix_length"],
+            max_expansions=spec["max_expansions"])
+    if spec["type"] == "facets":
+        if searcher is None:
+            raise ValueError("[facets] needs searcher=")
+        return searcher.facet_counts(
+            {query_id: spec["query"]}, facet_col=spec["field"],
+            min_score=spec["min_score"], size=spec["size"])
     if spec["type"] in ("match", "bool"):
         if searcher is None:
             raise ValueError(f"[{spec['type']}] needs searcher=")
@@ -150,6 +224,8 @@ def execute_query(body: dict[str, Any], *, searcher=None, vector_ds=None,
             return searcher.search({query_id: spec["query"]},
                                    min_score=spec["min_score"],
                                    mode=mode, **kwargs)
+        if spec.get("search_after") is not None:
+            kwargs["search_after"] = {query_id: spec["search_after"]}
         return searcher.search({query_id: spec["query"]}, k=spec["k"],
                                mode=mode,
                                collapse_col=spec["collapse"], **kwargs)

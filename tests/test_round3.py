@@ -672,7 +672,7 @@ def test_query_dsl_validation():
         parse_query({"knn": {"vector": [1.0], "min_score": 0.5,
                              "max_distance": 0.5}})
     with pytest.raises(ValueError, match="unknown query clause"):
-        parse_query({"fuzzy": {}})
+        parse_query({"regexp": {}})   # fuzzy/prefix are real clauses now
     s = parse_query({"knn": {"vector": [1, 2], "metric": "l2"}})
     assert s["type"] == "knn" and s["k"] == 10
 

@@ -163,6 +163,39 @@ def test_search_after_validations(index):
             s.search({"a": "data"}, k=5, search_after=b, **kw)
 
 
+def test_query_dsl_round5_clauses(index):
+    from opensearch_jvector_ray.query_dsl import execute_query, parse_query
+    s = IndexSearcher(index)
+    got = execute_query({"prefix": {"query": "dat* model", "k": 6,
+                                    "max_expansions": 10}}, searcher=s)
+    exp = s.prefix_search({"q": "dat* model"}, k=6, max_expansions=10)
+    pd.testing.assert_frame_equal(got, exp)
+    got = execute_query({"fuzzy": {"query": "modell", "k": 6,
+                                   "max_edits": 1}}, searcher=s)
+    exp = s.fuzzy_search({"q": "modell"}, k=6, max_edits=1)
+    pd.testing.assert_frame_equal(got, exp)
+    got = execute_query({"facets": {"query": "data model", "field": "role",
+                                    "min_score": 0.4}}, searcher=s)
+    exp = s.facet_counts({"q": "data model"}, facet_col="role",
+                         min_score=0.4)
+    pd.testing.assert_frame_equal(got, exp)
+    p1 = s.search({"q": "data model search"}, k=5)
+    b = [float(p1["score"].iloc[-1]), str(p1["conv_id"].iloc[-1]),
+         int(p1["turn_idx"].iloc[-1])]
+    got = execute_query({"match": {"query": "data model search", "k": 5,
+                                   "search_after": b}}, searcher=s)
+    exp = s.search({"q": "data model search"}, k=5,
+                   search_after={"q": tuple(b)})
+    pd.testing.assert_frame_equal(got, exp)
+    # strictness: unknown fields / bad values are errors
+    for bad in ({"prefix": {"query": "a*", "nope": 1}},
+                {"fuzzy": {"query": "x", "max_edits": 3}},
+                {"facets": {"query": "x", "field": "role"}},
+                {"match": {"query": "x", "search_after": [1.0]}}):
+        with pytest.raises(ValueError):
+            parse_query(bad)
+
+
 def test_facet_counts_matches_brute(index):
     s = IndexSearcher(index)
     queries = {"a": "data model search", "b": "zebra quantum nebula"}
