@@ -32,6 +32,7 @@ from opensearch_jvector_ray.oracles import (
     revenue_by_region_brand_sql, top_order_revenue_sql, transcripts_bm25_sql,
     fingerprint_sql, grouped_best_sql, grouped_expand_sql, knn_sql,
     highlight_sql, mlt_sql, prefix_sql, fuzzy_sql, facet_sql, page_sql,
+    boosted_sql, synonym_sql,
     hash_sample_sql, hash_split_sql, lang_id_sql, minhash_exact_sql,
     mix_sources_sql, bpe_count_sql, gopher_filter_sql, tool_usage_sql,
     ngram_exact_sql, pii_scrub_sql, decontaminate_sql, self_overlap_sql,
@@ -184,6 +185,32 @@ FUZZY_QUERIES = {
 FUZZY_MAX_EDITS = 1
 FACET_COL = "lang"
 FACET_MIN_SCORE = 0.3
+BOOSTED_QUERIES = {
+    "bb1": "fast^2 merge",
+    "bb2": "data^0.5 query row^3",
+    "bb3": "customer value^2.5 scan",
+}
+SYN_QUERIES = {"s1": "fast merge", "s2": "sort data", "s3": "query scan"}
+SYNONYMS = {
+    "merge": ["join"],
+    "sort": ["order"],
+    "fast": ["quick"],      # df-0 synonym: group falls back to 'fast'
+    "scan": ["stream", "batch"],
+}
+
+
+def _q_bm25_boosted(sf_dir: str) -> pd.DataFrame:
+    # query-string boosts (term^2.5): parsed weights ride the standard
+    # weighted-term BM25 path
+    s = IndexSearcher(documents_index(sf_dir))
+    return _round_hits(s.boosted_search(BOOSTED_QUERIES, k=BM25_K))
+
+
+def _q_bm25_synonyms(sf_dir: str) -> pd.DataFrame:
+    # Lucene SynonymQuery semantics: group tf = sum of member tfs,
+    # df = max of member dfs — saturation, not disjunction stacking
+    s = IndexSearcher(documents_index(sf_dir))
+    return _round_hits(s.synonym_search(SYN_QUERIES, SYNONYMS, k=BM25_K))
 
 
 def _q_bm25_prefix(sf_dir: str) -> pd.DataFrame:
@@ -1195,6 +1222,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_more_like_this": _q_bm25_mlt,
         "bm25_prefix": _q_bm25_prefix,
         "bm25_fuzzy": _q_bm25_fuzzy,
+        "bm25_boosted": _q_bm25_boosted,
+        "bm25_synonyms": _q_bm25_synonyms,
         "bm25_facets": _q_bm25_facets,
         "bm25_search_after": _q_bm25_search_after,
         "grouped_best_doc": _q_grouped_best,
@@ -1338,6 +1367,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_boolean": boolean_sql(BOOLEAN_QUERIES, BM25_K, CFG),
         "bm25_highlight": highlight_sql(BM25_QUERIES, BM25_K, CFG),
         "bm25_more_like_this": mlt_sql(MLT_SEEDS, BM25_K, 10, CFG),
+        "bm25_boosted": boosted_sql(BOOSTED_QUERIES, BM25_K, CFG),
+        "bm25_synonyms": synonym_sql(SYN_QUERIES, SYNONYMS, BM25_K, CFG),
         "bm25_prefix": prefix_sql(PREFIX_QUERIES, BM25_K, CFG),
         "bm25_fuzzy": fuzzy_sql(FUZZY_QUERIES, BM25_K, CFG,
                                 max_edits=FUZZY_MAX_EDITS),

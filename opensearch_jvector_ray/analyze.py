@@ -136,6 +136,37 @@ def query_term_weights(text: str, cfg: EngineConfig) -> list[tuple[str, int]]:
     return list(out.items())
 
 
+def parse_boosted_query(text: str, cfg: EngineConfig,
+                        ) -> list[tuple[str, float]]:
+    """Lucene query-string boost syntax: a whitespace chunk may carry a
+    trailing ``^boost`` (non-negative float) — ``fast^2 merge`` weights
+    the 'fast' clause 2x.  The stem analyzes through the full chain
+    (may yield 0..n terms, each inheriting the boost); weights for the
+    same term ADD across chunks; a chunk whose suffix does not parse as
+    a float keeps its '^' and analyzes literally.  Returns (term,
+    weight) in first-appearance order."""
+    weights: dict[str, float] = {}
+    order: list[str] = []
+    for chunk in text.split():
+        boost = 1.0
+        if "^" in chunk:
+            stem, _, bs = chunk.rpartition("^")
+            try:
+                val = float(bs)
+            except ValueError:
+                pass                       # not a boost -> literal chunk
+            else:
+                if val < 0:
+                    raise ValueError(f"negative boost in {chunk!r}")
+                boost, chunk = val, stem
+        for t in analyze_query(chunk, cfg):
+            if t not in weights:
+                order.append(t)
+                weights[t] = 0.0
+            weights[t] += boost
+    return [(t, weights[t]) for t in order]
+
+
 def parse_prefix_query(text: str, cfg: EngineConfig,
                        ) -> tuple[list[tuple[str, int]], list[str]]:
     """Lucene query-string style trailing-wildcard parsing: a whitespace

@@ -126,6 +126,102 @@ ORDER BY query_id, rank
 """
 
 
+def boosted_sql(queries: dict[str, str], k: int, cfg: EngineConfig,
+                table: str = "documents", id_col: str = "doc_id",
+                text_col: str = "text") -> str:
+    """Oracle for IndexSearcher.boosted_search: qt weights come from the
+    engine's own ``parse_boosted_query`` (``term^2.5`` syntax), so boost
+    parsing can never drift; the rest is the shared BM25 CTE."""
+    from opensearch_jvector_ray.analyze import parse_boosted_query
+    rows = []
+    for qid, text in sorted(queries.items()):
+        for t, w in parse_boosted_query(text, cfg):
+            rows.append(f"({sql_quote(qid)}, {sql_quote(t)}, {float(w)!r})")
+    values = ",\n       ".join(rows) if rows else \
+        "('__none__', '__none__', 0.0)"
+    qt_cte = f"qt(query_id, term, w) AS (VALUES {values})"
+    return bm25_sql({}, k, cfg, table=table, id_col=id_col,
+                    text_col=text_col, qt_cte=qt_cte)
+
+
+def synonym_sql(queries: dict[str, str], synonyms: dict[str, list[str]],
+                k: int, cfg: EngineConfig, table: str = "documents",
+                id_col: str = "doc_id", text_col: str = "text") -> str:
+    """Oracle for IndexSearcher.synonym_search [Lucene SynonymQuery]:
+    per group, tf = SUM of member tfs per doc, df = MAX of member dfs;
+    groups sum in gid order (the engine's query order) — the ordered
+    aggregate pins the fp summation exactly like bm25_sql."""
+    from opensearch_jvector_ray.analyze import analyze_query
+    rows = []
+    for qid, text in sorted(queries.items()):
+        gid = 0
+        for t, c in query_term_weights(text, cfg):
+            members = [t]
+            for s in synonyms.get(t, []):
+                for x in analyze_query(s, cfg):
+                    if x not in members:
+                        members.append(x)
+            for m in members:
+                rows.append(f"({sql_quote(qid)}, {gid}, {sql_quote(m)}, "
+                            f"{float(c)!r})")
+            gid += 1
+    values = ",\n       ".join(rows) if rows else \
+        "('__none__', 0, '__none__', 0.0)"
+    return f"""
+WITH {toks_cte(cfg, table, id_col, text_col)},
+dl AS (
+  SELECT {id_col}, count(*)::DOUBLE AS dl FROM toks GROUP BY {id_col}
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl
+),
+qt(query_id, gid, term, w) AS (VALUES {values}),
+df AS (
+  SELECT term, count(DISTINCT {id_col})::DOUBLE AS df FROM toks
+  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY term
+),
+-- group df = MAX of member dfs (members with df 0 drop in the join,
+-- exactly the engine's live-member rule)
+gdf AS (
+  SELECT qt.query_id, qt.gid, max(df.df) AS df, max(qt.w) AS w
+  FROM qt JOIN df USING (term)
+  GROUP BY qt.query_id, qt.gid
+),
+tf AS (
+  SELECT {id_col}, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY {id_col}, term
+),
+-- group tf = SUM of member tfs per doc (integer-exact on both sides)
+gtf AS (
+  SELECT qt.query_id, qt.gid, tf.{id_col}, sum(tf.tf) AS tf
+  FROM qt JOIN tf USING (term)
+  GROUP BY qt.query_id, qt.gid, tf.{id_col}
+),
+scores AS (
+  SELECT g.query_id, gt.{id_col},
+         sum(g.w * ln(1.0 + (stats.n - g.df + 0.5) / (g.df + 0.5))
+             * (gt.tf / (gt.tf + {cfg.k1!r} * (1.0 - {cfg.b!r} + {cfg.b!r} * dl.dl / stats.avgdl)))
+             ORDER BY g.gid
+            ) AS score__raw
+  FROM gdf g
+  JOIN gtf gt ON gt.query_id = g.query_id AND gt.gid = g.gid
+  JOIN dl ON dl.{id_col} = gt.{id_col}
+  CROSS JOIN stats
+  GROUP BY g.query_id, gt.{id_col}
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score__raw DESC, {id_col} ASC) AS rank,
+         {id_col}, score__raw
+  FROM scores
+)
+SELECT query_id, rank, {id_col}, round(score__raw, 6) AS score
+FROM ranked WHERE rank <= {int(k)}
+ORDER BY query_id, rank
+"""
+
+
 def _vocab_cte(id_col: str) -> str:
     """Global term dictionary reconstructed from the corpus — identical
     by construction to the engine's dictionary (df = distinct docs)."""

@@ -379,6 +379,18 @@ class SegmentSearcher:
         sa_all = p.get("search_after") or {}
         key_names = [kc for kc, _ in p["key_types"]]
         for q in p["queries"]:
+            if mode == "synonym":
+                gs = [{**g, "terms": [t for t in g["terms"] if t in decoded]}
+                      for g in q["groups"]]
+                gs = [g for g in gs if g["terms"]]
+                if not gs:
+                    continue
+                ords, scores = self._taat_groups(gs, decoded, dl, mask,
+                                                 q["k"], tie)
+                out_qid.extend([q["query_id"]] * len(ords))
+                out_ord.append(ords)
+                out_sc.append(scores)
+                continue
             terms = [(t, w, idf) for (t, w, idf) in q["terms"] if t in rows]
             if not terms:
                 continue
@@ -509,6 +521,31 @@ class SegmentSearcher:
         scores = np.zeros(len(dl), dtype=np.float64)
         scores[cand_ords] = sc
         return _topk_from_scores(scores, cand_ords, k, tie)
+
+    def _taat_groups(self, groups, decoded, dl, mask, k, tie=None):
+        """Synonym-group scoring [Lucene SynonymQuery public semantics]:
+        each group scores as ONE pseudo-term — per-doc tf is the SUM of
+        the member terms' tfs, idf comes from the MAX member df (already
+        folded into ``g["idf"]`` at prepare time), so a doc matching two
+        synonyms saturates like one frequent term instead of scoring the
+        disjunction twice.  Groups sum in query order (pinned fp order);
+        within a group the tf accumulation is integer-exact."""
+        n_docs = len(dl)
+        scores = np.zeros(n_docs, dtype=np.float64)
+        for g in groups:
+            tf_doc = np.zeros(n_docs, dtype=np.float64)
+            for t in g["terms"]:
+                ords, tfs = decoded[t]
+                tf_doc[ords] += tfs
+            cand = np.flatnonzero(tf_doc > 0.0)
+            scores[cand] += g["w"] * g["idf"] * bm25_tf_part(
+                tf_doc[cand], dl[cand], self.avgdl, self.k1, self.b)
+        if mask is not None:
+            scores[~mask] = 0.0
+        candidates = np.flatnonzero(scores > 0.0)
+        self._counters["candidates_scored"] = (
+            self._counters.get("candidates_scored", 0) + len(candidates))
+        return _topk_from_scores(scores, candidates, k, tie)
 
     def _taat(self, terms, decoded, dl, mask, k, rescore=None, tie=None,
               min_score=None, after=None):
@@ -819,6 +856,94 @@ class IndexSearcher:
             tw_map[qid] = [(t, weights[t]) for t in order]
         return self.search(queries, k=k, term_weights=tw_map,
                            **search_kwargs)
+
+    def boosted_search(self, queries: dict[str, str], k: int | None = None,
+                       **search_kwargs) -> pd.DataFrame:
+        """Query-string boosts [Lucene ``term^2.5`` syntax]: parse per-
+        chunk boosts (see ``analyze.parse_boosted_query``), then ride
+        the standard weighted-term BM25 path — a boost simply scales
+        the term's contribution, and boosts for the same term ADD."""
+        from opensearch_jvector_ray.analyze import parse_boosted_query
+        tw = {qid: parse_boosted_query(text, self.cfg)
+              for qid, text in queries.items()}
+        return self.search(queries, k=k, term_weights=tw, **search_kwargs)
+
+    def synonym_search(self, queries: dict[str, str],
+                       synonyms: dict[str, list[str]],
+                       k: int | None = None,
+                       concurrency: int | None = None) -> pd.DataFrame:
+        """Query-time synonym expansion [Lucene SynonymQuery public
+        semantics]: each analyzed query term with an entry in
+        ``synonyms`` forms a GROUP with its (analyzed) synonyms; the
+        group scores as one pseudo-term — per-doc tf = sum of member
+        tfs, df = MAX of member global dfs — so matching several
+        synonyms saturates like one frequent term rather than stacking
+        a disjunction.  Group weight = the base term's occurrence
+        count; a group whose members all have df 0 matches nothing.
+        """
+        from opensearch_jvector_ray.analyze import analyze_query
+        cfg = self.cfg
+        k = k or cfg.default_k
+        if k > cfg.max_k:
+            raise ValueError(f"k={k} exceeds max_k={cfg.max_k}")
+        all_terms: set[str] = set()
+        parsed: dict[str, list[dict]] = {}
+        for qid, text in queries.items():
+            groups = []
+            for t, c in query_term_weights(text, cfg):
+                members = [t]
+                for s in synonyms.get(t, []):
+                    for x in analyze_query(s, cfg):
+                        if x not in members:
+                            members.append(x)
+                groups.append({"terms": members, "w": float(c)})
+                all_terms.update(members)
+            parsed[qid] = groups
+        df_map = self.lookup_df(sorted(all_terms))
+        n = float(self.stats["n_docs_indexed"])
+        prepared = []
+        union: set[str] = set()
+        for qid, groups in parsed.items():
+            gs = []
+            for g in groups:
+                dfs = [df_map.get(t, 0) for t in g["terms"]]
+                mx = max(dfs) if dfs else 0
+                if mx <= 0:
+                    continue
+                live = [t for t, d in zip(g["terms"], dfs) if d > 0]
+                union.update(live)
+                gs.append({"terms": live, "w": g["w"],
+                           "idf": float(bm25_idf(n, mx))})
+            prepared.append({"query_id": qid, "groups": gs, "k": k})
+        from opensearch_jvector_ray.state import metrics
+        metrics.incr({metrics.QUERY_REQUESTS: len(queries)})
+        if not union or not self.seg_dirs:
+            return self._finalize(pd.DataFrame(
+                columns=["query_id", *self.key_cols, "score"]), k, None)
+        docs_schema = pq.read_schema(
+            os.path.join(self.seg_dirs[0], DOCS_NAME))
+        payload = {
+            "queries": prepared, "union_terms": sorted(union),
+            "mode": "synonym",
+            "codec": cfg.codec, "block_size": cfg.block_size,
+            "k1": cfg.k1, "b": cfg.b,
+            "avgdl": float(self.stats["avgdl"] or 1.0),
+            "filter": None, "rescore_oversample": None,
+            "key_types": [(kc, docs_schema.field(kc).type)
+                          for kc in self.key_cols],
+            "first_pass_k": cfg.first_pass_k,
+            "min_score": None,
+        }
+        seg_ds = rd.from_items([{"seg_dir": d} for d in self.seg_dirs])
+        extra = {"concurrency": concurrency} if concurrency else {}
+        hits = seg_ds.map_batches(
+            _search_segments_task, fn_kwargs={"payload": payload},
+            batch_format="pyarrow", batch_size=1, **extra)
+        frames = [b.to_pandas()
+                  for b in hits.iter_batches(batch_format="pyarrow")]
+        df = pd.concat(frames, ignore_index=True) if frames else \
+            pd.DataFrame(columns=["query_id", *self.key_cols, "score"])
+        return self._finalize(df, k, None)
 
     def facet_counts(self, queries: dict[str, str], facet_col: str,
                      min_score: float, size: int | None = None,

@@ -21,6 +21,9 @@ Supported bodies (one top-level clause per query):
     {"facets": {"query": "...", "field": col, "min_score": f,
                 "size": n}}            # terms aggregation over the
                                        # radial match set
+    {"query_string": {"query": "fast^2 merge", "k": 10}}  # term boosts
+    {"synonyms": {"query": "...", "map": {term: [syn, ...]}, "k": 10}}
+                                       # SynonymQuery blended scoring
 
 ``parse_query`` validates STRICTLY (unknown fields are errors, like the
 reference parser's ParseField contract) and returns a plain spec dict;
@@ -41,6 +44,8 @@ _KNN_FIELDS = {"vector", "k", "metric", "min_score", "max_distance",
                "filter"}
 _MLT_FIELDS = {"like", "k", "max_query_terms"}
 _PREFIX_FIELDS = {"query", "k", "max_expansions"}
+_QSTRING_FIELDS = {"query", "k"}
+_SYNONYMS_FIELDS = {"query", "map", "k"}
 _FUZZY_FIELDS = {"query", "k", "max_edits", "prefix_length",
                  "max_expansions"}
 _FACETS_FIELDS = {"query", "field", "min_score", "size"}
@@ -138,6 +143,22 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
                 "field": spec["field"],
                 "min_score": float(spec["min_score"]),
                 "size": None if size is None else int(size)}
+    if clause == "query_string":
+        _require_known(clause, spec, _QSTRING_FIELDS)
+        if not isinstance(spec.get("query"), str) or not spec["query"]:
+            raise ValueError("[query_string] needs a non-empty 'query'")
+        return {"type": "query_string", "query": spec["query"],
+                "k": int(spec.get("k", 10))}
+    if clause == "synonyms":
+        _require_known(clause, spec, _SYNONYMS_FIELDS)
+        if not isinstance(spec.get("query"), str) or not spec["query"]:
+            raise ValueError("[synonyms] needs a non-empty 'query'")
+        m = spec.get("map")
+        if (not isinstance(m, dict) or not m
+                or not all(isinstance(v, list) for v in m.values())):
+            raise ValueError("[synonyms] needs 'map': {term: [syn, ...]}")
+        return {"type": "synonyms", "query": spec["query"], "map": m,
+                "k": int(spec.get("k", 10))}
     if clause == "knn":
         _require_known(clause, spec, _KNN_FIELDS)
         vec = spec.get("vector")
@@ -165,7 +186,7 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
                 "filter": flt}
     raise ValueError(f"unknown query clause {clause!r} (supported: "
                      f"match, bool, knn, more_like_this, prefix, fuzzy, "
-                     f"facets)")
+                     f"facets, query_string, synonyms)")
 
 
 def execute_query(body: dict[str, Any], *, searcher=None, vector_ds=None,
@@ -187,6 +208,16 @@ def execute_query(body: dict[str, Any], *, searcher=None, vector_ds=None,
         return searcher.more_like_this(
             {query_id: spec["like"]}, k=spec["k"],
             max_query_terms=spec["max_query_terms"])
+    if spec["type"] == "query_string":
+        if searcher is None:
+            raise ValueError("[query_string] needs searcher=")
+        return searcher.boosted_search({query_id: spec["query"]},
+                                       k=spec["k"])
+    if spec["type"] == "synonyms":
+        if searcher is None:
+            raise ValueError("[synonyms] needs searcher=")
+        return searcher.synonym_search({query_id: spec["query"]},
+                                       spec["map"], k=spec["k"])
     if spec["type"] == "prefix":
         if searcher is None:
             raise ValueError("[prefix] needs searcher=")

@@ -196,6 +196,73 @@ def test_query_dsl_round5_clauses(index):
             parse_query(bad)
 
 
+def test_boosted_search_parse_and_scale(index):
+    from opensearch_jvector_ray.analyze import parse_boosted_query
+    s = IndexSearcher(index)
+    # parse edges: float boosts, repeated-term additivity, literal '^'
+    assert parse_boosted_query("data^2.5 model", CFG) == \
+        [("data", 2.5), ("model", 1.0)]
+    assert parse_boosted_query("data data^2", CFG) == [("data", 3.0)]
+    assert parse_boosted_query("data^x", CFG) == [("data", 1.0), ("x", 1.0)]
+    with pytest.raises(ValueError):
+        parse_boosted_query("data^-1", CFG)
+    # boost^1 == plain search; boost scales single-term scores linearly
+    pd.testing.assert_frame_equal(
+        s.boosted_search({"q": "data^1 model"}, k=5),
+        s.search({"q": "data model"}, k=5))
+    b2 = s.boosted_search({"q": "data^2"}, k=5)
+    b1 = s.search({"q": "data"}, k=5)
+    assert np.allclose(b2["score"], 2.0 * b1["score"], rtol=1e-12)
+
+
+def test_synonym_search_saturates_not_stacks(index):
+    s = IndexSearcher(index)
+    syn = {"data": ["model"]}
+    got = s.synonym_search({"q": "data"}, syn, k=10)
+    # brute reference: tf = tf(data)+tf(model), idf from max(df)
+    vocab = s._read_dictionary().to_pandas().set_index("term")["df"]
+    n = float(s.stats["n_docs_indexed"])
+    avgdl = float(s.stats["avgdl"])
+    mx = float(max(vocab.get("data", 0), vocab.get("model", 0)))
+    idf = np.log(1.0 + (n - mx + 0.5) / (mx + 0.5))
+    from tests.oracle import analyze as brute_analyze
+    corpus = generate_conversations(np.arange(220)).to_pandas()
+    stop = frozenset(CFG.stopwords)
+    toks = corpus["text"].map(lambda x: brute_analyze(x, stop))
+    corpus["dl"] = toks.map(len)
+    corpus["tfsum"] = toks.map(
+        lambda ts: float(sum(t in ("data", "model") for t in ts)))
+    m = corpus[corpus["tfsum"] > 0].copy()
+    m["score"] = idf * (m["tfsum"] / (
+        m["tfsum"] + CFG.k1 * (1 - CFG.b + CFG.b * m["dl"] / avgdl)))
+    exp = m.sort_values(["score", "conv_id", "turn_idx"],
+                        ascending=[False, True, True],
+                        kind="mergesort").head(10)
+    assert got["conv_id"].tolist() == exp["conv_id"].tolist()
+    assert got["turn_idx"].tolist() == exp["turn_idx"].tolist()
+    assert np.allclose(got["score"], exp["score"], rtol=1e-12)
+    # saturation: synonym score <= plain two-term disjunction score
+    disj = s.search({"q": "data model"}, k=10)
+    assert got["score"].iloc[0] <= disj["score"].iloc[0] + 1e-12
+    # an all-unknown synonym group matches nothing
+    empty = s.synonym_search({"q": "zzzz"}, {"zzzz": ["yyyy"]}, k=5)
+    assert empty.empty
+
+
+def test_query_dsl_boost_synonym_clauses(index):
+    from opensearch_jvector_ray.query_dsl import execute_query
+    s = IndexSearcher(index)
+    got = execute_query({"query_string": {"query": "data^2 model", "k": 5}},
+                        searcher=s)
+    exp = s.boosted_search({"q": "data^2 model"}, k=5)
+    pd.testing.assert_frame_equal(got, exp)
+    syn = {"data": ["model"]}
+    got = execute_query({"synonyms": {"query": "data", "map": syn, "k": 5}},
+                        searcher=s)
+    exp = s.synonym_search({"q": "data"}, syn, k=5)
+    pd.testing.assert_frame_equal(got, exp)
+
+
 def test_facet_counts_matches_brute(index):
     s = IndexSearcher(index)
     queries = {"a": "data model search", "b": "zebra quantum nebula"}
