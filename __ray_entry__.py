@@ -32,7 +32,8 @@ from opensearch_jvector_ray.oracles import (
     revenue_by_region_brand_sql, top_order_revenue_sql, transcripts_bm25_sql,
     fingerprint_sql, grouped_best_sql, grouped_expand_sql, knn_sql,
     highlight_sql, mlt_sql, prefix_sql, fuzzy_sql, facet_sql, page_sql,
-    boosted_sql, synonym_sql,
+    boosted_sql, synonym_sql, stats_agg_sql, histogram_sql,
+    suggest_sql, fuzzy_suggest_sql,
     hash_sample_sql, hash_split_sql, lang_id_sql, minhash_exact_sql,
     mix_sources_sql, bpe_count_sql, gopher_filter_sql, tool_usage_sql,
     ngram_exact_sql, pii_scrub_sql, decontaminate_sql, self_overlap_sql,
@@ -197,6 +198,66 @@ SYNONYMS = {
     "fast": ["quick"],      # df-0 synonym: group falls back to 'fast'
     "scan": ["stream", "batch"],
 }
+
+
+STATS_COL = "n_chars"
+HIST_INTERVAL = 80.0
+SUGGEST_PREFIXES = {"g1": "s", "g2": "cu", "g3": "w"}
+SUGGEST_TYPOS = {"z1": "qury", "z2": "merg", "z3": "windoe",
+                 "z4": "vale", "z5": "sot"}
+SUGGEST_N = 5
+SUGGEST_MAX_EDITS = 2
+
+
+def _q_term_suggest(sf_dir: str) -> pd.DataFrame:
+    # completion suggester: popularity-ranked prefix autocomplete off
+    # the term-sorted dictionary (range-pruned read)
+    s = IndexSearcher(documents_index(sf_dir))
+    frames = []
+    for sid, pfx in SUGGEST_PREFIXES.items():
+        f = s.suggest_prefix(pfx, n=SUGGEST_N)
+        f.insert(0, "suggest_id", sid)
+        frames.append(f)
+    out = pd.concat(frames, ignore_index=True)
+    out["df"] = out["df"].astype(np.int64)
+    return out
+
+
+def _q_term_suggest_fuzzy(sf_dir: str) -> pd.DataFrame:
+    # spell-correction suggester ('did you mean'): dist/df-ranked fuzzy
+    # neighborhood of each typo
+    s = IndexSearcher(documents_index(sf_dir))
+    frames = []
+    for sid, t in SUGGEST_TYPOS.items():
+        f = s.suggest_fuzzy(t, n=SUGGEST_N, max_edits=SUGGEST_MAX_EDITS)
+        f.insert(0, "suggest_id", sid)
+        frames.append(f)
+    out = pd.concat(frames, ignore_index=True)
+    out["df"] = out["df"].astype(np.int64)
+    out["dist"] = out["dist"].astype(np.int64)
+    return out
+
+
+def _q_bm25_stats_agg(sf_dir: str) -> pd.DataFrame:
+    # stats aggregation (count/sum/min/max/avg of n_chars) over the
+    # radial match set — integer partials per segment, one avg division
+    s = IndexSearcher(documents_index(sf_dir))
+    out = s.stats_agg(BM25_QUERIES, value_col=STATS_COL,
+                      min_score=FACET_MIN_SCORE)
+    for c in ("doc_count", "v_sum", "v_min", "v_max"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+def _q_bm25_histogram(sf_dir: str) -> pd.DataFrame:
+    # histogram aggregation: doc counts per floor(n_chars/80)*80 bucket
+    s = IndexSearcher(documents_index(sf_dir))
+    out = s.histogram_agg(BM25_QUERIES, value_col=STATS_COL,
+                          interval=HIST_INTERVAL,
+                          min_score=FACET_MIN_SCORE)
+    out["bucket"] = out["bucket"].astype(np.int64)
+    out["doc_count"] = out["doc_count"].astype(np.int64)
+    return out
 
 
 def _q_bm25_boosted(sf_dir: str) -> pd.DataFrame:
@@ -1225,7 +1286,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_boosted": _q_bm25_boosted,
         "bm25_synonyms": _q_bm25_synonyms,
         "bm25_facets": _q_bm25_facets,
+        "bm25_stats_agg": _q_bm25_stats_agg,
+        "bm25_histogram": _q_bm25_histogram,
         "bm25_search_after": _q_bm25_search_after,
+        "term_suggest": _q_term_suggest,
+        "term_suggest_fuzzy": _q_term_suggest_fuzzy,
         "grouped_best_doc": _q_grouped_best,
         "grouped_expand": _q_grouped_expand,
         "term_stats": _q_term_stats,
@@ -1374,7 +1439,14 @@ def oracle_sql() -> dict[str, str]:
                                 max_edits=FUZZY_MAX_EDITS),
         "bm25_facets": facet_sql(BM25_QUERIES, FACET_MIN_SCORE,
                                  FACET_COL, CFG),
+        "bm25_stats_agg": stats_agg_sql(BM25_QUERIES, FACET_MIN_SCORE,
+                                        STATS_COL, CFG),
+        "bm25_histogram": histogram_sql(BM25_QUERIES, FACET_MIN_SCORE,
+                                        STATS_COL, HIST_INTERVAL, CFG),
         "bm25_search_after": page_sql(BM25_QUERIES, BM25_K, 2, CFG),
+        "term_suggest": suggest_sql(SUGGEST_PREFIXES, SUGGEST_N, CFG),
+        "term_suggest_fuzzy": fuzzy_suggest_sql(
+            SUGGEST_TYPOS, SUGGEST_N, SUGGEST_MAX_EDITS, CFG),
         "grouped_best_doc": grouped_best_sql(GROUP_QUERY, CFG),
         "grouped_expand": grouped_expand_sql(GROUP_QUERY, EXPAND_GROUPS, CFG),
         "term_stats": term_stats_sql(TERM_STATS_TERMS, CFG),

@@ -126,6 +126,20 @@ def run_bench() -> dict:
     timed("query_wand_10", lambda: searcher.search(wand10, k=10,
                                                    mode="wand"))
 
+    # -- phase 3c: multi-term query surface (prefix / fuzzy / synonym /
+    # facets — dictionary expansion + group scoring + facet partials) -----
+    def do_multiterm():
+        searcher.prefix_search({f"p{i}": "da* model" for i in range(5)},
+                               k=10)
+        searcher.fuzzy_search({f"f{i}": "modell serch" for i in range(5)},
+                              k=10, max_edits=1)
+        searcher.synonym_search({f"s{i}": "data search" for i in range(5)},
+                                {"data": ["model"]}, k=10)
+        searcher.facet_counts({f"a{i}": "data model" for i in range(5)},
+                              facet_col="role", min_score=0.3)
+
+    timed("query_multiterm_20", do_multiterm)
+
     # -- phase 3b: persistent serving (warm actors + postings cache) ------
     from opensearch_jvector_ray.serve import SearchService
     svc = SearchService(merged_dir, num_shards=min(8, NUM_CPUS))

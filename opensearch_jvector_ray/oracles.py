@@ -339,6 +339,90 @@ ORDER BY query_id, doc_count DESC, {facet_col}
 """
 
 
+def suggest_sql(prefixes: dict[str, str], n: int, cfg: EngineConfig,
+                table: str = "documents", id_col: str = "doc_id",
+                text_col: str = "text") -> str:
+    """Oracle for IndexSearcher.suggest_prefix: top-n vocabulary terms
+    per prefix, (df DESC, term ASC)."""
+    rows = ",\n       ".join(
+        f"({sql_quote(sid)}, {sql_quote(p)})"
+        for sid, p in sorted(prefixes.items()))
+    return f"""
+WITH {toks_cte(cfg, table, id_col, text_col)},
+{_vocab_cte(id_col)},
+s(suggest_id, pfx) AS (VALUES {rows})
+SELECT suggest_id, term, df FROM (
+  SELECT s.suggest_id, v.term, v.df,
+         row_number() OVER (PARTITION BY s.suggest_id
+                            ORDER BY v.df DESC, v.term ASC) AS rn
+  FROM s JOIN vocab v ON starts_with(v.term, s.pfx))
+WHERE rn <= {int(n)}
+ORDER BY suggest_id, df DESC, term
+"""
+
+
+def fuzzy_suggest_sql(typos: dict[str, str], n: int, max_edits: int,
+                      cfg: EngineConfig, table: str = "documents",
+                      id_col: str = "doc_id", text_col: str = "text") -> str:
+    """Oracle for IndexSearcher.suggest_fuzzy: top-n vocabulary terms
+    within max_edits, (dist ASC, df DESC, term ASC)."""
+    rows = ",\n       ".join(
+        f"({sql_quote(sid)}, {sql_quote(t)})"
+        for sid, t in sorted(typos.items()))
+    return f"""
+WITH {toks_cte(cfg, table, id_col, text_col)},
+{_vocab_cte(id_col)},
+s(suggest_id, typo) AS (VALUES {rows})
+SELECT suggest_id, term, dist, df FROM (
+  SELECT s.suggest_id, v.term,
+         levenshtein(v.term, s.typo)::BIGINT AS dist, v.df,
+         row_number() OVER (PARTITION BY s.suggest_id
+                            ORDER BY levenshtein(v.term, s.typo) ASC,
+                                     v.df DESC, v.term ASC) AS rn
+  FROM s JOIN vocab v ON levenshtein(v.term, s.typo) <= {int(max_edits)})
+WHERE rn <= {int(n)}
+ORDER BY suggest_id, dist, df DESC, term
+"""
+
+
+def stats_agg_sql(queries: dict[str, str], min_score: float,
+                  value_col: str, cfg: EngineConfig,
+                  table: str = "documents", id_col: str = "doc_id",
+                  text_col: str = "text") -> str:
+    """Oracle for IndexSearcher.stats_agg: integer count/sum/min/max over
+    the radial match set + ONE final avg division (bit-equal double)."""
+    inner = bm25_sql(queries, 0, cfg, table=table, id_col=id_col,
+                     text_col=text_col, min_score=min_score)
+    return f"""
+SELECT h.query_id, count(*)::BIGINT AS doc_count,
+       sum(d.{value_col})::BIGINT AS v_sum,
+       min(d.{value_col})::BIGINT AS v_min,
+       max(d.{value_col})::BIGINT AS v_max,
+       sum(d.{value_col})::BIGINT::DOUBLE / count(*) AS v_avg
+FROM ({inner}) h JOIN {table} d USING ({id_col})
+GROUP BY h.query_id ORDER BY h.query_id
+"""
+
+
+def histogram_sql(queries: dict[str, str], min_score: float,
+                  value_col: str, interval: float, cfg: EngineConfig,
+                  table: str = "documents", id_col: str = "doc_id",
+                  text_col: str = "text") -> str:
+    """Oracle for IndexSearcher.histogram_agg: counts per
+    floor(v/interval)*interval bucket (DOUBLE floor — exact for
+    |v| < 2^53, the engine's shared rule)."""
+    inner = bm25_sql(queries, 0, cfg, table=table, id_col=id_col,
+                     text_col=text_col, min_score=min_score)
+    bexpr = (f"CAST(floor(d.{value_col}::DOUBLE / {float(interval)!r}) "
+             f"* {float(interval)!r} AS BIGINT)")
+    return f"""
+SELECT h.query_id, {bexpr} AS bucket, count(*)::BIGINT AS doc_count
+FROM ({inner}) h JOIN {table} d USING ({id_col})
+GROUP BY h.query_id, bucket
+ORDER BY h.query_id, bucket
+"""
+
+
 def page_sql(queries: dict[str, str], k: int, page: int,
              cfg: EngineConfig, table: str = "documents",
              id_col: str = "doc_id", text_col: str = "text") -> str:

@@ -247,6 +247,44 @@ def _levenshtein_vec(cands: Sequence[str], q: str) -> np.ndarray:
     return prev[np.arange(n), lens]
 
 
+def _agg_partial(agg: dict, docs: pa.Table, ords: np.ndarray,
+                 qid: str) -> pa.Table:
+    """Per-segment aggregation PARTIAL over the qualifying doc ordinals
+    (the combiner-first rule: only aggregate-sized rows leave the task).
+
+    kinds: ``terms`` (value counts), ``stats`` (count/sum/min/max over an
+    int column — integer arithmetic, order-free, int64 range documented),
+    ``hist`` (counts per floor(v/interval)*interval bucket; exact for
+    |v| < 2^53, mirrored by the oracle's DOUBLE floor)."""
+    vals = docs[agg["col"]].take(pa.array(ords))
+    if agg["kind"] == "terms":
+        vc = (pa.table({"v": vals}).group_by("v")
+              .aggregate([("v", "count")]))
+        return pa.table({
+            "query_id": pa.array([qid] * vc.num_rows, type=pa.string()),
+            agg["col"]: vc["v"].combine_chunks(),
+            "doc_count": pc.cast(vc["v_count"], pa.int64()),
+        })
+    if agg["kind"] == "stats":
+        v = vals.to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "query_id": pa.array([qid], type=pa.string()),
+            "doc_count": pa.array([len(v)], type=pa.int64()),
+            "v_sum": pa.array([int(v.sum())], type=pa.int64()),
+            "v_min": pa.array([int(v.min())], type=pa.int64()),
+            "v_max": pa.array([int(v.max())], type=pa.int64()),
+        })
+    v = vals.to_numpy(zero_copy_only=False).astype(np.float64)
+    b = (np.floor(v / float(agg["interval"]))
+         * float(agg["interval"])).astype(np.int64)
+    ub, cnt = np.unique(b, return_counts=True)
+    return pa.table({
+        "query_id": pa.array([qid] * len(ub), type=pa.string()),
+        "bucket": pa.array(ub, type=pa.int64()),
+        "doc_count": pa.array(cnt.astype(np.int64), type=pa.int64()),
+    })
+
+
 def _key_gt(docs: pa.Table, key_cols: Sequence[str], ords: np.ndarray,
             after_key: Sequence[Any]) -> np.ndarray:
     """Lexicographic ``key > after_key`` over the composite key columns
@@ -321,8 +359,16 @@ class SegmentSearcher:
     # -- helpers ---------------------------------------------------------
     def _empty(self) -> pa.Table:
         cols: dict[str, pa.Array] = {"query_id": pa.array([], type=pa.string())}
-        if self.p.get("facet_col") is not None:
-            cols[self.p["facet_col"]] = pa.array([], type=self.p["facet_type"])
+        agg = self.p.get("agg")
+        if agg is not None:
+            if agg["kind"] == "terms":
+                cols[agg["col"]] = pa.array([], type=self.p["agg_type"])
+            elif agg["kind"] == "stats":
+                for c in ("doc_count", "v_sum", "v_min", "v_max"):
+                    cols[c] = pa.array([], type=pa.int64())
+                return pa.table(cols)
+            else:
+                cols["bucket"] = pa.array([], type=pa.int64())
             cols["doc_count"] = pa.array([], type=pa.int64())
             return pa.table(cols)
         for kc, kt in self.p["key_types"]:
@@ -374,7 +420,7 @@ class SegmentSearcher:
         out_ord: list[np.ndarray] = []
         out_sc: list[np.ndarray] = []
         mode = p["mode"]
-        facet_col = p.get("facet_col")
+        agg = p.get("agg")
         ftables: list[pa.Table] = []
         sa_all = p.get("search_after") or {}
         key_names = [kc for kc, _ in p["key_types"]]
@@ -440,25 +486,18 @@ class SegmentSearcher:
                                           tie=tie,
                                           min_score=p.get("min_score"),
                                           after=after)
-            if facet_col is not None:
-                # terms-aggregation partial: per-(query, facet value)
-                # counts over this segment's qualifying docs — only the
-                # facet-cardinality-sized partial leaves the task (A2's
+            if agg is not None:
+                # aggregation partial over this segment's qualifying
+                # docs — only aggregate-sized rows leave the task (A2's
                 # combiner-first rule), never the hit set
                 if len(ords):
-                    vc = (pa.table({"v": docs[facet_col].take(pa.array(ords))})
-                          .group_by("v").aggregate([("v", "count")]))
-                    ftables.append(pa.table({
-                        "query_id": pa.array([q["query_id"]] * vc.num_rows,
-                                             type=pa.string()),
-                        facet_col: vc["v"].combine_chunks(),
-                        "doc_count": pc.cast(vc["v_count"], pa.int64()),
-                    }))
+                    ftables.append(_agg_partial(agg, docs, ords,
+                                                q["query_id"]))
                 continue
             out_qid.extend([q["query_id"]] * len(ords))
             out_ord.append(ords)
             out_sc.append(scores)
-        if facet_col is not None:
+        if agg is not None:
             return pa.concat_tables(ftables) if ftables else None
         if not out_qid:
             return None
@@ -744,6 +783,13 @@ class IndexSearcher:
         [prefix, successor(prefix)) range filter down to row groups —
         only the matching vocab slice leaves storage, never a scan.
         """
+        return self.suggest_prefix(prefix, max_expansions)["term"].tolist()
+
+    def suggest_prefix(self, prefix: str, n: int = 10) -> pd.DataFrame:
+        """Completion suggester [Lucene/OpenSearch term-completion public
+        semantics]: the top-n dictionary terms with the given prefix as
+        (term, df), ordered (df DESC, term ASC) — popularity-ranked
+        autocomplete straight off the range-pruned dictionary read."""
         if not prefix:
             raise ValueError("prefix must be non-empty")
         filters: list[tuple] = [("term", ">=", prefix)]
@@ -754,7 +800,7 @@ class IndexSearcher:
         tbl = tbl.filter(pc.starts_with(tbl["term"], prefix))
         idx = pc.sort_indices(tbl, sort_keys=[("df", "descending"),
                                               ("term", "ascending")])
-        return tbl.take(idx[:max_expansions])["term"].to_pylist()
+        return tbl.take(idx[:n]).to_pandas()[["term", "df"]]
 
     def expand_fuzzy(self, term: str, max_edits: int = 1,
                      prefix_length: int = 0,
@@ -774,6 +820,16 @@ class IndexSearcher:
         automaton).  A length band |len(t)-len(term)|<=max_edits prunes
         before the DP; the DP itself is vectorized across candidates.
         """
+        return self.suggest_fuzzy(term, max_expansions, max_edits,
+                                  prefix_length)["term"].tolist()
+
+    def suggest_fuzzy(self, term: str, n: int = 10, max_edits: int = 2,
+                      prefix_length: int = 0) -> pd.DataFrame:
+        """Spell-correction suggester [Lucene DirectSpellChecker public
+        semantics]: the top-n dictionary terms within ``max_edits`` of
+        ``term`` as (term, dist, df), ordered (dist ASC, df DESC, term
+        ASC) — 'did you mean' off the same pruned candidate set the
+        fuzzy query expands."""
         if max_edits < 0:
             raise ValueError("max_edits must be >= 0")
         filters = None
@@ -799,7 +855,12 @@ class IndexSearcher:
         hits = [(int(dist[i]), -int(dfv[i]), cands[i])
                 for i in np.flatnonzero(dist <= max_edits)]
         hits.sort()
-        return [t for _, _, t in hits[:max_expansions]]
+        hits = hits[:n]
+        return pd.DataFrame({"term": [t for _, _, t in hits],
+                             "dist": np.array([d for d, _, _ in hits],
+                                              dtype=np.int64),
+                             "df": np.array([-nd for _, nd, _ in hits],
+                                            dtype=np.int64)})
 
     def prefix_search(self, queries: dict[str, str], k: int | None = None,
                       max_expansions: int = 50,
@@ -960,12 +1021,77 @@ class IndexSearcher:
         cardinality-sized partials reach the driver (combiner-first);
         the hit set itself never leaves the tasks.
         """
+        df = self._agg_fanout(queries, {"kind": "terms", "col": facet_col},
+                              min_score, term_weights, concurrency)
+        cols = ["query_id", facet_col, "doc_count"]
+        if df.empty:
+            return pd.DataFrame(columns=cols)
+        out = (df.groupby(["query_id", facet_col], sort=False)["doc_count"]
+                 .sum().reset_index())
+        out = out.sort_values(["query_id", "doc_count", facet_col],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        if size is not None:
+            out = out.groupby("query_id", sort=False).head(size)
+        return out.reset_index(drop=True)[cols]
+
+    def stats_agg(self, queries: dict[str, str], value_col: str,
+                  min_score: float,
+                  term_weights: dict[str, list[tuple[str, float]]] | None = None,
+                  concurrency: int | None = None) -> pd.DataFrame:
+        """Stats aggregation [OpenSearch stats-agg public semantics] over
+        the radial match set: per query, (doc_count, sum, min, max, avg)
+        of an integer stored column.  Partials are integer and order-
+        free (one row per segment reaches the driver); the single avg
+        division happens once at the end, so the float is bit-equal to
+        the oracle's.  int64 range assumed (documented)."""
+        df = self._agg_fanout(queries, {"kind": "stats", "col": value_col},
+                              min_score, term_weights, concurrency)
+        cols = ["query_id", "doc_count", "v_sum", "v_min", "v_max", "v_avg"]
+        if df.empty:
+            return pd.DataFrame(columns=cols)
+        g = df.groupby("query_id", sort=True).agg(
+            doc_count=("doc_count", "sum"), v_sum=("v_sum", "sum"),
+            v_min=("v_min", "min"), v_max=("v_max", "max")).reset_index()
+        g["v_avg"] = g["v_sum"].astype(np.float64) / g["doc_count"]
+        return g[cols]
+
+    def histogram_agg(self, queries: dict[str, str], value_col: str,
+                      interval: float, min_score: float,
+                      term_weights: dict[str, list[tuple[str, float]]] | None = None,
+                      concurrency: int | None = None) -> pd.DataFrame:
+        """Histogram aggregation [OpenSearch histogram-agg public
+        semantics] over the radial match set: doc counts per
+        floor(value/interval)*interval bucket, ordered (query_id, bucket
+        ASC).  Exact for |value| < 2^53 (the DOUBLE-floor rule shared
+        with the oracle)."""
+        if interval <= 0:
+            raise ValueError("interval must be positive")
+        df = self._agg_fanout(queries,
+                              {"kind": "hist", "col": value_col,
+                               "interval": float(interval)},
+                              min_score, term_weights, concurrency)
+        cols = ["query_id", "bucket", "doc_count"]
+        if df.empty:
+            return pd.DataFrame(columns=cols)
+        out = (df.groupby(["query_id", "bucket"], sort=True)["doc_count"]
+                 .sum().reset_index())
+        return out[cols]
+
+    def _agg_fanout(self, queries: dict[str, str], agg: dict,
+                    min_score: float,
+                    term_weights: dict[str, list[tuple[str, float]]] | None,
+                    concurrency: int | None) -> pd.DataFrame:
+        """Shared aggregation fan-out: one task per segment computes the
+        radial match set and reduces it to an aggregate PARTIAL (see
+        ``_agg_partial``); the driver merges aggregate-sized frames
+        only."""
         if not self.seg_dirs:
-            return pd.DataFrame(columns=["query_id", facet_col, "doc_count"])
+            return pd.DataFrame()
         docs_schema = pq.read_schema(
             os.path.join(self.seg_dirs[0], DOCS_NAME))
-        if facet_col not in docs_schema.names:
-            raise ValueError(f"facet_col {facet_col!r} is not a stored "
+        if agg["col"] not in docs_schema.names:
+            raise ValueError(f"agg column {agg['col']!r} is not a stored "
                              f"doc column ({docs_schema.names})")
         prepared, union = self._prepare(queries, self.cfg.default_k,
                                         term_weights=term_weights)
@@ -979,12 +1105,11 @@ class IndexSearcher:
                           for kc in self.key_cols],
             "first_pass_k": self.cfg.first_pass_k,
             "min_score": float(min_score),
-            "facet_col": facet_col,
-            "facet_type": docs_schema.field(facet_col).type,
+            "agg": agg,
+            "agg_type": docs_schema.field(agg["col"]).type,
         }
-        cols = ["query_id", facet_col, "doc_count"]
         if not union:
-            return pd.DataFrame(columns=cols)
+            return pd.DataFrame()
         seg_ds = rd.from_items([{"seg_dir": d} for d in self.seg_dirs])
         extra = {"concurrency": concurrency} if concurrency else {}
         out = seg_ds.map_batches(_search_segments_task,
@@ -995,16 +1120,8 @@ class IndexSearcher:
                   for b in out.iter_batches(batch_format="pyarrow")]
         frames = [f for f in frames if not f.empty]
         if not frames:
-            return pd.DataFrame(columns=cols)
-        df = pd.concat(frames, ignore_index=True)
-        agg = (df.groupby(["query_id", facet_col], sort=False)["doc_count"]
-                 .sum().reset_index())
-        agg = agg.sort_values(["query_id", "doc_count", facet_col],
-                              ascending=[True, False, True],
-                              kind="mergesort")
-        if size is not None:
-            agg = agg.groupby("query_id", sort=False).head(size)
-        return agg.reset_index(drop=True)[cols]
+            return pd.DataFrame()
+        return pd.concat(frames, ignore_index=True)
 
     def _prepare(self, queries: dict[str, str], k: int,
                  phrase: bool = False,

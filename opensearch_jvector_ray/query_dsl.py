@@ -21,6 +21,9 @@ Supported bodies (one top-level clause per query):
     {"facets": {"query": "...", "field": col, "min_score": f,
                 "size": n}}            # terms aggregation over the
                                        # radial match set
+    {"stats_agg":  {"query": "...", "field": col, "min_score": f}}
+    {"histogram":  {"query": "...", "field": col, "interval": w,
+                "min_score": f}}       # numeric-bucket counts
     {"query_string": {"query": "fast^2 merge", "k": 10}}  # term boosts
     {"synonyms": {"query": "...", "map": {term: [syn, ...]}, "k": 10}}
                                        # SynonymQuery blended scoring
@@ -49,6 +52,8 @@ _SYNONYMS_FIELDS = {"query", "map", "k"}
 _FUZZY_FIELDS = {"query", "k", "max_edits", "prefix_length",
                  "max_expansions"}
 _FACETS_FIELDS = {"query", "field", "min_score", "size"}
+_STATS_FIELDS = {"query", "field", "min_score"}
+_HIST_FIELDS = {"query", "field", "interval", "min_score"}
 _MODES = {"taat", "wand", "rescore", "phrase"}
 _METRICS = {"cosine", "l2", "innerproduct", "l1", "linf", "hamming"}
 
@@ -143,6 +148,23 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
                 "field": spec["field"],
                 "min_score": float(spec["min_score"]),
                 "size": None if size is None else int(size)}
+    if clause in ("stats_agg", "histogram"):
+        allowed = _STATS_FIELDS if clause == "stats_agg" else _HIST_FIELDS
+        _require_known(clause, spec, allowed)
+        if not isinstance(spec.get("query"), str) or not spec["query"]:
+            raise ValueError(f"[{clause}] needs a non-empty 'query'")
+        if not isinstance(spec.get("field"), str) or not spec["field"]:
+            raise ValueError(f"[{clause}] needs a 'field' column name")
+        if "min_score" not in spec:
+            raise ValueError(f"[{clause}] needs 'min_score'")
+        out = {"type": clause, "query": spec["query"],
+               "field": spec["field"],
+               "min_score": float(spec["min_score"])}
+        if clause == "histogram":
+            if "interval" not in spec or float(spec["interval"]) <= 0:
+                raise ValueError("[histogram] needs a positive 'interval'")
+            out["interval"] = float(spec["interval"])
+        return out
     if clause == "query_string":
         _require_known(clause, spec, _QSTRING_FIELDS)
         if not isinstance(spec.get("query"), str) or not spec["query"]:
@@ -186,7 +208,8 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
                 "filter": flt}
     raise ValueError(f"unknown query clause {clause!r} (supported: "
                      f"match, bool, knn, more_like_this, prefix, fuzzy, "
-                     f"facets, query_string, synonyms)")
+                     f"facets, stats_agg, histogram, query_string, "
+                     f"synonyms)")
 
 
 def execute_query(body: dict[str, Any], *, searcher=None, vector_ds=None,
@@ -208,6 +231,19 @@ def execute_query(body: dict[str, Any], *, searcher=None, vector_ds=None,
         return searcher.more_like_this(
             {query_id: spec["like"]}, k=spec["k"],
             max_query_terms=spec["max_query_terms"])
+    if spec["type"] == "stats_agg":
+        if searcher is None:
+            raise ValueError("[stats_agg] needs searcher=")
+        return searcher.stats_agg({query_id: spec["query"]},
+                                  value_col=spec["field"],
+                                  min_score=spec["min_score"])
+    if spec["type"] == "histogram":
+        if searcher is None:
+            raise ValueError("[histogram] needs searcher=")
+        return searcher.histogram_agg({query_id: spec["query"]},
+                                      value_col=spec["field"],
+                                      interval=spec["interval"],
+                                      min_score=spec["min_score"])
     if spec["type"] == "query_string":
         if searcher is None:
             raise ValueError("[query_string] needs searcher=")

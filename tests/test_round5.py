@@ -84,6 +84,21 @@ def test_expand_fuzzy_rule(index):
                               max_expansions=5) == exp, (q, me, pl)
 
 
+def test_suggesters_shapes_and_order(index):
+    s = IndexSearcher(index)
+    sp = s.suggest_prefix("d", n=5)
+    assert list(sp.columns) == ["term", "df"]
+    assert sp["term"].str.startswith("d").all()
+    assert (sp["df"].diff().dropna() <= 0).all()     # df descending
+    assert sp["term"].tolist() == s.expand_prefix("d", 5)
+    sf = s.suggest_fuzzy("modell", n=5, max_edits=2)
+    assert list(sf.columns) == ["term", "dist", "df"]
+    assert (sf["dist"] <= 2).all()
+    assert (sf["dist"].diff().dropna() >= 0).all()   # dist ascending
+    assert sf["term"].tolist() == s.expand_fuzzy("modell", max_edits=2,
+                                                 max_expansions=5)
+
+
 def test_prefix_search_equals_manual_expansion(index):
     s = IndexSearcher(index)
     queries = {"q": "dat* model"}
@@ -247,6 +262,48 @@ def test_synonym_search_saturates_not_stacks(index):
     # an all-unknown synonym group matches nothing
     empty = s.synonym_search({"q": "zzzz"}, {"zzzz": ["yyyy"]}, k=5)
     assert empty.empty
+
+
+def test_stats_and_histogram_agg_match_brute(index):
+    from opensearch_jvector_ray.query_dsl import execute_query
+    s = IndexSearcher(index)
+    queries = {"a": "data model search", "b": "zebra quantum nebula"}
+    theta = 0.4
+    hits = s.search(queries, min_score=theta)   # the exact match set
+    # stats over turn_idx (a stored int column on the docs table)
+    got = s.stats_agg(queries, value_col="turn_idx", min_score=theta)
+    brute = hits.groupby("query_id")["turn_idx"].agg(
+        doc_count="count", v_sum="sum", v_min="min", v_max="max"
+    ).reset_index()
+    brute["v_avg"] = brute["v_sum"].astype(np.float64) / brute["doc_count"]
+    pd.testing.assert_frame_equal(got, brute[got.columns.tolist()],
+                                  check_dtype=False)
+    # histogram over turn_idx, interval 3
+    goth = s.histogram_agg(queries, value_col="turn_idx", interval=3.0,
+                           min_score=theta)
+    hb = hits.copy()
+    hb["bucket"] = (np.floor(hb["turn_idx"] / 3.0) * 3.0).astype(np.int64)
+    bruteh = (hb.groupby(["query_id", "bucket"]).size()
+                .rename("doc_count").reset_index()
+                .sort_values(["query_id", "bucket"])
+                .reset_index(drop=True))
+    pd.testing.assert_frame_equal(goth, bruteh, check_dtype=False)
+    with pytest.raises(ValueError):
+        s.histogram_agg(queries, value_col="turn_idx", interval=0,
+                        min_score=theta)
+    # DSL equivalence
+    d1 = execute_query({"stats_agg": {"query": queries["a"],
+                                      "field": "turn_idx",
+                                      "min_score": theta}}, searcher=s)
+    exp1 = s.stats_agg({"q": queries["a"]}, value_col="turn_idx",
+                       min_score=theta)
+    pd.testing.assert_frame_equal(d1, exp1)
+    d2 = execute_query({"histogram": {"query": queries["a"],
+                                      "field": "turn_idx", "interval": 3,
+                                      "min_score": theta}}, searcher=s)
+    exp2 = s.histogram_agg({"q": queries["a"]}, value_col="turn_idx",
+                           interval=3, min_score=theta)
+    pd.testing.assert_frame_equal(d2, exp2)
 
 
 def test_query_dsl_boost_synonym_clauses(index):
