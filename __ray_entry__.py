@@ -33,7 +33,7 @@ from opensearch_jvector_ray.oracles import (
     fingerprint_sql, grouped_best_sql, grouped_expand_sql, knn_sql,
     highlight_sql, mlt_sql, prefix_sql, fuzzy_sql, facet_sql, page_sql,
     boosted_sql, synonym_sql, stats_agg_sql, histogram_sql,
-    suggest_sql, fuzzy_suggest_sql,
+    suggest_sql, fuzzy_suggest_sql, regexp_sql,
     hash_sample_sql, hash_split_sql, lang_id_sql, minhash_exact_sql,
     mix_sources_sql, bpe_count_sql, gopher_filter_sql, tool_usage_sql,
     ngram_exact_sql, pii_scrub_sql, decontaminate_sql, self_overlap_sql,
@@ -202,11 +202,27 @@ SYNONYMS = {
 
 STATS_COL = "n_chars"
 HIST_INTERVAL = 80.0
+REGEXP_QUERIES = {"r1": "s.*t", "r2": "(data|query)", "r3": "c[ou].*"}
+WILDCARD_QUERIES = {"w1": "s*t", "w2": "?ata", "w3": "cust*"}
 SUGGEST_PREFIXES = {"g1": "s", "g2": "cu", "g3": "w"}
 SUGGEST_TYPOS = {"z1": "qury", "z2": "merg", "z3": "windoe",
                  "z4": "vale", "z5": "sot"}
 SUGGEST_N = 5
 SUGGEST_MAX_EDITS = 2
+
+
+def _q_bm25_regexp(sf_dir: str) -> pd.DataFrame:
+    # Lucene RegexpQuery: anchored RE2 over the dictionary (pyarrow and
+    # DuckDB both run RE2 — the pattern string is shared verbatim)
+    s = IndexSearcher(documents_index(sf_dir))
+    return _round_hits(s.regexp_search(REGEXP_QUERIES, k=BM25_K))
+
+
+def _q_bm25_wildcard(sf_dir: str) -> pd.DataFrame:
+    # Lucene WildcardQuery: * / ? translated by the engine's own
+    # wildcard_to_regex on both sides
+    s = IndexSearcher(documents_index(sf_dir))
+    return _round_hits(s.wildcard_search(WILDCARD_QUERIES, k=BM25_K))
 
 
 def _q_term_suggest(sf_dir: str) -> pd.DataFrame:
@@ -1289,6 +1305,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_stats_agg": _q_bm25_stats_agg,
         "bm25_histogram": _q_bm25_histogram,
         "bm25_search_after": _q_bm25_search_after,
+        "bm25_regexp": _q_bm25_regexp,
+        "bm25_wildcard": _q_bm25_wildcard,
         "term_suggest": _q_term_suggest,
         "term_suggest_fuzzy": _q_term_suggest_fuzzy,
         "grouped_best_doc": _q_grouped_best,
@@ -1444,6 +1462,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_histogram": histogram_sql(BM25_QUERIES, FACET_MIN_SCORE,
                                         STATS_COL, HIST_INTERVAL, CFG),
         "bm25_search_after": page_sql(BM25_QUERIES, BM25_K, 2, CFG),
+        "bm25_regexp": regexp_sql(REGEXP_QUERIES, BM25_K, CFG),
+        "bm25_wildcard": regexp_sql(WILDCARD_QUERIES, BM25_K, CFG,
+                                    wildcard=True),
         "term_suggest": suggest_sql(SUGGEST_PREFIXES, SUGGEST_N, CFG),
         "term_suggest_fuzzy": fuzzy_suggest_sql(
             SUGGEST_TYPOS, SUGGEST_N, SUGGEST_MAX_EDITS, CFG),

@@ -136,6 +136,23 @@ def query_term_weights(text: str, cfg: EngineConfig) -> list[tuple[str, int]]:
     return list(out.items())
 
 
+def wildcard_to_regex(pattern: str) -> str:
+    """Lucene WildcardQuery translation: ``*`` -> ``.*``, ``?`` -> ``.``,
+    everything else literal (re.escape emits RE2-compatible escapes, and
+    DuckDB's regex engine is also RE2 — the translated pattern is shared
+    verbatim with the oracle)."""
+    import re as _re
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(_re.escape(ch))
+    return "".join(out)
+
+
 def parse_boosted_query(text: str, cfg: EngineConfig,
                         ) -> list[tuple[str, float]]:
     """Lucene query-string boost syntax: a whitespace chunk may carry a

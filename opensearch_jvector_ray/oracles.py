@@ -310,6 +310,34 @@ qt AS (
                     text_col=text_col, qt_cte=qt_cte)
 
 
+def regexp_sql(queries: dict[str, str], k: int, cfg: EngineConfig,
+               max_expansions: int = 50, wildcard: bool = False,
+               table: str = "documents", id_col: str = "doc_id",
+               text_col: str = "text") -> str:
+    """Oracle for IndexSearcher.regexp_search / wildcard_search: vocab
+    terms fully matching the pattern (DuckDB regexp_full_match — RE2 on
+    both sides; wildcard patterns translate through the engine's own
+    ``wildcard_to_regex``), capped (df DESC, term ASC), weight 1."""
+    from opensearch_jvector_ray.analyze import wildcard_to_regex
+    rows = []
+    for qid, pat in sorted(queries.items()):
+        rx = wildcard_to_regex(pat) if wildcard else pat
+        rows.append(f"({sql_quote(qid)}, {sql_quote(rx)})")
+    values = ",\n       ".join(rows) if rows else "('__none__', '¤¤')"
+    qt_cte = f"""{_vocab_cte(id_col)},
+rx0(query_id, pat) AS (VALUES {values}),
+qt AS (
+  SELECT query_id, term, 1.0 AS w FROM (
+    SELECT r.query_id, v.term,
+           row_number() OVER (PARTITION BY r.query_id, r.pat
+                              ORDER BY v.df DESC, v.term ASC) AS rn
+    FROM rx0 r JOIN vocab v ON regexp_full_match(v.term, r.pat))
+  WHERE rn <= {int(max_expansions)}
+)"""
+    return bm25_sql({}, k, cfg, table=table, id_col=id_col,
+                    text_col=text_col, qt_cte=qt_cte)
+
+
 def facet_sql(queries: dict[str, str], min_score: float, facet_col: str,
               cfg: EngineConfig, size: int | None = None,
               table: str = "documents", id_col: str = "doc_id",

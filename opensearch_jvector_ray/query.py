@@ -862,6 +862,50 @@ class IndexSearcher:
                              "df": np.array([-nd for _, nd, _ in hits],
                                             dtype=np.int64)})
 
+    def expand_regex(self, pattern: str, max_expansions: int = 50,
+                     ) -> list[str]:
+        """Regexp term expansion [Lucene RegexpQuery public semantics]:
+        dictionary terms FULLY matching the pattern (implicit anchoring,
+        as Lucene's automaton), ordered (df DESC, term ASC), capped.
+        Both sides run RE2 (pyarrow here, DuckDB in the oracle), so the
+        pattern string is shared verbatim.  The read is vocab-sized (the
+        small side) — the documented gap vs Lucene's automaton-directed
+        FST walk; prefer prefix/fuzzy when a prefix is known.
+        """
+        tbl = self._read_dictionary()
+        m = pc.match_substring_regex(tbl["term"], f"^(?:{pattern})$")
+        tbl = tbl.filter(m)
+        idx = pc.sort_indices(tbl, sort_keys=[("df", "descending"),
+                                              ("term", "ascending")])
+        return tbl.take(idx[:max_expansions])["term"].to_pylist()
+
+    def regexp_search(self, queries: dict[str, str], k: int | None = None,
+                      max_expansions: int = 50,
+                      **search_kwargs) -> pd.DataFrame:
+        """Regexp query: each query is ONE pattern (the single-term
+        Lucene RegexpQuery shape); expansions score as a weight-1 BM25
+        disjunction via the weighted-term path."""
+        tw_map = {
+            qid: [(t, 1.0) for t in self.expand_regex(pat, max_expansions)]
+            for qid, pat in queries.items()}
+        return self.search(queries, k=k, term_weights=tw_map,
+                           **search_kwargs)
+
+    def wildcard_search(self, queries: dict[str, str],
+                        k: int | None = None, max_expansions: int = 50,
+                        **search_kwargs) -> pd.DataFrame:
+        """Wildcard query [Lucene WildcardQuery]: ``*`` / ``?`` patterns
+        translate to anchored RE2 (``analyze.wildcard_to_regex`` — the
+        SAME translation generates the oracle) and ride the regexp
+        expansion path."""
+        from opensearch_jvector_ray.analyze import wildcard_to_regex
+        tw_map = {
+            qid: [(t, 1.0) for t in self.expand_regex(
+                wildcard_to_regex(pat), max_expansions)]
+            for qid, pat in queries.items()}
+        return self.search(queries, k=k, term_weights=tw_map,
+                           **search_kwargs)
+
     def prefix_search(self, queries: dict[str, str], k: int | None = None,
                       max_expansions: int = 50,
                       **search_kwargs) -> pd.DataFrame:

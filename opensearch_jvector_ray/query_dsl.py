@@ -24,6 +24,8 @@ Supported bodies (one top-level clause per query):
     {"stats_agg":  {"query": "...", "field": col, "min_score": f}}
     {"histogram":  {"query": "...", "field": col, "interval": w,
                 "min_score": f}}       # numeric-bucket counts
+    {"regexp":   {"value": "s.*t", "k": 10, "max_expansions": 50}}
+    {"wildcard": {"value": "cust*", "k": 10}}  # * / ? patterns
     {"query_string": {"query": "fast^2 merge", "k": 10}}  # term boosts
     {"synonyms": {"query": "...", "map": {term: [syn, ...]}, "k": 10}}
                                        # SynonymQuery blended scoring
@@ -48,6 +50,7 @@ _KNN_FIELDS = {"vector", "k", "metric", "min_score", "max_distance",
 _MLT_FIELDS = {"like", "k", "max_query_terms"}
 _PREFIX_FIELDS = {"query", "k", "max_expansions"}
 _QSTRING_FIELDS = {"query", "k"}
+_REGEXP_FIELDS = {"value", "k", "max_expansions"}
 _SYNONYMS_FIELDS = {"query", "map", "k"}
 _FUZZY_FIELDS = {"query", "k", "max_edits", "prefix_length",
                  "max_expansions"}
@@ -165,6 +168,14 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
                 raise ValueError("[histogram] needs a positive 'interval'")
             out["interval"] = float(spec["interval"])
         return out
+    if clause in ("regexp", "wildcard"):
+        _require_known(clause, spec, _REGEXP_FIELDS)
+        if not isinstance(spec.get("value"), str) or not spec["value"]:
+            raise ValueError(f"[{clause}] needs a non-empty 'value' "
+                             f"pattern")
+        return {"type": clause, "value": spec["value"],
+                "k": int(spec.get("k", 10)),
+                "max_expansions": int(spec.get("max_expansions", 50))}
     if clause == "query_string":
         _require_known(clause, spec, _QSTRING_FIELDS)
         if not isinstance(spec.get("query"), str) or not spec["query"]:
@@ -209,7 +220,7 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
     raise ValueError(f"unknown query clause {clause!r} (supported: "
                      f"match, bool, knn, more_like_this, prefix, fuzzy, "
                      f"facets, stats_agg, histogram, query_string, "
-                     f"synonyms)")
+                     f"synonyms, regexp, wildcard)")
 
 
 def execute_query(body: dict[str, Any], *, searcher=None, vector_ds=None,
@@ -231,6 +242,13 @@ def execute_query(body: dict[str, Any], *, searcher=None, vector_ds=None,
         return searcher.more_like_this(
             {query_id: spec["like"]}, k=spec["k"],
             max_query_terms=spec["max_query_terms"])
+    if spec["type"] in ("regexp", "wildcard"):
+        if searcher is None:
+            raise ValueError(f"[{spec['type']}] needs searcher=")
+        fn = searcher.regexp_search if spec["type"] == "regexp" \
+            else searcher.wildcard_search
+        return fn({query_id: spec["value"]}, k=spec["k"],
+                  max_expansions=spec["max_expansions"])
     if spec["type"] == "stats_agg":
         if searcher is None:
             raise ValueError("[stats_agg] needs searcher=")

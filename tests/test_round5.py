@@ -211,6 +211,34 @@ def test_query_dsl_round5_clauses(index):
             parse_query(bad)
 
 
+def test_regexp_wildcard_expansion_and_search(index):
+    from opensearch_jvector_ray.analyze import wildcard_to_regex
+    from opensearch_jvector_ray.query_dsl import execute_query
+    import re
+    s = IndexSearcher(index)
+    vocab = s._read_dictionary().to_pandas()
+    # anchored-match rule vs brute re over the vocab
+    for pat in ["d.*a", "(data|model)", "s...ch", "zz+"]:
+        hit = vocab[vocab["term"].map(
+            lambda t: re.fullmatch(pat, t) is not None)]
+        exp = (hit.sort_values(["df", "term"], ascending=[False, True],
+                               kind="mergesort")["term"].head(5).tolist())
+        assert s.expand_regex(pat, max_expansions=5) == exp, pat
+    # wildcard translation: '*'/'?' + literal escaping
+    assert wildcard_to_regex("a*b?c.d") == "a.*b.c\\.d"
+    got = s.wildcard_search({"q": "dat?"}, k=5)
+    exp = s.regexp_search({"q": "dat."}, k=5)
+    pd.testing.assert_frame_equal(got, exp)
+    # DSL equivalence + strictness
+    d = execute_query({"regexp": {"value": "(data|model)", "k": 5}},
+                      searcher=s)
+    pd.testing.assert_frame_equal(
+        d, s.regexp_search({"q": "(data|model)"}, k=5))
+    with pytest.raises(ValueError):
+        from opensearch_jvector_ray.query_dsl import parse_query
+        parse_query({"wildcard": {"value": ""}})
+
+
 def test_boosted_search_parse_and_scale(index):
     from opensearch_jvector_ray.analyze import parse_boosted_query
     s = IndexSearcher(index)
