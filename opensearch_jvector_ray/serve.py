@@ -181,12 +181,15 @@ class SearchService:
             for s in shards]
 
     # dictionary lookup identical to IndexSearcher (global stats)
-    def _prepare(self, queries: dict[str, str], k: int) -> list[dict]:
+    def _prepare(self, queries: dict[str, str], k: int,
+                 term_weights: dict[str, list[tuple[str, float]]] | None = None,
+                 ) -> list[dict]:
         from opensearch_jvector_ray.query import IndexSearcher
         terms_all: set[str] = set()
         parsed = []
         for qid, text in queries.items():
-            tw = query_term_weights(text, self.cfg)
+            tw = list(term_weights[qid]) if term_weights is not None \
+                else query_term_weights(text, self.cfg)
             parsed.append((qid, tw))
             terms_all.update(t for t, _ in tw)
         df_map = IndexSearcher.lookup_df(self, sorted(terms_all))  # reuse impl
@@ -199,8 +202,15 @@ class SearchService:
         return out
 
     def search(self, queries: dict[str, str], k: int = 10,
-               filter=None) -> pd.DataFrame:
-        prepared = self._prepare(queries, k)
+               filter=None,
+               term_weights: dict[str, list[tuple[str, float]]] | None = None,
+               ) -> pd.DataFrame:
+        """``term_weights`` (qid -> [(term, weight)]) bypasses analysis,
+        so the warm actors serve the whole multi-term expansion family
+        (prefix/fuzzy/regexp/wildcard/boosts) — callers expand against
+        the dictionary once (IndexSearcher.expand_*) and reuse the
+        weighted list across many warm queries."""
+        prepared = self._prepare(queries, k, term_weights)
         avgdl = float(self.stats["avgdl"] or 1.0)
         futures = [a.search.remote(prepared, k, avgdl, filter)
                    for a in self.actors]

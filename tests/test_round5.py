@@ -348,6 +348,30 @@ def test_query_dsl_boost_synonym_clauses(index):
     pd.testing.assert_frame_equal(got, exp)
 
 
+def test_serve_term_weights_matches_cold_path(index):
+    from opensearch_jvector_ray.query import IndexSearcher as IS
+    from opensearch_jvector_ray.serve import SearchService
+    s = IS(index)
+    lits, prefixes = parse_prefix_query("dat* model", s.cfg)
+    weights: dict[str, float] = {t: float(c) for t, c in lits}
+    order = [t for t, _ in lits]
+    for p in prefixes:
+        for t in s.expand_prefix(p, 10):
+            if t not in weights:
+                order.append(t)
+                weights[t] = 0.0
+            weights[t] += 1.0
+    tw = {"q": [(t, weights[t]) for t in order]}
+    cold = s.search({"q": ""}, k=8, term_weights=tw)
+    svc = SearchService(index, num_shards=2)
+    try:
+        warm = svc.search({"q": ""}, k=8, term_weights=tw)
+    finally:
+        svc.shutdown()
+    pd.testing.assert_frame_equal(warm, cold)
+    assert len(warm) == 8
+
+
 def test_facet_counts_matches_brute(index):
     s = IndexSearcher(index)
     queries = {"a": "data model search", "b": "zebra quantum nebula"}
