@@ -33,7 +33,7 @@ from opensearch_jvector_ray.oracles import (
     fingerprint_sql, grouped_best_sql, grouped_expand_sql, knn_sql,
     highlight_sql, mlt_sql, prefix_sql, fuzzy_sql, facet_sql, page_sql,
     boosted_sql, synonym_sql, stats_agg_sql, histogram_sql,
-    suggest_sql, fuzzy_suggest_sql, regexp_sql,
+    suggest_sql, fuzzy_suggest_sql, regexp_sql, phrase_prefix_sql,
     hash_sample_sql, hash_split_sql, lang_id_sql, minhash_exact_sql,
     mix_sources_sql, bpe_count_sql, gopher_filter_sql, tool_usage_sql,
     ngram_exact_sql, pii_scrub_sql, decontaminate_sql, self_overlap_sql,
@@ -203,6 +203,16 @@ SYNONYMS = {
 STATS_COL = "n_chars"
 HIST_INTERVAL = 80.0
 REGEXP_QUERIES = {"r1": "s.*t", "r2": "(data|query)", "r3": "c[ou].*"}
+PHRASE_PREFIX_QUERIES = {"pp1": "fast mer", "pp2": "data ro", "pp3": "cus"}
+
+
+def _q_bm25_phrase_prefix(sf_dir: str) -> pd.DataFrame:
+    # match_phrase_prefix: exact phrase, last analyzed token expanded
+    # against the dictionary; the CAPPED expansion set matches (Lucene
+    # MultiPhraseQuery), idf_sum = literals + expansions
+    s = IndexSearcher(documents_index(sf_dir))
+    return _round_hits(s.phrase_prefix_search(PHRASE_PREFIX_QUERIES,
+                                              k=BM25_K))
 WILDCARD_QUERIES = {"w1": "s*t", "w2": "?ata", "w3": "cust*"}
 SUGGEST_PREFIXES = {"g1": "s", "g2": "cu", "g3": "w"}
 SUGGEST_TYPOS = {"z1": "qury", "z2": "merg", "z3": "windoe",
@@ -1305,6 +1315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_stats_agg": _q_bm25_stats_agg,
         "bm25_histogram": _q_bm25_histogram,
         "bm25_search_after": _q_bm25_search_after,
+        "bm25_phrase_prefix": _q_bm25_phrase_prefix,
         "bm25_regexp": _q_bm25_regexp,
         "bm25_wildcard": _q_bm25_wildcard,
         "term_suggest": _q_term_suggest,
@@ -1462,6 +1473,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_histogram": histogram_sql(BM25_QUERIES, FACET_MIN_SCORE,
                                         STATS_COL, HIST_INTERVAL, CFG),
         "bm25_search_after": page_sql(BM25_QUERIES, BM25_K, 2, CFG),
+        "bm25_phrase_prefix": phrase_prefix_sql(PHRASE_PREFIX_QUERIES,
+                                                BM25_K, CFG),
         "bm25_regexp": regexp_sql(REGEXP_QUERIES, BM25_K, CFG),
         "bm25_wildcard": regexp_sql(WILDCARD_QUERIES, BM25_K, CFG,
                                     wildcard=True),

@@ -688,6 +688,97 @@ FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
 """
 
 
+def phrase_prefix_sql(queries: dict[str, str], k: int, cfg: EngineConfig,
+                      max_expansions: int = 50, table: str = "documents",
+                      id_col: str = "doc_id", text_col: str = "text") -> str:
+    """Oracle for IndexSearcher.phrase_prefix_search [Lucene
+    MultiPhraseQuery]: the last analyzed token expands against the
+    vocabulary (df DESC, term ASC, capped — the CAPPED set matches, as
+    in Lucene); the last phrase slot accepts any expansion via IN;
+    idf_sum = literal '+'-chain (position order) + ONE ordered-aggregate
+    sum over the expansion idfs (term ASC) — the engine pins the same fp
+    grouping."""
+    from opensearch_jvector_ray.analyze import analyze_query
+    pat = sql_quote(cfg.split_pattern)
+    pfx_rows, per_query = [], []
+    for qid, text in sorted(queries.items()):
+        words = analyze_query(text, cfg)
+        if not words:
+            continue
+        lits, pfx = words[:-1], words[-1]
+        pfx_rows.append(f"({sql_quote(qid)}, {sql_quote(pfx)})")
+        n_lit = len(lits)
+        in_px = (f"IN (SELECT term FROM px WHERE query_id = "
+                 f"{sql_quote(qid)})")
+        conds = [f"i + {n_lit} <= len(toks)"] if n_lit else []
+        conds += [f"toks[i + {j}] = {sql_quote(w)}" if j else
+                  f"toks[i] = {sql_quote(w)}"
+                  for j, w in enumerate(lits)]
+        conds.append((f"toks[i + {n_lit}] {in_px}") if n_lit
+                     else f"toks[i] {in_px}")
+        idf_parts = [f"(SELECT idf FROM idf WHERE term = {sql_quote(w)})"
+                     for w in lits]
+        idf_parts.append(
+            f"(SELECT sum(idf ORDER BY term) FROM idf WHERE term "
+            f"{in_px})")
+        per_query.append(f"""
+SELECT {sql_quote(qid)} AS query_id, p.{id_col},
+       ({' + '.join(idf_parts)})
+       * (p.tf / (p.tf + {cfg.k1!r} * (1.0 - {cfg.b!r} + {cfg.b!r} * dl.dl / (SELECT avgdl FROM stats)))) AS score__raw
+FROM (
+  SELECT {id_col}, count(*)::DOUBLE AS tf
+  FROM (SELECT {id_col}, toks, unnest(range(1, len(toks) + 1)) AS i
+        FROM tokpos) u
+  WHERE {' AND '.join(conds)}
+  GROUP BY {id_col}
+) p JOIN dl ON dl.{id_col} = p.{id_col}""")
+    union = "\nUNION ALL\n".join(per_query) if per_query else \
+        "SELECT '__none__' AS query_id, NULL, 0.0 WHERE false"
+    pfx_values = ",\n       ".join(pfx_rows) if pfx_rows else \
+        "('__none__', '¤¤')"
+    return f"""
+WITH {toks_cte(cfg, table, id_col, text_col)},
+tokpos AS (
+  SELECT {id_col},
+         list_filter(regexp_split_to_array(lower({text_col}), {pat}),
+                     x -> x <> '') AS toks
+  FROM {table}
+),
+dl AS (
+  SELECT {id_col}, count(*)::DOUBLE AS dl FROM toks GROUP BY {id_col}
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl
+),
+{_vocab_cte(id_col)},
+pq0(query_id, pfx) AS (VALUES {pfx_values}),
+px AS (
+  SELECT query_id, term FROM (
+    SELECT p.query_id, v.term,
+           row_number() OVER (PARTITION BY p.query_id, p.pfx
+                              ORDER BY v.df DESC, v.term ASC) AS rn
+    FROM pq0 p JOIN vocab v ON starts_with(v.term, p.pfx))
+  WHERE rn <= {int(max_expansions)}
+),
+idf AS (
+  SELECT term,
+         ln(1.0 + ((SELECT n FROM stats) - count(DISTINCT {id_col}) + 0.5)
+                  / (count(DISTINCT {id_col}) + 0.5)) AS idf
+  FROM toks GROUP BY term
+),
+scores AS ({union}),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score__raw DESC, {id_col} ASC) AS rank,
+         {id_col}, score__raw
+  FROM scores WHERE score__raw > 0.0
+)
+SELECT query_id, rank, {id_col}, round(score__raw, 6) AS score
+FROM ranked WHERE rank <= {int(k)} ORDER BY query_id, rank
+"""
+
+
 def term_stats_sql(terms: list[str], cfg: EngineConfig,
                    table: str = "documents", id_col: str = "doc_id",
                    text_col: str = "text") -> str:

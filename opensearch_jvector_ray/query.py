@@ -425,6 +425,13 @@ class SegmentSearcher:
         sa_all = p.get("search_after") or {}
         key_names = [kc for kc, _ in p["key_types"]]
         for q in p["queries"]:
+            if mode == "phrase_prefix":
+                ords, scores = self._phrase_prefix(q, rows, dl, mask,
+                                                   q["k"], tie)
+                out_qid.extend([q["query_id"]] * len(ords))
+                out_ord.append(ords)
+                out_sc.append(scores)
+                continue
             if mode == "synonym":
                 gs = [{**g, "terms": [t for t in g["terms"] if t in decoded]}
                       for g in q["groups"]]
@@ -557,6 +564,77 @@ class SegmentSearcher:
         cand_ords = np.array(cand_ords, dtype=np.int64)
         tf = np.array(cand_tf, dtype=np.float64)
         sc = idf_sum * bm25_tf_part(tf, dl[cand_ords], self.avgdl, self.k1, self.b)
+        scores = np.zeros(len(dl), dtype=np.float64)
+        scores[cand_ords] = sc
+        return _topk_from_scores(scores, cand_ords, k, tie)
+
+    def _phrase_prefix(self, q, rows, dl, mask, k, tie=None):
+        """match_phrase_prefix scoring [Lucene MultiPhraseQuery public
+        semantics]: an exact phrase whose LAST slot accepts ANY term of
+        the capped prefix-expansion set — occurrence positions for the
+        last slot are the UNION of the expansion terms' positions; tf =
+        phrase-occurrence count; idf_sum (precomputed at prepare time
+        from GLOBAL stats: literal idfs in position order + expansion
+        idfs term-ascending) scales the shared tf-part."""
+        from opensearch_jvector_ray.postings import decode_positions
+        lits = q["lit_terms"]
+        exps = [e for e in q["exp_terms"] if e in rows]
+        if any(t not in rows for t in lits) or not exps:
+            return (np.zeros(0, dtype=np.int64),
+                    np.zeros(0, dtype=np.float64))
+
+        def _decode(t):
+            r = rows[t]
+            ords, tfs = decode_posting_list(
+                r["ords_enc"], r["tfs_enc"],
+                codec=self.p.get("codec", "varint"), df=r["df"],
+                block_size=self.p.get("block_size", 128),
+                blk_n=r.get("blk_n"))
+            flat, offs = decode_positions(r["pos_enc"], tfs)
+            return ords, flat, offs
+
+        lit_data = [_decode(t) for t in lits]
+        exp_data = [_decode(e) for e in exps]
+        n_lit = len(lits)
+        # docs containing every literal AND >= 1 expansion term
+        exp_docs = np.unique(np.concatenate([d[0] for d in exp_data]))
+        common = exp_docs
+        for ords, _, _ in lit_data:
+            common = common[np.isin(common, ords, assume_unique=True)]
+        if mask is not None and len(common):
+            common = common[mask[common]]
+        cand_ords, cand_tf = [], []
+        for o in common.tolist():
+            occ = None
+            for j, (ords, flat, offs) in enumerate(lit_data):
+                i = int(np.searchsorted(ords, o))
+                pos = flat[offs[i]:offs[i + 1]] - j
+                occ = pos if occ is None else np.intersect1d(
+                    occ, pos, assume_unique=True)
+                if len(occ) == 0:
+                    break
+            if occ is not None and len(occ) == 0:
+                continue
+            last_parts = []
+            for ords, flat, offs in exp_data:
+                i = int(np.searchsorted(ords, o))
+                if i < len(ords) and ords[i] == o:
+                    last_parts.append(flat[offs[i]:offs[i + 1]] - n_lit)
+            if not last_parts:
+                continue
+            last = np.unique(np.concatenate(last_parts))
+            occ = last if occ is None else np.intersect1d(
+                occ, last, assume_unique=True)
+            if len(occ):
+                cand_ords.append(o)
+                cand_tf.append(len(occ))
+        if not cand_ords:
+            return (np.zeros(0, dtype=np.int64),
+                    np.zeros(0, dtype=np.float64))
+        cand_ords = np.array(cand_ords, dtype=np.int64)
+        tf = np.array(cand_tf, dtype=np.float64)
+        sc = q["idf_sum"] * bm25_tf_part(tf, dl[cand_ords], self.avgdl,
+                                         self.k1, self.b)
         scores = np.zeros(len(dl), dtype=np.float64)
         scores[cand_ords] = sc
         return _topk_from_scores(scores, cand_ords, k, tie)
@@ -1030,6 +1108,87 @@ class IndexSearcher:
         payload = {
             "queries": prepared, "union_terms": sorted(union),
             "mode": "synonym",
+            "codec": cfg.codec, "block_size": cfg.block_size,
+            "k1": cfg.k1, "b": cfg.b,
+            "avgdl": float(self.stats["avgdl"] or 1.0),
+            "filter": None, "rescore_oversample": None,
+            "key_types": [(kc, docs_schema.field(kc).type)
+                          for kc in self.key_cols],
+            "first_pass_k": cfg.first_pass_k,
+            "min_score": None,
+        }
+        seg_ds = rd.from_items([{"seg_dir": d} for d in self.seg_dirs])
+        extra = {"concurrency": concurrency} if concurrency else {}
+        hits = seg_ds.map_batches(
+            _search_segments_task, fn_kwargs={"payload": payload},
+            batch_format="pyarrow", batch_size=1, **extra)
+        frames = [b.to_pandas()
+                  for b in hits.iter_batches(batch_format="pyarrow")]
+        df = pd.concat(frames, ignore_index=True) if frames else \
+            pd.DataFrame(columns=["query_id", *self.key_cols, "score"])
+        return self._finalize(df, k, None)
+
+    def phrase_prefix_search(self, queries: dict[str, str],
+                             k: int | None = None,
+                             max_expansions: int = 50,
+                             concurrency: int | None = None,
+                             ) -> pd.DataFrame:
+        """match_phrase_prefix [OpenSearch public semantics / Lucene
+        MultiPhraseQuery]: the query text analyzes to an exact phrase
+        whose LAST term is a prefix — expanded against the dictionary
+        (df DESC, term ASC, capped ``max_expansions``; the capped set is
+        what matches, exactly as Lucene), the last phrase slot accepts
+        any expansion.  idf_sum = literal idfs (position order) +
+        expansion idfs (term-ascending), all from GLOBAL stats — the
+        oracle mirrors both sums symbol-for-symbol."""
+        from opensearch_jvector_ray.analyze import analyze_query
+        cfg = self.cfg
+        k = k or cfg.default_k
+        if k > cfg.max_k:
+            raise ValueError(f"k={k} exceeds max_k={cfg.max_k}")
+        parsed = {}
+        lit_all: set[str] = set()
+        for qid, text in queries.items():
+            words = analyze_query(text, cfg)
+            parsed[qid] = (words[:-1], words[-1] if words else None)
+            lit_all.update(words[:-1])
+        df_map = self.lookup_df(sorted(lit_all))
+        n = float(self.stats["n_docs_indexed"])
+        prepared = []
+        union: set[str] = set()
+        for qid, (lits, pfx) in parsed.items():
+            entry = {"query_id": qid, "k": k, "lit_terms": [],
+                     "exp_terms": [], "idf_sum": 0.0}
+            if pfx is not None and all(df_map.get(t, 0) > 0 for t in lits):
+                sp = self.suggest_prefix(pfx, max_expansions)
+                if len(sp):
+                    # fp grouping pinned to the oracle: literal idfs
+                    # chain left-assoc (the SQL '+' chain), expansion
+                    # idfs accumulate separately term-ascending (the
+                    # SQL ordered aggregate), added once at the end
+                    idf_sum = 0.0
+                    for t in lits:            # position order
+                        idf_sum += float(bm25_idf(n, df_map[t]))
+                    exp_sum = 0.0
+                    for _, r in sp.sort_values("term").iterrows():
+                        exp_sum += float(bm25_idf(n, float(r["df"])))
+                    idf_sum = idf_sum + exp_sum
+                    entry.update(lit_terms=list(lits),
+                                 exp_terms=sp["term"].tolist(),
+                                 idf_sum=idf_sum)
+                    union.update(lits)
+                    union.update(sp["term"].tolist())
+            prepared.append(entry)
+        from opensearch_jvector_ray.state import metrics
+        metrics.incr({metrics.QUERY_REQUESTS: len(queries)})
+        if not union or not self.seg_dirs:
+            return self._finalize(pd.DataFrame(
+                columns=["query_id", *self.key_cols, "score"]), k, None)
+        docs_schema = pq.read_schema(
+            os.path.join(self.seg_dirs[0], DOCS_NAME))
+        payload = {
+            "queries": [e for e in prepared if e["exp_terms"]],
+            "union_terms": sorted(union), "mode": "phrase_prefix",
             "codec": cfg.codec, "block_size": cfg.block_size,
             "k1": cfg.k1, "b": cfg.b,
             "avgdl": float(self.stats["avgdl"] or 1.0),

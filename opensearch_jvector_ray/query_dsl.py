@@ -24,6 +24,8 @@ Supported bodies (one top-level clause per query):
     {"stats_agg":  {"query": "...", "field": col, "min_score": f}}
     {"histogram":  {"query": "...", "field": col, "interval": w,
                 "min_score": f}}       # numeric-bucket counts
+    {"match_phrase_prefix": {"query": "fast mer", "k": 10,
+                "max_expansions": 50}}     # phrase + last-term prefix
     {"regexp":   {"value": "s.*t", "k": 10, "max_expansions": 50}}
     {"wildcard": {"value": "cust*", "k": 10}}  # * / ? patterns
     {"query_string": {"query": "fast^2 merge", "k": 10}}  # term boosts
@@ -51,6 +53,7 @@ _MLT_FIELDS = {"like", "k", "max_query_terms"}
 _PREFIX_FIELDS = {"query", "k", "max_expansions"}
 _QSTRING_FIELDS = {"query", "k"}
 _REGEXP_FIELDS = {"value", "k", "max_expansions"}
+_MPP_FIELDS = {"query", "k", "max_expansions"}
 _SYNONYMS_FIELDS = {"query", "map", "k"}
 _FUZZY_FIELDS = {"query", "k", "max_edits", "prefix_length",
                  "max_expansions"}
@@ -168,6 +171,14 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
                 raise ValueError("[histogram] needs a positive 'interval'")
             out["interval"] = float(spec["interval"])
         return out
+    if clause == "match_phrase_prefix":
+        _require_known(clause, spec, _MPP_FIELDS)
+        if not isinstance(spec.get("query"), str) or not spec["query"]:
+            raise ValueError("[match_phrase_prefix] needs a non-empty "
+                             "'query'")
+        return {"type": "match_phrase_prefix", "query": spec["query"],
+                "k": int(spec.get("k", 10)),
+                "max_expansions": int(spec.get("max_expansions", 50))}
     if clause in ("regexp", "wildcard"):
         _require_known(clause, spec, _REGEXP_FIELDS)
         if not isinstance(spec.get("value"), str) or not spec["value"]:
@@ -220,7 +231,7 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
     raise ValueError(f"unknown query clause {clause!r} (supported: "
                      f"match, bool, knn, more_like_this, prefix, fuzzy, "
                      f"facets, stats_agg, histogram, query_string, "
-                     f"synonyms, regexp, wildcard)")
+                     f"synonyms, regexp, wildcard, match_phrase_prefix)")
 
 
 def execute_query(body: dict[str, Any], *, searcher=None, vector_ds=None,
@@ -242,6 +253,12 @@ def execute_query(body: dict[str, Any], *, searcher=None, vector_ds=None,
         return searcher.more_like_this(
             {query_id: spec["like"]}, k=spec["k"],
             max_query_terms=spec["max_query_terms"])
+    if spec["type"] == "match_phrase_prefix":
+        if searcher is None:
+            raise ValueError("[match_phrase_prefix] needs searcher=")
+        return searcher.phrase_prefix_search(
+            {query_id: spec["query"]}, k=spec["k"],
+            max_expansions=spec["max_expansions"])
     if spec["type"] in ("regexp", "wildcard"):
         if searcher is None:
             raise ValueError(f"[{spec['type']}] needs searcher=")

@@ -348,6 +348,32 @@ def test_query_dsl_boost_synonym_clauses(index):
     pd.testing.assert_frame_equal(got, exp)
 
 
+def test_phrase_prefix_degenerate_identities(index):
+    from opensearch_jvector_ray.query_dsl import execute_query
+    s = IndexSearcher(index)
+    # single-token prefix, max_expansions=1 -> the plain single-term
+    # search for the top-df expansion (tf over one term, same idf)
+    top = s.expand_prefix("mo", 1)[0]
+    got = s.phrase_prefix_search({"q": "mo"}, k=6, max_expansions=1)
+    exp = s.search({"q": top}, k=6)
+    pd.testing.assert_frame_equal(got, exp)
+    # multi-token with max_expansions=1 -> exact phrase with the top
+    # expansion substituted
+    got2 = s.phrase_prefix_search({"q": f"data {top[:3]}"}, k=6,
+                                  max_expansions=1)
+    top2 = s.expand_prefix(top[:3], 1)[0]
+    exp2 = s.search({"q": f"data {top2}"}, k=6, mode="phrase")
+    pd.testing.assert_frame_equal(got2, exp2)
+    # unknown literal or empty expansion -> no hits
+    assert s.phrase_prefix_search({"q": "zzzzz mo"}, k=5).empty
+    assert s.phrase_prefix_search({"q": "data zzzzz"}, k=5).empty
+    # DSL equivalence
+    d = execute_query({"match_phrase_prefix": {"query": "data mo",
+                                               "k": 5}}, searcher=s)
+    pd.testing.assert_frame_equal(
+        d, s.phrase_prefix_search({"q": "data mo"}, k=5))
+
+
 def test_serve_term_weights_matches_cold_path(index):
     from opensearch_jvector_ray.query import IndexSearcher as IS
     from opensearch_jvector_ray.serve import SearchService
