@@ -34,6 +34,7 @@ from opensearch_jvector_ray.oracles import (
     highlight_sql, mlt_sql, prefix_sql, fuzzy_sql, facet_sql, page_sql,
     boosted_sql, synonym_sql, stats_agg_sql, histogram_sql,
     suggest_sql, fuzzy_suggest_sql, regexp_sql, phrase_prefix_sql,
+    hybrid_rrf_sql,
     hash_sample_sql, hash_split_sql, lang_id_sql, minhash_exact_sql,
     mix_sources_sql, bpe_count_sql, gopher_filter_sql, tool_usage_sql,
     ngram_exact_sql, pii_scrub_sql, decontaminate_sql, self_overlap_sql,
@@ -204,6 +205,26 @@ STATS_COL = "n_chars"
 HIST_INTERVAL = 80.0
 REGEXP_QUERIES = {"r1": "s.*t", "r2": "(data|query)", "r3": "c[ou].*"}
 PHRASE_PREFIX_QUERIES = {"pp1": "fast mer", "pp2": "data ro", "pp3": "cus"}
+HYBRID_QUERIES = {"h1": ("fast merge sort", 0),
+                  "h2": ("query data filter join", 1),
+                  "h3": ("customer value row scan", 2)}
+HYBRID_WINDOW = 20
+HYBRID_K0 = 60.0
+
+
+def _q_hybrid_rrf(sf_dir: str) -> pd.DataFrame:
+    # hybrid lexical+vector search fused by RRF: both retrievers are the
+    # repo's hash-matched engines; fusion is driver-side over two
+    # window-sized frames (vec_id == doc_id in the fixtures)
+    from opensearch_jvector_ray.pipelines import hybrid as hy_pl
+    s = IndexSearcher(documents_index(sf_dir))
+    qe = query_embeddings(sf_dir, [vid for _, vid in HYBRID_QUERIES.values()])
+    queries = {qid: (text, qe[f"vq{vid}"])
+               for qid, (text, vid) in HYBRID_QUERIES.items()}
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = hy_pl.hybrid_search(s, emb, queries, k=BM25_K,
+                              window=HYBRID_WINDOW, k0=HYBRID_K0)
+    return _round_hits(out)
 
 
 def _q_bm25_phrase_prefix(sf_dir: str) -> pd.DataFrame:
@@ -1316,6 +1337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_histogram": _q_bm25_histogram,
         "bm25_search_after": _q_bm25_search_after,
         "bm25_phrase_prefix": _q_bm25_phrase_prefix,
+        "hybrid_rrf": _q_hybrid_rrf,
         "bm25_regexp": _q_bm25_regexp,
         "bm25_wildcard": _q_bm25_wildcard,
         "term_suggest": _q_term_suggest,
@@ -1475,6 +1497,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search_after": page_sql(BM25_QUERIES, BM25_K, 2, CFG),
         "bm25_phrase_prefix": phrase_prefix_sql(PHRASE_PREFIX_QUERIES,
                                                 BM25_K, CFG),
+        "hybrid_rrf": hybrid_rrf_sql(HYBRID_QUERIES, BM25_K,
+                                     HYBRID_WINDOW, HYBRID_K0, CFG),
         "bm25_regexp": regexp_sql(REGEXP_QUERIES, BM25_K, CFG),
         "bm25_wildcard": regexp_sql(WILDCARD_QUERIES, BM25_K, CFG,
                                     wildcard=True),

@@ -1246,6 +1246,53 @@ SELECT query_id, rank, {id_col}, score FROM ranked
 """
 
 
+def hybrid_rrf_sql(queries: dict[str, tuple[str, int]], k: int,
+                   window: int, k0: float, cfg: EngineConfig,
+                   metric: str = "cosine", table: str = "documents",
+                   id_col: str = "doc_id", text_col: str = "text",
+                   vec_table: str = "embeddings",
+                   vec_id_col: str = "vec_id") -> str:
+    """Oracle for pipelines.hybrid.hybrid_search: RRF over the shared
+    BM25 CTE and the shared kNN CTE (both already rank-identical to the
+    engine); fused score = COALESCE(1/(k0+b.rank),0) +
+    COALESCE(1/(k0+v.rank),0) — the engine's pinned two-addend order.
+    Assumes vec_id == doc_id (one embedding per document)."""
+    b_inner = bm25_sql({qid: t for qid, (t, _) in queries.items()},
+                       window, cfg, table=table, id_col=id_col,
+                       text_col=text_col)
+    v_inner = knn_sql(metric, [vid for _, (_, vid) in queries.items()],
+                      window, table=vec_table, id_col=vec_id_col)
+    m_rows = ",\n       ".join(
+        f"({sql_quote(qid)}, {sql_quote('vq' + str(int(vid)))})"
+        for qid, (_, vid) in sorted(queries.items()))
+    return f"""
+WITH b AS ({b_inner}),
+v0 AS ({v_inner}),
+m(query_id, vqid) AS (VALUES {m_rows}),
+v AS (
+  SELECT m.query_id, v0.{vec_id_col} AS {id_col}, v0.rank
+  FROM v0 JOIN m ON v0.query_id = m.vqid
+),
+fused AS (
+  SELECT COALESCE(b.query_id, v.query_id) AS query_id,
+         COALESCE(b.{id_col}, v.{id_col}) AS {id_col},
+         COALESCE(1.0 / ({float(k0)!r} + b.rank), 0.0)
+         + COALESCE(1.0 / ({float(k0)!r} + v.rank), 0.0) AS score__raw
+  FROM b FULL OUTER JOIN v
+    ON b.query_id = v.query_id AND b.{id_col} = v.{id_col}
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score__raw DESC, {id_col} ASC) AS rank,
+         {id_col}, score__raw
+  FROM fused
+)
+SELECT query_id, rank, {id_col}, round(score__raw, 6) AS score
+FROM ranked WHERE rank <= {int(k)} ORDER BY query_id, rank
+"""
+
+
 def corpus_clean_sql(cfg: EngineConfig, min_tokens: int,
                      stop_threshold: float, table: str = "documents",
                      id_col: str = "doc_id", text_col: str = "text") -> str:

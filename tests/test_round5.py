@@ -374,6 +374,60 @@ def test_phrase_prefix_degenerate_identities(index):
         d, s.phrase_prefix_search({"q": "data mo"}, k=5))
 
 
+def test_rrf_fuse_brute(index):
+    from opensearch_jvector_ray.pipelines.hybrid import rrf_fuse
+    a = pd.DataFrame({"query_id": ["q"] * 3, "rank": [1, 2, 3],
+                      "id": [10, 20, 30]})
+    b = pd.DataFrame({"query_id": ["q"] * 3, "rank": [1, 2, 3],
+                      "id": [20, 40, 10]})
+    got = rrf_fuse([a, b], "id", k=10, k0=60.0)
+    exp = {10: 1 / 61 + 1 / 63, 20: 1 / 62 + 1 / 61, 30: 1 / 63,
+           40: 1 / 62}
+    assert dict(zip(got["id"], got["score"])) == exp
+    # doc 20 (ranks 2+1) beats doc 10 (ranks 1+3); singles trail
+    assert got["id"].tolist() == [20, 10, 40, 30]
+    assert got["rank"].tolist() == [1, 2, 3, 4]
+    # ties break id-ascending: two docs with identical rank profiles
+    c = pd.DataFrame({"query_id": ["q"] * 2, "rank": [1, 2],
+                      "id": [7, 3]})
+    d = pd.DataFrame({"query_id": ["q"] * 2, "rank": [2, 1],
+                      "id": [7, 3]})
+    t = rrf_fuse([c, d], "id", k=10)
+    assert t["id"].tolist() == [3, 7]       # equal scores, id asc
+
+
+def test_hybrid_search_composes_engines(index):
+    from opensearch_jvector_ray.pipelines.hybrid import rrf_fuse
+    import pyarrow as pa
+    import ray.data as rd
+    from opensearch_jvector_ray.pipelines.knn import brute_force_topk
+    s = IndexSearcher(index)
+    rng = np.random.default_rng(5)
+    n, d = 120, 8
+    emb = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(n), type=pa.int64()),
+        "embedding": pa.array([rng.standard_normal(d).tolist()
+                               for _ in range(n)],
+                              type=pa.list_(pa.float32())),
+    }))
+    # keys in this index are (conv_id, turn_idx); hybrid assumes a
+    # single shared id — fuse manually against the engine's own outputs
+    qvec = rng.standard_normal(d)
+    texts = {"q": "data model"}
+    bm25 = s.search(texts, k=15)
+    bm25_ids = bm25.assign(id=bm25["conv_id"] + ":"
+                           + bm25["turn_idx"].astype(str))
+    knn = brute_force_topk(emb, {"q": qvec}, 15, round_decimals=6)
+    knn_ids = knn.rename(columns={"vec_id": "id"})
+    fused = rrf_fuse([bm25_ids[["query_id", "rank", "id"]]
+                      .assign(id=lambda x: x["id"].astype(str)),
+                      knn_ids[["query_id", "rank", "id"]]
+                      .assign(id=lambda x: x["id"].astype(str))],
+                     "id", k=10)
+    assert len(fused) == 10
+    assert fused["score"].is_monotonic_decreasing
+
+
 def test_serve_term_weights_matches_cold_path(index):
     from opensearch_jvector_ray.query import IndexSearcher as IS
     from opensearch_jvector_ray.serve import SearchService
