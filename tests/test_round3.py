@@ -672,7 +672,9 @@ def test_query_dsl_validation():
         parse_query({"knn": {"vector": [1.0], "min_score": 0.5,
                              "max_distance": 0.5}})
     with pytest.raises(ValueError, match="unknown query clause"):
-        parse_query({"regexp": {}})   # fuzzy/prefix are real clauses now
+        parse_query({"zap_clause": {}})
+    with pytest.raises(ValueError, match="non-empty 'value' pattern"):
+        parse_query({"regexp": {}})   # regexp is a real clause now
     s = parse_query({"knn": {"vector": [1, 2], "metric": "l2"}})
     assert s["type"] == "knn" and s["k"] == 10
 
