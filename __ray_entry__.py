@@ -140,6 +140,24 @@ def _q_bm25_boolean(sf_dir: str) -> pd.DataFrame:
     return _round_hits(s.search(BOOLEAN_QUERIES, k=BM25_K, mode="boolean"))
 
 
+MSM_QUERIES = {
+    "ms1": "fast merge sort scan",          # pure should, msm=2
+    "ms2": "+data query filter window",     # must + should, msm=2
+    "ms3": "customer value row -batch",     # should + must_not, msm=2
+    "ms4": "spark",                         # 1 should term < msm: no hits
+}
+MSM_N = 2
+
+
+def _q_bm25_min_should_match(sf_dir: str) -> pd.DataFrame:
+    # Lucene minimum_should_match: doc qualifies only with >= N distinct
+    # should terms matched (must/must_not unaffected); fewer should terms
+    # than N in the query matches nothing
+    s = IndexSearcher(documents_index(sf_dir))
+    return _round_hits(s.search(MSM_QUERIES, k=BM25_K, mode="boolean",
+                                minimum_should_match=MSM_N))
+
+
 def _q_bm25_radial(sf_dir: str) -> pd.DataFrame:
     # UNCAPPED score>=theta predicate path (O5) — no max_k truncation
     s = IndexSearcher(documents_index(sf_dir))
@@ -1326,6 +1344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_radial": _q_bm25_radial,
         "bm25_phrase": _q_bm25_phrase,
         "bm25_boolean": _q_bm25_boolean,
+        "bm25_min_should_match": _q_bm25_min_should_match,
         "bm25_highlight": _q_bm25_highlight,
         "bm25_more_like_this": _q_bm25_mlt,
         "bm25_prefix": _q_bm25_prefix,
@@ -1481,6 +1500,8 @@ def oracle_sql() -> dict[str, str]:
                                 min_score=RADIAL_MIN_SCORE),
         "bm25_phrase": phrase_sql(PHRASE_QUERIES, BM25_K, CFG),
         "bm25_boolean": boolean_sql(BOOLEAN_QUERIES, BM25_K, CFG),
+        "bm25_min_should_match": boolean_sql(MSM_QUERIES, BM25_K, CFG,
+                                             msm=MSM_N),
         "bm25_highlight": highlight_sql(BM25_QUERIES, BM25_K, CFG),
         "bm25_more_like_this": mlt_sql(MLT_SEEDS, BM25_K, 10, CFG),
         "bm25_boosted": boosted_sql(BOOSTED_QUERIES, BM25_K, CFG),

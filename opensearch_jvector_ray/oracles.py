@@ -540,13 +540,16 @@ ORDER BY h.query_id, h.{id_col}, u.term, pos
 
 def boolean_sql(queries: dict[str, str], k: int, cfg: EngineConfig,
                 table: str = "documents", id_col: str = "doc_id",
-                text_col: str = "text") -> str:
+                text_col: str = "text", msm: int | None = None) -> str:
     """Boolean (+must / -must_not / should) BM25 oracle [Lucene
     BooleanQuery public semantics: MUST filters AND scores, SHOULD scores,
     MUST_NOT only filters].  Clause parsing comes from the engine's own
-    ``parse_boolean_query`` so clause analysis can never drift."""
+    ``parse_boolean_query`` so clause analysis can never drift.
+
+    ``msm`` mirrors IndexSearcher.search(minimum_should_match=): a doc
+    qualifies only with >= msm DISTINCT should terms matched."""
     from opensearch_jvector_ray.analyze import parse_boolean_query
-    qt_rows, m_rows, n_rows = [], [], []
+    qt_rows, m_rows, n_rows, s_rows = [], [], [], []
     for qid, text in sorted(queries.items()):
         should, must, must_not = parse_boolean_query(text, cfg)
         counts: dict[str, int] = {}
@@ -562,9 +565,19 @@ def boolean_sql(queries: dict[str, str], k: int, cfg: EngineConfig,
             m_rows.append(f"({sql_quote(qid)}, {sql_quote(t)})")
         for t in must_not:
             n_rows.append(f"({sql_quote(qid)}, {sql_quote(t)})")
+        for t in dict.fromkeys(should):
+            s_rows.append(f"({sql_quote(qid)}, {sql_quote(t)})")
     qt_values = ",\n       ".join(qt_rows) or "('__none__', '__none__', 0.0)"
     m_values = ",\n       ".join(m_rows) or "('__none__', '__none__')"
     n_values = ",\n       ".join(n_rows) or "('__none__', '__none__')"
+    s_values = ",\n       ".join(s_rows) or "('__none__', '__none__')"
+    msm_cte = f",\nsq(query_id, term) AS (VALUES {s_values})" \
+        if msm is not None else ""
+    msm_filter = f"""
+    AND (SELECT count(DISTINCT sq.term) FROM sq
+         JOIN toks t ON t.term = sq.term AND t.{id_col} = s.{id_col}
+         WHERE sq.query_id = s.query_id) >= {int(msm)}""" \
+        if msm is not None else ""
     return f"""
 WITH {toks_cte(cfg, table, id_col, text_col)},
 dl AS (
@@ -575,7 +588,7 @@ stats AS (
 ),
 qt(query_id, term, w) AS (VALUES {qt_values}),
 mq(query_id, term) AS (VALUES {m_values}),
-nq(query_id, term) AS (VALUES {n_values}),
+nq(query_id, term) AS (VALUES {n_values}){msm_cte},
 df AS (
   SELECT term, count(DISTINCT {id_col})::DOUBLE AS df FROM toks
   WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY term
@@ -608,7 +621,7 @@ filtered AS (
     AND NOT EXISTS (                               -- no MUST_NOT term hits
       SELECT 1 FROM nq
       JOIN toks t ON t.term = nq.term AND t.{id_col} = s.{id_col}
-      WHERE nq.query_id = s.query_id)
+      WHERE nq.query_id = s.query_id){msm_filter}
 ),
 ranked AS (
   SELECT query_id,

@@ -478,6 +478,17 @@ class SegmentSearcher:
                 for t in q.get("must_not", ()):
                     if t in decoded:
                         bmask[decoded[t][0]] = False
+                msm = p.get("msm")
+                if msm:
+                    # minimum_should_match [Lucene BooleanQuery public
+                    # semantics]: a doc qualifies iff it matches >= msm
+                    # DISTINCT should terms; fewer should terms than msm
+                    # in the query => the query matches nothing
+                    cnt = np.zeros(len(dl), dtype=np.int32)
+                    for t in q.get("should", ()):
+                        if t in decoded:
+                            cnt[decoded[t][0]] += 1
+                    bmask &= cnt >= msm
                 ords, scores = self._taat(terms, decoded, dl, bmask, q["k"],
                                           tie=tie,
                                           min_score=p.get("min_score"))
@@ -1339,6 +1350,7 @@ class IndexSearcher:
         for qid, text in queries.items():
             must: list[str] = []
             must_not: list[str] = []
+            should: list[str] = []
             if term_weights is not None:
                 # pre-expanded (term, weight) lists — the multi-term
                 # query path (prefix / fuzzy expansion) supplies its own
@@ -1360,7 +1372,7 @@ class IndexSearcher:
                 tw = [(t, counts[t]) for t in order_]
             else:
                 tw = query_term_weights(text, self.cfg)
-            parsed.append((qid, tw, must, must_not))
+            parsed.append((qid, tw, must, must_not, should))
             all_terms.update(t for t, _ in tw)
             all_terms.update(must)
             all_terms.update(must_not)
@@ -1368,7 +1380,7 @@ class IndexSearcher:
         n = float(self.stats["n_docs_indexed"])
         prepared = []
         union: set[str] = set()
-        for qid, tw, must, must_not in parsed:
+        for qid, tw, must, must_not, should in parsed:
             terms = []
             for t, w in tw:
                 df = df_map.get(t, 0)
@@ -1385,6 +1397,15 @@ class IndexSearcher:
             if must or mn:
                 entry["must"] = must
                 entry["must_not"] = mn
+            if boolean:
+                # distinct SHOULD terms in appearance order — the
+                # minimum_should_match counting set (df=0 terms can never
+                # match, so listing them changes nothing)
+                seen_s: list[str] = []
+                for t in should:
+                    if t not in seen_s:
+                        seen_s.append(t)
+                entry["should"] = seen_s
             prepared.append(entry)
         return prepared, sorted(union)
 
@@ -1439,8 +1460,15 @@ class IndexSearcher:
                collapse_col: str | None = None,
                min_score: float | None = None,
                term_weights: dict[str, list[tuple[str, float]]] | None = None,
-               search_after: dict[str, tuple] | None = None) -> pd.DataFrame:
+               search_after: dict[str, tuple] | None = None,
+               minimum_should_match: int | None = None) -> pd.DataFrame:
         """Top-k BM25 for a batch of queries.
+
+        ``minimum_should_match`` (boolean mode only) [Lucene BooleanQuery
+        public semantics]: a doc qualifies only if it matches at least
+        that many DISTINCT should terms (must/must_not clauses are
+        unaffected); a query with fewer should terms than the threshold
+        matches nothing.
 
         Returns a DataFrame (query_id, rank, *key_cols, score) with global
         (score desc, key asc) ordering and rank starting at 1.
@@ -1466,6 +1494,12 @@ class IndexSearcher:
         return no rows (the resume token is required).  taat only.
         """
         cfg = self.cfg
+        if minimum_should_match is not None:
+            if mode != "boolean":
+                raise ValueError("minimum_should_match requires "
+                                 "mode='boolean'")
+            if minimum_should_match < 0:
+                raise ValueError("minimum_should_match must be >= 0")
         if search_after is not None:
             if mode != "taat" or rescore_oversample is not None \
                     or min_score is not None or collapse_col is not None:
@@ -1511,6 +1545,7 @@ class IndexSearcher:
             "key_types": key_types,
             "first_pass_k": cfg_obj.first_pass_k,
             "min_score": min_score,
+            "msm": minimum_should_match,
         }
         if search_after is not None:
             payload["search_after"] = {

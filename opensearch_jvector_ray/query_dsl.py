@@ -8,7 +8,8 @@ Supported bodies (one top-level clause per query):
     {"match":  {"query": "...", "k": 10, "mode": "taat|wand|rescore|
                 "phrase", "min_score": f, "collapse": col}}
     {"bool":   {"must": [...], "should": [...], "must_not": [...],
-                "k": 10}}           # term lists, Lucene BooleanQuery rules
+                "k": 10, "minimum_should_match": n}}
+                                    # term lists, Lucene BooleanQuery rules
     {"knn":    {"vector": [...], "k": 10, "metric": "cosine|l2|...",
                 "min_score": f | "max_distance": f,
                 "filter": {"term": {col: value}}}}
@@ -46,7 +47,8 @@ import numpy as np
 
 _MATCH_FIELDS = {"query", "k", "mode", "min_score", "collapse",
                  "search_after"}
-_BOOL_FIELDS = {"must", "should", "must_not", "k"}
+_BOOL_FIELDS = {"must", "should", "must_not", "k",
+                "minimum_should_match"}
 _KNN_FIELDS = {"vector", "k", "metric", "min_score", "max_distance",
                "filter"}
 _MLT_FIELDS = {"like", "k", "max_query_terms"}
@@ -112,6 +114,11 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
             out[part] = list(terms)
         if not (out["must"] or out["should"]):
             raise ValueError("[bool] needs at least one must/should term")
+        msm = spec.get("minimum_should_match")
+        if msm is not None and (not isinstance(msm, int) or msm < 0):
+            raise ValueError("[bool] minimum_should_match must be a "
+                             "non-negative integer")
+        out["minimum_should_match"] = msm
         return out
     if clause == "more_like_this":
         _require_known(clause, spec, _MLT_FIELDS)
@@ -316,8 +323,9 @@ def execute_query(body: dict[str, Any], *, searcher=None, vector_ds=None,
             text = " ".join(spec["should"]
                             + [f"+{t}" for t in spec["must"]]
                             + [f"-{t}" for t in spec["must_not"]])
-            return searcher.search({query_id: text}, k=spec["k"],
-                                   mode="boolean")
+            return searcher.search(
+                {query_id: text}, k=spec["k"], mode="boolean",
+                minimum_should_match=spec.get("minimum_should_match"))
         kwargs: dict[str, Any] = {}
         mode = spec["mode"]
         if mode == "rescore":
