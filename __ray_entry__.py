@@ -33,6 +33,7 @@ from opensearch_jvector_ray.oracles import (
     fingerprint_sql, grouped_best_sql, grouped_expand_sql, knn_sql,
     highlight_sql, mlt_sql, prefix_sql, fuzzy_sql, facet_sql, page_sql,
     boosted_sql, synonym_sql, stats_agg_sql, histogram_sql,
+    range_agg_sql, top_hits_sql,
     suggest_sql, fuzzy_suggest_sql, regexp_sql, phrase_prefix_sql,
     hybrid_rrf_sql,
     hash_sample_sql, hash_split_sql, lang_id_sql, minhash_exact_sql,
@@ -321,6 +322,46 @@ def _q_bm25_histogram(sf_dir: str) -> pd.DataFrame:
                           interval=HIST_INTERVAL,
                           min_score=FACET_MIN_SCORE)
     out["bucket"] = out["bucket"].astype(np.int64)
+    out["doc_count"] = out["doc_count"].astype(np.int64)
+    return out
+
+
+RANGE_RANGES = [("short", None, 150.0), ("mid", 150.0, 320.0),
+                ("long", 320.0, None), ("huge", 5000.0, None)]
+TOP_HITS_N = 3
+DATE_HIST_INTERVAL = "hour"
+
+
+def _q_bm25_range_agg(sf_dir: str) -> pd.DataFrame:
+    # range aggregation: zero-filled query x range grid of doc counts
+    # over the radial match set (half-open [lo, hi), caller-keyed ranges)
+    s = IndexSearcher(documents_index(sf_dir))
+    out = s.range_agg(BM25_QUERIES, value_col=STATS_COL,
+                      ranges=RANGE_RANGES, min_score=FACET_MIN_SCORE)
+    out["doc_count"] = out["doc_count"].astype(np.int64)
+    return out
+
+
+def _q_bm25_top_hits(sf_dir: str) -> pd.DataFrame:
+    # top_hits aggregation: per (query, lang bucket) best-n hit rows by
+    # the global (raw score desc, key asc) rule — collapse generalized
+    # from 1 to n per bucket; each segment ships <= n x buckets rows
+    s = IndexSearcher(documents_index(sf_dir))
+    out = s.top_hits_agg(BM25_QUERIES, group_col=FACET_COL, n=TOP_HITS_N,
+                         min_score=FACET_MIN_SCORE)
+    out["bucket_rank"] = out["bucket_rank"].astype(np.int64)
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out
+
+
+def _q_bm25_date_histogram(sf_dir: str) -> pd.DataFrame:
+    # calendar date_histogram over the ts-bearing transcripts index:
+    # per-hour bucket starts via exact integer datetime64 truncation
+    from opensearch_jvector_ray.sources.tables import transcripts_index
+    s = IndexSearcher(transcripts_index(sf_dir))
+    out = s.date_histogram_agg(TRANSCRIPT_QUERIES, ts_col="ts",
+                               calendar_interval=DATE_HIST_INTERVAL,
+                               min_score=FACET_MIN_SCORE)
     out["doc_count"] = out["doc_count"].astype(np.int64)
     return out
 
@@ -1354,6 +1395,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_facets": _q_bm25_facets,
         "bm25_stats_agg": _q_bm25_stats_agg,
         "bm25_histogram": _q_bm25_histogram,
+        "bm25_range_agg": _q_bm25_range_agg,
+        "bm25_top_hits": _q_bm25_top_hits,
+        "bm25_date_histogram": _q_bm25_date_histogram,
         "bm25_search_after": _q_bm25_search_after,
         "bm25_phrase_prefix": _q_bm25_phrase_prefix,
         "hybrid_rrf": _q_hybrid_rrf,
@@ -1465,6 +1509,14 @@ def _transcripts_oracle() -> str:
                                 _transcript_arms())
 
 
+def _date_histogram_oracle() -> str:
+    from opensearch_jvector_ray.oracles import date_histogram_sql
+    from opensearch_jvector_ray.sources.tables import TRANSCRIPTS_CFG
+    return date_histogram_sql(TRANSCRIPT_QUERIES, FACET_MIN_SCORE,
+                              DATE_HIST_INTERVAL, TRANSCRIPTS_CFG,
+                              _transcript_arms())
+
+
 def _turn_dedup_oracle() -> str:
     from opensearch_jvector_ray.sources.tables import TRANSCRIPTS_CFG
     return turn_dedup_sql(_transcript_arms(), TRANSCRIPTS_CFG)
@@ -1515,6 +1567,11 @@ def oracle_sql() -> dict[str, str]:
                                         STATS_COL, CFG),
         "bm25_histogram": histogram_sql(BM25_QUERIES, FACET_MIN_SCORE,
                                         STATS_COL, HIST_INTERVAL, CFG),
+        "bm25_range_agg": range_agg_sql(BM25_QUERIES, FACET_MIN_SCORE,
+                                        STATS_COL, RANGE_RANGES, CFG),
+        "bm25_top_hits": top_hits_sql(BM25_QUERIES, FACET_MIN_SCORE,
+                                      FACET_COL, TOP_HITS_N, CFG),
+        "bm25_date_histogram": _date_histogram_oracle(),
         "bm25_search_after": page_sql(BM25_QUERIES, BM25_K, 2, CFG),
         "bm25_phrase_prefix": phrase_prefix_sql(PHRASE_PREFIX_QUERIES,
                                                 BM25_K, CFG),

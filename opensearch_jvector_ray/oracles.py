@@ -55,8 +55,12 @@ def bm25_sql(queries: dict[str, str], k: int, cfg: EngineConfig,
              text_col: str = "text", filter_sql: str | None = None,
              min_score: float | None = None,
              prefix_cte: str | None = None,
-             qt_cte: str | None = None) -> str:
+             qt_cte: str | None = None,
+             emit_raw: bool = False) -> str:
     """Top-k (or radial, if min_score given) BM25 oracle.
+
+    ``emit_raw`` appends the unrounded ``score__raw`` column — for outer
+    queries that re-rank (top_hits) with the engine's raw-order rule.
 
     Output columns: query_id, rank, {id_col}, score — identical names to
     the engine output (driver compares by sorted column names).
@@ -120,7 +124,8 @@ ranked AS (
          {id_col}, score__raw
   FROM scores
 )
-SELECT query_id, rank, {id_col}, round(score__raw, 6) AS score
+SELECT query_id, rank, {id_col}, round(score__raw, 6) AS score{
+    ", score__raw" if emit_raw else ""}
 FROM ranked {limit_clause}
 ORDER BY query_id, rank
 """
@@ -448,6 +453,91 @@ SELECT h.query_id, {bexpr} AS bucket, count(*)::BIGINT AS doc_count
 FROM ({inner}) h JOIN {table} d USING ({id_col})
 GROUP BY h.query_id, bucket
 ORDER BY h.query_id, bucket
+"""
+
+
+def range_agg_sql(queries: dict[str, str], min_score: float,
+                  value_col: str,
+                  ranges: list[tuple[str, float | None, float | None]],
+                  cfg: EngineConfig, table: str = "documents",
+                  id_col: str = "doc_id", text_col: str = "text") -> str:
+    """Oracle for IndexSearcher.range_agg: zero-filled query x range grid
+    of doc counts over the radial match set, [lo, hi) with open ends,
+    caller-supplied range keys shared verbatim with the engine."""
+    inner = bm25_sql(queries, 0, cfg, table=table, id_col=id_col,
+                     text_col=text_col, min_score=min_score)
+    q_rows = ",\n       ".join(f"({sql_quote(q)})" for q in sorted(queries))
+    r_rows = ",\n       ".join(
+        f"({sql_quote(rk)}, "
+        f"{'NULL::DOUBLE' if lo is None else repr(float(lo))}, "
+        f"{'NULL::DOUBLE' if hi is None else repr(float(hi))})"
+        for rk, lo, hi in ranges)
+    return f"""
+WITH qs(query_id) AS (VALUES {q_rows}),
+rg(range_key, lo, hi) AS (VALUES {r_rows}),
+j AS (
+  SELECT h.query_id, d.{value_col}::DOUBLE AS v
+  FROM ({inner}) h JOIN {table} d USING ({id_col})
+)
+SELECT qs.query_id, rg.range_key, count(j.v)::BIGINT AS doc_count
+FROM qs CROSS JOIN rg
+LEFT JOIN j ON j.query_id = qs.query_id
+           AND (rg.lo IS NULL OR j.v >= rg.lo)
+           AND (rg.hi IS NULL OR j.v < rg.hi)
+GROUP BY qs.query_id, rg.range_key
+ORDER BY qs.query_id, rg.range_key
+"""
+
+
+def date_histogram_sql(queries: dict[str, str], min_score: float,
+                       calendar_interval: str, cfg: EngineConfig,
+                       arms: list[tuple[str, int]]) -> str:
+    """Oracle for IndexSearcher.date_histogram_agg over the transcripts
+    index (the ts-bearing corpus): doc counts per date_trunc bucket of
+    the radial match set.  The transcript parquet is scale-selected by
+    the lineitem row count (see transcripts_arms_cte)."""
+    prefix = transcripts_arms_cte(
+        arms, "conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0')"
+              " AS doc_id, text")
+    inner = bm25_sql(queries, 0, cfg, table="transcripts", id_col="doc_id",
+                     prefix_cte=prefix, min_score=min_score)
+    outer = transcripts_arms_cte(
+        arms, "conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0')"
+              " AS doc_id, ts")
+    return f"""
+WITH {outer}
+SELECT h.query_id,
+       date_trunc({sql_quote(calendar_interval)}, d.ts) AS bucket,
+       count(*)::BIGINT AS doc_count
+FROM ({inner}) h JOIN transcripts d USING (doc_id)
+GROUP BY h.query_id, bucket
+ORDER BY h.query_id, bucket
+"""
+
+
+def top_hits_sql(queries: dict[str, str], min_score: float,
+                 group_col: str, n: int, cfg: EngineConfig,
+                 table: str = "documents", id_col: str = "doc_id",
+                 text_col: str = "text") -> str:
+    """Oracle for IndexSearcher.top_hits_agg: per (query, bucket) top-n
+    hits of the radial match set by the engine's global (RAW score desc,
+    key asc) rule; output score rounded to 6dp like every hit list."""
+    inner = bm25_sql(queries, 0, cfg, table=table, id_col=id_col,
+                     text_col=text_col, min_score=min_score,
+                     emit_raw=True)
+    return f"""
+SELECT query_id, {group_col}, bucket_rank, {id_col},
+       round(score__raw, 6) AS score
+FROM (
+  SELECT h.query_id, d.{group_col} AS {group_col}, h.{id_col},
+         h.score__raw,
+         row_number() OVER (PARTITION BY h.query_id, d.{group_col}
+                            ORDER BY h.score__raw DESC, h.{id_col} ASC
+                           ) AS bucket_rank
+  FROM ({inner}) h JOIN {table} d USING ({id_col})
+)
+WHERE bucket_rank <= {int(n)}
+ORDER BY query_id, {group_col}, bucket_rank
 """
 
 

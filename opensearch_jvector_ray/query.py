@@ -248,15 +248,70 @@ def _levenshtein_vec(cands: Sequence[str], q: str) -> np.ndarray:
 
 
 def _agg_partial(agg: dict, docs: pa.Table, ords: np.ndarray,
-                 qid: str) -> pa.Table:
+                 qid: str, scores: np.ndarray | None = None) -> pa.Table:
     """Per-segment aggregation PARTIAL over the qualifying doc ordinals
     (the combiner-first rule: only aggregate-sized rows leave the task).
 
     kinds: ``terms`` (value counts), ``stats`` (count/sum/min/max over an
     int column — integer arithmetic, order-free, int64 range documented),
     ``hist`` (counts per floor(v/interval)*interval bucket; exact for
-    |v| < 2^53, mirrored by the oracle's DOUBLE floor)."""
+    |v| < 2^53, mirrored by the oracle's DOUBLE floor), ``range``
+    (counts per [lo, hi) caller-keyed range, zero rows elided — the
+    driver zero-fills the query x range grid), ``date_hist`` (counts per
+    calendar bucket: ts truncated to month/day/hour starts — exact
+    integer datetime64 truncation, the oracle's date_trunc), ``top_hits``
+    (per-bucket top-n hit rows — ``ords``/``scores`` arrive already
+    (score desc, key asc) sorted from the radial collector, so the
+    partial is a stable per-bucket head(n); <= n x buckets rows ship)."""
+    if agg["kind"] == "top_hits":
+        take = pa.array(ords)
+        bucket = docs[agg["col"]].take(take)
+        import pandas as _pd
+        bvals = bucket.to_numpy(zero_copy_only=False)
+        # stable cumcount within bucket over the pre-sorted (score desc,
+        # key asc) order the radial collector emitted
+        pos = _pd.Series(np.zeros(len(ords), dtype=np.int64)) \
+            .groupby(bvals, sort=False).cumcount()
+        keep = (pos < agg["n"]).to_numpy()
+        kept = ords[keep]
+        kt = pa.array(kept)
+        cols: dict[str, Any] = {
+            "query_id": pa.array([qid] * len(kept), type=pa.string()),
+            agg["col"]: docs[agg["col"]].take(kt),
+        }
+        for kc in agg["key_cols"]:
+            cols[kc] = docs[kc].take(kt)
+        cols["score"] = pa.array(scores[keep], type=pa.float64())
+        return pa.table(cols)
     vals = docs[agg["col"]].take(pa.array(ords))
+    if agg["kind"] == "range":
+        v = vals.to_numpy(zero_copy_only=False).astype(np.float64)
+        keys, cnts = [], []
+        for rkey, lo, hi in agg["ranges"]:
+            m = np.ones(len(v), dtype=bool)
+            if lo is not None:
+                m &= v >= lo
+            if hi is not None:
+                m &= v < hi
+            c = int(m.sum())
+            if c:
+                keys.append(rkey)
+                cnts.append(c)
+        return pa.table({
+            "query_id": pa.array([qid] * len(keys), type=pa.string()),
+            "range_key": pa.array(keys, type=pa.string()),
+            "doc_count": pa.array(cnts, type=pa.int64()),
+        })
+    if agg["kind"] == "date_hist":
+        unit = {"month": "M", "day": "D", "hour": "h"}[agg["interval"]]
+        v = vals.to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        b = v.astype(f"datetime64[{unit}]").astype("datetime64[us]")
+        ub, cnt = np.unique(b, return_counts=True)
+        return pa.table({
+            "query_id": pa.array([qid] * len(ub), type=pa.string()),
+            "bucket": pa.array(ub, type=pa.timestamp("us")),
+            "doc_count": pa.array(cnt.astype(np.int64), type=pa.int64()),
+        })
     if agg["kind"] == "terms":
         vc = (pa.table({"v": vals}).group_by("v")
               .aggregate([("v", "count")]))
@@ -510,7 +565,8 @@ class SegmentSearcher:
                 # combiner-first rule), never the hit set
                 if len(ords):
                     ftables.append(_agg_partial(agg, docs, ords,
-                                                q["query_id"]))
+                                                q["query_id"],
+                                                scores=scores))
                 continue
             out_qid.extend([q["query_id"]] * len(ords))
             out_ord.append(ords)
@@ -1291,6 +1347,95 @@ class IndexSearcher:
         out = (df.groupby(["query_id", "bucket"], sort=True)["doc_count"]
                  .sum().reset_index())
         return out[cols]
+
+    def range_agg(self, queries: dict[str, str], value_col: str,
+                  ranges: list[tuple[str, float | None, float | None]],
+                  min_score: float,
+                  term_weights: dict[str, list[tuple[str, float]]] | None = None,
+                  concurrency: int | None = None) -> pd.DataFrame:
+        """Range aggregation [OpenSearch range-agg public semantics] over
+        the radial match set: doc counts per caller-keyed [lo, hi) range
+        (lo inclusive, hi exclusive, None = open end; ranges may
+        overlap).  Every (query, range) pair is emitted, zero-filled —
+        like OpenSearch, empty buckets still appear.  Caller-supplied
+        range keys avoid any cross-side float-formatting drift."""
+        if not ranges:
+            raise ValueError("ranges must be non-empty")
+        rr = [(str(rk), None if lo is None else float(lo),
+               None if hi is None else float(hi)) for rk, lo, hi in ranges]
+        if len({rk for rk, _, _ in rr}) != len(rr):
+            raise ValueError("range keys must be unique")
+        df = self._agg_fanout(queries, {"kind": "range", "col": value_col,
+                                        "ranges": rr},
+                              min_score, term_weights, concurrency)
+        cols = ["query_id", "range_key", "doc_count"]
+        grid = pd.MultiIndex.from_product(
+            [sorted(queries), [rk for rk, _, _ in rr]],
+            names=["query_id", "range_key"])
+        if df.empty:
+            out = pd.Series(0, index=grid, dtype=np.int64, name="doc_count")
+        else:
+            out = (df.groupby(["query_id", "range_key"], sort=False)
+                     ["doc_count"].sum().reindex(grid, fill_value=0))
+        return out.reset_index()[cols]
+
+    def date_histogram_agg(self, queries: dict[str, str], ts_col: str,
+                           calendar_interval: str, min_score: float,
+                           term_weights: dict[str, list[tuple[str, float]]] | None = None,
+                           concurrency: int | None = None) -> pd.DataFrame:
+        """Date-histogram aggregation [OpenSearch date_histogram public
+        semantics, calendar_interval arm] over the radial match set: doc
+        counts per calendar bucket (month / day / hour START, exact
+        integer datetime64 truncation — the oracle's date_trunc), ordered
+        (query_id, bucket ASC).  Empty buckets are not emitted (the
+        OpenSearch min_doc_count=1 shape)."""
+        if calendar_interval not in ("month", "day", "hour"):
+            raise ValueError("calendar_interval must be month|day|hour")
+        df = self._agg_fanout(queries,
+                              {"kind": "date_hist", "col": ts_col,
+                               "interval": calendar_interval},
+                              min_score, term_weights, concurrency)
+        cols = ["query_id", "bucket", "doc_count"]
+        if df.empty:
+            return pd.DataFrame(columns=cols)
+        out = (df.groupby(["query_id", "bucket"], sort=True)["doc_count"]
+                 .sum().reset_index())
+        return out[cols]
+
+    def top_hits_agg(self, queries: dict[str, str], group_col: str, n: int,
+                     min_score: float,
+                     term_weights: dict[str, list[tuple[str, float]]] | None = None,
+                     concurrency: int | None = None) -> pd.DataFrame:
+        """Top-hits aggregation [OpenSearch top_hits-agg public
+        semantics]: per query and per distinct value of a stored doc
+        column, the n best hits of the radial match set by the engine's
+        global (raw score desc, key asc) order — the per-facet-bucket
+        result list (generalizes collapse from 1 to n per bucket).
+
+        Distribution shape: each segment ships at most n x buckets hit
+        rows (its match set arrives pre-sorted from the radial collector,
+        so the partial is a stable per-bucket head(n)); the driver
+        re-merges by the same order — the A1 leaf -> global reduce
+        argument, applied per bucket."""
+        if n < 1:
+            raise ValueError("n must be >= 1")
+        df = self._agg_fanout(queries, {"kind": "top_hits",
+                                        "col": group_col, "n": int(n),
+                                        "key_cols": list(self.key_cols)},
+                              min_score, term_weights, concurrency)
+        cols = ["query_id", group_col, "bucket_rank", *self.key_cols,
+                "score"]
+        if df.empty:
+            return pd.DataFrame(columns=cols)
+        df = df.sort_values(
+            ["query_id", group_col, "score", *self.key_cols],
+            ascending=[True, True, False] + [True] * len(self.key_cols),
+            kind="mergesort")
+        df = df.groupby(["query_id", group_col], sort=False).head(n)
+        df["bucket_rank"] = (df.groupby(["query_id", group_col],
+                                        sort=False).cumcount() + 1)
+        df["score"] = np.round(df["score"].astype(np.float64), 6)
+        return df.reset_index(drop=True)[cols]
 
     def _agg_fanout(self, queries: dict[str, str], agg: dict,
                     min_score: float,

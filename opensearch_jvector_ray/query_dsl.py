@@ -23,6 +23,12 @@ Supported bodies (one top-level clause per query):
                 "size": n}}            # terms aggregation over the
                                        # radial match set
     {"stats_agg":  {"query": "...", "field": col, "min_score": f}}
+    {"range_agg":  {"query": "...", "field": col, "min_score": f,
+                    "ranges": [[key, lo|null, hi|null], ...]}}
+    {"date_histogram": {"query": "...", "field": ts_col, "min_score": f,
+                    "calendar_interval": "month|day|hour"}}
+    {"top_hits":   {"query": "...", "field": col, "min_score": f,
+                    "n": 3}}
     {"histogram":  {"query": "...", "field": col, "interval": w,
                 "min_score": f}}       # numeric-bucket counts
     {"match_phrase_prefix": {"query": "fast mer", "k": 10,
@@ -60,6 +66,9 @@ _SYNONYMS_FIELDS = {"query", "map", "k"}
 _FUZZY_FIELDS = {"query", "k", "max_edits", "prefix_length",
                  "max_expansions"}
 _FACETS_FIELDS = {"query", "field", "min_score", "size"}
+_RANGE_AGG_FIELDS = {"query", "field", "min_score", "ranges"}
+_DATE_HIST_FIELDS = {"query", "field", "min_score", "calendar_interval"}
+_TOP_HITS_FIELDS = {"query", "field", "min_score", "n"}
 _STATS_FIELDS = {"query", "field", "min_score"}
 _HIST_FIELDS = {"query", "field", "interval", "min_score"}
 _MODES = {"taat", "wand", "rescore", "phrase"}
@@ -178,6 +187,37 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
                 raise ValueError("[histogram] needs a positive 'interval'")
             out["interval"] = float(spec["interval"])
         return out
+    if clause in ("range_agg", "date_histogram", "top_hits"):
+        allowed = {"range_agg": _RANGE_AGG_FIELDS,
+                   "date_histogram": _DATE_HIST_FIELDS,
+                   "top_hits": _TOP_HITS_FIELDS}[clause]
+        _require_known(clause, spec, allowed)
+        if not isinstance(spec.get("query"), str) or not spec["query"]:
+            raise ValueError(f"[{clause}] needs a non-empty 'query'")
+        if not isinstance(spec.get("field"), str) or not spec["field"]:
+            raise ValueError(f"[{clause}] needs a 'field' column name")
+        if "min_score" not in spec:
+            raise ValueError(f"[{clause}] needs 'min_score'")
+        out = {"type": clause, "query": spec["query"],
+               "field": spec["field"],
+               "min_score": float(spec["min_score"])}
+        if clause == "range_agg":
+            rr = spec.get("ranges")
+            if (not isinstance(rr, list) or not rr
+                    or not all(isinstance(r, (list, tuple)) and len(r) == 3
+                               for r in rr)):
+                raise ValueError("[range_agg] needs 'ranges': "
+                                 "[[key, lo|null, hi|null], ...]")
+            out["ranges"] = [(str(a), b, c) for a, b, c in rr]
+        elif clause == "date_histogram":
+            ci = spec.get("calendar_interval")
+            if ci not in ("month", "day", "hour"):
+                raise ValueError("[date_histogram] needs "
+                                 "'calendar_interval': month|day|hour")
+            out["calendar_interval"] = ci
+        else:
+            out["n"] = int(spec.get("n", 3))
+        return out
     if clause == "match_phrase_prefix":
         _require_known(clause, spec, _MPP_FIELDS)
         if not isinstance(spec.get("query"), str) or not spec["query"]:
@@ -237,7 +277,8 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
                 "filter": flt}
     raise ValueError(f"unknown query clause {clause!r} (supported: "
                      f"match, bool, knn, more_like_this, prefix, fuzzy, "
-                     f"facets, stats_agg, histogram, query_string, "
+                     f"facets, stats_agg, histogram, range_agg, "
+                     f"date_histogram, top_hits, query_string, "
                      f"synonyms, regexp, wildcard, match_phrase_prefix)")
 
 
@@ -279,6 +320,27 @@ def execute_query(body: dict[str, Any], *, searcher=None, vector_ds=None,
         return searcher.stats_agg({query_id: spec["query"]},
                                   value_col=spec["field"],
                                   min_score=spec["min_score"])
+    if spec["type"] == "range_agg":
+        if searcher is None:
+            raise ValueError("[range_agg] needs searcher=")
+        return searcher.range_agg({query_id: spec["query"]},
+                                  value_col=spec["field"],
+                                  ranges=spec["ranges"],
+                                  min_score=spec["min_score"])
+    if spec["type"] == "date_histogram":
+        if searcher is None:
+            raise ValueError("[date_histogram] needs searcher=")
+        return searcher.date_histogram_agg(
+            {query_id: spec["query"]}, ts_col=spec["field"],
+            calendar_interval=spec["calendar_interval"],
+            min_score=spec["min_score"])
+    if spec["type"] == "top_hits":
+        if searcher is None:
+            raise ValueError("[top_hits] needs searcher=")
+        return searcher.top_hits_agg({query_id: spec["query"]},
+                                     group_col=spec["field"],
+                                     n=spec["n"],
+                                     min_score=spec["min_score"])
     if spec["type"] == "histogram":
         if searcher is None:
             raise ValueError("[histogram] needs searcher=")
