@@ -27,6 +27,9 @@ import ray.data as rd
 
 from opensearch_jvector_ray.oracles import (
     bm25_sql, boolean_sql, collection_stats_sql, events_asof_orders_sql, events_lww_sql,
+    filter_spec_sql, function_score_mul_sql,
+    cardinality_sql, percentiles_sql, significant_terms_sql,
+    filters_agg_sql, terms_stats_sql, composite_sql,
     events_sessionize_sql, events_window_sql, exact_dedup_sql,
     byte_knn_sql, corpus_clean_sql, embedding_dups_sql, ivf_fixed_sql, revenue_by_nation_sql, simhash_sql,
     revenue_by_region_brand_sql, top_order_revenue_sql, transcripts_bm25_sql,
@@ -82,6 +85,20 @@ BOOLEAN_QUERIES = {
     "b4": "-the spark batch",
 }
 TERM_STATS_TERMS = ["customer", "data", "fast", "merge", "query", "window"]
+# structured filter-context spec: ONE object drives both the engine's
+# pyarrow pre-filter (query_dsl.compile_filter) and the SQL predicate
+# (oracles.filter_spec_sql)
+DSL_FILTER_SPEC = {"bool": {"must": [
+    {"terms": {"lang": ["en", "de"]}},
+    {"range": {"n_chars": {"gte": 200, "lt": 1200}}},
+]}}
+SORT_FIELD, SORT_ORDER = "n_chars", "desc"
+# function_score specs: sqrt / linear forms are IEEE-bit-exact across
+# numpy and DuckDB (no libm), so these carry hard oracles
+FVF_SPEC = {"kind": "field_value_factor", "field": "n_chars",
+            "factor": 0.1, "modifier": "sqrt"}
+DECAY_SPEC = {"kind": "decay", "decay_fn": "linear", "field": "ts",
+              "origin": 1.7e15, "scale": 1.0e10, "decay": 0.5}
 KNN_QUERY_IDS = [0, 1, 2]
 KNN_K = 10
 KNN_FILTER_LABEL = 3          # pre-filter: embeddings.label == 3
@@ -127,6 +144,41 @@ def _q_bm25_filtered(sf_dir: str) -> pd.DataFrame:
     s = IndexSearcher(documents_index(sf_dir))
     return _round_hits(s.search(BM25_QUERIES, k=BM25_K,
                                 filter=pc.field("lang") == FILTER_LANG))
+
+
+def _q_bm25_dsl_filter(sf_dir: str) -> pd.DataFrame:
+    # structured filter-context clause compiled to a pyarrow pre-filter
+    # (the same spec object generates the oracle's SQL predicate)
+    from opensearch_jvector_ray.query_dsl import compile_filter
+    s = IndexSearcher(documents_index(sf_dir))
+    return _round_hits(s.search(BM25_QUERIES, k=BM25_K,
+                                filter=compile_filter(DSL_FILTER_SPEC)))
+
+
+def _q_bm25_sorted(sf_dir: str) -> pd.DataFrame:
+    # sort-by-field: hits are the match set ranked (n_chars desc,
+    # doc_id asc); BM25 scores still reported
+    s = IndexSearcher(documents_index(sf_dir))
+    return _round_hits(s.search(BM25_QUERIES, k=BM25_K,
+                                sort=(SORT_FIELD, SORT_ORDER)))
+
+
+def _q_bm25_function_score(sf_dir: str) -> pd.DataFrame:
+    # function_score field_value_factor: score * 0.1*sqrt(n_chars)
+    s = IndexSearcher(documents_index(sf_dir))
+    return _round_hits(s.search(BM25_QUERIES, k=BM25_K,
+                                score_fn=FVF_SPEC))
+
+
+def _q_bm25_decay_recency(sf_dir: str) -> pd.DataFrame:
+    # function_score linear time-decay on the stored ts column — the
+    # recency-boost classic; docs past the decay reach (boost 0) drop
+    s = IndexSearcher(transcripts_index(sf_dir))
+    out = _round_hits(s.search(TRANSCRIPT_QUERIES, k=10,
+                               score_fn=DECAY_SPEC))
+    out["doc_id"] = (out["conv_id"] + ":" +
+                     out["turn_idx"].astype(int).astype(str).str.zfill(4))
+    return out[["query_id", "rank", "doc_id", "score"]]
 
 
 def _q_bm25_phrase(sf_dir: str) -> pd.DataFrame:
@@ -330,6 +382,17 @@ RANGE_RANGES = [("short", None, 150.0), ("mid", 150.0, 320.0),
                 ("long", 320.0, None), ("huge", 5000.0, None)]
 TOP_HITS_N = 3
 DATE_HIST_INTERVAL = "hour"
+PERCENTS = (0.25, 0.5, 0.75, 0.9, 0.99)
+SIG_TERMS_SIZE = 4
+FILTERS_AGG = {
+    "short_en": {"bool": {"must": [
+        {"term": {"lang": "en"}},
+        {"range": {"n_chars": {"lt": 300}}}]}},
+    "src_low": {"terms": {"source": ["src1", "src2", "src3"]}},
+    "long": {"range": {"n_chars": {"gte": 600}}},
+}
+COMPOSITE_SIZE = 2
+COMPOSITE_AFTER = "en"    # page 2 of the lang buckets
 
 
 def _q_bm25_range_agg(sf_dir: str) -> pd.DataFrame:
@@ -340,6 +403,62 @@ def _q_bm25_range_agg(sf_dir: str) -> pd.DataFrame:
                       ranges=RANGE_RANGES, min_score=FACET_MIN_SCORE)
     out["doc_count"] = out["doc_count"].astype(np.int64)
     return out
+
+
+def _q_bm25_cardinality(sf_dir: str) -> pd.DataFrame:
+    # cardinality agg: EXACT distinct count (stronger than OpenSearch's
+    # HLL approximation), zero-filled per query
+    s = IndexSearcher(documents_index(sf_dir))
+    return s.cardinality_agg(BM25_QUERIES, field=FACET_COL,
+                             min_score=FACET_MIN_SCORE)
+
+
+def _q_bm25_percentiles(sf_dir: str) -> pd.DataFrame:
+    # percentiles agg: EXACT discrete quantiles from merged value
+    # counts (quantile_disc selection rule)
+    s = IndexSearcher(documents_index(sf_dir))
+    return s.percentiles_agg(BM25_QUERIES, value_col=STATS_COL,
+                             percents=PERCENTS,
+                             min_score=FACET_MIN_SCORE)
+
+
+def _q_bm25_sig_terms(sf_dir: str) -> pd.DataFrame:
+    # significant_terms agg: JLH-scored over-representation of source
+    # values in the match set vs the corpus background
+    s = IndexSearcher(documents_index(sf_dir))
+    out = s.significant_terms_agg(BM25_QUERIES, field="source",
+                                  min_score=FACET_MIN_SCORE,
+                                  size=SIG_TERMS_SIZE)
+    for c in ("doc_count", "bg_count"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+def _q_bm25_filters_agg(sf_dir: str) -> pd.DataFrame:
+    # filters agg: named structured-filter buckets over the match set
+    s = IndexSearcher(documents_index(sf_dir))
+    return s.filters_agg(BM25_QUERIES, FILTERS_AGG,
+                         min_score=FACET_MIN_SCORE)
+
+
+def _q_bm25_terms_stats(sf_dir: str) -> pd.DataFrame:
+    # terms bucket + stats sub-agg: per-lang integer stats of n_chars
+    s = IndexSearcher(documents_index(sf_dir))
+    out = s.terms_stats_agg(BM25_QUERIES, group_col=FACET_COL,
+                            value_col=STATS_COL,
+                            min_score=FACET_MIN_SCORE)
+    for c in ("doc_count", "v_sum", "v_min", "v_max"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+def _q_bm25_composite(sf_dir: str) -> pd.DataFrame:
+    # composite agg page 2: lang buckets strictly after 'en', asc order
+    s = IndexSearcher(documents_index(sf_dir))
+    return s.composite_agg(BM25_QUERIES, field=FACET_COL,
+                           size=COMPOSITE_SIZE,
+                           min_score=FACET_MIN_SCORE,
+                           after=COMPOSITE_AFTER)
 
 
 def _q_bm25_top_hits(sf_dir: str) -> pd.DataFrame:
@@ -1382,6 +1501,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_wand": _q_bm25_wand,
         "bm25_topk_rescore": _q_bm25_rescore,
         "bm25_topk_filtered": _q_bm25_filtered,
+        "bm25_dsl_filter": _q_bm25_dsl_filter,
+        "bm25_sorted": _q_bm25_sorted,
+        "bm25_function_score": _q_bm25_function_score,
+        "bm25_decay_recency": _q_bm25_decay_recency,
         "bm25_radial": _q_bm25_radial,
         "bm25_phrase": _q_bm25_phrase,
         "bm25_boolean": _q_bm25_boolean,
@@ -1397,6 +1520,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_histogram": _q_bm25_histogram,
         "bm25_range_agg": _q_bm25_range_agg,
         "bm25_top_hits": _q_bm25_top_hits,
+        "bm25_cardinality": _q_bm25_cardinality,
+        "bm25_percentiles": _q_bm25_percentiles,
+        "bm25_sig_terms": _q_bm25_sig_terms,
+        "bm25_filters_agg": _q_bm25_filters_agg,
+        "bm25_terms_stats": _q_bm25_terms_stats,
+        "bm25_composite": _q_bm25_composite,
         "bm25_date_histogram": _q_bm25_date_histogram,
         "bm25_search_after": _q_bm25_search_after,
         "bm25_phrase_prefix": _q_bm25_phrase_prefix,
@@ -1509,6 +1638,13 @@ def _transcripts_oracle() -> str:
                                 _transcript_arms())
 
 
+def _decay_recency_oracle() -> str:
+    from opensearch_jvector_ray.oracles import transcripts_fscore_sql
+    from opensearch_jvector_ray.sources.tables import TRANSCRIPTS_CFG
+    return transcripts_fscore_sql(TRANSCRIPT_QUERIES, 10, TRANSCRIPTS_CFG,
+                                  _transcript_arms(), DECAY_SPEC)
+
+
 def _date_histogram_oracle() -> str:
     from opensearch_jvector_ray.oracles import date_histogram_sql
     from opensearch_jvector_ray.sources.tables import TRANSCRIPTS_CFG
@@ -1548,6 +1684,16 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_rescore": exact_bm25,
         "bm25_topk_filtered": bm25_sql(BM25_QUERIES, BM25_K, CFG,
                                        filter_sql=f"__f.lang = '{FILTER_LANG}'"),
+        "bm25_dsl_filter": bm25_sql(BM25_QUERIES, BM25_K, CFG,
+                                    filter_sql=filter_spec_sql(
+                                        DSL_FILTER_SPEC)),
+        "bm25_sorted": bm25_sql(BM25_QUERIES, BM25_K, CFG,
+                                sort_field=SORT_FIELD,
+                                sort_order=SORT_ORDER),
+        "bm25_function_score": bm25_sql(
+            BM25_QUERIES, BM25_K, CFG,
+            score_mul_sql=function_score_mul_sql(FVF_SPEC)),
+        "bm25_decay_recency": _decay_recency_oracle(),
         "bm25_radial": bm25_sql(RADIAL_QUERY, CFG.max_k, CFG,
                                 min_score=RADIAL_MIN_SCORE),
         "bm25_phrase": phrase_sql(PHRASE_QUERIES, BM25_K, CFG),
@@ -1571,6 +1717,23 @@ def oracle_sql() -> dict[str, str]:
                                         STATS_COL, RANGE_RANGES, CFG),
         "bm25_top_hits": top_hits_sql(BM25_QUERIES, FACET_MIN_SCORE,
                                       FACET_COL, TOP_HITS_N, CFG),
+        "bm25_cardinality": cardinality_sql(BM25_QUERIES,
+                                            FACET_MIN_SCORE, FACET_COL,
+                                            CFG),
+        "bm25_percentiles": percentiles_sql(BM25_QUERIES,
+                                            FACET_MIN_SCORE, STATS_COL,
+                                            PERCENTS, CFG),
+        "bm25_sig_terms": significant_terms_sql(
+            BM25_QUERIES, FACET_MIN_SCORE, "source", SIG_TERMS_SIZE, CFG),
+        "bm25_filters_agg": filters_agg_sql(BM25_QUERIES,
+                                            FACET_MIN_SCORE,
+                                            FILTERS_AGG, CFG),
+        "bm25_terms_stats": terms_stats_sql(BM25_QUERIES,
+                                            FACET_MIN_SCORE, FACET_COL,
+                                            STATS_COL, CFG),
+        "bm25_composite": composite_sql(BM25_QUERIES, FACET_MIN_SCORE,
+                                        FACET_COL, COMPOSITE_SIZE, CFG,
+                                        after=COMPOSITE_AFTER),
         "bm25_date_histogram": _date_histogram_oracle(),
         "bm25_search_after": page_sql(BM25_QUERIES, BM25_K, 2, CFG),
         "bm25_phrase_prefix": phrase_prefix_sql(PHRASE_PREFIX_QUERIES,

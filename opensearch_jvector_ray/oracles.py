@@ -56,7 +56,10 @@ def bm25_sql(queries: dict[str, str], k: int, cfg: EngineConfig,
              min_score: float | None = None,
              prefix_cte: str | None = None,
              qt_cte: str | None = None,
-             emit_raw: bool = False) -> str:
+             emit_raw: bool = False,
+             score_mul_sql: str | None = None,
+             sort_field: str | None = None,
+             sort_order: str = "desc") -> str:
     """Top-k (or radial, if min_score given) BM25 oracle.
 
     ``emit_raw`` appends the unrounded ``score__raw`` column — for outer
@@ -69,6 +72,14 @@ def bm25_sql(queries: dict[str, str], k: int, cfg: EngineConfig,
     static VALUES query-term block with SQL computing qt(query_id, term,
     w) — the more-like-this path, where the query terms themselves come
     from the corpus.
+
+    ``score_mul_sql`` (function_score oracle): an expression over the
+    source row (alias ``__b``) multiplied into score__raw AFTER the
+    per-doc sum — exactly where the engine applies its doc boost; docs
+    whose product is <= 0 are dropped (the engine's score>0 match
+    predicate).  ``sort_field`` (sort-by-field oracle): ranks on
+    (``__b.{sort_field}`` {sort_order}, key asc) instead of score, and
+    emits the field column.
     """
     qt_rows = []
     for qid, text in sorted(queries.items()):
@@ -82,6 +93,36 @@ def bm25_sql(queries: dict[str, str], k: int, cfg: EngineConfig,
     pre = f"{prefix_cte},\n" if prefix_cte else ""
     qt_block = qt_cte if qt_cte is not None else \
         f"qt(query_id, term, w) AS (VALUES {qt_values})"
+    inner_name = "scores0" if score_mul_sql else "scores"
+    boost_cte = f""",
+scores AS (
+  SELECT s.query_id, s.{id_col},
+         s.score__raw * ({score_mul_sql}) AS score__raw
+  FROM scores0 s JOIN {table} __b ON __b.{id_col} = s.{id_col}
+  WHERE s.score__raw * ({score_mul_sql}) > 0
+)""" if score_mul_sql else ""
+    if sort_field is not None:
+        assert sort_order in ("asc", "desc")
+        ranked_cte = f"""
+ranked AS (
+  SELECT s.query_id,
+         row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY __b.{sort_field} {sort_order.upper()},
+                                     s.{id_col} ASC) AS rank,
+         s.{id_col}, s.score__raw, __b.{sort_field} AS {sort_field}
+  FROM scores s JOIN {table} __b ON __b.{id_col} = s.{id_col}
+)"""
+        extra_col = f", {sort_field}"
+    else:
+        ranked_cte = f"""
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score__raw DESC, {id_col} ASC) AS rank,
+         {id_col}, score__raw
+  FROM scores
+)"""
+        extra_col = ""
     return f"""
 WITH {pre}{toks_cte(cfg, table, id_col, text_col)},
 dl AS (
@@ -99,7 +140,7 @@ tf AS (
   SELECT {id_col}, term, count(*)::DOUBLE AS tf FROM toks
   WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY {id_col}, term
 ),
-scores AS (
+{inner_name} AS (
   SELECT qt.query_id, tf.{id_col},
          -- ORDER BY inside the aggregate pins the fp summation order:
          -- without it DuckDB's parallel aggregation adds contributions in
@@ -116,19 +157,95 @@ scores AS (
   CROSS JOIN stats
   {flt}
   GROUP BY qt.query_id, tf.{id_col}
-),
-ranked AS (
-  SELECT query_id,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY score__raw DESC, {id_col} ASC) AS rank,
-         {id_col}, score__raw
-  FROM scores
-)
-SELECT query_id, rank, {id_col}, round(score__raw, 6) AS score{
+){boost_cte},{ranked_cte}
+SELECT query_id, rank, {id_col}{extra_col}, round(score__raw, 6) AS score{
     ", score__raw" if emit_raw else ""}
 FROM ranked {limit_clause}
 ORDER BY query_id, rank
 """
+
+
+def _sql_lit(v) -> str:
+    if isinstance(v, str):
+        return sql_quote(v)
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    return repr(float(v)) if isinstance(v, float) else repr(int(v))
+
+
+def filter_spec_sql(spec: dict, alias: str = "__f") -> str:
+    """SQL predicate GENERATED from the same structured-filter spec the
+    engine compiles to a pyarrow expression (query_dsl.compile_filter) —
+    one spec object, two backends, zero drift."""
+    (kind, body), = spec.items()
+    if kind == "term":
+        (f, v), = body.items()
+        return f"{alias}.{f} = {_sql_lit(v)}"
+    if kind == "terms":
+        (f, vs), = body.items()
+        vals = ", ".join(_sql_lit(v) for v in vs)
+        return f"{alias}.{f} IN ({vals})"
+    if kind == "range":
+        (f, bounds), = body.items()
+        ops = {"gte": ">=", "gt": ">", "lte": "<=", "lt": "<"}
+        parts = [f"{alias}.{f} {ops[b]} {_sql_lit(v)}"
+                 for b, v in sorted(bounds.items()) if b in ops]
+        if not parts:
+            raise ValueError("[range] needs at least one bound")
+        return "(" + " AND ".join(parts) + ")"
+    if kind == "exists":
+        return f"{alias}.{body['field']} IS NOT NULL"
+    if kind == "bool":
+        parts = []
+        for sub in body.get("must", []):
+            parts.append(filter_spec_sql(sub, alias))
+        for sub in body.get("must_not", []):
+            parts.append(f"NOT ({filter_spec_sql(sub, alias)})")
+        should = [filter_spec_sql(sub, alias)
+                  for sub in body.get("should", [])]
+        if should:
+            parts.append("(" + " OR ".join(should) + ")")
+        if not parts:
+            raise ValueError("[bool] filter needs must/must_not/should")
+        return "(" + " AND ".join(parts) + ")"
+    raise ValueError(f"unknown filter clause {kind!r}")
+
+
+def function_score_mul_sql(spec: dict, is_ts: bool = False) -> str:
+    """Multiplier expression over the source row (alias ``__b``)
+    GENERATED from the engine's score_fn spec (query._doc_boost) —
+    identical arithmetic, identical precomputed constants (the Python
+    floats are embedded via repr, so e.g. linear's s = scale/(1-decay)
+    is the SAME double on both sides).  sqrt / linear are IEEE-bit-exact
+    across numpy and DuckDB; log1p / exp / gauss are libm-dependent
+    (pytest-gated engine-side, not used by the hard driver oracles)."""
+    field = spec["field"]
+    v = f"epoch_us(__b.{field})::DOUBLE" if is_ts else \
+        f"__b.{field}::DOUBLE"
+    if spec["kind"] == "field_value_factor":
+        missing = float(spec.get("missing", 1.0))
+        v = f"coalesce({v}, {missing!r})"
+        modifier = spec.get("modifier", "none")
+        body = {"none": v, "sqrt": f"sqrt({v})",
+                "log1p": f"ln(1.0 + {v})"}[modifier]
+        return f"{float(spec.get('factor', 1.0))!r} * {body}"
+    assert spec["kind"] == "decay"
+    origin = float(spec["origin"])
+    scale = float(spec["scale"])
+    offset = float(spec.get("offset", 0.0))
+    decay = float(spec.get("decay", 0.5))
+    dist = f"greatest(abs({v} - {origin!r}) - {offset!r}, 0.0)"
+    fn = spec.get("decay_fn", "gauss")
+    if fn == "linear":
+        s = scale / (1.0 - decay)
+        return f"greatest(0.0, ({s!r} - {dist}) / {s!r})"
+    if fn == "exp":
+        import math
+        lam = math.log(decay) / scale
+        return f"exp({lam!r} * {dist})"
+    import math
+    sigma2 = -(scale * scale) / (2.0 * math.log(decay))
+    return f"exp(-({dist} * {dist}) / (2.0 * {sigma2!r}))"
 
 
 def boosted_sql(queries: dict[str, str], k: int, cfg: EngineConfig,
@@ -538,6 +655,182 @@ FROM (
 )
 WHERE bucket_rank <= {int(n)}
 ORDER BY query_id, {group_col}, bucket_rank
+"""
+
+
+def _qids_cte(queries: dict[str, str]) -> str:
+    rows = ",\n       ".join(f"({sql_quote(q)})" for q in sorted(queries))
+    return f"qids(query_id) AS (VALUES {rows})"
+
+
+def cardinality_sql(queries: dict[str, str], min_score: float,
+                    field: str, cfg: EngineConfig,
+                    table: str = "documents", id_col: str = "doc_id",
+                    text_col: str = "text") -> str:
+    """Oracle for IndexSearcher.cardinality_agg: exact distinct count of
+    a stored column over the radial match set, zero-filled per query."""
+    inner = bm25_sql(queries, 0, cfg, table=table, id_col=id_col,
+                     text_col=text_col, min_score=min_score)
+    return f"""
+WITH {_qids_cte(queries)},
+c AS (
+  SELECT h.query_id, count(DISTINCT d.{field})::BIGINT AS cardinality
+  FROM ({inner}) h JOIN {table} d USING ({id_col})
+  GROUP BY h.query_id
+)
+SELECT q.query_id, coalesce(c.cardinality, 0)::BIGINT AS cardinality
+FROM qids q LEFT JOIN c USING (query_id)
+ORDER BY q.query_id
+"""
+
+
+def percentiles_sql(queries: dict[str, str], min_score: float,
+                    value_col: str, percents: tuple, cfg: EngineConfig,
+                    table: str = "documents", id_col: str = "doc_id",
+                    text_col: str = "text") -> str:
+    """Oracle for IndexSearcher.percentiles_agg: exact discrete
+    percentiles of a stored column over the radial match set — the
+    quantile_disc selection rule the engine mirrors (value at cum count
+    >= max(1, ceil(q*n)))."""
+    inner = bm25_sql(queries, 0, cfg, table=table, id_col=id_col,
+                     text_col=text_col, min_score=min_score)
+    arms = "\n  UNION ALL\n".join(
+        f"  SELECT h.query_id, {float(q)!r}::DOUBLE AS quantile,\n"
+        f"         quantile_disc(d.{value_col}, {float(q)!r})::DOUBLE"
+        f" AS value\n"
+        f"  FROM hits h JOIN {table} d USING ({id_col})\n"
+        f"  GROUP BY h.query_id"
+        for q in percents)
+    return f"""
+WITH hits AS ({inner})
+SELECT query_id, quantile, value FROM (
+{arms}
+) ORDER BY query_id, quantile
+"""
+
+
+def significant_terms_sql(queries: dict[str, str], min_score: float,
+                          field: str, size: int, cfg: EngineConfig,
+                          table: str = "documents",
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> str:
+    """Oracle for IndexSearcher.significant_terms_agg: JLH-scored
+    over-representation of match-set values vs the whole corpus.  The
+    score expression is the engine's exact chain of double ops over
+    integer counts (bit-exact), ranked on the RAW score then rounded."""
+    inner = bm25_sql(queries, 0, cfg, table=table, id_col=id_col,
+                     text_col=text_col, min_score=min_score)
+    return f"""
+WITH hits AS ({inner}),
+fg AS (
+  SELECT h.query_id, d.{field} AS {field}, count(*)::BIGINT AS doc_count
+  FROM hits h JOIN {table} d USING ({id_col})
+  GROUP BY h.query_id, d.{field}
+),
+fgt AS (
+  SELECT query_id, sum(doc_count)::BIGINT AS fg_tot FROM fg
+  GROUP BY query_id
+),
+bg AS (
+  SELECT {field}, count(*)::BIGINT AS bg_count FROM {table}
+  GROUP BY {field}
+),
+bgt AS (SELECT count(*)::DOUBLE AS bg_tot FROM {table}),
+scored AS (
+  SELECT fg.query_id, fg.{field}, fg.doc_count, bg.bg_count,
+         ((fg.doc_count::DOUBLE / fgt.fg_tot)
+            - (bg.bg_count::DOUBLE / bgt.bg_tot))
+         * ((fg.doc_count::DOUBLE / fgt.fg_tot)
+            / (bg.bg_count::DOUBLE / bgt.bg_tot)) AS score__raw
+  FROM fg JOIN fgt USING (query_id) JOIN bg USING ({field})
+  CROSS JOIN bgt
+)
+SELECT query_id, {field}, doc_count, bg_count,
+       round(score__raw, 6) AS score
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score__raw DESC, {field} ASC
+                              ) AS rn
+  FROM scored
+) WHERE rn <= {int(size)}
+ORDER BY query_id, rn
+"""
+
+
+def filters_agg_sql(queries: dict[str, str], min_score: float,
+                    filters: dict[str, dict], cfg: EngineConfig,
+                    table: str = "documents", id_col: str = "doc_id",
+                    text_col: str = "text") -> str:
+    """Oracle for IndexSearcher.filters_agg: per named structured-filter
+    spec (the SAME spec objects the engine compiles), the match-set doc
+    count, zero-filled over the query x filter grid."""
+    inner = bm25_sql(queries, 0, cfg, table=table, id_col=id_col,
+                     text_col=text_col, min_score=min_score)
+    arms = "\n  UNION ALL\n".join(
+        f"  SELECT h.query_id, {sql_quote(fkey)} AS filter_key,\n"
+        f"         count(*)::BIGINT AS doc_count\n"
+        f"  FROM hits h JOIN {table} d USING ({id_col})\n"
+        f"  WHERE {filter_spec_sql(spec, 'd')}\n"
+        f"  GROUP BY h.query_id"
+        for fkey, spec in sorted(filters.items()))
+    fkeys = ",\n       ".join(f"({sql_quote(fk)})" for fk in sorted(filters))
+    return f"""
+WITH hits AS ({inner}),
+{_qids_cte(queries)},
+fkeys(filter_key) AS (VALUES {fkeys}),
+c AS (
+{arms}
+)
+SELECT q.query_id, f.filter_key,
+       coalesce(c.doc_count, 0)::BIGINT AS doc_count
+FROM qids q CROSS JOIN fkeys f
+LEFT JOIN c ON c.query_id = q.query_id AND c.filter_key = f.filter_key
+ORDER BY q.query_id, f.filter_key
+"""
+
+
+def terms_stats_sql(queries: dict[str, str], min_score: float,
+                    group_col: str, value_col: str, cfg: EngineConfig,
+                    table: str = "documents", id_col: str = "doc_id",
+                    text_col: str = "text") -> str:
+    """Oracle for IndexSearcher.terms_stats_agg: per-bucket integer
+    (count, sum, min, max) + one final avg division."""
+    inner = bm25_sql(queries, 0, cfg, table=table, id_col=id_col,
+                     text_col=text_col, min_score=min_score)
+    return f"""
+SELECT h.query_id, d.{group_col} AS {group_col},
+       count(*)::BIGINT AS doc_count,
+       sum(d.{value_col})::BIGINT AS v_sum,
+       min(d.{value_col})::BIGINT AS v_min,
+       max(d.{value_col})::BIGINT AS v_max,
+       sum(d.{value_col})::BIGINT::DOUBLE / count(*)::BIGINT AS v_avg
+FROM ({inner}) h JOIN {table} d USING ({id_col})
+GROUP BY h.query_id, d.{group_col}
+ORDER BY h.query_id, d.{group_col}
+"""
+
+
+def composite_sql(queries: dict[str, str], min_score: float, field: str,
+                  size: int, cfg: EngineConfig, after=None,
+                  table: str = "documents", id_col: str = "doc_id",
+                  text_col: str = "text") -> str:
+    """Oracle for IndexSearcher.composite_agg: ascending bucket pages of
+    ``size``, resuming strictly after the ``after`` bucket key."""
+    inner = bm25_sql(queries, 0, cfg, table=table, id_col=id_col,
+                     text_col=text_col, min_score=min_score)
+    after_sql = f"WHERE d.{field} > {_sql_lit(after)}" \
+        if after is not None else ""
+    return f"""
+SELECT query_id, {field}, doc_count FROM (
+  SELECT h.query_id, d.{field} AS {field},
+         count(*)::BIGINT AS doc_count,
+         row_number() OVER (PARTITION BY h.query_id
+                            ORDER BY d.{field} ASC) AS rn
+  FROM ({inner}) h JOIN {table} d USING ({id_col})
+  {after_sql}
+  GROUP BY h.query_id, d.{field}
+) WHERE rn <= {int(size)}
+ORDER BY query_id, {field}
 """
 
 
@@ -1611,6 +1904,22 @@ def transcripts_bm25_sql(queries: dict[str, str], k: int, cfg: EngineConfig,
               " AS doc_id, text")
     return bm25_sql(queries, k, cfg, table="transcripts", id_col="doc_id",
                     prefix_cte=prefix)
+
+
+def transcripts_fscore_sql(queries: dict[str, str], k: int,
+                           cfg: EngineConfig,
+                           arms: list[tuple[str, int]],
+                           score_fn: dict) -> str:
+    """function_score oracle over the transcript corpus: the shared BM25
+    CTE with the multiplier expression generated from the ENGINE's
+    score_fn spec (ts fields go through epoch_us — the same int64-us
+    view the engine's _doc_boost takes)."""
+    prefix = transcripts_arms_cte(
+        arms, "conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0')"
+              " AS doc_id, text, ts")
+    mul = function_score_mul_sql(score_fn, is_ts=True)
+    return bm25_sql(queries, k, cfg, table="transcripts", id_col="doc_id",
+                    prefix_cte=prefix, score_mul_sql=mul)
 
 
 def transcripts_arms_cte(arms: list[tuple[str, int]],

@@ -283,6 +283,54 @@ def _agg_partial(agg: dict, docs: pa.Table, ords: np.ndarray,
             cols[kc] = docs[kc].take(kt)
         cols["score"] = pa.array(scores[keep], type=pa.float64())
         return pa.table(cols)
+    if agg["kind"] == "filters":
+        # named filter-context buckets [OpenSearch filters-agg public
+        # semantics]: per named spec, the count of qualifying docs that
+        # ALSO pass the filter; specs compile per call (tiny)
+        from opensearch_jvector_ray.query_dsl import compile_filter
+        n_docs = docs.num_rows
+        with_ord = docs.append_column(
+            "__ord", pa.array(np.arange(n_docs, dtype=np.int64)))
+        keys, cnts = [], []
+        for fkey, spec in agg["filters"]:
+            kept = with_ord.filter(compile_filter(spec))["__ord"] \
+                .to_numpy(zero_copy_only=False)
+            fmask = np.zeros(n_docs, dtype=bool)
+            fmask[kept] = True
+            c = int(fmask[ords].sum())
+            if c:
+                keys.append(fkey)
+                cnts.append(c)
+        return pa.table({
+            "query_id": pa.array([qid] * len(keys), type=pa.string()),
+            "filter_key": pa.array(keys, type=pa.string()),
+            "doc_count": pa.array(np.asarray(cnts, dtype=np.int64),
+                                  type=pa.int64()),
+        })
+    if agg["kind"] == "terms_stats":
+        # terms bucket + stats sub-aggregation [OpenSearch terms agg
+        # with a stats sub-agg]: per bucket value, integer
+        # (count, sum, min, max) partials of the value column
+        import pandas as _pd
+        take = pa.array(ords)
+        b = docs[agg["col"]].take(take).to_numpy(zero_copy_only=False)
+        v = docs[agg["val_col"]].take(take) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        g = (_pd.DataFrame({"b": b, "v": v}).groupby("b", sort=False)["v"]
+             .agg(doc_count="count", v_sum="sum", v_min="min",
+                  v_max="max").reset_index())
+        return pa.table({
+            "query_id": pa.array([qid] * len(g), type=pa.string()),
+            agg["col"]: pa.array(g["b"]),
+            "doc_count": pa.array(g["doc_count"].to_numpy(np.int64),
+                                  type=pa.int64()),
+            "v_sum": pa.array(g["v_sum"].to_numpy(np.int64),
+                              type=pa.int64()),
+            "v_min": pa.array(g["v_min"].to_numpy(np.int64),
+                              type=pa.int64()),
+            "v_max": pa.array(g["v_max"].to_numpy(np.int64),
+                              type=pa.int64()),
+        })
     vals = docs[agg["col"]].take(pa.array(ords))
     if agg["kind"] == "range":
         v = vals.to_numpy(zero_copy_only=False).astype(np.float64)
@@ -313,6 +361,12 @@ def _agg_partial(agg: dict, docs: pa.Table, ords: np.ndarray,
             "doc_count": pa.array(cnt.astype(np.int64), type=pa.int64()),
         })
     if agg["kind"] == "terms":
+        if agg.get("after") is not None:
+            # composite-agg pagination pushdown: buckets strictly after
+            # the resume key never leave the task (the search_after
+            # rule applied to bucket keys)
+            keep = pc.greater(vals, agg["after"])
+            vals = vals.filter(keep)
         vc = (pa.table({"v": vals}).group_by("v")
               .aggregate([("v", "count")]))
         return pa.table({
@@ -352,6 +406,92 @@ def _key_gt(docs: pa.Table, key_cols: Sequence[str], ords: np.ndarray,
         gt |= eq & (vals > av)
         eq &= vals == av
     return gt
+
+
+def _field_as_float(docs: pa.Table, field: str) -> np.ndarray:
+    """Stored-field column -> float64 per-ordinal array (timestamps via
+    their int64 epoch view, unit-preserving)."""
+    if field not in docs.column_names:
+        raise ValueError(f"score/sort field {field!r} is not a stored "
+                         f"column (have {docs.column_names})")
+    col = docs[field]
+    if pa.types.is_timestamp(col.type):
+        col = col.cast(pa.int64())
+    return col.to_numpy(zero_copy_only=False).astype(np.float64)
+
+
+def _doc_boost(docs: pa.Table, spec: dict) -> np.ndarray:
+    """function_score multiplier per doc ordinal [Lucene/OpenSearch
+    function_score public semantics; FunctionScoreQuery with
+    boost_mode=multiply].
+
+    kinds:
+      field_value_factor  m = factor * modifier(field)   (modifier in
+                          none | sqrt | log1p; nulls -> ``missing``)
+      decay               m = linear|exp|gauss distance decay from
+                          ``origin`` with ``scale``/``offset``/``decay``
+                          (numeric or timestamp field; origin/scale/
+                          offset in the field's own units — us for ts)
+
+    The hard driver oracles use sqrt / linear, whose IEEE-754 ops are
+    bit-identical between numpy and DuckDB; log1p / exp / gauss are
+    libm-dependent and gated by the pytest brute-force oracle instead.
+    """
+    kind = spec["kind"]
+    v = _field_as_float(docs, spec["field"])
+    if kind == "field_value_factor":
+        missing = float(spec.get("missing", 1.0))
+        v = np.where(np.isnan(v), missing, v)
+        modifier = spec.get("modifier", "none")
+        if modifier == "sqrt":
+            v = np.sqrt(v)
+        elif modifier == "log1p":
+            v = np.log1p(v)
+        elif modifier != "none":
+            raise ValueError(f"unknown modifier {modifier!r} "
+                             "(none | sqrt | log1p)")
+        return float(spec.get("factor", 1.0)) * v
+    if kind == "decay":
+        fn = spec.get("decay_fn", "gauss")
+        origin = float(spec["origin"])
+        scale = float(spec["scale"])
+        offset = float(spec.get("offset", 0.0))
+        decay = float(spec.get("decay", 0.5))
+        if scale <= 0 or not (0.0 < decay < 1.0):
+            raise ValueError("decay needs scale > 0 and 0 < decay < 1")
+        import math
+        dist = np.maximum(np.abs(v - origin) - offset, 0.0)
+        if fn == "linear":
+            s = scale / (1.0 - decay)
+            return np.maximum(0.0, (s - dist) / s)
+        if fn == "exp":
+            # scalar constants via math (libm), matching the oracle
+            # generator's embedded repr literals exactly
+            lam = math.log(decay) / scale
+            return np.exp(lam * dist)
+        if fn == "gauss":
+            sigma2 = -(scale * scale) / (2.0 * math.log(decay))
+            return np.exp(-(dist * dist) / (2.0 * sigma2))
+        raise ValueError(f"unknown decay_fn {fn!r} (linear | exp | gauss)")
+    raise ValueError(f"unknown score_fn kind {kind!r}")
+
+
+def _sort_key_numeric(docs: pa.Table, field: str) -> np.ndarray:
+    """Sort field -> a numeric per-ordinal key whose ascending order
+    equals the field's natural order (strings via per-segment uniq
+    codes — valid inside one segment; the global merge re-sorts on the
+    actual values)."""
+    if field not in docs.column_names:
+        raise ValueError(f"sort field {field!r} is not a stored column "
+                         f"(have {docs.column_names})")
+    col = docs[field]
+    if pa.types.is_timestamp(col.type):
+        return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        vals = col.to_numpy(zero_copy_only=False)
+        _, codes = np.unique(vals, return_inverse=True)
+        return codes.astype(np.int64)
+    return col.to_numpy(zero_copy_only=False).astype(np.float64)
 
 
 def _topk_from_scores(scores: np.ndarray, candidates: np.ndarray,
@@ -416,6 +556,15 @@ class SegmentSearcher:
         cols: dict[str, pa.Array] = {"query_id": pa.array([], type=pa.string())}
         agg = self.p.get("agg")
         if agg is not None:
+            if agg["kind"] == "filters":
+                cols["filter_key"] = pa.array([], type=pa.string())
+                cols["doc_count"] = pa.array([], type=pa.int64())
+                return pa.table(cols)
+            if agg["kind"] == "terms_stats":
+                cols[agg["col"]] = pa.array([], type=self.p["agg_type"])
+                for c in ("doc_count", "v_sum", "v_min", "v_max"):
+                    cols[c] = pa.array([], type=pa.int64())
+                return pa.table(cols)
             if agg["kind"] == "terms":
                 cols[agg["col"]] = pa.array([], type=self.p["agg_type"])
             elif agg["kind"] == "stats":
@@ -428,6 +577,9 @@ class SegmentSearcher:
             return pa.table(cols)
         for kc, kt in self.p["key_types"]:
             cols[kc] = pa.array([], type=kt)
+        if self.p.get("sort") is not None:
+            cols[self.p["sort"]["field"]] = pa.array(
+                [], type=self.p["sort_type"])
         cols["score"] = pa.array([], type=pa.float64())
         return pa.table(cols)
 
@@ -446,6 +598,12 @@ class SegmentSearcher:
         # are key-sorted so ord == key rank
         tie = (docs["key_rank"].to_numpy(zero_copy_only=False).astype(np.int64)
                if "key_rank" in docs.column_names else None)
+
+        boost = (_doc_boost(docs, p["score_fn"])
+                 if p.get("score_fn") is not None else None)
+        sort_spec = p.get("sort")
+        sortnum = (_sort_key_numeric(docs, sort_spec["field"])
+                   if sort_spec else None)
 
         mask: np.ndarray | None = None
         if p["filter"] is not None:
@@ -558,7 +716,10 @@ class SegmentSearcher:
                                           rescore=p["rescore_oversample"] if mode == "rescore" else None,
                                           tie=tie,
                                           min_score=p.get("min_score"),
-                                          after=after)
+                                          after=after, boost=boost,
+                                          sort_key=sortnum,
+                                          sort_desc=bool(sort_spec and
+                                                         sort_spec["desc"]))
             if agg is not None:
                 # aggregation partial over this segment's qualifying
                 # docs — only aggregate-sized rows leave the task (A2's
@@ -580,6 +741,8 @@ class SegmentSearcher:
         take_idx = pa.array(ords_all)
         for kc, _ in p["key_types"]:
             cols[kc] = docs[kc].take(take_idx)
+        if sort_spec is not None:
+            cols[sort_spec["field"]] = docs[sort_spec["field"]].take(take_idx)
         cols["score"] = pa.array(np.concatenate(out_sc), type=pa.float64())
         return pa.table(cols)
 
@@ -732,7 +895,8 @@ class SegmentSearcher:
         return _topk_from_scores(scores, candidates, k, tie)
 
     def _taat(self, terms, decoded, dl, mask, k, rescore=None, tie=None,
-              min_score=None, after=None):
+              min_score=None, after=None, boost=None, sort_key=None,
+              sort_desc=False):
         """Term-at-a-time vectorized scoring; optional two-pass rescore.
 
         ``min_score`` switches to the UNCAPPED radial predicate (O5 is a
@@ -782,6 +946,12 @@ class SegmentSearcher:
             ords, tfs = decoded[t]
             scores[ords] += w * idf * bm25_tf_part(tfs, dl[ords], self.avgdl,
                                                    self.k1, self.b)
+        if boost is not None:
+            # function_score multiplier, applied to the summed BM25
+            # score BEFORE candidate selection (it changes the ranking);
+            # a zero multiplier (e.g. beyond a linear decay's reach)
+            # drops the doc — the score>0 match predicate is preserved
+            scores *= boost
         if mask is not None:
             scores[~mask] = 0.0
         candidates = np.flatnonzero(scores > 0.0)
@@ -798,12 +968,41 @@ class SegmentSearcher:
         if min_score is not None:
             candidates = candidates[scores[candidates] >= min_score]
             return _topk_from_scores(scores, candidates, len(candidates), tie)
+        if sort_key is not None:
+            # sort-by-field [OpenSearch sort clause public semantics]:
+            # hits are the score>0 match set, ranked (field dir, key
+            # asc) — BM25 scores are still computed and reported, they
+            # just don't drive the order
+            n = min(k, len(candidates))
+            if n == 0:
+                return (np.zeros(0, dtype=np.int64),
+                        np.zeros(0, dtype=np.float64))
+            tie_of = (lambda o: o) if tie is None else (lambda o: tie[o])
+            sk = sort_key[candidates]
+            order = np.lexsort((tie_of(candidates),
+                                -sk if sort_desc else sk))
+            sel = candidates[order[:n]]
+            return sel, scores[sel]
         return _topk_from_scores(scores, candidates, k, tie)
 
 
 def _search_segments_task(batch: pa.Table, payload: dict) -> pa.Table:
     """Stateless per-task wrapper around SegmentSearcher."""
     return SegmentSearcher(payload)(batch)
+
+
+def _docs_value_counts_task(batch: pa.Table, field: str) -> pa.Table:
+    """Value counts of one stored column over whole segments (docs
+    sidecar only — the significant_terms background partial)."""
+    tables = []
+    for d in batch["seg_dir"].to_pylist():
+        t = pq.read_table(os.path.join(d, DOCS_NAME), columns=[field])
+        vc = t.group_by(field).aggregate([(field, "count")])
+        tables.append(pa.table({
+            field: vc[field].combine_chunks(),
+            "bg_count": pc.cast(vc[f"{field}_count"], pa.int64()),
+        }))
+    return pa.concat_tables(tables)
 
 
 def _positions_for_segment(seg_dir: str, p: dict) -> pa.Table | None:
@@ -1437,6 +1636,191 @@ class IndexSearcher:
         df["score"] = np.round(df["score"].astype(np.float64), 6)
         return df.reset_index(drop=True)[cols]
 
+    def cardinality_agg(self, queries: dict[str, str], field: str,
+                        min_score: float,
+                        concurrency: int | None = None) -> pd.DataFrame:
+        """Cardinality aggregation over the radial match set: EXACT
+        distinct count of a stored column per query [OpenSearch
+        cardinality-agg public semantics — which is approximate HLL;
+        this engine computes the exact count, a strictly stronger
+        answer].  Partial = per-segment distinct (value, count) rows, so
+        the driver merges distinct-value-sized frames — fine for
+        categorical fields; a 100-TB high-cardinality column would want
+        the HLL sketch instead (documented bound)."""
+        df = self._agg_fanout(queries, {"kind": "terms", "col": field},
+                              min_score, None, concurrency)
+        cols = ["query_id", "cardinality"]
+        base = pd.DataFrame({"query_id": sorted(queries)})
+        if df.empty:
+            base["cardinality"] = np.int64(0)
+            return base[cols]
+        got = (df.groupby("query_id", sort=True)[field].nunique()
+                 .rename("cardinality").reset_index())
+        out = base.merge(got, on="query_id", how="left")
+        out["cardinality"] = out["cardinality"].fillna(0).astype(np.int64)
+        return out[cols]
+
+    def percentiles_agg(self, queries: dict[str, str], value_col: str,
+                        percents: Sequence[float], min_score: float,
+                        concurrency: int | None = None) -> pd.DataFrame:
+        """Percentiles aggregation over the radial match set [OpenSearch
+        percentiles-agg public semantics — which is approximate
+        t-digest; this engine computes EXACT discrete percentiles].
+        Selection rule matches DuckDB's quantile_disc (the value at
+        cumulative count >= max(1, ceil(q*n)) over the ascending value
+        order) — the same rule `relational.quantile_summary` uses, so
+        the oracle is `quantile_disc` inside the radial-hit CTE.
+        Partials are per-segment (value, count) rows (combiner-first);
+        the driver selects from merged cumulative counts."""
+        import math as _math
+        if not percents:
+            raise ValueError("percents must be non-empty")
+        ps = [float(q) for q in percents]
+        if any(not (0.0 < q <= 1.0) for q in ps):
+            raise ValueError("percents must be fractions in (0, 1]")
+        df = self._agg_fanout(queries, {"kind": "terms", "col": value_col},
+                              min_score, None, concurrency)
+        cols = ["query_id", "quantile", "value"]
+        if df.empty:
+            return pd.DataFrame(columns=cols)
+        rows = []
+        for qid, g in df.groupby("query_id", sort=True):
+            vc = (g.groupby(value_col, sort=True)["doc_count"].sum())
+            cum = vc.cumsum()
+            total = int(cum.iloc[-1])
+            for q in ps:
+                t = max(1, _math.ceil(q * total))
+                v = vc.index[int(np.searchsorted(cum.values, t))]
+                rows.append((qid, q, float(v)))
+        return pd.DataFrame(rows, columns=cols)
+
+    def significant_terms_agg(self, queries: dict[str, str], field: str,
+                              min_score: float, size: int = 10,
+                              concurrency: int | None = None
+                              ) -> pd.DataFrame:
+        """Significant-terms aggregation [OpenSearch significant_terms
+        public semantics, JLH heuristic]: per query, the stored-column
+        values over-represented in the match set vs the whole corpus,
+        scored JLH = (fg% - bg%) * (fg% / bg%) and ranked (score desc,
+        value asc), top ``size``.  All four inputs are integer counts
+        and the score is a fixed chain of IEEE double ops, so the SQL
+        oracle is bit-exact.  Foreground counts ride the terms partial;
+        background counts fan one docs-sidecar-only task per segment."""
+        fg = self._agg_fanout(queries, {"kind": "terms", "col": field},
+                              min_score, None, concurrency)
+        cols = ["query_id", field, "doc_count", "bg_count", "score"]
+        if fg.empty:
+            return pd.DataFrame(columns=cols)
+        bg = self._field_value_counts(field)
+        bg_tot = float(bg["bg_count"].sum())
+        fg_sum = (fg.groupby(["query_id", field], sort=False)["doc_count"]
+                    .sum().reset_index())
+        fg_tot = (fg_sum.groupby("query_id")["doc_count"].sum()
+                        .rename("fg_tot"))
+        m = fg_sum.merge(bg, on=field).merge(fg_tot, on="query_id")
+        fgp = m["doc_count"].astype(np.float64) / m["fg_tot"]
+        bgp = m["bg_count"].astype(np.float64) / bg_tot
+        m["score"] = (fgp - bgp) * (fgp / bgp)
+        m = m.sort_values(["query_id", "score", field],
+                          ascending=[True, False, True], kind="mergesort")
+        m = m.groupby("query_id", sort=False).head(size)
+        m["score"] = np.round(m["score"].astype(np.float64), 6)
+        return m.reset_index(drop=True)[cols]
+
+    def filters_agg(self, queries: dict[str, str],
+                    filters: dict[str, dict], min_score: float,
+                    concurrency: int | None = None) -> pd.DataFrame:
+        """Filters aggregation [OpenSearch filters-agg public semantics]:
+        per query, the match-set doc count under each NAMED structured
+        filter (term/terms/range/exists/bool specs — the same objects
+        `compile_filter` and the SQL oracle consume).  Every
+        (query, filter) cell is emitted zero-filled."""
+        if not filters:
+            raise ValueError("filters must be non-empty")
+        from opensearch_jvector_ray.query_dsl import compile_filter
+        for spec in filters.values():
+            compile_filter(spec)      # driver-side validation
+        fl = sorted(filters.items())
+        df = self._agg_fanout(queries, {"kind": "filters", "filters": fl},
+                              min_score, None, concurrency)
+        cols = ["query_id", "filter_key", "doc_count"]
+        grid = pd.MultiIndex.from_product(
+            [sorted(queries), [k for k, _ in fl]],
+            names=["query_id", "filter_key"])
+        if df.empty:
+            out = pd.Series(0, index=grid, dtype=np.int64,
+                            name="doc_count")
+        else:
+            out = (df.groupby(["query_id", "filter_key"], sort=False)
+                     ["doc_count"].sum().reindex(grid, fill_value=0))
+        return out.reset_index()[cols]
+
+    def terms_stats_agg(self, queries: dict[str, str], group_col: str,
+                        value_col: str, min_score: float,
+                        concurrency: int | None = None) -> pd.DataFrame:
+        """Terms bucket + stats sub-aggregation [OpenSearch terms agg
+        with a stats sub-agg]: per query and bucket value,
+        (doc_count, sum, min, max, avg) of an integer stored column.
+        Partials are per-(segment, bucket) integer rows — order-free;
+        the one avg division happens once at the end (bit-equal to the
+        oracle's).  Ordered (query_id, bucket asc)."""
+        df = self._agg_fanout(queries,
+                              {"kind": "terms_stats", "col": group_col,
+                               "val_col": value_col},
+                              min_score, None, concurrency)
+        cols = ["query_id", group_col, "doc_count", "v_sum", "v_min",
+                "v_max", "v_avg"]
+        if df.empty:
+            return pd.DataFrame(columns=cols)
+        g = df.groupby(["query_id", group_col], sort=True).agg(
+            doc_count=("doc_count", "sum"), v_sum=("v_sum", "sum"),
+            v_min=("v_min", "min"), v_max=("v_max", "max")).reset_index()
+        g["v_avg"] = g["v_sum"].astype(np.float64) / g["doc_count"]
+        return g[cols]
+
+    def composite_agg(self, queries: dict[str, str], field: str,
+                      size: int, min_score: float,
+                      after: Any | None = None,
+                      concurrency: int | None = None) -> pd.DataFrame:
+        """Composite aggregation [OpenSearch composite-agg public
+        semantics, one terms source]: pages through ALL buckets of the
+        match set in ascending bucket-key order, ``size`` per page;
+        ``after`` is the previous page's last bucket key and is pushed
+        into every segment task (buckets <= after never leave the task —
+        the search_after rule applied to bucket keys)."""
+        if size < 1:
+            raise ValueError("size must be >= 1")
+        agg: dict[str, Any] = {"kind": "terms", "col": field}
+        if after is not None:
+            agg["after"] = after
+        df = self._agg_fanout(queries, agg, min_score, None, concurrency)
+        cols = ["query_id", field, "doc_count"]
+        if df.empty:
+            return pd.DataFrame(columns=cols)
+        out = (df.groupby(["query_id", field], sort=False)["doc_count"]
+                 .sum().reset_index())
+        out = out.sort_values(["query_id", field],
+                              ascending=[True, True], kind="mergesort")
+        out = out.groupby("query_id", sort=False).head(size)
+        return out.reset_index(drop=True)[cols]
+
+    def _field_value_counts(self, field: str) -> pd.DataFrame:
+        """Corpus-wide value counts of a stored doc column: one task per
+        segment reads ONLY that column from the docs sidecar (no
+        postings touched) and ships value-count partials."""
+        seg_ds = rd.from_items([{"seg_dir": d} for d in self.seg_dirs])
+        out = seg_ds.map_batches(_docs_value_counts_task,
+                                 fn_kwargs={"field": field},
+                                 batch_format="pyarrow", batch_size=1)
+        frames = [b.to_pandas()
+                  for b in out.iter_batches(batch_format="pyarrow")]
+        frames = [f for f in frames if not f.empty]
+        if not frames:
+            return pd.DataFrame(columns=[field, "bg_count"])
+        df = pd.concat(frames, ignore_index=True)
+        return (df.groupby(field, sort=True)["bg_count"].sum()
+                  .reset_index())
+
     def _agg_fanout(self, queries: dict[str, str], agg: dict,
                     min_score: float,
                     term_weights: dict[str, list[tuple[str, float]]] | None,
@@ -1449,9 +1833,10 @@ class IndexSearcher:
             return pd.DataFrame()
         docs_schema = pq.read_schema(
             os.path.join(self.seg_dirs[0], DOCS_NAME))
-        if agg["col"] not in docs_schema.names:
-            raise ValueError(f"agg column {agg['col']!r} is not a stored "
-                             f"doc column ({docs_schema.names})")
+        for ck in ("col", "val_col"):
+            if ck in agg and agg[ck] not in docs_schema.names:
+                raise ValueError(f"agg column {agg[ck]!r} is not a "
+                                 f"stored doc column ({docs_schema.names})")
         prepared, union = self._prepare(queries, self.cfg.default_k,
                                         term_weights=term_weights)
         payload = {
@@ -1465,7 +1850,8 @@ class IndexSearcher:
             "first_pass_k": self.cfg.first_pass_k,
             "min_score": float(min_score),
             "agg": agg,
-            "agg_type": docs_schema.field(agg["col"]).type,
+            "agg_type": (docs_schema.field(agg["col"]).type
+                         if "col" in agg else None),
         }
         if not union:
             return pd.DataFrame()
@@ -1606,7 +1992,9 @@ class IndexSearcher:
                min_score: float | None = None,
                term_weights: dict[str, list[tuple[str, float]]] | None = None,
                search_after: dict[str, tuple] | None = None,
-               minimum_should_match: int | None = None) -> pd.DataFrame:
+               minimum_should_match: int | None = None,
+               score_fn: dict | None = None,
+               sort: tuple[str, str] | None = None) -> pd.DataFrame:
         """Top-k BM25 for a batch of queries.
 
         ``minimum_should_match`` (boolean mode only) [Lucene BooleanQuery
@@ -1639,6 +2027,24 @@ class IndexSearcher:
         return no rows (the resume token is required).  taat only.
         """
         cfg = self.cfg
+        if score_fn is not None and (mode != "taat"
+                                     or rescore_oversample is not None):
+            raise ValueError("score_fn (function_score) requires plain "
+                             "taat mode (no rescore)")
+        if sort is not None:
+            if mode != "taat" or rescore_oversample is not None \
+                    or min_score is not None or collapse_col is not None \
+                    or search_after is not None or score_fn is not None:
+                raise ValueError("sort requires plain taat mode (no "
+                                 "rescore/min_score/collapse/"
+                                 "search_after/score_fn)")
+            sfield, sorder = sort
+            if sorder not in ("asc", "desc"):
+                raise ValueError(f"sort order must be asc|desc, got "
+                                 f"{sorder!r}")
+            if sfield in self.key_cols:
+                raise ValueError("sort field must be a stored non-key "
+                                 "column (keys are already the tiebreak)")
         if minimum_should_match is not None:
             if mode != "boolean":
                 raise ValueError("minimum_should_match requires "
@@ -1691,12 +2097,29 @@ class IndexSearcher:
             "first_pass_k": cfg_obj.first_pass_k,
             "min_score": min_score,
             "msm": minimum_should_match,
+            "score_fn": score_fn,
+            "sort": ({"field": sort[0], "desc": sort[1] == "desc"}
+                     if sort is not None else None),
         }
+        if sort is not None and self.seg_dirs:
+            if sort[0] not in docs_schema.names:
+                raise ValueError(f"sort field {sort[0]!r} is not a "
+                                 f"stored column (have "
+                                 f"{docs_schema.names})")
+            payload["sort_type"] = docs_schema.field(sort[0]).type
+        if score_fn is not None and self.seg_dirs:
+            # dry-run the boost on a zero-row table: spec/field errors
+            # surface here as ValueError, not inside a Ray task
+            _doc_boost(docs_schema.empty_table(), score_fn)
         if search_after is not None:
             payload["search_after"] = {
                 qid: {"score": float(t[0]), "key": list(t[1:])}
                 for qid, t in search_after.items() if qid in queries}
         if not union or not self.seg_dirs:
+            if sort is not None:
+                return self._finalize_sorted(pd.DataFrame(
+                    columns=["query_id", *self.key_cols, sort[0], "score"]),
+                    k, sort[0], sort[1] == "desc")
             return self._finalize(pd.DataFrame(
                 columns=["query_id", *self.key_cols, "score"]), k, collapse_col,
                 cap_k=min_score is None)
@@ -1710,6 +2133,11 @@ class IndexSearcher:
             _search_segments_task, fn_kwargs={"payload": payload},
             batch_format="pyarrow", batch_size=1, **extra_kwargs)
         frames = [b.to_pandas() for b in hits.iter_batches(batch_format="pyarrow")]
+        if sort is not None:
+            df = pd.concat(frames, ignore_index=True) if frames else \
+                pd.DataFrame(columns=["query_id", *self.key_cols, sort[0],
+                                      "score"])
+            return self._finalize_sorted(df, k, sort[0], sort[1] == "desc")
         df = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
             columns=["query_id", *self.key_cols, "score"])
         return self._finalize(df, k, collapse_col, cap_k=min_score is None)
@@ -1799,6 +2227,24 @@ class IndexSearcher:
             return pd.DataFrame(columns=cols)
         df = pd.concat(frames, ignore_index=True)
         return df.sort_values(cols).reset_index(drop=True)[cols]
+
+    def _finalize_sorted(self, df: pd.DataFrame, k: int, field: str,
+                         desc: bool) -> pd.DataFrame:
+        """Global reduce for sort-by-field: merge per-segment k-lists on
+        (field dir, key asc) — the same A1 shape, different order key."""
+        out_cols = ["query_id", "rank", *self.key_cols, field, "score"]
+        if df.empty:
+            df = pd.DataFrame(columns=["query_id", *self.key_cols, field,
+                                       "score"])
+            df["rank"] = pd.Series(dtype="int64")
+            return df[out_cols]
+        df = df.sort_values(
+            ["query_id", field, *self.key_cols],
+            ascending=[True, not desc] + [True] * len(self.key_cols),
+            kind="mergesort")
+        df = df.groupby("query_id", sort=False).head(k)
+        df["rank"] = df.groupby("query_id", sort=False).cumcount() + 1
+        return df[out_cols].reset_index(drop=True)
 
     def _finalize(self, df: pd.DataFrame, k: int,
                   collapse_col: str | None = None,

@@ -6,7 +6,20 @@ plugin delegates to OpenSearch's query DSL for).
 Supported bodies (one top-level clause per query):
 
     {"match":  {"query": "...", "k": 10, "mode": "taat|wand|rescore|
-                "phrase", "min_score": f, "collapse": col}}
+                "phrase", "min_score": f, "collapse": col,
+                "filter": {...}, "sort": {"field": col,
+                "order": "asc|desc"}}}
+                 # filter: structured filter-context clause (term |
+                 # terms | range | exists | bool), compiled to a
+                 # pre-filter over the stored fields;
+                 # sort: rank hits on a stored field, not the score
+    {"function_score": {"query": "...", "k": 10,
+                "field_value_factor": {"field": col, "factor": f,
+                                       "modifier": "none|sqrt|log1p"}
+              | "decay": {"field": col, "decay_fn": "linear|exp|gauss",
+                          "origin": x, "scale": s, "offset": o,
+                          "decay": d},
+                "filter": {...}}}    # multiplicative doc boost
     {"bool":   {"must": [...], "should": [...], "must_not": [...],
                 "k": 10, "minimum_should_match": n}}
                                     # term lists, Lucene BooleanQuery rules
@@ -52,7 +65,13 @@ from typing import Any
 import numpy as np
 
 _MATCH_FIELDS = {"query", "k", "mode", "min_score", "collapse",
-                 "search_after"}
+                 "search_after", "filter", "sort"}
+_FSCORE_FIELDS = {"query", "k", "field_value_factor", "decay", "filter"}
+_FVF_FIELDS = {"field", "factor", "modifier", "missing"}
+_DECAY_FIELDS = {"field", "decay_fn", "origin", "scale", "offset",
+                 "decay"}
+_FILTER_CLAUSES = {"term", "terms", "range", "exists", "bool"}
+_RANGE_OPS = {"gte", "gt", "lte", "lt"}
 _BOOL_FIELDS = {"must", "should", "must_not", "k",
                 "minimum_should_match"}
 _KNN_FIELDS = {"vector", "k", "metric", "min_score", "max_distance",
@@ -83,6 +102,102 @@ def _require_known(clause: str, body: dict, allowed: set) -> None:
             f"{sorted(allowed)} (KNNQueryBuilderParser strictness)")
 
 
+def compile_filter(spec: dict):
+    """Structured filter spec -> pyarrow compute expression over the
+    stored-field columns [OpenSearch filter-context public semantics:
+    term / terms / range / exists / bool].  The SQL oracle generates its
+    predicate from the SAME spec (oracles.filter_spec_sql)."""
+    import pyarrow.compute as pc
+    if not isinstance(spec, dict) or len(spec) != 1:
+        raise ValueError("filter must have exactly one clause: "
+                         f"{sorted(_FILTER_CLAUSES)}")
+    (kind, body), = spec.items()
+    if kind not in _FILTER_CLAUSES:
+        raise ValueError(f"unknown filter clause {kind!r} "
+                         f"(supported: {sorted(_FILTER_CLAUSES)})")
+    if kind == "term":
+        if not isinstance(body, dict) or len(body) != 1:
+            raise ValueError("[term] needs exactly one {field: value}")
+        (f, v), = body.items()
+        return pc.field(f) == v
+    if kind == "terms":
+        if not isinstance(body, dict) or len(body) != 1:
+            raise ValueError("[terms] needs exactly one {field: [values]}")
+        (f, vs), = body.items()
+        if not isinstance(vs, list) or not vs:
+            raise ValueError("[terms] needs a non-empty value list")
+        return pc.field(f).isin(vs)
+    if kind == "range":
+        if not isinstance(body, dict) or len(body) != 1:
+            raise ValueError("[range] needs exactly one {field: bounds}")
+        (f, bounds), = body.items()
+        unknown = sorted(set(bounds) - _RANGE_OPS)
+        if unknown or not bounds:
+            raise ValueError(f"[range] bounds must be non-empty from "
+                             f"{sorted(_RANGE_OPS)}, got {sorted(bounds)}")
+        expr = None
+        for op, v in sorted(bounds.items()):
+            fld = pc.field(f)
+            e = {"gte": fld >= v, "gt": fld > v,
+                 "lte": fld <= v, "lt": fld < v}[op]
+            expr = e if expr is None else expr & e
+        return expr
+    if kind == "exists":
+        if not isinstance(body, dict) or "field" not in body:
+            raise ValueError("[exists] needs {'field': name}")
+        return pc.field(body["field"]).is_valid()
+    # bool
+    expr = None
+    legal = {"must", "must_not", "should"}
+    unknown = sorted(set(body) - legal)
+    if unknown:
+        raise ValueError(f"[bool] filter does not support {unknown}")
+    for sub in body.get("must", []):
+        e = compile_filter(sub)
+        expr = e if expr is None else expr & e
+    for sub in body.get("must_not", []):
+        e = ~compile_filter(sub)
+        expr = e if expr is None else expr & e
+    should = [compile_filter(sub) for sub in body.get("should", [])]
+    if should:
+        e = should[0]
+        for s_ in should[1:]:
+            e = e | s_
+        expr = e if expr is None else expr & e
+    if expr is None:
+        raise ValueError("[bool] filter needs must/must_not/should")
+    return expr
+
+
+def _parse_score_fn(spec: dict) -> dict:
+    """function_score sub-clause -> the engine's score_fn spec dict."""
+    has_fvf = "field_value_factor" in spec
+    has_decay = "decay" in spec
+    if has_fvf == has_decay:
+        raise ValueError("[function_score] needs exactly one of "
+                         "field_value_factor | decay")
+    if has_fvf:
+        body = spec["field_value_factor"]
+        _require_known("field_value_factor", body, _FVF_FIELDS)
+        if "field" not in body:
+            raise ValueError("[field_value_factor] needs 'field'")
+        return {"kind": "field_value_factor", "field": body["field"],
+                "factor": float(body.get("factor", 1.0)),
+                "modifier": body.get("modifier", "none"),
+                "missing": float(body.get("missing", 1.0))}
+    body = spec["decay"]
+    _require_known("decay", body, _DECAY_FIELDS)
+    for req in ("field", "origin", "scale"):
+        if req not in body:
+            raise ValueError(f"[decay] needs {req!r}")
+    return {"kind": "decay", "field": body["field"],
+            "decay_fn": body.get("decay_fn", "gauss"),
+            "origin": float(body["origin"]),
+            "scale": float(body["scale"]),
+            "offset": float(body.get("offset", 0.0)),
+            "decay": float(body.get("decay", 0.5))}
+
+
 def parse_query(body: dict[str, Any]) -> dict[str, Any]:
     """Validate a query body and normalize it to a spec dict with a
     ``type`` discriminator."""
@@ -106,11 +221,23 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
                                  "boundary array [raw_score, *key] from "
                                  "a previous page")
             sa = tuple(sa)
+        flt = spec.get("filter")
+        if flt is not None:
+            compile_filter(flt)       # validate eagerly (parse = strict)
+        srt = spec.get("sort")
+        if srt is not None:
+            if not isinstance(srt, dict) or "field" not in srt or \
+                    sorted(set(srt) - {"field", "order"}):
+                raise ValueError("[match] sort must be {'field': col, "
+                                 "'order': 'asc'|'desc'}")
+            if srt.get("order", "desc") not in ("asc", "desc"):
+                raise ValueError("[match] sort order must be asc|desc")
+            srt = (srt["field"], srt.get("order", "desc"))
         return {"type": "match", "query": spec["query"],
                 "k": int(spec.get("k", 10)), "mode": mode,
                 "min_score": spec.get("min_score"),
                 "collapse": spec.get("collapse"),
-                "search_after": sa}
+                "search_after": sa, "filter": flt, "sort": srt}
     if clause == "bool":
         _require_known(clause, spec, _BOOL_FIELDS)
         out = {"type": "bool", "k": int(spec.get("k", 10))}
@@ -129,6 +256,17 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
                              "non-negative integer")
         out["minimum_should_match"] = msm
         return out
+    if clause == "function_score":
+        _require_known(clause, spec, _FSCORE_FIELDS)
+        if not isinstance(spec.get("query"), str) or not spec["query"]:
+            raise ValueError("[function_score] needs a non-empty "
+                             "'query' string")
+        flt = spec.get("filter")
+        if flt is not None:
+            compile_filter(flt)
+        return {"type": "function_score", "query": spec["query"],
+                "k": int(spec.get("k", 10)),
+                "score_fn": _parse_score_fn(spec), "filter": flt}
     if clause == "more_like_this":
         _require_known(clause, spec, _MLT_FIELDS)
         if not isinstance(spec.get("like"), str) or not spec["like"]:
@@ -378,6 +516,14 @@ def execute_query(body: dict[str, Any], *, searcher=None, vector_ds=None,
         return searcher.facet_counts(
             {query_id: spec["query"]}, facet_col=spec["field"],
             min_score=spec["min_score"], size=spec["size"])
+    if spec["type"] == "function_score":
+        if searcher is None:
+            raise ValueError("[function_score] needs searcher=")
+        kwargs = {}
+        if spec["filter"] is not None:
+            kwargs["filter"] = compile_filter(spec["filter"])
+        return searcher.search({query_id: spec["query"]}, k=spec["k"],
+                               score_fn=spec["score_fn"], **kwargs)
     if spec["type"] in ("match", "bool"):
         if searcher is None:
             raise ValueError(f"[{spec['type']}] needs searcher=")
@@ -392,12 +538,18 @@ def execute_query(body: dict[str, Any], *, searcher=None, vector_ds=None,
         mode = spec["mode"]
         if mode == "rescore":
             mode, kwargs = "taat", {"rescore_oversample": 3.0}
+        if spec.get("filter") is not None:
+            kwargs["filter"] = compile_filter(spec["filter"])
         if spec["min_score"] is not None:
             return searcher.search({query_id: spec["query"]},
                                    min_score=spec["min_score"],
                                    mode=mode, **kwargs)
         if spec.get("search_after") is not None:
             kwargs["search_after"] = {query_id: spec["search_after"]}
+        if spec.get("sort") is not None:
+            return searcher.search({query_id: spec["query"]},
+                                   k=spec["k"], sort=spec["sort"],
+                                   **kwargs)
         return searcher.search({query_id: spec["query"]}, k=spec["k"],
                                mode=mode,
                                collapse_col=spec["collapse"], **kwargs)

@@ -108,10 +108,28 @@ def synth_parquet(n_convs: int, seed: int = SEED,
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
         return out
-    os.makedirs(out, exist_ok=True)
-    synth_dataset(n_convs, seed).write_parquet(out)
-    with open(marker, "w") as f:
+    # stage into a process-private tmp dir and atomically rename: two
+    # concurrent callers (e.g. pytest + bench in parallel) must never
+    # interleave their parquet files into one directory — the rename
+    # loser discards its copy (identical content: synthesis is
+    # deterministic), and a crashed writer never leaves a half-written
+    # blessed dir
+    import shutil
+    tmp = f"{out}.tmp{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    synth_dataset(n_convs, seed).write_parquet(tmp)
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
         f.write("ok")
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        if os.path.exists(marker):
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            # stale marker-less dir from an old crashed run: replace
+            shutil.rmtree(out, ignore_errors=True)
+            os.rename(tmp, out)
     return out
 
 
