@@ -29,7 +29,7 @@ from opensearch_jvector_ray.oracles import (
     bm25_sql, boolean_sql, collection_stats_sql, events_asof_orders_sql, events_lww_sql,
     filter_spec_sql, function_score_mul_sql,
     cardinality_sql, percentiles_sql, significant_terms_sql,
-    filters_agg_sql, terms_stats_sql, composite_sql,
+    filters_agg_sql, terms_stats_sql, composite_sql, multi_match_sql,
     events_sessionize_sql, events_window_sql, exact_dedup_sql,
     byte_knn_sql, corpus_clean_sql, embedding_dups_sql, ivf_fixed_sql, revenue_by_nation_sql, simhash_sql,
     revenue_by_region_brand_sql, top_order_revenue_sql, transcripts_bm25_sql,
@@ -393,6 +393,15 @@ FILTERS_AGG = {
 }
 COMPOSITE_SIZE = 2
 COMPOSITE_AFTER = "en"    # page 2 of the lang buckets
+# multi_match over per-field indexes (text + lang): queries mix corpus
+# vocabulary with language-code tokens so both fields contribute
+MULTI_MATCH_FIELDS = ["text", "lang"]
+MULTI_MATCH_QUERIES = {
+    "m1": "fast merge en",
+    "m2": "data query de",
+    "m3": "customer scan zh",
+}
+MULTI_MATCH_TIE = 0.3
 
 
 def _q_bm25_range_agg(sf_dir: str) -> pd.DataFrame:
@@ -403,6 +412,36 @@ def _q_bm25_range_agg(sf_dir: str) -> pd.DataFrame:
                       ranges=RANGE_RANGES, min_score=FACET_MIN_SCORE)
     out["doc_count"] = out["doc_count"].astype(np.int64)
     return out
+
+
+def _multi_searchers(sf_dir: str) -> dict[str, IndexSearcher]:
+    from opensearch_jvector_ray.sources.tables import (
+        documents_field_index,
+    )
+    out = {}
+    for f in MULTI_MATCH_FIELDS:
+        idx = documents_index(sf_dir) if f == "text" else \
+            documents_field_index(sf_dir, f)
+        out[f] = IndexSearcher(idx)
+    return out
+
+
+def _q_multi_match_best(sf_dir: str) -> pd.DataFrame:
+    # multi_match best_fields == DisjunctionMaxQuery with tie_breaker:
+    # per-field indexes (own df/N/avgdl), max + tie * rest
+    from opensearch_jvector_ray.query import multi_match
+    return _round_hits(multi_match(_multi_searchers(sf_dir),
+                                   MULTI_MATCH_QUERIES, k=BM25_K,
+                                   match_type="best_fields",
+                                   tie_breaker=MULTI_MATCH_TIE))
+
+
+def _q_multi_match_most(sf_dir: str) -> pd.DataFrame:
+    # multi_match most_fields: cross-field score sum
+    from opensearch_jvector_ray.query import multi_match
+    return _round_hits(multi_match(_multi_searchers(sf_dir),
+                                   MULTI_MATCH_QUERIES, k=BM25_K,
+                                   match_type="most_fields"))
 
 
 def _q_bm25_cardinality(sf_dir: str) -> pd.DataFrame:
@@ -1520,6 +1559,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_histogram": _q_bm25_histogram,
         "bm25_range_agg": _q_bm25_range_agg,
         "bm25_top_hits": _q_bm25_top_hits,
+        "bm25_multi_match_best": _q_multi_match_best,
+        "bm25_multi_match_most": _q_multi_match_most,
         "bm25_cardinality": _q_bm25_cardinality,
         "bm25_percentiles": _q_bm25_percentiles,
         "bm25_sig_terms": _q_bm25_sig_terms,
@@ -1717,6 +1758,12 @@ def oracle_sql() -> dict[str, str]:
                                         STATS_COL, RANGE_RANGES, CFG),
         "bm25_top_hits": top_hits_sql(BM25_QUERIES, FACET_MIN_SCORE,
                                       FACET_COL, TOP_HITS_N, CFG),
+        "bm25_multi_match_best": multi_match_sql(
+            MULTI_MATCH_QUERIES, BM25_K, CFG, MULTI_MATCH_FIELDS,
+            match_type="best_fields", tie_breaker=MULTI_MATCH_TIE),
+        "bm25_multi_match_most": multi_match_sql(
+            MULTI_MATCH_QUERIES, BM25_K, CFG, MULTI_MATCH_FIELDS,
+            match_type="most_fields"),
         "bm25_cardinality": cardinality_sql(BM25_QUERIES,
                                             FACET_MIN_SCORE, FACET_COL,
                                             CFG),

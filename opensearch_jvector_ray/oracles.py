@@ -658,6 +658,68 @@ ORDER BY query_id, {group_col}, bucket_rank
 """
 
 
+def multi_match_sql(queries: dict[str, str], k: int, cfg: EngineConfig,
+                    fields: list[str], match_type: str = "best_fields",
+                    tie_breaker: float = 0.0,
+                    table: str = "documents",
+                    id_col: str = "doc_id") -> str:
+    """Oracle for query.multi_match: one radial BM25 CTE per field (the
+    field column IS that index's text), FULL-OUTER-joined on
+    (query_id, id), absent fields coalesced to exactly 0, combined with
+    the engine's formula in the engine's SORTED-FIELD fp chain."""
+    assert match_type in ("best_fields", "most_fields")
+    fields = sorted(fields)
+    ctes, aliases = [], []
+    for i, f in enumerate(fields):
+        alias = f"f{i}"
+        inner = bm25_sql(queries, 0, cfg, table=table, id_col=id_col,
+                         text_col=f, min_score=1e-300, emit_raw=True)
+        ctes.append(f"{alias} AS ({inner})")
+        aliases.append(alias)
+    # chain FULL OUTER JOINs, coalescing the key as we go
+    joined = f"SELECT {aliases[0]}.query_id AS query_id, " \
+             f"{aliases[0]}.{id_col} AS {id_col}, " \
+             f"coalesce({aliases[0]}.score__raw, 0.0) AS s0 " \
+             f"FROM {aliases[0]}"
+    for i in range(1, len(aliases)):
+        prev_cols = ", ".join(f"coalesce(j.s{jj}, 0.0) AS s{jj}"
+                              for jj in range(i))
+        joined = f"""SELECT coalesce(j.query_id, {aliases[i]}.query_id) AS query_id,
+       coalesce(j.{id_col}, {aliases[i]}.{id_col}) AS {id_col},
+       {prev_cols},
+       coalesce({aliases[i]}.score__raw, 0.0) AS s{i}
+FROM ({joined}) j FULL OUTER JOIN {aliases[i]}
+  ON j.query_id = {aliases[i]}.query_id
+ AND j.{id_col} = {aliases[i]}.{id_col}"""
+    svars = [f"s{i}" for i in range(len(fields))]
+    total = " + ".join(svars)          # the engine's sorted-field chain
+    if match_type == "most_fields":
+        score = f"({total})"
+    else:
+        best = f"greatest({', '.join(svars)})" if len(svars) > 1 \
+            else svars[0]
+        score = f"({best} + {float(tie_breaker)!r} * (({total}) - {best}))"
+    cte_block = ",\n".join(ctes)
+    return f"""
+WITH {cte_block},
+j AS ({joined}),
+scored AS (
+  SELECT query_id, {id_col}, {score} AS score__raw FROM j
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score__raw DESC, {id_col} ASC
+                           ) AS rank,
+         {id_col}, score__raw
+  FROM scored
+)
+SELECT query_id, rank, {id_col}, round(score__raw, 6) AS score
+FROM ranked WHERE rank <= {int(k)}
+ORDER BY query_id, rank
+"""
+
+
 def _qids_cte(queries: dict[str, str]) -> str:
     rows = ",\n       ".join(f"({sql_quote(q)})" for q in sorted(queries))
     return f"qids(query_id) AS (VALUES {rows})"

@@ -1686,6 +1686,9 @@ class IndexSearcher:
         rows = []
         for qid, g in df.groupby("query_id", sort=True):
             vc = (g.groupby(value_col, sort=True)["doc_count"].sum())
+            if pd.api.types.is_datetime64_any_dtype(vc.index):
+                # ts columns report their epoch int in the stored unit
+                vc.index = vc.index.astype("int64")
             cum = vc.cumsum()
             total = int(cum.iloc[-1])
             for q in ps:
@@ -2265,3 +2268,72 @@ class IndexSearcher:
             df = df.groupby("query_id", sort=False).head(k)
         df["rank"] = df.groupby("query_id", sort=False).cumcount() + 1
         return df[["query_id", "rank", *self.key_cols, "score"]].reset_index(drop=True)
+
+
+def multi_match(searchers: dict[str, "IndexSearcher"],
+                queries: dict[str, str], k: int = 10,
+                match_type: str = "best_fields",
+                tie_breaker: float = 0.0) -> pd.DataFrame:
+    """Multi-field search over PER-FIELD indexes [OpenSearch multi_match
+    / Lucene DisjunctionMaxQuery public semantics].
+
+    Each field is its own index (own postings, own df/N/avgdl — exactly
+    Lucene's per-field term spaces); ``searchers`` maps field name ->
+    IndexSearcher over that field's index.  All indexes must share the
+    same key columns.
+
+      best_fields  score = max_f s_f + tie_breaker * (sum_f s_f - max_f)
+                   (DisMax; tie_breaker=0 is pure dis_max)
+      most_fields  score = sum_f s_f
+
+    Per-field scores come from the uncapped radial match set (score > 0
+    == matches), so absent fields contribute exactly 0.  The cross-field
+    sum accumulates in SORTED FIELD ORDER — the oracle writes the same
+    left-to-right chain, keeping the combine bit-exact.
+
+    Distribution shape: each per-field retrieval is the engine's
+    fan-out; the combine joins RESULT-SIZED match sets on the driver
+    (bounded by matching docs, never the corpus — the radial bound).  A
+    corpus where single-query match sets exceed driver memory would
+    fuse the combine into the segment tasks instead (same math).
+    """
+    if match_type not in ("best_fields", "most_fields"):
+        raise ValueError("match_type must be best_fields | most_fields")
+    if not searchers:
+        raise ValueError("searchers must be non-empty")
+    if not (0.0 <= tie_breaker <= 1.0):
+        raise ValueError("tie_breaker must be in [0, 1]")
+    fields = sorted(searchers)
+    key_cols = searchers[fields[0]].key_cols
+    for f in fields:
+        if searchers[f].key_cols != key_cols:
+            raise ValueError("all field indexes must share key columns")
+    frames = []
+    for f in fields:
+        df = searchers[f].search(queries, min_score=1e-300)
+        frames.append(df.set_index(["query_id", *key_cols])["score"]
+                        .rename(f))
+    m = pd.concat(frames, axis=1)
+    if m.empty:
+        out = pd.DataFrame(columns=["query_id", *key_cols, "score"])
+        out["rank"] = pd.Series(dtype="int64")
+        return out[["query_id", "rank", *key_cols, "score"]]
+    m = m.fillna(0.0)
+    arr = m[fields].to_numpy(dtype=np.float64)
+    total = arr[:, 0].copy()
+    for j in range(1, arr.shape[1]):      # sorted-field-order fp chain
+        total = total + arr[:, j]
+    if match_type == "most_fields":
+        score = total
+    else:
+        best = arr.max(axis=1)
+        score = best + tie_breaker * (total - best)
+    out = m.reset_index()[["query_id", *key_cols]]
+    out["score"] = score
+    out = out.sort_values(["query_id", "score", *key_cols],
+                          ascending=[True, False] + [True] * len(key_cols),
+                          kind="mergesort")
+    out = out.groupby("query_id", sort=False).head(k)
+    out["rank"] = out.groupby("query_id", sort=False).cumcount() + 1
+    return out[["query_id", "rank", *key_cols,
+                "score"]].reset_index(drop=True)

@@ -44,6 +44,17 @@ Supported bodies (one top-level clause per query):
                     "n": 3}}
     {"histogram":  {"query": "...", "field": col, "interval": w,
                 "min_score": f}}       # numeric-bucket counts
+    {"cardinality":  {"query": "...", "field": col, "min_score": f}}
+    {"percentiles":  {"query": "...", "field": col, "min_score": f,
+                      "percents": [0.25, 0.5, ...]}}
+    {"significant_terms": {"query": "...", "field": col,
+                      "min_score": f, "size": n}}
+    {"filters_agg":  {"query": "...", "min_score": f,
+                      "filters": {name: filter_spec, ...}}}
+    {"terms_stats":  {"query": "...", "field": bucket_col,
+                      "value_field": int_col, "min_score": f}}
+    {"composite":    {"query": "...", "field": col, "size": n,
+                      "min_score": f, "after": key|null}}
     {"match_phrase_prefix": {"query": "fast mer", "k": 10,
                 "max_expansions": 50}}     # phrase + last-term prefix
     {"regexp":   {"value": "s.*t", "k": 10, "max_expansions": 50}}
@@ -89,6 +100,12 @@ _RANGE_AGG_FIELDS = {"query", "field", "min_score", "ranges"}
 _DATE_HIST_FIELDS = {"query", "field", "min_score", "calendar_interval"}
 _TOP_HITS_FIELDS = {"query", "field", "min_score", "n"}
 _STATS_FIELDS = {"query", "field", "min_score"}
+_CARD_FIELDS = {"query", "field", "min_score"}
+_PCTL_FIELDS = {"query", "field", "min_score", "percents"}
+_SIG_FIELDS = {"query", "field", "min_score", "size"}
+_FILTERS_AGG_FIELDS = {"query", "filters", "min_score"}
+_TERMS_STATS_FIELDS = {"query", "field", "value_field", "min_score"}
+_COMPOSITE_FIELDS = {"query", "field", "size", "min_score", "after"}
 _HIST_FIELDS = {"query", "field", "interval", "min_score"}
 _MODES = {"taat", "wand", "rescore", "phrase"}
 _METRICS = {"cosine", "l2", "innerproduct", "l1", "linf", "hamming"}
@@ -325,6 +342,49 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
                 raise ValueError("[histogram] needs a positive 'interval'")
             out["interval"] = float(spec["interval"])
         return out
+    if clause in ("cardinality", "percentiles", "significant_terms",
+                  "filters_agg", "terms_stats", "composite"):
+        allowed = {"cardinality": _CARD_FIELDS,
+                   "percentiles": _PCTL_FIELDS,
+                   "significant_terms": _SIG_FIELDS,
+                   "filters_agg": _FILTERS_AGG_FIELDS,
+                   "terms_stats": _TERMS_STATS_FIELDS,
+                   "composite": _COMPOSITE_FIELDS}[clause]
+        _require_known(clause, spec, allowed)
+        if not isinstance(spec.get("query"), str) or not spec["query"]:
+            raise ValueError(f"[{clause}] needs a non-empty 'query'")
+        if "min_score" not in spec:
+            raise ValueError(f"[{clause}] needs 'min_score'")
+        out = {"type": clause, "query": spec["query"],
+               "min_score": float(spec["min_score"])}
+        if clause == "filters_agg":
+            fl = spec.get("filters")
+            if not isinstance(fl, dict) or not fl:
+                raise ValueError("[filters_agg] needs a non-empty "
+                                 "'filters' {name: spec} object")
+            for sub in fl.values():
+                compile_filter(sub)
+            out["filters"] = fl
+            return out
+        if "field" not in spec:
+            raise ValueError(f"[{clause}] needs a 'field' column name")
+        out["field"] = spec["field"]
+        if clause == "percentiles":
+            ps = spec.get("percents", [0.25, 0.5, 0.75, 0.9, 0.99])
+            if not isinstance(ps, list) or not ps:
+                raise ValueError("[percentiles] 'percents' must be a "
+                                 "non-empty list of fractions")
+            out["percents"] = [float(p) for p in ps]
+        elif clause == "significant_terms":
+            out["size"] = int(spec.get("size", 10))
+        elif clause == "terms_stats":
+            if "value_field" not in spec:
+                raise ValueError("[terms_stats] needs 'value_field'")
+            out["value_field"] = spec["value_field"]
+        elif clause == "composite":
+            out["size"] = int(spec.get("size", 10))
+            out["after"] = spec.get("after")
+        return out
     if clause in ("range_agg", "date_histogram", "top_hits"):
         allowed = {"range_agg": _RANGE_AGG_FIELDS,
                    "date_histogram": _DATE_HIST_FIELDS,
@@ -479,6 +539,46 @@ def execute_query(body: dict[str, Any], *, searcher=None, vector_ds=None,
                                      group_col=spec["field"],
                                      n=spec["n"],
                                      min_score=spec["min_score"])
+    if spec["type"] == "cardinality":
+        if searcher is None:
+            raise ValueError("[cardinality] needs searcher=")
+        return searcher.cardinality_agg({query_id: spec["query"]},
+                                        field=spec["field"],
+                                        min_score=spec["min_score"])
+    if spec["type"] == "percentiles":
+        if searcher is None:
+            raise ValueError("[percentiles] needs searcher=")
+        return searcher.percentiles_agg({query_id: spec["query"]},
+                                        value_col=spec["field"],
+                                        percents=spec["percents"],
+                                        min_score=spec["min_score"])
+    if spec["type"] == "significant_terms":
+        if searcher is None:
+            raise ValueError("[significant_terms] needs searcher=")
+        return searcher.significant_terms_agg(
+            {query_id: spec["query"]}, field=spec["field"],
+            min_score=spec["min_score"], size=spec["size"])
+    if spec["type"] == "filters_agg":
+        if searcher is None:
+            raise ValueError("[filters_agg] needs searcher=")
+        return searcher.filters_agg({query_id: spec["query"]},
+                                    spec["filters"],
+                                    min_score=spec["min_score"])
+    if spec["type"] == "terms_stats":
+        if searcher is None:
+            raise ValueError("[terms_stats] needs searcher=")
+        return searcher.terms_stats_agg({query_id: spec["query"]},
+                                        group_col=spec["field"],
+                                        value_col=spec["value_field"],
+                                        min_score=spec["min_score"])
+    if spec["type"] == "composite":
+        if searcher is None:
+            raise ValueError("[composite] needs searcher=")
+        return searcher.composite_agg({query_id: spec["query"]},
+                                      field=spec["field"],
+                                      size=spec["size"],
+                                      min_score=spec["min_score"],
+                                      after=spec["after"])
     if spec["type"] == "histogram":
         if searcher is None:
             raise ValueError("[histogram] needs searcher=")

@@ -50,6 +50,22 @@ def documents_index(sf_dir: str) -> str:
     return idx
 
 
+def documents_field_index(sf_dir: str, field: str) -> str:
+    """Build (once) a PER-FIELD BM25 index over one documents column —
+    the multi_match substrate: each field is its own index with its own
+    postings and df/N/avgdl (Lucene's per-field term spaces)."""
+    spec = IndexSpec(text_col=field, key_cols=("doc_id",),
+                     store_cols=(), ts_col="")
+    key = os.path.basename(os.path.normpath(sf_dir))
+    idx = os.path.join(
+        CACHE_ROOT, f"docidx_{key}_f{field}_{DOCUMENTS_CFG.fingerprint()}")
+    if not _index_complete(idx):
+        src = os.path.join(sf_dir, "documents.parquet")
+        build_index(src, idx, DOCUMENTS_CFG, spec,
+                    lineage={"source": src, "field": field})
+    return idx
+
+
 def transcripts_path(sf_dir: str) -> str:
     """Deterministic synthetic transcripts parquet scaled to the sf."""
     return synth_parquet(n_convs_for_sf(sf_from_dir(sf_dir)))

@@ -1,0 +1,276 @@
+"""Round-3 continuation: cardinality / percentiles / significant_terms /
+filters / terms+stats / composite aggregations — brute-force containment
+oracles on a purpose-built corpus + DSL equivalence.  Hard DuckDB gates
+live in the driver entries (bm25_cardinality .. bm25_composite)."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from opensearch_jvector_ray.config import EngineConfig
+from opensearch_jvector_ray.query import IndexSearcher
+from opensearch_jvector_ray.query_dsl import execute_query, parse_query
+from opensearch_jvector_ray.stages.build import IndexSpec, build_index
+
+TEXTS = ["alpha beta", "alpha gamma", "beta gamma", "alpha beta gamma",
+         "gamma delta", "alpha", "beta", "delta eps", "alpha delta",
+         "beta delta"] * 4
+N = len(TEXTS)
+ROLES = [("user", "assistant", "tool")[i % 3] for i in range(N)]
+TS = [((i * 7) % N) * 1000 for i in range(N)]
+
+
+def _corpus() -> pa.Table:
+    return pa.table({
+        "conv_id": [f"c{i:05d}" for i in range(N)],
+        "turn_idx": pa.array([0] * N, type=pa.int32()),
+        "role": ROLES,
+        "text": pa.array(TEXTS, type=pa.string()),
+        "tool": [("", "search", "python")[i % 3] for i in range(N)],
+        "ts": pa.array(TS, type=pa.timestamp("us")),
+    })
+
+
+@pytest.fixture(scope="module")
+def idx(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("r8") / "idx")
+    build_index(rd.from_arrow(_corpus()), out,
+                EngineConfig(num_segments=3), IndexSpec())
+    return out
+
+
+def _hits(s, q, min_score):
+    out = s.search({"q": q}, min_score=min_score)
+    return [int(c[1:]) for c in out["conv_id"]]
+
+
+MS = 1e-9
+Q = "alpha delta"
+
+
+def test_cardinality_exact(idx):
+    s = IndexSearcher(idx)
+    got = s.cardinality_agg({"q": Q, "qz": "zzznope"}, field="role",
+                            min_score=MS)
+    ids = _hits(s, Q, MS)
+    want = len({ROLES[i] for i in ids})
+    assert dict(zip(got["query_id"], got["cardinality"])) == \
+        {"q": want, "qz": 0}
+
+
+def test_percentiles_quantile_disc_rule(idx):
+    s = IndexSearcher(idx)
+    ps = (0.25, 0.5, 0.9, 1.0)
+    got = s.percentiles_agg({"q": Q}, value_col="ts", percents=ps,
+                            min_score=MS)
+    ids = _hits(s, Q, MS)
+    vals = sorted(TS[i] for i in ids)
+    for q, v in zip(got["quantile"], got["value"]):
+        t = max(1, math.ceil(q * len(vals)))
+        assert v == float(vals[t - 1])
+
+
+def test_significant_terms_jlh(idx):
+    s = IndexSearcher(idx)
+    got = s.significant_terms_agg({"q": Q}, field="role",
+                                  min_score=MS, size=3)
+    ids = _hits(s, Q, MS)
+    fg = pd.Series([ROLES[i] for i in ids]).value_counts()
+    bg = pd.Series(ROLES).value_counts()
+    fg_tot, bg_tot = float(fg.sum()), float(bg.sum())
+    rows = []
+    for v in fg.index:
+        fgp, bgp = fg[v] / fg_tot, bg[v] / bg_tot
+        rows.append((v, round((fgp - bgp) * (fgp / bgp), 6)))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    assert list(got["role"]) == [v for v, _ in rows[:3]]
+    assert list(got["score"]) == [sc for _, sc in rows[:3]]
+
+
+def test_filters_agg_counts_and_zero_fill(idx):
+    s = IndexSearcher(idx)
+    specs = {"users": {"term": {"role": "user"}},
+             "none": {"term": {"role": "ghost"}},
+             "early": {"range": {"ts": {"lt": pd.Timestamp(5000,
+                                                           unit="us")}}}}
+    got = s.filters_agg({"q": Q}, specs, min_score=MS)
+    ids = _hits(s, Q, MS)
+    want = {"users": sum(ROLES[i] == "user" for i in ids),
+            "none": 0,
+            "early": sum(TS[i] < 5000 for i in ids)}
+    assert dict(zip(got["filter_key"], got["doc_count"])) == want
+    assert len(got) == 3      # zero buckets still emitted
+
+
+def test_terms_stats_integer_partials(idx):
+    s = IndexSearcher(idx)
+    got = s.terms_stats_agg({"q": Q}, group_col="role", value_col="ts",
+                            min_score=MS)
+    ids = _hits(s, Q, MS)
+    df = pd.DataFrame({"role": [ROLES[i] for i in ids],
+                       "ts": [TS[i] for i in ids]})
+    for r in got.itertuples():
+        sub = df[df["role"] == r.role]["ts"]
+        assert (r.doc_count, r.v_sum, r.v_min, r.v_max) == \
+            (len(sub), sub.sum(), sub.min(), sub.max())
+        assert r.v_avg == float(sub.sum()) / len(sub)
+
+
+def test_composite_pages_tile_all_buckets(idx):
+    s = IndexSearcher(idx)
+    pages, after = [], None
+    while True:
+        page = s.composite_agg({"q": "alpha beta gamma delta"}, "role",
+                               size=1, min_score=MS, after=after)
+        if page.empty:
+            break
+        pages.append(page)
+        after = page["role"].iloc[-1]
+    allb = pd.concat(pages, ignore_index=True)
+    full = s.composite_agg({"q": "alpha beta gamma delta"}, "role",
+                           size=100, min_score=MS)
+    pd.testing.assert_frame_equal(allb, full)
+    assert list(allb["role"]) == sorted(allb["role"])
+
+
+def test_agg_dsl_equivalence(idx):
+    s = IndexSearcher(idx)
+    cases = [
+        ({"cardinality": {"query": Q, "field": "role",
+                          "min_score": MS}},
+         s.cardinality_agg({"q": Q}, field="role", min_score=MS)),
+        ({"percentiles": {"query": Q, "field": "ts", "min_score": MS,
+                          "percents": [0.5, 0.9]}},
+         s.percentiles_agg({"q": Q}, value_col="ts",
+                           percents=[0.5, 0.9], min_score=MS)),
+        ({"significant_terms": {"query": Q, "field": "role",
+                                "min_score": MS, "size": 2}},
+         s.significant_terms_agg({"q": Q}, field="role", min_score=MS,
+                                 size=2)),
+        ({"filters_agg": {"query": Q, "min_score": MS,
+                          "filters": {"u": {"term": {"role": "user"}}}}},
+         s.filters_agg({"q": Q}, {"u": {"term": {"role": "user"}}},
+                       min_score=MS)),
+        ({"terms_stats": {"query": Q, "field": "role",
+                          "value_field": "ts", "min_score": MS}},
+         s.terms_stats_agg({"q": Q}, group_col="role", value_col="ts",
+                           min_score=MS)),
+        ({"composite": {"query": Q, "field": "role", "size": 2,
+                        "min_score": MS, "after": "assistant"}},
+         s.composite_agg({"q": Q}, field="role", size=2, min_score=MS,
+                         after="assistant")),
+    ]
+    for body, direct in cases:
+        got = execute_query(body, searcher=s)
+        pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                      direct.reset_index(drop=True))
+
+
+def test_agg_dsl_strictness():
+    for bad in (
+        {"cardinality": {"query": "a", "field": "f"}},
+        {"percentiles": {"query": "a", "field": "f", "min_score": 0.1,
+                         "percents": []}},
+        {"significant_terms": {"query": "a", "min_score": 0.1}},
+        {"filters_agg": {"query": "a", "min_score": 0.1,
+                         "filters": {}}},
+        {"filters_agg": {"query": "a", "min_score": 0.1,
+                         "filters": {"x": {"nope": {}}}}},
+        {"terms_stats": {"query": "a", "field": "f",
+                         "min_score": 0.1}},
+        {"composite": {"query": "a", "field": "f", "min_score": 0.1,
+                       "sizes": 2}},
+    ):
+        with pytest.raises(ValueError):
+            parse_query(bad)
+
+
+def test_agg_validation(idx):
+    s = IndexSearcher(idx)
+    with pytest.raises(ValueError, match="percents"):
+        s.percentiles_agg({"q": Q}, "ts", [], MS)
+    with pytest.raises(ValueError, match="fractions"):
+        s.percentiles_agg({"q": Q}, "ts", [25.0], MS)
+    with pytest.raises(ValueError, match="non-empty"):
+        s.filters_agg({"q": Q}, {}, MS)
+    with pytest.raises(ValueError, match="not a stored"):
+        s.terms_stats_agg({"q": Q}, "role", "zz", MS)
+    with pytest.raises(ValueError, match="size"):
+        s.composite_agg({"q": Q}, "role", 0, MS)
+
+
+# ---------------------------------------------------------------------------
+# multi_match / dis_max
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def field_indexes(tmp_path_factory):
+    root = tmp_path_factory.mktemp("r8mm")
+    out = {}
+    for f in ("text", "role"):
+        idx = str(root / f"idx_{f}")
+        build_index(rd.from_arrow(_corpus()), idx,
+                    EngineConfig(num_segments=2),
+                    IndexSpec(text_col=f, key_cols=("conv_id",),
+                              store_cols=(), ts_col=""))
+        out[f] = IndexSearcher(idx)
+    return out
+
+
+def test_multi_match_formulas(field_indexes):
+    from opensearch_jvector_ray.query import multi_match
+    q = {"q": "alpha user"}
+    per = {f: s.search(q, min_score=1e-300)
+             .set_index("conv_id")["score"]
+           for f, s in field_indexes.items()}
+    m = pd.concat([per["role"].rename("role"),
+                   per["text"].rename("text")], axis=1).fillna(0.0)
+    total = m["role"] + m["text"]          # sorted-field chain
+    best = np.maximum(m["role"], m["text"])
+
+    most = multi_match(field_indexes, q, k=100,
+                       match_type="most_fields")
+    exp = total.sort_values(ascending=False)
+    got = dict(zip(most["conv_id"], most["score"]))
+    for c, v in got.items():
+        assert v == float(total[c])
+    assert len(most) == len(exp)
+
+    for tie in (0.0, 0.3):
+        bf = multi_match(field_indexes, q, k=100,
+                         match_type="best_fields", tie_breaker=tie)
+        want = best + tie * (total - best)
+        for c, v in zip(bf["conv_id"], bf["score"]):
+            assert v == float(want[c])
+        # ranking follows the combined score desc, key asc
+        w = want.reset_index().rename(columns={0: "s"})
+        w.columns = ["conv_id", "s"]
+        w = w.sort_values(["s", "conv_id"], ascending=[False, True])
+        assert list(bf["conv_id"]) == list(w["conv_id"])
+
+
+def test_multi_match_pure_dismax_is_max(field_indexes):
+    from opensearch_jvector_ray.query import multi_match
+    q = {"q": "beta assistant"}
+    bf = multi_match(field_indexes, q, k=100, match_type="best_fields",
+                     tie_breaker=0.0)
+    per = {f: s.search(q, min_score=1e-300).set_index("conv_id")["score"]
+           for f, s in field_indexes.items()}
+    m = pd.concat([per["role"], per["text"]], axis=1).fillna(0.0)
+    best = m.max(axis=1)
+    for c, v in zip(bf["conv_id"], bf["score"]):
+        assert v == float(best[c])
+
+
+def test_multi_match_validation(field_indexes):
+    from opensearch_jvector_ray.query import multi_match
+    with pytest.raises(ValueError, match="match_type"):
+        multi_match(field_indexes, {"q": "x"}, match_type="cross")
+    with pytest.raises(ValueError, match="tie_breaker"):
+        multi_match(field_indexes, {"q": "x"}, tie_breaker=1.5)
+    with pytest.raises(ValueError, match="non-empty"):
+        multi_match({}, {"q": "x"})
