@@ -30,6 +30,7 @@ from opensearch_jvector_ray.oracles import (
     filter_spec_sql, function_score_mul_sql,
     cardinality_sql, percentiles_sql, significant_terms_sql,
     filters_agg_sql, terms_stats_sql, composite_sql, multi_match_sql,
+    span_near_sql, constant_score_sql, boosting_query_sql,
     events_sessionize_sql, events_window_sql, exact_dedup_sql,
     byte_knn_sql, corpus_clean_sql, embedding_dups_sql, ivf_fixed_sql, revenue_by_nation_sql, simhash_sql,
     revenue_by_region_brand_sql, top_order_revenue_sql, transcripts_bm25_sql,
@@ -184,6 +185,30 @@ def _q_bm25_decay_recency(sf_dir: str) -> pd.DataFrame:
 def _q_bm25_phrase(sf_dir: str) -> pd.DataFrame:
     s = IndexSearcher(documents_index(sf_dir))
     return _round_hits(s.search(PHRASE_QUERIES, k=BM25_K, mode="phrase"))
+
+
+def _q_bm25_constant_score(sf_dir: str) -> pd.DataFrame:
+    # constant_score: filter context — every match scores exactly the
+    # boost, ranking degenerates to the key-asc tie order
+    s = IndexSearcher(documents_index(sf_dir))
+    return _round_hits(s.search(BM25_QUERIES, k=BM25_K,
+                                const_score=CONST_SCORE))
+
+
+def _q_bm25_boosting(sf_dir: str) -> pd.DataFrame:
+    # boosting query: positive BM25 with negative-clause demotion
+    s = IndexSearcher(documents_index(sf_dir))
+    return _round_hits(s.search(BM25_QUERIES, k=BM25_K,
+                                negative=BOOSTING_NEG,
+                                negative_boost=NEGATIVE_BOOST))
+
+
+def _q_bm25_span_near(sf_dir: str) -> pd.DataFrame:
+    # unordered proximity: all terms within a width (n_terms + slop)
+    # window on the pre-stopword position axis; tf = valid window starts
+    s = IndexSearcher(documents_index(sf_dir))
+    return _round_hits(s.search(SPAN_QUERIES, k=BM25_K, mode="span",
+                                slop=SPAN_SLOP))
 
 
 def _q_bm25_boolean(sf_dir: str) -> pd.DataFrame:
@@ -402,6 +427,13 @@ MULTI_MATCH_QUERIES = {
     "m3": "customer scan zh",
 }
 MULTI_MATCH_TIE = 0.3
+SPAN_QUERIES = {"s1": "fast sort", "s2": "data join",
+                "s3": "customer scan"}
+SPAN_SLOP = 3
+CONST_SCORE = 1.7
+BOOSTING_NEG = {"q1": "data window", "q2": "sort", "q3": "merge",
+                "q4": "query"}
+NEGATIVE_BOOST = 0.4
 
 
 def _q_bm25_range_agg(sf_dir: str) -> pd.DataFrame:
@@ -1546,6 +1578,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_decay_recency": _q_bm25_decay_recency,
         "bm25_radial": _q_bm25_radial,
         "bm25_phrase": _q_bm25_phrase,
+        "bm25_span_near": _q_bm25_span_near,
+        "bm25_constant_score": _q_bm25_constant_score,
+        "bm25_boosting": _q_bm25_boosting,
         "bm25_boolean": _q_bm25_boolean,
         "bm25_min_should_match": _q_bm25_min_should_match,
         "bm25_highlight": _q_bm25_highlight,
@@ -1738,6 +1773,12 @@ def oracle_sql() -> dict[str, str]:
         "bm25_radial": bm25_sql(RADIAL_QUERY, CFG.max_k, CFG,
                                 min_score=RADIAL_MIN_SCORE),
         "bm25_phrase": phrase_sql(PHRASE_QUERIES, BM25_K, CFG),
+        "bm25_span_near": span_near_sql(SPAN_QUERIES, BM25_K, CFG,
+                                        slop=SPAN_SLOP),
+        "bm25_constant_score": constant_score_sql(BM25_QUERIES, BM25_K,
+                                                  CONST_SCORE, CFG),
+        "bm25_boosting": boosting_query_sql(BM25_QUERIES, BOOSTING_NEG,
+                                            BM25_K, NEGATIVE_BOOST, CFG),
         "bm25_boolean": boolean_sql(BOOLEAN_QUERIES, BM25_K, CFG),
         "bm25_min_should_match": boolean_sql(MSM_QUERIES, BM25_K, CFG,
                                              msm=MSM_N),

@@ -658,6 +658,67 @@ ORDER BY query_id, {group_col}, bucket_rank
 """
 
 
+def constant_score_sql(queries: dict[str, str], k: int, boost: float,
+                       cfg: EngineConfig, table: str = "documents",
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> str:
+    """Oracle for search(const_score=): every doc matching any analyzed
+    query term scores exactly ``boost``; ranking is the key-asc tie
+    order (all scores equal)."""
+    qt_rows = []
+    for qid, text in sorted(queries.items()):
+        for term, _ in query_term_weights(text, cfg):
+            qt_rows.append(f"({sql_quote(qid)}, {sql_quote(term)})")
+    qt_values = ",\n       ".join(qt_rows) if qt_rows else \
+        "('__none__', '__none__')"
+    return f"""
+WITH {toks_cte(cfg, table, id_col, text_col)},
+qt(query_id, term) AS (VALUES {qt_values}),
+hits AS (
+  SELECT DISTINCT qt.query_id, toks.{id_col}
+  FROM qt JOIN toks ON toks.term = qt.term
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {id_col} ASC) AS rank,
+         {id_col}
+  FROM hits
+)
+SELECT query_id, rank, {id_col},
+       {round(float(boost), 6)!r} AS score
+FROM ranked WHERE rank <= {int(k)}
+ORDER BY query_id, rank
+"""
+
+
+def boosting_query_sql(queries: dict[str, str],
+                       negatives: dict[str, str], k: int,
+                       negative_boost: float, cfg: EngineConfig,
+                       table: str = "documents", id_col: str = "doc_id",
+                       text_col: str = "text") -> str:
+    """Oracle for search(negative=): the shared BM25 CTE over the
+    positive clause, with docs matching any analyzed negative term
+    demoted by negative_boost (multiply; non-matching docs multiply by
+    exactly 1.0 — an IEEE identity, so positives stay bit-equal)."""
+    arms = []
+    for qid in sorted(queries):
+        terms = sorted({t for t, _ in
+                        query_term_weights(negatives.get(qid, ""), cfg)})
+        if not terms:
+            continue
+        in_list = ", ".join(sql_quote(t) for t in terms)
+        arms.append(
+            f"WHEN {sql_quote(qid)} THEN (CASE WHEN EXISTS ("
+            f"SELECT 1 FROM toks tk WHERE tk.{id_col} = __b.{id_col} "
+            f"AND tk.term IN ({in_list})) "
+            f"THEN {float(negative_boost)!r} ELSE 1.0 END)")
+    mul = ("CASE s.query_id " + " ".join(arms) + " ELSE 1.0 END") \
+        if arms else "1.0"
+    return bm25_sql(queries, k, cfg, table=table, id_col=id_col,
+                    text_col=text_col, score_mul_sql=mul)
+
+
 def multi_match_sql(queries: dict[str, str], k: int, cfg: EngineConfig,
                     fields: list[str], match_type: str = "best_fields",
                     tie_breaker: float = 0.0,
@@ -1108,6 +1169,72 @@ SELECT {sql_quote(qid)} AS query_id, p.{id_col},
 FROM (
   SELECT {id_col}, count(*)::DOUBLE AS tf
   FROM (SELECT {id_col}, toks, unnest(range(1, len(toks) + 1)) AS i
+        FROM tokpos) u
+  WHERE {' AND '.join(conds)}
+  GROUP BY {id_col}
+) p JOIN dl ON dl.{id_col} = p.{id_col}""")
+    union = "\nUNION ALL\n".join(per_query)
+    return f"""
+WITH {toks_cte(cfg, table, id_col, text_col)},
+tokpos AS (
+  SELECT {id_col},
+         list_filter(regexp_split_to_array(lower({text_col}), {pat}),
+                     x -> x <> '') AS toks
+  FROM {table}
+),
+dl AS (
+  SELECT {id_col}, count(*)::DOUBLE AS dl FROM toks GROUP BY {id_col}
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl
+),
+idf AS (
+  SELECT term,
+         ln(1.0 + ((SELECT n FROM stats) - count(DISTINCT {id_col}) + 0.5)
+                  / (count(DISTINCT {id_col}) + 0.5)) AS idf
+  FROM toks GROUP BY term
+),
+scores AS ({union}),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score__raw DESC, {id_col} ASC) AS rank,
+         {id_col}, score__raw
+  FROM scores
+)
+SELECT query_id, rank, {id_col}, round(score__raw, 6) AS score
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+def span_near_sql(queries: dict[str, str], k: int, cfg: EngineConfig,
+                  slop: int = 0, table: str = "documents",
+                  id_col: str = "doc_id", text_col: str = "text") -> str:
+    """Unordered-proximity BM25 oracle (query.SegmentSearcher._span_near
+    mirror): with W = n_distinct_terms + slop, tf = number of start
+    positions i in [2-W, len(toks)] whose width-W window (clamped at the
+    list ends) contains every distinct query term; score = idf_sum *
+    tf/(tf + k1*norm) — the phrase scorer with windowed containment.
+    Positions are PRE-stopword indices on both sides."""
+    from opensearch_jvector_ray.analyze import analyze_query
+    pat = sql_quote(cfg.split_pattern)
+    per_query = []
+    for qid, text in sorted(queries.items()):
+        words = list(dict.fromkeys(analyze_query(text, cfg)))
+        w_n = len(words) + int(slop)
+        conds = [f"list_contains(toks[greatest(i, 1) : i + {w_n - 1}], "
+                 f"{sql_quote(w)})" for w in words]
+        idf_terms = " + ".join(
+            f"(SELECT idf FROM idf WHERE term = {sql_quote(w)})"
+            for w in words)
+        per_query.append(f"""
+SELECT {sql_quote(qid)} AS query_id, p.{id_col},
+       ({idf_terms})
+       * (p.tf / (p.tf + {cfg.k1!r} * (1.0 - {cfg.b!r} + {cfg.b!r} * dl.dl / (SELECT avgdl FROM stats)))) AS score__raw
+FROM (
+  SELECT {id_col}, count(*)::DOUBLE AS tf
+  FROM (SELECT {id_col}, toks,
+               unnest(range({2 - w_n}, len(toks) + 1)) AS i
         FROM tokpos) u
   WHERE {' AND '.join(conds)}
   GROUP BY {id_col}

@@ -360,6 +360,35 @@ def _agg_partial(agg: dict, docs: pa.Table, ords: np.ndarray,
             "bucket": pa.array(ub, type=pa.timestamp("us")),
             "doc_count": pa.array(cnt.astype(np.int64), type=pa.int64()),
         })
+    if agg["kind"] == "hll":
+        # HyperLogLog partial [Flajolet et al. 2007 public algorithm;
+        # the OpenSearch cardinality-agg sketch shape]: per segment,
+        # registers = max leading-zero rank per bucket of the md5-64
+        # hash of each DISTINCT value.  The partial is <= 2^p rows of
+        # (reg, rho) — FIXED-size regardless of corpus, the true
+        # 100-TB combiner (the exact path's partials grow with the
+        # distinct count).  md5 keeps the sketch deterministic across
+        # runs and processes; hashing is per UNIQUE value (bounded).
+        import hashlib
+        p_bits = int(agg["precision"])
+        uniq = pc.unique(vals).to_pylist()
+        regs: dict[int, int] = {}
+        low_bits = 64 - p_bits
+        low_mask = (1 << low_bits) - 1
+        for v in uniq:
+            h = int.from_bytes(
+                hashlib.md5(str(v).encode()).digest()[:8], "big")
+            idx = h >> low_bits
+            rem = h & low_mask
+            rho = low_bits - rem.bit_length() + 1
+            if regs.get(idx, 0) < rho:
+                regs[idx] = rho
+        items = sorted(regs.items())
+        return pa.table({
+            "query_id": pa.array([qid] * len(items), type=pa.string()),
+            "reg": pa.array([r for r, _ in items], type=pa.int64()),
+            "rho": pa.array([x for _, x in items], type=pa.int64()),
+        })
     if agg["kind"] == "terms":
         if agg.get("after") is not None:
             # composite-agg pagination pushdown: buckets strictly after
@@ -560,6 +589,10 @@ class SegmentSearcher:
                 cols["filter_key"] = pa.array([], type=pa.string())
                 cols["doc_count"] = pa.array([], type=pa.int64())
                 return pa.table(cols)
+            if agg["kind"] == "hll":
+                cols["reg"] = pa.array([], type=pa.int64())
+                cols["rho"] = pa.array([], type=pa.int64())
+                return pa.table(cols)
             if agg["kind"] == "terms_stats":
                 cols[agg["col"]] = pa.array([], type=self.p["agg_type"])
                 for c in ("doc_count", "v_sum", "v_min", "v_max"):
@@ -665,6 +698,12 @@ class SegmentSearcher:
                     continue          # a phrase term missing => no match
                 ords, scores = self._phrase(q["terms"], rows, dl, mask,
                                             q["k"], tie)
+            elif mode == "span":
+                if len(terms) != len(q["terms"]):
+                    continue          # containment needs every term
+                ords, scores = self._span_near(q["terms"], rows, dl,
+                                               mask, q["k"], p["slop"],
+                                               tie)
             elif mode == "wand":
                 cursors = [_TermCursor(rows[t], w * idf, self.k1, self.b,
                                        self.avgdl,
@@ -712,6 +751,13 @@ class SegmentSearcher:
                     after = (float(sa["score"]),
                              lambda o, _k=sa["key"]: _key_gt(docs, key_names,
                                                              o, _k))
+                neg = None
+                if p.get("neg") is not None:
+                    negmask = np.zeros(len(dl), dtype=bool)
+                    for t in p["neg"].get(q["query_id"], ()):
+                        if t in decoded:
+                            negmask[decoded[t][0]] = True
+                    neg = (negmask, p["negative_boost"])
                 ords, scores = self._taat(terms, decoded, dl, mask, q["k"],
                                           rescore=p["rescore_oversample"] if mode == "rescore" else None,
                                           tie=tie,
@@ -719,7 +765,9 @@ class SegmentSearcher:
                                           after=after, boost=boost,
                                           sort_key=sortnum,
                                           sort_desc=bool(sort_spec and
-                                                         sort_spec["desc"]))
+                                                         sort_spec["desc"]),
+                                          neg=neg,
+                                          const=p.get("const"))
             if agg is not None:
                 # aggregation partial over this segment's qualifying
                 # docs — only aggregate-sized rows leave the task (A2's
@@ -794,6 +842,76 @@ class SegmentSearcher:
         cand_ords = np.array(cand_ords, dtype=np.int64)
         tf = np.array(cand_tf, dtype=np.float64)
         sc = idf_sum * bm25_tf_part(tf, dl[cand_ords], self.avgdl, self.k1, self.b)
+        scores = np.zeros(len(dl), dtype=np.float64)
+        scores[cand_ords] = sc
+        return _topk_from_scores(scores, cand_ords, k, tie)
+
+    def _span_near(self, terms, rows, dl, mask, k, slop, tie=None):
+        """Unordered proximity scoring [Lucene SpanNearQuery-shaped;
+        window rule defined here and mirrored symbol-for-symbol by the
+        SQL oracle]: with window width W = n_distinct_terms + slop, a
+        match start is any position s (on the PRE-stopword axis, s may
+        hang off either end) whose width-W window contains at least one
+        occurrence of EVERY distinct query term; tf = number of such
+        starts, score = idf_sum * tf/(tf + k1*(1-b+b*dl/avgdl)) — the
+        phrase scorer with windowed containment instead of adjacency.
+
+        Per doc the valid-start set is the intersection over terms of
+        the union of [p-W+1, p] intervals (computed with one diff-array
+        cumsum per term — vectorized, no per-position Python loop)."""
+        from opensearch_jvector_ray.postings import decode_positions
+        # distinct terms, first-occurrence analyzed order (idf_sum over
+        # the distinct set)
+        seen: dict[str, tuple] = {}
+        for (t, w, idf) in terms:
+            if t not in seen:
+                seen[t] = (t, w, idf)
+        dterms = list(seen.values())
+        idf_sum = float(sum(w * idf for (_, w, idf) in dterms))
+        W = len(dterms) + int(slop)
+        per_term = []
+        for (t, _, _) in dterms:
+            r = rows[t]
+            ords, tfs = decode_posting_list(
+                r["ords_enc"], r["tfs_enc"],
+                codec=self.p.get("codec", "varint"), df=r["df"],
+                block_size=self.p.get("block_size", 128),
+                blk_n=r.get("blk_n"))
+            flat, offs = decode_positions(r["pos_enc"], tfs)
+            per_term.append((ords, flat, offs))
+        common = per_term[0][0]
+        for ords, _, _ in per_term[1:]:
+            common = common[np.isin(common, ords, assume_unique=True)]
+        if mask is not None and len(common):
+            common = common[mask[common]]
+        cand_ords, cand_tf = [], []
+        for o in common.tolist():
+            acc = None
+            L = 0
+            poss = []
+            for (ords, flat, offs) in per_term:
+                i = int(np.searchsorted(ords, o))
+                pos = flat[offs[i]:offs[i + 1]]
+                poss.append(pos)
+                L = max(L, int(pos.max()) + 1)
+            for pos in poss:
+                d = np.zeros(L + W + 1, dtype=np.int32)
+                np.add.at(d, pos, 1)
+                np.add.at(d, pos + W, -1)
+                b = np.cumsum(d[:-1]) > 0
+                acc = b if acc is None else acc & b
+                if not acc.any():
+                    break
+            tf = int(acc.sum()) if acc is not None else 0
+            if tf:
+                cand_ords.append(o)
+                cand_tf.append(tf)
+        if not cand_ords:
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+        cand_ords = np.array(cand_ords, dtype=np.int64)
+        tf = np.array(cand_tf, dtype=np.float64)
+        sc = idf_sum * bm25_tf_part(tf, dl[cand_ords], self.avgdl,
+                                    self.k1, self.b)
         scores = np.zeros(len(dl), dtype=np.float64)
         scores[cand_ords] = sc
         return _topk_from_scores(scores, cand_ords, k, tie)
@@ -896,7 +1014,7 @@ class SegmentSearcher:
 
     def _taat(self, terms, decoded, dl, mask, k, rescore=None, tie=None,
               min_score=None, after=None, boost=None, sort_key=None,
-              sort_desc=False):
+              sort_desc=False, neg=None, const=None):
         """Term-at-a-time vectorized scoring; optional two-pass rescore.
 
         ``min_score`` switches to the UNCAPPED radial predicate (O5 is a
@@ -952,9 +1070,20 @@ class SegmentSearcher:
             # a zero multiplier (e.g. beyond a linear decay's reach)
             # drops the doc — the score>0 match predicate is preserved
             scores *= boost
+        if neg is not None:
+            # boosting query [OpenSearch boosting-query public
+            # semantics]: docs matching the negative clause keep
+            # matching but are DEMOTED by negative_boost
+            negmask, nb = neg
+            scores[negmask] *= nb
         if mask is not None:
             scores[~mask] = 0.0
         candidates = np.flatnonzero(scores > 0.0)
+        if const is not None:
+            # constant_score [OpenSearch constant_score public
+            # semantics]: every matching doc scores exactly ``boost`` —
+            # ranking degenerates to the key-asc tie order
+            scores[candidates] = const
         self._counters["candidates_scored"] = (
             self._counters.get("candidates_scored", 0) + len(candidates))
         if after is not None and len(candidates):
@@ -1638,19 +1767,49 @@ class IndexSearcher:
 
     def cardinality_agg(self, queries: dict[str, str], field: str,
                         min_score: float,
+                        approx: bool = False, precision: int = 12,
                         concurrency: int | None = None) -> pd.DataFrame:
-        """Cardinality aggregation over the radial match set: EXACT
-        distinct count of a stored column per query [OpenSearch
-        cardinality-agg public semantics — which is approximate HLL;
-        this engine computes the exact count, a strictly stronger
-        answer].  Partial = per-segment distinct (value, count) rows, so
-        the driver merges distinct-value-sized frames — fine for
-        categorical fields; a 100-TB high-cardinality column would want
-        the HLL sketch instead (documented bound)."""
-        df = self._agg_fanout(queries, {"kind": "terms", "col": field},
-                              min_score, None, concurrency)
+        """Cardinality aggregation over the radial match set [OpenSearch
+        cardinality-agg public semantics].
+
+        Default: EXACT distinct count (strictly stronger than
+        OpenSearch's HLL answer).  Partial = per-segment distinct
+        (value, count) rows — the driver merges distinct-value-sized
+        frames, fine for categorical fields.
+
+        ``approx=True``: HyperLogLog sketch (the OpenSearch shape and
+        the 100-TB path) — each segment ships <= 2^precision (reg, rho)
+        rows regardless of corpus size, merged by per-register max; the
+        estimate applies the standard bias correction + linear counting
+        for the small range.  Deterministic (md5 hash family), typical
+        error ~1.04/sqrt(2^precision)."""
         cols = ["query_id", "cardinality"]
         base = pd.DataFrame({"query_id": sorted(queries)})
+        if approx:
+            if not (4 <= precision <= 16):
+                raise ValueError("precision must be in [4, 16]")
+            df = self._agg_fanout(queries,
+                                  {"kind": "hll", "col": field,
+                                   "precision": int(precision)},
+                                  min_score, None, concurrency)
+            m = 1 << precision
+            alpha = 0.7213 / (1.0 + 1.079 / m)
+            ests = {}
+            if not df.empty:
+                for qid, g in df.groupby("query_id", sort=True):
+                    regs = g.groupby("reg")["rho"].max()
+                    z = float(np.sum(np.power(2.0, -regs.values)))
+                    z += m - len(regs)          # empty registers: 2^-0
+                    e = alpha * m * m / z
+                    v = m - len(regs)
+                    if e <= 2.5 * m and v > 0:  # linear counting range
+                        e = m * np.log(m / v)
+                    ests[qid] = int(round(e))
+            base["cardinality"] = base["query_id"].map(ests) \
+                .fillna(0).astype(np.int64)
+            return base[cols]
+        df = self._agg_fanout(queries, {"kind": "terms", "col": field},
+                              min_score, None, concurrency)
         if df.empty:
             base["cardinality"] = np.int64(0)
             return base[cols]
@@ -1997,7 +2156,11 @@ class IndexSearcher:
                search_after: dict[str, tuple] | None = None,
                minimum_should_match: int | None = None,
                score_fn: dict | None = None,
-               sort: tuple[str, str] | None = None) -> pd.DataFrame:
+               sort: tuple[str, str] | None = None,
+               slop: int = 0,
+               negative: dict[str, str] | None = None,
+               negative_boost: float = 0.5,
+               const_score: float | None = None) -> pd.DataFrame:
         """Top-k BM25 for a batch of queries.
 
         ``minimum_should_match`` (boolean mode only) [Lucene BooleanQuery
@@ -2030,6 +2193,27 @@ class IndexSearcher:
         return no rows (the resume token is required).  taat only.
         """
         cfg = self.cfg
+        if const_score is not None:
+            # constant_score [OpenSearch public semantics]: filter
+            # context — every match scores exactly const_score
+            if mode != "taat" or rescore_oversample is not None \
+                    or score_fn is not None or sort is not None:
+                raise ValueError("const_score requires plain taat mode")
+            if const_score <= 0:
+                raise ValueError("const_score must be > 0")
+        if negative is not None:
+            # boosting query [OpenSearch public semantics]: ``queries``
+            # is the positive clause; docs also matching the negative
+            # clause are demoted by negative_boost
+            if mode != "taat" or rescore_oversample is not None:
+                raise ValueError("negative (boosting) requires plain "
+                                 "taat mode")
+            if not (0.0 < negative_boost <= 1.0):
+                raise ValueError("negative_boost must be in (0, 1]")
+        if slop < 0:
+            raise ValueError("slop must be >= 0")
+        if slop and mode != "span":
+            raise ValueError("slop applies to mode='span' only")
         if score_fn is not None and (mode != "taat"
                                      or rescore_oversample is not None):
             raise ValueError("score_fn (function_score) requires plain "
@@ -2083,9 +2267,17 @@ class IndexSearcher:
             queries = {qid: t for qid, t in queries.items()
                        if qid in search_after}
         prepared, union = self._prepare(queries, k_fetch,
-                                        phrase=(mode == "phrase"),
+                                        phrase=(mode in ("phrase",
+                                                         "span")),
                                         boolean=(mode == "boolean"),
                                         term_weights=term_weights)
+        neg_terms = None
+        if negative is not None:
+            neg_terms = {qid: sorted({t for t, _ in
+                                      query_term_weights(txt, cfg)})
+                         for qid, txt in negative.items()}
+            union = sorted(set(union)
+                           | {t for ts in neg_terms.values() for t in ts})
         key_types = []
         if self.seg_dirs:
             docs_schema = pq.read_schema(os.path.join(self.seg_dirs[0], DOCS_NAME))
@@ -2100,6 +2292,11 @@ class IndexSearcher:
             "first_pass_k": cfg_obj.first_pass_k,
             "min_score": min_score,
             "msm": minimum_should_match,
+            "slop": int(slop),
+            "neg": neg_terms,
+            "negative_boost": float(negative_boost),
+            "const": (float(const_score) if const_score is not None
+                      else None),
             "score_fn": score_fn,
             "sort": ({"field": sort[0], "desc": sort[1] == "desc"}
                      if sort is not None else None),
@@ -2144,6 +2341,30 @@ class IndexSearcher:
         df = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
             columns=["query_id", *self.key_cols, "score"])
         return self._finalize(df, k, collapse_col, cap_k=min_score is None)
+
+    def scan(self, queries: dict[str, str], page_size: int = 100):
+        """Scroll analog [OpenSearch scroll / search_after public
+        semantics]: a generator of consecutive ranking pages, resumed
+        with the raw (score, key) boundary of each page — pages tile
+        the full ranking without re-shipping earlier pages (the
+        search_after pushdown).  Queries drop out as they exhaust."""
+        after: dict[str, tuple] | None = None
+        while True:
+            if after is None:
+                page = self.search(queries, k=page_size)
+            else:
+                if not after:
+                    return
+                page = self.search(queries, k=page_size,
+                                   search_after=after)
+            if page.empty:
+                return
+            yield page
+            after = {}
+            for qid, g in page.groupby("query_id", sort=False):
+                last = g.iloc[-1]
+                after[qid] = (float(last["score"]),
+                              *[last[kc] for kc in self.key_cols])
 
     def more_like_this(self, seed_texts: dict[str, str],
                        k: int | None = None,

