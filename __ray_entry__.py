@@ -31,6 +31,7 @@ from opensearch_jvector_ray.oracles import (
     cardinality_sql, percentiles_sql, significant_terms_sql,
     filters_agg_sql, terms_stats_sql, composite_sql, multi_match_sql,
     span_near_sql, constant_score_sql, boosting_query_sql,
+    percolate_sql,
     events_sessionize_sql, events_window_sql, exact_dedup_sql,
     byte_knn_sql, corpus_clean_sql, embedding_dups_sql, ivf_fixed_sql, revenue_by_nation_sql, simhash_sql,
     revenue_by_region_brand_sql, top_order_revenue_sql, transcripts_bm25_sql,
@@ -169,6 +170,63 @@ def _q_bm25_function_score(sf_dir: str) -> pd.DataFrame:
     s = IndexSearcher(documents_index(sf_dir))
     return _round_hits(s.search(BM25_QUERIES, k=BM25_K,
                                 score_fn=FVF_SPEC))
+
+
+N_PARENTS = 5
+PERC_QUERIES = {"r1": "fast merge sort", "r2": "customer value",
+                "r3": "window batch scan"}
+
+
+def _q_percolate(sf_dir: str) -> pd.DataFrame:
+    # percolator (reverse search): which registered queries match each
+    # doc — AND semantics over the analyzed distinct term sets
+    from opensearch_jvector_ray.pipelines.percolate import percolate
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = percolate(ds, PERC_QUERIES, CFG, match_mode="all").to_pandas()
+    return (out.sort_values(["doc_id", "query_id"])
+               .reset_index(drop=True))
+
+
+def _q_has_parent(sf_dir: str) -> pd.DataFrame:
+    # has_parent join [OpenSearch public semantics, score=true]: the
+    # turns (children) of the top-matching conversations (parents),
+    # every child carrying its parent's score; children fetched with a
+    # pushed-down parquet read over the parent id set (the J4 pattern)
+    from opensearch_jvector_ray.sources.tables import (
+        conversations_index, transcripts_path,
+    )
+    s = IndexSearcher(conversations_index(sf_dir))
+    parents = _round_hits(s.search(CONV_QUERIES, k=N_PARENTS))
+    cols = ["query_id", "rank", "conv_id", "turn_idx", "score"]
+    if parents.empty:
+        return pd.DataFrame(columns=cols)
+    convs = sorted(set(parents["conv_id"]))
+    turns = pq.read_table(
+        transcripts_path(sf_dir), columns=["conv_id", "turn_idx"],
+        filters=[("conv_id", "in", convs)]).to_pandas()
+    m = parents[["query_id", "conv_id", "score"]].merge(turns,
+                                                        on="conv_id")
+    m = m.sort_values(["query_id", "score", "conv_id", "turn_idx"],
+                      ascending=[True, False, True, True],
+                      kind="mergesort")
+    m["rank"] = m.groupby("query_id", sort=False).cumcount() + 1
+    m["turn_idx"] = m["turn_idx"].astype(np.int64)
+    return m[cols].reset_index(drop=True)
+
+
+def _q_has_child_max(sf_dir: str) -> pd.DataFrame:
+    # has_child join: conversations ranked by their best matching
+    # turn's BM25 score (score_mode=max)
+    s = IndexSearcher(transcripts_index(sf_dir))
+    return s.has_child_search(TRANSCRIPT_QUERIES, k=10,
+                              score_mode="max")
+
+
+def _q_has_child_sum(sf_dir: str) -> pd.DataFrame:
+    # has_child score_mode=sum: the ordered cross-turn aggregate
+    s = IndexSearcher(transcripts_index(sf_dir))
+    return s.has_child_search(TRANSCRIPT_QUERIES, k=10,
+                              score_mode="sum")
 
 
 def _q_bm25_decay_recency(sf_dir: str) -> pd.DataFrame:
@@ -1576,6 +1634,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_sorted": _q_bm25_sorted,
         "bm25_function_score": _q_bm25_function_score,
         "bm25_decay_recency": _q_bm25_decay_recency,
+        "has_child_max": _q_has_child_max,
+        "has_child_sum": _q_has_child_sum,
+        "has_parent_expand": _q_has_parent,
+        "percolate_all": _q_percolate,
         "bm25_radial": _q_bm25_radial,
         "bm25_phrase": _q_bm25_phrase,
         "bm25_span_near": _q_bm25_span_near,
@@ -1714,6 +1776,49 @@ def _transcripts_oracle() -> str:
                                 _transcript_arms())
 
 
+def _has_parent_oracle() -> str:
+    """has_parent: the conversation-level BM25 oracle (k=N_PARENTS) as
+    a subquery, expanded to turns via a transcripts join; children
+    carry the parent's ROUNDED score, ordered (score desc, conv, turn)."""
+    from opensearch_jvector_ray.oracles import transcripts_arms_cte
+    inner = _conversations_bm25_oracle_k(N_PARENTS)
+    cte = transcripts_arms_cte(_transcript_arms(),
+                               "conv_id, turn_idx")
+    return f"""
+WITH {cte},
+hits AS ({inner})
+SELECT h.query_id,
+       row_number() OVER (PARTITION BY h.query_id
+                          ORDER BY h.score DESC, t.conv_id,
+                                   t.turn_idx) AS rank,
+       t.conv_id, t.turn_idx, h.score
+FROM hits h JOIN transcripts t ON t.conv_id = h.conv_id
+ORDER BY h.query_id, rank
+"""
+
+
+def _conversations_bm25_oracle_k(k: int) -> str:
+    from opensearch_jvector_ray.oracles import transcripts_arms_cte
+    from opensearch_jvector_ray.sources.tables import TRANSCRIPTS_CFG
+    cte = transcripts_arms_cte(_transcript_arms(),
+                               "conv_id, turn_idx, role, text")
+    prefix = (f"{cte},\nconversations AS (\n"
+              "  SELECT conv_id,\n"
+              "         string_agg(role || ': ' || text, chr(10)"
+              " ORDER BY turn_idx) AS conv_text\n"
+              "  FROM transcripts GROUP BY conv_id\n)")
+    return bm25_sql(CONV_QUERIES, k, TRANSCRIPTS_CFG,
+                    table="conversations", id_col="conv_id",
+                    text_col="conv_text", prefix_cte=prefix)
+
+
+def _has_child_oracle(score_mode: str) -> str:
+    from opensearch_jvector_ray.oracles import has_child_sql
+    from opensearch_jvector_ray.sources.tables import TRANSCRIPTS_CFG
+    return has_child_sql(TRANSCRIPT_QUERIES, 10, TRANSCRIPTS_CFG,
+                         _transcript_arms(), score_mode=score_mode)
+
+
 def _decay_recency_oracle() -> str:
     from opensearch_jvector_ray.oracles import transcripts_fscore_sql
     from opensearch_jvector_ray.sources.tables import TRANSCRIPTS_CFG
@@ -1770,6 +1875,11 @@ def oracle_sql() -> dict[str, str]:
             BM25_QUERIES, BM25_K, CFG,
             score_mul_sql=function_score_mul_sql(FVF_SPEC)),
         "bm25_decay_recency": _decay_recency_oracle(),
+        "has_child_max": _has_child_oracle("max"),
+        "has_child_sum": _has_child_oracle("sum"),
+        "has_parent_expand": _has_parent_oracle(),
+        "percolate_all": percolate_sql(PERC_QUERIES, CFG,
+                                       match_mode="all"),
         "bm25_radial": bm25_sql(RADIAL_QUERY, CFG.max_k, CFG,
                                 min_score=RADIAL_MIN_SCORE),
         "bm25_phrase": phrase_sql(PHRASE_QUERIES, BM25_K, CFG),

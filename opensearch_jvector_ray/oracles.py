@@ -658,6 +658,45 @@ ORDER BY query_id, {group_col}, bucket_rank
 """
 
 
+def percolate_sql(queries: dict[str, str], cfg: EngineConfig,
+                  match_mode: str = "any", table: str = "documents",
+                  id_col: str = "doc_id", text_col: str = "text") -> str:
+    """Oracle for pipelines.percolate: (doc, query) match pairs from the
+    same analyzed distinct term sets — any = shared-term EXISTS, all =
+    distinct-shared-term count equals the query's term count."""
+    from opensearch_jvector_ray.pipelines.percolate import (
+        compile_queries,
+    )
+    assert match_mode in ("any", "all")
+    compiled = compile_queries(queries, cfg)
+    rows = [f"({sql_quote(qid)}, {sql_quote(t)})"
+            for qid, terms in compiled.items() for t in terms]
+    qt_values = ",\n       ".join(rows) if rows else \
+        "('__none__', '__none__')"
+    if match_mode == "any":
+        body = f"""
+SELECT DISTINCT t.{id_col}, q.query_id
+FROM toks t JOIN qt q ON q.term = t.term"""
+    else:
+        body = f"""
+SELECT m.{id_col}, m.query_id
+FROM (
+  SELECT DISTINCT t.{id_col}, q.query_id, q.term
+  FROM toks t JOIN qt q ON q.term = t.term
+) m JOIN qn ON qn.query_id = m.query_id
+GROUP BY m.{id_col}, m.query_id, qn.n
+HAVING count(*) = qn.n"""
+    order = f"{id_col}, query_id" if match_mode == "any" else \
+        f"m.{id_col}, m.query_id"
+    return f"""
+WITH {toks_cte(cfg, table, id_col, text_col)},
+qt(query_id, term) AS (VALUES {qt_values}),
+qn AS (SELECT query_id, count(*) AS n FROM qt GROUP BY query_id)
+{body}
+ORDER BY {order}
+"""
+
+
 def constant_score_sql(queries: dict[str, str], k: int, boost: float,
                        cfg: EngineConfig, table: str = "documents",
                        id_col: str = "doc_id",
@@ -2109,6 +2148,59 @@ def transcripts_fscore_sql(queries: dict[str, str], k: int,
     mul = function_score_mul_sql(score_fn, is_ts=True)
     return bm25_sql(queries, k, cfg, table="transcripts", id_col="doc_id",
                     prefix_cte=prefix, score_mul_sql=mul)
+
+
+def has_child_sql(queries: dict[str, str], k: int, cfg: EngineConfig,
+                  arms: list[tuple[str, int]],
+                  score_mode: str = "max") -> str:
+    """Oracle for IndexSearcher.has_child_search over the transcript
+    corpus: conversations ranked by an aggregate of their matching
+    turns' BM25 scores.  sum/avg use the ordered aggregate (doc_id
+    order == the engine's (conv, turn) chain); ranking is on the
+    ROUND-6 aggregate on both sides (parents span segments)."""
+    assert score_mode in ("max", "sum", "avg", "count")
+    prefix = transcripts_arms_cte(
+        arms, "conv_id, conv_id || ':' || "
+              "lpad(CAST(turn_idx AS VARCHAR), 4, '0') AS doc_id, text")
+    inner = bm25_sql(queries, 0, cfg, table="transcripts",
+                     id_col="doc_id", prefix_cte=prefix,
+                     min_score=1e-300, emit_raw=True)
+    expr = {
+        "max": "max(h.score__raw)",
+        "sum": "sum(h.score__raw ORDER BY h.doc_id)",
+        "avg": "sum(h.score__raw ORDER BY h.doc_id) / count(*)",
+        "count": "count(*)::DOUBLE",
+    }[score_mode]
+    return f"""
+WITH hits AS ({inner}),
+agg AS (
+  SELECT h.query_id, t.conv_id, round({expr}, 6) AS score
+  FROM hits h JOIN (SELECT DISTINCT conv_id, doc_id
+                    FROM ({_transcripts_conv_map(arms)})) t
+    USING (doc_id)
+  GROUP BY h.query_id, t.conv_id
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, conv_id ASC) AS rank,
+         conv_id, score
+  FROM agg
+)
+SELECT query_id, rank, conv_id, score
+FROM ranked WHERE rank <= {int(k)}
+ORDER BY query_id, rank
+"""
+
+
+def _transcripts_conv_map(arms: list[tuple[str, int]]) -> str:
+    sel = "\n  UNION ALL\n".join(
+        f"  SELECT conv_id, conv_id || ':' || "
+        f"lpad(CAST(turn_idx AS VARCHAR), 4, '0') AS doc_id\n"
+        f"  FROM read_parquet('{path}/*.parquet')\n"
+        f"  WHERE (SELECT count(*) FROM lineitem) = {int(n)}"
+        for path, n in arms)
+    return sel
 
 
 def transcripts_arms_cte(arms: list[tuple[str, int]],

@@ -1,0 +1,105 @@
+"""Percolator: reverse search [OpenSearch percolate-query public
+semantics — the percolator field type].  A REGISTERED query set is
+matched against a STREAM of documents: instead of "which docs match
+this query", "which stored queries match each doc" — the routing /
+alerting / tagging primitive.
+
+Ray shape: the compiled query term sets are tiny and ship once per task
+via fn_kwargs (broadcast, never per-row); documents stream through
+``map_batches`` as zero-copy Arrow batches; per batch the token stream
+is flattened ONCE (the indexing analyzer chain, `analyze.tokenize`) and
+every query is evaluated with one vectorized ``is_in`` over the flat
+term array — no per-row Python loop, per-query work is
+O(tokens_in_batch).
+
+match_mode:
+  ``any``  a doc matches a query if it contains ANY analyzed query term
+           (the match/OR semantics)
+  ``all``  a doc must contain EVERY distinct analyzed query term
+           (the AND semantics)
+
+The DuckDB oracle (`oracles.percolate_sql`) computes the same predicate
+from the same analyzed term sets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from opensearch_jvector_ray.analyze import analyze_query, tokenize
+from opensearch_jvector_ray.config import EngineConfig
+
+
+def compile_queries(queries: dict[str, str],
+                    cfg: EngineConfig) -> dict[str, list[str]]:
+    """qid -> sorted distinct analyzed terms (empty queries dropped —
+    a query with no surviving terms matches nothing)."""
+    out = {}
+    for qid, text in sorted(queries.items()):
+        terms = sorted(set(analyze_query(text, cfg)))
+        if terms:
+            out[qid] = terms
+    return out
+
+
+def _percolate_batch(batch: pa.Table, *, compiled: dict[str, list[str]],
+                     cfg: EngineConfig, id_col: str, text_col: str,
+                     match_mode: str) -> pa.Table:
+    stream = tokenize(batch[text_col], cfg)
+    doc_idx = stream.doc_idx
+    ids = batch[id_col]
+    out_ids: list[pa.Array] = []
+    out_qids: list[str] = []
+    n_rows = 0
+    for qid, qterms in compiled.items():
+        hit = pc.is_in(stream.terms,
+                       value_set=pa.array(qterms)).to_numpy(
+                           zero_copy_only=False)
+        if not hit.any():
+            continue
+        sub = doc_idx[hit]
+        if match_mode == "any":
+            rows = np.unique(sub)
+        else:
+            # distinct (doc, term) pairs -> per-doc distinct-term count
+            codes = pc.index_in(
+                stream.terms.filter(pa.array(hit)),
+                value_set=pa.array(qterms)).to_numpy(
+                    zero_copy_only=False)
+            pair = sub.astype(np.int64) * len(qterms) + codes
+            uniq = np.unique(pair)
+            d, cnt = np.unique(uniq // len(qterms), return_counts=True)
+            rows = d[cnt == len(qterms)]
+        if len(rows):
+            out_ids.append(ids.take(pa.array(rows.astype(np.int64))))
+            out_qids.extend([qid] * len(rows))
+            n_rows += len(rows)
+    if not n_rows:
+        return pa.table({id_col: pa.array([], type=ids.type),
+                         "query_id": pa.array([], type=pa.string())})
+    return pa.table({
+        id_col: pa.concat_arrays([a.combine_chunks()
+                                  if isinstance(a, pa.ChunkedArray)
+                                  else a for a in out_ids]),
+        "query_id": pa.array(out_qids, type=pa.string()),
+    })
+
+
+def percolate(ds: "rd.Dataset", queries: dict[str, str],
+              cfg: EngineConfig, id_col: str = "doc_id",
+              text_col: str = "text",
+              match_mode: str = "any") -> "rd.Dataset":
+    """Match the registered ``queries`` against every doc of ``ds``;
+    returns a Dataset of (id_col, query_id) match pairs."""
+    if match_mode not in ("any", "all"):
+        raise ValueError("match_mode must be any|all")
+    compiled = compile_queries(queries, cfg)
+    return ds.map_batches(
+        _percolate_batch, batch_format="pyarrow",
+        fn_kwargs={"compiled": compiled, "cfg": cfg, "id_col": id_col,
+                   "text_col": text_col, "match_mode": match_mode})

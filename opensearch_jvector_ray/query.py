@@ -2342,6 +2342,60 @@ class IndexSearcher:
             columns=["query_id", *self.key_cols, "score"])
         return self._finalize(df, k, collapse_col, cap_k=min_score is None)
 
+    def has_child_search(self, queries: dict[str, str],
+                         k: int | None = None,
+                         score_mode: str = "max",
+                         parent_col: str | None = None) -> pd.DataFrame:
+        """Parent-join query [OpenSearch has_child / join-field public
+        semantics]: parents ranked by an aggregate of their matching
+        children's BM25 scores — score_mode in max | sum | avg | count.
+
+        Children are the index's docs; the parent is a key column
+        (default: the first key column, e.g. conv_id over a transcript
+        index).  The child match set comes from the uncapped radial
+        collector (result-sized); sum/avg accumulate SEQUENTIALLY over
+        children sorted by the child key — the oracle's ordered
+        aggregate — and, because a parent's children may span segments,
+        ranking uses the ROUND-6 aggregate on BOTH sides (the
+        vector-entry rounding rule), ties (score desc, parent asc)."""
+        if score_mode not in ("max", "sum", "avg", "count"):
+            raise ValueError("score_mode must be max|sum|avg|count")
+        k = k or self.cfg.default_k
+        parent_col = parent_col or self.key_cols[0]
+        if parent_col not in self.key_cols:
+            raise ValueError(f"parent_col must be a key column "
+                             f"({self.key_cols})")
+        hits = self.search(queries, min_score=1e-300)
+        cols = ["query_id", "rank", parent_col, "score"]
+        if hits.empty:
+            out = pd.DataFrame(columns=["query_id", parent_col, "score"])
+            out["rank"] = pd.Series(dtype="int64")
+            return out[cols]
+        hits = hits.sort_values(["query_id", *self.key_cols],
+                                kind="mergesort")
+        rows = []
+        for (qid, par), g in hits.groupby(["query_id", parent_col],
+                                          sort=True):
+            v = g["score"].to_numpy(np.float64)
+            if score_mode == "max":
+                sc = float(v.max())
+            elif score_mode == "count":
+                sc = float(len(v))
+            else:
+                # sequential left-to-right chain (np.cumsum), matching
+                # the SQL ordered aggregate's summation order
+                total = float(np.cumsum(v)[-1])
+                sc = total if score_mode == "sum" else total / len(v)
+            rows.append((qid, par, round(sc, 6)))
+        out = pd.DataFrame(rows, columns=["query_id", parent_col,
+                                          "score"])
+        out = out.sort_values(["query_id", "score", parent_col],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        out = out.groupby("query_id", sort=False).head(k)
+        out["rank"] = out.groupby("query_id", sort=False).cumcount() + 1
+        return out[cols].reset_index(drop=True)
+
     def scan(self, queries: dict[str, str], page_size: int = 100):
         """Scroll analog [OpenSearch scroll / search_after public
         semantics]: a generator of consecutive ranking pages, resumed

@@ -467,3 +467,86 @@ def test_hll_cardinality_sketch(idx):
     with pytest.raises(ValueError, match="precision"):
         s.cardinality_agg({"q": Q}, field="conv_id", min_score=MS,
                           approx=True, precision=20)
+
+
+# ---------------------------------------------------------------------------
+# has_child join
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def parent_idx(tmp_path_factory):
+    """Multi-turn corpus: conv parents with varying child match counts."""
+    rows = []
+    for c in range(12):
+        for t in range((c % 4) + 1):
+            text = "alpha beta" if (c + t) % 3 == 0 else "gamma delta"
+            rows.append((f"p{c:04d}", t, text))
+    tbl = pa.table({
+        "conv_id": [r[0] for r in rows],
+        "turn_idx": pa.array([r[1] for r in rows], type=pa.int32()),
+        "role": ["user"] * len(rows),
+        "text": pa.array([r[2] for r in rows], type=pa.string()),
+        "tool": [""] * len(rows),
+        "ts": pa.array([0] * len(rows), type=pa.timestamp("us")),
+    })
+    out = str(tmp_path_factory.mktemp("r8join") / "idx")
+    build_index(rd.from_arrow(tbl), out,
+                EngineConfig(num_segments=3), IndexSpec())
+    return out
+
+
+@pytest.mark.parametrize("mode", ["max", "sum", "avg", "count"])
+def test_has_child_modes_match_bruteforce(parent_idx, mode):
+    s = IndexSearcher(parent_idx)
+    got = s.has_child_search({"q": "alpha"}, k=50, score_mode=mode)
+    hits = s.search({"q": "alpha"}, min_score=1e-300)
+    hits = hits.sort_values(["conv_id", "turn_idx"])
+    want = {}
+    for conv, g in hits.groupby("conv_id"):
+        v = g["score"].to_numpy(np.float64)
+        sc = {"max": v.max(), "count": float(len(v)),
+              "sum": np.cumsum(v)[-1],
+              "avg": np.cumsum(v)[-1] / len(v)}[mode]
+        want[conv] = round(float(sc), 6)
+    assert dict(zip(got["conv_id"], got["score"])) == want
+    order = sorted(want, key=lambda c: (-want[c], c))
+    assert list(got["conv_id"]) == order
+
+
+def test_has_child_validation(parent_idx):
+    s = IndexSearcher(parent_idx)
+    with pytest.raises(ValueError, match="score_mode"):
+        s.has_child_search({"q": "a"}, score_mode="min")
+    with pytest.raises(ValueError, match="key column"):
+        s.has_child_search({"q": "a"}, parent_col="role")
+
+
+# ---------------------------------------------------------------------------
+# percolator
+# ---------------------------------------------------------------------------
+
+def test_percolate_any_and_all(idx):
+    from opensearch_jvector_ray.pipelines.percolate import percolate
+    ds = rd.from_arrow(_corpus().select(["conv_id", "text"]))
+    qs = {"qa": "alpha", "qb": "beta gamma", "qz": "the"}  # qz: all stop
+    for mode in ("any", "all"):
+        out = percolate(ds, qs, EngineConfig(), id_col="conv_id",
+                        text_col="text", match_mode=mode).to_pandas()
+        got = {(r.conv_id, r.query_id) for r in out.itertuples()}
+        want = set()
+        for i, t in enumerate(TEXTS):
+            toks = set(t.split())
+            if "alpha" in toks:
+                want.add((f"c{i:05d}", "qa"))
+            cond = (toks & {"beta", "gamma"}) if mode == "any" else \
+                ({"beta", "gamma"} <= toks)
+            if cond:
+                want.add((f"c{i:05d}", "qb"))
+        assert got == want      # qz (stopword-only) matches nothing
+
+
+def test_percolate_validation(idx):
+    from opensearch_jvector_ray.pipelines.percolate import percolate
+    ds = rd.from_arrow(_corpus().select(["conv_id", "text"]))
+    with pytest.raises(ValueError, match="match_mode"):
+        percolate(ds, {"q": "x"}, EngineConfig(), match_mode="most")
