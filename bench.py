@@ -140,6 +140,21 @@ def run_bench() -> dict:
 
     timed("query_multiterm_20", do_multiterm)
 
+    # -- phase 3d: aggregation + join surface (radial partials,
+    # combiner-first; has_child parent reduce; span proximity) ------------
+    agg5 = {f"g{i}": "data model search" for i in range(5)}
+
+    def do_aggs():
+        searcher.cardinality_agg(agg5, field="role", min_score=0.3)
+        searcher.percentiles_agg(agg5, value_col="turn_idx",
+                                 percents=(0.5, 0.9), min_score=0.3)
+        searcher.terms_stats_agg(agg5, group_col="role",
+                                 value_col="turn_idx", min_score=0.3)
+        searcher.has_child_search(agg5, k=10, score_mode="max")
+        searcher.search(agg5, k=10, mode="span", slop=3)
+
+    timed("query_aggs_25", do_aggs)
+
     # -- phase 3b: persistent serving (warm actors + postings cache) ------
     from opensearch_jvector_ray.serve import SearchService
     svc = SearchService(merged_dir, num_shards=min(8, NUM_CPUS))

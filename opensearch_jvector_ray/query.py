@@ -360,6 +360,25 @@ def _agg_partial(agg: dict, docs: pa.Table, ords: np.ndarray,
             "bucket": pa.array(ub, type=pa.timestamp("us")),
             "doc_count": pa.array(cnt.astype(np.int64), type=pa.int64()),
         })
+    if agg["kind"] == "parent_max":
+        # has_child max/count partial: per-parent (max child score,
+        # child count) — order-free aggregates, so the combine across
+        # segments is exact; only parent-sized rows ship (the A2
+        # combiner-first rule applied to the join)
+        import pandas as _pd
+        take = pa.array(ords)
+        par = docs[agg["col"]].take(take).to_numpy(zero_copy_only=False)
+        g = (_pd.DataFrame({"p": par, "s": scores})
+             .groupby("p", sort=False)["s"]
+             .agg(v_max="max", doc_count="count").reset_index())
+        return pa.table({
+            "query_id": pa.array([qid] * len(g), type=pa.string()),
+            agg["col"]: pa.array(g["p"]),
+            "v_max": pa.array(g["v_max"].to_numpy(np.float64),
+                              type=pa.float64()),
+            "doc_count": pa.array(g["doc_count"].to_numpy(np.int64),
+                                  type=pa.int64()),
+        })
     if agg["kind"] == "hll":
         # HyperLogLog partial [Flajolet et al. 2007 public algorithm;
         # the OpenSearch cardinality-agg sketch shape]: per segment,
@@ -592,6 +611,11 @@ class SegmentSearcher:
             if agg["kind"] == "hll":
                 cols["reg"] = pa.array([], type=pa.int64())
                 cols["rho"] = pa.array([], type=pa.int64())
+                return pa.table(cols)
+            if agg["kind"] == "parent_max":
+                cols[agg["col"]] = pa.array([], type=self.p["agg_type"])
+                cols["v_max"] = pa.array([], type=pa.float64())
+                cols["doc_count"] = pa.array([], type=pa.int64())
                 return pa.table(cols)
             if agg["kind"] == "terms_stats":
                 cols[agg["col"]] = pa.array([], type=self.p["agg_type"])
@@ -884,32 +908,43 @@ class SegmentSearcher:
             common = common[np.isin(common, ords, assume_unique=True)]
         if mask is not None and len(common):
             common = common[mask[common]]
-        cand_ords, cand_tf = [], []
-        for o in common.tolist():
-            acc = None
-            L = 0
-            poss = []
-            for (ords, flat, offs) in per_term:
-                i = int(np.searchsorted(ords, o))
-                pos = flat[offs[i]:offs[i + 1]]
-                poss.append(pos)
-                L = max(L, int(pos.max()) + 1)
-            for pos in poss:
-                d = np.zeros(L + W + 1, dtype=np.int32)
-                np.add.at(d, pos, 1)
-                np.add.at(d, pos + W, -1)
-                b = np.cumsum(d[:-1]) > 0
-                acc = b if acc is None else acc & b
-                if not acc.any():
-                    break
-            tf = int(acc.sum()) if acc is not None else 0
-            if tf:
-                cand_ords.append(o)
-                cand_tf.append(tf)
-        if not cand_ords:
+        if not len(common):
             return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
-        cand_ords = np.array(cand_ords, dtype=np.int64)
-        tf = np.array(cand_tf, dtype=np.float64)
+        # GLOBAL concatenated axis: every common doc gets a slot of
+        # (max_pos + W + 2) cells; per term ONE ragged gather + one
+        # diff-scatter + one cumsum marks the valid-start union across
+        # ALL docs at once (intervals never cross slot boundaries: the
+        # +1/-1 pair closes inside the slot), then one AND per term and
+        # one reduceat gives every doc's tf — no per-doc Python loop.
+        idxs = [np.searchsorted(pt[0], common) for pt in per_term]
+        last = np.stack([
+            np.asarray(pt[1])[np.asarray(pt[2])[ix + 1] - 1]
+            for pt, ix in zip(per_term, idxs)])
+        slot = last.max(axis=0).astype(np.int64) + W + 2
+        base = np.concatenate(([0], np.cumsum(slot)[:-1]))
+        total = int(slot.sum())
+        acc = None
+        for (ords, flat, offs), ix in zip(per_term, idxs):
+            flat = np.asarray(flat)
+            offs = np.asarray(offs)
+            lens = offs[ix + 1] - offs[ix]
+            n = int(lens.sum())
+            docslot = np.repeat(np.arange(len(common)), lens)
+            within = np.arange(n) - np.repeat(np.cumsum(lens) - lens,
+                                              lens)
+            pos = flat[np.repeat(offs[ix], lens) + within]
+            g = base[docslot] + pos
+            d = np.zeros(total + 1, dtype=np.int32)
+            np.add.at(d, g, 1)
+            np.add.at(d, g + W, -1)
+            b = np.cumsum(d[:-1]) > 0
+            acc = b if acc is None else acc & b
+        tf_all = np.add.reduceat(acc.astype(np.int64), base)
+        keep = tf_all > 0
+        if not keep.any():
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+        cand_ords = common[keep].astype(np.int64)
+        tf = tf_all[keep].astype(np.float64)
         sc = idf_sum * bm25_tf_part(tf, dl[cand_ords], self.avgdl,
                                     self.k1, self.b)
         scores = np.zeros(len(dl), dtype=np.float64)
@@ -2365,30 +2400,67 @@ class IndexSearcher:
         if parent_col not in self.key_cols:
             raise ValueError(f"parent_col must be a key column "
                              f"({self.key_cols})")
-        hits = self.search(queries, min_score=1e-300)
         cols = ["query_id", "rank", parent_col, "score"]
+        if score_mode in ("max", "count"):
+            # order-free aggregates ride the combiner-first agg fan-out:
+            # each segment ships per-parent (max, count) partials, the
+            # hit set never leaves the tasks
+            df = self._agg_fanout(queries,
+                                  {"kind": "parent_max",
+                                   "col": parent_col}, 1e-300, None,
+                                  None)
+            if df.empty:
+                out = pd.DataFrame(columns=["query_id", parent_col,
+                                            "score"])
+                out["rank"] = pd.Series(dtype="int64")
+                return out[cols]
+            g = df.groupby(["query_id", parent_col], sort=True).agg(
+                v_max=("v_max", "max"),
+                doc_count=("doc_count", "sum")).reset_index()
+            sc = g["v_max"] if score_mode == "max" else \
+                g["doc_count"].astype(np.float64)
+            out = pd.DataFrame({"query_id": g["query_id"],
+                                parent_col: g[parent_col],
+                                "score": np.round(sc.to_numpy(
+                                    np.float64), 6)})
+            out = out.sort_values(["query_id", "score", parent_col],
+                                  ascending=[True, False, True],
+                                  kind="mergesort")
+            out = out.groupby("query_id", sort=False).head(k)
+            out["rank"] = (out.groupby("query_id", sort=False)
+                              .cumcount() + 1)
+            return out[cols].reset_index(drop=True)
+        hits = self.search(queries, min_score=1e-300)
         if hits.empty:
             out = pd.DataFrame(columns=["query_id", parent_col, "score"])
             out["rank"] = pd.Series(dtype="int64")
             return out[cols]
         hits = hits.sort_values(["query_id", *self.key_cols],
                                 kind="mergesort")
-        rows = []
-        for (qid, par), g in hits.groupby(["query_id", parent_col],
-                                          sort=True):
-            v = g["score"].to_numpy(np.float64)
-            if score_mode == "max":
-                sc = float(v.max())
-            elif score_mode == "count":
-                sc = float(len(v))
-            else:
-                # sequential left-to-right chain (np.cumsum), matching
-                # the SQL ordered aggregate's summation order
-                total = float(np.cumsum(v)[-1])
-                sc = total if score_mode == "sum" else total / len(v)
-            rows.append((qid, par, round(sc, 6)))
-        out = pd.DataFrame(rows, columns=["query_id", parent_col,
-                                          "score"])
+        v = hits["score"].to_numpy(np.float64)
+        qids = hits["query_id"].to_numpy()
+        pars = hits[parent_col].to_numpy()
+        # group starts where (query, parent) changes — one reduceat per
+        # aggregate instead of a Python loop over groups (reduceat's
+        # inner loop is SEQUENTIAL left-to-right, the same chain as the
+        # SQL ordered aggregate; numpy's pairwise summation applies to
+        # reduce/sum, not reduceat)
+        change = np.empty(len(v), dtype=bool)
+        change[0] = True
+        change[1:] = (qids[1:] != qids[:-1]) | (pars[1:] != pars[:-1])
+        starts = np.flatnonzero(change)
+        counts = np.diff(np.append(starts, len(v)))
+        if score_mode == "max":
+            agg = np.maximum.reduceat(v, starts)
+        elif score_mode == "count":
+            agg = counts.astype(np.float64)
+        else:
+            agg = np.add.reduceat(v, starts)
+            if score_mode == "avg":
+                agg = agg / counts
+        out = pd.DataFrame({"query_id": qids[starts],
+                            parent_col: pars[starts],
+                            "score": np.round(agg, 6)})
         out = out.sort_values(["query_id", "score", parent_col],
                               ascending=[True, False, True],
                               kind="mergesort")

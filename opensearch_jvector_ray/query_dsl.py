@@ -44,6 +44,12 @@ Supported bodies (one top-level clause per query):
                     "n": 3}}
     {"histogram":  {"query": "...", "field": col, "interval": w,
                 "min_score": f}}       # numeric-bucket counts
+    {"has_child": {"query": "...", "k": 10, "score_mode":
+                   "max|sum|avg|count", "parent_field": col|null}}
+                 # join field: parents ranked by child aggregates
+    {"multi_match": {"query": "...", "fields": [col, ...], "k": 10,
+                     "type": "best_fields|most_fields",
+                     "tie_breaker": f}}   # per-field indexes (dis_max)
     {"constant_score": {"query": "...", "k": 10, "boost": f}}
                  # filter context: every match scores exactly boost
     {"boosting":   {"positive": "...", "negative": "...",
@@ -281,6 +287,39 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
                              "non-negative integer")
         out["minimum_should_match"] = msm
         return out
+    if clause == "has_child":
+        _require_known(clause, spec,
+                       {"query", "k", "score_mode", "parent_field"})
+        if not isinstance(spec.get("query"), str) or not spec["query"]:
+            raise ValueError("[has_child] needs a non-empty 'query'")
+        sm = spec.get("score_mode", "max")
+        if sm not in ("max", "sum", "avg", "count"):
+            raise ValueError("[has_child] score_mode must be "
+                             "max|sum|avg|count")
+        return {"type": "has_child", "query": spec["query"],
+                "k": int(spec.get("k", 10)), "score_mode": sm,
+                "parent_field": spec.get("parent_field")}
+    if clause == "multi_match":
+        _require_known(clause, spec,
+                       {"query", "fields", "k", "type", "tie_breaker"})
+        if not isinstance(spec.get("query"), str) or not spec["query"]:
+            raise ValueError("[multi_match] needs a non-empty 'query'")
+        fields = spec.get("fields")
+        if not isinstance(fields, list) or not fields or \
+                not all(isinstance(f, str) for f in fields):
+            raise ValueError("[multi_match] needs a non-empty 'fields' "
+                             "list of column names")
+        mtype = spec.get("type", "best_fields")
+        if mtype not in ("best_fields", "most_fields"):
+            raise ValueError("[multi_match] type must be best_fields | "
+                             "most_fields")
+        tie = float(spec.get("tie_breaker", 0.0))
+        if not (0.0 <= tie <= 1.0):
+            raise ValueError("[multi_match] tie_breaker must be in "
+                             "[0, 1]")
+        return {"type": "multi_match", "query": spec["query"],
+                "fields": fields, "match_type": mtype,
+                "tie_breaker": tie, "k": int(spec.get("k", 10))}
     if clause == "constant_score":
         _require_known(clause, spec, {"query", "k", "boost"})
         if not isinstance(spec.get("query"), str) or not spec["query"]:
@@ -524,6 +563,7 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
 def execute_query(body: dict[str, Any], *, searcher=None, vector_ds=None,
                   vector_index=None, vector_engine: str = "graph",
                   filter_id_resolver=None, engine_kwargs=None,
+                  field_searchers=None,
                   query_id: str = "q", round_decimals: int | None = 6):
     """Run a parsed query: match/bool against an ``IndexSearcher``; knn
     against a vector Dataset (brute-force path) or, with
@@ -657,6 +697,27 @@ def execute_query(body: dict[str, Any], *, searcher=None, vector_ds=None,
         return searcher.facet_counts(
             {query_id: spec["query"]}, facet_col=spec["field"],
             min_score=spec["min_score"], size=spec["size"])
+    if spec["type"] == "has_child":
+        if searcher is None:
+            raise ValueError("[has_child] needs searcher=")
+        return searcher.has_child_search(
+            {query_id: spec["query"]}, k=spec["k"],
+            score_mode=spec["score_mode"],
+            parent_col=spec["parent_field"])
+    if spec["type"] == "multi_match":
+        if not field_searchers:
+            raise ValueError("[multi_match] needs field_searchers= — a "
+                             "{field: IndexSearcher} map of the "
+                             "per-field indexes")
+        missing = sorted(set(spec["fields"]) - set(field_searchers))
+        if missing:
+            raise ValueError(f"[multi_match] no index for fields "
+                             f"{missing}")
+        from opensearch_jvector_ray.query import multi_match as _mm
+        return _mm({f: field_searchers[f] for f in spec["fields"]},
+                   {query_id: spec["query"]}, k=spec["k"],
+                   match_type=spec["match_type"],
+                   tie_breaker=spec["tie_breaker"])
     if spec["type"] == "constant_score":
         if searcher is None:
             raise ValueError("[constant_score] needs searcher=")

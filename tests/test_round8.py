@@ -550,3 +550,32 @@ def test_percolate_validation(idx):
     ds = rd.from_arrow(_corpus().select(["conv_id", "text"]))
     with pytest.raises(ValueError, match="match_mode"):
         percolate(ds, {"q": "x"}, EngineConfig(), match_mode="most")
+
+
+def test_has_child_multi_match_dsl(parent_idx, field_indexes):
+    s = IndexSearcher(parent_idx)
+    got = execute_query({"has_child": {"query": "alpha", "k": 5,
+                                       "score_mode": "sum"}},
+                        searcher=s)
+    direct = s.has_child_search({"q": "alpha"}, k=5, score_mode="sum")
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  direct.reset_index(drop=True))
+    from opensearch_jvector_ray.query import multi_match
+    got2 = execute_query(
+        {"multi_match": {"query": "alpha user", "fields":
+                         ["role", "text"], "k": 5,
+                         "type": "best_fields", "tie_breaker": 0.3}},
+        field_searchers=field_indexes)
+    direct2 = multi_match(field_indexes, {"q": "alpha user"}, k=5,
+                          match_type="best_fields", tie_breaker=0.3)
+    pd.testing.assert_frame_equal(got2.reset_index(drop=True),
+                                  direct2.reset_index(drop=True))
+    for bad in ({"has_child": {"query": "a", "score_mode": "min"}},
+                {"multi_match": {"query": "a", "fields": []}},
+                {"multi_match": {"query": "a", "fields": ["x"],
+                                 "tie_breaker": 2.0}}):
+        with pytest.raises(ValueError):
+            parse_query(bad)
+    with pytest.raises(ValueError, match="field_searchers"):
+        execute_query({"multi_match": {"query": "a",
+                                       "fields": ["text"]}})
