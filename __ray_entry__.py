@@ -31,7 +31,7 @@ from opensearch_jvector_ray.oracles import (
     cardinality_sql, percentiles_sql, significant_terms_sql,
     filters_agg_sql, terms_stats_sql, composite_sql, multi_match_sql,
     span_near_sql, constant_score_sql, boosting_query_sql,
-    percolate_sql,
+    percolate_sql, semdedup_sql,
     events_sessionize_sql, events_window_sql, exact_dedup_sql,
     byte_knn_sql, corpus_clean_sql, embedding_dups_sql, ivf_fixed_sql, revenue_by_nation_sql, simhash_sql,
     revenue_by_region_brand_sql, top_order_revenue_sql, transcripts_bm25_sql,
@@ -1580,6 +1580,26 @@ def _q_embedding_dups(sf_dir: str) -> pd.DataFrame:
     return knn_pl.embedding_near_dups(aug, threshold=0.95)
 
 
+def _q_semdedup(sf_dir: str) -> pd.DataFrame:
+    # SemDeDup [Abbas et al. 2023]: fixed-row coarse clusters + within-
+    # cluster cosine near-dup drop (min-id keep).  Planted exact
+    # duplicates (the embedding_near_dups fixture trick) land in their
+    # original's cell with cos = 1 >= threshold => keep = 0; the natural
+    # corpus has no pairs near the threshold, so the oracle compare is
+    # robust to cross-side cosine ulp.
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def plant(b):
+        b = b.filter(pc.less(b["vec_id"], N_PLANTED_DUPS))
+        return b.set_column(b.column_names.index("vec_id"), "vec_id",
+                            pc.add(b["vec_id"], PLANT_ID_OFFSET))
+
+    aug = ds.union(ds.map_batches(plant, batch_format="pyarrow"))
+    cent = knn_pl.fixed_centroids(aug, IVF_CENTROID_IDS)
+    out = knn_pl.semdedup(aug, cent, threshold=0.95).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def _q_multimodal_image(sf_dir: str) -> pd.DataFrame:
     # REAL PNG decode (stdlib zlib, RFC 2083 filters) + featurization
     tbl = mm_pl.synth_image_table(150)
@@ -1638,6 +1658,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "has_child_sum": _q_has_child_sum,
         "has_parent_expand": _q_has_parent,
         "percolate_all": _q_percolate,
+        "semdedup": _q_semdedup,
         "bm25_radial": _q_bm25_radial,
         "bm25_phrase": _q_bm25_phrase,
         "bm25_span_near": _q_bm25_span_near,
@@ -1880,6 +1901,8 @@ def oracle_sql() -> dict[str, str]:
         "has_parent_expand": _has_parent_oracle(),
         "percolate_all": percolate_sql(PERC_QUERIES, CFG,
                                        match_mode="all"),
+        "semdedup": semdedup_sql(IVF_CENTROID_IDS, 0.95,
+                                 N_PLANTED_DUPS, PLANT_ID_OFFSET),
         "bm25_radial": bm25_sql(RADIAL_QUERY, CFG.max_k, CFG,
                                 min_score=RADIAL_MIN_SCORE),
         "bm25_phrase": phrase_sql(PHRASE_QUERIES, BM25_K, CFG),

@@ -2072,6 +2072,53 @@ WHERE rank <= {k} ORDER BY query_id, rank
 """
 
 
+def semdedup_sql(centroid_ids: list[int], threshold: float,
+                 n_planted: int, plant_offset: int,
+                 table: str = "embeddings", id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> str:
+    """Oracle for pipelines.knn.semdedup over the planted-duplicate
+    fixture: fixed-row coarse assignment (the ivf_fixed tie rule:
+    dist asc, cell asc) + the min-id keep rule — a vector is dropped iff
+    a smaller-id same-cell vector is cosine >= threshold.  Robust to
+    cross-side cosine ulp because planted duplicates are IDENTICAL
+    vectors (cos = 1) and the fixture's natural max pair is far below
+    the threshold (the embedding_near_dups invariant)."""
+    cids = ", ".join(str(int(v)) for v in sorted(centroid_ids))
+    return f"""
+WITH base AS (
+  SELECT {id_col}, {vec_col} FROM {table}
+  UNION ALL
+  SELECT {id_col} + {int(plant_offset)} AS {id_col}, {vec_col}
+  FROM {table} WHERE {id_col} < {int(n_planted)}
+),
+centi AS (
+  SELECT row_number() OVER (ORDER BY {id_col}) - 1 AS cell,
+         CAST({vec_col} AS DOUBLE[]) AS cvec
+  FROM base WHERE {id_col} IN ({cids})
+),
+assign AS (
+  SELECT {id_col}, cell FROM (
+    SELECT e.{id_col}, c.cell,
+           row_number() OVER (PARTITION BY e.{id_col}
+                              ORDER BY power(list_distance(
+                                CAST(e.{vec_col} AS DOUBLE[]), c.cvec), 2) ASC,
+                              c.cell ASC) AS rn
+    FROM base e CROSS JOIN centi c
+  ) WHERE rn = 1
+)
+SELECT b.{id_col}, a.cell,
+       CAST(NOT EXISTS (
+         SELECT 1 FROM base b2 JOIN assign a2 ON a2.{id_col} = b2.{id_col}
+         WHERE a2.cell = a.cell AND b2.{id_col} < b.{id_col}
+           AND list_cosine_similarity(CAST(b2.{vec_col} AS DOUBLE[]),
+                                      CAST(b.{vec_col} AS DOUBLE[]))
+               >= {float(threshold)!r}
+       ) AS BIGINT) AS keep
+FROM base b JOIN assign a ON a.{id_col} = b.{id_col}
+ORDER BY b.{id_col}
+"""
+
+
 def simhash_sql(cfg: EngineConfig, max_hamming: int = 3,
                 table: str = "documents", id_col: str = "doc_id",
                 text_col: str = "text") -> str:

@@ -915,3 +915,61 @@ def embedding_near_dups(ds: "rd.Dataset", threshold: float = 0.995,
         return pd.DataFrame(columns=["id_a", "id_b", "cosine"])
     return (out.drop_duplicates(subset=["id_a", "id_b"])
                .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+
+def semdedup(ds: "rd.Dataset", centroids: np.ndarray,
+             threshold: float = 0.95, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> "rd.Dataset":
+    """SemDeDup [Abbas et al. 2023, arXiv:2303.09540 — public method]:
+    semantic deduplication = cluster the embeddings, then inside each
+    cluster drop the members of cosine-similar pairs above a threshold.
+
+    This implementation uses the engine's DETERMINISTIC fixed-row coarse
+    centers (``fixed_centroids`` — the SQL-expressible quantizer that
+    carries the IVF hard oracles; k-means-quality centers via
+    ``train_centroids`` are the recall path) and a min-id keep rule:
+    a vector is dropped iff a SMALLER-id member of its cluster is
+    cosine-similar at >= threshold.  (The paper keeps the item with the
+    lowest similarity to the centroid; any deterministic single-
+    representative rule preserves the method's shape.)
+
+    Distribution shape: assignment is one broadcast matmul per Arrow
+    batch; the within-cluster pass is a ``groupby(cell).map_groups``
+    with an O(c^2) per-cluster similarity matmul — SemDeDup runs
+    k ~ sqrt(n) clusters, so per-cluster cost stays bounded; at 100 TB
+    the groupby is the one (cell-keyed) shuffle.
+
+    Returns a Dataset of (id_col, cell, keep) — keep=0 rows are the
+    semantic duplicates to drop.
+    """
+    cent = np.ascontiguousarray(centroids, dtype=np.float64)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        X = _vecs_from_batch(batch, vec_col)
+        cells = _assign_cells(X, cent)
+        return pa.table({
+            id_col: batch[id_col],
+            "cell": pa.array(cells.astype(np.int64), type=pa.int64()),
+            vec_col: batch[vec_col],
+        })
+
+    def per_cluster(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(id_col).reset_index(drop=True)
+        X = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+        n = np.linalg.norm(X, axis=1)
+        n[n == 0] = 1.0
+        Xn = X / n[:, None]
+        S = Xn @ Xn.T
+        # dup iff any SMALLER-id row is >= threshold similar
+        tri = np.tril(S >= threshold, k=-1)
+        dup = tri.any(axis=1)
+        return pd.DataFrame({
+            id_col: df[id_col],
+            "cell": df["cell"],
+            "keep": (~dup).astype(np.int64),
+        })
+
+    return (ds.select_columns([id_col, vec_col])
+              .map_batches(assign, batch_format="pyarrow")
+              .groupby("cell")
+              .map_groups(per_cluster, batch_format="pandas"))

@@ -579,3 +579,34 @@ def test_has_child_multi_match_dsl(parent_idx, field_indexes):
     with pytest.raises(ValueError, match="field_searchers"):
         execute_query({"multi_match": {"query": "a",
                                        "fields": ["text"]}})
+
+
+# ---------------------------------------------------------------------------
+# semdedup
+# ---------------------------------------------------------------------------
+
+def test_semdedup_drops_planted_keeps_min_id():
+    from opensearch_jvector_ray.pipelines.knn import semdedup
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(60, 16)).astype(np.float32)
+    ids = list(range(60))
+    # plant: 70/71/72 duplicate 0/1/2 exactly
+    X = np.vstack([X, X[:3]])
+    ids += [70, 71, 72]
+    tbl = pa.table({"vec_id": pa.array(ids, type=pa.int64()),
+                    "embedding": pa.array([list(map(float, r))
+                                           for r in X])})
+    ds = rd.from_arrow(tbl)
+    from opensearch_jvector_ray.pipelines.knn import fixed_centroids
+    cent = fixed_centroids(ds, [0, 1, 2, 3])
+    out = (semdedup(ds, cent, threshold=0.95).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    keep = dict(zip(out["vec_id"], out["keep"]))
+    cell = dict(zip(out["vec_id"], out["cell"]))
+    assert len(out) == 63
+    for orig, dup in ((0, 70), (1, 71), (2, 72)):
+        assert cell[orig] == cell[dup]        # identical vector, same cell
+        assert keep[orig] == 1 and keep[dup] == 0   # min-id keep rule
+    # random gaussians have no 0.95-cosine pairs
+    others = [i for i in range(3, 60)]
+    assert all(keep[i] == 1 for i in others)
