@@ -96,6 +96,14 @@ def main(argv: list[str] | None = None) -> int:
     vf = sub.add_parser("verify")
     vf.add_argument("--index", required=True)
 
+    sn = sub.add_parser("snapshot")
+    sn.add_argument("--index", required=True)
+    sn.add_argument("--out", required=True)
+
+    rs = sub.add_parser("restore")
+    rs.add_argument("--snapshot", required=True)
+    rs.add_argument("--index", required=True)
+
     sy = sub.add_parser("synth")
     sy.add_argument("--out", default="/tmp/ojr_synth")
     sy.add_argument("--convs", type=int, default=1000)
@@ -280,6 +288,18 @@ def main(argv: list[str] | None = None) -> int:
             report = verify_index(args.index)
             print(json.dumps(report))
             return 0 if report["ok"] else 2
+        elif args.cmd == "snapshot":
+            from opensearch_jvector_ray.state.manifest import (
+                snapshot_index,
+            )
+            print(json.dumps(snapshot_index(args.index, args.out)))
+            return 0
+        elif args.cmd == "restore":
+            from opensearch_jvector_ray.state.manifest import (
+                restore_index,
+            )
+            print(json.dumps(restore_index(args.snapshot, args.index)))
+            return 0
         elif args.cmd == "synth":
             from opensearch_jvector_ray.synth import synth_parquet
             path = synth_parquet(args.convs, root=args.out)

@@ -151,3 +151,65 @@ class StageTimer:
             self.timings[self._stage] = self.timings.get(self._stage, 0.0) + (
                 time.perf_counter() - self._t0)
         self._stage = self._t0 = None
+
+
+def snapshot_index(index_dir: str, out_path: str) -> dict:
+    """Snapshot [OpenSearch snapshot/restore API public semantics,
+    single-repo form]: verify the index, then pack it into one tar
+    archive with a snapshot manifest (engine fingerprint + per-file
+    sizes) so restore can re-verify.  Refuses to snapshot an index that
+    fails the integrity audit."""
+    import json as _json
+    import tarfile
+
+    audit = verify_index(index_dir)
+    if not audit["ok"]:
+        raise ValueError(f"refusing to snapshot a failing index: "
+                         f"{audit['errors'][:3]}")
+    files = []
+    for root, _, names in os.walk(index_dir):
+        for n in sorted(names):
+            p = os.path.join(root, n)
+            files.append((os.path.relpath(p, index_dir),
+                          os.path.getsize(p)))
+    meta = {"segments": audit["segments"], "files": sorted(files)}
+    tmp = f"{out_path}.tmp{os.getpid()}"
+    with tarfile.open(tmp, "w") as tf:
+        info_bytes = _json.dumps(meta, sort_keys=True).encode()
+        import io
+        ti = tarfile.TarInfo("_SNAPSHOT.json")
+        ti.size = len(info_bytes)
+        tf.addfile(ti, io.BytesIO(info_bytes))
+        for rel, _ in files:
+            tf.add(os.path.join(index_dir, rel), arcname=rel)
+    os.replace(tmp, out_path)            # atomic publish
+    return {"ok": True, "files": len(files), "path": out_path}
+
+
+def restore_index(snap_path: str, index_dir: str) -> dict:
+    """Restore a snapshot into a FRESH directory (refuses to overwrite),
+    checking every file's size against the snapshot manifest and running
+    the integrity audit afterwards."""
+    import json as _json
+    import tarfile
+
+    if os.path.exists(index_dir) and os.listdir(index_dir):
+        raise ValueError(f"restore target {index_dir!r} is not empty")
+    os.makedirs(index_dir, exist_ok=True)
+    with tarfile.open(snap_path, "r") as tf:
+        meta = _json.loads(tf.extractfile("_SNAPSHOT.json").read())
+        names = {m.name for m in tf.getmembers()} - {"_SNAPSHOT.json"}
+        want = {rel for rel, _ in meta["files"]}
+        if names != want:
+            raise ValueError(f"snapshot file set mismatch: "
+                             f"{sorted(names ^ want)[:5]}")
+        tf.extractall(index_dir, filter="data")
+    for rel, size in meta["files"]:
+        p = os.path.join(index_dir, rel)
+        if os.path.getsize(p) != size:
+            raise ValueError(f"restored file size mismatch: {rel}")
+    audit = verify_index(index_dir)
+    if not audit["ok"]:
+        raise ValueError(f"restored index fails verification: "
+                         f"{audit['errors'][:3]}")
+    return {"ok": True, "segments": audit["segments"]}

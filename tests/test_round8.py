@@ -610,3 +610,43 @@ def test_semdedup_drops_planted_keeps_min_id():
     # random gaussians have no 0.95-cosine pairs
     others = [i for i in range(3, 60)]
     assert all(keep[i] == 1 for i in others)
+
+
+# ---------------------------------------------------------------------------
+# snapshot / restore
+# ---------------------------------------------------------------------------
+
+def test_snapshot_restore_roundtrip(idx, tmp_path):
+    from opensearch_jvector_ray.state.manifest import (
+        restore_index, snapshot_index,
+    )
+    snap = str(tmp_path / "snap.tar")
+    rep = snapshot_index(idx, snap)
+    assert rep["ok"] and rep["files"] > 0
+    dest = str(tmp_path / "restored")
+    rep2 = restore_index(snap, dest)
+    assert rep2["ok"]
+    a = IndexSearcher(idx).search({"q": "alpha beta"}, k=10)
+    b = IndexSearcher(dest).search({"q": "alpha beta"}, k=10)
+    pd.testing.assert_frame_equal(a, b)
+    # refuses to overwrite a non-empty target
+    with pytest.raises(ValueError, match="not empty"):
+        restore_index(snap, dest)
+    # tampered snapshot content fails the restore audit
+    import tarfile, io, json as _json, os as _os
+    bad = str(tmp_path / "bad")
+    _os.makedirs(bad)
+    with tarfile.open(snap) as tf:
+        meta = _json.loads(tf.extractfile("_SNAPSHOT.json").read())
+    meta["files"][0][1] += 1          # lie about one size
+    snap2 = str(tmp_path / "snap2.tar")
+    with tarfile.open(snap) as tf, tarfile.open(snap2, "w") as out:
+        for m in tf.getmembers():
+            if m.name == "_SNAPSHOT.json":
+                raw = _json.dumps(meta).encode()
+                ti = tarfile.TarInfo("_SNAPSHOT.json"); ti.size = len(raw)
+                out.addfile(ti, io.BytesIO(raw))
+            else:
+                out.addfile(m, tf.extractfile(m))
+    with pytest.raises(ValueError, match="size mismatch"):
+        restore_index(snap2, bad)
