@@ -50,9 +50,20 @@ class SegmentShardActor:
         self.cfg = EngineConfig.from_json(cfg_json)
         self.key_cols = key_cols
         self.segs: list[dict] = []
+        self.add_segments(seg_dirs)
+        self.term_cache: OrderedDict[tuple[str, str], tuple] = OrderedDict()
+        self.term_cache_size = term_cache_size
+        self.hits = 0
+        self.misses = 0
+
+    def add_segments(self, seg_dirs: list[str]) -> int:
+        """NRT refresh [OpenSearch refresh public semantics]: load newly
+        flushed segments into the warm actor — existing segment state
+        and the postings cache are untouched; new segments become
+        searchable on the next query."""
+        import numpy as _np
         for d in seg_dirs:
             docs = pq.read_table(os.path.join(d, DOCS_NAME))
-            import numpy as _np
             self.segs.append({
                 "dir": d,
                 "docs": docs,
@@ -60,10 +71,7 @@ class SegmentShardActor:
                 "tie": (docs["key_rank"].to_numpy(zero_copy_only=False).astype(_np.int64)
                         if "key_rank" in docs.column_names else None),
             })
-        self.term_cache: OrderedDict[tuple[str, str], tuple] = OrderedDict()
-        self.term_cache_size = term_cache_size
-        self.hits = 0
-        self.misses = 0
+        return len(self.segs)
 
     def _postings_for(self, seg: dict, terms: list[str]) -> dict[str, tuple]:
         out = {}
@@ -179,6 +187,34 @@ class SearchService:
             SegmentShardActor.options(num_cpus=1).remote(
                 s, self.cfg.to_json(), self.key_cols, term_cache_size)
             for s in shards]
+        self._assigned = set(seg_dirs)
+        self._shard_sizes = [len(s) for s in shards]
+
+    def refresh(self) -> int:
+        """NRT refresh [OpenSearch refresh public semantics]: pick up
+        segments flushed AFTER the service was created (the
+        ``add_segments`` incremental-ingest path) without restarting
+        the warm actors.  New segments are assigned to the least-loaded
+        actors; global stats (N/avgdl) reload from stats.json so idf
+        and norms reflect the appended docs.  Returns the number of new
+        segments picked up.  (The driver-side dictionary lookup reads
+        the refreshed dictionary parquet on every query already.)"""
+        self.stats = read_json(os.path.join(self.index_dir, STATS_NAME))
+        seg_root = os.path.join(self.index_dir, SEGMENTS_DIR)
+        seg_dirs = sorted(os.path.join(seg_root, d)
+                          for d in os.listdir(seg_root)
+                          if d.startswith("seg="))
+        new = [d for d in seg_dirs if d not in self._assigned]
+        if not new:
+            return 0
+        futures = []
+        for d in new:
+            i = int(np.argmin(self._shard_sizes))
+            futures.append(self.actors[i].add_segments.remote([d]))
+            self._shard_sizes[i] += 1
+            self._assigned.add(d)
+        ray.get(futures)
+        return len(new)
 
     # dictionary lookup identical to IndexSearcher (global stats)
     def _prepare(self, queries: dict[str, str], k: int,

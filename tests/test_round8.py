@@ -650,3 +650,46 @@ def test_snapshot_restore_roundtrip(idx, tmp_path):
                 out.addfile(m, tf.extractfile(m))
     with pytest.raises(ValueError, match="size mismatch"):
         restore_index(snap2, bad)
+
+
+# ---------------------------------------------------------------------------
+# NRT refresh on the warm serving path
+# ---------------------------------------------------------------------------
+
+def test_serve_refresh_picks_up_appended_segments(tmp_path):
+    import pyarrow.parquet as pq_
+    from opensearch_jvector_ray.serve import SearchService
+    from opensearch_jvector_ray.stages.build import add_segments
+
+    idx = str(tmp_path / "idx")
+    build_index(rd.from_arrow(_corpus()), idx,
+                EngineConfig(num_segments=2), IndexSpec())
+    svc = SearchService(idx, num_shards=2)
+    try:
+        before = svc.search({"q": "alpha zulu"}, k=20)
+
+        extra = pa.table({
+            "conv_id": ["z90000", "z90001"],
+            "turn_idx": pa.array([0, 0], type=pa.int32()),
+            "role": ["user", "user"],
+            "text": pa.array(["zulu alpha fresh", "zulu zulu"],
+                             type=pa.string()),
+            "tool": ["", ""],
+            "ts": pa.array([0, 0], type=pa.timestamp("us")),
+        })
+        ep = str(tmp_path / "extra.parquet")
+        pq_.write_table(extra, ep)
+        add_segments(idx, ep)
+
+        # un-refreshed service still serves the old view
+        assert set(svc.search({"q": "alpha zulu"}, k=20)["conv_id"]) \
+            == set(before["conv_id"])
+        n_new = svc.refresh()
+        assert n_new >= 1
+        after = svc.search({"q": "alpha zulu"}, k=20)
+        cold = IndexSearcher(idx).search({"q": "alpha zulu"}, k=20)
+        pd.testing.assert_frame_equal(after, cold)   # rank-identical
+        assert {"z90000", "z90001"} <= set(after["conv_id"])
+        assert svc.refresh() == 0                    # idempotent
+    finally:
+        svc.shutdown()
