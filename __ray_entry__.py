@@ -36,7 +36,8 @@ from opensearch_jvector_ray.oracles import (
     byte_knn_sql, corpus_clean_sql, embedding_dups_sql, ivf_fixed_sql, revenue_by_nation_sql, simhash_sql,
     revenue_by_region_brand_sql, top_order_revenue_sql, transcripts_bm25_sql,
     fingerprint_sql, grouped_best_sql, grouped_expand_sql, knn_sql,
-    highlight_sql, mlt_sql, prefix_sql, fuzzy_sql, facet_sql, page_sql,
+    highlight_sql, highlight_frag_sql, mlt_sql, prefix_sql, fuzzy_sql,
+    facet_sql, page_sql,
     boosted_sql, synonym_sql, stats_agg_sql, histogram_sql,
     range_agg_sql, top_hits_sql,
     suggest_sql, fuzzy_suggest_sql, regexp_sql, phrase_prefix_sql,
@@ -325,6 +326,27 @@ def _q_bm25_highlight(sf_dir: str) -> pd.DataFrame:
     out["doc_id"] = out["doc_id"].astype(np.int64)
     out["pos"] = out["pos"].astype(np.int64)
     return out.reset_index(drop=True)
+
+
+HL_WINDOW = 4
+
+
+def _q_bm25_highlight_frag(sf_dir: str) -> pd.DataFrame:
+    # highlight snippets: +-window tokens around the first matched
+    # position; source text via the J4 pushed-down read
+    s = IndexSearcher(documents_index(sf_dir))
+
+    def texts_for(keys: pd.DataFrame) -> pd.DataFrame:
+        return pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+            filters=[("doc_id", "in", sorted(keys["doc_id"]))]
+        ).to_pandas()
+
+    out = s.highlight_fragments(BM25_QUERIES, texts_for, k=BM25_K,
+                                window=HL_WINDOW)
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out
 
 
 PREFIX_QUERIES = {
@@ -1667,6 +1689,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_boolean": _q_bm25_boolean,
         "bm25_min_should_match": _q_bm25_min_should_match,
         "bm25_highlight": _q_bm25_highlight,
+        "bm25_highlight_frag": _q_bm25_highlight_frag,
         "bm25_more_like_this": _q_bm25_mlt,
         "bm25_prefix": _q_bm25_prefix,
         "bm25_fuzzy": _q_bm25_fuzzy,
@@ -1916,6 +1939,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_min_should_match": boolean_sql(MSM_QUERIES, BM25_K, CFG,
                                              msm=MSM_N),
         "bm25_highlight": highlight_sql(BM25_QUERIES, BM25_K, CFG),
+        "bm25_highlight_frag": highlight_frag_sql(BM25_QUERIES, BM25_K,
+                                                  CFG,
+                                                  window=HL_WINDOW),
         "bm25_more_like_this": mlt_sql(MLT_SEEDS, BM25_K, 10, CFG),
         "bm25_boosted": boosted_sql(BOOSTED_QUERIES, BM25_K, CFG),
         "bm25_synonyms": synonym_sql(SYN_QUERIES, SYNONYMS, BM25_K, CFG),

@@ -1083,6 +1083,53 @@ ORDER BY h.query_id, h.{id_col}, u.term, pos
 """
 
 
+def highlight_frag_sql(queries: dict[str, str], k: int,
+                       cfg: EngineConfig, window: int = 5,
+                       table: str = "documents", id_col: str = "doc_id",
+                       text_col: str = "text") -> str:
+    """Oracle for IndexSearcher.highlight_fragments: min matched
+    position per hit, then the +-window token slice of the lowered
+    pre-stopword token list (1-based inclusive DuckDB slice ==
+    the engine's 0-based [p-window, p+window])."""
+    pat = sql_quote(cfg.split_pattern)
+    qt_rows = []
+    for qid, text in sorted(queries.items()):
+        for term, _ in query_term_weights(text, cfg):
+            qt_rows.append(f"({sql_quote(qid)}, {sql_quote(term)})")
+    qt_values = ",\n       ".join(qt_rows) if qt_rows else \
+        "('__none__', '__none__')"
+    inner = bm25_sql(queries, k, cfg, table, id_col, text_col)
+    lower = f"lower({text_col})" if cfg.lowercase else text_col
+    return f"""
+WITH hits AS ({inner}),
+ht AS (
+  SELECT {id_col},
+         list_filter(regexp_split_to_array({lower}, {pat}),
+                     x -> x <> '') AS tk
+  FROM {table}
+),
+u AS (
+  SELECT {id_col}, unnest(tk) AS term,
+         unnest(range(len(tk))) AS pos
+  FROM ht
+),
+hqt(query_id, term) AS (VALUES {qt_values}),
+first AS (
+  SELECT h.query_id, h.{id_col}, min(u.pos) AS p
+  FROM hits h
+  JOIN hqt ON hqt.query_id = h.query_id
+  JOIN u ON u.{id_col} = h.{id_col} AND u.term = hqt.term
+  GROUP BY h.query_id, h.{id_col}
+)
+SELECT f.query_id, f.{id_col}, CAST(f.p AS BIGINT) AS first_pos,
+       array_to_string(ht.tk[greatest(f.p + 1 - {int(window)}, 1)
+                             : f.p + 1 + {int(window)}], ' ')
+         AS fragment
+FROM first f JOIN ht ON ht.{id_col} = f.{id_col}
+ORDER BY f.query_id, f.{id_col}
+"""
+
+
 def boolean_sql(queries: dict[str, str], k: int, cfg: EngineConfig,
                 table: str = "documents", id_col: str = "doc_id",
                 text_col: str = "text", msm: int | None = None) -> str:

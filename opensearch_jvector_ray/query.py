@@ -2377,6 +2377,43 @@ class IndexSearcher:
             columns=["query_id", *self.key_cols, "score"])
         return self._finalize(df, k, collapse_col, cap_k=min_score is None)
 
+    def highlight_fragments(self, queries: dict[str, str],
+                            texts_for, k: int | None = None,
+                            window: int = 5,
+                            **search_kwargs) -> pd.DataFrame:
+        """Highlight snippets [OpenSearch highlighter public semantics,
+        token-window form]: for each top-k hit, the +-``window``-token
+        excerpt around the FIRST matched query-term position, on the
+        lowered pre-stopword token axis (the same axis the positions
+        sidecar stores).
+
+        ``texts_for(keys_df) -> DataFrame(key_cols + text)`` fetches the
+        source text for the hit keys (the J4 pushed-down read — the
+        index never duplicates text, S9).  Per-row work is bounded by
+        the RESULT size (k x queries rows)."""
+        import re as _re
+        pos = self.matched_positions(queries, k=k, **search_kwargs)
+        cols = ["query_id", *self.key_cols, "first_pos", "fragment"]
+        if pos.empty:
+            return pd.DataFrame(columns=cols)
+        first = (pos.groupby(["query_id", *self.key_cols], sort=True)
+                    ["pos"].min().rename("first_pos").reset_index())
+        keys = first[list(self.key_cols)].drop_duplicates()
+        texts = texts_for(keys)
+        m = first.merge(texts, on=list(self.key_cols))
+        rx = _re.compile(self.cfg.split_pattern)
+        frags = []
+        for r in m.itertuples():
+            t = r.text.lower() if self.cfg.lowercase else r.text
+            toks = [x for x in rx.split(t) if x != ""]
+            p = int(r.first_pos)
+            frags.append(" ".join(toks[max(0, p - window):
+                                       p + window + 1]))
+        m["fragment"] = frags
+        m["first_pos"] = m["first_pos"].astype(np.int64)
+        return (m[cols].sort_values(["query_id", *self.key_cols])
+                 .reset_index(drop=True))
+
     def has_child_search(self, queries: dict[str, str],
                          k: int | None = None,
                          score_mode: str = "max",

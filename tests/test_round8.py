@@ -693,3 +693,22 @@ def test_serve_refresh_picks_up_appended_segments(tmp_path):
         assert svc.refresh() == 0                    # idempotent
     finally:
         svc.shutdown()
+
+
+def test_highlight_fragments_window(idx):
+    s = IndexSearcher(idx)
+
+    def texts_for(keys):
+        tbl = _corpus().to_pandas()
+        return keys.merge(tbl[["conv_id", "turn_idx", "text"]],
+                          on=["conv_id", "turn_idx"])
+
+    out = s.highlight_fragments({"q": "gamma"}, texts_for, k=5,
+                                window=1)
+    assert len(out)
+    for r in out.itertuples():
+        text = TEXTS[int(r.conv_id[1:])]
+        toks = text.split()
+        p = int(r.first_pos)
+        assert toks[p] == "gamma"
+        assert r.fragment == " ".join(toks[max(0, p - 1): p + 2])
