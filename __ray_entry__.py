@@ -36,8 +36,8 @@ from opensearch_jvector_ray.oracles import (
     byte_knn_sql, corpus_clean_sql, embedding_dups_sql, ivf_fixed_sql, revenue_by_nation_sql, simhash_sql,
     revenue_by_region_brand_sql, top_order_revenue_sql, transcripts_bm25_sql,
     fingerprint_sql, grouped_best_sql, grouped_expand_sql, knn_sql,
-    highlight_sql, highlight_frag_sql, mlt_sql, prefix_sql, fuzzy_sql,
-    facet_sql, page_sql,
+    highlight_sql, highlight_frag_sql, rank_eval_sql, mlt_sql,
+    prefix_sql, fuzzy_sql, facet_sql, page_sql,
     boosted_sql, synonym_sql, stats_agg_sql, histogram_sql,
     range_agg_sql, top_hits_sql,
     suggest_sql, fuzzy_suggest_sql, regexp_sql, phrase_prefix_sql,
@@ -326,6 +326,29 @@ def _q_bm25_highlight(sf_dir: str) -> pd.DataFrame:
     out["doc_id"] = out["doc_id"].astype(np.int64)
     out["pos"] = out["pos"].astype(np.int64)
     return out.reset_index(drop=True)
+
+
+RATING_MOD = 3     # ONE rule, both sides: doc_id % RATING_MOD == 0 -> 1
+
+
+def _rank_eval_ratings(sf_dir: str) -> dict[str, dict[int, int]]:
+    n_docs = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    rated = {d: 1 for d in range(0, n_docs, RATING_MOD)}
+    return {qid: rated for qid in BM25_QUERIES}
+
+
+def _q_rank_eval_precision(sf_dir: str) -> pd.DataFrame:
+    # _rank_eval API: precision@k of the top-k against rule-rated docs
+    s = IndexSearcher(documents_index(sf_dir))
+    return s.rank_eval(BM25_QUERIES, _rank_eval_ratings(sf_dir),
+                       k=BM25_K, metric="precision")
+
+
+def _q_rank_eval_mrr(sf_dir: str) -> pd.DataFrame:
+    s = IndexSearcher(documents_index(sf_dir))
+    return s.rank_eval(BM25_QUERIES, _rank_eval_ratings(sf_dir),
+                       k=BM25_K, metric="mrr")
 
 
 HL_WINDOW = 4
@@ -1690,6 +1713,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_min_should_match": _q_bm25_min_should_match,
         "bm25_highlight": _q_bm25_highlight,
         "bm25_highlight_frag": _q_bm25_highlight_frag,
+        "rank_eval_precision": _q_rank_eval_precision,
+        "rank_eval_mrr": _q_rank_eval_mrr,
         "bm25_more_like_this": _q_bm25_mlt,
         "bm25_prefix": _q_bm25_prefix,
         "bm25_fuzzy": _q_bm25_fuzzy,
@@ -1942,6 +1967,12 @@ def oracle_sql() -> dict[str, str]:
         "bm25_highlight_frag": highlight_frag_sql(BM25_QUERIES, BM25_K,
                                                   CFG,
                                                   window=HL_WINDOW),
+        "rank_eval_precision": rank_eval_sql(
+            BM25_QUERIES, {}, BM25_K, CFG, metric="precision",
+            rating_rule_sql=f"d.doc_id % {RATING_MOD} = 0"),
+        "rank_eval_mrr": rank_eval_sql(
+            BM25_QUERIES, {}, BM25_K, CFG, metric="mrr",
+            rating_rule_sql=f"d.doc_id % {RATING_MOD} = 0"),
         "bm25_more_like_this": mlt_sql(MLT_SEEDS, BM25_K, 10, CFG),
         "bm25_boosted": boosted_sql(BOOSTED_QUERIES, BM25_K, CFG),
         "bm25_synonyms": synonym_sql(SYN_QUERIES, SYNONYMS, BM25_K, CFG),

@@ -1083,6 +1083,59 @@ ORDER BY h.query_id, h.{id_col}, u.term, pos
 """
 
 
+def rank_eval_sql(queries: dict[str, str], ratings: dict[str, dict],
+                  k: int, cfg: EngineConfig, metric: str = "precision",
+                  rating_rule_sql: str | None = None,
+                  table: str = "documents", id_col: str = "doc_id",
+                  text_col: str = "text") -> str:
+    """Oracle for IndexSearcher.rank_eval (precision | mrr): the shared
+    BM25 top-k CTE joined to the ratings (a VALUES table, or — when
+    ``rating_rule_sql`` is given, e.g. "d.doc_id % 3 = 0" — a rule over
+    the source table, rating 1; the entry derives its engine-side dict
+    from the SAME rule).  Both metrics are one integer division
+    (bit-exact)."""
+    assert metric in ("precision", "mrr")
+    if rating_rule_sql is not None:
+        rat_block = (f"rat(query_id, {id_col}, rating) AS (\n"
+                     f"  SELECT q.query_id, d.{id_col}, 1\n"
+                     f"  FROM qids q CROSS JOIN {table} d\n"
+                     f"  WHERE {rating_rule_sql})")
+    else:
+        rows = [f"({sql_quote(qid)}, {int(d)}, {int(r)})"
+                for qid, rd_ in sorted(ratings.items())
+                for d, r in sorted(rd_.items())]
+        rat_values = ",\n       ".join(rows) if rows else \
+            "('__none__', -1, 0)"
+        rat_block = (f"rat(query_id, {id_col}, rating) AS "
+                     f"(VALUES {rat_values})")
+    inner = bm25_sql(queries, k, cfg, table, id_col, text_col)
+    if metric == "precision":
+        expr = (f"round(count(*) FILTER (r.rating > 0)::DOUBLE "
+                f"/ {int(k)}, 6)")
+        agg = f"""
+  SELECT h.query_id, {expr} AS metric_score
+  FROM hits h LEFT JOIN rat r
+    ON r.query_id = h.query_id AND r.{id_col} = h.{id_col}
+  GROUP BY h.query_id"""
+    else:
+        agg = f"""
+  SELECT h.query_id,
+         round(coalesce(1.0 / min(h.rank) FILTER (r.rating > 0), 0.0),
+               6) AS metric_score
+  FROM hits h LEFT JOIN rat r
+    ON r.query_id = h.query_id AND r.{id_col} = h.{id_col}
+  GROUP BY h.query_id"""
+    return f"""
+WITH hits AS ({inner}),
+{_qids_cte(queries)},
+{rat_block},
+m AS ({agg})
+SELECT q.query_id, coalesce(m.metric_score, 0.0) AS metric_score
+FROM qids q LEFT JOIN m USING (query_id)
+ORDER BY q.query_id
+"""
+
+
 def highlight_frag_sql(queries: dict[str, str], k: int,
                        cfg: EngineConfig, window: int = 5,
                        table: str = "documents", id_col: str = "doc_id",

@@ -2377,6 +2377,50 @@ class IndexSearcher:
             columns=["query_id", *self.key_cols, "score"])
         return self._finalize(df, k, collapse_col, cap_k=min_score is None)
 
+    def rank_eval(self, queries: dict[str, str],
+                  ratings: dict[str, dict], k: int | None = None,
+                  metric: str = "precision",
+                  **search_kwargs) -> pd.DataFrame:
+        """Ranking evaluation [OpenSearch _rank_eval API public
+        semantics]: score each query's top-k against rated documents.
+
+          precision  P@k = relevant-in-top-k / k   (rating > 0 counts)
+          mrr        1 / rank of the first relevant hit (0 if none)
+          ndcg       DCG@k / IDCG@k with DCG = sum rel_i / log2(i + 1)
+
+        ``ratings``: qid -> {doc key (first key col value): rating int}.
+        precision and mrr are single integer divisions (bit-exact vs the
+        SQL oracle); ndcg's log2 is libm-dependent (pytest-gated)."""
+        if metric not in ("precision", "mrr", "ndcg"):
+            raise ValueError("metric must be precision|mrr|ndcg")
+        k = k or self.cfg.default_k
+        hits = self.search(queries, k=k, **search_kwargs)
+        key0 = self.key_cols[0]
+        rows = []
+        for qid in sorted(queries):
+            rated = ratings.get(qid, {})
+            g = hits[hits["query_id"] == qid]
+            rels = [int(rated.get(d, 0)) for d in g[key0]]
+            if metric == "precision":
+                score = float(sum(1 for r in rels if r > 0)) / k
+            elif metric == "mrr":
+                score = 0.0
+                for i, r in enumerate(rels, start=1):
+                    if r > 0:
+                        score = 1.0 / i
+                        break
+            else:
+                dcg = float(np.sum(np.asarray(rels, dtype=np.float64)
+                                   / np.log2(np.arange(2, len(rels) + 2))))
+                ideal = sorted((int(r) for r in rated.values()),
+                               reverse=True)[:k]
+                idcg = float(np.sum(np.asarray(ideal, dtype=np.float64)
+                                    / np.log2(np.arange(2, len(ideal) + 2)))
+                             ) if ideal else 0.0
+                score = dcg / idcg if idcg > 0 else 0.0
+            rows.append((qid, round(score, 6)))
+        return pd.DataFrame(rows, columns=["query_id", "metric_score"])
+
     def highlight_fragments(self, queries: dict[str, str],
                             texts_for, k: int | None = None,
                             window: int = 5,

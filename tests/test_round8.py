@@ -712,3 +712,28 @@ def test_highlight_fragments_window(idx):
         p = int(r.first_pos)
         assert toks[p] == "gamma"
         assert r.fragment == " ".join(toks[max(0, p - 1): p + 2])
+
+
+def test_rank_eval_metrics(idx):
+    s = IndexSearcher(idx)
+    # all alpha-docs rated relevant
+    rated = {f"c{i:05d}": 1 for i, t in enumerate(TEXTS) if "alpha" in t}
+    ratings = {"q": rated}
+    hits = s.search({"q": "alpha beta"}, k=10)
+    rels = [1 if c in rated else 0 for c in hits["conv_id"]]
+    p = s.rank_eval({"q": "alpha beta"}, ratings, k=10,
+                    metric="precision")
+    assert p["metric_score"][0] == round(sum(rels) / 10, 6)
+    m = s.rank_eval({"q": "alpha beta"}, ratings, k=10, metric="mrr")
+    first = next((i + 1 for i, r in enumerate(rels) if r), None)
+    assert m["metric_score"][0] == round(1.0 / first, 6)
+    n = s.rank_eval({"q": "alpha beta"}, ratings, k=10, metric="ndcg")
+    dcg = sum(r / np.log2(i + 2) for i, r in enumerate(rels))
+    ideal = sorted(rated.values(), reverse=True)[:10]
+    idcg = sum(r / np.log2(i + 2) for i, r in enumerate(ideal))
+    assert n["metric_score"][0] == round(dcg / idcg, 6)
+    # unmatched query scores 0 under every metric
+    z = s.rank_eval({"q": "zzznope"}, {"q": rated}, k=10, metric="mrr")
+    assert z["metric_score"][0] == 0.0
+    with pytest.raises(ValueError, match="metric"):
+        s.rank_eval({"q": "a"}, {}, metric="f1")
