@@ -36,7 +36,8 @@ from opensearch_jvector_ray.oracles import (
     byte_knn_sql, corpus_clean_sql, embedding_dups_sql, ivf_fixed_sql, revenue_by_nation_sql, simhash_sql,
     revenue_by_region_brand_sql, top_order_revenue_sql, transcripts_bm25_sql,
     fingerprint_sql, grouped_best_sql, grouped_expand_sql, knn_sql,
-    highlight_sql, highlight_frag_sql, rank_eval_sql, mlt_sql,
+    highlight_sql, highlight_frag_sql, rank_eval_sql, explain_sql,
+    mlt_sql,
     prefix_sql, fuzzy_sql, facet_sql, page_sql,
     boosted_sql, synonym_sql, stats_agg_sql, histogram_sql,
     range_agg_sql, top_hits_sql,
@@ -326,6 +327,15 @@ def _q_bm25_highlight(sf_dir: str) -> pd.DataFrame:
     out["doc_id"] = out["doc_id"].astype(np.int64)
     out["pos"] = out["pos"].astype(np.int64)
     return out.reset_index(drop=True)
+
+
+def _q_bm25_explain(sf_dir: str) -> pd.DataFrame:
+    # _explain API: per-(hit, term) BM25 breakdown; contributions sum
+    # to the hit score
+    s = IndexSearcher(documents_index(sf_dir))
+    out = s.explain(BM25_QUERIES, k=BM25_K)
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out
 
 
 RATING_MOD = 3     # ONE rule, both sides: doc_id % RATING_MOD == 0 -> 1
@@ -1713,6 +1723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_min_should_match": _q_bm25_min_should_match,
         "bm25_highlight": _q_bm25_highlight,
         "bm25_highlight_frag": _q_bm25_highlight_frag,
+        "bm25_explain": _q_bm25_explain,
         "rank_eval_precision": _q_rank_eval_precision,
         "rank_eval_mrr": _q_rank_eval_mrr,
         "bm25_more_like_this": _q_bm25_mlt,
@@ -1967,6 +1978,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_highlight_frag": highlight_frag_sql(BM25_QUERIES, BM25_K,
                                                   CFG,
                                                   window=HL_WINDOW),
+        "bm25_explain": explain_sql(BM25_QUERIES, BM25_K, CFG),
         "rank_eval_precision": rank_eval_sql(
             BM25_QUERIES, {}, BM25_K, CFG, metric="precision",
             rating_rule_sql=f"d.doc_id % {RATING_MOD} = 0"),

@@ -1083,6 +1083,56 @@ ORDER BY h.query_id, h.{id_col}, u.term, pos
 """
 
 
+def explain_sql(queries: dict[str, str], k: int, cfg: EngineConfig,
+                table: str = "documents", id_col: str = "doc_id",
+                text_col: str = "text") -> str:
+    """Oracle for IndexSearcher.explain: per-(hit, term) BM25 breakdown
+    from the same token/df/dl CTEs the score oracle uses; contribution
+    is the identical product chain (bit-exact before the round-6)."""
+    qt_rows = []
+    for qid, text in sorted(queries.items()):
+        for term, w in query_term_weights(text, cfg):
+            qt_rows.append(f"({sql_quote(qid)}, {sql_quote(term)}, "
+                           f"{float(w)!r})")
+    qt_values = ",\n       ".join(qt_rows) if qt_rows else \
+        "('__none__', '__none__', 0.0)"
+    inner = bm25_sql(queries, k, cfg, table, id_col, text_col)
+    idf = ("ln(1.0 + ((SELECT n FROM stats) - df.df + 0.5) "
+           "/ (df.df + 0.5))")
+    return f"""
+WITH {toks_cte(cfg, table, id_col, text_col)},
+dl AS (
+  SELECT {id_col}, count(*)::DOUBLE AS dl FROM toks GROUP BY {id_col}
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl
+),
+qt(query_id, term, w) AS (VALUES {qt_values}),
+df AS (
+  SELECT term, count(DISTINCT {id_col})::DOUBLE AS df FROM toks
+  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY term
+),
+tf AS (
+  SELECT {id_col}, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY {id_col}, term
+),
+hits AS ({inner})
+SELECT h.query_id, h.{id_col}, tf.term,
+       CAST(tf.tf AS BIGINT) AS tf,
+       CAST(df.df AS BIGINT) AS df,
+       round({idf}, 6) AS idf,
+       round(qt.w * {idf}
+             * (tf.tf / (tf.tf + {cfg.k1!r} * (1.0 - {cfg.b!r} + {cfg.b!r} * dl.dl / (SELECT avgdl FROM stats)))),
+             6) AS contribution
+FROM hits h
+JOIN qt ON qt.query_id = h.query_id
+JOIN tf ON tf.{id_col} = h.{id_col} AND tf.term = qt.term
+JOIN df ON df.term = qt.term
+JOIN dl ON dl.{id_col} = h.{id_col}
+ORDER BY h.query_id, h.{id_col}, tf.term
+"""
+
+
 def rank_eval_sql(queries: dict[str, str], ratings: dict[str, dict],
                   k: int, cfg: EngineConfig, metric: str = "precision",
                   rating_rule_sql: str | None = None,

@@ -2377,6 +2377,58 @@ class IndexSearcher:
             columns=["query_id", *self.key_cols, "score"])
         return self._finalize(df, k, collapse_col, cap_k=min_score is None)
 
+    def explain(self, queries: dict[str, str], k: int | None = None,
+                **search_kwargs) -> pd.DataFrame:
+        """Score explanation [Lucene Explanation / OpenSearch _explain
+        API public semantics]: for every top-k hit, the per-term BM25
+        breakdown — (tf, df, idf, contribution) with contribution =
+        w * idf * tf/(tf + k1*(1-b+b*dl/avgdl)); the contributions sum
+        (in analyzed term order) to the hit's score.
+
+        Derived from result-sized surfaces only: tf = matched-position
+        counts (the highlight fetch), df from the global dictionary,
+        dl via a pushed-down docs-sidecar read over the hit keys."""
+        k = k or self.cfg.default_k
+        pos = self.matched_positions(queries, k=k, **search_kwargs)
+        cols = ["query_id", *self.key_cols, "term", "tf", "df", "idf",
+                "contribution"]
+        if pos.empty:
+            return pd.DataFrame(columns=cols)
+        tf = (pos.groupby(["query_id", *self.key_cols, "term"],
+                          sort=True).size().rename("tf").reset_index())
+        df_map = self.lookup_df(sorted(set(tf["term"])))
+        n = float(self.stats["n_docs_indexed"])
+        avgdl = float(self.stats["avgdl"] or 1.0)
+        w_map = {(qid, t): float(w) for qid, text in queries.items()
+                 for t, w in query_term_weights(text, self.cfg)}
+        # doc_len per hit key: pushed-down sidecar read over hit keys
+        keys = tf[list(self.key_cols)].drop_duplicates()
+        key0 = self.key_cols[0]
+        flt = [(key0, "in", sorted(set(keys[key0])))]
+        dls = []
+        for d in self.seg_dirs:
+            t = pq.read_table(os.path.join(d, DOCS_NAME),
+                              columns=[*self.key_cols, "doc_len"],
+                              filters=flt)
+            if t.num_rows:
+                dls.append(t.to_pandas())
+        dl_df = pd.concat(dls, ignore_index=True).drop_duplicates(
+            subset=list(self.key_cols))
+        m = tf.merge(dl_df, on=list(self.key_cols))
+        m["df"] = m["term"].map(df_map).astype(np.int64)
+        m["idf"] = np.array([float(bm25_idf(n, d)) for d in m["df"]])
+        w = np.array([w_map.get((qid, t), 0.0)
+                      for qid, t in zip(m["query_id"], m["term"])])
+        tfv = m["tf"].to_numpy(np.float64)
+        dlv = m["doc_len"].to_numpy(np.float64)
+        m["contribution"] = np.round(
+            w * m["idf"].to_numpy() * bm25_tf_part(
+                tfv, dlv, avgdl, self.cfg.k1, self.cfg.b), 6)
+        m["idf"] = np.round(m["idf"].astype(np.float64), 6)
+        m["tf"] = m["tf"].astype(np.int64)
+        return (m[cols].sort_values(["query_id", *self.key_cols,
+                                     "term"]).reset_index(drop=True))
+
     def rank_eval(self, queries: dict[str, str],
                   ratings: dict[str, dict], k: int | None = None,
                   metric: str = "precision",

@@ -737,3 +737,22 @@ def test_rank_eval_metrics(idx):
     assert z["metric_score"][0] == 0.0
     with pytest.raises(ValueError, match="metric"):
         s.rank_eval({"q": "a"}, {}, metric="f1")
+
+
+def test_explain_contributions_sum_to_score(idx):
+    s = IndexSearcher(idx)
+    q = {"q": "alpha beta gamma"}
+    hits = s.search(q, k=5)
+    ex = s.explain(q, k=5)
+    for r in hits.itertuples():
+        sub = ex[(ex["query_id"] == r.query_id)
+                 & (ex["conv_id"] == r.conv_id)]
+        assert len(sub)
+        # round-6 components sum back to the round-6 score within one
+        # ulp-per-term of rounding slack
+        assert abs(sub["contribution"].sum() - round(r.score, 6)) \
+            <= 1e-6 * (len(sub) + 1)
+        # tf equals the term count in the doc text
+        toks = TEXTS[int(r.conv_id[1:])].split()
+        for t in sub.itertuples():
+            assert t.tf == toks.count(t.term)
