@@ -329,6 +329,24 @@ def _q_bm25_highlight(sf_dir: str) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def _q_bm25_cumulative_sum(sf_dir: str) -> pd.DataFrame:
+    # pipeline aggregation: running doc_count over date buckets
+    s = IndexSearcher(transcripts_index(sf_dir))
+    return s.date_histogram_agg(TRANSCRIPT_QUERIES, ts_col="ts",
+                                calendar_interval=DATE_HIST_INTERVAL,
+                                min_score=FACET_MIN_SCORE,
+                                pipeline="cumulative_sum")
+
+
+def _q_bm25_derivative(sf_dir: str) -> pd.DataFrame:
+    # pipeline aggregation: bucket-to-bucket delta (first bucket null)
+    s = IndexSearcher(transcripts_index(sf_dir))
+    return s.date_histogram_agg(TRANSCRIPT_QUERIES, ts_col="ts",
+                                calendar_interval=DATE_HIST_INTERVAL,
+                                min_score=FACET_MIN_SCORE,
+                                pipeline="derivative")
+
+
 def _q_bm25_explain(sf_dir: str) -> pd.DataFrame:
     # _explain API: per-(hit, term) BM25 breakdown; contributions sum
     # to the hit score
@@ -1724,6 +1742,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_highlight": _q_bm25_highlight,
         "bm25_highlight_frag": _q_bm25_highlight_frag,
         "bm25_explain": _q_bm25_explain,
+        "bm25_cumulative_sum": _q_bm25_cumulative_sum,
+        "bm25_derivative": _q_bm25_derivative,
         "rank_eval_precision": _q_rank_eval_precision,
         "rank_eval_mrr": _q_rank_eval_mrr,
         "bm25_more_like_this": _q_bm25_mlt,
@@ -1906,6 +1926,14 @@ def _decay_recency_oracle() -> str:
                                   _transcript_arms(), DECAY_SPEC)
 
 
+def _date_histogram_oracle_p(pipeline: str) -> str:
+    from opensearch_jvector_ray.oracles import date_histogram_sql
+    from opensearch_jvector_ray.sources.tables import TRANSCRIPTS_CFG
+    return date_histogram_sql(TRANSCRIPT_QUERIES, FACET_MIN_SCORE,
+                              DATE_HIST_INTERVAL, TRANSCRIPTS_CFG,
+                              _transcript_arms(), pipeline=pipeline)
+
+
 def _date_histogram_oracle() -> str:
     from opensearch_jvector_ray.oracles import date_histogram_sql
     from opensearch_jvector_ray.sources.tables import TRANSCRIPTS_CFG
@@ -1979,6 +2007,9 @@ def oracle_sql() -> dict[str, str]:
                                                   CFG,
                                                   window=HL_WINDOW),
         "bm25_explain": explain_sql(BM25_QUERIES, BM25_K, CFG),
+        "bm25_cumulative_sum": _date_histogram_oracle_p(
+            "cumulative_sum"),
+        "bm25_derivative": _date_histogram_oracle_p("derivative"),
         "rank_eval_precision": rank_eval_sql(
             BM25_QUERIES, {}, BM25_K, CFG, metric="precision",
             rating_rule_sql=f"d.doc_id % {RATING_MOD} = 0"),

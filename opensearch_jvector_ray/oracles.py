@@ -608,11 +608,14 @@ ORDER BY qs.query_id, rg.range_key
 
 def date_histogram_sql(queries: dict[str, str], min_score: float,
                        calendar_interval: str, cfg: EngineConfig,
-                       arms: list[tuple[str, int]]) -> str:
+                       arms: list[tuple[str, int]],
+                       pipeline: str | None = None) -> str:
     """Oracle for IndexSearcher.date_histogram_agg over the transcripts
     index (the ts-bearing corpus): doc counts per date_trunc bucket of
     the radial match set.  The transcript parquet is scale-selected by
-    the lineitem row count (see transcripts_arms_cte)."""
+    the lineitem row count (see transcripts_arms_cte).  ``pipeline``
+    (cumulative_sum | derivative) mirrors the engine's window column
+    over the PRESENT buckets in order."""
     prefix = transcripts_arms_cte(
         arms, "conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0')"
               " AS doc_id, text")
@@ -621,14 +624,26 @@ def date_histogram_sql(queries: dict[str, str], min_score: float,
     outer = transcripts_arms_cte(
         arms, "conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0')"
               " AS doc_id, ts")
+    pipe_col = ""
+    if pipeline == "cumulative_sum":
+        pipe_col = (",\n       sum(doc_count) OVER (PARTITION BY "
+                    "query_id ORDER BY bucket)::BIGINT "
+                    "AS cumulative_sum")
+    elif pipeline == "derivative":
+        pipe_col = (",\n       (doc_count - lag(doc_count) OVER ("
+                    "PARTITION BY query_id ORDER BY bucket))::BIGINT "
+                    "AS derivative")
     return f"""
-WITH {outer}
-SELECT h.query_id,
-       date_trunc({sql_quote(calendar_interval)}, d.ts) AS bucket,
-       count(*)::BIGINT AS doc_count
-FROM ({inner}) h JOIN transcripts d USING (doc_id)
-GROUP BY h.query_id, bucket
-ORDER BY h.query_id, bucket
+WITH {outer},
+b AS (
+  SELECT h.query_id,
+         date_trunc({sql_quote(calendar_interval)}, d.ts) AS bucket,
+         count(*)::BIGINT AS doc_count
+  FROM ({inner}) h JOIN transcripts d USING (doc_id)
+  GROUP BY h.query_id, bucket
+)
+SELECT query_id, bucket, doc_count{pipe_col}
+FROM b ORDER BY query_id, bucket
 """
 
 

@@ -1744,6 +1744,7 @@ class IndexSearcher:
 
     def date_histogram_agg(self, queries: dict[str, str], ts_col: str,
                            calendar_interval: str, min_score: float,
+                           pipeline: str | None = None,
                            term_weights: dict[str, list[tuple[str, float]]] | None = None,
                            concurrency: int | None = None) -> pd.DataFrame:
         """Date-histogram aggregation [OpenSearch date_histogram public
@@ -1751,18 +1752,35 @@ class IndexSearcher:
         counts per calendar bucket (month / day / hour START, exact
         integer datetime64 truncation — the oracle's date_trunc), ordered
         (query_id, bucket ASC).  Empty buckets are not emitted (the
-        OpenSearch min_doc_count=1 shape)."""
+        OpenSearch min_doc_count=1 shape).
+
+        ``pipeline`` [OpenSearch pipeline-aggregation public semantics]
+        adds a bucket-script column over the PRESENT buckets in order:
+        ``cumulative_sum`` (running doc_count total) or ``derivative``
+        (doc_count delta vs the previous bucket; first bucket null —
+        emitted as pandas NA).  Integer arithmetic, driver-side over
+        bucket-count-sized rows."""
         if calendar_interval not in ("month", "day", "hour"):
             raise ValueError("calendar_interval must be month|day|hour")
+        if pipeline not in (None, "cumulative_sum", "derivative"):
+            raise ValueError("pipeline must be cumulative_sum|derivative")
         df = self._agg_fanout(queries,
                               {"kind": "date_hist", "col": ts_col,
                                "interval": calendar_interval},
                               min_score, term_weights, concurrency)
         cols = ["query_id", "bucket", "doc_count"]
+        if pipeline is not None:
+            cols = cols + [pipeline]
         if df.empty:
             return pd.DataFrame(columns=cols)
         out = (df.groupby(["query_id", "bucket"], sort=True)["doc_count"]
                  .sum().reset_index())
+        if pipeline == "cumulative_sum":
+            out[pipeline] = (out.groupby("query_id", sort=False)
+                                ["doc_count"].cumsum().astype(np.int64))
+        elif pipeline == "derivative":
+            out[pipeline] = (out.groupby("query_id", sort=False)
+                                ["doc_count"].diff().astype("Int64"))
         return out[cols]
 
     def top_hits_agg(self, queries: dict[str, str], group_col: str, n: int,

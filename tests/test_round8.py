@@ -756,3 +756,25 @@ def test_explain_contributions_sum_to_score(idx):
         toks = TEXTS[int(r.conv_id[1:])].split()
         for t in sub.itertuples():
             assert t.tf == toks.count(t.term)
+
+
+def test_date_histogram_pipeline_aggs(idx):
+    s = IndexSearcher(idx)
+    base = s.date_histogram_agg({"q": "alpha beta gamma delta"},
+                                ts_col="ts", calendar_interval="hour",
+                                min_score=MS)
+    cs = s.date_histogram_agg({"q": "alpha beta gamma delta"},
+                              ts_col="ts", calendar_interval="hour",
+                              min_score=MS, pipeline="cumulative_sum")
+    dv = s.date_histogram_agg({"q": "alpha beta gamma delta"},
+                              ts_col="ts", calendar_interval="hour",
+                              min_score=MS, pipeline="derivative")
+    assert list(cs["cumulative_sum"]) == \
+        list(base["doc_count"].cumsum())
+    assert pd.isna(dv["derivative"].iloc[0])
+    assert list(dv["derivative"].iloc[1:]) == \
+        list(base["doc_count"].diff().iloc[1:].astype("Int64"))
+    with pytest.raises(ValueError, match="pipeline"):
+        s.date_histogram_agg({"q": "a"}, ts_col="ts",
+                             calendar_interval="hour", min_score=MS,
+                             pipeline="moving_avg")
