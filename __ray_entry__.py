@@ -41,7 +41,8 @@ from opensearch_jvector_ray.oracles import (
     prefix_sql, fuzzy_sql, facet_sql, page_sql,
     boosted_sql, synonym_sql, stats_agg_sql, histogram_sql,
     range_agg_sql, top_hits_sql,
-    suggest_sql, fuzzy_suggest_sql, regexp_sql, phrase_prefix_sql,
+    suggest_sql, fuzzy_suggest_sql, phrase_suggest_sql, regexp_sql,
+    phrase_prefix_sql,
     hybrid_rrf_sql,
     hash_sample_sql, hash_split_sql, lang_id_sql, minhash_exact_sql,
     mix_sources_sql, bpe_count_sql, gopher_filter_sql, tool_usage_sql,
@@ -327,6 +328,16 @@ def _q_bm25_highlight(sf_dir: str) -> pd.DataFrame:
     out["doc_id"] = out["doc_id"].astype(np.int64)
     out["pos"] = out["pos"].astype(np.int64)
     return out.reset_index(drop=True)
+
+
+PHRASE_SUGGEST = {"sp1": "fasst merge sirt", "sp2": "custmer valwe scan",
+                  "sp3": "the quary windoe"}
+
+
+def _q_suggest_phrase(sf_dir: str) -> pd.DataFrame:
+    # phrase suggester: per-token keep-or-correct over the vocabulary
+    s = IndexSearcher(documents_index(sf_dir))
+    return s.suggest_phrase(PHRASE_SUGGEST, max_edits=2)
 
 
 def _q_bm25_cumulative_sum(sf_dir: str) -> pd.DataFrame:
@@ -1772,6 +1783,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_wildcard": _q_bm25_wildcard,
         "term_suggest": _q_term_suggest,
         "term_suggest_fuzzy": _q_term_suggest_fuzzy,
+        "suggest_phrase": _q_suggest_phrase,
         "grouped_best_doc": _q_grouped_best,
         "grouped_expand": _q_grouped_expand,
         "term_stats": _q_term_stats,
@@ -2067,6 +2079,7 @@ def oracle_sql() -> dict[str, str]:
         "term_suggest": suggest_sql(SUGGEST_PREFIXES, SUGGEST_N, CFG),
         "term_suggest_fuzzy": fuzzy_suggest_sql(
             SUGGEST_TYPOS, SUGGEST_N, SUGGEST_MAX_EDITS, CFG),
+        "suggest_phrase": phrase_suggest_sql(PHRASE_SUGGEST, 2, CFG),
         "grouped_best_doc": grouped_best_sql(GROUP_QUERY, CFG),
         "grouped_expand": grouped_expand_sql(GROUP_QUERY, EXPAND_GROUPS, CFG),
         "term_stats": term_stats_sql(TERM_STATS_TERMS, CFG),

@@ -535,6 +535,38 @@ ORDER BY suggest_id, dist, df DESC, term
 """
 
 
+def phrase_suggest_sql(texts: dict[str, str], max_edits: int,
+                       cfg: EngineConfig, table: str = "documents",
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> str:
+    """Oracle for IndexSearcher.suggest_phrase: per analyzed token (the
+    SAME analyzer produces the token list at generation time), keep if
+    in vocab else the top (dist asc, df desc, term asc) correction."""
+    from opensearch_jvector_ray.analyze import analyze_query
+    arms = []
+    for sid, text in sorted(texts.items()):
+        toks = analyze_query(text, cfg)
+        parts = []
+        for t in toks:
+            lit = sql_quote(t)
+            parts.append(f"""CASE WHEN EXISTS (SELECT 1 FROM vocab WHERE term = {lit})
+  THEN {lit}
+  ELSE coalesce((SELECT term FROM vocab v
+                 WHERE levenshtein(v.term, {lit}) <= {int(max_edits)}
+                 ORDER BY levenshtein(v.term, {lit}) ASC, v.df DESC,
+                          v.term ASC LIMIT 1), {lit}) END""")
+        joined = " || ' ' || ".join(parts) if parts else "''"
+        arms.append(f"SELECT {sql_quote(sid)} AS suggest_id, "
+                    f"{joined} AS suggestion")
+    body = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH {toks_cte(cfg, table, id_col, text_col)},
+{_vocab_cte(id_col)}
+{body}
+ORDER BY suggest_id
+"""
+
+
 def stats_agg_sql(queries: dict[str, str], min_score: float,
                   value_col: str, cfg: EngineConfig,
                   table: str = "documents", id_col: str = "doc_id",

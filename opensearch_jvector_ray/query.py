@@ -1370,6 +1370,30 @@ class IndexSearcher:
                              "df": np.array([-nd for _, nd, _ in hits],
                                             dtype=np.int64)})
 
+    def suggest_phrase(self, texts: dict[str, str],
+                       max_edits: int = 2) -> pd.DataFrame:
+        """Phrase suggester [OpenSearch phrase-suggester public
+        semantics, one-candidate-per-slot form]: each analyzed token of
+        the input is kept if it exists in the vocabulary, otherwise
+        replaced by its best DirectSpellChecker correction ((dist asc,
+        df desc, term asc) — suggest_fuzzy's rule); tokens with no
+        correction within ``max_edits`` stay as-is.  Returns
+        (suggest_id, suggestion)."""
+        from opensearch_jvector_ray.analyze import analyze_query
+        rows = []
+        for sid, text in sorted(texts.items()):
+            toks = analyze_query(text, self.cfg)
+            dfm = self.lookup_df(sorted(set(toks)))
+            out = []
+            for t in toks:
+                if dfm.get(t, 0) > 0:
+                    out.append(t)
+                else:
+                    c = self.suggest_fuzzy(t, n=1, max_edits=max_edits)
+                    out.append(c["term"][0] if len(c) else t)
+            rows.append((sid, " ".join(out)))
+        return pd.DataFrame(rows, columns=["suggest_id", "suggestion"])
+
     def expand_regex(self, pattern: str, max_expansions: int = 50,
                      ) -> list[str]:
         """Regexp term expansion [Lucene RegexpQuery public semantics]:

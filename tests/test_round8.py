@@ -778,3 +778,15 @@ def test_date_histogram_pipeline_aggs(idx):
         s.date_histogram_agg({"q": "a"}, ts_col="ts",
                              calendar_interval="hour", min_score=MS,
                              pipeline="moving_avg")
+
+
+def test_suggest_phrase_keep_or_correct(idx):
+    s = IndexSearcher(idx)
+    out = s.suggest_phrase({"a": "alpha betta gama", "b": "the delta"},
+                           max_edits=2)
+    got = dict(zip(out["suggest_id"], out["suggestion"]))
+    assert got["a"] == "alpha beta gamma"   # in-vocab kept, typos fixed
+    assert got["b"] == "delta"              # stopword dropped by analysis
+    # nothing within max_edits -> token kept as-is
+    out2 = s.suggest_phrase({"c": "zzzzzzzzzzzz"}, max_edits=1)
+    assert out2["suggestion"][0] == "zzzzzzzzzzzz"
