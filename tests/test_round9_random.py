@@ -1,0 +1,264 @@
+"""Seeded randomized property tests for the round-3-continuation query
+surface (span_near, sort-by-field, function_score, structured filters,
+has_child, composite paging, percolate, constant_score/boosting,
+rank_eval) — every check against an obviously-correct pandas/numpy
+reference over one random corpus.  Edge cases on purpose: empty docs,
+duplicated sort keys, stopword-only docs, zero-match queries."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from opensearch_jvector_ray.config import EngineConfig
+from opensearch_jvector_ray.query import IndexSearcher
+from opensearch_jvector_ray.query_dsl import compile_filter
+from opensearch_jvector_ray.stages.build import IndexSpec, build_index
+
+SEED = 1234
+VOCAB = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "the", "and",
+         "kappa", "mu"]
+N = 150
+
+
+def _mk_corpus():
+    rng = np.random.default_rng(SEED)
+    texts, roles, tss = [], [], []
+    for i in range(N):
+        L = int(rng.integers(0, 13))           # includes empty docs
+        texts.append(" ".join(rng.choice(VOCAB, size=L)))
+        roles.append(("user", "assistant", "tool")[int(rng.integers(3))])
+        tss.append(int(rng.integers(0, 40)) * 1000)   # many ts ties
+    return pa.table({
+        "conv_id": [f"r{i:05d}" for i in range(N)],
+        "turn_idx": pa.array([0] * N, type=pa.int32()),
+        "role": roles,
+        "text": pa.array(texts, type=pa.string()),
+        "tool": [""] * N,
+        "ts": pa.array(tss, type=pa.timestamp("us")),
+    }), texts, roles, tss
+
+
+CORPUS, TEXTS, ROLES, TSS = _mk_corpus()
+CFG = EngineConfig(num_segments=4)
+STOP = CFG.stopwords
+
+
+@pytest.fixture(scope="module")
+def idx(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("r9") / "idx")
+    build_index(rd.from_arrow(CORPUS), out, CFG, IndexSpec())
+    return out
+
+
+def _match_ids(s, q):
+    out = s.search({"q": q}, min_score=1e-300)
+    return {int(c[1:]) for c in out["conv_id"]}, \
+        dict(zip((int(c[1:]) for c in out["conv_id"]), out["score"]))
+
+
+def _brute_span_tf(text, words, slop):
+    toks = [t for t in text.lower().split() if t]
+    W = len(words) + slop
+    return sum(1 for s0 in range(1 - W, len(toks))
+               if all(w in toks[max(s0, 0): s0 + W] for w in words))
+
+
+def test_span_near_random(idx):
+    s = IndexSearcher(idx)
+    rng = np.random.default_rng(SEED + 1)
+    content = [w for w in VOCAB if w not in STOP]
+    for trial in range(8):
+        nt = int(rng.integers(2, 4))
+        words = list(rng.choice(content, size=nt, replace=False))
+        slop = int(rng.integers(0, 5))
+        got = s.search({"q": " ".join(words)}, k=N, mode="span",
+                       slop=slop)
+        want = sorted(i for i, t in enumerate(TEXTS)
+                      if _brute_span_tf(t, words, slop) > 0)
+        assert sorted(int(c[1:]) for c in got["conv_id"]) == want, \
+            (words, slop)
+
+
+def test_sort_by_field_random_ties(idx):
+    s = IndexSearcher(idx)
+    rng = np.random.default_rng(SEED + 2)
+    content = [w for w in VOCAB if w not in STOP]
+    for trial in range(6):
+        q = " ".join(rng.choice(content,
+                                size=int(rng.integers(1, 4)),
+                                replace=False))
+        order = ("asc", "desc")[int(rng.integers(2))]
+        k = int(rng.integers(1, 30))
+        got = s.search({"q": q}, k=k, sort=("ts", order))
+        ids, _ = _match_ids(s, q)
+        ref = sorted(((TSS[i], f"r{i:05d}") for i in ids),
+                     key=lambda p: (-p[0] if order == "desc" else p[0],
+                                    p[1]))[:k]
+        assert list(got["conv_id"]) == [c for _, c in ref], (q, order)
+
+
+def test_function_score_random(idx):
+    s = IndexSearcher(idx)
+    rng = np.random.default_rng(SEED + 3)
+    content = [w for w in VOCAB if w not in STOP]
+    for trial in range(6):
+        q = " ".join(rng.choice(content, size=2, replace=False))
+        ids, raw = _match_ids(s, q)
+        origin = float(rng.integers(0, 40_000))
+        scale = float(rng.integers(1, 5)) * 9000.0
+        spec = {"kind": "decay", "decay_fn": "linear", "field": "ts",
+                "origin": origin, "scale": scale, "decay": 0.5}
+        got = s.search({"q": q}, k=N, score_fn=spec)
+        sN = scale / 0.5
+        exp = []
+        for i in ids:
+            dist = max(abs(float(TSS[i]) - origin), 0.0)
+            m = max(0.0, (sN - dist) / sN)
+            sc = raw[i] * m
+            if sc > 0:
+                exp.append((-sc, f"r{i:05d}", sc))
+        exp.sort()
+        assert list(got["conv_id"]) == [c for _, c, _ in exp]
+        assert np.allclose(got["score"],
+                           [sc for _, _, sc in exp], rtol=0, atol=0)
+
+
+def test_structured_filters_random(idx):
+    s = IndexSearcher(idx)
+    rng = np.random.default_rng(SEED + 4)
+    for trial in range(6):
+        role = ("user", "assistant", "tool")[int(rng.integers(3))]
+        lo = int(rng.integers(0, 30)) * 1000
+        spec = {"bool": {
+            "must": [{"range": {"ts": {
+                "gte": pd.Timestamp(lo, unit="us")}}}],
+            "must_not": [{"term": {"role": role}}],
+        }}
+        got = s.search({"q": "alpha beta gamma delta eps zeta"},
+                       k=N, filter=compile_filter(spec))
+        ids, _ = _match_ids(s, "alpha beta gamma delta eps zeta")
+        want = sorted(i for i in ids
+                      if TSS[i] >= lo and ROLES[i] != role)
+        assert sorted(int(c[1:]) for c in got["conv_id"]) == want
+
+
+def test_has_child_random(idx):
+    # conv-level parents: re-key corpus by (i // 5)
+    rng = np.random.default_rng(SEED + 5)
+    tbl = CORPUS.set_column(
+        0, "conv_id", pa.array([f"p{i // 5:04d}" for i in range(N)]))
+    tbl = tbl.set_column(
+        1, "turn_idx", pa.array([i % 5 for i in range(N)],
+                                type=pa.int32()))
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        out = f"{td}/idx"
+        build_index(rd.from_arrow(tbl), out, CFG, IndexSpec())
+        s = IndexSearcher(out)
+        for mode in ("max", "sum", "avg", "count"):
+            got = s.has_child_search({"q": "beta gamma"}, k=100,
+                                     score_mode=mode)
+            hits = s.search({"q": "beta gamma"}, min_score=1e-300)
+            hits = hits.sort_values(["conv_id", "turn_idx"])
+            want = {}
+            for conv, g in hits.groupby("conv_id"):
+                v = g["score"].to_numpy(np.float64)
+                sc = {"max": v.max(), "count": float(len(v)),
+                      "sum": np.cumsum(v)[-1],
+                      "avg": np.cumsum(v)[-1] / len(v)}[mode]
+                want[conv] = round(float(sc), 6)
+            assert dict(zip(got["conv_id"], got["score"])) == want, mode
+
+
+def test_composite_random_page_sizes(idx):
+    s = IndexSearcher(idx)
+    rng = np.random.default_rng(SEED + 6)
+    q = {"q": "alpha beta gamma delta eps zeta kappa mu"}
+    full = s.composite_agg(q, "role", size=100, min_score=1e-300)
+    for trial in range(4):
+        size = int(rng.integers(1, 4))
+        pages, after = [], None
+        while True:
+            p = s.composite_agg(q, "role", size=size,
+                                min_score=1e-300, after=after)
+            if p.empty:
+                break
+            pages.append(p)
+            after = p["role"].iloc[-1]
+        pd.testing.assert_frame_equal(
+            pd.concat(pages, ignore_index=True), full)
+
+
+def test_percolate_random(idx):
+    from opensearch_jvector_ray.pipelines.percolate import percolate
+    rng = np.random.default_rng(SEED + 7)
+    ds = rd.from_arrow(CORPUS.select(["conv_id", "text"]))
+    content = [w for w in VOCAB if w not in STOP]
+    qs = {f"q{j}": " ".join(rng.choice(content,
+                                       size=int(rng.integers(1, 4)),
+                                       replace=False))
+          for j in range(5)}
+    terms = {qid: set(t.split()) for qid, t in qs.items()}
+    for mode in ("any", "all"):
+        out = percolate(ds, qs, CFG, id_col="conv_id",
+                        text_col="text", match_mode=mode).to_pandas()
+        got = {(r.conv_id, r.query_id) for r in out.itertuples()}
+        want = set()
+        for i, t in enumerate(TEXTS):
+            tk = set(t.split())
+            for qid, qt in terms.items():
+                hit = bool(tk & qt) if mode == "any" else qt <= tk
+                if hit:
+                    want.add((f"r{i:05d}", qid))
+        assert got == want, mode
+
+
+def test_boosting_and_constant_random(idx):
+    s = IndexSearcher(idx)
+    rng = np.random.default_rng(SEED + 8)
+    content = [w for w in VOCAB if w not in STOP]
+    for trial in range(5):
+        pos = " ".join(rng.choice(content, size=2, replace=False))
+        neg = str(rng.choice(content))
+        nb = float(rng.integers(1, 10)) / 10.0
+        plain = s.search({"q": pos}, k=N)
+        got = s.search({"q": pos}, k=N, negative={"q": neg},
+                       negative_boost=nb)
+        ps = dict(zip(plain["conv_id"], plain["score"]))
+        gs = dict(zip(got["conv_id"], got["score"]))
+        assert set(ps) == set(gs)
+        for c in ps:
+            has_neg = neg in TEXTS[int(c[1:])].split()
+            assert gs[c] == (ps[c] * nb if has_neg else ps[c]), (pos, neg)
+        cs = s.search({"q": pos}, k=7, const_score=2.0)
+        ids, _ = _match_ids(s, pos)
+        assert list(cs["conv_id"]) == \
+            [f"r{i:05d}" for i in sorted(ids)][:7]
+
+
+def test_rank_eval_random(idx):
+    s = IndexSearcher(idx)
+    rng = np.random.default_rng(SEED + 9)
+    for trial in range(4):
+        rated = {f"r{int(i):05d}": int(rng.integers(1, 4))
+                 for i in rng.choice(N, size=30, replace=False)}
+        q = {"q": "alpha gamma eps"}
+        k = int(rng.integers(3, 15))
+        hits = s.search(q, k=k)
+        rels = [rated.get(c, 0) for c in hits["conv_id"]]
+        p = s.rank_eval(q, {"q": rated}, k=k, metric="precision")
+        assert p["metric_score"][0] == \
+            round(sum(1 for r in rels if r > 0) / k, 6)
+        m = s.rank_eval(q, {"q": rated}, k=k, metric="mrr")
+        first = next((i + 1 for i, r in enumerate(rels) if r > 0), None)
+        assert m["metric_score"][0] == \
+            (round(1.0 / first, 6) if first else 0.0)
+        nd = s.rank_eval(q, {"q": rated}, k=k, metric="ndcg")
+        dcg = sum(r / math.log2(i + 2) for i, r in enumerate(rels))
+        ideal = sorted(rated.values(), reverse=True)[:k]
+        idcg = sum(r / math.log2(i + 2) for i, r in enumerate(ideal))
+        assert nd["metric_score"][0] == round(dcg / idcg, 6)
