@@ -25,7 +25,8 @@ Supported bodies (one top-level clause per query):
                                     # term lists, Lucene BooleanQuery rules
     {"knn":    {"vector": [...], "k": 10, "metric": "cosine|l2|...",
                 "min_score": f | "max_distance": f,
-                "filter": {"term": {col: value}}}}
+                "filter": {...}}}   # full filter-context family
+                                    # (term/terms/range/exists/bool)
     {"more_like_this": {"like": "seed text ...", "k": 10,
                 "max_query_terms": 10}}    # Lucene MLT clause
     {"prefix": {"query": "ser* data", "k": 10, "max_expansions": 50}}
@@ -542,11 +543,10 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
                              "both (KNNQueryBuilder.java:438-472)")
         flt = spec.get("filter")
         if flt is not None:
-            if (not isinstance(flt, dict) or set(flt) != {"term"}
-                    or not isinstance(flt["term"], dict)
-                    or len(flt["term"]) != 1):
-                raise ValueError("[knn] filter must be "
-                                 "{'term': {column: value}}")
+            # full structured filter context (term/terms/range/exists/
+            # bool) — same spec family as the match clause; validated
+            # eagerly here, compiled at execution
+            compile_filter(flt)
         return {"type": "knn",
                 "vector": np.asarray(vec, dtype=np.float64),
                 "k": int(spec.get("k", 10)), "metric": metric,
@@ -816,9 +816,7 @@ def execute_query(body: dict[str, Any], *, searcher=None, vector_ds=None,
     from opensearch_jvector_ray.pipelines.knn import brute_force_topk
     filter_expr = None
     if spec["filter"] is not None:
-        import pyarrow.compute as pc
-        ((col, val),) = spec["filter"]["term"].items()
-        filter_expr = pc.field(col) == val
+        filter_expr = compile_filter(spec["filter"])
     return brute_force_topk(vector_ds, {query_id: spec["vector"]},
                             spec["k"], metric=spec["metric"],
                             round_decimals=round_decimals,

@@ -262,3 +262,28 @@ def test_rank_eval_random(idx):
         ideal = sorted(rated.values(), reverse=True)[:k]
         idcg = sum(r / math.log2(i + 2) for i, r in enumerate(ideal))
         assert nd["metric_score"][0] == round(dcg / idcg, 6)
+
+
+def test_knn_dsl_structured_filter():
+    """knn clause accepts the full filter-context family now (not just
+    single-term) — compiled to the same pyarrow pre-filter."""
+    from opensearch_jvector_ray.query_dsl import execute_query, parse_query
+    rng = np.random.default_rng(SEED + 10)
+    X = rng.normal(size=(80, 8))
+    tbl = pa.table({
+        "vec_id": pa.array(range(80), type=pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in X]),
+        "label": pa.array([i % 4 for i in range(80)], type=pa.int32()),
+    })
+    ds = rd.from_arrow(tbl)
+    body = {"knn": {"vector": list(map(float, X[0])), "k": 5,
+                    "metric": "cosine",
+                    "filter": {"bool": {
+                        "must": [{"terms": {"label": [1, 2]}}],
+                        "must_not": [{"term": {"vec_id": 13}}]}}}}
+    out = execute_query(body, vector_ds=ds)
+    assert len(out) == 5
+    lab = {i: i % 4 for i in range(80)}
+    assert all(lab[v] in (1, 2) and v != 13 for v in out["vec_id"])
+    with pytest.raises(ValueError):
+        parse_query({"knn": {"vector": [1.0], "filter": {"nope": {}}}})
