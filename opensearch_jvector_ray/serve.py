@@ -163,6 +163,53 @@ class SegmentShardActor:
             return pa.table(cols)
         return pa.concat_tables(parts)
 
+    def agg_partial(self, queries: list[dict], agg: dict,
+                    min_score: float, avgdl: float) -> pa.Table | None:
+        """Warm aggregation partial: the same radial scoring loop as
+        ``search`` (cached postings) reduced per segment by
+        ``query._agg_partial`` — aggregate-sized rows leave the actor,
+        never the hit set.  Serves every agg kind the batch path has
+        (terms/stats/hist/range/date_hist/top_hits/filters/terms_stats/
+        hll/parent_max)."""
+        from opensearch_jvector_ray.query import (
+            _agg_partial, _topk_from_scores,
+        )
+        cfg = self.cfg
+        union = sorted({t for q in queries for (t, _, _) in q["terms"]})
+        if not union:
+            return None
+        parts: list[pa.Table] = []
+        for seg in self.segs:
+            plists = self._postings_for(seg, union)
+            dl = seg["dl"]
+            n_docs = len(dl)
+            if n_docs == 0:
+                continue
+            for q in queries:
+                scores = np.zeros(n_docs, dtype=np.float64)
+                any_term = False
+                for (t, w, idf) in q["terms"]:
+                    if t not in plists:
+                        continue
+                    any_term = True
+                    ords, tfs = plists[t]
+                    scores[ords] += w * idf * bm25_tf_part(
+                        tfs, dl[ords], avgdl, cfg.k1, cfg.b)
+                if not any_term:
+                    continue
+                cand = np.flatnonzero(scores > 0.0)
+                cand = cand[scores[cand] >= min_score]
+                if not len(cand):
+                    continue
+                # (score desc, key asc) order — the radial collector's
+                # contract that top_hits partials rely on
+                ords_s, sc_s = _topk_from_scores(scores, cand,
+                                                 len(cand), seg["tie"])
+                parts.append(_agg_partial(agg, seg["docs"], ords_s,
+                                          q["query_id"], scores=sc_s))
+        parts = [p for p in parts if p is not None and p.num_rows]
+        return pa.concat_tables(parts) if parts else None
+
     def cache_stats(self) -> dict:
         return {"hits": self.hits, "misses": self.misses,
                 "cached_terms": len(self.term_cache)}
@@ -262,6 +309,19 @@ class SearchService:
         df["rank"] = df.groupby("query_id", sort=False).cumcount() + 1
         return df[["query_id", "rank", *self.key_cols, "score"]].reset_index(drop=True)
 
+    @property
+    def agg(self) -> "_ServedAggSearcher":
+        """Warm aggregation facade: the full IndexSearcher aggregation
+        API (facet_counts, stats_agg, histogram_agg, range_agg,
+        date_histogram_agg, top_hits_agg, cardinality_agg,
+        percentiles_agg, significant_terms_agg, filters_agg,
+        terms_stats_agg, composite_agg, has_child_search max/count)
+        with the per-segment partials computed on THIS service's warm
+        actors (cached postings) instead of fresh stateless tasks."""
+        if getattr(self, "_agg_facade", None) is None:
+            self._agg_facade = _ServedAggSearcher(self)
+        return self._agg_facade
+
     def cache_stats(self) -> list[dict]:
         return ray.get([a.cache_stats.remote() for a in self.actors])
 
@@ -269,3 +329,79 @@ class SearchService:
         for a in self.actors:
             ray.kill(a)
         self.actors = []
+
+
+class _ServedAggSearcher:
+    """IndexSearcher aggregation facade over a SearchService: reuses the
+    IndexSearcher aggregation METHODS unchanged (they only consume
+    ``_agg_fanout`` + cfg/stats/key_cols), but the fan-out goes to the
+    service's warm actors.  Constructed via ``SearchService.agg``."""
+
+    # borrow the driver-side aggregation methods wholesale — they are
+    # pure reductions over the partial frames _agg_fanout returns
+    from opensearch_jvector_ray.query import IndexSearcher as _IS
+    facet_counts = _IS.facet_counts
+    stats_agg = _IS.stats_agg
+    histogram_agg = _IS.histogram_agg
+    range_agg = _IS.range_agg
+    date_histogram_agg = _IS.date_histogram_agg
+    top_hits_agg = _IS.top_hits_agg
+    cardinality_agg = _IS.cardinality_agg
+    percentiles_agg = _IS.percentiles_agg
+    significant_terms_agg = _IS.significant_terms_agg
+    filters_agg = _IS.filters_agg
+    terms_stats_agg = _IS.terms_stats_agg
+    composite_agg = _IS.composite_agg
+    _field_value_counts = _IS._field_value_counts
+    lookup_df = _IS.lookup_df
+    _read_dictionary = _IS._read_dictionary
+    del _IS
+
+    def __init__(self, svc: SearchService):
+        self._svc = svc
+        self.cfg = svc.cfg
+        self.stats = svc.stats
+        self.key_cols = svc.key_cols
+        self.index_dir = svc.index_dir
+        seg_root = os.path.join(svc.index_dir, SEGMENTS_DIR)
+        self.seg_dirs = sorted(
+            os.path.join(seg_root, d) for d in os.listdir(seg_root)
+            if d.startswith("seg="))
+        self._docs_schema = pq.read_schema(
+            os.path.join(self.seg_dirs[0], DOCS_NAME)) \
+            if self.seg_dirs else None
+
+    def has_child_search(self, queries, k=None, score_mode="max",
+                         parent_col=None):
+        if score_mode not in ("max", "count"):
+            raise ValueError("warm has_child serves order-free modes "
+                             "(max | count); use IndexSearcher for "
+                             "sum/avg")
+        from opensearch_jvector_ray.query import IndexSearcher
+        return IndexSearcher.has_child_search(
+            self, queries, k=k, score_mode=score_mode,
+            parent_col=parent_col)
+
+    def _agg_fanout(self, queries, agg, min_score, term_weights,
+                    concurrency) -> pd.DataFrame:
+        for ck in ("col", "val_col"):
+            if ck in agg and agg[ck] not in self._docs_schema.names:
+                raise ValueError(
+                    f"agg column {agg[ck]!r} is not a stored doc "
+                    f"column ({self._docs_schema.names})")
+        prepared = self._svc._prepare(queries, self.cfg.default_k,
+                                      term_weights)
+        avgdl = float(self.stats["avgdl"] or 1.0)
+        if "col" in agg:
+            # _agg_partial consumes typed columns directly; agg_type is
+            # only needed for empty-table synthesis, which the facade
+            # handles by returning an empty DataFrame
+            pass
+        futures = [a.agg_partial.remote(prepared, agg,
+                                        float(min_score), avgdl)
+                   for a in self._svc.actors]
+        tables = [t for t in ray.get(futures)
+                  if t is not None and t.num_rows]
+        if not tables:
+            return pd.DataFrame()
+        return pa.concat_tables(tables).to_pandas()

@@ -287,3 +287,48 @@ def test_knn_dsl_structured_filter():
     assert all(lab[v] in (1, 2) and v != 13 for v in out["vec_id"])
     with pytest.raises(ValueError):
         parse_query({"knn": {"vector": [1.0], "filter": {"nope": {}}}})
+
+
+def test_warm_agg_facade_matches_batch_path(idx):
+    """SearchService.agg serves the aggregation family on the warm
+    actors; results must be frame-identical to the IndexSearcher batch
+    path for every kind."""
+    from opensearch_jvector_ray.serve import SearchService
+    s = IndexSearcher(idx)
+    svc = SearchService(idx, num_shards=2)
+    try:
+        q = {"a": "alpha gamma", "b": "delta"}
+        ms = 1e-9
+        cases = [
+            ("facet_counts", dict(facet_col="role", min_score=ms)),
+            ("stats_agg", dict(value_col="turn_idx", min_score=ms)),
+            ("cardinality_agg", dict(field="role", min_score=ms)),
+            ("percentiles_agg", dict(value_col="ts",
+                                     percents=(0.5, 0.9),
+                                     min_score=ms)),
+            ("significant_terms_agg", dict(field="role", min_score=ms,
+                                           size=3)),
+            ("filters_agg", dict(filters={"u": {"term":
+                                                {"role": "user"}}},
+                                 min_score=ms)),
+            ("terms_stats_agg", dict(group_col="role",
+                                     value_col="turn_idx",
+                                     min_score=ms)),
+            ("composite_agg", dict(field="role", size=2,
+                                   min_score=ms)),
+            ("top_hits_agg", dict(group_col="role", n=2,
+                                  min_score=ms)),
+        ]
+        for name, kw in cases:
+            cold = getattr(s, name)(q, **kw)
+            warm = getattr(svc.agg, name)(q, **kw)
+            pd.testing.assert_frame_equal(
+                warm.reset_index(drop=True),
+                cold.reset_index(drop=True)), name
+        hc_cold = s.has_child_search(q, k=50, score_mode="max")
+        hc_warm = svc.agg.has_child_search(q, k=50, score_mode="max")
+        pd.testing.assert_frame_equal(hc_warm, hc_cold)
+        with pytest.raises(ValueError, match="order-free"):
+            svc.agg.has_child_search(q, score_mode="sum")
+    finally:
+        svc.shutdown()
