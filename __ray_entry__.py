@@ -1707,6 +1707,21 @@ def _q_multimodal_audio(sf_dir: str) -> pd.DataFrame:
     return res[["media_id", "kind", "duration_sec", "rms"]]
 
 
+def _q_multimodal_video(sf_dir: str) -> pd.DataFrame:
+    # REAL frame-sampling video decode over the OJRV PNG-frame
+    # container: n_frames / dims / motion features
+    tbl = mm_pl.synth_video_table(120)
+    out = mm_pl.decode_features(rd.from_arrow(tbl), fake=False).to_pandas()
+    out = out.sort_values("media_id").reset_index(drop=True)
+    feats = np.stack(out["feature"].to_numpy())
+    out["n_frames"] = feats[:, 0].astype(np.int64)
+    out["width"] = feats[:, 1].astype(np.int64)
+    out["height"] = feats[:, 2].astype(np.int64)
+    out["motion"] = np.round(feats[:, 3].astype(np.float64), 4)
+    return out[["media_id", "kind", "n_frames", "width", "height",
+                "motion"]]
+
+
 def _q_multimodal(sf_dir: str) -> pd.DataFrame:
     # ALL kinds decode for REAL now: WAV via stdlib wave, PNG via the
     # stdlib-zlib decoder, video via the OJRV PNG-frame container
@@ -1861,6 +1876,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode": _q_multimodal,
         "multimodal_audio_features": _q_multimodal_audio,
         "multimodal_image_features": _q_multimodal_image,
+        "multimodal_video_features": _q_multimodal_video,
     }
 
 
