@@ -86,16 +86,25 @@ class SegmentShardActor:
                 missing.append(t)
         if missing:
             self.misses += len(missing)
-            tbl = pq.read_table(os.path.join(seg["dir"], POSTINGS_NAME),
-                                filters=[("term", "in", missing)],
-                                columns=["term", "df", "ords_enc", "tfs_enc"])
+            path = os.path.join(seg["dir"], POSTINGS_NAME)
+            cols = ["term", "df", "ords_enc", "tfs_enc"]
+            # bulk-merged segments carry irregular block sizes (blk_n);
+            # the pfor decoder MUST consult them (the NOTES invariant —
+            # decoding a bulk-merged pfor run without blk_n silently
+            # corrupts ordinals)
+            has_bn = "blk_n" in pq.read_schema(path).names
+            if has_bn:
+                cols.append("blk_n")
+            tbl = pq.read_table(path, filters=[("term", "in", missing)],
+                                columns=cols)
             found = set()
             for i in range(tbl.num_rows):
                 t = tbl["term"][i].as_py()
                 ords, tfs = decode_posting_list(
                     tbl["ords_enc"][i].as_py(), tbl["tfs_enc"][i].as_py(),
                     codec=self.cfg.codec, df=tbl["df"][i].as_py(),
-                    block_size=self.cfg.block_size)
+                    block_size=self.cfg.block_size,
+                    blk_n=(tbl["blk_n"][i].as_py() if has_bn else None))
                 entry = (ords, tfs)
                 self.term_cache[(seg["dir"], t)] = entry
                 out[t] = entry

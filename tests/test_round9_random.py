@@ -332,3 +332,24 @@ def test_warm_agg_facade_matches_batch_path(idx):
             svc.agg.has_child_search(q, score_mode="sum")
     finally:
         svc.shutdown()
+
+
+def test_serve_pfor_bulk_merged_blk_n(tmp_path):
+    """Regression: the warm actor must consult blk_n when decoding
+    bulk-merged pfor postings — before the fix it decoded regular-size
+    blocks and silently corrupted ordinals on merged pfor indexes."""
+    from opensearch_jvector_ray.serve import SearchService
+    from opensearch_jvector_ray.stages.merge import merge_index
+    cfg = EngineConfig(num_segments=6, codec="pfor")
+    idx = str(tmp_path / "idx")
+    merged = str(tmp_path / "merged")
+    build_index(rd.from_arrow(CORPUS), idx, cfg, IndexSpec())
+    merge_index(idx, merged, merge_factor=3)
+    cold = IndexSearcher(merged).search(
+        {"q": "alpha gamma", "r": "delta eps"}, k=25)
+    svc = SearchService(merged, num_shards=2)
+    try:
+        warm = svc.search({"q": "alpha gamma", "r": "delta eps"}, k=25)
+        pd.testing.assert_frame_equal(warm, cold)
+    finally:
+        svc.shutdown()
