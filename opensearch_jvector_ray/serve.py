@@ -256,6 +256,8 @@ class SearchService:
         segments picked up.  (The driver-side dictionary lookup reads
         the refreshed dictionary parquet on every query already.)"""
         self.stats = read_json(os.path.join(self.index_dir, STATS_NAME))
+        self._agg_facade = None     # facade captures stats/segments:
+        #                             rebuild lazily after a refresh
         seg_root = os.path.join(self.index_dir, SEGMENTS_DIR)
         seg_dirs = sorted(os.path.join(seg_root, d)
                           for d in os.listdir(seg_root)

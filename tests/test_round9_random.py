@@ -353,3 +353,41 @@ def test_serve_pfor_bulk_merged_blk_n(tmp_path):
         pd.testing.assert_frame_equal(warm, cold)
     finally:
         svc.shutdown()
+
+
+def test_warm_agg_sees_refreshed_segments(tmp_path):
+    """After refresh(), the agg facade must rebuild (fresh stats + seg
+    list) so warm aggregations cover appended segments."""
+    import pyarrow.parquet as pq_
+    from opensearch_jvector_ray.serve import SearchService
+    from opensearch_jvector_ray.stages.build import add_segments
+    idx = str(tmp_path / "idx")
+    build_index(rd.from_arrow(CORPUS), idx, CFG, IndexSpec())
+    svc = SearchService(idx, num_shards=2)
+    try:
+        before = svc.agg.facet_counts({"q": "alpha"}, facet_col="role",
+                                      min_score=1e-9)
+        extra = pa.table({
+            "conv_id": ["z99990", "z99991"],
+            "turn_idx": pa.array([0, 0], type=pa.int32()),
+            "role": ["ghost", "ghost"],
+            "text": pa.array(["alpha alpha", "alpha beta"],
+                             type=pa.string()),
+            "tool": ["", ""],
+            "ts": pa.array([0, 0], type=pa.timestamp("us")),
+        })
+        ep = str(tmp_path / "extra.parquet")
+        pq_.write_table(extra, ep)
+        add_segments(idx, ep)
+        svc.refresh()
+        after = svc.agg.facet_counts({"q": "alpha"}, facet_col="role",
+                                     min_score=1e-9)
+        cold = IndexSearcher(idx).facet_counts({"q": "alpha"},
+                                               facet_col="role",
+                                               min_score=1e-9)
+        pd.testing.assert_frame_equal(after.reset_index(drop=True),
+                                      cold.reset_index(drop=True))
+        assert "ghost" in set(after["role"])
+        assert "ghost" not in set(before["role"])
+    finally:
+        svc.shutdown()
