@@ -391,3 +391,40 @@ def test_warm_agg_sees_refreshed_segments(tmp_path):
         assert "ghost" not in set(before["role"])
     finally:
         svc.shutdown()
+
+
+def test_new_modes_segmentation_invariance(tmp_path):
+    """Every new query mode must be independent of how the corpus is
+    split into segments (the A1 leaf->global reduce invariant applied
+    to the round-3-continuation surface)."""
+    outs = []
+    for n_seg in (1, 7):
+        out = str(tmp_path / f"idx{n_seg}")
+        build_index(rd.from_arrow(CORPUS), out,
+                    EngineConfig(num_segments=n_seg), IndexSpec())
+        s = IndexSearcher(out)
+        q = {"a": "alpha gamma", "b": "delta eps"}
+        ms = 1e-9
+        res = {
+            "span": s.search(q, k=30, mode="span", slop=2),
+            "sort": s.search(q, k=30, sort=("ts", "desc")),
+            "fscore": s.search(q, k=30, score_fn={
+                "kind": "decay", "decay_fn": "linear", "field": "ts",
+                "origin": 0.0, "scale": 50_000.0, "decay": 0.5}),
+            "const": s.search(q, k=30, const_score=1.5),
+            "boost": s.search(q, k=30, negative={"a": "beta",
+                                                 "b": "mu"},
+                              negative_boost=0.3),
+            "card": s.cardinality_agg(q, "role", ms),
+            "pctl": s.percentiles_agg(q, "ts", (0.5, 0.9), ms),
+            "sig": s.significant_terms_agg(q, "role", ms, size=3),
+            "tstats": s.terms_stats_agg(q, "role", "turn_idx", ms),
+            "comp": s.composite_agg(q, "role", 5, ms),
+            "hc": s.has_child_search(q, k=30, score_mode="max"),
+            "expl": s.explain(q, k=10),
+        }
+        outs.append(res)
+    for key in outs[0]:
+        pd.testing.assert_frame_equal(
+            outs[0][key].reset_index(drop=True),
+            outs[1][key].reset_index(drop=True)), key
