@@ -428,3 +428,36 @@ def test_new_modes_segmentation_invariance(tmp_path):
         pd.testing.assert_frame_equal(
             outs[0][key].reset_index(drop=True),
             outs[1][key].reset_index(drop=True)), key
+
+
+def test_new_modes_merge_invariance(tmp_path):
+    """Force-merging (bulk-merged segments, segment-major ordinals +
+    key_rank tie column) must not change any new-mode output."""
+    from opensearch_jvector_ray.stages.merge import merge_index
+    idx = str(tmp_path / "idx")
+    merged = str(tmp_path / "merged")
+    build_index(rd.from_arrow(CORPUS), idx,
+                EngineConfig(num_segments=6), IndexSpec())
+    merge_index(idx, merged, merge_factor=3)
+    q = {"a": "alpha gamma", "b": "delta eps"}
+    ms = 1e-9
+
+    def snap(path):
+        s = IndexSearcher(path)
+        return {
+            "span": s.search(q, k=30, mode="span", slop=2),
+            "sort": s.search(q, k=30, sort=("ts", "asc")),
+            "fscore": s.search(q, k=30, score_fn={
+                "kind": "field_value_factor", "field": "ts",
+                "factor": 1e-3, "modifier": "sqrt"}),
+            "const": s.search(q, k=30, const_score=2.0),
+            "card": s.cardinality_agg(q, "role", ms),
+            "pctl": s.percentiles_agg(q, "ts", (0.5,), ms),
+            "tstats": s.terms_stats_agg(q, "role", "turn_idx", ms),
+            "hc": s.has_child_search(q, k=30, score_mode="count"),
+        }
+
+    a, b = snap(idx), snap(merged)
+    for key in a:
+        pd.testing.assert_frame_equal(a[key].reset_index(drop=True),
+                                      b[key].reset_index(drop=True)), key
