@@ -895,17 +895,21 @@ ORDER BY q.query_id
 
 def percentiles_sql(queries: dict[str, str], min_score: float,
                     value_col: str, percents: tuple, cfg: EngineConfig,
+                    is_ts: bool = False,
                     table: str = "documents", id_col: str = "doc_id",
                     text_col: str = "text") -> str:
     """Oracle for IndexSearcher.percentiles_agg: exact discrete
     percentiles of a stored column over the radial match set — the
     quantile_disc selection rule the engine mirrors (value at cum count
-    >= max(1, ceil(q*n)))."""
+    >= max(1, ceil(q*n))).  ``is_ts`` mirrors the engine's timestamp
+    handling (values reported as float epoch in the stored unit — us,
+    DuckDB's epoch_us; TIMESTAMP itself can't cast to DOUBLE)."""
     inner = bm25_sql(queries, 0, cfg, table=table, id_col=id_col,
                      text_col=text_col, min_score=min_score)
+    vexpr = f"epoch_us(d.{value_col})" if is_ts else f"d.{value_col}"
     arms = "\n  UNION ALL\n".join(
         f"  SELECT h.query_id, {float(q)!r}::DOUBLE AS quantile,\n"
-        f"         quantile_disc(d.{value_col}, {float(q)!r})::DOUBLE"
+        f"         quantile_disc({vexpr}, {float(q)!r})::DOUBLE"
         f" AS value\n"
         f"  FROM hits h JOIN {table} d USING ({id_col})\n"
         f"  GROUP BY h.query_id"

@@ -286,18 +286,16 @@ def _agg_partial(agg: dict, docs: pa.Table, ords: np.ndarray,
     if agg["kind"] == "filters":
         # named filter-context buckets [OpenSearch filters-agg public
         # semantics]: per named spec, the count of qualifying docs that
-        # ALSO pass the filter; specs compile per call (tiny)
-        from opensearch_jvector_ray.query_dsl import compile_filter
-        n_docs = docs.num_rows
-        with_ord = docs.append_column(
-            "__ord", pa.array(np.arange(n_docs, dtype=np.int64)))
+        # ALSO pass the filter.  The masks are QUERY-independent —
+        # callers precompute them once per segment via _filters_masks
+        # and pass them in "_masks"; only the mask x hit-set
+        # intersection here depends on the query.
+        masks = agg.get("_masks")
+        if masks is None:
+            masks = _filters_masks(docs, agg["filters"])
         keys, cnts = [], []
-        for fkey, spec in agg["filters"]:
-            kept = with_ord.filter(compile_filter(spec))["__ord"] \
-                .to_numpy(zero_copy_only=False)
-            fmask = np.zeros(n_docs, dtype=bool)
-            fmask[kept] = True
-            c = int(fmask[ords].sum())
+        for fkey, _ in agg["filters"]:
+            c = int(masks[fkey][ords].sum())
             if c:
                 keys.append(fkey)
                 cnts.append(c)
@@ -390,7 +388,10 @@ def _agg_partial(agg: dict, docs: pa.Table, ords: np.ndarray,
         # runs and processes; hashing is per UNIQUE value (bounded).
         import hashlib
         p_bits = int(agg["precision"])
-        uniq = pc.unique(vals).to_pylist()
+        # drop nulls BEFORE hashing: the exact path (nunique) and the
+        # SQL oracle (count(DISTINCT ...)) both exclude NULL — the
+        # sketch must count the same distinct universe
+        uniq = pc.unique(vals.drop_null()).to_pylist()
         regs: dict[int, int] = {}
         low_bits = 64 - p_bits
         low_mask = (1 << low_bits) - 1
@@ -440,6 +441,24 @@ def _agg_partial(agg: dict, docs: pa.Table, ords: np.ndarray,
         "bucket": pa.array(ub, type=pa.int64()),
         "doc_count": pa.array(cnt.astype(np.int64), type=pa.int64()),
     })
+
+
+def _filters_masks(docs: pa.Table,
+                   filters: Sequence[tuple]) -> dict[str, np.ndarray]:
+    """Per-segment boolean masks for the filters-agg named specs —
+    computed ONCE per segment (the masks are query-independent)."""
+    from opensearch_jvector_ray.query_dsl import compile_filter
+    n_docs = docs.num_rows
+    with_ord = docs.append_column(
+        "__ord", pa.array(np.arange(n_docs, dtype=np.int64)))
+    out: dict[str, np.ndarray] = {}
+    for fkey, spec in filters:
+        kept = with_ord.filter(compile_filter(spec))["__ord"] \
+            .to_numpy(zero_copy_only=False)
+        m = np.zeros(n_docs, dtype=bool)
+        m[kept] = True
+        out[fkey] = m
+    return out
 
 
 def _key_gt(docs: pa.Table, key_cols: Sequence[str], ords: np.ndarray,
@@ -691,6 +710,9 @@ class SegmentSearcher:
         out_sc: list[np.ndarray] = []
         mode = p["mode"]
         agg = p.get("agg")
+        if agg is not None and agg["kind"] == "filters":
+            # masks are query-independent: compute once per segment
+            agg = {**agg, "_masks": _filters_masks(docs, agg["filters"])}
         ftables: list[pa.Table] = []
         sa_all = p.get("search_after") or {}
         key_names = [kc for kc, _ in p["key_types"]]

@@ -753,6 +753,10 @@ def execute_query(body: dict[str, Any], *, searcher=None, vector_ds=None,
             return searcher.search(
                 {query_id: text}, k=spec["k"], mode="boolean",
                 minimum_should_match=spec.get("minimum_should_match"))
+        # forward EVERY given option and let the engine's own strict
+        # validation reject conflicting combinations — the DSL must
+        # never silently drop a clause (e.g. min_score + sort used to
+        # return score-ranked hits with the sort ignored)
         kwargs: dict[str, Any] = {}
         mode = spec["mode"]
         if mode == "rescore":
@@ -760,15 +764,11 @@ def execute_query(body: dict[str, Any], *, searcher=None, vector_ds=None,
         if spec.get("filter") is not None:
             kwargs["filter"] = compile_filter(spec["filter"])
         if spec["min_score"] is not None:
-            return searcher.search({query_id: spec["query"]},
-                                   min_score=spec["min_score"],
-                                   mode=mode, **kwargs)
+            kwargs["min_score"] = spec["min_score"]
         if spec.get("search_after") is not None:
             kwargs["search_after"] = {query_id: spec["search_after"]}
         if spec.get("sort") is not None:
-            return searcher.search({query_id: spec["query"]},
-                                   k=spec["k"], sort=spec["sort"],
-                                   **kwargs)
+            kwargs["sort"] = spec["sort"]
         return searcher.search({query_id: spec["query"]}, k=spec["k"],
                                mode=mode,
                                collapse_col=spec["collapse"], **kwargs)

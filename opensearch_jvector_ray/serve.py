@@ -70,6 +70,10 @@ class SegmentShardActor:
                 "dl": docs["doc_len"].to_numpy(zero_copy_only=False).astype(_np.int64),
                 "tie": (docs["key_rank"].to_numpy(zero_copy_only=False).astype(_np.int64)
                         if "key_rank" in docs.column_names else None),
+                # immutable once written — detect the bulk-merge blk_n
+                # column ONCE, not per cache-miss on the hot path
+                "has_bn": "blk_n" in pq.read_schema(
+                    os.path.join(d, POSTINGS_NAME)).names,
             })
         return len(self.segs)
 
@@ -92,7 +96,7 @@ class SegmentShardActor:
             # the pfor decoder MUST consult them (the NOTES invariant —
             # decoding a bulk-merged pfor run without blk_n silently
             # corrupts ordinals)
-            has_bn = "blk_n" in pq.read_schema(path).names
+            has_bn = seg["has_bn"]
             if has_bn:
                 cols.append("blk_n")
             tbl = pq.read_table(path, filters=[("term", "in", missing)],
@@ -194,6 +198,11 @@ class SegmentShardActor:
             n_docs = len(dl)
             if n_docs == 0:
                 continue
+            seg_agg = agg
+            if agg["kind"] == "filters":
+                from opensearch_jvector_ray.query import _filters_masks
+                seg_agg = {**agg, "_masks": _filters_masks(
+                    seg["docs"], agg["filters"])}
             for q in queries:
                 scores = np.zeros(n_docs, dtype=np.float64)
                 any_term = False
@@ -214,7 +223,7 @@ class SegmentShardActor:
                 # contract that top_hits partials rely on
                 ords_s, sc_s = _topk_from_scores(scores, cand,
                                                  len(cand), seg["tie"])
-                parts.append(_agg_partial(agg, seg["docs"], ords_s,
+                parts.append(_agg_partial(seg_agg, seg["docs"], ords_s,
                                           q["query_id"], scores=sc_s))
         parts = [p for p in parts if p is not None and p.num_rows]
         return pa.concat_tables(parts) if parts else None

@@ -461,3 +461,65 @@ def test_new_modes_merge_invariance(tmp_path):
     for key in a:
         pd.testing.assert_frame_equal(a[key].reset_index(drop=True),
                                       b[key].reset_index(drop=True)), key
+
+
+def test_dsl_never_silently_drops_clauses(idx):
+    """Regression: min_score + sort (or wand + sort) must surface the
+    engine's ValueError, not silently drop the sort."""
+    from opensearch_jvector_ray.query_dsl import execute_query
+    s = IndexSearcher(idx)
+    with pytest.raises(ValueError, match="sort requires plain taat"):
+        execute_query({"match": {"query": "alpha", "min_score": 0.1,
+                                 "sort": {"field": "ts",
+                                          "order": "asc"}}},
+                      searcher=s)
+    with pytest.raises(ValueError, match="sort requires plain taat"):
+        execute_query({"match": {"query": "alpha", "mode": "wand",
+                                 "sort": {"field": "ts",
+                                          "order": "asc"}}},
+                      searcher=s)
+
+
+def test_percentiles_ts_oracle_executes(idx):
+    """percentiles_sql(is_ts=True) must be runnable SQL (TIMESTAMP
+    cannot cast to DOUBLE; epoch_us path) and match the engine's
+    epoch-int reporting on a real table."""
+    import duckdb
+    from opensearch_jvector_ray.oracles import percentiles_sql
+    con = duckdb.connect()
+    con.register("documents", CORPUS.select(
+        ["conv_id", "text", "ts"]).rename_columns(
+        ["doc_id", "text", "ts"]).to_pandas())
+    sql = percentiles_sql({"q": "alpha gamma"}, 1e-300, "ts",
+                          (0.5, 0.9), CFG, is_ts=True,
+                          id_col="doc_id")
+    exp = con.sql(sql).df()
+    assert len(exp)
+
+
+def test_hll_ignores_nulls():
+    """approx cardinality must count the same distinct universe as the
+    exact path: NULL field values are excluded on both."""
+    import tempfile
+    n = 60
+    tbl = pa.table({
+        "conv_id": [f"n{i:05d}" for i in range(n)],
+        "turn_idx": pa.array([0] * n, type=pa.int32()),
+        "role": pa.array([None if i % 3 == 0 else f"v{i % 7}"
+                          for i in range(n)], type=pa.string()),
+        "text": pa.array(["alpha"] * n, type=pa.string()),
+        "tool": [""] * n,
+        "ts": pa.array([0] * n, type=pa.timestamp("us")),
+    })
+    with tempfile.TemporaryDirectory() as td:
+        out = f"{td}/idx"
+        build_index(rd.from_arrow(tbl), out,
+                    EngineConfig(num_segments=2), IndexSpec())
+        s = IndexSearcher(out)
+        exact = int(s.cardinality_agg({"q": "alpha"}, "role",
+                                      1e-9)["cardinality"][0])
+        est = int(s.cardinality_agg({"q": "alpha"}, "role", 1e-9,
+                                    approx=True,
+                                    precision=14)["cardinality"][0])
+        assert exact == 7          # v0..v6; the null third excluded
+        assert est == exact        # tiny universe: sketch is exact
