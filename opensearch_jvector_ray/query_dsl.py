@@ -45,6 +45,9 @@ Supported bodies (one top-level clause per query):
                     "n": 3}}
     {"histogram":  {"query": "...", "field": col, "interval": w,
                 "min_score": f}}       # numeric-bucket counts
+    {"suggest": {"prefix": "ser" | "typo": "qury" | "phrase":
+                 "fasst merge", "n": 10, "max_edits": 2}}
+                 # completion / did-you-mean / phrase correction
     {"has_child": {"query": "...", "k": 10, "score_mode":
                    "max|sum|avg|count", "parent_field": col|null}}
                  # join field: parents ranked by child aggregates
@@ -288,6 +291,20 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
                              "non-negative integer")
         out["minimum_should_match"] = msm
         return out
+    if clause == "suggest":
+        _require_known(clause, spec,
+                       {"prefix", "typo", "phrase", "n", "max_edits"})
+        kinds = [k for k in ("prefix", "typo", "phrase") if k in spec]
+        if len(kinds) != 1:
+            raise ValueError("[suggest] needs exactly one of prefix | "
+                             "typo | phrase")
+        kind = kinds[0]
+        if not isinstance(spec[kind], str) or not spec[kind]:
+            raise ValueError(f"[suggest] {kind!r} must be a non-empty "
+                             "string")
+        return {"type": "suggest", "kind": kind, "text": spec[kind],
+                "n": int(spec.get("n", 10)),
+                "max_edits": int(spec.get("max_edits", 2))}
     if clause == "has_child":
         _require_known(clause, spec,
                        {"query", "k", "score_mode", "parent_field"})
@@ -697,6 +714,16 @@ def execute_query(body: dict[str, Any], *, searcher=None, vector_ds=None,
         return searcher.facet_counts(
             {query_id: spec["query"]}, facet_col=spec["field"],
             min_score=spec["min_score"], size=spec["size"])
+    if spec["type"] == "suggest":
+        if searcher is None:
+            raise ValueError("[suggest] needs searcher=")
+        if spec["kind"] == "prefix":
+            return searcher.suggest_prefix(spec["text"], n=spec["n"])
+        if spec["kind"] == "typo":
+            return searcher.suggest_fuzzy(spec["text"], n=spec["n"],
+                                          max_edits=spec["max_edits"])
+        return searcher.suggest_phrase({"s": spec["text"]},
+                                       max_edits=spec["max_edits"])
     if spec["type"] == "has_child":
         if searcher is None:
             raise ValueError("[has_child] needs searcher=")

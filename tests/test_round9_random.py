@@ -523,3 +523,23 @@ def test_hll_ignores_nulls():
                                     precision=14)["cardinality"][0])
         assert exact == 7          # v0..v6; the null third excluded
         assert est == exact        # tiny universe: sketch is exact
+
+
+def test_suggest_dsl_clauses(idx):
+    from opensearch_jvector_ray.query_dsl import execute_query, parse_query
+    s = IndexSearcher(idx)
+    p = execute_query({"suggest": {"prefix": "al", "n": 3}}, searcher=s)
+    pd.testing.assert_frame_equal(p, s.suggest_prefix("al", 3))
+    t = execute_query({"suggest": {"typo": "alpah", "max_edits": 2}},
+                      searcher=s)
+    pd.testing.assert_frame_equal(t, s.suggest_fuzzy("alpah", 10, 2))
+    ph = execute_query({"suggest": {"phrase": "alpah gama"}},
+                       searcher=s)
+    pd.testing.assert_frame_equal(
+        ph, s.suggest_phrase({"s": "alpah gama"}, max_edits=2))
+    for bad in ({"suggest": {}},
+                {"suggest": {"prefix": "a", "typo": "b"}},
+                {"suggest": {"prefix": ""}},
+                {"suggest": {"phrase": "a", "size": 3}}):
+        with pytest.raises(ValueError):
+            parse_query(bad)
