@@ -1825,8 +1825,11 @@ class IndexSearcher:
             out[pipeline] = (out.groupby("query_id", sort=False)
                                 ["doc_count"].cumsum().astype(np.int64))
         elif pipeline == "derivative":
+            # float64 with NaN on the first bucket: DuckDB materializes the
+            # oracle's BIGINT-with-NULL as float64/NaN, and the driver gate
+            # hashes representations, not just values (round-3 red row).
             out[pipeline] = (out.groupby("query_id", sort=False)
-                                ["doc_count"].diff().astype("Int64"))
+                                ["doc_count"].diff().astype(np.float64))
         return out[cols]
 
     def top_hits_agg(self, queries: dict[str, str], group_col: str, n: int,
