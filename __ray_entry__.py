@@ -226,10 +226,19 @@ def _q_has_child_max(sf_dir: str) -> pd.DataFrame:
 
 
 def _q_has_child_sum(sf_dir: str) -> pd.DataFrame:
-    # has_child score_mode=sum: the ordered cross-turn aggregate
+    # has_child score_mode=sum: integer-micro child-score sum shipped
+    # as order-free per-parent segment partials (combiner-first)
     s = IndexSearcher(transcripts_index(sf_dir))
     return s.has_child_search(TRANSCRIPT_QUERIES, k=10,
                               score_mode="sum")
+
+
+def _q_has_child_avg(sf_dir: str) -> pd.DataFrame:
+    # has_child score_mode=avg: micro-sum / count, exact double both
+    # sides (unrounded — the lm.py half-tie rule)
+    s = IndexSearcher(transcripts_index(sf_dir))
+    return s.has_child_search(TRANSCRIPT_QUERIES, k=10,
+                              score_mode="avg")
 
 
 def _q_bm25_decay_recency(sf_dir: str) -> pd.DataFrame:
@@ -1755,6 +1764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_decay_recency": _q_bm25_decay_recency,
         "has_child_max": _q_has_child_max,
         "has_child_sum": _q_has_child_sum,
+        "has_child_avg": _q_has_child_avg,
         "has_parent_expand": _q_has_parent,
         "percolate_all": _q_percolate,
         "semdedup": _q_semdedup,
@@ -2013,6 +2023,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_decay_recency": _decay_recency_oracle(),
         "has_child_max": _has_child_oracle("max"),
         "has_child_sum": _has_child_oracle("sum"),
+        "has_child_avg": _has_child_oracle("avg"),
         "has_parent_expand": _has_parent_oracle(),
         "percolate_all": percolate_sql(PERC_QUERIES, CFG,
                                        match_mode="all"),

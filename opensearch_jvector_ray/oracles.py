@@ -2403,9 +2403,14 @@ def has_child_sql(queries: dict[str, str], k: int, cfg: EngineConfig,
                   score_mode: str = "max") -> str:
     """Oracle for IndexSearcher.has_child_search over the transcript
     corpus: conversations ranked by an aggregate of their matching
-    turns' BM25 scores.  sum/avg use the ordered aggregate (doc_id
-    order == the engine's (conv, turn) chain); ranking is on the
-    ROUND-6 aggregate on both sides (parents span segments)."""
+    turns' BM25 scores.  Cross-side fp rule (mirrors the engine's
+    combiner-first partials): sum/avg quantize each child's raw score
+    to floor(score * 1e6) BIGINT before summation — integer sums are
+    order-free, so neither side needs an ordered aggregate and the
+    engine's per-segment grouping is invisible — and emit the exact
+    double sum_micro / 1e6 (avg: / (count * 1e6)) UNROUNDED (round-6
+    of the avg ratio lands on decimal half-ties whenever count divides
+    sum_micro).  max/count stay ROUND-6 (parents span segments)."""
     assert score_mode in ("max", "sum", "avg", "count")
     prefix = transcripts_arms_cte(
         arms, "conv_id, conv_id || ':' || "
@@ -2413,16 +2418,17 @@ def has_child_sql(queries: dict[str, str], k: int, cfg: EngineConfig,
     inner = bm25_sql(queries, 0, cfg, table="transcripts",
                      id_col="doc_id", prefix_cte=prefix,
                      min_score=1e-300, emit_raw=True)
+    micro = "sum(CAST(floor(h.score__raw * 1e6) AS BIGINT))"
     expr = {
-        "max": "max(h.score__raw)",
-        "sum": "sum(h.score__raw ORDER BY h.doc_id)",
-        "avg": "sum(h.score__raw ORDER BY h.doc_id) / count(*)",
-        "count": "count(*)::DOUBLE",
+        "max": "round(max(h.score__raw), 6)",
+        "sum": f"{micro} / 1000000.0",
+        "avg": f"{micro} / (count(*) * 1000000.0)",
+        "count": "round(count(*)::DOUBLE, 6)",
     }[score_mode]
     return f"""
 WITH hits AS ({inner}),
 agg AS (
-  SELECT h.query_id, t.conv_id, round({expr}, 6) AS score
+  SELECT h.query_id, t.conv_id, {expr} AS score
   FROM hits h JOIN (SELECT DISTINCT conv_id, doc_id
                     FROM ({_transcripts_conv_map(arms)})) t
     USING (doc_id)

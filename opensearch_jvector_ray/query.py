@@ -359,16 +359,21 @@ def _agg_partial(agg: dict, docs: pa.Table, ords: np.ndarray,
             "doc_count": pa.array(cnt.astype(np.int64), type=pa.int64()),
         })
     if agg["kind"] == "parent_max":
-        # has_child max/count partial: per-parent (max child score,
-        # child count) — order-free aggregates, so the combine across
-        # segments is exact; only parent-sized rows ship (the A2
+        # has_child partial: per-parent (max child score, child count,
+        # integer-micro child-score sum).  Scores are quantized to
+        # floor(score * 1e6) int64 BEFORE summation (the lm.py
+        # integer-micro trick) so ALL four join modes are order-free —
+        # the combine across segments is exact regardless of which
+        # segment a child lands in; only parent-sized rows ship (the A2
         # combiner-first rule applied to the join)
         import pandas as _pd
         take = pa.array(ords)
         par = docs[agg["col"]].take(take).to_numpy(zero_copy_only=False)
-        g = (_pd.DataFrame({"p": par, "s": scores})
-             .groupby("p", sort=False)["s"]
-             .agg(v_max="max", doc_count="count").reset_index())
+        micro = np.floor(scores * 1e6).astype(np.int64)
+        g = (_pd.DataFrame({"p": par, "s": scores, "m": micro})
+             .groupby("p", sort=False)
+             .agg(v_max=("s", "max"), doc_count=("s", "count"),
+                  v_micro=("m", "sum")).reset_index())
         return pa.table({
             "query_id": pa.array([qid] * len(g), type=pa.string()),
             agg["col"]: pa.array(g["p"]),
@@ -376,6 +381,8 @@ def _agg_partial(agg: dict, docs: pa.Table, ords: np.ndarray,
                               type=pa.float64()),
             "doc_count": pa.array(g["doc_count"].to_numpy(np.int64),
                                   type=pa.int64()),
+            "v_micro": pa.array(g["v_micro"].to_numpy(np.int64),
+                                type=pa.int64()),
         })
     if agg["kind"] == "hll":
         # HyperLogLog partial [Flajolet et al. 2007 public algorithm;
@@ -635,6 +642,7 @@ class SegmentSearcher:
                 cols[agg["col"]] = pa.array([], type=self.p["agg_type"])
                 cols["v_max"] = pa.array([], type=pa.float64())
                 cols["doc_count"] = pa.array([], type=pa.int64())
+                cols["v_micro"] = pa.array([], type=pa.int64())
                 return pa.table(cols)
             if agg["kind"] == "terms_stats":
                 cols[agg["col"]] = pa.array([], type=self.p["agg_type"])
@@ -2587,12 +2595,17 @@ class IndexSearcher:
 
         Children are the index's docs; the parent is a key column
         (default: the first key column, e.g. conv_id over a transcript
-        index).  The child match set comes from the uncapped radial
-        collector (result-sized); sum/avg accumulate SEQUENTIALLY over
-        children sorted by the child key — the oracle's ordered
-        aggregate — and, because a parent's children may span segments,
-        ranking uses the ROUND-6 aggregate on BOTH sides (the
-        vector-entry rounding rule), ties (score desc, parent asc)."""
+        index).  ALL four modes ride the combiner-first agg fan-out —
+        each segment ships per-parent (max, count, integer-micro sum)
+        partials and the hit set never leaves the tasks (scale-safe at
+        any match-set size).  Cross-side fp rule: sum/avg quantize each
+        child score to floor(score * 1e6) int64 inside the segment
+        (integer sums are associative, so the segment grouping is
+        invisible) and emit the EXACT double sum_micro / 1e6 (avg:
+        / (count * 1e6)) UNROUNDED — round(,6) of the avg ratio lands
+        on decimal half-ties whenever count divides sum_micro, the
+        lm.py hazard.  max/count stay round-6 (the vector-entry rule;
+        parents span segments).  Ties (score desc, parent asc)."""
         if score_mode not in ("max", "sum", "avg", "count"):
             raise ValueError("score_mode must be max|sum|avg|count")
         k = k or self.cfg.default_k
@@ -2601,71 +2614,37 @@ class IndexSearcher:
             raise ValueError(f"parent_col must be a key column "
                              f"({self.key_cols})")
         cols = ["query_id", "rank", parent_col, "score"]
-        if score_mode in ("max", "count"):
-            # order-free aggregates ride the combiner-first agg fan-out:
-            # each segment ships per-parent (max, count) partials, the
-            # hit set never leaves the tasks
-            df = self._agg_fanout(queries,
-                                  {"kind": "parent_max",
-                                   "col": parent_col}, 1e-300, None,
-                                  None)
-            if df.empty:
-                out = pd.DataFrame(columns=["query_id", parent_col,
-                                            "score"])
-                out["rank"] = pd.Series(dtype="int64")
-                return out[cols]
-            g = df.groupby(["query_id", parent_col], sort=True).agg(
-                v_max=("v_max", "max"),
-                doc_count=("doc_count", "sum")).reset_index()
-            sc = g["v_max"] if score_mode == "max" else \
-                g["doc_count"].astype(np.float64)
-            out = pd.DataFrame({"query_id": g["query_id"],
-                                parent_col: g[parent_col],
-                                "score": np.round(sc.to_numpy(
-                                    np.float64), 6)})
-            out = out.sort_values(["query_id", "score", parent_col],
-                                  ascending=[True, False, True],
-                                  kind="mergesort")
-            out = out.groupby("query_id", sort=False).head(k)
-            out["rank"] = (out.groupby("query_id", sort=False)
-                              .cumcount() + 1)
-            return out[cols].reset_index(drop=True)
-        hits = self.search(queries, min_score=1e-300)
-        if hits.empty:
-            out = pd.DataFrame(columns=["query_id", parent_col, "score"])
+        df = self._agg_fanout(queries,
+                              {"kind": "parent_max",
+                               "col": parent_col}, 1e-300, None,
+                              None)
+        if df.empty:
+            out = pd.DataFrame(columns=["query_id", parent_col,
+                                        "score"])
             out["rank"] = pd.Series(dtype="int64")
             return out[cols]
-        hits = hits.sort_values(["query_id", *self.key_cols],
-                                kind="mergesort")
-        v = hits["score"].to_numpy(np.float64)
-        qids = hits["query_id"].to_numpy()
-        pars = hits[parent_col].to_numpy()
-        # group starts where (query, parent) changes — one reduceat per
-        # aggregate instead of a Python loop over groups (reduceat's
-        # inner loop is SEQUENTIAL left-to-right, the same chain as the
-        # SQL ordered aggregate; numpy's pairwise summation applies to
-        # reduce/sum, not reduceat)
-        change = np.empty(len(v), dtype=bool)
-        change[0] = True
-        change[1:] = (qids[1:] != qids[:-1]) | (pars[1:] != pars[:-1])
-        starts = np.flatnonzero(change)
-        counts = np.diff(np.append(starts, len(v)))
+        g = df.groupby(["query_id", parent_col], sort=True).agg(
+            v_max=("v_max", "max"),
+            doc_count=("doc_count", "sum"),
+            v_micro=("v_micro", "sum")).reset_index()
         if score_mode == "max":
-            agg = np.maximum.reduceat(v, starts)
+            sc = np.round(g["v_max"].to_numpy(np.float64), 6)
         elif score_mode == "count":
-            agg = counts.astype(np.float64)
-        else:
-            agg = np.add.reduceat(v, starts)
-            if score_mode == "avg":
-                agg = agg / counts
-        out = pd.DataFrame({"query_id": qids[starts],
-                            parent_col: pars[starts],
-                            "score": np.round(agg, 6)})
+            sc = np.round(g["doc_count"].to_numpy(np.float64), 6)
+        elif score_mode == "sum":
+            sc = g["v_micro"].to_numpy(np.int64) / 1e6
+        else:  # avg
+            sc = (g["v_micro"].to_numpy(np.int64)
+                  / (g["doc_count"].to_numpy(np.int64) * 1e6))
+        out = pd.DataFrame({"query_id": g["query_id"],
+                            parent_col: g[parent_col],
+                            "score": sc})
         out = out.sort_values(["query_id", "score", parent_col],
                               ascending=[True, False, True],
                               kind="mergesort")
         out = out.groupby("query_id", sort=False).head(k)
-        out["rank"] = out.groupby("query_id", sort=False).cumcount() + 1
+        out["rank"] = (out.groupby("query_id", sort=False)
+                          .cumcount() + 1)
         return out[cols].reset_index(drop=True)
 
     def scan(self, queries: dict[str, str], page_size: int = 100):

@@ -335,7 +335,7 @@ class SearchService:
         API (facet_counts, stats_agg, histogram_agg, range_agg,
         date_histogram_agg, top_hits_agg, cardinality_agg,
         percentiles_agg, significant_terms_agg, filters_agg,
-        terms_stats_agg, composite_agg, has_child_search max/count)
+        terms_stats_agg, composite_agg, has_child_search all modes)
         with the per-segment partials computed on THIS service's warm
         actors (cached postings) instead of fresh stateless tasks."""
         if getattr(self, "_agg_facade", None) is None:
@@ -393,10 +393,8 @@ class _ServedAggSearcher:
 
     def has_child_search(self, queries, k=None, score_mode="max",
                          parent_col=None):
-        if score_mode not in ("max", "count"):
-            raise ValueError("warm has_child serves order-free modes "
-                             "(max | count); use IndexSearcher for "
-                             "sum/avg")
+        # all four modes are order-free since the integer-micro sum
+        # partials landed — the warm path serves them unchanged
         from opensearch_jvector_ray.query import IndexSearcher
         return IndexSearcher.has_child_search(
             self, queries, k=k, score_mode=score_mode,

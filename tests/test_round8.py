@@ -504,13 +504,22 @@ def test_has_child_modes_match_bruteforce(parent_idx, mode):
     want = {}
     for conv, g in hits.groupby("conv_id"):
         v = g["score"].to_numpy(np.float64)
-        sc = {"max": v.max(), "count": float(len(v)),
-              "sum": np.cumsum(v)[-1],
-              "avg": np.cumsum(v)[-1] / len(v)}[mode]
-        want[conv] = round(float(sc), 6)
+        m = int(np.floor(v * 1e6).astype(np.int64).sum())
+        sc = {"max": round(float(v.max()), 6),
+              "count": float(len(v)),
+              "sum": m / 1e6,
+              "avg": m / (len(v) * 1e6)}[mode]
+        want[conv] = sc
     assert dict(zip(got["conv_id"], got["score"])) == want
     order = sorted(want, key=lambda c: (-want[c], c))
     assert list(got["conv_id"]) == order
+    if mode in ("sum", "avg"):
+        # micro-quantization stays within n_children * 1e-6 of the
+        # true float aggregate
+        for conv, g in hits.groupby("conv_id"):
+            v = g["score"].to_numpy(np.float64)
+            true = v.sum() if mode == "sum" else v.mean()
+            assert abs(want[conv] - true) <= len(v) * 1e-6
 
 
 def test_has_child_validation(parent_idx):

@@ -167,10 +167,12 @@ def test_has_child_random(idx):
             want = {}
             for conv, g in hits.groupby("conv_id"):
                 v = g["score"].to_numpy(np.float64)
-                sc = {"max": v.max(), "count": float(len(v)),
-                      "sum": np.cumsum(v)[-1],
-                      "avg": np.cumsum(v)[-1] / len(v)}[mode]
-                want[conv] = round(float(sc), 6)
+                m = int(np.floor(v * 1e6).astype(np.int64).sum())
+                sc = {"max": round(float(v.max()), 6),
+                      "count": float(len(v)),
+                      "sum": m / 1e6,
+                      "avg": m / (len(v) * 1e6)}[mode]
+                want[conv] = sc
             assert dict(zip(got["conv_id"], got["score"])) == want, mode
 
 
@@ -325,11 +327,11 @@ def test_warm_agg_facade_matches_batch_path(idx):
             pd.testing.assert_frame_equal(
                 warm.reset_index(drop=True),
                 cold.reset_index(drop=True)), name
-        hc_cold = s.has_child_search(q, k=50, score_mode="max")
-        hc_warm = svc.agg.has_child_search(q, k=50, score_mode="max")
-        pd.testing.assert_frame_equal(hc_warm, hc_cold)
-        with pytest.raises(ValueError, match="order-free"):
-            svc.agg.has_child_search(q, score_mode="sum")
+        for mode in ("max", "sum", "avg", "count"):
+            hc_cold = s.has_child_search(q, k=50, score_mode=mode)
+            hc_warm = svc.agg.has_child_search(q, k=50,
+                                               score_mode=mode)
+            pd.testing.assert_frame_equal(hc_warm, hc_cold), mode
     finally:
         svc.shutdown()
 
