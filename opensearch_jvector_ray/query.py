@@ -559,6 +559,13 @@ def _sort_key_numeric(docs: pa.Table, field: str) -> np.ndarray:
         raise ValueError(f"sort field {field!r} is not a stored column "
                          f"(have {docs.column_names})")
     col = docs[field]
+    if col.null_count:
+        # fail loudly with a defined contract instead of np.unique's
+        # TypeError (str/None mix) or unspecified NaN placement vs the
+        # oracle — sort fields must be non-null
+        raise ValueError(f"sort field {field!r} contains "
+                         f"{col.null_count} null(s); sort-by-field "
+                         f"requires a non-null column")
     if pa.types.is_timestamp(col.type):
         return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
     if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
@@ -1191,10 +1198,13 @@ def _docs_value_counts_task(batch: pa.Table, field: str) -> pa.Table:
     tables = []
     for d in batch["seg_dir"].to_pylist():
         t = pq.read_table(os.path.join(d, DOCS_NAME), columns=[field])
-        vc = t.group_by(field).aggregate([(field, "count")])
+        # count_all, not (field, "count"): a NULL-valued bucket must
+        # carry its true row count so bg_tot matches the oracle's
+        # count(*) over all rows (latent JLH drift on nullable fields)
+        vc = t.group_by(field).aggregate([([], "count_all")])
         tables.append(pa.table({
             field: vc[field].combine_chunks(),
-            "bg_count": pc.cast(vc[f"{field}_count"], pa.int64()),
+            "bg_count": pc.cast(vc["count_all"], pa.int64()),
         }))
     return pa.concat_tables(tables)
 
@@ -2309,6 +2319,11 @@ class IndexSearcher:
             if mode != "taat" or rescore_oversample is not None \
                     or score_fn is not None or sort is not None:
                 raise ValueError("const_score requires plain taat mode")
+            if negative is not None:
+                # scores[candidates] = const runs after the negative
+                # multiply — the demotion would be silently overwritten
+                raise ValueError("const_score cannot combine with a "
+                                 "boosting (negative) clause")
             if const_score <= 0:
                 raise ValueError("const_score must be > 0")
         if negative is not None:
@@ -2667,6 +2682,11 @@ class IndexSearcher:
             yield page
             after = {}
             for qid, g in page.groupby("query_id", sort=False):
+                if len(g) < page_size:
+                    # short page == ranking exhausted; dropping the
+                    # query here avoids a full fan-out per remaining
+                    # page just to learn it returns nothing
+                    continue
                 last = g.iloc[-1]
                 after[qid] = (float(last["score"]),
                               *[last[kc] for kc in self.key_cols])

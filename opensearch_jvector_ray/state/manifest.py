@@ -203,7 +203,14 @@ def restore_index(snap_path: str, index_dir: str) -> dict:
         if names != want:
             raise ValueError(f"snapshot file set mismatch: "
                              f"{sorted(names ^ want)[:5]}")
-        tf.extractall(index_dir, filter="data")
+        try:
+            tf.extractall(index_dir, filter="data")
+        except TypeError:
+            # filter= needs Python >= 3.11.4 / 3.10.12; the member set
+            # was validated against the manifest above, and snapshots
+            # are created by create_snapshot with relative paths, so a
+            # plain extract is safe on older patch releases
+            tf.extractall(index_dir)
     for rel, size in meta["files"]:
         p = os.path.join(index_dir, rel)
         if os.path.getsize(p) != size:

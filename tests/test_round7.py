@@ -110,6 +110,19 @@ def test_sort_validation(idx):
         s.search({"q": "alpha"}, k=5, sort=("nope", "asc"))
 
 
+def test_sort_key_rejects_nulls():
+    # defined contract: sort fields must be non-null (otherwise
+    # np.unique raises an opaque TypeError inside the Ray task and
+    # numeric NaN placement is unspecified vs the oracle)
+    from opensearch_jvector_ray.query import _sort_key_numeric
+    t = pa.table({"f": pa.array(["a", None, "b"], type=pa.string())})
+    with pytest.raises(ValueError, match="null"):
+        _sort_key_numeric(t, "f")
+    t2 = pa.table({"g": pa.array([1.0, None, 3.0], type=pa.float64())})
+    with pytest.raises(ValueError, match="null"):
+        _sort_key_numeric(t2, "g")
+
+
 # ---------------------------------------------------------------------------
 # structured filters
 # ---------------------------------------------------------------------------

@@ -410,6 +410,9 @@ def test_boosting_validation(idx):
         s.search({"q": "a"}, const_score=-1.0)
     with pytest.raises(ValueError, match="plain taat"):
         s.search({"q": "a"}, mode="wand", const_score=1.0)
+    with pytest.raises(ValueError, match="boosting"):
+        s.search({"q": "a"}, const_score=1.0, negative={"q": "b"},
+                 negative_boost=0.5)
 
 
 def test_scan_pages_tile_ranking(idx):
