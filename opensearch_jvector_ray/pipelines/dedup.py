@@ -145,6 +145,136 @@ def jaccard(a: set, b: set) -> float:
 _SHINGLE_MIX = np.uint64(0x9E3779B97F4A7C15)   # shingle hash combiner
 
 
+def _pair_jaccard(ha: np.ndarray, ra: np.ndarray,
+                  hb: np.ndarray, rb: np.ndarray,
+                  n_pairs: int) -> np.ndarray:
+    """Vectorized exact Jaccard for a BATCH of pairs from per-row hash
+    multisets (duplicates allowed — distinct-ing happens here): (ha, ra)
+    are side A's (hash, row) window entries, likewise B.  ONE lexsort
+    over the concatenation keyed (row, hash, side) does both the
+    per-side distinct and the intersection count: after dropping
+    same-(row, hash, side) repeats, an adjacent (row, hash) match is
+    necessarily A-then-B — an intersection element.  Both-empty rows
+    score 1.0 — the ``jaccard(set(), set())`` rule."""
+    rows = np.concatenate([ra, rb])
+    hs = np.concatenate([ha, hb])
+    side = np.zeros(len(rows), dtype=np.uint8)
+    side[len(ra):] = 1
+    # lexsort is stable and A entries precede B in the concatenation,
+    # so equal (row, hash) runs are already A-then-B — no side key
+    order = np.lexsort((hs, rows))
+    rows_s, hs_s, side_s = rows[order], hs[order], side[order]
+    if len(rows_s):
+        first = np.ones(len(rows_s), dtype=bool)
+        first[1:] = ((rows_s[1:] != rows_s[:-1])
+                     | (hs_s[1:] != hs_s[:-1])
+                     | (side_s[1:] != side_s[:-1]))
+        rows_s, hs_s, side_s = rows_s[first], hs_s[first], side_s[first]
+    sa = np.bincount(rows_s[side_s == 0], minlength=n_pairs)
+    sb = np.bincount(rows_s[side_s == 1], minlength=n_pairs)
+    eq = np.zeros(len(rows_s), dtype=bool)
+    if len(rows_s) > 1:
+        eq[1:] = (rows_s[1:] == rows_s[:-1]) & (hs_s[1:] == hs_s[:-1])
+    inter = np.bincount(rows_s[eq], minlength=n_pairs) \
+        if eq.any() else np.zeros(n_pairs, dtype=np.int64)
+    union = sa + sb - inter
+    out = np.ones(n_pairs, dtype=np.float64)     # both-empty -> 1.0
+    nz = union > 0
+    out[nz] = inter[nz] / union[nz]
+    return out
+
+
+def _expand_windows(wh: np.ndarray, wd: np.ndarray, n_texts: int,
+                    sel: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Gather per-text windows for a selection of text indices: returns
+    (hashes, selection-row indices) with row i carrying the windows of
+    text ``sel[i]``.  Pure offset arithmetic — no Python loop."""
+    counts = np.bincount(wd, minlength=n_texts)
+    starts = np.zeros(n_texts + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    m = counts[sel]
+    tot = int(m.sum())
+    if tot == 0:
+        return np.zeros(0, dtype=wh.dtype), np.zeros(0, dtype=np.int64)
+    rows = np.repeat(np.arange(len(sel), dtype=np.int64), m)
+    pos = np.arange(tot, dtype=np.int64) - np.repeat(np.cumsum(m) - m, m)
+    return wh[np.repeat(starts[sel], m) + pos], rows
+
+
+def _encoded_pair_jaccard(col_a, col_b, window_fn) -> np.ndarray:
+    """Exact per-pair Jaccard with TEXT and PAIR dedup: candidate pairs
+    repeat texts heavily (a near-dup cluster of size m yields ~m^2
+    pairs over m texts, exact-dup clusters collapse to ONE unique
+    pair), so windows are computed once per DISTINCT text and Jaccard
+    once per DISTINCT (text_a, text_b) combination, then broadcast back
+    to the pair rows.  ``window_fn(texts) -> (wh, wd)`` supplies the
+    window hashes (word-shingle or char-n-gram)."""
+    if isinstance(col_a, pa.ChunkedArray):
+        col_a = col_a.combine_chunks()
+    if isinstance(col_b, pa.ChunkedArray):
+        col_b = col_b.combine_chunks()
+    col_a = pc.fill_null(col_a, "")      # None text == empty text
+    col_b = pc.fill_null(col_b, "")
+    n_rows = len(col_a)
+    enc_a, enc_b = pc.dictionary_encode(col_a), pc.dictionary_encode(col_b)
+    ua = enc_a.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    ub = enc_b.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    key = ua * len(enc_b.dictionary) + ub
+    uniq, inv = np.unique(key, return_inverse=True)
+    sel_a = uniq // len(enc_b.dictionary)
+    sel_b = uniq % len(enc_b.dictionary)
+    wh_a, wd_a = window_fn(enc_a.dictionary)
+    wh_b, wd_b = window_fn(enc_b.dictionary)
+    ha, ra = _expand_windows(wh_a, wd_a, len(enc_a.dictionary), sel_a)
+    hb, rb = _expand_windows(wh_b, wd_b, len(enc_b.dictionary), sel_b)
+    js_u = _pair_jaccard(ha, ra, hb, rb, len(uniq))
+    return js_u[inv] if n_rows else np.zeros(0, dtype=np.float64)
+
+
+def _char_window_hashes(texts: pa.Array | pa.ChunkedArray,
+                        n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized char n-gram hashes for a batch of texts: uint64
+    rolling-mix over codepoints (``char_ngrams`` semantics — texts
+    shorter than ``n`` get ONE window over all their chars; empty texts
+    get none).  Returns (hashes, row indices), distinct-ness NOT
+    applied.  Equality to string n-grams holds up to 64-bit collisions
+    (the repo-wide shingle-hash rule)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lst = texts.to_pylist()
+    n_docs = len(lst)
+    joined = "".join(t or "" for t in lst)
+    counts = np.fromiter((len(t or "") for t in lst), dtype=np.int64,
+                         count=n_docs)
+    cp = np.frombuffer(joined.encode("utf-32-le"), dtype="<u4") \
+        .astype(np.uint64)
+    starts = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    MIX = _SHINGLE_MIX
+    n_ch = len(cp)
+    parts_h, parts_r = [], []
+    full = counts >= n
+    if full.any() and n_ch >= n:
+        sh = cp[: n_ch - n + 1].copy()
+        for j in range(1, n):
+            sh = sh * MIX + cp[j: n_ch - n + 1 + j]
+        win_doc = np.repeat(np.arange(n_docs), counts)[: len(sh)]
+        pos = np.arange(len(sh)) - starts[win_doc]
+        valid = pos <= (counts[win_doc] - n)
+        parts_h.append(sh[valid])
+        parts_r.append(win_doc[valid])
+    short = np.flatnonzero((counts > 0) & (~full))
+    for d in short.tolist():          # rare: texts with < n chars
+        h = cp[starts[d]]
+        for t in range(starts[d] + 1, starts[d + 1]):
+            h = h * MIX + cp[t]
+        parts_h.append(np.array([h], dtype=np.uint64))
+        parts_r.append(np.array([d], dtype=np.int64))
+    if parts_h:
+        return np.concatenate(parts_h), np.concatenate(parts_r)
+    return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64)
+
+
 def _distinct_doc_windows(wh: np.ndarray,
                           wd: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Distinct (doc, window-hash) pairs: one lexsort + first-occurrence
@@ -160,7 +290,8 @@ def _distinct_doc_windows(wh: np.ndarray,
 
 def _window_hashes(texts: pa.Array, cfg: EngineConfig,
                    shingle_k: int,
-                   return_counts: bool = False):
+                   return_counts: bool = False,
+                   pre_tokenized: bool = False):
     """Vectorized word-shingle hashes for a batch of texts: returns
     ``(wh, wd)`` — uint64 window hashes and their doc indices, sorted by
     doc.  A window hash combines consecutive TOKEN hashes
@@ -171,14 +302,21 @@ def _window_hashes(texts: pa.Array, cfg: EngineConfig,
     from opensearch_jvector_ray.pipelines.textstats import _token_lists
 
     MIX = _SHINGLE_MIX
-    lists = _token_lists(texts, cfg)
+    lists = _token_lists(texts, cfg, pre_tokenized=pre_tokenized)
     flat = pc.list_flatten(lists)
     n_docs = len(texts)
     counts = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
     starts = np.zeros(n_docs + 1, dtype=np.int64)
     np.cumsum(counts, out=starts[1:])
-    th = pd.util.hash_array(flat.to_numpy(zero_copy_only=False),
+    # hash via dictionary-encode: tokens repeat vocab-heavily, so hash
+    # only the distinct strings and gather (bit-identical to hashing
+    # the flat array directly — same per-value hash — measured ~10x)
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    dh = pd.util.hash_array(enc.dictionary.to_numpy(zero_copy_only=False),
                             categorize=False)
+    th = dh[enc.indices.to_numpy(zero_copy_only=False)]
     n_tok = len(th)
     win_hash_parts, win_doc_parts = [], []
     full = counts >= shingle_k
@@ -610,19 +748,25 @@ def minhash_lsh_dedup(ds: "rd.Dataset", cfg: EngineConfig, id_col: str,
     # (two candidate-sized shuffles), exact shingle Jaccard per pair inside
     # map_batches — nothing doc-sized ever lands on the driver
     def _verify(batch: pa.Table) -> pa.Table:
-        na = batch["text_a"].to_pylist()
-        nb = batch["text_b"].to_pylist()
-        ok = [jaccard(word_shingles((ta or "").split(), shingle_k),
-                      word_shingles((tb or "").split(), shingle_k)) >= threshold
-              for ta, tb in zip(na, nb)]
-        return batch.filter(pa.array(ok)).select(["id_a", "id_b"])
+        # vectorized shingle-hash Jaccard over the whole pair batch:
+        # texts arrive analyzer-normalized from attach_pair_texts, so
+        # _window_hashes reproduces word_shingles(text.split()) up to
+        # 64-bit hash collisions (the repo-wide shingle-hash rule) —
+        # no per-pair Python set construction
+        js = _encoded_pair_jaccard(
+            batch["text_a"], batch["text_b"],
+            lambda t: _window_hashes(t, cfg, shingle_k,
+                                     pre_tokenized=True))
+        return batch.filter(pa.array(js >= threshold)) \
+                    .select(["id_a", "id_b"])
 
     verified_ds = attach_pair_texts(
         pairs, ds, cfg, id_col, text_col).map_batches(
             _verify, batch_format="pyarrow")
-    verified = [(r["id_a"], r["id_b"])
-                for b in verified_ds.iter_batches(batch_format="pandas")
-                for r in b.to_dict("records")]
+    verified = [(a, b)
+                for t in verified_ds.iter_batches(batch_format="pyarrow")
+                for a, b in zip(t["id_a"].to_pylist(),
+                                t["id_b"].to_pylist())]
 
     if not verified:
         return pd.DataFrame(columns=[id_col, "cluster_id"])
@@ -661,13 +805,14 @@ def ngram_jaccard_pairs(ds: "rd.Dataset", cfg: EngineConfig, id_col: str,
     pairs = minhash_candidate_pairs(ds, cfg, id_col, text_col)
 
     def _score(batch: pa.Table) -> pa.Table:
-        ta = batch["text_a"].to_pylist()
-        tb = batch["text_b"].to_pylist()
-        js = [jaccard(char_ngrams(a or "", n), char_ngrams(b or "", n))
-              for a, b in zip(ta, tb)]
+        # vectorized char-n-gram Jaccard across the pair batch (rolling
+        # codepoint hash == char_ngrams strings up to 64-bit collisions)
+        js = _encoded_pair_jaccard(
+            batch["text_a"], batch["text_b"],
+            lambda t: _char_window_hashes(t, n))
         out = batch.select(["id_a", "id_b"]).append_column(
-            "jaccard", pa.array(np.round(np.asarray(js, dtype=np.float64), 6)))
-        return out.filter(pa.array(np.asarray(js) >= threshold))
+            "jaccard", pa.array(np.round(js, 6)))
+        return out.filter(pa.array(js >= threshold))
 
     out = (attach_pair_texts(pairs, ds, cfg, id_col, text_col)
            .map_batches(_score, batch_format="pyarrow")

@@ -24,11 +24,18 @@ from opensearch_jvector_ray.analyze import tokenize
 from opensearch_jvector_ray.config import EngineConfig
 
 
-def _token_lists(texts: pa.Array, cfg: EngineConfig) -> pa.Array:
+def _token_lists(texts: pa.Array, cfg: EngineConfig,
+                 pre_tokenized: bool = False) -> pa.Array:
     """list<string> of non-empty lowered tokens per doc (stopwords KEPT —
-    callers decide; order preserved)."""
-    lowered = pc.utf8_lower(texts) if cfg.lowercase else texts
-    lists = pc.split_pattern_regex(lowered, pattern=cfg.split_pattern)
+    callers decide; order preserved).  ``pre_tokenized`` skips the RE2
+    pass for texts that are already analyzer-normalized (tokens joined
+    by single spaces, e.g. ``normalized_text`` output) — a whitespace
+    split is then token-identical and ~10x cheaper."""
+    if pre_tokenized:
+        lists = pc.utf8_split_whitespace(texts)
+    else:
+        lowered = pc.utf8_lower(texts) if cfg.lowercase else texts
+        lists = pc.split_pattern_regex(lowered, pattern=cfg.split_pattern)
     # drop empty strings but keep list structure
     flat = pc.list_flatten(lists)
     parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)

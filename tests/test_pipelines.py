@@ -191,6 +191,34 @@ def test_ngram_jaccard_pairs_planted():
     assert not any(2 in p or 3 in p for p in got)
 
 
+def test_vectorized_pair_jaccard_matches_set_kernels():
+    # the batched hash-intersection verify must reproduce the reference
+    # set kernels exactly (absent 64-bit collisions) — including the
+    # both-empty -> 1.0 and short-text single-window rules
+    texts_a = [BASE, "", "ab", "alpha beta gamma", None, "xy z"]
+    texts_b = [BASE.replace("warm", "cold"), "", "ab", "beta gamma alpha",
+               "something else entirely", "xy z"]
+    # char n-gram path (_pair_jaccard distinct-s the raw multisets)
+    ha, ra = dd._char_window_hashes(pa.array(texts_a, type=pa.string()), 5)
+    hb, rb = dd._char_window_hashes(pa.array(texts_b, type=pa.string()), 5)
+    js = dd._pair_jaccard(ha, ra, hb, rb, len(texts_a))
+    exp = [dd.jaccard(dd.char_ngrams(a or "", 5), dd.char_ngrams(b or "", 5))
+           for a, b in zip(texts_a, texts_b)]
+    assert np.allclose(js, exp, atol=0), (list(js), exp)
+    # word-shingle path (texts here are already analyzer-normalized,
+    # so the pre_tokenized whitespace split is token-identical)
+    for pt in (False, True):
+        ha, ra = dd._window_hashes(pa.array(texts_a, type=pa.string()),
+                                   CFG, 3, pre_tokenized=pt)
+        hb, rb = dd._window_hashes(pa.array(texts_b, type=pa.string()),
+                                   CFG, 3, pre_tokenized=pt)
+        js = dd._pair_jaccard(ha, ra, hb, rb, len(texts_a))
+        exp = [dd.jaccard(dd.word_shingles((a or "").split(), 3),
+                          dd.word_shingles((b or "").split(), 3))
+               for a, b in zip(texts_a, texts_b)]
+        assert np.allclose(js, exp, atol=0), (pt, list(js), exp)
+
+
 def test_bounded_bucket_edges_unit():
     ids = np.arange(5, dtype=np.int64)
     a, b = dd.bounded_bucket_edges(ids, cap=10)
