@@ -1401,6 +1401,29 @@ def _q_knn_graph_bq(sf_dir: str) -> pd.DataFrame:
     return _round_hits(out)
 
 
+def _q_knn_graph_mbq(sf_dir: str) -> pd.DataFrame:
+    # 2-bit multi-bit scalar-quantized graph search (the reference's
+    # MultiBitScalarQuantizer.java + BitPacker.java plane-major layout):
+    # per-dimension thresholds at mean + iCoef*std, the beam walks
+    # XOR-popcount hamming sums over the concatenated bit planes
+    # (M = bits*ceil(d/8)) and hits are exact-rescored — at full beam
+    # the result equals brute force => hard SQL oracle.
+    import os
+    from opensearch_jvector_ray.pipelines import graph as graph_pl
+    from opensearch_jvector_ray.sources.tables import CACHE_ROOT
+    key = os.path.basename(os.path.normpath(sf_dir))
+    idx = os.path.join(CACHE_ROOT, f"graphmbq_{key}_p4m16e64b2v1")
+    if not os.path.exists(os.path.join(idx, graph_pl.META_NAME)):
+        ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        graph_pl.build_graph_index(ds, idx, num_parts=4, mbq_bits=2)
+    n_rows = pq.read_metadata(
+        os.path.join(sf_dir, "embeddings.parquet")).num_rows
+    queries = query_embeddings(sf_dir, KNN_QUERY_IDS)
+    out = graph_pl.graph_topk(idx, queries, KNN_K, ef_search=n_rows,
+                              round_decimals=6, use_pq=True)
+    return _round_hits(out)
+
+
 def _q_knn_graph_nvq(sf_dir: str) -> pd.DataFrame:
     # NVQ graph search (the reference's nonuniform vector quantization,
     # README.md:33): 8-bit companded scalar codes with per-vector affine
@@ -1859,6 +1882,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph_pq": _q_knn_graph_pq,
         "knn_graph_bq": _q_knn_graph_bq,
         "knn_graph_nvq": _q_knn_graph_nvq,
+        "knn_graph_mbq": _q_knn_graph_mbq,
         "knn_graph_filtered": _q_knn_graph_filtered,
         "knn_graph_radial": _q_knn_graph_radial,
         "knn_ivf_filtered": _q_knn_ivf_filtered,
@@ -2165,6 +2189,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph_pq": knn_sql("cosine", KNN_QUERY_IDS, KNN_K),
         "knn_graph_bq": knn_sql("cosine", KNN_QUERY_IDS, KNN_K),
         "knn_graph_nvq": knn_sql("cosine", KNN_QUERY_IDS, KNN_K),
+        "knn_graph_mbq": knn_sql("cosine", KNN_QUERY_IDS, KNN_K),
         "knn_graph_filtered": knn_sql(
             "cosine", KNN_QUERY_IDS, KNN_K,
             filter_sql=f"e.label = {KNN_FILTER_LABEL}"),

@@ -120,10 +120,12 @@ def main(argv: list[str] | None = None) -> int:
                          "(2 cures the uniform-data quality plateau)")
     kb.add_argument("--id-col", default="vec_id")
     kb.add_argument("--vec-col", default="embedding")
-    kb.add_argument("--quant", default=None, choices=["pq", "bq", "nvq"],
+    kb.add_argument("--quant", default=None,
+                    choices=["pq", "bq", "nvq", "mbq2", "mbq4"],
                     help="graph engine: traversal quantization mode "
                          "(segment-local PQ codebook, binary sign bits, "
-                         "or NVQ companded 8-bit scalar codes)")
+                         "NVQ companded 8-bit scalar codes, or 2/4-bit "
+                         "multi-bit scalar codes)")
     kb.add_argument("--pq-m", type=int, default=8,
                     help="graph engine --quant pq: subspace count")
 
@@ -318,7 +320,11 @@ def main(argv: list[str] | None = None) -> int:
                                                       args.quant == "pq"
                                                       else None),
                                       bq=args.quant == "bq",
-                                      nvq=args.quant == "nvq")
+                                      nvq=args.quant == "nvq",
+                                      mbq_bits=(int(args.quant[3:])
+                                                if (args.quant or "")
+                                                .startswith("mbq")
+                                                else None))
             elif args.engine == "ivf":
                 from opensearch_jvector_ray.pipelines import knn as kpl
                 cent = kpl.train_centroids(ds, args.cells,

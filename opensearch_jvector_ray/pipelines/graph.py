@@ -896,20 +896,76 @@ _POPCNT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
                         axis=1).sum(axis=1).astype(np.float32)
 
 
-def _bq_lut(Qn: np.ndarray, nbytes: int) -> np.ndarray:
-    """(B, nbytes*256) hamming lookup tables: entry [b, j*256 + v] is
-    popcount(v XOR query_bits[b, j]) — BQ traversal is the SAME
-    gather-sum ADC the PQ beam uses, with M = nbytes and K = 256 (the
-    Lucene BQ analog of the reference's 'PQ and BQ support',
-    `README.md:33`; smaller hamming = closer, matching the beam's
+def _hamming_lut(qbits: np.ndarray, nbytes: int) -> np.ndarray:
+    """(B, nbytes*256) hamming lookup tables from packed query bits:
+    entry [b, j*256 + v] is popcount(v XOR query_bits[b, j]) — bit-code
+    traversal is the SAME gather-sum ADC the PQ beam uses, with M =
+    nbytes and K = 256 (smaller hamming = closer, matching the beam's
     smaller-is-better convention)."""
-    qbits = np.packbits(np.asarray(Qn) > 0, axis=1)
     if qbits.shape[1] < nbytes:           # pad to the stored byte width
         qbits = np.pad(qbits, ((0, 0), (0, nbytes - qbits.shape[1])))
     v = np.arange(256, dtype=np.uint8)
     x = np.bitwise_xor(qbits[:, :, None], v[None, None, :])
     return np.ascontiguousarray(
         _POPCNT[x].reshape(len(qbits), -1))
+
+
+def _bq_lut(Qn: np.ndarray, nbytes: int) -> np.ndarray:
+    """One-bit hamming LUT: query sign bits vs stored sign bits (the
+    Lucene BQ analog of the reference's 'PQ and BQ support',
+    `README.md:33`)."""
+    return _hamming_lut(np.packbits(np.asarray(Qn) > 0, axis=1), nbytes)
+
+
+MBQ_NAME = "mbq.npz"
+_MBQ_TRAIN_SAMPLE = 25000    # the reference quantizer's segment-level
+                             # training sample (MultiBitScalarQuantizer
+                             # DEFAULT_SAMPLE_SIZE)
+
+
+def _mbq_thresholds(mean: np.ndarray, std: np.ndarray,
+                    bits: int) -> np.ndarray:
+    """(bits, d) per-dimension thresholds t_i = mean + iCoef * std with
+    iCoef = -1 + 2(i+1)/(bits+1) — the reference's equal-probability
+    split rule (`MultiBitScalarQuantizer.java:153-165`
+    calculateThresholds)."""
+    icoef = (-1.0 + 2.0 * (np.arange(bits, dtype=np.float32) + 1.0)
+             / np.float32(bits + 1))
+    return (mean[None, :] + icoef[:, None] * std[None, :]) \
+        .astype(np.float32)
+
+
+def _mbq_encode(vecs_unit: np.ndarray,
+                thresholds: np.ndarray) -> np.ndarray:
+    """Plane-major packed multi-bit codes: plane i is packbits(x > t_i)
+    and the stored code concatenates the planes
+    (`BitPacker.quantizeAndPackBits` layout) — hamming over the
+    concatenation sums the per-plane hammings, so the existing
+    XOR-popcount gather-sum traversal applies unchanged with
+    M = bits * ceil(d/8)."""
+    X = np.asarray(vecs_unit, dtype=np.float32)
+    return np.concatenate(
+        [np.packbits(X > t[None, :], axis=1) for t in thresholds],
+        axis=1)
+
+
+def _train_part_mbq(vecs_unit: np.ndarray, bits: int, seed: int = 42
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """MBQ quantizer for one partition: per-dimension mean/std over a
+    bounded seeded sample -> (bits, d) thresholds -> plane-major packed
+    codes for every row (the reference's 2/4-bit scalar quantizer,
+    `MultiBitScalarQuantizer.java:108-119` train;
+    training-free re-encode given thresholds)."""
+    if bits not in (2, 4):
+        raise ValueError("mbq bits must be 2 or 4")
+    X = np.asarray(vecs_unit, dtype=np.float32)
+    S = X
+    if len(S) > _MBQ_TRAIN_SAMPLE:
+        rng = np.random.default_rng(seed)
+        S = S[np.sort(rng.choice(len(S), size=_MBQ_TRAIN_SAMPLE,
+                                 replace=False))]
+    thresholds = _mbq_thresholds(S.mean(axis=0), S.std(axis=0), bits)
+    return thresholds, _mbq_encode(X, thresholds)
 
 
 NVQ_NAME = "nvq.npz"
@@ -991,6 +1047,13 @@ def _quant_lut_codes(part_quant, Qn
         _, gamma, a, b, codes = part_quant
         qneg = -np.asarray(Qn, dtype=np.float32).sum(axis=1)
         return None, codes, (a, b, qneg, _nvq_levels(gamma))
+    if part_quant[0] == "mbq":
+        # query quantized against the SAME per-dimension thresholds,
+        # plane-major packed — hamming ADC identical to BQ with
+        # M = bits * ceil(d/8)
+        _, thresholds, codes = part_quant
+        qbits = _mbq_encode(np.asarray(Qn, dtype=np.float32), thresholds)
+        return _hamming_lut(qbits, codes.shape[1]), codes, None
     codes = part_quant[1]
     return _bq_lut(Qn, codes.shape[1]), codes, None
 
@@ -1005,7 +1068,7 @@ def _load_part_pq(pdir: str) -> tuple[np.ndarray, np.ndarray] | None:
 
 def _load_part_quant(pdir: str):
     """None | ("pq", book, codes) | ("bq", codes) |
-    ("nvq", gamma, a, b, codes)."""
+    ("nvq", gamma, a, b, codes) | ("mbq", thresholds, codes)."""
     p = _load_part_pq(pdir)
     if p is not None:
         return ("pq", p[0], p[1])
@@ -1016,6 +1079,10 @@ def _load_part_quant(pdir: str):
     if os.path.exists(path):
         z = np.load(path)
         return ("nvq", float(z["gamma"]), z["a"], z["b"], z["codes"])
+    path = os.path.join(pdir, MBQ_NAME)
+    if os.path.exists(path):
+        z = np.load(path)
+        return ("mbq", z["thresholds"], z["codes"])
     return None
 
 
@@ -1039,6 +1106,12 @@ def _merge_quant(lead_q, unit: np.ndarray, refine_iters: int):
         gamma = lead_q[1]
         a, b, codes = _nvq_encode(unit, gamma)
         return ("nvq", gamma, a, b, codes)
+    if lead_q[0] == "mbq":
+        # thresholds come from the leading segment (refine-never-
+        # retrain, `JVectorWriter.java:886-913`); encode is threshold
+        # comparisons — training-free
+        thresholds = lead_q[1]
+        return ("mbq", thresholds, _mbq_encode(unit, thresholds))
     return ("bq", np.packbits(unit > 0, axis=1))
 
 
@@ -1047,7 +1120,8 @@ def _write_part(out: str, ids: np.ndarray, vecs: np.ndarray,
                 pq_book: np.ndarray | None = None,
                 pq_codes: np.ndarray | None = None,
                 bq_codes: np.ndarray | None = None,
-                nvq_params: tuple | None = None) -> None:
+                nvq_params: tuple | None = None,
+                mbq_params: tuple | None = None) -> None:
     os.makedirs(out, exist_ok=True)
     nbrs = _ensure_cycle(np.ascontiguousarray(nbrs))
     tbl = pa.table({
@@ -1065,6 +1139,10 @@ def _write_part(out: str, ids: np.ndarray, vecs: np.ndarray,
     if nvq_params is not None:
         gamma, a, b, codes = nvq_params
         np.savez(os.path.join(out, NVQ_NAME), gamma=gamma, a=a, b=b,
+                 codes=codes)
+    if mbq_params is not None:
+        thresholds, codes = mbq_params
+        np.savez(os.path.join(out, MBQ_NAME), thresholds=thresholds,
                  codes=codes)
     unit = _unitize(vecs)
     entries = sorted({_medoid(unit), *_entry_set(len(ids))})
@@ -1085,6 +1163,7 @@ def build_graph_index(ds: "rd.Dataset", index_dir: str, *,
                       build_degree_mult: int = 1,
                       bq: bool = False,
                       nvq: bool = False,
+                      mbq_bits: int | None = None,
                       ) -> None:
     """Hash-partition vectors, build one graph per partition, persist.
 
@@ -1113,11 +1192,23 @@ def build_graph_index(ds: "rd.Dataset", index_dir: str, *,
     gather-sum ADC machinery as PQ with M = ceil(dim/8) and K = 256 —
     and hits are ALWAYS exact-rescored.  32x compression, no training,
     no min-rows rule; mutually exclusive with ``pq_m_subspaces``.
+
+    ``mbq_bits=2|4`` stores MULTI-BIT scalar codes (the reference's
+    MultiBitScalarQuantizer, `MultiBitScalarQuantizer.java`): per
+    dimension, ``bits`` thresholds at mean + iCoef*std split the data
+    into equal-probability regions; codes are plane-major packed sign
+    bits (`BitPacker.java` layout) and the beam walks the SAME
+    XOR-popcount hamming ADC as BQ with M = bits*ceil(d/8).  16x/8x
+    compression, mean/std training over a bounded sample per partition.
     """
     import shutil
-    if sum((bool(bq), bool(pq_m_subspaces), bool(nvq))) > 1:
-        raise ValueError(
-            "pass at most ONE of bq=True / pq_m_subspaces / nvq=True")
+    if sum((bool(bq), bool(pq_m_subspaces), bool(nvq),
+            mbq_bits is not None)) > 1:
+        raise ValueError("pass at most ONE of bq=True / pq_m_subspaces"
+                         " / nvq=True / mbq_bits")
+    if mbq_bits is not None and mbq_bits not in (2, 4):
+        raise ValueError("mbq_bits must be 2 or 4 "
+                         "(MultiBitScalarQuantizer TWO_BIT/FOUR_BIT)")
     os.makedirs(index_dir, exist_ok=True)
     if os.path.exists(os.path.join(index_dir, META_NAME)):
         return                                     # resume: complete index
@@ -1157,7 +1248,7 @@ def build_graph_index(ds: "rd.Dataset", index_dir: str, *,
             nbrs = build_graph(vecs, m_degree=m_degree,
                                ef_construction=ef_construction,
                                build_degree_mult=build_degree_mult)
-            book = codes = bqc = nvqp = None
+            book = codes = bqc = nvqp = mbqp = None
             if pq_m_subspaces and len(vecs) >= max(pq_min_rows, 2):
                 book, codes = _train_part_pq(_unitize(vecs),
                                              pq_m_subspaces, pq_n_codes)
@@ -1165,10 +1256,12 @@ def build_graph_index(ds: "rd.Dataset", index_dir: str, *,
                 bqc = np.packbits(_unitize(vecs) > 0, axis=1)
             elif nvq:
                 nvqp = _train_part_nvq(_unitize(vecs))
+            elif mbq_bits is not None:
+                mbqp = _train_part_mbq(_unitize(vecs), mbq_bits)
             _write_part(out, tbl[id_col].to_numpy(zero_copy_only=False),
                         vecs, nbrs, id_col, vec_col,
                         pq_book=book, pq_codes=codes, bq_codes=bqc,
-                        nvq_params=nvqp)
+                        nvq_params=nvqp, mbq_params=mbqp)
             built.append(part)
         return pa.table({"part": pa.array(built, type=pa.int32())})
 
@@ -1184,7 +1277,7 @@ def build_graph_index(ds: "rd.Dataset", index_dir: str, *,
                    "pq_n_codes": pq_n_codes,
                    "pq_min_rows": pq_min_rows,
                    "build_degree_mult": build_degree_mult,
-                   "bq": bq, "nvq": nvq}, f)
+                   "bq": bq, "nvq": nvq, "mbq_bits": mbq_bits}, f)
 
 
 def _compact_leading(tbl: pa.Table, dead: np.ndarray | None,
@@ -1389,7 +1482,7 @@ def merge_graph_index(src_dir: str, dst_dir: str, *, merge_factor: int = 4,
             # retrain — `JVectorWriter.java:886-913`) and re-encode the
             # merged rows; BQ is training-free, so bits are just repacked;
             # unquantized inputs merge to an unquantized part
-            book = codes = bqc = nvqp = None
+            book = codes = bqc = nvqp = mbqp = None
             mq = pre_q if pre_q is not None else (
                 _merge_quant(_load_part_quant(dirs[lead]),
                              _unitize(vecs), refine_quant_iters)
@@ -1399,11 +1492,13 @@ def merge_graph_index(src_dir: str, dst_dir: str, *, merge_factor: int = 4,
                     book, codes = mq[1], mq[2]
                 elif mq[0] == "nvq":
                     nvqp = mq[1:]
+                elif mq[0] == "mbq":
+                    mbqp = mq[1:]
                 else:
                     bqc = mq[1]
             _write_part(out, ids, vecs, nbrs, id_col, vec_col,
                         pq_book=book, pq_codes=codes, bq_codes=bqc,
-                        nvq_params=nvqp)
+                        nvq_params=nvqp, mbq_params=mbqp)
             out_parts.append(gid)
         return pa.table({"gid": pa.array(out_parts, type=pa.int32())})
 
@@ -1495,7 +1590,7 @@ def add_to_graph_index(new_ds: "rd.Dataset", index_dir: str) -> None:
                 bulk_insert(_unitize(vecs), nbrs, n_nbrs, len(ids0),
                             m_degree=m_degree, ef_construction=ef_c,
                             n_tasks=insert_tasks)
-            book = codes = bqc = nvqp = None
+            book = codes = bqc = nvqp = mbqp = None
             part_q = _load_part_quant(out)
             if part_q is not None:
                 if part_q[0] == "pq":
@@ -1507,13 +1602,18 @@ def add_to_graph_index(new_ds: "rd.Dataset", index_dir: str) -> None:
                     # are closed-form over the grown row set
                     nvqp = (part_q[1], *_nvq_encode(_unitize(vecs),
                                                     part_q[1]))
+                elif part_q[0] == "mbq":
+                    # thresholds stay (refine-never-retrain); encode is
+                    # threshold comparisons over the grown row set
+                    mbqp = (part_q[1],
+                            _mbq_encode(_unitize(vecs), part_q[1]))
                 else:
                     bqc = np.packbits(_unitize(vecs) > 0, axis=1)
             tmp = out + ".addtmp"
             shutil.rmtree(tmp, ignore_errors=True)
             _write_part(tmp, ids, vecs, nbrs, id_col, vec_col,
                         pq_book=book, pq_codes=codes, bq_codes=bqc,
-                        nvq_params=nvqp)
+                        nvq_params=nvqp, mbq_params=mbqp)
             os.makedirs(out, exist_ok=True)
             os.replace(os.path.join(tmp, "graph.parquet"), gpath)
             if book is not None:
@@ -1525,6 +1625,9 @@ def add_to_graph_index(new_ds: "rd.Dataset", index_dir: str) -> None:
             if nvqp is not None:
                 os.replace(os.path.join(tmp, NVQ_NAME),
                            os.path.join(out, NVQ_NAME))
+            if mbqp is not None:
+                os.replace(os.path.join(tmp, MBQ_NAME),
+                           os.path.join(out, MBQ_NAME))
             os.replace(os.path.join(tmp, "_META"),
                        os.path.join(out, "_META"))
             shutil.rmtree(tmp, ignore_errors=True)

@@ -1895,6 +1895,98 @@ def test_graph_nvq_traversal_exact_recall_and_lifecycle(tmp_path):
                                    bq=True)
 
 
+@pytest.mark.parametrize("bits", [2, 4])
+def test_graph_mbq_traversal_exact_recall_and_lifecycle(tmp_path, bits):
+    """MBQ mode (the reference's 2/4-bit MultiBitScalarQuantizer +
+    BitPacker plane-major layout): per-dimension thresholds at
+    mean + iCoef*std, the beam walks XOR-popcount hamming sums over the
+    concatenated bit planes, hits are exact-rescored — full beam must
+    equal brute force; approximate beam must clear the recall gate;
+    merge and add keep the leading thresholds (refine-never-retrain)
+    and stay full-beam exact; combining quant modes is an error."""
+    from opensearch_jvector_ray.pipelines import graph as graph_pl
+    vecs = _clustered_vecs(seed=53, n_centers=5, per=50, d=32)
+    ds = rd.from_arrow(_vec_table(vecs))
+    idx = str(tmp_path / "g")
+    graph_pl.build_graph_index(ds, idx, num_parts=3, m_degree=12,
+                               ef_construction=48, mbq_bits=bits)
+    assert os.path.exists(os.path.join(idx, "part=0", graph_pl.MBQ_NAME))
+    q0 = graph_pl._load_part_quant(os.path.join(idx, "part=0"))
+    assert q0[0] == "mbq" and q0[1].shape[0] == bits
+    # plane-major packed width: bits * ceil(d/8) bytes per row
+    assert q0[2].shape[1] == bits * ((32 + 7) // 8)
+    queries = {f"q{i}": vecs[i * 43].astype(np.float64) for i in range(4)}
+    exact = knn_pl.brute_force_topk(ds, queries, 10, metric="cosine",
+                                    round_decimals=6)
+    got = graph_pl.graph_topk(idx, queries, 10, ef_search=len(vecs),
+                              round_decimals=6)
+    pd.testing.assert_frame_equal(got, exact)
+    approx = graph_pl.graph_topk(idx, queries, 10, ef_search=48,
+                                 round_decimals=6)
+    hits = sum(len(set(approx[approx.query_id == q].vec_id)
+                   & set(exact[exact.query_id == q].vec_id))
+               for q in queries)
+    assert hits / len(exact) >= 0.75
+    merged = str(tmp_path / "merged")
+    graph_pl.merge_graph_index(idx, merged, merge_factor=3)
+    mq = graph_pl._load_part_quant(os.path.join(merged, "part=0"))
+    assert mq[0] == "mbq"
+    got_m = graph_pl.graph_topk(merged, queries, 10,
+                                ef_search=len(vecs), round_decimals=6)
+    pd.testing.assert_frame_equal(got_m, exact)
+    # add lifecycle: codes re-derived over the grown rows, thresholds
+    # kept (refine-never-retrain)
+    extra = _clustered_vecs(seed=78, n_centers=2, per=30, d=32)
+    t2 = _vec_table(extra)
+    t2 = t2.set_column(0, "vec_id", pa.array(
+        np.arange(len(vecs), len(vecs) + len(extra)), type=pa.int64()))
+    graph_pl.add_to_graph_index(rd.from_arrow(t2), merged)
+    aq = graph_pl._load_part_quant(os.path.join(merged, "part=0"))
+    assert np.array_equal(aq[1], mq[1])   # thresholds survive add
+    all_tbl = pa.concat_tables([_vec_table(vecs), t2])
+    exact_all = knn_pl.brute_force_topk(rd.from_arrow(all_tbl), queries,
+                                        10, metric="cosine",
+                                        round_decimals=6)
+    got_a = graph_pl.graph_topk(merged, queries, 10,
+                                ef_search=len(all_tbl),
+                                round_decimals=6)
+    pd.testing.assert_frame_equal(got_a, exact_all)
+    with pytest.raises(ValueError, match="at most ONE"):
+        graph_pl.build_graph_index(ds, str(tmp_path / "bad"),
+                                   mbq_bits=bits, bq=True)
+    with pytest.raises(ValueError, match="2 or 4"):
+        graph_pl.build_graph_index(ds, str(tmp_path / "bad2"),
+                                   mbq_bits=3)
+
+
+def test_mbq_encode_matches_reference_rule():
+    """Threshold + packing identity: t_i = mean + (-1 + 2(i+1)/(b+1))std
+    (MultiBitScalarQuantizer.calculateThresholds) and plane-major
+    packbits (BitPacker layout), checked against a per-element
+    reimplementation."""
+    from opensearch_jvector_ray.pipelines import graph as graph_pl
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(40, 11)).astype(np.float32)
+    for bits in (2, 4):
+        th = graph_pl._mbq_thresholds(X.mean(axis=0), X.std(axis=0),
+                                      bits)
+        for i in range(bits):
+            coef = -1.0 + 2.0 * (i + 1) / (bits + 1)
+            np.testing.assert_allclose(
+                th[i], (X.mean(axis=0)
+                        + np.float32(coef) * X.std(axis=0)),
+                rtol=1e-5, atol=1e-7)     # float32 op-order slack
+        codes = graph_pl._mbq_encode(X, th)
+        assert codes.shape == (40, bits * 2)   # ceil(11/8) = 2 bytes
+        for r in (0, 17):
+            want = []
+            for i in range(bits):
+                bits_row = (X[r] > th[i]).astype(np.uint8)
+                want.append(np.packbits(bits_row))
+            np.testing.assert_array_equal(codes[r],
+                                          np.concatenate(want))
+
+
 def test_nvq_gamma_fit_prefers_companding_on_skewed_data():
     """The per-partition gamma grid search must pick a companding
     exponent (gamma != 1) when component mass is skewed toward the
