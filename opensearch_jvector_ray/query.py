@@ -550,6 +550,137 @@ def _doc_boost(docs: pa.Table, spec: dict) -> np.ndarray:
     raise ValueError(f"unknown score_fn kind {kind!r}")
 
 
+_RX_CLASS_ESCAPES = set("dDwWsSbBAZzQE")   # \d \w ... are not literals
+
+
+def _regex_prefilter(pattern: str) -> tuple[str, list[str]]:
+    """Conservative (anchored_prefix, required_literals) extraction from
+    an RE2 pattern — the cheap stand-in for Lucene's automaton-directed
+    FST intersection: the prefix pushes a sorted-range filter into the
+    dictionary read, the literals run as plain (non-regex) substring
+    prefilters before the anchored RE2 pass.  NEVER removes a true
+    match: any construct that could make a literal optional bails —
+    alternation anywhere returns ('', []); quantifiers ``? * {`` drop
+    the preceding char from its run; classes/groups/dot/escape-classes
+    are opaque and break the current run.  Literal runs shorter than 2
+    chars are not worth a substring pass and are dropped (the prefix is
+    kept at any length)."""
+    if "|" in pattern:
+        return "", []
+    runs: list[tuple[int, str]] = []      # (start_pos, literal_run)
+    cur: list[str] = []
+    cur_start = 0
+    depth = 0                             # group contents are opaque —
+    i, n = 0, len(pattern)                # a (…)? would unrequire them
+
+    def flush() -> None:
+        if cur:
+            if depth == 0:
+                runs.append((cur_start, "".join(cur)))
+            cur.clear()
+
+    while i < n:
+        c = pattern[i]
+        if depth > 0:                     # skip opaque group contents
+            if c == "\\":
+                i += 2
+            elif c == "[":                # class may contain ( ) — skip
+                i += 1
+                if i < n and pattern[i] == "^":
+                    i += 1
+                if i < n and pattern[i] == "]":
+                    i += 1
+                while i < n and pattern[i] != "]":
+                    i += 2 if pattern[i] == "\\" else 1
+                i += 1
+            elif c == "(":
+                depth += 1
+                i += 1
+            elif c == ")":
+                depth -= 1
+                i += 1
+            else:
+                i += 1
+            continue
+        if c == "\\" and i + 1 < n:
+            nxt = pattern[i + 1]
+            if nxt in _RX_CLASS_ESCAPES:
+                flush()                   # opaque one-char class
+                i += 2
+            else:                         # escaped literal
+                if i + 2 < n and pattern[i + 2] in "?*{":
+                    flush()               # optional/repeated -> drop
+                    i += 2
+                elif i + 2 < n and pattern[i + 2] == "+":
+                    if not cur:
+                        cur_start = i
+                    cur.append(nxt)       # x+ still requires one x
+                    flush()
+                    i += 3
+                else:
+                    if not cur:
+                        cur_start = i
+                    cur.append(nxt)
+                    i += 2
+            continue
+        if c in ".^$":
+            flush()
+            i += 1
+            continue
+        if c == "{":                      # {m,n} quantifier: skip body
+            flush()
+            while i < n and pattern[i] != "}":
+                i += 1
+            i += 1
+            continue
+        if c in "?*+":                    # quantifier on an opaque atom
+            flush()
+            i += 1
+            continue
+        if c == "[":                      # character class: skip opaque
+            flush()
+            i += 1
+            if i < n and pattern[i] == "^":
+                i += 1
+            if i < n and pattern[i] == "]":
+                i += 1
+            while i < n and pattern[i] != "]":
+                i += 2 if pattern[i] == "\\" else 1
+            i += 1
+            continue
+        if c == "(":                      # group: opaque (see depth)
+            flush()
+            depth += 1
+            i += 1
+            continue
+        if c == ")":                      # unbalanced ')' at depth 0
+            flush()
+            i += 1
+            continue
+        # plain literal char
+        if i + 1 < n and pattern[i + 1] in "?*{":
+            flush()                       # optional/repeated -> drop
+            i += 1
+        elif i + 1 < n and pattern[i + 1] == "+":
+            if not cur:
+                cur_start = i
+            cur.append(c)                 # x+ still requires one x
+            flush()
+            i += 2
+        else:
+            if not cur:
+                cur_start = i
+            cur.append(c)
+            i += 1
+    flush()
+    prefix = ""
+    if runs and runs[0][0] == 0:
+        prefix = runs[0][1]
+    literals = sorted({r for _, r in runs if len(r) >= 2},
+                      key=lambda r: (-len(r), r))[:3]
+    return prefix, literals
+
+
 def _sort_key_numeric(docs: pa.Table, field: str) -> np.ndarray:
     """Sort field -> a numeric per-ordinal key whose ascending order
     equals the field's natural order (strings via per-segment uniq
@@ -1398,6 +1529,38 @@ class IndexSearcher:
                     if t[:prefix_length] == term[:prefix_length]]
             tbl = tbl.take(pa.array(keep, type=pa.int64()))
             cands = [cands[i] for i in keep]
+        if len(cands) > 256:
+            # bag-of-chars lower bound before the DP (bounds the pl=0
+            # vocab scan): one edit changes the char multiset by at most
+            # 2 in L1, so L1(bag) > 2*max_edits can never be within
+            # max_edits; chars outside the query term share one 'other'
+            # class (merging classes only lowers L1 — the bound stays
+            # valid).  Vectorized: one codepoint concat + one bincount.
+            tcp = np.frombuffer(term.encode("utf-32-le"), "<u4") \
+                .astype(np.int64)
+            ucp = np.unique(tcp)
+            A = len(ucp) + 1
+            tvec = np.zeros(A, dtype=np.int64)
+            np.add.at(tvec, np.searchsorted(ucp, tcp), 1)
+            joined = "".join(cands)
+            clens = np.fromiter(map(len, cands), np.int64, len(cands))
+            cp = np.frombuffer(joined.encode("utf-32-le"), "<u4") \
+                .astype(np.int64)
+            pos = np.searchsorted(ucp, cp)
+            found = (pos < len(ucp)) & (ucp[np.minimum(pos,
+                                                       len(ucp) - 1)]
+                                        == cp)
+            cls = np.where(found, pos, len(ucp))
+            rows = np.repeat(np.arange(len(cands), dtype=np.int64),
+                             clens)
+            hist = np.bincount(rows * A + cls,
+                               minlength=len(cands) * A) \
+                .reshape(len(cands), A)
+            l1 = np.abs(hist - tvec[None, :]).sum(axis=1)
+            keep = np.flatnonzero(l1 <= 2 * max_edits)
+            if len(keep) < len(cands):
+                tbl = tbl.take(pa.array(keep, type=pa.int64()))
+                cands = [cands[i] for i in keep.tolist()]
         dist = _levenshtein_vec(cands, term)
         dfv = tbl["df"].to_numpy(zero_copy_only=False)
         hits = [(int(dist[i]), -int(dfv[i]), cands[i])
@@ -1440,11 +1603,25 @@ class IndexSearcher:
         dictionary terms FULLY matching the pattern (implicit anchoring,
         as Lucene's automaton), ordered (df DESC, term ASC), capped.
         Both sides run RE2 (pyarrow here, DuckDB in the oracle), so the
-        pattern string is shared verbatim.  The read is vocab-sized (the
-        small side) — the documented gap vs Lucene's automaton-directed
-        FST walk; prefer prefix/fuzzy when a prefix is known.
+        pattern string is shared verbatim.  The scan is BOUNDED by a
+        conservative literal extraction (``_regex_prefilter``): an
+        anchored literal prefix pushes a sorted-range filter into the
+        dictionary read (row-group pruning — wildcard translations like
+        ``foo.*`` never scan), and required literal substrings run as
+        plain match_substring prefilters before the RE2 pass — the
+        cheap stand-in for Lucene's automaton-directed FST walk;
+        results are identical (the prefilter never drops a true match).
         """
-        tbl = self._read_dictionary()
+        pfx, literals = _regex_prefilter(pattern)
+        filters: list[tuple] | None = None
+        if pfx:
+            filters = [("term", ">=", pfx)]
+            if ord(pfx[-1]) < 0x10FFFF:
+                filters.append(
+                    ("term", "<", pfx[:-1] + chr(ord(pfx[-1]) + 1)))
+        tbl = self._read_dictionary(filters)
+        for lit in literals:
+            tbl = tbl.filter(pc.match_substring(tbl["term"], lit))
         m = pc.match_substring_regex(tbl["term"], f"^(?:{pattern})$")
         tbl = tbl.filter(m)
         idx = pc.sort_indices(tbl, sort_keys=[("df", "descending"),

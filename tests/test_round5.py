@@ -239,6 +239,66 @@ def test_regexp_wildcard_expansion_and_search(index):
         parse_query({"wildcard": {"value": ""}})
 
 
+def test_expansion_prefilter_identity_and_reduction():
+    """The regex/fuzzy dictionary prefilters (anchored-prefix range,
+    required-literal substring passes, fuzzy bag-of-chars bound) must
+    keep results identical to the unfiltered scan while cutting the
+    candidate set by a measured factor on a large synthetic vocab."""
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+    from opensearch_jvector_ray.query import _regex_prefilter
+    rng = np.random.default_rng(0)
+    syll = ["al", "be", "ga", "de", "ep", "ze", "ka", "mu", "ta", "ro"]
+    terms = np.unique(np.array(
+        ["".join(rng.choice(syll, rng.integers(2, 6)))
+         for _ in range(120_000)]))
+    tbl = pa.table({"term": pa.array(terms)})
+    for pat, min_cut in [("gade.*", 20.0), ("al.*rode", 50.0),
+                         (".*kamu.*", 5.0)]:
+        pfx, lits = _regex_prefilter(pat)
+        t = tbl
+        if pfx:
+            t = t.filter(_pc.and_(
+                _pc.greater_equal(t["term"], pfx),
+                _pc.less(t["term"],
+                         pfx[:-1] + chr(ord(pfx[-1]) + 1))))
+        for lit in lits:
+            t = t.filter(_pc.match_substring(t["term"], lit))
+        rx = f"^(?:{pat})$"
+        full = tbl.filter(
+            _pc.match_substring_regex(tbl["term"], rx))["term"].to_pylist()
+        pruned = t.filter(
+            _pc.match_substring_regex(t["term"], rx))["term"].to_pylist()
+        assert full == pruned, pat
+        assert tbl.num_rows / max(t.num_rows, 1) >= min_cut, \
+            (pat, t.num_rows)
+    # fuzzy bag-of-chars bound: survivors must be a superset of the
+    # true <=2-edit matches (never drops), with a real cut
+    term = "gadeka"
+    cands = [t for t in terms.tolist()
+             if abs(len(t) - len(term)) <= 2]
+    tcp = np.frombuffer(term.encode("utf-32-le"), "<u4").astype(np.int64)
+    ucp = np.unique(tcp)
+    A = len(ucp) + 1
+    tvec = np.zeros(A, np.int64)
+    np.add.at(tvec, np.searchsorted(ucp, tcp), 1)
+    cp = np.frombuffer("".join(cands).encode("utf-32-le"),
+                       "<u4").astype(np.int64)
+    pos = np.searchsorted(ucp, cp)
+    found = (pos < len(ucp)) & (ucp[np.minimum(pos, len(ucp) - 1)] == cp)
+    cls = np.where(found, pos, len(ucp))
+    rows = np.repeat(np.arange(len(cands), dtype=np.int64),
+                     np.fromiter(map(len, cands), np.int64, len(cands)))
+    hist = np.bincount(rows * A + cls,
+                       minlength=len(cands) * A).reshape(len(cands), A)
+    l1 = np.abs(hist - tvec[None, :]).sum(axis=1)
+    keep = set(np.flatnonzero(l1 <= 4).tolist())
+    true = set(np.flatnonzero(
+        _levenshtein_vec(cands, term) <= 2).tolist())
+    assert true <= keep
+    assert len(cands) / max(len(keep), 1) >= 5.0
+
+
 def test_boosted_search_parse_and_scale(index):
     from opensearch_jvector_ray.analyze import parse_boosted_query
     s = IndexSearcher(index)

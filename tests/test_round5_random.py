@@ -58,6 +58,43 @@ def test_wildcard_to_regex_random(pat, s):
     assert (re.fullmatch(rx, s) is not None) == _wild_ref(pat, s)
 
 
+@settings(max_examples=400, deadline=None)
+@given(st.text(alphabet="ab01.*?+(){}[]|\\^$", min_size=0, max_size=10),
+       st.text(alphabet="ab01", min_size=0, max_size=8))
+def test_regex_prefilter_never_drops_a_match(pat, s):
+    """_regex_prefilter soundness: whenever a string FULLY matches the
+    pattern, it must start with the claimed anchored prefix and contain
+    every claimed required literal (the prefilter may only shrink the
+    candidate set, never the result set)."""
+    from opensearch_jvector_ray.query import _regex_prefilter
+    try:
+        matched = re.fullmatch(pat, s) is not None
+    except re.error:
+        return                      # invalid pattern: engine rejects too
+    if not matched:
+        return
+    pfx, literals = _regex_prefilter(pat)
+    assert s.startswith(pfx), (pat, s, pfx)
+    for lit in literals:
+        assert lit in s, (pat, s, lit)
+
+
+def test_regex_prefilter_extraction_examples():
+    from opensearch_jvector_ray.query import _regex_prefilter
+    pfx, lits = _regex_prefilter("foo.*bar")
+    assert pfx == "foo" and set(lits) == {"foo", "bar"}
+    assert _regex_prefilter("merge") == ("merge", ["merge"])
+    assert _regex_prefilter("a|b") == ("", [])
+    pfx, lits = _regex_prefilter("(ab)?cd")
+    assert pfx == "" and lits == ["cd"]       # group is optional
+    pfx, lits = _regex_prefilter("ab{2}cd")
+    assert pfx == "a" and "cd" in lits and all("2" not in l
+                                               for l in lits)
+    assert _regex_prefilter(r"fo\.o")[0] == "fo.o"
+    assert _regex_prefilter(r"\d+foo")[0] == ""
+    assert "foo" in _regex_prefilter(r"\d+foo")[1]
+
+
 boost_chunk = st.one_of(
     st.sampled_from(["data", "model", "the", "a1"]),
     st.tuples(st.sampled_from(["data", "model", "x"]),
