@@ -2993,10 +2993,157 @@ class IndexSearcher:
         return df[["query_id", "rank", *self.key_cols, "score"]].reset_index(drop=True)
 
 
+def _mm_combine(m: pd.DataFrame, fields: list[str], match_type: str,
+                tie_breaker: float, key_cols: list[str]) -> pd.DataFrame:
+    """Cross-field score combine (ONE implementation shared by the fused
+    segment tasks and the driver-join fallback, so both paths are
+    bit-identical).  ``m`` is indexed by (query_id, *key_cols) with one
+    float column per field (NaN where the field didn't match)."""
+    m = m.fillna(0.0)
+    arr = m[fields].to_numpy(dtype=np.float64)
+    total = arr[:, 0].copy()
+    for j in range(1, arr.shape[1]):      # sorted-field-order fp chain
+        total = total + arr[:, j]
+    if match_type == "most_fields":
+        score = total
+    else:
+        best = arr.max(axis=1)
+        score = best + tie_breaker * (total - best)
+    out = m.reset_index()[["query_id", *key_cols]]
+    out["score"] = score
+    return out
+
+
+def _mm_topk(df: pd.DataFrame, k: int, key_cols: list[str],
+             rank: bool = False) -> pd.DataFrame:
+    """(score desc, key asc) per-query top-k — the A1 order, applied
+    per segment slot (local partial) and once globally (final)."""
+    df = df.sort_values(["query_id", "score", *key_cols],
+                        ascending=[True, False] + [True] * len(key_cols),
+                        kind="mergesort")
+    df = df.groupby("query_id", sort=False).head(k)
+    if rank:
+        df["rank"] = df.groupby("query_id", sort=False).cumcount() + 1
+        return df[["query_id", "rank", *key_cols,
+                   "score"]].reset_index(drop=True)
+    return df.reset_index(drop=True)
+
+
+def _mm_slots(searchers: dict[str, "IndexSearcher"],
+              fields: list[str]) -> list[dict[str, str]] | None:
+    """Co-location plan for the fused multi_match fan-out: group the
+    per-field indexes' segments by FRAGMENT LINEAGE (source file +
+    row-group range from the build manifest).  Fragment-built indexes
+    over the same source cover identical rows per fragment, so every
+    doc's postings for ALL fields live in the same slot — the combine
+    can run inside the segment task.  Hash-partitioned primary builds
+    (staged/shuffle, ``partition`` lineage marker) pair by segment
+    NUMBER instead: the same total ``stable_hash(key) % P`` assignment
+    puts a key in the same numbered segment of every index.  Returns
+    None (caller falls back to the driver join) when neither pairing
+    verifies (e.g. bulk-merged or appended indexes, differing plans)."""
+    from opensearch_jvector_ray.state.manifest import SegmentManifest
+    mans: dict[str, list[SegmentManifest]] = {}
+    for f in fields:
+        try:
+            mans[f] = [SegmentManifest.read(d)
+                       for d in searchers[f].seg_dirs]
+        except Exception:
+            return None
+
+    # pairing 1: fragment lineage (file-partitioned builds)
+    per_field: dict[str, dict[tuple, str]] = {}
+    ok = True
+    for f in fields:
+        frag: dict[tuple, str] = {}
+        for d, man in zip(searchers[f].seg_dirs, mans[f]):
+            fr = (man.lineage or {}).get("fragment")
+            if not isinstance(fr, dict) or "file" not in fr:
+                ok = False
+                break
+            key = (fr.get("file"), fr.get("rg_lo"), fr.get("rg_hi"))
+            if key in frag:
+                ok = False           # duplicate fragment => ambiguous
+                break
+            frag[key] = d
+        if not ok:
+            break
+        per_field[f] = frag
+    if ok:
+        base = set(per_field[fields[0]])
+        if all(set(per_field[f]) == base for f in fields[1:]):
+            return [{f: per_field[f][key] for f in fields}
+                    for key in sorted(base)]
+
+    # pairing 2: total hash partitioning (primary staged/shuffle builds)
+    marker = None
+    by_seg: dict[str, dict[int, str]] = {}
+    for f in fields:
+        segs: dict[int, str] = {}
+        for d, man in zip(searchers[f].seg_dirs, mans[f]):
+            pt = (man.lineage or {}).get("partition")
+            if not isinstance(pt, dict) or pt.get("mode") != "hash":
+                return None
+            if marker is None:
+                marker = pt
+            elif pt != marker:
+                return None          # different P or key => no pairing
+            if man.seg in segs:
+                return None
+            segs[man.seg] = d
+        by_seg[f] = segs
+    base_segs = set(by_seg[fields[0]])
+    for f in fields[1:]:
+        if set(by_seg[f]) != base_segs:
+            return None
+    return [{f: by_seg[f][s] for f in fields} for s in sorted(base_segs)]
+
+
+def _mm_fused_task(batch: pa.Table, payloads: dict[str, dict],
+                   fields: list[str], match_type: str, tie_breaker: float,
+                   k: int, key_cols: list[str]) -> pa.Table:
+    """Fused multi_match partial: for one co-located segment slot, run
+    every field's radial match over ITS segment, combine per doc in
+    sorted field order, and ship only the local top-k — the has_child
+    max/count combiner-first pattern applied to DisMax.  Exact because
+    fragment co-location puts each doc's postings for all fields in
+    this slot (see ``_mm_slots``)."""
+    key_types = payloads[fields[0]]["key_types"]
+    searchers = {f: SegmentSearcher(payloads[f]) for f in fields}
+    frames = []
+    for i in range(batch.num_rows):
+        per_field = []
+        for f in fields:
+            t = searchers[f](pa.table({"seg_dir": [batch[f][i].as_py()]}))
+            per_field.append(t.to_pandas()
+                             .set_index(["query_id", *key_cols])["score"]
+                             .rename(f))
+        m = pd.concat(per_field, axis=1)
+        if m.empty:
+            continue
+        out = _mm_combine(m, fields, match_type, tie_breaker, key_cols)
+        frames.append(_mm_topk(out, k, key_cols))
+    if not frames:
+        cols: dict[str, Any] = {"query_id": pa.array([], type=pa.string())}
+        for kc, kt in key_types:
+            cols[kc] = pa.array([], type=kt)
+        cols["score"] = pa.array([], type=pa.float64())
+        return pa.table(cols)
+    df = pd.concat(frames, ignore_index=True)
+    cols = {"query_id": pa.array(df["query_id"], type=pa.string())}
+    for kc, kt in key_types:
+        cols[kc] = pa.array(df[kc], type=kt)
+    cols["score"] = pa.array(df["score"].to_numpy(np.float64),
+                             type=pa.float64())
+    return pa.table(cols)
+
+
 def multi_match(searchers: dict[str, "IndexSearcher"],
                 queries: dict[str, str], k: int = 10,
                 match_type: str = "best_fields",
-                tie_breaker: float = 0.0) -> pd.DataFrame:
+                tie_breaker: float = 0.0,
+                fused: bool | None = None,
+                concurrency: int | None = None) -> pd.DataFrame:
     """Multi-field search over PER-FIELD indexes [OpenSearch multi_match
     / Lucene DisjunctionMaxQuery public semantics].
 
@@ -3011,14 +3158,18 @@ def multi_match(searchers: dict[str, "IndexSearcher"],
 
     Per-field scores come from the uncapped radial match set (score > 0
     == matches), so absent fields contribute exactly 0.  The cross-field
-    sum accumulates in SORTED FIELD ORDER — the oracle writes the same
-    left-to-right chain, keeping the combine bit-exact.
+    sum accumulates in SORTED FIELD ORDER on both paths (and in the
+    oracle's left-to-right chain), keeping the combine bit-exact.
 
-    Distribution shape: each per-field retrieval is the engine's
-    fan-out; the combine joins RESULT-SIZED match sets on the driver
-    (bounded by matching docs, never the corpus — the radial bound).  A
-    corpus where single-query match sets exceed driver memory would
-    fuse the combine into the segment tasks instead (same math).
+    Distribution shape: when the per-field indexes are fragment-built
+    from the same source (``_mm_slots`` verifies it from manifest
+    lineage), the combine is FUSED into the segment tasks — each slot
+    scores all fields over its own rows and ships <= k rows per query,
+    so nothing corpus-sized ever reaches the driver.  ``fused=None``
+    auto-detects; ``fused=True`` requires co-location (raises
+    otherwise); ``fused=False`` forces the driver join (result-sized
+    match sets — the small-corpus / non-co-located fallback).  Both
+    paths share ``_mm_combine`` and are frame-identical (pytest-gated).
     """
     if match_type not in ("best_fields", "most_fields"):
         raise ValueError("match_type must be best_fields | most_fields")
@@ -3031,6 +3182,54 @@ def multi_match(searchers: dict[str, "IndexSearcher"],
     for f in fields:
         if searchers[f].key_cols != key_cols:
             raise ValueError("all field indexes must share key columns")
+    empty = pd.DataFrame(columns=["query_id", *key_cols, "score"])
+
+    slots = _mm_slots(searchers, fields) if fused is not False else None
+    if fused is True and slots is None:
+        raise ValueError("fused=True requires fragment-co-located "
+                         "per-field indexes (matching manifest lineage)")
+    if slots is not None:
+        if not slots:
+            out = empty.copy()
+            out["rank"] = pd.Series(dtype="int64")
+            return out[["query_id", "rank", *key_cols, "score"]]
+        payloads: dict[str, dict] = {}
+        for f in fields:
+            s = searchers[f]
+            prepared, union = s._prepare(queries, k)
+            docs_schema = pq.read_schema(
+                os.path.join(s.seg_dirs[0], DOCS_NAME))
+            payloads[f] = {
+                "queries": prepared, "union_terms": union, "mode": "taat",
+                "codec": s.cfg.codec, "block_size": s.cfg.block_size,
+                "k1": s.cfg.k1, "b": s.cfg.b,
+                "avgdl": float(s.stats["avgdl"] or 1.0),
+                "filter": None, "rescore_oversample": None,
+                "key_types": [(kc, docs_schema.field(kc).type)
+                              for kc in key_cols],
+                "first_pass_k": s.cfg.first_pass_k,
+                "min_score": 1e-300,
+            }
+        seg_ds = rd.from_items([dict(slot) for slot in slots])
+        extra = {"concurrency": concurrency} if concurrency else {}
+        hits = seg_ds.map_batches(
+            _mm_fused_task,
+            fn_kwargs={"payloads": payloads, "fields": fields,
+                       "match_type": match_type,
+                       "tie_breaker": tie_breaker, "k": k,
+                       "key_cols": list(key_cols)},
+            batch_format="pyarrow", batch_size=1, **extra)
+        frames = [b.to_pandas()
+                  for b in hits.iter_batches(batch_format="pyarrow")]
+        df = pd.concat(frames, ignore_index=True) if frames else empty
+        if df.empty:
+            out = empty.copy()
+            out["rank"] = pd.Series(dtype="int64")
+            return out[["query_id", "rank", *key_cols, "score"]]
+        return _mm_topk(df, k, key_cols, rank=True)
+
+    # fallback: driver join of the per-field radial match sets
+    # (result-sized — bounded by matching docs, never the corpus)
     frames = []
     for f in fields:
         df = searchers[f].search(queries, min_score=1e-300)
@@ -3038,25 +3237,8 @@ def multi_match(searchers: dict[str, "IndexSearcher"],
                         .rename(f))
     m = pd.concat(frames, axis=1)
     if m.empty:
-        out = pd.DataFrame(columns=["query_id", *key_cols, "score"])
+        out = empty.copy()
         out["rank"] = pd.Series(dtype="int64")
         return out[["query_id", "rank", *key_cols, "score"]]
-    m = m.fillna(0.0)
-    arr = m[fields].to_numpy(dtype=np.float64)
-    total = arr[:, 0].copy()
-    for j in range(1, arr.shape[1]):      # sorted-field-order fp chain
-        total = total + arr[:, j]
-    if match_type == "most_fields":
-        score = total
-    else:
-        best = arr.max(axis=1)
-        score = best + tie_breaker * (total - best)
-    out = m.reset_index()[["query_id", *key_cols]]
-    out["score"] = score
-    out = out.sort_values(["query_id", "score", *key_cols],
-                          ascending=[True, False] + [True] * len(key_cols),
-                          kind="mergesort")
-    out = out.groupby("query_id", sort=False).head(k)
-    out["rank"] = out.groupby("query_id", sort=False).cumcount() + 1
-    return out[["query_id", "rank", *key_cols,
-                "score"]].reset_index(drop=True)
+    out = _mm_combine(m, fields, match_type, tie_breaker, key_cols)
+    return _mm_topk(out, k, key_cols, rank=True)

@@ -101,6 +101,17 @@ def stable_hash_strings(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
     return pd.util.hash_array(values, categorize=False)
 
 
+def _hash_partition_lineage(cfg: EngineConfig, spec: IndexSpec) -> dict:
+    """Manifest marker for a TOTAL hash partitioning (primary staged/
+    shuffle builds only — appends don't carry it): any two indexes built
+    under the same marker put a given key in the same segment NUMBER, so
+    co-located fan-outs (fused multi_match) can pair segments by number.
+    ``stable_hash(key_cols[0]) % num_segments`` is the assignment
+    (``_assign_segments``)."""
+    return {"mode": "hash", "num_segments": cfg.num_segments,
+            "key": list(spec.key_cols)[:1]}
+
+
 def _assign_segments(batch: pa.Table, spec: IndexSpec, num_segments: int,
                      done: frozenset[int]) -> pa.Table:
     h = stable_hash_strings(batch[spec.key_cols[0]])
@@ -427,7 +438,10 @@ def build_index(source: "rd.Dataset | str | list[str]", index_dir: str,
                                       "done": frozenset()}) \
               .write_parquet(staging, partition_cols=[SEG_COL])
             write_json_atomic(os.path.join(staging, "_DONE"), {"ok": True})
-        builder = make_segment_builder(index_dir, cfg, spec, lineage, deletes)
+        builder = make_segment_builder(
+            index_dir, cfg, spec,
+            {**(lineage or {}), "partition": _hash_partition_lineage(cfg, spec)},
+            deletes)
 
         def build_staged(batch: pa.Table) -> pa.Table:
             import glob as globmod
@@ -494,8 +508,11 @@ def build_index(source: "rd.Dataset | str | list[str]", index_dir: str,
                                                 "num_segments": cfg.num_segments,
                                                 "done": done})
                         .groupby(SEG_COL)
-                        .map_groups(make_segment_builder(index_dir, cfg, spec,
-                                                         lineage, deletes),
+                        .map_groups(make_segment_builder(
+                            index_dir, cfg, spec,
+                            {**(lineage or {}),
+                             "partition": _hash_partition_lineage(cfg, spec)},
+                            deletes),
                                     batch_format="pyarrow"))
             # consume: per-segment one-row summaries (tiny)
             shuffled.take_all()

@@ -276,6 +276,40 @@ def test_multi_match_validation(field_indexes):
         multi_match({}, {"q": "x"})
 
 
+def test_multi_match_fused_identity(field_indexes):
+    """The fused segment-task path (combine inside co-located slots,
+    <= k rows per query per slot leave the task) is frame-identical to
+    the driver join — same combine chain, same tie-break."""
+    from opensearch_jvector_ray.query import _mm_slots, multi_match
+    slots = _mm_slots(field_indexes, sorted(field_indexes))
+    assert slots is not None and len(slots) == 2   # hash pairing, P=2
+    q = {"q1": "alpha user", "q2": "beta assistant", "q3": "zzznothing"}
+    for mt, tie in (("best_fields", 0.0), ("best_fields", 0.3),
+                    ("most_fields", 0.0)):
+        a = multi_match(field_indexes, q, k=5, match_type=mt,
+                        tie_breaker=tie, fused=False)
+        b = multi_match(field_indexes, q, k=5, match_type=mt,
+                        tie_breaker=tie, fused=True)
+        pd.testing.assert_frame_equal(a, b)
+
+
+def test_multi_match_fused_requires_colocation(field_indexes, tmp_path):
+    """fused=True must refuse indexes whose partitionings can't be
+    paired (different num_segments => different hash assignment)."""
+    from opensearch_jvector_ray.query import multi_match
+    idx = str(tmp_path / "idx_p3")
+    build_index(rd.from_arrow(_corpus()), idx,
+                EngineConfig(num_segments=3),
+                IndexSpec(text_col="text", key_cols=("conv_id",),
+                          store_cols=(), ts_col=""))
+    mixed = {"text": IndexSearcher(idx), "role": field_indexes["role"]}
+    with pytest.raises(ValueError, match="co-located"):
+        multi_match(mixed, {"q": "alpha"}, fused=True)
+    # auto mode falls back to the driver join and still answers
+    out = multi_match(mixed, {"q": "alpha user"}, k=5)
+    assert not out.empty
+
+
 # ---------------------------------------------------------------------------
 # span_near
 # ---------------------------------------------------------------------------
