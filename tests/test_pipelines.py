@@ -330,3 +330,62 @@ def test_simhash_pair_distinct_fallback_identical(monkeypatch):
     key = lambda df: sorted(map(tuple,
                                 df[["id_a", "id_b", "hamming"]].to_numpy()))
     assert key(fast) == key(slow) and len(fast) > 0
+
+
+def _uf_components(edges) -> dict:
+    """Reference driver-rule union-find: cluster_id = min member id."""
+    parent: dict = {}
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {m: find(m) for m in parent}
+
+
+def test_pairs_components_matches_union_find_random_graph():
+    rng = np.random.default_rng(11)
+    # sparse random graph + a 120-node chain (exercises pointer jumping
+    # over a long diameter) + isolated-pair islands
+    edges = {(int(a), int(b)) for a, b in rng.integers(0, 400, (300, 2))
+             if a != b}
+    edges |= {(1000 + i, 1001 + i) for i in range(120)}      # chain
+    edges |= {(5000, 5001), (6000, 6002)}
+    ea, eb = zip(*sorted(edges))
+    ds = rd.from_arrow(pa.table({"id_a": pa.array(ea, type=pa.int64()),
+                                 "id_b": pa.array(eb, type=pa.int64())}))
+    out = dd.pairs_components(ds, num_parts=4).to_pandas()
+    got = dict(zip(out.id, out.cluster_id))
+    assert got == _uf_components(edges)
+
+
+def test_pairs_components_string_ids_single_part():
+    edges = [("doc-b", "doc-a"), ("doc-c", "doc-b"), ("zzz", "yyy")]
+    ds = rd.from_arrow(pa.table({"id_a": [a for a, _ in edges],
+                                 "id_b": [b for _, b in edges]}))
+    out = dd.pairs_components(ds, num_parts=1).to_pandas()
+    got = dict(zip(out.id, out.cluster_id))
+    assert got == {"doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a",
+                   "yyy": "yyy", "zzz": "yyy"}
+
+
+def test_minhash_scale_path_identical_to_driver_union_find():
+    """Verdict item: mirror-heavy corpus (50% planted duplicates) must
+    cluster identically whether the verified pairs run the driver
+    union-find or the distributed pairs_components fallback."""
+    rng = np.random.default_rng(3)
+    vocab = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+    base = [" ".join(rng.choice(vocab, 12)) for _ in range(40)]
+    texts = base + base                      # 50% exact duplicates
+    ds = rd.from_arrow(_doc_table(texts))
+    drv = dd.minhash_lsh_dedup(ds, CFG, "doc_id", "text", threshold=0.9)
+    dist = dd.minhash_lsh_dedup(ds, CFG, "doc_id", "text", threshold=0.9,
+                                uf_max_pairs=0)   # force the scale path
+    pd.testing.assert_frame_equal(
+        drv.reset_index(drop=True), dist.reset_index(drop=True))
+    assert len(drv) >= 80 * 0.5              # every planted dup clustered
