@@ -1236,7 +1236,7 @@ def _q_knn_graph(sf_dir: str) -> pd.DataFrame:
     from opensearch_jvector_ray.pipelines import graph as graph_pl
     from opensearch_jvector_ray.sources.tables import CACHE_ROOT
     key = os.path.basename(os.path.normpath(sf_dir))
-    idx = os.path.join(CACHE_ROOT, f"graphidx_{key}_p4m16e64v3")
+    idx = os.path.join(CACHE_ROOT, f"graphidx_{key}_p4m16e64v4")
     if not os.path.exists(os.path.join(idx, graph_pl.META_NAME)):
         ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
         graph_pl.build_graph_index(ds, idx, num_parts=4)
@@ -1257,11 +1257,11 @@ def _q_knn_graph_merged(sf_dir: str) -> pd.DataFrame:
     from opensearch_jvector_ray.pipelines import graph as graph_pl
     from opensearch_jvector_ray.sources.tables import CACHE_ROOT
     key = os.path.basename(os.path.normpath(sf_dir))
-    idx = os.path.join(CACHE_ROOT, f"graphidx_{key}_p4m16e64v3")
+    idx = os.path.join(CACHE_ROOT, f"graphidx_{key}_p4m16e64v4")
     if not os.path.exists(os.path.join(idx, graph_pl.META_NAME)):
         ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
         graph_pl.build_graph_index(ds, idx, num_parts=4)
-    merged = os.path.join(CACHE_ROOT, f"graphmrg_{key}_v3")
+    merged = os.path.join(CACHE_ROOT, f"graphmrg_{key}_v4")
     if not os.path.exists(os.path.join(merged, graph_pl.META_NAME)):
         shutil.rmtree(merged, ignore_errors=True)
         graph_pl.merge_graph_index(idx, merged, merge_factor=4,
@@ -1314,7 +1314,7 @@ def _q_knn_graph_filtered(sf_dir: str) -> pd.DataFrame:
     from opensearch_jvector_ray.pipelines import graph as graph_pl
     from opensearch_jvector_ray.sources.tables import CACHE_ROOT
     key = os.path.basename(os.path.normpath(sf_dir))
-    idx = os.path.join(CACHE_ROOT, f"graphidx_{key}_p4m16e64v3")
+    idx = os.path.join(CACHE_ROOT, f"graphidx_{key}_p4m16e64v4")
     if not os.path.exists(os.path.join(idx, graph_pl.META_NAME)):
         ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
         graph_pl.build_graph_index(ds, idx, num_parts=4)
@@ -1340,7 +1340,7 @@ def _q_knn_graph_radial(sf_dir: str) -> pd.DataFrame:
     from opensearch_jvector_ray.pipelines import graph as graph_pl
     from opensearch_jvector_ray.sources.tables import CACHE_ROOT
     key = os.path.basename(os.path.normpath(sf_dir))
-    idx = os.path.join(CACHE_ROOT, f"graphidx_{key}_p4m16e64v3")
+    idx = os.path.join(CACHE_ROOT, f"graphidx_{key}_p4m16e64v4")
     if not os.path.exists(os.path.join(idx, graph_pl.META_NAME)):
         ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
         graph_pl.build_graph_index(ds, idx, num_parts=4)
@@ -1365,7 +1365,7 @@ def _q_knn_graph_pq(sf_dir: str) -> pd.DataFrame:
     from opensearch_jvector_ray.pipelines import graph as graph_pl
     from opensearch_jvector_ray.sources.tables import CACHE_ROOT
     key = os.path.basename(os.path.normpath(sf_dir))
-    idx = os.path.join(CACHE_ROOT, f"graphpq_{key}_p4m16e64c16v1")
+    idx = os.path.join(CACHE_ROOT, f"graphpq_{key}_p4m16e64c16v2")
     if not os.path.exists(os.path.join(idx, graph_pl.META_NAME)):
         ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
         graph_pl.build_graph_index(ds, idx, num_parts=4,
@@ -1389,7 +1389,7 @@ def _q_knn_graph_bq(sf_dir: str) -> pd.DataFrame:
     from opensearch_jvector_ray.pipelines import graph as graph_pl
     from opensearch_jvector_ray.sources.tables import CACHE_ROOT
     key = os.path.basename(os.path.normpath(sf_dir))
-    idx = os.path.join(CACHE_ROOT, f"graphbq_{key}_p4m16e64v1")
+    idx = os.path.join(CACHE_ROOT, f"graphbq_{key}_p4m16e64v2")
     if not os.path.exists(os.path.join(idx, graph_pl.META_NAME)):
         ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
         graph_pl.build_graph_index(ds, idx, num_parts=4, bq=True)
@@ -1412,7 +1412,7 @@ def _q_knn_graph_mbq(sf_dir: str) -> pd.DataFrame:
     from opensearch_jvector_ray.pipelines import graph as graph_pl
     from opensearch_jvector_ray.sources.tables import CACHE_ROOT
     key = os.path.basename(os.path.normpath(sf_dir))
-    idx = os.path.join(CACHE_ROOT, f"graphmbq_{key}_p4m16e64b2v1")
+    idx = os.path.join(CACHE_ROOT, f"graphmbq_{key}_p4m16e64b2v2")
     if not os.path.exists(os.path.join(idx, graph_pl.META_NAME)):
         ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
         graph_pl.build_graph_index(ds, idx, num_parts=4, mbq_bits=2)
@@ -1434,7 +1434,7 @@ def _q_knn_graph_nvq(sf_dir: str) -> pd.DataFrame:
     from opensearch_jvector_ray.pipelines import graph as graph_pl
     from opensearch_jvector_ray.sources.tables import CACHE_ROOT
     key = os.path.basename(os.path.normpath(sf_dir))
-    idx = os.path.join(CACHE_ROOT, f"graphnvq_{key}_p4m16e64v1")
+    idx = os.path.join(CACHE_ROOT, f"graphnvq_{key}_p4m16e64v2")
     if not os.path.exists(os.path.join(idx, graph_pl.META_NAME)):
         ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
         graph_pl.build_graph_index(ds, idx, num_parts=4, nvq=True)

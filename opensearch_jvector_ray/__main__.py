@@ -117,7 +117,14 @@ def main(argv: list[str] | None = None) -> int:
     kb.add_argument("--cells", type=int, default=16)
     kb.add_argument("--build-degree-mult", type=int, default=1,
                     help="graph engine: descent working-degree multiplier "
-                         "(2 cures the uniform-data quality plateau)")
+                         "(2 cures the uniform-data quality plateau; only "
+                         "affects partitions built by NN-descent)")
+    kb.add_argument("--graph-method", default="auto",
+                    choices=["auto", "exact", "descent"],
+                    help="graph engine candidate generation: auto uses "
+                         "EXACT chunked-BLAS KNN edges for partitions up "
+                         "to 16k rows (cheaper than descent there and "
+                         "candidate-perfect) and NN-descent above")
     kb.add_argument("--id-col", default="vec_id")
     kb.add_argument("--vec-col", default="embedding")
     kb.add_argument("--quant", default=None,
@@ -316,6 +323,7 @@ def main(argv: list[str] | None = None) -> int:
                                       id_col=args.id_col,
                                       vec_col=args.vec_col,
                                       build_degree_mult=args.build_degree_mult,
+                                      method=args.graph_method,
                                       pq_m_subspaces=(args.pq_m if
                                                       args.quant == "pq"
                                                       else None),

@@ -746,11 +746,62 @@ def _finalize_graph(unit: np.ndarray, nbrs: np.ndarray, m: int,
     return np.concatenate(ray.get(futs))
 
 
+_EXACT_BUILD_MAX_N = 16384   # exact-KNN construction bound: n^2*d BLAS
+                             # flops stay under ~70 GFLOP at dim 128 —
+                             # measured CHEAPER than descent below this
+                             # (12.5k x 128 single-thread: exact 8.4s vs
+                             # descent 26s mult=1 / 40s mult=2), and the
+                             # adaptive partitioner (_PART_TARGET_ROWS)
+                             # keeps partitions under it by construction
+
+
+def _exact_rows(unit: np.ndarray, mw: int, lo: int, hi: int) -> np.ndarray:
+    """EXACT top-``mw`` neighbors (nearest first) for rows [lo, hi) by
+    chunked BLAS matmul against all rows — row-independent and pure, so
+    ranges fan out as Ray tasks bit-identically to the serial pass."""
+    n = len(unit)
+    out = np.empty((hi - lo, mw), dtype=np.int32)
+    chunk = max(256, (1 << 24) // max(n, 1))   # ~64 MB distance block
+    for clo in range(lo, hi, chunk):
+        chi = min(clo + chunk, hi)
+        d = -(unit[clo:chi] @ unit.T)
+        d[np.arange(chi - clo), np.arange(clo, chi)] = np.inf
+        part = np.argpartition(d, mw - 1, axis=1)[:, :mw]
+        dp = np.take_along_axis(d, part, 1)
+        o = np.argsort(dp, axis=1, kind="stable")
+        out[clo - lo: chi - lo] = np.take_along_axis(
+            part, o, 1).astype(np.int32)
+    return out
+
+
+_exact_rows_remote = ray.remote(num_cpus=1)(_exact_rows)
+
+
+def _exact_knn_edges(unit: np.ndarray, mw: int,
+                     n_tasks: int | None = None,
+                     unit_ref=None) -> np.ndarray:
+    """(n, mw) exact nearest-neighbor matrix (self excluded), the
+    perfect-candidate input to ``_finalize_graph``.  ``n_tasks`` > 1
+    fans row ranges out as Ray tasks."""
+    n = len(unit)
+    mw = min(mw, n - 1)
+    t = max(1, int(n_tasks or 1))
+    if t <= 1 or n < 2 * _DESCENT_CHUNK:
+        return _exact_rows(unit, mw, 0, n)
+    uref = unit_ref if unit_ref is not None else ray.put(unit)
+    bounds = np.linspace(0, n, t + 1).astype(np.int64)
+    futs = [_exact_rows_remote.remote(uref, mw, int(bounds[i]),
+                                      int(bounds[i + 1]))
+            for i in range(t) if bounds[i] < bounds[i + 1]]
+    return np.concatenate(ray.get(futs))
+
+
 def build_graph(vecs: np.ndarray, *, m_degree: int = 16,
                 ef_construction: int = 64, seed: int = 42,
                 alpha: float = 1.0, max_iters: int = 10,
                 build_degree_mult: int = 1,
-                n_tasks: int | None = None) -> np.ndarray:
+                n_tasks: int | None = None,
+                method: str = "auto") -> np.ndarray:
     """Build a navigable graph over unit-normalized rows.
 
     Construction is NN-descent (random init, neighbor-of-neighbor
@@ -769,6 +820,25 @@ def build_graph(vecs: np.ndarray, *, m_degree: int = 16,
     -> 0.91 (mult=2), at ~4x the descent flops.  Clustered/real
     embeddings already converge near 1.0 at mult=1, so the default
     spends nothing.
+
+    ``method`` picks the CANDIDATE-GENERATION stage feeding the shared
+    finalize pass:
+
+    - ``"exact"``: chunked-BLAS exact top-(2m) KNN edges — perfect
+      candidates, cost n^2*d flops, independent of data distribution.
+    - ``"descent"``: NN-descent as above — cost ~linear in n, quality
+      data-dependent (the uniform plateau).
+    - ``"auto"`` (default): exact when n <= ``_EXACT_BUILD_MAX_N``,
+      descent above.  Measured at 12.5k x 128 single-thread (the
+      in-task regime): exact 8.4s vs descent 26s (mult=1) / 40s
+      (mult=2) on uniform, 7.3s vs 14s / 18s on clustered — exact is
+      3-5x cheaper AND candidate-perfect below the bound, while the
+      n^2 term loses to descent's ~linear cost above ~50k.  Note the
+      uniform-data recall ceiling is the graph's greedy ROUTABILITY,
+      not construction: an exact-candidate graph scores ef100
+      recall@10 0.511 vs descent-mult=2's 0.523 at 12.5k x 128 IID
+      gaussian — construction quality is saturated; more beam (ef256:
+      0.80) is the remaining lever on such data.
     """
     n = len(vecs)
     nbrs = np.full((n, m_degree), -1, dtype=np.int32)
@@ -781,19 +851,27 @@ def build_graph(vecs: np.ndarray, *, m_degree: int = 16,
         order = np.argsort(d0, axis=1, kind="stable")[:, : n - 1]
         nbrs[:, : n - 1] = order
         return nbrs
-    mw = m_degree * max(1, int(build_degree_mult))
+    if method not in ("auto", "exact", "descent"):
+        raise ValueError(f"unknown graph build method {method!r}")
+    if method == "auto":
+        method = "exact" if n <= _EXACT_BUILD_MAX_N else "descent"
+    mw = m_degree * max(2 if method == "exact" else 1,
+                        int(build_degree_mult))
     mw = min(mw, n - 1)
-    work = np.full((n, mw), -1, dtype=np.int32)
-    rng = np.random.default_rng(seed)
-    rand = rng.integers(0, n - 1, size=(n, mw))
-    rand += rand >= np.arange(n)[:, None]                 # skip self
-    work[:] = rand
     uref = ray.put(unit) if (n_tasks or 1) > 1 else None
-    for _ in range(max_iters):
-        changed = _descent_sweep(unit, work, n_tasks=n_tasks,
-                                 unit_ref=uref)
-        if changed <= n * mw // 50:             # <2% of edges moved
-            break
+    if method == "exact":
+        work = _exact_knn_edges(unit, mw, n_tasks=n_tasks, unit_ref=uref)
+    else:
+        work = np.full((n, mw), -1, dtype=np.int32)
+        rng = np.random.default_rng(seed)
+        rand = rng.integers(0, n - 1, size=(n, mw))
+        rand += rand >= np.arange(n)[:, None]             # skip self
+        work[:] = rand
+        for _ in range(max_iters):
+            changed = _descent_sweep(unit, work, n_tasks=n_tasks,
+                                     unit_ref=uref)
+            if changed <= n * mw // 50:         # <2% of edges moved
+                break
     return _finalize_graph(unit, work, m_degree, alpha,
                            n_tasks=n_tasks, unit_ref=uref)
 
@@ -1164,6 +1242,7 @@ def build_graph_index(ds: "rd.Dataset", index_dir: str, *,
                       bq: bool = False,
                       nvq: bool = False,
                       mbq_bits: int | None = None,
+                      method: str = "auto",
                       ) -> None:
     """Hash-partition vectors, build one graph per partition, persist.
 
@@ -1176,6 +1255,15 @@ def build_graph_index(ds: "rd.Dataset", index_dir: str, *,
     ``_PART_TARGET_ROWS`` (the bandwidth-aware matmul fast-path bound,
     `_FULL_MM_MAX_N`): a fixed part count silently produces giant
     partitions at data scale, whose descent falls off the BLAS path.
+
+    ``method`` ("auto" default) picks per-partition candidate
+    generation: "auto" uses EXACT chunked-BLAS KNN edges for partitions
+    up to ``_EXACT_BUILD_MAX_N`` rows (3-5x cheaper than NN-descent
+    there, candidate-perfect, data-distribution-independent) and
+    NN-descent above; "exact"/"descent" pin one.  Adaptive partitioning
+    keeps partitions under the exact bound by construction, so
+    ``num_parts=None, method="auto"`` is the recommended at-scale
+    configuration.  See ``build_graph`` for measurements.
 
     With ``pq_m_subspaces`` set, each partition also trains a segment-
     local PQ codebook and stores uint8 codes next to the graph (the
@@ -1247,7 +1335,8 @@ def build_graph_index(ds: "rd.Dataset", index_dir: str, *,
             vecs = _vecs_from_batch(tbl, vec_col)
             nbrs = build_graph(vecs, m_degree=m_degree,
                                ef_construction=ef_construction,
-                               build_degree_mult=build_degree_mult)
+                               build_degree_mult=build_degree_mult,
+                               method=method)
             book = codes = bqc = nvqp = mbqp = None
             if pq_m_subspaces and len(vecs) >= max(pq_min_rows, 2):
                 book, codes = _train_part_pq(_unitize(vecs),
@@ -1277,6 +1366,7 @@ def build_graph_index(ds: "rd.Dataset", index_dir: str, *,
                    "pq_n_codes": pq_n_codes,
                    "pq_min_rows": pq_min_rows,
                    "build_degree_mult": build_degree_mult,
+                   "method": method,
                    "bq": bq, "nvq": nvq, "mbq_bits": mbq_bits}, f)
 
 
@@ -1416,6 +1506,7 @@ def merge_graph_index(src_dir: str, dst_dir: str, *, merge_factor: int = 4,
                 nbrs = build_graph(
                     vecs, m_degree=m_degree, ef_construction=ef_c,
                     build_degree_mult=meta.get("build_degree_mult", 1),
+                    method=meta.get("method", "auto"),
                     n_tasks=insert_tasks)
             else:
                 rest = [t.select([id_col, vec_col])
@@ -1579,6 +1670,7 @@ def add_to_graph_index(new_ds: "rd.Dataset", index_dir: str) -> None:
                 nbrs = build_graph(
                     vecs, m_degree=m_degree, ef_construction=ef_c,
                     build_degree_mult=meta.get("build_degree_mult", 1),
+                    method=meta.get("method", "auto"),
                     n_tasks=insert_tasks)
             else:
                 ids = np.concatenate([ids0, ids_n])

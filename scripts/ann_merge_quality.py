@@ -92,17 +92,25 @@ pre = {"recall_ef100": recall(graph_pl.graph_topk(gdir, queries, K,
                                                   ef_search=256))}
 print(json.dumps({"pre_merge": pre}), flush=True)
 
+# Merge timing is MEDIAN of OJR_MERGE_REPEATS runs (default 3): box-state
+# swings (page cache, throttling) moved single-draw merge times 38-90s on
+# this sandbox — raw samples are printed so outliers stay visible.  The
+# merged graph is deterministic, so recall is measured once.
+REPEATS = int(os.environ.get("OJR_MERGE_REPEATS", "3"))
 for name, kw in [("incremental", dict(mode="incremental")),
                  ("incr_polish", dict(mode="incremental",
                                       polish_sweeps="auto")),
                  ("rebuild", dict(mode="rebuild"))]:
     dst = os.path.join(BENCH_ROOT, f"annq_merge_{kind}_{name}_{n}")
-    shutil.rmtree(dst, ignore_errors=True)
-    t0 = time.perf_counter()
-    graph_pl.merge_graph_index(gdir, dst, merge_factor=N_PARTS, **kw)
-    sec = round(time.perf_counter() - t0, 2)
+    samples = []
+    for _ in range(max(1, REPEATS)):
+        shutil.rmtree(dst, ignore_errors=True)
+        t0 = time.perf_counter()
+        graph_pl.merge_graph_index(gdir, dst, merge_factor=N_PARTS, **kw)
+        samples.append(round(time.perf_counter() - t0, 2))
     print(json.dumps({name: {
-        "sec": sec,
+        "sec": sorted(samples)[len(samples) // 2],
+        "sec_samples": samples,
         "recall_ef100": recall(graph_pl.graph_topk(dst, queries, K,
                                                    ef_search=100)),
         "recall_ef256": recall(graph_pl.graph_topk(dst, queries, K,

@@ -1104,8 +1104,12 @@ def test_descent_wider_working_degree_breaks_uniform_plateau():
                       & set(exact[i].tolist())) for i in range(n))
         return hit / (n * m)
 
-    g1 = graph_pl.build_graph(X, m_degree=m, build_degree_mult=1)
-    g2 = graph_pl.build_graph(X, m_degree=m, build_degree_mult=2)
+    # pin method="descent": this test measures the DESCENT knob
+    # specifically (auto would route 6k rows to exact construction)
+    g1 = graph_pl.build_graph(X, m_degree=m, build_degree_mult=1,
+                              method="descent")
+    g2 = graph_pl.build_graph(X, m_degree=m, build_degree_mult=2,
+                              method="descent")
     assert g1.shape == g2.shape == (n, m)
     q1, q2 = quality(g1), quality(g2)
     # measured: q1~0.26 (the plateau), q2~0.67
@@ -2063,3 +2067,86 @@ def test_pii_scrub_matches_duckdb_on_random_strings(texts):
                 params=[cur, pat, cur, pat, repl]).fetchone()
             assert got[f"n_{name}"][i].as_py() == n, (txt, name)
         assert got["clean_text"][i].as_py() == cur, txt
+
+
+# ---------------------------------------------------------------------------
+# graph build method: exact chunked-BLAS candidate generation (round 4)
+# ---------------------------------------------------------------------------
+
+def test_graph_exact_knn_edges_match_brute_force():
+    """_exact_knn_edges returns the TRUE top-mw neighbor matrix (nearest
+    first, self excluded) — the candidate-perfect input to finalize."""
+    from opensearch_jvector_ray.pipelines import graph as graph_pl
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((257, 24))
+    unit = graph_pl._unitize(vecs)
+    mw = 12
+    got = graph_pl._exact_knn_edges(unit, mw)
+    d = -(unit @ unit.T)
+    np.fill_diagonal(d, np.inf)
+    for i in range(len(unit)):
+        want = set(np.argpartition(d[i], mw - 1)[:mw].tolist())
+        assert set(got[i].tolist()) == want, i
+        # nearest-first ordering within the row
+        dv = d[i][got[i]]
+        assert (np.diff(dv) >= -1e-12).all(), i
+
+
+def test_graph_exact_fanout_bit_identical_to_serial():
+    """Row-range fan-out of the exact pass is bit-identical to serial
+    (rows are independent and pure) — same contract as descent/finalize."""
+    from opensearch_jvector_ray.pipelines import graph as graph_pl
+    rng = np.random.default_rng(23)
+    unit = graph_pl._unitize(rng.standard_normal((1500, 16)))
+    a = graph_pl._exact_rows(unit, 10, 0, len(unit))
+    b = graph_pl._exact_knn_edges(unit, 10, n_tasks=4)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_graph_method_auto_routes_and_stays_full_beam_exact(tmp_path):
+    """method="auto" (the default) uses exact construction at partition
+    sizes, records itself in meta, and the index stays full-beam exact;
+    method="descent" remains available and pinned via meta for
+    add/merge."""
+    from opensearch_jvector_ray.pipelines import graph as graph_pl
+    vecs = _clustered_vecs(seed=41, n_centers=4, per=50, d=16)
+    ds = rd.from_arrow(_vec_table(vecs))
+    idx = str(tmp_path / "g_auto")
+    graph_pl.build_graph_index(ds, idx, num_parts=3, m_degree=8,
+                               ef_construction=24)
+    with open(os.path.join(idx, graph_pl.META_NAME)) as f:
+        assert json.load(f)["method"] == "auto"
+    queries = {"qa": vecs[7].astype(np.float64),
+               "qb": vecs[101].astype(np.float64)}
+    exact = knn_pl.brute_force_topk(ds, queries, 9, metric="cosine",
+                                    round_decimals=6)
+    got = graph_pl.graph_topk(idx, queries, 9, ef_search=len(vecs),
+                              round_decimals=6)
+    pd.testing.assert_frame_equal(got, exact)
+    # invalid method errors clearly
+    with pytest.raises(ValueError, match="method"):
+        graph_pl.build_graph(vecs, m_degree=8, method="bogus")
+
+
+def test_graph_method_exact_beats_descent_candidates():
+    """On uniform data (the descent plateau), exact construction's kept
+    near-edges strictly dominate descent mult=1's at the same degree —
+    the round-4 auto rule's quality premise."""
+    from opensearch_jvector_ray.pipelines import graph as graph_pl
+    rng = np.random.default_rng(3)
+    n, d, m = 3000, 48, 8
+    X = rng.standard_normal((n, d))
+    unit = graph_pl._unitize(X)
+    dist = -(unit @ unit.T)
+    np.fill_diagonal(dist, np.inf)
+    truth = np.argpartition(dist, m - 1, axis=1)[:, :m]
+
+    def quality(nbrs):
+        hit = sum(len(set(nbrs[i][nbrs[i] >= 0].tolist())
+                      & set(truth[i].tolist())) for i in range(n))
+        return hit / (n * m)
+
+    qe = quality(graph_pl.build_graph(X, m_degree=m, method="exact"))
+    qd = quality(graph_pl.build_graph(X, m_degree=m, method="descent"))
+    assert qe > qd + 0.1, (qe, qd)
+    assert qe > 0.6, qe          # diversity prune keeps most near edges
