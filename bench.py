@@ -470,13 +470,14 @@ def run_ann_sweep() -> dict:
                         "query_ms_per_op": round(brute_sec / n_q * 1e3, 3),
                         "recall_at_10": 1.0}
 
-        # graph (float) — build_degree_mult=2: random/uniform data is the
-        # NN-descent hard case (clustered converges ~1.0 at the default)
+        # graph (float) — method="auto" (default): these partition sizes
+        # all take the exact chunked-BLAS construction path, which is
+        # both cheaper than descent and candidate-perfect on this
+        # IID-gaussian corpus (the NN-descent hard case)
         gdir = os.path.join(BENCH_ROOT, f"ann_graph_{n}")
         shutil.rmtree(gdir, ignore_errors=True)
         t0 = time.perf_counter()
-        graph_pl.build_graph_index(ds(), gdir, num_parts=num_parts,
-                                   build_degree_mult=2)
+        graph_pl.build_graph_index(ds(), gdir, num_parts=num_parts)
         b = time.perf_counter() - t0
         qsec = _timed_query(lambda: graph_pl.graph_topk(
             gdir, queries, k, ef_search=100))
@@ -496,7 +497,6 @@ def run_ann_sweep() -> dict:
         shutil.rmtree(qdir, ignore_errors=True)
         t0 = time.perf_counter()
         graph_pl.build_graph_index(ds(), qdir, num_parts=num_parts,
-                                   build_degree_mult=2,
                                    pq_m_subspaces=min(16, dim // 4))
         b = time.perf_counter() - t0
         qsec = _timed_query(lambda: graph_pl.graph_topk(
@@ -514,7 +514,7 @@ def run_ann_sweep() -> dict:
         shutil.rmtree(ndir, ignore_errors=True)
         t0 = time.perf_counter()
         graph_pl.build_graph_index(ds(), ndir, num_parts=num_parts,
-                                   build_degree_mult=2, nvq=True)
+                                   nvq=True)
         b = time.perf_counter() - t0
         qsec = _timed_query(lambda: graph_pl.graph_topk(
             ndir, queries, k, ef_search=100))
