@@ -367,6 +367,25 @@ def _q_bm25_derivative(sf_dir: str) -> pd.DataFrame:
                                 pipeline="derivative")
 
 
+def _q_bm25_moving_avg(sf_dir: str) -> pd.DataFrame:
+    # pipeline aggregation: trailing-3-bucket mean (partial windows
+    # averaged over what exists — moving_fn/unweightedAvg shape)
+    s = IndexSearcher(transcripts_index(sf_dir))
+    return s.date_histogram_agg(TRANSCRIPT_QUERIES, ts_col="ts",
+                                calendar_interval=DATE_HIST_INTERVAL,
+                                min_score=FACET_MIN_SCORE,
+                                pipeline="moving_avg", pipeline_window=3)
+
+
+def _q_bm25_serial_diff(sf_dir: str) -> pd.DataFrame:
+    # pipeline aggregation: lag-2 delta (first two buckets null)
+    s = IndexSearcher(transcripts_index(sf_dir))
+    return s.date_histogram_agg(TRANSCRIPT_QUERIES, ts_col="ts",
+                                calendar_interval=DATE_HIST_INTERVAL,
+                                min_score=FACET_MIN_SCORE,
+                                pipeline="serial_diff", pipeline_lag=2)
+
+
 def _q_bm25_explain(sf_dir: str) -> pd.DataFrame:
     # _explain API: per-(hit, term) BM25 breakdown; contributions sum
     # to the hit score
@@ -1803,6 +1822,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_explain": _q_bm25_explain,
         "bm25_cumulative_sum": _q_bm25_cumulative_sum,
         "bm25_derivative": _q_bm25_derivative,
+        "bm25_moving_avg": _q_bm25_moving_avg,
+        "bm25_serial_diff": _q_bm25_serial_diff,
         "rank_eval_precision": _q_rank_eval_precision,
         "rank_eval_mrr": _q_rank_eval_mrr,
         "bm25_more_like_this": _q_bm25_mlt,
@@ -1988,12 +2009,14 @@ def _decay_recency_oracle() -> str:
                                   _transcript_arms(), DECAY_SPEC)
 
 
-def _date_histogram_oracle_p(pipeline: str) -> str:
+def _date_histogram_oracle_p(pipeline: str, window: int = 3,
+                             lag: int = 1) -> str:
     from opensearch_jvector_ray.oracles import date_histogram_sql
     from opensearch_jvector_ray.sources.tables import TRANSCRIPTS_CFG
     return date_histogram_sql(TRANSCRIPT_QUERIES, FACET_MIN_SCORE,
                               DATE_HIST_INTERVAL, TRANSCRIPTS_CFG,
-                              _transcript_arms(), pipeline=pipeline)
+                              _transcript_arms(), pipeline=pipeline,
+                              pipeline_window=window, pipeline_lag=lag)
 
 
 def _date_histogram_oracle() -> str:
@@ -2073,6 +2096,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_cumulative_sum": _date_histogram_oracle_p(
             "cumulative_sum"),
         "bm25_derivative": _date_histogram_oracle_p("derivative"),
+        "bm25_moving_avg": _date_histogram_oracle_p("moving_avg",
+                                                    window=3),
+        "bm25_serial_diff": _date_histogram_oracle_p("serial_diff",
+                                                     lag=2),
         "rank_eval_precision": rank_eval_sql(
             BM25_QUERIES, {}, BM25_K, CFG, metric="precision",
             rating_rule_sql=f"d.doc_id % {RATING_MOD} = 0"),

@@ -641,7 +641,9 @@ ORDER BY qs.query_id, rg.range_key
 def date_histogram_sql(queries: dict[str, str], min_score: float,
                        calendar_interval: str, cfg: EngineConfig,
                        arms: list[tuple[str, int]],
-                       pipeline: str | None = None) -> str:
+                       pipeline: str | None = None,
+                       pipeline_window: int = 3,
+                       pipeline_lag: int = 1) -> str:
     """Oracle for IndexSearcher.date_histogram_agg over the transcripts
     index (the ts-bearing corpus): doc counts per date_trunc bucket of
     the radial match set.  The transcript parquet is scale-selected by
@@ -665,6 +667,18 @@ def date_histogram_sql(queries: dict[str, str], min_score: float,
         pipe_col = (",\n       (doc_count - lag(doc_count) OVER ("
                     "PARTITION BY query_id ORDER BY bucket))::BIGINT "
                     "AS derivative")
+    elif pipeline == "moving_avg":
+        # trailing window INCLUDING the current bucket, partial windows
+        # averaged over present rows — sum and count are exact integers,
+        # the ONE division mirrors the engine's fp rule bit-for-bit
+        w = (f"OVER (PARTITION BY query_id ORDER BY bucket ROWS BETWEEN "
+             f"{int(pipeline_window) - 1} PRECEDING AND CURRENT ROW)")
+        pipe_col = (f",\n       sum(doc_count) {w}::DOUBLE"
+                    f" / count(*) {w}::DOUBLE AS moving_avg")
+    elif pipeline == "serial_diff":
+        pipe_col = (f",\n       (doc_count - lag(doc_count, "
+                    f"{int(pipeline_lag)}) OVER (PARTITION BY query_id "
+                    f"ORDER BY bucket))::BIGINT AS serial_diff")
     return f"""
 WITH {outer},
 b AS (

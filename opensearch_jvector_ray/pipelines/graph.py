@@ -1202,12 +1202,26 @@ def _write_part(out: str, ids: np.ndarray, vecs: np.ndarray,
                 mbq_params: tuple | None = None) -> None:
     os.makedirs(out, exist_ok=True)
     nbrs = _ensure_cycle(np.ascontiguousarray(nbrs))
+    # offsets-math ListArrays, no per-row Python: vectors are a flat
+    # reshape with uniform offsets; ragged neighbor lists drop the -1
+    # padding via one boolean mask (row-major order == per-row order)
+    vmat = np.asarray(vecs, dtype=np.float32)
+    if vmat.ndim == 1:                      # empty: (0,) -> (0, 0)
+        vmat = vmat.reshape(0, 0)
+    n, dim = vmat.shape
+    voffs = np.arange(n + 1, dtype=np.int64) * dim
+    varr = pa.LargeListArray.from_arrays(
+        pa.array(voffs),
+        pa.array(np.ascontiguousarray(vmat).reshape(-1)))
+    keep = nbrs >= 0
+    noffs = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(keep.sum(axis=1), out=noffs[1:])
+    narr = pa.ListArray.from_arrays(pa.array(noffs),
+                                    pa.array(nbrs[keep].astype(np.int32)))
     tbl = pa.table({
         id_col: pa.array(np.asarray(ids, dtype=np.int64)),
-        vec_col: pa.array([v.astype(np.float32) for v in vecs],
-                          type=pa.list_(pa.float32())),
-        "neighbors": pa.array([row[row >= 0].tolist() for row in nbrs],
-                              type=pa.list_(pa.int32())),
+        vec_col: varr.cast(pa.list_(pa.float32())),
+        "neighbors": narr,
     })
     pq.write_table(tbl, os.path.join(out, "graph.parquet"))
     if pq_book is not None:

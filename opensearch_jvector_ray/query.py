@@ -1986,6 +1986,8 @@ class IndexSearcher:
     def date_histogram_agg(self, queries: dict[str, str], ts_col: str,
                            calendar_interval: str, min_score: float,
                            pipeline: str | None = None,
+                           pipeline_window: int = 3,
+                           pipeline_lag: int = 1,
                            term_weights: dict[str, list[tuple[str, float]]] | None = None,
                            concurrency: int | None = None) -> pd.DataFrame:
         """Date-histogram aggregation [OpenSearch date_histogram public
@@ -1997,14 +1999,28 @@ class IndexSearcher:
 
         ``pipeline`` [OpenSearch pipeline-aggregation public semantics]
         adds a bucket-script column over the PRESENT buckets in order:
-        ``cumulative_sum`` (running doc_count total) or ``derivative``
-        (doc_count delta vs the previous bucket; first bucket null —
-        emitted as pandas NA).  Integer arithmetic, driver-side over
-        bucket-count-sized rows."""
+        ``cumulative_sum`` (running doc_count total), ``derivative``
+        (doc_count delta vs the previous bucket; first bucket null),
+        ``moving_avg`` (mean of the trailing ``pipeline_window`` present
+        buckets INCLUDING the current one, partial windows averaged over
+        what exists — the moving_fn/unweightedAvg shape; fp rule: ONE
+        division of two exact integers, emitted unrounded, so the
+        generated SQL is bit-identical), or ``serial_diff`` (delta vs
+        the bucket ``pipeline_lag`` positions back; first ``lag``
+        buckets null).  Nullable int results are emitted float64/NaN —
+        DuckDB materializes BIGINT-with-NULL that way and the driver
+        gate hashes representations (the round-3 derivative lesson).
+        Integer arithmetic, driver-side over bucket-count-sized rows."""
         if calendar_interval not in ("month", "day", "hour"):
             raise ValueError("calendar_interval must be month|day|hour")
-        if pipeline not in (None, "cumulative_sum", "derivative"):
-            raise ValueError("pipeline must be cumulative_sum|derivative")
+        if pipeline not in (None, "cumulative_sum", "derivative",
+                            "moving_avg", "serial_diff"):
+            raise ValueError("pipeline must be cumulative_sum|derivative"
+                             "|moving_avg|serial_diff")
+        if pipeline == "moving_avg" and pipeline_window < 1:
+            raise ValueError("pipeline_window must be >= 1")
+        if pipeline == "serial_diff" and pipeline_lag < 1:
+            raise ValueError("pipeline_lag must be >= 1")
         df = self._agg_fanout(queries,
                               {"kind": "date_hist", "col": ts_col,
                                "interval": calendar_interval},
@@ -2025,6 +2041,21 @@ class IndexSearcher:
             # hashes representations, not just values (round-3 red row).
             out[pipeline] = (out.groupby("query_id", sort=False)
                                 ["doc_count"].diff().astype(np.float64))
+        elif pipeline == "moving_avg":
+            # rolling SUM and COUNT are exact integers in float64; the
+            # single division is the only inexact op (matches the SQL's
+            # sum::DOUBLE / count::DOUBLE)
+            grp = out.groupby("query_id", sort=False)["doc_count"]
+            rsum = grp.rolling(pipeline_window, min_periods=1).sum() \
+                      .reset_index(level=0, drop=True)
+            rcnt = grp.rolling(pipeline_window, min_periods=1).count() \
+                      .reset_index(level=0, drop=True)
+            out[pipeline] = (rsum / rcnt).astype(np.float64)
+        elif pipeline == "serial_diff":
+            out[pipeline] = (
+                out["doc_count"]
+                - out.groupby("query_id", sort=False)["doc_count"]
+                     .shift(pipeline_lag)).astype(np.float64)
         return out[cols]
 
     def top_hits_agg(self, queries: dict[str, str], group_col: str, n: int,

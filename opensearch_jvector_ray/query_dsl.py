@@ -115,7 +115,8 @@ _FUZZY_FIELDS = {"query", "k", "max_edits", "prefix_length",
                  "max_expansions"}
 _FACETS_FIELDS = {"query", "field", "min_score", "size"}
 _RANGE_AGG_FIELDS = {"query", "field", "min_score", "ranges"}
-_DATE_HIST_FIELDS = {"query", "field", "min_score", "calendar_interval"}
+_DATE_HIST_FIELDS = {"query", "field", "min_score", "calendar_interval",
+                     "pipeline", "window", "lag"}
 _TOP_HITS_FIELDS = {"query", "field", "min_score", "n"}
 _STATS_FIELDS = {"query", "field", "min_score"}
 _CARD_FIELDS = {"query", "field", "min_score"}
@@ -511,6 +512,16 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
                 raise ValueError("[date_histogram] needs "
                                  "'calendar_interval': month|day|hour")
             out["calendar_interval"] = ci
+            pl = spec.get("pipeline")
+            if pl is not None:
+                if pl not in ("cumulative_sum", "derivative",
+                              "moving_avg", "serial_diff"):
+                    raise ValueError(
+                        "[date_histogram] pipeline must be "
+                        "cumulative_sum|derivative|moving_avg|serial_diff")
+                out["pipeline"] = pl
+                out["window"] = int(spec.get("window", 3))
+                out["lag"] = int(spec.get("lag", 1))
         else:
             out["n"] = int(spec.get("n", 3))
         return out
@@ -629,7 +640,10 @@ def execute_query(body: dict[str, Any], *, searcher=None, vector_ds=None,
         return searcher.date_histogram_agg(
             {query_id: spec["query"]}, ts_col=spec["field"],
             calendar_interval=spec["calendar_interval"],
-            min_score=spec["min_score"])
+            min_score=spec["min_score"],
+            pipeline=spec.get("pipeline"),
+            pipeline_window=spec.get("window", 3),
+            pipeline_lag=spec.get("lag", 1))
     if spec["type"] == "top_hits":
         if searcher is None:
             raise ValueError("[top_hits] needs searcher=")

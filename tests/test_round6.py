@@ -200,6 +200,20 @@ def test_new_agg_dsl_clauses(agg_index):
     b = s.date_histogram_agg({"q": "alpha beta"}, ts_col="ts",
                              calendar_interval="hour", min_score=0.0)
     pd.testing.assert_frame_equal(a, b)
+    a = execute_query({"date_histogram": {"query": "alpha beta",
+                                          "field": "ts", "min_score": 0.0,
+                                          "calendar_interval": "hour",
+                                          "pipeline": "moving_avg",
+                                          "window": 2}}, searcher=s)
+    b = s.date_histogram_agg({"q": "alpha beta"}, ts_col="ts",
+                             calendar_interval="hour", min_score=0.0,
+                             pipeline="moving_avg", pipeline_window=2)
+    pd.testing.assert_frame_equal(a, b)
+    with pytest.raises(ValueError, match="pipeline"):
+        parse_query({"date_histogram": {"query": "x", "field": "ts",
+                                        "min_score": 0.0,
+                                        "calendar_interval": "hour",
+                                        "pipeline": "nope"}})
     a = execute_query({"top_hits": {"query": "alpha beta", "field": "role",
                                     "min_score": 0.0, "n": 2}}, searcher=s)
     b = s.top_hits_agg({"q": "alpha beta"}, group_col="role", n=2,

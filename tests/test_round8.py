@@ -821,10 +821,30 @@ def test_date_histogram_pipeline_aggs(idx):
     assert dv["derivative"].dtype == np.float64  # oracle materializes float64
     assert list(dv["derivative"].iloc[1:]) == \
         list(base["doc_count"].diff().iloc[1:])
+    ma = s.date_histogram_agg({"q": "alpha beta gamma delta"},
+                              ts_col="ts", calendar_interval="hour",
+                              min_score=MS, pipeline="moving_avg",
+                              pipeline_window=2)
+    want = (base["doc_count"].rolling(2, min_periods=1).sum()
+            / base["doc_count"].rolling(2, min_periods=1).count())
+    assert ma["moving_avg"].dtype == np.float64
+    assert list(ma["moving_avg"]) == list(want)
+    sd = s.date_histogram_agg({"q": "alpha beta gamma delta"},
+                              ts_col="ts", calendar_interval="hour",
+                              min_score=MS, pipeline="serial_diff",
+                              pipeline_lag=2)
+    assert sd["serial_diff"].dtype == np.float64
+    assert pd.isna(sd["serial_diff"].iloc[:2]).all()
+    assert list(sd["serial_diff"].iloc[2:]) == \
+        list((base["doc_count"] - base["doc_count"].shift(2)).iloc[2:])
     with pytest.raises(ValueError, match="pipeline"):
         s.date_histogram_agg({"q": "a"}, ts_col="ts",
                              calendar_interval="hour", min_score=MS,
-                             pipeline="moving_avg")
+                             pipeline="bogus")
+    with pytest.raises(ValueError, match="window"):
+        s.date_histogram_agg({"q": "a"}, ts_col="ts",
+                             calendar_interval="hour", min_score=MS,
+                             pipeline="moving_avg", pipeline_window=0)
 
 
 def test_suggest_phrase_keep_or_correct(idx):
