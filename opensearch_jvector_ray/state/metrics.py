@@ -59,12 +59,24 @@ def get_metrics_actor():
             return ray.get_actor(METRICS_ACTOR_NAME)
 
 
+_ACTOR_CACHE = None   # per-process handle: get_metrics_actor() is a
+                      # SYNCHRONOUS GCS RPC — calling it per segment
+                      # task adds tail latency to every query fan-out
+
+
 def incr(updates: dict[str, int]) -> None:
-    """Fire-and-forget counter update (never blocks the scoring path)."""
-    try:
-        get_metrics_actor().inc.remote(updates)
-    except Exception:
-        pass                        # metrics must never fail a query
+    """Fire-and-forget counter update (never blocks the scoring path).
+    The actor handle is cached per worker process; a stale handle (new
+    cluster in the same process) is dropped and re-resolved once."""
+    global _ACTOR_CACHE
+    for _ in range(2):
+        try:
+            if _ACTOR_CACHE is None:
+                _ACTOR_CACHE = get_metrics_actor()
+            _ACTOR_CACHE.inc.remote(updates)
+            return
+        except Exception:
+            _ACTOR_CACHE = None     # metrics must never fail a query
 
 
 def snapshot() -> dict[str, int]:
