@@ -386,6 +386,16 @@ def _q_bm25_serial_diff(sf_dir: str) -> pd.DataFrame:
                                 pipeline="serial_diff", pipeline_lag=2)
 
 
+def _q_bm25_bucket_selector(sf_dir: str) -> pd.DataFrame:
+    # pipeline aggregation: HAVING-style bucket filter (doc_count >= 2)
+    s = IndexSearcher(transcripts_index(sf_dir))
+    return s.date_histogram_agg(TRANSCRIPT_QUERIES, ts_col="ts",
+                                calendar_interval=DATE_HIST_INTERVAL,
+                                min_score=FACET_MIN_SCORE,
+                                pipeline="bucket_selector",
+                                selector_op="gte", selector_value=5)
+
+
 def _q_bm25_explain(sf_dir: str) -> pd.DataFrame:
     # _explain API: per-(hit, term) BM25 breakdown; contributions sum
     # to the hit score
@@ -1824,6 +1834,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_derivative": _q_bm25_derivative,
         "bm25_moving_avg": _q_bm25_moving_avg,
         "bm25_serial_diff": _q_bm25_serial_diff,
+        "bm25_bucket_selector": _q_bm25_bucket_selector,
         "rank_eval_precision": _q_rank_eval_precision,
         "rank_eval_mrr": _q_rank_eval_mrr,
         "bm25_more_like_this": _q_bm25_mlt,
@@ -2010,13 +2021,15 @@ def _decay_recency_oracle() -> str:
 
 
 def _date_histogram_oracle_p(pipeline: str, window: int = 3,
-                             lag: int = 1) -> str:
+                             lag: int = 1, sel_op: str = "gte",
+                             sel_val: int = 1) -> str:
     from opensearch_jvector_ray.oracles import date_histogram_sql
     from opensearch_jvector_ray.sources.tables import TRANSCRIPTS_CFG
     return date_histogram_sql(TRANSCRIPT_QUERIES, FACET_MIN_SCORE,
                               DATE_HIST_INTERVAL, TRANSCRIPTS_CFG,
                               _transcript_arms(), pipeline=pipeline,
-                              pipeline_window=window, pipeline_lag=lag)
+                              pipeline_window=window, pipeline_lag=lag,
+                              selector_op=sel_op, selector_value=sel_val)
 
 
 def _date_histogram_oracle() -> str:
@@ -2100,6 +2113,8 @@ def oracle_sql() -> dict[str, str]:
                                                     window=3),
         "bm25_serial_diff": _date_histogram_oracle_p("serial_diff",
                                                      lag=2),
+        "bm25_bucket_selector": _date_histogram_oracle_p(
+            "bucket_selector", sel_op="gte", sel_val=5),
         "rank_eval_precision": rank_eval_sql(
             BM25_QUERIES, {}, BM25_K, CFG, metric="precision",
             rating_rule_sql=f"d.doc_id % {RATING_MOD} = 0"),

@@ -643,7 +643,9 @@ def date_histogram_sql(queries: dict[str, str], min_score: float,
                        arms: list[tuple[str, int]],
                        pipeline: str | None = None,
                        pipeline_window: int = 3,
-                       pipeline_lag: int = 1) -> str:
+                       pipeline_lag: int = 1,
+                       selector_op: str = "gte",
+                       selector_value: int = 1) -> str:
     """Oracle for IndexSearcher.date_histogram_agg over the transcripts
     index (the ts-bearing corpus): doc counts per date_trunc bucket of
     the radial match set.  The transcript parquet is scale-selected by
@@ -679,6 +681,11 @@ def date_histogram_sql(queries: dict[str, str], min_score: float,
         pipe_col = (f",\n       (doc_count - lag(doc_count, "
                     f"{int(pipeline_lag)}) OVER (PARTITION BY query_id "
                     f"ORDER BY bucket))::BIGINT AS serial_diff")
+    where = ""
+    if pipeline == "bucket_selector":
+        op = {"gt": ">", "gte": ">=", "lt": "<", "lte": "<=",
+              "eq": "="}[selector_op]
+        where = f"\nWHERE doc_count {op} {int(selector_value)}"
     return f"""
 WITH {outer},
 b AS (
@@ -689,7 +696,7 @@ b AS (
   GROUP BY h.query_id, bucket
 )
 SELECT query_id, bucket, doc_count{pipe_col}
-FROM b ORDER BY query_id, bucket
+FROM b{where} ORDER BY query_id, bucket
 """
 
 

@@ -1988,6 +1988,8 @@ class IndexSearcher:
                            pipeline: str | None = None,
                            pipeline_window: int = 3,
                            pipeline_lag: int = 1,
+                           selector_op: str = "gte",
+                           selector_value: int = 1,
                            term_weights: dict[str, list[tuple[str, float]]] | None = None,
                            concurrency: int | None = None) -> pd.DataFrame:
         """Date-histogram aggregation [OpenSearch date_histogram public
@@ -2007,16 +2009,23 @@ class IndexSearcher:
         division of two exact integers, emitted unrounded, so the
         generated SQL is bit-identical), or ``serial_diff`` (delta vs
         the bucket ``pipeline_lag`` positions back; first ``lag``
-        buckets null).  Nullable int results are emitted float64/NaN —
+        buckets null), or ``bucket_selector`` (drop buckets whose
+        doc_count fails ``selector_op``/``selector_value`` — the
+        HAVING-style bucket filter; same columns as the base frame).
+        Nullable int results are emitted float64/NaN —
         DuckDB materializes BIGINT-with-NULL that way and the driver
         gate hashes representations (the round-3 derivative lesson).
         Integer arithmetic, driver-side over bucket-count-sized rows."""
         if calendar_interval not in ("month", "day", "hour"):
             raise ValueError("calendar_interval must be month|day|hour")
         if pipeline not in (None, "cumulative_sum", "derivative",
-                            "moving_avg", "serial_diff"):
+                            "moving_avg", "serial_diff",
+                            "bucket_selector"):
             raise ValueError("pipeline must be cumulative_sum|derivative"
-                             "|moving_avg|serial_diff")
+                             "|moving_avg|serial_diff|bucket_selector")
+        if pipeline == "bucket_selector" and selector_op not in (
+                "gt", "gte", "lt", "lte", "eq"):
+            raise ValueError("selector_op must be gt|gte|lt|lte|eq")
         if pipeline == "moving_avg" and pipeline_window < 1:
             raise ValueError("pipeline_window must be >= 1")
         if pipeline == "serial_diff" and pipeline_lag < 1:
@@ -2026,7 +2035,7 @@ class IndexSearcher:
                                "interval": calendar_interval},
                               min_score, term_weights, concurrency)
         cols = ["query_id", "bucket", "doc_count"]
-        if pipeline is not None:
+        if pipeline is not None and pipeline != "bucket_selector":
             cols = cols + [pipeline]
         if df.empty:
             return pd.DataFrame(columns=cols)
@@ -2056,6 +2065,12 @@ class IndexSearcher:
                 out["doc_count"]
                 - out.groupby("query_id", sort=False)["doc_count"]
                      .shift(pipeline_lag)).astype(np.float64)
+        elif pipeline == "bucket_selector":
+            import operator as _op
+            cmp = {"gt": _op.gt, "gte": _op.ge, "lt": _op.lt,
+                   "lte": _op.le, "eq": _op.eq}[selector_op]
+            out = out[cmp(out["doc_count"],
+                          int(selector_value))].reset_index(drop=True)
         return out[cols]
 
     def top_hits_agg(self, queries: dict[str, str], group_col: str, n: int,

@@ -116,7 +116,8 @@ _FUZZY_FIELDS = {"query", "k", "max_edits", "prefix_length",
 _FACETS_FIELDS = {"query", "field", "min_score", "size"}
 _RANGE_AGG_FIELDS = {"query", "field", "min_score", "ranges"}
 _DATE_HIST_FIELDS = {"query", "field", "min_score", "calendar_interval",
-                     "pipeline", "window", "lag"}
+                     "pipeline", "window", "lag",
+                     "selector_op", "selector_value"}
 _TOP_HITS_FIELDS = {"query", "field", "min_score", "n"}
 _STATS_FIELDS = {"query", "field", "min_score"}
 _CARD_FIELDS = {"query", "field", "min_score"}
@@ -515,13 +516,17 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
             pl = spec.get("pipeline")
             if pl is not None:
                 if pl not in ("cumulative_sum", "derivative",
-                              "moving_avg", "serial_diff"):
+                              "moving_avg", "serial_diff",
+                              "bucket_selector"):
                     raise ValueError(
                         "[date_histogram] pipeline must be "
-                        "cumulative_sum|derivative|moving_avg|serial_diff")
+                        "cumulative_sum|derivative|moving_avg|"
+                        "serial_diff|bucket_selector")
                 out["pipeline"] = pl
                 out["window"] = int(spec.get("window", 3))
                 out["lag"] = int(spec.get("lag", 1))
+                out["selector_op"] = str(spec.get("selector_op", "gte"))
+                out["selector_value"] = int(spec.get("selector_value", 1))
         else:
             out["n"] = int(spec.get("n", 3))
         return out
@@ -643,7 +648,9 @@ def execute_query(body: dict[str, Any], *, searcher=None, vector_ds=None,
             min_score=spec["min_score"],
             pipeline=spec.get("pipeline"),
             pipeline_window=spec.get("window", 3),
-            pipeline_lag=spec.get("lag", 1))
+            pipeline_lag=spec.get("lag", 1),
+            selector_op=spec.get("selector_op", "gte"),
+            selector_value=spec.get("selector_value", 1))
     if spec["type"] == "top_hits":
         if searcher is None:
             raise ValueError("[top_hits] needs searcher=")

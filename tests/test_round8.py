@@ -837,6 +837,18 @@ def test_date_histogram_pipeline_aggs(idx):
     assert pd.isna(sd["serial_diff"].iloc[:2]).all()
     assert list(sd["serial_diff"].iloc[2:]) == \
         list((base["doc_count"] - base["doc_count"].shift(2)).iloc[2:])
+    bs = s.date_histogram_agg({"q": "alpha beta gamma delta"},
+                              ts_col="ts", calendar_interval="hour",
+                              min_score=MS, pipeline="bucket_selector",
+                              selector_op="gte", selector_value=2)
+    assert list(bs.columns) == ["query_id", "bucket", "doc_count"]
+    want_bs = base[base["doc_count"] >= 2].reset_index(drop=True)
+    pd.testing.assert_frame_equal(bs, want_bs)
+    with pytest.raises(ValueError, match="selector_op"):
+        s.date_histogram_agg({"q": "a"}, ts_col="ts",
+                             calendar_interval="hour", min_score=MS,
+                             pipeline="bucket_selector",
+                             selector_op="between")
     with pytest.raises(ValueError, match="pipeline"):
         s.date_histogram_agg({"q": "a"}, ts_col="ts",
                              calendar_interval="hour", min_score=MS,
