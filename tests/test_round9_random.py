@@ -545,3 +545,64 @@ def test_suggest_dsl_clauses(idx):
                 {"suggest": {"phrase": "a", "size": 3}}):
         with pytest.raises(ValueError):
             parse_query(bad)
+
+
+def test_pipeline_agg_window_semantics_match_duckdb_randomized():
+    """Property: the engine's pipeline-agg window arithmetic (pandas on
+    the driver-side bucket frame) and the generated DuckDB window SQL
+    agree BIT-FOR-BIT on random multi-query bucket series — partial
+    windows, lag boundaries, the moving_avg single-division fp rule, and
+    bucket_selector filtering included."""
+    import duckdb
+    rng = np.random.default_rng(424)
+    con = duckdb.connect()
+    for trial in range(8):
+        n_q = int(rng.integers(1, 4))
+        rows = []
+        for qi in range(n_q):
+            n_b = int(rng.integers(1, 9))
+            for b in range(n_b):
+                rows.append((f"q{qi}", b, int(rng.integers(0, 50))))
+        df = pd.DataFrame(rows, columns=["query_id", "bucket",
+                                         "doc_count"])
+        df["doc_count"] = df["doc_count"].astype(np.int64)
+        con.register("b", df)
+        window = int(rng.integers(1, 5))
+        lag = int(rng.integers(1, 4))
+        thr = int(rng.integers(0, 30))
+        w = (f"OVER (PARTITION BY query_id ORDER BY bucket ROWS BETWEEN "
+             f"{window - 1} PRECEDING AND CURRENT ROW)")
+        sql = con.sql(f"""
+            SELECT query_id, bucket, doc_count,
+                   sum(doc_count) OVER (PARTITION BY query_id
+                       ORDER BY bucket)::BIGINT AS cumulative_sum,
+                   (doc_count - lag(doc_count) OVER (PARTITION BY
+                       query_id ORDER BY bucket))::BIGINT AS derivative,
+                   sum(doc_count) {w}::DOUBLE / count(*) {w}::DOUBLE
+                       AS moving_avg,
+                   (doc_count - lag(doc_count, {lag}) OVER (PARTITION BY
+                       query_id ORDER BY bucket))::BIGINT AS serial_diff
+            FROM b ORDER BY query_id, bucket""").df()
+        grp = df.groupby("query_id", sort=False)["doc_count"]
+        eng_cs = grp.cumsum().astype(np.int64)
+        eng_dv = grp.diff().astype(np.float64)
+        rsum = grp.rolling(window, min_periods=1).sum() \
+                  .reset_index(level=0, drop=True)
+        rcnt = grp.rolling(window, min_periods=1).count() \
+                  .reset_index(level=0, drop=True)
+        eng_ma = (rsum / rcnt).astype(np.float64)
+        eng_sd = (df["doc_count"] - grp.shift(lag)).astype(np.float64)
+        assert list(sql["cumulative_sum"]) == list(eng_cs), trial
+        pd.testing.assert_series_equal(
+            sql["derivative"], eng_dv, check_names=False)
+        pd.testing.assert_series_equal(
+            sql["moving_avg"], eng_ma, check_names=False)
+        pd.testing.assert_series_equal(
+            sql["serial_diff"], eng_sd, check_names=False)
+        # bucket_selector == SQL WHERE on the same frame
+        sel = con.sql(f"SELECT query_id, bucket, doc_count FROM b "
+                      f"WHERE doc_count >= {thr} "
+                      f"ORDER BY query_id, bucket").df()
+        eng_bs = df[df["doc_count"] >= thr].reset_index(drop=True)
+        assert list(sel["doc_count"]) == list(eng_bs["doc_count"]), trial
+        con.unregister("b")
