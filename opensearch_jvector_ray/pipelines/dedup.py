@@ -285,7 +285,16 @@ def _char_window_hashes(texts: pa.Array | pa.ChunkedArray,
         parts_h.append(np.array([h], dtype=np.uint64))
         parts_r.append(np.array([d], dtype=np.int64))
     if parts_h:
-        return np.concatenate(parts_h), np.concatenate(parts_r)
+        wh = np.concatenate(parts_h)
+        wd = np.concatenate(parts_r)
+        # DOC-CONTIGUOUS order is the _expand_windows offset contract:
+        # the short-text windows above were appended AFTER the full-text
+        # block, so a short doc preceding longer ones lands out of order
+        # and the gather misattributes windows (wrong Jaccard).  Stable
+        # sort by doc restores the contract (the sibling _window_hashes
+        # sorts the same way).
+        order = np.argsort(wd, kind="stable")
+        return wh[order], wd[order]
     return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64)
 
 

@@ -550,7 +550,24 @@ def _doc_boost(docs: pa.Table, spec: dict) -> np.ndarray:
     raise ValueError(f"unknown score_fn kind {kind!r}")
 
 
-_RX_CLASS_ESCAPES = set("dDwWsSbBAZzQE")   # \d \w ... are not literals
+_RX_CONTROL_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "f": "\f",
+                       "v": "\v", "a": "\a"}   # escapes that ARE a
+                                               # specific literal char
+
+
+def _prefix_upper_bound(pfx: str) -> str | None:
+    """Exclusive upper bound for the dictionary range sharing ``pfx``:
+    bump the last char, skipping the UTF-16 surrogate gap (chr(0xD800..
+    0xDFFF) is not a valid Arrow/UTF-8 string, and no stored term can
+    start inside the gap, so jumping to U+E000 keeps the bound exact —
+    round-4 review).  None when no bound exists (last char U+10FFFF)."""
+    last = ord(pfx[-1])
+    if last >= 0x10FFFF:
+        return None
+    nxt = last + 1
+    if 0xD800 <= nxt <= 0xDFFF:
+        nxt = 0xE000
+    return pfx[:-1] + chr(nxt)
 
 
 def _regex_prefilter(pattern: str) -> tuple[str, list[str]]:
@@ -567,6 +584,16 @@ def _regex_prefilter(pattern: str) -> tuple[str, list[str]]:
     kept at any length)."""
     if "|" in pattern:
         return "", []
+    # inline flag / extension groups ("(?i)", "(?i:...)", "(?P<...>")
+    # change matching semantics for everything AFTER them (e.g. (?i)
+    # makes later literals case-insensitive, so a case-sensitive
+    # substring prefilter would drop true matches) — bail on anything
+    # but the plain non-capturing "(?:"
+    j = pattern.find("(?")
+    while j != -1:
+        if j + 2 >= len(pattern) or pattern[j + 2] != ":":
+            return "", []
+        j = pattern.find("(?", j + 2)
     runs: list[tuple[int, str]] = []      # (start_pos, literal_run)
     cur: list[str] = []
     cur_start = 0
@@ -604,9 +631,39 @@ def _regex_prefilter(pattern: str) -> tuple[str, list[str]]:
             continue
         if c == "\\" and i + 1 < n:
             nxt = pattern[i + 1]
-            if nxt in _RX_CLASS_ESCAPES:
-                flush()                   # opaque one-char class
+            if nxt in _RX_CONTROL_ESCAPES:
+                nxt = _RX_CONTROL_ESCAPES[nxt]   # \n -> newline etc.
+            if nxt.isalnum():
+                # every OTHER escaped alphanumeric is opaque: class
+                # escapes (\d \w ...), hex (\x41 / \x{...}), octal
+                # (\012), unicode classes (\pL / \p{Greek}) — treating
+                # them as the literal following char would DROP true
+                # matches (round-4 review: 'foo\\nbar' must not
+                # prefilter on 'foonbar'), and their ARGUMENT chars
+                # must be consumed so they aren't collected as literals
+                flush()
                 i += 2
+                if nxt == "x":
+                    if i < n and pattern[i] == "{":
+                        while i < n and pattern[i] != "}":
+                            i += 1
+                        i += 1
+                    else:
+                        h = 0
+                        while (i < n and h < 2 and
+                               pattern[i] in "0123456789abcdefABCDEF"):
+                            i += 1
+                            h += 1
+                elif nxt in "pP":
+                    if i < n and pattern[i] == "{":
+                        while i < n and pattern[i] != "}":
+                            i += 1
+                        i += 1
+                    elif i < n:
+                        i += 1               # \pL one-letter form
+                elif nxt.isdigit():          # octal escape / backref
+                    while i < n and pattern[i].isdigit():
+                        i += 1
             else:                         # escaped literal
                 if i + 2 < n and pattern[i + 2] in "?*{":
                     flush()               # optional/repeated -> drop
@@ -676,7 +733,10 @@ def _regex_prefilter(pattern: str) -> tuple[str, list[str]]:
     prefix = ""
     if runs and runs[0][0] == 0:
         prefix = runs[0][1]
-    literals = sorted({r for _, r in runs if len(r) >= 2},
+    # the prefix run is implied by the range filter — re-running it as
+    # a substring pass would scan the already-pruned vocab for an
+    # always-true condition (round-4 review efficiency note)
+    literals = sorted({r for _, r in runs if len(r) >= 2 and r != prefix},
                       key=lambda r: (-len(r), r))[:3]
     return prefix, literals
 
@@ -1472,9 +1532,9 @@ class IndexSearcher:
         if not prefix:
             raise ValueError("prefix must be non-empty")
         filters: list[tuple] = [("term", ">=", prefix)]
-        last = ord(prefix[-1])
-        if last < 0x10FFFF:
-            filters.append(("term", "<", prefix[:-1] + chr(last + 1)))
+        hi = _prefix_upper_bound(prefix)
+        if hi is not None:
+            filters.append(("term", "<", hi))
         tbl = self._read_dictionary(filters)
         tbl = tbl.filter(pc.starts_with(tbl["term"], prefix))
         idx = pc.sort_indices(tbl, sort_keys=[("df", "descending"),
@@ -1516,8 +1576,9 @@ class IndexSearcher:
         if pl > 0:
             pfx = term[:pl]
             filters = [("term", ">=", pfx)]
-            if ord(pfx[-1]) < 0x10FFFF:
-                filters.append(("term", "<", pfx[:-1] + chr(ord(pfx[-1]) + 1)))
+            hi = _prefix_upper_bound(pfx)
+            if hi is not None:
+                filters.append(("term", "<", hi))
         tbl = self._read_dictionary(filters)
         lens = pc.utf8_length(tbl["term"])
         band = pc.and_(pc.greater_equal(lens, len(term) - max_edits),
@@ -1529,7 +1590,9 @@ class IndexSearcher:
                     if t[:prefix_length] == term[:prefix_length]]
             tbl = tbl.take(pa.array(keep, type=pa.int64()))
             cands = [cands[i] for i in keep]
-        if len(cands) > 256:
+        if len(cands) > 256 and term:   # empty term: ucp would be empty
+            # and the gather below would index [-1]; the DP alone
+            # handles '' correctly (round-4 review)
             # bag-of-chars lower bound before the DP (bounds the pl=0
             # vocab scan): one edit changes the char multiset by at most
             # 2 in L1, so L1(bag) > 2*max_edits can never be within
@@ -1616,9 +1679,9 @@ class IndexSearcher:
         filters: list[tuple] | None = None
         if pfx:
             filters = [("term", ">=", pfx)]
-            if ord(pfx[-1]) < 0x10FFFF:
-                filters.append(
-                    ("term", "<", pfx[:-1] + chr(ord(pfx[-1]) + 1)))
+            hi = _prefix_upper_bound(pfx)
+            if hi is not None:
+                filters.append(("term", "<", hi))
         tbl = self._read_dictionary(filters)
         for lit in literals:
             tbl = tbl.filter(pc.match_substring(tbl["term"], lit))
@@ -3075,8 +3138,25 @@ def _mm_topk(df: pd.DataFrame, k: int, key_cols: list[str],
     return df.reset_index(drop=True)
 
 
+_MM_SLOTS_CACHE: dict[tuple, list | None] = {}
+
+
 def _mm_slots(searchers: dict[str, "IndexSearcher"],
               fields: list[str]) -> list[dict[str, str]] | None:
+    """Memoized wrapper: segment manifests are immutable per seg_dir,
+    so the co-location plan (or the None verdict — which would
+    otherwise re-read fields x segments JSON files on EVERY call) is
+    computed once per distinct (field -> seg_dirs) set."""
+    key = tuple((f, tuple(searchers[f].seg_dirs)) for f in sorted(fields))
+    if key not in _MM_SLOTS_CACHE:
+        if len(_MM_SLOTS_CACHE) > 256:
+            _MM_SLOTS_CACHE.clear()
+        _MM_SLOTS_CACHE[key] = _mm_slots_uncached(searchers, fields)
+    return _MM_SLOTS_CACHE[key]
+
+
+def _mm_slots_uncached(searchers: dict[str, "IndexSearcher"],
+                       fields: list[str]) -> list[dict[str, str]] | None:
     """Co-location plan for the fused multi_match fan-out: group the
     per-field indexes' segments by FRAGMENT LINEAGE (source file +
     row-group range from the build manifest).  Fragment-built indexes

@@ -219,6 +219,24 @@ def test_vectorized_pair_jaccard_matches_set_kernels():
         assert np.allclose(js, exp, atol=0), (pt, list(js), exp)
 
 
+def test_encoded_pair_jaccard_doc_order_with_short_texts():
+    """Regression (round-4 review): _char_window_hashes appended
+    short-text (< n chars) windows AFTER the full-text block, breaking
+    _expand_windows' doc-contiguous offset contract — a short text
+    preceding longer ones misattributed windows through the FULL
+    _encoded_pair_jaccard path (the unit kernel test above bypasses
+    _expand_windows and could not catch it)."""
+    texts_a = ["ab", "hello world", "xy", "hello worlz", ""]
+    texts_b = ["hello world", "ab", "hello world", "ab", "ab"]
+    js = dd._encoded_pair_jaccard(
+        pa.array(texts_a, type=pa.string()),
+        pa.array(texts_b, type=pa.string()),
+        lambda t: dd._char_window_hashes(t, 3))
+    exp = [dd.jaccard(dd.char_ngrams(a, 3), dd.char_ngrams(b, 3))
+           for a, b in zip(texts_a, texts_b)]
+    assert np.allclose(js, exp, atol=0), (list(js), exp)
+
+
 def test_bounded_bucket_edges_unit():
     ids = np.arange(5, dtype=np.int64)
     a, b = dd.bounded_bucket_edges(ids, cap=10)

@@ -59,8 +59,9 @@ def test_wildcard_to_regex_random(pat, s):
 
 
 @settings(max_examples=400, deadline=None)
-@given(st.text(alphabet="ab01.*?+(){}[]|\\^$", min_size=0, max_size=10),
-       st.text(alphabet="ab01", min_size=0, max_size=8))
+@given(st.text(alphabet="abn01.*?+(){}[]|\\^$:ix", min_size=0,
+               max_size=10),
+       st.text(alphabet="abn01\n\t", min_size=0, max_size=8))
 def test_regex_prefilter_never_drops_a_match(pat, s):
     """_regex_prefilter soundness: whenever a string FULLY matches the
     pattern, it must start with the claimed anchored prefix and contain
@@ -82,8 +83,9 @@ def test_regex_prefilter_never_drops_a_match(pat, s):
 def test_regex_prefilter_extraction_examples():
     from opensearch_jvector_ray.query import _regex_prefilter
     pfx, lits = _regex_prefilter("foo.*bar")
-    assert pfx == "foo" and set(lits) == {"foo", "bar"}
-    assert _regex_prefilter("merge") == ("merge", ["merge"])
+    # the prefix run is implied by the range filter, not re-listed
+    assert pfx == "foo" and set(lits) == {"bar"}
+    assert _regex_prefilter("merge") == ("merge", [])
     assert _regex_prefilter("a|b") == ("", [])
     pfx, lits = _regex_prefilter("(ab)?cd")
     assert pfx == "" and lits == ["cd"]       # group is optional
@@ -93,6 +95,64 @@ def test_regex_prefilter_extraction_examples():
     assert _regex_prefilter(r"fo\.o")[0] == "fo.o"
     assert _regex_prefilter(r"\d+foo")[0] == ""
     assert "foo" in _regex_prefilter(r"\d+foo")[1]
+    # round-4 review regressions: non-literal escapes are OPAQUE (or
+    # mapped to their real char), never the following letter
+    pfx, lits = _regex_prefilter(r"foo\nbar")
+    assert pfx == "foo\nbar" and "foonbar" not in lits
+    assert _regex_prefilter(r"foo\x41bar")[0] == "foo"
+    assert all("41" not in l and "x" not in l
+               for l in _regex_prefilter(r"foo\x41bar")[1])
+    assert _regex_prefilter(r"a\012b")[0] == "a"
+    assert all("12" not in l for l in _regex_prefilter(r"a\012b")[1])
+    assert _regex_prefilter(r"\p{Greek}foo")[0] == ""
+    assert all("Greek" not in l
+               for l in _regex_prefilter(r"\p{Greek}foo")[1])
+    # inline flags poison everything after them -> bail entirely
+    assert _regex_prefilter("(?i)foo.*") == ("", [])
+    assert _regex_prefilter("foo(?i:bar)") == ("", [])
+    assert _regex_prefilter("(?:ab)?cd")[1] == ["cd"]   # plain group ok
+
+
+def test_prefix_upper_bound_surrogate_gap():
+    from opensearch_jvector_ray.query import _prefix_upper_bound
+    assert _prefix_upper_bound("ab") == "ac"
+    # 0xD7FF + 1 lands in the surrogate gap -> jump to U+E000
+    b = _prefix_upper_bound("x" + chr(0xD7FF))
+    assert b == "x" + chr(0xE000)
+    b.encode("utf-8")               # must be encodable (Arrow filter)
+    assert _prefix_upper_bound(chr(0x10FFFF)) is None
+
+
+def test_expand_fuzzy_empty_term_large_vocab(tmp_path):
+    """Regression (round-4 review): the bag-of-chars prefilter crashed
+    with IndexError on term='' when candidates exceeded 256 (ucp empty
+    -> gather indexes [-1])."""
+    import os
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from opensearch_jvector_ray.query import (IndexSearcher,
+                                              _levenshtein_vec)
+    from opensearch_jvector_ray.stages.build import IndexSpec, build_index
+    d = _levenshtein_vec(["a", "", "ab"], "")
+    assert list(d) == [1, 0, 2]
+    # >256 distinct short terms so the >256-candidate branch is live
+    # even for the 0..2-char length band around ''
+    vocab = [f"{a}{b}" for a in "abcdefghijklmnopqr"
+             for b in "abcdefghijklmnopqr"][:300]
+    tbl = pa.table({
+        "conv_id": pa.array([f"c{i:04d}" for i in range(len(vocab))]),
+        "turn_idx": pa.array([0] * len(vocab), type=pa.int32()),
+        "text": pa.array(vocab),
+        "role": pa.array(["user"] * len(vocab)),
+        "ts": pa.array(np.zeros(len(vocab), dtype="datetime64[us]")),
+        "tool": pa.array([None] * len(vocab), type=pa.string()),
+    })
+    idx = str(tmp_path / "fz")
+    build_index(rd.from_arrow(tbl), idx, CFG, IndexSpec())
+    s = IndexSearcher(idx)
+    out = s.expand_fuzzy("", max_edits=2)    # must not raise
+    assert all(len(t) <= 2 for t in out)
 
 
 boost_chunk = st.one_of(
