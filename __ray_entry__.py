@@ -30,6 +30,8 @@ from opensearch_jvector_ray.oracles import (
     filter_spec_sql, function_score_mul_sql,
     cardinality_sql, percentiles_sql, significant_terms_sql,
     filters_agg_sql, terms_stats_sql, composite_sql, multi_match_sql,
+    multi_terms_sql, rare_terms_sql, extended_stats_sql,
+    weighted_avg_sql, bucket_metric_sql,
     span_near_sql, constant_score_sql, boosting_query_sql,
     percolate_sql, semdedup_sql,
     events_sessionize_sql, events_window_sql, exact_dedup_sql,
@@ -710,6 +712,101 @@ def _q_bm25_composite(sf_dir: str) -> pd.DataFrame:
                            size=COMPOSITE_SIZE,
                            min_score=FACET_MIN_SCORE,
                            after=COMPOSITE_AFTER)
+
+
+MULTI_TERMS_FIELDS = ["lang", "source"]
+MULTI_TERMS_SIZE = 15
+RARE_TERMS_DIV = 25       # max_doc_count = total_docs // 25 (both sides)
+EXT_STATS_SIGMA = 2.0
+WAVG_VALUE_COL = "n_chars"
+WAVG_WEIGHT_COL = "doc_id"
+
+
+def _q_bm25_multi_terms(sf_dir: str) -> pd.DataFrame:
+    # multi_terms agg: doc counts per composite (lang, source) bucket,
+    # (doc_count DESC, values ASC) order, top-15 per query — partials
+    # are composite-cardinality-sized, combiner-first
+    s = IndexSearcher(documents_index(sf_dir))
+    out = s.multi_terms_agg(BM25_QUERIES, fields=MULTI_TERMS_FIELDS,
+                            min_score=FACET_MIN_SCORE,
+                            size=MULTI_TERMS_SIZE)
+    out["doc_count"] = out["doc_count"].astype(np.int64)
+    return out
+
+
+def _q_bm25_rare_terms(sf_dir: str) -> pd.DataFrame:
+    # rare_terms agg: long-tail source buckets whose GLOBAL match-set
+    # count is <= total_docs // 25 — the corpus-relative rule keeps the
+    # filter non-trivial at every sf (absolute counts scale ~10x/tier);
+    # the oracle embeds the identical rule as a scalar subquery
+    s = IndexSearcher(documents_index(sf_dir))
+    n_docs = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    out = s.rare_terms_agg(BM25_QUERIES, field="source",
+                           max_doc_count=n_docs // RARE_TERMS_DIV,
+                           min_score=FACET_MIN_SCORE)
+    out["doc_count"] = out["doc_count"].astype(np.int64)
+    return out
+
+
+def _q_bm25_extended_stats(sf_dir: str) -> pd.DataFrame:
+    # extended_stats agg: integer count/sum/min/max/sum-of-squares
+    # partials + the pinned float chain (avg, population variance, std,
+    # +/- sigma bounds) — every float op appears once, same order as
+    # the generated SQL
+    s = IndexSearcher(documents_index(sf_dir))
+    out = s.extended_stats_agg(BM25_QUERIES, value_col=STATS_COL,
+                               min_score=FACET_MIN_SCORE,
+                               sigma=EXT_STATS_SIGMA)
+    for c in ("doc_count", "v_sum", "v_min", "v_max", "v_sos"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+def _q_bm25_weighted_avg(sf_dir: str) -> pd.DataFrame:
+    # weighted_avg agg: sum(n_chars x doc_id) / sum(doc_id) over the
+    # match set — two exact int64 partial sums per segment, ONE division
+    s = IndexSearcher(documents_index(sf_dir))
+    out = s.weighted_avg_agg(BM25_QUERIES, value_col=WAVG_VALUE_COL,
+                             weight_col=WAVG_WEIGHT_COL,
+                             min_score=FACET_MIN_SCORE)
+    out["w_sum"] = out["w_sum"].astype(np.int64)
+    return out
+
+
+def _q_bm25_max_bucket(sf_dir: str) -> pd.DataFrame:
+    # max_bucket sibling pipeline agg: the busiest date_histogram bucket
+    # per query (value + bucket_key; ties -> smallest bucket ts)
+    from opensearch_jvector_ray.sources.tables import transcripts_index
+    s = IndexSearcher(transcripts_index(sf_dir))
+    return s.bucket_metric_agg(TRANSCRIPT_QUERIES, ts_col="ts",
+                               calendar_interval=DATE_HIST_INTERVAL,
+                               metric="max_bucket",
+                               min_score=FACET_MIN_SCORE)
+
+
+def _q_bm25_stats_bucket(sf_dir: str) -> pd.DataFrame:
+    # stats_bucket sibling pipeline agg: bucket_count/min/max/sum/avg
+    # reduced over the date_histogram doc_counts, one row per query
+    from opensearch_jvector_ray.sources.tables import transcripts_index
+    s = IndexSearcher(transcripts_index(sf_dir))
+    return s.bucket_metric_agg(TRANSCRIPT_QUERIES, ts_col="ts",
+                               calendar_interval=DATE_HIST_INTERVAL,
+                               metric="stats_bucket",
+                               min_score=FACET_MIN_SCORE)
+
+
+def _q_bm25_bucket_script(sf_dir: str) -> pd.DataFrame:
+    # bucket_script pipeline agg (percent-of-total): each bucket's
+    # doc_count / the query total — two exact ints, ONE division
+    from opensearch_jvector_ray.sources.tables import transcripts_index
+    s = IndexSearcher(transcripts_index(sf_dir))
+    out = s.date_histogram_agg(TRANSCRIPT_QUERIES, ts_col="ts",
+                               calendar_interval=DATE_HIST_INTERVAL,
+                               min_score=FACET_MIN_SCORE,
+                               pipeline="bucket_script")
+    out["doc_count"] = out["doc_count"].astype(np.int64)
+    return out
 
 
 def _q_bm25_top_hits(sf_dir: str) -> pd.DataFrame:
@@ -1835,6 +1932,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_moving_avg": _q_bm25_moving_avg,
         "bm25_serial_diff": _q_bm25_serial_diff,
         "bm25_bucket_selector": _q_bm25_bucket_selector,
+        "bm25_bucket_script": _q_bm25_bucket_script,
+        "bm25_max_bucket": _q_bm25_max_bucket,
+        "bm25_stats_bucket": _q_bm25_stats_bucket,
+        "bm25_multi_terms": _q_bm25_multi_terms,
+        "bm25_rare_terms": _q_bm25_rare_terms,
+        "bm25_extended_stats": _q_bm25_extended_stats,
+        "bm25_weighted_avg": _q_bm25_weighted_avg,
         "rank_eval_precision": _q_rank_eval_precision,
         "rank_eval_mrr": _q_rank_eval_mrr,
         "bm25_more_like_this": _q_bm25_mlt,
@@ -2040,6 +2144,13 @@ def _date_histogram_oracle() -> str:
                               _transcript_arms())
 
 
+def _bucket_metric_oracle(metric: str) -> str:
+    from opensearch_jvector_ray.sources.tables import TRANSCRIPTS_CFG
+    return bucket_metric_sql(TRANSCRIPT_QUERIES, FACET_MIN_SCORE,
+                             DATE_HIST_INTERVAL, metric,
+                             TRANSCRIPTS_CFG, _transcript_arms())
+
+
 def _turn_dedup_oracle() -> str:
     from opensearch_jvector_ray.sources.tables import TRANSCRIPTS_CFG
     return turn_dedup_sql(_transcript_arms(), TRANSCRIPTS_CFG)
@@ -2115,6 +2226,21 @@ def oracle_sql() -> dict[str, str]:
                                                      lag=2),
         "bm25_bucket_selector": _date_histogram_oracle_p(
             "bucket_selector", sel_op="gte", sel_val=5),
+        "bm25_bucket_script": _date_histogram_oracle_p("bucket_script"),
+        "bm25_max_bucket": _bucket_metric_oracle("max_bucket"),
+        "bm25_stats_bucket": _bucket_metric_oracle("stats_bucket"),
+        "bm25_multi_terms": multi_terms_sql(
+            BM25_QUERIES, FACET_MIN_SCORE, MULTI_TERMS_FIELDS, CFG,
+            size=MULTI_TERMS_SIZE),
+        "bm25_rare_terms": rare_terms_sql(
+            BM25_QUERIES, FACET_MIN_SCORE, "source",
+            f"SELECT count(*) // {RARE_TERMS_DIV} FROM documents", CFG),
+        "bm25_extended_stats": extended_stats_sql(
+            BM25_QUERIES, FACET_MIN_SCORE, STATS_COL, CFG,
+            sigma=EXT_STATS_SIGMA),
+        "bm25_weighted_avg": weighted_avg_sql(
+            BM25_QUERIES, FACET_MIN_SCORE, WAVG_VALUE_COL,
+            WAVG_WEIGHT_COL, CFG),
         "rank_eval_precision": rank_eval_sql(
             BM25_QUERIES, {}, BM25_K, CFG, metric="precision",
             rating_rule_sql=f"d.doc_id % {RATING_MOD} = 0"),

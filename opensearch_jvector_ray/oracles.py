@@ -681,6 +681,11 @@ def date_histogram_sql(queries: dict[str, str], min_score: float,
         pipe_col = (f",\n       (doc_count - lag(doc_count, "
                     f"{int(pipeline_lag)}) OVER (PARTITION BY query_id "
                     f"ORDER BY bucket))::BIGINT AS serial_diff")
+    elif pipeline == "bucket_script":
+        # percent-of-total: numerator and denominator are exact BIGINTs
+        # cast to DOUBLE, the ONE division mirrors the engine bit-exact
+        pipe_col = (",\n       doc_count::DOUBLE / (sum(doc_count) OVER "
+                    "(PARTITION BY query_id))::DOUBLE AS bucket_script")
     where = ""
     if pipeline == "bucket_selector":
         op = {"gt": ">", "gte": ">=", "lt": "<", "lte": "<=",
@@ -697,6 +702,174 @@ b AS (
 )
 SELECT query_id, bucket, doc_count{pipe_col}
 FROM b{where} ORDER BY query_id, bucket
+"""
+
+
+def bucket_metric_sql(queries: dict[str, str], min_score: float,
+                      calendar_interval: str, metric: str,
+                      cfg: EngineConfig,
+                      arms: list[tuple[str, int]]) -> str:
+    """Oracle for IndexSearcher.bucket_metric_agg: the sibling pipeline
+    aggregations (sum/avg/min/max/stats_bucket) reducing the
+    date_histogram buckets to ONE row per query.  Shares the bucket CTE
+    with date_histogram_sql; fp rules mirror the engine (int64
+    sums/extremes, avg = the single sum/count division; min/max_bucket's
+    bucket_key = the SMALLEST bucket ts among the extremes)."""
+    prefix = transcripts_arms_cte(
+        arms, "conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0')"
+              " AS doc_id, text")
+    inner = bm25_sql(queries, 0, cfg, table="transcripts", id_col="doc_id",
+                     prefix_cte=prefix, min_score=min_score)
+    outer = transcripts_arms_cte(
+        arms, "conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0')"
+              " AS doc_id, ts")
+    b_cte = f"""b AS (
+  SELECT h.query_id,
+         date_trunc({sql_quote(calendar_interval)}, d.ts) AS bucket,
+         count(*)::BIGINT AS doc_count
+  FROM ({inner}) h JOIN transcripts d USING (doc_id)
+  GROUP BY h.query_id, bucket
+)"""
+    if metric == "sum_bucket":
+        body = ("SELECT query_id, sum(doc_count)::BIGINT AS value\n"
+                "FROM b GROUP BY query_id ORDER BY query_id")
+    elif metric == "avg_bucket":
+        body = ("SELECT query_id, sum(doc_count)::BIGINT::DOUBLE"
+                " / count(*)::BIGINT::DOUBLE AS value\n"
+                "FROM b GROUP BY query_id ORDER BY query_id")
+    elif metric == "stats_bucket":
+        body = ("SELECT query_id, count(*)::BIGINT AS bucket_count,\n"
+                "       min(doc_count)::BIGINT AS v_min,\n"
+                "       max(doc_count)::BIGINT AS v_max,\n"
+                "       sum(doc_count)::BIGINT AS v_sum,\n"
+                "       sum(doc_count)::BIGINT::DOUBLE"
+                " / count(*)::BIGINT::DOUBLE AS v_avg\n"
+                "FROM b GROUP BY query_id ORDER BY query_id")
+    elif metric in ("min_bucket", "max_bucket"):
+        direction = "ASC" if metric == "min_bucket" else "DESC"
+        body = f"""SELECT query_id, value, bucket_key FROM (
+  SELECT query_id, doc_count AS value, bucket AS bucket_key,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY doc_count {direction}, bucket ASC
+                           ) AS rn
+  FROM b) WHERE rn = 1
+ORDER BY query_id"""
+    else:
+        raise ValueError(f"unknown bucket metric {metric!r}")
+    return f"WITH {outer},\n{b_cte}\n{body}\n"
+
+
+def multi_terms_sql(queries: dict[str, str], min_score: float,
+                    fields: list[str], cfg: EngineConfig,
+                    size: int | None = None, table: str = "documents",
+                    id_col: str = "doc_id", text_col: str = "text") -> str:
+    """Oracle for IndexSearcher.multi_terms_agg: doc counts per
+    composite bucket of several stored columns over the radial match
+    set, docs missing ANY key field skipped (IS NOT NULL mirrors the
+    engine's drop_null), ordered (doc_count DESC, values ASC)."""
+    inner = bm25_sql(queries, 0, cfg, table=table, id_col=id_col,
+                     text_col=text_col, min_score=min_score)
+    fl = ", ".join(f"d.{f} AS {f}" for f in fields)
+    gl = ", ".join(f"d.{f}" for f in fields)
+    ol = ", ".join(f"{f} ASC" for f in fields)
+    nn = " AND ".join(f"d.{f} IS NOT NULL" for f in fields)
+    body = f"""
+  SELECT h.query_id, {fl}, count(*)::BIGINT AS doc_count
+  FROM ({inner}) h JOIN {table} d USING ({id_col})
+  WHERE {nn}
+  GROUP BY h.query_id, {gl}
+"""
+    sel = ", ".join(fields)
+    if size is None:
+        return (f"SELECT query_id, {sel}, doc_count FROM ({body}) "
+                f"ORDER BY query_id, doc_count DESC, {ol}")
+    return f"""
+SELECT query_id, {sel}, doc_count FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY doc_count DESC, {ol}) AS rn
+  FROM ({body})
+) WHERE rn <= {int(size)}
+ORDER BY query_id, doc_count DESC, {ol}
+"""
+
+
+def rare_terms_sql(queries: dict[str, str], min_score: float,
+                   field: str, max_doc_count: int | str,
+                   cfg: EngineConfig,
+                   table: str = "documents", id_col: str = "doc_id",
+                   text_col: str = "text") -> str:
+    """Oracle for IndexSearcher.rare_terms_agg: the long-tail buckets
+    (global match-set doc_count <= max_doc_count), ordered
+    (doc_count ASC, value ASC).  ``max_doc_count`` may be a SQL
+    expression string (e.g. a corpus-relative scalar subquery) so the
+    same scale-proportional rule stays non-trivial at every sf — the
+    engine side computes the identical integer from the table row
+    count."""
+    inner = bm25_sql(queries, 0, cfg, table=table, id_col=id_col,
+                     text_col=text_col, min_score=min_score)
+    thr = max_doc_count if isinstance(max_doc_count, str) \
+        else str(int(max_doc_count))
+    return f"""
+SELECT h.query_id, d.{field} AS {field}, count(*)::BIGINT AS doc_count
+FROM ({inner}) h JOIN {table} d USING ({id_col})
+GROUP BY h.query_id, d.{field}
+HAVING count(*) <= ({thr})
+ORDER BY h.query_id, doc_count ASC, {field} ASC
+"""
+
+
+def extended_stats_sql(queries: dict[str, str], min_score: float,
+                       value_col: str, cfg: EngineConfig,
+                       sigma: float = 2.0, table: str = "documents",
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> str:
+    """Oracle for IndexSearcher.extended_stats_agg: integer
+    count/sum/min/max/sum-of-squares + the engine's PINNED float chain
+    (avg = sum/n; variance = sos/n - avg*avg; std = sqrt(variance);
+    bounds = avg +/- sigma*std) — every op appears once in the same
+    order, so the doubles are bit-equal."""
+    inner = bm25_sql(queries, 0, cfg, table=table, id_col=id_col,
+                     text_col=text_col, min_score=min_score)
+    s = repr(float(sigma))
+    return f"""
+WITH g AS (
+  SELECT h.query_id, count(*)::BIGINT AS doc_count,
+         sum(d.{value_col})::BIGINT AS v_sum,
+         min(d.{value_col})::BIGINT AS v_min,
+         max(d.{value_col})::BIGINT AS v_max,
+         sum(d.{value_col} * d.{value_col})::BIGINT AS v_sos
+  FROM ({inner}) h JOIN {table} d USING ({id_col})
+  GROUP BY h.query_id
+), f AS (
+  SELECT *, v_sum::DOUBLE / doc_count::DOUBLE AS v_avg,
+         v_sos::DOUBLE / doc_count::DOUBLE
+           - (v_sum::DOUBLE / doc_count::DOUBLE)
+             * (v_sum::DOUBLE / doc_count::DOUBLE) AS v_variance
+  FROM g
+)
+SELECT query_id, doc_count, v_sum, v_min, v_max, v_sos, v_avg,
+       v_variance, sqrt(v_variance) AS v_std,
+       v_avg + {s} * sqrt(v_variance) AS std_upper,
+       v_avg - {s} * sqrt(v_variance) AS std_lower
+FROM f ORDER BY query_id
+"""
+
+
+def weighted_avg_sql(queries: dict[str, str], min_score: float,
+                     value_col: str, weight_col: str, cfg: EngineConfig,
+                     table: str = "documents", id_col: str = "doc_id",
+                     text_col: str = "text") -> str:
+    """Oracle for IndexSearcher.weighted_avg_agg: integer
+    sum(value x weight) and sum(weight) over the radial match set + the
+    single division (bit-equal double)."""
+    inner = bm25_sql(queries, 0, cfg, table=table, id_col=id_col,
+                     text_col=text_col, min_score=min_score)
+    return f"""
+SELECT h.query_id, sum(d.{weight_col})::BIGINT AS w_sum,
+       sum(d.{value_col} * d.{weight_col})::BIGINT::DOUBLE
+         / sum(d.{weight_col})::BIGINT::DOUBLE AS weighted_avg
+FROM ({inner}) h JOIN {table} d USING ({id_col})
+GROUP BY h.query_id ORDER BY h.query_id
 """
 
 

@@ -329,6 +329,22 @@ def _agg_partial(agg: dict, docs: pa.Table, ords: np.ndarray,
             "v_max": pa.array(g["v_max"].to_numpy(np.int64),
                               type=pa.int64()),
         })
+    if agg["kind"] == "multi_terms":
+        # multi_terms aggregation partial [OpenSearch multi_terms-agg
+        # public semantics]: value counts per COMPOSITE key of several
+        # stored columns.  Docs missing ANY key field are skipped (the
+        # OpenSearch terms-family rule); counting is count_all so the
+        # partial is row-count, never key-column-null-count.
+        take = pa.array(ords)
+        sub = docs.select(agg["cols"]).take(take).drop_null()
+        vc = sub.group_by(agg["cols"]).aggregate([([], "count_all")])
+        out_cols: dict[str, Any] = {
+            "query_id": pa.array([qid] * vc.num_rows, type=pa.string()),
+        }
+        for c in agg["cols"]:
+            out_cols[c] = vc[c].combine_chunks()
+        out_cols["doc_count"] = pc.cast(vc["count_all"], pa.int64())
+        return pa.table(out_cols)
     vals = docs[agg["col"]].take(pa.array(ords))
     if agg["kind"] == "range":
         v = vals.to_numpy(zero_copy_only=False).astype(np.float64)
@@ -415,6 +431,36 @@ def _agg_partial(agg: dict, docs: pa.Table, ords: np.ndarray,
             "query_id": pa.array([qid] * len(items), type=pa.string()),
             "reg": pa.array([r for r, _ in items], type=pa.int64()),
             "rho": pa.array([x for _, x in items], type=pa.int64()),
+        })
+    if agg["kind"] == "ext_stats":
+        # extended_stats partial [OpenSearch extended_stats-agg public
+        # semantics]: adds the integer sum-of-squares to the stats
+        # partial — still order-free integer arithmetic, one row per
+        # segment (int64 range assumed: |v|^2 x doc_count < 2^63,
+        # documented like the stats kind)
+        v = docs[agg["col"]].take(pa.array(ords)) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "query_id": pa.array([qid], type=pa.string()),
+            "doc_count": pa.array([len(v)], type=pa.int64()),
+            "v_sum": pa.array([int(v.sum())], type=pa.int64()),
+            "v_min": pa.array([int(v.min())], type=pa.int64()),
+            "v_max": pa.array([int(v.max())], type=pa.int64()),
+            "v_sos": pa.array([int(np.dot(v, v))], type=pa.int64()),
+        })
+    if agg["kind"] == "weighted":
+        # weighted_avg partial [OpenSearch weighted_avg-agg public
+        # semantics]: integer (sum(v*w), sum(w)) per segment; the ONE
+        # division happens once on the driver (int64 range assumed)
+        take = pa.array(ords)
+        v = docs[agg["col"]].take(take) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        w = docs[agg["w_col"]].take(take) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "query_id": pa.array([qid], type=pa.string()),
+            "vw_sum": pa.array([int(np.dot(v, w))], type=pa.int64()),
+            "w_sum": pa.array([int(w.sum())], type=pa.int64()),
         })
     if agg["kind"] == "terms":
         if agg.get("after") is not None:
@@ -845,6 +891,20 @@ class SegmentSearcher:
             if agg["kind"] == "terms_stats":
                 cols[agg["col"]] = pa.array([], type=self.p["agg_type"])
                 for c in ("doc_count", "v_sum", "v_min", "v_max"):
+                    cols[c] = pa.array([], type=pa.int64())
+                return pa.table(cols)
+            if agg["kind"] == "multi_terms":
+                for c, t in self.p["agg_types"]:
+                    cols[c] = pa.array([], type=t)
+                cols["doc_count"] = pa.array([], type=pa.int64())
+                return pa.table(cols)
+            if agg["kind"] == "ext_stats":
+                for c in ("doc_count", "v_sum", "v_min", "v_max",
+                          "v_sos"):
+                    cols[c] = pa.array([], type=pa.int64())
+                return pa.table(cols)
+            if agg["kind"] == "weighted":
+                for c in ("vw_sum", "w_sum"):
                     cols[c] = pa.array([], type=pa.int64())
                 return pa.table(cols)
             if agg["kind"] == "terms":
@@ -2074,7 +2134,9 @@ class IndexSearcher:
         the bucket ``pipeline_lag`` positions back; first ``lag``
         buckets null), or ``bucket_selector`` (drop buckets whose
         doc_count fails ``selector_op``/``selector_value`` — the
-        HAVING-style bucket filter; same columns as the base frame).
+        HAVING-style bucket filter; same columns as the base frame),
+        or ``bucket_script`` (percent-of-total: each bucket's
+        doc_count / the query's total — two exact ints, ONE division).
         Nullable int results are emitted float64/NaN —
         DuckDB materializes BIGINT-with-NULL that way and the driver
         gate hashes representations (the round-3 derivative lesson).
@@ -2083,9 +2145,10 @@ class IndexSearcher:
             raise ValueError("calendar_interval must be month|day|hour")
         if pipeline not in (None, "cumulative_sum", "derivative",
                             "moving_avg", "serial_diff",
-                            "bucket_selector"):
+                            "bucket_selector", "bucket_script"):
             raise ValueError("pipeline must be cumulative_sum|derivative"
-                             "|moving_avg|serial_diff|bucket_selector")
+                             "|moving_avg|serial_diff|bucket_selector"
+                             "|bucket_script")
         if pipeline == "bucket_selector" and selector_op not in (
                 "gt", "gte", "lt", "lte", "eq"):
             raise ValueError("selector_op must be gt|gte|lt|lte|eq")
@@ -2128,6 +2191,15 @@ class IndexSearcher:
                 out["doc_count"]
                 - out.groupby("query_id", sort=False)["doc_count"]
                      .shift(pipeline_lag)).astype(np.float64)
+        elif pipeline == "bucket_script":
+            # the canonical bucket_script: each bucket's share of the
+            # query's total (percent-of-total).  Numerator and
+            # denominator are exact int64; the ONE division mirrors the
+            # SQL's doc_count::DOUBLE / sum OVER (PARTITION)::DOUBLE
+            tot = out.groupby("query_id", sort=False)["doc_count"] \
+                     .transform("sum")
+            out[pipeline] = (out["doc_count"].astype(np.float64)
+                             / tot.astype(np.float64))
         elif pipeline == "bucket_selector":
             import operator as _op
             cmp = {"gt": _op.gt, "gte": _op.ge, "lt": _op.lt,
@@ -2346,6 +2418,179 @@ class IndexSearcher:
         g["v_avg"] = g["v_sum"].astype(np.float64) / g["doc_count"]
         return g[cols]
 
+    def multi_terms_agg(self, queries: dict[str, str], fields: list[str],
+                        min_score: float, size: int | None = None,
+                        concurrency: int | None = None) -> pd.DataFrame:
+        """Multi-terms aggregation [OpenSearch multi_terms-agg public
+        semantics]: doc counts per COMPOSITE bucket of several stored
+        columns over the radial match set, ordered (doc_count DESC,
+        field values ASC), optionally capped at ``size`` buckets per
+        query.  Docs missing ANY key field are skipped (the OpenSearch
+        terms-family missing rule — mirrored by the oracle's IS NOT
+        NULL predicates).  Partials are composite-cardinality-sized
+        (combiner-first)."""
+        if not fields or len(fields) < 2:
+            raise ValueError("multi_terms needs at least 2 fields")
+        df = self._agg_fanout(queries, {"kind": "multi_terms",
+                                        "cols": list(fields)},
+                              min_score, None, concurrency)
+        cols = ["query_id", *fields, "doc_count"]
+        if df.empty:
+            return pd.DataFrame(columns=cols)
+        out = (df.groupby(["query_id", *fields], sort=False)["doc_count"]
+                 .sum().reset_index())
+        out = out.sort_values(["query_id", "doc_count", *fields],
+                              ascending=[True, False] + [True] * len(fields),
+                              kind="mergesort")
+        if size is not None:
+            out = out.groupby("query_id", sort=False).head(size)
+        return out.reset_index(drop=True)[cols]
+
+    def rare_terms_agg(self, queries: dict[str, str], field: str,
+                       max_doc_count: int, min_score: float,
+                       concurrency: int | None = None) -> pd.DataFrame:
+        """Rare-terms aggregation [OpenSearch rare_terms-agg public
+        semantics]: the long-tail buckets — values whose GLOBAL match-set
+        doc count is <= ``max_doc_count`` — ordered (doc_count ASC,
+        value ASC).  The filter applies AFTER the cross-segment merge
+        (a value common in every segment is not rare), which is why it
+        rides the same terms partials as facet_counts rather than a
+        per-segment filter."""
+        if max_doc_count < 1:
+            raise ValueError("max_doc_count must be >= 1")
+        df = self._agg_fanout(queries, {"kind": "terms", "col": field},
+                              min_score, None, concurrency)
+        cols = ["query_id", field, "doc_count"]
+        if df.empty:
+            return pd.DataFrame(columns=cols)
+        out = (df.groupby(["query_id", field], sort=False)["doc_count"]
+                 .sum().reset_index())
+        out = out[out["doc_count"] <= int(max_doc_count)]
+        out = out.sort_values(["query_id", "doc_count", field],
+                              ascending=[True, True, True],
+                              kind="mergesort")
+        return out.reset_index(drop=True)[cols]
+
+    def extended_stats_agg(self, queries: dict[str, str], value_col: str,
+                           min_score: float, sigma: float = 2.0,
+                           concurrency: int | None = None) -> pd.DataFrame:
+        """Extended-stats aggregation [OpenSearch extended_stats-agg
+        public semantics]: stats + sum_of_squares / variance / std_dev /
+        std bounds of an integer stored column over the radial match
+        set.  Partials stay integer and order-free (one row per
+        segment); every float is derived at the END by a PINNED op
+        chain shared verbatim with the generated SQL:
+        avg = sum/n; variance = sos/n - avg*avg (population form);
+        std = sqrt(variance) (IEEE-exact, like the sqrt modifier);
+        bounds = avg +/- sigma*std.  int64 range assumed
+        (|v|^2 x doc_count < 2^63, documented)."""
+        df = self._agg_fanout(queries,
+                              {"kind": "ext_stats", "col": value_col},
+                              min_score, None, concurrency)
+        cols = ["query_id", "doc_count", "v_sum", "v_min", "v_max",
+                "v_sos", "v_avg", "v_variance", "v_std",
+                "std_upper", "std_lower"]
+        if df.empty:
+            return pd.DataFrame(columns=cols)
+        g = df.groupby("query_id", sort=True).agg(
+            doc_count=("doc_count", "sum"), v_sum=("v_sum", "sum"),
+            v_min=("v_min", "min"), v_max=("v_max", "max"),
+            v_sos=("v_sos", "sum")).reset_index()
+        n = g["doc_count"].astype(np.float64)
+        g["v_avg"] = g["v_sum"].astype(np.float64) / n
+        g["v_variance"] = (g["v_sos"].astype(np.float64) / n
+                           - g["v_avg"] * g["v_avg"])
+        g["v_std"] = np.sqrt(g["v_variance"])
+        g["std_upper"] = g["v_avg"] + float(sigma) * g["v_std"]
+        g["std_lower"] = g["v_avg"] - float(sigma) * g["v_std"]
+        return g[cols]
+
+    def weighted_avg_agg(self, queries: dict[str, str], value_col: str,
+                         weight_col: str, min_score: float,
+                         concurrency: int | None = None) -> pd.DataFrame:
+        """Weighted-average aggregation [OpenSearch weighted_avg-agg
+        public semantics]: sum(value x weight) / sum(weight) over the
+        radial match set, both integer stored columns.  Partials are
+        two int64 sums per segment (order-free); the single division is
+        the only float op (bit-equal to the oracle's)."""
+        df = self._agg_fanout(queries,
+                              {"kind": "weighted", "col": value_col,
+                               "w_col": weight_col},
+                              min_score, None, concurrency)
+        cols = ["query_id", "w_sum", "weighted_avg"]
+        if df.empty:
+            return pd.DataFrame(columns=cols)
+        g = df.groupby("query_id", sort=True).agg(
+            vw_sum=("vw_sum", "sum"), w_sum=("w_sum", "sum")).reset_index()
+        g["weighted_avg"] = (g["vw_sum"].astype(np.float64)
+                             / g["w_sum"].astype(np.float64))
+        return g[cols]
+
+    def bucket_metric_agg(self, queries: dict[str, str], ts_col: str,
+                          calendar_interval: str, metric: str,
+                          min_score: float,
+                          concurrency: int | None = None) -> pd.DataFrame:
+        """Sibling pipeline aggregations over the date_histogram buckets
+        [OpenSearch sum_bucket / avg_bucket / min_bucket / max_bucket /
+        stats_bucket public semantics]: ONE row per query reducing the
+        bucket doc_counts.
+
+        fp rules (shared with the generated SQL): sums/extremes are
+        exact int64; avg is the single division sum/bucket_count.
+        min/max_bucket also report ``bucket_key`` — OpenSearch returns
+        the keys array of ALL extreme buckets; the pinned cross-side
+        rule here is the SMALLEST bucket timestamp among them
+        (row_number over (doc_count extreme-first, bucket asc))."""
+        if calendar_interval not in ("month", "day", "hour"):
+            raise ValueError("calendar_interval must be month|day|hour")
+        if metric not in ("sum_bucket", "avg_bucket", "min_bucket",
+                          "max_bucket", "stats_bucket"):
+            raise ValueError("metric must be sum_bucket|avg_bucket|"
+                             "min_bucket|max_bucket|stats_bucket")
+        df = self._agg_fanout(queries,
+                              {"kind": "date_hist", "col": ts_col,
+                               "interval": calendar_interval},
+                              min_score, None, concurrency)
+        if metric == "stats_bucket":
+            cols = ["query_id", "bucket_count", "v_min", "v_max",
+                    "v_sum", "v_avg"]
+        elif metric in ("min_bucket", "max_bucket"):
+            cols = ["query_id", "value", "bucket_key"]
+        else:
+            cols = ["query_id", "value"]
+        if df.empty:
+            return pd.DataFrame(columns=cols)
+        b = (df.groupby(["query_id", "bucket"], sort=True)["doc_count"]
+               .sum().reset_index())
+        if metric == "sum_bucket":
+            g = b.groupby("query_id", sort=True)["doc_count"].sum() \
+                 .rename("value").reset_index()
+            g["value"] = g["value"].astype(np.int64)
+            return g[cols]
+        if metric == "avg_bucket":
+            g = b.groupby("query_id", sort=True)["doc_count"].agg(
+                ["sum", "count"]).reset_index()
+            g["value"] = (g["sum"].astype(np.float64)
+                          / g["count"].astype(np.float64))
+            return g[cols]
+        if metric == "stats_bucket":
+            g = b.groupby("query_id", sort=True)["doc_count"].agg(
+                bucket_count="count", v_min="min", v_max="max",
+                v_sum="sum").reset_index()
+            for c in ("bucket_count", "v_min", "v_max", "v_sum"):
+                g[c] = g[c].astype(np.int64)
+            g["v_avg"] = (g["v_sum"].astype(np.float64)
+                          / g["bucket_count"].astype(np.float64))
+            return g[cols]
+        asc = metric == "min_bucket"
+        b = b.sort_values(["query_id", "doc_count", "bucket"],
+                          ascending=[True, asc, True], kind="mergesort")
+        g = b.groupby("query_id", sort=False).head(1).reset_index(drop=True)
+        g = g.rename(columns={"doc_count": "value",
+                              "bucket": "bucket_key"})
+        g["value"] = g["value"].astype(np.int64)
+        return g.sort_values("query_id").reset_index(drop=True)[cols]
+
     def composite_agg(self, queries: dict[str, str], field: str,
                       size: int, min_score: float,
                       after: Any | None = None,
@@ -2401,9 +2646,11 @@ class IndexSearcher:
             return pd.DataFrame()
         docs_schema = pq.read_schema(
             os.path.join(self.seg_dirs[0], DOCS_NAME))
-        for ck in ("col", "val_col"):
-            if ck in agg and agg[ck] not in docs_schema.names:
-                raise ValueError(f"agg column {agg[ck]!r} is not a "
+        named = [agg[ck] for ck in ("col", "val_col", "w_col") if ck in agg]
+        named += list(agg.get("cols", ()))
+        for cn in named:
+            if cn not in docs_schema.names:
+                raise ValueError(f"agg column {cn!r} is not a "
                                  f"stored doc column ({docs_schema.names})")
         prepared, union = self._prepare(queries, self.cfg.default_k,
                                         term_weights=term_weights)
@@ -2420,6 +2667,8 @@ class IndexSearcher:
             "agg": agg,
             "agg_type": (docs_schema.field(agg["col"]).type
                          if "col" in agg else None),
+            "agg_types": [(c, docs_schema.field(c).type)
+                          for c in agg.get("cols", ())],
         }
         if not union:
             return pd.DataFrame()

@@ -1,0 +1,181 @@
+"""Round-4 aggregation completions: multi_terms / rare_terms /
+extended_stats / weighted_avg bucket aggs + the sibling pipeline
+(bucket-metric) family and the bucket_script pipeline.  Brute-force
+containment oracles on a purpose-built corpus; hard DuckDB gates live
+in the driver entries (bm25_multi_terms .. bm25_bucket_script)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from opensearch_jvector_ray.config import EngineConfig
+from opensearch_jvector_ray.query import IndexSearcher
+from opensearch_jvector_ray.stages.build import IndexSpec, build_index
+
+TEXTS = ["alpha beta", "alpha gamma", "beta gamma", "alpha beta gamma",
+         "gamma delta", "alpha", "beta", "delta eps", "alpha delta",
+         "beta delta"] * 4
+N = len(TEXTS)
+LANGS = [("en", "de", "fr", None)[i % 4] for i in range(N)]
+SOURCES = [f"s{i % 7}" for i in range(N)]
+NCHARS = [len(t) * (1 + i % 3) for i, t in enumerate(TEXTS)]
+TS = [((i * 7) % N) * 900_000_000 for i in range(N)]  # spans hours
+
+
+def _corpus() -> pa.Table:
+    return pa.table({
+        "doc_id": pa.array(list(range(N)), type=pa.int64()),
+        "text": pa.array(TEXTS, type=pa.string()),
+        "lang": pa.array(LANGS, type=pa.string()),
+        "source": pa.array(SOURCES, type=pa.string()),
+        "n_chars": pa.array(NCHARS, type=pa.int64()),
+        "ts": pa.array(TS, type=pa.timestamp("us")),
+    })
+
+
+@pytest.fixture(scope="module")
+def idx(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("r10") / "idx")
+    build_index(rd.from_arrow(_corpus()), out,
+                EngineConfig(num_segments=3),
+                IndexSpec(text_col="text", key_cols=("doc_id",),
+                          store_cols=("lang", "source", "n_chars", "ts"),
+                          ts_col=""))
+    return out
+
+
+MS = 1e-9
+Q = {"q": "alpha delta"}
+
+
+def _match_df(s: IndexSearcher) -> pd.DataFrame:
+    hit = s.search(Q, min_score=MS)
+    base = _corpus().to_pandas()
+    return base[base["doc_id"].isin(hit["doc_id"])]
+
+
+def test_multi_terms_composite_counts(idx):
+    s = IndexSearcher(idx)
+    out = s.multi_terms_agg(Q, fields=["lang", "source"], min_score=MS)
+    m = _match_df(s).dropna(subset=["lang", "source"])
+    want = (m.groupby(["lang", "source"]).size().rename("doc_count")
+             .reset_index())
+    got = out[["lang", "source", "doc_count"]].sort_values(
+        ["lang", "source"]).reset_index(drop=True)
+    want = want.sort_values(["lang", "source"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=False)
+    # null in ANY key field drops the doc (terms-family missing rule)
+    assert not out["lang"].isna().any()
+    # order: doc_count DESC then values ASC
+    for _, g in out.groupby("query_id"):
+        dc = list(g["doc_count"])
+        assert dc == sorted(dc, reverse=True)
+    # size cap keeps the TOP buckets of that order
+    capped = s.multi_terms_agg(Q, fields=["lang", "source"],
+                               min_score=MS, size=3)
+    pd.testing.assert_frame_equal(
+        capped.reset_index(drop=True),
+        out.groupby("query_id").head(3).reset_index(drop=True))
+    with pytest.raises(ValueError, match="at least 2"):
+        s.multi_terms_agg(Q, fields=["lang"], min_score=MS)
+
+
+def test_rare_terms_global_threshold(idx):
+    s = IndexSearcher(idx)
+    m = _match_df(s)
+    counts = m.groupby("source").size()
+    thr = int(counts.median())
+    out = s.rare_terms_agg(Q, field="source", max_doc_count=thr,
+                           min_score=MS)
+    want = set(counts[counts <= thr].index)
+    assert set(out["source"]) == want
+    # the threshold applies to the GLOBAL merged count: a value whose
+    # total exceeds thr is excluded even though each of the 3 segments
+    # holds fewer than thr of it locally
+    over = counts[counts > thr]
+    if len(over):
+        assert not (set(out["source"]) & set(over.index))
+    # order: doc_count ASC, value ASC
+    dc = list(out["doc_count"])
+    assert dc == sorted(dc)
+    with pytest.raises(ValueError, match="max_doc_count"):
+        s.rare_terms_agg(Q, field="source", max_doc_count=0, min_score=MS)
+
+
+def test_extended_stats_pinned_chain(idx):
+    s = IndexSearcher(idx)
+    out = s.extended_stats_agg(Q, value_col="n_chars", min_score=MS,
+                               sigma=2.0)
+    v = _match_df(s)["n_chars"].to_numpy(np.int64)
+    n = float(len(v))
+    assert int(out["doc_count"][0]) == len(v)
+    assert int(out["v_sum"][0]) == int(v.sum())
+    assert int(out["v_sos"][0]) == int(np.dot(v, v))
+    avg = float(v.sum()) / n
+    var = float(np.dot(v, v)) / n - avg * avg
+    # bit-exact: the engine must apply EXACTLY this op chain
+    assert out["v_avg"][0] == avg
+    assert out["v_variance"][0] == var
+    assert out["v_std"][0] == np.sqrt(var)
+    assert out["std_upper"][0] == avg + 2.0 * np.sqrt(var)
+    assert out["std_lower"][0] == avg - 2.0 * np.sqrt(var)
+
+
+def test_weighted_avg_single_division(idx):
+    s = IndexSearcher(idx)
+    out = s.weighted_avg_agg(Q, value_col="n_chars", weight_col="doc_id",
+                             min_score=MS)
+    m = _match_df(s)
+    v = m["n_chars"].to_numpy(np.int64)
+    w = m["doc_id"].to_numpy(np.int64)
+    assert int(out["w_sum"][0]) == int(w.sum())
+    assert out["weighted_avg"][0] == float(np.dot(v, w)) / float(w.sum())
+
+
+def test_bucket_metric_family(idx):
+    s = IndexSearcher(idx)
+    base = s.date_histogram_agg(Q, ts_col="ts", calendar_interval="hour",
+                                min_score=MS)
+    dc = base["doc_count"]
+    sb = s.bucket_metric_agg(Q, ts_col="ts", calendar_interval="hour",
+                             metric="sum_bucket", min_score=MS)
+    assert int(sb["value"][0]) == int(dc.sum())
+    ab = s.bucket_metric_agg(Q, ts_col="ts", calendar_interval="hour",
+                             metric="avg_bucket", min_score=MS)
+    assert ab["value"][0] == float(dc.sum()) / float(len(dc))
+    st = s.bucket_metric_agg(Q, ts_col="ts", calendar_interval="hour",
+                             metric="stats_bucket", min_score=MS)
+    assert (int(st["bucket_count"][0]), int(st["v_min"][0]),
+            int(st["v_max"][0]), int(st["v_sum"][0])) == \
+        (len(dc), int(dc.min()), int(dc.max()), int(dc.sum()))
+    assert st["v_avg"][0] == float(dc.sum()) / float(len(dc))
+    # min/max_bucket: value + the SMALLEST bucket ts among the extremes
+    mx = s.bucket_metric_agg(Q, ts_col="ts", calendar_interval="hour",
+                             metric="max_bucket", min_score=MS)
+    assert int(mx["value"][0]) == int(dc.max())
+    assert mx["bucket_key"][0] == \
+        base[base["doc_count"] == dc.max()]["bucket"].min()
+    mn = s.bucket_metric_agg(Q, ts_col="ts", calendar_interval="hour",
+                             metric="min_bucket", min_score=MS)
+    assert int(mn["value"][0]) == int(dc.min())
+    assert mn["bucket_key"][0] == \
+        base[base["doc_count"] == dc.min()]["bucket"].min()
+    with pytest.raises(ValueError, match="metric"):
+        s.bucket_metric_agg(Q, ts_col="ts", calendar_interval="hour",
+                            metric="median_bucket", min_score=MS)
+
+
+def test_bucket_script_percent_of_total(idx):
+    s = IndexSearcher(idx)
+    base = s.date_histogram_agg(Q, ts_col="ts", calendar_interval="hour",
+                                min_score=MS)
+    out = s.date_histogram_agg(Q, ts_col="ts", calendar_interval="hour",
+                               min_score=MS, pipeline="bucket_script")
+    tot = float(base["doc_count"].sum())
+    want = [float(c) / tot for c in base["doc_count"]]
+    assert out["bucket_script"].dtype == np.float64
+    assert list(out["bucket_script"]) == want
+    assert abs(out["bucket_script"].sum() - 1.0) < 1e-12
