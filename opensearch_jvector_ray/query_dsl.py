@@ -73,6 +73,21 @@ Supported bodies (one top-level clause per query):
                       "value_field": int_col, "min_score": f}}
     {"composite":    {"query": "...", "field": col, "size": n,
                       "min_score": f, "after": key|null}}
+    {"multi_terms":  {"query": "...", "fields": [col, col, ...],
+                      "min_score": f, "size": n|null}}
+                 # composite-key bucket counts (doc_count DESC, vals ASC)
+    {"rare_terms":   {"query": "...", "field": col,
+                      "max_doc_count": n, "min_score": f}}
+                 # long-tail buckets by GLOBAL merged count
+    {"extended_stats": {"query": "...", "field": int_col,
+                      "min_score": f, "sigma": f}}
+    {"weighted_avg": {"query": "...", "field": int_col,
+                      "weight_field": int_col, "min_score": f}}
+    {"bucket_metric": {"query": "...", "field": ts_col,
+                      "calendar_interval": "month|day|hour",
+                      "metric": "sum_bucket|avg_bucket|min_bucket|"
+                                "max_bucket|stats_bucket",
+                      "min_score": f}}   # sibling pipeline aggs
     {"match_phrase_prefix": {"query": "fast mer", "k": 10,
                 "max_expansions": 50}}     # phrase + last-term prefix
     {"regexp":   {"value": "s.*t", "k": 10, "max_expansions": 50}}
@@ -127,6 +142,14 @@ _FILTERS_AGG_FIELDS = {"query", "filters", "min_score"}
 _TERMS_STATS_FIELDS = {"query", "field", "value_field", "min_score"}
 _COMPOSITE_FIELDS = {"query", "field", "size", "min_score", "after"}
 _HIST_FIELDS = {"query", "field", "interval", "min_score"}
+_MULTI_TERMS_FIELDS = {"query", "fields", "min_score", "size"}
+_RARE_TERMS_FIELDS = {"query", "field", "max_doc_count", "min_score"}
+_EXT_STATS_FIELDS = {"query", "field", "min_score", "sigma"}
+_WAVG_FIELDS = {"query", "field", "weight_field", "min_score"}
+_BUCKET_METRIC_FIELDS = {"query", "field", "calendar_interval",
+                         "metric", "min_score"}
+_BUCKET_METRICS = {"sum_bucket", "avg_bucket", "min_bucket",
+                   "max_bucket", "stats_bucket"}
 _MODES = {"taat", "wand", "rescore", "phrase"}
 _METRICS = {"cosine", "l2", "innerproduct", "l1", "linf", "hamming"}
 
@@ -485,6 +508,56 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
             out["size"] = int(spec.get("size", 10))
             out["after"] = spec.get("after")
         return out
+    if clause in ("multi_terms", "rare_terms", "extended_stats",
+                  "weighted_avg", "bucket_metric"):
+        allowed = {"multi_terms": _MULTI_TERMS_FIELDS,
+                   "rare_terms": _RARE_TERMS_FIELDS,
+                   "extended_stats": _EXT_STATS_FIELDS,
+                   "weighted_avg": _WAVG_FIELDS,
+                   "bucket_metric": _BUCKET_METRIC_FIELDS}[clause]
+        _require_known(clause, spec, allowed)
+        if not isinstance(spec.get("query"), str) or not spec["query"]:
+            raise ValueError(f"[{clause}] needs a non-empty 'query'")
+        if "min_score" not in spec:
+            raise ValueError(f"[{clause}] needs 'min_score'")
+        out = {"type": clause, "query": spec["query"],
+               "min_score": float(spec["min_score"])}
+        if clause == "multi_terms":
+            fl = spec.get("fields")
+            if (not isinstance(fl, list) or len(fl) < 2
+                    or not all(isinstance(f, str) and f for f in fl)):
+                raise ValueError("[multi_terms] needs 'fields': "
+                                 "[col, col, ...] (>= 2 columns)")
+            out["fields"] = list(fl)
+            out["size"] = (int(spec["size"]) if "size" in spec
+                           and spec["size"] is not None else None)
+            return out
+        if not isinstance(spec.get("field"), str) or not spec["field"]:
+            raise ValueError(f"[{clause}] needs a 'field' column name")
+        out["field"] = spec["field"]
+        if clause == "rare_terms":
+            if int(spec.get("max_doc_count", 0)) < 1:
+                raise ValueError("[rare_terms] needs 'max_doc_count'"
+                                 " >= 1")
+            out["max_doc_count"] = int(spec["max_doc_count"])
+        elif clause == "extended_stats":
+            out["sigma"] = float(spec.get("sigma", 2.0))
+        elif clause == "weighted_avg":
+            wf = spec.get("weight_field")
+            if not isinstance(wf, str) or not wf:
+                raise ValueError("[weighted_avg] needs 'weight_field'")
+            out["weight_field"] = wf
+        elif clause == "bucket_metric":
+            if spec.get("calendar_interval") not in ("month", "day",
+                                                     "hour"):
+                raise ValueError("[bucket_metric] needs "
+                                 "'calendar_interval': month|day|hour")
+            if spec.get("metric") not in _BUCKET_METRICS:
+                raise ValueError("[bucket_metric] metric must be one "
+                                 f"of {sorted(_BUCKET_METRICS)}")
+            out["calendar_interval"] = spec["calendar_interval"]
+            out["metric"] = spec["metric"]
+        return out
     if clause in ("range_agg", "date_histogram", "top_hits"):
         allowed = {"range_agg": _RANGE_AGG_FIELDS,
                    "date_histogram": _DATE_HIST_FIELDS,
@@ -517,11 +590,11 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
             if pl is not None:
                 if pl not in ("cumulative_sum", "derivative",
                               "moving_avg", "serial_diff",
-                              "bucket_selector"):
+                              "bucket_selector", "bucket_script"):
                     raise ValueError(
                         "[date_histogram] pipeline must be "
                         "cumulative_sum|derivative|moving_avg|"
-                        "serial_diff|bucket_selector")
+                        "serial_diff|bucket_selector|bucket_script")
                 out["pipeline"] = pl
                 out["window"] = int(spec.get("window", 3))
                 out["lag"] = int(spec.get("lag", 1))
@@ -698,6 +771,40 @@ def execute_query(body: dict[str, Any], *, searcher=None, vector_ds=None,
                                       size=spec["size"],
                                       min_score=spec["min_score"],
                                       after=spec["after"])
+    if spec["type"] == "multi_terms":
+        if searcher is None:
+            raise ValueError("[multi_terms] needs searcher=")
+        return searcher.multi_terms_agg({query_id: spec["query"]},
+                                        fields=spec["fields"],
+                                        min_score=spec["min_score"],
+                                        size=spec["size"])
+    if spec["type"] == "rare_terms":
+        if searcher is None:
+            raise ValueError("[rare_terms] needs searcher=")
+        return searcher.rare_terms_agg(
+            {query_id: spec["query"]}, field=spec["field"],
+            max_doc_count=spec["max_doc_count"],
+            min_score=spec["min_score"])
+    if spec["type"] == "extended_stats":
+        if searcher is None:
+            raise ValueError("[extended_stats] needs searcher=")
+        return searcher.extended_stats_agg(
+            {query_id: spec["query"]}, value_col=spec["field"],
+            min_score=spec["min_score"], sigma=spec["sigma"])
+    if spec["type"] == "weighted_avg":
+        if searcher is None:
+            raise ValueError("[weighted_avg] needs searcher=")
+        return searcher.weighted_avg_agg(
+            {query_id: spec["query"]}, value_col=spec["field"],
+            weight_col=spec["weight_field"],
+            min_score=spec["min_score"])
+    if spec["type"] == "bucket_metric":
+        if searcher is None:
+            raise ValueError("[bucket_metric] needs searcher=")
+        return searcher.bucket_metric_agg(
+            {query_id: spec["query"]}, ts_col=spec["field"],
+            calendar_interval=spec["calendar_interval"],
+            metric=spec["metric"], min_score=spec["min_score"])
     if spec["type"] == "histogram":
         if searcher is None:
             raise ValueError("[histogram] needs searcher=")

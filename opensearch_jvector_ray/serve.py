@@ -333,9 +333,11 @@ class SearchService:
     def agg(self) -> "_ServedAggSearcher":
         """Warm aggregation facade: the full IndexSearcher aggregation
         API (facet_counts, stats_agg, histogram_agg, range_agg,
-        date_histogram_agg, top_hits_agg, cardinality_agg,
-        percentiles_agg, significant_terms_agg, filters_agg,
-        terms_stats_agg, composite_agg, has_child_search all modes)
+        date_histogram_agg incl. pipelines, top_hits_agg,
+        cardinality_agg, percentiles_agg, significant_terms_agg,
+        filters_agg, terms_stats_agg, composite_agg, multi_terms_agg,
+        rare_terms_agg, extended_stats_agg, weighted_avg_agg,
+        bucket_metric_agg, has_child_search all modes)
         with the per-segment partials computed on THIS service's warm
         actors (cached postings) instead of fresh stateless tasks."""
         if getattr(self, "_agg_facade", None) is None:
@@ -372,6 +374,11 @@ class _ServedAggSearcher:
     filters_agg = _IS.filters_agg
     terms_stats_agg = _IS.terms_stats_agg
     composite_agg = _IS.composite_agg
+    multi_terms_agg = _IS.multi_terms_agg
+    rare_terms_agg = _IS.rare_terms_agg
+    extended_stats_agg = _IS.extended_stats_agg
+    weighted_avg_agg = _IS.weighted_avg_agg
+    bucket_metric_agg = _IS.bucket_metric_agg
     _field_value_counts = _IS._field_value_counts
     lookup_df = _IS.lookup_df
     _read_dictionary = _IS._read_dictionary
@@ -402,10 +409,13 @@ class _ServedAggSearcher:
 
     def _agg_fanout(self, queries, agg, min_score, term_weights,
                     concurrency) -> pd.DataFrame:
-        for ck in ("col", "val_col"):
-            if ck in agg and agg[ck] not in self._docs_schema.names:
+        named = [agg[ck] for ck in ("col", "val_col", "w_col")
+                 if ck in agg]
+        named += list(agg.get("cols", ()))
+        for cn in named:
+            if cn not in self._docs_schema.names:
                 raise ValueError(
-                    f"agg column {agg[ck]!r} is not a stored doc "
+                    f"agg column {cn!r} is not a stored doc "
                     f"column ({self._docs_schema.names})")
         prepared = self._svc._prepare(queries, self.cfg.default_k,
                                       term_weights)

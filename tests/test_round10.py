@@ -168,6 +168,65 @@ def test_bucket_metric_family(idx):
                             metric="median_bucket", min_score=MS)
 
 
+def test_new_agg_dsl_equivalence(idx):
+    from opensearch_jvector_ray.query_dsl import execute_query, parse_query
+    s = IndexSearcher(idx)
+    qtext = Q["q"]
+    cases = [
+        ({"multi_terms": {"query": qtext, "fields": ["lang", "source"],
+                          "min_score": MS, "size": 5}},
+         s.multi_terms_agg({"q": qtext}, fields=["lang", "source"],
+                           min_score=MS, size=5)),
+        ({"rare_terms": {"query": qtext, "field": "source",
+                         "max_doc_count": 3, "min_score": MS}},
+         s.rare_terms_agg({"q": qtext}, field="source",
+                          max_doc_count=3, min_score=MS)),
+        ({"extended_stats": {"query": qtext, "field": "n_chars",
+                             "min_score": MS, "sigma": 1.5}},
+         s.extended_stats_agg({"q": qtext}, value_col="n_chars",
+                              min_score=MS, sigma=1.5)),
+        ({"weighted_avg": {"query": qtext, "field": "n_chars",
+                           "weight_field": "doc_id", "min_score": MS}},
+         s.weighted_avg_agg({"q": qtext}, value_col="n_chars",
+                            weight_col="doc_id", min_score=MS)),
+        ({"bucket_metric": {"query": qtext, "field": "ts",
+                            "calendar_interval": "hour",
+                            "metric": "stats_bucket", "min_score": MS}},
+         s.bucket_metric_agg({"q": qtext}, ts_col="ts",
+                             calendar_interval="hour",
+                             metric="stats_bucket", min_score=MS)),
+        ({"date_histogram": {"query": qtext, "field": "ts",
+                             "calendar_interval": "hour",
+                             "min_score": MS,
+                             "pipeline": "bucket_script"}},
+         s.date_histogram_agg({"q": qtext}, ts_col="ts",
+                              calendar_interval="hour", min_score=MS,
+                              pipeline="bucket_script")),
+    ]
+    for body, want in cases:
+        got = execute_query(body, searcher=s)
+        pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                      want.reset_index(drop=True))
+    # strict validation: unknown fields / bad shapes rejected at parse
+    with pytest.raises(ValueError, match="fields"):
+        parse_query({"multi_terms": {"query": "a", "fields": ["lang"],
+                                     "min_score": MS}})
+    with pytest.raises(ValueError, match="max_doc_count"):
+        parse_query({"rare_terms": {"query": "a", "field": "source",
+                                    "min_score": MS}})
+    with pytest.raises(ValueError, match="weight_field"):
+        parse_query({"weighted_avg": {"query": "a", "field": "n_chars",
+                                      "min_score": MS}})
+    with pytest.raises(ValueError, match="metric"):
+        parse_query({"bucket_metric": {"query": "a", "field": "ts",
+                                       "calendar_interval": "hour",
+                                       "metric": "median_bucket",
+                                       "min_score": MS}})
+    with pytest.raises(ValueError, match="does not support"):
+        parse_query({"extended_stats": {"query": "a", "field": "x",
+                                        "min_score": MS, "bogus": 1}})
+
+
 def test_bucket_script_percent_of_total(idx):
     s = IndexSearcher(idx)
     base = s.date_histogram_agg(Q, ts_col="ts", calendar_interval="hour",

@@ -320,6 +320,27 @@ def test_warm_agg_facade_matches_batch_path(idx):
                                    min_score=ms)),
             ("top_hits_agg", dict(group_col="role", n=2,
                                   min_score=ms)),
+            ("multi_terms_agg", dict(fields=["role", "tool"],
+                                     min_score=ms, size=4)),
+            ("rare_terms_agg", dict(field="role", max_doc_count=8,
+                                    min_score=ms)),
+            ("extended_stats_agg", dict(value_col="turn_idx",
+                                        min_score=ms, sigma=1.5)),
+            ("weighted_avg_agg", dict(value_col="turn_idx",
+                                      weight_col="turn_idx",
+                                      min_score=ms)),
+            ("bucket_metric_agg", dict(ts_col="ts",
+                                       calendar_interval="hour",
+                                       metric="stats_bucket",
+                                       min_score=ms)),
+            ("bucket_metric_agg", dict(ts_col="ts",
+                                       calendar_interval="hour",
+                                       metric="max_bucket",
+                                       min_score=ms)),
+            ("date_histogram_agg", dict(ts_col="ts",
+                                        calendar_interval="hour",
+                                        min_score=ms,
+                                        pipeline="bucket_script")),
         ]
         for name, kw in cases:
             cold = getattr(s, name)(q, **kw)
