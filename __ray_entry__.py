@@ -31,7 +31,8 @@ from opensearch_jvector_ray.oracles import (
     cardinality_sql, percentiles_sql, significant_terms_sql,
     filters_agg_sql, terms_stats_sql, composite_sql, multi_match_sql,
     multi_terms_sql, rare_terms_sql, extended_stats_sql,
-    weighted_avg_sql, bucket_metric_sql,
+    weighted_avg_sql, bucket_metric_sql, adjacency_matrix_sql,
+    string_stats_sql, matrix_stats_sql, date_range_sql,
     span_near_sql, constant_score_sql, boosting_query_sql,
     percolate_sql, semdedup_sql,
     events_sessionize_sql, events_window_sql, exact_dedup_sql,
@@ -771,6 +772,57 @@ def _q_bm25_weighted_avg(sf_dir: str) -> pd.DataFrame:
                              weight_col=WAVG_WEIGHT_COL,
                              min_score=FACET_MIN_SCORE)
     out["w_sum"] = out["w_sum"].astype(np.int64)
+    return out
+
+
+DATE_RANGES = [("first", None, "2023-11-14T22:20:00"),
+               ("mid", "2023-11-14T22:20:00", "2023-11-14T22:40:00"),
+               ("rest", "2023-11-14T22:40:00", None)]
+MATRIX_X, MATRIX_Y = "n_chars", "doc_id"
+STRING_STATS_FIELD = "source"
+
+
+def _q_bm25_adjacency_matrix(sf_dir: str) -> pd.DataFrame:
+    # adjacency_matrix agg: named-filter counts + pairwise
+    # intersections (key "a&b"), empty buckets omitted
+    s = IndexSearcher(documents_index(sf_dir))
+    out = s.adjacency_matrix_agg(BM25_QUERIES, FILTERS_AGG,
+                                 min_score=FACET_MIN_SCORE)
+    out["doc_count"] = out["doc_count"].astype(np.int64)
+    return out
+
+
+def _q_bm25_string_stats(sf_dir: str) -> pd.DataFrame:
+    # string_stats agg (SQL-safe columns): count/min/max/sum of unicode
+    # lengths + the single avg division; the libm entropy column is
+    # pytest-gated and dropped here
+    s = IndexSearcher(documents_index(sf_dir))
+    out = s.string_stats_agg(BM25_QUERIES, field=STRING_STATS_FIELD,
+                             min_score=FACET_MIN_SCORE)
+    for c in ("doc_count", "len_min", "len_max", "len_sum"):
+        out[c] = out[c].astype(np.int64)
+    return out.drop(columns=["entropy"])
+
+
+def _q_bm25_matrix_stats(sf_dir: str) -> pd.DataFrame:
+    # matrix_stats agg: integer moment partials + the pinned float
+    # chain (means, population variances, covariance, correlation)
+    s = IndexSearcher(documents_index(sf_dir))
+    out = s.matrix_stats_agg(BM25_QUERIES, x_col=MATRIX_X,
+                             y_col=MATRIX_Y, min_score=FACET_MIN_SCORE)
+    out["doc_count"] = out["doc_count"].astype(np.int64)
+    return out
+
+
+def _q_bm25_date_range(sf_dir: str) -> pd.DataFrame:
+    # date_range agg over the ts-bearing transcripts index: zero-filled
+    # query x range grid on exact TIMESTAMP bounds
+    from opensearch_jvector_ray.sources.tables import transcripts_index
+    s = IndexSearcher(transcripts_index(sf_dir))
+    out = s.date_range_agg(TRANSCRIPT_QUERIES, ts_col="ts",
+                           ranges=DATE_RANGES,
+                           min_score=FACET_MIN_SCORE)
+    out["doc_count"] = out["doc_count"].astype(np.int64)
     return out
 
 
@@ -1939,6 +1991,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_rare_terms": _q_bm25_rare_terms,
         "bm25_extended_stats": _q_bm25_extended_stats,
         "bm25_weighted_avg": _q_bm25_weighted_avg,
+        "bm25_adjacency_matrix": _q_bm25_adjacency_matrix,
+        "bm25_string_stats": _q_bm25_string_stats,
+        "bm25_matrix_stats": _q_bm25_matrix_stats,
+        "bm25_date_range": _q_bm25_date_range,
         "rank_eval_precision": _q_rank_eval_precision,
         "rank_eval_mrr": _q_rank_eval_mrr,
         "bm25_more_like_this": _q_bm25_mlt,
@@ -2144,6 +2200,13 @@ def _date_histogram_oracle() -> str:
                               _transcript_arms())
 
 
+def _date_range_oracle() -> str:
+    from opensearch_jvector_ray.sources.tables import TRANSCRIPTS_CFG
+    return date_range_sql(TRANSCRIPT_QUERIES, FACET_MIN_SCORE,
+                          DATE_RANGES, TRANSCRIPTS_CFG,
+                          _transcript_arms())
+
+
 def _bucket_metric_oracle(metric: str) -> str:
     from opensearch_jvector_ray.sources.tables import TRANSCRIPTS_CFG
     return bucket_metric_sql(TRANSCRIPT_QUERIES, FACET_MIN_SCORE,
@@ -2241,6 +2304,13 @@ def oracle_sql() -> dict[str, str]:
         "bm25_weighted_avg": weighted_avg_sql(
             BM25_QUERIES, FACET_MIN_SCORE, WAVG_VALUE_COL,
             WAVG_WEIGHT_COL, CFG),
+        "bm25_adjacency_matrix": adjacency_matrix_sql(
+            BM25_QUERIES, FACET_MIN_SCORE, FILTERS_AGG, CFG),
+        "bm25_string_stats": string_stats_sql(
+            BM25_QUERIES, FACET_MIN_SCORE, STRING_STATS_FIELD, CFG),
+        "bm25_matrix_stats": matrix_stats_sql(
+            BM25_QUERIES, FACET_MIN_SCORE, MATRIX_X, MATRIX_Y, CFG),
+        "bm25_date_range": _date_range_oracle(),
         "rank_eval_precision": rank_eval_sql(
             BM25_QUERIES, {}, BM25_K, CFG, metric="precision",
             rating_rule_sql=f"d.doc_id % {RATING_MOD} = 0"),

@@ -873,6 +873,143 @@ GROUP BY h.query_id ORDER BY h.query_id
 """
 
 
+def adjacency_matrix_sql(queries: dict[str, str], min_score: float,
+                         filters: dict[str, dict], cfg: EngineConfig,
+                         table: str = "documents",
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> str:
+    """Oracle for IndexSearcher.adjacency_matrix_agg: per named filter
+    the match-set count, per sorted filter pair the "a&b" intersection
+    count; empty buckets omitted (GROUP BY arms only emit nonzero
+    counts), ordered (query_id, filter_key)."""
+    inner = bm25_sql(queries, 0, cfg, table=table, id_col=id_col,
+                     text_col=text_col, min_score=min_score)
+    names = sorted(filters)
+    arm_specs = [(n, filter_spec_sql(filters[n], "d")) for n in names]
+    arm_specs += [
+        (f"{a}&{b}",
+         f"({filter_spec_sql(filters[a], 'd')}) "
+         f"AND ({filter_spec_sql(filters[b], 'd')})")
+        for i, a in enumerate(names) for b in names[i + 1:]]
+    arms = "\n  UNION ALL\n".join(
+        f"  SELECT h.query_id, {sql_quote(key)} AS filter_key,\n"
+        f"         count(*)::BIGINT AS doc_count\n"
+        f"  FROM hits h JOIN {table} d USING ({id_col})\n"
+        f"  WHERE {pred}\n"
+        f"  GROUP BY h.query_id"
+        for key, pred in arm_specs)
+    return f"""
+WITH hits AS ({inner})
+SELECT query_id, filter_key, doc_count FROM (
+{arms}
+) ORDER BY query_id, filter_key
+"""
+
+
+def string_stats_sql(queries: dict[str, str], min_score: float,
+                     field: str, cfg: EngineConfig,
+                     table: str = "documents", id_col: str = "doc_id",
+                     text_col: str = "text") -> str:
+    """Oracle for IndexSearcher.string_stats_agg (the SQL-safe columns:
+    count / min / max / sum of unicode lengths + the single avg
+    division; the libm entropy column is pytest-gated and excluded
+    here).  Nulls excluded on both sides (count(col) / the engine's
+    drop_null)."""
+    inner = bm25_sql(queries, 0, cfg, table=table, id_col=id_col,
+                     text_col=text_col, min_score=min_score)
+    return f"""
+SELECT h.query_id, count(d.{field})::BIGINT AS doc_count,
+       min(length(d.{field}))::BIGINT AS len_min,
+       max(length(d.{field}))::BIGINT AS len_max,
+       sum(length(d.{field}))::BIGINT AS len_sum,
+       sum(length(d.{field}))::BIGINT::DOUBLE
+         / count(d.{field})::BIGINT::DOUBLE AS avg_length
+FROM ({inner}) h JOIN {table} d USING ({id_col})
+GROUP BY h.query_id ORDER BY h.query_id
+"""
+
+
+def matrix_stats_sql(queries: dict[str, str], min_score: float,
+                     x_col: str, y_col: str, cfg: EngineConfig,
+                     table: str = "documents", id_col: str = "doc_id",
+                     text_col: str = "text") -> str:
+    """Oracle for IndexSearcher.matrix_stats_agg: six integer moments +
+    the engine's PINNED float chain (mean = sum/n; var = sos/n -
+    mean*mean; cov = sxy/n - mean_x*mean_y; corr = cov /
+    (sqrt(var_x) * sqrt(var_y))) — every op appears once in the same
+    order, so the doubles are bit-equal."""
+    inner = bm25_sql(queries, 0, cfg, table=table, id_col=id_col,
+                     text_col=text_col, min_score=min_score)
+    return f"""
+WITH g AS (
+  SELECT h.query_id, count(*)::BIGINT AS doc_count,
+         sum(d.{x_col})::BIGINT AS x_sum,
+         sum(d.{y_col})::BIGINT AS y_sum,
+         sum(d.{x_col} * d.{x_col})::BIGINT AS xx_sum,
+         sum(d.{y_col} * d.{y_col})::BIGINT AS yy_sum,
+         sum(d.{x_col} * d.{y_col})::BIGINT AS xy_sum
+  FROM ({inner}) h JOIN {table} d USING ({id_col})
+  GROUP BY h.query_id
+), f AS (
+  SELECT *, x_sum::DOUBLE / doc_count::DOUBLE AS x_mean,
+         y_sum::DOUBLE / doc_count::DOUBLE AS y_mean,
+         xx_sum::DOUBLE / doc_count::DOUBLE
+           - (x_sum::DOUBLE / doc_count::DOUBLE)
+             * (x_sum::DOUBLE / doc_count::DOUBLE) AS x_variance,
+         yy_sum::DOUBLE / doc_count::DOUBLE
+           - (y_sum::DOUBLE / doc_count::DOUBLE)
+             * (y_sum::DOUBLE / doc_count::DOUBLE) AS y_variance,
+         xy_sum::DOUBLE / doc_count::DOUBLE
+           - (x_sum::DOUBLE / doc_count::DOUBLE)
+             * (y_sum::DOUBLE / doc_count::DOUBLE) AS covariance
+  FROM g
+)
+SELECT query_id, doc_count, x_mean, y_mean, x_variance, y_variance,
+       covariance,
+       covariance / (sqrt(x_variance) * sqrt(y_variance)) AS correlation
+FROM f ORDER BY query_id
+"""
+
+
+def date_range_sql(queries: dict[str, str], min_score: float,
+                   ranges: list[tuple[str, str | None, str | None]],
+                   cfg: EngineConfig,
+                   arms: list[tuple[str, int]]) -> str:
+    """Oracle for IndexSearcher.date_range_agg over the transcripts
+    index: zero-filled query x range grid, [lo, hi) on exact TIMESTAMP
+    bounds (the engine compares the identical epoch-us integers)."""
+    prefix = transcripts_arms_cte(
+        arms, "conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0')"
+              " AS doc_id, text")
+    inner = bm25_sql(queries, 0, cfg, table="transcripts", id_col="doc_id",
+                     prefix_cte=prefix, min_score=min_score)
+    outer = transcripts_arms_cte(
+        arms, "conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0')"
+              " AS doc_id, ts")
+    q_rows = ",\n       ".join(f"({sql_quote(q)})" for q in sorted(queries))
+    r_rows = ",\n       ".join(
+        f"({sql_quote(rk)}, "
+        f"{'NULL::TIMESTAMP' if lo is None else 'TIMESTAMP ' + sql_quote(lo)}, "
+        f"{'NULL::TIMESTAMP' if hi is None else 'TIMESTAMP ' + sql_quote(hi)})"
+        for rk, lo, hi in ranges)
+    return f"""
+WITH {outer},
+qs(query_id) AS (VALUES {q_rows}),
+rg(range_key, lo, hi) AS (VALUES {r_rows}),
+j AS (
+  SELECT h.query_id, d.ts AS v
+  FROM ({inner}) h JOIN transcripts d USING (doc_id)
+)
+SELECT qs.query_id, rg.range_key, count(j.v)::BIGINT AS doc_count
+FROM qs CROSS JOIN rg
+LEFT JOIN j ON j.query_id = qs.query_id
+           AND (rg.lo IS NULL OR j.v >= rg.lo)
+           AND (rg.hi IS NULL OR j.v < rg.hi)
+GROUP BY qs.query_id, rg.range_key
+ORDER BY qs.query_id, rg.range_key
+"""
+
+
 def top_hits_sql(queries: dict[str, str], min_score: float,
                  group_col: str, n: int, cfg: EngineConfig,
                  table: str = "documents", id_col: str = "doc_id",

@@ -305,6 +305,96 @@ def _agg_partial(agg: dict, docs: pa.Table, ords: np.ndarray,
             "doc_count": pa.array(np.asarray(cnts, dtype=np.int64),
                                   type=pa.int64()),
         })
+    if agg["kind"] == "adjacency":
+        # adjacency_matrix aggregation partial [OpenSearch
+        # adjacency_matrix-agg public semantics]: per named filter the
+        # match-set count, plus per filter PAIR the intersection count
+        # (key "a&b", names in sorted order).  Masks are
+        # query-independent (precomputed like the filters kind); only
+        # nonzero cells ship — the driver sums then drops zero totals
+        # (OpenSearch omits empty buckets).
+        masks = agg.get("_masks")
+        if masks is None:
+            masks = _filters_masks(docs, agg["filters"])
+        names = [k for k, _ in agg["filters"]]
+        sel = {k: masks[k][ords] for k in names}
+        keys, cnts = [], []
+        for i, a in enumerate(names):
+            c = int(sel[a].sum())
+            if c:
+                keys.append(a)
+                cnts.append(c)
+            for b in names[i + 1:]:
+                c2 = int((sel[a] & sel[b]).sum())
+                if c2:
+                    keys.append(f"{a}&{b}")
+                    cnts.append(c2)
+        return pa.table({
+            "query_id": pa.array([qid] * len(keys), type=pa.string()),
+            "filter_key": pa.array(keys, type=pa.string()),
+            "doc_count": pa.array(np.asarray(cnts, dtype=np.int64),
+                                  type=pa.int64()),
+        })
+    if agg["kind"] == "string_stats":
+        # string_stats aggregation partial [OpenSearch string_stats-agg
+        # public semantics]: integer (count, min_len, max_len, len_sum)
+        # over the non-null values of a string column PLUS per-character
+        # counts (charset-bounded rows — the entropy combiner).  Lengths
+        # are unicode codepoints (pc.utf8_length == SQL length()).
+        sv = docs[agg["col"]].take(pa.array(ords)).drop_null()
+        lens = pc.utf8_length(sv).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if not len(lens):
+            return pa.table({
+                "query_id": pa.array([], type=pa.string()),
+                "ch": pa.array([], type=pa.int64()),
+                "ch_count": pa.array([], type=pa.int64()),
+                "doc_count": pa.array([], type=pa.int64()),
+                "len_sum": pa.array([], type=pa.int64()),
+                "len_min": pa.array([], type=pa.int64()),
+                "len_max": pa.array([], type=pa.int64()),
+            })
+        joined = "".join(sv.to_pylist())
+        cu, cc = np.unique(np.frombuffer(joined.encode("utf-32-le"),
+                                         dtype=np.uint32), return_counts=True)
+        n = len(lens)
+        out_cols = {
+            "query_id": pa.array([qid] * (len(cu) + 1), type=pa.string()),
+            # row 0 carries the scalar partial; char rows follow
+            "ch": pa.array([-1] + [int(c) for c in cu], type=pa.int64()),
+            "ch_count": pa.array([0] + cc.astype(np.int64).tolist(),
+                                 type=pa.int64()),
+            "doc_count": pa.array([n] + [0] * len(cu), type=pa.int64()),
+            "len_sum": pa.array([int(lens.sum())] + [0] * len(cu),
+                                type=pa.int64()),
+            "len_min": pa.array([int(lens.min())] + [0] * len(cu),
+                                type=pa.int64()),
+            "len_max": pa.array([int(lens.max())] + [0] * len(cu),
+                                type=pa.int64()),
+        }
+        return pa.table(out_cols)
+    if agg["kind"] == "matrix":
+        # matrix_stats aggregation partial [OpenSearch matrix_stats-agg
+        # public semantics, two-field form]: the six int64 moments
+        # (n, sum_x, sum_y, sum_xx, sum_yy, sum_xy) — order-free integer
+        # arithmetic; int64 range assumed (|x*y| x doc_count < 2^63,
+        # documented like the stats kind).  Every float (means,
+        # variances, covariance, correlation) derives at the END from a
+        # pinned op chain shared with the generated SQL.
+        take = pa.array(ords)
+        x = docs[agg["col"]].take(take) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        y = docs[agg["col_y"]].take(take) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "query_id": pa.array([qid], type=pa.string()),
+            "doc_count": pa.array([len(x)], type=pa.int64()),
+            "x_sum": pa.array([int(x.sum())], type=pa.int64()),
+            "y_sum": pa.array([int(y.sum())], type=pa.int64()),
+            "xx_sum": pa.array([int(np.dot(x, x))], type=pa.int64()),
+            "yy_sum": pa.array([int(np.dot(y, y))], type=pa.int64()),
+            "xy_sum": pa.array([int(np.dot(x, y))], type=pa.int64()),
+        })
     if agg["kind"] == "terms_stats":
         # terms bucket + stats sub-aggregation [OpenSearch terms agg
         # with a stats sub-agg]: per bucket value, integer
@@ -874,9 +964,19 @@ class SegmentSearcher:
         cols: dict[str, pa.Array] = {"query_id": pa.array([], type=pa.string())}
         agg = self.p.get("agg")
         if agg is not None:
-            if agg["kind"] == "filters":
+            if agg["kind"] in ("filters", "adjacency"):
                 cols["filter_key"] = pa.array([], type=pa.string())
                 cols["doc_count"] = pa.array([], type=pa.int64())
+                return pa.table(cols)
+            if agg["kind"] == "string_stats":
+                for c in ("ch", "ch_count", "doc_count", "len_sum",
+                          "len_min", "len_max"):
+                    cols[c] = pa.array([], type=pa.int64())
+                return pa.table(cols)
+            if agg["kind"] == "matrix":
+                for c in ("doc_count", "x_sum", "y_sum", "xx_sum",
+                          "yy_sum", "xy_sum"):
+                    cols[c] = pa.array([], type=pa.int64())
                 return pa.table(cols)
             if agg["kind"] == "hll":
                 cols["reg"] = pa.array([], type=pa.int64())
@@ -976,7 +1076,7 @@ class SegmentSearcher:
         out_sc: list[np.ndarray] = []
         mode = p["mode"]
         agg = p.get("agg")
-        if agg is not None and agg["kind"] == "filters":
+        if agg is not None and agg["kind"] in ("filters", "adjacency"):
             # masks are query-independent: compute once per segment
             agg = {**agg, "_masks": _filters_masks(docs, agg["filters"])}
         ftables: list[pa.Table] = []
@@ -2526,6 +2626,149 @@ class IndexSearcher:
                              / g["w_sum"].astype(np.float64))
         return g[cols]
 
+    def adjacency_matrix_agg(self, queries: dict[str, str],
+                             filters: dict[str, dict], min_score: float,
+                             concurrency: int | None = None
+                             ) -> pd.DataFrame:
+        """Adjacency-matrix aggregation [OpenSearch adjacency_matrix-agg
+        public semantics]: per query, the match-set count under each
+        NAMED structured filter plus each filter PAIR's intersection
+        (key "a&b", names in sorted order).  Empty buckets are OMITTED
+        (the OpenSearch rule — unlike filters_agg's zero-filled grid);
+        ordered (query_id, filter_key asc).  Masks are precomputed once
+        per segment; partials are (filters + pairs)-sized."""
+        if not filters:
+            raise ValueError("filters must be non-empty")
+        if any("&" in k for k in filters):
+            raise ValueError("filter names must not contain '&' "
+                             "(the intersection-key separator)")
+        from opensearch_jvector_ray.query_dsl import compile_filter
+        for spec in filters.values():
+            compile_filter(spec)      # driver-side validation
+        fl = sorted(filters.items())
+        df = self._agg_fanout(queries,
+                              {"kind": "adjacency", "filters": fl},
+                              min_score, None, concurrency)
+        cols = ["query_id", "filter_key", "doc_count"]
+        if df.empty:
+            return pd.DataFrame(columns=cols)
+        out = (df.groupby(["query_id", "filter_key"], sort=True)
+                 ["doc_count"].sum().reset_index())
+        return out[cols]
+
+    def string_stats_agg(self, queries: dict[str, str], field: str,
+                         min_score: float,
+                         concurrency: int | None = None) -> pd.DataFrame:
+        """String-stats aggregation [OpenSearch string_stats-agg public
+        semantics]: count / min_length / max_length / avg_length /
+        Shannon entropy of a string column over the radial match set
+        (nulls excluded; lengths in unicode codepoints).  Partials are
+        integer and charset-bounded; avg_length is ONE division.
+        ``entropy`` sums -p*log2(p) SEQUENTIALLY in character-codepoint
+        ascending order (charset-sized loop) — log2 is libm, so the
+        hard driver gate covers the other columns and entropy is
+        pytest-gated (the ndcg/log1p precedent)."""
+        import math
+        df = self._agg_fanout(queries,
+                              {"kind": "string_stats", "col": field},
+                              min_score, None, concurrency)
+        cols = ["query_id", "doc_count", "len_min", "len_max",
+                "len_sum", "avg_length", "entropy"]
+        if df.empty:
+            return pd.DataFrame(columns=cols)
+        scalar = df[df["ch"] == -1]
+        g = scalar.groupby("query_id", sort=True).agg(
+            doc_count=("doc_count", "sum"), len_sum=("len_sum", "sum"),
+            len_min=("len_min", "min"), len_max=("len_max", "max"),
+        ).reset_index()
+        g["avg_length"] = (g["len_sum"].astype(np.float64)
+                           / g["doc_count"].astype(np.float64))
+        chars = df[df["ch"] >= 0]
+        cg = (chars.groupby(["query_id", "ch"], sort=True)["ch_count"]
+                   .sum().reset_index())
+        ents = {}
+        for qid, sub in cg.groupby("query_id", sort=False):
+            total = float(int(sub["ch_count"].sum()))
+            ent = 0.0
+            for c in sub["ch_count"]:       # ch-asc (sorted groupby)
+                p = float(int(c)) / total
+                ent -= p * math.log2(p)
+            ents[qid] = ent
+        g["entropy"] = g["query_id"].map(ents).astype(np.float64)
+        return g[cols]
+
+    def matrix_stats_agg(self, queries: dict[str, str], x_col: str,
+                         y_col: str, min_score: float,
+                         concurrency: int | None = None) -> pd.DataFrame:
+        """Matrix-stats aggregation [OpenSearch matrix_stats-agg public
+        semantics, two-field form]: means, population variances,
+        covariance and Pearson correlation of two integer stored
+        columns over the radial match set.  Partials are six int64
+        moments per segment (order-free); every float derives at the
+        END from a PINNED op chain shared verbatim with the generated
+        SQL: mean = sum/n; var = sos/n - mean*mean; cov = sxy/n -
+        mean_x*mean_y; corr = cov / (sqrt(var_x) * sqrt(var_y)).
+        int64 range assumed (|x*y| x doc_count < 2^63, documented)."""
+        df = self._agg_fanout(queries,
+                              {"kind": "matrix", "col": x_col,
+                               "col_y": y_col},
+                              min_score, None, concurrency)
+        cols = ["query_id", "doc_count", "x_mean", "y_mean",
+                "x_variance", "y_variance", "covariance", "correlation"]
+        if df.empty:
+            return pd.DataFrame(columns=cols)
+        g = df.groupby("query_id", sort=True).agg(
+            doc_count=("doc_count", "sum"), x_sum=("x_sum", "sum"),
+            y_sum=("y_sum", "sum"), xx_sum=("xx_sum", "sum"),
+            yy_sum=("yy_sum", "sum"), xy_sum=("xy_sum", "sum"),
+        ).reset_index()
+        n = g["doc_count"].astype(np.float64)
+        g["x_mean"] = g["x_sum"].astype(np.float64) / n
+        g["y_mean"] = g["y_sum"].astype(np.float64) / n
+        g["x_variance"] = (g["xx_sum"].astype(np.float64) / n
+                           - g["x_mean"] * g["x_mean"])
+        g["y_variance"] = (g["yy_sum"].astype(np.float64) / n
+                           - g["y_mean"] * g["y_mean"])
+        g["covariance"] = (g["xy_sum"].astype(np.float64) / n
+                           - g["x_mean"] * g["y_mean"])
+        g["correlation"] = g["covariance"] / (np.sqrt(g["x_variance"])
+                                              * np.sqrt(g["y_variance"]))
+        return g[cols]
+
+    def date_range_agg(self, queries: dict[str, str], ts_col: str,
+                       ranges: list[tuple[str, str | None, str | None]],
+                       min_score: float,
+                       concurrency: int | None = None) -> pd.DataFrame:
+        """Date-range aggregation [OpenSearch date_range-agg public
+        semantics]: doc counts per caller-keyed [lo, hi) timestamp
+        range (ISO strings, None = open end), zero-filled over the
+        query x range grid like range_agg.  Bounds convert to exact
+        integer epoch-microseconds — the comparison is the oracle's
+        ``ts >= TIMESTAMP lo AND ts < TIMESTAMP hi`` bit-for-bit."""
+        if not ranges:
+            raise ValueError("ranges must be non-empty")
+        def _us(iso: str | None) -> float | None:
+            if iso is None:
+                return None
+            return float(np.datetime64(iso, "us").astype(np.int64))
+        rr = [(str(rk), _us(lo), _us(hi)) for rk, lo, hi in ranges]
+        if len({rk for rk, _, _ in rr}) != len(rr):
+            raise ValueError("range keys must be unique")
+        df = self._agg_fanout(queries, {"kind": "range", "col": ts_col,
+                                        "ranges": rr},
+                              min_score, None, concurrency)
+        cols = ["query_id", "range_key", "doc_count"]
+        grid = pd.MultiIndex.from_product(
+            [sorted(queries), [rk for rk, _, _ in rr]],
+            names=["query_id", "range_key"])
+        if df.empty:
+            out = pd.Series(0, index=grid, dtype=np.int64,
+                            name="doc_count")
+        else:
+            out = (df.groupby(["query_id", "range_key"], sort=False)
+                     ["doc_count"].sum().reindex(grid, fill_value=0))
+        return out.reset_index()[cols]
+
     def bucket_metric_agg(self, queries: dict[str, str], ts_col: str,
                           calendar_interval: str, metric: str,
                           min_score: float,
@@ -2646,7 +2889,8 @@ class IndexSearcher:
             return pd.DataFrame()
         docs_schema = pq.read_schema(
             os.path.join(self.seg_dirs[0], DOCS_NAME))
-        named = [agg[ck] for ck in ("col", "val_col", "w_col") if ck in agg]
+        named = [agg[ck] for ck in ("col", "val_col", "w_col", "col_y")
+                 if ck in agg]
         named += list(agg.get("cols", ()))
         for cn in named:
             if cn not in docs_schema.names:

@@ -88,6 +88,15 @@ Supported bodies (one top-level clause per query):
                       "metric": "sum_bucket|avg_bucket|min_bucket|"
                                 "max_bucket|stats_bucket",
                       "min_score": f}}   # sibling pipeline aggs
+    {"adjacency_matrix": {"query": "...", "min_score": f,
+                      "filters": {name: filter_spec, ...}}}
+                 # named filters + pairwise "a&b" intersections
+    {"string_stats": {"query": "...", "field": str_col,
+                      "min_score": f}}  # lengths + entropy
+    {"matrix_stats": {"query": "...", "fields": [x_col, y_col],
+                      "min_score": f}}  # cov/corr of two int columns
+    {"date_range":   {"query": "...", "field": ts_col, "min_score": f,
+                      "ranges": [[key, iso|null, iso|null], ...]}}
     {"match_phrase_prefix": {"query": "fast mer", "k": 10,
                 "max_expansions": 50}}     # phrase + last-term prefix
     {"regexp":   {"value": "s.*t", "k": 10, "max_expansions": 50}}
@@ -150,6 +159,10 @@ _BUCKET_METRIC_FIELDS = {"query", "field", "calendar_interval",
                          "metric", "min_score"}
 _BUCKET_METRICS = {"sum_bucket", "avg_bucket", "min_bucket",
                    "max_bucket", "stats_bucket"}
+_ADJ_FIELDS = {"query", "filters", "min_score"}
+_STRING_STATS_FIELDS = {"query", "field", "min_score"}
+_MATRIX_FIELDS = {"query", "fields", "min_score"}
+_DATE_RANGE_FIELDS = {"query", "field", "ranges", "min_score"}
 _MODES = {"taat", "wand", "rescore", "phrase"}
 _METRICS = {"cosine", "l2", "innerproduct", "l1", "linf", "hamming"}
 
@@ -558,6 +571,48 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
             out["calendar_interval"] = spec["calendar_interval"]
             out["metric"] = spec["metric"]
         return out
+    if clause in ("adjacency_matrix", "string_stats", "matrix_stats",
+                  "date_range"):
+        allowed = {"adjacency_matrix": _ADJ_FIELDS,
+                   "string_stats": _STRING_STATS_FIELDS,
+                   "matrix_stats": _MATRIX_FIELDS,
+                   "date_range": _DATE_RANGE_FIELDS}[clause]
+        _require_known(clause, spec, allowed)
+        if not isinstance(spec.get("query"), str) or not spec["query"]:
+            raise ValueError(f"[{clause}] needs a non-empty 'query'")
+        if "min_score" not in spec:
+            raise ValueError(f"[{clause}] needs 'min_score'")
+        out = {"type": clause, "query": spec["query"],
+               "min_score": float(spec["min_score"])}
+        if clause == "adjacency_matrix":
+            fl = spec.get("filters")
+            if not isinstance(fl, dict) or not fl:
+                raise ValueError("[adjacency_matrix] needs a non-empty "
+                                 "'filters' {name: spec} object")
+            for sub in fl.values():
+                compile_filter(sub)
+            out["filters"] = fl
+            return out
+        if clause == "matrix_stats":
+            fl = spec.get("fields")
+            if (not isinstance(fl, list) or len(fl) != 2
+                    or not all(isinstance(f, str) and f for f in fl)):
+                raise ValueError("[matrix_stats] needs 'fields': "
+                                 "[x_col, y_col] (exactly 2 columns)")
+            out["fields"] = list(fl)
+            return out
+        if not isinstance(spec.get("field"), str) or not spec["field"]:
+            raise ValueError(f"[{clause}] needs a 'field' column name")
+        out["field"] = spec["field"]
+        if clause == "date_range":
+            rr = spec.get("ranges")
+            if (not isinstance(rr, list) or not rr
+                    or not all(isinstance(r, (list, tuple)) and len(r) == 3
+                               for r in rr)):
+                raise ValueError("[date_range] needs 'ranges': "
+                                 "[[key, iso|null, iso|null], ...]")
+            out["ranges"] = [(str(a), b, c) for a, b, c in rr]
+        return out
     if clause in ("range_agg", "date_histogram", "top_hits"):
         allowed = {"range_agg": _RANGE_AGG_FIELDS,
                    "date_histogram": _DATE_HIST_FIELDS,
@@ -805,6 +860,30 @@ def execute_query(body: dict[str, Any], *, searcher=None, vector_ds=None,
             {query_id: spec["query"]}, ts_col=spec["field"],
             calendar_interval=spec["calendar_interval"],
             metric=spec["metric"], min_score=spec["min_score"])
+    if spec["type"] == "adjacency_matrix":
+        if searcher is None:
+            raise ValueError("[adjacency_matrix] needs searcher=")
+        return searcher.adjacency_matrix_agg(
+            {query_id: spec["query"]}, spec["filters"],
+            min_score=spec["min_score"])
+    if spec["type"] == "string_stats":
+        if searcher is None:
+            raise ValueError("[string_stats] needs searcher=")
+        return searcher.string_stats_agg(
+            {query_id: spec["query"]}, field=spec["field"],
+            min_score=spec["min_score"])
+    if spec["type"] == "matrix_stats":
+        if searcher is None:
+            raise ValueError("[matrix_stats] needs searcher=")
+        return searcher.matrix_stats_agg(
+            {query_id: spec["query"]}, x_col=spec["fields"][0],
+            y_col=spec["fields"][1], min_score=spec["min_score"])
+    if spec["type"] == "date_range":
+        if searcher is None:
+            raise ValueError("[date_range] needs searcher=")
+        return searcher.date_range_agg(
+            {query_id: spec["query"]}, ts_col=spec["field"],
+            ranges=spec["ranges"], min_score=spec["min_score"])
     if spec["type"] == "histogram":
         if searcher is None:
             raise ValueError("[histogram] needs searcher=")

@@ -199,7 +199,7 @@ class SegmentShardActor:
             if n_docs == 0:
                 continue
             seg_agg = agg
-            if agg["kind"] == "filters":
+            if agg["kind"] in ("filters", "adjacency"):
                 from opensearch_jvector_ray.query import _filters_masks
                 seg_agg = {**agg, "_masks": _filters_masks(
                     seg["docs"], agg["filters"])}
@@ -379,6 +379,10 @@ class _ServedAggSearcher:
     extended_stats_agg = _IS.extended_stats_agg
     weighted_avg_agg = _IS.weighted_avg_agg
     bucket_metric_agg = _IS.bucket_metric_agg
+    adjacency_matrix_agg = _IS.adjacency_matrix_agg
+    string_stats_agg = _IS.string_stats_agg
+    matrix_stats_agg = _IS.matrix_stats_agg
+    date_range_agg = _IS.date_range_agg
     _field_value_counts = _IS._field_value_counts
     lookup_df = _IS.lookup_df
     _read_dictionary = _IS._read_dictionary
@@ -409,7 +413,7 @@ class _ServedAggSearcher:
 
     def _agg_fanout(self, queries, agg, min_score, term_weights,
                     concurrency) -> pd.DataFrame:
-        named = [agg[ck] for ck in ("col", "val_col", "w_col")
+        named = [agg[ck] for ck in ("col", "val_col", "w_col", "col_y")
                  if ck in agg]
         named += list(agg.get("cols", ()))
         for cn in named:

@@ -168,6 +168,166 @@ def test_bucket_metric_family(idx):
                             metric="median_bucket", min_score=MS)
 
 
+ADJ_FILTERS = {
+    "en": {"term": {"lang": "en"}},
+    "longish": {"range": {"n_chars": {"gte": 15}}},
+    "s0": {"term": {"source": "s0"}},
+}
+
+
+def test_adjacency_matrix_counts(idx):
+    s = IndexSearcher(idx)
+    out = s.adjacency_matrix_agg(Q, ADJ_FILTERS, min_score=MS)
+    m = _match_df(s)
+    masks = {
+        "en": (m["lang"] == "en").fillna(False),
+        "longish": m["n_chars"] >= 15,
+        "s0": m["source"] == "s0",
+    }
+    names = sorted(masks)
+    want = {}
+    for i, a in enumerate(names):
+        if int(masks[a].sum()):
+            want[a] = int(masks[a].sum())
+        for b in names[i + 1:]:
+            c = int((masks[a] & masks[b]).sum())
+            if c:
+                want[f"{a}&{b}"] = c
+    got = dict(zip(out["filter_key"], out["doc_count"]))
+    assert got == want
+    # empty buckets are omitted, order is key-asc
+    assert list(out["filter_key"]) == sorted(out["filter_key"])
+    with pytest.raises(ValueError, match="non-empty"):
+        s.adjacency_matrix_agg(Q, {}, min_score=MS)
+    with pytest.raises(ValueError, match="&"):
+        s.adjacency_matrix_agg(Q, {"a&b": {"term": {"lang": "en"}}},
+                               min_score=MS)
+
+
+def test_string_stats_lengths_and_entropy(idx):
+    import math
+    s = IndexSearcher(idx)
+    # lang carries nulls (every 4th doc) — they must be excluded
+    out = s.string_stats_agg(Q, field="lang", min_score=MS)
+    vals = _match_df(s)["lang"].dropna()
+    lens = vals.str.len()
+    assert int(out["doc_count"][0]) == len(vals)
+    assert int(out["len_min"][0]) == int(lens.min())
+    assert int(out["len_max"][0]) == int(lens.max())
+    assert int(out["len_sum"][0]) == int(lens.sum())
+    assert out["avg_length"][0] == float(lens.sum()) / float(len(vals))
+    # entropy: sequential -p*log2(p) over char-codepoint-ASC order
+    from collections import Counter
+    cc = Counter("".join(vals))
+    total = float(sum(cc.values()))
+    ent = 0.0
+    for ch in sorted(cc):
+        p = float(cc[ch]) / total
+        ent -= p * math.log2(p)
+    assert out["entropy"][0] == ent
+
+
+def test_matrix_stats_pinned_chain(idx):
+    s = IndexSearcher(idx)
+    out = s.matrix_stats_agg(Q, x_col="n_chars", y_col="doc_id",
+                             min_score=MS)
+    m = _match_df(s)
+    x = m["n_chars"].to_numpy(np.int64)
+    y = m["doc_id"].to_numpy(np.int64)
+    n = float(len(x))
+    mx = float(x.sum()) / n
+    my = float(y.sum()) / n
+    vx = float(np.dot(x, x)) / n - mx * mx
+    vy = float(np.dot(y, y)) / n - my * my
+    cov = float(np.dot(x, y)) / n - mx * my
+    assert int(out["doc_count"][0]) == len(x)
+    assert out["x_mean"][0] == mx and out["y_mean"][0] == my
+    assert out["x_variance"][0] == vx and out["y_variance"][0] == vy
+    assert out["covariance"][0] == cov
+    assert out["correlation"][0] == cov / (np.sqrt(vx) * np.sqrt(vy))
+    # sanity: correlation is a correlation
+    assert -1.0 - 1e-9 <= out["correlation"][0] <= 1.0 + 1e-9
+
+
+def test_date_range_zero_filled_grid(idx):
+    s = IndexSearcher(idx)
+    ranges = [("early", None, "1970-01-01T03:00:00"),
+              ("mid", "1970-01-01T03:00:00", "1970-01-01T07:00:00"),
+              ("late", "1970-01-01T07:00:00", None),
+              ("never", "2099-01-01T00:00:00", None)]
+    out = s.date_range_agg(Q, ts_col="ts", ranges=ranges, min_score=MS)
+    m = _match_df(s)
+    ts = pd.to_datetime(m["ts"])
+    bounds = {
+        "early": ts < pd.Timestamp("1970-01-01T03:00:00"),
+        "mid": (ts >= pd.Timestamp("1970-01-01T03:00:00"))
+               & (ts < pd.Timestamp("1970-01-01T07:00:00")),
+        "late": ts >= pd.Timestamp("1970-01-01T07:00:00"),
+        "never": ts >= pd.Timestamp("2099-01-01T00:00:00"),
+    }
+    got = dict(zip(out["range_key"], out["doc_count"]))
+    for k, msk in bounds.items():
+        assert got[k] == int(msk.sum()), k
+    # zero-filled: the impossible range still appears
+    assert got["never"] == 0
+    assert len(out) == len(ranges)     # one query x 4 ranges
+    with pytest.raises(ValueError, match="unique"):
+        s.date_range_agg(Q, ts_col="ts",
+                         ranges=[("a", None, None), ("a", None, None)],
+                         min_score=MS)
+
+
+def test_round10_dsl_and_warm_facade(idx):
+    from opensearch_jvector_ray.query_dsl import execute_query, parse_query
+    from opensearch_jvector_ray.serve import SearchService
+    s = IndexSearcher(idx)
+    qtext = Q["q"]
+    ranges = [["early", None, "1970-01-01T05:00:00"],
+              ["late", "1970-01-01T05:00:00", None]]
+    bodies = [
+        ({"adjacency_matrix": {"query": qtext, "filters": ADJ_FILTERS,
+                               "min_score": MS}},
+         lambda t: t.adjacency_matrix_agg({"q": qtext}, ADJ_FILTERS,
+                                          min_score=MS)),
+        ({"string_stats": {"query": qtext, "field": "source",
+                           "min_score": MS}},
+         lambda t: t.string_stats_agg({"q": qtext}, field="source",
+                                      min_score=MS)),
+        ({"matrix_stats": {"query": qtext,
+                           "fields": ["n_chars", "doc_id"],
+                           "min_score": MS}},
+         lambda t: t.matrix_stats_agg({"q": qtext}, x_col="n_chars",
+                                      y_col="doc_id", min_score=MS)),
+        ({"date_range": {"query": qtext, "field": "ts",
+                         "ranges": ranges, "min_score": MS}},
+         lambda t: t.date_range_agg(
+             {"q": qtext}, ts_col="ts",
+             ranges=[tuple(r) for r in ranges], min_score=MS)),
+    ]
+    svc = SearchService(idx, num_shards=2)
+    try:
+        for body, call in bodies:
+            want = call(s)
+            got = execute_query(body, searcher=s)
+            pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                          want.reset_index(drop=True))
+            warm = call(svc.agg)
+            pd.testing.assert_frame_equal(warm.reset_index(drop=True),
+                                          want.reset_index(drop=True))
+    finally:
+        svc.shutdown()
+    with pytest.raises(ValueError, match="fields"):
+        parse_query({"matrix_stats": {"query": "a",
+                                      "fields": ["one"],
+                                      "min_score": MS}})
+    with pytest.raises(ValueError, match="ranges"):
+        parse_query({"date_range": {"query": "a", "field": "ts",
+                                    "min_score": MS}})
+    with pytest.raises(ValueError, match="filters"):
+        parse_query({"adjacency_matrix": {"query": "a",
+                                          "min_score": MS}})
+
+
 def test_new_agg_dsl_equivalence(idx):
     from opensearch_jvector_ray.query_dsl import execute_query, parse_query
     s = IndexSearcher(idx)
