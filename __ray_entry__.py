@@ -30,6 +30,7 @@ from opensearch_jvector_ray.oracles import (
     filter_spec_sql, function_score_mul_sql,
     cardinality_sql, percentiles_sql, significant_terms_sql,
     filters_agg_sql, terms_stats_sql, composite_sql, multi_match_sql,
+    dis_max_sql,
     multi_terms_sql, rare_terms_sql, extended_stats_sql,
     weighted_avg_sql, bucket_metric_sql, adjacency_matrix_sql,
     string_stats_sql, matrix_stats_sql, date_range_sql,
@@ -484,6 +485,11 @@ STATS_COL = "n_chars"
 HIST_INTERVAL = 80.0
 REGEXP_QUERIES = {"r1": "s.*t", "r2": "(data|query)", "r3": "c[ou].*"}
 PHRASE_PREFIX_QUERIES = {"pp1": "fast mer", "pp2": "data ro", "pp3": "cus"}
+MBP_QUERIES = {"mb1": "fast mer", "mb2": "query data ro", "mb3": "cus"}
+DIS_MAX_QUERIES = {"d1": ["fast merge", "data query"],
+                   "d2": ["customer scan", "sort window", "filter"],
+                   "d3": ["row column"]}
+DIS_MAX_TIE = 0.3
 HYBRID_QUERIES = {"h1": ("fast merge sort", 0),
                   "h2": ("query data filter join", 1),
                   "h3": ("customer value row scan", 2)}
@@ -897,6 +903,21 @@ def _q_bm25_synonyms(sf_dir: str) -> pd.DataFrame:
     # df = max of member dfs — saturation, not disjunction stacking
     s = IndexSearcher(documents_index(sf_dir))
     return _round_hits(s.synonym_search(SYN_QUERIES, SYNONYMS, k=BM25_K))
+
+
+def _q_bm25_match_bool_prefix(sf_dir: str) -> pd.DataFrame:
+    # match_bool_prefix: last chunk matches as a prefix, earlier chunks
+    # as regular terms (the shared mbp_rewrite drives BOTH sides)
+    s = IndexSearcher(documents_index(sf_dir))
+    return _round_hits(s.match_bool_prefix(MBP_QUERIES, k=BM25_K))
+
+
+def _q_bm25_dis_max(sf_dir: str) -> pd.DataFrame:
+    # generic DisjunctionMaxQuery: per-doc best subquery score +
+    # tie * rest, combined inside each segment task (doc-local formula)
+    s = IndexSearcher(documents_index(sf_dir))
+    return _round_hits(s.dis_max(DIS_MAX_QUERIES, k=BM25_K,
+                                 tie_breaker=DIS_MAX_TIE))
 
 
 def _q_bm25_prefix(sf_dir: str) -> pd.DataFrame:
@@ -1999,6 +2020,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_eval_mrr": _q_rank_eval_mrr,
         "bm25_more_like_this": _q_bm25_mlt,
         "bm25_prefix": _q_bm25_prefix,
+        "bm25_match_bool_prefix": _q_bm25_match_bool_prefix,
+        "bm25_dis_max": _q_bm25_dis_max,
         "bm25_fuzzy": _q_bm25_fuzzy,
         "bm25_boosted": _q_bm25_boosted,
         "bm25_synonyms": _q_bm25_synonyms,
@@ -2200,6 +2223,11 @@ def _date_histogram_oracle() -> str:
                               _transcript_arms())
 
 
+def _mbp(text: str) -> str:
+    from opensearch_jvector_ray.analyze import mbp_rewrite
+    return mbp_rewrite(text)
+
+
 def _date_range_oracle() -> str:
     from opensearch_jvector_ray.sources.tables import TRANSCRIPTS_CFG
     return date_range_sql(TRANSCRIPT_QUERIES, FACET_MIN_SCORE,
@@ -2321,6 +2349,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_boosted": boosted_sql(BOOSTED_QUERIES, BM25_K, CFG),
         "bm25_synonyms": synonym_sql(SYN_QUERIES, SYNONYMS, BM25_K, CFG),
         "bm25_prefix": prefix_sql(PREFIX_QUERIES, BM25_K, CFG),
+        "bm25_match_bool_prefix": prefix_sql(
+            {q: _mbp(t) for q, t in MBP_QUERIES.items()}, BM25_K, CFG),
+        "bm25_dis_max": dis_max_sql(DIS_MAX_QUERIES, BM25_K,
+                                    DIS_MAX_TIE, CFG),
         "bm25_fuzzy": fuzzy_sql(FUZZY_QUERIES, BM25_K, CFG,
                                 max_edits=FUZZY_MAX_EDITS),
         "bm25_facets": facet_sql(BM25_QUERIES, FACET_MIN_SCORE,

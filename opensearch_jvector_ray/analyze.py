@@ -184,6 +184,21 @@ def parse_boosted_query(text: str, cfg: EngineConfig,
     return [(t, weights[t]) for t in order]
 
 
+def mbp_rewrite(text: str) -> str:
+    """match_bool_prefix rewrite [OpenSearch match_bool_prefix public
+    semantics]: the LAST whitespace chunk matches as a prefix, earlier
+    chunks as regular terms — i.e. "a b c" -> "a b c*", then the
+    standard trailing-wildcard path.  ONE shared rewrite consumed by
+    both the engine (match_bool_prefix) and the generated oracle, so
+    the clause split can never drift."""
+    chunks = text.split()
+    if not chunks:
+        return text
+    if not chunks[-1].endswith("*"):
+        chunks[-1] += "*"
+    return " ".join(chunks)
+
+
 def parse_prefix_query(text: str, cfg: EngineConfig,
                        ) -> tuple[list[tuple[str, int]], list[str]]:
     """Lucene query-string style trailing-wildcard parsing: a whitespace

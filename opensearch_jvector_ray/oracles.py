@@ -873,6 +873,69 @@ GROUP BY h.query_id ORDER BY h.query_id
 """
 
 
+def dis_max_sql(queries: dict[str, list[str]], k: int,
+                tie_breaker: float, cfg: EngineConfig,
+                table: str = "documents", id_col: str = "doc_id",
+                text_col: str = "text") -> str:
+    """Oracle for IndexSearcher.dis_max: one radial BM25 CTE per
+    (query, subquery), FULL-OUTER-joined per query on the doc key,
+    combined with the engine's formula in the engine's
+    SEQUENTIAL-subquery-index fp chain (greatest + left-assoc sum),
+    ranked (score__raw DESC, key ASC), round-6 output."""
+    ctes, per_gid = [], []
+    for g, (gid, subs) in enumerate(sorted(queries.items())):
+        aliases = []
+        for i, text in enumerate(subs):
+            alias = f"g{g}s{i}"
+            inner = bm25_sql({gid: text}, 0, cfg, table=table,
+                             id_col=id_col, text_col=text_col,
+                             min_score=1e-300, emit_raw=True)
+            ctes.append(f"{alias} AS ({inner})")
+            aliases.append(alias)
+        joined = (f"SELECT {aliases[0]}.query_id AS query_id, "
+                  f"{aliases[0]}.{id_col} AS {id_col}, "
+                  f"coalesce({aliases[0]}.score__raw, 0.0) AS s0 "
+                  f"FROM {aliases[0]}")
+        for i in range(1, len(aliases)):
+            prev = ", ".join(f"coalesce(j.s{jj}, 0.0) AS s{jj}"
+                             for jj in range(i))
+            joined = f"""SELECT coalesce(j.query_id, {aliases[i]}.query_id) AS query_id,
+       coalesce(j.{id_col}, {aliases[i]}.{id_col}) AS {id_col},
+       {prev},
+       coalesce({aliases[i]}.score__raw, 0.0) AS s{i}
+FROM ({joined}) j FULL OUTER JOIN {aliases[i]}
+  ON j.query_id = {aliases[i]}.query_id
+ AND j.{id_col} = {aliases[i]}.{id_col}"""
+        svars = [f"s{i}" for i in range(len(subs))]
+        total = " + ".join(svars)    # the engine's sequential chain
+        best = (f"greatest({', '.join(svars)})" if len(svars) > 1
+                else svars[0])
+        score = (f"({best} + {float(tie_breaker)!r} "
+                 f"* (({total}) - {best}))")
+        per_gid.append(
+            f"SELECT query_id, {id_col}, {score} AS score__raw "
+            f"FROM ({joined})")
+    cte_block = ",\n".join(ctes)
+    scored = "\n  UNION ALL\n".join(per_gid)
+    return f"""
+WITH {cte_block},
+scored AS (
+{scored}
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score__raw DESC, {id_col} ASC
+                           ) AS rank,
+         {id_col}, score__raw
+  FROM scored
+)
+SELECT query_id, rank, {id_col}, round(score__raw, 6) AS score
+FROM ranked WHERE rank <= {int(k)}
+ORDER BY query_id, rank
+"""
+
+
 def adjacency_matrix_sql(queries: dict[str, str], min_score: float,
                          filters: dict[str, dict], cfg: EngineConfig,
                          table: str = "documents",

@@ -1102,6 +1102,41 @@ class SegmentSearcher:
                 out_ord.append(ords)
                 out_sc.append(scores)
                 continue
+            if mode == "dismax":
+                # DisjunctionMaxQuery over arbitrary subqueries on ONE
+                # index [Lucene DisMaxQuery public semantics]:
+                # score = best + tie * (total - best), combined PER
+                # SEGMENT over dense subquery score arrays (doc-local
+                # formula => per-segment combine is exact; nothing
+                # match-set-sized leaves the task).  fp rule: total is
+                # the SEQUENTIAL subquery-index chain s0 + s1 + ...
+                # (subquery count capped at 8 so the SQL left-assoc
+                # chain matches), best is exact elementwise max.
+                subs = q["sub_terms"]
+                arr = np.zeros((len(subs), n_docs), dtype=np.float64)
+                for i, st in enumerate(subs):
+                    for (t, w, idf) in st:
+                        if t not in decoded:
+                            continue
+                        o2, tfs = decoded[t]
+                        arr[i, o2] += w * idf * bm25_tf_part(
+                            tfs, dl[o2], self.avgdl, self.k1, self.b)
+                best = arr[0].copy()
+                for i in range(1, len(subs)):
+                    np.maximum(best, arr[i], out=best)
+                total = arr[0].copy()
+                for i in range(1, len(subs)):
+                    total = total + arr[i]
+                scores = best + p["dismax_tie"] * (total - best)
+                if mask is not None:
+                    best[~mask] = 0.0
+                candidates = np.flatnonzero(best > 0.0)
+                ords, scores = _topk_from_scores(scores, candidates,
+                                                 q["k"], tie)
+                out_qid.extend([q["query_id"]] * len(ords))
+                out_ord.append(ords)
+                out_sc.append(scores)
+                continue
             terms = [(t, w, idf) for (t, w, idf) in q["terms"] if t in rows]
             if not terms:
                 continue
@@ -1908,6 +1943,99 @@ class IndexSearcher:
             tw_map[qid] = [(t, weights[t]) for t in order]
         return self.search(queries, k=k, term_weights=tw_map,
                            **search_kwargs)
+
+    def match_bool_prefix(self, queries: dict[str, str],
+                          k: int | None = None,
+                          max_expansions: int = 50,
+                          **search_kwargs) -> pd.DataFrame:
+        """match_bool_prefix query [OpenSearch match_bool_prefix public
+        semantics]: every analyzed term matches normally except the
+        LAST, which matches as a prefix (the non-phrase sibling of
+        match_phrase_prefix — terms may appear anywhere, no position
+        constraint).  Implemented as the shared ``mbp_rewrite``
+        ("a b c" -> "a b c*") feeding the standard prefix_search path;
+        the oracle applies the identical rewrite."""
+        from opensearch_jvector_ray.analyze import mbp_rewrite
+        return self.prefix_search(
+            {qid: mbp_rewrite(t) for qid, t in queries.items()},
+            k=k, max_expansions=max_expansions, **search_kwargs)
+
+    def dis_max(self, queries: dict[str, list[str]],
+                k: int | None = None, tie_breaker: float = 0.0,
+                concurrency: int | None = None) -> pd.DataFrame:
+        """Generic DisjunctionMaxQuery [Lucene dis_max public
+        semantics]: each output query is a LIST of subquery strings over
+        THIS index; per doc, score = best subquery score + tie_breaker x
+        (sum of the rest).  The per-field form is ``multi_match``
+        best_fields; this is the arbitrary-subquery sibling.
+
+        Combined inside each segment task over dense per-subquery score
+        arrays (the formula is doc-local, so per-segment combine +
+        bounded top-k is exact — nothing match-set-sized ships).
+        fp rules shared with the generated oracle: each subquery score
+        is the standard analyzed-term-order BM25 sum; total is the
+        sequential subquery-index chain; best is exact max; ONE
+        fused multiply-add.  Subquery count capped at 8 (keeps the
+        numpy sequential sum == the SQL left-assoc chain)."""
+        cfg = self.cfg
+        if not (0.0 <= tie_breaker <= 1.0):
+            raise ValueError("tie_breaker must be in [0, 1]")
+        for gid, subs in queries.items():
+            if not isinstance(subs, (list, tuple)) or not subs:
+                raise ValueError(f"dis_max query {gid!r} needs a "
+                                 "non-empty subquery list")
+            if len(subs) > 8:
+                raise ValueError("dis_max supports at most 8 subqueries "
+                                 "(documented fp-chain bound)")
+            if "\x1f" in gid:
+                raise ValueError("query ids must not contain \\x1f")
+        k = k or cfg.default_k
+        if k > cfg.max_k:
+            raise ValueError(f"k={k} exceeds max_k={cfg.max_k}")
+        from opensearch_jvector_ray.state import metrics
+        metrics.incr({metrics.QUERY_REQUESTS: len(queries)})
+        flat = {f"{gid}\x1f{i}": t
+                for gid, subs in sorted(queries.items())
+                for i, t in enumerate(subs)}
+        prepared, union = self._prepare(flat, k)
+        by_id = {q["query_id"]: q for q in prepared}
+        grouped = []
+        for gid, subs in sorted(queries.items()):
+            grouped.append({
+                "query_id": gid, "k": k,
+                "sub_terms": [by_id[f"{gid}\x1f{i}"]["terms"]
+                              for i in range(len(subs))],
+            })
+        key_types = []
+        if self.seg_dirs:
+            docs_schema = pq.read_schema(
+                os.path.join(self.seg_dirs[0], DOCS_NAME))
+            key_types = [(kc, docs_schema.field(kc).type)
+                         for kc in self.key_cols]
+        payload = {
+            "queries": grouped, "union_terms": union, "mode": "dismax",
+            "codec": cfg.codec, "block_size": cfg.block_size,
+            "k1": cfg.k1, "b": cfg.b,
+            "avgdl": float(self.stats["avgdl"] or 1.0),
+            "filter": None, "rescore_oversample": None,
+            "key_types": key_types,
+            "first_pass_k": cfg.first_pass_k,
+            "min_score": None,
+            "dismax_tie": float(tie_breaker),
+        }
+        cols = ["query_id", *self.key_cols, "score"]
+        if not union or not self.seg_dirs:
+            return self._finalize(pd.DataFrame(columns=cols), k, None)
+        seg_ds = rd.from_items([{"seg_dir": d} for d in self.seg_dirs])
+        extra = {"concurrency": concurrency} if concurrency else {}
+        hits = seg_ds.map_batches(
+            _search_segments_task, fn_kwargs={"payload": payload},
+            batch_format="pyarrow", batch_size=1, **extra)
+        frames = [b.to_pandas()
+                  for b in hits.iter_batches(batch_format="pyarrow")]
+        df = pd.concat(frames, ignore_index=True) if frames else \
+            pd.DataFrame(columns=cols)
+        return self._finalize(df, k, None)
 
     def fuzzy_search(self, queries: dict[str, str], k: int | None = None,
                      max_edits: int = 1, prefix_length: int = 0,

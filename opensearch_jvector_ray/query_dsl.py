@@ -99,6 +99,10 @@ Supported bodies (one top-level clause per query):
                       "ranges": [[key, iso|null, iso|null], ...]}}
     {"match_phrase_prefix": {"query": "fast mer", "k": 10,
                 "max_expansions": 50}}     # phrase + last-term prefix
+    {"match_bool_prefix": {"query": "fast mer", "k": 10,
+                "max_expansions": 50}}     # terms + last-term prefix
+    {"dis_max":  {"queries": ["...", ...], "k": 10,
+                "tie_breaker": f}}  # max over subqueries + tie * rest
     {"regexp":   {"value": "s.*t", "k": 10, "max_expansions": 50}}
     {"wildcard": {"value": "cust*", "k": 10}}  # * / ? patterns
     {"query_string": {"query": "fast^2 merge", "k": 10}}  # term boosts
@@ -163,6 +167,8 @@ _ADJ_FIELDS = {"query", "filters", "min_score"}
 _STRING_STATS_FIELDS = {"query", "field", "min_score"}
 _MATRIX_FIELDS = {"query", "fields", "min_score"}
 _DATE_RANGE_FIELDS = {"query", "field", "ranges", "min_score"}
+_MBP_FIELDS = {"query", "k", "max_expansions"}
+_DIS_MAX_FIELDS = {"queries", "k", "tie_breaker"}
 _MODES = {"taat", "wand", "rescore", "phrase"}
 _METRICS = {"cosine", "l2", "innerproduct", "l1", "linf", "hamming"}
 
@@ -658,6 +664,26 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
         else:
             out["n"] = int(spec.get("n", 3))
         return out
+    if clause == "match_bool_prefix":
+        _require_known(clause, spec, _MBP_FIELDS)
+        if not isinstance(spec.get("query"), str) or not spec["query"]:
+            raise ValueError("[match_bool_prefix] needs a non-empty "
+                             "'query'")
+        return {"type": "match_bool_prefix", "query": spec["query"],
+                "k": int(spec.get("k", 10)),
+                "max_expansions": int(spec.get("max_expansions", 50))}
+    if clause == "dis_max":
+        _require_known(clause, spec, _DIS_MAX_FIELDS)
+        qs = spec.get("queries")
+        if (not isinstance(qs, list) or not qs or len(qs) > 8
+                or not all(isinstance(q, str) and q for q in qs)):
+            raise ValueError("[dis_max] needs 'queries': [str, ...] "
+                             "(1-8 non-empty subqueries)")
+        tb = float(spec.get("tie_breaker", 0.0))
+        if not (0.0 <= tb <= 1.0):
+            raise ValueError("[dis_max] tie_breaker must be in [0, 1]")
+        return {"type": "dis_max", "queries": list(qs),
+                "k": int(spec.get("k", 10)), "tie_breaker": tb}
     if clause == "match_phrase_prefix":
         _require_known(clause, spec, _MPP_FIELDS)
         if not isinstance(spec.get("query"), str) or not spec["query"]:
@@ -741,6 +767,18 @@ def execute_query(body: dict[str, Any], *, searcher=None, vector_ds=None,
         return searcher.more_like_this(
             {query_id: spec["like"]}, k=spec["k"],
             max_query_terms=spec["max_query_terms"])
+    if spec["type"] == "match_bool_prefix":
+        if searcher is None:
+            raise ValueError("[match_bool_prefix] needs searcher=")
+        return searcher.match_bool_prefix(
+            {query_id: spec["query"]}, k=spec["k"],
+            max_expansions=spec["max_expansions"])
+    if spec["type"] == "dis_max":
+        if searcher is None:
+            raise ValueError("[dis_max] needs searcher=")
+        return searcher.dis_max({query_id: spec["queries"]},
+                                k=spec["k"],
+                                tie_breaker=spec["tie_breaker"])
     if spec["type"] == "match_phrase_prefix":
         if searcher is None:
             raise ValueError("[match_phrase_prefix] needs searcher=")

@@ -387,6 +387,72 @@ def test_new_agg_dsl_equivalence(idx):
                                         "min_score": MS, "bogus": 1}})
 
 
+def test_match_bool_prefix(idx):
+    from opensearch_jvector_ray.analyze import mbp_rewrite
+    s = IndexSearcher(idx)
+    # rewrite rule: star the LAST chunk only
+    assert mbp_rewrite("alpha ga") == "alpha ga*"
+    assert mbp_rewrite("alpha ga*") == "alpha ga*"
+    assert mbp_rewrite("") == ""
+    out = s.match_bool_prefix({"q": "alpha ga"}, k=20)
+    want = s.prefix_search({"q": "alpha ga*"}, k=20)
+    pd.testing.assert_frame_equal(out, want)
+    # the prefix expands: docs matching only 'gamma' (no alpha) are hits
+    ids = set(out["doc_id"])
+    gamma_only = [i for i, t in enumerate(TEXTS)
+                  if "gamma" in t and "alpha" not in t]
+    assert ids & set(gamma_only)
+    # DSL
+    from opensearch_jvector_ray.query_dsl import execute_query
+    got = execute_query({"match_bool_prefix": {"query": "alpha ga",
+                                               "k": 20}}, searcher=s)
+    pd.testing.assert_frame_equal(got, out)
+
+
+def test_dis_max_combines_subqueries(idx):
+    s = IndexSearcher(idx)
+    subs = ["alpha beta", "gamma delta"]
+    tie = 0.3
+    out = s.dis_max({"q": subs}, k=40, tie_breaker=tie)
+    # brute force: radial score per subquery, combine per doc
+    per = []
+    for t in subs:
+        h = s.search({"q": t}, min_score=1e-300)
+        per.append(dict(zip(h["doc_id"], h["score"])))
+    ids = sorted(set().union(*[set(p) for p in per]))
+    rows = []
+    for d in ids:
+        ss = [p.get(d, 0.0) for p in per]
+        best = max(ss)
+        total = ss[0]
+        for v in ss[1:]:
+            total = total + v
+        rows.append((d, best + tie * (total - best)))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    want_ids = [d for d, _ in rows[:40]]
+    assert list(out["doc_id"]) == want_ids
+    for (d, sc), got_sc in zip(rows[:40], out["score"]):
+        assert abs(sc - got_sc) < 1e-9
+    # tie_breaker=1.0 degenerates to the plain sum of subqueries
+    full = s.dis_max({"q": subs}, k=40, tie_breaker=1.0)
+    plain = s.search({"q": "alpha beta gamma delta"}, k=40)
+    assert list(full["doc_id"]) == list(plain["doc_id"])
+    # validation
+    with pytest.raises(ValueError, match="tie_breaker"):
+        s.dis_max({"q": subs}, tie_breaker=1.5)
+    with pytest.raises(ValueError, match="non-empty"):
+        s.dis_max({"q": []})
+    with pytest.raises(ValueError, match="at most 8"):
+        s.dis_max({"q": ["a"] * 9})
+    # DSL
+    from opensearch_jvector_ray.query_dsl import execute_query, parse_query
+    got = execute_query({"dis_max": {"queries": subs, "k": 40,
+                                     "tie_breaker": tie}}, searcher=s)
+    pd.testing.assert_frame_equal(got, out)
+    with pytest.raises(ValueError, match="queries"):
+        parse_query({"dis_max": {"queries": [], "k": 5}})
+
+
 def test_bucket_script_percent_of_total(idx):
     s = IndexSearcher(idx)
     base = s.date_histogram_agg(Q, ts_col="ts", calendar_interval="hour",
