@@ -30,7 +30,7 @@ from opensearch_jvector_ray.oracles import (
     filter_spec_sql, function_score_mul_sql,
     cardinality_sql, percentiles_sql, significant_terms_sql,
     filters_agg_sql, terms_stats_sql, composite_sql, multi_match_sql,
-    dis_max_sql,
+    dis_max_sql, span_first_sql,
     multi_terms_sql, rare_terms_sql, extended_stats_sql,
     weighted_avg_sql, bucket_metric_sql, adjacency_matrix_sql,
     string_stats_sql, matrix_stats_sql, date_range_sql,
@@ -619,6 +619,9 @@ MULTI_MATCH_TIE = 0.3
 SPAN_QUERIES = {"s1": "fast sort", "s2": "data join",
                 "s3": "customer scan"}
 SPAN_SLOP = 3
+SPAN_FIRST_END = 5
+SPAN_FIRST_QUERIES = {"sf1": "fast merge", "sf2": "data query",
+                      "sf3": "customer"}
 CONST_SCORE = 1.7
 BOOSTING_NEG = {"q1": "data window", "q2": "sort", "q3": "merge",
                 "q4": "query"}
@@ -903,6 +906,15 @@ def _q_bm25_synonyms(sf_dir: str) -> pd.DataFrame:
     # df = max of member dfs — saturation, not disjunction stacking
     s = IndexSearcher(documents_index(sf_dir))
     return _round_hits(s.synonym_search(SYN_QUERIES, SYNONYMS, k=BM25_K))
+
+
+def _q_bm25_span_first(sf_dir: str) -> pd.DataFrame:
+    # span_first: occurrences count only inside the doc's first
+    # SPAN_FIRST_END pre-stopword tokens (Lucene SpanFirstQuery shape)
+    s = IndexSearcher(documents_index(sf_dir))
+    return _round_hits(s.search(SPAN_FIRST_QUERIES, k=BM25_K,
+                                mode="span_first",
+                                span_end=SPAN_FIRST_END))
 
 
 def _q_bm25_match_bool_prefix(sf_dir: str) -> pd.DataFrame:
@@ -2020,6 +2032,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_eval_mrr": _q_rank_eval_mrr,
         "bm25_more_like_this": _q_bm25_mlt,
         "bm25_prefix": _q_bm25_prefix,
+        "bm25_span_first": _q_bm25_span_first,
         "bm25_match_bool_prefix": _q_bm25_match_bool_prefix,
         "bm25_dis_max": _q_bm25_dis_max,
         "bm25_fuzzy": _q_bm25_fuzzy,
@@ -2349,6 +2362,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_boosted": boosted_sql(BOOSTED_QUERIES, BM25_K, CFG),
         "bm25_synonyms": synonym_sql(SYN_QUERIES, SYNONYMS, BM25_K, CFG),
         "bm25_prefix": prefix_sql(PREFIX_QUERIES, BM25_K, CFG),
+        "bm25_span_first": span_first_sql(SPAN_FIRST_QUERIES, BM25_K,
+                                          CFG, end=SPAN_FIRST_END),
         "bm25_match_bool_prefix": prefix_sql(
             {q: _mbp(t) for q, t in MBP_QUERIES.items()}, BM25_K, CFG),
         "bm25_dis_max": dis_max_sql(DIS_MAX_QUERIES, BM25_K,

@@ -1907,6 +1907,76 @@ FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
 """
 
 
+def span_first_sql(queries: dict[str, str], k: int, cfg: EngineConfig,
+                   end: int, table: str = "documents",
+                   id_col: str = "doc_id", text_col: str = "text") -> str:
+    """Oracle for search(mode='span_first')
+    (query.SegmentSearcher._span_first mirror): a term occurrence
+    counts only inside the document's first ``end`` PRE-stopword tokens
+    (engine positions 0..end-1 == SQL list slice toks[1:end]); per term
+    tf_first drives the standard match-query contribution, summed in
+    analyzed first-appearance order (ordered aggregate == the engine's
+    sequential term loop).  Terms/weights come from the engine's own
+    ``query_term_weights``."""
+    from opensearch_jvector_ray.analyze import query_term_weights
+    pat = sql_quote(cfg.split_pattern)
+    per_query = []
+    for qid, text in sorted(queries.items()):
+        tw = query_term_weights(text, cfg)
+        arms = []
+        for j, (t, w) in enumerate(tw):
+            arms.append(f"""
+  SELECT p.{id_col}, {j} AS term_idx,
+         {float(w)!r} * (SELECT idf FROM idf WHERE term = {sql_quote(t)})
+         * (p.tf / (p.tf + {cfg.k1!r} * (1.0 - {cfg.b!r} + {cfg.b!r} * dl.dl / (SELECT avgdl FROM stats)))) AS contrib
+  FROM (
+    SELECT {id_col}, count(*)::DOUBLE AS tf
+    FROM (SELECT {id_col}, unnest(toks[1:{int(end)}]) AS tok
+          FROM tokpos) u
+    WHERE tok = {sql_quote(t)}
+    GROUP BY {id_col}
+  ) p JOIN dl ON dl.{id_col} = p.{id_col}""")
+        arm_union = "\n  UNION ALL\n".join(arms)
+        per_query.append(f"""
+SELECT {sql_quote(qid)} AS query_id, x.{id_col},
+       sum(x.contrib ORDER BY x.term_idx) AS score__raw
+FROM (
+{arm_union}
+) x GROUP BY x.{id_col}""")
+    union = "\nUNION ALL\n".join(per_query)
+    return f"""
+WITH {toks_cte(cfg, table, id_col, text_col)},
+tokpos AS (
+  SELECT {id_col},
+         list_filter(regexp_split_to_array(lower({text_col}), {pat}),
+                     x -> x <> '') AS toks
+  FROM {table}
+),
+dl AS (
+  SELECT {id_col}, count(*)::DOUBLE AS dl FROM toks GROUP BY {id_col}
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl
+),
+idf AS (
+  SELECT term,
+         ln(1.0 + ((SELECT n FROM stats) - count(DISTINCT {id_col}) + 0.5)
+                  / (count(DISTINCT {id_col}) + 0.5)) AS idf
+  FROM toks GROUP BY term
+),
+scores AS ({union}),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score__raw DESC, {id_col} ASC) AS rank,
+         {id_col}, score__raw
+  FROM scores
+)
+SELECT query_id, rank, {id_col}, round(score__raw, 6) AS score
+FROM ranked WHERE rank <= {int(k)} ORDER BY query_id, rank
+"""
+
+
 def phrase_prefix_sql(queries: dict[str, str], k: int, cfg: EngineConfig,
                       max_expansions: int = 50, table: str = "documents",
                       id_col: str = "doc_id", text_col: str = "text") -> str:

@@ -1151,6 +1151,11 @@ class SegmentSearcher:
                 ords, scores = self._span_near(q["terms"], rows, dl,
                                                mask, q["k"], p["slop"],
                                                tie)
+            elif mode == "span_first":
+                # any qualifying term matches — use the present subset
+                ords, scores = self._span_first(terms, rows, dl, mask,
+                                                q["k"], p["span_end"],
+                                                tie)
             elif mode == "wand":
                 cursors = [_TermCursor(rows[t], w * idf, self.k1, self.b,
                                        self.avgdl,
@@ -1292,6 +1297,40 @@ class SegmentSearcher:
         scores = np.zeros(len(dl), dtype=np.float64)
         scores[cand_ords] = sc
         return _topk_from_scores(scores, cand_ords, k, tie)
+
+    def _span_first(self, terms, rows, dl, mask, k, end, tie=None):
+        """Span-first scoring [Lucene SpanFirstQuery-shaped; rule
+        defined here and mirrored by the SQL oracle]: a term occurrence
+        counts only if its position (PRE-stopword axis, 0-based) is
+        < ``end`` — i.e. the match must sit inside the document's first
+        ``end`` tokens.  Per term, tf_first = number of qualifying
+        occurrences; score = the standard match-query sum over analyzed
+        terms with tf_first in place of tf (terms with no qualifying
+        occurrence contribute nothing; a doc matches if ANY term
+        qualifies).  Vectorized: one cumsum of (pos < end) per term +
+        ragged-offset differences — no per-doc loop."""
+        from opensearch_jvector_ray.postings import decode_positions
+        n_docs = len(dl)
+        scores = np.zeros(n_docs, dtype=np.float64)
+        for (t, w, idf) in terms:    # analyzed first-appearance order
+            r = rows[t]
+            ords, tfs = decode_posting_list(
+                r["ords_enc"], r["tfs_enc"],
+                codec=self.p.get("codec", "varint"), df=r["df"],
+                block_size=self.p.get("block_size", 128),
+                blk_n=r.get("blk_n"))
+            flat, offs = decode_positions(r["pos_enc"], tfs)
+            c = np.concatenate([[0], np.cumsum(flat < end)])
+            cnt = (c[offs[1:]] - c[offs[:-1]]).astype(np.float64)
+            nz = cnt > 0.0
+            if nz.any():
+                sel = ords[nz]
+                scores[sel] += w * idf * bm25_tf_part(
+                    cnt[nz], dl[sel], self.avgdl, self.k1, self.b)
+        if mask is not None:
+            scores[~mask] = 0.0
+        candidates = np.flatnonzero(scores > 0.0)
+        return _topk_from_scores(scores, candidates, k, tie)
 
     def _span_near(self, terms, rows, dl, mask, k, slop, tie=None):
         """Unordered proximity scoring [Lucene SpanNearQuery-shaped;
@@ -3185,6 +3224,7 @@ class IndexSearcher:
                score_fn: dict | None = None,
                sort: tuple[str, str] | None = None,
                slop: int = 0,
+               span_end: int | None = None,
                negative: dict[str, str] | None = None,
                negative_boost: float = 0.5,
                const_score: float | None = None) -> pd.DataFrame:
@@ -3246,6 +3286,11 @@ class IndexSearcher:
             raise ValueError("slop must be >= 0")
         if slop and mode != "span":
             raise ValueError("slop applies to mode='span' only")
+        if (span_end is None) != (mode != "span_first"):
+            raise ValueError("span_end is required by (and only by) "
+                             "mode='span_first'")
+        if span_end is not None and span_end < 1:
+            raise ValueError("span_end must be >= 1")
         if score_fn is not None and (mode != "taat"
                                      or rescore_oversample is not None):
             raise ValueError("score_fn (function_score) requires plain "
@@ -3325,6 +3370,8 @@ class IndexSearcher:
             "min_score": min_score,
             "msm": minimum_should_match,
             "slop": int(slop),
+            "span_end": (int(span_end) if span_end is not None
+                         else None),
             "neg": neg_terms,
             "negative_boost": float(negative_boost),
             "const": (float(const_score) if const_score is not None

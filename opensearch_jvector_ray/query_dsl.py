@@ -62,6 +62,8 @@ Supported bodies (one top-level clause per query):
     {"span_near":    {"query": "...", "k": 10, "slop": n}}
                  # unordered proximity: all terms within a width
                  # (n_terms + slop) window on the position axis
+    {"span_first":   {"query": "...", "end": n, "k": 10}}
+                 # occurrences count only in the first n positions
     {"cardinality":  {"query": "...", "field": col, "min_score": f}}
     {"percentiles":  {"query": "...", "field": col, "min_score": f,
                       "percents": [0.25, 0.5, ...]}}
@@ -169,6 +171,7 @@ _MATRIX_FIELDS = {"query", "fields", "min_score"}
 _DATE_RANGE_FIELDS = {"query", "field", "ranges", "min_score"}
 _MBP_FIELDS = {"query", "k", "max_expansions"}
 _DIS_MAX_FIELDS = {"queries", "k", "tie_breaker"}
+_SPAN_FIRST_FIELDS = {"query", "end", "k"}
 _MODES = {"taat", "wand", "rescore", "phrase"}
 _METRICS = {"cosine", "l2", "innerproduct", "l1", "linf", "hamming"}
 
@@ -664,6 +667,14 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
         else:
             out["n"] = int(spec.get("n", 3))
         return out
+    if clause == "span_first":
+        _require_known(clause, spec, _SPAN_FIRST_FIELDS)
+        if not isinstance(spec.get("query"), str) or not spec["query"]:
+            raise ValueError("[span_first] needs a non-empty 'query'")
+        if int(spec.get("end", 0)) < 1:
+            raise ValueError("[span_first] needs 'end' >= 1")
+        return {"type": "span_first", "query": spec["query"],
+                "end": int(spec["end"]), "k": int(spec.get("k", 10))}
     if clause == "match_bool_prefix":
         _require_known(clause, spec, _MBP_FIELDS)
         if not isinstance(spec.get("query"), str) or not spec["query"]:
@@ -767,6 +778,11 @@ def execute_query(body: dict[str, Any], *, searcher=None, vector_ds=None,
         return searcher.more_like_this(
             {query_id: spec["like"]}, k=spec["k"],
             max_query_terms=spec["max_query_terms"])
+    if spec["type"] == "span_first":
+        if searcher is None:
+            raise ValueError("[span_first] needs searcher=")
+        return searcher.search({query_id: spec["query"]}, k=spec["k"],
+                               mode="span_first", span_end=spec["end"])
     if spec["type"] == "match_bool_prefix":
         if searcher is None:
             raise ValueError("[match_bool_prefix] needs searcher=")

@@ -453,6 +453,40 @@ def test_dis_max_combines_subqueries(idx):
         parse_query({"dis_max": {"queries": [], "k": 5}})
 
 
+def test_span_first(idx):
+    s = IndexSearcher(idx)
+    # degenerate identity: end >= every doc length == the plain match
+    wide = s.search({"q": "alpha delta"}, k=40, mode="span_first",
+                    span_end=100)
+    plain = s.search({"q": "alpha delta"}, k=40)
+    pd.testing.assert_frame_equal(wide, plain)
+    # end=1: only docs whose FIRST token is a query term match
+    first = s.search({"q": "alpha delta"}, k=40, mode="span_first",
+                     span_end=1)
+    ids = set(first["doc_id"])
+    want = {i for i, t in enumerate(TEXTS)
+            if t.split()[0] in ("alpha", "delta")}
+    assert ids == want
+    # tighter window can only shrink the match set
+    assert ids <= set(plain["doc_id"]) | set(
+        i for i, t in enumerate(TEXTS)
+        if "alpha" in t or "delta" in t)
+    # validation: span_end required by (and only by) span_first
+    with pytest.raises(ValueError, match="span_end"):
+        s.search({"q": "alpha"}, mode="span_first")
+    with pytest.raises(ValueError, match="span_end"):
+        s.search({"q": "alpha"}, span_end=3)
+    with pytest.raises(ValueError, match="span_end"):
+        s.search({"q": "alpha"}, mode="span_first", span_end=0)
+    # DSL
+    from opensearch_jvector_ray.query_dsl import execute_query, parse_query
+    got = execute_query({"span_first": {"query": "alpha delta",
+                                        "end": 1, "k": 40}}, searcher=s)
+    pd.testing.assert_frame_equal(got, first)
+    with pytest.raises(ValueError, match="end"):
+        parse_query({"span_first": {"query": "a"}})
+
+
 def test_bucket_script_percent_of_total(idx):
     s = IndexSearcher(idx)
     base = s.date_histogram_agg(Q, ts_col="ts", calendar_interval="hour",
