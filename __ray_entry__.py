@@ -846,6 +846,19 @@ def _q_bm25_max_bucket(sf_dir: str) -> pd.DataFrame:
                                min_score=FACET_MIN_SCORE)
 
 
+def _q_bucket_metric(metric: str):
+    # sum/avg/min_bucket share the max/stats machinery; each metric is
+    # its own hard gate (CLAUDE.md: every SQL-expressible operator)
+    def fn(sf_dir: str) -> pd.DataFrame:
+        from opensearch_jvector_ray.sources.tables import transcripts_index
+        s = IndexSearcher(transcripts_index(sf_dir))
+        return s.bucket_metric_agg(TRANSCRIPT_QUERIES, ts_col="ts",
+                                   calendar_interval=DATE_HIST_INTERVAL,
+                                   metric=metric,
+                                   min_score=FACET_MIN_SCORE)
+    return fn
+
+
 def _q_bm25_stats_bucket(sf_dir: str) -> pd.DataFrame:
     # stats_bucket sibling pipeline agg: bucket_count/min/max/sum/avg
     # reduced over the date_histogram doc_counts, one row per query
@@ -2019,6 +2032,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_bucket_selector": _q_bm25_bucket_selector,
         "bm25_bucket_script": _q_bm25_bucket_script,
         "bm25_max_bucket": _q_bm25_max_bucket,
+        "bm25_min_bucket": _q_bucket_metric("min_bucket"),
+        "bm25_sum_bucket": _q_bucket_metric("sum_bucket"),
+        "bm25_avg_bucket": _q_bucket_metric("avg_bucket"),
         "bm25_stats_bucket": _q_bm25_stats_bucket,
         "bm25_multi_terms": _q_bm25_multi_terms,
         "bm25_rare_terms": _q_bm25_rare_terms,
@@ -2332,6 +2348,9 @@ def oracle_sql() -> dict[str, str]:
             "bucket_selector", sel_op="gte", sel_val=5),
         "bm25_bucket_script": _date_histogram_oracle_p("bucket_script"),
         "bm25_max_bucket": _bucket_metric_oracle("max_bucket"),
+        "bm25_min_bucket": _bucket_metric_oracle("min_bucket"),
+        "bm25_sum_bucket": _bucket_metric_oracle("sum_bucket"),
+        "bm25_avg_bucket": _bucket_metric_oracle("avg_bucket"),
         "bm25_stats_bucket": _bucket_metric_oracle("stats_bucket"),
         "bm25_multi_terms": multi_terms_sql(
             BM25_QUERIES, FACET_MIN_SCORE, MULTI_TERMS_FIELDS, CFG,

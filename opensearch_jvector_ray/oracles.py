@@ -977,7 +977,9 @@ def string_stats_sql(queries: dict[str, str], min_score: float,
     count / min / max / sum of unicode lengths + the single avg
     division; the libm entropy column is pytest-gated and excluded
     here).  Nulls excluded on both sides (count(col) / the engine's
-    drop_null)."""
+    drop_null); a query whose whole match set is NULL-valued emits NO
+    row on either side (HAVING count > 0 == the engine's empty-partial
+    omission)."""
     inner = bm25_sql(queries, 0, cfg, table=table, id_col=id_col,
                      text_col=text_col, min_score=min_score)
     return f"""
@@ -988,7 +990,9 @@ SELECT h.query_id, count(d.{field})::BIGINT AS doc_count,
        sum(length(d.{field}))::BIGINT::DOUBLE
          / count(d.{field})::BIGINT::DOUBLE AS avg_length
 FROM ({inner}) h JOIN {table} d USING ({id_col})
-GROUP BY h.query_id ORDER BY h.query_id
+GROUP BY h.query_id
+HAVING count(d.{field}) > 0
+ORDER BY h.query_id
 """
 
 

@@ -528,8 +528,7 @@ def _agg_partial(agg: dict, docs: pa.Table, ords: np.ndarray,
         # partial — still order-free integer arithmetic, one row per
         # segment (int64 range assumed: |v|^2 x doc_count < 2^63,
         # documented like the stats kind)
-        v = docs[agg["col"]].take(pa.array(ords)) \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
+        v = vals.to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({
             "query_id": pa.array([qid], type=pa.string()),
             "doc_count": pa.array([len(v)], type=pa.int64()),
@@ -542,10 +541,8 @@ def _agg_partial(agg: dict, docs: pa.Table, ords: np.ndarray,
         # weighted_avg partial [OpenSearch weighted_avg-agg public
         # semantics]: integer (sum(v*w), sum(w)) per segment; the ONE
         # division happens once on the driver (int64 range assumed)
-        take = pa.array(ords)
-        v = docs[agg["col"]].take(take) \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
-        w = docs[agg["w_col"]].take(take) \
+        v = vals.to_numpy(zero_copy_only=False).astype(np.int64)
+        w = docs[agg["w_col"]].take(pa.array(ords)) \
             .to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({
             "query_id": pa.array([qid], type=pa.string()),
@@ -2698,6 +2695,8 @@ class IndexSearcher:
         (combiner-first)."""
         if not fields or len(fields) < 2:
             raise ValueError("multi_terms needs at least 2 fields")
+        if len(set(fields)) != len(fields):
+            raise ValueError("multi_terms fields must be unique")
         df = self._agg_fanout(queries, {"kind": "multi_terms",
                                         "cols": list(fields)},
                               min_score, None, concurrency)
@@ -2829,7 +2828,9 @@ class IndexSearcher:
         """String-stats aggregation [OpenSearch string_stats-agg public
         semantics]: count / min_length / max_length / avg_length /
         Shannon entropy of a string column over the radial match set
-        (nulls excluded; lengths in unicode codepoints).  Partials are
+        (nulls excluded; a query whose whole match set is NULL-valued
+        emits NO row — the oracle's HAVING count > 0 rule; lengths in
+        unicode codepoints).  Partials are
         integer and charset-bounded; avg_length is ONE division.
         ``entropy`` sums -p*log2(p) SEQUENTIALLY in character-codepoint
         ascending order (charset-sized loop) — log2 is libm, so the

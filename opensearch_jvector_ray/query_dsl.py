@@ -547,9 +547,10 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
         if clause == "multi_terms":
             fl = spec.get("fields")
             if (not isinstance(fl, list) or len(fl) < 2
+                    or len(set(fl)) != len(fl)
                     or not all(isinstance(f, str) and f for f in fl)):
                 raise ValueError("[multi_terms] needs 'fields': "
-                                 "[col, col, ...] (>= 2 columns)")
+                                 "[col, col, ...] (>= 2 UNIQUE columns)")
             out["fields"] = list(fl)
             out["size"] = (int(spec["size"]) if "size" in spec
                            and spec["size"] is not None else None)

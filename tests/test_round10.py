@@ -227,6 +227,38 @@ def test_string_stats_lengths_and_entropy(idx):
     assert out["entropy"][0] == ent
 
 
+def test_string_stats_all_null_match_set_emits_no_row(tmp_path):
+    # the pinned cross-side rule: a query whose whole match set is
+    # NULL-valued produces NO row (oracle: HAVING count(field) > 0)
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": ["onlyhere x", "onlyhere y", "other z"],
+        "lang": pa.array([None, None, "en"], type=pa.string()),
+    })
+    out_dir = str(tmp_path / "nullidx")
+    build_index(rd.from_arrow(tbl), out_dir, EngineConfig(num_segments=2),
+                IndexSpec(text_col="text", key_cols=("doc_id",),
+                          store_cols=("lang",), ts_col=""))
+    s = IndexSearcher(out_dir)
+    out = s.string_stats_agg({"qn": "onlyhere", "qe": "other"},
+                             field="lang", min_score=MS)
+    # 'onlyhere' matches docs 0,1 (lang NULL both) -> no row;
+    # 'other' matches doc 2 -> one row
+    assert list(out["query_id"]) == ["qe"]
+    assert int(out["doc_count"][0]) == 1
+
+
+def test_multi_terms_rejects_duplicate_fields(idx):
+    from opensearch_jvector_ray.query_dsl import parse_query
+    s = IndexSearcher(idx)
+    with pytest.raises(ValueError, match="unique"):
+        s.multi_terms_agg(Q, fields=["lang", "lang"], min_score=MS)
+    with pytest.raises(ValueError, match="UNIQUE"):
+        parse_query({"multi_terms": {"query": "a",
+                                     "fields": ["lang", "lang"],
+                                     "min_score": MS}})
+
+
 def test_matrix_stats_pinned_chain(idx):
     s = IndexSearcher(idx)
     out = s.matrix_stats_agg(Q, x_col="n_chars", y_col="doc_id",
