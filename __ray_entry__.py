@@ -30,7 +30,7 @@ from opensearch_jvector_ray.oracles import (
     filter_spec_sql, function_score_mul_sql,
     cardinality_sql, percentiles_sql, significant_terms_sql,
     filters_agg_sql, terms_stats_sql, composite_sql, multi_match_sql,
-    dis_max_sql, span_first_sql,
+    dis_max_sql, span_first_sql, keyword_sql, chunk_sql,
     multi_terms_sql, rare_terms_sql, extended_stats_sql,
     weighted_avg_sql, bucket_metric_sql, adjacency_matrix_sql,
     string_stats_sql, matrix_stats_sql, date_range_sql,
@@ -1148,6 +1148,37 @@ def _q_corpus_split(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+CHUNK_TOKENS, CHUNK_OVERLAP = 32, 8
+KEYWORD_K = 3
+
+
+def _q_corpus_chunk(sf_dir: str) -> pd.DataFrame:
+    # overlapping document chunking (RAG / context-window prep): pure
+    # per-batch flat-map, text never shuffles; chunk text byte-identical
+    # to the oracle's space-joined token slice
+    from opensearch_jvector_ray.pipelines.corpus import chunk_documents
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = chunk_documents(ds, "doc_id", "text",
+                          chunk_tokens=CHUNK_TOKENS,
+                          overlap=CHUNK_OVERLAP).to_pandas()
+    for c in ("doc_id", "chunk_idx", "n_tokens"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+
+def _q_keyword_extract(sf_dir: str) -> pd.DataFrame:
+    # per-doc tf*idf keyword tagging (the MLT term-selection rule
+    # corpus-wide); idf broadcast once from the index dictionary
+    from opensearch_jvector_ray.pipelines.textstats import extract_keywords
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = extract_keywords(ds, documents_index(sf_dir), CFG,
+                           "doc_id", "text", k=KEYWORD_K).to_pandas()
+    for c in ("doc_id", "kw_rank"):
+        out[c] = out[c].astype(np.int64)
+    out["score"] = np.round(out["score"].astype(np.float64), 6)
+    return out.sort_values(["doc_id", "kw_rank"]).reset_index(drop=True)
+
+
 def _q_corpus_pack(sf_dir: str) -> pd.DataFrame:
     # concat-and-chunk sequence packing at a token budget — the
     # distributed prefix-scan primitive (per-block sums -> bounded
@@ -2093,6 +2124,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_mix": _q_corpus_mix,
         "corpus_split": _q_corpus_split,
         "corpus_pack": _q_corpus_pack,
+        "corpus_chunk": _q_corpus_chunk,
+        "keyword_extract": _q_keyword_extract,
         "minhash_dedup_exact": _q_minhash_exact,
         "ngram_jaccard_exact": _q_ngram_exact,
         "pii_scrub": _q_pii_scrub,
@@ -2450,6 +2483,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_mix": mix_sources_sql(MIX_RATES, MIX_SALT, MIX_DEFAULT),
         "corpus_split": hash_split_sql(SPLITS, SAMPLE_SALT),
         "corpus_pack": pack_chunks_sql(CFG, PACK_BUDGET),
+        "corpus_chunk": chunk_sql(CHUNK_TOKENS, CHUNK_OVERLAP),
+        "keyword_extract": keyword_sql(KEYWORD_K, CFG),
         "minhash_dedup_exact": minhash_exact_sql(N_PLANT_MH, MH_PLANT_OFFSET),
         "ngram_jaccard_exact": ngram_exact_sql(N_PLANT_MH, MH_PLANT_OFFSET),
         "pii_scrub": pii_scrub_sql(ts_pl.PII_PATTERNS, N_PLANT_PII),

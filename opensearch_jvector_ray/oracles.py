@@ -3447,3 +3447,84 @@ def quantile_sql(qs: tuple = (0.25, 0.5, 0.75, 0.9, 0.99),
         f"quantile_disc({col}, {q})::DOUBLE AS value FROM {table}"
         for q in qs)
     return f"{arms} ORDER BY quantile"
+
+
+def keyword_sql(k: int, cfg: EngineConfig, table: str = "documents",
+                id_col: str = "doc_id", text_col: str = "text") -> str:
+    """Oracle for pipelines.textstats.extract_keywords: per doc the top
+    ``k`` post-stopword terms by tf * idf (row_number ORDER BY tf*idf
+    DESC, term ASC — the engine's exact rule; tf is the integer term
+    count, idf the shared ln formula over the corpus df/N, ONE
+    multiply).  Ranking is raw per side (each internally pinned); the
+    OUTPUT score is round-6 on both sides — numpy log and libm ln can
+    differ in the last ulp (the standard bm25-surface rule)."""
+    return f"""
+WITH {toks_cte(cfg, table, id_col, text_col)},
+dl AS (
+  SELECT {id_col}, count(*)::DOUBLE AS dl FROM toks GROUP BY {id_col}
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n FROM dl
+),
+tf AS (
+  SELECT {id_col}, term, count(*)::BIGINT AS tf FROM toks
+  GROUP BY {id_col}, term
+),
+df AS (
+  SELECT term, count(DISTINCT {id_col})::DOUBLE AS df FROM toks
+  GROUP BY term
+),
+scored AS (
+  SELECT tf.{id_col}, tf.term,
+         tf.tf::DOUBLE * ln(1.0 + ((SELECT n FROM stats) - df.df + 0.5)
+                                  / (df.df + 0.5)) AS score
+  FROM tf JOIN df USING (term)
+),
+ranked AS (
+  SELECT {id_col},
+         row_number() OVER (PARTITION BY {id_col}
+                            ORDER BY score DESC, term ASC) AS kw_rank,
+         term, score
+  FROM scored
+)
+SELECT {id_col}, kw_rank, term, round(score, 6) AS score
+FROM ranked WHERE kw_rank <= {int(k)}
+ORDER BY {id_col}, kw_rank
+"""
+
+
+def chunk_sql(chunk_tokens: int, overlap: int,
+              table: str = "documents", id_col: str = "doc_id",
+              text_col: str = "text") -> str:
+    """Oracle for pipelines.corpus.chunk_documents: whitespace tokens
+    (the shared \\s+ RE2 split) windowed into chunks of ``chunk_tokens``
+    with ``overlap`` carried between consecutive chunks; integer
+    chunk-count rule shared verbatim with the engine; chunk text is the
+    space-joined token slice (byte-identical)."""
+    stride = int(chunk_tokens) - int(overlap)
+    c, s = int(chunk_tokens), stride
+    return f"""
+WITH t AS (
+  SELECT {id_col},
+         list_filter(regexp_split_to_array({text_col}, '\\s+'),
+                     x -> x <> '') AS toks
+  FROM {table}
+),
+n AS (
+  SELECT {id_col}, toks, len(toks)::BIGINT AS ntok FROM t
+  WHERE len(toks) > 0
+),
+x AS (
+  SELECT {id_col}, toks, ntok,
+         unnest(range(0, CASE WHEN ntok <= {c} THEN 1
+                              ELSE 1 + (ntok - {c} + {s} - 1) // {s}
+                         END)) AS chunk_idx
+  FROM n
+)
+SELECT {id_col}, chunk_idx,
+       least(chunk_idx * {s} + {c}, ntok) - chunk_idx * {s} AS n_tokens,
+       array_to_string(toks[chunk_idx * {s} + 1
+                            : least(chunk_idx * {s} + {c}, ntok)],
+                       ' ') AS chunk_text
+FROM x ORDER BY {id_col}, chunk_idx
+"""

@@ -239,3 +239,82 @@ def pack_chunks(ds: "rd.Dataset", cfg: EngineConfig, id_col: str,
 
     out_refs = [_assign.remote(r, int(o)) for r, o in zip(refs, offs)]
     return rd.from_arrow_refs(out_refs)
+
+
+def chunk_documents(ds: "rd.Dataset", id_col: str, text_col: str, *,
+                    chunk_tokens: int = 512,
+                    overlap: int = 64) -> "rd.Dataset":
+    """Overlapping document chunking (the RAG / context-window prep
+    step): each doc's whitespace tokens are windowed into chunks of
+    ``chunk_tokens`` with ``overlap`` tokens of context carried between
+    consecutive chunks (stride = chunk_tokens - overlap); the LAST
+    chunk is the tail remainder (may be shorter).  Empty docs emit no
+    chunk.  Returns (id, chunk_idx, n_tokens, chunk_text).
+
+    Chunk-count rule (shared verbatim with the oracle's integer math):
+    n_chunks = 1 if n <= chunk_tokens else
+               1 + (n - chunk_tokens + stride - 1) // stride.
+
+    Pure per-batch flat-map — text never shuffles; the expansion is one
+    ragged token gather (offsets math) + one binary_join per batch, no
+    per-doc Python loop.  Tokens are the RE2 ``\\s+`` split shared with
+    DuckDB's regexp_split_to_array, so chunk text is byte-identical."""
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    if not (0 <= overlap < chunk_tokens):
+        raise ValueError(f"overlap must be in [0, chunk_tokens), got {overlap}")
+    stride = chunk_tokens - overlap
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pc.split_pattern_regex(texts, pattern=r"\s+")
+        flat = pc.list_flatten(lists)
+        parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        parents = parents[keep]
+        n_docs = len(texts)
+        n_tok = np.bincount(parents, minlength=n_docs).astype(np.int64)
+        tok_off = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(n_tok, out=tok_off[1:])
+        # chunk counts per doc (0 for empty docs)
+        n_chunks = np.where(
+            n_tok == 0, 0,
+            np.where(n_tok <= chunk_tokens, 1,
+                     1 + (n_tok - chunk_tokens + stride - 1) // stride))
+        total = int(n_chunks.sum())
+        if total == 0:
+            return pa.table({
+                id_col: batch[id_col].slice(0, 0),
+                "chunk_idx": pa.array([], type=pa.int64()),
+                "n_tokens": pa.array([], type=pa.int64()),
+                "chunk_text": pa.array([], type=pa.string()),
+            })
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), n_chunks)
+        coff = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(n_chunks, out=coff[1:])
+        chunk_idx = np.arange(total, dtype=np.int64) - coff[doc_of]
+        start = chunk_idx * stride
+        end = np.minimum(start + chunk_tokens, n_tok[doc_of])
+        lens = end - start
+        # ragged gather of token indices: one arange + offset scatter
+        out_off = np.zeros(total + 1, dtype=np.int64)
+        np.cumsum(lens, out=out_off[1:])
+        flat_n = int(out_off[-1])
+        gather = np.arange(flat_n, dtype=np.int64)
+        gather -= np.repeat(out_off[:-1], lens)          # 0..len-1 per chunk
+        gather += np.repeat(tok_off[doc_of] + start, lens)
+        chunk_lists = pa.ListArray.from_arrays(
+            pa.array(out_off, type=pa.int32()) if flat_n < 2**31
+            else pa.array(out_off),
+            flat.take(pa.array(gather)))
+        return pa.table({
+            id_col: batch[id_col].take(pa.array(doc_of)),
+            "chunk_idx": pa.array(chunk_idx, type=pa.int64()),
+            "n_tokens": pa.array(lens, type=pa.int64()),
+            "chunk_text": pc.binary_join(chunk_lists, " "),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -360,3 +360,80 @@ def pii_scrub_stage(id_col: str, text_col: str,
         cols["clean_text"] = cur
         return pa.table(cols)
     return fn
+
+
+_KW_IDF_CACHE: dict = {}
+
+
+def extract_keywords(ds: "rd.Dataset", index_dir: str,
+                     cfg: EngineConfig, id_col: str, text_col: str, *,
+                     k: int = 3) -> "rd.Dataset":
+    """Per-document keyword extraction (the Lucene MLT term-selection
+    rule applied corpus-wide — tf*idf tagging for training-data
+    curation): each doc's top ``k`` post-stopword terms by tf * idf,
+    ties term-ascending.  Returns (id, kw_rank, term, score).
+
+    idf comes from the INDEX's global dictionary (df) + stats (N) —
+    read once on the driver, broadcast via ``ray.put`` (vocab-sized;
+    the decontaminate-style MB-scale broadcast assumption, prune by
+    min_df at web vocab), and resolved per batch through a per-worker
+    cache.  Terms absent from the dictionary score with df=0 idf (the
+    transfer rule; impossible when ds IS the indexed corpus).  score =
+    int tf x the shared ln idf — ONE multiply, bit-equal to the
+    oracle (the mlt_sql precedent)."""
+    import ray
+
+    from opensearch_jvector_ray.functions.scoring import bm25_idf
+    from opensearch_jvector_ray.state.manifest import STATS_NAME, read_json
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    import os
+    import pandas as pd
+    import pyarrow.parquet as pq
+    stats = read_json(os.path.join(index_dir, STATS_NAME))
+    n = float(stats["n_docs_indexed"])
+    dict_dir = os.path.join(index_dir, "dictionary")
+    dtab = pq.read_table(dict_dir, columns=["term", "df"])
+    idf = pd.Series(
+        bm25_idf(n, dtab["df"].to_numpy(zero_copy_only=False)
+                 .astype(np.float64)),
+        index=dtab["term"].to_pylist(), dtype=np.float64)
+    ref = ray.put((idf, float(bm25_idf(n, 0.0))))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        key = ref.hex() if hasattr(ref, "hex") else id(ref)
+        hit = _KW_IDF_CACHE.get(key)
+        if hit is None:
+            hit = ray.get(ref)
+            _KW_IDF_CACHE.clear()      # one live idf table per worker
+            _KW_IDF_CACHE[key] = hit
+        idf_s, oov = hit
+        stream = tokenize(batch[text_col], cfg)
+        g = (pd.DataFrame({"__d": stream.doc_idx,
+                           "term": stream.terms.to_pandas()})
+             .groupby(["__d", "term"], sort=False)
+             .size().rename("tf").reset_index())
+        if not len(g):
+            return pa.table({
+                id_col: batch[id_col].slice(0, 0),
+                "kw_rank": pa.array([], type=pa.int64()),
+                "term": pa.array([], type=pa.string()),
+                "score": pa.array([], type=pa.float64()),
+            })
+        tidf = g["term"].map(idf_s).fillna(oov).to_numpy(np.float64)
+        g["score"] = g["tf"].to_numpy(np.int64).astype(np.float64) * tidf
+        g = g.sort_values(["__d", "score", "term"],
+                          ascending=[True, False, True], kind="mergesort")
+        g = g.groupby("__d", sort=False).head(k)
+        g["kw_rank"] = g.groupby("__d", sort=False).cumcount() + 1
+        take = pa.array(g["__d"].to_numpy(np.int64))
+        return pa.table({
+            id_col: batch[id_col].take(take),
+            "kw_rank": pa.array(g["kw_rank"].to_numpy(np.int64),
+                                type=pa.int64()),
+            "term": pa.array(g["term"].to_numpy(object), type=pa.string()),
+            "score": pa.array(g["score"].to_numpy(np.float64),
+                              type=pa.float64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

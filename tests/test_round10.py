@@ -309,6 +309,66 @@ def test_date_range_zero_filled_grid(idx):
                          min_score=MS)
 
 
+def test_chunk_documents_windows(tmp_path):
+    from opensearch_jvector_ray.pipelines.corpus import chunk_documents
+    toks = [f"t{i}" for i in range(11)]
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": [" ".join(toks), "a  b\tc", "", "solo"],
+    })
+    out = chunk_documents(rd.from_arrow(tbl), "doc_id", "text",
+                          chunk_tokens=4, overlap=1).to_pandas() \
+        .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    # doc 0: 11 tokens, C=4, S=3 -> chunks start 0,3,6,9 (tail len 2)
+    d0 = out[out["doc_id"] == 0]
+    assert list(d0["chunk_idx"]) == [0, 1, 2, 3]
+    assert list(d0["n_tokens"]) == [4, 4, 4, 2]
+    assert list(d0["chunk_text"]) == ["t0 t1 t2 t3", "t3 t4 t5 t6",
+                                      "t6 t7 t8 t9", "t9 t10"]
+    # overlap continuity: each chunk starts with the previous one's tail
+    for a, b in zip(list(d0["chunk_text"]), list(d0["chunk_text"])[1:]):
+        assert a.split()[-1] == b.split()[0]
+    # multi-whitespace collapses; empty doc emits nothing; short doc = 1
+    assert list(out[out["doc_id"] == 1]["chunk_text"]) == ["a b c"]
+    assert not len(out[out["doc_id"] == 2])
+    assert list(out[out["doc_id"] == 3]["chunk_text"]) == ["solo"]
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(rd.from_arrow(tbl), "doc_id", "text",
+                        chunk_tokens=4, overlap=4)
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        chunk_documents(rd.from_arrow(tbl), "doc_id", "text",
+                        chunk_tokens=0, overlap=0)
+
+
+def test_extract_keywords_tfidf_rule(idx):
+    from opensearch_jvector_ray.pipelines.textstats import extract_keywords
+    from opensearch_jvector_ray.functions.scoring import bm25_idf
+    cfg = EngineConfig(num_segments=3)
+    ds = rd.from_arrow(_corpus().select(["doc_id", "text"]))
+    out = extract_keywords(ds, idx, cfg, "doc_id", "text",
+                           k=2).to_pandas() \
+        .sort_values(["doc_id", "kw_rank"]).reset_index(drop=True)
+    # brute-force: per doc, top-2 (tf * idf DESC, term ASC)
+    from collections import Counter
+    n = float(N)
+    df = Counter()
+    docs_terms = []
+    for t in TEXTS:
+        terms = t.split()
+        docs_terms.append(Counter(terms))
+        df.update(set(terms))
+    for d, tf in enumerate(docs_terms):
+        scored = sorted(
+            ((-tf[w] * bm25_idf(n, float(df[w])), w) for w in tf))
+        want = [w for _, w in scored[:2]]
+        got = list(out[out["doc_id"] == d]["term"])
+        assert got == want, (d, got, want)
+    # rank column is 1..k per doc
+    assert set(out["kw_rank"]) <= {1, 2}
+    with pytest.raises(ValueError, match="k must"):
+        extract_keywords(ds, idx, cfg, "doc_id", "text", k=0)
+
+
 def test_round10_dsl_and_warm_facade(idx):
     from opensearch_jvector_ray.query_dsl import execute_query, parse_query
     from opensearch_jvector_ray.serve import SearchService
