@@ -31,6 +31,7 @@ from opensearch_jvector_ray.oracles import (
     cardinality_sql, percentiles_sql, significant_terms_sql,
     filters_agg_sql, terms_stats_sql, composite_sql, multi_match_sql,
     dis_max_sql, span_first_sql, keyword_sql, chunk_sql,
+    top_metrics_sql,
     multi_terms_sql, rare_terms_sql, extended_stats_sql,
     weighted_avg_sql, bucket_metric_sql, adjacency_matrix_sql,
     string_stats_sql, matrix_stats_sql, date_range_sql,
@@ -789,6 +790,22 @@ DATE_RANGES = [("first", None, "2023-11-14T22:20:00"),
                ("rest", "2023-11-14T22:40:00", None)]
 MATRIX_X, MATRIX_Y = "n_chars", "doc_id"
 STRING_STATS_FIELD = "source"
+
+
+TOP_METRICS_SIZE = 3
+
+
+def _q_bm25_top_metrics(sf_dir: str) -> pd.DataFrame:
+    # top_metrics agg: metric values of the 3 longest matched docs
+    # (sort n_chars desc, doc key asc tie); <= size rows per segment
+    s = IndexSearcher(documents_index(sf_dir))
+    out = s.top_metrics_agg(BM25_QUERIES, sort_col="n_chars",
+                            metric_cols=["lang", "source"],
+                            min_score=FACET_MIN_SCORE,
+                            size=TOP_METRICS_SIZE, sort_order="desc")
+    for c in ("rank", "doc_id", "n_chars"):
+        out[c] = out[c].astype(np.int64)
+    return out
 
 
 def _q_bm25_adjacency_matrix(sf_dir: str) -> pd.DataFrame:
@@ -2071,6 +2088,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_rare_terms": _q_bm25_rare_terms,
         "bm25_extended_stats": _q_bm25_extended_stats,
         "bm25_weighted_avg": _q_bm25_weighted_avg,
+        "bm25_top_metrics": _q_bm25_top_metrics,
         "bm25_adjacency_matrix": _q_bm25_adjacency_matrix,
         "bm25_string_stats": _q_bm25_string_stats,
         "bm25_matrix_stats": _q_bm25_matrix_stats,
@@ -2397,6 +2415,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_weighted_avg": weighted_avg_sql(
             BM25_QUERIES, FACET_MIN_SCORE, WAVG_VALUE_COL,
             WAVG_WEIGHT_COL, CFG),
+        "bm25_top_metrics": top_metrics_sql(
+            BM25_QUERIES, FACET_MIN_SCORE, "n_chars",
+            ["lang", "source"], TOP_METRICS_SIZE, "desc", CFG),
         "bm25_adjacency_matrix": adjacency_matrix_sql(
             BM25_QUERIES, FACET_MIN_SCORE, FILTERS_AGG, CFG),
         "bm25_string_stats": string_stats_sql(

@@ -3449,6 +3449,31 @@ def quantile_sql(qs: tuple = (0.25, 0.5, 0.75, 0.9, 0.99),
     return f"{arms} ORDER BY quantile"
 
 
+def top_metrics_sql(queries: dict[str, str], min_score: float,
+                    sort_col: str, metric_cols: list[str], size: int,
+                    sort_order: str, cfg: EngineConfig,
+                    table: str = "documents", id_col: str = "doc_id",
+                    text_col: str = "text") -> str:
+    """Oracle for IndexSearcher.top_metrics_agg: metric values of the
+    ``size`` best match-set docs by (sort column dir, doc key asc)."""
+    inner = bm25_sql(queries, 0, cfg, table=table, id_col=id_col,
+                     text_col=text_col, min_score=min_score)
+    direction = "DESC" if sort_order == "desc" else "ASC"
+    ml = ", ".join(f"d.{m} AS {m}" for m in metric_cols)
+    ml_out = ", ".join(metric_cols)
+    return f"""
+SELECT query_id, rank, {id_col}, {sort_col}, {ml_out} FROM (
+  SELECT h.query_id,
+         row_number() OVER (PARTITION BY h.query_id
+                            ORDER BY d.{sort_col} {direction},
+                                     d.{id_col} ASC) AS rank,
+         d.{id_col} AS {id_col}, d.{sort_col} AS {sort_col}, {ml}
+  FROM ({inner}) h JOIN {table} d USING ({id_col})
+) WHERE rank <= {int(size)}
+ORDER BY query_id, rank
+"""
+
+
 def keyword_sql(k: int, cfg: EngineConfig, table: str = "documents",
                 id_col: str = "doc_id", text_col: str = "text") -> str:
     """Oracle for pipelines.textstats.extract_keywords: per doc the top

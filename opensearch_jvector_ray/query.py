@@ -283,6 +283,34 @@ def _agg_partial(agg: dict, docs: pa.Table, ords: np.ndarray,
             cols[kc] = docs[kc].take(kt)
         cols["score"] = pa.array(scores[keep], type=pa.float64())
         return pa.table(cols)
+    if agg["kind"] == "top_metrics":
+        # top_metrics aggregation partial [OpenSearch top_metrics-agg
+        # public semantics]: the metric column values of the best n
+        # docs by a stored SORT column ((sort dir, key asc) — the
+        # global rule; within a segment key-asc == key_rank, or ord for
+        # key-sorted build segments).  <= n rows ship per segment; the
+        # driver re-merges by the same order.
+        tie = (docs["key_rank"].to_numpy(zero_copy_only=False)
+               .astype(np.int64)
+               if "key_rank" in docs.column_names
+               else np.arange(docs.num_rows, dtype=np.int64))
+        sv = docs[agg["col"]].take(pa.array(ords)) \
+            .to_numpy(zero_copy_only=False)
+        if sv.dtype.kind == "M":
+            sv = sv.astype("datetime64[us]").astype(np.int64)
+        sv = sv.astype(np.float64)
+        order = np.lexsort((tie[ords], -sv if agg["desc"] else sv))
+        sel = ords[order[:agg["n"]]]
+        take = pa.array(sel)
+        out_cols: dict[str, Any] = {
+            "query_id": pa.array([qid] * len(sel), type=pa.string()),
+        }
+        for kc in agg["key_cols"]:
+            out_cols[kc] = docs[kc].take(take)
+        out_cols[agg["col"]] = docs[agg["col"]].take(take)
+        for mc in agg["m_cols"]:
+            out_cols[mc] = docs[mc].take(take)
+        return pa.table(out_cols)
     if agg["kind"] == "filters":
         # named filter-context buckets [OpenSearch filters-agg public
         # semantics]: per named spec, the count of qualifying docs that
@@ -994,6 +1022,12 @@ class SegmentSearcher:
                 for c, t in self.p["agg_types"]:
                     cols[c] = pa.array([], type=t)
                 cols["doc_count"] = pa.array([], type=pa.int64())
+                return pa.table(cols)
+            if agg["kind"] == "top_metrics":
+                for kc, kt in self.p["key_types"]:
+                    cols[kc] = pa.array([], type=kt)
+                for c, t in self.p["agg_types"]:
+                    cols[c] = pa.array([], type=t)
                 return pa.table(cols)
             if agg["kind"] == "ext_stats":
                 for c in ("doc_count", "v_sum", "v_min", "v_max",
@@ -2791,6 +2825,48 @@ class IndexSearcher:
         g["weighted_avg"] = (g["vw_sum"].astype(np.float64)
                              / g["w_sum"].astype(np.float64))
         return g[cols]
+
+    def top_metrics_agg(self, queries: dict[str, str], sort_col: str,
+                        metric_cols: list[str], min_score: float,
+                        size: int = 1, sort_order: str = "desc",
+                        concurrency: int | None = None) -> pd.DataFrame:
+        """Top-metrics aggregation [OpenSearch top_metrics-agg public
+        semantics]: per query, the metric column values of the ``size``
+        best match-set docs ordered by a stored SORT column
+        ((sort dir, key asc) — ties on the doc key like everything
+        else).  Each segment ships <= size rows (the A1 bounded-partial
+        argument applied to a field sort); the driver re-merges by the
+        same order.  Sort column must be numeric or timestamp."""
+        if size < 1:
+            raise ValueError("size must be >= 1")
+        if sort_order not in ("asc", "desc"):
+            raise ValueError("sort_order must be asc|desc")
+        if not metric_cols:
+            raise ValueError("metric_cols must be non-empty")
+        if (len(set(metric_cols)) != len(metric_cols)
+                or sort_col in metric_cols):
+            raise ValueError("metric_cols must be unique and exclude "
+                             "the sort column")
+        df = self._agg_fanout(
+            queries,
+            {"kind": "top_metrics", "col": sort_col,
+             "m_cols": list(metric_cols), "n": int(size),
+             "desc": sort_order == "desc",
+             "key_cols": list(self.key_cols),
+             "cols": [sort_col, *metric_cols]},
+            min_score, None, concurrency)
+        cols = ["query_id", "rank", *self.key_cols, sort_col,
+                *metric_cols]
+        if df.empty:
+            return pd.DataFrame(columns=cols)
+        df = df.sort_values(
+            ["query_id", sort_col, *self.key_cols],
+            ascending=[True, sort_order == "asc"]
+            + [True] * len(self.key_cols),
+            kind="mergesort")
+        df = df.groupby("query_id", sort=False).head(size)
+        df["rank"] = df.groupby("query_id", sort=False).cumcount() + 1
+        return df.reset_index(drop=True)[cols]
 
     def adjacency_matrix_agg(self, queries: dict[str, str],
                              filters: dict[str, dict], min_score: float,

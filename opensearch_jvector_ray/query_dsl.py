@@ -99,6 +99,9 @@ Supported bodies (one top-level clause per query):
                       "min_score": f}}  # cov/corr of two int columns
     {"date_range":   {"query": "...", "field": ts_col, "min_score": f,
                       "ranges": [[key, iso|null, iso|null], ...]}}
+    {"top_metrics":  {"query": "...", "sort_field": col,
+                      "metrics": [col, ...], "size": n,
+                      "sort_order": "asc|desc", "min_score": f}}
     {"match_phrase_prefix": {"query": "fast mer", "k": 10,
                 "max_expansions": 50}}     # phrase + last-term prefix
     {"match_bool_prefix": {"query": "fast mer", "k": 10,
@@ -172,6 +175,8 @@ _DATE_RANGE_FIELDS = {"query", "field", "ranges", "min_score"}
 _MBP_FIELDS = {"query", "k", "max_expansions"}
 _DIS_MAX_FIELDS = {"queries", "k", "tie_breaker"}
 _SPAN_FIRST_FIELDS = {"query", "end", "k"}
+_TOP_METRICS_FIELDS = {"query", "sort_field", "metrics", "size",
+                       "sort_order", "min_score"}
 _MODES = {"taat", "wand", "rescore", "phrase"}
 _METRICS = {"cosine", "l2", "innerproduct", "l1", "linf", "hamming"}
 
@@ -581,6 +586,26 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
             out["calendar_interval"] = spec["calendar_interval"]
             out["metric"] = spec["metric"]
         return out
+    if clause == "top_metrics":
+        _require_known(clause, spec, _TOP_METRICS_FIELDS)
+        if not isinstance(spec.get("query"), str) or not spec["query"]:
+            raise ValueError("[top_metrics] needs a non-empty 'query'")
+        if "min_score" not in spec:
+            raise ValueError("[top_metrics] needs 'min_score'")
+        if not isinstance(spec.get("sort_field"), str) or \
+                not spec["sort_field"]:
+            raise ValueError("[top_metrics] needs 'sort_field'")
+        ms = spec.get("metrics")
+        if not isinstance(ms, list) or not ms \
+                or not all(isinstance(m, str) and m for m in ms):
+            raise ValueError("[top_metrics] needs 'metrics': [col, ...]")
+        so = spec.get("sort_order", "desc")
+        if so not in ("asc", "desc"):
+            raise ValueError("[top_metrics] sort_order must be asc|desc")
+        return {"type": "top_metrics", "query": spec["query"],
+                "sort_field": spec["sort_field"], "metrics": list(ms),
+                "size": int(spec.get("size", 1)), "sort_order": so,
+                "min_score": float(spec["min_score"])}
     if clause in ("adjacency_matrix", "string_stats", "matrix_stats",
                   "date_range"):
         allowed = {"adjacency_matrix": _ADJ_FIELDS,
@@ -915,6 +940,13 @@ def execute_query(body: dict[str, Any], *, searcher=None, vector_ds=None,
             {query_id: spec["query"]}, ts_col=spec["field"],
             calendar_interval=spec["calendar_interval"],
             metric=spec["metric"], min_score=spec["min_score"])
+    if spec["type"] == "top_metrics":
+        if searcher is None:
+            raise ValueError("[top_metrics] needs searcher=")
+        return searcher.top_metrics_agg(
+            {query_id: spec["query"]}, sort_col=spec["sort_field"],
+            metric_cols=spec["metrics"], min_score=spec["min_score"],
+            size=spec["size"], sort_order=spec["sort_order"])
     if spec["type"] == "adjacency_matrix":
         if searcher is None:
             raise ValueError("[adjacency_matrix] needs searcher=")

@@ -369,6 +369,45 @@ def test_extract_keywords_tfidf_rule(idx):
         extract_keywords(ds, idx, cfg, "doc_id", "text", k=0)
 
 
+def test_top_metrics_order_and_bounds(idx):
+    from opensearch_jvector_ray.query_dsl import execute_query
+    from opensearch_jvector_ray.serve import SearchService
+    s = IndexSearcher(idx)
+    out = s.top_metrics_agg(Q, sort_col="n_chars",
+                            metric_cols=["source"], min_score=MS,
+                            size=4, sort_order="desc")
+    m = _match_df(s).sort_values(["n_chars", "doc_id"],
+                                 ascending=[False, True]).head(4)
+    assert list(out["doc_id"]) == list(m["doc_id"])
+    assert list(out["source"]) == list(m["source"])
+    assert list(out["rank"]) == [1, 2, 3, 4]
+    asc = s.top_metrics_agg(Q, sort_col="n_chars",
+                            metric_cols=["source"], min_score=MS,
+                            size=2, sort_order="asc")
+    ma = _match_df(s).sort_values(["n_chars", "doc_id"]).head(2)
+    assert list(asc["doc_id"]) == list(ma["doc_id"])
+    with pytest.raises(ValueError, match="sort_order"):
+        s.top_metrics_agg(Q, sort_col="n_chars", metric_cols=["source"],
+                          min_score=MS, sort_order="down")
+    with pytest.raises(ValueError, match="unique"):
+        s.top_metrics_agg(Q, sort_col="n_chars",
+                          metric_cols=["n_chars"], min_score=MS)
+    # DSL + warm facade identity
+    body = {"top_metrics": {"query": Q["q"], "sort_field": "n_chars",
+                            "metrics": ["source"], "size": 4,
+                            "sort_order": "desc", "min_score": MS}}
+    got = execute_query(body, searcher=s)
+    pd.testing.assert_frame_equal(got, out)
+    svc = SearchService(idx, num_shards=2)
+    try:
+        warm = svc.agg.top_metrics_agg(
+            Q, sort_col="n_chars", metric_cols=["source"],
+            min_score=MS, size=4, sort_order="desc")
+        pd.testing.assert_frame_equal(warm, out)
+    finally:
+        svc.shutdown()
+
+
 def test_round10_dsl_and_warm_facade(idx):
     from opensearch_jvector_ray.query_dsl import execute_query, parse_query
     from opensearch_jvector_ray.serve import SearchService
