@@ -24,9 +24,11 @@ Usage (each subcommand owns a Ray session; on a cluster, submit with
          [--refine-quant-iters N]
   python -m opensearch_jvector_ray corpus --input DIR|FILE --out DIR
          --op clean|sample|split|mix|pack|lm-score|turn-dedup|assemble
+              |chunk|keywords
          [--rate R] [--salt S] [--splits train=0.8,val=0.1,test=0.1]
          [--mix src0=1.0,src1=0.5,...] [--default-rate R] [--budget N]
          [--id-col C] [--text-col C] [--source-col C]
+         [--chunk-tokens N] [--overlap N] [--keywords-k N] [--kw-index DIR]
          (training-data corpus prep; output is partitioned parquet)
 """
 
@@ -184,7 +186,8 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--out", required=True)
     cp.add_argument("--op", required=True,
                     choices=["clean", "sample", "split", "mix", "pack",
-                             "lm-score", "turn-dedup", "assemble"])
+                             "lm-score", "turn-dedup", "assemble",
+                             "chunk", "keywords"])
     cp.add_argument("--rate", type=float, default=0.1)
     cp.add_argument("--salt", default="")
     cp.add_argument("--splits", default="train=0.8,val=0.1,test=0.1")
@@ -196,6 +199,12 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--text-col", dest="ctext_col", default="text")
     cp.add_argument("--source-col", default="source")
     cp.add_argument("--min-tokens", type=int, default=5)
+    cp.add_argument("--chunk-tokens", type=int, default=512)
+    cp.add_argument("--overlap", type=int, default=64)
+    cp.add_argument("--keywords-k", type=int, default=3)
+    cp.add_argument("--kw-index", default=None,
+                    help="index dir providing the idf dictionary for "
+                         "--op keywords")
 
     kd = sub.add_parser("knn-delete")
     kd.add_argument("--index", required=True)
@@ -450,6 +459,21 @@ def main(argv: list[str] | None = None) -> int:
             elif args.op == "pack":
                 from opensearch_jvector_ray.pipelines.corpus import pack_chunks
                 out = pack_chunks(ds, cfg, idc, txc, budget=args.budget)
+            elif args.op == "chunk":
+                from opensearch_jvector_ray.pipelines.corpus import (
+                    chunk_documents,
+                )
+                out = chunk_documents(ds, idc, txc,
+                                      chunk_tokens=args.chunk_tokens,
+                                      overlap=args.overlap)
+            elif args.op == "keywords":
+                from opensearch_jvector_ray.pipelines.textstats import (
+                    extract_keywords,
+                )
+                if not args.kw_index:
+                    p.error("--op keywords needs --kw-index (idf source)")
+                out = extract_keywords(ds, args.kw_index, cfg, idc, txc,
+                                       k=args.keywords_k)
             elif args.op == "lm-score":
                 from opensearch_jvector_ray.pipelines.lm import lm_xent
                 out = lm_xent(ds, cfg, idc, txc)
