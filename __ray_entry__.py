@@ -31,7 +31,7 @@ from opensearch_jvector_ray.oracles import (
     cardinality_sql, percentiles_sql, significant_terms_sql,
     filters_agg_sql, terms_stats_sql, composite_sql, multi_match_sql,
     dis_max_sql, span_first_sql, keyword_sql, chunk_sql,
-    top_metrics_sql,
+    top_metrics_sql, percentile_ranks_sql,
     multi_terms_sql, rare_terms_sql, extended_stats_sql,
     weighted_avg_sql, bucket_metric_sql, adjacency_matrix_sql,
     string_stats_sql, matrix_stats_sql, date_range_sql,
@@ -793,6 +793,7 @@ STRING_STATS_FIELD = "source"
 
 
 TOP_METRICS_SIZE = 3
+PCT_RANK_VALUES = [120.0, 250.0, 480.0, 900.0]
 
 
 def _q_bm25_top_metrics(sf_dir: str) -> pd.DataFrame:
@@ -806,6 +807,15 @@ def _q_bm25_top_metrics(sf_dir: str) -> pd.DataFrame:
     for c in ("rank", "doc_id", "n_chars"):
         out[c] = out[c].astype(np.int64)
     return out
+
+
+def _q_bm25_percentile_ranks(sf_dir: str) -> pd.DataFrame:
+    # percentile_ranks agg: EXACT fraction of matched docs with
+    # n_chars <= v for each probe value (two ints, one division)
+    s = IndexSearcher(documents_index(sf_dir))
+    return s.percentile_ranks_agg(BM25_QUERIES, value_col=STATS_COL,
+                                  values=PCT_RANK_VALUES,
+                                  min_score=FACET_MIN_SCORE)
 
 
 def _q_bm25_adjacency_matrix(sf_dir: str) -> pd.DataFrame:
@@ -2089,6 +2099,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_extended_stats": _q_bm25_extended_stats,
         "bm25_weighted_avg": _q_bm25_weighted_avg,
         "bm25_top_metrics": _q_bm25_top_metrics,
+        "bm25_percentile_ranks": _q_bm25_percentile_ranks,
         "bm25_adjacency_matrix": _q_bm25_adjacency_matrix,
         "bm25_string_stats": _q_bm25_string_stats,
         "bm25_matrix_stats": _q_bm25_matrix_stats,
@@ -2415,6 +2426,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_weighted_avg": weighted_avg_sql(
             BM25_QUERIES, FACET_MIN_SCORE, WAVG_VALUE_COL,
             WAVG_WEIGHT_COL, CFG),
+        "bm25_percentile_ranks": percentile_ranks_sql(
+            BM25_QUERIES, FACET_MIN_SCORE, STATS_COL,
+            PCT_RANK_VALUES, CFG),
         "bm25_top_metrics": top_metrics_sql(
             BM25_QUERIES, FACET_MIN_SCORE, "n_chars",
             ["lang", "source"], TOP_METRICS_SIZE, "desc", CFG),

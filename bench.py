@@ -155,6 +155,25 @@ def run_bench() -> dict:
 
     timed("query_aggs_25", do_aggs)
 
+    # -- phase 3e: round-4 aggregation completions (composite-key /
+    # moment / mask-intersection partials + field-sorted bounded top) ----
+    def do_aggs2():
+        searcher.multi_terms_agg(agg5, fields=["role", "tool"],
+                                 min_score=0.3, size=10)
+        searcher.extended_stats_agg(agg5, value_col="turn_idx",
+                                    min_score=0.3)
+        searcher.adjacency_matrix_agg(
+            agg5, {"u": {"term": {"role": "user"}},
+                   "a": {"term": {"role": "assistant"}},
+                   "t": {"exists": {"field": "tool"}}}, min_score=0.3)
+        searcher.top_metrics_agg(agg5, sort_col="turn_idx",
+                                 metric_cols=["role"], min_score=0.3,
+                                 size=3)
+        searcher.percentile_ranks_agg(agg5, value_col="turn_idx",
+                                      values=[2.0, 8.0], min_score=0.3)
+
+    timed("query_aggs2_25", do_aggs2)
+
     # -- phase 3b: persistent serving (warm actors + postings cache) ------
     from opensearch_jvector_ray.serve import SearchService
     svc = SearchService(merged_dir, num_shards=min(8, NUM_CPUS))

@@ -3449,6 +3449,29 @@ def quantile_sql(qs: tuple = (0.25, 0.5, 0.75, 0.9, 0.99),
     return f"{arms} ORDER BY quantile"
 
 
+def percentile_ranks_sql(queries: dict[str, str], min_score: float,
+                         value_col: str, values: list[float],
+                         cfg: EngineConfig, table: str = "documents",
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> str:
+    """Oracle for IndexSearcher.percentile_ranks_agg: per given value,
+    count(x <= v) / n over the radial match set — two exact BIGINTs,
+    ONE division."""
+    inner = bm25_sql(queries, 0, cfg, table=table, id_col=id_col,
+                     text_col=text_col, min_score=min_score)
+    v_rows = ",\n       ".join(f"({float(v)!r})" for v in sorted(values))
+    return f"""
+WITH hits AS ({inner}),
+vals(value) AS (VALUES {v_rows})
+SELECT h.query_id, v.value,
+       sum(CASE WHEN d.{value_col} <= v.value THEN 1 ELSE 0 END)
+         ::BIGINT::DOUBLE / count(*)::BIGINT::DOUBLE AS pct_rank
+FROM hits h JOIN {table} d USING ({id_col}) CROSS JOIN vals v
+GROUP BY h.query_id, v.value
+ORDER BY h.query_id, v.value
+"""
+
+
 def top_metrics_sql(queries: dict[str, str], min_score: float,
                     sort_col: str, metric_cols: list[str], size: int,
                     sort_order: str, cfg: EngineConfig,

@@ -2632,6 +2632,42 @@ class IndexSearcher:
                 rows.append((qid, q, float(v)))
         return pd.DataFrame(rows, columns=cols)
 
+    def percentile_ranks_agg(self, queries: dict[str, str],
+                             value_col: str, values: Sequence[float],
+                             min_score: float,
+                             concurrency: int | None = None
+                             ) -> pd.DataFrame:
+        """Percentile-ranks aggregation [OpenSearch percentile_ranks-agg
+        public semantics — approximate there, EXACT here]: for each
+        given value v, the fraction of match-set docs whose
+        ``value_col`` <= v.  Rides the same per-segment (value, count)
+        partials as percentiles; rank = count(x <= v) / n — two exact
+        integers, ONE division (bit-equal to the oracle's).  Ranks are
+        fractions in [0, 1]."""
+        if not values:
+            raise ValueError("values must be non-empty")
+        vs = [float(v) for v in values]
+        if len(set(vs)) != len(vs):
+            raise ValueError("values must be unique")
+        df = self._agg_fanout(queries, {"kind": "terms", "col": value_col},
+                              min_score, None, concurrency)
+        cols = ["query_id", "value", "pct_rank"]
+        if df.empty:
+            return pd.DataFrame(columns=cols)
+        rows = []
+        for qid, g in df.groupby("query_id", sort=True):
+            vc = g.groupby(value_col, sort=True)["doc_count"].sum()
+            if pd.api.types.is_datetime64_any_dtype(vc.index):
+                vc.index = vc.index.astype("int64")
+            vals_sorted = vc.index.to_numpy(dtype=np.float64)
+            cum = vc.cumsum().to_numpy(dtype=np.int64)
+            total = int(cum[-1])
+            for v in sorted(vs):
+                i = int(np.searchsorted(vals_sorted, v, side="right"))
+                le = int(cum[i - 1]) if i > 0 else 0
+                rows.append((qid, v, float(le) / float(total)))
+        return pd.DataFrame(rows, columns=cols)
+
     def significant_terms_agg(self, queries: dict[str, str], field: str,
                               min_score: float, size: int = 10,
                               concurrency: int | None = None

@@ -67,6 +67,8 @@ Supported bodies (one top-level clause per query):
     {"cardinality":  {"query": "...", "field": col, "min_score": f}}
     {"percentiles":  {"query": "...", "field": col, "min_score": f,
                       "percents": [0.25, 0.5, ...]}}
+    {"percentile_ranks": {"query": "...", "field": col,
+                      "values": [v, ...], "min_score": f}}
     {"significant_terms": {"query": "...", "field": col,
                       "min_score": f, "size": n}}
     {"filters_agg":  {"query": "...", "min_score": f,
@@ -177,6 +179,7 @@ _DIS_MAX_FIELDS = {"queries", "k", "tie_breaker"}
 _SPAN_FIRST_FIELDS = {"query", "end", "k"}
 _TOP_METRICS_FIELDS = {"query", "sort_field", "metrics", "size",
                        "sort_order", "min_score"}
+_PCT_RANKS_FIELDS = {"query", "field", "values", "min_score"}
 _MODES = {"taat", "wand", "rescore", "phrase"}
 _METRICS = {"cosine", "l2", "innerproduct", "l1", "linf", "hamming"}
 
@@ -586,6 +589,23 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
             out["calendar_interval"] = spec["calendar_interval"]
             out["metric"] = spec["metric"]
         return out
+    if clause == "percentile_ranks":
+        _require_known(clause, spec, _PCT_RANKS_FIELDS)
+        if not isinstance(spec.get("query"), str) or not spec["query"]:
+            raise ValueError("[percentile_ranks] needs a non-empty "
+                             "'query'")
+        if "min_score" not in spec:
+            raise ValueError("[percentile_ranks] needs 'min_score'")
+        if not isinstance(spec.get("field"), str) or not spec["field"]:
+            raise ValueError("[percentile_ranks] needs 'field'")
+        vv = spec.get("values")
+        if not isinstance(vv, list) or not vv:
+            raise ValueError("[percentile_ranks] needs 'values': "
+                             "[v, ...]")
+        return {"type": "percentile_ranks", "query": spec["query"],
+                "field": spec["field"],
+                "values": [float(v) for v in vv],
+                "min_score": float(spec["min_score"])}
     if clause == "top_metrics":
         _require_known(clause, spec, _TOP_METRICS_FIELDS)
         if not isinstance(spec.get("query"), str) or not spec["query"]:
@@ -940,6 +960,12 @@ def execute_query(body: dict[str, Any], *, searcher=None, vector_ds=None,
             {query_id: spec["query"]}, ts_col=spec["field"],
             calendar_interval=spec["calendar_interval"],
             metric=spec["metric"], min_score=spec["min_score"])
+    if spec["type"] == "percentile_ranks":
+        if searcher is None:
+            raise ValueError("[percentile_ranks] needs searcher=")
+        return searcher.percentile_ranks_agg(
+            {query_id: spec["query"]}, value_col=spec["field"],
+            values=spec["values"], min_score=spec["min_score"])
     if spec["type"] == "top_metrics":
         if searcher is None:
             raise ValueError("[top_metrics] needs searcher=")

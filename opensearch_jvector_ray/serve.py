@@ -384,6 +384,7 @@ class _ServedAggSearcher:
     matrix_stats_agg = _IS.matrix_stats_agg
     date_range_agg = _IS.date_range_agg
     top_metrics_agg = _IS.top_metrics_agg
+    percentile_ranks_agg = _IS.percentile_ranks_agg
     _field_value_counts = _IS._field_value_counts
     lookup_df = _IS.lookup_df
     _read_dictionary = _IS._read_dictionary

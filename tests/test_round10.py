@@ -369,6 +369,38 @@ def test_extract_keywords_tfidf_rule(idx):
         extract_keywords(ds, idx, cfg, "doc_id", "text", k=0)
 
 
+def test_percentile_ranks_exact(idx):
+    from opensearch_jvector_ray.query_dsl import execute_query
+    from opensearch_jvector_ray.serve import SearchService
+    s = IndexSearcher(idx)
+    vals = [10.0, 20.0, 100.0]
+    out = s.percentile_ranks_agg(Q, value_col="n_chars", values=vals,
+                                 min_score=MS)
+    m = _match_df(s)["n_chars"].to_numpy(np.int64)
+    for v in vals:
+        got = float(out[(out["value"] == v)]["pct_rank"].iloc[0])
+        assert got == float(int((m <= v).sum())) / float(len(m))
+    # a probe below every value ranks 0, above every value ranks 1
+    lo_hi = s.percentile_ranks_agg(Q, value_col="n_chars",
+                                   values=[-1.0, 1e9], min_score=MS)
+    assert float(lo_hi["pct_rank"].iloc[0]) == 0.0
+    assert float(lo_hi["pct_rank"].iloc[1]) == 1.0
+    with pytest.raises(ValueError, match="unique"):
+        s.percentile_ranks_agg(Q, value_col="n_chars",
+                               values=[1.0, 1.0], min_score=MS)
+    body = {"percentile_ranks": {"query": Q["q"], "field": "n_chars",
+                                 "values": vals, "min_score": MS}}
+    got = execute_query(body, searcher=s)
+    pd.testing.assert_frame_equal(got, out)
+    svc = SearchService(idx, num_shards=2)
+    try:
+        warm = svc.agg.percentile_ranks_agg(
+            Q, value_col="n_chars", values=vals, min_score=MS)
+        pd.testing.assert_frame_equal(warm, out)
+    finally:
+        svc.shutdown()
+
+
 def test_top_metrics_order_and_bounds(idx):
     from opensearch_jvector_ray.query_dsl import execute_query
     from opensearch_jvector_ray.serve import SearchService
