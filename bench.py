@@ -44,7 +44,8 @@ def run_bench() -> dict:
 
     import ray
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             namespace="ojr", log_to_driver=False)
     from ray.data import DataContext
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
@@ -315,7 +316,8 @@ def _scaling_child(ncpu: int, n_convs: int) -> dict:
     """One fresh-process flagship run (index build + query batch)."""
     import ray
     ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             namespace="ojr", log_to_driver=False)
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
     import ray.data as rd
@@ -366,16 +368,31 @@ def run_scaling() -> dict:
     partitioned design's true scaling.
     """
     n_convs = int(os.environ.get("OJR_SCALE_CONVS", "400000"))
+    # medians of repeated fresh-process child runs per level: same-code
+    # single draws vary enough on this shared sandbox to cross the 0.8
+    # bar in either direction (BASELINE.md noise note), medians don't
+    repeats = int(os.environ.get("OJR_SCALING_REPEATS", "3"))
+    import statistics
     results = {}
     for ncpu in (2, 8, 32):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR,
-                   OJR_SCALING_CHILD=str(n_convs))
-        out = subprocess.run([sys.executable, os.path.abspath(__file__),
-                              "--scaling-child"],
-                             env=env, capture_output=True, text=True,
-                             check=True,
-                             cwd=os.path.dirname(os.path.abspath(__file__)))
-        results[ncpu] = json.loads(out.stdout.strip().splitlines()[-1])
+        draws = []
+        for _ in range(repeats):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                       GRAFT_SF_DIR=SF_DIR,
+                       OJR_SCALING_CHILD=str(n_convs))
+            out = subprocess.run([sys.executable, os.path.abspath(__file__),
+                                  "--scaling-child"],
+                                 env=env, capture_output=True, text=True,
+                                 check=True,
+                                 cwd=os.path.dirname(os.path.abspath(__file__)))
+            draws.append(json.loads(out.stdout.strip().splitlines()[-1]))
+        med = dict(draws[0])
+        for m in ("build_sec", "merge_sec", "query_sec", "sec",
+                  "turns_per_sec"):
+            med[m] = round(statistics.median(d[m] for d in draws), 2)
+        med["samples"] = {m: [d[m] for d in draws]
+                          for m in ("build_sec", "sec")}
+        results[ncpu] = med
 
     def eff(metric, lo, hi):
         return round((results[lo][metric] / results[hi][metric]) / (hi / lo), 3)
@@ -417,7 +434,8 @@ def run_ann_sweep() -> dict:
     import pyarrow.parquet as papq
     import ray
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             namespace="ojr", log_to_driver=False)
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
     import ray.data as rd

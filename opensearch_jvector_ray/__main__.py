@@ -42,8 +42,12 @@ import sys
 def _ray_session():
     import ray
     if not ray.is_initialized():
+        # namespace: detached named actors (metrics) otherwise emit a
+        # raylet warning ON STDOUT, breaking the one-JSON-line contract;
+        # log_to_driver=False keeps forwarded worker logs off stdout too
         ray.init(address="local", include_dashboard=False,
-                 ignore_reinit_error=True, logging_level="ERROR")
+                 ignore_reinit_error=True, logging_level="ERROR",
+                 namespace="ojr", log_to_driver=False)
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
     return ray
