@@ -862,19 +862,8 @@ def _q_bm25_date_range(sf_dir: str) -> pd.DataFrame:
     return out
 
 
-def _q_bm25_max_bucket(sf_dir: str) -> pd.DataFrame:
-    # max_bucket sibling pipeline agg: the busiest date_histogram bucket
-    # per query (value + bucket_key; ties -> smallest bucket ts)
-    from opensearch_jvector_ray.sources.tables import transcripts_index
-    s = IndexSearcher(transcripts_index(sf_dir))
-    return s.bucket_metric_agg(TRANSCRIPT_QUERIES, ts_col="ts",
-                               calendar_interval=DATE_HIST_INTERVAL,
-                               metric="max_bucket",
-                               min_score=FACET_MIN_SCORE)
-
-
 def _q_bucket_metric(metric: str):
-    # sum/avg/min_bucket share the max/stats machinery; each metric is
+    # ONE factory for all five sibling bucket metrics; each metric is
     # its own hard gate (CLAUDE.md: every SQL-expressible operator)
     def fn(sf_dir: str) -> pd.DataFrame:
         from opensearch_jvector_ray.sources.tables import transcripts_index
@@ -884,17 +873,6 @@ def _q_bucket_metric(metric: str):
                                    metric=metric,
                                    min_score=FACET_MIN_SCORE)
     return fn
-
-
-def _q_bm25_stats_bucket(sf_dir: str) -> pd.DataFrame:
-    # stats_bucket sibling pipeline agg: bucket_count/min/max/sum/avg
-    # reduced over the date_histogram doc_counts, one row per query
-    from opensearch_jvector_ray.sources.tables import transcripts_index
-    s = IndexSearcher(transcripts_index(sf_dir))
-    return s.bucket_metric_agg(TRANSCRIPT_QUERIES, ts_col="ts",
-                               calendar_interval=DATE_HIST_INTERVAL,
-                               metric="stats_bucket",
-                               min_score=FACET_MIN_SCORE)
 
 
 def _q_bm25_bucket_script(sf_dir: str) -> pd.DataFrame:
@@ -1202,7 +1180,6 @@ def _q_keyword_extract(sf_dir: str) -> pd.DataFrame:
                            "doc_id", "text", k=KEYWORD_K).to_pandas()
     for c in ("doc_id", "kw_rank"):
         out[c] = out[c].astype(np.int64)
-    out["score"] = np.round(out["score"].astype(np.float64), 6)
     return out.sort_values(["doc_id", "kw_rank"]).reset_index(drop=True)
 
 
@@ -2089,11 +2066,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_serial_diff": _q_bm25_serial_diff,
         "bm25_bucket_selector": _q_bm25_bucket_selector,
         "bm25_bucket_script": _q_bm25_bucket_script,
-        "bm25_max_bucket": _q_bm25_max_bucket,
+        "bm25_max_bucket": _q_bucket_metric("max_bucket"),
         "bm25_min_bucket": _q_bucket_metric("min_bucket"),
         "bm25_sum_bucket": _q_bucket_metric("sum_bucket"),
         "bm25_avg_bucket": _q_bucket_metric("avg_bucket"),
-        "bm25_stats_bucket": _q_bm25_stats_bucket,
+        "bm25_stats_bucket": _q_bucket_metric("stats_bucket"),
         "bm25_multi_terms": _q_bm25_multi_terms,
         "bm25_rare_terms": _q_bm25_rare_terms,
         "bm25_extended_stats": _q_bm25_extended_stats,

@@ -3456,7 +3456,10 @@ def percentile_ranks_sql(queries: dict[str, str], min_score: float,
                          text_col: str = "text") -> str:
     """Oracle for IndexSearcher.percentile_ranks_agg: per given value,
     count(x <= v) / n over the radial match set — two exact BIGINTs,
-    ONE division."""
+    ONE division.  NULL values are excluded on both sides (the
+    CASE/count(col) pair == the engine's null-dropping value counts); a
+    query whose whole match set is NULL-valued emits NO row (HAVING ==
+    the engine's empty-value-counts skip)."""
     inner = bm25_sql(queries, 0, cfg, table=table, id_col=id_col,
                      text_col=text_col, min_score=min_score)
     v_rows = ",\n       ".join(f"({float(v)!r})" for v in sorted(values))
@@ -3465,9 +3468,11 @@ WITH hits AS ({inner}),
 vals(value) AS (VALUES {v_rows})
 SELECT h.query_id, v.value,
        sum(CASE WHEN d.{value_col} <= v.value THEN 1 ELSE 0 END)
-         ::BIGINT::DOUBLE / count(*)::BIGINT::DOUBLE AS pct_rank
+         ::BIGINT::DOUBLE
+         / count(d.{value_col})::BIGINT::DOUBLE AS pct_rank
 FROM hits h JOIN {table} d USING ({id_col}) CROSS JOIN vals v
 GROUP BY h.query_id, v.value
+HAVING count(d.{value_col}) > 0
 ORDER BY h.query_id, v.value
 """
 
@@ -3503,9 +3508,11 @@ def keyword_sql(k: int, cfg: EngineConfig, table: str = "documents",
     ``k`` post-stopword terms by tf * idf (row_number ORDER BY tf*idf
     DESC, term ASC — the engine's exact rule; tf is the integer term
     count, idf the shared ln formula over the corpus df/N, ONE
-    multiply).  Ranking is raw per side (each internally pinned); the
-    OUTPUT score is round-6 on both sides — numpy log and libm ln can
-    differ in the last ulp (the standard bm25-surface rule)."""
+    multiply).  Ranking is on the ROUND-6 score with term-asc ties on
+    BOTH sides (the repo's vector-entry rule) — numpy log and libm ln
+    can differ in the last ulp, so a raw rank would be probabilistic at
+    the k boundary; the rounded rank is exact by construction whenever
+    the rounded values agree."""
     return f"""
 WITH {toks_cte(cfg, table, id_col, text_col)},
 dl AS (
@@ -3531,11 +3538,12 @@ scored AS (
 ranked AS (
   SELECT {id_col},
          row_number() OVER (PARTITION BY {id_col}
-                            ORDER BY score DESC, term ASC) AS kw_rank,
-         term, score
+                            ORDER BY round(score, 6) DESC, term ASC
+                           ) AS kw_rank,
+         term, round(score, 6) AS score
   FROM scored
 )
-SELECT {id_col}, kw_rank, term, round(score, 6) AS score
+SELECT {id_col}, kw_rank, term, score
 FROM ranked WHERE kw_rank <= {int(k)}
 ORDER BY {id_col}, kw_rank
 """

@@ -421,7 +421,12 @@ def extract_keywords(ds: "rd.Dataset", index_dir: str,
                 "score": pa.array([], type=pa.float64()),
             })
         tidf = g["term"].map(idf_s).fillna(oov).to_numpy(np.float64)
-        g["score"] = g["tf"].to_numpy(np.int64).astype(np.float64) * tidf
+        # rank on the ROUND-6 score with term-asc ties (the repo's
+        # vector-entry rule): numpy log vs libm ln last-ulp drift makes
+        # a raw rank probabilistic at the k boundary; the rounded rank
+        # is exact whenever the rounded values agree
+        g["score"] = np.round(
+            g["tf"].to_numpy(np.int64).astype(np.float64) * tidf, 6)
         g = g.sort_values(["__d", "score", "term"],
                           ascending=[True, False, True], kind="mergesort")
         g = g.groupby("__d", sort=False).head(k)

@@ -298,8 +298,15 @@ def _agg_partial(agg: dict, docs: pa.Table, ords: np.ndarray,
             .to_numpy(zero_copy_only=False)
         if sv.dtype.kind == "M":
             sv = sv.astype("datetime64[us]").astype(np.int64)
-        sv = sv.astype(np.float64)
-        order = np.lexsort((tie[ords], -sv if agg["desc"] else sv))
+        # integer sort cols stay EXACT int64 (a float64 cast would
+        # collapse values above 2^53 and drift from the driver's and
+        # the oracle's exact integer sorts); floats sort IEEE like SQL
+        if sv.dtype.kind == "f":
+            key = -sv if agg["desc"] else sv
+        else:
+            sv = sv.astype(np.int64)
+            key = -sv if agg["desc"] else sv
+        order = np.lexsort((tie[ords], key))
         sel = ords[order[:agg["n"]]]
         take = pa.array(sel)
         out_cols: dict[str, Any] = {
@@ -2643,7 +2650,9 @@ class IndexSearcher:
         ``value_col`` <= v.  Rides the same per-segment (value, count)
         partials as percentiles; rank = count(x <= v) / n — two exact
         integers, ONE division (bit-equal to the oracle's).  Ranks are
-        fractions in [0, 1]."""
+        fractions in [0, 1].  NULL values are excluded on both sides; a
+        query whose whole match set is NULL-valued emits NO row (the
+        oracle's HAVING count(col) > 0)."""
         if not values:
             raise ValueError("values must be non-empty")
         vs = [float(v) for v in values]
@@ -2657,6 +2666,10 @@ class IndexSearcher:
         rows = []
         for qid, g in df.groupby("query_id", sort=True):
             vc = g.groupby(value_col, sort=True)["doc_count"].sum()
+            if not len(vc):
+                # whole match set NULL-valued: no row on either side
+                # (the oracle's HAVING count(col) > 0 rule)
+                continue
             if pd.api.types.is_datetime64_any_dtype(vc.index):
                 vc.index = vc.index.astype("int64")
             vals_sorted = vc.index.to_numpy(dtype=np.float64)

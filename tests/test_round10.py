@@ -401,6 +401,28 @@ def test_percentile_ranks_exact(idx):
         svc.shutdown()
 
 
+def test_percentile_ranks_all_null_match_set(tmp_path):
+    # regression: an all-NULL match set used to raise IndexError on the
+    # engine and emit a row on the oracle; the pinned rule is NO row
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": ["onlyhere a", "onlyhere b", "other c", "other d"],
+        "nval": pa.array([None, None, 7, 9], type=pa.int64()),
+    })
+    out_dir = str(tmp_path / "prnull")
+    build_index(rd.from_arrow(tbl), out_dir, EngineConfig(num_segments=2),
+                IndexSpec(text_col="text", key_cols=("doc_id",),
+                          store_cols=("nval",), ts_col=""))
+    s = IndexSearcher(out_dir)
+    out = s.percentile_ranks_agg({"qn": "onlyhere", "qe": "other"},
+                                 value_col="nval", values=[8.0],
+                                 min_score=MS)
+    # 'onlyhere' matches only NULL-valued docs -> no row; 'other' has
+    # values [7, 9] -> rank(8) = 1/2 over the NON-NULL count
+    assert list(out["query_id"]) == ["qe"]
+    assert float(out["pct_rank"].iloc[0]) == 0.5
+
+
 def test_top_metrics_order_and_bounds(idx):
     from opensearch_jvector_ray.query_dsl import execute_query
     from opensearch_jvector_ray.serve import SearchService
