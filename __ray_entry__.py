@@ -32,6 +32,7 @@ from opensearch_jvector_ray.oracles import (
     filters_agg_sql, terms_stats_sql, composite_sql, multi_match_sql,
     dis_max_sql, span_first_sql, keyword_sql, chunk_sql,
     top_metrics_sql, percentile_ranks_sql,
+    global_stats_sql, sampler_sql, diversified_sampler_sql,
     multi_terms_sql, rare_terms_sql, extended_stats_sql,
     weighted_avg_sql, bucket_metric_sql, adjacency_matrix_sql,
     string_stats_sql, matrix_stats_sql, date_range_sql,
@@ -399,6 +400,35 @@ def _q_bm25_bucket_selector(sf_dir: str) -> pd.DataFrame:
                                 min_score=FACET_MIN_SCORE,
                                 pipeline="bucket_selector",
                                 selector_op="gte", selector_value=5)
+
+
+def _q_bm25_moving_max(sf_dir: str) -> pd.DataFrame:
+    # pipeline aggregation: trailing-3-bucket max (pure int window fn)
+    s = IndexSearcher(transcripts_index(sf_dir))
+    return s.date_histogram_agg(TRANSCRIPT_QUERIES, ts_col="ts",
+                                calendar_interval=DATE_HIST_INTERVAL,
+                                min_score=FACET_MIN_SCORE,
+                                pipeline="moving_max", pipeline_window=3)
+
+
+def _q_bm25_normalize(sf_dir: str) -> pd.DataFrame:
+    # pipeline aggregation: rescale_0_1 of each bucket's doc_count over
+    # the query's present buckets (integer diffs, one division)
+    s = IndexSearcher(transcripts_index(sf_dir))
+    return s.date_histogram_agg(TRANSCRIPT_QUERIES, ts_col="ts",
+                                calendar_interval=DATE_HIST_INTERVAL,
+                                min_score=FACET_MIN_SCORE,
+                                pipeline="normalize")
+
+
+def _q_bm25_cumulative_cardinality(sf_dir: str) -> pd.DataFrame:
+    # cumulative_cardinality pipeline agg, EXACT: running distinct
+    # conversations per date bucket via the min-first-bucket rule
+    s = IndexSearcher(transcripts_index(sf_dir))
+    return s.cumulative_cardinality_agg(
+        TRANSCRIPT_QUERIES, ts_col="ts",
+        calendar_interval=DATE_HIST_INTERVAL, field="conv_id",
+        min_score=FACET_MIN_SCORE)
 
 
 def _q_bm25_explain(sf_dir: str) -> pd.DataFrame:
@@ -816,6 +846,61 @@ def _q_bm25_percentile_ranks(sf_dir: str) -> pd.DataFrame:
     return s.percentile_ranks_agg(BM25_QUERIES, value_col=STATS_COL,
                                   values=PCT_RANK_VALUES,
                                   min_score=FACET_MIN_SCORE)
+
+
+SAMPLER_SHARD_SIZE = 25
+SAMPLER_FIELD = "source"
+DIV_SAMPLER_MAX_PER_VALUE = 4
+DIV_SAMPLER_SHARD_SIZE = 15
+AUTO_DH_TARGET = 8
+
+
+def _q_bm25_missing(sf_dir: str) -> pd.DataFrame:
+    # missing agg: match-set turns with no tool call (tool absent =
+    # NULL or '' — the string sidecar's absent sentinel), zero-filled
+    from opensearch_jvector_ray.sources.tables import transcripts_index
+    s = IndexSearcher(transcripts_index(sf_dir))
+    return s.missing_agg(TRANSCRIPT_QUERIES, field="tool",
+                         min_score=FACET_MIN_SCORE)
+
+
+def _q_bm25_global_stats(sf_dir: str) -> pd.DataFrame:
+    # global agg + stats sub-agg: integer stats over ALL docs ignoring
+    # any query (one docs-sidecar partial row per segment)
+    s = IndexSearcher(documents_index(sf_dir))
+    return s.global_stats_agg(STATS_COL)
+
+
+def _q_bm25_sampler(sf_dir: str) -> pd.DataFrame:
+    # sampler agg: terms counts over the best shard_size radial hits by
+    # (raw score desc, key asc); per-segment head partials re-merged
+    s = IndexSearcher(documents_index(sf_dir))
+    return s.sampler_agg(BM25_QUERIES, field=SAMPLER_FIELD,
+                         shard_size=SAMPLER_SHARD_SIZE,
+                         min_score=FACET_MIN_SCORE)
+
+
+def _q_bm25_div_sampler(sf_dir: str) -> pd.DataFrame:
+    # diversified_sampler agg: global score-order walk keeping at most
+    # max_docs_per_value per lang, first shard_size kept, then source
+    # counts — per-segment per-value head partials bound the shipped rows
+    s = IndexSearcher(documents_index(sf_dir))
+    return s.diversified_sampler_agg(
+        BM25_QUERIES, field=SAMPLER_FIELD, div_field=FACET_COL,
+        max_docs_per_value=DIV_SAMPLER_MAX_PER_VALUE,
+        shard_size=DIV_SAMPLER_SHARD_SIZE, min_score=FACET_MIN_SCORE)
+
+
+def _q_bm25_auto_date_histogram(sf_dir: str) -> pd.DataFrame:
+    # auto_date_histogram: smallest (hour, day, month) interval with
+    # <= target present buckets per query — the choice flips from hour
+    # to day as the corpus timespan grows with sf, so the gate checks
+    # the chooser at every scale
+    from opensearch_jvector_ray.sources.tables import transcripts_index
+    s = IndexSearcher(transcripts_index(sf_dir))
+    return s.auto_date_histogram_agg(TRANSCRIPT_QUERIES, ts_col="ts",
+                                     target_buckets=AUTO_DH_TARGET,
+                                     min_score=FACET_MIN_SCORE)
 
 
 def _q_bm25_adjacency_matrix(sf_dir: str) -> pd.DataFrame:
@@ -2065,6 +2150,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_moving_avg": _q_bm25_moving_avg,
         "bm25_serial_diff": _q_bm25_serial_diff,
         "bm25_bucket_selector": _q_bm25_bucket_selector,
+        "bm25_moving_max": _q_bm25_moving_max,
+        "bm25_normalize": _q_bm25_normalize,
+        "bm25_cumulative_cardinality": _q_bm25_cumulative_cardinality,
         "bm25_bucket_script": _q_bm25_bucket_script,
         "bm25_max_bucket": _q_bucket_metric("max_bucket"),
         "bm25_min_bucket": _q_bucket_metric("min_bucket"),
@@ -2077,6 +2165,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_weighted_avg": _q_bm25_weighted_avg,
         "bm25_top_metrics": _q_bm25_top_metrics,
         "bm25_percentile_ranks": _q_bm25_percentile_ranks,
+        "bm25_missing": _q_bm25_missing,
+        "bm25_global_stats": _q_bm25_global_stats,
+        "bm25_sampler": _q_bm25_sampler,
+        "bm25_div_sampler": _q_bm25_div_sampler,
+        "bm25_auto_date_histogram": _q_bm25_auto_date_histogram,
         "bm25_adjacency_matrix": _q_bm25_adjacency_matrix,
         "bm25_string_stats": _q_bm25_string_stats,
         "bm25_matrix_stats": _q_bm25_matrix_stats,
@@ -2283,6 +2376,29 @@ def _date_histogram_oracle_p(pipeline: str, window: int = 3,
                               selector_op=sel_op, selector_value=sel_val)
 
 
+def _cumulative_cardinality_oracle() -> str:
+    from opensearch_jvector_ray.oracles import cumulative_cardinality_sql
+    from opensearch_jvector_ray.sources.tables import TRANSCRIPTS_CFG
+    return cumulative_cardinality_sql(
+        TRANSCRIPT_QUERIES, FACET_MIN_SCORE, DATE_HIST_INTERVAL,
+        "conv_id", TRANSCRIPTS_CFG, _transcript_arms())
+
+
+def _missing_oracle() -> str:
+    from opensearch_jvector_ray.oracles import missing_agg_sql
+    from opensearch_jvector_ray.sources.tables import TRANSCRIPTS_CFG
+    return missing_agg_sql(TRANSCRIPT_QUERIES, FACET_MIN_SCORE, "tool",
+                           TRANSCRIPTS_CFG, _transcript_arms())
+
+
+def _auto_date_histogram_oracle() -> str:
+    from opensearch_jvector_ray.oracles import auto_date_histogram_sql
+    from opensearch_jvector_ray.sources.tables import TRANSCRIPTS_CFG
+    return auto_date_histogram_sql(TRANSCRIPT_QUERIES, FACET_MIN_SCORE,
+                                   AUTO_DH_TARGET, TRANSCRIPTS_CFG,
+                                   _transcript_arms())
+
+
 def _date_histogram_oracle() -> str:
     from opensearch_jvector_ray.oracles import date_histogram_sql
     from opensearch_jvector_ray.sources.tables import TRANSCRIPTS_CFG
@@ -2386,6 +2502,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_bucket_selector": _date_histogram_oracle_p(
             "bucket_selector", sel_op="gte", sel_val=5),
         "bm25_bucket_script": _date_histogram_oracle_p("bucket_script"),
+        "bm25_moving_max": _date_histogram_oracle_p("moving_max",
+                                                    window=3),
+        "bm25_normalize": _date_histogram_oracle_p("normalize"),
+        "bm25_cumulative_cardinality": _cumulative_cardinality_oracle(),
         "bm25_max_bucket": _bucket_metric_oracle("max_bucket"),
         "bm25_min_bucket": _bucket_metric_oracle("min_bucket"),
         "bm25_sum_bucket": _bucket_metric_oracle("sum_bucket"),
@@ -2409,6 +2529,15 @@ def oracle_sql() -> dict[str, str]:
         "bm25_top_metrics": top_metrics_sql(
             BM25_QUERIES, FACET_MIN_SCORE, "n_chars",
             ["lang", "source"], TOP_METRICS_SIZE, "desc", CFG),
+        "bm25_missing": _missing_oracle(),
+        "bm25_global_stats": global_stats_sql(STATS_COL),
+        "bm25_sampler": sampler_sql(
+            BM25_QUERIES, FACET_MIN_SCORE, SAMPLER_FIELD,
+            SAMPLER_SHARD_SIZE, CFG),
+        "bm25_div_sampler": diversified_sampler_sql(
+            BM25_QUERIES, FACET_MIN_SCORE, SAMPLER_FIELD, FACET_COL,
+            DIV_SAMPLER_MAX_PER_VALUE, DIV_SAMPLER_SHARD_SIZE, CFG),
+        "bm25_auto_date_histogram": _auto_date_histogram_oracle(),
         "bm25_adjacency_matrix": adjacency_matrix_sql(
             BM25_QUERIES, FACET_MIN_SCORE, FILTERS_AGG, CFG),
         "bm25_string_stats": string_stats_sql(

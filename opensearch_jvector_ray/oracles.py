@@ -677,6 +677,22 @@ def date_histogram_sql(queries: dict[str, str], min_score: float,
              f"{int(pipeline_window) - 1} PRECEDING AND CURRENT ROW)")
         pipe_col = (f",\n       sum(doc_count) {w}::DOUBLE"
                     f" / count(*) {w}::DOUBLE AS moving_avg")
+    elif pipeline in ("moving_max", "moving_min", "moving_sum"):
+        # moving_fn max/min/sum: trailing window incl. the current
+        # bucket — pure BIGINT window aggregate, bit-exact vs the engine
+        fn = pipeline.split("_")[1]
+        w = (f"OVER (PARTITION BY query_id ORDER BY bucket ROWS BETWEEN "
+             f"{int(pipeline_window) - 1} PRECEDING AND CURRENT ROW)")
+        pipe_col = (f",\n       {fn}(doc_count) {w}::BIGINT"
+                    f" AS {pipeline}")
+    elif pipeline == "normalize":
+        # rescale_0_1: integer diffs, ONE division; max == min -> 0.0
+        w = "OVER (PARTITION BY query_id)"
+        pipe_col = (f",\n       CASE WHEN max(doc_count) {w} = "
+                    f"min(doc_count) {w} THEN 0.0 ELSE "
+                    f"(doc_count - min(doc_count) {w})::DOUBLE / "
+                    f"(max(doc_count) {w} - min(doc_count) {w})::DOUBLE "
+                    f"END AS normalize")
     elif pipeline == "serial_diff":
         pipe_col = (f",\n       (doc_count - lag(doc_count, "
                     f"{int(pipeline_lag)}) OVER (PARTITION BY query_id "
@@ -3499,6 +3515,222 @@ SELECT query_id, rank, {id_col}, {sort_col}, {ml_out} FROM (
   FROM ({inner}) h JOIN {table} d USING ({id_col})
 ) WHERE rank <= {int(size)}
 ORDER BY query_id, rank
+"""
+
+
+def cumulative_cardinality_sql(queries: dict[str, str],
+                               min_score: float,
+                               calendar_interval: str, field: str,
+                               cfg: EngineConfig,
+                               arms: list[tuple[str, int]]) -> str:
+    """Oracle for IndexSearcher.cumulative_cardinality_agg over the
+    transcripts index: per date bucket, the match-set doc count plus
+    the running distinct count of ``field`` — each value attributed to
+    its FIRST bucket, first-appearance counts cumsummed over present
+    buckets (exactly the engine's min-bucket rule; NULLs excluded from
+    the distinct count, included in doc_count)."""
+    prefix = transcripts_arms_cte(
+        arms, "conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0')"
+              " AS doc_id, text")
+    inner = bm25_sql(queries, 0, cfg, table="transcripts",
+                     id_col="doc_id", prefix_cte=prefix,
+                     min_score=min_score)
+    outer = transcripts_arms_cte(
+        arms, "conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0')"
+              f" AS doc_id, ts, {field}")
+    return f"""
+WITH {outer},
+b AS (
+  SELECT h.query_id,
+         date_trunc({sql_quote(calendar_interval)}, d.ts) AS bucket,
+         d.{field} AS v
+  FROM ({inner}) h JOIN transcripts d USING (doc_id)
+),
+bc AS (
+  SELECT query_id, bucket, count(*)::BIGINT AS doc_count
+  FROM b GROUP BY query_id, bucket
+),
+fs AS (
+  SELECT query_id, v, min(bucket) AS bucket
+  FROM b WHERE v IS NOT NULL GROUP BY query_id, v
+),
+fc AS (
+  SELECT query_id, bucket, count(*)::BIGINT AS n_first
+  FROM fs GROUP BY query_id, bucket
+)
+SELECT bc.query_id, bc.bucket, bc.doc_count,
+       sum(coalesce(fc.n_first, 0)) OVER (
+         PARTITION BY bc.query_id ORDER BY bc.bucket
+       )::BIGINT AS cumulative_cardinality
+FROM bc LEFT JOIN fc USING (query_id, bucket)
+ORDER BY bc.query_id, bc.bucket
+"""
+
+
+def missing_agg_sql(queries: dict[str, str], min_score: float,
+                    field: str, cfg: EngineConfig,
+                    arms: list[tuple[str, int]]) -> str:
+    """Oracle for IndexSearcher.missing_agg over the transcripts index:
+    per query, the match-set docs whose ``field`` is absent — NULL or
+    '' (the engine's string-sidecar absent sentinel), zero-filled per
+    query like the engine's always-present missing bucket."""
+    prefix = transcripts_arms_cte(
+        arms, "conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0')"
+              " AS doc_id, text")
+    inner = bm25_sql(queries, 0, cfg, table="transcripts",
+                     id_col="doc_id", prefix_cte=prefix,
+                     min_score=min_score)
+    outer = transcripts_arms_cte(
+        arms, "conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0')"
+              f" AS doc_id, {field}")
+    return f"""
+WITH {outer},
+{_qids_cte(queries)},
+c AS (
+  SELECT h.query_id, count(*)::BIGINT AS doc_count
+  FROM ({inner}) h JOIN transcripts d USING (doc_id)
+  WHERE d.{field} IS NULL OR d.{field} = ''
+  GROUP BY h.query_id
+)
+SELECT q.query_id, coalesce(c.doc_count, 0)::BIGINT AS doc_count
+FROM qids q LEFT JOIN c USING (query_id)
+ORDER BY q.query_id
+"""
+
+
+def global_stats_sql(value_col: str, table: str = "documents") -> str:
+    """Oracle for IndexSearcher.global_stats_agg: integer stats over
+    ALL rows (the query-ignoring global bucket); avg = ONE division of
+    the two exact integers, matching the engine's fp rule."""
+    return f"""
+SELECT count(*)::BIGINT AS doc_count,
+       sum({value_col})::BIGINT AS v_sum,
+       min({value_col})::BIGINT AS v_min,
+       max({value_col})::BIGINT AS v_max,
+       sum({value_col})::BIGINT::DOUBLE / count(*)::BIGINT::DOUBLE
+         AS v_avg
+FROM {table}
+"""
+
+
+def sampler_sql(queries: dict[str, str], min_score: float, field: str,
+                shard_size: int, cfg: EngineConfig,
+                table: str = "documents", id_col: str = "doc_id",
+                text_col: str = "text") -> str:
+    """Oracle for IndexSearcher.sampler_agg: terms counts over the best
+    ``shard_size`` radial hits by (raw score desc, key asc).  The
+    radial inner query's rank column is computed over the full score
+    order, and the min_score filter keeps a prefix of it, so
+    rank <= shard_size IS the sample."""
+    inner = bm25_sql(queries, 0, cfg, table=table, id_col=id_col,
+                     text_col=text_col, min_score=min_score)
+    return f"""
+WITH hits AS ({inner}),
+samp AS (SELECT * FROM hits WHERE rank <= {int(shard_size)})
+SELECT s.query_id, d.{field} AS {field}, count(*)::BIGINT AS doc_count
+FROM samp s JOIN {table} d USING ({id_col})
+GROUP BY s.query_id, d.{field}
+ORDER BY s.query_id, doc_count DESC, {field} ASC
+"""
+
+
+def diversified_sampler_sql(queries: dict[str, str], min_score: float,
+                            field: str, div_field: str,
+                            max_docs_per_value: int, shard_size: int,
+                            cfg: EngineConfig, table: str = "documents",
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> str:
+    """Oracle for IndexSearcher.diversified_sampler_agg: walk the
+    radial hits in (raw score desc, key asc) order keeping at most
+    ``max_docs_per_value`` per ``div_field`` value (row_number within
+    the value partition), take the first ``shard_size`` kept, count
+    ``field`` values."""
+    inner = bm25_sql(queries, 0, cfg, table=table, id_col=id_col,
+                     text_col=text_col, min_score=min_score,
+                     emit_raw=True)
+    return f"""
+WITH hits AS ({inner}),
+dv AS (
+  SELECT h.query_id, h.{id_col}, h.score__raw,
+         d.{div_field} AS __dv, d.{field} AS __tf,
+         row_number() OVER (PARTITION BY h.query_id, d.{div_field}
+                            ORDER BY h.score__raw DESC,
+                                     h.{id_col} ASC) AS rn
+  FROM hits h JOIN {table} d USING ({id_col})
+  WHERE d.{div_field} IS NOT NULL
+),
+kept AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score__raw DESC,
+                                        {id_col} ASC) AS krank
+  FROM dv WHERE rn <= {int(max_docs_per_value)}
+)
+SELECT query_id, __tf AS {field}, count(*)::BIGINT AS doc_count
+FROM kept WHERE krank <= {int(shard_size)}
+GROUP BY query_id, __tf
+ORDER BY query_id, doc_count DESC, {field} ASC
+"""
+
+
+def auto_date_histogram_sql(queries: dict[str, str], min_score: float,
+                            target_buckets: int, cfg: EngineConfig,
+                            arms: list[tuple[str, int]]) -> str:
+    """Oracle for IndexSearcher.auto_date_histogram_agg over the
+    transcripts index: per query the smallest (hour, day, month)
+    interval whose present-bucket count is <= ``target_buckets``
+    (month otherwise), and that interval's histogram — the CASE
+    chooser verifies the interval CHOICE itself, not just the chosen
+    histogram."""
+    prefix = transcripts_arms_cte(
+        arms, "conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0')"
+              " AS doc_id, text")
+    inner = bm25_sql(queries, 0, cfg, table="transcripts",
+                     id_col="doc_id", prefix_cte=prefix,
+                     min_score=min_score)
+    outer = transcripts_arms_cte(
+        arms, "conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0')"
+              " AS doc_id, ts")
+    t = int(target_buckets)
+    return f"""
+WITH {outer},
+{_qids_cte(queries)},
+b0 AS (
+  SELECT h.query_id, d.ts
+  FROM ({inner}) h JOIN transcripts d USING (doc_id)
+),
+bh AS (
+  SELECT query_id, date_trunc('hour', ts) AS bucket,
+         count(*)::BIGINT AS doc_count
+  FROM b0 GROUP BY query_id, bucket
+),
+bd AS (
+  SELECT query_id, date_trunc('day', ts) AS bucket,
+         count(*)::BIGINT AS doc_count
+  FROM b0 GROUP BY query_id, bucket
+),
+bmn AS (
+  SELECT query_id, date_trunc('month', ts) AS bucket,
+         count(*)::BIGINT AS doc_count
+  FROM b0 GROUP BY query_id, bucket
+),
+choice AS (
+  SELECT q.query_id,
+         CASE WHEN (SELECT count(*) FROM bh
+                    WHERE bh.query_id = q.query_id) <= {t} THEN 'hour'
+              WHEN (SELECT count(*) FROM bd
+                    WHERE bd.query_id = q.query_id) <= {t} THEN 'day'
+              ELSE 'month' END AS cal_interval
+  FROM qids q
+),
+u AS (
+  SELECT 'hour' AS cal_interval, * FROM bh
+  UNION ALL SELECT 'day', * FROM bd
+  UNION ALL SELECT 'month', * FROM bmn
+)
+SELECT u.query_id, u.cal_interval, u.bucket, u.doc_count
+FROM u JOIN choice ON choice.query_id = u.query_id
+                  AND choice.cal_interval = u.cal_interval
+ORDER BY u.query_id, u.bucket
 """
 
 

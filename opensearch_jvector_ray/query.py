@@ -470,7 +470,38 @@ def _agg_partial(agg: dict, docs: pa.Table, ords: np.ndarray,
             out_cols[c] = vc[c].combine_chunks()
         out_cols["doc_count"] = pc.cast(vc["count_all"], pa.int64())
         return pa.table(out_cols)
+    if agg["kind"] == "sample":
+        # sampler aggregation partial [OpenSearch sampler-agg public
+        # semantics]: the segment's best ``n`` match-set docs by the
+        # engine's global (raw score desc, key asc) order — ords arrive
+        # already sorted that way from the radial collector, so the
+        # partial is a head(n).  <= n rows ship per segment; the driver
+        # re-merges on the same order (the A1 leaf -> global argument).
+        sel = ords[:agg["n"]]
+        take = pa.array(sel)
+        out_cols: dict[str, Any] = {
+            "query_id": pa.array([qid] * len(sel), type=pa.string()),
+        }
+        for kc in agg["key_cols"]:
+            out_cols[kc] = docs[kc].take(take)
+        out_cols[agg["col"]] = docs[agg["col"]].take(take)
+        out_cols["score"] = pa.array(scores[:agg["n"]], type=pa.float64())
+        return pa.table(out_cols)
     vals = docs[agg["col"]].take(pa.array(ords))
+    if agg["kind"] == "missing":
+        # missing aggregation partial [OpenSearch missing-agg public
+        # semantics]: count of qualifying docs whose field is absent.
+        # Absent = NULL, or '' for string columns — the engine's string
+        # sidecars store absent metadata as '' (e.g. transcripts `tool`
+        # on non-tool turns); the generated oracle shares the rule.
+        n_missing = vals.null_count
+        if pa.types.is_string(vals.type) or pa.types.is_large_string(vals.type):
+            eq = pc.sum(pc.equal(vals.drop_null(), "")).as_py()
+            n_missing += int(eq or 0)
+        return pa.table({
+            "query_id": pa.array([qid], type=pa.string()),
+            "doc_count": pa.array([int(n_missing)], type=pa.int64()),
+        })
     if agg["kind"] == "range":
         v = vals.to_numpy(zero_copy_only=False).astype(np.float64)
         keys, cnts = [], []
@@ -488,6 +519,33 @@ def _agg_partial(agg: dict, docs: pa.Table, ords: np.ndarray,
             "query_id": pa.array([qid] * len(keys), type=pa.string()),
             "range_key": pa.array(keys, type=pa.string()),
             "doc_count": pa.array(cnts, type=pa.int64()),
+        })
+    if agg["kind"] == "val_bucket":
+        # cumulative_cardinality partial [OpenSearch
+        # cumulative_cardinality pipeline-agg public semantics, served
+        # EXACT]: per (field value, calendar bucket) doc counts —
+        # value-cardinality x bucket bounded rows ship; the driver
+        # derives the per-bucket doc counts (sum over values, nulls
+        # kept as their own key) AND each value's FIRST bucket (min
+        # across segments) from the same partial, so one fan-out feeds
+        # both the histogram and the running-distinct column.
+        import pandas as _pd
+        take = pa.array(ords)
+        unit = {"month": "M", "day": "D", "hour": "h"}[agg["interval"]]
+        tsv = docs[agg["col"]].take(take) \
+            .to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        b = tsv.astype(f"datetime64[{unit}]").astype("datetime64[us]")
+        fv = docs[agg["val_col"]].take(take) \
+            .to_numpy(zero_copy_only=False)
+        g = (_pd.DataFrame({"v": fv, "b": b})
+             .groupby(["v", "b"], sort=False, dropna=False).size()
+             .rename("doc_count").reset_index())
+        return pa.table({
+            "query_id": pa.array([qid] * len(g), type=pa.string()),
+            agg["val_col"]: pa.Array.from_pandas(g["v"]),
+            "bucket": pa.array(g["b"].to_numpy(), type=pa.timestamp("us")),
+            "doc_count": pa.array(g["doc_count"].to_numpy(np.int64),
+                                  type=pa.int64()),
         })
     if agg["kind"] == "date_hist":
         unit = {"month": "M", "day": "D", "hour": "h"}[agg["interval"]]
@@ -1672,6 +1730,23 @@ def _docs_value_counts_task(batch: pa.Table, field: str) -> pa.Table:
     return pa.concat_tables(tables)
 
 
+def _docs_stats_task(batch: pa.Table, field: str) -> pa.Table:
+    """Whole-segment integer stats partial of one stored column (docs
+    sidecar only — the global-agg fan-out; no postings touched)."""
+    rows = {"doc_count": [], "v_sum": [], "v_min": [], "v_max": []}
+    for d in batch["seg_dir"].to_pylist():
+        t = pq.read_table(os.path.join(d, DOCS_NAME), columns=[field])
+        v = t[field].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(v):
+            continue
+        rows["doc_count"].append(len(v))
+        rows["v_sum"].append(int(v.sum()))
+        rows["v_min"].append(int(v.min()))
+        rows["v_max"].append(int(v.max()))
+    return pa.table({k: pa.array(vv, type=pa.int64())
+                     for k, vv in rows.items()})
+
+
 def _positions_for_segment(seg_dir: str, p: dict) -> pa.Table | None:
     """Matched-term positions for the hit docs living in one segment —
     the highlight fetch (the J4 hit->source pattern applied to the
@@ -2450,10 +2525,16 @@ class IndexSearcher:
             raise ValueError("calendar_interval must be month|day|hour")
         if pipeline not in (None, "cumulative_sum", "derivative",
                             "moving_avg", "serial_diff",
-                            "bucket_selector", "bucket_script"):
+                            "bucket_selector", "bucket_script",
+                            "moving_max", "moving_min", "moving_sum",
+                            "normalize"):
             raise ValueError("pipeline must be cumulative_sum|derivative"
                              "|moving_avg|serial_diff|bucket_selector"
-                             "|bucket_script")
+                             "|bucket_script|moving_max|moving_min"
+                             "|moving_sum|normalize")
+        if pipeline in ("moving_max", "moving_min", "moving_sum") \
+                and pipeline_window < 1:
+            raise ValueError("pipeline_window must be >= 1")
         if pipeline == "bucket_selector" and selector_op not in (
                 "gt", "gte", "lt", "lte", "eq"):
             raise ValueError("selector_op must be gt|gte|lt|lte|eq")
@@ -2491,6 +2572,30 @@ class IndexSearcher:
             rcnt = grp.rolling(pipeline_window, min_periods=1).count() \
                       .reset_index(level=0, drop=True)
             out[pipeline] = (rsum / rcnt).astype(np.float64)
+        elif pipeline in ("moving_max", "moving_min", "moving_sum"):
+            # moving_fn max/min/sum [OpenSearch moving_fn public
+            # semantics, trailing window incl. the current bucket,
+            # partial windows over what exists] — pure int64 arithmetic,
+            # bit-exact vs the SQL window aggregate
+            fn = pipeline.split("_")[1]
+            grp = out.groupby("query_id", sort=False)["doc_count"]
+            r = grp.rolling(pipeline_window, min_periods=1).agg(fn) \
+                   .reset_index(level=0, drop=True)
+            out[pipeline] = r.astype(np.int64)
+        elif pipeline == "normalize":
+            # normalize rescale_0_1 [OpenSearch normalize-agg public
+            # semantics]: (v - min) / (max - min) over the query's
+            # present buckets; max == min emits 0.0.  Numerator and
+            # denominator are exact integer diffs; the ONE division
+            # mirrors the SQL's ::DOUBLE / ::DOUBLE
+            grp = out.groupby("query_id", sort=False)["doc_count"]
+            mn = grp.transform("min")
+            mx = grp.transform("max")
+            rng = (mx - mn).astype(np.float64)
+            num = (out["doc_count"] - mn).astype(np.float64)
+            out[pipeline] = np.where(rng > 0.0,
+                                     num / np.where(rng > 0.0, rng, 1.0),
+                                     0.0)
         elif pipeline == "serial_diff":
             out[pipeline] = (
                 out["doc_count"]
@@ -2511,6 +2616,51 @@ class IndexSearcher:
                    "lte": _op.le, "eq": _op.eq}[selector_op]
             out = out[cmp(out["doc_count"],
                           int(selector_value))].reset_index(drop=True)
+        return out[cols]
+
+    def cumulative_cardinality_agg(self, queries: dict[str, str],
+                                   ts_col: str, calendar_interval: str,
+                                   field: str, min_score: float,
+                                   concurrency: int | None = None
+                                   ) -> pd.DataFrame:
+        """Cumulative-cardinality pipeline aggregation [OpenSearch
+        cumulative_cardinality public semantics — approximate HLL
+        there, EXACT here] over a date_histogram of the radial match
+        set: per bucket, the doc count AND the running count of
+        DISTINCT ``field`` values seen in any bucket up to and
+        including it.
+
+        Distributed shape: ONE fan-out of per-segment (value, bucket)
+        count partials; the driver takes each value's global first
+        bucket (min across segments) and cumsums first-appearance
+        counts over the present buckets — distinct values never ship,
+        only value x bucket sized counts.  NULL field values are
+        excluded from the distinct count (count(DISTINCT) semantics)
+        but still count toward doc_count."""
+        if calendar_interval not in ("month", "day", "hour"):
+            raise ValueError("calendar_interval must be month|day|hour")
+        df = self._agg_fanout(queries,
+                              {"kind": "val_bucket", "col": ts_col,
+                               "val_col": field,
+                               "interval": calendar_interval},
+                              min_score, None, concurrency)
+        cols = ["query_id", "bucket", "doc_count",
+                "cumulative_cardinality"]
+        if df.empty:
+            return pd.DataFrame(columns=cols)
+        out = (df.groupby(["query_id", "bucket"], sort=True)["doc_count"]
+                 .sum().reset_index())
+        fs = (df[df[field].notna()]
+              .groupby(["query_id", field], sort=False)["bucket"].min()
+              .reset_index())
+        fc = (fs.groupby(["query_id", "bucket"], sort=False).size()
+                .rename("n_first").reset_index())
+        out = out.merge(fc, on=["query_id", "bucket"], how="left")
+        out["n_first"] = out["n_first"].fillna(0).astype(np.int64)
+        out["cumulative_cardinality"] = (
+            out.groupby("query_id", sort=False)["n_first"].cumsum()
+               .astype(np.int64))
+        out["doc_count"] = out["doc_count"].astype(np.int64)
         return out[cols]
 
     def top_hits_agg(self, queries: dict[str, str], group_col: str, n: int,
@@ -2680,6 +2830,200 @@ class IndexSearcher:
                 le = int(cum[i - 1]) if i > 0 else 0
                 rows.append((qid, v, float(le) / float(total)))
         return pd.DataFrame(rows, columns=cols)
+
+    def missing_agg(self, queries: dict[str, str], field: str,
+                    min_score: float,
+                    concurrency: int | None = None) -> pd.DataFrame:
+        """Missing aggregation [OpenSearch missing-agg public
+        semantics]: per query, the count of match-set docs whose stored
+        ``field`` is absent.  The engine's string sidecars store absent
+        metadata as '' (e.g. the transcripts ``tool`` column on
+        non-tool turns), so absent = NULL or '' — the documented rule
+        the generated oracle shares.  One int64 row per segment ships
+        (combiner-first); the query grid is emitted zero-filled like
+        OpenSearch's always-present missing bucket."""
+        df = self._agg_fanout(queries, {"kind": "missing", "col": field},
+                              min_score, None, concurrency)
+        base = pd.DataFrame({"query_id": sorted(queries)})
+        if df.empty:
+            base["doc_count"] = np.int64(0)
+            return base
+        got = df.groupby("query_id")["doc_count"].sum()
+        base["doc_count"] = base["query_id"].map(got).fillna(0) \
+            .astype(np.int64)
+        return base
+
+    def global_stats_agg(self, value_col: str) -> pd.DataFrame:
+        """Global aggregation [OpenSearch global-agg public semantics]
+        with a stats sub-agg: (doc_count, sum, min, max, avg) of a
+        stored integer column over ALL docs of the index, ignoring any
+        query — the global-bucket escape hatch.  One docs-sidecar-only
+        task per segment ships a single integer partial row (no
+        postings touched); the one avg division happens on the driver,
+        bit-equal to the oracle's sum::DOUBLE / count::DOUBLE."""
+        cols = ["doc_count", "v_sum", "v_min", "v_max", "v_avg"]
+        if not self.seg_dirs:
+            return pd.DataFrame(columns=cols)
+        seg_ds = rd.from_items([{"seg_dir": d} for d in self.seg_dirs])
+        out = seg_ds.map_batches(_docs_stats_task,
+                                 fn_kwargs={"field": value_col},
+                                 batch_format="pyarrow", batch_size=1)
+        frames = [b.to_pandas()
+                  for b in out.iter_batches(batch_format="pyarrow")]
+        frames = [f for f in frames if not f.empty]
+        if not frames:
+            return pd.DataFrame(columns=cols)
+        df = pd.concat(frames, ignore_index=True)
+        g = pd.DataFrame({
+            "doc_count": [np.int64(df["doc_count"].sum())],
+            "v_sum": [np.int64(df["v_sum"].sum())],
+            "v_min": [np.int64(df["v_min"].min())],
+            "v_max": [np.int64(df["v_max"].max())],
+        })
+        g["v_avg"] = g["v_sum"].astype(np.float64) / g["doc_count"]
+        return g[cols]
+
+    def sampler_agg(self, queries: dict[str, str], field: str,
+                    shard_size: int, min_score: float,
+                    concurrency: int | None = None) -> pd.DataFrame:
+        """Sampler aggregation [OpenSearch sampler-agg public semantics,
+        with a terms sub-agg]: restrict the radial match set to its
+        best ``shard_size`` docs by the engine's global (raw score
+        desc, key asc) ranking, then count ``field`` values over that
+        sample, ordered (doc_count desc, value asc).
+
+        Distribution shape: each segment ships its own top shard_size
+        sample rows (its match set arrives pre-sorted from the radial
+        collector, so the partial is a head); the driver re-merges
+        <= shard_size x segments rows on the same order."""
+        if shard_size < 1:
+            raise ValueError("shard_size must be >= 1")
+        df = self._agg_fanout(queries,
+                              {"kind": "sample", "col": field,
+                               "n": int(shard_size),
+                               "key_cols": list(self.key_cols)},
+                              min_score, None, concurrency)
+        cols = ["query_id", field, "doc_count"]
+        if df.empty:
+            return pd.DataFrame(columns=cols)
+        df = df.sort_values(
+            ["query_id", "score", *self.key_cols],
+            ascending=[True, False] + [True] * len(self.key_cols),
+            kind="mergesort")
+        df = df.groupby("query_id", sort=False).head(int(shard_size))
+        out = (df.groupby(["query_id", field], sort=False).size()
+                 .rename("doc_count").reset_index())
+        out = out.sort_values(["query_id", "doc_count", field],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        out["doc_count"] = out["doc_count"].astype(np.int64)
+        return out.reset_index(drop=True)[cols]
+
+    def diversified_sampler_agg(self, queries: dict[str, str],
+                                field: str, div_field: str,
+                                max_docs_per_value: int, shard_size: int,
+                                min_score: float,
+                                concurrency: int | None = None
+                                ) -> pd.DataFrame:
+        """Diversified-sampler aggregation [OpenSearch
+        diversified_sampler public semantics, with a terms sub-agg]:
+        walk the radial match set in the engine's global (raw score
+        desc, key asc) order, keep at most ``max_docs_per_value`` docs
+        per distinct ``div_field`` value, stop after ``shard_size``
+        kept docs, then count ``field`` values over the sample
+        (doc_count desc, value asc).  Docs whose ``div_field`` is NULL
+        are excluded from the sample (the terms-family missing rule,
+        shared with the oracle's IS NOT NULL).
+
+        Distribution shape: a doc kept by the global walk is always
+        within its own segment's per-value head(max_docs_per_value) —
+        its same-value predecessors in the global order are a superset
+        of those in its segment — so the per-segment partial is the
+        top_hits per-bucket head: <= div-cardinality x max_docs rows
+        ship, and the exact global walk runs over those."""
+        if max_docs_per_value < 1:
+            raise ValueError("max_docs_per_value must be >= 1")
+        if shard_size < 1:
+            raise ValueError("shard_size must be >= 1")
+        if field == div_field:
+            raise ValueError("field and div_field must differ")
+        # "cols" rides along only for the driver-side schema validation
+        # of the terms field (the partial ships it via key_cols)
+        df = self._agg_fanout(queries,
+                              {"kind": "top_hits", "col": div_field,
+                               "n": int(max_docs_per_value),
+                               "key_cols": [*self.key_cols, field],
+                               "cols": (field,)},
+                              min_score, None, concurrency)
+        cols = ["query_id", field, "doc_count"]
+        if df.empty:
+            return pd.DataFrame(columns=cols)
+        # docs with a NULL div_field are excluded from the sample (the
+        # terms-family missing rule; the oracle's IS NOT NULL)
+        df = df[df[div_field].notna()]
+        df = df.sort_values(
+            ["query_id", "score", *self.key_cols],
+            ascending=[True, False] + [True] * len(self.key_cols),
+            kind="mergesort")
+        pos = df.groupby(["query_id", div_field], sort=False).cumcount()
+        df = df[pos.to_numpy() < int(max_docs_per_value)]
+        df = df.groupby("query_id", sort=False).head(int(shard_size))
+        out = (df.groupby(["query_id", field], sort=False).size()
+                 .rename("doc_count").reset_index())
+        out = out.sort_values(["query_id", "doc_count", field],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        out["doc_count"] = out["doc_count"].astype(np.int64)
+        return out.reset_index(drop=True)[cols]
+
+    def auto_date_histogram_agg(self, queries: dict[str, str],
+                                ts_col: str, target_buckets: int,
+                                min_score: float,
+                                concurrency: int | None = None
+                                ) -> pd.DataFrame:
+        """Auto-interval date histogram [OpenSearch auto_date_histogram
+        public semantics]: per query, pick the smallest calendar
+        interval from the (hour, day, month) ladder whose PRESENT
+        bucket count is <= ``target_buckets`` (month regardless if none
+        qualifies) and emit that histogram with the chosen interval.
+
+        ONE hour-granularity date_hist partial pass fans out; the
+        coarser candidates derive driver-side by exact integer
+        datetime64 truncation of the hour buckets (calendar truncation
+        composes exactly), so the interval CHOICE is made over
+        bucket-count-sized frames — and the generated oracle verifies
+        the choice itself, not just the chosen histogram."""
+        if target_buckets < 1:
+            raise ValueError("target_buckets must be >= 1")
+        df = self._agg_fanout(queries,
+                              {"kind": "date_hist", "col": ts_col,
+                               "interval": "hour"},
+                              min_score, None, concurrency)
+        cols = ["query_id", "cal_interval", "bucket", "doc_count"]
+        if df.empty:
+            return pd.DataFrame(columns=cols)
+        hour = (df.groupby(["query_id", "bucket"], sort=True)["doc_count"]
+                  .sum().reset_index())
+        frames = []
+        for qid, g in hour.groupby("query_id", sort=True):
+            name, cg = "month", None
+            for unit, nm in (("h", "hour"), ("D", "day"), ("M", "month")):
+                b = (g["bucket"].to_numpy()
+                      .astype(f"datetime64[{unit}]")
+                      .astype("datetime64[us]"))
+                cg = (pd.DataFrame({"bucket": b,
+                                    "doc_count": g["doc_count"].to_numpy()})
+                        .groupby("bucket", sort=True)["doc_count"].sum()
+                        .reset_index())
+                name = nm
+                if len(cg) <= int(target_buckets):
+                    break
+            cg.insert(0, "cal_interval", name)
+            cg.insert(0, "query_id", qid)
+            frames.append(cg)
+        out = pd.concat(frames, ignore_index=True)
+        out["doc_count"] = out["doc_count"].astype(np.int64)
+        return out[cols]
 
     def significant_terms_agg(self, queries: dict[str, str], field: str,
                               min_score: float, size: int = 10,

@@ -104,6 +104,22 @@ Supported bodies (one top-level clause per query):
     {"top_metrics":  {"query": "...", "sort_field": col,
                       "metrics": [col, ...], "size": n,
                       "sort_order": "asc|desc", "min_score": f}}
+    {"missing_agg":  {"query": "...", "field": col, "min_score": f}}
+                 # match-set docs whose field is absent (NULL or '')
+    {"global_stats": {"field": int_col}}
+                 # global bucket: stats over ALL docs, query ignored
+    {"sampler":      {"query": "...", "field": col, "shard_size": n,
+                      "min_score": f}}   # terms over the best n hits
+    {"diversified_sampler": {"query": "...", "field": col,
+                      "div_field": col, "max_docs_per_value": n,
+                      "shard_size": n, "min_score": f}}
+    {"auto_date_histogram": {"query": "...", "field": ts_col,
+                      "target_buckets": n, "min_score": f}}
+                 # smallest hour|day|month interval fitting the target
+    {"cumulative_cardinality": {"query": "...", "field": ts_col,
+                      "value_field": col, "min_score": f,
+                      "calendar_interval": "month|day|hour"}}
+                 # running EXACT distinct count over date buckets
     {"match_phrase_prefix": {"query": "fast mer", "k": 10,
                 "max_expansions": 50}}     # phrase + last-term prefix
     {"match_bool_prefix": {"query": "fast mer", "k": 10,
@@ -180,6 +196,14 @@ _SPAN_FIRST_FIELDS = {"query", "end", "k"}
 _TOP_METRICS_FIELDS = {"query", "sort_field", "metrics", "size",
                        "sort_order", "min_score"}
 _PCT_RANKS_FIELDS = {"query", "field", "values", "min_score"}
+_MISSING_FIELDS = {"query", "field", "min_score"}
+_GLOBAL_STATS_FIELDS = {"field"}
+_SAMPLER_FIELDS = {"query", "field", "shard_size", "min_score"}
+_DIV_SAMPLER_FIELDS = {"query", "field", "div_field",
+                       "max_docs_per_value", "shard_size", "min_score"}
+_AUTO_DH_FIELDS = {"query", "field", "target_buckets", "min_score"}
+_CUM_CARD_FIELDS = {"query", "field", "value_field",
+                    "calendar_interval", "min_score"}
 _MODES = {"taat", "wand", "rescore", "phrase"}
 _METRICS = {"cosine", "l2", "innerproduct", "l1", "linf", "hamming"}
 
@@ -589,6 +613,96 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
             out["calendar_interval"] = spec["calendar_interval"]
             out["metric"] = spec["metric"]
         return out
+    if clause == "missing_agg":
+        _require_known(clause, spec, _MISSING_FIELDS)
+        if not isinstance(spec.get("query"), str) or not spec["query"]:
+            raise ValueError("[missing_agg] needs a non-empty 'query'")
+        if "min_score" not in spec:
+            raise ValueError("[missing_agg] needs 'min_score'")
+        if not isinstance(spec.get("field"), str) or not spec["field"]:
+            raise ValueError("[missing_agg] needs a 'field' column name")
+        return {"type": "missing_agg", "query": spec["query"],
+                "field": spec["field"],
+                "min_score": float(spec["min_score"])}
+    if clause == "global_stats":
+        _require_known(clause, spec, _GLOBAL_STATS_FIELDS)
+        if not isinstance(spec.get("field"), str) or not spec["field"]:
+            raise ValueError("[global_stats] needs a 'field' column "
+                             "name")
+        return {"type": "global_stats", "field": spec["field"]}
+    if clause == "sampler":
+        _require_known(clause, spec, _SAMPLER_FIELDS)
+        if not isinstance(spec.get("query"), str) or not spec["query"]:
+            raise ValueError("[sampler] needs a non-empty 'query'")
+        if "min_score" not in spec:
+            raise ValueError("[sampler] needs 'min_score'")
+        if not isinstance(spec.get("field"), str) or not spec["field"]:
+            raise ValueError("[sampler] needs a 'field' column name")
+        if int(spec.get("shard_size", 0)) < 1:
+            raise ValueError("[sampler] needs 'shard_size' >= 1")
+        return {"type": "sampler", "query": spec["query"],
+                "field": spec["field"],
+                "shard_size": int(spec["shard_size"]),
+                "min_score": float(spec["min_score"])}
+    if clause == "diversified_sampler":
+        _require_known(clause, spec, _DIV_SAMPLER_FIELDS)
+        if not isinstance(spec.get("query"), str) or not spec["query"]:
+            raise ValueError("[diversified_sampler] needs a non-empty "
+                             "'query'")
+        if "min_score" not in spec:
+            raise ValueError("[diversified_sampler] needs 'min_score'")
+        for f in ("field", "div_field"):
+            if not isinstance(spec.get(f), str) or not spec[f]:
+                raise ValueError(f"[diversified_sampler] needs a {f!r} "
+                                 "column name")
+        if int(spec.get("max_docs_per_value", 0)) < 1:
+            raise ValueError("[diversified_sampler] needs "
+                             "'max_docs_per_value' >= 1")
+        if int(spec.get("shard_size", 0)) < 1:
+            raise ValueError("[diversified_sampler] needs "
+                             "'shard_size' >= 1")
+        return {"type": "diversified_sampler", "query": spec["query"],
+                "field": spec["field"], "div_field": spec["div_field"],
+                "max_docs_per_value": int(spec["max_docs_per_value"]),
+                "shard_size": int(spec["shard_size"]),
+                "min_score": float(spec["min_score"])}
+    if clause == "auto_date_histogram":
+        _require_known(clause, spec, _AUTO_DH_FIELDS)
+        if not isinstance(spec.get("query"), str) or not spec["query"]:
+            raise ValueError("[auto_date_histogram] needs a non-empty "
+                             "'query'")
+        if "min_score" not in spec:
+            raise ValueError("[auto_date_histogram] needs 'min_score'")
+        if not isinstance(spec.get("field"), str) or not spec["field"]:
+            raise ValueError("[auto_date_histogram] needs a 'field' "
+                             "timestamp column name")
+        if int(spec.get("target_buckets", 0)) < 1:
+            raise ValueError("[auto_date_histogram] needs "
+                             "'target_buckets' >= 1")
+        return {"type": "auto_date_histogram", "query": spec["query"],
+                "field": spec["field"],
+                "target_buckets": int(spec["target_buckets"]),
+                "min_score": float(spec["min_score"])}
+    if clause == "cumulative_cardinality":
+        _require_known(clause, spec, _CUM_CARD_FIELDS)
+        if not isinstance(spec.get("query"), str) or not spec["query"]:
+            raise ValueError("[cumulative_cardinality] needs a "
+                             "non-empty 'query'")
+        if "min_score" not in spec:
+            raise ValueError("[cumulative_cardinality] needs "
+                             "'min_score'")
+        for f in ("field", "value_field"):
+            if not isinstance(spec.get(f), str) or not spec[f]:
+                raise ValueError(f"[cumulative_cardinality] needs a "
+                                 f"{f!r} column name")
+        if spec.get("calendar_interval") not in ("month", "day", "hour"):
+            raise ValueError("[cumulative_cardinality] needs "
+                             "'calendar_interval': month|day|hour")
+        return {"type": "cumulative_cardinality",
+                "query": spec["query"], "field": spec["field"],
+                "value_field": spec["value_field"],
+                "calendar_interval": spec["calendar_interval"],
+                "min_score": float(spec["min_score"])}
     if clause == "percentile_ranks":
         _require_known(clause, spec, _PCT_RANKS_FIELDS)
         if not isinstance(spec.get("query"), str) or not spec["query"]:
@@ -700,11 +814,14 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
             if pl is not None:
                 if pl not in ("cumulative_sum", "derivative",
                               "moving_avg", "serial_diff",
-                              "bucket_selector", "bucket_script"):
+                              "bucket_selector", "bucket_script",
+                              "moving_max", "moving_min", "moving_sum",
+                              "normalize"):
                     raise ValueError(
                         "[date_histogram] pipeline must be "
                         "cumulative_sum|derivative|moving_avg|"
-                        "serial_diff|bucket_selector|bucket_script")
+                        "serial_diff|bucket_selector|bucket_script|"
+                        "moving_max|moving_min|moving_sum|normalize")
                 out["pipeline"] = pl
                 out["window"] = int(spec.get("window", 3))
                 out["lag"] = int(spec.get("lag", 1))
@@ -800,7 +917,9 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
     raise ValueError(f"unknown query clause {clause!r} (supported: "
                      f"match, bool, knn, more_like_this, prefix, fuzzy, "
                      f"facets, stats_agg, histogram, range_agg, "
-                     f"date_histogram, top_hits, query_string, "
+                     f"date_histogram, auto_date_histogram, top_hits, "
+                     f"missing_agg, global_stats, sampler, "
+                     f"diversified_sampler, query_string, "
                      f"synonyms, regexp, wildcard, match_phrase_prefix)")
 
 
@@ -966,6 +1085,46 @@ def execute_query(body: dict[str, Any], *, searcher=None, vector_ds=None,
         return searcher.percentile_ranks_agg(
             {query_id: spec["query"]}, value_col=spec["field"],
             values=spec["values"], min_score=spec["min_score"])
+    if spec["type"] == "cumulative_cardinality":
+        if searcher is None:
+            raise ValueError("[cumulative_cardinality] needs searcher=")
+        return searcher.cumulative_cardinality_agg(
+            {query_id: spec["query"]}, ts_col=spec["field"],
+            calendar_interval=spec["calendar_interval"],
+            field=spec["value_field"], min_score=spec["min_score"])
+    if spec["type"] == "missing_agg":
+        if searcher is None:
+            raise ValueError("[missing_agg] needs searcher=")
+        return searcher.missing_agg({query_id: spec["query"]},
+                                    field=spec["field"],
+                                    min_score=spec["min_score"])
+    if spec["type"] == "global_stats":
+        if searcher is None:
+            raise ValueError("[global_stats] needs searcher=")
+        return searcher.global_stats_agg(spec["field"])
+    if spec["type"] == "sampler":
+        if searcher is None:
+            raise ValueError("[sampler] needs searcher=")
+        return searcher.sampler_agg({query_id: spec["query"]},
+                                    field=spec["field"],
+                                    shard_size=spec["shard_size"],
+                                    min_score=spec["min_score"])
+    if spec["type"] == "diversified_sampler":
+        if searcher is None:
+            raise ValueError("[diversified_sampler] needs searcher=")
+        return searcher.diversified_sampler_agg(
+            {query_id: spec["query"]}, field=spec["field"],
+            div_field=spec["div_field"],
+            max_docs_per_value=spec["max_docs_per_value"],
+            shard_size=spec["shard_size"],
+            min_score=spec["min_score"])
+    if spec["type"] == "auto_date_histogram":
+        if searcher is None:
+            raise ValueError("[auto_date_histogram] needs searcher=")
+        return searcher.auto_date_histogram_agg(
+            {query_id: spec["query"]}, ts_col=spec["field"],
+            target_buckets=spec["target_buckets"],
+            min_score=spec["min_score"])
     if spec["type"] == "top_metrics":
         if searcher is None:
             raise ValueError("[top_metrics] needs searcher=")

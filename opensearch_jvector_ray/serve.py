@@ -385,6 +385,14 @@ class _ServedAggSearcher:
     date_range_agg = _IS.date_range_agg
     top_metrics_agg = _IS.top_metrics_agg
     percentile_ranks_agg = _IS.percentile_ranks_agg
+    missing_agg = _IS.missing_agg
+    sampler_agg = _IS.sampler_agg
+    diversified_sampler_agg = _IS.diversified_sampler_agg
+    auto_date_histogram_agg = _IS.auto_date_histogram_agg
+    cumulative_cardinality_agg = _IS.cumulative_cardinality_agg
+    # global_stats_agg reads docs sidecars directly (no postings), so
+    # the borrowed method works unchanged off seg_dirs (cold read)
+    global_stats_agg = _IS.global_stats_agg
     _field_value_counts = _IS._field_value_counts
     lookup_df = _IS.lookup_df
     _read_dictionary = _IS._read_dictionary

@@ -1,0 +1,311 @@
+"""Round-4 sampler/missing/global/auto-interval aggregations:
+brute-force containment oracles on a purpose-built corpus; the hard
+DuckDB gates live in the driver entries (bm25_missing,
+bm25_global_stats, bm25_sampler, bm25_div_sampler,
+bm25_auto_date_histogram)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from opensearch_jvector_ray.config import EngineConfig
+from opensearch_jvector_ray.query import IndexSearcher
+from opensearch_jvector_ray.query_dsl import execute_query, parse_query
+from opensearch_jvector_ray.stages.build import IndexSpec, build_index
+
+TEXTS = ["alpha beta", "alpha gamma", "beta gamma", "alpha beta gamma",
+         "gamma delta", "alpha", "beta", "delta eps", "alpha delta",
+         "beta delta"] * 4
+N = len(TEXTS)
+LANGS = [("en", "de", "fr", None)[i % 4] for i in range(N)]
+SOURCES = [f"s{i % 7}" for i in range(N)]
+# tool-style column: '' on most rows (the string-sidecar absent
+# sentinel), a real value on every 5th, NULL on every 11th
+TOOLS = [None if i % 11 == 0 else (f"t{i % 3}" if i % 5 == 0 else "")
+         for i in range(N)]
+NCHARS = [len(t) * (1 + i % 3) for i, t in enumerate(TEXTS)]
+# 3 days x 5 hour-slots with uneven multiplicity (exercises both the
+# interval ladder and non-degenerate per-bucket counts)
+TS = [(i % 3) * 86_400_000_000 + ((i * 7) % 5) * 3_600_000_000
+      for i in range(N)]
+
+
+def _corpus() -> pa.Table:
+    return pa.table({
+        "doc_id": pa.array(list(range(N)), type=pa.int64()),
+        "text": pa.array(TEXTS, type=pa.string()),
+        "lang": pa.array(LANGS, type=pa.string()),
+        "source": pa.array(SOURCES, type=pa.string()),
+        "tool": pa.array(TOOLS, type=pa.string()),
+        "n_chars": pa.array(NCHARS, type=pa.int64()),
+        "ts": pa.array(TS, type=pa.timestamp("us")),
+    })
+
+
+@pytest.fixture(scope="module")
+def idx(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("r11") / "idx")
+    build_index(rd.from_arrow(_corpus()), out,
+                EngineConfig(num_segments=3),
+                IndexSpec(text_col="text", key_cols=("doc_id",),
+                          store_cols=("lang", "source", "tool",
+                                      "n_chars", "ts"),
+                          ts_col=""))
+    return out
+
+
+MS = 1e-9
+Q = {"q": "alpha delta"}
+
+
+def _hits(s: IndexSearcher) -> pd.DataFrame:
+    """Radial hits in the engine's global (score desc, key asc) order."""
+    return s.search(Q, min_score=MS)
+
+
+def _match_df(s: IndexSearcher) -> pd.DataFrame:
+    hit = _hits(s)
+    base = _corpus().to_pandas()
+    m = base[base["doc_id"].isin(hit["doc_id"])]
+    return m
+
+
+def test_missing_agg_null_or_empty(idx):
+    s = IndexSearcher(idx)
+    out = s.missing_agg(Q, field="tool", min_score=MS)
+    m = _match_df(s)
+    want = int((m["tool"].isna() | (m["tool"] == "")).sum())
+    assert list(out["query_id"]) == ["q"]
+    assert int(out["doc_count"][0]) == want
+    assert 0 < want < len(m)          # non-trivial on this corpus
+    # zero-filled grid: a no-match query still emits its row
+    out2 = s.missing_agg({"q": "alpha delta", "zz": "qqqzzz"},
+                         field="tool", min_score=MS)
+    assert list(out2["query_id"]) == ["q", "zz"]
+    assert int(out2["doc_count"][1]) == 0
+
+
+def test_global_stats_ignores_query(idx):
+    s = IndexSearcher(idx)
+    out = s.global_stats_agg("n_chars")
+    v = np.asarray(NCHARS, dtype=np.int64)
+    assert int(out["doc_count"][0]) == N
+    assert int(out["v_sum"][0]) == int(v.sum())
+    assert int(out["v_min"][0]) == int(v.min())
+    assert int(out["v_max"][0]) == int(v.max())
+    assert out["v_avg"][0] == float(v.sum()) / float(N)
+
+
+def test_sampler_head_of_global_order(idx):
+    s = IndexSearcher(idx)
+    shard = 7
+    hits = _hits(s)
+    assert len(hits) > shard          # the cap must actually truncate
+    samp = hits.head(shard)
+    base = _corpus().to_pandas().set_index("doc_id")
+    want = (base.loc[samp["doc_id"], "source"].value_counts()
+                .rename_axis("source").rename("doc_count").reset_index())
+    out = s.sampler_agg(Q, field="source", shard_size=shard,
+                        min_score=MS)
+    got = out[["source", "doc_count"]].sort_values("source") \
+        .reset_index(drop=True)
+    want = want.sort_values("source").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # order: doc_count DESC, value ASC
+    dc = list(out["doc_count"])
+    assert dc == sorted(dc, reverse=True)
+    with pytest.raises(ValueError, match="shard_size"):
+        s.sampler_agg(Q, field="source", shard_size=0, min_score=MS)
+
+
+def test_diversified_sampler_walk(idx):
+    s = IndexSearcher(idx)
+    max_per, shard = 2, 6
+    hits = _hits(s)
+    base = _corpus().to_pandas().set_index("doc_id")
+    seen: dict = {}
+    kept = []
+    for did in hits["doc_id"]:
+        dv = base.loc[did, "lang"]
+        if dv is None or (isinstance(dv, float) and np.isnan(dv)):
+            continue          # NULL div value: excluded from the sample
+        if seen.get(dv, 0) >= max_per:
+            continue
+        seen[dv] = seen.get(dv, 0) + 1
+        kept.append(did)
+        if len(kept) == shard:
+            break
+    want = (base.loc[kept, "source"].value_counts()
+                .rename_axis("source").rename("doc_count").reset_index()
+                .sort_values("source").reset_index(drop=True))
+    out = s.diversified_sampler_agg(
+        Q, field="source", div_field="lang",
+        max_docs_per_value=max_per, shard_size=shard, min_score=MS)
+    got = out[["source", "doc_count"]].sort_values("source") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    with pytest.raises(ValueError, match="differ"):
+        s.diversified_sampler_agg(Q, field="lang", div_field="lang",
+                                  max_docs_per_value=1, shard_size=1,
+                                  min_score=MS)
+
+
+def test_auto_date_histogram_ladder(idx):
+    s = IndexSearcher(idx)
+    m = _match_df(s)
+    hour = m["ts"].dt.floor("h")
+    day = m["ts"].dt.floor("D")
+    n_hour, n_day = hour.nunique(), day.nunique()
+    assert n_hour > n_day > 1         # the ladder is non-trivial here
+    # target below the hour count -> day (or month) must be chosen
+    out = s.auto_date_histogram_agg(Q, ts_col="ts",
+                                    target_buckets=n_day,
+                                    min_score=MS)
+    assert set(out["cal_interval"]) == {"day"}
+    want = day.value_counts().sort_index()
+    got = out.set_index("bucket")["doc_count"]
+    assert list(got.index) == list(want.index)
+    assert list(got) == list(want)
+    # target at/above the hour count -> hour is chosen
+    out2 = s.auto_date_histogram_agg(Q, ts_col="ts",
+                                     target_buckets=n_hour,
+                                     min_score=MS)
+    assert set(out2["cal_interval"]) == {"hour"}
+    assert int(out2["doc_count"].sum()) == len(m)
+    # impossible target falls back to month
+    out3 = s.auto_date_histogram_agg(Q, ts_col="ts", target_buckets=1,
+                                     min_score=MS)
+    assert set(out3["cal_interval"]) <= {"month"}
+
+
+def test_moving_fn_and_normalize_pipelines(idx):
+    s = IndexSearcher(idx)
+    base = s.date_histogram_agg(Q, ts_col="ts", calendar_interval="hour",
+                                min_score=MS)
+    dc = base["doc_count"].to_numpy(np.int64)
+    for pl, fn in (("moving_max", max), ("moving_min", min),
+                   ("moving_sum", sum)):
+        out = s.date_histogram_agg(Q, ts_col="ts",
+                                   calendar_interval="hour",
+                                   min_score=MS, pipeline=pl,
+                                   pipeline_window=3)
+        want = [fn(dc[max(0, i - 2):i + 1].tolist())
+                for i in range(len(dc))]
+        assert list(out[pl]) == want
+        assert out[pl].dtype == np.int64
+    out = s.date_histogram_agg(Q, ts_col="ts", calendar_interval="hour",
+                               min_score=MS, pipeline="normalize")
+    lo, hi = int(dc.min()), int(dc.max())
+    assert hi > lo
+    want = [(float(v - lo)) / float(hi - lo) for v in dc]
+    assert list(out["normalize"]) == want
+    # degenerate single-bucket query: rescale emits 0.0, not NaN
+    one = s.date_histogram_agg(Q, ts_col="ts", calendar_interval="month",
+                               min_score=MS, pipeline="normalize")
+    if len(one) == 1:
+        assert one["normalize"][0] == 0.0
+
+
+def test_cumulative_cardinality_first_seen(idx):
+    s = IndexSearcher(idx)
+    m = _match_df(s).copy()
+    m["bucket"] = m["ts"].dt.floor("h")
+    out = s.cumulative_cardinality_agg(Q, ts_col="ts",
+                                       calendar_interval="hour",
+                                       field="lang", min_score=MS)
+    buckets = sorted(m["bucket"].unique())
+    assert list(out["bucket"]) == buckets
+    assert list(out["doc_count"]) == \
+        [int((m["bucket"] == b).sum()) for b in buckets]
+    want = [m.loc[m["bucket"] <= b, "lang"].dropna().nunique()
+            for b in buckets]
+    assert list(out["cumulative_cardinality"]) == want
+    # the running count must actually grow somewhere on this corpus
+    assert want[-1] > want[0]
+    # warm facade serves it frame-identically
+    from opensearch_jvector_ray.serve import SearchService
+    svc = SearchService(idx, num_shards=2)
+    try:
+        pd.testing.assert_frame_equal(
+            svc.agg.cumulative_cardinality_agg(
+                Q, ts_col="ts", calendar_interval="hour", field="lang",
+                min_score=MS),
+            out)
+    finally:
+        svc.shutdown()
+    via = execute_query(
+        {"cumulative_cardinality": {"query": Q["q"], "field": "ts",
+                                    "value_field": "lang",
+                                    "calendar_interval": "hour",
+                                    "min_score": MS}}, searcher=s)
+    assert list(via["cumulative_cardinality"]) == want
+
+
+def test_dsl_round11_clauses(idx):
+    s = IndexSearcher(idx)
+    direct = s.sampler_agg(Q, field="source", shard_size=5, min_score=MS)
+    via = execute_query({"sampler": {"query": Q["q"], "field": "source",
+                                     "shard_size": 5, "min_score": MS}},
+                        searcher=s)
+    pd.testing.assert_frame_equal(
+        via.drop(columns=["query_id"]).reset_index(drop=True),
+        direct.drop(columns=["query_id"]).reset_index(drop=True))
+    via_missing = execute_query(
+        {"missing_agg": {"query": Q["q"], "field": "tool",
+                         "min_score": MS}}, searcher=s)
+    assert int(via_missing["doc_count"][0]) == \
+        int(s.missing_agg(Q, field="tool", min_score=MS)["doc_count"][0])
+    g = execute_query({"global_stats": {"field": "n_chars"}}, searcher=s)
+    assert int(g["doc_count"][0]) == N
+    adh = execute_query(
+        {"auto_date_histogram": {"query": Q["q"], "field": "ts",
+                                 "target_buckets": 3,
+                                 "min_score": MS}}, searcher=s)
+    assert set(adh.columns) == {"query_id", "cal_interval", "bucket",
+                                "doc_count"}
+    ds = execute_query(
+        {"diversified_sampler": {"query": Q["q"], "field": "source",
+                                 "div_field": "lang",
+                                 "max_docs_per_value": 2,
+                                 "shard_size": 6, "min_score": MS}},
+        searcher=s)
+    assert int(ds["doc_count"].sum()) <= 6
+    with pytest.raises(ValueError, match="does not support"):
+        parse_query({"sampler": {"query": "x", "field": "source",
+                                 "shard_size": 5, "min_score": MS,
+                                 "bogus": 1}})
+    with pytest.raises(ValueError, match="target_buckets"):
+        parse_query({"auto_date_histogram": {"query": "x", "field": "ts",
+                                             "target_buckets": 0,
+                                             "min_score": MS}})
+
+
+def test_warm_facade_round11_frame_identity(idx):
+    ray = pytest.importorskip("ray")
+    from opensearch_jvector_ray.serve import SearchService
+    svc = SearchService(idx, num_shards=2)
+    try:
+        a = svc.agg
+        pd.testing.assert_frame_equal(
+            a.missing_agg(Q, field="tool", min_score=MS),
+            IndexSearcher(idx).missing_agg(Q, field="tool", min_score=MS))
+        pd.testing.assert_frame_equal(
+            a.sampler_agg(Q, field="source", shard_size=7, min_score=MS),
+            IndexSearcher(idx).sampler_agg(Q, field="source",
+                                           shard_size=7, min_score=MS))
+        pd.testing.assert_frame_equal(
+            a.diversified_sampler_agg(
+                Q, field="source", div_field="lang",
+                max_docs_per_value=2, shard_size=6, min_score=MS),
+            IndexSearcher(idx).diversified_sampler_agg(
+                Q, field="source", div_field="lang",
+                max_docs_per_value=2, shard_size=6, min_score=MS))
+        pd.testing.assert_frame_equal(
+            a.auto_date_histogram_agg(Q, ts_col="ts", target_buckets=3,
+                                      min_score=MS),
+            IndexSearcher(idx).auto_date_histogram_agg(
+                Q, ts_col="ts", target_buckets=3, min_score=MS))
+    finally:
+        svc.shutdown()
