@@ -33,6 +33,7 @@ from opensearch_jvector_ray.oracles import (
     dis_max_sql, span_first_sql, keyword_sql, chunk_sql,
     top_metrics_sql, percentile_ranks_sql,
     global_stats_sql, sampler_sql, diversified_sampler_sql,
+    rank_feature_add_sql, pinned_sql,
     multi_terms_sql, rare_terms_sql, extended_stats_sql,
     weighted_avg_sql, bucket_metric_sql, adjacency_matrix_sql,
     string_stats_sql, matrix_stats_sql, date_range_sql,
@@ -526,6 +527,51 @@ HYBRID_QUERIES = {"h1": ("fast merge sort", 0),
                   "h3": ("customer value row scan", 2)}
 HYBRID_WINDOW = 20
 HYBRID_K0 = 60.0
+
+
+# rank_feature / distance_feature: division-multiply chains (no libm)
+# => hard oracles; specs shared with the generated SQL expressions
+RANK_FEATURE_SPEC = {"kind": "saturation", "field": "n_chars",
+                     "pivot": 500.0, "boost": 0.8}
+DIST_FEATURE_SPEC = {"kind": "distance", "field": "n_chars",
+                     "origin": 600.0, "pivot": 150.0, "boost": 1.5}
+# pinned ids: 999999 exists at no scale (exercises the existence
+# probe); 7/123 exist at every scale; q4 reorders q1's pins
+PINNED_IDS = {"q1": [7, 123, 999999], "q2": [42], "q4": [123, 7]}
+
+
+def _q_bm25_rank_feature(sf_dir: str) -> pd.DataFrame:
+    # rank_feature (saturation): boost * x/(x+pivot) ADDED to the BM25
+    # sum of matching docs — one division, one multiply, one add
+    s = IndexSearcher(documents_index(sf_dir))
+    return _round_hits(s.search(BM25_QUERIES, k=BM25_K,
+                                rank_feature=RANK_FEATURE_SPEC))
+
+
+def _q_bm25_distance_feature(sf_dir: str) -> pd.DataFrame:
+    # distance_feature: boost * pivot/(pivot+|x-origin|) added per doc
+    s = IndexSearcher(documents_index(sf_dir))
+    return _round_hits(s.search(BM25_QUERIES, k=BM25_K,
+                                rank_feature=DIST_FEATURE_SPEC))
+
+
+def _q_bm25_pinned(sf_dir: str) -> pd.DataFrame:
+    # pinned query: existing pins first in given order (NULL score),
+    # organic hits excluding pins after
+    s = IndexSearcher(documents_index(sf_dir))
+    return s.pinned_search(BM25_QUERIES, PINNED_IDS, k=BM25_K)
+
+
+def _q_bm25_terms_set(sf_dir: str) -> pd.DataFrame:
+    # terms_set query: per-doc required matches = max(1, min(n_terms,
+    # turn_idx)) — the canonical minimum_should_match_script rule
+    from opensearch_jvector_ray.sources.tables import transcripts_index
+    s = IndexSearcher(transcripts_index(sf_dir))
+    out = _round_hits(s.search(TRANSCRIPT_QUERIES, k=10,
+                               terms_set={"field": "turn_idx"}))
+    out["doc_id"] = (out["conv_id"] + ":" +
+                     out["turn_idx"].astype(int).astype(str).str.zfill(4))
+    return out[["query_id", "rank", "doc_id", "score"]]
 
 
 def _q_hybrid_rrf(sf_dir: str) -> pd.DataFrame:
@@ -2128,6 +2174,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_dsl_filter": _q_bm25_dsl_filter,
         "bm25_sorted": _q_bm25_sorted,
         "bm25_function_score": _q_bm25_function_score,
+        "bm25_rank_feature": _q_bm25_rank_feature,
+        "bm25_distance_feature": _q_bm25_distance_feature,
+        "bm25_pinned": _q_bm25_pinned,
+        "bm25_terms_set": _q_bm25_terms_set,
         "bm25_decay_recency": _q_bm25_decay_recency,
         "has_child_max": _q_has_child_max,
         "has_child_sum": _q_has_child_sum,
@@ -2391,6 +2441,13 @@ def _missing_oracle() -> str:
                            TRANSCRIPTS_CFG, _transcript_arms())
 
 
+def _terms_set_oracle() -> str:
+    from opensearch_jvector_ray.oracles import terms_set_sql
+    from opensearch_jvector_ray.sources.tables import TRANSCRIPTS_CFG
+    return terms_set_sql(TRANSCRIPT_QUERIES, 10, TRANSCRIPTS_CFG,
+                         _transcript_arms(), required_field="turn_idx")
+
+
 def _auto_date_histogram_oracle() -> str:
     from opensearch_jvector_ray.oracles import auto_date_histogram_sql
     from opensearch_jvector_ray.sources.tables import TRANSCRIPTS_CFG
@@ -2466,6 +2523,14 @@ def oracle_sql() -> dict[str, str]:
         "bm25_function_score": bm25_sql(
             BM25_QUERIES, BM25_K, CFG,
             score_mul_sql=function_score_mul_sql(FVF_SPEC)),
+        "bm25_rank_feature": bm25_sql(
+            BM25_QUERIES, BM25_K, CFG,
+            score_add_sql=rank_feature_add_sql(RANK_FEATURE_SPEC)),
+        "bm25_distance_feature": bm25_sql(
+            BM25_QUERIES, BM25_K, CFG,
+            score_add_sql=rank_feature_add_sql(DIST_FEATURE_SPEC)),
+        "bm25_pinned": pinned_sql(BM25_QUERIES, PINNED_IDS, BM25_K, CFG),
+        "bm25_terms_set": _terms_set_oracle(),
         "bm25_decay_recency": _decay_recency_oracle(),
         "has_child_max": _has_child_oracle("max"),
         "has_child_sum": _has_child_oracle("sum"),

@@ -58,6 +58,7 @@ def bm25_sql(queries: dict[str, str], k: int, cfg: EngineConfig,
              qt_cte: str | None = None,
              emit_raw: bool = False,
              score_mul_sql: str | None = None,
+             score_add_sql: str | None = None,
              sort_field: str | None = None,
              sort_order: str = "desc") -> str:
     """Top-k (or radial, if min_score given) BM25 oracle.
@@ -93,7 +94,9 @@ def bm25_sql(queries: dict[str, str], k: int, cfg: EngineConfig,
     pre = f"{prefix_cte},\n" if prefix_cte else ""
     qt_block = qt_cte if qt_cte is not None else \
         f"qt(query_id, term, w) AS (VALUES {qt_values})"
-    inner_name = "scores0" if score_mul_sql else "scores"
+    assert not (score_mul_sql and score_add_sql)
+    inner_name = "scores0" if (score_mul_sql or score_add_sql) \
+        else "scores"
     boost_cte = f""",
 scores AS (
   SELECT s.query_id, s.{id_col},
@@ -101,6 +104,17 @@ scores AS (
   FROM scores0 s JOIN {table} __b ON __b.{id_col} = s.{id_col}
   WHERE s.score__raw * ({score_mul_sql}) > 0
 )""" if score_mul_sql else ""
+    if score_add_sql:
+        # rank_feature / distance_feature: a non-negative expression
+        # over the source row (alias __b) ADDED to score__raw after the
+        # per-doc sum — exactly where the engine adds its per-doc
+        # feature contribution (one add per matching doc)
+        boost_cte = f""",
+scores AS (
+  SELECT s.query_id, s.{id_col},
+         s.score__raw + ({score_add_sql}) AS score__raw
+  FROM scores0 s JOIN {table} __b ON __b.{id_col} = s.{id_col}
+)"""
     if sort_field is not None:
         assert sort_order in ("asc", "desc")
         ranked_cte = f"""
@@ -3514,6 +3528,132 @@ SELECT query_id, rank, {id_col}, {sort_col}, {ml_out} FROM (
          d.{id_col} AS {id_col}, d.{sort_col} AS {sort_col}, {ml}
   FROM ({inner}) h JOIN {table} d USING ({id_col})
 ) WHERE rank <= {int(size)}
+ORDER BY query_id, rank
+"""
+
+
+def rank_feature_add_sql(spec: dict, is_ts: bool = False) -> str:
+    """SQL expression (over source-row alias ``__b``) GENERATED from the
+    engine's rank_feature/distance_feature spec — the same object
+    `_doc_addend` consumes; constants embedded via repr from the same
+    Python floats, op chain identical (division/multiply, no libm)."""
+    field = spec["field"]
+    col = f"epoch_us(__b.{field})::DOUBLE" if is_ts \
+        else f"__b.{field}::DOUBLE"
+    boost = repr(float(spec.get("boost", 1.0)))
+    if spec["kind"] == "saturation":
+        pivot = repr(float(spec["pivot"]))
+        return f"{boost} * ({col} / ({col} + {pivot}))"
+    if spec["kind"] == "distance":
+        pivot = repr(float(spec["pivot"]))
+        origin = repr(float(spec["origin"]))
+        return (f"{boost} * ({pivot} / ({pivot} + "
+                f"abs({col} - {origin})))")
+    raise ValueError(f"unknown rank_feature kind {spec['kind']!r}")
+
+
+def pinned_sql(queries: dict[str, str], pinned: dict[str, list],
+               k: int, cfg: EngineConfig, table: str = "documents",
+               id_col: str = "doc_id", text_col: str = "text") -> str:
+    """Oracle for IndexSearcher.pinned_search: existing pinned ids
+    first in their GIVEN order with NULL scores, organic BM25 hits
+    (pinned excluded) after, first k rows."""
+    max_p = max((len(v) for v in pinned.values()), default=0)
+    inner = bm25_sql(queries, k + max_p, cfg, table=table,
+                     id_col=id_col, text_col=text_col)
+    rows = []
+    for qid in sorted(queries):
+        for pos, i in enumerate(pinned.get(qid, ())):
+            rows.append(f"({sql_quote(qid)}, {pos}, {int(i)})")
+    if not rows:
+        rows.append("('__none__', -1, -1)")
+    return f"""
+WITH hits AS ({inner}),
+pins(query_id, pos, {id_col}) AS (VALUES {", ".join(rows)}),
+pe AS (
+  SELECT p.query_id, p.pos, p.{id_col}
+  FROM pins p JOIN {table} d USING ({id_col})
+  WHERE p.pos >= 0
+),
+org AS (
+  SELECT h.query_id, h.rank, h.{id_col}, h.score
+  FROM hits h LEFT JOIN pe ON pe.query_id = h.query_id
+                          AND pe.{id_col} = h.{id_col}
+  WHERE pe.{id_col} IS NULL
+),
+u AS (
+  SELECT query_id, 0 AS grp, pos AS ord1, {id_col},
+         NULL::DOUBLE AS score
+  FROM pe
+  UNION ALL
+  SELECT query_id, 1, rank, {id_col}, score FROM org
+),
+r AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY grp, ord1) AS rank,
+         {id_col}, score
+  FROM u
+)
+SELECT query_id, rank, {id_col}, score
+FROM r WHERE rank <= {int(k)}
+ORDER BY query_id, rank
+"""
+
+
+def terms_set_sql(queries: dict[str, str], k: int, cfg: EngineConfig,
+                  arms: list[tuple[str, int]],
+                  required_field: str = "turn_idx") -> str:
+    """Oracle for search(terms_set=) over the transcripts index: a doc
+    qualifies iff it matches >= greatest(1, least(n_query_terms,
+    required_field)) DISTINCT query terms; qualifying docs rank by the
+    standard BM25 sum.  n_query_terms per query is computed from the
+    SAME analyzer the engine uses and embedded as values."""
+    prefix = transcripts_arms_cte(
+        arms, "conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0')"
+              " AS doc_id, text")
+    inner = bm25_sql(queries, 0, cfg, table="transcripts",
+                     id_col="doc_id", prefix_cte=prefix,
+                     min_score=1e-300, emit_raw=True)
+    outer = transcripts_arms_cte(
+        arms, "conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0')"
+              f" AS doc_id, text, {required_field}")
+    qt_rows, nt_rows = [], []
+    for qid, text in sorted(queries.items()):
+        terms = sorted({t for t, _ in query_term_weights(text, cfg)})
+        nt_rows.append(f"({sql_quote(qid)}, {len(terms)})")
+        for t in terms:
+            qt_rows.append(f"({sql_quote(qid)}, {sql_quote(t)})")
+    return f"""
+WITH {outer},
+{toks_cte(cfg, "transcripts", "doc_id", "text")},
+qt2(query_id, term) AS (VALUES {", ".join(qt_rows)}),
+nt(query_id, n_terms) AS (VALUES {", ".join(nt_rows)}),
+nm AS (
+  SELECT q.query_id, t.doc_id,
+         count(DISTINCT t.term)::BIGINT AS nm
+  FROM toks t JOIN qt2 q ON q.term = t.term
+  GROUP BY q.query_id, t.doc_id
+),
+hits AS ({inner}),
+qual AS (
+  SELECT h.query_id, h.doc_id, h.score__raw
+  FROM hits h
+  JOIN nm ON nm.query_id = h.query_id AND nm.doc_id = h.doc_id
+  JOIN nt ON nt.query_id = h.query_id
+  JOIN transcripts d ON d.doc_id = h.doc_id
+  WHERE nm.nm >= greatest(1, least(nt.n_terms, d.{required_field}))
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score__raw DESC, doc_id ASC)
+           AS rank,
+         doc_id, round(score__raw, 6) AS score
+  FROM qual
+)
+SELECT query_id, rank, doc_id, score
+FROM ranked WHERE rank <= {int(k)}
 ORDER BY query_id, rank
 """
 

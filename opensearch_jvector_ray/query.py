@@ -776,6 +776,43 @@ def _doc_boost(docs: pa.Table, spec: dict) -> np.ndarray:
     raise ValueError(f"unknown score_fn kind {kind!r}")
 
 
+def _doc_addend(docs: pa.Table, spec: dict) -> np.ndarray:
+    """Additive per-doc feature score [Lucene RankFeatureQuery /
+    DistanceFeatureQuery public semantics, the OpenSearch rank_feature
+    and distance_feature clauses]: a non-negative contribution ADDED to
+    the summed BM25 score of matching docs (one add per doc — the fp
+    rule the generated oracle shares).
+
+    kinds:
+      saturation   boost * x / (x + pivot)           (x >= 0; NULL -> 0)
+      distance     boost * pivot / (pivot + |x - origin|)
+                   (numeric or timestamp field, units of the field;
+                    NULL -> 0 contribution)
+
+    Both forms are division/multiply chains of IEEE doubles — bit-exact
+    between numpy and the generated SQL (no libm)."""
+    kind = spec["kind"]
+    v = _field_as_float(docs, spec["field"])
+    boost = float(spec.get("boost", 1.0))
+    if boost <= 0:
+        raise ValueError("rank_feature boost must be > 0")
+    if kind == "saturation":
+        pivot = float(spec["pivot"])
+        if pivot <= 0:
+            raise ValueError("saturation needs pivot > 0")
+        x = np.where(np.isnan(v) | (v < 0), 0.0, v)
+        return boost * (x / (x + pivot))
+    if kind == "distance":
+        pivot = float(spec["pivot"])
+        origin = float(spec["origin"])
+        if pivot <= 0:
+            raise ValueError("distance needs pivot > 0")
+        dist = np.abs(np.where(np.isnan(v), np.inf, v) - origin)
+        return boost * (pivot / (pivot + dist))
+    raise ValueError(f"unknown rank_feature kind {kind!r} "
+                     "(saturation | distance)")
+
+
 _RX_CONTROL_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "f": "\f",
                        "v": "\v", "a": "\a"}   # escapes that ARE a
                                                # specific literal char
@@ -1139,6 +1176,8 @@ class SegmentSearcher:
 
         boost = (_doc_boost(docs, p["score_fn"])
                  if p.get("score_fn") is not None else None)
+        addend = (_doc_addend(docs, p["rank_feature"])
+                  if p.get("rank_feature") is not None else None)
         sort_spec = p.get("sort")
         sortnum = (_sort_key_numeric(docs, sort_spec["field"])
                    if sort_spec else None)
@@ -1306,7 +1345,28 @@ class SegmentSearcher:
                         if t in decoded:
                             negmask[decoded[t][0]] = True
                     neg = (negmask, p["negative_boost"])
-                ords, scores = self._taat(terms, decoded, dl, mask, q["k"],
+                tmask = mask
+                ts_spec = p.get("terms_set")
+                if ts_spec is not None:
+                    # terms_set query [OpenSearch terms_set public
+                    # semantics, with the canonical min(num_terms,
+                    # field) minimum_should_match_script]: a doc
+                    # qualifies iff it matches >= max(1, min(n_query
+                    # _terms, required_field)) DISTINCT query terms.
+                    # n_query_terms is the GLOBAL query property
+                    # (shipped in the payload), matched counts are
+                    # segment-local.
+                    reqv = docs[ts_spec["field"]] \
+                        .to_numpy(zero_copy_only=False).astype(np.int64)
+                    cnt = np.zeros(n_docs, dtype=np.int64)
+                    for t in sorted({tt for (tt, _, _) in terms}):
+                        cnt[decoded[t][0]] += 1
+                    need = np.maximum(
+                        1, np.minimum(
+                            int(ts_spec["n_terms"][q["query_id"]]), reqv))
+                    tm = cnt >= need
+                    tmask = tm if tmask is None else (tmask & tm)
+                ords, scores = self._taat(terms, decoded, dl, tmask, q["k"],
                                           rescore=p["rescore_oversample"] if mode == "rescore" else None,
                                           tie=tie,
                                           min_score=p.get("min_score"),
@@ -1315,7 +1375,8 @@ class SegmentSearcher:
                                           sort_desc=bool(sort_spec and
                                                          sort_spec["desc"]),
                                           neg=neg,
-                                          const=p.get("const"))
+                                          const=p.get("const"),
+                                          addend=addend)
             if agg is not None:
                 # aggregation partial over this segment's qualifying
                 # docs — only aggregate-sized rows leave the task (A2's
@@ -1607,7 +1668,7 @@ class SegmentSearcher:
 
     def _taat(self, terms, decoded, dl, mask, k, rescore=None, tie=None,
               min_score=None, after=None, boost=None, sort_key=None,
-              sort_desc=False, neg=None, const=None):
+              sort_desc=False, neg=None, const=None, addend=None):
         """Term-at-a-time vectorized scoring; optional two-pass rescore.
 
         ``min_score`` switches to the UNCAPPED radial predicate (O5 is a
@@ -1672,6 +1733,13 @@ class SegmentSearcher:
         if mask is not None:
             scores[~mask] = 0.0
         candidates = np.flatnonzero(scores > 0.0)
+        if addend is not None:
+            # rank_feature / distance_feature additive contribution
+            # [Lucene RankFeature/DistanceFeature public semantics]:
+            # added to MATCHING docs only, AFTER the BM25 sum (one add
+            # per doc — the oracle's score__raw + expr); the addend is
+            # non-negative so the score>0 match predicate is preserved
+            scores[candidates] = scores[candidates] + addend[candidates]
         if const is not None:
             # constant_score [OpenSearch constant_score public
             # semantics]: every matching doc scores exactly ``boost`` —
@@ -1727,6 +1795,18 @@ def _docs_value_counts_task(batch: pa.Table, field: str) -> pa.Table:
             field: vc[field].combine_chunks(),
             "bg_count": pc.cast(vc["count_all"], pa.int64()),
         }))
+    return pa.concat_tables(tables)
+
+
+def _keys_present_task(batch: pa.Table, field: str, ids: list) -> pa.Table:
+    """Existence probe: which of the given key values live in these
+    segments (pushed-down parquet IN filter over the docs sidecar —
+    id-list-sized result, the pinned-query probe)."""
+    tables = []
+    for d in batch["seg_dir"].to_pylist():
+        tables.append(pq.read_table(os.path.join(d, DOCS_NAME),
+                                    columns=[field],
+                                    filters=[(field, "in", ids)]))
     return pa.concat_tables(tables)
 
 
@@ -3697,7 +3777,9 @@ class IndexSearcher:
                span_end: int | None = None,
                negative: dict[str, str] | None = None,
                negative_boost: float = 0.5,
-               const_score: float | None = None) -> pd.DataFrame:
+               const_score: float | None = None,
+               rank_feature: dict | None = None,
+               terms_set: dict | None = None) -> pd.DataFrame:
         """Top-k BM25 for a batch of queries.
 
         ``minimum_should_match`` (boolean mode only) [Lucene BooleanQuery
@@ -3765,6 +3847,23 @@ class IndexSearcher:
                                      or rescore_oversample is not None):
             raise ValueError("score_fn (function_score) requires plain "
                              "taat mode (no rescore)")
+        if rank_feature is not None:
+            # additive feature score: conflicts with multiplicative /
+            # constant / field-order scoring are rejected strictly (the
+            # 'forward everything, engine validates conflicts' contract)
+            if mode != "taat" or rescore_oversample is not None \
+                    or const_score is not None or sort is not None \
+                    or score_fn is not None:
+                raise ValueError("rank_feature requires plain taat mode "
+                                 "(no rescore/const_score/sort/"
+                                 "score_fn)")
+        if terms_set is not None:
+            if mode != "taat" or rescore_oversample is not None:
+                raise ValueError("terms_set requires plain taat mode "
+                                 "(no rescore)")
+            if not isinstance(terms_set.get("field"), str) \
+                    or not terms_set["field"]:
+                raise ValueError("terms_set needs a 'field' column name")
         if sort is not None:
             if mode != "taat" or rescore_oversample is not None \
                     or min_score is not None or collapse_col is not None \
@@ -3849,7 +3948,19 @@ class IndexSearcher:
             "score_fn": score_fn,
             "sort": ({"field": sort[0], "desc": sort[1] == "desc"}
                      if sort is not None else None),
+            "rank_feature": rank_feature,
         }
+        if terms_set is not None:
+            # n_query_terms is the count of DISTINCT ANALYZED terms
+            # (including df=0 ones — the OpenSearch num_terms the
+            # canonical min(num_terms, field) script sees); the oracle
+            # generator computes the same number from the same analyzer
+            payload["terms_set"] = {
+                "field": terms_set["field"],
+                "n_terms": {qid: len({t for t, _ in
+                                      query_term_weights(txt, cfg)})
+                            for qid, txt in queries.items()},
+            }
         if sort is not None and self.seg_dirs:
             if sort[0] not in docs_schema.names:
                 raise ValueError(f"sort field {sort[0]!r} is not a "
@@ -3860,6 +3971,12 @@ class IndexSearcher:
             # dry-run the boost on a zero-row table: spec/field errors
             # surface here as ValueError, not inside a Ray task
             _doc_boost(docs_schema.empty_table(), score_fn)
+        if rank_feature is not None and self.seg_dirs:
+            _doc_addend(docs_schema.empty_table(), rank_feature)
+        if terms_set is not None and self.seg_dirs \
+                and terms_set["field"] not in docs_schema.names:
+            raise ValueError(f"terms_set field {terms_set['field']!r} is "
+                             f"not a stored column ({docs_schema.names})")
         if search_after is not None:
             payload["search_after"] = {
                 qid: {"score": float(t[0]), "key": list(t[1:])}
@@ -3890,6 +4007,73 @@ class IndexSearcher:
         df = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
             columns=["query_id", *self.key_cols, "score"])
         return self._finalize(df, k, collapse_col, cap_k=min_score is None)
+
+    def pinned_search(self, queries: dict[str, str],
+                      pinned: dict[str, list], k: int | None = None,
+                      concurrency: int | None = None) -> pd.DataFrame:
+        """Pinned query [OpenSearch pinned-query public semantics]: per
+        query, the given doc ids are promoted to the top in their GIVEN
+        order (ids absent from the corpus are skipped); organic BM25
+        hits follow, excluding the pinned ids, until ``k`` total rows.
+        Pinned hits carry a NULL (NaN) score — OpenSearch's descending
+        sentinel scores are an implementation detail, position is the
+        contract; organic hits keep their ROUND-6 BM25 score.
+        Single-key-column indexes only.
+
+        Distribution shape: organic ranking is the standard per-segment
+        bounded top-(k + n_pinned); the existence check is ONE
+        pushed-down (key IN pins) docs-sidecar probe per segment —
+        id-list-sized rows ship, never the corpus."""
+        if len(self.key_cols) != 1:
+            raise ValueError("pinned_search needs a single-key index")
+        kc = self.key_cols[0]
+        k = k or self.cfg.default_k
+        for qid, ids in pinned.items():
+            if len(set(ids)) != len(ids):
+                raise ValueError(f"pinned ids for {qid!r} must be unique")
+        max_p = max((len(v) for v in pinned.values()), default=0)
+        if k + max_p > self.cfg.max_k:
+            raise ValueError(f"k + n_pinned = {k + max_p} exceeds "
+                             f"max_k={self.cfg.max_k}")
+        organic = self.search(queries, k=k + max_p,
+                              concurrency=concurrency)
+        all_ids = sorted({i for v in pinned.values() for i in v})
+        present = self._keys_present(all_ids) if all_ids else set()
+        frames = []
+        for qid in sorted(queries):
+            pins = [i for i in pinned.get(qid, ()) if i in present]
+            org = organic[organic["query_id"] == qid]
+            org = org[~org[kc].isin(pins)]
+            pf = pd.DataFrame({"query_id": [qid] * len(pins),
+                               kc: pins,
+                               "score": [np.nan] * len(pins)})
+            of = org[["query_id", kc, "score"]].copy()
+            of["score"] = np.round(of["score"].astype(np.float64), 6)
+            outq = pd.concat([pf, of], ignore_index=True).head(k)
+            outq["rank"] = np.arange(1, len(outq) + 1, dtype=np.int64)
+            frames.append(outq)
+        cols = ["query_id", "rank", kc, "score"]
+        if not frames:
+            return pd.DataFrame(columns=cols)
+        out = pd.concat(frames, ignore_index=True)
+        out["score"] = out["score"].astype(np.float64)
+        return out[cols]
+
+    def _keys_present(self, ids: list) -> set:
+        """Which of the given single-column key values exist in the
+        index (per-segment pushed-down IN probe)."""
+        kc = self.key_cols[0]
+        if not self.seg_dirs:
+            return set()
+        seg_ds = rd.from_items([{"seg_dir": d} for d in self.seg_dirs])
+        out = seg_ds.map_batches(_keys_present_task,
+                                 fn_kwargs={"field": kc,
+                                            "ids": list(ids)},
+                                 batch_format="pyarrow", batch_size=1)
+        vals: set = set()
+        for b in out.iter_batches(batch_format="pyarrow"):
+            vals.update(b[kc].to_pylist())
+        return vals
 
     def explain(self, queries: dict[str, str], k: int | None = None,
                 **search_kwargs) -> pd.DataFrame:

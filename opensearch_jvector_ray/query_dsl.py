@@ -120,6 +120,16 @@ Supported bodies (one top-level clause per query):
                       "value_field": col, "min_score": f,
                       "calendar_interval": "month|day|hour"}}
                  # running EXACT distinct count over date buckets
+    {"rank_feature": {"query": "...", "field": col, "pivot": f,
+                      "boost": f, "k": 10}}
+                 # + boost * x/(x+pivot) added to matching docs
+    {"distance_feature": {"query": "...", "field": col, "origin": f,
+                      "pivot": f, "boost": f, "k": 10}}
+                 # + boost * pivot/(pivot+|x-origin|)
+    {"pinned":   {"query": "...", "ids": [id, ...], "k": 10}}
+                 # existing ids first (NULL score), organic after
+    {"terms_set": {"query": "...", "required_field": col, "k": 10}}
+                 # per-doc required matches = max(1, min(n_terms, col))
     {"match_phrase_prefix": {"query": "fast mer", "k": 10,
                 "max_expansions": 50}}     # phrase + last-term prefix
     {"match_bool_prefix": {"query": "fast mer", "k": 10,
@@ -204,6 +214,11 @@ _DIV_SAMPLER_FIELDS = {"query", "field", "div_field",
 _AUTO_DH_FIELDS = {"query", "field", "target_buckets", "min_score"}
 _CUM_CARD_FIELDS = {"query", "field", "value_field",
                     "calendar_interval", "min_score"}
+_RANK_FEATURE_FIELDS = {"query", "field", "pivot", "boost", "k"}
+_DIST_FEATURE_FIELDS = {"query", "field", "origin", "pivot", "boost",
+                        "k"}
+_PINNED_FIELDS = {"query", "ids", "k"}
+_TERMS_SET_FIELDS = {"query", "required_field", "k"}
 _MODES = {"taat", "wand", "rescore", "phrase"}
 _METRICS = {"cosine", "l2", "innerproduct", "l1", "linf", "hamming"}
 
@@ -683,6 +698,45 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
                 "field": spec["field"],
                 "target_buckets": int(spec["target_buckets"]),
                 "min_score": float(spec["min_score"])}
+    if clause in ("rank_feature", "distance_feature"):
+        allowed = _RANK_FEATURE_FIELDS if clause == "rank_feature" \
+            else _DIST_FEATURE_FIELDS
+        _require_known(clause, spec, allowed)
+        if not isinstance(spec.get("query"), str) or not spec["query"]:
+            raise ValueError(f"[{clause}] needs a non-empty 'query'")
+        if not isinstance(spec.get("field"), str) or not spec["field"]:
+            raise ValueError(f"[{clause}] needs a 'field' column name")
+        if float(spec.get("pivot", 0.0)) <= 0:
+            raise ValueError(f"[{clause}] needs 'pivot' > 0")
+        out = {"type": clause, "query": spec["query"],
+               "field": spec["field"], "pivot": float(spec["pivot"]),
+               "boost": float(spec.get("boost", 1.0)),
+               "k": int(spec.get("k", 10))}
+        if out["boost"] <= 0:
+            raise ValueError(f"[{clause}] needs 'boost' > 0")
+        if clause == "distance_feature":
+            if "origin" not in spec:
+                raise ValueError("[distance_feature] needs 'origin'")
+            out["origin"] = float(spec["origin"])
+        return out
+    if clause == "pinned":
+        _require_known(clause, spec, _PINNED_FIELDS)
+        if not isinstance(spec.get("query"), str) or not spec["query"]:
+            raise ValueError("[pinned] needs a non-empty 'query'")
+        ids = spec.get("ids")
+        if not isinstance(ids, list):
+            raise ValueError("[pinned] needs 'ids': [id, ...]")
+        return {"type": "pinned", "query": spec["query"],
+                "ids": list(ids), "k": int(spec.get("k", 10))}
+    if clause == "terms_set":
+        _require_known(clause, spec, _TERMS_SET_FIELDS)
+        if not isinstance(spec.get("query"), str) or not spec["query"]:
+            raise ValueError("[terms_set] needs a non-empty 'query'")
+        rf = spec.get("required_field")
+        if not isinstance(rf, str) or not rf:
+            raise ValueError("[terms_set] needs 'required_field'")
+        return {"type": "terms_set", "query": spec["query"],
+                "required_field": rf, "k": int(spec.get("k", 10))}
     if clause == "cumulative_cardinality":
         _require_known(clause, spec, _CUM_CARD_FIELDS)
         if not isinstance(spec.get("query"), str) or not spec["query"]:
@@ -1085,6 +1139,29 @@ def execute_query(body: dict[str, Any], *, searcher=None, vector_ds=None,
         return searcher.percentile_ranks_agg(
             {query_id: spec["query"]}, value_col=spec["field"],
             values=spec["values"], min_score=spec["min_score"])
+    if spec["type"] in ("rank_feature", "distance_feature"):
+        if searcher is None:
+            raise ValueError(f"[{spec['type']}] needs searcher=")
+        rf = {"kind": ("saturation" if spec["type"] == "rank_feature"
+                       else "distance"),
+              "field": spec["field"], "pivot": spec["pivot"],
+              "boost": spec["boost"]}
+        if spec["type"] == "distance_feature":
+            rf["origin"] = spec["origin"]
+        return searcher.search({query_id: spec["query"]}, k=spec["k"],
+                               rank_feature=rf)
+    if spec["type"] == "pinned":
+        if searcher is None:
+            raise ValueError("[pinned] needs searcher=")
+        return searcher.pinned_search({query_id: spec["query"]},
+                                      {query_id: spec["ids"]},
+                                      k=spec["k"])
+    if spec["type"] == "terms_set":
+        if searcher is None:
+            raise ValueError("[terms_set] needs searcher=")
+        return searcher.search({query_id: spec["query"]}, k=spec["k"],
+                               terms_set={"field":
+                                          spec["required_field"]})
     if spec["type"] == "cumulative_cardinality":
         if searcher is None:
             raise ValueError("[cumulative_cardinality] needs searcher=")

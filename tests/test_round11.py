@@ -26,6 +26,7 @@ SOURCES = [f"s{i % 7}" for i in range(N)]
 TOOLS = [None if i % 11 == 0 else (f"t{i % 3}" if i % 5 == 0 else "")
          for i in range(N)]
 NCHARS = [len(t) * (1 + i % 3) for i, t in enumerate(TEXTS)]
+REQ = [i % 4 for i in range(N)]       # per-doc required-match counts
 # 3 days x 5 hour-slots with uneven multiplicity (exercises both the
 # interval ladder and non-degenerate per-bucket counts)
 TS = [(i % 3) * 86_400_000_000 + ((i * 7) % 5) * 3_600_000_000
@@ -40,6 +41,7 @@ def _corpus() -> pa.Table:
         "source": pa.array(SOURCES, type=pa.string()),
         "tool": pa.array(TOOLS, type=pa.string()),
         "n_chars": pa.array(NCHARS, type=pa.int64()),
+        "req": pa.array(REQ, type=pa.int64()),
         "ts": pa.array(TS, type=pa.timestamp("us")),
     })
 
@@ -51,7 +53,7 @@ def idx(tmp_path_factory):
                 EngineConfig(num_segments=3),
                 IndexSpec(text_col="text", key_cols=("doc_id",),
                           store_cols=("lang", "source", "tool",
-                                      "n_chars", "ts"),
+                                      "n_chars", "req", "ts"),
                           ts_col=""))
     return out
 
@@ -280,6 +282,105 @@ def test_dsl_round11_clauses(idx):
         parse_query({"auto_date_histogram": {"query": "x", "field": "ts",
                                              "target_buckets": 0,
                                              "min_score": MS}})
+
+
+def test_rank_feature_additive(idx):
+    s = IndexSearcher(idx)
+    base = _hits(s).set_index("doc_id")["score"]
+    spec = {"kind": "saturation", "field": "n_chars", "pivot": 15.0,
+            "boost": 2.0}
+    out = s.search(Q, k=N, rank_feature=spec).set_index("doc_id")
+    assert set(out.index) == set(base.index)     # same match set
+    nc = {d: c for d, c in zip(range(N), NCHARS)}
+    for did, sc in out["score"].items():
+        x = float(nc[did])
+        assert sc == base[did] + 2.0 * (x / (x + 15.0))
+    # the feature actually reorders at least one pair on this corpus
+    assert list(out.index) != list(base.index)
+    dspec = {"kind": "distance", "field": "n_chars", "origin": 30.0,
+             "pivot": 5.0, "boost": 3.0}
+    out2 = s.search(Q, k=N, rank_feature=dspec).set_index("doc_id")
+    for did, sc in out2["score"].items():
+        dist = abs(float(nc[did]) - 30.0)
+        assert sc == base[did] + 3.0 * (5.0 / (5.0 + dist))
+    with pytest.raises(ValueError, match="pivot"):
+        s.search(Q, k=5, rank_feature={"kind": "saturation",
+                                       "field": "n_chars",
+                                       "pivot": 0.0})
+    with pytest.raises(ValueError, match="plain taat"):
+        s.search(Q, k=5, rank_feature=spec, const_score=1.0)
+
+
+def test_terms_set_per_doc_threshold(idx):
+    s = IndexSearcher(idx)
+    base = _hits(s)
+    qterms = {"alpha", "delta"}
+    matched = {i: len(qterms & set(TEXTS[i].split())) for i in range(N)}
+    need = {i: max(1, min(len(qterms), REQ[i])) for i in range(N)}
+    want = [d for d in base["doc_id"] if matched[d] >= need[d]]
+    out = s.search(Q, k=N, terms_set={"field": "req"})
+    assert list(out["doc_id"]) == want           # same global order
+    assert len(want) < len(base)                 # threshold non-trivial
+    # scores are the plain BM25 sums, unchanged by the predicate
+    b = base.set_index("doc_id")["score"]
+    for did, sc in zip(out["doc_id"], out["score"]):
+        assert sc == b[did]
+    with pytest.raises(ValueError, match="stored column"):
+        s.search(Q, k=5, terms_set={"field": "nope"})
+
+
+def test_pinned_search_order(idx):
+    s = IndexSearcher(idx)
+    base = _hits(s)
+    pins = [int(base["doc_id"].iloc[3]), 999_999, 2]
+    out = s.pinned_search(Q, {"q": pins}, k=8)
+    kept_pins = [p for p in pins if p < N]
+    assert list(out["doc_id"][:len(kept_pins)]) == kept_pins
+    assert out["score"][:len(kept_pins)].isna().all()
+    organic = [d for d in base["doc_id"] if d not in kept_pins]
+    assert list(out["doc_id"][len(kept_pins):]) == \
+        organic[:8 - len(kept_pins)]
+    assert list(out["rank"]) == list(range(1, len(out) + 1))
+    with pytest.raises(ValueError, match="unique"):
+        s.pinned_search(Q, {"q": [1, 1]}, k=5)
+
+
+def test_dsl_round11_query_clauses(idx):
+    s = IndexSearcher(idx)
+    spec = {"kind": "saturation", "field": "n_chars", "pivot": 15.0,
+            "boost": 2.0}
+    direct = s.search(Q, k=10, rank_feature=spec)
+    via = execute_query({"rank_feature": {"query": Q["q"],
+                                          "field": "n_chars",
+                                          "pivot": 15.0, "boost": 2.0,
+                                          "k": 10}}, searcher=s)
+    assert list(via["doc_id"]) == list(direct["doc_id"])
+    assert list(via["score"]) == list(direct["score"])
+    via_d = execute_query({"distance_feature": {"query": Q["q"],
+                                                "field": "n_chars",
+                                                "origin": 30.0,
+                                                "pivot": 5.0,
+                                                "boost": 3.0, "k": 10}},
+                          searcher=s)
+    direct_d = s.search(Q, k=10, rank_feature={"kind": "distance",
+                                               "field": "n_chars",
+                                               "origin": 30.0,
+                                               "pivot": 5.0,
+                                               "boost": 3.0})
+    assert list(via_d["doc_id"]) == list(direct_d["doc_id"])
+    via_p = execute_query({"pinned": {"query": Q["q"], "ids": [2, 5],
+                                      "k": 6}}, searcher=s)
+    direct_p = s.pinned_search(Q, {"q": [2, 5]}, k=6)
+    assert list(via_p["doc_id"]) == list(direct_p["doc_id"])
+    via_t = execute_query({"terms_set": {"query": Q["q"],
+                                         "required_field": "req",
+                                         "k": 10}}, searcher=s)
+    direct_t = s.search(Q, k=10, terms_set={"field": "req"})
+    assert list(via_t["doc_id"]) == list(direct_t["doc_id"])
+    with pytest.raises(ValueError, match="origin"):
+        parse_query({"distance_feature": {"query": "x",
+                                          "field": "n_chars",
+                                          "pivot": 1.0}})
 
 
 def test_warm_facade_round11_frame_identity(idx):
