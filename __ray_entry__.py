@@ -33,7 +33,7 @@ from opensearch_jvector_ray.oracles import (
     dis_max_sql, span_first_sql, keyword_sql, chunk_sql,
     top_metrics_sql, percentile_ranks_sql,
     global_stats_sql, sampler_sql, diversified_sampler_sql,
-    rank_feature_add_sql, pinned_sql,
+    rank_feature_add_sql, pinned_sql, combined_fields_sql,
     multi_terms_sql, rare_terms_sql, extended_stats_sql,
     weighted_avg_sql, bucket_metric_sql, adjacency_matrix_sql,
     string_stats_sql, matrix_stats_sql, date_range_sql,
@@ -743,6 +743,19 @@ def _q_multi_match_most(sf_dir: str) -> pd.DataFrame:
     return _round_hits(multi_match(_multi_searchers(sf_dir),
                                    MULTI_MATCH_QUERIES, k=BM25_K,
                                    match_type="most_fields"))
+
+
+CF_WEIGHTS = {"text": 1, "lang": 2}
+
+
+def _q_bm25_combined_fields(sf_dir: str) -> pd.DataFrame:
+    # combined_fields (BM25F, term-centric shared stats): integer
+    # weighted tf/dl sums across co-located per-field indexes, union
+    # df, one avgdl division — Lucene CombinedFieldQuery semantics
+    from opensearch_jvector_ray.query import combined_fields
+    return _round_hits(combined_fields(_multi_searchers(sf_dir),
+                                       MULTI_MATCH_QUERIES, k=BM25_K,
+                                       weights=CF_WEIGHTS))
 
 
 def _q_bm25_cardinality(sf_dir: str) -> pd.DataFrame:
@@ -2178,6 +2191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_distance_feature": _q_bm25_distance_feature,
         "bm25_pinned": _q_bm25_pinned,
         "bm25_terms_set": _q_bm25_terms_set,
+        "bm25_combined_fields": _q_bm25_combined_fields,
         "bm25_decay_recency": _q_bm25_decay_recency,
         "has_child_max": _q_has_child_max,
         "has_child_sum": _q_has_child_sum,
@@ -2531,6 +2545,9 @@ def oracle_sql() -> dict[str, str]:
             score_add_sql=rank_feature_add_sql(DIST_FEATURE_SPEC)),
         "bm25_pinned": pinned_sql(BM25_QUERIES, PINNED_IDS, BM25_K, CFG),
         "bm25_terms_set": _terms_set_oracle(),
+        "bm25_combined_fields": combined_fields_sql(
+            MULTI_MATCH_QUERIES, BM25_K, CFG, "text", "lang",
+            w_a=CF_WEIGHTS["text"], w_b=CF_WEIGHTS["lang"]),
         "bm25_decay_recency": _decay_recency_oracle(),
         "has_child_max": _has_child_oracle("max"),
         "has_child_sum": _has_child_oracle("sum"),

@@ -3532,6 +3532,114 @@ ORDER BY query_id, rank
 """
 
 
+def combined_fields_sql(queries: dict[str, str], k: int,
+                        cfg: EngineConfig,
+                        field_a: str, field_b: str,
+                        w_a: int = 1, w_b: int = 1,
+                        table: str = "documents",
+                        id_col: str = "doc_id") -> str:
+    """Oracle for query.combined_fields (two-field form): term-centric
+    BM25F with shared statistics — tf/dl are EXACT integer weighted
+    sums across fields, df is the union document frequency, avgdl is
+    ONE division of two integers, and the per-doc score sums in sorted
+    term order (the engine's rule).  Integer weights keep every
+    pre-BM25 quantity exact, so the compare is bit-level."""
+    qt_rows = []
+    for qid, text in sorted(queries.items()):
+        for term, qw in query_term_weights(text, cfg):
+            qt_rows.append(f"({sql_quote(qid)}, {sql_quote(term)}, "
+                           f"{float(qw)!r})")
+    qt_values = ",\n       ".join(qt_rows) if qt_rows else \
+        "('__none__', '__none__', 0.0)"
+    pat = sql_quote(cfg.split_pattern)
+    stop = stoplist_sql(cfg)
+
+    def tok(name: str, col: str) -> str:
+        return f"""
+{name}0 AS (
+  SELECT {id_col}, unnest(regexp_split_to_array(lower({col}), {pat}))
+    AS term
+  FROM {table}
+),
+{name} AS (
+  SELECT {id_col}, term FROM {name}0
+  WHERE term <> '' AND NOT list_contains({stop}, term)
+)"""
+
+    return f"""
+WITH {tok("tka", field_a)},{tok("tkb", field_b)},
+qt(query_id, term, w) AS (VALUES {qt_values}),
+tfa AS (
+  SELECT {id_col}, term, count(*)::BIGINT AS tf FROM tka
+  WHERE term IN (SELECT DISTINCT term FROM qt)
+  GROUP BY {id_col}, term
+),
+tfb AS (
+  SELECT {id_col}, term, count(*)::BIGINT AS tf FROM tkb
+  WHERE term IN (SELECT DISTINCT term FROM qt)
+  GROUP BY {id_col}, term
+),
+tfc AS (
+  SELECT coalesce(a.{id_col}, b.{id_col}) AS {id_col},
+         coalesce(a.term, b.term) AS term,
+         (coalesce(a.tf, 0) * {int(w_a)}
+          + coalesce(b.tf, 0) * {int(w_b)})::BIGINT AS tf
+  FROM tfa a FULL OUTER JOIN tfb b
+    ON a.{id_col} = b.{id_col} AND a.term = b.term
+),
+dla AS (SELECT {id_col}, count(*)::BIGINT AS dl FROM tka
+        GROUP BY {id_col}),
+dlb AS (SELECT {id_col}, count(*)::BIGINT AS dl FROM tkb
+        GROUP BY {id_col}),
+dlc AS (
+  SELECT d.{id_col},
+         (coalesce(dla.dl, 0) * {int(w_a)}
+          + coalesce(dlb.dl, 0) * {int(w_b)})::BIGINT AS dl
+  FROM {table} d
+  LEFT JOIN dla USING ({id_col}) LEFT JOIN dlb USING ({id_col})
+),
+stats AS (
+  SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS dlsum FROM dlc
+),
+dfc AS (
+  SELECT term, count(DISTINCT {id_col})::DOUBLE AS df
+  FROM (SELECT {id_col}, term FROM tka
+        UNION SELECT {id_col}, term FROM tkb) u
+  WHERE term IN (SELECT DISTINCT term FROM qt)
+  GROUP BY term
+),
+scores AS (
+  SELECT qt.query_id, tfc.{id_col},
+         sum(qt.w * ln(1.0 + (stats.n::DOUBLE - dfc.df + 0.5)
+                             / (dfc.df + 0.5))
+             * (tfc.tf::DOUBLE / (tfc.tf::DOUBLE
+                + {cfg.k1!r} * (1.0 - {cfg.b!r} + {cfg.b!r}
+                   * dlc.dl::DOUBLE
+                   / (stats.dlsum::DOUBLE / stats.n::DOUBLE))))
+             ORDER BY qt.term
+            ) AS score__raw
+  FROM qt
+  JOIN tfc ON tfc.term = qt.term
+  JOIN dfc ON dfc.term = qt.term
+  JOIN dlc ON dlc.{id_col} = tfc.{id_col}
+  CROSS JOIN stats
+  WHERE tfc.tf > 0
+  GROUP BY qt.query_id, tfc.{id_col}
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score__raw DESC, {id_col} ASC)
+           AS rank,
+         {id_col}, score__raw
+  FROM scores
+)
+SELECT query_id, rank, {id_col}, round(score__raw, 6) AS score
+FROM ranked WHERE rank <= {int(k)}
+ORDER BY query_id, rank
+"""
+
+
 def rank_feature_add_sql(spec: dict, is_ts: bool = False) -> str:
     """SQL expression (over source-row alias ``__b``) GENERATED from the
     engine's rank_feature/distance_feature spec — the same object

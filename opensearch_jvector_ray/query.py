@@ -4586,6 +4586,256 @@ def _mm_fused_task(batch: pa.Table, payloads: dict[str, dict],
     return pa.table(cols)
 
 
+def _cf_stats_task(batch: pa.Table, fields: list[str],
+                   weights: dict[str, int], union_terms: list[str],
+                   fmt: dict[str, dict]) -> pa.Table:
+    """combined_fields pass 1 (stats partial): for one co-located slot,
+    the UNION document frequency of each query term across all fields
+    plus the slot's total combined doc length Σ_d Σ_f w_f * len_f(d)
+    and doc count — term-count + 1 rows ship per slot."""
+    tables = []
+    for i in range(batch.num_rows):
+        n_docs: int | None = None
+        dl_c: np.ndarray | None = None
+        masks: dict[str, np.ndarray] = {}
+        for f in fields:
+            d = batch[f][i].as_py()
+            dl = pq.read_table(os.path.join(d, DOCS_NAME),
+                               columns=["doc_len"])["doc_len"] \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            if n_docs is None:
+                n_docs = len(dl)
+                dl_c = np.zeros(n_docs, dtype=np.int64)
+            elif len(dl) != n_docs:
+                raise ValueError("combined_fields slot misaligned: "
+                                 f"{len(dl)} vs {n_docs} docs")
+            dl_c += weights[f] * dl
+            postings = pq.read_table(
+                os.path.join(d, POSTINGS_NAME),
+                filters=[("term", "in", list(union_terms))])
+            has_blk = "blk_n" in postings.column_names
+            for r in range(postings.num_rows):
+                t = postings["term"][r].as_py()
+                ords, _ = decode_posting_list(
+                    postings["ords_enc"][r].as_py(),
+                    postings["tfs_enc"][r].as_py(),
+                    codec=fmt[f]["codec"],
+                    df=postings["df"][r].as_py(),
+                    block_size=fmt[f]["block_size"],
+                    blk_n=postings["blk_n"][r].as_py() if has_blk
+                    else None)
+                m = masks.setdefault(t, np.zeros(n_docs, dtype=bool))
+                m[ords] = True
+        if n_docs is None:
+            continue
+        terms = sorted(masks)
+        tables.append(pa.table({
+            "term": pa.array(terms + ["\x00stats"], type=pa.string()),
+            "df": pa.array([int(masks[t].sum()) for t in terms] + [0],
+                           type=pa.int64()),
+            "dl_sum": pa.array([0] * len(terms) + [int(dl_c.sum())],
+                               type=pa.int64()),
+            "n_docs": pa.array([0] * len(terms) + [int(n_docs)],
+                               type=pa.int64()),
+        }))
+    if not tables:
+        return pa.table({"term": pa.array([], type=pa.string()),
+                         "df": pa.array([], type=pa.int64()),
+                         "dl_sum": pa.array([], type=pa.int64()),
+                         "n_docs": pa.array([], type=pa.int64())})
+    return pa.concat_tables(tables)
+
+
+def _cf_score_task(batch: pa.Table, payload: dict) -> pa.Table:
+    """combined_fields pass 2 (score partial): per slot, dense combined
+    tf per term (Σ_f w_f * tf_f) and combined doc length, BM25 over the
+    GLOBAL combined df/N/avgdl from pass 1, local bounded top-k — <= k
+    rows per query per slot ship."""
+    fields = payload["fields"]
+    weights = payload["weights"]
+    fmt = payload["fmt"]
+    key_types = payload["key_types"]
+    out_tables = []
+    for i in range(batch.num_rows):
+        n_docs: int | None = None
+        dl_c: np.ndarray | None = None
+        tfc: dict[str, np.ndarray] = {}
+        docs0 = None
+        for f in fields:
+            d = batch[f][i].as_py()
+            docs = pq.read_table(os.path.join(d, DOCS_NAME))
+            if docs0 is None:
+                docs0 = docs
+            dl = docs["doc_len"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            if n_docs is None:
+                n_docs = len(dl)
+                dl_c = np.zeros(n_docs, dtype=np.int64)
+            elif len(dl) != n_docs:
+                raise ValueError("combined_fields slot misaligned")
+            dl_c += weights[f] * dl
+            postings = pq.read_table(
+                os.path.join(d, POSTINGS_NAME),
+                filters=[("term", "in", payload["union_terms"])])
+            has_blk = "blk_n" in postings.column_names
+            for r in range(postings.num_rows):
+                t = postings["term"][r].as_py()
+                ords, tfs = decode_posting_list(
+                    postings["ords_enc"][r].as_py(),
+                    postings["tfs_enc"][r].as_py(),
+                    codec=fmt[f]["codec"],
+                    df=postings["df"][r].as_py(),
+                    block_size=fmt[f]["block_size"],
+                    blk_n=postings["blk_n"][r].as_py() if has_blk
+                    else None)
+                a = tfc.setdefault(t, np.zeros(n_docs, dtype=np.int64))
+                a[ords] += weights[f] * tfs
+        if n_docs is None or n_docs == 0:
+            continue
+        tie = (docs0["key_rank"].to_numpy(zero_copy_only=False)
+               .astype(np.int64)
+               if "key_rank" in docs0.column_names else None)
+        for q in payload["queries"]:
+            scores = np.zeros(n_docs, dtype=np.float64)
+            for (t, w, idf) in q["terms"]:   # sorted term order (both sides)
+                if t not in tfc:
+                    continue
+                o2 = np.flatnonzero(tfc[t])
+                scores[o2] += w * idf * bm25_tf_part(
+                    tfc[t][o2], dl_c[o2], payload["avgdl"],
+                    payload["k1"], payload["b"])
+            cand = np.flatnonzero(scores > 0.0)
+            ords_k, sc_k = _topk_from_scores(scores, cand, q["k"], tie)
+            if not len(ords_k):
+                continue
+            take = pa.array(ords_k)
+            cols: dict[str, Any] = {
+                "query_id": pa.array([q["query_id"]] * len(ords_k),
+                                     type=pa.string()),
+            }
+            for kc, _ in key_types:
+                cols[kc] = docs0[kc].take(take)
+            cols["score"] = pa.array(sc_k, type=pa.float64())
+            out_tables.append(pa.table(cols))
+    if not out_tables:
+        cols = {"query_id": pa.array([], type=pa.string())}
+        for kc, kt in key_types:
+            cols[kc] = pa.array([], type=kt)
+        cols["score"] = pa.array([], type=pa.float64())
+        return pa.table(cols)
+    return pa.concat_tables(out_tables)
+
+
+def combined_fields(searchers: dict[str, "IndexSearcher"],
+                    queries: dict[str, str], k: int = 10,
+                    weights: dict[str, int] | None = None,
+                    concurrency: int | None = None) -> pd.DataFrame:
+    """Combined-fields search over co-located PER-FIELD indexes
+    [Lucene CombinedFieldQuery / OpenSearch combined_fields public
+    semantics — term-centric BM25F with shared statistics].
+
+    Unlike multi_match (field-centric: per-field BM25 then dis-max /
+    sum), the fields are scored as ONE synthetic field:
+      tf(d, t)   = Σ_f w_f * tf_f(d, t)
+      dl(d)      = Σ_f w_f * len_f(d)
+      df(t)      = |{d : t in ANY field}|        (union df)
+      avgdl      = Σ_d dl(d) / N                  (ONE division)
+      score(d,q) = Σ_t qw_t * idf(df, N) * tf/(tf + k1*(1-b+b*dl/avgdl))
+    Weights must be integers >= 1 (the Lucene floor), so tf and dl stay
+    EXACT int64 and the only floats are the shared BM25 chain — the
+    generated oracle is bit-identical.  The per-term sum runs in SORTED
+    term order on both sides.
+
+    Distribution shape: pass 1 ships term-count-sized (union df, Σdl, N)
+    partials per co-located slot; pass 2 ships <= k rows per query per
+    slot scored against the GLOBAL stats — nothing corpus-sized leaves
+    the tasks.  Requires the multi_match co-location pairing
+    (fragment lineage or hash-partition marker); raises otherwise."""
+    fields = sorted(searchers)
+    if len(fields) < 2:
+        raise ValueError("combined_fields needs >= 2 fields")
+    w = {f: 1 for f in fields}
+    if weights:
+        for f, v in weights.items():
+            if f not in searchers:
+                raise ValueError(f"weight for unknown field {f!r}")
+            if not isinstance(v, int) or isinstance(v, bool) or v < 1:
+                raise ValueError("combined_fields weights must be "
+                                 "integers >= 1 (the Lucene floor)")
+            w[f] = v
+    s0 = searchers[fields[0]]
+    key_cols = list(s0.key_cols)
+    for f in fields[1:]:
+        if list(searchers[f].key_cols) != key_cols:
+            raise ValueError("all field indexes must share key columns")
+    slots = _mm_slots(searchers, fields)
+    if slots is None:
+        raise ValueError("combined_fields requires co-located "
+                         "per-field indexes (fragment lineage or "
+                         "hash-partition pairing)")
+    cfg = s0.cfg
+    analyzed = {qid: query_term_weights(txt, cfg)
+                for qid, txt in queries.items()}
+    union = sorted({t for tw in analyzed.values() for t, _ in tw})
+    empty = pd.DataFrame(columns=["query_id", "rank", *key_cols,
+                                  "score"])
+    if not union or not slots:
+        return s0._finalize(pd.DataFrame(
+            columns=["query_id", *key_cols, "score"]), k, None)
+    fmt = {f: {"codec": searchers[f].cfg.codec,
+               "block_size": searchers[f].cfg.block_size}
+           for f in fields}
+    slot_ds = rd.from_items(slots)
+    extra = {"concurrency": concurrency} if concurrency else {}
+    stats_out = slot_ds.map_batches(
+        _cf_stats_task,
+        fn_kwargs={"fields": fields, "weights": w,
+                   "union_terms": union, "fmt": fmt},
+        batch_format="pyarrow", batch_size=1, **extra)
+    sframes = [b.to_pandas()
+               for b in stats_out.iter_batches(batch_format="pyarrow")]
+    sframes = [x for x in sframes if not x.empty]
+    if not sframes:
+        return empty
+    sdf = pd.concat(sframes, ignore_index=True)
+    st = sdf[sdf["term"] == "\x00stats"]
+    n = int(st["n_docs"].sum())
+    dlsum = int(st["dl_sum"].sum())
+    if n == 0:
+        return empty
+    avgdl = float(dlsum) / float(n)
+    df_map = (sdf[sdf["term"] != "\x00stats"]
+              .groupby("term")["df"].sum().to_dict())
+    qp = []
+    for qid in sorted(queries):
+        terms = [(t, float(qw), float(bm25_idf(float(n),
+                                               float(df_map[t]))))
+                 for t, qw in sorted(analyzed[qid])
+                 if df_map.get(t, 0) > 0]
+        if terms:
+            qp.append({"query_id": qid, "terms": terms, "k": int(k)})
+    if not qp:
+        return empty
+    docs_schema = pq.read_schema(os.path.join(slots[0][fields[0]],
+                                              DOCS_NAME))
+    payload = {
+        "queries": qp, "fields": fields, "weights": w, "fmt": fmt,
+        "union_terms": union, "avgdl": avgdl,
+        "k1": cfg.k1, "b": cfg.b,
+        "key_types": [(kc, docs_schema.field(kc).type)
+                      for kc in key_cols],
+    }
+    score_out = slot_ds.map_batches(
+        _cf_score_task, fn_kwargs={"payload": payload},
+        batch_format="pyarrow", batch_size=1, **extra)
+    frames = [b.to_pandas()
+              for b in score_out.iter_batches(batch_format="pyarrow")]
+    frames = [x for x in frames if not x.empty]
+    df = pd.concat(frames, ignore_index=True) if frames else \
+        pd.DataFrame(columns=["query_id", *key_cols, "score"])
+    return s0._finalize(df, k, None)
+
+
 def multi_match(searchers: dict[str, "IndexSearcher"],
                 queries: dict[str, str], k: int = 10,
                 match_type: str = "best_fields",

@@ -54,6 +54,9 @@ Supported bodies (one top-level clause per query):
     {"multi_match": {"query": "...", "fields": [col, ...], "k": 10,
                      "type": "best_fields|most_fields",
                      "tie_breaker": f}}   # per-field indexes (dis_max)
+    {"combined_fields": {"query": "...", "fields": [col, ...],
+                     "weights": {col: int, ...}, "k": 10}}
+                 # term-centric BM25F: shared tf/df/dl across fields
     {"constant_score": {"query": "...", "k": 10, "boost": f}}
                  # filter context: every match scores exactly boost
     {"boosting":   {"positive": "...", "negative": "...",
@@ -411,6 +414,25 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
         return {"type": "has_child", "query": spec["query"],
                 "k": int(spec.get("k", 10)), "score_mode": sm,
                 "parent_field": spec.get("parent_field")}
+    if clause == "combined_fields":
+        _require_known(clause, spec, {"query", "fields", "weights", "k"})
+        if not isinstance(spec.get("query"), str) or not spec["query"]:
+            raise ValueError("[combined_fields] needs a non-empty "
+                             "'query'")
+        fields = spec.get("fields")
+        if not isinstance(fields, list) or len(fields) < 2 or \
+                not all(isinstance(f, str) for f in fields):
+            raise ValueError("[combined_fields] needs 'fields': "
+                             ">= 2 column names")
+        wts = spec.get("weights", {})
+        if not isinstance(wts, dict) or \
+                not all(isinstance(v, int) and not isinstance(v, bool)
+                        and v >= 1 for v in wts.values()):
+            raise ValueError("[combined_fields] weights must be "
+                             "integers >= 1")
+        return {"type": "combined_fields", "query": spec["query"],
+                "fields": fields, "weights": dict(wts),
+                "k": int(spec.get("k", 10))}
     if clause == "multi_match":
         _require_known(clause, spec,
                        {"query", "fields", "k", "type", "tie_breaker"})
@@ -1301,6 +1323,19 @@ def execute_query(body: dict[str, Any], *, searcher=None, vector_ds=None,
                    {query_id: spec["query"]}, k=spec["k"],
                    match_type=spec["match_type"],
                    tie_breaker=spec["tie_breaker"])
+    if spec["type"] == "combined_fields":
+        if not field_searchers:
+            raise ValueError("[combined_fields] needs field_searchers= "
+                             "— a {field: IndexSearcher} map of the "
+                             "per-field indexes")
+        missing = sorted(set(spec["fields"]) - set(field_searchers))
+        if missing:
+            raise ValueError(f"[combined_fields] no index for fields "
+                             f"{missing}")
+        from opensearch_jvector_ray.query import combined_fields as _cf
+        return _cf({f: field_searchers[f] for f in spec["fields"]},
+                   {query_id: spec["query"]}, k=spec["k"],
+                   weights=spec["weights"])
     if spec["type"] == "constant_score":
         if searcher is None:
             raise ValueError("[constant_score] needs searcher=")

@@ -383,6 +383,68 @@ def test_dsl_round11_query_clauses(idx):
                                           "pivot": 1.0}})
 
 
+@pytest.fixture(scope="module")
+def cf_indexes(tmp_path_factory):
+    """Per-field indexes over the same corpus + config: the staged
+    build's hash-partition marker makes them co-located (pairing 2)."""
+    root = tmp_path_factory.mktemp("r11cf")
+    out = {}
+    for f in ("text", "lang"):
+        d = str(root / f"idx_{f}")
+        build_index(rd.from_arrow(_corpus()), d,
+                    EngineConfig(num_segments=3),
+                    IndexSpec(text_col=f, key_cols=("doc_id",),
+                              store_cols=(), ts_col=""))
+        out[f] = d
+    return out
+
+
+def test_combined_fields_bm25f(cf_indexes):
+    from opensearch_jvector_ray.query import combined_fields
+    searchers = {f: IndexSearcher(d) for f, d in cf_indexes.items()}
+    w = {"text": 1, "lang": 2}
+    q = {"q": "alpha de"}          # 'de' matches the lang field
+    out = combined_fields(searchers, q, k=N, weights=w)
+    # brute-force BM25F with shared statistics over the raw corpus
+    toks = {i: TEXTS[i].split() for i in range(N)}
+    ltoks = {i: ([LANGS[i]] if LANGS[i] else []) for i in range(N)}
+    qterms = sorted({"alpha", "de"})
+    tf = {i: {t: w["text"] * toks[i].count(t)
+              + w["lang"] * ltoks[i].count(t) for t in qterms}
+          for i in range(N)}
+    dl = {i: w["text"] * len(toks[i]) + w["lang"] * len(ltoks[i])
+          for i in range(N)}
+    avgdl = float(sum(dl.values())) / float(N)
+    df = {t: sum(1 for i in range(N)
+                 if t in toks[i] or t in ltoks[i]) for t in qterms}
+    k1, b = 1.2, 0.75
+    want = {}
+    for i in range(N):
+        s = 0.0
+        for t in qterms:
+            if tf[i][t] == 0 or df[t] == 0:
+                continue
+            idf = np.log(1.0 + (N - df[t] + 0.5) / (df[t] + 0.5))
+            x = float(tf[i][t])
+            s += idf * (x / (x + k1 * (1.0 - b + b * dl[i] / avgdl)))
+        if s > 0:
+            want[i] = s
+    got = out.set_index("doc_id")["score"]
+    assert set(got.index) == set(want)
+    for did, sc in got.items():
+        assert sc == pytest.approx(want[did], abs=0, rel=1e-12)
+    order = sorted(want, key=lambda d: (-want[d], d))
+    assert list(out["doc_id"]) == order
+    with pytest.raises(ValueError, match="integers >= 1"):
+        combined_fields(searchers, q, k=5, weights={"text": 0})
+    # DSL path
+    via = execute_query({"combined_fields": {"query": q["q"],
+                                             "fields": ["text", "lang"],
+                                             "weights": w, "k": 10}},
+                        field_searchers=searchers)
+    assert list(via["doc_id"]) == list(out["doc_id"][:10])
+
+
 def test_warm_facade_round11_frame_identity(idx):
     ray = pytest.importorskip("ray")
     from opensearch_jvector_ray.serve import SearchService
