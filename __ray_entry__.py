@@ -34,6 +34,7 @@ from opensearch_jvector_ray.oracles import (
     top_metrics_sql, percentile_ranks_sql,
     global_stats_sql, sampler_sql, diversified_sampler_sql,
     rank_feature_add_sql, pinned_sql, combined_fields_sql,
+    span_or_near_sql, span_not_sql,
     multi_terms_sql, rare_terms_sql, extended_stats_sql,
     weighted_avg_sql, bucket_metric_sql, adjacency_matrix_sql,
     string_stats_sql, matrix_stats_sql, date_range_sql,
@@ -278,6 +279,34 @@ def _q_bm25_boosting(sf_dir: str) -> pd.DataFrame:
     return _round_hits(s.search(BM25_QUERIES, k=BM25_K,
                                 negative=BOOSTING_NEG,
                                 negative_boost=NEGATIVE_BOOST))
+
+
+SPAN_OR_QUERIES = {"so1": "fast|quick merge",
+                   "so2": "data|row query",
+                   "so3": "customer|supplier scan|stream"}
+SPAN_OR_SLOP = 3
+# span_not: first analyzed term = include, second = exclude
+SPAN_NOT_QUERIES = {"sn1": "data query", "sn2": "merge sort",
+                    "sn3": "customer value"}
+SPAN_NOT_PRE, SPAN_NOT_POST = 1, 2
+
+
+def _q_bm25_span_or(sf_dir: str) -> pd.DataFrame:
+    # span_near over span_or clauses: '|'-alternatives unioned per
+    # clause, windowed containment, SynonymQuery-blended clause idf
+    s = IndexSearcher(documents_index(sf_dir))
+    return _round_hits(s.search(SPAN_OR_QUERIES, k=BM25_K,
+                                mode="span_or", slop=SPAN_OR_SLOP))
+
+
+def _q_bm25_span_not(sf_dir: str) -> pd.DataFrame:
+    # span_not: include occurrences survive unless an exclude
+    # occurrence sits within [p-pre, p+post] on the position axis
+    s = IndexSearcher(documents_index(sf_dir))
+    return _round_hits(s.search(SPAN_NOT_QUERIES, k=BM25_K,
+                                mode="span_not",
+                                span_not_pre=SPAN_NOT_PRE,
+                                span_not_post=SPAN_NOT_POST))
 
 
 def _q_bm25_span_near(sf_dir: str) -> pd.DataFrame:
@@ -2192,6 +2221,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_pinned": _q_bm25_pinned,
         "bm25_terms_set": _q_bm25_terms_set,
         "bm25_combined_fields": _q_bm25_combined_fields,
+        "bm25_span_or": _q_bm25_span_or,
+        "bm25_span_not": _q_bm25_span_not,
         "bm25_decay_recency": _q_bm25_decay_recency,
         "has_child_max": _q_has_child_max,
         "has_child_sum": _q_has_child_sum,
@@ -2548,6 +2579,11 @@ def oracle_sql() -> dict[str, str]:
         "bm25_combined_fields": combined_fields_sql(
             MULTI_MATCH_QUERIES, BM25_K, CFG, "text", "lang",
             w_a=CF_WEIGHTS["text"], w_b=CF_WEIGHTS["lang"]),
+        "bm25_span_or": span_or_near_sql(SPAN_OR_QUERIES, BM25_K, CFG,
+                                         slop=SPAN_OR_SLOP),
+        "bm25_span_not": span_not_sql(SPAN_NOT_QUERIES, BM25_K, CFG,
+                                      pre=SPAN_NOT_PRE,
+                                      post=SPAN_NOT_POST),
         "bm25_decay_recency": _decay_recency_oracle(),
         "has_child_max": _has_child_oracle("max"),
         "has_child_sum": _has_child_oracle("sum"),

@@ -1941,6 +1941,156 @@ FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
 """
 
 
+def span_or_near_sql(queries: dict[str, str], k: int, cfg: EngineConfig,
+                     slop: int = 0, table: str = "documents",
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> str:
+    """Oracle for search(mode='span_or')
+    (query.SegmentSearcher._span_or_near mirror): clauses separated by
+    whitespace, '|'-separated alternative members inside a clause; a
+    width-W (W = n_clauses + slop) window must contain >= 1 occurrence
+    of SOME member of EVERY clause; clause idf = idf of the MAX member
+    df (the SynonymQuery-blended rule); idf_sum in clause order."""
+    from opensearch_jvector_ray.analyze import analyze_query
+    pat = sql_quote(cfg.split_pattern)
+    per_query = []
+    for qid, text in sorted(queries.items()):
+        clauses = []
+        for clause in text.split():
+            members: list[str] = []
+            for m in clause.split("|"):
+                members.extend(analyze_query(m, cfg))
+            clauses.append(sorted(set(members)))
+        w_n = len(clauses) + int(slop)
+        conds = []
+        idf_parts = []
+        for members in clauses:
+            any_member = " OR ".join(
+                f"list_contains(toks[greatest(i, 1) : i + {w_n - 1}], "
+                f"{sql_quote(m)})" for m in members)
+            conds.append(f"({any_member})")
+            in_list = ", ".join(sql_quote(m) for m in members)
+            # clause idf: idf of the member with the LARGEST df —
+            # dffull carries per-term df so max(df) picks the member,
+            # then its idf (idf is monotone decreasing in df)
+            idf_parts.append(
+                f"(SELECT min(idf) FROM dffull WHERE term IN ({in_list})"
+                f" AND df = (SELECT max(df) FROM dffull WHERE term IN "
+                f"({in_list})))")
+        idf_sum = " + ".join(idf_parts)
+        per_query.append(f"""
+SELECT {sql_quote(qid)} AS query_id, p.{id_col},
+       ({idf_sum})
+       * (p.tf / (p.tf + {cfg.k1!r} * (1.0 - {cfg.b!r} + {cfg.b!r} * dl.dl / (SELECT avgdl FROM stats)))) AS score__raw
+FROM (
+  SELECT {id_col}, count(*)::DOUBLE AS tf
+  FROM (SELECT {id_col}, toks,
+               unnest(range({2 - w_n}, len(toks) + 1)) AS i
+        FROM tokpos) u
+  WHERE {' AND '.join(conds)}
+  GROUP BY {id_col}
+) p JOIN dl ON dl.{id_col} = p.{id_col}""")
+    union = "\nUNION ALL\n".join(per_query)
+    return f"""
+WITH {toks_cte(cfg, table, id_col, text_col)},
+tokpos AS (
+  SELECT {id_col},
+         list_filter(regexp_split_to_array(lower({text_col}), {pat}),
+                     x -> x <> '') AS toks
+  FROM {table}
+),
+dl AS (
+  SELECT {id_col}, count(*)::DOUBLE AS dl FROM toks GROUP BY {id_col}
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl
+),
+dffull AS (
+  SELECT term, count(DISTINCT {id_col})::DOUBLE AS df,
+         ln(1.0 + ((SELECT n FROM stats) - count(DISTINCT {id_col}) + 0.5)
+                  / (count(DISTINCT {id_col}) + 0.5)) AS idf
+  FROM toks GROUP BY term
+),
+scores AS ({union}),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score__raw DESC, {id_col} ASC) AS rank,
+         {id_col}, score__raw
+  FROM scores
+)
+SELECT query_id, rank, {id_col}, round(score__raw, 6) AS score
+FROM ranked WHERE rank <= {int(k)} ORDER BY query_id, rank
+"""
+
+
+def span_not_sql(queries: dict[str, str], k: int, cfg: EngineConfig,
+                 pre: int = 0, post: int = 0, table: str = "documents",
+                 id_col: str = "doc_id", text_col: str = "text") -> str:
+    """Oracle for search(mode='span_not')
+    (query.SegmentSearcher._span_not mirror): an include-term position
+    p survives unless an exclude-term position q has
+    q - pre <= p <= q + post (both on the 1-based pre-stopword list
+    axis — translation-invariant vs the engine's 0-based rule); tf =
+    survivors, score = idf(include) * tf-part."""
+    from opensearch_jvector_ray.analyze import analyze_query
+    pat = sql_quote(cfg.split_pattern)
+    per_query = []
+    for qid, text in sorted(queries.items()):
+        toks = analyze_query(text, cfg)
+        assert len(toks) == 2, f"span_not query {qid!r}: {toks}"
+        inc, exc = toks
+        per_query.append(f"""
+SELECT {sql_quote(qid)} AS query_id, p.{id_col},
+       (SELECT idf FROM idf WHERE term = {sql_quote(inc)})
+       * (p.tf / (p.tf + {cfg.k1!r} * (1.0 - {cfg.b!r} + {cfg.b!r} * dl.dl / (SELECT avgdl FROM stats)))) AS score__raw
+FROM (
+  SELECT {id_col},
+         len(list_filter(
+           list_filter(range(1, len(toks) + 1),
+                       i -> toks[i] = {sql_quote(inc)}),
+           i -> len(list_filter(
+                  list_filter(range(1, len(toks) + 1),
+                              j -> toks[j] = {sql_quote(exc)}),
+                  j -> i >= j - {int(pre)} AND i <= j + {int(post)}))
+                = 0))::DOUBLE AS tf
+  FROM tokpos
+) p JOIN dl ON dl.{id_col} = p.{id_col}
+WHERE p.tf > 0""")
+    union = "\nUNION ALL\n".join(per_query)
+    return f"""
+WITH {toks_cte(cfg, table, id_col, text_col)},
+tokpos AS (
+  SELECT {id_col},
+         list_filter(regexp_split_to_array(lower({text_col}), {pat}),
+                     x -> x <> '') AS toks
+  FROM {table}
+),
+dl AS (
+  SELECT {id_col}, count(*)::DOUBLE AS dl FROM toks GROUP BY {id_col}
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl
+),
+idf AS (
+  SELECT term,
+         ln(1.0 + ((SELECT n FROM stats) - count(DISTINCT {id_col}) + 0.5)
+                  / (count(DISTINCT {id_col}) + 0.5)) AS idf
+  FROM toks GROUP BY term
+),
+scores AS ({union}),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score__raw DESC, {id_col} ASC) AS rank,
+         {id_col}, score__raw
+  FROM scores
+)
+SELECT query_id, rank, {id_col}, round(score__raw, 6) AS score
+FROM ranked WHERE rank <= {int(k)} ORDER BY query_id, rank
+"""
+
+
 def span_first_sql(queries: dict[str, str], k: int, cfg: EngineConfig,
                    end: int, table: str = "documents",
                    id_col: str = "doc_id", text_col: str = "text") -> str:

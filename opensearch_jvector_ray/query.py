@@ -1237,6 +1237,20 @@ class SegmentSearcher:
                 out_ord.append(ords)
                 out_sc.append(scores)
                 continue
+            if mode == "span_or":
+                # every clause needs >= 1 member present in the segment
+                gs = [{**g, "terms": [t for t in g["terms"]
+                                      if t in rows]}
+                      for g in q["groups"]]
+                if any(not g["terms"] for g in gs) or not gs:
+                    continue
+                ords, scores = self._span_or_near(gs, rows, dl, mask,
+                                                  q["k"], p["slop"],
+                                                  tie)
+                out_qid.extend([q["query_id"]] * len(ords))
+                out_ord.append(ords)
+                out_sc.append(scores)
+                continue
             if mode == "dismax":
                 # DisjunctionMaxQuery over arbitrary subqueries on ONE
                 # index [Lucene DisMaxQuery public semantics]:
@@ -1286,6 +1300,13 @@ class SegmentSearcher:
                 ords, scores = self._span_near(q["terms"], rows, dl,
                                                mask, q["k"], p["slop"],
                                                tie)
+            elif mode == "span_not":
+                if len(terms) != 1:
+                    continue          # include term absent from segment
+                ords, scores = self._span_not({**q, "terms": terms},
+                                              rows, dl, mask, q["k"],
+                                              p["span_pre"],
+                                              p["span_post"], tie)
             elif mode == "span_first":
                 # any qualifying term matches — use the present subset
                 ords, scores = self._span_first(terms, rows, dl, mask,
@@ -1522,6 +1543,15 @@ class SegmentSearcher:
                 blk_n=r.get("blk_n"))
             flat, offs = decode_positions(r["pos_enc"], tfs)
             per_term.append((ords, flat, offs))
+        return self._span_window_score(per_term, dl, mask, k, W,
+                                       idf_sum, tie)
+
+    def _span_window_score(self, per_term, dl, mask, k, W, idf_sum,
+                           tie=None):
+        """Shared windowed-containment core (span_near AND span_or):
+        per clause a (ords, flat positions, offsets) triple; tf = valid
+        starts whose width-W window contains >= 1 occurrence of EVERY
+        clause."""
         common = per_term[0][0]
         for ords, _, _ in per_term[1:]:
             common = common[np.isin(common, ords, assume_unique=True)]
@@ -1569,6 +1599,139 @@ class SegmentSearcher:
         scores = np.zeros(len(dl), dtype=np.float64)
         scores[cand_ords] = sc
         return _topk_from_scores(scores, cand_ords, k, tie)
+
+    def _span_or_near(self, groups, rows, dl, mask, k, slop, tie=None):
+        """span_near over span_or clauses [Lucene SpanNearQuery over
+        SpanOrQuery public semantics; rule defined here and mirrored by
+        the SQL oracle]: each clause is a set of alternative terms
+        whose per-doc occurrence positions are UNIONED; containment
+        (width W = n_clauses + slop) then runs exactly like _span_near
+        over the clause position lists.  A clause matches a doc if ANY
+        member occurs.  Clause idf follows the SynonymQuery-BLENDED
+        rule the synonym engine already uses: idf from the MAX member
+        df; idf_sum = Σ clause idfs in clause order.  ``groups`` is a
+        list of dicts {"terms": [member...], "idf": float} with members
+        restricted to this segment's present terms by the caller."""
+        from opensearch_jvector_ray.postings import decode_positions
+        idf_sum = float(sum(g["idf"] for g in groups))
+        W = len(groups) + int(slop)
+        per_clause = []
+        for g in groups:
+            pairs_ord = []
+            pairs_pos = []
+            for t in g["terms"]:
+                r = rows[t]
+                ords, tfs = decode_posting_list(
+                    r["ords_enc"], r["tfs_enc"],
+                    codec=self.p.get("codec", "varint"), df=r["df"],
+                    block_size=self.p.get("block_size", 128),
+                    blk_n=r.get("blk_n"))
+                flat, offs = decode_positions(r["pos_enc"], tfs)
+                offs = np.asarray(offs)
+                pairs_ord.append(np.repeat(ords, np.diff(offs)))
+                pairs_pos.append(np.asarray(flat))
+            po = np.concatenate(pairs_ord)
+            pp = np.concatenate(pairs_pos)
+            order = np.lexsort((pp, po))
+            po, pp = po[order], pp[order]
+            if len(po):
+                # dedupe identical (doc, pos) pairs (members never
+                # share a position in reality, but stay exact anyway)
+                keep = np.concatenate(
+                    ([True], (po[1:] != po[:-1]) | (pp[1:] != pp[:-1])))
+                po, pp = po[keep], pp[keep]
+            uords, counts = np.unique(po, return_counts=True)
+            offs_u = np.concatenate(([0], np.cumsum(counts)))
+            per_clause.append((uords.astype(np.int64), pp,
+                               offs_u.astype(np.int64)))
+            if not len(uords):
+                return (np.zeros(0, dtype=np.int64),
+                        np.zeros(0, dtype=np.float64))
+        return self._span_window_score(per_clause, dl, mask, k, W,
+                                       idf_sum, tie)
+
+    def _span_not(self, q, rows, dl, mask, k, pre, post, tie=None):
+        """span_not [Lucene SpanNotQuery public semantics, single-term
+        include/exclude; rule defined here and mirrored by the SQL
+        oracle]: an include-term occurrence at position p (PRE-stopword
+        axis) survives unless some exclude-term occurrence q satisfies
+        q - pre <= p <= q + post; tf = surviving occurrences, score =
+        w * idf(include) * tf-part.  Docs without the exclude term keep
+        their full tf; exclude-only docs never match."""
+        from opensearch_jvector_ray.postings import decode_positions
+        (inc, w, idf), = q["terms"]
+        exc = q.get("span_not_exc")
+        r = rows[inc]
+        ords_i, tfs_i = decode_posting_list(
+            r["ords_enc"], r["tfs_enc"],
+            codec=self.p.get("codec", "varint"), df=r["df"],
+            block_size=self.p.get("block_size", 128),
+            blk_n=r.get("blk_n"))
+        flat_i, offs_i = decode_positions(r["pos_enc"], tfs_i)
+        flat_i = np.asarray(flat_i)
+        offs_i = np.asarray(offs_i)
+        tf = np.diff(offs_i).astype(np.int64)
+        if exc is not None and exc in rows:
+            re_ = rows[exc]
+            ords_e, tfs_e = decode_posting_list(
+                re_["ords_enc"], re_["tfs_enc"],
+                codec=self.p.get("codec", "varint"), df=re_["df"],
+                block_size=self.p.get("block_size", 128),
+                blk_n=re_.get("blk_n"))
+            flat_e, offs_e = decode_positions(re_["pos_enc"], tfs_e)
+            flat_e = np.asarray(flat_e)
+            offs_e = np.asarray(offs_e)
+            # common docs: mark [q-pre, q+post] zones on a concatenated
+            # axis, count include positions outside them (one diff-array
+            # cumsum, no per-doc loop — the _span_near trick)
+            common = ords_i[np.isin(ords_i, ords_e, assume_unique=True)]
+            if len(common):
+                ix_i = np.searchsorted(ords_i, common)
+                ix_e = np.searchsorted(ords_e, common)
+                last_i = flat_i[offs_i[ix_i + 1] - 1]
+                last_e = flat_e[offs_e[ix_e + 1] - 1]
+                slot = (np.maximum(last_i, last_e).astype(np.int64)
+                        + int(post) + 2)
+                base = np.concatenate(([0], np.cumsum(slot)[:-1]))
+                total = int(slot.sum())
+                lens_e = offs_e[ix_e + 1] - offs_e[ix_e]
+                n_e = int(lens_e.sum())
+                docslot = np.repeat(np.arange(len(common)), lens_e)
+                within = np.arange(n_e) - np.repeat(
+                    np.cumsum(lens_e) - lens_e, lens_e)
+                pos_e = flat_e[np.repeat(offs_e[ix_e], lens_e) + within]
+                zone_lo = np.maximum(pos_e - int(pre), 0)
+                zone_hi = pos_e + int(post) + 1
+                d = np.zeros(total + 1, dtype=np.int32)
+                np.add.at(d, base[docslot] + zone_lo, 1)
+                np.add.at(d, base[docslot] + zone_hi, -1)
+                zone = np.cumsum(d[:-1]) > 0
+                lens_i = offs_i[ix_i + 1] - offs_i[ix_i]
+                n_i = int(lens_i.sum())
+                docslot_i = np.repeat(np.arange(len(common)), lens_i)
+                within_i = np.arange(n_i) - np.repeat(
+                    np.cumsum(lens_i) - lens_i, lens_i)
+                pos_i = flat_i[np.repeat(offs_i[ix_i], lens_i)
+                               + within_i]
+                ok = (~zone[base[docslot_i] + pos_i]).astype(np.int64)
+                surv = np.zeros(len(common), dtype=np.int64)
+                np.add.at(surv, docslot_i, ok)
+                tf[ix_i] = surv
+        keep = tf > 0
+        cand = ords_i[keep]
+        if mask is not None and len(cand):
+            m2 = mask[cand]
+            cand = cand[m2]
+            tfk = tf[keep][m2]
+        else:
+            tfk = tf[keep]
+        if not len(cand):
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+        sc = w * idf * bm25_tf_part(tfk.astype(np.float64), dl[cand],
+                                    self.avgdl, self.k1, self.b)
+        scores = np.zeros(len(dl), dtype=np.float64)
+        scores[cand] = sc
+        return _topk_from_scores(scores, cand, k, tie)
 
     def _phrase_prefix(self, q, rows, dl, mask, k, tie=None):
         """match_phrase_prefix scoring [Lucene MultiPhraseQuery public
@@ -3718,6 +3881,81 @@ class IndexSearcher:
             prepared.append(entry)
         return prepared, sorted(union)
 
+    def _prepare_span_or(self, queries: dict[str, str], k: int
+                         ) -> tuple[list[dict], list[str]]:
+        """Driver-side span_or parse: whitespace-separated clauses, '|'
+        separated alternative members inside a clause; members analyze
+        through the standard analyzer and df=0 members drop.  Clause
+        idf = idf of the MAX member df (the SynonymQuery-BLENDED rule
+        the synonym engine uses).  A query with any empty clause
+        matches nothing (containment needs every clause)."""
+        from opensearch_jvector_ray.analyze import analyze_query
+        cfg = self.cfg
+        all_members: set[str] = set()
+        parsed: list[tuple[str, list[list[str]]]] = []
+        for qid, text in queries.items():
+            clauses = []
+            for clause in text.split():
+                members: list[str] = []
+                for m in clause.split("|"):
+                    members.extend(analyze_query(m, cfg))
+                members = sorted(set(members))
+                clauses.append(members)
+                all_members.update(members)
+            parsed.append((qid, clauses))
+        df_map = self.lookup_df(sorted(all_members))
+        n = float(self.stats["n_docs_indexed"])
+        prepared, union = [], set()
+        for qid, clauses in parsed:
+            groups = []
+            ok = bool(clauses)
+            for members in clauses:
+                live = [t for t in members if df_map.get(t, 0) > 0]
+                if not live:
+                    ok = False
+                    break
+                max_df = max(df_map[t] for t in live)
+                groups.append({"terms": live,
+                               "idf": float(bm25_idf(n, float(max_df)))})
+            if ok:
+                prepared.append({"query_id": qid, "groups": groups,
+                                 "k": k})
+                for g in groups:
+                    union.update(g["terms"])
+        return prepared, sorted(union)
+
+    def _prepare_span_not(self, queries: dict[str, str], k: int
+                          ) -> tuple[list[dict], list[str]]:
+        """Driver-side span_not parse: the query text analyzes to
+        exactly (include, exclude); the exclude term joins the postings
+        union but contributes nothing to the score."""
+        from opensearch_jvector_ray.analyze import analyze_query
+        cfg = self.cfg
+        pairs = {}
+        for qid, text in queries.items():
+            toks = analyze_query(text, cfg)
+            if len(toks) != 2:
+                raise ValueError(f"span_not query {qid!r} must analyze "
+                                 f"to exactly (include, exclude); got "
+                                 f"{toks}")
+            pairs[qid] = (toks[0], toks[1])
+        df_map = self.lookup_df(sorted({t for p in pairs.values()
+                                        for t in p}))
+        n = float(self.stats["n_docs_indexed"])
+        prepared, union = [], set()
+        for qid, (inc, exc) in pairs.items():
+            if df_map.get(inc, 0) <= 0:
+                continue
+            union.add(inc)
+            entry = {"query_id": qid, "k": k,
+                     "terms": [(inc, 1.0,
+                                float(bm25_idf(n, float(df_map[inc]))))],
+                     "span_not_exc": exc}
+            if df_map.get(exc, 0) > 0:
+                union.add(exc)
+            prepared.append(entry)
+        return prepared, sorted(union)
+
     def search_with_udf(self, queries: dict[str, str], k: int,
                         score_udf, oversample: float = 3.0,
                         **search_kwargs) -> pd.DataFrame:
@@ -3779,7 +4017,9 @@ class IndexSearcher:
                negative_boost: float = 0.5,
                const_score: float | None = None,
                rank_feature: dict | None = None,
-               terms_set: dict | None = None) -> pd.DataFrame:
+               terms_set: dict | None = None,
+               span_not_pre: int = 0,
+               span_not_post: int = 0) -> pd.DataFrame:
         """Top-k BM25 for a batch of queries.
 
         ``minimum_should_match`` (boolean mode only) [Lucene BooleanQuery
@@ -3836,8 +4076,14 @@ class IndexSearcher:
                 raise ValueError("negative_boost must be in (0, 1]")
         if slop < 0:
             raise ValueError("slop must be >= 0")
-        if slop and mode != "span":
-            raise ValueError("slop applies to mode='span' only")
+        if slop and mode not in ("span", "span_or"):
+            raise ValueError("slop applies to mode='span'/'span_or' "
+                             "only")
+        if (span_not_pre or span_not_post) and mode != "span_not":
+            raise ValueError("span_not_pre/post apply to "
+                             "mode='span_not' only")
+        if span_not_pre < 0 or span_not_post < 0:
+            raise ValueError("span_not_pre/post must be >= 0")
         if (span_end is None) != (mode != "span_first"):
             raise ValueError("span_end is required by (and only by) "
                              "mode='span_first'")
@@ -3912,11 +4158,16 @@ class IndexSearcher:
         if search_after is not None:
             queries = {qid: t for qid, t in queries.items()
                        if qid in search_after}
-        prepared, union = self._prepare(queries, k_fetch,
-                                        phrase=(mode in ("phrase",
-                                                         "span")),
-                                        boolean=(mode == "boolean"),
-                                        term_weights=term_weights)
+        if mode == "span_or":
+            prepared, union = self._prepare_span_or(queries, k_fetch)
+        elif mode == "span_not":
+            prepared, union = self._prepare_span_not(queries, k_fetch)
+        else:
+            prepared, union = self._prepare(queries, k_fetch,
+                                            phrase=(mode in ("phrase",
+                                                             "span")),
+                                            boolean=(mode == "boolean"),
+                                            term_weights=term_weights)
         neg_terms = None
         if negative is not None:
             neg_terms = {qid: sorted({t for t, _ in
@@ -3941,6 +4192,8 @@ class IndexSearcher:
             "slop": int(slop),
             "span_end": (int(span_end) if span_end is not None
                          else None),
+            "span_pre": int(span_not_pre),
+            "span_post": int(span_not_post),
             "neg": neg_terms,
             "negative_boost": float(negative_boost),
             "const": (float(const_score) if const_score is not None

@@ -67,6 +67,11 @@ Supported bodies (one top-level clause per query):
                  # (n_terms + slop) window on the position axis
     {"span_first":   {"query": "...", "end": n, "k": 10}}
                  # occurrences count only in the first n positions
+    {"span_or":      {"query": "fast|quick merge", "slop": n, "k": 10}}
+                 # '|'-alternatives unioned per clause, then span_near
+    {"span_not":     {"query": "include exclude", "pre": n, "post": n,
+                      "k": 10}}
+                 # include hits survive unless exclude is in the window
     {"cardinality":  {"query": "...", "field": col, "min_score": f}}
     {"percentiles":  {"query": "...", "field": col, "min_score": f,
                       "percents": [0.25, 0.5, ...]}}
@@ -206,6 +211,8 @@ _DATE_RANGE_FIELDS = {"query", "field", "ranges", "min_score"}
 _MBP_FIELDS = {"query", "k", "max_expansions"}
 _DIS_MAX_FIELDS = {"queries", "k", "tie_breaker"}
 _SPAN_FIRST_FIELDS = {"query", "end", "k"}
+_SPAN_OR_FIELDS = {"query", "slop", "k"}
+_SPAN_NOT_FIELDS = {"query", "pre", "post", "k"}
 _TOP_METRICS_FIELDS = {"query", "sort_field", "metrics", "size",
                        "sort_order", "min_score"}
 _PCT_RANKS_FIELDS = {"query", "field", "values", "min_score"}
@@ -906,6 +913,25 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
         else:
             out["n"] = int(spec.get("n", 3))
         return out
+    if clause == "span_or":
+        _require_known(clause, spec, _SPAN_OR_FIELDS)
+        if not isinstance(spec.get("query"), str) or not spec["query"]:
+            raise ValueError("[span_or] needs a non-empty 'query'")
+        if int(spec.get("slop", 0)) < 0:
+            raise ValueError("[span_or] slop must be >= 0")
+        return {"type": "span_or", "query": spec["query"],
+                "slop": int(spec.get("slop", 0)),
+                "k": int(spec.get("k", 10))}
+    if clause == "span_not":
+        _require_known(clause, spec, _SPAN_NOT_FIELDS)
+        if not isinstance(spec.get("query"), str) or not spec["query"]:
+            raise ValueError("[span_not] needs a non-empty 'query'")
+        if int(spec.get("pre", 0)) < 0 or int(spec.get("post", 0)) < 0:
+            raise ValueError("[span_not] pre/post must be >= 0")
+        return {"type": "span_not", "query": spec["query"],
+                "pre": int(spec.get("pre", 0)),
+                "post": int(spec.get("post", 0)),
+                "k": int(spec.get("k", 10))}
     if clause == "span_first":
         _require_known(clause, spec, _SPAN_FIRST_FIELDS)
         if not isinstance(spec.get("query"), str) or not spec["query"]:
@@ -1024,6 +1050,18 @@ def execute_query(body: dict[str, Any], *, searcher=None, vector_ds=None,
             raise ValueError("[span_first] needs searcher=")
         return searcher.search({query_id: spec["query"]}, k=spec["k"],
                                mode="span_first", span_end=spec["end"])
+    if spec["type"] == "span_or":
+        if searcher is None:
+            raise ValueError("[span_or] needs searcher=")
+        return searcher.search({query_id: spec["query"]}, k=spec["k"],
+                               mode="span_or", slop=spec["slop"])
+    if spec["type"] == "span_not":
+        if searcher is None:
+            raise ValueError("[span_not] needs searcher=")
+        return searcher.search({query_id: spec["query"]}, k=spec["k"],
+                               mode="span_not",
+                               span_not_pre=spec["pre"],
+                               span_not_post=spec["post"])
     if spec["type"] == "match_bool_prefix":
         if searcher is None:
             raise ValueError("[match_bool_prefix] needs searcher=")

@@ -383,6 +383,58 @@ def test_dsl_round11_query_clauses(idx):
                                           "pivot": 1.0}})
 
 
+def test_span_or_union_positions(idx):
+    s = IndexSearcher(idx)
+    # clause 1: alpha OR eps (union positions); clause 2: delta
+    out = s.search({"q": "alpha|eps delta"}, k=N, mode="span_or",
+                   slop=1)
+    # brute: W = 2 clauses + 1 slop = 3; valid start s iff window
+    # [s, s+2] holds (alpha or eps) and delta
+    W = 3
+    want = {}
+    for i, txt in enumerate(TEXTS):
+        toks = txt.split()
+        tf = 0
+        for st in range(2 - W, len(toks)):
+            win = toks[max(st, 0):st + W]
+            if (("alpha" in win) or ("eps" in win)) and "delta" in win:
+                tf += 1
+        if tf:
+            want[i] = tf
+    assert set(out["doc_id"]) == set(want)
+    # docs matching via 'eps' only (no alpha) must be present
+    assert any("eps" in TEXTS[d] and "alpha" not in TEXTS[d]
+               for d in out["doc_id"])
+    via = execute_query({"span_or": {"query": "alpha|eps delta",
+                                     "slop": 1, "k": 10}}, searcher=s)
+    assert list(via["doc_id"]) == list(out["doc_id"][:10])
+
+
+def test_span_not_exclusion_window(idx):
+    s = IndexSearcher(idx)
+    # include=beta, exclude=gamma, pre=1, post=0: a beta at p dies iff
+    # some gamma at q has q-1 <= p <= q
+    out = s.search({"q": "beta gamma"}, k=N, mode="span_not",
+                   span_not_pre=1, span_not_post=0)
+    want = {}
+    for i, txt in enumerate(TEXTS):
+        toks = txt.split()
+        gpos = [j for j, t in enumerate(toks) if t == "gamma"]
+        tf = sum(1 for j, t in enumerate(toks) if t == "beta"
+                 and not any(q - 1 <= j <= q for q in gpos))
+        if tf:
+            want[i] = tf
+    assert set(out["doc_id"]) == set(want)
+    # exclusion is non-trivial: some beta docs are fully excluded
+    beta_docs = {i for i, t in enumerate(TEXTS) if "beta" in t.split()}
+    assert set(want) < beta_docs
+    via = execute_query({"span_not": {"query": "beta gamma", "pre": 1,
+                                      "post": 0, "k": 10}}, searcher=s)
+    assert list(via["doc_id"]) == list(out["doc_id"][:10])
+    with pytest.raises(ValueError, match="exactly"):
+        s.search({"q": "beta"}, k=5, mode="span_not")
+
+
 @pytest.fixture(scope="module")
 def cf_indexes(tmp_path_factory):
     """Per-field indexes over the same corpus + config: the staged
