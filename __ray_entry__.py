@@ -34,7 +34,7 @@ from opensearch_jvector_ray.oracles import (
     top_metrics_sql, percentile_ranks_sql,
     global_stats_sql, sampler_sql, diversified_sampler_sql,
     rank_feature_add_sql, pinned_sql, combined_fields_sql,
-    span_or_near_sql, span_not_sql,
+    span_or_near_sql, span_not_sql, matched_queries_sql,
     multi_terms_sql, rare_terms_sql, extended_stats_sql,
     weighted_avg_sql, bucket_metric_sql, adjacency_matrix_sql,
     string_stats_sql, matrix_stats_sql, date_range_sql,
@@ -289,6 +289,50 @@ SPAN_OR_SLOP = 3
 SPAN_NOT_QUERIES = {"sn1": "data query", "sn2": "merge sort",
                     "sn3": "customer value"}
 SPAN_NOT_PRE, SPAN_NOT_POST = 1, 2
+
+
+def _sm_map(docs, ords, scores):
+    # scripted_metric map+combine: Σ n_chars * doc_id over the segment's
+    # qualifying docs — exact int64, so the driver gate can be HARD even
+    # though the mechanism is a user script
+    import numpy as _np
+    import pyarrow as _pa
+    take = _pa.array(ords)
+    nc = docs["n_chars"].take(take).to_numpy(zero_copy_only=False) \
+        .astype(_np.int64)
+    di = docs["doc_id"].take(take).to_numpy(zero_copy_only=False) \
+        .astype(_np.int64)
+    return int(_np.dot(nc, di))
+
+
+def _sm_reduce(parts):
+    return int(sum(parts))
+
+
+def _q_bm25_scripted_metric(sf_dir: str) -> pd.DataFrame:
+    # scripted_metric agg: user map/combine per segment (pickled
+    # partials), user reduce on the driver; this script is integer
+    # arithmetic so the DuckDB oracle is exact
+    s = IndexSearcher(documents_index(sf_dir))
+    out = s.scripted_metric_agg(BM25_QUERIES, _sm_map, _sm_reduce,
+                                min_score=FACET_MIN_SCORE)
+    out["value"] = out["value"].astype(np.int64)
+    return out
+
+
+MATCHED_Q_SPECS = {
+    "q1": {"fastish": "fast merge", "sorty": "sort"},
+    "q2": {"datalike": "data query", "rowcol": "row column"},
+    "q3": {"cust": "customer", "valscan": "value scan"},
+}
+
+
+def _q_bm25_matched_queries(sf_dir: str) -> pd.DataFrame:
+    # matched_queries: named should clauses; every top-k hit of the
+    # union query carries the sorted names of the clauses it matches
+    s = IndexSearcher(documents_index(sf_dir))
+    return _round_hits(s.matched_queries_search(MATCHED_Q_SPECS,
+                                                k=BM25_K))
 
 
 def _q_bm25_span_or(sf_dir: str) -> pd.DataFrame:
@@ -2223,6 +2267,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_combined_fields": _q_bm25_combined_fields,
         "bm25_span_or": _q_bm25_span_or,
         "bm25_span_not": _q_bm25_span_not,
+        "bm25_matched_queries": _q_bm25_matched_queries,
+        "bm25_scripted_metric": _q_bm25_scripted_metric,
         "bm25_decay_recency": _q_bm25_decay_recency,
         "has_child_max": _q_has_child_max,
         "has_child_sum": _q_has_child_sum,
@@ -2486,6 +2532,18 @@ def _missing_oracle() -> str:
                            TRANSCRIPTS_CFG, _transcript_arms())
 
 
+def _scripted_metric_oracle() -> str:
+    # the entry's script is Σ n_chars * doc_id over the radial match
+    # set — exact integers, expressible as plain SQL
+    inner = bm25_sql(BM25_QUERIES, 0, CFG, min_score=FACET_MIN_SCORE)
+    return f"""
+WITH hits AS ({inner})
+SELECT h.query_id, sum(d.n_chars * d.doc_id)::BIGINT AS value
+FROM hits h JOIN documents d USING (doc_id)
+GROUP BY h.query_id ORDER BY h.query_id
+"""
+
+
 def _terms_set_oracle() -> str:
     from opensearch_jvector_ray.oracles import terms_set_sql
     from opensearch_jvector_ray.sources.tables import TRANSCRIPTS_CFG
@@ -2584,6 +2642,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_span_not": span_not_sql(SPAN_NOT_QUERIES, BM25_K, CFG,
                                       pre=SPAN_NOT_PRE,
                                       post=SPAN_NOT_POST),
+        "bm25_matched_queries": matched_queries_sql(
+            MATCHED_Q_SPECS, BM25_K, CFG),
+        "bm25_scripted_metric": _scripted_metric_oracle(),
         "bm25_decay_recency": _decay_recency_oracle(),
         "has_child_max": _has_child_oracle("max"),
         "has_child_sum": _has_child_oracle("sum"),

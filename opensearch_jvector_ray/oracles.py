@@ -3810,6 +3810,48 @@ def rank_feature_add_sql(spec: dict, is_ts: bool = False) -> str:
     raise ValueError(f"unknown rank_feature kind {spec['kind']!r}")
 
 
+def matched_queries_sql(queries: dict[str, dict[str, str]], k: int,
+                        cfg: EngineConfig, table: str = "documents",
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> str:
+    """Oracle for IndexSearcher.matched_queries_search: top-k BM25 over
+    the union of the named clauses' distinct analyzed terms (weight 1,
+    sorted), each hit annotated with the comma-joined sorted names of
+    clauses having >= 1 term in the doc."""
+    from opensearch_jvector_ray.analyze import analyze_query
+    texts = {}
+    ct_rows = []
+    for qid, clauses in sorted(queries.items()):
+        all_terms: set[str] = set()
+        for name, txt in sorted(clauses.items()):
+            terms = sorted(set(analyze_query(txt, cfg)))
+            all_terms.update(terms)
+            for t in terms:
+                ct_rows.append(f"({sql_quote(qid)}, {sql_quote(name)}, "
+                               f"{sql_quote(t)})")
+        texts[qid] = " ".join(sorted(all_terms))
+    inner = bm25_sql(texts, k, cfg, table=table, id_col=id_col,
+                     text_col=text_col)
+    return f"""
+WITH {toks_cte(cfg, table, id_col, text_col)},
+hits AS ({inner}),
+ct(query_id, name, term) AS (VALUES {", ".join(ct_rows)}),
+cm AS (
+  SELECT h.query_id, h.{id_col}, c.name
+  FROM hits h JOIN ct c ON c.query_id = h.query_id
+  WHERE EXISTS (SELECT 1 FROM toks t
+                WHERE t.{id_col} = h.{id_col} AND t.term = c.term)
+  GROUP BY h.query_id, h.{id_col}, c.name
+)
+SELECT h.query_id, h.rank, h.{id_col}, h.score,
+       string_agg(cm.name, ',' ORDER BY cm.name) AS matched_queries
+FROM hits h JOIN cm ON cm.query_id = h.query_id
+                   AND cm.{id_col} = h.{id_col}
+GROUP BY h.query_id, h.rank, h.{id_col}, h.score
+ORDER BY h.query_id, h.rank
+"""
+
+
 def pinned_sql(queries: dict[str, str], pinned: dict[str, list],
                k: int, cfg: EngineConfig, table: str = "documents",
                id_col: str = "doc_id", text_col: str = "text") -> str:

@@ -470,6 +470,18 @@ def _agg_partial(agg: dict, docs: pa.Table, ords: np.ndarray,
             out_cols[c] = vc[c].combine_chunks()
         out_cols["doc_count"] = pc.cast(vc["count_all"], pa.int64())
         return pa.table(out_cols)
+    if agg["kind"] == "script":
+        # scripted_metric partial [OpenSearch scripted_metric public
+        # semantics; init/map/combine == the user's map_fn, which runs
+        # once per segment over (docs, qualifying ords, scores) and
+        # returns its COMBINED partial — pickled so any Python value
+        # rides the Arrow fan-out; reduce happens on the driver]
+        import pickle
+        part = agg["map_fn"](docs, ords, scores)
+        return pa.table({
+            "query_id": pa.array([qid], type=pa.string()),
+            "partial": pa.array([pickle.dumps(part)], type=pa.binary()),
+        })
     if agg["kind"] == "sample":
         # sampler aggregation partial [OpenSearch sampler-agg public
         # semantics]: the segment's best ``n`` match-set docs by the
@@ -3074,6 +3086,37 @@ class IndexSearcher:
                 rows.append((qid, v, float(le) / float(total)))
         return pd.DataFrame(rows, columns=cols)
 
+    def scripted_metric_agg(self, queries: dict[str, str],
+                            map_fn, reduce_fn, min_score: float,
+                            concurrency: int | None = None
+                            ) -> pd.DataFrame:
+        """Scripted-metric aggregation [OpenSearch scripted_metric
+        public semantics — init/map/combine/reduce scripts, expressed
+        as Python callables like the script-score UDF (X5)]:
+        ``map_fn(docs: pa.Table, ords, scores) -> Any`` runs once per
+        segment over the qualifying doc ordinals and returns its
+        already-COMBINED partial (init+map+combine fused — the
+        combiner-first rule applies to user scripts too);
+        ``reduce_fn(partials: list) -> Any`` folds the per-segment
+        partials on the driver.  Partials are pickled, so any Python
+        value works; only aggregate-sized objects should leave the
+        task.  Returns (query_id, value) with one row per query that
+        matched."""
+        import pickle
+        if not callable(map_fn) or not callable(reduce_fn):
+            raise ValueError("map_fn and reduce_fn must be callables")
+        df = self._agg_fanout(queries,
+                              {"kind": "script", "map_fn": map_fn},
+                              min_score, None, concurrency)
+        cols = ["query_id", "value"]
+        if df.empty:
+            return pd.DataFrame(columns=cols)
+        rows = []
+        for qid, g in df.groupby("query_id", sort=True):
+            parts = [pickle.loads(b) for b in g["partial"]]
+            rows.append((qid, reduce_fn(parts)))
+        return pd.DataFrame(rows, columns=cols)
+
     def missing_agg(self, queries: dict[str, str], field: str,
                     min_score: float,
                     concurrency: int | None = None) -> pd.DataFrame:
@@ -3881,6 +3924,54 @@ class IndexSearcher:
             prepared.append(entry)
         return prepared, sorted(union)
 
+    def matched_queries_search(self, queries: dict[str, dict[str, str]],
+                               k: int | None = None) -> pd.DataFrame:
+        """Named-queries attribution [OpenSearch matched_queries public
+        semantics]: each query is a dict of NAMED should clauses; the
+        executed query is the union of the clauses' DISTINCT analyzed
+        terms (weight 1 each, sorted term order), and every hit carries
+        ``matched_queries`` — the comma-joined sorted names of the
+        clauses with >= 1 term occurring in the doc.
+
+        Distribution shape: one standard bounded top-k search over the
+        union text, then the highlight probe (result-sized pushed-down
+        postings membership per segment) supplies each hit's matched
+        term set — clause attribution is a driver-side set intersection
+        over k x queries rows."""
+        k = k or self.cfg.default_k
+        from opensearch_jvector_ray.analyze import analyze_query
+        texts: dict[str, str] = {}
+        clause_terms: dict[str, dict[str, set]] = {}
+        for qid, clauses in queries.items():
+            if not clauses:
+                raise ValueError(f"query {qid!r} needs >= 1 named "
+                                 "clause")
+            ct = {name: set(analyze_query(txt, self.cfg))
+                  for name, txt in clauses.items()}
+            clause_terms[qid] = ct
+            terms = sorted({t for ts in ct.values() for t in ts})
+            texts[qid] = " ".join(terms)
+        hits = self.search(texts, k=k)
+        cols = ["query_id", "rank", *self.key_cols, "score",
+                "matched_queries"]
+        if hits.empty:
+            return pd.DataFrame(columns=cols)
+        pos = self.matched_positions(texts, k=k, _hits=hits)
+        mt = (pos.groupby(["query_id", *self.key_cols])["term"]
+                 .agg(lambda s: set(s)))
+        out = hits.copy()
+        names = []
+        for rec in out.itertuples(index=False):
+            key = (rec.query_id, *(getattr(rec, kc)
+                                   for kc in self.key_cols))
+            terms_hit = mt.get(key, set())
+            matched = sorted(n for n, ts in
+                             clause_terms[rec.query_id].items()
+                             if ts & terms_hit)
+            names.append(",".join(matched))
+        out["matched_queries"] = names
+        return out[cols]
+
     def _prepare_span_or(self, queries: dict[str, str], k: int
                          ) -> tuple[list[dict], list[str]]:
         """Driver-side span_or parse: whitespace-separated clauses, '|'
@@ -4594,6 +4685,7 @@ class IndexSearcher:
 
     def matched_positions(self, queries: dict[str, str],
                           k: int | None = None,
+                          _hits: pd.DataFrame | None = None,
                           **search_kwargs) -> pd.DataFrame:
         """Highlight surface: the positions of every matched query term
         in each top-k hit — one row per (query_id, *key_cols, term,
@@ -4610,7 +4702,8 @@ class IndexSearcher:
             # diverge from the hit set's analysis
             raise ValueError("matched_positions supports modes "
                              "taat/wand/rescore/phrase, not boolean")
-        hits = self.search(queries, k=k, **search_kwargs)
+        hits = _hits if _hits is not None \
+            else self.search(queries, k=k, **search_kwargs)
         cols = ["query_id", *self.key_cols, "term", "pos"]
         if hits.empty:
             return pd.DataFrame(columns=cols)

@@ -390,6 +390,7 @@ class _ServedAggSearcher:
     diversified_sampler_agg = _IS.diversified_sampler_agg
     auto_date_histogram_agg = _IS.auto_date_histogram_agg
     cumulative_cardinality_agg = _IS.cumulative_cardinality_agg
+    scripted_metric_agg = _IS.scripted_metric_agg
     # global_stats_agg reads docs sidecars directly (no postings), so
     # the borrowed method works unchanged off seg_dirs (cold read)
     global_stats_agg = _IS.global_stats_agg

@@ -435,6 +435,50 @@ def test_span_not_exclusion_window(idx):
         s.search({"q": "beta"}, k=5, mode="span_not")
 
 
+def test_matched_queries_attribution(idx):
+    s = IndexSearcher(idx)
+    specs = {"q": {"alph": "alpha", "delt": "delta", "both": "eps"}}
+    out = s.matched_queries_search(specs, k=N)
+    for rec in out.itertuples(index=False):
+        toks = set(TEXTS[rec.doc_id].split())
+        want = sorted(n for n, t in (("alph", "alpha"),
+                                     ("delt", "delta"),
+                                     ("both", "eps")) if t in toks)
+        assert rec.matched_queries == ",".join(want)
+    # attribution varies across hits on this corpus
+    assert out["matched_queries"].nunique() > 1
+    with pytest.raises(ValueError, match="named"):
+        s.matched_queries_search({"q": {}}, k=5)
+
+
+def test_scripted_metric_udf(idx):
+    s = IndexSearcher(idx)
+
+    def map_fn(docs, ords, scores):
+        import pyarrow as _pa
+        v = docs["n_chars"].take(_pa.array(ords)) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        return (int(v.sum()), int(np.dot(v, v)))
+
+    def reduce_fn(parts):
+        return (sum(p[0] for p in parts), sum(p[1] for p in parts))
+
+    out = s.scripted_metric_agg(Q, map_fn, reduce_fn, min_score=MS)
+    m = _match_df(s)["n_chars"].to_numpy(np.int64)
+    assert out["value"][0] == (int(m.sum()), int(np.dot(m, m)))
+    # warm facade serves the same script
+    from opensearch_jvector_ray.serve import SearchService
+    svc = SearchService(idx, num_shards=2)
+    try:
+        warm = svc.agg.scripted_metric_agg(Q, map_fn, reduce_fn,
+                                           min_score=MS)
+        assert warm["value"][0] == out["value"][0]
+    finally:
+        svc.shutdown()
+    with pytest.raises(ValueError, match="callable"):
+        s.scripted_metric_agg(Q, 1, reduce_fn, min_score=MS)
+
+
 @pytest.fixture(scope="module")
 def cf_indexes(tmp_path_factory):
     """Per-field indexes over the same corpus + config: the staged
