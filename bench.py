@@ -175,6 +175,29 @@ def run_bench() -> dict:
 
     timed("query_aggs2_25", do_aggs2)
 
+    # -- phase 3f: round-4 query/agg additions (sampler heads, missing,
+    # auto-interval ladder, exact running distinct, per-doc-threshold
+    # terms_set, additive rank_feature, span_or unions) -------------------
+    def do_new2():
+        searcher.sampler_agg(agg5, field="role", shard_size=50,
+                             min_score=0.3)
+        searcher.missing_agg(agg5, field="tool", min_score=0.3)
+        searcher.auto_date_histogram_agg(agg5, ts_col="ts",
+                                         target_buckets=8,
+                                         min_score=0.3)
+        searcher.cumulative_cardinality_agg(
+            agg5, ts_col="ts", calendar_interval="hour",
+            field="conv_id", min_score=0.3)
+        searcher.search(agg5, k=10, terms_set={"field": "turn_idx"})
+        searcher.search(agg5, k=10,
+                        rank_feature={"kind": "saturation",
+                                      "field": "turn_idx",
+                                      "pivot": 5.0})
+        searcher.search({f"o{i}": "data|model search" for i in range(5)},
+                        k=10, mode="span_or", slop=3)
+
+    timed("query_aggs3_35", do_new2)
+
     # -- phase 3b: persistent serving (warm actors + postings cache) ------
     from opensearch_jvector_ray.serve import SearchService
     svc = SearchService(merged_dir, num_shards=min(8, NUM_CPUS))
