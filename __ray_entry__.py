@@ -309,6 +309,41 @@ def _sm_reduce(parts):
     return int(sum(parts))
 
 
+# indices_boost: shared-vocabulary queries (both the documents corpus
+# and the transcript conversations contain these terms)
+IB_QUERIES = {"i1": "merge sort", "i2": "table row scan",
+              "i3": "batch window"}
+IB_BOOSTS = {"documents": 1.0, "conversations": 2.0}
+
+
+def _q_bm25_indices_boost(sf_dir: str) -> pd.DataFrame:
+    # indices_boost: one query batch over two engines, per-index score
+    # multipliers, merged (round-6 boosted score, index, key) ranking
+    from opensearch_jvector_ray.query import indices_boost_search
+    from opensearch_jvector_ray.sources.tables import conversations_index
+    searchers = {"documents": IndexSearcher(documents_index(sf_dir)),
+                 "conversations": IndexSearcher(conversations_index(sf_dir))}
+    return indices_boost_search(searchers, IB_QUERIES, IB_BOOSTS,
+                                k=BM25_K)
+
+
+def _q_bm25_template(sf_dir: str) -> pd.DataFrame:
+    # search template: mustache-subset substitution feeding the DSL —
+    # the rendered query is a plain match, so the oracle is bm25_sql
+    from opensearch_jvector_ray.query_dsl import (
+        execute_query, render_template,
+    )
+    s = IndexSearcher(documents_index(sf_dir))
+    tpl = {"match": {"query": "{{q}}", "k": "{{k}}"}}
+    frames = []
+    for qid in sorted(BM25_QUERIES):
+        body = render_template(tpl, {"q": BM25_QUERIES[qid],
+                                     "k": BM25_K})
+        frames.append(execute_query(body, searcher=s, query_id=qid))
+    out = pd.concat(frames, ignore_index=True)
+    return _round_hits(out)
+
+
 def _q_bm25_scripted_metric(sf_dir: str) -> pd.DataFrame:
     # scripted_metric agg: user map/combine per segment (pickled
     # partials), user reduce on the driver; this script is integer
@@ -2269,6 +2304,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_span_not": _q_bm25_span_not,
         "bm25_matched_queries": _q_bm25_matched_queries,
         "bm25_scripted_metric": _q_bm25_scripted_metric,
+        "bm25_indices_boost": _q_bm25_indices_boost,
+        "bm25_template": _q_bm25_template,
         "bm25_decay_recency": _q_bm25_decay_recency,
         "has_child_max": _q_has_child_max,
         "has_child_sum": _q_has_child_sum,
@@ -2532,6 +2569,49 @@ def _missing_oracle() -> str:
                            TRANSCRIPTS_CFG, _transcript_arms())
 
 
+def _indices_boost_oracle() -> str:
+    from opensearch_jvector_ray.oracles import transcripts_arms_cte
+    from opensearch_jvector_ray.sources.tables import TRANSCRIPTS_CFG
+    arm_doc = bm25_sql(IB_QUERIES, BM25_K, CFG, emit_raw=True)
+    cte = transcripts_arms_cte(_transcript_arms(),
+                               "conv_id, turn_idx, role, text")
+    prefix = (f"{cte},\nconversations AS (\n"
+              "  SELECT conv_id,\n"
+              "         string_agg(role || ': ' || text, chr(10)"
+              " ORDER BY turn_idx) AS conv_text\n"
+              "  FROM transcripts GROUP BY conv_id\n)")
+    arm_conv = bm25_sql(IB_QUERIES, BM25_K, TRANSCRIPTS_CFG,
+                        table="conversations", id_col="conv_id",
+                        text_col="conv_text", prefix_cte=prefix,
+                        emit_raw=True)
+    bd = repr(float(IB_BOOSTS["documents"]))
+    bc = repr(float(IB_BOOSTS["conversations"]))
+    return f"""
+WITH d AS ({arm_doc}), c AS ({arm_conv}),
+u AS (
+  SELECT query_id, 'documents' AS "index",
+         CAST(doc_id AS VARCHAR) AS doc_key,
+         round(score__raw * {bd}, 6) AS score
+  FROM d
+  UNION ALL
+  SELECT query_id, 'conversations', conv_id,
+         round(score__raw * {bc}, 6)
+  FROM c
+),
+r AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, "index" ASC,
+                                     doc_key ASC) AS rank,
+         "index", doc_key, score
+  FROM u
+)
+SELECT query_id, rank, "index", doc_key, score
+FROM r WHERE rank <= {BM25_K}
+ORDER BY query_id, rank
+"""
+
+
 def _scripted_metric_oracle() -> str:
     # the entry's script is Σ n_chars * doc_id over the radial match
     # set — exact integers, expressible as plain SQL
@@ -2645,6 +2725,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_matched_queries": matched_queries_sql(
             MATCHED_Q_SPECS, BM25_K, CFG),
         "bm25_scripted_metric": _scripted_metric_oracle(),
+        "bm25_indices_boost": _indices_boost_oracle(),
+        "bm25_template": bm25_sql(BM25_QUERIES, BM25_K, CFG),
         "bm25_decay_recency": _decay_recency_oracle(),
         "has_child_max": _has_child_oracle("max"),
         "has_child_sum": _has_child_oracle("sum"),

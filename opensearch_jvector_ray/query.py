@@ -4932,6 +4932,61 @@ def _mm_fused_task(batch: pa.Table, payloads: dict[str, dict],
     return pa.table(cols)
 
 
+def indices_boost_search(searchers: dict[str, "IndexSearcher"],
+                         queries: dict[str, str],
+                         boosts: dict[str, float],
+                         k: int = 10,
+                         concurrency: int | None = None) -> pd.DataFrame:
+    """Multi-index search with per-index boosts [OpenSearch
+    indices_boost public semantics]: the same query batch runs over
+    every named index (each a single-key-column engine), each hit's
+    score multiplies by its index's boost (ONE multiply), and the
+    merged ranking is (ROUND-6 boosted score desc, index name asc,
+    stringified key asc) — rounded because hits from DIFFERENT corpora
+    carry unrelated fp sums, so the vector-entry round-6 rule governs
+    cross-index ties.  Global top-k is exact: it is contained in the
+    union of the per-index top-k sets.
+
+    Output: (query_id, rank, index, doc_key, score)."""
+    if not searchers:
+        raise ValueError("indices_boost needs >= 1 index")
+    for name, s in searchers.items():
+        if len(s.key_cols) != 1:
+            raise ValueError(f"index {name!r} must have a single key "
+                             "column")
+    for name, b in boosts.items():
+        if name not in searchers:
+            raise ValueError(f"boost for unknown index {name!r}")
+        if float(b) <= 0:
+            raise ValueError("boosts must be > 0")
+    frames = []
+    for name in sorted(searchers):
+        s = searchers[name]
+        h = s.search(queries, k=k, concurrency=concurrency)
+        if h.empty:
+            continue
+        b = float(boosts.get(name, 1.0))
+        kc = s.key_cols[0]
+        out = pd.DataFrame({
+            "query_id": h["query_id"],
+            "index": name,
+            "doc_key": h[kc].astype(str),
+            "score": np.round(h["score"].astype(np.float64) * b, 6),
+        })
+        frames.append(out)
+    cols = ["query_id", "rank", "index", "doc_key", "score"]
+    if not frames:
+        return pd.DataFrame(columns=cols)
+    df = pd.concat(frames, ignore_index=True)
+    df = df.sort_values(["query_id", "score", "index", "doc_key"],
+                        ascending=[True, False, True, True],
+                        kind="mergesort")
+    df = df.groupby("query_id", sort=False).head(int(k))
+    df["rank"] = (df.groupby("query_id", sort=False).cumcount() + 1) \
+        .astype(np.int64)
+    return df.reset_index(drop=True)[cols]
+
+
 def _cf_stats_task(batch: pa.Table, fields: list[str],
                    weights: dict[str, int], union_terms: list[str],
                    fmt: dict[str, dict]) -> pa.Table:

@@ -1025,6 +1025,37 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
                      f"synonyms, regexp, wildcard, match_phrase_prefix)")
 
 
+def render_template(template, params: dict):
+    """Search templates [OpenSearch search-template public semantics,
+    the mustache-substitution subset]: every string leaf that is
+    EXACTLY '{{name}}' is replaced by ``params[name]`` with its native
+    type (so numeric parameters stay numeric); '{{name}}' embedded
+    inside a longer string substitutes ``str(value)``.  Missing
+    parameters raise — the strict-parse contract."""
+    import re
+    if isinstance(template, dict):
+        return {k: render_template(v, params) for k, v in
+                template.items()}
+    if isinstance(template, list):
+        return [render_template(v, params) for v in template]
+    if isinstance(template, str):
+        m = re.fullmatch(r"\{\{(\w+)\}\}", template)
+        if m:
+            name = m.group(1)
+            if name not in params:
+                raise ValueError(f"template parameter {name!r} missing")
+            return params[name]
+
+        def sub(mm):
+            name = mm.group(1)
+            if name not in params:
+                raise ValueError(f"template parameter {name!r} missing")
+            return str(params[name])
+
+        return re.sub(r"\{\{(\w+)\}\}", sub, template)
+    return template
+
+
 def execute_query(body: dict[str, Any], *, searcher=None, vector_ds=None,
                   vector_index=None, vector_engine: str = "graph",
                   filter_id_resolver=None, engine_kwargs=None,

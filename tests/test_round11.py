@@ -541,6 +541,48 @@ def test_combined_fields_bm25f(cf_indexes):
     assert list(via["doc_id"]) == list(out["doc_id"][:10])
 
 
+def test_render_template_typed_substitution():
+    from opensearch_jvector_ray.query_dsl import render_template
+    tpl = {"match": {"query": "{{q}} extra {{q}}", "k": "{{k}}"},
+           "list": ["{{q}}", 3]}
+    out = render_template(tpl, {"q": "alpha", "k": 7})
+    assert out["match"]["k"] == 7               # typed whole-leaf
+    assert out["match"]["query"] == "alpha extra alpha"
+    assert out["list"] == ["alpha", 3]
+    with pytest.raises(ValueError, match="missing"):
+        render_template({"x": "{{nope}}"}, {})
+
+
+def test_indices_boost_merged_ranking(idx, cf_indexes):
+    from opensearch_jvector_ray.query import indices_boost_search
+    searchers = {"a": IndexSearcher(idx),
+                 "b": IndexSearcher(cf_indexes["text"])}
+    # same corpus in both indexes: with boost 1.0 each doc appears
+    # twice at the same rounded score, tie-broken (index asc, key asc)
+    out = indices_boost_search(searchers, Q, {"a": 1.0, "b": 1.0},
+                               k=2 * N)
+    a = out[out["index"] == "a"].set_index("doc_key")["score"]
+    b = out[out["index"] == "b"].set_index("doc_key")["score"]
+    assert set(a.index) == set(b.index)
+    for dk in a.index:
+        assert a[dk] == b[dk]
+    # within an equal-score group the index-asc tie puts 'a' first
+    for dk in a.index:
+        pair = out[out["doc_key"] == dk]
+        ra, rb = (int(pair[pair["index"] == "a"]["rank"].iloc[0]),
+                  int(pair[pair["index"] == "b"]["rank"].iloc[0]))
+        assert rb > ra
+    # boosting one index reorders: all 'b' hits outrank their 'a' twin
+    out2 = indices_boost_search(searchers, Q, {"a": 1.0, "b": 10.0},
+                                k=2 * N)
+    for dk in a.index:
+        pair = out2[out2["doc_key"] == dk]
+        assert (int(pair[pair["index"] == "b"]["rank"].iloc[0])
+                < int(pair[pair["index"] == "a"]["rank"].iloc[0]))
+    with pytest.raises(ValueError, match="> 0"):
+        indices_boost_search(searchers, Q, {"a": 0.0}, k=5)
+
+
 def test_warm_facade_round11_frame_identity(idx):
     ray = pytest.importorskip("ray")
     from opensearch_jvector_ray.serve import SearchService
