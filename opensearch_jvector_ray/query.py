@@ -2889,9 +2889,13 @@ class IndexSearcher:
         count partials; the driver takes each value's global first
         bucket (min across segments) and cumsums first-appearance
         counts over the present buckets — distinct values never ship,
-        only value x bucket sized counts.  NULL field values are
-        excluded from the distinct count (count(DISTINCT) semantics)
-        but still count toward doc_count."""
+        only value x bucket sized counts.  Those partials ARE
+        value-cardinality-sized (the exact-cardinality trade-off, same
+        as cardinality_agg's exact default; at web scale with a
+        corpus-sized distinct field use cardinality_agg's HLL sketch
+        per bucket instead).  NULL field values are excluded from the
+        distinct count (count(DISTINCT) semantics) but still count
+        toward doc_count."""
         if calendar_interval not in ("month", "day", "hour"):
             raise ValueError("calendar_interval must be month|day|hour")
         df = self._agg_fanout(queries,
