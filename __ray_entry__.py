@@ -32,6 +32,7 @@ from opensearch_jvector_ray.oracles import (
     filters_agg_sql, terms_stats_sql, composite_sql, multi_match_sql,
     dis_max_sql, span_first_sql, keyword_sql, chunk_sql,
     top_metrics_sql, percentile_ranks_sql,
+    mad_sql, boxplot_sql, t_test_sql,
     global_stats_sql, sampler_sql, diversified_sampler_sql,
     rank_feature_add_sql, pinned_sql, combined_fields_sql,
     span_or_near_sql, span_not_sql, matched_queries_sql,
@@ -528,6 +529,74 @@ def _q_bm25_normalize(sf_dir: str) -> pd.DataFrame:
                                 calendar_interval=DATE_HIST_INTERVAL,
                                 min_score=FACET_MIN_SCORE,
                                 pipeline="normalize")
+
+
+BUCKET_SORT_FROM, BUCKET_SORT_SIZE = 1, 4
+MOVING_PCT_WINDOW, MOVING_PCT_Q = 4, 0.5
+RATE_UNIT = "minute"
+T_TEST_FILTER_A = {"term": {"lang": "en"}}
+T_TEST_FILTER_B = {"terms": {"lang": ["fr", "es"]}}
+
+
+def _q_bm25_bucket_sort(sf_dir: str) -> pd.DataFrame:
+    # bucket_sort pipeline: buckets re-ranked (doc_count desc, bucket
+    # asc), ranks 2..5 kept — from=1 drops the top bucket so the
+    # truncation is non-trivial at every scale
+    s = IndexSearcher(transcripts_index(sf_dir))
+    return s.date_histogram_agg(TRANSCRIPT_QUERIES, ts_col="ts",
+                                calendar_interval=DATE_HIST_INTERVAL,
+                                min_score=FACET_MIN_SCORE,
+                                pipeline="bucket_sort",
+                                sort_from=BUCKET_SORT_FROM,
+                                sort_size=BUCKET_SORT_SIZE)
+
+
+def _q_bm25_moving_percentiles(sf_dir: str) -> pd.DataFrame:
+    # moving_percentiles pipeline, EXACT: trailing-4-bucket discrete
+    # median of doc_count (quantile_disc rule on both sides)
+    s = IndexSearcher(transcripts_index(sf_dir))
+    return s.date_histogram_agg(TRANSCRIPT_QUERIES, ts_col="ts",
+                                calendar_interval=DATE_HIST_INTERVAL,
+                                min_score=FACET_MIN_SCORE,
+                                pipeline="moving_percentiles",
+                                pipeline_window=MOVING_PCT_WINDOW,
+                                pipeline_percent=MOVING_PCT_Q)
+
+
+def _q_bm25_rate(sf_dir: str) -> pd.DataFrame:
+    # rate agg: hour buckets rescaled to per-minute rates (exact int
+    # count, ONE division by 60)
+    s = IndexSearcher(transcripts_index(sf_dir))
+    return s.date_histogram_agg(TRANSCRIPT_QUERIES, ts_col="ts",
+                                calendar_interval=DATE_HIST_INTERVAL,
+                                min_score=FACET_MIN_SCORE,
+                                pipeline="rate", rate_unit=RATE_UNIT)
+
+
+def _q_bm25_mad(sf_dir: str) -> pd.DataFrame:
+    # median_absolute_deviation agg, EXACT: median(|x - median(x)|)
+    # of n_chars over the match set (nested quantile_disc rule)
+    s = IndexSearcher(documents_index(sf_dir))
+    return s.mad_agg(BM25_QUERIES, value_col=STATS_COL,
+                     min_score=FACET_MIN_SCORE)
+
+
+def _q_bm25_boxplot(sf_dir: str) -> pd.DataFrame:
+    # boxplot agg, EXACT: min/q1/q2/q3/max of n_chars over the match
+    # set (quantile_disc quartiles)
+    s = IndexSearcher(documents_index(sf_dir))
+    return s.boxplot_agg(BM25_QUERIES, value_col=STATS_COL,
+                         min_score=FACET_MIN_SCORE)
+
+
+def _q_bm25_t_test(sf_dir: str) -> pd.DataFrame:
+    # t_test agg (Welch unpaired): n_chars of matched en docs vs
+    # matched fr/es docs — six integer sums, pinned float chain
+    s = IndexSearcher(documents_index(sf_dir))
+    return s.t_test_agg(BM25_QUERIES, value_col=STATS_COL,
+                        filter_a=T_TEST_FILTER_A,
+                        filter_b=T_TEST_FILTER_B,
+                        min_score=FACET_MIN_SCORE)
 
 
 def _q_bm25_cumulative_cardinality(sf_dir: str) -> pd.DataFrame:
@@ -2326,6 +2395,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_cumulative_sum": _q_bm25_cumulative_sum,
         "bm25_derivative": _q_bm25_derivative,
         "bm25_moving_avg": _q_bm25_moving_avg,
+        "bm25_bucket_sort": _q_bm25_bucket_sort,
+        "bm25_moving_percentiles": _q_bm25_moving_percentiles,
+        "bm25_rate": _q_bm25_rate,
+        "bm25_mad": _q_bm25_mad,
+        "bm25_boxplot": _q_bm25_boxplot,
+        "bm25_t_test": _q_bm25_t_test,
         "bm25_serial_diff": _q_bm25_serial_diff,
         "bm25_bucket_selector": _q_bm25_bucket_selector,
         "bm25_moving_max": _q_bm25_moving_max,
@@ -2544,14 +2619,18 @@ def _decay_recency_oracle() -> str:
 
 def _date_histogram_oracle_p(pipeline: str, window: int = 3,
                              lag: int = 1, sel_op: str = "gte",
-                             sel_val: int = 1) -> str:
+                             sel_val: int = 1, s_from: int = 0,
+                             s_size: int = 5, percent: float = 0.5,
+                             unit: str = "hour") -> str:
     from opensearch_jvector_ray.oracles import date_histogram_sql
     from opensearch_jvector_ray.sources.tables import TRANSCRIPTS_CFG
     return date_histogram_sql(TRANSCRIPT_QUERIES, FACET_MIN_SCORE,
                               DATE_HIST_INTERVAL, TRANSCRIPTS_CFG,
                               _transcript_arms(), pipeline=pipeline,
                               pipeline_window=window, pipeline_lag=lag,
-                              selector_op=sel_op, selector_value=sel_val)
+                              selector_op=sel_op, selector_value=sel_val,
+                              sort_from=s_from, sort_size=s_size,
+                              pipeline_percent=percent, rate_unit=unit)
 
 
 def _cumulative_cardinality_oracle() -> str:
@@ -2766,6 +2845,20 @@ def oracle_sql() -> dict[str, str]:
         "bm25_moving_max": _date_histogram_oracle_p("moving_max",
                                                     window=3),
         "bm25_normalize": _date_histogram_oracle_p("normalize"),
+        "bm25_bucket_sort": _date_histogram_oracle_p(
+            "bucket_sort", s_from=BUCKET_SORT_FROM,
+            s_size=BUCKET_SORT_SIZE),
+        "bm25_moving_percentiles": _date_histogram_oracle_p(
+            "moving_percentiles", window=MOVING_PCT_WINDOW,
+            percent=MOVING_PCT_Q),
+        "bm25_rate": _date_histogram_oracle_p("rate", unit=RATE_UNIT),
+        "bm25_mad": mad_sql(BM25_QUERIES, FACET_MIN_SCORE, STATS_COL,
+                            CFG),
+        "bm25_boxplot": boxplot_sql(BM25_QUERIES, FACET_MIN_SCORE,
+                                    STATS_COL, CFG),
+        "bm25_t_test": t_test_sql(BM25_QUERIES, FACET_MIN_SCORE,
+                                  STATS_COL, T_TEST_FILTER_A,
+                                  T_TEST_FILTER_B, CFG),
         "bm25_cumulative_cardinality": _cumulative_cardinality_oracle(),
         "bm25_max_bucket": _bucket_metric_oracle("max_bucket"),
         "bm25_min_bucket": _bucket_metric_oracle("min_bucket"),

@@ -659,7 +659,11 @@ def date_histogram_sql(queries: dict[str, str], min_score: float,
                        pipeline_window: int = 3,
                        pipeline_lag: int = 1,
                        selector_op: str = "gte",
-                       selector_value: int = 1) -> str:
+                       selector_value: int = 1,
+                       sort_from: int = 0,
+                       sort_size: int = 5,
+                       pipeline_percent: float = 0.5,
+                       rate_unit: str = "hour") -> str:
     """Oracle for IndexSearcher.date_histogram_agg over the transcripts
     index (the ts-bearing corpus): doc counts per date_trunc bucket of
     the radial match set.  The transcript parquet is scale-selected by
@@ -716,6 +720,46 @@ def date_histogram_sql(queries: dict[str, str], min_score: float,
         # cast to DOUBLE, the ONE division mirrors the engine bit-exact
         pipe_col = (",\n       doc_count::DOUBLE / (sum(doc_count) OVER "
                     "(PARTITION BY query_id))::DOUBLE AS bucket_script")
+    elif pipeline == "moving_percentiles":
+        # exact discrete quantile of the trailing window's doc_count
+        # (quantile_disc OVER ROWS == the engine's _qdisc rule)
+        w = (f"OVER (PARTITION BY query_id ORDER BY bucket ROWS BETWEEN "
+             f"{int(pipeline_window) - 1} PRECEDING AND CURRENT ROW)")
+        pipe_col = (f",\n       quantile_disc(doc_count, "
+                    f"{float(pipeline_percent)!r}) {w}::DOUBLE "
+                    f"AS moving_percentiles")
+    elif pipeline == "rate":
+        # doc-count rate: exact BIGINT count, ONE division by the
+        # fixed unit factor (mirrors query._RATE_FACTORS)
+        factors = {("day", "hour"): 24.0, ("day", "minute"): 1440.0,
+                   ("hour", "minute"): 60.0, ("hour", "second"): 3600.0}
+        f = factors[(calendar_interval, rate_unit)]
+        pipe_col = (f",\n       doc_count::DOUBLE / {f!r} AS rate")
+    if pipeline == "bucket_sort":
+        # sort + truncate: ranks (from, from+size] by (doc_count DESC,
+        # bucket ASC) — the 1-based rank is part of the row set
+        return f"""
+WITH {outer},
+b AS (
+  SELECT h.query_id,
+         date_trunc({sql_quote(calendar_interval)}, d.ts) AS bucket,
+         count(*)::BIGINT AS doc_count
+  FROM ({inner}) h JOIN transcripts d USING (doc_id)
+  GROUP BY h.query_id, bucket
+),
+r AS (
+  SELECT query_id, bucket, doc_count,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY doc_count DESC, bucket ASC)
+           ::BIGINT AS sort_rank
+  FROM b
+)
+SELECT query_id, bucket, doc_count, sort_rank
+FROM r
+WHERE sort_rank > {int(sort_from)}
+  AND sort_rank <= {int(sort_from) + int(sort_size)}
+ORDER BY query_id, sort_rank
+"""
     where = ""
     if pipeline == "bucket_selector":
         op = {"gt": ">", "gte": ">=", "lt": "<", "lte": "<=",
@@ -3654,6 +3698,108 @@ FROM hits h JOIN {table} d USING ({id_col}) CROSS JOIN vals v
 GROUP BY h.query_id, v.value
 HAVING count(d.{value_col}) > 0
 ORDER BY h.query_id, v.value
+"""
+
+
+def mad_sql(queries: dict[str, str], min_score: float, value_col: str,
+            cfg: EngineConfig, table: str = "documents",
+            id_col: str = "doc_id", text_col: str = "text") -> str:
+    """Oracle for IndexSearcher.mad_agg: median(|x - median(x)|) over
+    the radial match set — two nested quantile_disc selections over
+    exact integers (the engine's _qdisc rule == DuckDB quantile_disc).
+    NULL values are excluded on both sides; an all-NULL match set
+    emits no row (quantile_disc over zero values is NULL, dropped by
+    the vals CTE join)."""
+    inner = bm25_sql(queries, 0, cfg, table=table, id_col=id_col,
+                     text_col=text_col, min_score=min_score)
+    return f"""
+WITH hits AS ({inner}),
+vals AS (
+  SELECT h.query_id, d.{value_col} AS v
+  FROM hits h JOIN {table} d USING ({id_col})
+  WHERE d.{value_col} IS NOT NULL
+),
+med AS (
+  SELECT query_id, quantile_disc(v, 0.5) AS m
+  FROM vals GROUP BY query_id
+)
+SELECT v.query_id, m.m::DOUBLE AS median,
+       quantile_disc(abs(v.v - m.m), 0.5)::DOUBLE AS mad
+FROM vals v JOIN med m ON v.query_id = m.query_id
+GROUP BY v.query_id, m.m
+ORDER BY v.query_id
+"""
+
+
+def boxplot_sql(queries: dict[str, str], min_score: float,
+                value_col: str, cfg: EngineConfig,
+                table: str = "documents", id_col: str = "doc_id",
+                text_col: str = "text") -> str:
+    """Oracle for IndexSearcher.boxplot_agg: min / q1 / q2 / q3 / max
+    of an integer stored column over the radial match set — quartiles
+    by the quantile_disc selection rule.  NULL values excluded; an
+    all-NULL match set emits no row (HAVING count(v) > 0)."""
+    inner = bm25_sql(queries, 0, cfg, table=table, id_col=id_col,
+                     text_col=text_col, min_score=min_score)
+    return f"""
+WITH hits AS ({inner})
+SELECT h.query_id,
+       min(d.{value_col})::DOUBLE AS v_min,
+       quantile_disc(d.{value_col}, 0.25)::DOUBLE AS q1,
+       quantile_disc(d.{value_col}, 0.5)::DOUBLE AS q2,
+       quantile_disc(d.{value_col}, 0.75)::DOUBLE AS q3,
+       max(d.{value_col})::DOUBLE AS v_max
+FROM hits h JOIN {table} d USING ({id_col})
+GROUP BY h.query_id
+HAVING count(d.{value_col}) > 0
+ORDER BY h.query_id
+"""
+
+
+def t_test_sql(queries: dict[str, str], min_score: float,
+               value_col: str, filter_a: dict, filter_b: dict,
+               cfg: EngineConfig, table: str = "documents",
+               id_col: str = "doc_id", text_col: str = "text") -> str:
+    """Oracle for IndexSearcher.t_test_agg (Welch unpaired t): the two
+    filter predicates are GENERATED from the same structured specs the
+    engine compiles (filter_spec_sql — one spec, two backends), the
+    six integer sums are exact BIGINTs, and the float chain mirrors
+    the engine's pinned op order symbol-for-symbol (avg = sum/n;
+    var = (sos - avg*sum)/(n-1); t = (avg_a-avg_b)/sqrt(va/na+vb/nb)).
+    Sides with n <= 1 drop the row (variance undefined)."""
+    inner = bm25_sql(queries, 0, cfg, table=table, id_col=id_col,
+                     text_col=text_col, min_score=min_score)
+    fa = filter_spec_sql(filter_a, alias="d")
+    fb = filter_spec_sql(filter_b, alias="d")
+    col = f"d.{value_col}"
+    return f"""
+WITH hits AS ({inner}),
+s AS (
+  SELECT h.query_id,
+         count(CASE WHEN {fa} THEN 1 END)::BIGINT AS n_a,
+         coalesce(sum(CASE WHEN {fa} THEN {col} END), 0)::BIGINT AS sum_a,
+         coalesce(sum(CASE WHEN {fa} THEN {col} * {col} END), 0)::BIGINT
+           AS sos_a,
+         count(CASE WHEN {fb} THEN 1 END)::BIGINT AS n_b,
+         coalesce(sum(CASE WHEN {fb} THEN {col} END), 0)::BIGINT AS sum_b,
+         coalesce(sum(CASE WHEN {fb} THEN {col} * {col} END), 0)::BIGINT
+           AS sos_b
+  FROM hits h JOIN {table} d USING ({id_col})
+  GROUP BY h.query_id
+)
+SELECT query_id, n_a, n_b,
+       sum_a::DOUBLE / n_a::DOUBLE AS avg_a,
+       sum_b::DOUBLE / n_b::DOUBLE AS avg_b,
+       ((sum_a::DOUBLE / n_a::DOUBLE) - (sum_b::DOUBLE / n_b::DOUBLE))
+       / sqrt(((sos_a::DOUBLE
+                - (sum_a::DOUBLE / n_a::DOUBLE) * sum_a::DOUBLE)
+               / (n_a - 1)::DOUBLE) / n_a::DOUBLE
+              + ((sos_b::DOUBLE
+                  - (sum_b::DOUBLE / n_b::DOUBLE) * sum_b::DOUBLE)
+                 / (n_b - 1)::DOUBLE) / n_b::DOUBLE) AS t_value
+FROM s
+WHERE n_a > 1 AND n_b > 1
+ORDER BY query_id
 """
 
 

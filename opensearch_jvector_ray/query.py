@@ -370,6 +370,33 @@ def _agg_partial(agg: dict, docs: pa.Table, ords: np.ndarray,
             "doc_count": pa.array(np.asarray(cnts, dtype=np.int64),
                                   type=pa.int64()),
         })
+    if agg["kind"] == "t_test":
+        # t_test aggregation partial [OpenSearch t_test-agg public
+        # semantics, unpaired heteroscedastic (Welch) form]: the match
+        # set is split by two NAMED structured filters a / b (the
+        # filters-agg spec machinery — ONE spec drives engine + oracle);
+        # per side an order-free integer (n, sum, sum-of-squares)
+        # triple ships in ONE row per segment (int64 range assumed like
+        # ext_stats: |v|^2 x doc_count < 2^63).  Every float (means,
+        # sample variances, the t statistic) derives on the driver from
+        # a pinned op chain shared verbatim with the generated SQL.
+        masks = agg.get("_masks")
+        if masks is None:
+            masks = _filters_masks(docs, agg["filters"])
+        v = docs[agg["col"]].take(pa.array(ords)) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        (ka, _), (kb, _) = agg["filters"]
+        va = v[masks[ka][ords]]
+        vb = v[masks[kb][ords]]
+        return pa.table({
+            "query_id": pa.array([qid], type=pa.string()),
+            "n_a": pa.array([len(va)], type=pa.int64()),
+            "sum_a": pa.array([int(va.sum())], type=pa.int64()),
+            "sos_a": pa.array([int(np.dot(va, va))], type=pa.int64()),
+            "n_b": pa.array([len(vb)], type=pa.int64()),
+            "sum_b": pa.array([int(vb.sum())], type=pa.int64()),
+            "sos_b": pa.array([int(np.dot(vb, vb))], type=pa.int64()),
+        })
     if agg["kind"] == "string_stats":
         # string_stats aggregation partial [OpenSearch string_stats-agg
         # public semantics]: integer (count, min_len, max_len, len_sum)
@@ -686,6 +713,23 @@ def _agg_partial(agg: dict, docs: pa.Table, ords: np.ndarray,
         "bucket": pa.array(ub, type=pa.int64()),
         "doc_count": pa.array(cnt.astype(np.int64), type=pa.int64()),
     })
+
+
+# rate-agg (interval, unit) -> units per bucket; exact fixed factors
+# only (calendar months have variable length and are rejected)
+_RATE_FACTORS = {("day", "hour"): 24.0, ("day", "minute"): 1440.0,
+                 ("hour", "minute"): 60.0, ("hour", "second"): 3600.0}
+
+
+def _qdisc(vals: np.ndarray, cnts: np.ndarray, q: float):
+    """Exact discrete quantile over merged (ascending value, count)
+    pairs — DuckDB's quantile_disc selection rule (the value at
+    cumulative count >= max(1, ceil(q*n))), shared by percentiles /
+    mad / boxplot / moving_percentiles."""
+    import math as _math
+    cum = np.cumsum(cnts)
+    t = max(1, _math.ceil(q * int(cum[-1])))
+    return vals[int(np.searchsorted(cum, t))]
 
 
 def _filters_masks(docs: pa.Table,
@@ -1117,6 +1161,11 @@ class SegmentSearcher:
                           "yy_sum", "xy_sum"):
                     cols[c] = pa.array([], type=pa.int64())
                 return pa.table(cols)
+            if agg["kind"] == "t_test":
+                for c in ("n_a", "sum_a", "sos_a", "n_b", "sum_b",
+                          "sos_b"):
+                    cols[c] = pa.array([], type=pa.int64())
+                return pa.table(cols)
             if agg["kind"] == "hll":
                 cols["reg"] = pa.array([], type=pa.int64())
                 cols["rho"] = pa.array([], type=pa.int64())
@@ -1223,7 +1272,8 @@ class SegmentSearcher:
         out_sc: list[np.ndarray] = []
         mode = p["mode"]
         agg = p.get("agg")
-        if agg is not None and agg["kind"] in ("filters", "adjacency"):
+        if agg is not None and agg["kind"] in ("filters", "adjacency",
+                                               "t_test"):
             # masks are query-independent: compute once per segment
             agg = {**agg, "_masks": _filters_masks(docs, agg["filters"])}
         ftables: list[pa.Table] = []
@@ -2748,6 +2798,10 @@ class IndexSearcher:
                            pipeline_lag: int = 1,
                            selector_op: str = "gte",
                            selector_value: int = 1,
+                           sort_from: int = 0,
+                           sort_size: int = 5,
+                           pipeline_percent: float = 0.5,
+                           rate_unit: str = "hour",
                            term_weights: dict[str, list[tuple[str, float]]] | None = None,
                            concurrency: int | None = None) -> pd.DataFrame:
         """Date-histogram aggregation [OpenSearch date_histogram public
@@ -2782,14 +2836,27 @@ class IndexSearcher:
                             "moving_avg", "serial_diff",
                             "bucket_selector", "bucket_script",
                             "moving_max", "moving_min", "moving_sum",
-                            "normalize"):
+                            "normalize", "bucket_sort",
+                            "moving_percentiles", "rate"):
             raise ValueError("pipeline must be cumulative_sum|derivative"
                              "|moving_avg|serial_diff|bucket_selector"
                              "|bucket_script|moving_max|moving_min"
-                             "|moving_sum|normalize")
-        if pipeline in ("moving_max", "moving_min", "moving_sum") \
-                and pipeline_window < 1:
+                             "|moving_sum|normalize|bucket_sort"
+                             "|moving_percentiles|rate")
+        if pipeline in ("moving_max", "moving_min", "moving_sum",
+                        "moving_percentiles") and pipeline_window < 1:
             raise ValueError("pipeline_window must be >= 1")
+        if pipeline == "moving_percentiles" \
+                and not (0.0 < pipeline_percent <= 1.0):
+            raise ValueError("pipeline_percent must be in (0, 1]")
+        if pipeline == "bucket_sort" and (sort_from < 0 or sort_size < 1):
+            raise ValueError("sort_from must be >= 0 and sort_size >= 1")
+        if pipeline == "rate":
+            if (calendar_interval, rate_unit) not in _RATE_FACTORS:
+                raise ValueError(
+                    "rate supports (interval, unit) pairs "
+                    f"{sorted(_RATE_FACTORS)} — calendar months have "
+                    "variable length and are rejected")
         if pipeline == "bucket_selector" and selector_op not in (
                 "gt", "gte", "lt", "lte", "eq"):
             raise ValueError("selector_op must be gt|gte|lt|lte|eq")
@@ -2802,7 +2869,9 @@ class IndexSearcher:
                                "interval": calendar_interval},
                               min_score, term_weights, concurrency)
         cols = ["query_id", "bucket", "doc_count"]
-        if pipeline is not None and pipeline != "bucket_selector":
+        if pipeline == "bucket_sort":
+            cols = cols + ["sort_rank"]
+        elif pipeline is not None and pipeline != "bucket_selector":
             cols = cols + [pipeline]
         if df.empty:
             return pd.DataFrame(columns=cols)
@@ -2871,6 +2940,49 @@ class IndexSearcher:
                    "lte": _op.le, "eq": _op.eq}[selector_op]
             out = out[cmp(out["doc_count"],
                           int(selector_value))].reset_index(drop=True)
+        elif pipeline == "bucket_sort":
+            # bucket_sort [OpenSearch bucket_sort public semantics]:
+            # re-order the query's buckets by (doc_count DESC, bucket
+            # ASC tie) and keep ranks (from, from+size] — the
+            # sort+truncate pipeline.  The 1-based sort_rank column
+            # makes the kept ORDER part of the row set (the driver
+            # gate hashes values, not row positions).
+            out = out.sort_values(["query_id", "doc_count", "bucket"],
+                                  ascending=[True, False, True],
+                                  kind="mergesort").reset_index(drop=True)
+            out["sort_rank"] = (out.groupby("query_id", sort=False)
+                                   .cumcount() + 1).astype(np.int64)
+            out = out[(out["sort_rank"] > int(sort_from))
+                      & (out["sort_rank"] <= int(sort_from)
+                         + int(sort_size))].reset_index(drop=True)
+        elif pipeline == "moving_percentiles":
+            # moving_percentiles [OpenSearch moving_percentiles public
+            # semantics — approximate TDigest there, EXACT here]: the
+            # discrete pipeline_percent quantile of the trailing
+            # pipeline_window present buckets' doc_count (incl. the
+            # current one, partial windows over what exists); the
+            # quantile_disc selection rule shared with percentiles_agg,
+            # so the oracle is quantile_disc OVER a ROWS window
+            q = float(pipeline_percent)
+
+            def _wq(vals: np.ndarray) -> float:
+                v = np.sort(vals.astype(np.int64))
+                return float(_qdisc(v, np.ones(len(v), dtype=np.int64),
+                                    q))
+            grp = out.groupby("query_id", sort=False)["doc_count"]
+            out[pipeline] = (grp.rolling(pipeline_window, min_periods=1)
+                                .apply(_wq, raw=True)
+                                .reset_index(level=0, drop=True)
+                                .astype(np.float64))
+        elif pipeline == "rate":
+            # rate [OpenSearch rate-agg public semantics, doc-count
+            # form]: each bucket's doc_count rescaled from the
+            # histogram interval to the rate unit — exact int64 count,
+            # ONE division by the fixed unit factor (calendar months
+            # are rejected: variable length).
+            factor = _RATE_FACTORS[(calendar_interval, rate_unit)]
+            out[pipeline] = (out["doc_count"].astype(np.float64)
+                             / float(factor))
         return out[cols]
 
     def cumulative_cardinality_agg(self, queries: dict[str, str],
@@ -3089,6 +3201,121 @@ class IndexSearcher:
                 le = int(cum[i - 1]) if i > 0 else 0
                 rows.append((qid, v, float(le) / float(total)))
         return pd.DataFrame(rows, columns=cols)
+
+    def mad_agg(self, queries: dict[str, str], value_col: str,
+                min_score: float,
+                concurrency: int | None = None) -> pd.DataFrame:
+        """Median-absolute-deviation aggregation [OpenSearch
+        median_absolute_deviation-agg public semantics — approximate
+        TDigest there, EXACT here]: MAD = median(|x - median(x)|) over
+        the radial match set.  Rides the same per-segment (value,
+        count) partials as percentiles (combiner-first); both medians
+        use the quantile_disc selection rule (value at cumulative
+        count >= max(1, ceil(q*n))), so the oracle is two nested
+        quantile_disc calls.  Absolute deviations of an integer column
+        stay exact integers — the only floats are the final DOUBLE
+        casts.  NULL values are excluded on both sides; an all-NULL
+        match set emits NO row."""
+        df = self._agg_fanout(queries, {"kind": "terms", "col": value_col},
+                              min_score, None, concurrency)
+        cols = ["query_id", "median", "mad"]
+        if df.empty:
+            return pd.DataFrame(columns=cols)
+        rows = []
+        for qid, g in df.groupby("query_id", sort=True):
+            vc = g.groupby(value_col, sort=True)["doc_count"].sum()
+            if not len(vc):
+                continue
+            if pd.api.types.is_datetime64_any_dtype(vc.index):
+                vc.index = vc.index.astype("int64")
+            vals = vc.index.to_numpy(dtype=np.int64)
+            cnts = vc.to_numpy(dtype=np.int64)
+            m = _qdisc(vals, cnts, 0.5)
+            av = np.abs(vals - m)
+            order = np.argsort(av, kind="mergesort")
+            sa, sc = av[order], cnts[order]
+            uv, idx = np.unique(sa, return_index=True)
+            mad = _qdisc(uv, np.add.reduceat(sc, idx), 0.5)
+            rows.append((qid, float(m), float(mad)))
+        return pd.DataFrame(rows, columns=cols)
+
+    def boxplot_agg(self, queries: dict[str, str], value_col: str,
+                    min_score: float,
+                    concurrency: int | None = None) -> pd.DataFrame:
+        """Boxplot aggregation [OpenSearch boxplot-agg public semantics
+        — approximate TDigest there, EXACT here]: min / q1 / q2 / q3 /
+        max of an integer stored column over the radial match set.
+        Quartiles use the quantile_disc selection rule shared with
+        percentiles_agg; the oracle is min/max + three quantile_disc
+        calls.  NULL values are excluded on both sides; an all-NULL
+        match set emits NO row."""
+        df = self._agg_fanout(queries, {"kind": "terms", "col": value_col},
+                              min_score, None, concurrency)
+        cols = ["query_id", "v_min", "q1", "q2", "q3", "v_max"]
+        if df.empty:
+            return pd.DataFrame(columns=cols)
+        rows = []
+        for qid, g in df.groupby("query_id", sort=True):
+            vc = g.groupby(value_col, sort=True)["doc_count"].sum()
+            if not len(vc):
+                continue
+            if pd.api.types.is_datetime64_any_dtype(vc.index):
+                vc.index = vc.index.astype("int64")
+            vals = vc.index.to_numpy(dtype=np.int64)
+            cnts = vc.to_numpy(dtype=np.int64)
+            rows.append((qid, float(vals[0]),
+                         float(_qdisc(vals, cnts, 0.25)),
+                         float(_qdisc(vals, cnts, 0.5)),
+                         float(_qdisc(vals, cnts, 0.75)),
+                         float(vals[-1])))
+        return pd.DataFrame(rows, columns=cols)
+
+    def t_test_agg(self, queries: dict[str, str], value_col: str,
+                   filter_a: dict, filter_b: dict, min_score: float,
+                   concurrency: int | None = None) -> pd.DataFrame:
+        """T-test aggregation [OpenSearch t_test-agg public semantics,
+        unpaired heteroscedastic (Welch) form]: the t statistic of an
+        integer stored column between two structured-filter splits of
+        the radial match set.  Partials are six order-free int64 sums
+        per segment; every float derives here from a PINNED op chain
+        shared verbatim with the generated SQL (avg = sum/n;
+        sample variance = (sos - avg*sum) / (n-1);
+        t = (avg_a - avg_b) / sqrt(var_a/n_a + var_b/n_b)) — division,
+        multiply, subtract and sqrt are IEEE-correctly-rounded, so both
+        sides are bit-equal.  Sides with n <= 1 drop the query's row
+        (the variance is undefined — the oracle's WHERE n > 1).  The
+        value column must be non-null over the match set."""
+        from opensearch_jvector_ray.query_dsl import compile_filter
+        compile_filter(filter_a)
+        compile_filter(filter_b)          # driver-side validation
+        df = self._agg_fanout(
+            queries,
+            {"kind": "t_test", "col": value_col,
+             "filters": [("a", filter_a), ("b", filter_b)]},
+            min_score, None, concurrency)
+        cols = ["query_id", "n_a", "n_b", "avg_a", "avg_b", "t_value"]
+        if df.empty:
+            return pd.DataFrame(columns=cols)
+        g = df.groupby("query_id", sort=True).agg(
+            n_a=("n_a", "sum"), sum_a=("sum_a", "sum"),
+            sos_a=("sos_a", "sum"), n_b=("n_b", "sum"),
+            sum_b=("sum_b", "sum"), sos_b=("sos_b", "sum")).reset_index()
+        g = g[(g["n_a"] > 1) & (g["n_b"] > 1)].reset_index(drop=True)
+        if g.empty:
+            return pd.DataFrame(columns=cols)
+        na = g["n_a"].astype(np.float64)
+        nb = g["n_b"].astype(np.float64)
+        g["avg_a"] = g["sum_a"].astype(np.float64) / na
+        g["avg_b"] = g["sum_b"].astype(np.float64) / nb
+        var_a = ((g["sos_a"].astype(np.float64)
+                  - g["avg_a"] * g["sum_a"].astype(np.float64))
+                 / (g["n_a"] - 1).astype(np.float64))
+        var_b = ((g["sos_b"].astype(np.float64)
+                  - g["avg_b"] * g["sum_b"].astype(np.float64))
+                 / (g["n_b"] - 1).astype(np.float64))
+        g["t_value"] = ((g["avg_a"] - g["avg_b"])
+                        / np.sqrt(var_a / na + var_b / nb))
+        return g[cols]
 
     def scripted_metric_agg(self, queries: dict[str, str],
                             map_fn, reduce_fn, min_score: float,

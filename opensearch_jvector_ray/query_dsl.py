@@ -75,6 +75,13 @@ Supported bodies (one top-level clause per query):
     {"cardinality":  {"query": "...", "field": col, "min_score": f}}
     {"percentiles":  {"query": "...", "field": col, "min_score": f,
                       "percents": [0.25, 0.5, ...]}}
+    {"mad":        {"query": "...", "field": int_col, "min_score": f}}
+                 # exact median-absolute-deviation over the match set
+    {"boxplot":    {"query": "...", "field": int_col, "min_score": f}}
+                 # exact min/q1/q2/q3/max (quantile_disc quartiles)
+    {"t_test":     {"query": "...", "field": int_col, "min_score": f,
+                    "filter_a": {...}, "filter_b": {...}}}
+                 # Welch unpaired t between two filter splits
     {"percentile_ranks": {"query": "...", "field": col,
                       "values": [v, ...], "min_score": f}}
     {"significant_terms": {"query": "...", "field": col,
@@ -186,7 +193,11 @@ _FACETS_FIELDS = {"query", "field", "min_score", "size"}
 _RANGE_AGG_FIELDS = {"query", "field", "min_score", "ranges"}
 _DATE_HIST_FIELDS = {"query", "field", "min_score", "calendar_interval",
                      "pipeline", "window", "lag",
-                     "selector_op", "selector_value"}
+                     "selector_op", "selector_value",
+                     "sort_from", "sort_size", "percent", "rate_unit"}
+_MAD_FIELDS = {"query", "field", "min_score"}
+_BOXPLOT_FIELDS = {"query", "field", "min_score"}
+_T_TEST_FIELDS = {"query", "field", "min_score", "filter_a", "filter_b"}
 _TOP_HITS_FIELDS = {"query", "field", "min_score", "n"}
 _STATS_FIELDS = {"query", "field", "min_score"}
 _CARD_FIELDS = {"query", "field", "min_score"}
@@ -803,6 +814,35 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
                 "field": spec["field"],
                 "values": [float(v) for v in vv],
                 "min_score": float(spec["min_score"])}
+    if clause in ("mad", "boxplot"):
+        fields = _MAD_FIELDS if clause == "mad" else _BOXPLOT_FIELDS
+        _require_known(clause, spec, fields)
+        if not isinstance(spec.get("query"), str) or not spec["query"]:
+            raise ValueError(f"[{clause}] needs a non-empty 'query'")
+        if "min_score" not in spec:
+            raise ValueError(f"[{clause}] needs 'min_score'")
+        if not isinstance(spec.get("field"), str) or not spec["field"]:
+            raise ValueError(f"[{clause}] needs 'field'")
+        return {"type": clause, "query": spec["query"],
+                "field": spec["field"],
+                "min_score": float(spec["min_score"])}
+    if clause == "t_test":
+        _require_known(clause, spec, _T_TEST_FIELDS)
+        if not isinstance(spec.get("query"), str) or not spec["query"]:
+            raise ValueError("[t_test] needs a non-empty 'query'")
+        if "min_score" not in spec:
+            raise ValueError("[t_test] needs 'min_score'")
+        if not isinstance(spec.get("field"), str) or not spec["field"]:
+            raise ValueError("[t_test] needs 'field'")
+        for side in ("filter_a", "filter_b"):
+            if not isinstance(spec.get(side), dict):
+                raise ValueError(f"[t_test] needs '{side}': a "
+                                 "structured filter spec")
+            compile_filter(spec[side])    # validates the spec shape
+        return {"type": "t_test", "query": spec["query"],
+                "field": spec["field"], "filter_a": spec["filter_a"],
+                "filter_b": spec["filter_b"],
+                "min_score": float(spec["min_score"])}
     if clause == "top_metrics":
         _require_known(clause, spec, _TOP_METRICS_FIELDS)
         if not isinstance(spec.get("query"), str) or not spec["query"]:
@@ -899,17 +939,23 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
                               "moving_avg", "serial_diff",
                               "bucket_selector", "bucket_script",
                               "moving_max", "moving_min", "moving_sum",
-                              "normalize"):
+                              "normalize", "bucket_sort",
+                              "moving_percentiles", "rate"):
                     raise ValueError(
                         "[date_histogram] pipeline must be "
                         "cumulative_sum|derivative|moving_avg|"
                         "serial_diff|bucket_selector|bucket_script|"
-                        "moving_max|moving_min|moving_sum|normalize")
+                        "moving_max|moving_min|moving_sum|normalize|"
+                        "bucket_sort|moving_percentiles|rate")
                 out["pipeline"] = pl
                 out["window"] = int(spec.get("window", 3))
                 out["lag"] = int(spec.get("lag", 1))
                 out["selector_op"] = str(spec.get("selector_op", "gte"))
                 out["selector_value"] = int(spec.get("selector_value", 1))
+                out["sort_from"] = int(spec.get("sort_from", 0))
+                out["sort_size"] = int(spec.get("sort_size", 5))
+                out["percent"] = float(spec.get("percent", 0.5))
+                out["rate_unit"] = str(spec.get("rate_unit", "hour"))
         else:
             out["n"] = int(spec.get("n", 3))
         return out
@@ -1022,6 +1068,7 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
                      f"date_histogram, auto_date_histogram, top_hits, "
                      f"missing_agg, global_stats, sampler, "
                      f"diversified_sampler, query_string, "
+                     f"mad, boxplot, t_test, "
                      f"synonyms, regexp, wildcard, match_phrase_prefix)")
 
 
@@ -1142,7 +1189,11 @@ def execute_query(body: dict[str, Any], *, searcher=None, vector_ds=None,
             pipeline_window=spec.get("window", 3),
             pipeline_lag=spec.get("lag", 1),
             selector_op=spec.get("selector_op", "gte"),
-            selector_value=spec.get("selector_value", 1))
+            selector_value=spec.get("selector_value", 1),
+            sort_from=spec.get("sort_from", 0),
+            sort_size=spec.get("sort_size", 5),
+            pipeline_percent=spec.get("percent", 0.5),
+            rate_unit=spec.get("rate_unit", "hour"))
     if spec["type"] == "top_hits":
         if searcher is None:
             raise ValueError("[top_hits] needs searcher=")
@@ -1230,6 +1281,20 @@ def execute_query(body: dict[str, Any], *, searcher=None, vector_ds=None,
         return searcher.percentile_ranks_agg(
             {query_id: spec["query"]}, value_col=spec["field"],
             values=spec["values"], min_score=spec["min_score"])
+    if spec["type"] in ("mad", "boxplot"):
+        if searcher is None:
+            raise ValueError(f"[{spec['type']}] needs searcher=")
+        fn = searcher.mad_agg if spec["type"] == "mad" \
+            else searcher.boxplot_agg
+        return fn({query_id: spec["query"]}, value_col=spec["field"],
+                  min_score=spec["min_score"])
+    if spec["type"] == "t_test":
+        if searcher is None:
+            raise ValueError("[t_test] needs searcher=")
+        return searcher.t_test_agg(
+            {query_id: spec["query"]}, value_col=spec["field"],
+            filter_a=spec["filter_a"], filter_b=spec["filter_b"],
+            min_score=spec["min_score"])
     if spec["type"] in ("rank_feature", "distance_feature"):
         if searcher is None:
             raise ValueError(f"[{spec['type']}] needs searcher=")

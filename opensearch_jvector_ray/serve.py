@@ -199,7 +199,7 @@ class SegmentShardActor:
             if n_docs == 0:
                 continue
             seg_agg = agg
-            if agg["kind"] in ("filters", "adjacency"):
+            if agg["kind"] in ("filters", "adjacency", "t_test"):
                 from opensearch_jvector_ray.query import _filters_masks
                 seg_agg = {**agg, "_masks": _filters_masks(
                     seg["docs"], agg["filters"])}
@@ -391,6 +391,9 @@ class _ServedAggSearcher:
     auto_date_histogram_agg = _IS.auto_date_histogram_agg
     cumulative_cardinality_agg = _IS.cumulative_cardinality_agg
     scripted_metric_agg = _IS.scripted_metric_agg
+    mad_agg = _IS.mad_agg
+    boxplot_agg = _IS.boxplot_agg
+    t_test_agg = _IS.t_test_agg
     # global_stats_agg reads docs sidecars directly (no postings), so
     # the borrowed method works unchanged off seg_dirs (cold read)
     global_stats_agg = _IS.global_stats_agg
