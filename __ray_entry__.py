@@ -48,6 +48,7 @@ from opensearch_jvector_ray.oracles import (
     highlight_sql, highlight_frag_sql, rank_eval_sql, explain_sql,
     mlt_sql,
     prefix_sql, fuzzy_sql, facet_sql, page_sql,
+    simple_query_string_sql,
     boosted_sql, synonym_sql, stats_agg_sql, histogram_sql,
     range_agg_sql, top_hits_sql,
     suggest_sql, fuzzy_suggest_sql, phrase_suggest_sql, regexp_sql,
@@ -674,6 +675,13 @@ FUZZY_QUERIES = {
     "f3": "valu window",     # value / window
 }
 FUZZY_MAX_EDITS = 1
+# adjacent-transposition typos: Damerau distance 1, plain Levenshtein 2
+# — the transpositions=true arm finds what the default arm cannot
+FUZZY_DL_QUERIES = {
+    "f1": "uqery mrege",     # query / merge, transposed
+    "f2": "scna dtaa",       # scan / data
+    "f3": "vlaue wnidow",    # value / window
+}
 FACET_COL = "lang"
 FACET_MIN_SCORE = 0.3
 BOOSTED_QUERIES = {
@@ -1284,6 +1292,34 @@ def _q_bm25_fuzzy(sf_dir: str) -> pd.DataFrame:
     s = IndexSearcher(documents_index(sf_dir))
     return _round_hits(s.fuzzy_search(FUZZY_QUERIES, k=BM25_K,
                                       max_edits=FUZZY_MAX_EDITS))
+
+
+# simple_query_string flag subset: +MUST, -MUST_NOT, "phrase", prefix*
+SQS_QUERIES = {
+    "s1": '+data -filter "sort merge"',
+    "s2": 'quer* +join "table scan"',
+    "s3": '+"merge part" stream',
+    "s4": 'window batch -"slow join"',
+}
+
+
+def _q_bm25_simple_query_string(sf_dir: str) -> pd.DataFrame:
+    # simple_query_string: per-clause dense scores combined in the
+    # segment task (sum over positives in clause order; must/must_not
+    # masks); the oracle composes per-clause radial CTEs from the SAME
+    # parse (analyze.parse_simple_query_string)
+    s = IndexSearcher(documents_index(sf_dir))
+    return _round_hits(s.simple_query_string(SQS_QUERIES, k=BM25_K))
+
+
+def _q_bm25_fuzzy_dl(sf_dir: str) -> pd.DataFrame:
+    # fuzzy with transpositions=true (the OpenSearch match default):
+    # TRUE Damerau-Levenshtein <= 1 expansion — adjacent-swap typos
+    # reach their targets at distance 1 (plain levenshtein reads 2)
+    s = IndexSearcher(documents_index(sf_dir))
+    return _round_hits(s.fuzzy_search(FUZZY_DL_QUERIES, k=BM25_K,
+                                      max_edits=FUZZY_MAX_EDITS,
+                                      transpositions=True))
 
 
 def _q_bm25_facets(sf_dir: str) -> pd.DataFrame:
@@ -2435,6 +2471,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_match_bool_prefix": _q_bm25_match_bool_prefix,
         "bm25_dis_max": _q_bm25_dis_max,
         "bm25_fuzzy": _q_bm25_fuzzy,
+        "bm25_fuzzy_dl": _q_bm25_fuzzy_dl,
+        "bm25_simple_query_string": _q_bm25_simple_query_string,
         "bm25_boosted": _q_bm25_boosted,
         "bm25_synonyms": _q_bm25_synonyms,
         "bm25_facets": _q_bm25_facets,
@@ -2917,6 +2955,11 @@ def oracle_sql() -> dict[str, str]:
                                     DIS_MAX_TIE, CFG),
         "bm25_fuzzy": fuzzy_sql(FUZZY_QUERIES, BM25_K, CFG,
                                 max_edits=FUZZY_MAX_EDITS),
+        "bm25_fuzzy_dl": fuzzy_sql(FUZZY_DL_QUERIES, BM25_K, CFG,
+                                   max_edits=FUZZY_MAX_EDITS,
+                                   transpositions=True),
+        "bm25_simple_query_string": simple_query_string_sql(
+            SQS_QUERIES, BM25_K, CFG),
         "bm25_facets": facet_sql(BM25_QUERIES, FACET_MIN_SCORE,
                                  FACET_COL, CFG),
         "bm25_stats_agg": stats_agg_sql(BM25_QUERIES, FACET_MIN_SCORE,

@@ -136,6 +136,59 @@ def query_term_weights(text: str, cfg: EngineConfig) -> list[tuple[str, int]]:
     return list(out.items())
 
 
+def parse_simple_query_string(text: str, cfg: EngineConfig,
+                              ) -> list[dict]:
+    """simple_query_string parsing [OpenSearch simple_query_string
+    public semantics — the ``+`` / ``-`` / ``"phrase"`` / trailing-``*``
+    flag subset with default_operator=OR; ``|`` alternation and ``()``
+    grouping are not supported, a documented subset like the
+    search-template mustache subset].
+
+    Units split on whitespace EXCEPT inside double quotes.  A unit's
+    leading ``+`` marks MUST, ``-`` MUST_NOT, bare is SHOULD.  A quoted
+    unit analyzes to an ordered phrase (one-word phrases collapse to a
+    term clause — the tf formulas coincide); a unit ending in ``*`` is
+    a prefix clause (stem lowercased verbatim — the wildcard
+    analysis-bypass rule shared with parse_prefix_query); any other
+    unit analyzes fully, duplicate terms within a unit carrying
+    occurrence weights.  Units that analyze to nothing (pure stopwords)
+    are dropped, as Lucene drops empty clauses.  Returns clause dicts
+    ``{occur, kind, ...}`` in appearance order."""
+    import re as _re
+    clauses: list[dict] = []
+    for u in _re.findall(r'[+-]?"[^"]*"|\S+', text):
+        occur = "should"
+        if u.startswith("+"):
+            occur, u = "must", u[1:]
+        elif u.startswith("-"):
+            occur, u = "must_not", u[1:]
+        if not u:
+            continue
+        if u.startswith('"') and u.endswith('"') and len(u) >= 2:
+            words = analyze_query(u[1:-1], cfg)
+            if not words:
+                continue
+            if len(words) == 1:
+                clauses.append({"occur": occur, "kind": "terms",
+                                "tw": [(words[0], 1)]})
+            else:
+                clauses.append({"occur": occur, "kind": "phrase",
+                                "words": words})
+        elif u.endswith("*"):
+            stem = u[:-1].lower()
+            if not stem:
+                raise ValueError("empty prefix stem: bare '*' not "
+                                 "allowed (allowLeadingWildcard=false)")
+            clauses.append({"occur": occur, "kind": "prefix",
+                            "prefix": stem})
+        else:
+            tw = query_term_weights(u, cfg)
+            if tw:
+                clauses.append({"occur": occur, "kind": "terms",
+                                "tw": tw})
+    return clauses
+
+
 def wildcard_to_regex(pattern: str) -> str:
     """Lucene WildcardQuery translation: ``*`` -> ``.*``, ``?`` -> ``.``,
     everything else literal (re.escape emits RE2-compatible escapes, and

@@ -410,11 +410,14 @@ qt AS (
 def fuzzy_sql(queries: dict[str, str], k: int, cfg: EngineConfig,
               max_edits: int = 1, prefix_length: int = 0,
               max_expansions: int = 50, table: str = "documents",
-              id_col: str = "doc_id", text_col: str = "text") -> str:
+              id_col: str = "doc_id", text_col: str = "text",
+              transpositions: bool = False) -> str:
     """Oracle for IndexSearcher.fuzzy_search: each analyzed query term
     expands to vocabulary terms within ``max_edits`` unit-cost edits
     (DuckDB ``levenshtein`` == the engine's vectorized DP: insert/
-    delete/substitute, no transposition), ordered (distance ASC, df
+    delete/substitute; ``transpositions=True`` switches both sides to
+    TRUE Damerau-Levenshtein — DuckDB ``damerau_levenshtein`` == the
+    engine's Lowrance-Wagner DP), ordered (distance ASC, df
     DESC, term ASC), capped; an expansion inherits the source term's
     occurrence count as weight, weights for the same term ADD."""
     fq_rows = []
@@ -426,16 +429,17 @@ def fuzzy_sql(queries: dict[str, str], k: int, cfg: EngineConfig,
     pl = int(prefix_length)
     pl_sql = (f"\n     AND substr(v.term, 1, {pl}) = substr(f.ft, 1, {pl})"
               if pl > 0 else "")
+    ed = "damerau_levenshtein" if transpositions else "levenshtein"
     qt_cte = f"""{_vocab_cte(id_col)},
 fq0(query_id, ft, w) AS (VALUES {fq_values}),
 fx AS (
   SELECT query_id, term, w FROM (
     SELECT f.query_id, v.term, f.w,
            row_number() OVER (PARTITION BY f.query_id, f.ft
-                              ORDER BY levenshtein(v.term, f.ft) ASC,
+                              ORDER BY {ed}(v.term, f.ft) ASC,
                                        v.df DESC, v.term ASC) AS rn
     FROM fq0 f JOIN vocab v
-      ON levenshtein(v.term, f.ft) <= {int(max_edits)}{pl_sql})
+      ON {ed}(v.term, f.ft) <= {int(max_edits)}{pl_sql})
   WHERE rn <= {int(max_expansions)}
 ),
 qt AS (
@@ -1853,15 +1857,126 @@ FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
 """
 
 
+def simple_query_string_sql(queries: dict[str, str], k: int,
+                            cfg: EngineConfig, max_expansions: int = 50,
+                            table: str = "documents",
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> str:
+    """Oracle for IndexSearcher.simple_query_string: the clause
+    structure comes from the ENGINE's own parse
+    (analyze.parse_simple_query_string — one parse, two backends).
+    Each clause renders as a radial raw-score CTE (term chunks:
+    bm25_sql; phrases: phrase_sql(radial_raw); prefixes: bm25_sql over
+    the (df DESC, term ASC)-capped vocabulary expansion).  Positive
+    clauses FULL-OUTER-join per query on the doc key and sum as the
+    engine's SEQUENTIAL clause-index chain (left-assoc COALESCE sums);
+    MUST clauses require their score column > 0, MUST_NOT clauses LEFT
+    JOIN and require absence.  Ranked (raw DESC, key ASC), round-6."""
+    from opensearch_jvector_ray.analyze import parse_simple_query_string
+    ctes, per_gid = [], []
+    for g, (gid, text) in enumerate(sorted(queries.items())):
+        clauses = parse_simple_query_string(text, cfg)
+        pos_aliases, pos_must, neg_aliases = [], [], []
+        for i, cl in enumerate(clauses):
+            alias = f"q{g}c{i}"
+            if cl["kind"] == "phrase":
+                inner = phrase_sql({gid: " ".join(cl["words"])}, 0, cfg,
+                                   table=table, id_col=id_col,
+                                   text_col=text_col, radial_raw=True)
+            elif cl["kind"] == "prefix":
+                qt_cte = f"""{_vocab_cte(id_col)},
+pq0(query_id, pfx) AS (VALUES ({sql_quote(gid)}, {sql_quote(cl["prefix"])})),
+px AS (
+  SELECT query_id, term FROM (
+    SELECT p.query_id, v.term,
+           row_number() OVER (PARTITION BY p.query_id, p.pfx
+                              ORDER BY v.df DESC, v.term ASC) AS rn
+    FROM pq0 p JOIN vocab v ON starts_with(v.term, p.pfx))
+  WHERE rn <= {int(max_expansions)}
+),
+qt AS (
+  SELECT query_id, term, 1.0 AS w FROM px
+)"""
+                inner = bm25_sql({}, 0, cfg, table=table, id_col=id_col,
+                                 text_col=text_col, qt_cte=qt_cte,
+                                 min_score=1e-300, emit_raw=True)
+            else:
+                chunk = " ".join(t for t, w in cl["tw"]
+                                 for _ in range(int(w)))
+                inner = bm25_sql({gid: chunk}, 0, cfg, table=table,
+                                 id_col=id_col, text_col=text_col,
+                                 min_score=1e-300, emit_raw=True)
+            ctes.append(f"{alias} AS ({inner})")
+            if cl["occur"] == "must_not":
+                neg_aliases.append(alias)
+            else:
+                pos_aliases.append(alias)
+                pos_must.append(cl["occur"] == "must")
+        if not pos_aliases:
+            continue          # only must_not clauses: engine emits nothing
+        joined = (f"SELECT {pos_aliases[0]}.query_id AS query_id, "
+                  f"{pos_aliases[0]}.{id_col} AS {id_col}, "
+                  f"coalesce({pos_aliases[0]}.score__raw, 0.0) AS s0 "
+                  f"FROM {pos_aliases[0]}")
+        for i in range(1, len(pos_aliases)):
+            prev = ", ".join(f"coalesce(j.s{jj}, 0.0) AS s{jj}"
+                             for jj in range(i))
+            joined = f"""SELECT coalesce(j.query_id, {pos_aliases[i]}.query_id) AS query_id,
+       coalesce(j.{id_col}, {pos_aliases[i]}.{id_col}) AS {id_col},
+       {prev},
+       coalesce({pos_aliases[i]}.score__raw, 0.0) AS s{i}
+FROM ({joined}) j FULL OUTER JOIN {pos_aliases[i]}
+  ON j.query_id = {pos_aliases[i]}.query_id
+ AND j.{id_col} = {pos_aliases[i]}.{id_col}"""
+        conds = [f"p.s{i} > 0.0"
+                 for i, m in enumerate(pos_must) if m]
+        neg_joins = "".join(
+            f"\nLEFT JOIN {na} ON {na}.query_id = p.query_id "
+            f"AND {na}.{id_col} = p.{id_col}" for na in neg_aliases)
+        conds += [f"{na}.{id_col} IS NULL" for na in neg_aliases]
+        where = ("WHERE " + " AND ".join(conds)) if conds else ""
+        total = " + ".join(f"p.s{i}" for i in range(len(pos_aliases)))
+        per_gid.append(
+            f"SELECT p.query_id, p.{id_col}, ({total}) AS score__raw "
+            f"FROM ({joined}) p{neg_joins}\n{where}")
+    if not per_gid:
+        return (f"SELECT '' AS query_id, 0 AS rank, "
+                f"CAST(NULL AS BIGINT) AS {id_col}, 0.0 AS score "
+                f"WHERE FALSE")
+    cte_block = ",\n".join(ctes)
+    scored = "\n  UNION ALL\n".join(per_gid)
+    return f"""
+WITH {cte_block},
+scored AS (
+{scored}
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score__raw DESC, {id_col} ASC
+                           ) AS rank,
+         {id_col}, score__raw
+  FROM scored
+)
+SELECT query_id, rank, {id_col}, round(score__raw, 6) AS score
+FROM ranked WHERE rank <= {int(k)} AND score__raw > 0.0
+ORDER BY query_id, rank
+"""
+
+
 def phrase_sql(queries: dict[str, str], k: int, cfg: EngineConfig,
                table: str = "documents", id_col: str = "doc_id",
-               text_col: str = "text") -> str:
+               text_col: str = "text", radial_raw: bool = False) -> str:
     """Exact-phrase BM25 oracle [Lucene PhraseQuery public semantics].
 
     Positions are indices into the PRE-stopword token list (the engine's
     position axis), so a stopword between phrase words breaks adjacency on
     both sides identically.  tf = occurrence count (overlaps included),
     idf = sum of member-term idfs over phrase positions.
+
+    ``radial_raw`` skips ranking and emits every match as
+    (query_id, {id_col}, score__raw) — the clause-CTE form the
+    simple_query_string oracle composes.
     """
     from opensearch_jvector_ray.analyze import analyze_query
     pat = sql_quote(cfg.split_pattern)
@@ -1886,6 +2001,9 @@ FROM (
   GROUP BY {id_col}
 ) p JOIN dl ON dl.{id_col} = p.{id_col}""")
     union = "\nUNION ALL\n".join(per_query)
+    tail = (f"SELECT query_id, {id_col}, score__raw FROM scores"
+            if radial_raw else f"""SELECT query_id, rank, {id_col}, round(score__raw, 6) AS score
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank""")
     return f"""
 WITH {toks_cte(cfg, table, id_col, text_col)},
 tokpos AS (
@@ -1914,8 +2032,7 @@ ranked AS (
          {id_col}, score__raw
   FROM scores
 )
-SELECT query_id, rank, {id_col}, round(score__raw, 6) AS score
-FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+{tail}
 """
 
 

@@ -715,6 +715,61 @@ def _agg_partial(agg: dict, docs: pa.Table, ords: np.ndarray,
     })
 
 
+def _damerau_levenshtein_vec(cands: Sequence[str], q: str) -> np.ndarray:
+    """TRUE Damerau-Levenshtein distance (Lowrance-Wagner: insert /
+    delete / substitute / adjacent transposition, with edits allowed
+    between the transposed pair) from ``q`` to every candidate —
+    exactly DuckDB's ``damerau_levenshtein`` (verified: CA->ABC = 2,
+    where the restricted/OSA variant reads 3), the transpositions=true
+    arm of the fuzzy family.
+
+    Vectorized across CANDIDATES like ``_levenshtein_vec``: the python
+    loops run over query length x max candidate length, each step a
+    numpy op over the whole candidate array.  The transposition term
+    needs the FULL DP history (D[k-1][l-1] for the last matching pair
+    positions), so memory is (|q|+1) x n x (lmax+1) int64 — candidate
+    sets are pruned vocab slices, never corpus rows."""
+    n = len(cands)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    qa = np.array([ord(c) for c in q], dtype=np.int64)
+    m = len(q)
+    lens = np.array([len(t) for t in cands], dtype=np.int64)
+    lmax = int(lens.max()) if len(lens) else 0
+    T = np.zeros((n, lmax), dtype=np.int64)
+    for j, t in enumerate(cands):            # vocab-slice-sized fill
+        T[j, : len(t)] = [ord(c) for c in t]
+    rows = np.arange(n, dtype=np.int64)
+    D = np.zeros((m + 1, n, lmax + 1), dtype=np.int64)
+    D[0, :, :] = np.arange(lmax + 1, dtype=np.int64)[None, :]
+    for i in range(1, m + 1):
+        D[i, :, 0] = i
+    # lastk[row, j]: last i' (1-based, <= current i-1) with
+    # q[i'-1] == cand[row][j-1]; 0 = none yet
+    lastk = np.zeros((n, lmax + 1), dtype=np.int64)
+    for i in range(1, m + 1):
+        # lastl[row]: last j' (1-based, < current j) with
+        # cand[row][j'-1] == q[i-1]; 0 = none yet
+        lastl = np.zeros(n, dtype=np.int64)
+        for j in range(1, lmax + 1):
+            sub = (T[:, j - 1] != qa[i - 1]).astype(np.int64)
+            best = np.minimum(
+                np.minimum(D[i - 1, :, j] + 1, D[i, :, j - 1] + 1),
+                D[i - 1, :, j - 1] + sub)
+            k = lastk[:, j]
+            l_ = lastl
+            valid = (k > 0) & (l_ > 0)
+            # D[k-1, row, l-1] + deletions between the pair + 1 swap;
+            # invalid rows gather a garbage cell but are masked out
+            trans = (D[k - 1, rows, l_ - 1] + (i - k - 1) + 1
+                     + (j - l_ - 1))
+            D[i, :, j] = np.where(valid, np.minimum(best, trans), best)
+            lastl = np.where(T[:, j - 1] == qa[i - 1], j, lastl)
+        hit = T == qa[i - 1]
+        lastk[:, 1:][hit] = i
+    return D[m, rows, lens]
+
+
 # rate-agg (interval, unit) -> units per bucket; exact fixed factors
 # only (calendar months have variable length and are rejected)
 _RATE_FACTORS = {("day", "hour"): 24.0, ("day", "minute"): 1440.0,
@@ -1313,6 +1368,46 @@ class SegmentSearcher:
                 out_ord.append(ords)
                 out_sc.append(scores)
                 continue
+            if mode == "sqs":
+                # simple_query_string [OpenSearch public semantics, the
+                # +/-/"phrase"/trailing-* flag subset]: score = the
+                # SEQUENTIAL clause-index chain of positive-clause
+                # scores; a doc qualifies iff it matches every MUST
+                # clause, no MUST_NOT clause, and >= 1 positive clause.
+                # Clause scores are doc-local => per-segment combine +
+                # bounded top-k is exact; the oracle mirrors the chain
+                # as left-assoc COALESCE sums over per-clause radial
+                # CTEs in the same clause order.
+                scores = np.zeros(n_docs, dtype=np.float64)
+                qual = (np.ones(n_docs, dtype=bool) if mask is None
+                        else mask.copy())
+                pos_match = np.zeros(n_docs, dtype=bool)
+                for cl in q["clauses"]:
+                    if cl["kind"] == "phrase":
+                        cd = self._phrase_dense(cl["terms"], rows, dl)
+                    else:
+                        cd = np.zeros(n_docs, dtype=np.float64)
+                        for (t, w, idf) in cl["terms"]:
+                            if t not in decoded:
+                                continue
+                            o2, tfs = decoded[t]
+                            cd[o2] += w * idf * bm25_tf_part(
+                                tfs, dl[o2], self.avgdl, self.k1, self.b)
+                    m = cd > 0.0
+                    if cl["occur"] == "must_not":
+                        qual &= ~m
+                        continue
+                    if cl["occur"] == "must":
+                        qual &= m
+                    scores = scores + cd
+                    pos_match |= m
+                candidates = np.flatnonzero(qual & pos_match)
+                ords, scores = _topk_from_scores(scores, candidates,
+                                                 q["k"], tie)
+                out_qid.extend([q["query_id"]] * len(ords))
+                out_ord.append(ords)
+                out_sc.append(scores)
+                continue
             if mode == "dismax":
                 # DisjunctionMaxQuery over arbitrary subqueries on ONE
                 # index [Lucene DisMaxQuery public semantics]:
@@ -1486,17 +1581,14 @@ class SegmentSearcher:
         cols["score"] = pa.array(np.concatenate(out_sc), type=pa.float64())
         return pa.table(cols)
 
-    def _phrase(self, terms, rows, dl, mask, k, tie=None):
-        """Exact phrase scoring [Lucene PhraseQuery public semantics]:
-        tf = number of phrase occurrences (adjacent positions, counted on
-        the PRE-stopword position axis — StopFilter position gaps break
-        phrases, as in Lucene), idf = sum of the member terms' idfs,
-        score = idf_sum * tf/(tf + k1*(1-b+b*dl/avgdl)).
-
-        Positions are the reason the index stores pos_enc; this is the
-        M6/S12 positions path exercised end-to-end.
-        """
+    def _phrase_dense(self, terms, rows, dl, mask=None) -> np.ndarray:
+        """Dense per-doc exact-phrase scores (zeros where no match) —
+        the core of ``_phrase``, also consumed by the sqs combiner.  A
+        member term missing from this segment means no doc can match."""
         from opensearch_jvector_ray.postings import decode_positions
+        scores = np.zeros(len(dl), dtype=np.float64)
+        if any(t not in rows for (t, _, _) in terms) or not terms:
+            return scores
         idf_sum = float(sum(w * idf for (_, w, idf) in terms))
         # decode (ords, tfs, positions) per phrase term
         per_term = []
@@ -1530,12 +1622,27 @@ class SegmentSearcher:
                 cand_ords.append(o)
                 cand_tf.append(len(occ))
         if not cand_ords:
-            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+            return scores
         cand_ords = np.array(cand_ords, dtype=np.int64)
         tf = np.array(cand_tf, dtype=np.float64)
-        sc = idf_sum * bm25_tf_part(tf, dl[cand_ords], self.avgdl, self.k1, self.b)
-        scores = np.zeros(len(dl), dtype=np.float64)
-        scores[cand_ords] = sc
+        scores[cand_ords] = idf_sum * bm25_tf_part(
+            tf, dl[cand_ords], self.avgdl, self.k1, self.b)
+        return scores
+
+    def _phrase(self, terms, rows, dl, mask, k, tie=None):
+        """Exact phrase scoring [Lucene PhraseQuery public semantics]:
+        tf = number of phrase occurrences (adjacent positions, counted on
+        the PRE-stopword position axis — StopFilter position gaps break
+        phrases, as in Lucene), idf = sum of the member terms' idfs,
+        score = idf_sum * tf/(tf + k1*(1-b+b*dl/avgdl)).
+
+        Positions are the reason the index stores pos_enc; this is the
+        M6/S12 positions path exercised end-to-end.
+        """
+        scores = self._phrase_dense(terms, rows, dl, mask=mask)
+        cand_ords = np.flatnonzero(scores > 0.0)
+        if not len(cand_ords):
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
         return _topk_from_scores(scores, cand_ords, k, tie)
 
     def _span_first(self, terms, rows, dl, mask, k, end, tie=None):
@@ -2195,11 +2302,16 @@ class IndexSearcher:
 
     def expand_fuzzy(self, term: str, max_edits: int = 1,
                      prefix_length: int = 0,
-                     max_expansions: int = 50) -> list[str]:
-        """Fuzzy term expansion [Lucene FuzzyQuery public semantics with
-        transpositions=false]: dictionary terms within ``max_edits``
-        unit-cost edits of ``term``, ordered (edit distance ASC, df
-        DESC, term ASC), capped at ``max_expansions``.
+                     max_expansions: int = 50,
+                     transpositions: bool = False) -> list[str]:
+        """Fuzzy term expansion [Lucene FuzzyQuery public semantics]:
+        dictionary terms within ``max_edits`` unit-cost edits of
+        ``term``, ordered (edit distance ASC, df DESC, term ASC),
+        capped at ``max_expansions``.  ``transpositions=True`` (the
+        OpenSearch match-query default) adds adjacent transposition as
+        a unit edit — TRUE Damerau-Levenshtein (Lowrance-Wagner), which
+        is what DuckDB's ``damerau_levenshtein`` computes, so the
+        oracle stays symbol-for-symbol.
 
         ``prefix_length`` chars must match exactly (candidate[:pl] ==
         term[:pl], the slice-truncation rule — mirrored by the oracle's
@@ -2212,10 +2324,12 @@ class IndexSearcher:
         before the DP; the DP itself is vectorized across candidates.
         """
         return self.suggest_fuzzy(term, max_expansions, max_edits,
-                                  prefix_length)["term"].tolist()
+                                  prefix_length,
+                                  transpositions)["term"].tolist()
 
     def suggest_fuzzy(self, term: str, n: int = 10, max_edits: int = 2,
-                      prefix_length: int = 0) -> pd.DataFrame:
+                      prefix_length: int = 0,
+                      transpositions: bool = False) -> pd.DataFrame:
         """Spell-correction suggester [Lucene DirectSpellChecker public
         semantics]: the top-n dictionary terms within ``max_edits`` of
         ``term`` as (term, dist, df), ordered (dist ASC, df DESC, term
@@ -2276,7 +2390,11 @@ class IndexSearcher:
             if len(keep) < len(cands):
                 tbl = tbl.take(pa.array(keep, type=pa.int64()))
                 cands = [cands[i] for i in keep.tolist()]
-        dist = _levenshtein_vec(cands, term)
+        # the bag-of-chars bound above stays valid for transpositions
+        # (a swap changes the char multiset by 0 <= 2 in L1), as does
+        # the length band (swaps preserve length)
+        dist = (_damerau_levenshtein_vec(cands, term) if transpositions
+                else _levenshtein_vec(cands, term))
         dfv = tbl["df"].to_numpy(zero_copy_only=False)
         hits = [(int(dist[i]), -int(dfv[i]), cands[i])
                 for i in np.flatnonzero(dist <= max_edits)]
@@ -2494,9 +2612,113 @@ class IndexSearcher:
             pd.DataFrame(columns=cols)
         return self._finalize(df, k, None)
 
+    def simple_query_string(self, queries: dict[str, str],
+                            k: int | None = None,
+                            max_expansions: int = 50,
+                            concurrency: int | None = None
+                            ) -> pd.DataFrame:
+        """simple_query_string query [OpenSearch simple_query_string
+        public semantics — the ``+``/``-``/``"phrase"``/trailing-``*``
+        flag subset with default_operator=OR; see
+        analyze.parse_simple_query_string, which is ALSO what generates
+        the oracle's clause structure — one parse, two backends].
+
+        Scoring is Lucene BooleanQuery: score = sum of matching
+        positive-clause scores (sequential clause-index fp chain); a
+        doc must match every MUST clause, no MUST_NOT clause, and at
+        least one positive clause.  Term clauses are the standard BM25
+        sum, phrase clauses the PhraseQuery scorer, prefix clauses
+        expand through the dictionary ((df DESC, term ASC) cap rule
+        shared with prefix_search) and score as the expansion-term sum.
+        Combined inside each segment task over dense clause score
+        arrays (doc-local formula => exact bounded top-k)."""
+        from opensearch_jvector_ray.analyze import (
+            parse_simple_query_string,
+        )
+        cfg = self.cfg
+        k = k or cfg.default_k
+        if k > cfg.max_k:
+            raise ValueError(f"k={k} exceeds max_k={cfg.max_k}")
+        from opensearch_jvector_ray.state import metrics
+        metrics.incr({metrics.QUERY_REQUESTS: len(queries)})
+        parsed = {qid: parse_simple_query_string(text, cfg)
+                  for qid, text in sorted(queries.items())}
+        # resolve clause term lists (prefix clauses expand through the
+        # global dictionary ONCE, driver-side — the multi-term rewrite)
+        clause_tw: dict[tuple[str, int], list[tuple[str, float]]] = {}
+        all_terms: set[str] = set()
+        for qid, cls in parsed.items():
+            if "\x1f" in qid:
+                raise ValueError("query ids must not contain \\x1f")
+            for i, cl in enumerate(cls):
+                if cl["kind"] == "prefix":
+                    tw = [(t, 1.0) for t in
+                          self.expand_prefix(cl["prefix"],
+                                             max_expansions)]
+                elif cl["kind"] == "phrase":
+                    tw = [(t, 1.0) for t in cl["words"]]
+                else:
+                    tw = [(t, float(w)) for t, w in cl["tw"]]
+                clause_tw[(qid, i)] = tw
+                all_terms.update(t for t, _ in tw)
+        df_map = self.lookup_df(sorted(all_terms))
+        n = float(self.stats["n_docs_indexed"])
+        grouped = []
+        union: set[str] = set()
+        for qid, cls in parsed.items():
+            out_cls = []
+            for i, cl in enumerate(cls):
+                terms, missing = [], False
+                for t, w in clause_tw[(qid, i)]:
+                    df = df_map.get(t, 0)
+                    if df > 0:
+                        terms.append((t, float(w), float(bm25_idf(n, df))))
+                        union.add(t)
+                    else:
+                        missing = True
+                if cl["kind"] == "phrase" and missing:
+                    terms = []     # a zero-df member: phrase matches 0 docs
+                out_cls.append({
+                    "occur": cl["occur"],
+                    "kind": "phrase" if cl["kind"] == "phrase"
+                            else "terms",
+                    "terms": terms})
+            grouped.append({"query_id": qid, "k": k, "clauses": out_cls})
+        key_types = []
+        if self.seg_dirs:
+            docs_schema = pq.read_schema(
+                os.path.join(self.seg_dirs[0], DOCS_NAME))
+            key_types = [(kc, docs_schema.field(kc).type)
+                         for kc in self.key_cols]
+        payload = {
+            "queries": grouped, "union_terms": sorted(union),
+            "mode": "sqs",
+            "codec": cfg.codec, "block_size": cfg.block_size,
+            "k1": cfg.k1, "b": cfg.b,
+            "avgdl": float(self.stats["avgdl"] or 1.0),
+            "filter": None, "rescore_oversample": None,
+            "key_types": key_types,
+            "first_pass_k": cfg.first_pass_k,
+            "min_score": None,
+        }
+        cols = ["query_id", *self.key_cols, "score"]
+        if not union or not self.seg_dirs:
+            return self._finalize(pd.DataFrame(columns=cols), k, None)
+        seg_ds = rd.from_items([{"seg_dir": d} for d in self.seg_dirs])
+        extra = {"concurrency": concurrency} if concurrency else {}
+        hits = seg_ds.map_batches(
+            _search_segments_task, fn_kwargs={"payload": payload},
+            batch_format="pyarrow", batch_size=1, **extra)
+        frames = [b.to_pandas()
+                  for b in hits.iter_batches(batch_format="pyarrow")]
+        df = pd.concat(frames, ignore_index=True) if frames else \
+            pd.DataFrame(columns=cols)
+        return self._finalize(df, k, None)
+
     def fuzzy_search(self, queries: dict[str, str], k: int | None = None,
                      max_edits: int = 1, prefix_length: int = 0,
                      max_expansions: int = 50,
+                     transpositions: bool = False,
                      **search_kwargs) -> pd.DataFrame:
         """Match query with fuzziness [the OpenSearch ``match`` +
         ``fuzziness`` surface]: each analyzed query term expands to its
@@ -2510,7 +2732,8 @@ class IndexSearcher:
             order: list[str] = []
             for t, c in query_term_weights(text, self.cfg):
                 for e in self.expand_fuzzy(t, max_edits, prefix_length,
-                                           max_expansions):
+                                           max_expansions,
+                                           transpositions):
                     if e not in weights:
                         order.append(e)
                         weights[e] = 0.0

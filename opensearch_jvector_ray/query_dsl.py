@@ -75,6 +75,8 @@ Supported bodies (one top-level clause per query):
     {"cardinality":  {"query": "...", "field": col, "min_score": f}}
     {"percentiles":  {"query": "...", "field": col, "min_score": f,
                       "percents": [0.25, 0.5, ...]}}
+    {"simple_query_string": {"query": '+must -not "a phrase" pre*',
+                    "k": 10}}  # the +/-/"/trailing-* flag subset
     {"mad":        {"query": "...", "field": int_col, "min_score": f}}
                  # exact median-absolute-deviation over the match set
     {"boxplot":    {"query": "...", "field": int_col, "min_score": f}}
@@ -188,13 +190,14 @@ _REGEXP_FIELDS = {"value", "k", "max_expansions"}
 _MPP_FIELDS = {"query", "k", "max_expansions"}
 _SYNONYMS_FIELDS = {"query", "map", "k"}
 _FUZZY_FIELDS = {"query", "k", "max_edits", "prefix_length",
-                 "max_expansions"}
+                 "max_expansions", "transpositions"}
 _FACETS_FIELDS = {"query", "field", "min_score", "size"}
 _RANGE_AGG_FIELDS = {"query", "field", "min_score", "ranges"}
 _DATE_HIST_FIELDS = {"query", "field", "min_score", "calendar_interval",
                      "pipeline", "window", "lag",
                      "selector_op", "selector_value",
                      "sort_from", "sort_size", "percent", "rate_unit"}
+_SQS_FIELDS = {"query", "k", "max_expansions"}
 _MAD_FIELDS = {"query", "field", "min_score"}
 _BOXPLOT_FIELDS = {"query", "field", "min_score"}
 _T_TEST_FIELDS = {"query", "field", "min_score", "filter_a", "filter_b"}
@@ -542,7 +545,9 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
         return {"type": "fuzzy", "query": spec["query"],
                 "k": int(spec.get("k", 10)), "max_edits": me,
                 "prefix_length": int(spec.get("prefix_length", 0)),
-                "max_expansions": int(spec.get("max_expansions", 50))}
+                "max_expansions": int(spec.get("max_expansions", 50)),
+                "transpositions": bool(spec.get("transpositions",
+                                                False))}
     if clause == "facets":
         _require_known(clause, spec, _FACETS_FIELDS)
         if not isinstance(spec.get("query"), str) or not spec["query"]:
@@ -814,6 +819,14 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
                 "field": spec["field"],
                 "values": [float(v) for v in vv],
                 "min_score": float(spec["min_score"])}
+    if clause == "simple_query_string":
+        _require_known(clause, spec, _SQS_FIELDS)
+        if not isinstance(spec.get("query"), str) or not spec["query"]:
+            raise ValueError("[simple_query_string] needs a non-empty "
+                             "'query'")
+        return {"type": "simple_query_string", "query": spec["query"],
+                "k": int(spec.get("k", 10)),
+                "max_expansions": int(spec.get("max_expansions", 50))}
     if clause in ("mad", "boxplot"):
         fields = _MAD_FIELDS if clause == "mad" else _BOXPLOT_FIELDS
         _require_known(clause, spec, fields)
@@ -1281,6 +1294,12 @@ def execute_query(body: dict[str, Any], *, searcher=None, vector_ds=None,
         return searcher.percentile_ranks_agg(
             {query_id: spec["query"]}, value_col=spec["field"],
             values=spec["values"], min_score=spec["min_score"])
+    if spec["type"] == "simple_query_string":
+        if searcher is None:
+            raise ValueError("[simple_query_string] needs searcher=")
+        return searcher.simple_query_string(
+            {query_id: spec["query"]}, k=spec["k"],
+            max_expansions=spec["max_expansions"])
     if spec["type"] in ("mad", "boxplot"):
         if searcher is None:
             raise ValueError(f"[{spec['type']}] needs searcher=")
@@ -1419,7 +1438,8 @@ def execute_query(body: dict[str, Any], *, searcher=None, vector_ds=None,
             {query_id: spec["query"]}, k=spec["k"],
             max_edits=spec["max_edits"],
             prefix_length=spec["prefix_length"],
-            max_expansions=spec["max_expansions"])
+            max_expansions=spec["max_expansions"],
+            transpositions=spec.get("transpositions", False))
     if spec["type"] == "facets":
         if searcher is None:
             raise ValueError("[facets] needs searcher=")
