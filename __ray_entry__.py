@@ -36,6 +36,7 @@ from opensearch_jvector_ray.oracles import (
     global_stats_sql, sampler_sql, diversified_sampler_sql,
     rank_feature_add_sql, pinned_sql, combined_fields_sql,
     span_or_near_sql, span_not_sql, matched_queries_sql,
+    span_within_sql, span_containing_sql,
     multi_terms_sql, rare_terms_sql, extended_stats_sql,
     weighted_avg_sql, bucket_metric_sql, adjacency_matrix_sql,
     string_stats_sql, matrix_stats_sql, date_range_sql,
@@ -291,6 +292,27 @@ SPAN_OR_SLOP = 3
 SPAN_NOT_QUERIES = {"sn1": "data query", "sn2": "merge sort",
                     "sn3": "customer value"}
 SPAN_NOT_PRE, SPAN_NOT_POST = 1, 2
+# span_within/span_containing: first analyzed term = little, rest = big
+SPAN_WC_QUERIES = {"sw1": "merge fast sort", "sw2": "query data join",
+                   "sw3": "scan customer"}
+SPAN_WC_SLOP = 3
+
+
+def _q_bm25_span_within(sf_dir: str) -> pd.DataFrame:
+    # span_within: little occurrences covered by a valid big span_near
+    # window score (Lucene SpanWithinQuery shape)
+    s = IndexSearcher(documents_index(sf_dir))
+    return _round_hits(s.search(SPAN_WC_QUERIES, k=BM25_K,
+                                mode="span_within", slop=SPAN_WC_SLOP))
+
+
+def _q_bm25_span_containing(sf_dir: str) -> pd.DataFrame:
+    # span_containing: big windows that also hold a little occurrence;
+    # scored on the BIG terms' idf (Lucene SpanContainingQuery shape)
+    s = IndexSearcher(documents_index(sf_dir))
+    return _round_hits(s.search(SPAN_WC_QUERIES, k=BM25_K,
+                                mode="span_containing",
+                                slop=SPAN_WC_SLOP))
 
 
 def _sm_map(docs, ords, scores):
@@ -2407,6 +2429,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_combined_fields": _q_bm25_combined_fields,
         "bm25_span_or": _q_bm25_span_or,
         "bm25_span_not": _q_bm25_span_not,
+        "bm25_span_within": _q_bm25_span_within,
+        "bm25_span_containing": _q_bm25_span_containing,
         "bm25_matched_queries": _q_bm25_matched_queries,
         "bm25_scripted_metric": _q_bm25_scripted_metric,
         "bm25_indices_boost": _q_bm25_indices_boost,
@@ -2839,6 +2863,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_span_not": span_not_sql(SPAN_NOT_QUERIES, BM25_K, CFG,
                                       pre=SPAN_NOT_PRE,
                                       post=SPAN_NOT_POST),
+        "bm25_span_within": span_within_sql(SPAN_WC_QUERIES, BM25_K,
+                                            CFG, slop=SPAN_WC_SLOP),
+        "bm25_span_containing": span_containing_sql(
+            SPAN_WC_QUERIES, BM25_K, CFG, slop=SPAN_WC_SLOP),
         "bm25_matched_queries": matched_queries_sql(
             MATCHED_Q_SPECS, BM25_K, CFG),
         "bm25_scripted_metric": _scripted_metric_oracle(),

@@ -2322,6 +2322,147 @@ FROM ranked WHERE rank <= {int(k)} ORDER BY query_id, rank
 """
 
 
+def span_containing_sql(queries: dict[str, str], k: int,
+                        cfg: EngineConfig, slop: int = 0,
+                        table: str = "documents", id_col: str = "doc_id",
+                        text_col: str = "text") -> str:
+    """Oracle for search(mode='span_containing')
+    (query.SegmentSearcher._span_containing mirror): query analyzes to
+    (little, big...); with W = n_distinct_big + slop, tf = number of
+    window starts i whose width-W window contains every big term AND
+    >= 1 little occurrence (span_near over big+little with big-width W);
+    score = idf_sum(BIG terms only, appearance-order '+'-chain) *
+    tf-part — the big span is what's scored."""
+    from opensearch_jvector_ray.analyze import analyze_query
+    pat = sql_quote(cfg.split_pattern)
+    per_query = []
+    for qid, text in sorted(queries.items()):
+        toks = analyze_query(text, cfg)
+        assert len(toks) >= 2, f"span_containing query {qid!r}: {toks}"
+        little, big = toks[0], list(dict.fromkeys(toks[1:]))
+        w_n = len(big) + int(slop)
+        conds = [f"list_contains(toks[greatest(i, 1) : i + {w_n - 1}], "
+                 f"{sql_quote(w)})" for w in [*big, little]]
+        idf_terms = " + ".join(
+            f"(SELECT idf FROM idf WHERE term = {sql_quote(w)})"
+            for w in big)
+        per_query.append(f"""
+SELECT {sql_quote(qid)} AS query_id, p.{id_col},
+       ({idf_terms})
+       * (p.tf / (p.tf + {cfg.k1!r} * (1.0 - {cfg.b!r} + {cfg.b!r} * dl.dl / (SELECT avgdl FROM stats)))) AS score__raw
+FROM (
+  SELECT {id_col}, count(*)::DOUBLE AS tf
+  FROM (SELECT {id_col}, toks,
+               unnest(range({2 - w_n}, len(toks) + 1)) AS i
+        FROM tokpos) u
+  WHERE {' AND '.join(conds)}
+  GROUP BY {id_col}
+) p JOIN dl ON dl.{id_col} = p.{id_col}""")
+    union = "\nUNION ALL\n".join(per_query)
+    return f"""
+WITH {toks_cte(cfg, table, id_col, text_col)},
+tokpos AS (
+  SELECT {id_col},
+         list_filter(regexp_split_to_array(lower({text_col}), {pat}),
+                     x -> x <> '') AS toks
+  FROM {table}
+),
+dl AS (
+  SELECT {id_col}, count(*)::DOUBLE AS dl FROM toks GROUP BY {id_col}
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl
+),
+idf AS (
+  SELECT term,
+         ln(1.0 + ((SELECT n FROM stats) - count(DISTINCT {id_col}) + 0.5)
+                  / (count(DISTINCT {id_col}) + 0.5)) AS idf
+  FROM toks GROUP BY term
+),
+scores AS ({union}),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score__raw DESC, {id_col} ASC) AS rank,
+         {id_col}, score__raw
+  FROM scores
+)
+SELECT query_id, rank, {id_col}, round(score__raw, 6) AS score
+FROM ranked WHERE rank <= {int(k)} ORDER BY query_id, rank
+"""
+
+
+def span_within_sql(queries: dict[str, str], k: int, cfg: EngineConfig,
+                    slop: int = 0, table: str = "documents",
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> str:
+    """Oracle for search(mode='span_within')
+    (query.SegmentSearcher._span_within mirror): query analyzes to
+    (little, big...); with W = n_distinct_big + slop, a little-term
+    position pl (1-based list axis) qualifies iff SOME window start i
+    in [pl-W+1, pl] has its width-W window toks[max(i,1) : i+W-1]
+    contain every big term (i.e. a valid big window covers pl); tf =
+    qualifying little positions; score = idf(little) * tf-part — the
+    little span is what's scored."""
+    from opensearch_jvector_ray.analyze import analyze_query
+    pat = sql_quote(cfg.split_pattern)
+    per_query = []
+    for qid, text in sorted(queries.items()):
+        toks = analyze_query(text, cfg)
+        assert len(toks) >= 2, f"span_within query {qid!r}: {toks}"
+        little, big = toks[0], list(dict.fromkeys(toks[1:]))
+        w_n = len(big) + int(slop)
+        big_conds = " AND ".join(
+            f"list_contains(toks[greatest(i, 1) : i + {w_n - 1}], "
+            f"{sql_quote(w)})" for w in big)
+        per_query.append(f"""
+SELECT {sql_quote(qid)} AS query_id, p.{id_col},
+       (SELECT idf FROM idf WHERE term = {sql_quote(little)})
+       * (p.tf / (p.tf + {cfg.k1!r} * (1.0 - {cfg.b!r} + {cfg.b!r} * dl.dl / (SELECT avgdl FROM stats)))) AS score__raw
+FROM (
+  SELECT {id_col},
+         len(list_filter(
+           list_filter(range(1, len(toks) + 1),
+                       pl -> toks[pl] = {sql_quote(little)}),
+           pl -> len(list_filter(range(pl - {w_n - 1}, pl + 1),
+                     i -> {big_conds})) > 0))::DOUBLE AS tf
+  FROM tokpos
+) p JOIN dl ON dl.{id_col} = p.{id_col}
+WHERE p.tf > 0""")
+    union = "\nUNION ALL\n".join(per_query)
+    return f"""
+WITH {toks_cte(cfg, table, id_col, text_col)},
+tokpos AS (
+  SELECT {id_col},
+         list_filter(regexp_split_to_array(lower({text_col}), {pat}),
+                     x -> x <> '') AS toks
+  FROM {table}
+),
+dl AS (
+  SELECT {id_col}, count(*)::DOUBLE AS dl FROM toks GROUP BY {id_col}
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl
+),
+idf AS (
+  SELECT term,
+         ln(1.0 + ((SELECT n FROM stats) - count(DISTINCT {id_col}) + 0.5)
+                  / (count(DISTINCT {id_col}) + 0.5)) AS idf
+  FROM toks GROUP BY term
+),
+scores AS ({union}),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score__raw DESC, {id_col} ASC) AS rank,
+         {id_col}, score__raw
+  FROM scores
+)
+SELECT query_id, rank, {id_col}, round(score__raw, 6) AS score
+FROM ranked WHERE rank <= {int(k)} ORDER BY query_id, rank
+"""
+
+
 def phrase_prefix_sql(queries: dict[str, str], k: int, cfg: EngineConfig,
                       max_expansions: int = 50, table: str = "documents",
                       id_col: str = "doc_id", text_col: str = "text") -> str:

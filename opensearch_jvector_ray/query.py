@@ -1464,6 +1464,15 @@ class SegmentSearcher:
                                               rows, dl, mask, q["k"],
                                               p["span_pre"],
                                               p["span_post"], tie)
+            elif mode in ("span_within", "span_containing"):
+                # containment needs every big term AND the little term
+                if len(terms) != len(q["terms"]) \
+                        or q["span_little"][0] not in rows:
+                    continue
+                fn = (self._span_within if mode == "span_within"
+                      else self._span_containing)
+                ords, scores = fn(q["terms"], q["span_little"], rows,
+                                  dl, mask, q["k"], p["slop"], tie)
             elif mode == "span_first":
                 # any qualifying term matches — use the present subset
                 ords, scores = self._span_first(terms, rows, dl, mask,
@@ -1818,6 +1827,110 @@ class SegmentSearcher:
                         np.zeros(0, dtype=np.float64))
         return self._span_window_score(per_clause, dl, mask, k, W,
                                        idf_sum, tie)
+
+    def _span_containing(self, big_terms, little, rows, dl, mask, k,
+                         slop, tie=None):
+        """span_containing [Lucene SpanContainingQuery-shaped; rule
+        defined here and mirrored by the SQL oracle]: big = the
+        span_near window over the big terms (width W = n_distinct_big
+        + slop), little = a single term; tf = number of valid big
+        window ENDS whose window ALSO contains >= 1 little occurrence
+        — exactly the span_near containment with the little term as
+        one extra clause; score = idf_sum(BIG terms only) * tf-part
+        (the big span is what's scored)."""
+        from opensearch_jvector_ray.postings import decode_positions
+        idf_sum = float(sum(w * idf for (_, w, idf) in big_terms))
+        W = len(big_terms) + int(slop)
+        per_term = []
+        for (t, _, _) in [*big_terms, little]:
+            r = rows[t]
+            ords, tfs = decode_posting_list(
+                r["ords_enc"], r["tfs_enc"],
+                codec=self.p.get("codec", "varint"), df=r["df"],
+                block_size=self.p.get("block_size", 128),
+                blk_n=r.get("blk_n"))
+            flat, offs = decode_positions(r["pos_enc"], tfs)
+            per_term.append((ords, flat, offs))
+        return self._span_window_score(per_term, dl, mask, k, W,
+                                       idf_sum, tie)
+
+    def _span_within(self, big_terms, little, rows, dl, mask, k, slop,
+                     tie=None):
+        """span_within [Lucene SpanWithinQuery-shaped; rule defined
+        here and mirrored by the SQL oracle]: tf = number of LITTLE
+        occurrences p covered by some valid big window (∃ window end
+        e in [p, p+W-1] whose width-W window contains every big term,
+        W = n_distinct_big + slop); score = w * idf(little) * tf-part
+        (the little span is what's scored).  Same concatenated-axis
+        diff-array machinery as _span_window_score plus ONE cumsum
+        window-count over the little positions — no per-doc loop."""
+        from opensearch_jvector_ray.postings import decode_positions
+        (lt, lw, lidf) = little
+        W = len(big_terms) + int(slop)
+        trips = []
+        for (t, _, _) in [*big_terms, little]:
+            r = rows[t]
+            ords, tfs = decode_posting_list(
+                r["ords_enc"], r["tfs_enc"],
+                codec=self.p.get("codec", "varint"), df=r["df"],
+                block_size=self.p.get("block_size", 128),
+                blk_n=r.get("blk_n"))
+            flat, offs = decode_positions(r["pos_enc"], tfs)
+            trips.append((ords, np.asarray(flat), np.asarray(offs)))
+        per_big, lit = trips[:-1], trips[-1]
+        common = per_big[0][0]
+        for ords, _, _ in per_big[1:]:
+            common = common[np.isin(common, ords, assume_unique=True)]
+        common = common[np.isin(common, lit[0], assume_unique=True)]
+        if mask is not None and len(common):
+            common = common[mask[common]]
+        if not len(common):
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+        idxs = [np.searchsorted(pt[0], common) for pt in trips]
+        last = np.stack([pt[1][pt[2][ix + 1] - 1]
+                         for pt, ix in zip(trips, idxs)])
+        slot = last.max(axis=0).astype(np.int64) + W + 2
+        base = np.concatenate(([0], np.cumsum(slot)[:-1]))
+        total = int(slot.sum())
+        acc = None
+        for (ords, flat, offs), ix in zip(per_big, idxs):
+            lens = offs[ix + 1] - offs[ix]
+            n = int(lens.sum())
+            docslot = np.repeat(np.arange(len(common)), lens)
+            within = np.arange(n) - np.repeat(np.cumsum(lens) - lens,
+                                              lens)
+            pos = flat[np.repeat(offs[ix], lens) + within]
+            g = base[docslot] + pos
+            d = np.zeros(total + 1, dtype=np.int32)
+            np.add.at(d, g, 1)
+            np.add.at(d, g + W, -1)
+            b = np.cumsum(d[:-1]) > 0
+            acc = b if acc is None else acc & b
+        c = np.cumsum(acc.astype(np.int64))
+        l_ords, l_flat, l_offs = lit
+        lix = idxs[-1]
+        lens_l = l_offs[lix + 1] - l_offs[lix]
+        n_l = int(lens_l.sum())
+        docslot_l = np.repeat(np.arange(len(common)), lens_l)
+        within_l = np.arange(n_l) - np.repeat(
+            np.cumsum(lens_l) - lens_l, lens_l)
+        pos_l = l_flat[np.repeat(l_offs[lix], lens_l) + within_l]
+        g_l = base[docslot_l] + pos_l
+        hi = c[g_l + W - 1]
+        lo = np.where(g_l > 0, c[np.maximum(g_l - 1, 0)], 0)
+        ok = ((hi - lo) > 0).astype(np.int64)
+        tf_all = np.zeros(len(common), dtype=np.int64)
+        np.add.at(tf_all, docslot_l, ok)
+        keep = tf_all > 0
+        if not keep.any():
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+        cand = common[keep].astype(np.int64)
+        tf = tf_all[keep].astype(np.float64)
+        sc = lw * lidf * bm25_tf_part(tf, dl[cand], self.avgdl,
+                                      self.k1, self.b)
+        scores = np.zeros(len(dl), dtype=np.float64)
+        scores[cand] = sc
+        return _topk_from_scores(scores, cand, k, tie)
 
     def _span_not(self, q, rows, dl, mask, k, pre, post, tie=None):
         """span_not [Lucene SpanNotQuery public semantics, single-term
@@ -4501,6 +4614,46 @@ class IndexSearcher:
             prepared.append(entry)
         return prepared, sorted(union)
 
+    def _prepare_span_wc(self, queries: dict[str, str], k: int
+                         ) -> tuple[list[dict], list[str]]:
+        """Driver-side span_within/span_containing parse: the query
+        text analyzes to (little, big1[, big2 ...]) — first token the
+        little term, the rest the big span_near terms (distinct,
+        appearance order).  A query with a zero-df little or big
+        member matches nothing (containment needs every member)."""
+        from opensearch_jvector_ray.analyze import analyze_query
+        cfg = self.cfg
+        parsed = {}
+        for qid, text in queries.items():
+            toks = analyze_query(text, cfg)
+            if len(toks) < 2:
+                raise ValueError(f"span_within/containing query {qid!r} "
+                                 f"must analyze to (little, big...); "
+                                 f"got {toks}")
+            little, big = toks[0], []
+            for t in toks[1:]:
+                if t not in big:
+                    big.append(t)
+            parsed[qid] = (little, big)
+        df_map = self.lookup_df(sorted({t for lt, bg in parsed.values()
+                                        for t in [lt, *bg]}))
+        n = float(self.stats["n_docs_indexed"])
+        prepared, union = [], set()
+        for qid, (little, big) in sorted(parsed.items()):
+            if df_map.get(little, 0) <= 0 \
+                    or any(df_map.get(t, 0) <= 0 for t in big):
+                continue
+            union.update([little, *big])
+            prepared.append({
+                "query_id": qid, "k": k,
+                "terms": [(t, 1.0, float(bm25_idf(n, float(df_map[t]))))
+                          for t in big],
+                "span_little": (little, 1.0,
+                                float(bm25_idf(n,
+                                               float(df_map[little])))),
+            })
+        return prepared, sorted(union)
+
     def search_with_udf(self, queries: dict[str, str], k: int,
                         score_udf, oversample: float = 3.0,
                         **search_kwargs) -> pd.DataFrame:
@@ -4621,9 +4774,10 @@ class IndexSearcher:
                 raise ValueError("negative_boost must be in (0, 1]")
         if slop < 0:
             raise ValueError("slop must be >= 0")
-        if slop and mode not in ("span", "span_or"):
-            raise ValueError("slop applies to mode='span'/'span_or' "
-                             "only")
+        if slop and mode not in ("span", "span_or", "span_within",
+                                 "span_containing"):
+            raise ValueError("slop applies to mode='span'/'span_or'/"
+                             "'span_within'/'span_containing' only")
         if (span_not_pre or span_not_post) and mode != "span_not":
             raise ValueError("span_not_pre/post apply to "
                              "mode='span_not' only")
@@ -4707,6 +4861,8 @@ class IndexSearcher:
             prepared, union = self._prepare_span_or(queries, k_fetch)
         elif mode == "span_not":
             prepared, union = self._prepare_span_not(queries, k_fetch)
+        elif mode in ("span_within", "span_containing"):
+            prepared, union = self._prepare_span_wc(queries, k_fetch)
         else:
             prepared, union = self._prepare(queries, k_fetch,
                                             phrase=(mode in ("phrase",

@@ -72,6 +72,10 @@ Supported bodies (one top-level clause per query):
     {"span_not":     {"query": "include exclude", "pre": n, "post": n,
                       "k": 10}}
                  # include hits survive unless exclude is in the window
+    {"span_within":  {"query": "little big1 big2", "slop": n, "k": 10}}
+                 # little occurrences covered by a valid big window
+    {"span_containing": {"query": "little big1 big2", "slop": n,
+                      "k": 10}}  # big windows that also hold little
     {"cardinality":  {"query": "...", "field": col, "min_score": f}}
     {"percentiles":  {"query": "...", "field": col, "min_score": f,
                       "percents": [0.25, 0.5, ...]}}
@@ -227,6 +231,7 @@ _DIS_MAX_FIELDS = {"queries", "k", "tie_breaker"}
 _SPAN_FIRST_FIELDS = {"query", "end", "k"}
 _SPAN_OR_FIELDS = {"query", "slop", "k"}
 _SPAN_NOT_FIELDS = {"query", "pre", "post", "k"}
+_SPAN_WC_FIELDS = {"query", "slop", "k"}
 _TOP_METRICS_FIELDS = {"query", "sort_field", "metrics", "size",
                        "sort_order", "min_score"}
 _PCT_RANKS_FIELDS = {"query", "field", "values", "min_score"}
@@ -991,6 +996,17 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
                 "pre": int(spec.get("pre", 0)),
                 "post": int(spec.get("post", 0)),
                 "k": int(spec.get("k", 10))}
+    if clause in ("span_within", "span_containing"):
+        _require_known(clause, spec, _SPAN_WC_FIELDS)
+        if not isinstance(spec.get("query"), str) or not spec["query"]:
+            raise ValueError(f"[{clause}] needs a non-empty 'query' "
+                             "(first token the little term, the rest "
+                             "the big span)")
+        if int(spec.get("slop", 0)) < 0:
+            raise ValueError(f"[{clause}] slop must be >= 0")
+        return {"type": clause, "query": spec["query"],
+                "slop": int(spec.get("slop", 0)),
+                "k": int(spec.get("k", 10))}
     if clause == "span_first":
         _require_known(clause, spec, _SPAN_FIRST_FIELDS)
         if not isinstance(spec.get("query"), str) or not spec["query"]:
@@ -1153,6 +1169,11 @@ def execute_query(body: dict[str, Any], *, searcher=None, vector_ds=None,
                                mode="span_not",
                                span_not_pre=spec["pre"],
                                span_not_post=spec["post"])
+    if spec["type"] in ("span_within", "span_containing"):
+        if searcher is None:
+            raise ValueError(f"[{spec['type']}] needs searcher=")
+        return searcher.search({query_id: spec["query"]}, k=spec["k"],
+                               mode=spec["type"], slop=spec["slop"])
     if spec["type"] == "match_bool_prefix":
         if searcher is None:
             raise ValueError("[match_bool_prefix] needs searcher=")
