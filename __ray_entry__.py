@@ -29,6 +29,7 @@ from opensearch_jvector_ray.oracles import (
     bm25_sql, boolean_sql, collection_stats_sql, events_asof_orders_sql, events_lww_sql,
     filter_spec_sql, function_score_mul_sql,
     cardinality_sql, percentiles_sql, significant_terms_sql,
+    significant_text_sql,
     filters_agg_sql, terms_stats_sql, composite_sql, multi_match_sql,
     dis_max_sql, span_first_sql, keyword_sql, chunk_sql,
     top_metrics_sql, percentile_ranks_sql,
@@ -36,7 +37,7 @@ from opensearch_jvector_ray.oracles import (
     global_stats_sql, sampler_sql, diversified_sampler_sql,
     rank_feature_add_sql, pinned_sql, combined_fields_sql,
     span_or_near_sql, span_not_sql, matched_queries_sql,
-    span_within_sql, span_containing_sql,
+    span_within_sql, span_containing_sql, span_ordered_sql,
     multi_terms_sql, rare_terms_sql, extended_stats_sql,
     weighted_avg_sql, bucket_metric_sql, adjacency_matrix_sql,
     string_stats_sql, matrix_stats_sql, date_range_sql,
@@ -296,6 +297,18 @@ SPAN_NOT_PRE, SPAN_NOT_POST = 1, 2
 SPAN_WC_QUERIES = {"sw1": "merge fast sort", "sw2": "query data join",
                    "sw3": "scan customer"}
 SPAN_WC_SLOP = 3
+SPAN_ORD_QUERIES = {"sq1": "fast sort", "sq2": "data join",
+                    "sq3": "customer scan"}
+SPAN_ORD_SLOP = 3
+
+
+def _q_bm25_span_ordered(sf_dir: str) -> pd.DataFrame:
+    # span_near in_order=true: a strictly increasing chain of the query
+    # sequence inside a width (n_terms + slop) window (sloppy phrase)
+    s = IndexSearcher(documents_index(sf_dir))
+    return _round_hits(s.search(SPAN_ORD_QUERIES, k=BM25_K,
+                                mode="span_ordered",
+                                slop=SPAN_ORD_SLOP))
 
 
 def _q_bm25_span_within(sf_dir: str) -> pd.DataFrame:
@@ -980,6 +993,22 @@ def _q_bm25_percentiles(sf_dir: str) -> pd.DataFrame:
     return s.percentiles_agg(BM25_QUERIES, value_col=STATS_COL,
                              percents=PERCENTS,
                              min_score=FACET_MIN_SCORE)
+
+
+SIG_TEXT_SIZE = 8
+
+
+def _q_bm25_significant_text(sf_dir: str) -> pd.DataFrame:
+    # significant_text agg: JLH-scored over-representation of ANALYZED
+    # INDEX TERMS in the match set vs the corpus (free-text sibling of
+    # significant_terms; fg from a per-segment postings scan)
+    s = IndexSearcher(documents_index(sf_dir))
+    out = s.significant_text_agg(BM25_QUERIES,
+                                 min_score=FACET_MIN_SCORE,
+                                 size=SIG_TEXT_SIZE)
+    for c in ("doc_count", "bg_count"):
+        out[c] = out[c].astype(np.int64)
+    return out
 
 
 def _q_bm25_sig_terms(sf_dir: str) -> pd.DataFrame:
@@ -2431,6 +2460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_span_not": _q_bm25_span_not,
         "bm25_span_within": _q_bm25_span_within,
         "bm25_span_containing": _q_bm25_span_containing,
+        "bm25_span_ordered": _q_bm25_span_ordered,
         "bm25_matched_queries": _q_bm25_matched_queries,
         "bm25_scripted_metric": _q_bm25_scripted_metric,
         "bm25_indices_boost": _q_bm25_indices_boost,
@@ -2509,6 +2539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_cardinality": _q_bm25_cardinality,
         "bm25_percentiles": _q_bm25_percentiles,
         "bm25_sig_terms": _q_bm25_sig_terms,
+        "bm25_significant_text": _q_bm25_significant_text,
         "bm25_filters_agg": _q_bm25_filters_agg,
         "bm25_terms_stats": _q_bm25_terms_stats,
         "bm25_composite": _q_bm25_composite,
@@ -2867,6 +2898,8 @@ def oracle_sql() -> dict[str, str]:
                                             CFG, slop=SPAN_WC_SLOP),
         "bm25_span_containing": span_containing_sql(
             SPAN_WC_QUERIES, BM25_K, CFG, slop=SPAN_WC_SLOP),
+        "bm25_span_ordered": span_ordered_sql(SPAN_ORD_QUERIES, BM25_K,
+                                              CFG, slop=SPAN_ORD_SLOP),
         "bm25_matched_queries": matched_queries_sql(
             MATCHED_Q_SPECS, BM25_K, CFG),
         "bm25_scripted_metric": _scripted_metric_oracle(),
@@ -3012,6 +3045,8 @@ def oracle_sql() -> dict[str, str]:
                                             PERCENTS, CFG),
         "bm25_sig_terms": significant_terms_sql(
             BM25_QUERIES, FACET_MIN_SCORE, "source", SIG_TERMS_SIZE, CFG),
+        "bm25_significant_text": significant_text_sql(
+            BM25_QUERIES, FACET_MIN_SCORE, SIG_TEXT_SIZE, CFG),
         "bm25_filters_agg": filters_agg_sql(BM25_QUERIES,
                                             FACET_MIN_SCORE,
                                             FILTERS_AGG, CFG),

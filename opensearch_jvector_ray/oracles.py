@@ -1446,6 +1446,58 @@ ORDER BY query_id, rn
 """
 
 
+def significant_text_sql(queries: dict[str, str], min_score: float,
+                         size: int, cfg: EngineConfig,
+                         table: str = "documents",
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> str:
+    """Oracle for IndexSearcher.significant_text_agg: JLH-scored
+    over-representation of ANALYZED TERMS in the match set vs the whole
+    corpus (fg = distinct matched docs containing the term, bg = global
+    df, fg_tot = matched docs, bg_tot = all docs).  The score expression
+    is the engine's exact chain of double ops over integer counts
+    (bit-exact), ranked on the RAW score then rounded."""
+    inner = bm25_sql(queries, 0, cfg, table=table, id_col=id_col,
+                     text_col=text_col, min_score=min_score)
+    return f"""
+WITH hits AS ({inner}),
+{toks_cte(cfg, table, id_col, text_col)},
+fg AS (
+  SELECT h.query_id, t.term,
+         count(DISTINCT t.{id_col})::BIGINT AS doc_count
+  FROM hits h JOIN toks t ON t.{id_col} = h.{id_col}
+  GROUP BY h.query_id, t.term
+),
+fgt AS (
+  SELECT query_id, count(*)::BIGINT AS fg_tot FROM hits
+  GROUP BY query_id
+),
+bg AS (
+  SELECT term, count(DISTINCT {id_col})::BIGINT AS bg_count FROM toks
+  GROUP BY term
+),
+bgt AS (SELECT count(*)::DOUBLE AS bg_tot FROM {table}),
+scored AS (
+  SELECT fg.query_id, fg.term, fg.doc_count, bg.bg_count,
+         ((fg.doc_count::DOUBLE / fgt.fg_tot)
+            - (bg.bg_count::DOUBLE / bgt.bg_tot))
+         * ((fg.doc_count::DOUBLE / fgt.fg_tot)
+            / (bg.bg_count::DOUBLE / bgt.bg_tot)) AS score__raw
+  FROM fg JOIN fgt USING (query_id) JOIN bg USING (term)
+  CROSS JOIN bgt
+)
+SELECT query_id, term, doc_count, bg_count,
+       round(score__raw, 6) AS score
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score__raw DESC, term ASC
+                              ) AS rn
+  FROM scored
+) WHERE rn <= {int(size)}
+ORDER BY query_id, rn
+"""
+
+
 def filters_agg_sql(queries: dict[str, str], min_score: float,
                     filters: dict[str, dict], cfg: EngineConfig,
                     table: str = "documents", id_col: str = "doc_id",
@@ -2288,6 +2340,89 @@ SELECT {sql_quote(qid)} AS query_id, x.{id_col},
 FROM (
 {arm_union}
 ) x GROUP BY x.{id_col}""")
+    union = "\nUNION ALL\n".join(per_query)
+    return f"""
+WITH {toks_cte(cfg, table, id_col, text_col)},
+tokpos AS (
+  SELECT {id_col},
+         list_filter(regexp_split_to_array(lower({text_col}), {pat}),
+                     x -> x <> '') AS toks
+  FROM {table}
+),
+dl AS (
+  SELECT {id_col}, count(*)::DOUBLE AS dl FROM toks GROUP BY {id_col}
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl
+),
+idf AS (
+  SELECT term,
+         ln(1.0 + ((SELECT n FROM stats) - count(DISTINCT {id_col}) + 0.5)
+                  / (count(DISTINCT {id_col}) + 0.5)) AS idf
+  FROM toks GROUP BY term
+),
+scores AS ({union}),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score__raw DESC, {id_col} ASC) AS rank,
+         {id_col}, score__raw
+  FROM scores
+)
+SELECT query_id, rank, {id_col}, round(score__raw, 6) AS score
+FROM ranked WHERE rank <= {int(k)} ORDER BY query_id, rank
+"""
+
+
+def span_ordered_sql(queries: dict[str, str], k: int, cfg: EngineConfig,
+                     slop: int = 0, table: str = "documents",
+                     id_col: str = "doc_id", text_col: str = "text") -> str:
+    """Oracle for search(mode='span_ordered')
+    (query.SegmentSearcher._span_ordered mirror): with W =
+    n_sequence_terms + slop, tf = number of first-term positions p1
+    (1-based list axis) for which a strictly increasing chain
+    p1 < p2 < ... < pn of the remaining sequence terms exists inside
+    [p1, p1+W-1] — expressed as nested window-bounded existentials
+    (each level scans only range(p_{i-1}+1, p1+W), so the check is
+    occurrence x window-sized, not doc-length-cubed); score = idf_sum
+    (sequence order, duplicates counted) * tf-part."""
+    from opensearch_jvector_ray.analyze import analyze_query
+    pat = sql_quote(cfg.split_pattern)
+    per_query = []
+    for qid, text in sorted(queries.items()):
+        words = analyze_query(text, cfg)
+        assert words, f"span_ordered query {qid!r} analyzes to nothing"
+        w_n = len(words) + int(slop)
+
+        def _chain(i: int) -> str:
+            # existential for sequence slot i (1-based; p1 is bound by
+            # the outer tf list_filter)
+            if i > len(words):
+                return "true"
+            inner = _chain(i + 1)
+            cond = f"toks[p{i}] = {sql_quote(words[i - 1])}"
+            if inner != "true":
+                cond += f" AND {inner}"
+            return (f"len(list_filter(range(p{i - 1} + 1, p1 + {w_n}), "
+                    f"p{i} -> {cond})) > 0")
+
+        chain = _chain(2) if len(words) > 1 else "true"
+        idf_terms = " + ".join(
+            f"(SELECT idf FROM idf WHERE term = {sql_quote(w)})"
+            for w in words)
+        per_query.append(f"""
+SELECT {sql_quote(qid)} AS query_id, p.{id_col},
+       ({idf_terms})
+       * (p.tf / (p.tf + {cfg.k1!r} * (1.0 - {cfg.b!r} + {cfg.b!r} * dl.dl / (SELECT avgdl FROM stats)))) AS score__raw
+FROM (
+  SELECT {id_col},
+         len(list_filter(
+           list_filter(range(1, len(toks) + 1),
+                       p1 -> toks[p1] = {sql_quote(words[0])}),
+           p1 -> {chain}))::DOUBLE AS tf
+  FROM tokpos
+) p JOIN dl ON dl.{id_col} = p.{id_col}
+WHERE p.tf > 0""")
     union = "\nUNION ALL\n".join(per_query)
     return f"""
 WITH {toks_cte(cfg, table, id_col, text_col)},

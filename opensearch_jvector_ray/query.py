@@ -247,6 +247,59 @@ def _levenshtein_vec(cands: Sequence[str], q: str) -> np.ndarray:
     return prev[np.arange(n), lens]
 
 
+def _sig_text_scan(seg_dir: str, sig_sets: dict[str, np.ndarray],
+                   n_docs: int, codec: str,
+                   block_size: int) -> pa.Table | None:
+    """significant_text foreground partial [OpenSearch significant_text
+    public semantics — significance over the ANALYZED INDEX TERMS of
+    the match set, not a stored field]: per query, per term, fg
+    doc_count = |postings(term) ∩ match set|, computed by ONE scan of
+    the segment's full postings file — a vocabulary-sized loop whose
+    body is a vectorized decode + one boolean-matrix gather for ALL
+    queries at once.  Ships (query, term, count) rows with fg > 0 plus
+    one fg_tot row per query under the reserved term '' key (the
+    analyzer never emits an empty term); nothing match-set- or
+    corpus-sized leaves the task.  Cost note: the scan is O(total
+    postings) per segment — the same order as building the segment —
+    bounded, distributed, and paid only by this agg kind.  Shared by
+    the stateless task path (SegmentSearcher) and the warm actor path
+    (serve._SegmentActor.agg_partial)."""
+    sig_sets = {q: o for q, o in sig_sets.items() if len(o)}
+    if not sig_sets:
+        return None
+    qids = sorted(sig_sets)
+    M = np.zeros((len(qids), n_docs), dtype=bool)
+    for i, q in enumerate(qids):
+        M[i, sig_sets[q]] = True
+    path = os.path.join(seg_dir, POSTINGS_NAME)
+    want = [c for c in ("term", "ords_enc", "tfs_enc", "df", "blk_n")
+            if c in pq.read_schema(path).names]
+    post = pq.read_table(path, columns=want)
+    has_blk = "blk_n" in post.column_names
+    out_q: list[str] = []
+    out_t: list[str] = []
+    out_c: list[int] = []
+    for i in range(post.num_rows):
+        o, _ = decode_posting_list(
+            post["ords_enc"][i].as_py(), post["tfs_enc"][i].as_py(),
+            codec=codec, df=post["df"][i].as_py(),
+            block_size=block_size,
+            blk_n=post["blk_n"][i].as_py() if has_blk else None)
+        cnt = M[:, o].sum(axis=1)
+        for j in np.flatnonzero(cnt):
+            out_q.append(qids[j])
+            out_t.append(post["term"][i].as_py())
+            out_c.append(int(cnt[j]))
+    for i, q in enumerate(qids):
+        out_q.append(q)
+        out_t.append("")
+        out_c.append(int(M[i].sum()))
+    return pa.table({
+        "query_id": pa.array(out_q, type=pa.string()),
+        "term": pa.array(out_t, type=pa.string()),
+        "doc_count": pa.array(out_c, type=pa.int64())})
+
+
 def _agg_partial(agg: dict, docs: pa.Table, ords: np.ndarray,
                  qid: str, scores: np.ndarray | None = None) -> pa.Table:
     """Per-segment aggregation PARTIAL over the qualifying doc ordinals
@@ -1332,6 +1385,7 @@ class SegmentSearcher:
             # masks are query-independent: compute once per segment
             agg = {**agg, "_masks": _filters_masks(docs, agg["filters"])}
         ftables: list[pa.Table] = []
+        sig_sets: dict[str, np.ndarray] = {}
         sa_all = p.get("search_after") or {}
         key_names = [kc for kc, _ in p["key_types"]]
         for q in p["queries"]:
@@ -1457,6 +1511,12 @@ class SegmentSearcher:
                 ords, scores = self._span_near(q["terms"], rows, dl,
                                                mask, q["k"], p["slop"],
                                                tie)
+            elif mode == "span_ordered":
+                if len(terms) != len(q["terms"]):
+                    continue          # the chain needs every term
+                ords, scores = self._span_ordered(q["terms"], rows, dl,
+                                                  mask, q["k"],
+                                                  p["slop"], tie)
             elif mode == "span_not":
                 if len(terms) != 1:
                     continue          # include term absent from segment
@@ -1568,6 +1628,10 @@ class SegmentSearcher:
                 # aggregation partial over this segment's qualifying
                 # docs — only aggregate-sized rows leave the task (A2's
                 # combiner-first rule), never the hit set
+                if agg["kind"] == "sig_text":
+                    # defer: one postings scan serves ALL queries
+                    sig_sets[q["query_id"]] = ords
+                    continue
                 if len(ords):
                     ftables.append(_agg_partial(agg, docs, ords,
                                                 q["query_id"],
@@ -1577,6 +1641,8 @@ class SegmentSearcher:
             out_ord.append(ords)
             out_sc.append(scores)
         if agg is not None:
+            if agg["kind"] == "sig_text":
+                return self._sig_text_partial(seg_dir, sig_sets, n_docs)
             return pa.concat_tables(ftables) if ftables else None
         if not out_qid:
             return None
@@ -1723,6 +1789,94 @@ class SegmentSearcher:
             per_term.append((ords, flat, offs))
         return self._span_window_score(per_term, dl, mask, k, W,
                                        idf_sum, tie)
+
+    def _sig_text_partial(self, seg_dir: str,
+                          sig_sets: dict[str, np.ndarray],
+                          n_docs: int) -> pa.Table | None:
+        return _sig_text_scan(seg_dir, sig_sets, n_docs,
+                              self.p.get("codec", "varint"),
+                              self.p.get("block_size", 128))
+
+    def _span_ordered(self, terms, rows, dl, mask, k, slop, tie=None):
+        """In-order proximity scoring [Lucene SpanNearQuery
+        (inOrder=true) public semantics — the sloppy-phrase analog;
+        rule defined here and mirrored by the SQL oracle]: with
+        W = n_sequence_terms + slop, tf = number of first-term
+        occurrences p1 for which a strictly increasing chain
+        p1 < p2 < ... < pn of the remaining sequence terms (duplicates
+        kept, position order) exists inside [p1, p1+W-1]; existence of
+        such a chain == the greedy next-occurrence chain fits, which is
+        what the vectorized walk computes.  score = idf_sum (sequence
+        order, duplicates counted — the Lucene per-clause sum) *
+        tf-part.  Per chain step ONE searchsorted against the next
+        term's concatenated global position array — no per-doc loop."""
+        from opensearch_jvector_ray.postings import decode_positions
+        idf_sum = float(sum(w * idf for (_, w, idf) in terms))
+        W = len(terms) + int(slop)
+        decoded: dict[str, tuple] = {}
+        for (t, _, _) in terms:
+            if t in decoded:
+                continue
+            r = rows[t]
+            ords, tfs = decode_posting_list(
+                r["ords_enc"], r["tfs_enc"],
+                codec=self.p.get("codec", "varint"), df=r["df"],
+                block_size=self.p.get("block_size", 128),
+                blk_n=r.get("blk_n"))
+            flat, offs = decode_positions(r["pos_enc"], tfs)
+            decoded[t] = (ords, np.asarray(flat), np.asarray(offs))
+        common = None
+        for t in dict.fromkeys(t for (t, _, _) in terms):
+            o = decoded[t][0]
+            common = o if common is None else \
+                common[np.isin(common, o, assume_unique=True)]
+        if mask is not None and len(common):
+            common = common[mask[common]]
+        if not len(common):
+            return (np.zeros(0, dtype=np.int64),
+                    np.zeros(0, dtype=np.float64))
+        # global concatenated axis (base strictly separates docs)
+        seq = [decoded[t] for (t, _, _) in terms]
+        idxs = [np.searchsorted(d[0], common) for d in seq]
+        last = np.stack([d[1][d[2][ix + 1] - 1]
+                         for d, ix in zip(seq, idxs)])
+        slot = last.max(axis=0).astype(np.int64) + W + 2
+        base = np.concatenate(([0], np.cumsum(slot)[:-1]))
+
+        def _globals(d, ix):
+            _, flat, offs = d
+            lens = offs[ix + 1] - offs[ix]
+            n = int(lens.sum())
+            docslot = np.repeat(np.arange(len(common)), lens)
+            within = np.arange(n) - np.repeat(np.cumsum(lens) - lens,
+                                              lens)
+            g = flat[np.repeat(offs[ix], lens) + within] + base[docslot]
+            ends = np.cumsum(lens)          # end index per docslot
+            return g, docslot, ends
+
+        g1, docslot1, _ = _globals(seq[0], idxs[0])
+        cur = g1.astype(np.int64)
+        alive = np.ones(len(cur), dtype=bool)
+        for d, ix in zip(seq[1:], idxs[1:]):
+            g_i, _, ends_i = _globals(d, ix)
+            j = np.searchsorted(g_i, cur, side="right")
+            ok = j < ends_i[docslot1]
+            nxt = g_i[np.minimum(j, len(g_i) - 1)]
+            cur = np.where(ok, nxt, cur)
+            alive &= ok
+        hit = alive & (cur - g1 <= W - 1)
+        tf_all = np.bincount(docslot1[hit], minlength=len(common))
+        keep = tf_all > 0
+        if not keep.any():
+            return (np.zeros(0, dtype=np.int64),
+                    np.zeros(0, dtype=np.float64))
+        cand = common[keep].astype(np.int64)
+        tf = tf_all[keep].astype(np.float64)
+        sc = idf_sum * bm25_tf_part(tf, dl[cand], self.avgdl,
+                                    self.k1, self.b)
+        scores = np.zeros(len(dl), dtype=np.float64)
+        scores[cand] = sc
+        return _topk_from_scores(scores, cand, k, tie)
 
     def _span_window_score(self, per_term, dl, mask, k, W, idf_sum,
                            tie=None):
@@ -3911,6 +4065,47 @@ class IndexSearcher:
         m["score"] = np.round(m["score"].astype(np.float64), 6)
         return m.reset_index(drop=True)[cols]
 
+    def significant_text_agg(self, queries: dict[str, str],
+                             min_score: float, size: int = 10,
+                             concurrency: int | None = None
+                             ) -> pd.DataFrame:
+        """significant_text aggregation [OpenSearch significant_text
+        public semantics, JLH heuristic]: per query, the ANALYZED INDEX
+        TERMS over-represented in the match set vs the whole corpus —
+        the free-text sibling of significant_terms_agg.  Foreground
+        counts come from a per-segment postings scan
+        (``_sig_text_partial``: vocabulary-sized partials, fg_tot rides
+        the reserved '' row), background counts are the dictionary's
+        GLOBAL df, fg_tot = matched docs, bg_tot = n_docs_indexed.
+        score JLH = (fg% - bg%) * (fg% / bg%) — integer counts through
+        a fixed chain of IEEE double ops, so the SQL oracle is
+        bit-exact; ranked (raw score desc, term asc), top ``size``.
+        Query terms are NOT excluded (they legitimately dominate — the
+        OpenSearch default behavior)."""
+        fg = self._agg_fanout(queries, {"kind": "sig_text"}, min_score,
+                              None, concurrency)
+        cols = ["query_id", "term", "doc_count", "bg_count", "score"]
+        if fg.empty:
+            return pd.DataFrame(columns=cols)
+        fg_sum = (fg.groupby(["query_id", "term"], sort=False)
+                    ["doc_count"].sum().reset_index())
+        fgt = (fg_sum[fg_sum["term"] == ""]
+               .rename(columns={"doc_count": "fg_tot"})
+               [["query_id", "fg_tot"]])
+        m = fg_sum[fg_sum["term"] != ""].merge(fgt, on="query_id")
+        df_map = self.lookup_df(sorted(set(m["term"])))
+        m["bg_count"] = m["term"].map(df_map).astype(np.int64)
+        bg_tot = float(self.stats["n_docs_indexed"])
+        fgp = m["doc_count"].astype(np.float64) / m["fg_tot"]
+        bgp = m["bg_count"].astype(np.float64) / bg_tot
+        m["score"] = (fgp - bgp) * (fgp / bgp)
+        m = m.sort_values(["query_id", "score", "term"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+        m = m.groupby("query_id", sort=False).head(size)
+        m["score"] = np.round(m["score"].astype(np.float64), 6)
+        return m.reset_index(drop=True)[cols]
+
     def filters_agg(self, queries: dict[str, str],
                     filters: dict[str, dict], min_score: float,
                     concurrency: int | None = None) -> pd.DataFrame:
@@ -4774,10 +4969,11 @@ class IndexSearcher:
                 raise ValueError("negative_boost must be in (0, 1]")
         if slop < 0:
             raise ValueError("slop must be >= 0")
-        if slop and mode not in ("span", "span_or", "span_within",
-                                 "span_containing"):
+        if slop and mode not in ("span", "span_or", "span_ordered",
+                                 "span_within", "span_containing"):
             raise ValueError("slop applies to mode='span'/'span_or'/"
-                             "'span_within'/'span_containing' only")
+                             "'span_ordered'/'span_within'/"
+                             "'span_containing' only")
         if (span_not_pre or span_not_post) and mode != "span_not":
             raise ValueError("span_not_pre/post apply to "
                              "mode='span_not' only")
@@ -4866,7 +5062,8 @@ class IndexSearcher:
         else:
             prepared, union = self._prepare(queries, k_fetch,
                                             phrase=(mode in ("phrase",
-                                                             "span")),
+                                                             "span",
+                                                             "span_ordered")),
                                             boolean=(mode == "boolean"),
                                             term_weights=term_weights)
         neg_terms = None

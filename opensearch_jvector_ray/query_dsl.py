@@ -62,9 +62,11 @@ Supported bodies (one top-level clause per query):
     {"boosting":   {"positive": "...", "negative": "...",
                     "negative_boost": f, "k": 10}}
                  # negative-clause demotion (multiply)
-    {"span_near":    {"query": "...", "k": 10, "slop": n}}
-                 # unordered proximity: all terms within a width
-                 # (n_terms + slop) window on the position axis
+    {"span_near":    {"query": "...", "k": 10, "slop": n,
+                      "in_order": bool}}
+                 # proximity: all terms within a width (n_terms + slop)
+                 # window; in_order additionally requires a strictly
+                 # increasing chain in query-sequence order
     {"span_first":   {"query": "...", "end": n, "k": 10}}
                  # occurrences count only in the first n positions
     {"span_or":      {"query": "fast|quick merge", "slop": n, "k": 10}}
@@ -76,6 +78,8 @@ Supported bodies (one top-level clause per query):
                  # little occurrences covered by a valid big window
     {"span_containing": {"query": "little big1 big2", "slop": n,
                       "k": 10}}  # big windows that also hold little
+    {"significant_text": {"query": "...", "min_score": f, "size": n}}
+                 # JLH over the ANALYZED index terms of the match set
     {"cardinality":  {"query": "...", "field": col, "min_score": f}}
     {"percentiles":  {"query": "...", "field": col, "min_score": f,
                       "percents": [0.25, 0.5, ...]}}
@@ -505,14 +509,17 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
                 "negative": spec["negative"], "negative_boost": nb,
                 "k": int(spec.get("k", 10))}
     if clause == "span_near":
-        _require_known(clause, spec, {"query", "k", "slop"})
+        _require_known(clause, spec, {"query", "k", "slop", "in_order"})
         if not isinstance(spec.get("query"), str) or not spec["query"]:
             raise ValueError("[span_near] needs a non-empty 'query'")
         slop = int(spec.get("slop", 0))
         if slop < 0:
             raise ValueError("[span_near] slop must be >= 0")
+        if not isinstance(spec.get("in_order", False), bool):
+            raise ValueError("[span_near] in_order must be a bool")
         return {"type": "span_near", "query": spec["query"],
-                "k": int(spec.get("k", 10)), "slop": slop}
+                "k": int(spec.get("k", 10)), "slop": slop,
+                "in_order": bool(spec.get("in_order", False))}
     if clause == "function_score":
         _require_known(clause, spec, _FSCORE_FIELDS)
         if not isinstance(spec.get("query"), str) or not spec["query"]:
@@ -584,6 +591,16 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
                 raise ValueError("[histogram] needs a positive 'interval'")
             out["interval"] = float(spec["interval"])
         return out
+    if clause == "significant_text":
+        _require_known(clause, spec, {"query", "min_score", "size"})
+        if not isinstance(spec.get("query"), str) or not spec["query"]:
+            raise ValueError("[significant_text] needs a non-empty "
+                             "'query'")
+        if "min_score" not in spec:
+            raise ValueError("[significant_text] needs 'min_score'")
+        return {"type": "significant_text", "query": spec["query"],
+                "min_score": float(spec["min_score"]),
+                "size": int(spec.get("size", 10))}
     if clause in ("cardinality", "percentiles", "significant_terms",
                   "filters_agg", "terms_stats", "composite"):
         allowed = {"cardinality": _CARD_FIELDS,
@@ -1254,6 +1271,12 @@ def execute_query(body: dict[str, Any], *, searcher=None, vector_ds=None,
         return searcher.significant_terms_agg(
             {query_id: spec["query"]}, field=spec["field"],
             min_score=spec["min_score"], size=spec["size"])
+    if spec["type"] == "significant_text":
+        if searcher is None:
+            raise ValueError("[significant_text] needs searcher=")
+        return searcher.significant_text_agg(
+            {query_id: spec["query"]},
+            min_score=spec["min_score"], size=spec["size"])
     if spec["type"] == "filters_agg":
         if searcher is None:
             raise ValueError("[filters_agg] needs searcher=")
@@ -1527,7 +1550,9 @@ def execute_query(body: dict[str, Any], *, searcher=None, vector_ds=None,
         if searcher is None:
             raise ValueError("[span_near] needs searcher=")
         return searcher.search({query_id: spec["query"]}, k=spec["k"],
-                               mode="span", slop=spec["slop"])
+                               mode=("span_ordered" if spec["in_order"]
+                                     else "span"),
+                               slop=spec["slop"])
     if spec["type"] == "function_score":
         if searcher is None:
             raise ValueError("[function_score] needs searcher=")

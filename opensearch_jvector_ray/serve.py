@@ -203,6 +203,7 @@ class SegmentShardActor:
                 from opensearch_jvector_ray.query import _filters_masks
                 seg_agg = {**agg, "_masks": _filters_masks(
                     seg["docs"], agg["filters"])}
+            sig_sets: dict[str, np.ndarray] = {}
             for q in queries:
                 scores = np.zeros(n_docs, dtype=np.float64)
                 any_term = False
@@ -223,8 +224,16 @@ class SegmentShardActor:
                 # contract that top_hits partials rely on
                 ords_s, sc_s = _topk_from_scores(scores, cand,
                                                  len(cand), seg["tie"])
+                if agg["kind"] == "sig_text":
+                    # one postings scan per segment serves all queries
+                    sig_sets[q["query_id"]] = ords_s
+                    continue
                 parts.append(_agg_partial(seg_agg, seg["docs"], ords_s,
                                           q["query_id"], scores=sc_s))
+            if agg["kind"] == "sig_text" and sig_sets:
+                from opensearch_jvector_ray.query import _sig_text_scan
+                parts.append(_sig_text_scan(seg["dir"], sig_sets, n_docs,
+                                            cfg.codec, cfg.block_size))
         parts = [p for p in parts if p is not None and p.num_rows]
         return pa.concat_tables(parts) if parts else None
 
@@ -371,6 +380,7 @@ class _ServedAggSearcher:
     cardinality_agg = _IS.cardinality_agg
     percentiles_agg = _IS.percentiles_agg
     significant_terms_agg = _IS.significant_terms_agg
+    significant_text_agg = _IS.significant_text_agg
     filters_agg = _IS.filters_agg
     terms_stats_agg = _IS.terms_stats_agg
     composite_agg = _IS.composite_agg

@@ -129,6 +129,107 @@ def test_span_wc_dsl_identity(idx):
     assert list(via_c["doc_id"]) == list(direct_c["doc_id"])
 
 
+def _brute_ordered(words: list[str], slop: int) -> dict[int, float]:
+    """tf = first-term positions p1 with a strictly increasing chain of
+    the remaining sequence terms inside [p1, p1+W-1] (0-based)."""
+    W = len(words) + slop
+    isum = sum(_idf(w) for w in words)
+    res = {}
+    for i, tk in enumerate(TOKS):
+        def chain(j: int, prev: int, p1: int) -> bool:
+            if j == len(words):
+                return True
+            return any(chain(j + 1, p, p1)
+                       for p in range(prev + 1, p1 + W)
+                       if p < len(tk) and tk[p] == words[j])
+        tf = sum(1 for p1, x in enumerate(tk)
+                 if x == words[0] and chain(1, p1, p1))
+        if tf:
+            res[i] = round(isum * _tf_part(float(tf), DL[i]), 6)
+    return res
+
+
+@pytest.mark.parametrize("q,slop", [("alpha beta", 1), ("gamma delta", 2),
+                                    ("eps zeta eta", 3),
+                                    ("alpha alpha", 2)])
+def test_span_ordered_brute_force(idx, q, slop):
+    s = IndexSearcher(idx)
+    words = q.split()
+    want = _brute_ordered(words, slop)
+    assert want, f"degenerate case {q!r}"
+    out = s.search({"q": q}, k=N, mode="span_ordered", slop=slop)
+    got = {int(d): round(float(v), 6)
+           for d, v in zip(out["doc_id"], out["score"])}
+    assert got == want
+
+
+def test_span_ordered_is_order_sensitive(idx):
+    # the ordered match set is a subset of the unordered one, and the
+    # reversed query must differ somewhere on this corpus
+    s = IndexSearcher(idx)
+    fwd = s.search({"q": "alpha beta"}, k=N, mode="span_ordered", slop=1)
+    rev = s.search({"q": "beta alpha"}, k=N, mode="span_ordered", slop=1)
+    unord = s.search({"q": "alpha beta"}, k=N, mode="span", slop=1)
+    assert set(fwd["doc_id"]) <= set(unord["doc_id"])
+    pairs = lambda df: {(int(d), round(float(v), 6))
+                        for d, v in zip(df["doc_id"], df["score"])}
+    assert pairs(fwd) != pairs(rev)
+
+
+def test_span_ordered_dsl_in_order(idx):
+    s = IndexSearcher(idx)
+    direct = s.search({"q": "alpha beta"}, k=10, mode="span_ordered",
+                      slop=1)
+    via = execute_query({"span_near": {"query": "alpha beta", "slop": 1,
+                                       "in_order": True, "k": 10}},
+                        searcher=s)
+    assert list(via["doc_id"]) == list(direct["doc_id"])
+    assert list(via["score"]) == list(direct["score"])
+    # in_order=False keeps routing to the unordered mode
+    via_u = execute_query({"span_near": {"query": "alpha beta",
+                                         "slop": 1, "k": 10}},
+                          searcher=s)
+    direct_u = s.search({"q": "alpha beta"}, k=10, mode="span", slop=1)
+    assert list(via_u["doc_id"]) == list(direct_u["doc_id"])
+    with pytest.raises(ValueError, match="in_order"):
+        parse_query({"span_near": {"query": "a b", "in_order": 1}})
+
+
+def test_significant_text_jlh_brute(idx):
+    # significant_text: JLH over analyzed index terms of the match set
+    # vs the corpus (fg_tot = matched docs, bg = global df, bg_tot = N)
+    s = IndexSearcher(idx)
+    ms = 1e-9
+    hits = s.search({"q": "alpha delta"}, min_score=ms)
+    matched = set(int(d) for d in hits["doc_id"])
+    assert 0 < len(matched) < N
+    fg_tot = float(len(matched))
+    want = {}
+    for t in VOCAB:
+        fg = sum(1 for d in matched if t in TOKS[d])
+        bg = sum(1 for tk in TOKS if t in tk)
+        if fg:
+            fgp, bgp = fg / fg_tot, bg / float(N)
+            want[t] = (round((fgp - bgp) * (fgp / bgp), 6), fg, bg)
+    out = s.significant_text_agg({"q": "alpha delta"}, min_score=ms,
+                                 size=len(VOCAB))
+    got = {r.term: (float(r.score), int(r.doc_count), int(r.bg_count))
+           for r in out.itertuples()}
+    assert got == want
+    # ranked (score desc, term asc) and the size cap truncates
+    sc = list(out["score"])
+    assert sc == sorted(sc, reverse=True)
+    out2 = s.significant_text_agg({"q": "alpha delta"}, min_score=ms,
+                                  size=2)
+    assert len(out2) == 2
+    assert list(out2["term"]) == list(out["term"][:2])
+    via = execute_query({"significant_text": {"query": "alpha delta",
+                                              "min_score": ms,
+                                              "size": 2}}, searcher=s)
+    assert list(via["term"]) == list(out2["term"])
+    assert list(via["score"]) == list(out2["score"])
+
+
 def test_span_wc_validation(idx):
     s = IndexSearcher(idx)
     with pytest.raises(ValueError, match="little"):

@@ -310,6 +310,7 @@ def test_warm_agg_facade_matches_batch_path(idx):
                                      min_score=ms)),
             ("significant_terms_agg", dict(field="role", min_score=ms,
                                            size=3)),
+            ("significant_text_agg", dict(min_score=ms, size=5)),
             ("filters_agg", dict(filters={"u": {"term":
                                                 {"role": "user"}}},
                                  min_score=ms)),
