@@ -79,6 +79,9 @@ from opensearch_jvector_ray.sources.tables import (
 )
 
 CFG = DOCUMENTS_CFG
+from opensearch_jvector_ray.sources.tables import (          # noqa: E402
+    DOCUMENTS_STEM_CFG as _STEM_CFG,
+)
 
 # fixed reference query set over the documents corpus (vocabulary drawn
 # from the corpus itself; q3 mixes stopwords to exercise the stop filter)
@@ -300,6 +303,21 @@ SPAN_WC_SLOP = 3
 SPAN_ORD_QUERIES = {"sq1": "fast sort", "sq2": "data join",
                     "sq3": "customer scan"}
 SPAN_ORD_SLOP = 3
+# queries whose terms actually stem (plural forms) so the stemmed gate
+# is non-trivial: "merges" matches docs saying "merge"/"merges" etc.
+STEM_QUERIES = {"st1": "merges sorts", "st2": "queries data",
+                "st3": "customers values"}
+
+
+def _q_bm25_stemmed(sf_dir: str) -> pd.DataFrame:
+    # minimal-english s-stemmer analyzer (Lucene EnglishMinimalStemFilter
+    # shape): plural query forms match singular docs and vice versa;
+    # BOTH sides run the stop->stem chain (oracle stems inside toks_cte)
+    from opensearch_jvector_ray.sources.tables import (
+        documents_index_stemmed,
+    )
+    s = IndexSearcher(documents_index_stemmed(sf_dir))
+    return _round_hits(s.search(STEM_QUERIES, k=BM25_K))
 
 
 def _q_bm25_span_ordered(sf_dir: str) -> pd.DataFrame:
@@ -2461,6 +2479,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_span_within": _q_bm25_span_within,
         "bm25_span_containing": _q_bm25_span_containing,
         "bm25_span_ordered": _q_bm25_span_ordered,
+        "bm25_stemmed": _q_bm25_stemmed,
         "bm25_matched_queries": _q_bm25_matched_queries,
         "bm25_scripted_metric": _q_bm25_scripted_metric,
         "bm25_indices_boost": _q_bm25_indices_boost,
@@ -2900,6 +2919,8 @@ def oracle_sql() -> dict[str, str]:
             SPAN_WC_QUERIES, BM25_K, CFG, slop=SPAN_WC_SLOP),
         "bm25_span_ordered": span_ordered_sql(SPAN_ORD_QUERIES, BM25_K,
                                               CFG, slop=SPAN_ORD_SLOP),
+        "bm25_stemmed": bm25_sql(STEM_QUERIES, BM25_K,
+                                 _STEM_CFG),
         "bm25_matched_queries": matched_queries_sql(
             MATCHED_Q_SPECS, BM25_K, CFG),
         "bm25_scripted_metric": _scripted_metric_oracle(),

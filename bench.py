@@ -198,6 +198,16 @@ def run_bench() -> dict:
 
     timed("query_aggs3_35", do_new2)
 
+    # -- phase 3a2: round-14 surface (ordered spans + significant_text) ---
+    def do_new3():
+        searcher.search({f"s{i}": "data model search" for i in range(5)},
+                        k=10, mode="span_ordered", slop=3)
+        searcher.search({f"w{i}": "search data model" for i in range(5)},
+                        k=10, mode="span_within", slop=3)
+        searcher.significant_text_agg(agg5, min_score=0.3, size=10)
+
+    timed("query_spans_sigtext_15", do_new3)
+
     # -- phase 3b: persistent serving (warm actors + postings cache) ------
     from opensearch_jvector_ray.serve import SearchService
     svc = SearchService(merged_dir, num_shards=min(8, NUM_CPUS))

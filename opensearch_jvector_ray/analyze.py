@@ -35,6 +35,13 @@ import pyarrow.compute as pc
 
 from opensearch_jvector_ray.config import EngineConfig
 
+# the minimal-english s-stemmer rule (Lucene EnglishMinimalStemmer.stem
+# public semantics) as ONE RE2 pattern: final 's' dropped iff the token
+# has >= 2 preceding chars and the char before the 's' is not 'u'/'s'.
+# Shared verbatim by the engine (pyarrow replace_substring_regex) and
+# the DuckDB oracle (regexp_replace) — verified char-identical on both.
+STEM_PATTERN = r"^(..*[^us])s$"
+
 
 @dataclass
 class TokenStream:
@@ -88,6 +95,15 @@ def tokenize(texts: pa.Array | pa.ChunkedArray, cfg: EngineConfig) -> TokenStrea
         flat = flat.filter(pa.array(keep))
         parents = parents[keep]
         positions = positions[keep]
+
+    if cfg.stemmer == "minimal_english":
+        # Lucene EnglishMinimalStemFilter (Harman s-stemmer): strip a
+        # final 's' iff len >= 3 and the preceding char is not 'u'/'s'.
+        # Applied AFTER the stop filter (Lucene's stop->stem chain
+        # order); ONE RE2 pass, the pattern is STEM_PATTERN shared
+        # verbatim with the DuckDB oracle (oracles.toks_cte).
+        flat = pc.replace_substring_regex(
+            flat, pattern=STEM_PATTERN, replacement=r"\1")
 
     doc_len = np.bincount(parents, minlength=n_docs).astype(np.int32)
     # int32 throughout: a segment holds < 2^31 docs by construction, and

@@ -51,6 +51,11 @@ class EngineConfig:
     split_pattern: str = DEFAULT_SPLIT_PATTERN
     stopwords: tuple[str, ...] = LUCENE_ENGLISH_STOPWORDS
     with_positions: bool = True
+    stemmer: str = ""              # "" | "minimal_english" (the Lucene
+                                   # EnglishMinimalStemFilter s-stemmer,
+                                   # applied AFTER the stop filter; the
+                                   # rule is one RE2 regexp shared
+                                   # verbatim with the DuckDB oracle)
 
     # --- BM25 (Lucene BM25Similarity form: idf * tf/(tf+k1*(1-b+b*dl/avgdl))) ---
     k1: float = 1.2
@@ -89,6 +94,9 @@ class EngineConfig:
             raise ValueError(f"default_k must be in [1,{self.max_k}]")
         if self.codec not in ("varint", "pfor"):
             raise ValueError(f"codec must be 'varint' or 'pfor', got {self.codec!r}")
+        if self.stemmer not in ("", "minimal_english"):
+            raise ValueError(f"stemmer must be '' or 'minimal_english', "
+                             f"got {self.stemmer!r}")
         object.__setattr__(self, "stopwords", tuple(self.stopwords))
 
     # -- serialization (manifests record the exact config that built a segment)

@@ -29,16 +29,23 @@ def stoplist_sql(cfg: EngineConfig) -> str:
 
 def toks_cte(cfg: EngineConfig, table: str = "documents",
              id_col: str = "doc_id", text_col: str = "text") -> str:
-    """Shared CTE prefix: tok0 (all non-empty tokens) and toks (post-stop)."""
+    """Shared CTE prefix: tok0 (all non-empty tokens) and toks
+    (post-stop, then optionally stemmed — analyze.tokenize's exact
+    stop->stem chain order, STEM_PATTERN shared verbatim)."""
+    from opensearch_jvector_ray.analyze import STEM_PATTERN
     pat = sql_quote(cfg.split_pattern)
     stop = stoplist_sql(cfg)
+    term_expr = "term"
+    if cfg.stemmer == "minimal_english":
+        term_expr = (f"regexp_replace(term, {sql_quote(STEM_PATTERN)}, "
+                     f"'\\1')")
     return f"""
 tok0 AS (
   SELECT {id_col}, unnest(regexp_split_to_array(lower({text_col}), {pat})) AS term
   FROM {table}
 ),
 toks AS (
-  SELECT {id_col}, term FROM tok0
+  SELECT {id_col}, {term_expr} AS term FROM tok0
   WHERE term <> '' AND NOT list_contains({stop}, term)
 )"""
 

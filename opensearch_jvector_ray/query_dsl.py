@@ -67,6 +67,9 @@ Supported bodies (one top-level clause per query):
                  # proximity: all terms within a width (n_terms + slop)
                  # window; in_order additionally requires a strictly
                  # increasing chain in query-sequence order
+    {"intervals":    {"query": "...", "max_gaps": n, "ordered": bool,
+                      "k": 10}}  # match-source subset; sugar over
+                                 # span_near (max_gaps == slop)
     {"span_first":   {"query": "...", "end": n, "k": 10}}
                  # occurrences count only in the first n positions
     {"span_or":      {"query": "fast|quick merge", "slop": n, "k": 10}}
@@ -591,6 +594,22 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
                 raise ValueError("[histogram] needs a positive 'interval'")
             out["interval"] = float(spec["interval"])
         return out
+    if clause == "intervals":
+        # OpenSearch intervals query, the match-source subset: ordered /
+        # unordered proximity with max_gaps — sugar over the span_near
+        # machinery (max_gaps == slop; W = n_terms + max_gaps)
+        _require_known(clause, spec, {"query", "k", "max_gaps",
+                                      "ordered"})
+        if not isinstance(spec.get("query"), str) or not spec["query"]:
+            raise ValueError("[intervals] needs a non-empty 'query'")
+        mg = int(spec.get("max_gaps", 0))
+        if mg < 0:
+            raise ValueError("[intervals] max_gaps must be >= 0")
+        if not isinstance(spec.get("ordered", False), bool):
+            raise ValueError("[intervals] ordered must be a bool")
+        return {"type": "span_near", "query": spec["query"],
+                "k": int(spec.get("k", 10)), "slop": mg,
+                "in_order": bool(spec.get("ordered", False))}
     if clause == "significant_text":
         _require_known(clause, spec, {"query", "min_score", "size"})
         if not isinstance(spec.get("query"), str) or not spec["query"]:

