@@ -63,6 +63,7 @@ from opensearch_jvector_ray.oracles import (
     pack_chunks_sql, phrase_sql,
     pricing_summary_sql, quality_sql, repetition_sql, term_stats_sql,
     token_count_sql, conversation_sql, turn_dedup_sql, lm_xent_sql,
+    context_pairs_sql, validate_conversations_sql,
     lm_xent_transfer_sql,
 )
 from opensearch_jvector_ray.pipelines import dedup as dedup_pl
@@ -2288,6 +2289,28 @@ def _q_conversation_assemble(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("conv_id").reset_index(drop=True)
 
 
+CONTEXT_PAIR_TURNS = 4
+
+
+def _q_context_pairs(sf_dir: str) -> pd.DataFrame:
+    # SFT pair extraction: per assistant turn, the preceding-K-turns
+    # context + the response (positional window, ONE conv_id shuffle)
+    from opensearch_jvector_ray.sources.tables import transcripts_path
+    ds = rd.read_parquet(transcripts_path(sf_dir))
+    out = tr_pl.context_response_pairs(
+        ds, max_context_turns=CONTEXT_PAIR_TURNS).to_pandas()
+    return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+def _q_conversation_validate(sf_dir: str) -> pd.DataFrame:
+    # conversation well-formedness: starts_user AND has_assistant AND
+    # no consecutive same-role turns (tool turns break naive zig-zag)
+    from opensearch_jvector_ray.sources.tables import transcripts_path
+    ds = rd.read_parquet(transcripts_path(sf_dir))
+    out = tr_pl.validate_conversations(ds).to_pandas()
+    return out.sort_values("conv_id").reset_index(drop=True)
+
+
 def _q_lm_xent_transfer(sf_dir: str) -> pd.DataFrame:
     # the train-on-A-score-B (OOV) path under a HARD gate: LM trained on
     # the documents corpus scores every transcript turn
@@ -2600,6 +2623,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_xent_transfer": _q_lm_xent_transfer,
         # transcript-corpus assembly / unit dedup (input_hint shape)
         "conversation_assemble": _q_conversation_assemble,
+        "context_pairs": _q_context_pairs,
+        "conversation_validate": _q_conversation_validate,
         "conversations_bm25": _q_conversations_bm25,
         "turn_dedup": _q_turn_dedup,
         "tool_usage_stats": _q_tool_usage,
@@ -3118,6 +3143,10 @@ def oracle_sql() -> dict[str, str]:
         "lm_xent": lm_xent_sql(CFG),
         "lm_xent_transfer": lm_xent_transfer_sql(CFG, _transcript_arms()),
         "conversation_assemble": conversation_sql(_transcript_arms()),
+        "context_pairs": context_pairs_sql(_transcript_arms(),
+                                           CONTEXT_PAIR_TURNS),
+        "conversation_validate": validate_conversations_sql(
+            _transcript_arms()),
         "conversations_bm25": _conversations_bm25_oracle(),
         "tool_usage_stats": tool_usage_sql(_transcript_arms()),
         "turn_dedup": _turn_dedup_oracle(),

@@ -191,7 +191,7 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--op", required=True,
                     choices=["clean", "sample", "split", "mix", "pack",
                              "lm-score", "turn-dedup", "assemble",
-                             "chunk", "keywords"])
+                             "chunk", "keywords", "pairs", "validate"])
     cp.add_argument("--rate", type=float, default=0.1)
     cp.add_argument("--salt", default="")
     cp.add_argument("--splits", default="train=0.8,val=0.1,test=0.1")
@@ -204,6 +204,8 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--source-col", default="source")
     cp.add_argument("--min-tokens", type=int, default=5)
     cp.add_argument("--chunk-tokens", type=int, default=512)
+    cp.add_argument("--context-turns", type=int, default=4,
+                    help="preceding-turn window for --op pairs")
     cp.add_argument("--overlap", type=int, default=64)
     cp.add_argument("--keywords-k", type=int, default=3)
     cp.add_argument("--kw-index", default=None,
@@ -484,6 +486,17 @@ def main(argv: list[str] | None = None) -> int:
             elif args.op == "turn-dedup":
                 from opensearch_jvector_ray.pipelines.transcripts import turn_dedup
                 out = turn_dedup(ds, cfg)
+            elif args.op == "pairs":
+                from opensearch_jvector_ray.pipelines.transcripts import (
+                    context_response_pairs,
+                )
+                out = context_response_pairs(
+                    ds, max_context_turns=args.context_turns)
+            elif args.op == "validate":
+                from opensearch_jvector_ray.pipelines.transcripts import (
+                    validate_conversations,
+                )
+                out = validate_conversations(ds)
             else:  # assemble
                 from opensearch_jvector_ray.pipelines.transcripts import (
                     assemble_conversations,

@@ -3577,6 +3577,59 @@ FROM transcripts GROUP BY conv_id ORDER BY conv_id
 """
 
 
+def context_pairs_sql(arms: list[tuple[str, int]],
+                      max_context_turns: int) -> str:
+    """Oracle for transcripts.context_response_pairs: the context window
+    is POSITIONAL (row_number order within the conversation), expressed
+    as a windowed string_agg with a ROWS BETWEEN K PRECEDING AND 1
+    PRECEDING frame — DuckDB aggregates the frame in ascending frame
+    order, the engine's turn order."""
+    K = int(max_context_turns)
+    cte = transcripts_arms_cte(arms, "conv_id, turn_idx, role, text")
+    return f"""
+WITH {cte},
+ordered AS (
+  SELECT conv_id, turn_idx, role, text,
+         string_agg(role || ': ' || text, chr(10)) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN {K} PRECEDING AND 1 PRECEDING) AS context,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY turn_idx) AS rn
+  FROM transcripts
+)
+SELECT conv_id, turn_idx::BIGINT AS turn_idx, context,
+       text AS response
+FROM ordered
+WHERE role = 'assistant' AND rn > 1
+ORDER BY conv_id, turn_idx
+"""
+
+
+def validate_conversations_sql(arms: list[tuple[str, int]]) -> str:
+    """Oracle for transcripts.validate_conversations: lag window +
+    bool_or (NULL prev_role on a conversation's first row is ignored by
+    bool_or, matching the engine's ~new mask)."""
+    cte = transcripts_arms_cte(arms, "conv_id, turn_idx, role")
+    return f"""
+WITH {cte},
+ordered AS (
+  SELECT conv_id, role,
+         row_number() OVER w AS rn,
+         lag(role) OVER w AS prev_role
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id, count(*)::BIGINT AS n_turns,
+       bool_or(rn = 1 AND role = 'user') AS starts_user,
+       bool_or(role = 'assistant') AS has_assistant,
+       NOT coalesce(bool_or(role = prev_role), false) AS no_role_repeat,
+       (bool_or(rn = 1 AND role = 'user')
+        AND bool_or(role = 'assistant')
+        AND NOT coalesce(bool_or(role = prev_role), false)) AS valid
+FROM ordered GROUP BY conv_id ORDER BY conv_id
+"""
+
+
 def turn_dedup_sql(arms: list[tuple[str, int]], cfg: EngineConfig,
                    plant_every: int | None = None) -> str:
     """Oracle for plant_duplicate_turns >> turn_dedup: same planting rule

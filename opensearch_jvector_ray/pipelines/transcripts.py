@@ -90,6 +90,124 @@ def assemble_conversations(ds: "rd.Dataset",
     return hash_copartition(prepped, "conv_id", bucket, num_parts)
 
 
+def context_response_pairs(ds: "rd.Dataset",
+                           max_context_turns: int = 4,
+                           num_parts: int = 64) -> "rd.Dataset":
+    """SFT training-pair extraction over the input_hint transcript
+    shape: one (conv_id, turn_idx, context, response) row per ASSISTANT
+    turn with >= 1 preceding turn — ``context`` = the "role: text"
+    lines of the preceding min(max_context_turns, position) turns in
+    turn order joined by \\n, ``response`` = the assistant turn's text.
+    The window is POSITIONAL (preceding turns by turn order), not
+    turn_idx arithmetic, so gaps in turn_idx don't shrink it.
+
+    ONE shuffle keyed on conv_id (``hash_copartition``); per-bucket
+    work is a lexsort + ragged window gather + ListArray
+    ``binary_join`` — no per-conversation Python.  Oracle:
+    ``oracles.context_pairs_sql`` (windowed string_agg with a ROWS
+    BETWEEN K PRECEDING AND 1 PRECEDING frame — DuckDB aggregates the
+    frame in ascending order, the engine's turn order)."""
+    K = int(max_context_turns)
+    if K < 1:
+        raise ValueError("max_context_turns must be >= 1")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        role = batch["role"]
+        if isinstance(role, pa.ChunkedArray):
+            role = role.combine_chunks()
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        return pa.table({
+            "conv_id": batch["conv_id"],
+            "turn_idx": batch["turn_idx"],
+            "role": role,
+            "text": text,
+            "line": pc.binary_join_element_wise(role, text, ": "),
+        })
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        conv = df["conv_id"].to_numpy()
+        order = np.lexsort((df["turn_idx"].to_numpy(), conv))
+        conv = conv[order]
+        turn = df["turn_idx"].to_numpy()[order]
+        role = df["role"].to_numpy()[order]
+        text = df["text"].to_numpy()[order]
+        lines = pa.array(df["line"].to_numpy()[order], type=pa.string())
+        n = len(conv)
+        new = np.ones(n, dtype=bool)
+        new[1:] = conv[1:] != conv[:-1]
+        starts = np.flatnonzero(new)
+        conv_start = np.repeat(starts,
+                               np.diff(np.append(starts, n)))
+        idx = np.arange(n, dtype=np.int64)
+        sel = np.flatnonzero((role == "assistant") & (idx > conv_start))
+        if not len(sel):
+            return pd.DataFrame({"conv_id": [], "turn_idx": [],
+                                 "context": [], "response": []})
+        lo = np.maximum(conv_start[sel], sel - K)
+        lens = sel - lo
+        total = int(lens.sum())
+        within = np.arange(total) - np.repeat(np.cumsum(lens) - lens,
+                                              lens)
+        flat_idx = np.repeat(lo, lens) + within
+        offsets = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
+        ctx = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets),
+                                     lines.take(pa.array(flat_idx))),
+            SEP)
+        return pd.DataFrame({
+            "conv_id": conv[sel],
+            "turn_idx": turn[sel].astype(np.int64),
+            "context": ctx.to_pandas(),
+            "response": text[sel],
+        })
+
+    prepped = ds.select_columns(["conv_id", "turn_idx", "role", "text"]) \
+                .map_batches(prep, batch_format="pyarrow")
+    return hash_copartition(prepped, "conv_id", bucket, num_parts)
+
+
+def validate_conversations(ds: "rd.Dataset",
+                           num_parts: int = 64) -> "rd.Dataset":
+    """Conversation well-formedness validation (the filter an LLM
+    training pipeline runs before assembly): one row per conversation
+    with (n_turns, starts_user, has_assistant, no_role_repeat, valid) —
+    valid = first turn is 'user' AND >= 1 'assistant' turn AND no two
+    consecutive turns share a role (tool interleaves break alternation,
+    which is why the naive user/assistant zig-zag rule is wrong here).
+    ONE conv_id shuffle; per-bucket work is a lexsort + three reduceat
+    segment reductions.  Oracle: ``oracles.validate_conversations_sql``
+    (lag window + bool_or — NULL prev_role on the first row is ignored
+    by bool_or on both sides)."""
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        conv = df["conv_id"].to_numpy()
+        order = np.lexsort((df["turn_idx"].to_numpy(), conv))
+        conv = conv[order]
+        role = df["role"].to_numpy()[order]
+        n = len(conv)
+        new = np.ones(n, dtype=bool)
+        new[1:] = conv[1:] != conv[:-1]
+        starts = np.flatnonzero(new)
+        n_turns = np.diff(np.append(starts, n)).astype(np.int64)
+        starts_user = role[starts] == "user"
+        has_asst = np.logical_or.reduceat(role == "assistant", starts)
+        rep = np.zeros(n, dtype=bool)
+        rep[1:] = (role[1:] == role[:-1]) & ~new[1:]
+        no_repeat = ~np.logical_or.reduceat(rep, starts)
+        return pd.DataFrame({
+            "conv_id": conv[starts],
+            "n_turns": n_turns,
+            "starts_user": starts_user,
+            "has_assistant": has_asst,
+            "no_role_repeat": no_repeat,
+            "valid": starts_user & has_asst & no_repeat,
+        })
+
+    prepped = ds.select_columns(["conv_id", "turn_idx", "role"])
+    return hash_copartition(prepped, "conv_id", bucket, num_parts)
+
+
 def plant_duplicate_turns(ds: "rd.Dataset",
                           plant_every: int = PLANT_EVERY) -> "rd.Dataset":
     """Deterministic duplicate planting (the embedding_near_dups trick):

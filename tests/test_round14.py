@@ -285,6 +285,68 @@ def test_stemmed_index_matches_plurals(idx, tmp_path):
     assert EngineConfig().stemmer == ""
 
 
+TURNS = [
+    # conv A: clean user/assistant with a tool interleave, gappy idx
+    ("A", 0, "user", "hi"), ("A", 2, "assistant", "hello"),
+    ("A", 5, "user", "run it"), ("A", 6, "tool", "ran"),
+    ("A", 9, "assistant", "done"),
+    # conv B: starts with assistant (invalid), alternates
+    ("B", 0, "assistant", "preamble"), ("B", 1, "user", "q"),
+    ("B", 2, "assistant", "a"),
+    # conv C: consecutive same-role (invalid), no assistant
+    ("C", 0, "user", "x"), ("C", 1, "user", "y"), ("C", 2, "tool", "z"),
+    # conv D: single turn
+    ("D", 0, "user", "solo"),
+]
+
+
+def _turns_ds():
+    return rd.from_arrow(pa.table({
+        "conv_id": pa.array([t[0] for t in TURNS]),
+        "turn_idx": pa.array([t[1] for t in TURNS], type=pa.int32()),
+        "role": pa.array([t[2] for t in TURNS]),
+        "text": pa.array([t[3] for t in TURNS]),
+    }))
+
+
+def test_context_response_pairs_positional_window():
+    from opensearch_jvector_ray.pipelines.transcripts import (
+        context_response_pairs,
+    )
+    out = (context_response_pairs(_turns_ds(), max_context_turns=2)
+           .to_pandas().sort_values(["conv_id", "turn_idx"])
+           .reset_index(drop=True))
+    got = {(r.conv_id, int(r.turn_idx)): (r.context, r.response)
+           for r in out.itertuples()}
+    # the window is POSITIONAL: A@9's context is turns 5 and 6 even
+    # though their turn_idx values are 3-4 behind
+    assert got == {
+        ("A", 2): ("user: hi", "hello"),
+        ("A", 9): ("user: run it\ntool: ran", "done"),
+        ("B", 2): ("assistant: preamble\nuser: q", "a"),
+        # B@0 has no preceding turn -> no pair; C/D have no qualifying
+        # assistant turns
+    }
+    with pytest.raises(ValueError, match="max_context_turns"):
+        context_response_pairs(_turns_ds(), max_context_turns=0)
+
+
+def test_validate_conversations_rules():
+    from opensearch_jvector_ray.pipelines.transcripts import (
+        validate_conversations,
+    )
+    out = (validate_conversations(_turns_ds()).to_pandas()
+           .sort_values("conv_id").reset_index(drop=True))
+    rows = {r.conv_id: r for r in out.itertuples()}
+    assert rows["A"].valid and rows["A"].n_turns == 5
+    assert not rows["B"].starts_user and not rows["B"].valid
+    assert rows["B"].has_assistant and rows["B"].no_role_repeat
+    assert not rows["C"].no_role_repeat and not rows["C"].has_assistant
+    assert rows["C"].starts_user and not rows["C"].valid
+    # single-turn: no repeat possible, but no assistant either
+    assert rows["D"].no_role_repeat and not rows["D"].valid
+
+
 def test_span_wc_validation(idx):
     s = IndexSearcher(idx)
     with pytest.raises(ValueError, match="little"):
