@@ -111,21 +111,6 @@ def context_response_pairs(ds: "rd.Dataset",
     if K < 1:
         raise ValueError("max_context_turns must be >= 1")
 
-    def prep(batch: pa.Table) -> pa.Table:
-        role = batch["role"]
-        if isinstance(role, pa.ChunkedArray):
-            role = role.combine_chunks()
-        text = batch["text"]
-        if isinstance(text, pa.ChunkedArray):
-            text = text.combine_chunks()
-        return pa.table({
-            "conv_id": batch["conv_id"],
-            "turn_idx": batch["turn_idx"],
-            "role": role,
-            "text": text,
-            "line": pc.binary_join_element_wise(role, text, ": "),
-        })
-
     def bucket(df: pd.DataFrame) -> pd.DataFrame:
         conv = df["conv_id"].to_numpy()
         order = np.lexsort((df["turn_idx"].to_numpy(), conv))
@@ -133,7 +118,11 @@ def context_response_pairs(ds: "rd.Dataset",
         turn = df["turn_idx"].to_numpy()[order]
         role = df["role"].to_numpy()[order]
         text = df["text"].to_numpy()[order]
-        lines = pa.array(df["line"].to_numpy()[order], type=pa.string())
+        # "role: text" lines built IN-bucket so the shuffle carries the
+        # text bytes once (not text + pre-joined line)
+        lines = pc.binary_join_element_wise(
+            pa.array(role, type=pa.string()),
+            pa.array(text, type=pa.string()), ": ")
         n = len(conv)
         new = np.ones(n, dtype=bool)
         new[1:] = conv[1:] != conv[:-1]
@@ -163,8 +152,7 @@ def context_response_pairs(ds: "rd.Dataset",
             "response": text[sel],
         })
 
-    prepped = ds.select_columns(["conv_id", "turn_idx", "role", "text"]) \
-                .map_batches(prep, batch_format="pyarrow")
+    prepped = ds.select_columns(["conv_id", "turn_idx", "role", "text"])
     return hash_copartition(prepped, "conv_id", bucket, num_parts)
 
 

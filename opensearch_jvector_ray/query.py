@@ -275,20 +275,23 @@ def _sig_text_scan(seg_dir: str, sig_sets: dict[str, np.ndarray],
     want = [c for c in ("term", "ords_enc", "tfs_enc", "df", "blk_n")
             if c in pq.read_schema(path).names]
     post = pq.read_table(path, columns=want)
-    has_blk = "blk_n" in post.column_names
+    terms = post["term"].to_pylist()
+    ords_enc = post["ords_enc"].to_pylist()
+    tfs_enc = post["tfs_enc"].to_pylist()
+    dfs = post["df"].to_pylist()
+    blks = (post["blk_n"].to_pylist() if "blk_n" in post.column_names
+            else [None] * post.num_rows)
     out_q: list[str] = []
     out_t: list[str] = []
     out_c: list[int] = []
     for i in range(post.num_rows):
         o, _ = decode_posting_list(
-            post["ords_enc"][i].as_py(), post["tfs_enc"][i].as_py(),
-            codec=codec, df=post["df"][i].as_py(),
-            block_size=block_size,
-            blk_n=post["blk_n"][i].as_py() if has_blk else None)
+            ords_enc[i], tfs_enc[i], codec=codec, df=dfs[i],
+            block_size=block_size, blk_n=blks[i])
         cnt = M[:, o].sum(axis=1)
         for j in np.flatnonzero(cnt):
             out_q.append(qids[j])
-            out_t.append(post["term"][i].as_py())
+            out_t.append(terms[i])
             out_c.append(int(cnt[j]))
     for i, q in enumerate(qids):
         out_q.append(q)
