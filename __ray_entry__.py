@@ -1392,6 +1392,27 @@ def _q_bm25_fuzzy_dl(sf_dir: str) -> pd.DataFrame:
                                       transpositions=True))
 
 
+FACET_INCLUDE = r"src1[0-9]"       # srcs 10-19
+FACET_EXCLUDE = r"src1[35]"        # minus src13/src15
+FACET_DC_DIV = 25                  # min_doc_count = n_docs // 25 — the
+                                   # rare_terms corpus-relative rule, so
+                                   # the threshold trims at EVERY scale
+
+
+def _q_bm25_facets_filtered(sf_dir: str) -> pd.DataFrame:
+    # terms agg with include/exclude RE2 bucket filters (anchored, the
+    # same pattern string both sides) + the GLOBAL min_doc_count rule
+    s = IndexSearcher(documents_index(sf_dir))
+    out = s.facet_counts(BM25_QUERIES, facet_col="source",
+                         min_score=FACET_MIN_SCORE,
+                         include=FACET_INCLUDE, exclude=FACET_EXCLUDE,
+                         min_doc_count=max(
+                             2, int(s.stats["n_docs_indexed"])
+                             // FACET_DC_DIV))
+    out["doc_count"] = out["doc_count"].astype(np.int64)
+    return out
+
+
 def _q_bm25_facets(sf_dir: str) -> pd.DataFrame:
     # terms aggregation over the radial match set: per-segment
     # facet-count partials -> driver sum (combiner-first; the hit set
@@ -2572,6 +2593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_boosted": _q_bm25_boosted,
         "bm25_synonyms": _q_bm25_synonyms,
         "bm25_facets": _q_bm25_facets,
+        "bm25_facets_filtered": _q_bm25_facets_filtered,
         "bm25_stats_agg": _q_bm25_stats_agg,
         "bm25_histogram": _q_bm25_histogram,
         "bm25_range_agg": _q_bm25_range_agg,
@@ -3069,6 +3091,11 @@ def oracle_sql() -> dict[str, str]:
             SQS_QUERIES, BM25_K, CFG),
         "bm25_facets": facet_sql(BM25_QUERIES, FACET_MIN_SCORE,
                                  FACET_COL, CFG),
+        "bm25_facets_filtered": facet_sql(
+            BM25_QUERIES, FACET_MIN_SCORE, "source", CFG,
+            include=FACET_INCLUDE, exclude=FACET_EXCLUDE,
+            min_doc_count_sql=("greatest(2, (SELECT count(*) FROM "
+                               f"documents) // {FACET_DC_DIV})")),
         "bm25_stats_agg": stats_agg_sql(BM25_QUERIES, FACET_MIN_SCORE,
                                         STATS_COL, CFG),
         "bm25_histogram": histogram_sql(BM25_QUERIES, FACET_MIN_SCORE,

@@ -488,18 +488,40 @@ qt AS (
 def facet_sql(queries: dict[str, str], min_score: float, facet_col: str,
               cfg: EngineConfig, size: int | None = None,
               table: str = "documents", id_col: str = "doc_id",
-              text_col: str = "text") -> str:
+              text_col: str = "text", include: str | None = None,
+              exclude: str | None = None,
+              min_doc_count: int = 1,
+              min_doc_count_sql: str | None = None) -> str:
     """Oracle for IndexSearcher.facet_counts: per-query doc counts per
     facet value over the radial (score >= min_score) match set, ordered
-    (doc_count DESC, value ASC), optionally capped at ``size``."""
+    (doc_count DESC, value ASC), optionally capped at ``size``.
+    include/exclude = regexp_full_match on the bucket value (RE2, same
+    anchored pattern the engine wraps); min_doc_count = HAVING over the
+    merged counts, applied before the size cap like the engine."""
     inner = bm25_sql(queries, 0, cfg, table=table, id_col=id_col,
                      text_col=text_col, min_score=min_score)
+    conds = []
+    if include is not None:
+        conds.append(f"regexp_full_match(d.{facet_col}, "
+                     f"{sql_quote(include)})")
+    if exclude is not None:
+        conds.append(f"NOT regexp_full_match(d.{facet_col}, "
+                     f"{sql_quote(exclude)})")
+    where = f"  WHERE {' AND '.join(conds)}\n" if conds else ""
+    if min_doc_count_sql is not None:
+        # scale-relative threshold embedded as a scalar subquery (the
+        # rare_terms trick: oracle strings are generated once for all
+        # scales, so the threshold must be computed IN SQL)
+        having = f"  HAVING count(*) >= ({min_doc_count_sql})\n"
+    else:
+        having = (f"  HAVING count(*) >= {int(min_doc_count)}\n"
+                  if min_doc_count > 1 else "")
     body = f"""
   SELECT h.query_id, d.{facet_col} AS {facet_col},
          count(*)::BIGINT AS doc_count
   FROM ({inner}) h JOIN {table} d USING ({id_col})
-  GROUP BY h.query_id, d.{facet_col}
-"""
+{where}  GROUP BY h.query_id, d.{facet_col}
+{having}"""
     if size is None:
         return (f"SELECT query_id, {facet_col}, doc_count FROM ({body}) "
                 f"ORDER BY query_id, doc_count DESC, {facet_col}")

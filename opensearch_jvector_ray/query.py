@@ -3184,18 +3184,32 @@ class IndexSearcher:
     def facet_counts(self, queries: dict[str, str], facet_col: str,
                      min_score: float, size: int | None = None,
                      term_weights: dict[str, list[tuple[str, float]]] | None = None,
-                     concurrency: int | None = None) -> pd.DataFrame:
+                     concurrency: int | None = None,
+                     include: str | None = None,
+                     exclude: str | None = None,
+                     min_doc_count: int = 1) -> pd.DataFrame:
         """Terms aggregation (facets) over the query's radial match set
         [OpenSearch terms-aggregation public semantics]: per query, the
         count of matching docs (BM25 score >= min_score) per distinct
         value of a stored doc column, ordered (doc_count DESC, value
         ASC), optionally capped at ``size`` buckets.
 
+        ``include``/``exclude`` are FULLY-ANCHORED RE2 patterns on the
+        bucket value (string columns only — the OpenSearch terms-agg
+        include/exclude regex; engine ``^(?:pat)$`` via pyarrow ==
+        oracle ``regexp_full_match``, both RE2).  ``min_doc_count`` is
+        the GLOBAL post-merge threshold (the OpenSearch default is 1;
+        buckets below it are dropped AFTER partial merge, BEFORE the
+        size cap — same order as the SQL HAVING).
+
         Distribution shape: each segment task reduces its qualifying
         docs to a (query, facet value, count) PARTIAL — only facet-
         cardinality-sized partials reach the driver (combiner-first);
-        the hit set itself never leaves the tasks.
+        the hit set itself never leaves the tasks; include/exclude/
+        min_doc_count filter the bucket-cardinality-sized merge.
         """
+        if min_doc_count < 1:
+            raise ValueError("min_doc_count must be >= 1")
         df = self._agg_fanout(queries, {"kind": "terms", "col": facet_col},
                               min_score, term_weights, concurrency)
         cols = ["query_id", facet_col, "doc_count"]
@@ -3203,6 +3217,23 @@ class IndexSearcher:
             return pd.DataFrame(columns=cols)
         out = (df.groupby(["query_id", facet_col], sort=False)["doc_count"]
                  .sum().reset_index())
+        if include is not None or exclude is not None:
+            vals = out[facet_col]
+            if vals.dtype != object:
+                raise ValueError("include/exclude apply to string "
+                                 f"bucket columns only ({facet_col} is "
+                                 f"{vals.dtype})")
+            arr = pa.array(vals, type=pa.string())
+            keep = np.ones(len(out), dtype=bool)
+            if include is not None:
+                keep &= pc.match_substring_regex(
+                    arr, f"^(?:{include})$").to_numpy(zero_copy_only=False)
+            if exclude is not None:
+                keep &= ~pc.match_substring_regex(
+                    arr, f"^(?:{exclude})$").to_numpy(zero_copy_only=False)
+            out = out[keep]
+        if min_doc_count > 1:
+            out = out[out["doc_count"] >= min_doc_count]
         out = out.sort_values(["query_id", "doc_count", facet_col],
                               ascending=[True, False, True],
                               kind="mergesort")

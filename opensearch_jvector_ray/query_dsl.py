@@ -34,8 +34,10 @@ Supported bodies (one top-level clause per query):
     {"fuzzy":  {"query": "qury", "k": 10, "max_edits": 1,
                 "prefix_length": 0, "max_expansions": 50}}
     {"facets": {"query": "...", "field": col, "min_score": f,
-                "size": n}}            # terms aggregation over the
-                                       # radial match set
+                "size": n, "include": regex, "exclude": regex,
+                "min_doc_count": n}}   # terms aggregation over the
+                                       # radial match set (anchored RE2
+                                       # bucket filters, global min count)
     {"stats_agg":  {"query": "...", "field": col, "min_score": f}}
     {"range_agg":  {"query": "...", "field": col, "min_score": f,
                     "ranges": [[key, lo|null, hi|null], ...]}}
@@ -202,7 +204,8 @@ _MPP_FIELDS = {"query", "k", "max_expansions"}
 _SYNONYMS_FIELDS = {"query", "map", "k"}
 _FUZZY_FIELDS = {"query", "k", "max_edits", "prefix_length",
                  "max_expansions", "transpositions"}
-_FACETS_FIELDS = {"query", "field", "min_score", "size"}
+_FACETS_FIELDS = {"query", "field", "min_score", "size", "include",
+                  "exclude", "min_doc_count"}
 _RANGE_AGG_FIELDS = {"query", "field", "min_score", "ranges"}
 _DATE_HIST_FIELDS = {"query", "field", "min_score", "calendar_interval",
                      "pipeline", "window", "lag",
@@ -573,10 +576,20 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
             raise ValueError("[facets] needs 'min_score' (the radial "
                              "match-set threshold)")
         size = spec.get("size")
+        for pat in ("include", "exclude"):
+            if pat in spec and (not isinstance(spec[pat], str)
+                                or not spec[pat]):
+                raise ValueError(f"[facets] {pat} must be a non-empty "
+                                 "regex string")
+        if int(spec.get("min_doc_count", 1)) < 1:
+            raise ValueError("[facets] min_doc_count must be >= 1")
         return {"type": "facets", "query": spec["query"],
                 "field": spec["field"],
                 "min_score": float(spec["min_score"]),
-                "size": None if size is None else int(size)}
+                "size": None if size is None else int(size),
+                "include": spec.get("include"),
+                "exclude": spec.get("exclude"),
+                "min_doc_count": int(spec.get("min_doc_count", 1))}
     if clause in ("stats_agg", "histogram"):
         allowed = _STATS_FIELDS if clause == "stats_agg" else _HIST_FIELDS
         _require_known(clause, spec, allowed)
@@ -1508,7 +1521,9 @@ def execute_query(body: dict[str, Any], *, searcher=None, vector_ds=None,
             raise ValueError("[facets] needs searcher=")
         return searcher.facet_counts(
             {query_id: spec["query"]}, facet_col=spec["field"],
-            min_score=spec["min_score"], size=spec["size"])
+            min_score=spec["min_score"], size=spec["size"],
+            include=spec["include"], exclude=spec["exclude"],
+            min_doc_count=spec["min_doc_count"])
     if spec["type"] == "suggest":
         if searcher is None:
             raise ValueError("[suggest] needs searcher=")

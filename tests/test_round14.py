@@ -347,6 +347,48 @@ def test_validate_conversations_rules():
     assert rows["D"].no_role_repeat and not rows["D"].valid
 
 
+def test_facets_include_exclude_min_doc_count(idx):
+    # the r14 corpus has no string store cols; build a tiny one here
+    s = IndexSearcher(idx)
+    ms = 1e-9
+    base = s.search({"q": "alpha delta"}, min_score=ms)
+    # use doc parity as a fake bucket via a fresh index with a store col
+    import ray.data as _rd
+    cats = [f"cat{i % 4}" for i in range(N)]
+    tbl = pa.table({"doc_id": pa.array(range(N), type=pa.int64()),
+                    "text": pa.array(TEXTS),
+                    "cat": pa.array(cats)})
+    import tempfile, os
+    out = os.path.join(tempfile.mkdtemp(), "fidx")
+    build_index(_rd.from_arrow(tbl), out, CFG,
+                IndexSpec(text_col="text", key_cols=("doc_id",),
+                          store_cols=("cat",), ts_col=""))
+    s2 = IndexSearcher(out)
+    full = s2.facet_counts({"q": "alpha delta"}, facet_col="cat",
+                           min_score=ms)
+    got = s2.facet_counts({"q": "alpha delta"}, facet_col="cat",
+                          min_score=ms, include=r"cat[0-2]",
+                          exclude=r"cat1")
+    assert set(got["cat"]) == ({"cat0", "cat2"} & set(full["cat"]))
+    # min_doc_count drops buckets globally (threshold = max count)
+    mx = int(full["doc_count"].max())
+    trimmed = s2.facet_counts({"q": "alpha delta"}, facet_col="cat",
+                              min_score=ms, min_doc_count=mx)
+    assert 0 < len(trimmed) < len(full)
+    assert (trimmed["doc_count"] >= mx).all()
+    via = execute_query({"facets": {"query": "alpha delta",
+                                    "min_score": ms, "field": "cat",
+                                    "include": r"cat[0-2]",
+                                    "exclude": r"cat1"}}, searcher=s2)
+    assert list(via["cat"]) == list(got["cat"])
+    with pytest.raises(ValueError, match="min_doc_count"):
+        s2.facet_counts({"q": "x"}, facet_col="cat", min_score=ms,
+                        min_doc_count=0)
+    with pytest.raises(ValueError, match="string"):
+        s2.facet_counts({"q": "alpha"}, facet_col="doc_id",
+                        min_score=ms, include="1")
+
+
 def test_span_wc_validation(idx):
     s = IndexSearcher(idx)
     with pytest.raises(ValueError, match="little"):
