@@ -206,6 +206,21 @@ def _q_percolate(sf_dir: str) -> pd.DataFrame:
                .reset_index(drop=True))
 
 
+PERC_PHRASES = {"pp1": "stream column", "pp2": "window join",
+                "pp3": "order sort"}
+
+
+def _q_percolate_phrase(sf_dir: str) -> pd.DataFrame:
+    # phrase percolation: registered PHRASE queries match docs only at
+    # adjacent pre-stopword positions (the engine-wide phrase rule)
+    from opensearch_jvector_ray.pipelines.percolate import percolate
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = percolate(ds, PERC_PHRASES, CFG,
+                    match_mode="phrase").to_pandas()
+    return (out.sort_values(["doc_id", "query_id"])
+               .reset_index(drop=True))
+
+
 def _q_has_parent(sf_dir: str) -> pd.DataFrame:
     # has_parent join [OpenSearch public semantics, score=true]: the
     # turns (children) of the top-matching conversations (parents),
@@ -2534,6 +2549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "has_child_avg": _q_has_child_avg,
         "has_parent_expand": _q_has_parent,
         "percolate_all": _q_percolate,
+        "percolate_phrase": _q_percolate_phrase,
         "semdedup": _q_semdedup,
         "bm25_radial": _q_bm25_radial,
         "bm25_phrase": _q_bm25_phrase,
@@ -2980,6 +2996,8 @@ def oracle_sql() -> dict[str, str]:
         "has_parent_expand": _has_parent_oracle(),
         "percolate_all": percolate_sql(PERC_QUERIES, CFG,
                                        match_mode="all"),
+        "percolate_phrase": percolate_sql(PERC_PHRASES, CFG,
+                                          match_mode="phrase"),
         "semdedup": semdedup_sql(IVF_CENTROID_IDS, 0.95,
                                  N_PLANTED_DUPS, PLANT_ID_OFFSET),
         "bm25_radial": bm25_sql(RADIAL_QUERY, CFG.max_k, CFG,

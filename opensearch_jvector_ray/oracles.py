@@ -1214,12 +1214,40 @@ def percolate_sql(queries: dict[str, str], cfg: EngineConfig,
                   match_mode: str = "any", table: str = "documents",
                   id_col: str = "doc_id", text_col: str = "text") -> str:
     """Oracle for pipelines.percolate: (doc, query) match pairs from the
-    same analyzed distinct term sets — any = shared-term EXISTS, all =
-    distinct-shared-term count equals the query's term count."""
+    same analyzed term sets — any = shared-term EXISTS, all =
+    distinct-shared-term count equals the query's term count, phrase =
+    EXISTS an adjacent occurrence of the analyzed sequence on the
+    PRE-stopword token list (phrase_sql's adjacency predicate as a
+    boolean)."""
     from opensearch_jvector_ray.pipelines.percolate import (
         compile_queries,
     )
-    assert match_mode in ("any", "all")
+    assert match_mode in ("any", "all", "phrase")
+    if match_mode == "phrase":
+        pat = sql_quote(cfg.split_pattern)
+        compiled = compile_queries(queries, cfg, phrase=True)
+        arms = []
+        for qid, words in compiled.items():
+            conds = [f"toks[i] = {sql_quote(words[0])}",
+                     f"i + {len(words) - 1} <= len(toks)"]
+            conds += [f"toks[i + {j}] = {sql_quote(w)}"
+                      for j, w in enumerate(words[1:], start=1)]
+            arms.append(f"""
+SELECT {id_col}, {sql_quote(qid)} AS query_id FROM tokpos
+WHERE len(list_filter(range(1, len(toks) + 1),
+          i -> {' AND '.join(conds)})) > 0""")
+        union = "\nUNION ALL\n".join(arms) if arms else \
+            f"SELECT {id_col}, '' AS query_id FROM tokpos WHERE false"
+        return f"""
+WITH tokpos AS (
+  SELECT {id_col},
+         list_filter(regexp_split_to_array(lower({text_col}), {pat}),
+                     x -> x <> '') AS toks
+  FROM {table}
+)
+SELECT {id_col}, query_id FROM ({union})
+ORDER BY {id_col}, query_id
+"""
     compiled = compile_queries(queries, cfg)
     rows = [f"({sql_quote(qid)}, {sql_quote(t)})"
             for qid, terms in compiled.items() for t in terms]

@@ -35,13 +35,17 @@ from opensearch_jvector_ray.analyze import analyze_query, tokenize
 from opensearch_jvector_ray.config import EngineConfig
 
 
-def compile_queries(queries: dict[str, str],
-                    cfg: EngineConfig) -> dict[str, list[str]]:
-    """qid -> sorted distinct analyzed terms (empty queries dropped —
-    a query with no surviving terms matches nothing)."""
+def compile_queries(queries: dict[str, str], cfg: EngineConfig,
+                    phrase: bool = False) -> dict[str, list[str]]:
+    """qid -> analyzed terms (empty queries dropped — a query with no
+    surviving terms matches nothing).  Default: sorted distinct set
+    (any/all modes); ``phrase``: the full sequence in order, duplicates
+    kept (adjacency needs slots)."""
     out = {}
     for qid, text in sorted(queries.items()):
-        terms = sorted(set(analyze_query(text, cfg)))
+        terms = analyze_query(text, cfg)
+        if not phrase:
+            terms = sorted(set(terms))
         if terms:
             out[qid] = terms
     return out
@@ -56,6 +60,44 @@ def _percolate_batch(batch: pa.Table, *, compiled: dict[str, list[str]],
     out_ids: list[pa.Array] = []
     out_qids: list[str] = []
     n_rows = 0
+    if match_mode == "phrase":
+        # exact-phrase percolation [Lucene PhraseQuery predicate on the
+        # percolator side]: a doc matches iff the analyzed sequence
+        # occurs at ADJACENT pre-stopword positions (a stopword between
+        # phrase words breaks adjacency — the engine-wide phrase rule).
+        # Per slot j: candidate starts s = pos(t_j) - j; a match start
+        # is a (doc, s) key present in EVERY slot — one intersect1d per
+        # slot, no per-row loop.
+        pos = stream.positions.astype(np.int64)
+        docs64 = doc_idx.astype(np.int64)
+        big = (int(pos.max()) + 2) if len(pos) else 1
+        for qid, qseq in compiled.items():
+            acc = None
+            for j, t in enumerate(qseq):
+                m = pc.equal(stream.terms, t).to_numpy(
+                    zero_copy_only=False)
+                s = pos[m] - j
+                ok = s >= 0
+                keys = docs64[m][ok] * big + s[ok]
+                acc = keys if acc is None else \
+                    np.intersect1d(acc, keys)
+                if not len(acc):
+                    break
+            if acc is None or not len(acc):
+                continue
+            rows = np.unique(acc // big)
+            out_ids.append(ids.take(pa.array(rows.astype(np.int64))))
+            out_qids.extend([qid] * len(rows))
+            n_rows += len(rows)
+        if not n_rows:
+            return pa.table({id_col: pa.array([], type=ids.type),
+                             "query_id": pa.array([], type=pa.string())})
+        return pa.table({
+            id_col: pa.concat_arrays([a.combine_chunks()
+                                      if isinstance(a, pa.ChunkedArray)
+                                      else a for a in out_ids]),
+            "query_id": pa.array(out_qids, type=pa.string()),
+        })
     for qid, qterms in compiled.items():
         hit = pc.is_in(stream.terms,
                        value_set=pa.array(qterms)).to_numpy(
@@ -96,9 +138,10 @@ def percolate(ds: "rd.Dataset", queries: dict[str, str],
               match_mode: str = "any") -> "rd.Dataset":
     """Match the registered ``queries`` against every doc of ``ds``;
     returns a Dataset of (id_col, query_id) match pairs."""
-    if match_mode not in ("any", "all"):
-        raise ValueError("match_mode must be any|all")
-    compiled = compile_queries(queries, cfg)
+    if match_mode not in ("any", "all", "phrase"):
+        raise ValueError("match_mode must be any|all|phrase")
+    compiled = compile_queries(queries, cfg,
+                               phrase=(match_mode == "phrase"))
     return ds.map_batches(
         _percolate_batch, batch_format="pyarrow",
         fn_kwargs={"compiled": compiled, "cfg": cfg, "id_col": id_col,

@@ -389,6 +389,28 @@ def test_facets_include_exclude_min_doc_count(idx):
                         min_score=ms, include="1")
 
 
+def test_percolate_phrase_adjacency():
+    from opensearch_jvector_ray.pipelines.percolate import percolate
+    texts = ["fast merge wins", "fast and merge",   # stopword gap: NO
+             "merge fast", "the fast merge", "fast fast merge",
+             "fastmerge"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts)}))
+    out = percolate(ds, {"p": "fast merge"}, CFG,
+                    match_mode="phrase").to_pandas()
+    # 0: adjacent; 1: 'and' is a stopword -> position gap breaks it;
+    # 2: wrong order; 3: adjacent after leading stopword; 4: second
+    # 'fast' adjacent to 'merge'; 5: single token
+    assert sorted(out["doc_id"]) == [0, 3, 4]
+    # repeated-term phrase needs strictly consecutive occurrences
+    out2 = percolate(ds, {"q": "fast fast"}, CFG,
+                     match_mode="phrase").to_pandas()
+    assert sorted(out2["doc_id"]) == [4]
+    with pytest.raises(ValueError, match="match_mode"):
+        percolate(ds, {"p": "x"}, CFG, match_mode="near")
+
+
 def test_span_wc_validation(idx):
     s = IndexSearcher(idx)
     with pytest.raises(ValueError, match="little"):
