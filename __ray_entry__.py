@@ -1193,6 +1193,15 @@ def _q_bm25_missing(sf_dir: str) -> pd.DataFrame:
                          min_score=FACET_MIN_SCORE)
 
 
+def _q_bm25_value_count(sf_dir: str) -> pd.DataFrame:
+    # value_count agg: match-set turns WITH a tool call (field present
+    # = not NULL and not '' — the missing-agg rule's complement)
+    from opensearch_jvector_ray.sources.tables import transcripts_index
+    s = IndexSearcher(transcripts_index(sf_dir))
+    return s.value_count_agg(TRANSCRIPT_QUERIES, field="tool",
+                             min_score=FACET_MIN_SCORE)
+
+
 def _q_bm25_global_stats(sf_dir: str) -> pd.DataFrame:
     # global agg + stats sub-agg: integer stats over ALL docs ignoring
     # any query (one docs-sidecar partial row per segment)
@@ -2588,6 +2597,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_top_metrics": _q_bm25_top_metrics,
         "bm25_percentile_ranks": _q_bm25_percentile_ranks,
         "bm25_missing": _q_bm25_missing,
+        "bm25_value_count": _q_bm25_value_count,
         "bm25_global_stats": _q_bm25_global_stats,
         "bm25_sampler": _q_bm25_sampler,
         "bm25_div_sampler": _q_bm25_div_sampler,
@@ -2820,6 +2830,13 @@ def _missing_oracle() -> str:
     from opensearch_jvector_ray.oracles import missing_agg_sql
     from opensearch_jvector_ray.sources.tables import TRANSCRIPTS_CFG
     return missing_agg_sql(TRANSCRIPT_QUERIES, FACET_MIN_SCORE, "tool",
+                           TRANSCRIPTS_CFG, _transcript_arms())
+
+
+def _value_count_oracle() -> str:
+    from opensearch_jvector_ray.oracles import value_count_sql
+    from opensearch_jvector_ray.sources.tables import TRANSCRIPTS_CFG
+    return value_count_sql(TRANSCRIPT_QUERIES, FACET_MIN_SCORE, "tool",
                            TRANSCRIPTS_CFG, _transcript_arms())
 
 
@@ -3069,6 +3086,7 @@ def oracle_sql() -> dict[str, str]:
             BM25_QUERIES, FACET_MIN_SCORE, "n_chars",
             ["lang", "source"], TOP_METRICS_SIZE, "desc", CFG),
         "bm25_missing": _missing_oracle(),
+        "bm25_value_count": _value_count_oracle(),
         "bm25_global_stats": global_stats_sql(STATS_COL),
         "bm25_sampler": sampler_sql(
             BM25_QUERIES, FACET_MIN_SCORE, SAMPLER_FIELD,

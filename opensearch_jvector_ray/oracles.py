@@ -4687,6 +4687,37 @@ ORDER BY q.query_id
 """
 
 
+def value_count_sql(queries: dict[str, str], min_score: float,
+                    field: str, cfg: EngineConfig,
+                    arms: list[tuple[str, int]]) -> str:
+    """Oracle for IndexSearcher.value_count_agg over the transcripts
+    index: per query, the match-set docs whose ``field`` is present —
+    NOT NULL and not '' (the complement of missing_agg's rule),
+    zero-filled per query like the engine's always-present row."""
+    prefix = transcripts_arms_cte(
+        arms, "conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0')"
+              " AS doc_id, text")
+    inner = bm25_sql(queries, 0, cfg, table="transcripts",
+                     id_col="doc_id", prefix_cte=prefix,
+                     min_score=min_score)
+    outer = transcripts_arms_cte(
+        arms, "conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0')"
+              f" AS doc_id, {field}")
+    return f"""
+WITH {outer},
+{_qids_cte(queries)},
+c AS (
+  SELECT h.query_id, count(*)::BIGINT AS value_count
+  FROM ({inner}) h JOIN transcripts d USING (doc_id)
+  WHERE d.{field} IS NOT NULL AND d.{field} <> ''
+  GROUP BY h.query_id
+)
+SELECT q.query_id, coalesce(c.value_count, 0)::BIGINT AS value_count
+FROM qids q LEFT JOIN c USING (query_id)
+ORDER BY q.query_id
+"""
+
+
 def global_stats_sql(value_col: str, table: str = "documents") -> str:
     """Oracle for IndexSearcher.global_stats_agg: integer stats over
     ALL rows (the query-ignoring global bucket); avg = ONE division of

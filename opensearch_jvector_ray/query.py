@@ -597,6 +597,19 @@ def _agg_partial(agg: dict, docs: pa.Table, ords: np.ndarray,
             "query_id": pa.array([qid], type=pa.string()),
             "doc_count": pa.array([int(n_missing)], type=pa.int64()),
         })
+    if agg["kind"] == "value_count":
+        # value_count aggregation partial [OpenSearch value_count-agg
+        # public semantics]: count of match-set docs whose field is
+        # PRESENT — the exact complement of the missing kind's rule
+        # (absent = NULL, or '' for string sidecar columns).
+        n = len(ords) - vals.null_count
+        if pa.types.is_string(vals.type) or pa.types.is_large_string(vals.type):
+            eq = pc.sum(pc.equal(vals.drop_null(), "")).as_py()
+            n -= int(eq or 0)
+        return pa.table({
+            "query_id": pa.array([qid], type=pa.string()),
+            "doc_count": pa.array([int(n)], type=pa.int64()),
+        })
     if agg["kind"] == "range":
         v = vals.to_numpy(zero_copy_only=False).astype(np.float64)
         keys, cnts = [], []
@@ -3891,6 +3904,27 @@ class IndexSearcher:
             return base
         got = df.groupby("query_id")["doc_count"].sum()
         base["doc_count"] = base["query_id"].map(got).fillna(0) \
+            .astype(np.int64)
+        return base
+
+    def value_count_agg(self, queries: dict[str, str], field: str,
+                        min_score: float,
+                        concurrency: int | None = None) -> pd.DataFrame:
+        """Value-count aggregation [OpenSearch value_count-agg public
+        semantics]: per query, the number of match-set docs whose
+        stored ``field`` is present — the exact complement of
+        missing_agg's rule (absent = NULL, or '' for string sidecar
+        columns).  One int64 row per segment ships (combiner-first);
+        the query grid is emitted zero-filled."""
+        df = self._agg_fanout(queries,
+                              {"kind": "value_count", "col": field},
+                              min_score, None, concurrency)
+        base = pd.DataFrame({"query_id": sorted(queries)})
+        if df.empty:
+            base["value_count"] = np.int64(0)
+            return base
+        got = df.groupby("query_id")["doc_count"].sum()
+        base["value_count"] = base["query_id"].map(got).fillna(0) \
             .astype(np.int64)
         return base
 

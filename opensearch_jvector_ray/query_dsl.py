@@ -727,15 +727,15 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
             out["calendar_interval"] = spec["calendar_interval"]
             out["metric"] = spec["metric"]
         return out
-    if clause == "missing_agg":
+    if clause in ("missing_agg", "value_count"):
         _require_known(clause, spec, _MISSING_FIELDS)
         if not isinstance(spec.get("query"), str) or not spec["query"]:
-            raise ValueError("[missing_agg] needs a non-empty 'query'")
+            raise ValueError(f"[{clause}] needs a non-empty 'query'")
         if "min_score" not in spec:
-            raise ValueError("[missing_agg] needs 'min_score'")
+            raise ValueError(f"[{clause}] needs 'min_score'")
         if not isinstance(spec.get("field"), str) or not spec["field"]:
-            raise ValueError("[missing_agg] needs a 'field' column name")
-        return {"type": "missing_agg", "query": spec["query"],
+            raise ValueError(f"[{clause}] needs a 'field' column name")
+        return {"type": clause, "query": spec["query"],
                 "field": spec["field"],
                 "min_score": float(spec["min_score"])}
     if clause == "global_stats":
@@ -1144,7 +1144,7 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
                      f"match, bool, knn, more_like_this, prefix, fuzzy, "
                      f"facets, stats_agg, histogram, range_agg, "
                      f"date_histogram, auto_date_histogram, top_hits, "
-                     f"missing_agg, global_stats, sampler, "
+                     f"missing_agg, value_count, global_stats, sampler, "
                      f"diversified_sampler, query_string, "
                      f"mad, boxplot, t_test, "
                      f"synonyms, regexp, wildcard, match_phrase_prefix)")
@@ -1426,6 +1426,12 @@ def execute_query(body: dict[str, Any], *, searcher=None, vector_ds=None,
         return searcher.missing_agg({query_id: spec["query"]},
                                     field=spec["field"],
                                     min_score=spec["min_score"])
+    if spec["type"] == "value_count":
+        if searcher is None:
+            raise ValueError("[value_count] needs searcher=")
+        return searcher.value_count_agg({query_id: spec["query"]},
+                                        field=spec["field"],
+                                        min_score=spec["min_score"])
     if spec["type"] == "global_stats":
         if searcher is None:
             raise ValueError("[global_stats] needs searcher=")

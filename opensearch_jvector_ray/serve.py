@@ -396,6 +396,7 @@ class _ServedAggSearcher:
     top_metrics_agg = _IS.top_metrics_agg
     percentile_ranks_agg = _IS.percentile_ranks_agg
     missing_agg = _IS.missing_agg
+    value_count_agg = _IS.value_count_agg
     sampler_agg = _IS.sampler_agg
     diversified_sampler_agg = _IS.diversified_sampler_agg
     auto_date_histogram_agg = _IS.auto_date_histogram_agg

@@ -89,6 +89,28 @@ def test_missing_agg_null_or_empty(idx):
     assert int(out2["doc_count"][1]) == 0
 
 
+def test_value_count_complement_of_missing(idx):
+    s = IndexSearcher(idx)
+    out = s.value_count_agg(Q, field="tool", min_score=MS)
+    m = _match_df(s)
+    want = int((~(m["tool"].isna() | (m["tool"] == ""))).sum())
+    assert list(out["query_id"]) == ["q"]
+    assert int(out["value_count"][0]) == want
+    assert 0 < want < len(m)          # non-trivial on this corpus
+    # missing + value_count tile the match set exactly
+    miss = s.missing_agg(Q, field="tool", min_score=MS)
+    assert int(out["value_count"][0]) + int(miss["doc_count"][0]) == len(m)
+    # zero-filled grid: a no-match query still emits its row
+    out2 = s.value_count_agg({"q": "alpha delta", "zz": "qqqzzz"},
+                             field="tool", min_score=MS)
+    assert list(out2["query_id"]) == ["q", "zz"]
+    assert int(out2["value_count"][1]) == 0
+    # DSL clause dispatches to the same reduction
+    via = execute_query({"value_count": {"query": Q["q"], "field": "tool",
+                                         "min_score": MS}}, searcher=s)
+    assert int(via["value_count"][0]) == want
+
+
 def test_global_stats_ignores_query(idx):
     s = IndexSearcher(idx)
     out = s.global_stats_agg("n_chars")
