@@ -49,6 +49,7 @@ from opensearch_jvector_ray.oracles import (
     fingerprint_sql, grouped_best_sql, grouped_expand_sql, knn_sql,
     highlight_sql, highlight_frag_sql, rank_eval_sql, explain_sql,
     mlt_sql,
+    term_vectors_sql,
     prefix_sql, fuzzy_sql, facet_sql, page_sql,
     simple_query_string_sql,
     boosted_sql, synonym_sql, stats_agg_sql, histogram_sql,
@@ -513,6 +514,23 @@ def _q_bm25_mlt(sf_dir: str) -> pd.DataFrame:
     seed_texts = {qid: by_id[sid] for qid, sid in MLT_SEEDS.items()}
     s = IndexSearcher(documents_index(sf_dir))
     return _round_hits(s.more_like_this(seed_texts, k=BM25_K))
+
+
+TERM_VECTOR_DOCS = [7, 123, 321]
+
+
+def _q_term_vectors(sf_dir: str) -> pd.DataFrame:
+    # _termvectors API: per-(doc, term) tf of the selected docs plus
+    # global df/ttf from the dictionary; texts come from the SOURCE
+    # table by pushed-down key read (S9 — the index never stores text)
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"],
+                        filters=[("doc_id", "in", TERM_VECTOR_DOCS)])
+    texts = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    s = IndexSearcher(documents_index(sf_dir))
+    out = s.term_vectors(texts)
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out
 
 
 def _q_bm25_highlight(sf_dir: str) -> pd.DataFrame:
@@ -2609,6 +2627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_eval_precision": _q_rank_eval_precision,
         "rank_eval_mrr": _q_rank_eval_mrr,
         "bm25_more_like_this": _q_bm25_mlt,
+        "term_vectors": _q_term_vectors,
         "bm25_prefix": _q_bm25_prefix,
         "bm25_span_first": _q_bm25_span_first,
         "bm25_match_bool_prefix": _q_bm25_match_bool_prefix,
@@ -3109,6 +3128,7 @@ def oracle_sql() -> dict[str, str]:
             BM25_QUERIES, {}, BM25_K, CFG, metric="mrr",
             rating_rule_sql=f"d.doc_id % {RATING_MOD} = 0"),
         "bm25_more_like_this": mlt_sql(MLT_SEEDS, BM25_K, 10, CFG),
+        "term_vectors": term_vectors_sql(TERM_VECTOR_DOCS, CFG),
         "bm25_boosted": boosted_sql(BOOSTED_QUERIES, BM25_K, CFG),
         "bm25_synonyms": synonym_sql(SYN_QUERIES, SYNONYMS, BM25_K, CFG),
         "bm25_prefix": prefix_sql(PREFIX_QUERIES, BM25_K, CFG),

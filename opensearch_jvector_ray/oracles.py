@@ -2760,6 +2760,34 @@ GROUP BY term ORDER BY term
 """
 
 
+def term_vectors_sql(doc_ids: list, cfg: EngineConfig,
+                     table: str = "documents", id_col: str = "doc_id",
+                     text_col: str = "text") -> str:
+    """Oracle for IndexSearcher.term_vectors: per-(doc, term) analyzed
+    term frequency of the selected docs, joined to the corpus-global
+    doc_freq (distinct docs) and ttf (total occurrences) — the
+    dictionary's df/cf definitions (term_stats_sql)."""
+    dlist = "(" + ", ".join(
+        sql_quote(d) if isinstance(d, str) else repr(int(d))
+        for d in sorted(doc_ids)) + ")"
+    return f"""
+WITH {toks_cte(cfg, table, id_col, text_col)},
+tf AS (
+  SELECT {id_col} AS doc_id, term, count(*)::BIGINT AS term_freq
+  FROM toks WHERE {id_col} IN {dlist}
+  GROUP BY {id_col}, term
+),
+g AS (
+  SELECT term, count(DISTINCT {id_col})::BIGINT AS doc_freq,
+         count(*)::BIGINT AS ttf
+  FROM toks GROUP BY term
+)
+SELECT tf.doc_id, tf.term, tf.term_freq, g.doc_freq, g.ttf
+FROM tf JOIN g USING (term)
+ORDER BY tf.doc_id, tf.term
+"""
+
+
 def collection_stats_sql(cfg: EngineConfig, table: str = "documents",
                          id_col: str = "doc_id", text_col: str = "text") -> str:
     return f"""

@@ -5558,6 +5558,48 @@ class IndexSearcher:
                                     scored[:max_query_terms])
         return self.search(queries, k=k, **search_kwargs)
 
+    def term_vectors(self, docs: dict[str, str]) -> pd.DataFrame:
+        """Term-vectors API [OpenSearch _termvectors public semantics,
+        term_statistics=true]: one row per (doc_id, term) with the
+        term's frequency in the given text plus the GLOBAL doc_freq
+        and ttf (collection frequency) from the index dictionary.
+
+        Takes texts keyed by caller doc id, not index keys: the index
+        never duplicates raw text (the S9 derived-source rule), so
+        callers fetch text from the source table — the more_like_this
+        pattern.  Work is request-sized: ONE vectorized analyze over
+        the given texts and ONE pushed-down dictionary read for the
+        union of their terms (term-sorted parquet, row-group pruned —
+        never a vocab scan).  Terms absent from the dictionary report
+        doc_freq=0 / ttf=0 (the OpenSearch realtime-doc rule).  Rows
+        ordered (doc_id, term)."""
+        from opensearch_jvector_ray.analyze import tokenize
+        cols = ["doc_id", "term", "term_freq", "doc_freq", "ttf"]
+        ids = sorted(docs)
+        if not ids:
+            return pd.DataFrame(columns=cols)
+        stream = tokenize(pa.array([docs[i] for i in ids],
+                                   type=pa.string()), self.cfg)
+        terms = stream.terms.to_numpy(zero_copy_only=False)
+        if not len(terms):
+            return pd.DataFrame(columns=cols)
+        tf = (pd.DataFrame({"doc_id": np.asarray(ids)[stream.doc_idx],
+                            "term": terms})
+              .groupby(["doc_id", "term"], sort=True).size()
+              .rename("term_freq").reset_index())
+        tf["term_freq"] = tf["term_freq"].astype(np.int64)
+        dict_dir = os.path.join(self.index_dir, "dictionary")
+        uniq = sorted(set(tf["term"]))
+        if os.path.isdir(dict_dir) and os.listdir(dict_dir):
+            gt = pq.read_table(dict_dir, columns=["term", "df", "cf"],
+                               filters=[("term", "in", uniq)]).to_pandas()
+        else:
+            gt = pd.DataFrame(columns=["term", "df", "cf"])
+        out = tf.merge(gt, on="term", how="left")
+        out["doc_freq"] = out["df"].fillna(0).astype(np.int64)
+        out["ttf"] = out["cf"].fillna(0).astype(np.int64)
+        return out[cols]
+
     def matched_positions(self, queries: dict[str, str],
                           k: int | None = None,
                           _hits: pd.DataFrame | None = None,

@@ -89,6 +89,36 @@ def test_missing_agg_null_or_empty(idx):
     assert int(out2["doc_count"][1]) == 0
 
 
+def test_term_vectors_tf_and_global_stats(idx):
+    from collections import Counter
+    from opensearch_jvector_ray.analyze import tokenize
+    s = IndexSearcher(idx)
+    cfg = EngineConfig()
+    req = {3: TEXTS[3], 7: TEXTS[7], 11: "alpha qqqnovel qqqnovel"}
+    out = s.term_vectors(req)
+    assert list(out.columns) == ["doc_id", "term", "term_freq",
+                                 "doc_freq", "ttf"]
+    # brute per-doc tf over the analyzer stream
+    for did, text in req.items():
+        st = tokenize(pa.array([text], type=pa.string()), cfg)
+        want = Counter(st.terms.to_pylist())
+        got = out[out["doc_id"] == did].set_index("term")["term_freq"]
+        assert dict(got) == dict(want)
+    # global df/ttf over the whole corpus stream
+    allst = tokenize(pa.array(TEXTS, type=pa.string()), cfg)
+    at = np.asarray(allst.terms.to_pylist())
+    ad = allst.doc_idx
+    for _, r in out.iterrows():
+        m = at == r["term"]
+        assert r["ttf"] == int(m.sum())
+        assert r["doc_freq"] == len(np.unique(ad[m]))
+    # a term absent from the dictionary reports zero stats
+    nov = out[(out["doc_id"] == 11) & (out["term"] == "qqqnovel")]
+    assert len(nov) == 1 and int(nov["term_freq"].iloc[0]) == 2
+    assert int(nov["doc_freq"].iloc[0]) == 0
+    assert int(nov["ttf"].iloc[0]) == 0
+
+
 def test_value_count_complement_of_missing(idx):
     s = IndexSearcher(idx)
     out = s.value_count_agg(Q, field="tool", min_score=MS)
