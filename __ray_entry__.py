@@ -37,6 +37,7 @@ from opensearch_jvector_ray.oracles import (
     global_stats_sql, sampler_sql, diversified_sampler_sql,
     rank_feature_add_sql, pinned_sql, combined_fields_sql,
     span_or_near_sql, span_not_sql, matched_queries_sql,
+    span_multi_sql,
     span_within_sql, span_containing_sql, span_ordered_sql,
     multi_terms_sql, rare_terms_sql, extended_stats_sql,
     weighted_avg_sql, bucket_metric_sql, adjacency_matrix_sql,
@@ -317,6 +318,12 @@ SPAN_NOT_PRE, SPAN_NOT_POST = 1, 2
 SPAN_WC_QUERIES = {"sw1": "merge fast sort", "sw2": "query data join",
                    "sw3": "scan customer"}
 SPAN_WC_SLOP = 3
+# span_multi: trailing-'*' clause expands (df DESC, term ASC, capped);
+# cap 4 < the 6 's*' expansions so the cap rule is NON-trivial
+SPAN_MULTI_QUERIES = {"sm1": "s* merge", "sm2": "data b*",
+                      "sm3": "c* scan|stream"}
+SPAN_MULTI_SLOP = 3
+SPAN_MULTI_MAXEXP = 4
 SPAN_ORD_QUERIES = {"sq1": "fast sort", "sq2": "data join",
                     "sq3": "customer scan"}
 SPAN_ORD_SLOP = 3
@@ -448,6 +455,16 @@ def _q_bm25_span_or(sf_dir: str) -> pd.DataFrame:
     s = IndexSearcher(documents_index(sf_dir))
     return _round_hits(s.search(SPAN_OR_QUERIES, k=BM25_K,
                                 mode="span_or", slop=SPAN_OR_SLOP))
+
+
+def _q_bm25_span_multi(sf_dir: str) -> pd.DataFrame:
+    # span_multi: prefix clause expands against the dictionary into a
+    # span_or alternative set (capped top-terms rewrite), then the
+    # unchanged span_or windowed-containment path
+    s = IndexSearcher(documents_index(sf_dir))
+    return _round_hits(s.span_multi_search(
+        SPAN_MULTI_QUERIES, k=BM25_K, slop=SPAN_MULTI_SLOP,
+        max_expansions=SPAN_MULTI_MAXEXP))
 
 
 def _q_bm25_span_not(sf_dir: str) -> pd.DataFrame:
@@ -2561,6 +2578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_terms_set": _q_bm25_terms_set,
         "bm25_combined_fields": _q_bm25_combined_fields,
         "bm25_span_or": _q_bm25_span_or,
+        "bm25_span_multi": _q_bm25_span_multi,
         "bm25_span_not": _q_bm25_span_not,
         "bm25_span_within": _q_bm25_span_within,
         "bm25_span_containing": _q_bm25_span_containing,
@@ -3009,6 +3027,9 @@ def oracle_sql() -> dict[str, str]:
             w_a=CF_WEIGHTS["text"], w_b=CF_WEIGHTS["lang"]),
         "bm25_span_or": span_or_near_sql(SPAN_OR_QUERIES, BM25_K, CFG,
                                          slop=SPAN_OR_SLOP),
+        "bm25_span_multi": span_multi_sql(
+            SPAN_MULTI_QUERIES, BM25_K, CFG, slop=SPAN_MULTI_SLOP,
+            max_expansions=SPAN_MULTI_MAXEXP),
         "bm25_span_not": span_not_sql(SPAN_NOT_QUERIES, BM25_K, CFG,
                                       pre=SPAN_NOT_PRE,
                                       post=SPAN_NOT_POST),

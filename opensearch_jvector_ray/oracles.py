@@ -2294,6 +2294,121 @@ FROM ranked WHERE rank <= {int(k)} ORDER BY query_id, rank
 """
 
 
+def span_multi_sql(queries: dict[str, str], k: int, cfg: EngineConfig,
+                   slop: int = 0, max_expansions: int = 50,
+                   table: str = "documents", id_col: str = "doc_id",
+                   text_col: str = "text") -> str:
+    """Oracle for IndexSearcher.span_multi_search [Lucene
+    SpanMultiTermQueryWrapper(PrefixQuery) in SpanNearQuery]: clauses
+    separated by whitespace; a trailing-``*`` clause expands to the top
+    ``max_expansions`` vocabulary terms with that prefix (df DESC, term
+    ASC — the engine's expand_prefix cap rule, the phrase_prefix px
+    CTE); containment and blended clause idf are exactly
+    span_or_near_sql's rules with the prefix clause's member set drawn
+    from px."""
+    from opensearch_jvector_ray.analyze import analyze_query
+    pat = sql_quote(cfg.split_pattern)
+    pfx_rows: list[str] = []
+    per_query = []
+    for qid, text in sorted(queries.items()):
+        clauses: list[tuple[str, list[str] | None]] = []
+        for j, clause in enumerate(text.split()):
+            if clause.endswith("*") and len(clause) > 1:
+                toks = analyze_query(clause[:-1], cfg)
+                assert len(toks) == 1, \
+                    f"span_multi prefix clause {clause!r}: {toks}"
+                pfx_rows.append(f"({sql_quote(qid)}, {j}, "
+                                f"{sql_quote(toks[0])})")
+                clauses.append((str(j), None))
+            else:
+                members: list[str] = []
+                for m in clause.split("|"):
+                    members.extend(analyze_query(m, cfg))
+                clauses.append((str(j), sorted(set(members))))
+        w_n = len(clauses) + int(slop)
+        conds = []
+        idf_parts = []
+        for j, members in clauses:
+            if members is None:
+                px_terms = (f"SELECT term FROM px WHERE query_id = "
+                            f"{sql_quote(qid)} AND cl = {j}")
+                conds.append(
+                    f"EXISTS (SELECT 1 FROM px WHERE px.query_id = "
+                    f"{sql_quote(qid)} AND px.cl = {j} AND list_contains("
+                    f"toks[greatest(i, 1) : i + {w_n - 1}], px.term))")
+                idf_parts.append(
+                    f"(SELECT min(idf) FROM dffull WHERE term IN "
+                    f"({px_terms}) AND df = (SELECT max(df) FROM dffull "
+                    f"WHERE term IN ({px_terms})))")
+            else:
+                any_member = " OR ".join(
+                    f"list_contains(toks[greatest(i, 1) : i + {w_n - 1}], "
+                    f"{sql_quote(m)})" for m in members)
+                conds.append(f"({any_member})")
+                in_list = ", ".join(sql_quote(m) for m in members)
+                idf_parts.append(
+                    f"(SELECT min(idf) FROM dffull WHERE term IN "
+                    f"({in_list}) AND df = (SELECT max(df) FROM dffull "
+                    f"WHERE term IN ({in_list})))")
+        idf_sum = " + ".join(idf_parts)
+        per_query.append(f"""
+SELECT {sql_quote(qid)} AS query_id, p.{id_col},
+       ({idf_sum})
+       * (p.tf / (p.tf + {cfg.k1!r} * (1.0 - {cfg.b!r} + {cfg.b!r} * dl.dl / (SELECT avgdl FROM stats)))) AS score__raw
+FROM (
+  SELECT {id_col}, count(*)::DOUBLE AS tf
+  FROM (SELECT {id_col}, toks,
+               unnest(range({2 - w_n}, len(toks) + 1)) AS i
+        FROM tokpos) u
+  WHERE {' AND '.join(conds)}
+  GROUP BY {id_col}
+) p JOIN dl ON dl.{id_col} = p.{id_col}""")
+    union = "\nUNION ALL\n".join(per_query)
+    pfx_values = ",\n       ".join(pfx_rows) if pfx_rows else \
+        "('__none__', 0, '¤¤')"
+    return f"""
+WITH {toks_cte(cfg, table, id_col, text_col)},
+tokpos AS (
+  SELECT {id_col},
+         list_filter(regexp_split_to_array(lower({text_col}), {pat}),
+                     x -> x <> '') AS toks
+  FROM {table}
+),
+dl AS (
+  SELECT {id_col}, count(*)::DOUBLE AS dl FROM toks GROUP BY {id_col}
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl
+),
+{_vocab_cte(id_col)},
+pq0(query_id, cl, pfx) AS (VALUES {pfx_values}),
+px AS (
+  SELECT query_id, cl, term FROM (
+    SELECT p.query_id, p.cl, v.term,
+           row_number() OVER (PARTITION BY p.query_id, p.cl
+                              ORDER BY v.df DESC, v.term ASC) AS rn
+    FROM pq0 p JOIN vocab v ON starts_with(v.term, p.pfx))
+  WHERE rn <= {int(max_expansions)}
+),
+dffull AS (
+  SELECT term, count(DISTINCT {id_col})::DOUBLE AS df,
+         ln(1.0 + ((SELECT n FROM stats) - count(DISTINCT {id_col}) + 0.5)
+                  / (count(DISTINCT {id_col}) + 0.5)) AS idf
+  FROM toks GROUP BY term
+),
+scores AS ({union}),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score__raw DESC, {id_col} ASC) AS rank,
+         {id_col}, score__raw
+  FROM scores
+)
+SELECT query_id, rank, {id_col}, round(score__raw, 6) AS score
+FROM ranked WHERE rank <= {int(k)} ORDER BY query_id, rank
+"""
+
+
 def span_not_sql(queries: dict[str, str], k: int, cfg: EngineConfig,
                  pre: int = 0, post: int = 0, table: str = "documents",
                  id_col: str = "doc_id", text_col: str = "text") -> str:

@@ -5558,6 +5558,50 @@ class IndexSearcher:
                                     scored[:max_query_terms])
         return self.search(queries, k=k, **search_kwargs)
 
+    def span_multi_search(self, queries: dict[str, str],
+                          k: int | None = None, slop: int = 0,
+                          max_expansions: int = 50,
+                          **search_kwargs) -> pd.DataFrame:
+        """span_multi query [Lucene SpanMultiTermQueryWrapper over a
+        PrefixQuery inside SpanNearQuery, top-terms scoring rewrite]:
+        clauses are whitespace-separated; a trailing-``*`` clause
+        expands against the dictionary — (df DESC, term ASC), capped at
+        ``max_expansions``, the phrase_prefix cap rule — into a span_or
+        alternative set; everything then scores EXACTLY like
+        mode='span_or' (width-W containment, SynonymQuery-blended
+        clause idf from the max-df member).
+
+        Expansion happens ONCE on the driver off the range-pruned
+        dictionary read (never a vocab scan); the segment fan-out is
+        the unchanged span_or path.  Re-analysis of expanded members is
+        an identity for this analyzer family: dictionary terms are
+        already lowered, contain no split chars, are post-stopword, and
+        the minimal-english s-stemmer is idempotent."""
+        from opensearch_jvector_ray.analyze import analyze_query
+        expanded: dict[str, str] = {}
+        for qid, text in queries.items():
+            clauses_out = []
+            for clause in text.split():
+                if clause.endswith("*") and len(clause) > 1:
+                    toks = analyze_query(clause[:-1], self.cfg)
+                    if len(toks) != 1:
+                        raise ValueError(
+                            f"span_multi prefix clause {clause!r} must "
+                            f"analyze to exactly one token; got {toks}")
+                    members = self.expand_prefix(toks[0], max_expansions)
+                    if not members:
+                        # a dead prefix clause: the query matches
+                        # nothing (span containment needs every clause)
+                        clauses_out = None
+                        break
+                    clauses_out.append("|".join(members))
+                else:
+                    clauses_out.append(clause)
+            if clauses_out is not None:
+                expanded[qid] = " ".join(clauses_out)
+        return self.search(expanded, k=k, mode="span_or", slop=slop,
+                           **search_kwargs)
+
     def term_vectors(self, docs: dict[str, str]) -> pd.DataFrame:
         """Term-vectors API [OpenSearch _termvectors public semantics,
         term_statistics=true]: one row per (doc_id, term) with the

@@ -75,6 +75,8 @@ Supported bodies (one top-level clause per query):
     {"span_first":   {"query": "...", "end": n, "k": 10}}
                  # occurrences count only in the first n positions
     {"span_or":      {"query": "fast|quick merge", "slop": n, "k": 10}}
+    {"span_multi":   {"query": "fas* merge", "slop": n, "k": 10,
+                      "max_expansions": m}}
                  # '|'-alternatives unioned per clause, then span_near
     {"span_not":     {"query": "include exclude", "pre": n, "post": n,
                       "k": 10}}
@@ -240,6 +242,7 @@ _MBP_FIELDS = {"query", "k", "max_expansions"}
 _DIS_MAX_FIELDS = {"queries", "k", "tie_breaker"}
 _SPAN_FIRST_FIELDS = {"query", "end", "k"}
 _SPAN_OR_FIELDS = {"query", "slop", "k"}
+_SPAN_MULTI_FIELDS = {"query", "slop", "k", "max_expansions"}
 _SPAN_NOT_FIELDS = {"query", "pre", "post", "k"}
 _SPAN_WC_FIELDS = {"query", "slop", "k"}
 _TOP_METRICS_FIELDS = {"query", "sort_field", "metrics", "size",
@@ -1035,6 +1038,18 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
         return {"type": "span_or", "query": spec["query"],
                 "slop": int(spec.get("slop", 0)),
                 "k": int(spec.get("k", 10))}
+    if clause == "span_multi":
+        _require_known(clause, spec, _SPAN_MULTI_FIELDS)
+        if not isinstance(spec.get("query"), str) or not spec["query"]:
+            raise ValueError("[span_multi] needs a non-empty 'query'")
+        if int(spec.get("slop", 0)) < 0:
+            raise ValueError("[span_multi] slop must be >= 0")
+        if int(spec.get("max_expansions", 50)) < 1:
+            raise ValueError("[span_multi] max_expansions must be >= 1")
+        return {"type": "span_multi", "query": spec["query"],
+                "slop": int(spec.get("slop", 0)),
+                "max_expansions": int(spec.get("max_expansions", 50)),
+                "k": int(spec.get("k", 10))}
     if clause == "span_not":
         _require_known(clause, spec, _SPAN_NOT_FIELDS)
         if not isinstance(spec.get("query"), str) or not spec["query"]:
@@ -1211,6 +1226,12 @@ def execute_query(body: dict[str, Any], *, searcher=None, vector_ds=None,
             raise ValueError("[span_or] needs searcher=")
         return searcher.search({query_id: spec["query"]}, k=spec["k"],
                                mode="span_or", slop=spec["slop"])
+    if spec["type"] == "span_multi":
+        if searcher is None:
+            raise ValueError("[span_multi] needs searcher=")
+        return searcher.span_multi_search(
+            {query_id: spec["query"]}, k=spec["k"], slop=spec["slop"],
+            max_expansions=spec["max_expansions"])
     if spec["type"] == "span_not":
         if searcher is None:
             raise ValueError("[span_not] needs searcher=")

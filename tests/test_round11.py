@@ -89,6 +89,41 @@ def test_missing_agg_null_or_empty(idx):
     assert int(out2["doc_count"][1]) == 0
 
 
+def test_span_multi_expands_to_span_or(idx):
+    s = IndexSearcher(idx)
+    # corpus prefixes: 'de*' -> {delta}, 'alpha' literal; uncapped
+    # expansion of 'b*|g*'-ish sets checked via explicit span_or
+    got = s.span_multi_search({"q": "alpha de*"}, k=20, slop=2)
+    want = s.search({"q": "alpha delta"}, k=20, mode="span_or", slop=2)
+    pd.testing.assert_frame_equal(got, want)
+    # multi-expansion prefix: 'alpha|beta'-style union via a* + b* —
+    # a* expands to alpha only, b* to beta only on this vocab; compare
+    # against the hand-written span_or alternatives
+    got2 = s.span_multi_search({"q": "alp* bet*"}, k=20, slop=3)
+    want2 = s.search({"q": "alpha beta"}, k=20, mode="span_or", slop=3)
+    pd.testing.assert_frame_equal(got2, want2)
+    # cap rule: max_expansions=1 keeps only the top (df DESC, term ASC)
+    # expansion of the prefix — derive the winner from the dictionary
+    import pyarrow.parquet as _pq, os as _os
+    d = _pq.read_table(_os.path.join(idx, "dictionary")).to_pandas()
+    got3 = s.span_multi_search({"q": "alpha d*"}, k=20, slop=2,
+                               max_expansions=1)
+    dd = d[d["term"].str.startswith("d")].sort_values(
+        ["df", "term"], ascending=[False, True])
+    best = dd["term"].iloc[0]
+    want3 = s.search({"q": f"alpha {best}"}, k=20, mode="span_or",
+                     slop=2)
+    pd.testing.assert_frame_equal(got3, want3)
+    # dead prefix: query emits no rows
+    got4 = s.span_multi_search({"q": "alpha zz*"}, k=20, slop=2)
+    assert got4.empty
+    # DSL dispatch
+    via = execute_query({"span_multi": {"query": "alpha de*", "slop": 2,
+                                        "k": 20}}, searcher=s,
+                        query_id="q")
+    pd.testing.assert_frame_equal(via, want)
+
+
 def test_term_vectors_tf_and_global_stats(idx):
     from collections import Counter
     from opensearch_jvector_ray.analyze import tokenize
