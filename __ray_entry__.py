@@ -2382,6 +2382,19 @@ def _q_context_pairs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
 
 
+def _q_response_novelty(sf_dir: str) -> pd.DataFrame:
+    # SFT pair-quality signal: distinct analyzed response tokens absent
+    # from the preceding-K context token sets (one conv_id shuffle)
+    from opensearch_jvector_ray.sources.tables import (
+        TRANSCRIPTS_CFG, transcripts_path,
+    )
+    ds = rd.read_parquet(transcripts_path(sf_dir))
+    out = tr_pl.response_novelty(
+        ds, TRANSCRIPTS_CFG,
+        max_context_turns=CONTEXT_PAIR_TURNS).to_pandas()
+    return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
 def _q_conversation_validate(sf_dir: str) -> pd.DataFrame:
     # conversation well-formedness: starts_user AND has_assistant AND
     # no consecutive same-role turns (tool turns break naive zig-zag)
@@ -2709,6 +2722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # transcript-corpus assembly / unit dedup (input_hint shape)
         "conversation_assemble": _q_conversation_assemble,
         "context_pairs": _q_context_pairs,
+        "response_novelty": _q_response_novelty,
         "conversation_validate": _q_conversation_validate,
         "conversations_bm25": _q_conversations_bm25,
         "turn_dedup": _q_turn_dedup,
@@ -2861,6 +2875,13 @@ def _cumulative_cardinality_oracle() -> str:
     return cumulative_cardinality_sql(
         TRANSCRIPT_QUERIES, FACET_MIN_SCORE, DATE_HIST_INTERVAL,
         "conv_id", TRANSCRIPTS_CFG, _transcript_arms())
+
+
+def _response_novelty_oracle() -> str:
+    from opensearch_jvector_ray.oracles import response_novelty_sql
+    from opensearch_jvector_ray.sources.tables import TRANSCRIPTS_CFG
+    return response_novelty_sql(_transcript_arms(), TRANSCRIPTS_CFG,
+                                CONTEXT_PAIR_TURNS)
 
 
 def _missing_oracle() -> str:
@@ -3249,6 +3270,7 @@ def oracle_sql() -> dict[str, str]:
         "conversation_assemble": conversation_sql(_transcript_arms()),
         "context_pairs": context_pairs_sql(_transcript_arms(),
                                            CONTEXT_PAIR_TURNS),
+        "response_novelty": _response_novelty_oracle(),
         "conversation_validate": validate_conversations_sql(
             _transcript_arms()),
         "conversations_bm25": _conversations_bm25_oracle(),

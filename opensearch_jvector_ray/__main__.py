@@ -191,7 +191,8 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--op", required=True,
                     choices=["clean", "sample", "split", "mix", "pack",
                              "lm-score", "turn-dedup", "assemble",
-                             "chunk", "keywords", "pairs", "validate"])
+                             "chunk", "keywords", "pairs", "validate",
+                             "novelty"])
     cp.add_argument("--rate", type=float, default=0.1)
     cp.add_argument("--salt", default="")
     cp.add_argument("--splits", default="train=0.8,val=0.1,test=0.1")
@@ -492,6 +493,12 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 out = context_response_pairs(
                     ds, max_context_turns=args.context_turns)
+            elif args.op == "novelty":
+                from opensearch_jvector_ray.pipelines.transcripts import (
+                    response_novelty,
+                )
+                out = response_novelty(
+                    ds, cfg, max_context_turns=args.context_turns)
             elif args.op == "validate":
                 from opensearch_jvector_ray.pipelines.transcripts import (
                     validate_conversations,

@@ -3798,6 +3798,52 @@ ORDER BY conv_id, turn_idx
 """
 
 
+def response_novelty_sql(arms: list[tuple[str, int]], cfg: EngineConfig,
+                         max_context_turns: int) -> str:
+    """Oracle for transcripts.response_novelty: per assistant turn past
+    the conversation start, distinct analyzed response tokens absent
+    from the preceding-K-turns token sets.  The per-turn token list is
+    the toks_cte rule as a LIST expression (lower -> split -> drop
+    empty/stopwords -> optional stem -> distinct); the context union is
+    a windowed list() with the context_pairs_sql ROWS frame; novelty =
+    ONE division of the two exact integer counts."""
+    from opensearch_jvector_ray.analyze import STEM_PATTERN
+    K = int(max_context_turns)
+    pat = sql_quote(cfg.split_pattern)
+    stop = stoplist_sql(cfg)
+    toks_expr = (f"list_filter(regexp_split_to_array(lower(text), {pat}),"
+                 f" x -> x <> '' AND NOT list_contains({stop}, x))")
+    if cfg.stemmer == "minimal_english":
+        toks_expr = (f"list_transform({toks_expr}, x -> regexp_replace("
+                     f"x, {sql_quote(STEM_PATTERN)}, '\\1'))")
+    toks_expr = f"list_distinct({toks_expr})"
+    cte = transcripts_arms_cte(arms, "conv_id, turn_idx, role, text")
+    return f"""
+WITH {cte},
+tt AS (
+  SELECT conv_id, turn_idx, role, {toks_expr} AS toks
+  FROM transcripts
+),
+win AS (
+  SELECT conv_id, turn_idx, role, toks,
+         flatten(list(toks) OVER (PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN {K} PRECEDING AND 1 PRECEDING)) AS ctx_toks,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY turn_idx) AS rn
+  FROM tt
+)
+SELECT conv_id, turn_idx::BIGINT AS turn_idx,
+       len(toks)::BIGINT AS resp_distinct,
+       len(list_filter(toks, t -> NOT list_contains(ctx_toks, t)))::BIGINT
+         AS novel_distinct,
+       len(list_filter(toks, t -> NOT list_contains(ctx_toks, t)))::DOUBLE
+         / len(toks)::DOUBLE AS novelty
+FROM win
+WHERE role = 'assistant' AND rn > 1 AND len(toks) > 0
+ORDER BY conv_id, turn_idx
+"""
+
+
 def validate_conversations_sql(arms: list[tuple[str, int]]) -> str:
     """Oracle for transcripts.validate_conversations: lag window +
     bool_or (NULL prev_role on a conversation's first row is ignored by

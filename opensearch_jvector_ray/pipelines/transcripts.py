@@ -156,6 +156,106 @@ def context_response_pairs(ds: "rd.Dataset",
     return hash_copartition(prepped, "conv_id", bucket, num_parts)
 
 
+def response_novelty(ds: "rd.Dataset", cfg: EngineConfig,
+                     max_context_turns: int = 4,
+                     num_parts: int = 64) -> "rd.Dataset":
+    """SFT pair-quality signal over the input_hint transcript shape:
+    for every assistant turn with >= 1 preceding turn (the
+    ``context_response_pairs`` selection rule), the fraction of its
+    DISTINCT analyzed response tokens that do NOT appear in the
+    preceding min(K, position) turns' token sets — low novelty flags
+    parrot/echo responses, high novelty flags context-free ones (a
+    standard SFT-pair filter signal).
+
+    Tokens are the engine analyzer's post-stopword (and, if configured,
+    stemmed) terms — the rule the generated oracle shares via the
+    toks_cte expression.  ONE conv_id shuffle; per-bucket work is one
+    vectorized analyze of the bucket's turn texts, integer token codes
+    (np.unique), a ragged window gather for the context sets, and a
+    composite-key searchsorted membership test — no per-pair Python.
+    ``novelty`` = novel_distinct / resp_distinct: two exact integers,
+    ONE division (bit-equal to the oracle's).  Responses with zero
+    analyzed tokens emit no row (novelty undefined — the oracle's
+    len(toks) > 0)."""
+    from opensearch_jvector_ray.analyze import tokenize
+    K = int(max_context_turns)
+    if K < 1:
+        raise ValueError("max_context_turns must be >= 1")
+
+    def _ragged_arange(lens: np.ndarray) -> np.ndarray:
+        total = int(lens.sum())
+        return (np.arange(total)
+                - np.repeat(np.cumsum(lens) - lens, lens))
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"conv_id": [], "turn_idx": [], "resp_distinct": [],
+                "novel_distinct": [], "novelty": []}
+        empty = pd.DataFrame(cols)
+        conv = df["conv_id"].to_numpy()
+        order = np.lexsort((df["turn_idx"].to_numpy(), conv))
+        conv = conv[order]
+        turn = df["turn_idx"].to_numpy()[order]
+        role = df["role"].to_numpy()[order]
+        stream = tokenize(pa.array(df["text"].to_numpy()[order],
+                                   type=pa.string()), cfg)
+        terms = stream.terms.to_numpy(zero_copy_only=False)
+        n = len(conv)
+        if not len(terms):
+            return empty
+        uniq, codes = np.unique(terms, return_inverse=True)
+        C = len(uniq)
+        # per-turn DISTINCT (turn, code) pairs, turn-major
+        ukey = np.unique(stream.doc_idx.astype(np.int64) * C + codes)
+        udoc = ukey // C
+        ucode = ukey % C
+        per_turn = np.bincount(udoc, minlength=n)
+        u_offs = np.concatenate(([0], np.cumsum(per_turn)))
+        # pair selection: assistant turns past the conversation start
+        # with >= 1 analyzed response token
+        new = np.ones(n, dtype=bool)
+        new[1:] = conv[1:] != conv[:-1]
+        cstarts = np.flatnonzero(new)
+        conv_start = np.repeat(cstarts, np.diff(np.append(cstarts, n)))
+        idx = np.arange(n, dtype=np.int64)
+        sel = np.flatnonzero((role == "assistant") & (idx > conv_start)
+                             & (per_turn > 0))
+        if not len(sel):
+            return empty
+        # context token sets: ragged window turn gather, then each
+        # window turn's distinct-code slice
+        lo = np.maximum(conv_start[sel], sel - K)
+        wlens = sel - lo
+        wturn = np.repeat(lo, wlens) + _ragged_arange(wlens)
+        pair_of_wturn = np.repeat(np.arange(len(sel)), wlens)
+        ccnt = per_turn[wturn]
+        pair_of_ctx = np.repeat(pair_of_wturn, ccnt)
+        flat_ctx = np.repeat(u_offs[wturn], ccnt) + _ragged_arange(ccnt)
+        ctx_key = np.unique(pair_of_ctx * C + ucode[flat_ctx])
+        # response distinct codes per pair + membership test
+        rcnt = per_turn[sel]
+        pair_of_resp = np.repeat(np.arange(len(sel)), rcnt)
+        flat_resp = np.repeat(u_offs[sel], rcnt) + _ragged_arange(rcnt)
+        resp_key = pair_of_resp * C + ucode[flat_resp]
+        pos = np.searchsorted(ctx_key, resp_key)
+        found = np.zeros(len(resp_key), dtype=bool)
+        if len(ctx_key):
+            inb = pos < len(ctx_key)
+            found[inb] = ctx_key[pos[inb]] == resp_key[inb]
+        novel = np.bincount(pair_of_resp, weights=~found,
+                            minlength=len(sel)).astype(np.int64)
+        return pd.DataFrame({
+            "conv_id": conv[sel],
+            "turn_idx": turn[sel].astype(np.int64),
+            "resp_distinct": rcnt.astype(np.int64),
+            "novel_distinct": novel,
+            "novelty": novel.astype(np.float64)
+                       / rcnt.astype(np.float64),
+        })
+
+    prepped = ds.select_columns(["conv_id", "turn_idx", "role", "text"])
+    return hash_copartition(prepped, "conv_id", bucket, num_parts)
+
+
 def validate_conversations(ds: "rd.Dataset",
                            num_parts: int = 64) -> "rd.Dataset":
     """Conversation well-formedness validation (the filter an LLM

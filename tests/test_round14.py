@@ -331,6 +331,51 @@ def test_context_response_pairs_positional_window():
         context_response_pairs(_turns_ds(), max_context_turns=0)
 
 
+def test_response_novelty_rules():
+    from opensearch_jvector_ray.config import EngineConfig
+    from opensearch_jvector_ray.pipelines.transcripts import (
+        response_novelty,
+    )
+    cfg = EngineConfig()
+    turns = [
+        # echo response: every token already in context -> novelty 0
+        ("E", 0, "user", "alpha beta gamma"),
+        ("E", 1, "assistant", "beta alpha"),
+        # half-novel: 'delta' new, 'alpha' seen (window K=2 covers
+        # turns 0-1)
+        ("E", 2, "assistant", "alpha delta"),
+        # stopword-only response: no analyzed tokens -> NO row
+        ("E", 3, "assistant", "the a of"),
+        # window slides: with K=2 the context of turn 4 is turns 2-3;
+        # 'beta' (turn 1) is OUTSIDE the window -> novel again
+        ("E", 4, "assistant", "beta"),
+        # duplicate response tokens count DISTINCT once
+        ("F", 0, "user", "xx yy"),
+        ("F", 1, "assistant", "zz zz zz yy"),
+        # conversation-first assistant turn: no preceding -> no row
+        ("G", 0, "assistant", "solo"),
+    ]
+    ds = rd.from_arrow(pa.table({
+        "conv_id": pa.array([t[0] for t in turns]),
+        "turn_idx": pa.array([t[1] for t in turns], type=pa.int32()),
+        "role": pa.array([t[2] for t in turns]),
+        "text": pa.array([t[3] for t in turns]),
+    }))
+    out = (response_novelty(ds, cfg, max_context_turns=2).to_pandas()
+           .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    got = {(r.conv_id, int(r.turn_idx)):
+           (int(r.resp_distinct), int(r.novel_distinct), float(r.novelty))
+           for r in out.itertuples()}
+    assert got == {
+        ("E", 1): (2, 0, 0.0),
+        ("E", 2): (2, 1, 0.5),
+        ("E", 4): (1, 1, 1.0),
+        ("F", 1): (2, 1, 0.5),
+    }
+    with pytest.raises(ValueError, match="max_context_turns"):
+        response_novelty(ds, cfg, max_context_turns=0)
+
+
 def test_validate_conversations_rules():
     from opensearch_jvector_ray.pipelines.transcripts import (
         validate_conversations,
