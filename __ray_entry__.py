@@ -59,7 +59,8 @@ from opensearch_jvector_ray.oracles import (
     phrase_prefix_sql,
     hybrid_rrf_sql,
     hash_sample_sql, hash_split_sql, lang_id_sql, minhash_exact_sql,
-    mix_sources_sql, bpe_count_sql, gopher_filter_sql, tool_usage_sql,
+    mix_sources_sql, bpe_count_sql, bpe_merges_sql, gopher_filter_sql,
+    tool_usage_sql,
     ngram_exact_sql, pii_scrub_sql, decontaminate_sql, self_overlap_sql,
     quantile_sql, range_join_sql,
     pack_chunks_sql, phrase_sql,
@@ -1575,6 +1576,19 @@ def _q_token_count_bpe(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+BPE_MERGE_TOPK = 30
+
+
+def _q_bpe_merges(sf_dir: str) -> pd.DataFrame:
+    # BPE tokenizer-training step: corpus-wide adjacent char-pair
+    # counts inside pre-tokens, top-k merge candidates
+    from opensearch_jvector_ray.pipelines.corpus import (
+        bpe_merge_candidates,
+    )
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    return bpe_merge_candidates(ds, "text", top_k=BPE_MERGE_TOPK)
+
+
 def _q_fingerprint(sf_dir: str) -> pd.DataFrame:
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     out = (ds.map_batches(ts_pl.fingerprint_stage(CFG, "doc_id", "text"),
@@ -2699,6 +2713,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text-analysis pipeline operators
         "token_count": _q_token_count,
         "token_count_bpe": _q_token_count_bpe,
+        "bpe_merges": _q_bpe_merges,
         "doc_fingerprint": _q_fingerprint,
         "exact_dedup": _q_exact_dedup,
         "quality_score": _q_quality,
@@ -3246,6 +3261,7 @@ def oracle_sql() -> dict[str, str]:
         "collection_stats": collection_stats_sql(CFG),
         "token_count": token_count_sql(CFG),
         "token_count_bpe": bpe_count_sql(ts_pl.BPE_PATTERN),
+        "bpe_merges": bpe_merges_sql(ts_pl.BPE_PATTERN, BPE_MERGE_TOPK),
         "doc_fingerprint": fingerprint_sql(CFG),
         "exact_dedup": exact_dedup_sql(CFG),
         "quality_score": quality_sql(CFG),

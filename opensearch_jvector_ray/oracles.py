@@ -2940,6 +2940,31 @@ FROM {table} ORDER BY {id_col}
 """
 
 
+def bpe_merges_sql(pattern: str, top_k: int,
+                   table: str = "documents",
+                   text_col: str = "text") -> str:
+    """Oracle for corpus.bpe_merge_candidates: adjacent char pairs
+    inside every pre-token (regexp_extract_all shares the engine's
+    pattern string verbatim; substring is character-based like the
+    engine's utf-32 view), counted corpus-wide, ranked (count DESC,
+    pair ASC — binary collation == codepoint order), top_k."""
+    return f"""
+WITH pt AS (
+  SELECT unnest(regexp_extract_all({text_col}, {sql_quote(pattern)}))
+    AS t
+  FROM {table}
+),
+pairs AS (
+  SELECT substring(t, i, 2) AS pair
+  FROM (SELECT t, unnest(range(1, length(t))) AS i FROM pt) u
+)
+SELECT pair, count(*)::BIGINT AS cnt
+FROM pairs GROUP BY pair
+ORDER BY cnt DESC, pair ASC
+LIMIT {int(top_k)}
+"""
+
+
 def fingerprint_sql(cfg: EngineConfig, table: str = "documents",
                     id_col: str = "doc_id", text_col: str = "text") -> str:
     return f"""

@@ -318,3 +318,80 @@ def chunk_documents(ds: "rd.Dataset", id_col: str, text_col: str, *,
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def bpe_merge_candidates(ds: "rd.Dataset", text_col: str = "text", *,
+                         top_k: int = 30,
+                         pattern: str | None = None) -> "pd.DataFrame":
+    """BPE tokenizer-training step [Sennrich et al. 2016 public
+    algorithm, the GPT-2 byte-level variant's first iteration]: count
+    adjacent CHARACTER pairs inside every pre-token across the corpus
+    and return the ``top_k`` merge candidates by count — the pair the
+    first BPE merge would fuse, plus the ranked tail.
+
+    Pre-tokens come from the shared ``textstats.BPE_PATTERN`` (RE2-safe,
+    the string DuckDB's ``regexp_extract_all`` consumes verbatim), so
+    pair counting never crosses a pre-token boundary.  Per batch: ONE
+    findall over the newline-joined batch text (the pattern's classes
+    all exclude whitespace, so the join separator can neither create
+    nor merge matches), codepoint arrays via utf-32 views, boundary-
+    masked pair keys (c1 * 2^21 + c2 — codepoints < 2^21), and a
+    np.unique partial.  Partials are distinct-pair-sized (combiner-
+    first); ONE tiny groupby merges them and the driver decodes or
+    ranks only distinct-pair rows.  Ties rank (count DESC, pair ASC) —
+    DuckDB's binary collation == codepoint order."""
+    import re as _re
+
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from opensearch_jvector_ray.pipelines.textstats import BPE_PATTERN
+    pat = _re.compile(pattern if pattern is not None else BPE_PATTERN)
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        toks = pat.findall("\n".join(texts.to_pylist()))
+        empty = pa.table({"pair_key": pa.array([], type=pa.int64()),
+                          "cnt": pa.array([], type=pa.int64())})
+        if not toks:
+            return empty
+        joined = "".join(toks)
+        cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32) \
+            .astype(np.int64)
+        if len(cp) < 2:
+            return empty
+        ends = np.cumsum(np.fromiter(map(len, toks), dtype=np.int64,
+                                     count=len(toks)))
+        # pair i spans cp[i], cp[i+1]; cross-token pairs (i = a token's
+        # last char) are masked — the final token's end has no pair row
+        valid = np.ones(len(cp) - 1, dtype=bool)
+        cut = ends[:-1] - 1
+        valid[cut[cut < len(valid)]] = False
+        keys = cp[:-1][valid] * 0x200000 + cp[1:][valid]
+        uk, uc = np.unique(keys, return_counts=True)
+        return pa.table({"pair_key": pa.array(uk, type=pa.int64()),
+                         "cnt": pa.array(uc.astype(np.int64),
+                                         type=pa.int64())})
+
+    merged = (ds.select_columns([text_col])
+                .map_batches(partial, batch_format="pyarrow")
+                .groupby("pair_key")
+                .aggregate(Sum("cnt", alias_name="cnt"))
+                .to_pandas())
+    if merged.empty:
+        return pd.DataFrame({"pair": pd.Series(dtype="object"),
+                             "cnt": pd.Series(dtype="int64")})
+    k1 = (merged["pair_key"].to_numpy() // 0x200000).astype(np.uint32)
+    k2 = (merged["pair_key"].to_numpy() % 0x200000).astype(np.uint32)
+    flat = np.stack([k1, k2], axis=1).tobytes()
+    s = flat.decode("utf-32-le")
+    merged["pair"] = [s[2 * i: 2 * i + 2] for i in range(len(merged))]
+    merged["cnt"] = merged["cnt"].astype(np.int64)
+    out = merged.sort_values(["cnt", "pair"],
+                             ascending=[False, True], kind="mergesort")
+    return out[["pair", "cnt"]].head(top_k).reset_index(drop=True)

@@ -467,3 +467,28 @@ def test_span_wc_validation(idx):
     # zero-df member (little or big) matches nothing, doesn't raise
     out = s.search({"q": "qqq alpha"}, k=5, mode="span_within")
     assert len(out) == 0
+
+
+def test_bpe_merge_candidates_pairs_and_ties():
+    from opensearch_jvector_ray.pipelines.corpus import (
+        bpe_merge_candidates,
+    )
+    # 'ab' appears inside 'abab' (2x: ab at 0-1 and 2-3... plus the
+    # cross pair 'ba') and in 'abc'; pre-token boundaries (space,
+    # punctuation runs, contractions) never pair across
+    tbl = pa.table({"text": pa.array([
+        "abab abc",          # pairs: ab,ba,ab | ab,bc
+        "it's x",            # pre-tokens: it, 's, x -> pairs: it, 's
+        "a,b",               # a | , | b -> no pairs (all len-1 tokens)
+        "zz!!zz",            # zz | !! | zz -> zz, !!, zz
+    ])})
+    out = bpe_merge_candidates(rd.from_arrow(tbl), "text", top_k=50)
+    got = dict(zip(out["pair"], out["cnt"]))
+    assert got == {"ab": 3, "ba": 1, "bc": 1, "it": 1, "'s": 1,
+                   "zz": 2, "!!": 1}
+    # ranking: cnt DESC then pair ASC; top_k caps
+    assert list(out["pair"][:2]) == ["ab", "zz"]
+    top3 = bpe_merge_candidates(rd.from_arrow(tbl), "text", top_k=3)
+    assert list(top3["pair"]) == ["ab", "zz", "!!"]
+    with pytest.raises(ValueError, match="top_k"):
+        bpe_merge_candidates(rd.from_arrow(tbl), "text", top_k=0)
