@@ -33,7 +33,7 @@ from opensearch_jvector_ray.oracles import (
     filters_agg_sql, terms_stats_sql, composite_sql, multi_match_sql,
     dis_max_sql, span_first_sql, keyword_sql, chunk_sql,
     top_metrics_sql, percentile_ranks_sql,
-    mad_sql, boxplot_sql, t_test_sql,
+    mad_sql, boxplot_sql, t_test_sql, vw_histogram_sql,
     global_stats_sql, sampler_sql, diversified_sampler_sql,
     rank_feature_add_sql, pinned_sql, combined_fields_sql,
     span_or_near_sql, span_not_sql, matched_queries_sql,
@@ -1227,6 +1227,18 @@ def _q_bm25_missing(sf_dir: str) -> pd.DataFrame:
     s = IndexSearcher(transcripts_index(sf_dir))
     return s.missing_agg(TRANSCRIPT_QUERIES, field="tool",
                          min_score=FACET_MIN_SCORE)
+
+
+VW_HIST_BUCKETS = 5
+
+
+def _q_bm25_vw_histogram(sf_dir: str) -> pd.DataFrame:
+    # variable_width_histogram (deterministic largest-gaps rule):
+    # n_chars distinct values split at the 4 widest adjacent gaps
+    s = IndexSearcher(documents_index(sf_dir))
+    return s.variable_width_histogram_agg(
+        BM25_QUERIES, value_col=STATS_COL, buckets=VW_HIST_BUCKETS,
+        min_score=FACET_MIN_SCORE)
 
 
 def _q_bm25_value_count(sf_dir: str) -> pd.DataFrame:
@@ -2661,6 +2673,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_percentile_ranks": _q_bm25_percentile_ranks,
         "bm25_missing": _q_bm25_missing,
         "bm25_value_count": _q_bm25_value_count,
+        "bm25_vw_histogram": _q_bm25_vw_histogram,
         "bm25_global_stats": _q_bm25_global_stats,
         "bm25_sampler": _q_bm25_sampler,
         "bm25_div_sampler": _q_bm25_div_sampler,
@@ -3163,6 +3176,9 @@ def oracle_sql() -> dict[str, str]:
             ["lang", "source"], TOP_METRICS_SIZE, "desc", CFG),
         "bm25_missing": _missing_oracle(),
         "bm25_value_count": _value_count_oracle(),
+        "bm25_vw_histogram": vw_histogram_sql(
+            BM25_QUERIES, FACET_MIN_SCORE, STATS_COL, VW_HIST_BUCKETS,
+            CFG),
         "bm25_global_stats": global_stats_sql(STATS_COL),
         "bm25_sampler": sampler_sql(
             BM25_QUERIES, FACET_MIN_SCORE, SAMPLER_FIELD,

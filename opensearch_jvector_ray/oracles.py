@@ -4901,6 +4901,61 @@ ORDER BY q.query_id
 """
 
 
+def vw_histogram_sql(queries: dict[str, str], min_score: float,
+                     value_col: str, buckets: int, cfg: EngineConfig,
+                     table: str = "documents", id_col: str = "doc_id",
+                     text_col: str = "text") -> str:
+    """Oracle for IndexSearcher.variable_width_histogram_agg: distinct
+    match-set values split at the (buckets - 1) largest adjacent gaps
+    ((gap DESC, boundary value ASC) ties); per bucket min / max /
+    doc_count / centroid, centroid = ONE division of two exact
+    integers."""
+    inner = bm25_sql(queries, 0, cfg, table=table, id_col=id_col,
+                     text_col=text_col, min_score=min_score)
+    return f"""
+WITH hits AS ({inner}),
+vals AS (
+  SELECT h.query_id, d.{value_col} AS v,
+         count(*)::BIGINT AS c
+  FROM hits h JOIN {table} d USING ({id_col})
+  WHERE d.{value_col} IS NOT NULL
+  GROUP BY h.query_id, d.{value_col}
+),
+gaps AS (
+  SELECT query_id, v, c,
+         v - lag(v) OVER (PARTITION BY query_id ORDER BY v) AS gap
+  FROM vals
+),
+rk AS (
+  SELECT query_id, v,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY gap DESC, v ASC) AS rn
+  FROM gaps WHERE gap IS NOT NULL
+),
+marked AS (
+  SELECT g.query_id, g.v, g.c,
+         CASE WHEN r.rn IS NOT NULL AND r.rn <= {int(buckets) - 1}
+              THEN 1 ELSE 0 END AS brk
+  FROM gaps g LEFT JOIN rk r
+    ON r.query_id = g.query_id AND r.v = g.v
+),
+bucketed AS (
+  SELECT query_id, v, c,
+         sum(brk) OVER (PARTITION BY query_id ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS bid
+  FROM marked
+)
+SELECT query_id,
+       min(v)::DOUBLE AS v_min,
+       max(v)::DOUBLE AS v_max,
+       sum(c)::BIGINT AS doc_count,
+       sum(v * c)::BIGINT::DOUBLE / sum(c)::BIGINT::DOUBLE AS centroid
+FROM bucketed
+GROUP BY query_id, bid
+ORDER BY query_id, v_min
+"""
+
+
 def value_count_sql(queries: dict[str, str], min_score: float,
                     field: str, cfg: EngineConfig,
                     arms: list[tuple[str, int]]) -> str:

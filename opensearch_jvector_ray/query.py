@@ -3907,6 +3907,58 @@ class IndexSearcher:
             .astype(np.int64)
         return base
 
+    def variable_width_histogram_agg(self, queries: dict[str, str],
+                                     value_col: str, buckets: int,
+                                     min_score: float,
+                                     concurrency: int | None = None
+                                     ) -> pd.DataFrame:
+        """Variable-width histogram [OpenSearch
+        variable_width_histogram-agg public SHAPE — that implementation
+        is explicitly collector-order-dependent; this engine pins a
+        DETERMINISTIC largest-gaps rule]: the match set's distinct
+        values split at the ``buckets - 1`` largest adjacent gaps
+        (ties broken (gap DESC, boundary value ASC)); each bucket
+        reports min / max / doc_count / centroid.  centroid =
+        sum(v * c) / sum(c): two exact integers, ONE division
+        (bit-equal to the oracle's).  Rides the same per-segment
+        (value, count) partials as percentiles (combiner-first); the
+        driver works over distinct-value-sized rows only.  Fewer
+        distinct values than ``buckets`` yields one bucket per value.
+        NULL values are excluded; an all-NULL match set emits no row."""
+        if buckets < 1:
+            raise ValueError("buckets must be >= 1")
+        df = self._agg_fanout(queries, {"kind": "terms", "col": value_col},
+                              min_score, None, concurrency)
+        cols = ["query_id", "v_min", "v_max", "doc_count", "centroid"]
+        if df.empty:
+            return pd.DataFrame(columns=cols)
+        rows = []
+        for qid, g in df.groupby("query_id", sort=True):
+            vc = g.groupby(value_col, sort=True)["doc_count"].sum()
+            if not len(vc):
+                continue
+            if pd.api.types.is_datetime64_any_dtype(vc.index):
+                vc.index = vc.index.astype("int64")
+            vals = vc.index.to_numpy(dtype=np.int64)
+            cnts = vc.to_numpy(dtype=np.int64)
+            m = len(vals)
+            bid = np.zeros(m, dtype=np.int64)
+            if m > 1 and buckets > 1:
+                gaps = vals[1:] - vals[:-1]          # gap BEFORE vals[i+1]
+                # top (buckets-1) boundaries by (gap DESC, value ASC)
+                order = np.lexsort((vals[1:], -gaps))
+                chosen = order[:buckets - 1] + 1     # index into vals
+                brk = np.zeros(m, dtype=np.int64)
+                brk[chosen] = 1
+                bid = np.cumsum(brk)
+            for b in np.unique(bid):
+                sel = bid == b
+                v, c = vals[sel], cnts[sel]
+                tot = int(c.sum())
+                rows.append((qid, float(v[0]), float(v[-1]), tot,
+                             float(int(np.dot(v, c))) / float(tot)))
+        return pd.DataFrame(rows, columns=cols)
+
     def value_count_agg(self, queries: dict[str, str], field: str,
                         min_score: float,
                         concurrency: int | None = None) -> pd.DataFrame:

@@ -93,6 +93,8 @@ Supported bodies (one top-level clause per query):
     {"simple_query_string": {"query": '+must -not "a phrase" pre*',
                     "k": 10}}  # the +/-/"/trailing-* flag subset
     {"mad":        {"query": "...", "field": int_col, "min_score": f}}
+    {"variable_width_histogram": {"query": "...", "field": int_col,
+                                  "buckets": b, "min_score": f}}
                  # exact median-absolute-deviation over the match set
     {"boxplot":    {"query": "...", "field": int_col, "min_score": f}}
                  # exact min/q1/q2/q3/max (quantile_disc quartiles)
@@ -215,6 +217,7 @@ _DATE_HIST_FIELDS = {"query", "field", "min_score", "calendar_interval",
                      "sort_from", "sort_size", "percent", "rate_unit"}
 _SQS_FIELDS = {"query", "k", "max_expansions"}
 _MAD_FIELDS = {"query", "field", "min_score"}
+_VW_HIST_FIELDS = {"query", "field", "buckets", "min_score"}
 _BOXPLOT_FIELDS = {"query", "field", "min_score"}
 _T_TEST_FIELDS = {"query", "field", "min_score", "filter_a", "filter_b"}
 _TOP_HITS_FIELDS = {"query", "field", "min_score", "n"}
@@ -896,6 +899,19 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
         return {"type": clause, "query": spec["query"],
                 "field": spec["field"],
                 "min_score": float(spec["min_score"])}
+    if clause == "variable_width_histogram":
+        _require_known(clause, spec, _VW_HIST_FIELDS)
+        if not isinstance(spec.get("query"), str) or not spec["query"]:
+            raise ValueError(f"[{clause}] needs a non-empty 'query'")
+        if "min_score" not in spec:
+            raise ValueError(f"[{clause}] needs 'min_score'")
+        if not isinstance(spec.get("field"), str) or not spec["field"]:
+            raise ValueError(f"[{clause}] needs 'field'")
+        if int(spec.get("buckets", 0)) < 1:
+            raise ValueError(f"[{clause}] needs buckets >= 1")
+        return {"type": clause, "query": spec["query"],
+                "field": spec["field"], "buckets": int(spec["buckets"]),
+                "min_score": float(spec["min_score"])}
     if clause == "t_test":
         _require_known(clause, spec, _T_TEST_FIELDS)
         if not isinstance(spec.get("query"), str) or not spec["query"]:
@@ -1404,6 +1420,12 @@ def execute_query(body: dict[str, Any], *, searcher=None, vector_ds=None,
             else searcher.boxplot_agg
         return fn({query_id: spec["query"]}, value_col=spec["field"],
                   min_score=spec["min_score"])
+    if spec["type"] == "variable_width_histogram":
+        if searcher is None:
+            raise ValueError("[variable_width_histogram] needs searcher=")
+        return searcher.variable_width_histogram_agg(
+            {query_id: spec["query"]}, value_col=spec["field"],
+            buckets=spec["buckets"], min_score=spec["min_score"])
     if spec["type"] == "t_test":
         if searcher is None:
             raise ValueError("[t_test] needs searcher=")

@@ -397,6 +397,7 @@ class _ServedAggSearcher:
     percentile_ranks_agg = _IS.percentile_ranks_agg
     missing_agg = _IS.missing_agg
     value_count_agg = _IS.value_count_agg
+    variable_width_histogram_agg = _IS.variable_width_histogram_agg
     sampler_agg = _IS.sampler_agg
     diversified_sampler_agg = _IS.diversified_sampler_agg
     auto_date_histogram_agg = _IS.auto_date_histogram_agg

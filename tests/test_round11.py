@@ -697,3 +697,44 @@ def test_warm_facade_round11_frame_identity(idx):
                 Q, ts_col="ts", target_buckets=3, min_score=MS))
     finally:
         svc.shutdown()
+
+
+def test_variable_width_histogram_largest_gaps(idx):
+    s = IndexSearcher(idx)
+    B = 3
+    out = s.variable_width_histogram_agg(Q, value_col="n_chars",
+                                         buckets=B, min_score=MS)
+    m = _match_df(s)
+    vc = m.groupby("n_chars").size().sort_index()
+    vals = vc.index.to_numpy(np.int64)
+    cnts = vc.to_numpy(np.int64)
+    # brute largest-gaps split
+    gaps = vals[1:] - vals[:-1]
+    order = np.lexsort((vals[1:], -gaps))
+    chosen = np.sort(order[:B - 1] + 1)
+    bid = np.zeros(len(vals), dtype=int)
+    bid[chosen] = 1
+    bid = np.cumsum(bid)
+    want = []
+    for b in np.unique(bid):
+        v, c = vals[bid == b], cnts[bid == b]
+        want.append((float(v[0]), float(v[-1]), int(c.sum()),
+                     float(np.dot(v, c)) / float(c.sum())))
+    got = [(r.v_min, r.v_max, int(r.doc_count), r.centroid)
+           for r in out.itertuples()]
+    assert got == want
+    assert len(out) == B            # non-degenerate on this corpus
+    # buckets >= distinct values: one bucket per value
+    out1 = s.variable_width_histogram_agg(Q, value_col="n_chars",
+                                          buckets=10_000, min_score=MS)
+    assert len(out1) == len(vals)
+    assert (out1["v_min"] == out1["v_max"]).all()
+    # DSL dispatch
+    via = execute_query(
+        {"variable_width_histogram": {"query": Q["q"], "field": "n_chars",
+                                      "buckets": B, "min_score": MS}},
+        searcher=s)
+    pd.testing.assert_frame_equal(via, out)
+    with pytest.raises(ValueError, match="buckets"):
+        s.variable_width_histogram_agg(Q, value_col="n_chars",
+                                       buckets=0, min_score=MS)
