@@ -1241,6 +1241,27 @@ def _q_bm25_vw_histogram(sf_dir: str) -> pd.DataFrame:
         min_score=FACET_MIN_SCORE)
 
 
+DBQ_QUERIES = {"del": "window batch"}
+DBQ_MIN_SCORE = 0.3
+
+
+def _q_delete_by_query(sf_dir: str) -> pd.DataFrame:
+    # _delete_by_query lifecycle: tombstone the delete query's radial
+    # match set, merge-rebuild into a fresh dir (stats/dictionary
+    # recompute), then rank BM25 on the survivor index — rank-identical
+    # to a fresh build over the survivors (the oracle's surv CTE)
+    import tempfile
+
+    from opensearch_jvector_ray.stages.merge import delete_by_query
+    src = documents_index(sf_dir)
+    dst = tempfile.mkdtemp(prefix="ojr_dbq_")
+    delete_by_query(src, dst, DBQ_QUERIES, min_score=DBQ_MIN_SCORE)
+    out = _round_hits(IndexSearcher(dst).search(BM25_QUERIES, k=BM25_K))
+    import shutil
+    shutil.rmtree(dst, ignore_errors=True)
+    return out
+
+
 def _q_bm25_value_count(sf_dir: str) -> pd.DataFrame:
     # value_count agg: match-set turns WITH a tool call (field present
     # = not NULL and not '' — the missing-agg rule's complement)
@@ -2673,6 +2694,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_percentile_ranks": _q_bm25_percentile_ranks,
         "bm25_missing": _q_bm25_missing,
         "bm25_value_count": _q_bm25_value_count,
+        "delete_by_query": _q_delete_by_query,
         "bm25_vw_histogram": _q_bm25_vw_histogram,
         "bm25_global_stats": _q_bm25_global_stats,
         "bm25_sampler": _q_bm25_sampler,
@@ -2917,6 +2939,17 @@ def _missing_oracle() -> str:
     from opensearch_jvector_ray.sources.tables import TRANSCRIPTS_CFG
     return missing_agg_sql(TRANSCRIPT_QUERIES, FACET_MIN_SCORE, "tool",
                            TRANSCRIPTS_CFG, _transcript_arms())
+
+
+def _delete_by_query_oracle() -> str:
+    # survivors = docs NOT in the delete query's radial match set
+    # (computed on ORIGINAL stats); the outer search computes BM25
+    # from the SURVIVOR corpus stats — the rebuilt index's rule
+    del_inner = bm25_sql(DBQ_QUERIES, 0, CFG, min_score=DBQ_MIN_SCORE)
+    surv = (f"surv AS (SELECT doc_id, text FROM documents WHERE doc_id "
+            f"NOT IN (SELECT doc_id FROM ({del_inner})))")
+    return bm25_sql(BM25_QUERIES, BM25_K, CFG, table="surv",
+                    prefix_cte=surv)
 
 
 def _value_count_oracle() -> str:
@@ -3176,6 +3209,7 @@ def oracle_sql() -> dict[str, str]:
             ["lang", "source"], TOP_METRICS_SIZE, "desc", CFG),
         "bm25_missing": _missing_oracle(),
         "bm25_value_count": _value_count_oracle(),
+        "delete_by_query": _delete_by_query_oracle(),
         "bm25_vw_histogram": vw_histogram_sql(
             BM25_QUERIES, FACET_MIN_SCORE, STATS_COL, VW_HIST_BUCKETS,
             CFG),

@@ -638,3 +638,25 @@ def merge_index(src_index_dir: str, dst_index_dir: str,
     }
     write_json_atomic(os.path.join(dst_index_dir, STATS_NAME), stats)
     return stats
+
+
+def delete_by_query(src_index_dir: str, dst_index_dir: str,
+                    queries: dict[str, str], min_score: float,
+                    merge_factor: int = 8) -> int:
+    """_delete_by_query API [OpenSearch delete-by-query public
+    semantics]: every doc matching ANY given query (radial
+    score >= min_score — the uncapped O5 predicate) is tombstoned and
+    the index merges into ``dst_index_dir`` (the deletes branch: full
+    decode + rebuild, D2).  Dictionary and global stats recompute on
+    merge (T3), so post-delete searches run on SURVIVOR statistics —
+    rank-identical to a fresh build over the surviving docs (the
+    generated oracle's surv-CTE rule).  The source index is untouched
+    (new-directory merge); returns the number of deleted docs."""
+    from opensearch_jvector_ray.query import IndexSearcher
+    s = IndexSearcher(src_index_dir)
+    hits = s.search(queries, min_score=min_score)
+    keys = {tuple(row) for row in
+            hits[list(s.key_cols)].itertuples(index=False)}
+    merge_index(src_index_dir, dst_index_dir, merge_factor=merge_factor,
+                deletes=sorted(keys))
+    return len(keys)

@@ -738,3 +738,32 @@ def test_variable_width_histogram_largest_gaps(idx):
     with pytest.raises(ValueError, match="buckets"):
         s.variable_width_histogram_agg(Q, value_col="n_chars",
                                        buckets=0, min_score=MS)
+
+
+def test_delete_by_query_equals_fresh_build(idx, tmp_path):
+    from opensearch_jvector_ray.stages.merge import delete_by_query
+    s = IndexSearcher(idx)
+    dq = {"del": "gamma"}
+    victims = set(s.search(dq, min_score=MS)["doc_id"])
+    assert 0 < len(victims) < N          # non-trivial delete set
+    dst = str(tmp_path / "dbq")
+    n_del = delete_by_query(idx, dst, dq, min_score=MS)
+    assert n_del == len(victims)
+    out = IndexSearcher(dst).search(Q, k=N)
+    assert not (set(out["doc_id"]) & victims)
+    # rank-identical to a FRESH build over the survivors (stats and
+    # dictionary recompute on the delete merge)
+    base = _corpus().to_pandas()
+    surv = base[~base["doc_id"].isin(victims)]
+    fresh = str(tmp_path / "fresh")
+    build_index(rd.from_arrow(pa.Table.from_pandas(
+        surv, preserve_index=False)), fresh,
+        EngineConfig(num_segments=3),
+        IndexSpec(text_col="text", key_cols=("doc_id",),
+                  store_cols=("lang", "source", "tool", "n_chars",
+                              "req", "ts"), ts_col=""))
+    want = IndexSearcher(fresh).search(Q, k=N)
+    pd.testing.assert_frame_equal(out.round({"score": 9}),
+                                  want.round({"score": 9}))
+    # the source index is untouched: victims still searchable there
+    assert victims == set(s.search(dq, min_score=MS)["doc_id"])
