@@ -51,6 +51,7 @@ from opensearch_jvector_ray.oracles import (
     highlight_sql, highlight_frag_sql, rank_eval_sql, explain_sql,
     mlt_sql,
     term_vectors_sql,
+    analyze_api_sql,
     prefix_sql, fuzzy_sql, facet_sql, page_sql,
     simple_query_string_sql,
     boosted_sql, synonym_sql, stats_agg_sql, histogram_sql,
@@ -535,6 +536,19 @@ def _q_bm25_mlt(sf_dir: str) -> pd.DataFrame:
 
 
 TERM_VECTOR_DOCS = [7, 123, 321]
+
+
+def _q_analyze_api(sf_dir: str) -> pd.DataFrame:
+    # _analyze API: the analyzer chain's surviving tokens with their
+    # pre-stopword positions for source docs (no index access)
+    from opensearch_jvector_ray.analyze import analyze_api
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"],
+                        filters=[("doc_id", "in", TERM_VECTOR_DOCS)])
+    texts = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    out = analyze_api(texts, CFG)
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out
 
 
 def _q_term_vectors(sf_dir: str) -> pd.DataFrame:
@@ -2708,6 +2722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_eval_mrr": _q_rank_eval_mrr,
         "bm25_more_like_this": _q_bm25_mlt,
         "term_vectors": _q_term_vectors,
+        "analyze_api": _q_analyze_api,
         "bm25_prefix": _q_bm25_prefix,
         "bm25_span_first": _q_bm25_span_first,
         "bm25_match_bool_prefix": _q_bm25_match_bool_prefix,
@@ -3236,6 +3251,7 @@ def oracle_sql() -> dict[str, str]:
             rating_rule_sql=f"d.doc_id % {RATING_MOD} = 0"),
         "bm25_more_like_this": mlt_sql(MLT_SEEDS, BM25_K, 10, CFG),
         "term_vectors": term_vectors_sql(TERM_VECTOR_DOCS, CFG),
+        "analyze_api": analyze_api_sql(TERM_VECTOR_DOCS, CFG),
         "bm25_boosted": boosted_sql(BOOSTED_QUERIES, BM25_K, CFG),
         "bm25_synonyms": synonym_sql(SYN_QUERIES, SYNONYMS, BM25_K, CFG),
         "bm25_prefix": prefix_sql(PREFIX_QUERIES, BM25_K, CFG),

@@ -298,3 +298,27 @@ def parse_prefix_query(text: str, cfg: EngineConfig,
     for t in lits:
         out[t] = out.get(t, 0) + 1
     return list(out.items()), prefixes
+
+
+def analyze_api(texts: "dict", cfg: EngineConfig) -> "pd.DataFrame":
+    """_analyze API [OpenSearch indices-analyze public semantics]: the
+    analyzer's surviving token stream for each given text as one
+    (doc_id, pos, token) row per token.  ``pos`` is the 0-based index
+    on the non-empty token stream BEFORE stopword removal (StopFilter
+    position-increment gaps — the axis the positions sidecar stores and
+    the phrase scorer consumes); ``token`` is the post-stop,
+    post-stem term.  Request-sized: ONE vectorized tokenize over the
+    given texts, no index access."""
+    import numpy as np
+    import pandas as pd
+    ids = sorted(texts)
+    cols = ["doc_id", "pos", "token"]
+    if not ids:
+        return pd.DataFrame(columns=cols)
+    stream = tokenize(pa.array([texts[i] for i in ids],
+                               type=pa.string()), cfg)
+    return pd.DataFrame({
+        "doc_id": np.asarray(ids)[stream.doc_idx],
+        "pos": stream.positions.astype(np.int64),
+        "token": stream.terms.to_numpy(zero_copy_only=False),
+    })

@@ -2903,6 +2903,40 @@ ORDER BY tf.doc_id, tf.term
 """
 
 
+def analyze_api_sql(doc_ids: list, cfg: EngineConfig,
+                    table: str = "documents", id_col: str = "doc_id",
+                    text_col: str = "text") -> str:
+    """Oracle for analyze.analyze_api: the surviving (post-stop, post-
+    stem) token of every pre-stopword position of the selected docs —
+    position = 0-based index on the non-empty token stream BEFORE
+    stopword removal (highlight_sql's axis)."""
+    from opensearch_jvector_ray.analyze import STEM_PATTERN
+    pat = sql_quote(cfg.split_pattern)
+    stop = stoplist_sql(cfg)
+    dlist = "(" + ", ".join(
+        sql_quote(d) if isinstance(d, str) else repr(int(d))
+        for d in sorted(doc_ids)) + ")"
+    term_expr = "term"
+    if cfg.stemmer == "minimal_english":
+        term_expr = (f"regexp_replace(term, {sql_quote(STEM_PATTERN)}, "
+                     f"'\\1')")
+    return f"""
+WITH ht AS (
+  SELECT {id_col} AS doc_id,
+         list_filter(regexp_split_to_array(lower({text_col}), {pat}),
+                     x -> x <> '') AS tk
+  FROM {table} WHERE {id_col} IN {dlist}
+),
+u AS (
+  SELECT doc_id, unnest(tk) AS term, unnest(range(len(tk))) AS pos
+  FROM ht
+)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos, {term_expr} AS token
+FROM u WHERE NOT list_contains({stop}, term)
+ORDER BY doc_id, pos
+"""
+
+
 def collection_stats_sql(cfg: EngineConfig, table: str = "documents",
                          id_col: str = "doc_id", text_col: str = "text") -> str:
     return f"""

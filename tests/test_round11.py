@@ -767,3 +767,18 @@ def test_delete_by_query_equals_fresh_build(idx, tmp_path):
                                   want.round({"score": 9}))
     # the source index is untouched: victims still searchable there
     assert victims == set(s.search(dq, min_score=MS)["doc_id"])
+
+
+def test_analyze_api_positions_and_stem():
+    from opensearch_jvector_ray.analyze import analyze_api
+    cfg = EngineConfig()
+    # 'the' is a stopword: dropped but still occupies position 1
+    out = analyze_api({1: "alpha the beta", 2: ""}, cfg)
+    assert [(r.doc_id, r.pos, r.token) for r in out.itertuples()] == \
+        [(1, 0, "alpha"), (1, 2, "beta")]
+    # stemmed analyzer emits post-stem tokens on the same axis
+    cfg_s = EngineConfig(stemmer="minimal_english")
+    out_s = analyze_api({1: "merges the sorts"}, cfg_s)
+    assert list(out_s["token"]) == ["merge", "sort"]
+    assert list(out_s["pos"]) == [0, 2]
+    assert analyze_api({}, cfg).empty
