@@ -69,6 +69,7 @@ from opensearch_jvector_ray.oracles import (
     token_count_sql, conversation_sql, turn_dedup_sql, lm_xent_sql,
     context_pairs_sql, validate_conversations_sql,
     lm_xent_transfer_sql,
+    dsir_weights_sql,
 )
 from opensearch_jvector_ray.pipelines import dedup as dedup_pl
 from opensearch_jvector_ray.pipelines import knn as knn_pl
@@ -2465,6 +2466,30 @@ def _q_conversation_validate(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("conv_id").reset_index(drop=True)
 
 
+def _q_dsir_weights(sf_dir: str) -> pd.DataFrame:
+    # DSIR importance weights (unigram-feature variant): target LM =
+    # documents corpus, source LM = the transcript turns themselves;
+    # log_weight = integer-micro sum of per-token log-ratio deltas
+    from opensearch_jvector_ray.sources.tables import transcripts_path
+    import pyarrow as _pa
+    target = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def key_stage(batch: _pa.Table) -> _pa.Table:
+        conv = batch["conv_id"]
+        if isinstance(conv, _pa.ChunkedArray):
+            conv = conv.combine_chunks()
+        return _pa.table({
+            "doc_id": tr_pl._doc_key(conv, batch["turn_idx"]),
+            "text": batch["text"],
+        })
+
+    turns = rd.read_parquet(transcripts_path(sf_dir),
+                            columns=["conv_id", "turn_idx", "text"])               .map_batches(key_stage, batch_format="pyarrow")
+    out = lm_pl.dsir_weights(turns, target, CFG, "doc_id",
+                             "text").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_lm_xent_transfer(sf_dir: str) -> pd.DataFrame:
     # the train-on-A-score-B (OOV) path under a HARD gate: LM trained on
     # the documents corpus scores every transcript turn
@@ -2784,6 +2809,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_filter": _q_gopher_filter,
         "lm_xent": _q_lm_xent,
         "lm_xent_transfer": _q_lm_xent_transfer,
+        "dsir_weights": _q_dsir_weights,
         # transcript-corpus assembly / unit dedup (input_hint shape)
         "conversation_assemble": _q_conversation_assemble,
         "context_pairs": _q_context_pairs,
@@ -3349,6 +3375,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_filter": gopher_filter_sql(CFG),
         "lm_xent": lm_xent_sql(CFG),
         "lm_xent_transfer": lm_xent_transfer_sql(CFG, _transcript_arms()),
+        "dsir_weights": dsir_weights_sql(CFG, _transcript_arms()),
         "conversation_assemble": conversation_sql(_transcript_arms()),
         "context_pairs": context_pairs_sql(_transcript_arms(),
                                            CONTEXT_PAIR_TURNS),

@@ -4034,6 +4034,75 @@ ORDER BY d.doc_id
 """
 
 
+def dsir_weights_sql(cfg: EngineConfig,
+                     arms: list[tuple[str, int]],
+                     target_table: str = "documents",
+                     target_text: str = "text") -> str:
+    """Oracle for lm.dsir_weights (source = the transcript corpus,
+    target = ``target_table``): per source doc,
+    sum(c * (q_t - q_s)) / MICRO with q_X = floor(ln((c_X+1)/denom_X)
+    * 1e6) and per-side OOV fallbacks — the lm_xent_transfer integer-
+    micro machinery applied to the DIFFERENCE of two LMs."""
+    from opensearch_jvector_ray.pipelines.lm import MICRO
+    pat = sql_quote(cfg.split_pattern)
+    cte = transcripts_arms_cte(arms, "conv_id, turn_idx, text")
+    return f"""
+WITH {cte},
+tu AS (
+  SELECT term FROM (
+    SELECT unnest(regexp_split_to_array(lower({target_text}), {pat}))
+      AS term
+    FROM {target_table}
+  ) WHERE term <> ''
+),
+voc_t AS (SELECT term, count(*)::BIGINT AS cw FROM tu GROUP BY term),
+tot_t AS (SELECT CAST(sum(cw) AS DOUBLE) + CAST(count(*) AS DOUBLE)
+            AS denom FROM voc_t),
+q_t AS (SELECT term,
+             CAST(floor(ln((cw + 1.0) / denom) * {MICRO!r}) AS BIGINT)
+               AS qm
+        FROM voc_t, tot_t),
+docs AS (
+  SELECT conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0')
+           AS doc_id, text
+  FROM transcripts
+),
+su AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), {pat})) AS term
+    FROM docs
+  ) WHERE term <> ''
+),
+voc_s AS (SELECT term, count(*)::BIGINT AS cw FROM su GROUP BY term),
+tot_s AS (SELECT CAST(sum(cw) AS DOUBLE) + CAST(count(*) AS DOUBLE)
+            AS denom FROM voc_s),
+q_s AS (SELECT term,
+             CAST(floor(ln((cw + 1.0) / denom) * {MICRO!r}) AS BIGINT)
+               AS qm
+        FROM voc_s, tot_s),
+cnt AS (SELECT doc_id, term, count(*)::BIGINT AS c
+        FROM su GROUP BY doc_id, term),
+s AS (SELECT cnt.doc_id,
+             sum(cnt.c * (
+               coalesce(q_t.qm,
+                 CAST(floor(ln(1.0 / tot_t.denom) * {MICRO!r}) AS BIGINT))
+               - coalesce(q_s.qm,
+                 CAST(floor(ln(1.0 / tot_s.denom) * {MICRO!r}) AS BIGINT))
+             ))::BIGINT AS micro,
+             sum(cnt.c)::BIGINT AS n
+      FROM cnt LEFT JOIN q_t ON q_t.term = cnt.term
+               LEFT JOIN q_s ON q_s.term = cnt.term
+      CROSS JOIN tot_t CROSS JOIN tot_s
+      GROUP BY cnt.doc_id)
+SELECT d.doc_id,
+       coalesce(s.n, 0)::BIGINT AS n_tokens_all,
+       coalesce(CAST(s.micro AS DOUBLE) / {MICRO!r}, 0.0) AS log_weight
+FROM docs d LEFT JOIN s ON s.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def lm_xent_sql(cfg: EngineConfig, table: str = "documents",
                 id_col: str = "doc_id", text_col: str = "text") -> str:
     """Oracle for lm_xent (pipelines/lm.py): add-one unigram LM trained on

@@ -158,3 +158,79 @@ def lm_xent(ds: "rd.Dataset", cfg: EngineConfig, id_col: str,
         lm = train_unigram_lm(ds, cfg, text_col)
     return ds.map_batches(lm_score_stage(lm, cfg, id_col, text_col),
                           batch_format="pyarrow")
+
+
+def dsir_stage(lm_target: UnigramLM, lm_source: UnigramLM,
+               cfg: EngineConfig, id_col: str, text_col: str):
+    """(id, n_tokens_all, log_weight) — the DSIR log importance weight
+    sum(c_w * (q_t(w) - q_s(w))) / MICRO; both per-term logs are
+    micro-quantized BEFORE the difference and the per-doc sum, so the
+    aggregate is exact integer arithmetic (order-free).  0.0 for empty
+    docs; the single final division is UNROUNDED (identical integer
+    inputs -> bit-equal doubles)."""
+    refs_t, denom_t, oov_t = lm_target.refs, lm_target.denom, \
+        lm_target.q_oov
+    refs_s, denom_s, oov_s = lm_source.refs, lm_source.denom, \
+        lm_source.q_oov
+
+    def build_t(tbls):
+        return _build_lut(tbls, denom_t)
+
+    def build_s(tbls):
+        return _build_lut(tbls, denom_s)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        vocab_t, q_t = _cached_from_refs(refs_t, build_t)
+        vocab_s, q_s = _cached_from_refs(refs_s, build_s)
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = _token_lists(texts, cfg)
+        flat = pc.list_flatten(lists)
+        parents = pc.list_parent_indices(lists) \
+            .to_numpy(zero_copy_only=False)
+        n_rows = batch.num_rows
+        it = pc.index_in(flat, value_set=vocab_t).fill_null(-1) \
+            .to_numpy(zero_copy_only=False)
+        is_ = pc.index_in(flat, value_set=vocab_s).fill_null(-1) \
+            .to_numpy(zero_copy_only=False)
+        qt = np.where(it >= 0, q_t[np.maximum(it, 0)], np.int64(oov_t))
+        qs = np.where(is_ >= 0, q_s[np.maximum(is_, 0)], np.int64(oov_s))
+        # integer-valued weights, per-doc magnitudes << 2^53: exact
+        micro = np.bincount(parents, weights=(qt - qs).astype(np.float64),
+                            minlength=n_rows)
+        n_tok = np.bincount(parents, minlength=n_rows).astype(np.int64)
+        logw = np.where(n_tok > 0, micro / MICRO, 0.0)
+        return pa.table({
+            id_col: batch[id_col],
+            "n_tokens_all": pa.array(n_tok),
+            "log_weight": pa.array(logw),
+        })
+    return fn
+
+
+def dsir_weights(source_ds: "rd.Dataset", target_ds: "rd.Dataset",
+                 cfg: EngineConfig, id_col: str, text_col: str,
+                 *, target_text_col: str | None = None) -> "rd.Dataset":
+    """DSIR data-selection importance weights [Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling" — public
+    algorithm; unigram-feature variant (the paper hashes n-grams; the
+    estimator shape is identical)]: every SOURCE doc scores
+    log w(x) = sum_w c_w(x) * (ln p_target(w) - ln p_source(w)) with
+    add-one unigram LMs for both distributions — high weight = looks
+    like the target corpus, the resampling key for pretraining-data
+    selection.
+
+    100-TB shape: two combiner-first LM trainings (ONE narrow
+    groupby(term) each — the A2 pattern; token streams never shuffle),
+    both vocabulary-sized models broadcast once per worker
+    (`_cached_from_refs`), then ONE stateless vectorized scoring pass
+    over the source.  Exactness: the lm.py integer-micro trick applied
+    to the DIFFERENCE of the two quantized logs — per-doc sums are
+    order-free integers, the single final division is unrounded."""
+    lm_t = train_unigram_lm(target_ds, cfg,
+                            target_text_col or text_col)
+    lm_s = train_unigram_lm(source_ds, cfg, text_col)
+    return source_ds.map_batches(
+        dsir_stage(lm_t, lm_s, cfg, id_col, text_col),
+        batch_format="pyarrow")

@@ -396,3 +396,41 @@ def test_query_dsl_more_like_this(tmp_path):
     direct = s.more_like_this({"q": texts[0]}, k=4, max_query_terms=2)
     assert via_dsl["doc_id"].tolist() == direct["doc_id"].tolist()
     assert via_dsl["score"].tolist() == direct["score"].tolist()
+
+
+def _brute_dsir(source: list[str], target: list[str]) -> list[float]:
+    def fit(texts):
+        counts: dict[str, int] = {}
+        for t in texts:
+            for w in t.lower().split():
+                counts[w] = counts.get(w, 0) + 1
+        denom = float(sum(counts.values())) + float(len(counts))
+        q = {w: math.floor(math.log((c + 1.0) / denom) * 1e6)
+             for w, c in counts.items()}
+        return q, math.floor(math.log(1.0 / denom) * 1e6)
+    qt, oov_t = fit(target)
+    qs, oov_s = fit(source)
+    out = []
+    for t in source:
+        ws = t.lower().split()
+        if not ws:
+            out.append(0.0)
+            continue
+        micro = sum(qt.get(w, oov_t) - qs.get(w, oov_s) for w in ws)
+        out.append(float(micro) / 1e6)
+    return out
+
+
+def test_dsir_weights_matches_brute():
+    target = ["data model data model data", "model query data"]
+    source = ["data model",          # target-like -> high weight
+              "zebra nebula zebra",  # source-only tokens -> low weight
+              "data zebra", ""]
+    got = lm_pl.dsir_weights(_docs(source), _docs(target), CFG,
+                             "doc_id", "text") \
+               .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    exp = _brute_dsir(source, target)
+    assert got["log_weight"].tolist() == exp
+    assert got["n_tokens_all"].tolist() == [2, 3, 2, 0]
+    # the target-like doc outranks the source-only doc (per token too)
+    assert got["log_weight"][0] / 2 > got["log_weight"][1] / 3
