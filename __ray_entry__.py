@@ -59,6 +59,7 @@ from opensearch_jvector_ray.oracles import (
     suggest_sql, fuzzy_suggest_sql, phrase_suggest_sql, regexp_sql,
     phrase_prefix_sql,
     hybrid_rrf_sql,
+    hybrid_linear_sql,
     hash_sample_sql, hash_split_sql, lang_id_sql, minhash_exact_sql,
     mix_sources_sql, bpe_count_sql, bpe_merges_sql, gopher_filter_sql,
     tool_usage_sql,
@@ -891,6 +892,26 @@ def _q_hybrid_rrf(sf_dir: str) -> pd.DataFrame:
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     out = hy_pl.hybrid_search(s, emb, queries, k=BM25_K,
                               window=HYBRID_WINDOW, k0=HYBRID_K0)
+    return _round_hits(out)
+
+
+HYBRID_LIN_WEIGHTS = (0.7, 1.3)
+
+
+def _q_hybrid_linear(sf_dir: str) -> pd.DataFrame:
+    # hybrid fusion, linear flavor: min-max normalization per retriever
+    # over ROUND-6 scores + weighted sum (the OpenSearch
+    # normalization-processor arithmetic path); weights non-equal so
+    # the weighting itself is gated
+    from opensearch_jvector_ray.pipelines import hybrid as hy_pl
+    s = IndexSearcher(documents_index(sf_dir))
+    qe = query_embeddings(sf_dir, [vid for _, vid in HYBRID_QUERIES.values()])
+    queries = {qid: (text, qe[f"vq{vid}"])
+               for qid, (text, vid) in HYBRID_QUERIES.items()}
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = hy_pl.hybrid_linear_search(s, emb, queries, k=BM25_K,
+                                     window=HYBRID_WINDOW,
+                                     weights=HYBRID_LIN_WEIGHTS)
     return _round_hits(out)
 
 
@@ -2776,6 +2797,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search_after": _q_bm25_search_after,
         "bm25_phrase_prefix": _q_bm25_phrase_prefix,
         "hybrid_rrf": _q_hybrid_rrf,
+        "hybrid_linear": _q_hybrid_linear,
         "bm25_regexp": _q_bm25_regexp,
         "bm25_wildcard": _q_bm25_wildcard,
         "term_suggest": _q_term_suggest,
@@ -3340,6 +3362,9 @@ def oracle_sql() -> dict[str, str]:
                                                 BM25_K, CFG),
         "hybrid_rrf": hybrid_rrf_sql(HYBRID_QUERIES, BM25_K,
                                      HYBRID_WINDOW, HYBRID_K0, CFG),
+        "hybrid_linear": hybrid_linear_sql(HYBRID_QUERIES, BM25_K,
+                                           HYBRID_WINDOW,
+                                           HYBRID_LIN_WEIGHTS, CFG),
         "bm25_regexp": regexp_sql(REGEXP_QUERIES, BM25_K, CFG),
         "bm25_wildcard": regexp_sql(WILDCARD_QUERIES, BM25_K, CFG,
                                     wildcard=True),

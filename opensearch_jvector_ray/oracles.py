@@ -3462,6 +3462,74 @@ FROM ranked WHERE rank <= {int(k)} ORDER BY query_id, rank
 """
 
 
+def hybrid_linear_sql(queries: dict[str, tuple[str, int]], k: int,
+                      window: int, weights: tuple[float, float],
+                      cfg: EngineConfig, metric: str = "cosine",
+                      table: str = "documents", id_col: str = "doc_id",
+                      text_col: str = "text",
+                      vec_table: str = "embeddings",
+                      vec_id_col: str = "vec_id") -> str:
+    """Oracle for pipelines.hybrid.hybrid_linear_search: min-max
+    normalization per (query, retriever) over the ROUND-6 retriever
+    scores (both CTEs emit the engine-identical rounded doubles), then
+    the weighted two-addend sum in the engine's pinned order.
+    max == min -> 1.0; missing doc -> 0.0."""
+    b_inner = bm25_sql({qid: t for qid, (t, _) in queries.items()},
+                       window, cfg, table=table, id_col=id_col,
+                       text_col=text_col)
+    v_inner = knn_sql(metric, [vid for _, (_, vid) in queries.items()],
+                      window, table=vec_table, id_col=vec_id_col)
+    m_rows = ",\n       ".join(
+        f"({sql_quote(qid)}, {sql_quote('vq' + str(int(vid)))})"
+        for qid, (_, vid) in sorted(queries.items()))
+    wb, wv = float(weights[0]), float(weights[1])
+    return f"""
+WITH b0 AS ({b_inner}),
+v0 AS ({v_inner}),
+m(query_id, vqid) AS (VALUES {m_rows}),
+bn AS (
+  SELECT query_id, {id_col},
+         CASE WHEN mx > mn THEN (score - mn) / (mx - mn)
+              ELSE 1.0 END AS n
+  FROM (SELECT query_id, {id_col}, score,
+               min(score) OVER (PARTITION BY query_id) AS mn,
+               max(score) OVER (PARTITION BY query_id) AS mx
+        FROM b0)
+),
+v1 AS (
+  SELECT m.query_id, v0.{vec_id_col} AS {id_col},
+         round(v0.score, 6) AS score
+  FROM v0 JOIN m ON v0.query_id = m.vqid
+),
+vn AS (
+  SELECT query_id, {id_col},
+         CASE WHEN mx > mn THEN (score - mn) / (mx - mn)
+              ELSE 1.0 END AS n
+  FROM (SELECT query_id, {id_col}, score,
+               min(score) OVER (PARTITION BY query_id) AS mn,
+               max(score) OVER (PARTITION BY query_id) AS mx
+        FROM v1)
+),
+fused AS (
+  SELECT COALESCE(bn.query_id, vn.query_id) AS query_id,
+         COALESCE(bn.{id_col}, vn.{id_col}) AS {id_col},
+         COALESCE({wb!r} * bn.n, 0.0)
+         + COALESCE({wv!r} * vn.n, 0.0) AS score__raw
+  FROM bn FULL OUTER JOIN vn
+    ON bn.query_id = vn.query_id AND bn.{id_col} = vn.{id_col}
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score__raw DESC, {id_col} ASC) AS rank,
+         {id_col}, score__raw
+  FROM fused
+)
+SELECT query_id, rank, {id_col}, round(score__raw, 6) AS score
+FROM ranked WHERE rank <= {int(k)} ORDER BY query_id, rank
+"""
+
+
 def corpus_clean_sql(cfg: EngineConfig, min_tokens: int,
                      stop_threshold: float, table: str = "documents",
                      id_col: str = "doc_id", text_col: str = "text") -> str:

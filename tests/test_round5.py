@@ -537,3 +537,26 @@ def test_facet_counts_matches_brute(index):
                                   check_dtype=False)
     with pytest.raises(ValueError):
         s.facet_counts(queries, facet_col="nope", min_score=theta)
+
+
+def test_linear_fuse_brute(index):
+    from opensearch_jvector_ray.pipelines.hybrid import linear_fuse
+    a = pd.DataFrame({"query_id": ["q"] * 3, "id": [10, 20, 30],
+                      "score": [4.0, 2.0, 1.0]})
+    b = pd.DataFrame({"query_id": ["q"] * 3, "id": [20, 40, 10],
+                      "score": [0.9, 0.6, 0.3]})
+    got = linear_fuse([a, b], "id", k=10, weights=(2.0, 1.0))
+    # a: min 1 max 4 -> n = (s-1)/3; b: min .3 max .9 -> n = (s-.3)/.6
+    exp = {10: 2.0 * (3 / 3) + (0.3 - 0.3) / 0.6,
+           20: 2.0 * (1 / 3) + (0.9 - 0.3) / 0.6,
+           30: 2.0 * 0.0, 40: (0.6 - 0.3) / 0.6}
+    assert dict(zip(got["id"], got["score"])) == pytest.approx(exp)
+    assert got["id"].tolist() == [10, 20, 40, 30]
+    # degenerate list (max == min) normalizes to 1.0
+    c = pd.DataFrame({"query_id": ["q"] * 2, "id": [1, 2],
+                      "score": [5.0, 5.0]})
+    t = linear_fuse([c], "id", k=10)
+    assert t["score"].tolist() == [1.0, 1.0]
+    assert t["id"].tolist() == [1, 2]       # equal scores, id asc
+    with pytest.raises(ValueError, match="weights"):
+        linear_fuse([a, b], "id", k=10, weights=(1.0,))
