@@ -1298,6 +1298,47 @@ def _q_delete_by_query(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+UBQ_SEARCH = {"u1": "updated merge", "u2": "window data",
+              "u3": "updated customer"}
+
+
+def _q_update_by_query(sf_dir: str) -> pd.DataFrame:
+    # _update_by_query lifecycle: matched docs re-ingest with " updated"
+    # appended to their text (delete-merge + journalled append, both
+    # stats-recomputing); searches then hit the NEW token — ranking is
+    # identical to a fresh build over the modified corpus (oracle's upd
+    # CTE)
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+
+    from opensearch_jvector_ray.stages.merge import update_by_query
+    src = documents_index(sf_dir)
+    s = IndexSearcher(src)
+    hits = s.search(DBQ_QUERIES, min_score=DBQ_MIN_SCORE)
+    keys = sorted(set(hits["doc_id"].astype(int)))
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text", "lang", "source",
+                                 "n_chars"],
+                        filters=[("doc_id", "in", keys)])
+    import pyarrow.compute as _pc
+    text = tbl["text"]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    new_text = _pc.binary_join_element_wise(
+        text, pa.array(["updated"] * tbl.num_rows, type=pa.string()),
+        " ")
+    tbl = tbl.set_column(tbl.column_names.index("text"), "text",
+                         new_text)
+    dst = tempfile.mkdtemp(prefix="ojr_ubq_")
+    update_by_query(src, dst, DBQ_QUERIES, min_score=DBQ_MIN_SCORE,
+                    updates=rd.from_arrow(tbl))
+    out = _round_hits(IndexSearcher(dst).search(UBQ_SEARCH, k=BM25_K))
+    shutil.rmtree(dst, ignore_errors=True)
+    return out
+
+
 def _q_bm25_value_count(sf_dir: str) -> pd.DataFrame:
     # value_count agg: match-set turns WITH a tool call (field present
     # = not NULL and not '' — the missing-agg rule's complement)
@@ -2755,6 +2796,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_missing": _q_bm25_missing,
         "bm25_value_count": _q_bm25_value_count,
         "delete_by_query": _q_delete_by_query,
+        "update_by_query": _q_update_by_query,
         "bm25_vw_histogram": _q_bm25_vw_histogram,
         "bm25_global_stats": _q_bm25_global_stats,
         "bm25_sampler": _q_bm25_sampler,
@@ -3015,6 +3057,19 @@ def _delete_by_query_oracle() -> str:
                     prefix_cte=surv)
 
 
+def _update_by_query_oracle() -> str:
+    # modified corpus = matched docs' text || ' updated'; the outer
+    # search recomputes BM25 stats over the WHOLE modified corpus —
+    # the rebuilt+appended index's rule
+    del_inner = bm25_sql(DBQ_QUERIES, 0, CFG, min_score=DBQ_MIN_SCORE)
+    upd = (f"upd AS (SELECT doc_id, CASE WHEN doc_id IN "
+           f"(SELECT doc_id FROM ({del_inner})) "
+           f"THEN text || ' updated' ELSE text END AS text "
+           f"FROM documents)")
+    return bm25_sql(UBQ_SEARCH, BM25_K, CFG, table="upd",
+                    prefix_cte=upd)
+
+
 def _value_count_oracle() -> str:
     from opensearch_jvector_ray.oracles import value_count_sql
     from opensearch_jvector_ray.sources.tables import TRANSCRIPTS_CFG
@@ -3273,6 +3328,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_missing": _missing_oracle(),
         "bm25_value_count": _value_count_oracle(),
         "delete_by_query": _delete_by_query_oracle(),
+        "update_by_query": _update_by_query_oracle(),
         "bm25_vw_histogram": vw_histogram_sql(
             BM25_QUERIES, FACET_MIN_SCORE, STATS_COL, VW_HIST_BUCKETS,
             CFG),

@@ -660,3 +660,27 @@ def delete_by_query(src_index_dir: str, dst_index_dir: str,
     merge_index(src_index_dir, dst_index_dir, merge_factor=merge_factor,
                 deletes=sorted(keys))
     return len(keys)
+
+
+def update_by_query(src_index_dir: str, dst_index_dir: str,
+                    queries: dict[str, str], min_score: float,
+                    updates, merge_factor: int = 8,
+                    lineage: dict | None = None) -> int:
+    """_update_by_query API [OpenSearch update-by-query public
+    semantics, expressed as the engine's delete+insert rule (D3)]:
+    the matching docs tombstone via ``delete_by_query``'s stats-
+    recomputing merge-rebuild, then ``updates`` — the caller's
+    re-transformed rows for those keys; the index stores no raw text
+    (S9), so the new payload comes from the source side — appends as
+    NEW segments with a dictionary/global-stats refresh (T3 via
+    ``add_segments``).  Post-update ranking is rank-identical to a
+    fresh build over (survivors + updated rows).  Returns the number
+    of docs replaced."""
+    from opensearch_jvector_ray.stages.build import add_segments
+    n = delete_by_query(src_index_dir, dst_index_dir, queries,
+                        min_score, merge_factor=merge_factor)
+    add_segments(dst_index_dir, updates,
+                 lineage=lineage or {
+                     "update_by_query": sorted(queries.items()),
+                     "min_score": float(min_score)})
+    return n

@@ -782,3 +782,39 @@ def test_analyze_api_positions_and_stem():
     assert list(out_s["token"]) == ["merge", "sort"]
     assert list(out_s["pos"]) == [0, 2]
     assert analyze_api({}, cfg).empty
+
+
+def test_update_by_query_equals_fresh_build(idx, tmp_path):
+    from opensearch_jvector_ray.stages.merge import update_by_query
+    s = IndexSearcher(idx)
+    dq = {"del": "gamma"}
+    victims = sorted(set(s.search(dq, min_score=MS)["doc_id"]))
+    assert victims
+    base = _corpus().to_pandas()
+    upd = base[base["doc_id"].isin(victims)].copy()
+    upd["text"] = upd["text"] + " freshterm"
+    dst = str(tmp_path / "ubq")
+    n = update_by_query(idx, dst, dq, min_score=MS,
+                        updates=rd.from_arrow(
+                            pa.Table.from_pandas(upd,
+                                                 preserve_index=False)))
+    assert n == len(victims)
+    s2 = IndexSearcher(dst)
+    # the new token is searchable and hits exactly the updated docs
+    hit = s2.search({"q": "freshterm"}, min_score=MS)
+    assert sorted(set(hit["doc_id"])) == victims
+    # rank-identical to a fresh build over the modified corpus
+    mod = base.copy()
+    mask = mod["doc_id"].isin(victims)
+    mod.loc[mask, "text"] = mod.loc[mask, "text"] + " freshterm"
+    fresh = str(tmp_path / "fresh2")
+    build_index(rd.from_arrow(pa.Table.from_pandas(
+        mod, preserve_index=False)), fresh,
+        EngineConfig(num_segments=3),
+        IndexSpec(text_col="text", key_cols=("doc_id",),
+                  store_cols=("lang", "source", "tool", "n_chars",
+                              "req", "ts"), ts_col=""))
+    want = IndexSearcher(fresh).search(Q, k=N)
+    got = s2.search(Q, k=N)
+    pd.testing.assert_frame_equal(got.round({"score": 9}),
+                                  want.round({"score": 9}))
