@@ -1339,6 +1339,46 @@ def _q_update_by_query(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+PIT_QUERIES = {"pq1": "fast merge sort", "pq2": "window batch data"}
+
+
+def _q_pit_search(sf_dir: str) -> pd.DataFrame:
+    # point-in-time search (_pit API): snapshot segments+stats+dictionary
+    # generation, then APPEND doctored docs stuffed with the query
+    # vocabulary (which would crack every ranking); the PIT search still
+    # returns rankings identical to the pre-append corpus — the oracle is
+    # plain BM25 over the ORIGINAL documents table.  Dictionary refreshes
+    # publish new generations instead of rewriting files, so the pinned
+    # generation stays readable (Lucene commit-point liveness).
+    import shutil
+    import tempfile
+
+    from opensearch_jvector_ray.stages.build import add_segments
+    src = documents_index(sf_dir)
+    dst = tempfile.mkdtemp(prefix="ojr_pit_")
+    shutil.rmtree(dst, ignore_errors=True)
+    shutil.copytree(src, dst)
+    s = IndexSearcher(dst)
+    pit = s.open_pit()
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text", "lang", "source",
+                                 "n_chars"]).slice(0, 64)
+    import pyarrow as pa
+    stuffed = pc.binary_join_element_wise(
+        tbl["text"].combine_chunks() if isinstance(tbl["text"], pa.ChunkedArray)
+        else tbl["text"],
+        pa.array(["fast merge sort window batch data"] * tbl.num_rows,
+                 type=pa.string()), " ")
+    tbl = tbl.set_column(tbl.column_names.index("text"), "text", stuffed)
+    tbl = tbl.set_column(tbl.column_names.index("doc_id"), "doc_id",
+                         pc.add(tbl["doc_id"], 10_000_000))
+    add_segments(dst, rd.from_arrow(tbl))
+    out = _round_hits(IndexSearcher(dst, pit=pit).search(PIT_QUERIES,
+                                                         k=BM25_K))
+    shutil.rmtree(dst, ignore_errors=True)
+    return out
+
+
 def _q_bm25_value_count(sf_dir: str) -> pd.DataFrame:
     # value_count agg: match-set turns WITH a tool call (field present
     # = not NULL and not '' — the missing-agg rule's complement)
@@ -1648,7 +1688,9 @@ def _q_grouped_expand(sf_dir: str) -> pd.DataFrame:
 
 def _q_term_stats(sf_dir: str) -> pd.DataFrame:
     idx = documents_index(sf_dir)
-    tbl = pq.read_table(os.path.join(idx, "dictionary"),
+    from opensearch_jvector_ray.state.manifest import (
+        dict_read_paths, resolve_dict_dir)
+    tbl = pq.read_table(dict_read_paths(resolve_dict_dir(idx)),
                         filters=[("term", "in", TERM_STATS_TERMS)])
     df = tbl.to_pandas().sort_values("term").reset_index(drop=True)
     df["df"] = df["df"].astype(np.int64)
@@ -1660,7 +1702,9 @@ def _q_collection_stats(sf_dir: str) -> pd.DataFrame:
     from opensearch_jvector_ray.state.manifest import read_json
     idx = documents_index(sf_dir)
     st = read_json(os.path.join(idx, "stats.json"))
-    n_terms = pq.read_table(os.path.join(idx, "dictionary"),
+    from opensearch_jvector_ray.state.manifest import (
+        dict_read_paths, resolve_dict_dir)
+    n_terms = pq.read_table(dict_read_paths(resolve_dict_dir(idx)),
                             columns=["term"]).num_rows
     return pd.DataFrame([{
         "n_docs": np.int64(st["n_docs"]),
@@ -2797,6 +2841,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_value_count": _q_bm25_value_count,
         "delete_by_query": _q_delete_by_query,
         "update_by_query": _q_update_by_query,
+        "pit_search": _q_pit_search,
         "bm25_vw_histogram": _q_bm25_vw_histogram,
         "bm25_global_stats": _q_bm25_global_stats,
         "bm25_sampler": _q_bm25_sampler,
@@ -3329,6 +3374,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_value_count": _value_count_oracle(),
         "delete_by_query": _delete_by_query_oracle(),
         "update_by_query": _update_by_query_oracle(),
+        "pit_search": bm25_sql(PIT_QUERIES, BM25_K, CFG),
         "bm25_vw_histogram": vw_histogram_sql(
             BM25_QUERIES, FACET_MIN_SCORE, STATS_COL, VW_HIST_BUCKETS,
             CFG),

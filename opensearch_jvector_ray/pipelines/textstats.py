@@ -392,8 +392,10 @@ def extract_keywords(ds: "rd.Dataset", index_dir: str,
     import pyarrow.parquet as pq
     stats = read_json(os.path.join(index_dir, STATS_NAME))
     n = float(stats["n_docs_indexed"])
-    dict_dir = os.path.join(index_dir, "dictionary")
-    dtab = pq.read_table(dict_dir, columns=["term", "df"])
+    from opensearch_jvector_ray.state.manifest import (
+        dict_read_paths, resolve_dict_dir)
+    dtab = pq.read_table(dict_read_paths(resolve_dict_dir(index_dir)),
+                         columns=["term", "df"])
     idf = pd.Series(
         bm25_idf(n, dtab["df"].to_numpy(zero_copy_only=False)
                  .astype(np.float64)),

@@ -2522,34 +2522,65 @@ def _positions_task(batch: pa.Table, payload: dict) -> pa.Table:
 class IndexSearcher:
     """Loads index metadata once; fans queries out over segments."""
 
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, pit: dict | None = None):
         self.index_dir = index_dir
         meta = read_json(os.path.join(index_dir, CONFIG_NAME))
         self.cfg = EngineConfig.from_json(meta["config"])
         self.spec = meta["spec"]
-        self.stats = read_json(os.path.join(index_dir, STATS_NAME))
-        seg_root = os.path.join(index_dir, SEGMENTS_DIR)
-        self.seg_dirs = sorted(
-            os.path.join(seg_root, d) for d in os.listdir(seg_root)
-            if d.startswith("seg="))
+        if pit is not None:
+            # point-in-time handle: bind the exact segment set, global
+            # stats and dictionary generation captured at open_pit() time
+            # (OpenSearch _search/point_in_time; Lucene reader-liveness —
+            # appends publish NEW segment dirs and a NEW dictionary
+            # generation, so everything the handle references is immutable)
+            if pit.get("config_fingerprint") != self.cfg.fingerprint():
+                raise ValueError("pit was opened against a different "
+                                 "index config")
+            self.stats = dict(pit["stats"])
+            self.seg_dirs = list(pit["seg_dirs"])
+            self.dict_dir = pit["dict_dir"]
+        else:
+            from opensearch_jvector_ray.state.manifest import (
+                resolve_dict_dir)
+            self.stats = read_json(os.path.join(index_dir, STATS_NAME))
+            seg_root = os.path.join(index_dir, SEGMENTS_DIR)
+            self.seg_dirs = sorted(
+                os.path.join(seg_root, d) for d in os.listdir(seg_root)
+                if d.startswith("seg="))
+            self.dict_dir = resolve_dict_dir(index_dir)
         self.key_cols: list[str] = list(self.spec["key_cols"])
+
+    def open_pit(self) -> dict:
+        """Open a point-in-time context (the `_pit` API analog): a plain
+        dict snapshot of this searcher's segment list, global stats and
+        dictionary generation.  Pass it to ``IndexSearcher(dir, pit=...)``
+        to search the index exactly as it was when the snapshot was
+        taken, regardless of segments appended or dictionary generations
+        published since (old generations are never rewritten in place)."""
+        return {"seg_dirs": list(self.seg_dirs),
+                "stats": dict(self.stats),
+                "dict_dir": self.dict_dir,
+                "config_fingerprint": self.cfg.fingerprint()}
 
     # -- dictionary lookup: filtered read, never loads the full vocab ----
     def lookup_df(self, terms: Sequence[str]) -> dict[str, int]:
-        dict_dir = os.path.join(self.index_dir, "dictionary")
+        dict_dir = self.dict_dir
         if not terms or not os.path.isdir(dict_dir) or not os.listdir(dict_dir):
             return {}
-        tbl = pq.read_table(dict_dir, filters=[("term", "in", list(terms))],
+        from opensearch_jvector_ray.state.manifest import dict_read_paths
+        tbl = pq.read_table(dict_read_paths(dict_dir),
+                            filters=[("term", "in", list(terms))],
                             columns=["term", "df"])
         return dict(zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()))
 
     def _read_dictionary(self, filters=None) -> pa.Table:
-        dict_dir = os.path.join(self.index_dir, "dictionary")
+        dict_dir = self.dict_dir
         if not os.path.isdir(dict_dir) or not os.listdir(dict_dir):
             return pa.table({"term": pa.array([], type=pa.string()),
                              "df": pa.array([], type=pa.int64())})
-        return pq.read_table(dict_dir, columns=["term", "df"],
-                             filters=filters)
+        from opensearch_jvector_ray.state.manifest import dict_read_paths
+        return pq.read_table(dict_read_paths(dict_dir),
+                             columns=["term", "df"], filters=filters)
 
     # -- multi-term expansion (the Lucene MultiTermQuery rewrite family) --
     def expand_prefix(self, prefix: str, max_expansions: int = 50,
@@ -5684,10 +5715,13 @@ class IndexSearcher:
               .groupby(["doc_id", "term"], sort=True).size()
               .rename("term_freq").reset_index())
         tf["term_freq"] = tf["term_freq"].astype(np.int64)
-        dict_dir = os.path.join(self.index_dir, "dictionary")
+        dict_dir = self.dict_dir
         uniq = sorted(set(tf["term"]))
         if os.path.isdir(dict_dir) and os.listdir(dict_dir):
-            gt = pq.read_table(dict_dir, columns=["term", "df", "cf"],
+            from opensearch_jvector_ray.state.manifest import (
+                dict_read_paths)
+            gt = pq.read_table(dict_read_paths(dict_dir),
+                               columns=["term", "df", "cf"],
                                filters=[("term", "in", uniq)]).to_pandas()
         else:
             gt = pd.DataFrame(columns=["term", "df", "cf"])

@@ -252,6 +252,8 @@ class SearchService:
         self.stats = read_json(os.path.join(index_dir, STATS_NAME))
         self.key_cols = list(meta["spec"]["key_cols"])
         self.index_dir = index_dir
+        from opensearch_jvector_ray.state.manifest import resolve_dict_dir
+        self.dict_dir = resolve_dict_dir(index_dir)
         seg_root = os.path.join(index_dir, SEGMENTS_DIR)
         seg_dirs = sorted(os.path.join(seg_root, d) for d in os.listdir(seg_root)
                           if d.startswith("seg="))
@@ -271,9 +273,12 @@ class SearchService:
         the warm actors.  New segments are assigned to the least-loaded
         actors; global stats (N/avgdl) reload from stats.json so idf
         and norms reflect the appended docs.  Returns the number of new
-        segments picked up.  (The driver-side dictionary lookup reads
-        the refreshed dictionary parquet on every query already.)"""
+        segments picked up.  The dictionary binding moves to the latest
+        published generation (a PIT handle opened before the refresh
+        keeps its own)."""
         self.stats = read_json(os.path.join(self.index_dir, STATS_NAME))
+        from opensearch_jvector_ray.state.manifest import resolve_dict_dir
+        self.dict_dir = resolve_dict_dir(self.index_dir)   # latest gen
         self._agg_facade = None     # facade captures stats/segments:
         #                             rebuild lazily after a refresh
         seg_root = os.path.join(self.index_dir, SEGMENTS_DIR)
@@ -420,6 +425,8 @@ class _ServedAggSearcher:
         self.stats = svc.stats
         self.key_cols = svc.key_cols
         self.index_dir = svc.index_dir
+        from opensearch_jvector_ray.state.manifest import resolve_dict_dir
+        self.dict_dir = resolve_dict_dir(svc.index_dir)
         seg_root = os.path.join(svc.index_dir, SEGMENTS_DIR)
         self.seg_dirs = sorted(
             os.path.join(seg_root, d) for d in os.listdir(seg_root)

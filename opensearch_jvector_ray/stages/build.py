@@ -247,12 +247,36 @@ def aggregate_dictionary(index_dir: str, cfg: EngineConfig,
     per-partition values would silently break score identity, SURVEY §7).
     Two-phase salted aggregation; see module docstring for why.
     """
-    dict_dir = os.path.join(index_dir, "dictionary")
+    import shutil as _sh
+
+    from opensearch_jvector_ray.state.manifest import (
+        DICT_GEN_PREFIX, dict_generations)
+    root = os.path.join(index_dir, "dictionary")
     paths = [os.path.join(segment_dir(index_dir, s), POSTINGS_NAME) for s in segs]
     paths = [p for p in paths if os.path.exists(p)]
     if not paths:
-        os.makedirs(dict_dir, exist_ok=True)
+        os.makedirs(root, exist_ok=True)
         return
+    # publish-then-point: build the refreshed table in a hidden temp dir,
+    # then atomically rename it to the next generation.  In-place rewrites
+    # would yank the df/cf files out from under open readers / PIT handles.
+    gens = dict_generations(index_dir)
+    gen = (gens[-1] + 1) if gens else 1
+    os.makedirs(root, exist_ok=True)
+    dict_dir = os.path.join(root, f".tmp-{DICT_GEN_PREFIX}{gen:010d}.{os.getpid()}")
+    _sh.rmtree(dict_dir, ignore_errors=True)
+
+    def _publish() -> None:
+        nonlocal gen
+        while True:
+            final = os.path.join(root, f"{DICT_GEN_PREFIX}{gen:010d}")
+            try:
+                os.rename(dict_dir, final)
+                return
+            except OSError:
+                if not os.path.isdir(final):
+                    raise
+                gen += 1          # concurrent publisher took this gen
 
     # Adaptive: below ~4M partial rows the whole aggregation fits in one
     # process — do it with a single Arrow group_by instead of paying five
@@ -270,6 +294,7 @@ def aggregate_dictionary(index_dir: str, cfg: EngineConfig,
         os.makedirs(dict_dir, exist_ok=True)
         pq.write_table(agg, os.path.join(dict_dir, "dictionary.parquet"),
                        row_group_size=DICT_ROW_GROUP)
+        _publish()
         return
 
     stats_ds = rd.read_parquet(paths, columns=["term", "df", "cf"])
@@ -288,6 +313,7 @@ def aggregate_dictionary(index_dir: str, cfg: EngineConfig,
              .sort("term"))
     os.makedirs(dict_dir, exist_ok=True)
     final.write_parquet(dict_dir)
+    _publish()
 
 
 # ---------------------------------------------------------------------------

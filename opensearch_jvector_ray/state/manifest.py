@@ -31,6 +31,68 @@ def segment_dir(index_dir: str, seg: int) -> str:
     return os.path.join(index_dir, SEGMENTS_DIR, f"seg={seg:05d}")
 
 
+# -- dictionary generations (publish-then-point, Lucene commit-point analog)
+# A dictionary refresh PUBLISHES a new immutable generation subdir
+# ``dictionary/g<NNNNNNNNNN>/`` (atomic rename) instead of rewriting files
+# in place; readers bind the LATEST generation at open time.  Old
+# generations stay on disk until vacuumed, so an open reader — and a
+# point-in-time search handle — keeps seeing the exact df/cf table it was
+# opened against even across appends (the Lucene IndexReader/commit-point
+# file-liveness rule the reference's NRT path relies on,
+# `RemoteIndexBuildStrategy` flush/refresh lifecycle).  Generation names
+# deliberately avoid '=' so a recursive parquet-dataset read of the root
+# never infers a hive partition column.
+DICT_GEN_PREFIX = "g"
+
+
+def dict_generations(index_dir: str) -> list[int]:
+    root = os.path.join(index_dir, "dictionary")
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for d in os.listdir(root):
+        if (d.startswith(DICT_GEN_PREFIX) and d[1:].isdigit()
+                and os.path.isdir(os.path.join(root, d))):
+            out.append(int(d[1:]))
+    return sorted(out)
+
+
+def resolve_dict_dir(index_dir: str, gen: int | None = None) -> str:
+    """Path of the latest (or a pinned) published dictionary generation.
+
+    Falls back to the flat legacy layout (files directly under
+    ``dictionary/``) when no generation subdir exists, so pre-generation
+    index dirs stay readable.
+    """
+    root = os.path.join(index_dir, "dictionary")
+    gens = dict_generations(index_dir)
+    if gen is not None:
+        if gen == 0 and gen not in gens:
+            return root               # pinned legacy flat generation
+        return os.path.join(root, f"{DICT_GEN_PREFIX}{gen:010d}")
+    if not gens:
+        return root
+    return os.path.join(root, f"{DICT_GEN_PREFIX}{gens[-1]:010d}")
+
+
+def dict_read_paths(dict_dir: str) -> "str | list[str]":
+    """What to hand ``pq.read_table`` for a resolved dictionary dir.
+
+    Generation dirs are immutable and read whole.  The legacy flat root
+    needs its root-level parquet files enumerated explicitly: a recursive
+    directory read would also pick up generation subdirs published AFTER
+    a reader pinned the flat layout (double-counting every term).
+    """
+    base = os.path.basename(dict_dir)
+    if base.startswith(DICT_GEN_PREFIX) and base[len(DICT_GEN_PREFIX):].isdigit():
+        return dict_dir
+    if not os.path.isdir(dict_dir):
+        return dict_dir
+    files = sorted(os.path.join(dict_dir, f) for f in os.listdir(dict_dir)
+                   if f.endswith(".parquet"))
+    return files if files else dict_dir
+
+
 @dataclass
 class SegmentManifest:
     """Checkpoint + lineage + per-stage metrics for one segment build."""

@@ -1,0 +1,122 @@
+"""Round-4 fifth continuation: dictionary generations (publish-then-
+point) and point-in-time search.  The hard DuckDB gate is the driver
+entry ``pit_search``; these tests cover the liveness/immutability rules
+the gate can't see (legacy flat layout, live-vs-pinned divergence,
+generation monotonicity)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as ppq
+import pytest
+import ray.data as rd
+
+from opensearch_jvector_ray.config import EngineConfig
+from opensearch_jvector_ray.query import IndexSearcher
+from opensearch_jvector_ray.stages.build import (
+    IndexSpec, add_segments, build_index,
+)
+from opensearch_jvector_ray.state.manifest import (
+    dict_generations, dict_read_paths, resolve_dict_dir,
+)
+from opensearch_jvector_ray.synth import generate_conversations
+
+CFG = EngineConfig(num_segments=3)
+QUERIES = {"q1": "tool call", "q2": "the user asks"}
+
+
+@pytest.fixture(scope="module")
+def idx(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("pit") / "idx")
+    build_index(rd.from_arrow(generate_conversations(np.arange(150))),
+                d, CFG, IndexSpec())
+    return d
+
+
+def _extra(lo: int, hi: int) -> pa.Table:
+    return generate_conversations(np.arange(lo, hi))
+
+
+def test_build_publishes_generation_one(idx):
+    assert dict_generations(idx) == [1]
+    resolved = resolve_dict_dir(idx)
+    assert os.path.basename(resolved) == "g0000000001"
+    # generation dirs are read whole
+    assert dict_read_paths(resolved) == resolved
+
+
+def test_append_publishes_new_generation_keeps_old(idx, tmp_path):
+    import shutil
+    d = str(tmp_path / "copy")
+    shutil.copytree(idx, d)
+    old = resolve_dict_dir(d)
+    old_tbl = ppq.read_table(old).to_pandas()
+    add_segments(d, rd.from_arrow(_extra(150, 200)))
+    assert dict_generations(d) == [1, 2]
+    # the old generation's content is untouched (immutability)
+    pd.testing.assert_frame_equal(
+        ppq.read_table(old).to_pandas(), old_tbl)
+    # new readers bind the refreshed generation
+    new_tbl = ppq.read_table(resolve_dict_dir(d)).to_pandas()
+    assert new_tbl["df"].sum() > old_tbl["df"].sum()
+
+
+def test_pit_search_pins_pre_append_ranking(idx, tmp_path):
+    import shutil
+    d = str(tmp_path / "copy")
+    shutil.copytree(idx, d)
+    s = IndexSearcher(d)
+    before = s.search(QUERIES, k=8).reset_index(drop=True)
+    pit = s.open_pit()
+    # appended docs contain the query vocabulary — they'd crack rankings
+    extra = _extra(150, 220)
+    extra = extra.set_column(
+        extra.column_names.index("text"), "text",
+        pa.array([t + " tool call user asks"
+                  for t in extra["text"].to_pylist()], type=pa.string()))
+    add_segments(d, rd.from_arrow(extra))
+    after_pit = IndexSearcher(d, pit=pit).search(QUERIES, k=8) \
+        .reset_index(drop=True)
+    after_live = IndexSearcher(d).search(QUERIES, k=8) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(after_pit, before)
+    assert not after_live.equals(before)
+
+
+def test_pit_rejects_foreign_config(idx, tmp_path):
+    d = str(tmp_path / "other")
+    build_index(rd.from_arrow(generate_conversations(np.arange(30))),
+                d, EngineConfig(num_segments=2, k1=0.9), IndexSpec())
+    pit = IndexSearcher(d).open_pit()
+    with pytest.raises(ValueError, match="different index config"):
+        IndexSearcher(idx, pit=pit)
+
+
+def test_legacy_flat_layout_still_reads(idx, tmp_path):
+    """A pre-generation index dir (flat parquet under dictionary/) stays
+    readable, and a reader pinned to the flat root never sees generation
+    subdirs published AFTER it opened."""
+    import shutil
+    d = str(tmp_path / "legacy")
+    shutil.copytree(idx, d)
+    # flatten: move gen-1 files up, drop the generation dir
+    root = os.path.join(d, "dictionary")
+    gen1 = os.path.join(root, "g0000000001")
+    for f in os.listdir(gen1):
+        shutil.move(os.path.join(gen1, f), os.path.join(root, f))
+    os.rmdir(gen1)
+    assert resolve_dict_dir(d) == root
+    s = IndexSearcher(d)
+    before = s.search(QUERIES, k=8).reset_index(drop=True)
+    pit = s.open_pit()
+    add_segments(d, rd.from_arrow(_extra(150, 200)))
+    # refresh published g1 next to the legacy flat files
+    assert dict_generations(d) == [1]
+    flat_paths = dict_read_paths(root)
+    assert isinstance(flat_paths, list) and all(
+        os.path.dirname(p) == root for p in flat_paths)
+    after_pit = IndexSearcher(d, pit=pit).search(QUERIES, k=8) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(after_pit, before)
