@@ -1341,6 +1341,35 @@ def _q_update_by_query(sf_dir: str) -> pd.DataFrame:
 
 PIT_QUERIES = {"pq1": "fast merge sort", "pq2": "window batch data"}
 
+# reindex selection (radial on the SOURCE index's stats) + search set
+# whose plural forms only match through the DESTINATION's stem analyzer
+REINDEX_SEL = {"sel": "query data filter"}
+REINDEX_MIN_SCORE = 0.3
+REINDEX_QUERIES = {"rx1": "queries data", "rx2": "filters rows"}
+
+
+def _q_reindex_search(sf_dir: str) -> pd.DataFrame:
+    # _reindex lifecycle: the radial match set of the source index is
+    # re-analyzed into a NEW index under the minimal-english stemmer
+    # config (the mapping/analyzer-change migration _reindex exists
+    # for); ranking on the new index is rank-identical to a fresh
+    # stemmed build over the filtered corpus (the oracle's sel CTE +
+    # stemmed toks rule)
+    import shutil
+    import tempfile
+
+    from opensearch_jvector_ray.sources.tables import DOCUMENTS_STEM_CFG
+    from opensearch_jvector_ray.stages.merge import reindex
+    src = documents_index(sf_dir)
+    dst = tempfile.mkdtemp(prefix="ojr_reindex_")
+    reindex(src, dst, os.path.join(sf_dir, "documents.parquet"),
+            dst_cfg=DOCUMENTS_STEM_CFG, queries=REINDEX_SEL,
+            min_score=REINDEX_MIN_SCORE)
+    out = _round_hits(IndexSearcher(dst).search(REINDEX_QUERIES,
+                                                k=BM25_K))
+    shutil.rmtree(dst, ignore_errors=True)
+    return out
+
 
 def _q_pit_search(sf_dir: str) -> pd.DataFrame:
     # point-in-time search (_pit API): snapshot segments+stats+dictionary
@@ -2842,6 +2871,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "delete_by_query": _q_delete_by_query,
         "update_by_query": _q_update_by_query,
         "pit_search": _q_pit_search,
+        "reindex_search": _q_reindex_search,
         "bm25_vw_histogram": _q_bm25_vw_histogram,
         "bm25_global_stats": _q_bm25_global_stats,
         "bm25_sampler": _q_bm25_sampler,
@@ -3115,6 +3145,18 @@ def _update_by_query_oracle() -> str:
                     prefix_cte=upd)
 
 
+def _reindex_oracle() -> str:
+    # selection runs on the SOURCE corpus stats (plain analyzer); the
+    # outer search re-analyzes the selected docs under the stem config
+    # and computes BM25 from the NEW corpus's own df/N/avgdl — the
+    # rebuilt index's rule
+    sel_inner = bm25_sql(REINDEX_SEL, 0, CFG, min_score=REINDEX_MIN_SCORE)
+    sel = (f"sel AS (SELECT doc_id, text FROM documents WHERE doc_id IN "
+           f"(SELECT doc_id FROM ({sel_inner})))")
+    return bm25_sql(REINDEX_QUERIES, BM25_K, _STEM_CFG, table="sel",
+                    prefix_cte=sel)
+
+
 def _value_count_oracle() -> str:
     from opensearch_jvector_ray.oracles import value_count_sql
     from opensearch_jvector_ray.sources.tables import TRANSCRIPTS_CFG
@@ -3375,6 +3417,7 @@ def oracle_sql() -> dict[str, str]:
         "delete_by_query": _delete_by_query_oracle(),
         "update_by_query": _update_by_query_oracle(),
         "pit_search": bm25_sql(PIT_QUERIES, BM25_K, CFG),
+        "reindex_search": _reindex_oracle(),
         "bm25_vw_histogram": vw_histogram_sql(
             BM25_QUERIES, FACET_MIN_SCORE, STATS_COL, VW_HIST_BUCKETS,
             CFG),

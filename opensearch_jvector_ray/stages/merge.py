@@ -684,3 +684,62 @@ def update_by_query(src_index_dir: str, dst_index_dir: str,
                      "update_by_query": sorted(queries.items()),
                      "min_score": float(min_score)})
     return n
+
+
+def reindex(src_index_dir: str, dst_index_dir: str, source,
+            dst_cfg: EngineConfig | None = None,
+            queries: dict[str, str] | None = None,
+            min_score: float | None = None,
+            transform=None) -> int:
+    """_reindex API [OpenSearch reindex public semantics]: copy docs
+    from a source index into a NEW index — optionally restricted to a
+    query match set (the uncapped radial O5 predicate, computed on the
+    SOURCE index's statistics) and re-processed by a per-batch
+    ``transform`` — under a possibly DIFFERENT analyzer config, the
+    classic mapping/analyzer-change migration (the reason _reindex
+    exists: Lucene segments can't be re-analyzed in place).
+
+    The engine stores no raw text (S9 derived-source rule), so the
+    payload streams from ``source`` (parquet path(s) or a Dataset); the
+    match-set key filter is a result-set-sized broadcast applied
+    vectorized per batch (the update_by_query bound, documented there).
+    The destination build recomputes dictionary + global stats from its
+    own corpus, so ranking on the new index is rank-identical to a
+    fresh build over the (filtered, transformed) docs.  Returns the
+    number of docs indexed."""
+    from opensearch_jvector_ray.query import IndexSearcher
+    from opensearch_jvector_ray.stages.build import (
+        _composite_key, build_index,
+    )
+    meta = read_json(os.path.join(src_index_dir, CONFIG_NAME))
+    spec = IndexSpec(text_col=meta["spec"]["text_col"],
+                     key_cols=tuple(meta["spec"]["key_cols"]),
+                     store_cols=tuple(meta["spec"]["store_cols"]),
+                     ts_col=meta["spec"]["ts_col"])
+    cfg = dst_cfg if dst_cfg is not None \
+        else EngineConfig.from_json(meta["config"])
+    if hasattr(source, "map_batches"):
+        ds = source
+    else:
+        from opensearch_jvector_ray.stages.build import (
+            resolve_parquet_paths,
+        )
+        ds = rd.read_parquet(resolve_parquet_paths(source),
+                             columns=spec.all_cols())
+    if queries:
+        s = IndexSearcher(src_index_dir)
+        hits = s.search(queries, min_score=min_score)
+        keys = sorted({"\x1f".join(str(v) for v in row) for row in
+                       hits[list(s.key_cols)].itertuples(index=False)})
+        key_arr = pa.array(keys, type=pa.string())
+
+        def _keep(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.is_in(_composite_key(batch, spec),
+                                         value_set=key_arr))
+
+        ds = ds.map_batches(_keep, batch_format="pyarrow")
+    if transform is not None:
+        ds = ds.map_batches(transform, batch_format="pyarrow")
+    build_index(ds, dst_index_dir, cfg, spec)
+    stats = read_json(os.path.join(dst_index_dir, STATS_NAME))
+    return int(stats["n_docs"])

@@ -94,6 +94,56 @@ def test_pit_rejects_foreign_config(idx, tmp_path):
         IndexSearcher(idx, pit=pit)
 
 
+def test_reindex_equals_fresh_build_over_selection(idx, tmp_path):
+    """reindex(query, transform, dst_cfg) ranks identically to a fresh
+    build under dst_cfg over the manually filtered+transformed corpus."""
+    import pyarrow.compute as pc
+
+    from opensearch_jvector_ray.stages.merge import reindex
+    src_tbl = generate_conversations(np.arange(150))
+    sel_q = {"s": "tool call"}
+
+    def upper_marker(batch: pa.Table) -> pa.Table:
+        t = batch["text"]
+        t = t.combine_chunks() if isinstance(t, pa.ChunkedArray) else t
+        out = pc.binary_join_element_wise(
+            t, pa.array(["reindexed"] * batch.num_rows), " ")
+        return batch.set_column(batch.column_names.index("text"),
+                                "text", out)
+
+    dst_cfg = EngineConfig(num_segments=2, stemmer="minimal_english")
+    d1 = str(tmp_path / "re")
+    n = reindex(idx, d1, rd.from_arrow(src_tbl), dst_cfg=dst_cfg,
+                queries=sel_q, min_score=0.3, transform=upper_marker)
+    assert 0 < n < src_tbl.num_rows
+
+    # manual equivalent
+    hits = IndexSearcher(idx).search(sel_q, min_score=0.3)
+    keys = {(r.conv_id, r.turn_idx) for r in hits.itertuples()}
+    mask = [(src_tbl["conv_id"][i].as_py(), src_tbl["turn_idx"][i].as_py())
+            in keys for i in range(src_tbl.num_rows)]
+    manual = upper_marker(src_tbl.filter(pa.array(mask)))
+    d2 = str(tmp_path / "fresh")
+    build_index(rd.from_arrow(manual), d2, dst_cfg, IndexSpec())
+
+    q = {"q1": "reindexed tools", "q2": "the user asks"}
+    a = IndexSearcher(d1).search(q, k=10).reset_index(drop=True)
+    b = IndexSearcher(d2).search(q, k=10).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_reindex_no_query_copies_everything(idx, tmp_path):
+    from opensearch_jvector_ray.stages.merge import reindex
+    src_tbl = generate_conversations(np.arange(150))
+    d = str(tmp_path / "full")
+    n = reindex(idx, d, rd.from_arrow(src_tbl))
+    assert n == src_tbl.num_rows
+    q = {"q": "tool call"}
+    pd.testing.assert_frame_equal(
+        IndexSearcher(d).search(q, k=10).reset_index(drop=True),
+        IndexSearcher(idx).search(q, k=10).reset_index(drop=True))
+
+
 def test_legacy_flat_layout_still_reads(idx, tmp_path):
     """A pre-generation index dir (flat parquet under dictionary/) stays
     readable, and a reader pinned to the flat root never sees generation
