@@ -1347,6 +1347,34 @@ REINDEX_SEL = {"sel": "query data filter"}
 REINDEX_MIN_SCORE = 0.3
 REINDEX_QUERIES = {"rx1": "queries data", "rx2": "filters rows"}
 
+# _mget: mixed order, one key absent from the index (found=false row);
+# gate frames avoid NULLs (COALESCE sentinels on BOTH sides) so the
+# driver's value hash never sees NaN-representation drift
+MGET_KEYS = [205, 3, 100000001, 499, 77]
+FIELD_STATS_FIELDS = ["lang", "source", "n_chars"]
+
+
+def _q_mget(sf_dir: str) -> pd.DataFrame:
+    # _mget API: stored fields of requested keys in requested order via
+    # the J4 pushed-down sidecar read; doc_len is the engine's
+    # post-stopword token count (the oracle recomputes it from toks)
+    s = IndexSearcher(documents_index(sf_dir))
+    out = s.mget(MGET_KEYS)
+    out = out[["doc_id", "found", "lang", "source", "n_chars",
+               "doc_len"]].copy()
+    for c in ("lang", "source"):
+        out[c] = out[c].fillna("")
+    for c in ("n_chars", "doc_len"):
+        out[c] = out[c].astype(np.float64).fillna(-1.0)
+    return out
+
+
+def _q_field_stats(sf_dir: str) -> pd.DataFrame:
+    # _field_stats API: per stored field type/count/min/max from
+    # per-segment sidecar partials (numeric combine, string render)
+    s = IndexSearcher(documents_index(sf_dir))
+    return s.field_stats(FIELD_STATS_FIELDS)
+
 
 def _q_reindex_search(sf_dir: str) -> pd.DataFrame:
     # _reindex lifecycle: the radial match set of the source index is
@@ -2872,6 +2900,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "update_by_query": _q_update_by_query,
         "pit_search": _q_pit_search,
         "reindex_search": _q_reindex_search,
+        "mget": _q_mget,
+        "field_stats": _q_field_stats,
         "bm25_vw_histogram": _q_bm25_vw_histogram,
         "bm25_global_stats": _q_bm25_global_stats,
         "bm25_sampler": _q_bm25_sampler,
@@ -3157,6 +3187,38 @@ def _reindex_oracle() -> str:
                     prefix_cte=sel)
 
 
+def _mget_oracle() -> str:
+    from opensearch_jvector_ray.oracles import toks_cte
+    req = ", ".join(f"({int(k)}, {i})" for i, k in enumerate(MGET_KEYS))
+    return f"""
+WITH {toks_cte(CFG)},
+dl AS (SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY doc_id),
+req(doc_id, ord) AS (VALUES {req})
+SELECT req.doc_id, d.doc_id IS NOT NULL AS found,
+       COALESCE(d.lang, '') AS lang, COALESCE(d.source, '') AS source,
+       CAST(COALESCE(d.n_chars, -1) AS DOUBLE) AS n_chars,
+       CAST(CASE WHEN d.doc_id IS NULL THEN -1
+                 ELSE COALESCE(dl.doc_len, 0) END AS DOUBLE) AS doc_len
+FROM req LEFT JOIN documents d ON d.doc_id = req.doc_id
+LEFT JOIN dl ON dl.doc_id = req.doc_id
+"""
+
+
+def _field_stats_oracle() -> str:
+    # type literals are the Arrow type names of the stored columns (the
+    # engine reports str(field.type) of the sidecar schema); count/min/
+    # max carry the data signal
+    arms = []
+    for f, typ in [("lang", "string"), ("source", "string"),
+                   ("n_chars", "int64")]:
+        arms.append(
+            f"SELECT '{f}' AS field, '{typ}' AS type, "
+            f"count({f}) AS doc_count, "
+            f"CAST(min({f}) AS VARCHAR) AS min_value, "
+            f"CAST(max({f}) AS VARCHAR) AS max_value FROM documents")
+    return "\nUNION ALL\n".join(arms)
+
+
 def _value_count_oracle() -> str:
     from opensearch_jvector_ray.oracles import value_count_sql
     from opensearch_jvector_ray.sources.tables import TRANSCRIPTS_CFG
@@ -3418,6 +3480,8 @@ def oracle_sql() -> dict[str, str]:
         "update_by_query": _update_by_query_oracle(),
         "pit_search": bm25_sql(PIT_QUERIES, BM25_K, CFG),
         "reindex_search": _reindex_oracle(),
+        "mget": _mget_oracle(),
+        "field_stats": _field_stats_oracle(),
         "bm25_vw_histogram": vw_histogram_sql(
             BM25_QUERIES, FACET_MIN_SCORE, STATS_COL, VW_HIST_BUCKETS,
             CFG),

@@ -2442,6 +2442,46 @@ def _docs_stats_task(batch: pa.Table, field: str) -> pa.Table:
                      for k, vv in rows.items()})
 
 
+def _field_stats_task(batch: pa.Table, fields: list[str]) -> pa.Table:
+    """Per-segment field-stats partial: for each requested stored field,
+    (type name, non-null count, min/max) — numerics also ship float64
+    partials so the driver combine is numeric, strings ship string
+    partials.  Columnar-pruned sidecar read; no postings touched."""
+    out = {"field": [], "type": [], "doc_count": [],
+           "min_str": [], "max_str": [], "min_num": [], "max_num": []}
+    for d in batch["seg_dir"].to_pylist():
+        t = pq.read_table(os.path.join(d, DOCS_NAME), columns=fields)
+        for f in fields:
+            col = t[f]
+            typ = str(col.type)
+            n = len(col) - col.null_count
+            mn_s = mx_s = None
+            mn_n = mx_n = float("nan")
+            if n:
+                mm = pc.min_max(col)
+                lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                if typ.startswith(("int", "uint", "float", "double")):
+                    mn_n, mx_n = float(lo), float(hi)
+                else:
+                    mn_s, mx_s = str(lo), str(hi)
+            out["field"].append(f)
+            out["type"].append(typ)
+            out["doc_count"].append(n)
+            out["min_str"].append(mn_s)
+            out["max_str"].append(mx_s)
+            out["min_num"].append(mn_n)
+            out["max_num"].append(mx_n)
+    return pa.table({
+        "field": pa.array(out["field"], type=pa.string()),
+        "type": pa.array(out["type"], type=pa.string()),
+        "doc_count": pa.array(out["doc_count"], type=pa.int64()),
+        "min_str": pa.array(out["min_str"], type=pa.string()),
+        "max_str": pa.array(out["max_str"], type=pa.string()),
+        "min_num": pa.array(out["min_num"], type=pa.float64()),
+        "max_num": pa.array(out["max_num"], type=pa.float64()),
+    })
+
+
 def _positions_for_segment(seg_dir: str, p: dict) -> pa.Table | None:
     """Matched-term positions for the hit docs living in one segment —
     the highlight fetch (the J4 hit->source pattern applied to the
@@ -4040,6 +4080,95 @@ class IndexSearcher:
         })
         g["v_avg"] = g["v_sum"].astype(np.float64) / g["doc_count"]
         return g[cols]
+
+    def mget(self, keys: Sequence[Any]) -> pd.DataFrame:
+        """_mget API [OpenSearch multi-get public semantics]: fetch the
+        STORED fields of the given doc keys in the REQUESTED order, with
+        a ``found`` flag for keys absent from the index.  Each key is a
+        tuple over ``key_cols`` (bare scalars accepted for single-column
+        keys).  The read is the J4 pushed-down sidecar lookup — a
+        key-IN row-group filter per segment, result-sized, no postings
+        touched.  Duplicate keys across segments (the add-without-delete
+        rule) resolve to the first segment in sorted dir order."""
+        norm = [k if isinstance(k, tuple) else (k,) for k in keys]
+        if not norm:
+            return pd.DataFrame()
+        key0 = self.key_cols[0]
+        flt = [(key0, "in", sorted({k[0] for k in norm}))]
+        parts = []
+        for d in self.seg_dirs:
+            t = pq.read_table(os.path.join(d, DOCS_NAME), filters=flt)
+            if t.num_rows:
+                parts.append(t.to_pandas())
+        req = pd.DataFrame(norm, columns=list(self.key_cols))
+        req["__order"] = np.arange(len(req), dtype=np.int64)
+        if parts:
+            docs = pd.concat(parts, ignore_index=True).drop_duplicates(
+                subset=list(self.key_cols), keep="first")
+            out = req.merge(docs, on=list(self.key_cols), how="left")
+            probe = docs.columns[len(self.key_cols)]
+            found = out[probe].notna()
+        else:
+            docs_schema = pq.read_schema(
+                os.path.join(self.seg_dirs[0], DOCS_NAME)) \
+                if self.seg_dirs else None
+            out = req.copy()
+            if docs_schema is not None:
+                for name in docs_schema.names:
+                    if name not in out.columns:
+                        out[name] = pd.NA
+            found = pd.Series(False, index=out.index)
+        out["found"] = found.to_numpy(dtype=bool)
+        out = out.sort_values("__order").drop(columns="__order")
+        cols = list(self.key_cols) + ["found"] + [
+            c for c in out.columns
+            if c not in self.key_cols and c != "found"]
+        return out[cols].reset_index(drop=True)
+
+    def field_stats(self, fields: Sequence[str]) -> pd.DataFrame:
+        """_field_stats API [the pre-field_caps OpenSearch field-stats
+        shape]: per stored field, the Arrow type name, non-null doc
+        count, and min/max values (rendered as strings so mixed-type
+        fields share one frame).  One columnar-pruned sidecar task per
+        segment ships a 3-number partial per field; the driver combine
+        is fields x segments-sized."""
+        cols = ["field", "type", "doc_count", "min_value", "max_value"]
+        if not self.seg_dirs:
+            return pd.DataFrame(columns=cols)
+        seg_ds = rd.from_items([{"seg_dir": d} for d in self.seg_dirs])
+        out = seg_ds.map_batches(_field_stats_task,
+                                 fn_kwargs={"fields": list(fields)},
+                                 batch_format="pyarrow", batch_size=1)
+        frames = [b.to_pandas()
+                  for b in out.iter_batches(batch_format="pyarrow")]
+        frames = [f for f in frames if not f.empty]
+        if not frames:
+            return pd.DataFrame(columns=cols)
+        df = pd.concat(frames, ignore_index=True)
+        rows = []
+        for f in fields:
+            g = df[df["field"] == f]
+            typ = g["type"].iloc[0]
+            nn = g[g["doc_count"] > 0]
+            if nn.empty:
+                mn = mx = None
+            elif typ.startswith(("int", "uint", "float", "double")):
+                # numeric: combine on the numeric partials (string
+                # min/max would be lexicographic — '9' > '10'), render
+                # int-typed results without a decimal point to match
+                # CAST(x AS VARCHAR)
+                lo, hi = nn["min_num"].min(), nn["max_num"].max()
+                as_int = typ.startswith(("int", "uint"))
+                mn = str(int(lo)) if as_int else repr(float(lo))
+                mx = str(int(hi)) if as_int else repr(float(hi))
+            else:
+                mn, mx = nn["min_str"].min(), nn["max_str"].max()
+            rows.append({
+                "field": f, "type": typ,
+                "doc_count": np.int64(g["doc_count"].sum()),
+                "min_value": mn, "max_value": mx,
+            })
+        return pd.DataFrame(rows, columns=cols)
 
     def sampler_agg(self, queries: dict[str, str], field: str,
                     shard_size: int, min_score: float,

@@ -144,6 +144,31 @@ def test_reindex_no_query_copies_everything(idx, tmp_path):
         IndexSearcher(idx).search(q, k=10).reset_index(drop=True))
 
 
+def test_mget_requested_order_and_found_flag(idx):
+    s = IndexSearcher(idx)
+    keys = [("conv-0000002", 1), ("conv-9999999", 0), ("conv-0000000", 0)]
+    out = s.mget(keys)
+    assert list(zip(out["conv_id"], out["turn_idx"])) == keys
+    assert out["found"].tolist() == [True, False, True]
+    assert "doc_len" in out.columns
+    assert out.loc[1, "doc_len"] != out.loc[1, "doc_len"] or \
+        pd.isna(out.loc[1, "doc_len"])
+
+
+def test_field_stats_matches_brute_force(idx):
+    s = IndexSearcher(idx)
+    out = s.field_stats(["role", "doc_len"]).set_index("field")
+    tbl = generate_conversations(np.arange(150))
+    roles = sorted(tbl["role"].to_pylist())
+    assert out.loc["role", "min_value"] == roles[0]
+    assert out.loc["role", "max_value"] == roles[-1]
+    assert out.loc["role", "doc_count"] == tbl.num_rows
+    assert out.loc["role", "type"] == "string"
+    assert out.loc["doc_len", "type"].startswith("int")
+    # numeric min/max render without a decimal point
+    assert "." not in out.loc["doc_len", "max_value"]
+
+
 def test_legacy_flat_layout_still_reads(idx, tmp_path):
     """A pre-generation index dir (flat parquet under dictionary/) stays
     readable, and a reader pinned to the flat root never sees generation
