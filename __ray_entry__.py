@@ -71,6 +71,7 @@ from opensearch_jvector_ray.oracles import (
     context_pairs_sql, validate_conversations_sql,
     lm_xent_transfer_sql,
     dsir_weights_sql,
+    sparse_vector_sql,
 )
 from opensearch_jvector_ray.pipelines import dedup as dedup_pl
 from opensearch_jvector_ray.pipelines import knn as knn_pl
@@ -1352,6 +1353,20 @@ REINDEX_QUERIES = {"rx1": "queries data", "rx2": "filters rows"}
 # driver's value hash never sees NaN-representation drift
 MGET_KEYS = [205, 3, 100000001, 499, 77]
 FIELD_STATS_FIELDS = ["lang", "source", "n_chars"]
+
+# sparse_vector (neural_sparse analog): literal post-analysis tokens
+# with integer weights — per-doc sums are exact on both sides
+SPARSE_QUERIES = {
+    "sv1": [("merge", 3.0), ("sort", 2.0), ("fast", 1.0)],
+    "sv2": [("customer", 2.0), ("data", 1.0)],
+}
+
+
+def _q_sparse_vector(sf_dir: str) -> pd.DataFrame:
+    # neural-sparse-style query: sum(weight * tf) over (token, weight)
+    # pairs — the linear_tf kernel over the ordinary segment fan-out
+    s = IndexSearcher(documents_index(sf_dir))
+    return _round_hits(s.sparse_vector_search(SPARSE_QUERIES, k=BM25_K))
 
 
 def _q_mget(sf_dir: str) -> pd.DataFrame:
@@ -2902,6 +2917,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reindex_search": _q_reindex_search,
         "mget": _q_mget,
         "field_stats": _q_field_stats,
+        "sparse_vector": _q_sparse_vector,
         "bm25_vw_histogram": _q_bm25_vw_histogram,
         "bm25_global_stats": _q_bm25_global_stats,
         "bm25_sampler": _q_bm25_sampler,
@@ -3482,6 +3498,7 @@ def oracle_sql() -> dict[str, str]:
         "reindex_search": _reindex_oracle(),
         "mget": _mget_oracle(),
         "field_stats": _field_stats_oracle(),
+        "sparse_vector": sparse_vector_sql(SPARSE_QUERIES, BM25_K, CFG),
         "bm25_vw_histogram": vw_histogram_sql(
             BM25_QUERIES, FACET_MIN_SCORE, STATS_COL, VW_HIST_BUCKETS,
             CFG),

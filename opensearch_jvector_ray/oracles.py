@@ -5376,3 +5376,39 @@ SELECT {id_col}, chunk_idx,
                        ' ') AS chunk_text
 FROM x ORDER BY {id_col}, chunk_idx
 """
+
+
+def sparse_vector_sql(queries: "dict[str, list[tuple[str, float]]]",
+                      k: int, cfg: EngineConfig,
+                      table: str = "documents", id_col: str = "doc_id",
+                      text_col: str = "text") -> str:
+    """sparse_vector / neural_sparse oracle: score = sum over the query's
+    (token, weight) pairs of weight * tf(token, doc) — the engine's
+    linear_tf kernel (no idf, no length norm).  Tokens are literal
+    post-analysis vocabulary forms (no query analysis on either side);
+    integer weights keep both sides' sums exact."""
+    qt_rows = [f"({sql_quote(qid)}, {sql_quote(t)}, {float(w)!r})"
+               for qid, tws in sorted(queries.items()) for t, w in tws]
+    qt_values = ",\n       ".join(qt_rows)
+    return f"""
+WITH {toks_cte(cfg, table, id_col, text_col)},
+qt(query_id, term, w) AS (VALUES {qt_values}),
+tf AS (
+  SELECT {id_col}, term, count(*) AS tf FROM toks GROUP BY {id_col}, term
+),
+scores AS (
+  SELECT qt.query_id, tf.{id_col}, sum(qt.w * tf.tf) AS score__raw
+  FROM qt JOIN tf USING (term)
+  GROUP BY qt.query_id, tf.{id_col}
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score__raw DESC, {id_col} ASC) AS rank,
+         {id_col}, score__raw
+  FROM scores WHERE score__raw > 0
+)
+SELECT query_id, rank, {id_col}, round(score__raw, 6) AS score
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""

@@ -2329,10 +2329,20 @@ class SegmentSearcher:
             return _topk_from_scores(scores, cand2, k, tie)
 
         scores = np.zeros(n_docs, dtype=np.float64)
+        linear = bool(self.p.get("linear_tf"))
         for t, w, idf in terms:      # fixed analyzed order -> stable fp sums
             ords, tfs = decoded[t]
-            scores[ords] += w * idf * bm25_tf_part(tfs, dl[ords], self.avgdl,
-                                                   self.k1, self.b)
+            if linear:
+                # sparse_vector / neural_sparse scoring [OpenSearch
+                # neural-sparse + Lucene FeatureField linear form]:
+                # contribution = query_weight * tf — no idf, no length
+                # norm; integer weights x integer tf keep per-doc sums
+                # exact (order-free), so ranking is fp-noise-immune
+                scores[ords] += w * tfs
+            else:
+                scores[ords] += w * idf * bm25_tf_part(tfs, dl[ords],
+                                                       self.avgdl,
+                                                       self.k1, self.b)
         if boost is not None:
             # function_score multiplier, applied to the summed BM25
             # score BEFORE candidate selection (it changes the ranking);
@@ -4125,6 +4135,24 @@ class IndexSearcher:
             if c not in self.key_cols and c != "found"]
         return out[cols].reset_index(drop=True)
 
+    def sparse_vector_search(self,
+                             queries: "dict[str, list[tuple[str, float]]]",
+                             k: int | None = None,
+                             filter: Any = None) -> pd.DataFrame:
+        """sparse_vector / neural_sparse query [OpenSearch neural-sparse
+        + Lucene FeatureField public semantics, doc-side weight = tf]:
+        each query is a (token, weight) list — a learned-sparse /
+        SPLADE-style expansion, NOT analyzed text — and a doc scores
+        sum(weight * tf(token, doc)) over its matching tokens.  Rides
+        the ordinary term-at-a-time fan-out with the linear kernel (no
+        idf, no length norm); integer weights keep per-doc sums exact.
+        Tokens must be in the index's post-analysis vocabulary form."""
+        texts = {qid: "" for qid in queries}
+        return self.search(texts, k=k, filter=filter,
+                           term_weights={qid: list(tw)
+                                         for qid, tw in queries.items()},
+                           score_mode="linear_tf")
+
     def field_stats(self, fields: Sequence[str]) -> pd.DataFrame:
         """_field_stats API [the pre-field_caps OpenSearch field-stats
         shape]: per stored field, the Arrow type name, non-null doc
@@ -5192,7 +5220,8 @@ class IndexSearcher:
                rank_feature: dict | None = None,
                terms_set: dict | None = None,
                span_not_pre: int = 0,
-               span_not_post: int = 0) -> pd.DataFrame:
+               span_not_post: int = 0,
+               score_mode: str = "bm25") -> pd.DataFrame:
         """Top-k BM25 for a batch of queries.
 
         ``minimum_should_match`` (boolean mode only) [Lucene BooleanQuery
@@ -5225,6 +5254,17 @@ class IndexSearcher:
         return no rows (the resume token is required).  taat only.
         """
         cfg = self.cfg
+        if score_mode not in ("bm25", "linear_tf"):
+            raise ValueError(f"score_mode must be bm25|linear_tf, got "
+                             f"{score_mode!r}")
+        if score_mode == "linear_tf" and (
+                mode != "taat" or rescore_oversample is not None
+                or score_fn is not None or sort is not None
+                or const_score is not None or negative is not None
+                or rank_feature is not None or terms_set is not None):
+            raise ValueError("score_mode='linear_tf' requires plain taat "
+                             "mode (no rescore/score_fn/sort/const/"
+                             "negative/rank_feature/terms_set)")
         if const_score is not None:
             # constant_score [OpenSearch public semantics]: filter
             # context — every match scores exactly const_score
@@ -5380,6 +5420,7 @@ class IndexSearcher:
             "sort": ({"field": sort[0], "desc": sort[1] == "desc"}
                      if sort is not None else None),
             "rank_feature": rank_feature,
+            "linear_tf": score_mode == "linear_tf",
         }
         if terms_set is not None:
             # n_query_terms is the count of DISTINCT ANALYZED terms

@@ -833,6 +833,19 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
             raise ValueError("[pinned] needs 'ids': [id, ...]")
         return {"type": "pinned", "query": spec["query"],
                 "ids": list(ids), "k": int(spec.get("k", 10))}
+    if clause == "sparse_vector":
+        # {"sparse_vector": {"tokens": {tok: weight, ...}, "k": 10}} —
+        # neural_sparse analog: literal post-analysis tokens with
+        # weights, scored sum(weight * tf) via the linear_tf kernel
+        _require_known(clause, spec, {"tokens", "k"})
+        toks = spec.get("tokens")
+        if not isinstance(toks, dict) or not toks or \
+                not all(isinstance(t, str) and t for t in toks):
+            raise ValueError("[sparse_vector] needs 'tokens': "
+                             "{token: weight, ...}")
+        pairs = [(t, float(w)) for t, w in toks.items()]
+        return {"type": "sparse_vector", "tokens": pairs,
+                "k": int(spec.get("k", 10))}
     if clause == "terms_set":
         _require_known(clause, spec, _TERMS_SET_FIELDS)
         if not isinstance(spec.get("query"), str) or not spec["query"]:
@@ -1172,7 +1185,8 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
                 "max_distance": spec.get("max_distance"),
                 "filter": flt}
     raise ValueError(f"unknown query clause {clause!r} (supported: "
-                     f"match, bool, knn, more_like_this, prefix, fuzzy, "
+                     f"match, bool, knn, sparse_vector, "
+                     f"more_like_this, prefix, fuzzy, "
                      f"facets, stats_agg, histogram, range_agg, "
                      f"date_histogram, auto_date_histogram, top_hits, "
                      f"missing_agg, value_count, global_stats, sampler, "
@@ -1450,6 +1464,11 @@ def execute_query(body: dict[str, Any], *, searcher=None, vector_ds=None,
         return searcher.pinned_search({query_id: spec["query"]},
                                       {query_id: spec["ids"]},
                                       k=spec["k"])
+    if spec["type"] == "sparse_vector":
+        if searcher is None:
+            raise ValueError("[sparse_vector] needs searcher=")
+        return searcher.sparse_vector_search(
+            {query_id: spec["tokens"]}, k=spec["k"])
     if spec["type"] == "terms_set":
         if searcher is None:
             raise ValueError("[terms_set] needs searcher=")

@@ -169,6 +169,51 @@ def test_field_stats_matches_brute_force(idx):
     assert "." not in out.loc["doc_len", "max_value"]
 
 
+def test_sparse_vector_linear_tf_rule(idx):
+    """score = sum(weight * tf) — brute force over the synthetic corpus
+    (stopwords removed by the analyzer; query tokens are literal
+    vocabulary forms)."""
+    from opensearch_jvector_ray.analyze import tokenize
+    s = IndexSearcher(idx)
+    tbl = generate_conversations(np.arange(150))
+    stream = tokenize(tbl["text"].combine_chunks(), s.cfg)
+    terms = stream.terms.to_numpy(zero_copy_only=False)
+    doc_of = stream.doc_idx
+    q = [("tool", 3.0), ("user", 1.0), ("call", 2.0)]
+    gold = {}
+    for i in range(tbl.num_rows):
+        toks = terms[doc_of == i].tolist()
+        sc = sum(w * toks.count(t) for t, w in q)
+        if sc > 0:
+            gold[(tbl["conv_id"][i].as_py(),
+                  tbl["turn_idx"][i].as_py())] = sc
+    top = sorted(gold.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    out = s.sparse_vector_search({"q": q}, k=10)
+    assert [((r.conv_id, r.turn_idx), r.score)
+            for r in out.itertuples()] == [(k, v) for k, v in top]
+
+
+def test_sparse_vector_dsl_identity(idx):
+    from opensearch_jvector_ray.query_dsl import execute_query, parse_query
+    s = IndexSearcher(idx)
+    body = {"sparse_vector":
+            {"tokens": {"tool": 2.0, "call": 1.0}, "k": 5}}
+    parse_query(body)            # strict parse succeeds
+    a = execute_query(body, searcher=s, query_id="q")
+    b = s.sparse_vector_search({"q": [("tool", 2.0), ("call", 1.0)]}, k=5)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+
+
+def test_sparse_vector_rejects_conflicts(idx):
+    s = IndexSearcher(idx)
+    with pytest.raises(ValueError, match="linear_tf"):
+        s.search({"q": "tool"}, k=5, score_mode="linear_tf",
+                 rescore_oversample=3.0)
+    with pytest.raises(ValueError, match="score_mode"):
+        s.search({"q": "tool"}, k=5, score_mode="nope")
+
+
 def test_legacy_flat_layout_still_reads(idx, tmp_path):
     """A pre-generation index dir (flat parquet under dictionary/) stays
     readable, and a reader pinned to the flat root never sees generation
