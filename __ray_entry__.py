@@ -72,6 +72,7 @@ from opensearch_jvector_ray.oracles import (
     lm_xent_transfer_sql,
     dsir_weights_sql,
     sparse_vector_sql,
+    geo_distance_sql,
 )
 from opensearch_jvector_ray.pipelines import dedup as dedup_pl
 from opensearch_jvector_ray.pipelines import knn as knn_pl
@@ -1360,6 +1361,35 @@ SPARSE_QUERIES = {
     "sv1": [("merge", 3.0), ("sort", 2.0), ("fast", 1.0)],
     "sv2": [("customer", 2.0), ("data", 1.0)],
 }
+
+
+# geo_distance over events with coordinates DERIVED from the integer id
+# (exact on both sides: int ops, one /100.0, one subtraction); radius
+# keeps the filter non-trivial at every scale
+GEO_QUERIES = {"geo1": (12.5, 40.25), "geo2": (-33.0, 151.0)}
+GEO_K = 10
+GEO_RADIUS_KM = 3000.0
+GEO_LAT_SQL = "CAST((event_id * 9973) % 18000 AS DOUBLE) / 100.0 - 90.0"
+GEO_LON_SQL = "CAST((event_id * 7919) % 36000 AS DOUBLE) / 100.0 - 180.0"
+
+
+def _q_geo_distance(sf_dir: str) -> pd.DataFrame:
+    # geo_distance query + distance sort: haversine round-6 ranking
+    # (the vector-entry fp rule), radius filter, (dist asc, id asc)
+    from opensearch_jvector_ray.pipelines.geo import geo_distance_topk
+
+    def coords(batch):
+        import pyarrow as pa
+        ev = batch["event_id"].to_numpy(zero_copy_only=False)
+        lat = ((ev * 9973) % 18000).astype(np.float64) / 100.0 - 90.0
+        lon = ((ev * 7919) % 36000).astype(np.float64) / 100.0 - 180.0
+        return batch.append_column("lat", pa.array(lat)) \
+                    .append_column("lon", pa.array(lon))
+
+    ds = read_table(sf_dir, "events", columns=["event_id"]) \
+        .map_batches(coords, batch_format="pyarrow")
+    return geo_distance_topk(ds, GEO_QUERIES, GEO_K,
+                             radius_km=GEO_RADIUS_KM)
 
 
 def _q_sparse_vector(sf_dir: str) -> pd.DataFrame:
@@ -2918,6 +2948,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mget": _q_mget,
         "field_stats": _q_field_stats,
         "sparse_vector": _q_sparse_vector,
+        "geo_distance": _q_geo_distance,
         "bm25_vw_histogram": _q_bm25_vw_histogram,
         "bm25_global_stats": _q_bm25_global_stats,
         "bm25_sampler": _q_bm25_sampler,
@@ -3499,6 +3530,9 @@ def oracle_sql() -> dict[str, str]:
         "mget": _mget_oracle(),
         "field_stats": _field_stats_oracle(),
         "sparse_vector": sparse_vector_sql(SPARSE_QUERIES, BM25_K, CFG),
+        "geo_distance": geo_distance_sql(GEO_QUERIES, GEO_K,
+                                         GEO_LAT_SQL, GEO_LON_SQL,
+                                         radius_km=GEO_RADIUS_KM),
         "bm25_vw_histogram": vw_histogram_sql(
             BM25_QUERIES, FACET_MIN_SCORE, STATS_COL, VW_HIST_BUCKETS,
             CFG),

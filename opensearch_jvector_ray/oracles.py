@@ -5412,3 +5412,47 @@ SELECT query_id, rank, {id_col}, round(score__raw, 6) AS score
 FROM ranked WHERE rank <= {k}
 ORDER BY query_id, rank
 """
+
+
+def geo_distance_sql(queries: "dict[str, tuple[float, float]]", k: int,
+                     lat_expr: str, lon_expr: str,
+                     table: str = "events", id_col: str = "event_id",
+                     radius_km: float | None = None) -> str:
+    """geo_distance query + distance sort oracle: the haversine with the
+    ENGINE'S pinned operation order (pipelines/geo.haversine_km —
+    half-angle sines squared, cos-lat product, 2*R*asin(sqrt(a))),
+    round(6) BEFORE ranking on both sides (the vector-entry fp rule).
+    ``lat_expr``/``lon_expr`` are SQL expressions over the table row —
+    the gate derives coordinates from integer ids so the derivation is
+    exact on both sides."""
+    q_rows = ", ".join(
+        f"({sql_quote(qid)}, {float(la)!r}, {float(lo)!r})"
+        for qid, (la, lo) in sorted(queries.items()))
+    rad = f"WHERE distance_km <= {float(radius_km)!r}" \
+        if radius_km is not None else ""
+    return f"""
+WITH pts AS (
+  SELECT {id_col}, {lat_expr} AS lat, {lon_expr} AS lon FROM {table}
+),
+q(query_id, qlat, qlon) AS (VALUES {q_rows}),
+d AS (
+  SELECT q.query_id, pts.{id_col},
+         round(2 * 6371.0 * asin(sqrt(
+             pow(sin(radians(pts.lat - q.qlat) / 2), 2)
+             + cos(radians(q.qlat)) * cos(radians(pts.lat))
+               * pow(sin(radians(pts.lon - q.qlon) / 2), 2)
+         )), 6) AS distance_km
+  FROM q CROSS JOIN pts
+),
+r AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY distance_km ASC, {id_col} ASC)
+             AS rank,
+         {id_col}, distance_km
+  FROM d {rad}
+)
+SELECT query_id, rank, {id_col}, distance_km
+FROM r WHERE rank <= {k}
+ORDER BY query_id, rank
+"""

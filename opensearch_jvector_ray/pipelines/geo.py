@@ -1,0 +1,106 @@
+"""Geo-distance search: vectorized haversine over Arrow batches.
+
+OpenSearch's geo_distance query/sort family (public semantics: filter
+docs within a radius of a point, order by distance ascending) expressed
+in the brute-force-knn shape this repo uses for vector kernels
+(`pipelines/knn.py:brute_force_topk`): the query points are ray.put
+ONCE, every batch computes the haversine distance with numpy, per-batch
+partial top-k bounds what leaves each task, and the driver combine is
+(queries x k)-sized.
+
+FP rule (the repo-wide vector-entry rule, NOTES.md): distances are
+round(6) BEFORE ranking on BOTH sides — numpy and libm trig differ in
+the last ulp, and ranking raw on one side only would make k-boundary
+ties probabilistic.  Tie-break (distance asc, id asc) everywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+EARTH_RADIUS_KM = 6371.0
+
+
+def haversine_km(lat: np.ndarray, lon: np.ndarray,
+                 qlat: float, qlon: float) -> np.ndarray:
+    """Great-circle distance in km — the canonical haversine with a
+    PINNED operation order mirrored symbol-for-symbol by the SQL oracle
+    (oracles.geo_distance_sql): half-angle sines squared, cos-lat
+    product, 2*R*asin(sqrt(a))."""
+    dphi = np.radians(lat - qlat) / 2.0
+    dlmb = np.radians(lon - qlon) / 2.0
+    a = (np.sin(dphi) ** 2
+         + np.cos(np.radians(qlat)) * np.cos(np.radians(lat))
+         * np.sin(dlmb) ** 2)
+    return 2.0 * EARTH_RADIUS_KM * np.arcsin(np.sqrt(a))
+
+
+def geo_distance_topk(ds, queries: "dict[str, tuple[float, float]]",
+                      k: int,
+                      id_col: str = "event_id",
+                      lat_col: str = "lat", lon_col: str = "lon",
+                      radius_km: float | None = None,
+                      round_decimals: int = 6) -> pd.DataFrame:
+    """Top-k nearest rows to each query point, optionally restricted to
+    ``radius_km`` (the geo_distance filter + geo-distance sort combo).
+
+    Returns (query_id, rank, id_col, distance_km) ranked (rounded
+    distance asc, id asc).  Per-batch partials are <= k rows per query;
+    nothing corpus-sized leaves a task.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    qids = sorted(queries)
+    qref = ray.put([(qid, float(queries[qid][0]), float(queries[qid][1]))
+                    for qid in qids])
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        pts = ray.get(qref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        lat = batch[lat_col].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        lon = batch[lon_col].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        out_q, out_id, out_d = [], [], []
+        for qid, qla, qlo in pts:
+            d = np.round(haversine_km(lat, lon, qla, qlo),
+                         round_decimals)
+            sel_ids, sel_d = ids, d
+            if radius_km is not None:
+                keep = d <= radius_km
+                sel_ids, sel_d = ids[keep], d[keep]
+            if len(sel_ids) > k:
+                # full (dist asc, id asc) lexsort of the batch slice —
+                # exact at rounded-tie boundaries, and trivially cheap
+                # next to the haversine itself at batch size 8192
+                order = np.lexsort((sel_ids, sel_d))[:k]
+                sel_ids, sel_d = sel_ids[order], sel_d[order]
+            out_q.extend([qid] * len(sel_ids))
+            out_id.append(sel_ids)
+            out_d.append(sel_d)
+        if not out_q:
+            return pa.table({
+                "query_id": pa.array([], type=pa.string()),
+                id_col: pa.array([], type=batch[id_col].type),
+                "distance_km": pa.array([], type=pa.float64())})
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.string()),
+            id_col: pa.array(np.concatenate(out_id)),
+            "distance_km": pa.array(np.concatenate(out_d),
+                                    type=pa.float64())})
+
+    parts = ds.map_batches(score_batch, batch_format="pyarrow",
+                           batch_size=8192).to_pandas()
+    cols = ["query_id", "rank", id_col, "distance_km"]
+    if parts.empty:
+        return pd.DataFrame(columns=cols)
+    out = parts.sort_values(["query_id", "distance_km", id_col],
+                            ascending=[True, True, True],
+                            kind="mergesort")
+    out = out.groupby("query_id", sort=False).head(k)
+    out["rank"] = out.groupby("query_id", sort=False).cumcount() + 1
+    return out[cols].reset_index(drop=True)

@@ -214,6 +214,31 @@ def test_sparse_vector_rejects_conflicts(idx):
         s.search({"q": "tool"}, k=5, score_mode="nope")
 
 
+def test_geo_distance_brute_force_and_radius():
+    """geo_distance_topk == a full numpy sort of the same rounded
+    distances; radius excludes everything beyond it."""
+    from opensearch_jvector_ray.pipelines.geo import (
+        geo_distance_topk, haversine_km,
+    )
+    rng = np.random.default_rng(11)
+    n = 2000
+    lat = rng.uniform(-90, 90, n)
+    lon = rng.uniform(-180, 180, n)
+    ids = np.arange(n, dtype=np.int64)
+    tbl = pa.table({"event_id": ids, "lat": lat, "lon": lon})
+    ds = rd.from_arrow(tbl)
+    q = {"a": (10.0, 20.0), "b": (-45.0, 100.0)}
+    out = geo_distance_topk(ds, q, k=15, radius_km=9000.0)
+    for qid, (qla, qlo) in q.items():
+        d = np.round(haversine_km(lat, lon, qla, qlo), 6)
+        keep = d <= 9000.0
+        order = np.lexsort((ids[keep], d[keep]))[:15]
+        gold = list(zip(ids[keep][order], d[keep][order]))
+        got = out[out["query_id"] == qid]
+        assert list(zip(got["event_id"], got["distance_km"])) == gold
+    assert (out["distance_km"] <= 9000.0).all()
+
+
 def test_legacy_flat_layout_still_reads(idx, tmp_path):
     """A pre-generation index dir (flat parquet under dictionary/) stays
     readable, and a reader pinned to the flat root never sees generation
