@@ -1363,6 +1363,21 @@ SPARSE_QUERIES = {
 }
 
 
+def _q_children_agg(sf_dir: str) -> pd.DataFrame:
+    # children aggregation: parents = top conversations per query;
+    # terms counts over the child turns' tool field (missing = NULL or
+    # '' excluded — the value_count rule), (count desc, value asc)
+    from opensearch_jvector_ray.sources.tables import (
+        conversations_index, transcripts_index,
+    )
+    sc = IndexSearcher(conversations_index(sf_dir))
+    parents = sc.search(CONV_QUERIES, k=N_PARENTS)
+    psets = {qid: sorted(set(g["conv_id"]))
+             for qid, g in parents.groupby("query_id")}
+    st = IndexSearcher(transcripts_index(sf_dir))
+    return st.children_terms_agg(psets, field="tool", size=10)
+
+
 # geo_distance over events with coordinates DERIVED from the integer id
 # (exact on both sides: int ops, one /100.0, one subtraction); radius
 # keeps the filter non-trivial at every scale
@@ -2949,6 +2964,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "field_stats": _q_field_stats,
         "sparse_vector": _q_sparse_vector,
         "geo_distance": _q_geo_distance,
+        "children_agg": _q_children_agg,
         "bm25_vw_histogram": _q_bm25_vw_histogram,
         "bm25_global_stats": _q_bm25_global_stats,
         "bm25_sampler": _q_bm25_sampler,
@@ -3128,6 +3144,35 @@ SELECT h.query_id,
        t.conv_id, t.turn_idx, h.score
 FROM hits h JOIN transcripts t ON t.conv_id = h.conv_id
 ORDER BY h.query_id, rank
+"""
+
+
+def _children_agg_oracle() -> str:
+    """children agg: parents = conversation-level BM25 top-N; terms
+    counts over the child turns' tool values ('' / NULL excluded),
+    (doc_count desc, value asc), size cap."""
+    from opensearch_jvector_ray.oracles import transcripts_arms_cte
+    inner = _conversations_bm25_oracle_k(N_PARENTS)
+    cte = transcripts_arms_cte(_transcript_arms(),
+                               "conv_id, turn_idx, tool")
+    return f"""
+WITH {cte},
+hits AS ({inner}),
+counts AS (
+  SELECT h.query_id, t.tool AS value, count(*) AS doc_count
+  FROM (SELECT DISTINCT query_id, conv_id FROM hits) h
+  JOIN transcripts t ON t.conv_id = h.conv_id
+  WHERE t.tool IS NOT NULL AND t.tool <> ''
+  GROUP BY h.query_id, t.tool
+),
+r AS (
+  SELECT query_id, value, doc_count,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY doc_count DESC, value ASC) AS rn
+  FROM counts
+)
+SELECT query_id, value, doc_count FROM r WHERE rn <= 10
+ORDER BY query_id, doc_count DESC, value
 """
 
 
@@ -3447,6 +3492,7 @@ def oracle_sql() -> dict[str, str]:
         "has_child_sum": _has_child_oracle("sum"),
         "has_child_avg": _has_child_oracle("avg"),
         "has_parent_expand": _has_parent_oracle(),
+        "children_agg": _children_agg_oracle(),
         "percolate_all": percolate_sql(PERC_QUERIES, CFG,
                                        match_mode="all"),
         "percolate_phrase": percolate_sql(PERC_PHRASES, CFG,

@@ -2492,6 +2492,43 @@ def _field_stats_task(batch: pa.Table, fields: list[str]) -> pa.Table:
     })
 
 
+def _children_terms_task(batch: pa.Table, parents: dict,
+                         parent_col: str, field: str) -> pa.Table:
+    """Per-segment children-agg partial: count a child field's values
+    over the turns whose parent id is in each query's parent set.
+    Sidecar-only (no postings); output is (queries x distinct values)-
+    bounded.  Missing = NULL or '' (the string-sidecar sentinel rule
+    shared with value_count/missing)."""
+    out_q, out_v, out_c = [], [], []
+    for d in batch["seg_dir"].to_pylist():
+        t = pq.read_table(os.path.join(d, DOCS_NAME),
+                          columns=[parent_col, field])
+        pcol = t[parent_col]
+        fcol = t[field]
+        present = pc.and_(pc.is_valid(fcol), pc.not_equal(fcol, ""))
+        for qid in sorted(parents):
+            pset = pa.array(parents[qid], type=pcol.type)
+            keep = pc.and_(pc.is_in(pcol, value_set=pset), present)
+            vals = fcol.filter(keep)
+            if not len(vals):
+                continue
+            g = pa.table({"v": vals}).group_by("v").aggregate(
+                [("v", "count")])
+            out_q.extend([qid] * g.num_rows)
+            out_v.append(g["v"].combine_chunks())
+            out_c.append(g["v_count"].combine_chunks())
+    if not out_q:
+        return pa.table({"query_id": pa.array([], type=pa.string()),
+                         "value": pa.array([], type=pa.string()),
+                         "doc_count": pa.array([], type=pa.int64())})
+    return pa.table({
+        "query_id": pa.array(out_q, type=pa.string()),
+        "value": pa.concat_arrays([a.cast(pa.string()) for a in out_v]),
+        "doc_count": pa.concat_arrays(
+            [a.cast(pa.int64()) for a in out_c]),
+    })
+
+
 def _positions_for_segment(seg_dir: str, p: dict) -> pa.Table | None:
     """Matched-term positions for the hit docs living in one segment —
     the highlight fetch (the J4 hit->source pattern applied to the
@@ -4134,6 +4171,45 @@ class IndexSearcher:
             c for c in out.columns
             if c not in self.key_cols and c != "found"]
         return out[cols].reset_index(drop=True)
+
+    def children_terms_agg(self, parents: "dict[str, Sequence[Any]]",
+                           field: str, size: int = 10) -> pd.DataFrame:
+        """children aggregation [OpenSearch children-agg public
+        semantics, terms sub-agg]: bucket the CHILD docs of each query's
+        parent id set and count a child field's values — the join-field
+        bucket-then-sub-agg shape (`parent_join` children agg).  Parent
+        sets are the result-sized output of a parent-level query (e.g. a
+        conversations-index search); they broadcast to one sidecar-only
+        task per segment, which ships value-bounded (query, value,
+        count) partials — the per-parent child match sets never leave
+        the segments.  Missing child values (NULL or the '' string
+        sentinel) are excluded; buckets order (doc_count desc, value
+        asc) with a ``size`` cap."""
+        cols = ["query_id", "value", "doc_count"]
+        if not self.seg_dirs or not parents:
+            return pd.DataFrame(columns=cols)
+        parent_col = self.key_cols[0]
+        norm = {qid: sorted(set(v)) for qid, v in parents.items()}
+        seg_ds = rd.from_items([{"seg_dir": d} for d in self.seg_dirs])
+        out = seg_ds.map_batches(_children_terms_task,
+                                 fn_kwargs={"parents": norm,
+                                            "parent_col": parent_col,
+                                            "field": field},
+                                 batch_format="pyarrow", batch_size=1)
+        frames = [b.to_pandas()
+                  for b in out.iter_batches(batch_format="pyarrow")]
+        frames = [f for f in frames if not f.empty]
+        if not frames:
+            return pd.DataFrame(columns=cols)
+        df = (pd.concat(frames, ignore_index=True)
+              .groupby(["query_id", "value"], sort=False)["doc_count"]
+              .sum().reset_index())
+        df["doc_count"] = df["doc_count"].astype(np.int64)
+        df = df.sort_values(["query_id", "doc_count", "value"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        df = df.groupby("query_id", sort=False).head(size)
+        return df[cols].reset_index(drop=True)
 
     def sparse_vector_search(self,
                              queries: "dict[str, list[tuple[str, float]]]",

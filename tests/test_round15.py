@@ -214,6 +214,24 @@ def test_sparse_vector_rejects_conflicts(idx):
         s.search({"q": "tool"}, k=5, score_mode="nope")
 
 
+def test_children_terms_agg_brute_force(idx):
+    s = IndexSearcher(idx)
+    tbl = generate_conversations(np.arange(150))
+    convs = sorted(set(tbl["conv_id"].to_pylist()))[:20]
+    psets = {"qa": convs, "qb": convs[5:9]}
+    out = s.children_terms_agg(psets, field="tool", size=10)
+    df = tbl.to_pandas()
+    for qid, pset in psets.items():
+        sub = df[df["conv_id"].isin(pset)]
+        sub = sub[sub["tool"].notna() & (sub["tool"] != "")]
+        gold = (sub.groupby("tool").size().reset_index(name="n")
+                .sort_values(["n", "tool"], ascending=[False, True])
+                .head(10))
+        got = out[out["query_id"] == qid]
+        assert list(zip(got["value"], got["doc_count"])) == \
+            list(zip(gold["tool"], gold["n"]))
+
+
 def test_geo_distance_brute_force_and_radius():
     """geo_distance_topk == a full numpy sort of the same rounded
     distances; radius excludes everything beyond it."""
