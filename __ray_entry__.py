@@ -1363,6 +1363,24 @@ SPARSE_QUERIES = {
 }
 
 
+INGEST_PIPELINE = [
+    {"gsub": {"field": "text", "pattern": "[0-9]+",
+              "replacement": "#"}},
+    {"uppercase": {"field": "lang"}},
+    {"rename": {"field": "source", "target_field": "origin"}},
+    {"convert": {"field": "n_chars", "type": "double"}},
+    {"set": {"field": "pipeline", "value": "v1"}},
+]
+
+
+def _q_ingest_simulate(sf_dir: str):
+    # _ingest/pipeline/_simulate: the processor chain compiled into ONE
+    # vectorized map_batches pass; returns the streaming Dataset
+    from opensearch_jvector_ray.pipelines.ingest import simulate
+    ds = read_table(sf_dir, "documents")
+    return simulate(ds, INGEST_PIPELINE)
+
+
 def _q_children_agg(sf_dir: str) -> pd.DataFrame:
     # children aggregation: parents = top conversations per query;
     # terms counts over the child turns' tool field (missing = NULL or
@@ -2965,6 +2983,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparse_vector": _q_sparse_vector,
         "geo_distance": _q_geo_distance,
         "children_agg": _q_children_agg,
+        "ingest_simulate": _q_ingest_simulate,
         "bm25_vw_histogram": _q_bm25_vw_histogram,
         "bm25_global_stats": _q_bm25_global_stats,
         "bm25_sampler": _q_bm25_sampler,
@@ -3493,6 +3512,12 @@ def oracle_sql() -> dict[str, str]:
         "has_child_avg": _has_child_oracle("avg"),
         "has_parent_expand": _has_parent_oracle(),
         "children_agg": _children_agg_oracle(),
+        "ingest_simulate": (
+            "SELECT doc_id, "
+            "regexp_replace(text, '[0-9]+', '#', 'g') AS text, "
+            "upper(lang) AS lang, source AS origin, "
+            "CAST(n_chars AS DOUBLE) AS n_chars, 'v1' AS pipeline "
+            "FROM documents"),
         "percolate_all": percolate_sql(PERC_QUERIES, CFG,
                                        match_mode="all"),
         "percolate_phrase": percolate_sql(PERC_PHRASES, CFG,

@@ -1,0 +1,140 @@
+"""Ingest pipelines: OpenSearch ingest-processor chains over Arrow batches.
+
+OpenSearch runs a named chain of ingest processors on every doc before
+indexing (`PUT _ingest/pipeline` + `_simulate`; the reference plugin's
+docs ride the same ingest layer).  Here a pipeline is a validated list
+of processor specs compiled ONCE into a single vectorized ``map_batches``
+stage — one pass over each batch applies the whole chain with
+pyarrow.compute kernels (RE2 regexes, no Python per row), so adding a
+pipeline costs one streaming map stage, never a shuffle.
+
+Supported processors (all public OpenSearch ingest semantics):
+
+  {"set":       {"field": f, "value": v}}          constant column
+  {"remove":    {"field": f}}
+  {"rename":    {"field": f, "target_field": g}}
+  {"lowercase": {"field": f}} / {"uppercase": {"field": f}}
+  {"trim":      {"field": f}}
+  {"gsub":      {"field": f, "pattern": p, "replacement": r}}
+  {"convert":   {"field": f, "type": "integer"|"double"|"string"}}
+
+Processors execute in list order; each sees the previous one's output
+(the OpenSearch chain rule).  Validation is eager and strict (unknown
+processor names / params raise at build time, not inside Ray tasks).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_KNOWN = {
+    "set": {"field", "value"},
+    "remove": {"field"},
+    "rename": {"field", "target_field"},
+    "lowercase": {"field"},
+    "uppercase": {"field"},
+    "trim": {"field"},
+    "gsub": {"field", "pattern", "replacement"},
+    "convert": {"field", "type"},
+}
+_CONVERT_TYPES = {"integer": pa.int64(), "double": pa.float64(),
+                  "string": pa.string()}
+
+
+def compile_pipeline(processors: "list[dict[str, Any]]"):
+    """Validate a processor chain and return a batch fn applying it.
+
+    The returned callable is stateless (patterns are RE2 strings handed
+    to pyarrow kernels), so it runs in the ordinary task pool — no
+    actor needed."""
+    if not isinstance(processors, list) or not processors:
+        raise ValueError("pipeline needs a non-empty processor list")
+    specs = []
+    for p in processors:
+        if not isinstance(p, dict) or len(p) != 1:
+            raise ValueError(f"each processor must be a one-key object, "
+                             f"got {p!r}")
+        (name, body), = p.items()
+        if name not in _KNOWN:
+            raise ValueError(f"unknown processor {name!r} (supported: "
+                             f"{sorted(_KNOWN)})")
+        if not isinstance(body, dict):
+            raise ValueError(f"[{name}] body must be an object")
+        missing = _KNOWN[name] - set(body)
+        extra = set(body) - _KNOWN[name]
+        if missing or extra:
+            raise ValueError(f"[{name}] needs exactly {sorted(_KNOWN[name])}"
+                             f" (missing {sorted(missing)}, "
+                             f"unknown {sorted(extra)})")
+        if name == "convert" and body["type"] not in _CONVERT_TYPES:
+            raise ValueError(f"[convert] type must be one of "
+                             f"{sorted(_CONVERT_TYPES)}")
+        for key in ("field", "target_field"):
+            if key in _KNOWN[name] and (
+                    not isinstance(body.get(key), str) or not body[key]):
+                raise ValueError(f"[{name}] needs a non-empty {key!r}")
+        specs.append((name, dict(body)))
+
+    def _col(batch: pa.Table, f: str) -> pa.Array:
+        if f not in batch.column_names:
+            raise KeyError(f"ingest field {f!r} not in batch "
+                           f"{batch.column_names}")
+        c = batch[f]
+        return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+    def _replace(batch: pa.Table, f: str, arr) -> pa.Table:
+        return batch.set_column(batch.column_names.index(f), f, arr)
+
+    def apply(batch: pa.Table) -> pa.Table:
+        for name, b in specs:
+            if name == "set":
+                v = b["value"]
+                arr = pa.array([v] * batch.num_rows)
+                if b["field"] in batch.column_names:
+                    batch = _replace(batch, b["field"], arr)
+                else:
+                    batch = batch.append_column(b["field"], arr)
+            elif name == "remove":
+                batch = batch.drop_columns([b["field"]])
+            elif name == "rename":
+                names = [b["target_field"] if n == b["field"] else n
+                         for n in batch.column_names]
+                if b["field"] not in batch.column_names:
+                    raise KeyError(f"rename: no field {b['field']!r}")
+                batch = batch.rename_columns(names)
+            elif name == "lowercase":
+                batch = _replace(batch, b["field"],
+                                 pc.utf8_lower(_col(batch, b["field"])))
+            elif name == "uppercase":
+                batch = _replace(batch, b["field"],
+                                 pc.utf8_upper(_col(batch, b["field"])))
+            elif name == "trim":
+                batch = _replace(batch, b["field"],
+                                 pc.utf8_trim_whitespace(
+                                     _col(batch, b["field"])))
+            elif name == "gsub":
+                batch = _replace(
+                    batch, b["field"],
+                    pc.replace_substring_regex(
+                        _col(batch, b["field"]),
+                        pattern=b["pattern"],
+                        replacement=b["replacement"]))
+            elif name == "convert":
+                batch = _replace(
+                    batch, b["field"],
+                    pc.cast(_col(batch, b["field"]),
+                            _CONVERT_TYPES[b["type"]]))
+        return batch
+
+    return apply
+
+
+def simulate(ds, processors: "list[dict[str, Any]]"):
+    """_ingest/pipeline/_simulate analog: apply the chain to a Dataset
+    and return the transformed Dataset (streaming — callers sink it or
+    feed it to build_index for the ingest-on-index path)."""
+    return ds.map_batches(compile_pipeline(processors),
+                          batch_format="pyarrow")

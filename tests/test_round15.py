@@ -214,6 +214,39 @@ def test_sparse_vector_rejects_conflicts(idx):
         s.search({"q": "tool"}, k=5, score_mode="nope")
 
 
+def test_ingest_pipeline_chain_and_validation():
+    from opensearch_jvector_ray.pipelines.ingest import (
+        compile_pipeline, simulate,
+    )
+    tbl = pa.table({"a": ["  Hi 42 ", "X9"], "n": [1, 2]})
+    fn = compile_pipeline([
+        {"trim": {"field": "a"}},
+        {"gsub": {"field": "a", "pattern": "[0-9]+",
+                  "replacement": "#"}},
+        {"lowercase": {"field": "a"}},
+        {"rename": {"field": "a", "target_field": "b"}},
+        {"convert": {"field": "n", "type": "double"}},
+        {"set": {"field": "tag", "value": "t"}},
+        {"remove": {"field": "n"}},
+    ])
+    out = fn(tbl)
+    assert out.column_names == ["b", "tag"]
+    assert out["b"].to_pylist() == ["hi #", "x#"]
+    assert out["tag"].to_pylist() == ["t", "t"]
+    # chain order matters: each processor sees the previous output
+    ds = rd.from_arrow(tbl)
+    got = simulate(ds, [{"uppercase": {"field": "a"}},
+                        {"gsub": {"field": "a", "pattern": "HI",
+                                  "replacement": "YO"}}]).to_pandas()
+    assert got["a"].tolist() == ["  YO 42 ", "X9"]
+    for bad in ([], [{"nope": {"field": "a"}}],
+                [{"gsub": {"field": "a"}}],
+                [{"convert": {"field": "n", "type": "bool"}}],
+                [{"set": {"field": "x", "value": 1, "extra": 2}}]):
+        with pytest.raises(ValueError):
+            compile_pipeline(bad)
+
+
 def test_children_terms_agg_brute_force(idx):
     s = IndexSearcher(idx)
     tbl = generate_conversations(np.arange(150))
