@@ -1363,6 +1363,17 @@ SPARSE_QUERIES = {
 }
 
 
+def _q_bpe_train(sf_dir: str) -> pd.DataFrame:
+    # full BPE training loop (Sennrich word-frequency-dict form): one
+    # distributed pre-token count pass, then a vocab-sized driver merge
+    # loop — iterative, not SQL-expressible (rows-only driver check;
+    # the merge sequence is pinned by tests/test_round15.py against an
+    # independent per-occurrence reference implementation)
+    from opensearch_jvector_ray.pipelines.corpus import bpe_train
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    return bpe_train(ds, num_merges=25, text_col="text")
+
+
 INGEST_PIPELINE = [
     {"gsub": {"field": "text", "pattern": "[0-9]+",
               "replacement": "#"}},
@@ -2984,6 +2995,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_distance": _q_geo_distance,
         "children_agg": _q_children_agg,
         "ingest_simulate": _q_ingest_simulate,
+        "bpe_train": _q_bpe_train,
         "bm25_vw_histogram": _q_bm25_vw_histogram,
         "bm25_global_stats": _q_bm25_global_stats,
         "bm25_sampler": _q_bm25_sampler,

@@ -395,3 +395,106 @@ def bpe_merge_candidates(ds: "rd.Dataset", text_col: str = "text", *,
     out = merged.sort_values(["cnt", "pair"],
                              ascending=[False, True], kind="mergesort")
     return out[["pair", "cnt"]].head(top_k).reset_index(drop=True)
+
+
+def pretoken_counts(ds: "rd.Dataset", text_col: str = "text", *,
+                    pattern: str | None = None) -> "pd.DataFrame":
+    """Distinct pre-token frequency table (the BPE training corpus form
+    [Sennrich et al. 2016]: BPE never merges across pre-token
+    boundaries, so the corpus collapses to a word-frequency dict).
+    Per batch: ONE findall + np.unique partial (distinct-token-sized);
+    ONE groupby merges the partials.  Returns (token, cnt)."""
+    import re as _re
+
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from opensearch_jvector_ray.pipelines.textstats import BPE_PATTERN
+    pat = _re.compile(pattern if pattern is not None else BPE_PATTERN)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        toks = pat.findall("\n".join(texts.to_pylist()))
+        if not toks:
+            return pa.table({"token": pa.array([], type=pa.string()),
+                             "cnt": pa.array([], type=pa.int64())})
+        uk, uc = np.unique(np.asarray(toks, dtype=object),
+                           return_counts=True)
+        return pa.table({"token": pa.array(uk.tolist(),
+                                           type=pa.string()),
+                         "cnt": pa.array(uc.astype(np.int64),
+                                         type=pa.int64())})
+
+    out = (ds.select_columns([text_col])
+             .map_batches(partial, batch_format="pyarrow")
+             .groupby("token")
+             .aggregate(Sum("cnt", alias_name="cnt"))
+             .to_pandas())
+    out["cnt"] = out["cnt"].astype(np.int64)
+    return out
+
+
+def bpe_train(ds: "rd.Dataset", num_merges: int,
+              text_col: str = "text", *,
+              pattern: str | None = None,
+              min_count: int = 1,
+              max_words: int | None = None) -> "pd.DataFrame":
+    """Full BPE tokenizer training [Sennrich et al. 2016, the public
+    word-frequency-dict algorithm]: ONE distributed pass builds the
+    pre-token frequency table (``pretoken_counts``), then the merge
+    loop runs driver-side over that DICT — per iteration it counts
+    symbol pairs weighted by word frequency, fuses the (count DESC,
+    pair ASC) winner in every word, and records the merge.  The loop
+    is vocab-sized, never corpus-sized: this is how BPE trainers scale
+    in practice (the corpus collapses to distinct words x counts; cap
+    the dict with ``min_count`` / ``max_words`` on web-scale vocab —
+    both caps are applied on (cnt DESC, token ASC) order so the
+    truncation is deterministic).
+
+    Returns (merge_idx, left, right, cnt): the i-th merge fused symbol
+    ``left`` + ``right`` (strings over the original alphabet) with
+    corpus-weighted pair count ``cnt``.  Iteration 0's winner equals
+    ``bpe_merge_candidates``' top pair by construction (same pattern,
+    same tie rule) — pytest pins that identity."""
+    import pandas as pd
+
+    if num_merges < 1:
+        raise ValueError("num_merges must be >= 1")
+    wf = pretoken_counts(ds, text_col, pattern=pattern)
+    wf = wf[wf["cnt"] >= min_count]
+    wf = wf.sort_values(["cnt", "token"], ascending=[False, True],
+                        kind="mergesort")
+    if max_words is not None:
+        wf = wf.head(max_words)
+    words = [list(t) for t in wf["token"]]
+    freqs = wf["cnt"].to_numpy(np.int64)
+    merges = []
+    for mi in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, f in zip(words, freqs):
+            for a, b in zip(w, w[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + int(f)
+        if not counts:
+            break
+        (la, rb), cnt = min(counts.items(),
+                            key=lambda kv: (-kv[1], kv[0]))
+        merges.append((mi, la, rb, cnt))
+        fused = la + rb
+        for i, w in enumerate(words):
+            if len(w) < 2:
+                continue
+            j, out = 0, []
+            while j < len(w):
+                if j + 1 < len(w) and w[j] == la and w[j + 1] == rb:
+                    out.append(fused)
+                    j += 2
+                else:
+                    out.append(w[j])
+                    j += 1
+            words[i] = out
+    return pd.DataFrame(merges, columns=["merge_idx", "left", "right",
+                                         "cnt"]).astype(
+        {"merge_idx": np.int64, "cnt": np.int64})

@@ -214,6 +214,67 @@ def test_sparse_vector_rejects_conflicts(idx):
         s.search({"q": "tool"}, k=5, score_mode="nope")
 
 
+def _bpe_reference(texts, num_merges):
+    """Independent per-occurrence BPE reference: merges applied to the
+    FULL corpus token stream (no word-frequency dict), same pattern and
+    (count desc, pair asc) tie rule."""
+    import re
+
+    from opensearch_jvector_ray.pipelines.textstats import BPE_PATTERN
+    pat = re.compile(BPE_PATTERN)
+    seqs = [list(tok) for t in texts for tok in pat.findall(t)]
+    merges = []
+    for mi in range(num_merges):
+        counts = {}
+        for w in seqs:
+            for a, b in zip(w, w[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+        if not counts:
+            break
+        (la, rb), cnt = min(counts.items(), key=lambda kv: (-kv[1],
+                                                            kv[0]))
+        merges.append((mi, la, rb, cnt))
+        for i, w in enumerate(seqs):
+            j, out = 0, []
+            while j < len(w):
+                if j + 1 < len(w) and w[j] == la and w[j + 1] == rb:
+                    out.append(la + rb)
+                    j += 2
+                else:
+                    out.append(w[j])
+                    j += 1
+            seqs[i] = out
+    return merges
+
+
+def test_bpe_train_matches_per_occurrence_reference():
+    from opensearch_jvector_ray.pipelines.corpus import (
+        bpe_merge_candidates, bpe_train,
+    )
+    texts = ["the cat sat on the mat, the cat ate 42 fish",
+             "low lower lowest newer newest wider widest",
+             "ab ab ab abc abc abcd!!"]
+    tbl = pa.table({"text": texts})
+    got = bpe_train(rd.from_arrow(tbl), num_merges=12)
+    gold = _bpe_reference(texts, 12)
+    assert [tuple(r) for r in got.itertuples(index=False)] == gold
+    # iteration 0's winner == the step-1 candidate ranker's top pair
+    top = bpe_merge_candidates(rd.from_arrow(tbl), top_k=1)
+    assert got.loc[0, "left"] + got.loc[0, "right"] == top["pair"][0]
+    assert got.loc[0, "cnt"] == top["cnt"][0]
+
+
+def test_bpe_train_caps_are_deterministic():
+    from opensearch_jvector_ray.pipelines.corpus import bpe_train
+    tbl = pa.table({"text": ["aa bb aa bb aa cc dd" for _ in range(3)]})
+    full = bpe_train(rd.from_arrow(tbl), num_merges=2)
+    capped = bpe_train(rd.from_arrow(tbl), num_merges=2, min_count=3)
+    # 'aa' (cnt 9 occurrences -> word cnt 9? word 'aa' appears 9 times)
+    # survives the cap; the merge winner is unchanged
+    assert full.loc[0, ["left", "right"]].tolist() == \
+        capped.loc[0, ["left", "right"]].tolist()
+
+
 def test_ingest_pipeline_chain_and_validation():
     from opensearch_jvector_ray.pipelines.ingest import (
         compile_pipeline, simulate,
