@@ -1363,6 +1363,41 @@ SPARSE_QUERIES = {
 }
 
 
+ALIAS_FILTER_SPEC = {"bool": {"must": [
+    {"terms": {"source": ["src3", "src7", "src11", "src15"]}},
+    {"range": {"n_chars": {"gte": 300}}},
+]}}
+
+
+def _q_alias_search(sf_dir: str) -> pd.DataFrame:
+    # filtered alias: put_alias validates + persists the ONE structured
+    # filter spec; search through the alias applies it as the ordinary
+    # pre-filter (candidates restricted, global stats untouched)
+    from opensearch_jvector_ray.aliases import put_alias, search_alias
+    idx = documents_index(sf_dir)
+    put_alias(idx, "filtered_view", ALIAS_FILTER_SPEC)
+    return _round_hits(search_alias(idx, "filtered_view", BM25_QUERIES,
+                                    k=BM25_K))
+
+
+def _q_count_api(sf_dir: str) -> pd.DataFrame:
+    # _count API: match-set sizes (score > 0) as one int64 partial per
+    # (segment, query) — nothing match-set-sized ships
+    s = IndexSearcher(documents_index(sf_dir))
+    return s.count(BM25_QUERIES)
+
+
+def _count_api_oracle() -> str:
+    inner = bm25_sql(BM25_QUERIES, 0, CFG, min_score=0.0)
+    qv = ", ".join(f"('{qid}')" for qid in sorted(BM25_QUERIES))
+    return f"""
+WITH m AS ({inner}), q(query_id) AS (VALUES {qv})
+SELECT q.query_id, CAST(COALESCE(c.n, 0) AS BIGINT) AS doc_count
+FROM q LEFT JOIN (SELECT query_id, count(*) AS n FROM m
+                  GROUP BY query_id) c USING (query_id)
+"""
+
+
 def _q_bpe_train(sf_dir: str) -> pd.DataFrame:
     # full BPE training loop (Sennrich word-frequency-dict form): one
     # distributed pre-token count pass, then a vocab-sized driver merge
@@ -2996,6 +3031,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "children_agg": _q_children_agg,
         "ingest_simulate": _q_ingest_simulate,
         "bpe_train": _q_bpe_train,
+        "count_api": _q_count_api,
+        "alias_search": _q_alias_search,
         "bm25_vw_histogram": _q_bm25_vw_histogram,
         "bm25_global_stats": _q_bm25_global_stats,
         "bm25_sampler": _q_bm25_sampler,
@@ -3524,6 +3561,10 @@ def oracle_sql() -> dict[str, str]:
         "has_child_avg": _has_child_oracle("avg"),
         "has_parent_expand": _has_parent_oracle(),
         "children_agg": _children_agg_oracle(),
+        "count_api": _count_api_oracle(),
+        "alias_search": bm25_sql(BM25_QUERIES, BM25_K, CFG,
+                                 filter_sql=filter_spec_sql(
+                                     ALIAS_FILTER_SPEC)),
         "ingest_simulate": (
             "SELECT doc_id, "
             "regexp_replace(text, '[0-9]+', '#', 'g') AS text, "

@@ -582,6 +582,14 @@ def _agg_partial(agg: dict, docs: pa.Table, ords: np.ndarray,
         out_cols[agg["col"]] = docs[agg["col"]].take(take)
         out_cols["score"] = pa.array(scores[:agg["n"]], type=pa.float64())
         return pa.table(out_cols)
+    if agg["kind"] == "count":
+        # _count API partial [OpenSearch count public semantics]: the
+        # match-set size itself — no column gather, one int64 per
+        # (segment, query)
+        return pa.table({
+            "query_id": pa.array([qid], type=pa.string()),
+            "doc_count": pa.array([len(ords)], type=pa.int64()),
+        })
     vals = docs[agg["col"]].take(pa.array(ords))
     if agg["kind"] == "missing":
         # missing aggregation partial [OpenSearch missing-agg public
@@ -4095,6 +4103,24 @@ class IndexSearcher:
             return base
         got = df.groupby("query_id")["doc_count"].sum()
         base["value_count"] = base["query_id"].map(got).fillna(0) \
+            .astype(np.int64)
+        return base
+
+    def count(self, queries: dict[str, str],
+              min_score: float = 0.0) -> pd.DataFrame:
+        """_count API [OpenSearch count public semantics]: per query,
+        the number of matching docs (score > 0; a positive ``min_score``
+        switches to the radial threshold).  One int64 partial per
+        (segment, query) — the match set itself never ships.  The query
+        grid is emitted zero-filled."""
+        df = self._agg_fanout(queries, {"kind": "count"},
+                              float(min_score), None, None)
+        base = pd.DataFrame({"query_id": sorted(queries)})
+        if df.empty:
+            base["doc_count"] = np.int64(0)
+            return base
+        got = df.groupby("query_id")["doc_count"].sum()
+        base["doc_count"] = base["query_id"].map(got).fillna(0) \
             .astype(np.int64)
         return base
 

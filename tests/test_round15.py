@@ -214,6 +214,38 @@ def test_sparse_vector_rejects_conflicts(idx):
         s.search({"q": "tool"}, k=5, score_mode="nope")
 
 
+def test_count_api_equals_match_set_size(idx):
+    s = IndexSearcher(idx)
+    q = {"q1": "tool call", "q2": "zzzznomatch"}
+    out = s.count(q).set_index("query_id")
+    radial = s.search({"q1": "tool call"}, min_score=1e-12)
+    assert out.loc["q1", "doc_count"] == len(radial)
+    assert out.loc["q2", "doc_count"] == 0
+
+
+def test_alias_lifecycle_and_filtered_search(idx):
+    from opensearch_jvector_ray.aliases import (
+        delete_alias, get_aliases, put_alias, search_alias,
+    )
+    from opensearch_jvector_ray.query_dsl import compile_filter
+    spec = {"terms": {"role": ["assistant"]}}
+    put_alias(idx, "assistants", spec)
+    assert "assistants" in get_aliases(idx)
+    a = search_alias(idx, "assistants", {"q": "tool call"}, k=8)
+    b = IndexSearcher(idx).search({"q": "tool call"}, k=8,
+                                  filter=compile_filter(spec))
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    with pytest.raises(ValueError):
+        search_alias(idx, "assistants", {"q": "x"},
+                     filter=compile_filter(spec))
+    with pytest.raises(ValueError):
+        put_alias(idx, "bad", {"nope": {}})
+    delete_alias(idx, "assistants")
+    with pytest.raises(KeyError):
+        search_alias(idx, "assistants", {"q": "x"})
+
+
 def _bpe_reference(texts, num_merges):
     """Independent per-occurrence BPE reference: merges applied to the
     FULL corpus token stream (no word-frequency dict), same pattern and
