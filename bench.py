@@ -208,6 +208,20 @@ def run_bench() -> dict:
 
     timed("query_spans_sigtext_15", do_new3)
 
+    # -- phase 3a3: round-15 surface (linear-tf sparse vectors, count
+    # partials, children agg, mget/field_stats sidecar reads) -------------
+    def do_new4():
+        searcher.sparse_vector_search(
+            {f"v{i}": [("data", 3.0), ("model", 2.0), ("search", 1.0)]
+             for i in range(5)}, k=10)
+        searcher.count(agg5)
+        searcher.children_terms_agg(
+            {"c0": [f"conv-{i:07d}" for i in range(40)]}, field="tool")
+        searcher.mget([(f"conv-{i:07d}", 0) for i in range(20)])
+        searcher.field_stats(["role", "tool", "doc_len"])
+
+    timed("query_sparse_count_30", do_new4)
+
     # -- phase 3b: persistent serving (warm actors + postings cache) ------
     from opensearch_jvector_ray.serve import SearchService
     svc = SearchService(merged_dir, num_shards=min(8, NUM_CPUS))

@@ -121,11 +121,13 @@ class SegmentShardActor:
         return {t: v for t, v in out.items() if v is not None}
 
     def search(self, queries: list[dict], k: int, avgdl: float,
-               filter=None) -> pa.Table:
+               filter=None, linear_tf: bool = False) -> pa.Table:
         """queries: [{query_id, terms: [(term, weight, idf)]}];
         ``filter`` is an optional pyarrow dataset Expression evaluated as a
         pre-filter mask over each segment's docs table (J2 semantics:
-        candidates restricted, global stats untouched)."""
+        candidates restricted, global stats untouched).  ``linear_tf``
+        switches to the sparse_vector kernel (weight * tf, no idf / no
+        length norm — query.py's score_mode='linear_tf')."""
         cfg = self.cfg
         union = sorted({t for q in queries for (t, _, _) in q["terms"]})
         parts: list[pa.Table] = []
@@ -149,8 +151,11 @@ class SegmentShardActor:
                         continue
                     any_term = True
                     ords, tfs = plists[t]
-                    scores[ords] += w * idf * bm25_tf_part(
-                        tfs, dl[ords], avgdl, cfg.k1, cfg.b)
+                    if linear_tf:
+                        scores[ords] += w * tfs
+                    else:
+                        scores[ords] += w * idf * bm25_tf_part(
+                            tfs, dl[ords], avgdl, cfg.k1, cfg.b)
                 if not any_term:
                     continue
                 if mask is not None:
@@ -321,6 +326,7 @@ class SearchService:
     def search(self, queries: dict[str, str], k: int = 10,
                filter=None,
                term_weights: dict[str, list[tuple[str, float]]] | None = None,
+               linear_tf: bool = False,
                ) -> pd.DataFrame:
         """``term_weights`` (qid -> [(term, weight)]) bypasses analysis,
         so the warm actors serve the whole multi-term expansion family
@@ -329,7 +335,8 @@ class SearchService:
         weighted list across many warm queries."""
         prepared = self._prepare(queries, k, term_weights)
         avgdl = float(self.stats["avgdl"] or 1.0)
-        futures = [a.search.remote(prepared, k, avgdl, filter)
+        futures = [a.search.remote(prepared, k, avgdl, filter,
+                                   linear_tf)
                    for a in self.actors]
         tables = [t for t in ray.get(futures) if t.num_rows]
         if not tables:
@@ -342,6 +349,19 @@ class SearchService:
             kind="mergesort").groupby("query_id", sort=False).head(k)
         df["rank"] = df.groupby("query_id", sort=False).cumcount() + 1
         return df[["query_id", "rank", *self.key_cols, "score"]].reset_index(drop=True)
+
+    def sparse_vector_search(self,
+                             queries: "dict[str, list[tuple[str, float]]]",
+                             k: int = 10, filter=None) -> pd.DataFrame:
+        """Warm sparse_vector (neural_sparse) serving: the (token,
+        weight) lists ride the term_weights path against the cached
+        postings with the linear-tf kernel — frame-identical to
+        IndexSearcher.sparse_vector_search (pytest-pinned)."""
+        texts = {qid: "" for qid in queries}
+        return self.search(texts, k=k, filter=filter,
+                           term_weights={qid: list(tw)
+                                         for qid, tw in queries.items()},
+                           linear_tf=True)
 
     @property
     def agg(self) -> "_ServedAggSearcher":
@@ -414,6 +434,11 @@ class _ServedAggSearcher:
     # global_stats_agg reads docs sidecars directly (no postings), so
     # the borrowed method works unchanged off seg_dirs (cold read)
     global_stats_agg = _IS.global_stats_agg
+    count = _IS.count                 # warm: rides _agg_fanout below
+    # sidecar-only reads (no postings): borrowed unchanged, cold read
+    children_terms_agg = _IS.children_terms_agg
+    field_stats = _IS.field_stats
+    mget = _IS.mget
     _field_value_counts = _IS._field_value_counts
     lookup_df = _IS.lookup_df
     _read_dictionary = _IS._read_dictionary

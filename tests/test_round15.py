@@ -246,6 +246,31 @@ def test_alias_lifecycle_and_filtered_search(idx):
         search_alias(idx, "assistants", {"q": "x"})
 
 
+def test_warm_facade_round15_frame_identity(idx):
+    """Warm serving of the round-15 surface == the cold batch path."""
+    from opensearch_jvector_ray.serve import SearchService
+    svc = SearchService(idx, num_shards=2)
+    try:
+        s = IndexSearcher(idx)
+        sq = {"q": [("tool", 2.0), ("call", 1.0)]}
+        pd.testing.assert_frame_equal(
+            svc.sparse_vector_search(sq, k=8).reset_index(drop=True),
+            s.sparse_vector_search(sq, k=8).reset_index(drop=True))
+        cq = {"q1": "tool call", "q2": "user asks"}
+        pd.testing.assert_frame_equal(svc.agg.count(cq), s.count(cq))
+        psets = {"qa": [f"conv-{i:07d}" for i in range(10)]}
+        pd.testing.assert_frame_equal(
+            svc.agg.children_terms_agg(psets, field="tool"),
+            s.children_terms_agg(psets, field="tool"))
+        pd.testing.assert_frame_equal(
+            svc.agg.field_stats(["role", "doc_len"]),
+            s.field_stats(["role", "doc_len"]))
+        keys = [("conv-0000001", 0), ("conv-0000002", 1)]
+        pd.testing.assert_frame_equal(svc.agg.mget(keys), s.mget(keys))
+    finally:
+        svc.shutdown()
+
+
 def _bpe_reference(texts, num_merges):
     """Independent per-occurrence BPE reference: merges applied to the
     FULL corpus token stream (no word-frequency dict), same pattern and
