@@ -1363,6 +1363,17 @@ SPARSE_QUERIES = {
 }
 
 
+def _q_tdigest_percentiles(sf_dir: str) -> pd.DataFrame:
+    # approximate percentiles (t-digest, the high-cardinality scale
+    # path): rows-only — the sketch depends on partitioning; accuracy
+    # vs the exact quantiles is pytest-gated (test_round15), the exact
+    # percentiles_agg carries the hard SQL gate
+    s = IndexSearcher(documents_index(sf_dir))
+    return s.tdigest_percentiles_agg(BM25_QUERIES, "n_chars",
+                                     [0.25, 0.5, 0.9, 0.99],
+                                     min_score=0.0)
+
+
 ALIAS_FILTER_SPEC = {"bool": {"must": [
     {"terms": {"source": ["src3", "src7", "src11", "src15"]}},
     {"range": {"n_chars": {"gte": 300}}},
@@ -3033,6 +3044,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_train": _q_bpe_train,
         "count_api": _q_count_api,
         "alias_search": _q_alias_search,
+        "tdigest_percentiles": _q_tdigest_percentiles,
         "bm25_vw_histogram": _q_bm25_vw_histogram,
         "bm25_global_stats": _q_bm25_global_stats,
         "bm25_sampler": _q_bm25_sampler,

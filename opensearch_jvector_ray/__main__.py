@@ -192,7 +192,7 @@ def main(argv: list[str] | None = None) -> int:
                     choices=["clean", "sample", "split", "mix", "pack",
                              "lm-score", "turn-dedup", "assemble",
                              "chunk", "keywords", "pairs", "validate",
-                             "novelty"])
+                             "novelty", "bpe-train"])
     cp.add_argument("--rate", type=float, default=0.1)
     cp.add_argument("--salt", default="")
     cp.add_argument("--splits", default="train=0.8,val=0.1,test=0.1")
@@ -208,6 +208,8 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--context-turns", type=int, default=4,
                     help="preceding-turn window for --op pairs")
     cp.add_argument("--overlap", type=int, default=64)
+    cp.add_argument("--num-merges", type=int, default=50,
+                    help="BPE merge count for --op bpe-train")
     cp.add_argument("--keywords-k", type=int, default=3)
     cp.add_argument("--kw-index", default=None,
                     help="index dir providing the idf dictionary for "
@@ -484,6 +486,13 @@ def main(argv: list[str] | None = None) -> int:
             elif args.op == "lm-score":
                 from opensearch_jvector_ray.pipelines.lm import lm_xent
                 out = lm_xent(ds, cfg, idc, txc)
+            elif args.op == "bpe-train":
+                import ray.data as _rd
+
+                from opensearch_jvector_ray.pipelines.corpus import bpe_train
+                out = _rd.from_pandas(
+                    bpe_train(ds, num_merges=args.num_merges,
+                              text_col=txc))
             elif args.op == "turn-dedup":
                 from opensearch_jvector_ray.pipelines.transcripts import turn_dedup
                 out = turn_dedup(ds, cfg)

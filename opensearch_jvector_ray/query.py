@@ -591,6 +591,21 @@ def _agg_partial(agg: dict, docs: pa.Table, ords: np.ndarray,
             "doc_count": pa.array([len(ords)], type=pa.int64()),
         })
     vals = docs[agg["col"]].take(pa.array(ords))
+    if agg["kind"] == "tdigest":
+        # approximate-percentiles partial [Dunning t-digest, k1 scale]:
+        # O(compression) centroids per segment regardless of value
+        # cardinality — the scale path next to the exact (value, count)
+        # percentile partials (functions/tdigest.py module docstring)
+        import pickle
+
+        from opensearch_jvector_ray.functions import tdigest as td
+        v = vals.to_numpy(zero_copy_only=False).astype(np.float64)
+        m, w = td.from_values(v, agg["compression"])
+        return pa.table({
+            "query_id": pa.array([qid], type=pa.string()),
+            "partial": pa.array([pickle.dumps((m, w))],
+                                type=pa.binary()),
+        })
     if agg["kind"] == "missing":
         # missing aggregation partial [OpenSearch missing-agg public
         # semantics]: count of qualifying docs whose field is absent.
@@ -4105,6 +4120,46 @@ class IndexSearcher:
         base["value_count"] = base["query_id"].map(got).fillna(0) \
             .astype(np.int64)
         return base
+
+    def tdigest_percentiles_agg(self, queries: dict[str, str],
+                                value_col: str,
+                                percents: Sequence[float],
+                                min_score: float,
+                                compression: float = 200.0,
+                                ) -> pd.DataFrame:
+        """Approximate percentiles via merging t-digest [OpenSearch
+        percentiles-agg default implementation at scale; Dunning k1
+        variant — see functions/tdigest.py].  Each segment ships an
+        O(compression) centroid partial over its match-set values; the
+        driver concatenates and re-compresses once, then interpolates.
+        Deterministic for a fixed segmentation (sorted greedy merge, no
+        randomness; centroid sort is a total order so partial arrival
+        order is irrelevant).  Accuracy is pytest-gated — the sketch
+        depends on partitioning, so this is a rows-only driver entry
+        (the exact percentiles_agg carries the hard SQL gate)."""
+        import pickle
+
+        from opensearch_jvector_ray.functions import tdigest as td
+        df = self._agg_fanout(queries,
+                              {"kind": "tdigest", "col": value_col,
+                               "compression": float(compression)},
+                              min_score, None, None)
+        ps = [float(p) for p in percents]
+        if not ps or any(not (0.0 < p <= 1.0) for p in ps):
+            raise ValueError("percents must be fractions in (0, 1] — "
+                             "the exact percentiles_agg convention")
+        rows = []
+        for qid in sorted(queries):
+            if df.empty:
+                parts = []
+            else:
+                parts = [pickle.loads(b) for b in
+                         df[df["query_id"] == qid]["partial"]]
+            m, w = td.merge(parts, float(compression))
+            for p in ps:
+                rows.append((qid, p, td.quantile(m, w, p)))
+        return pd.DataFrame(rows, columns=["query_id", "percent",
+                                           "value"])
 
     def count(self, queries: dict[str, str],
               min_score: float = 0.0) -> pd.DataFrame:

@@ -246,6 +246,39 @@ def test_alias_lifecycle_and_filtered_search(idx):
         search_alias(idx, "assistants", {"q": "x"})
 
 
+def test_tdigest_accuracy_and_merge_invariance():
+    from opensearch_jvector_ray.functions import tdigest as td
+    rng = np.random.default_rng(5)
+    vals = rng.lognormal(3.0, 1.2, 60_000)
+    comp = 200.0
+    whole = td.from_values(vals, comp)
+    # centroids bounded by O(compression)
+    assert len(whole[0]) <= 2 * comp
+    # merged-from-8-parts sketch stays within the k1 rank-error bound
+    parts = [td.from_values(c, comp) for c in np.array_split(vals, 8)]
+    m, w = td.merge(parts, comp)
+    sv = np.sort(vals)
+    for p in (0.01, 0.25, 0.5, 0.9, 0.99):
+        est = td.quantile(m, w, p)
+        # rank error: where the estimate falls in the true CDF
+        rank = np.searchsorted(sv, est) / len(sv)
+        assert abs(rank - p) < 0.01, (p, est, rank)
+    # partial arrival order is irrelevant (total-order centroid sort)
+    m2, w2 = td.merge(list(reversed(parts)), comp)
+    assert np.array_equal(m, m2) and np.array_equal(w, w2)
+
+
+def test_tdigest_agg_tracks_exact_percentiles(idx):
+    s = IndexSearcher(idx)
+    q = {"q": "tool call"}
+    approx = s.tdigest_percentiles_agg(q, "doc_len", [0.5],
+                                       min_score=0.0)
+    exact = s.percentiles_agg(q, "doc_len", [0.5], min_score=0.0)
+    a = float(approx["value"][0])
+    e = float(exact["value"][0])
+    assert abs(a - e) <= max(1.0, 0.1 * e)
+
+
 def test_warm_facade_round15_frame_identity(idx):
     """Warm serving of the round-15 surface == the cold batch path."""
     from opensearch_jvector_ray.serve import SearchService
