@@ -1363,6 +1363,63 @@ SPARSE_QUERIES = {
 }
 
 
+TL_DOC_ID = 7            # terms-lookup source document
+
+
+def _q_terms_lookup(sf_dir: str) -> pd.DataFrame:
+    # terms-lookup query: the filter terms come from ANOTHER document's
+    # field (one pushed-down read), then ride the ordinary pre-filter
+    from opensearch_jvector_ray.query_dsl import compile_filter
+    s = IndexSearcher(documents_index(sf_dir))
+    langs = IndexSearcher.terms_lookup(
+        os.path.join(sf_dir, "documents.parquet"),
+        "doc_id", TL_DOC_ID, "lang")
+    flt = compile_filter({"terms": {"lang": langs}})
+    return _round_hits(s.search(BM25_QUERIES, k=BM25_K, filter=flt))
+
+
+def _terms_lookup_oracle() -> str:
+    flt = (f"__f.lang IN (SELECT lang FROM documents "
+           f"WHERE doc_id = {TL_DOC_ID} AND lang IS NOT NULL)")
+    return bm25_sql(BM25_QUERIES, BM25_K, CFG, filter_sql=flt)
+
+
+SCRIPT_FIELDS = {
+    "chars_per_token": {"op": "div", "left": "n_chars",
+                        "right": "doc_len"},
+    "n_chars_x2": {"op": "mul", "left": "n_chars", "right": 2},
+}
+
+
+def _q_script_fields(sf_dir: str) -> pd.DataFrame:
+    # script_fields: arithmetic over stored doc values computed AFTER
+    # the pushed-down hit fetch (matched docs have doc_len >= 1, so the
+    # division is total); int mul stays exact int64
+    s = IndexSearcher(documents_index(sf_dir))
+    hits = s.search(BM25_QUERIES, k=BM25_K)
+    out = s.script_fields(hits, SCRIPT_FIELDS)
+    out["score"] = np.round(out["score"].astype(np.float64), 6)
+    out["n_chars_x2"] = out["n_chars_x2"].astype(np.int64)
+    return out
+
+
+def _script_fields_oracle() -> str:
+    from opensearch_jvector_ray.oracles import toks_cte
+    inner = bm25_sql(BM25_QUERIES, BM25_K, CFG)
+    return f"""
+WITH {toks_cte(CFG)},
+dl AS (SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY doc_id),
+hits AS ({inner})
+SELECT h.query_id, h.rank, h.doc_id, h.score,
+       CAST(d.n_chars AS DOUBLE) / dl.doc_len AS chars_per_token,
+       d.n_chars * 2 AS n_chars_x2
+FROM hits h
+JOIN documents d ON d.doc_id = h.doc_id
+JOIN dl ON dl.doc_id = h.doc_id
+ORDER BY h.query_id, h.rank
+"""
+
+
 def _q_tdigest_percentiles(sf_dir: str) -> pd.DataFrame:
     # approximate percentiles (t-digest, the high-cardinality scale
     # path): rows-only — the sketch depends on partitioning; accuracy
@@ -3045,6 +3102,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "count_api": _q_count_api,
         "alias_search": _q_alias_search,
         "tdigest_percentiles": _q_tdigest_percentiles,
+        "script_fields": _q_script_fields,
+        "terms_lookup": _q_terms_lookup,
         "bm25_vw_histogram": _q_bm25_vw_histogram,
         "bm25_global_stats": _q_bm25_global_stats,
         "bm25_sampler": _q_bm25_sampler,
@@ -3574,6 +3633,8 @@ def oracle_sql() -> dict[str, str]:
         "has_parent_expand": _has_parent_oracle(),
         "children_agg": _children_agg_oracle(),
         "count_api": _count_api_oracle(),
+        "script_fields": _script_fields_oracle(),
+        "terms_lookup": _terms_lookup_oracle(),
         "alias_search": bm25_sql(BM25_QUERIES, BM25_K, CFG,
                                  filter_sql=filter_spec_sql(
                                      ALIAS_FILTER_SPEC)),

@@ -5358,6 +5358,69 @@ class IndexSearcher:
             frames.append(tbl.merge(keyset, on=self.key_cols))
         return pd.concat(frames, ignore_index=True)
 
+    @staticmethod
+    def terms_lookup(table_path: str, key_col: str, key_value,
+                     value_col: str) -> list:
+        """terms lookup [OpenSearch terms-query lookup public
+        semantics]: fetch the DISTINCT values of ``value_col`` from the
+        lookup document(s) with ``key_col == key_value`` via ONE
+        pushed-down parquet read (row-group pruning on the key), for
+        use as a filter-context terms list:
+        ``compile_filter({"terms": {field: values}})``.  NULLs are
+        dropped (a NULL lookup value matches nothing)."""
+        tbl = pq.read_table(table_path, columns=[value_col],
+                            filters=[(key_col, "==", key_value)])
+        return sorted({v for v in tbl[value_col].to_pylist()
+                       if v is not None})
+
+    def script_fields(self, hits: pd.DataFrame,
+                      specs: "dict[str, dict]") -> pd.DataFrame:
+        """script_fields [OpenSearch search script_fields public
+        semantics, the arithmetic-over-doc-values subset]: per-hit
+        computed columns from STORED fields (doc_len included),
+        evaluated vectorized AFTER the J4 pushed-down fetch — fetch
+        cost is hit-set-sized and the ranking path is untouched.
+
+        Each spec is ``{"op": add|sub|mul|div, "left": x, "right": y}``
+        where an operand is a stored column name (str) or a numeric
+        constant.  ``div`` emits float64 via ONE division (the repo fp
+        rule); the other ops stay exact int64 when both operands are
+        integral.  Returns ``hits`` with the computed columns appended
+        in spec order."""
+        ops = {"add": np.add, "sub": np.subtract,
+               "mul": np.multiply, "div": np.divide}
+        for name, spec in specs.items():
+            if spec.get("op") not in ops:
+                raise ValueError(f"[{name}] op must be one of "
+                                 f"{sorted(ops)}")
+        if hits.empty:
+            out = hits.copy()
+            for name in specs:
+                out[name] = pd.Series(dtype=np.float64)
+            return out
+        fields = self._fetch_doc_fields(hits)
+        m = hits.merge(fields, on=list(self.key_cols), how="left",
+                       suffixes=("", "__src"))
+
+        def operand(x):
+            if isinstance(x, str):
+                if x not in m.columns:
+                    raise ValueError(f"script field operand {x!r} is "
+                                     f"not a stored column")
+                return m[x].to_numpy()
+            return x
+
+        out = hits.copy()
+        for name, spec in specs.items():
+            l, r = operand(spec["left"]), operand(spec["right"])
+            v = ops[spec["op"]](l, r)
+            if spec["op"] == "div":
+                v = np.asarray(v, dtype=np.float64)
+            elif np.issubdtype(np.asarray(v).dtype, np.integer):
+                v = np.asarray(v, dtype=np.int64)   # width-stable
+            out[name] = v
+        return out
+
     def search(self, queries: dict[str, str], k: int | None = None,
                mode: str = "taat", filter: Any = None,
                rescore_oversample: float | None = None,

@@ -279,6 +279,38 @@ def test_tdigest_agg_tracks_exact_percentiles(idx):
     assert abs(a - e) <= max(1.0, 0.1 * e)
 
 
+def test_script_fields_arithmetic_and_validation(idx):
+    s = IndexSearcher(idx)
+    hits = s.search({"q": "tool call"}, k=8)
+    out = s.script_fields(hits, {
+        "ratio": {"op": "div", "left": "doc_len", "right": "turn_idx"},
+        "twice": {"op": "mul", "left": "doc_len", "right": 2},
+        "shift": {"op": "add", "left": "turn_idx", "right": 1},
+    })
+    fields = s._fetch_doc_fields(hits).set_index(
+        ["conv_id", "turn_idx"])
+    for r in out.itertuples():
+        dl = fields.loc[(r.conv_id, r.turn_idx), "doc_len"]
+        assert r.twice == 2 * dl
+        assert r.shift == r.turn_idx + 1
+    assert out["twice"].dtype == np.int64
+    assert out["ratio"].dtype == np.float64
+    with pytest.raises(ValueError, match="op must be"):
+        s.script_fields(hits, {"x": {"op": "pow", "left": 1,
+                                     "right": 2}})
+    with pytest.raises(ValueError, match="stored column"):
+        s.script_fields(hits, {"x": {"op": "add", "left": "nope",
+                                     "right": 1}})
+
+
+def test_terms_lookup_distinct_sorted(tmp_path):
+    p = str(tmp_path / "lk.parquet")
+    ppq.write_table(pa.table({"k": [1, 1, 1, 2],
+                              "v": ["b", "a", "b", "z"]}), p)
+    assert IndexSearcher.terms_lookup(p, "k", 1, "v") == ["a", "b"]
+    assert IndexSearcher.terms_lookup(p, "k", 9, "v") == []
+
+
 def test_warm_facade_round15_frame_identity(idx):
     """Warm serving of the round-15 surface == the cold batch path."""
     from opensearch_jvector_ray.serve import SearchService
