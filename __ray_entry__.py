@@ -1363,6 +1363,61 @@ SPARSE_QUERIES = {
 }
 
 
+INC_DEDUP_SPLIT = 250    # prior snapshot = doc_id < split
+INC_DEDUP_PLANT = 100    # planted re-crawls: docs < this, id + 1000
+
+
+def _q_incremental_dedup(sf_dir: str) -> pd.DataFrame:
+    # cross-snapshot incremental dedup: the new snapshot carries 100
+    # PLANTED re-crawls of prior docs (same text, new ids) — survivors
+    # are exactly the genuinely-new rows (no natural cross-split dups
+    # in the fixture, verified; the planted copies make the gate bite)
+    import pyarrow as pa
+
+    from opensearch_jvector_ray.pipelines.dedup import dedup_against
+    from opensearch_jvector_ray.pipelines.textstats import (
+        fingerprint_stage,
+    )
+    full = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text", "lang"])
+    prior = full.filter(pc.less(full["doc_id"], INC_DEDUP_SPLIT))
+    prior_fps = fingerprint_stage(CFG, "doc_id", "text")(prior)[
+        "fingerprint"].to_pylist()
+    new_part = full.filter(
+        pc.greater_equal(full["doc_id"], INC_DEDUP_SPLIT))
+    plant = full.filter(pc.less(full["doc_id"], INC_DEDUP_PLANT))
+    plant = plant.set_column(plant.column_names.index("doc_id"),
+                             "doc_id", pc.add(plant["doc_id"], 1000))
+    snapshot = pa.concat_tables([new_part, plant])
+    out = dedup_against(rd.from_arrow(snapshot), prior_fps, CFG,
+                        "doc_id", "text").to_pandas()
+    out = out[["doc_id", "lang"]].sort_values("doc_id") \
+        .reset_index(drop=True)
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out
+
+
+def _incremental_dedup_oracle() -> str:
+    from opensearch_jvector_ray.oracles import norm_text_expr
+    fp = f"md5({norm_text_expr(CFG)})"
+    return f"""
+WITH snap AS (
+  SELECT doc_id, text, lang FROM documents
+  WHERE doc_id >= {INC_DEDUP_SPLIT}
+  UNION ALL
+  SELECT doc_id + 1000, text, lang FROM documents
+  WHERE doc_id < {INC_DEDUP_PLANT}
+),
+prior AS (
+  SELECT DISTINCT {fp} AS f FROM documents
+  WHERE doc_id < {INC_DEDUP_SPLIT}
+)
+SELECT doc_id, lang FROM snap
+WHERE {fp} NOT IN (SELECT f FROM prior)
+ORDER BY doc_id
+"""
+
+
 TL_DOC_ID = 7            # terms-lookup source document
 
 
@@ -3104,6 +3159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tdigest_percentiles": _q_tdigest_percentiles,
         "script_fields": _q_script_fields,
         "terms_lookup": _q_terms_lookup,
+        "incremental_dedup": _q_incremental_dedup,
         "bm25_vw_histogram": _q_bm25_vw_histogram,
         "bm25_global_stats": _q_bm25_global_stats,
         "bm25_sampler": _q_bm25_sampler,
@@ -3635,6 +3691,7 @@ def oracle_sql() -> dict[str, str]:
         "count_api": _count_api_oracle(),
         "script_fields": _script_fields_oracle(),
         "terms_lookup": _terms_lookup_oracle(),
+        "incremental_dedup": _incremental_dedup_oracle(),
         "alias_search": bm25_sql(BM25_QUERIES, BM25_K, CFG,
                                  filter_sql=filter_spec_sql(
                                      ALIAS_FILTER_SPEC)),

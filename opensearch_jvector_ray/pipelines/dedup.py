@@ -1316,3 +1316,37 @@ def self_overlap(ds: "rd.Dataset", cfg: EngineConfig, id_col: str,
         })
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def dedup_against(ds: "rd.Dataset", prior_fps, cfg: EngineConfig,
+                  id_col: str, text_col: str) -> "rd.Dataset":
+    """Cross-snapshot incremental exact dedup: keep only rows whose
+    canonical fingerprint (md5 of the space-joined normalized token
+    stream — `textstats.fingerprint_stage`'s rule) was NOT seen in a
+    prior snapshot — the crawl-refresh shape (drop pages already
+    ingested last run).
+
+    ``prior_fps`` is the prior snapshot's fingerprint set, ray.put ONCE
+    as a frozenset and probed vectorized per batch (pc.is_in) — a
+    prior-snapshot-sized broadcast, right while the prior fingerprint
+    table fits a worker heap (hex md5 = 32 B/doc -> ~3 GB per 100M
+    docs).  Beyond that, run `exact_dedup` over (prior fps UNION new)
+    instead — the hash-partitioned anti-join form; same rule, one
+    narrow shuffle.  Returns the surviving rows of ``ds`` unchanged
+    (streaming — no driver materialization)."""
+    import hashlib
+
+    import ray as _ray
+
+    ref = _ray.put(pa.array(sorted(set(prior_fps)), type=pa.string()))
+
+    def keep_unseen(batch: pa.Table) -> pa.Table:
+        prior = _ray.get(ref)
+        norm = normalized_text(batch[text_col].combine_chunks()
+                               if isinstance(batch[text_col], pa.ChunkedArray)
+                               else batch[text_col], cfg)
+        hs = pa.array([hashlib.md5(s.encode()).hexdigest()
+                       for s in norm.to_pylist()], type=pa.string())
+        return batch.filter(pc.invert(pc.is_in(hs, value_set=prior)))
+
+    return ds.map_batches(keep_unseen, batch_format="pyarrow")

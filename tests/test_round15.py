@@ -311,6 +311,26 @@ def test_terms_lookup_distinct_sorted(tmp_path):
     assert IndexSearcher.terms_lookup(p, "k", 9, "v") == []
 
 
+def test_dedup_against_drops_only_seen_fingerprints():
+    from opensearch_jvector_ray.pipelines.dedup import dedup_against
+    from opensearch_jvector_ray.pipelines.textstats import (
+        fingerprint_stage,
+    )
+    cfg = EngineConfig()
+    prior = pa.table({"doc_id": [1, 2],
+                      "text": ["Hello, World!", "other doc here"]})
+    fps = fingerprint_stage(cfg, "doc_id", "text")(prior)[
+        "fingerprint"].to_pylist()
+    # 'hello  world' normalizes identically to 'Hello, World!' —
+    # punctuation/whitespace-insensitive fingerprint rule
+    new = pa.table({"doc_id": [10, 11, 12],
+                    "text": ["hello  world", "brand new text",
+                             "other doc here"]})
+    out = dedup_against(rd.from_arrow(new), fps, cfg,
+                        "doc_id", "text").to_pandas()
+    assert sorted(out["doc_id"]) == [11]
+
+
 def test_warm_facade_round15_frame_identity(idx):
     """Warm serving of the round-15 surface == the cold batch path."""
     from opensearch_jvector_ray.serve import SearchService
