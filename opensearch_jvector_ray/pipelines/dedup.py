@@ -1350,3 +1350,90 @@ def dedup_against(ds: "rd.Dataset", prior_fps, cfg: EngineConfig,
         return batch.filter(pc.invert(pc.is_in(hs, value_set=prior)))
 
     return ds.map_batches(keep_unseen, batch_format="pyarrow")
+
+
+class BloomFilter:
+    """Vectorized double-hashing Bloom filter over md5-hex fingerprints
+    [Bloom 1970; Kirsch & Mitzenmacher 2006: g_i = h1 + i*h2 mod m
+    preserves the fp-rate of k independent hashes].  h1/h2 are the two
+    64-bit halves of the md5 the dedup path already computes — no extra
+    hashing; all set/probe ops are numpy over the whole batch.
+
+    The cross-snapshot scale path: an exact prior-fingerprint broadcast
+    is 32 B/doc (~3 GB at 100M docs), the 1% Bloom is ~1.2 B/doc
+    (~120 MB) — at the price of dropping ~fp_rate of genuinely-new docs
+    (false positives are DROPS here, never false keeps; acceptable for
+    crawl-refresh dedup, unacceptable where recall of new docs must be
+    exact — then use the exact set or the anti-join)."""
+
+    def __init__(self, n_items: int, fp_rate: float = 0.01):
+        if n_items < 1 or not (0.0 < fp_rate < 1.0):
+            raise ValueError("need n_items >= 1 and 0 < fp_rate < 1")
+        m = int(np.ceil(-n_items * np.log(fp_rate) / (np.log(2) ** 2)))
+        self.m = max(64, m)
+        self.k = max(1, int(round(self.m / n_items * np.log(2))))
+        self.bits = np.zeros((self.m + 7) // 8, dtype=np.uint8)
+
+    @staticmethod
+    def _halves(hexes) -> tuple[np.ndarray, np.ndarray]:
+        raw = bytes.fromhex("".join(hexes))
+        u = np.frombuffer(raw, dtype=">u8").reshape(-1, 2)
+        return u[:, 0].astype(np.uint64), u[:, 1].astype(np.uint64)
+
+    def _indices(self, h1: np.ndarray, h2: np.ndarray,
+                 i: int) -> np.ndarray:
+        return (h1 + np.uint64(i) * h2) % np.uint64(self.m)
+
+    def add_hexes(self, hexes) -> None:
+        if not len(hexes):
+            return
+        h1, h2 = self._halves(hexes)
+        for i in range(self.k):
+            idx = self._indices(h1, h2, i)
+            np.bitwise_or.at(self.bits, (idx // 8).astype(np.int64),
+                             (1 << (idx % 8)).astype(np.uint8))
+
+    def contains_hexes(self, hexes) -> np.ndarray:
+        if not len(hexes):
+            return np.zeros(0, dtype=bool)
+        h1, h2 = self._halves(hexes)
+        out = np.ones(len(h1), dtype=bool)
+        for i in range(self.k):
+            idx = self._indices(h1, h2, i)
+            out &= (self.bits[(idx // 8).astype(np.int64)]
+                    >> (idx % 8).astype(np.uint8)) & 1 > 0
+        return out
+
+    @classmethod
+    def from_hexes(cls, hexes, fp_rate: float = 0.01) -> "BloomFilter":
+        hexes = list(hexes)
+        bf = cls(max(1, len(hexes)), fp_rate)
+        bf.add_hexes(hexes)
+        return bf
+
+
+def dedup_against_bloom(ds: "rd.Dataset", bloom: BloomFilter,
+                        cfg: EngineConfig, id_col: str,
+                        text_col: str) -> "rd.Dataset":
+    """`dedup_against`'s Bloom-filter scale path: same fingerprint rule,
+    the prior set replaced by a ~1.2 B/doc sketch broadcast once.
+    Drops every previously-seen doc (no false keeps) plus ~fp_rate of
+    genuinely-new ones (documented trade; see BloomFilter)."""
+    import hashlib
+
+    import ray as _ray
+
+    ref = _ray.put((bloom.bits, bloom.m, bloom.k))
+
+    def keep_unseen(batch: pa.Table) -> pa.Table:
+        bits, m, k = _ray.get(ref)
+        bf = BloomFilter.__new__(BloomFilter)
+        bf.bits, bf.m, bf.k = bits, m, k
+        norm = normalized_text(batch[text_col].combine_chunks()
+                               if isinstance(batch[text_col], pa.ChunkedArray)
+                               else batch[text_col], cfg)
+        hexes = [hashlib.md5(s.encode()).hexdigest()
+                 for s in norm.to_pylist()]
+        return batch.filter(pa.array(~bf.contains_hexes(hexes)))
+
+    return ds.map_batches(keep_unseen, batch_format="pyarrow")

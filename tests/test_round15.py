@@ -331,6 +331,49 @@ def test_dedup_against_drops_only_seen_fingerprints():
     assert sorted(out["doc_id"]) == [11]
 
 
+def test_bloom_filter_no_false_negatives_and_fp_bound():
+    import hashlib
+
+    from opensearch_jvector_ray.pipelines.dedup import BloomFilter
+    seen = [hashlib.md5(f"seen-{i}".encode()).hexdigest()
+            for i in range(5000)]
+    unseen = [hashlib.md5(f"unseen-{i}".encode()).hexdigest()
+              for i in range(20000)]
+    bf = BloomFilter.from_hexes(seen, fp_rate=0.01)
+    assert bf.contains_hexes(seen).all()          # never a false keep
+    fp = bf.contains_hexes(unseen).mean()
+    assert fp < 0.03, fp                          # ~1% target, slack 3x
+
+
+def test_dedup_against_bloom_matches_exact_on_seen():
+    from opensearch_jvector_ray.pipelines.dedup import (
+        BloomFilter, dedup_against, dedup_against_bloom,
+    )
+    from opensearch_jvector_ray.pipelines.textstats import (
+        fingerprint_stage,
+    )
+    cfg = EngineConfig()
+    prior = pa.table({"doc_id": list(range(50)),
+                      "text": [f"prior document number {i}"
+                               for i in range(50)]})
+    fps = fingerprint_stage(cfg, "doc_id", "text")(prior)[
+        "fingerprint"].to_pylist()
+    new = pa.table({"doc_id": list(range(100, 160)),
+                    "text": [f"prior document number {i}"
+                             for i in range(30)]
+                    + [f"genuinely new text {i}" for i in range(30)]})
+    exact = dedup_against(rd.from_arrow(new), fps, cfg,
+                          "doc_id", "text").to_pandas()
+    bloom = dedup_against_bloom(
+        rd.from_arrow(new), BloomFilter.from_hexes(fps, 0.01), cfg,
+        "doc_id", "text").to_pandas()
+    # every seen doc dropped by BOTH; bloom survivors are a subset of
+    # exact survivors (false positives only ever DROP extra rows)
+    assert set(bloom["doc_id"]) <= set(exact["doc_id"])
+    assert not (set(exact["doc_id"]) & set(range(100, 130))) \
+        and not (set(bloom["doc_id"]) & set(range(100, 130)))
+
+
 def test_warm_facade_round15_frame_identity(idx):
     """Warm serving of the round-15 surface == the cold batch path."""
     from opensearch_jvector_ray.serve import SearchService
