@@ -1363,6 +1363,74 @@ SPARSE_QUERIES = {
 }
 
 
+ROLL_MAX_DOCS = 250
+ROLL_CHUNK = 125
+
+
+def _q_rollover_search(sf_dir: str) -> pd.DataFrame:
+    # _rollover lifecycle: append documents in doc_id order in chunks
+    # of 125; the alias rolls at 250 docs -> two 250-doc generations.
+    # Search spans both with PER-INDEX stats (the OpenSearch per-shard
+    # scoring rule), merged on (round-6 score, index, key)
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+
+    from opensearch_jvector_ray.aliases import RolloverWriter
+    from opensearch_jvector_ray.sources.tables import (
+        DOCUMENTS_CFG, DOCUMENTS_SPEC,
+    )
+    full = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    full = full.take(pc.sort_indices(full["doc_id"]))
+    root = tempfile.mkdtemp(prefix="ojr_roll_")
+    w = RolloverWriter(root, DOCUMENTS_CFG, DOCUMENTS_SPEC,
+                       max_docs=ROLL_MAX_DOCS)
+    for lo in range(0, 500, ROLL_CHUNK):
+        w.append(rd.from_arrow(full.slice(lo, ROLL_CHUNK)),
+                 lineage={"chunk": lo})
+    out = w.search(BM25_QUERIES, k=BM25_K)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _rollover_oracle() -> str:
+    arms = []
+    for gi, (lo, hi) in enumerate([(0, ROLL_MAX_DOCS),
+                                   (ROLL_MAX_DOCS, 2 * ROLL_MAX_DOCS)],
+                                  start=1):
+        cte = (f"part{gi} AS (SELECT doc_id, text FROM documents "
+               f"WHERE doc_id >= {lo} AND doc_id < {hi})")
+        arms.append((f"idx-{gi:06d}",
+                     bm25_sql(BM25_QUERIES, BM25_K, CFG,
+                              table=f"part{gi}", prefix_cte=cte,
+                              emit_raw=True)))
+    unions = "\n  UNION ALL\n".join(
+        f"  SELECT query_id, '{name}' AS \"index\", "
+        f"CAST(doc_id AS VARCHAR) AS doc_key, "
+        f"round(score__raw, 6) AS score FROM a{i}"
+        for i, (name, _) in enumerate(arms, start=1))
+    withs = ", ".join(f"a{i} AS ({sql})"
+                      for i, (_, sql) in enumerate(arms, start=1))
+    return f"""
+WITH {withs},
+u AS (
+{unions}
+),
+r AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, "index" ASC,
+                                     doc_key ASC) AS rank,
+         "index", doc_key, score
+  FROM u
+)
+SELECT query_id, rank, "index", doc_key, score
+FROM r WHERE rank <= {BM25_K}
+ORDER BY query_id, rank
+"""
+
+
 INC_DEDUP_SPLIT = 250    # prior snapshot = doc_id < split
 INC_DEDUP_PLANT = 100    # planted re-crawls: docs < this, id + 1000
 
@@ -3160,6 +3228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "script_fields": _q_script_fields,
         "terms_lookup": _q_terms_lookup,
         "incremental_dedup": _q_incremental_dedup,
+        "rollover_search": _q_rollover_search,
         "bm25_vw_histogram": _q_bm25_vw_histogram,
         "bm25_global_stats": _q_bm25_global_stats,
         "bm25_sampler": _q_bm25_sampler,
@@ -3692,6 +3761,7 @@ def oracle_sql() -> dict[str, str]:
         "script_fields": _script_fields_oracle(),
         "terms_lookup": _terms_lookup_oracle(),
         "incremental_dedup": _incremental_dedup_oracle(),
+        "rollover_search": _rollover_oracle(),
         "alias_search": bm25_sql(BM25_QUERIES, BM25_K, CFG,
                                  filter_sql=filter_spec_sql(
                                      ALIAS_FILTER_SPEC)),

@@ -55,6 +55,86 @@ def delete_alias(index_dir: str, name: str) -> None:
     write_json_atomic(_path(index_dir), aliases)
 
 
+class RolloverWriter:
+    """_rollover API [OpenSearch rollover public semantics]: a write
+    alias points at the CURRENT generation index; after an append that
+    meets the condition (``max_docs``), the alias rolls to a fresh
+    generation — old generations become read-only members of the same
+    logical stream.  Generations live at ``root/idx-NNNNNN`` with state
+    in ``root/rollover.json`` (atomic write; resumable — re-opening a
+    writer continues from the persisted generation).
+
+    Reads span ALL generations with PER-INDEX statistics — the
+    OpenSearch per-shard scoring reality — via
+    ``query.indices_boost_search`` with unit boosts (round-6 cross-
+    index tie rule).  Appends into the current generation ride
+    ``add_segments`` (journalled, resumable); the first append of a
+    generation is a fresh ``build_index``."""
+
+    def __init__(self, root: str, cfg, spec, max_docs: int):
+        if max_docs < 1:
+            raise ValueError("max_docs must be >= 1")
+        from opensearch_jvector_ray.config import EngineConfig  # noqa
+        self.root = root
+        self.cfg = cfg
+        self.spec = spec
+        self.max_docs = int(max_docs)
+        os.makedirs(root, exist_ok=True)
+        p = self._state_path()
+        self.gen = int(read_json(p)["gen"]) if os.path.exists(p) else 1
+
+    def _state_path(self) -> str:
+        return os.path.join(self.root, "rollover.json")
+
+    def _gen_dir(self, gen: int) -> str:
+        return os.path.join(self.root, f"idx-{gen:06d}")
+
+    def indices(self) -> list[str]:
+        from opensearch_jvector_ray.state.manifest import STATS_NAME
+        out = []
+        g = 1
+        while True:
+            d = self._gen_dir(g)
+            if not os.path.exists(os.path.join(d, STATS_NAME)):
+                break
+            out.append(d)
+            g += 1
+        return out
+
+    def append(self, source, lineage: dict | None = None) -> str:
+        """Append rows to the current write index; roll the alias when
+        the post-append doc count reaches ``max_docs``.  Returns the
+        index dir the rows landed in."""
+        from opensearch_jvector_ray.stages.build import (
+            add_segments, build_index,
+        )
+        from opensearch_jvector_ray.state.manifest import STATS_NAME
+        cur = self._gen_dir(self.gen)
+        if os.path.exists(os.path.join(cur, STATS_NAME)):
+            add_segments(cur, source, lineage=lineage)
+        else:
+            build_index(source, cur, self.cfg, self.spec,
+                        lineage=lineage)
+        n = int(read_json(os.path.join(cur, STATS_NAME))["n_docs"])
+        if n >= self.max_docs:
+            self.gen += 1            # roll: next append opens a new gen
+        write_json_atomic(self._state_path(), {"gen": self.gen})
+        return cur
+
+    def search(self, queries: dict[str, str], k: int = 10):
+        """Union search over every generation (per-index df/N/avgdl,
+        the OpenSearch per-shard rule), merged on (round-6 score desc,
+        index asc, key asc).  Output (query_id, rank, index, doc_key,
+        score) — ``index`` is the generation dir basename."""
+        from opensearch_jvector_ray.query import indices_boost_search
+        searchers = {os.path.basename(d): IndexSearcher(d)
+                     for d in self.indices()}
+        if not searchers:
+            raise ValueError("rollover stream has no built generations")
+        return indices_boost_search(
+            searchers, queries, {n: 1.0 for n in searchers}, k=k)
+
+
 def search_alias(index_dir: str, name: str, queries: dict[str, str],
                  k: int | None = None, **kwargs):
     """Search through an alias: the alias's filter (when present) is

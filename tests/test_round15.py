@@ -331,6 +331,39 @@ def test_dedup_against_drops_only_seen_fingerprints():
     assert sorted(out["doc_id"]) == [11]
 
 
+def test_rollover_generations_and_resume(tmp_path):
+    from opensearch_jvector_ray.aliases import RolloverWriter
+    from opensearch_jvector_ray.stages.build import IndexSpec
+    root = str(tmp_path / "roll")
+    cfg = EngineConfig(num_segments=2)
+    tbl = generate_conversations(np.arange(120))
+    # search across generations requires a single key column
+    # (indices_boost_search's doc_key rule)
+    tbl = tbl.append_column(
+        "row_id", pa.array(np.arange(tbl.num_rows, dtype=np.int64)))
+    spec = IndexSpec(text_col="text", key_cols=("row_id",),
+                     store_cols=(), ts_col="")
+    w = RolloverWriter(root, cfg, spec, max_docs=300)
+    n_rows = tbl.num_rows
+    third = n_rows // 3
+    w.append(rd.from_arrow(tbl.slice(0, third)), lineage={"c": 0})
+    # re-opening the writer resumes the persisted generation
+    w2 = RolloverWriter(root, cfg, spec, max_docs=300)
+    assert w2.gen == w.gen
+    w2.append(rd.from_arrow(tbl.slice(third, third)), lineage={"c": 1})
+    w2.append(rd.from_arrow(tbl.slice(2 * third)), lineage={"c": 2})
+    n1 = sum(1 for d in w2.indices())
+    # every row landed exactly once across generations
+    total = 0
+    for d in w2.indices():
+        from opensearch_jvector_ray.state.manifest import read_json
+        total += int(read_json(os.path.join(d, "stats.json"))["n_docs"])
+    assert total == n_rows and n1 >= 1
+    out = w2.search({"q": "tool call"}, k=10)
+    assert len(out) > 0 and set(out.columns) == {
+        "query_id", "rank", "index", "doc_key", "score"}
+
+
 def test_bloom_filter_no_false_negatives_and_fp_bound():
     import hashlib
 
