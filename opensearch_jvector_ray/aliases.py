@@ -74,7 +74,6 @@ class RolloverWriter:
     def __init__(self, root: str, cfg, spec, max_docs: int):
         if max_docs < 1:
             raise ValueError("max_docs must be >= 1")
-        from opensearch_jvector_ray.config import EngineConfig  # noqa
         self.root = root
         self.cfg = cfg
         self.spec = spec

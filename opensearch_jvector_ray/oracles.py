@@ -5386,7 +5386,10 @@ def sparse_vector_sql(queries: "dict[str, list[tuple[str, float]]]",
     (token, weight) pairs of weight * tf(token, doc) — the engine's
     linear_tf kernel (no idf, no length norm).  Tokens are literal
     post-analysis vocabulary forms (no query analysis on either side);
-    integer weights keep both sides' sums exact."""
+    weights must be > 0, and the sum is ORDERED BY term to match the
+    engine's token-sorted summation (the pinned-summation rule —
+    integer weights are exact regardless, fractional ones need the
+    shared order)."""
     qt_rows = [f"({sql_quote(qid)}, {sql_quote(t)}, {float(w)!r})"
                for qid, tws in sorted(queries.items()) for t, w in tws]
     qt_values = ",\n       ".join(qt_rows)
@@ -5397,7 +5400,8 @@ tf AS (
   SELECT {id_col}, term, count(*) AS tf FROM toks GROUP BY {id_col}, term
 ),
 scores AS (
-  SELECT qt.query_id, tf.{id_col}, sum(qt.w * tf.tf) AS score__raw
+  SELECT qt.query_id, tf.{id_col},
+         sum(qt.w * tf.tf ORDER BY qt.term) AS score__raw
   FROM qt JOIN tf USING (term)
   GROUP BY qt.query_id, tf.{id_col}
 ),

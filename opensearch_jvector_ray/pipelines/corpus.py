@@ -355,6 +355,7 @@ def bpe_merge_candidates(ds: "rd.Dataset", text_col: str = "text", *,
         texts = batch[text_col]
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
+        texts = texts.drop_null()        # NULL text has no pre-tokens
         toks = pat.findall("\n".join(texts.to_pylist()))
         empty = pa.table({"pair_key": pa.array([], type=pa.int64()),
                           "cnt": pa.array([], type=pa.int64())})
@@ -417,6 +418,7 @@ def pretoken_counts(ds: "rd.Dataset", text_col: str = "text", *,
         texts = batch[text_col]
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
+        texts = texts.drop_null()        # NULL text has no pre-tokens
         toks = pat.findall("\n".join(texts.to_pylist()))
         if not toks:
             return pa.table({"token": pa.array([], type=pa.string()),

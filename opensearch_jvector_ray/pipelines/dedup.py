@@ -1338,7 +1338,11 @@ def dedup_against(ds: "rd.Dataset", prior_fps, cfg: EngineConfig,
 
     import ray as _ray
 
-    ref = _ray.put(pa.array(sorted(set(prior_fps)), type=pa.string()))
+    # drop None fingerprints (fingerprint_stage emits None for NULL
+    # text): a NULL prior doc never matches, a NULL new doc is kept
+    ref = _ray.put(pa.array(
+        sorted({f for f in prior_fps if f is not None}),
+        type=pa.string()))
 
     def keep_unseen(batch: pa.Table) -> pa.Table:
         prior = _ray.get(ref)
@@ -1346,8 +1350,10 @@ def dedup_against(ds: "rd.Dataset", prior_fps, cfg: EngineConfig,
                                if isinstance(batch[text_col], pa.ChunkedArray)
                                else batch[text_col], cfg)
         hs = pa.array([hashlib.md5(s.encode()).hexdigest()
+                       if s is not None else None
                        for s in norm.to_pylist()], type=pa.string())
-        return batch.filter(pc.invert(pc.is_in(hs, value_set=prior)))
+        seen = pc.fill_null(pc.is_in(hs, value_set=prior), False)
+        return batch.filter(pc.invert(seen))
 
     return ds.map_batches(keep_unseen, batch_format="pyarrow")
 
@@ -1432,8 +1438,12 @@ def dedup_against_bloom(ds: "rd.Dataset", bloom: BloomFilter,
         norm = normalized_text(batch[text_col].combine_chunks()
                                if isinstance(batch[text_col], pa.ChunkedArray)
                                else batch[text_col], cfg)
+        vals = norm.to_pylist()
+        valid = np.array([s is not None for s in vals], dtype=bool)
         hexes = [hashlib.md5(s.encode()).hexdigest()
-                 for s in norm.to_pylist()]
-        return batch.filter(pa.array(~bf.contains_hexes(hexes)))
+                 for s in vals if s is not None]
+        seen = np.zeros(len(vals), dtype=bool)
+        seen[valid] = bf.contains_hexes(hexes)   # NULL text -> kept
+        return batch.filter(pa.array(~seen))
 
     return ds.map_batches(keep_unseen, batch_format="pyarrow")

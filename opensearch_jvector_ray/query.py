@@ -2480,26 +2480,37 @@ def _field_stats_task(batch: pa.Table, fields: list[str]) -> pa.Table:
     (type name, non-null count, min/max) — numerics also ship float64
     partials so the driver combine is numeric, strings ship string
     partials.  Columnar-pruned sidecar read; no postings touched."""
-    out = {"field": [], "type": [], "doc_count": [],
+    out = {"field": [], "type": [], "doc_count": [], "is_num": [],
            "min_str": [], "max_str": [], "min_num": [], "max_num": []}
     for d in batch["seg_dir"].to_pylist():
         t = pq.read_table(os.path.join(d, DOCS_NAME), columns=fields)
         for f in fields:
             col = t[f]
             typ = str(col.type)
+            # Arrow type predicates, not name prefixes: halffloat /
+            # decimal128 are numeric too — a string-branch min/max
+            # would combine lexicographically across segments
+            is_num = (pa.types.is_integer(col.type)
+                      or pa.types.is_floating(col.type)
+                      or pa.types.is_decimal(col.type))
             n = len(col) - col.null_count
             mn_s = mx_s = None
             mn_n = mx_n = float("nan")
             if n:
-                mm = pc.min_max(col)
+                try:
+                    mm = pc.min_max(col)
+                except pa.lib.ArrowNotImplementedError:
+                    # no native kernel (e.g. halffloat): numeric cast
+                    mm = pc.min_max(pc.cast(col, pa.float64()))
                 lo, hi = mm["min"].as_py(), mm["max"].as_py()
-                if typ.startswith(("int", "uint", "float", "double")):
+                if is_num:
                     mn_n, mx_n = float(lo), float(hi)
                 else:
                     mn_s, mx_s = str(lo), str(hi)
             out["field"].append(f)
             out["type"].append(typ)
             out["doc_count"].append(n)
+            out["is_num"].append(bool(is_num))
             out["min_str"].append(mn_s)
             out["max_str"].append(mx_s)
             out["min_num"].append(mn_n)
@@ -2508,6 +2519,7 @@ def _field_stats_task(batch: pa.Table, fields: list[str]) -> pa.Table:
         "field": pa.array(out["field"], type=pa.string()),
         "type": pa.array(out["type"], type=pa.string()),
         "doc_count": pa.array(out["doc_count"], type=pa.int64()),
+        "is_num": pa.array(out["is_num"], type=pa.bool_()),
         "min_str": pa.array(out["min_str"], type=pa.string()),
         "max_str": pa.array(out["max_str"], type=pa.string()),
         "min_num": pa.array(out["min_num"], type=pa.float64()),
@@ -4140,14 +4152,16 @@ class IndexSearcher:
         import pickle
 
         from opensearch_jvector_ray.functions import tdigest as td
+        ps = [float(p) for p in percents]
+        if not ps or any(not (0.0 < p <= 1.0) for p in ps):
+            # validate BEFORE the distributed fan-out — bad input must
+            # cost nothing
+            raise ValueError("percents must be fractions in (0, 1] — "
+                             "the exact percentiles_agg convention")
         df = self._agg_fanout(queries,
                               {"kind": "tdigest", "col": value_col,
                                "compression": float(compression)},
                               min_score, None, None)
-        ps = [float(p) for p in percents]
-        if not ps or any(not (0.0 < p <= 1.0) for p in ps):
-            raise ValueError("percents must be fractions in (0, 1] — "
-                             "the exact percentiles_agg convention")
         rows = []
         for qid in sorted(queries):
             if df.empty:
@@ -4233,9 +4247,12 @@ class IndexSearcher:
         if parts:
             docs = pd.concat(parts, ignore_index=True).drop_duplicates(
                 subset=list(self.key_cols), keep="first")
-            out = req.merge(docs, on=list(self.key_cols), how="left")
-            probe = docs.columns[len(self.key_cols)]
-            found = out[probe].notna()
+            out = req.merge(docs, on=list(self.key_cols), how="left",
+                            indicator=True)
+            # found = key presence itself (the merge indicator), never
+            # null-ness of a stored column — nullable store columns
+            # would otherwise report found=False for existing docs
+            found = out.pop("_merge") == "both"
         else:
             docs_schema = pq.read_schema(
                 os.path.join(self.seg_dirs[0], DOCS_NAME)) \
@@ -4303,12 +4320,22 @@ class IndexSearcher:
         sum(weight * tf(token, doc)) over its matching tokens.  Rides
         the ordinary term-at-a-time fan-out with the linear kernel (no
         idf, no length norm); integer weights keep per-doc sums exact.
-        Tokens must be in the index's post-analysis vocabulary form."""
-        texts = {qid: "" for qid in queries}
+        Tokens must be in the index's post-analysis vocabulary form.
+
+        Weights must be > 0 (a zero weight would keep docs at score 0,
+        which the score>0 match predicate — and the oracle — drop), and
+        pairs are summed in TOKEN-SORTED order on both sides (the
+        pinned-summation rule: fractional weights make per-doc sums
+        fp-order-dependent; the oracle's sum is ordered the same way)."""
+        norm: dict[str, list[tuple[str, float]]] = {}
+        for qid, tw in queries.items():
+            pairs = sorted((str(t), float(w)) for t, w in tw)
+            if any(w <= 0 for _, w in pairs):
+                raise ValueError("sparse_vector weights must be > 0")
+            norm[qid] = pairs
+        texts = {qid: "" for qid in norm}
         return self.search(texts, k=k, filter=filter,
-                           term_weights={qid: list(tw)
-                                         for qid, tw in queries.items()},
-                           score_mode="linear_tf")
+                           term_weights=norm, score_mode="linear_tf")
 
     def field_stats(self, fields: Sequence[str]) -> pd.DataFrame:
         """_field_stats API [the pre-field_caps OpenSearch field-stats
@@ -4337,7 +4364,7 @@ class IndexSearcher:
             nn = g[g["doc_count"] > 0]
             if nn.empty:
                 mn = mx = None
-            elif typ.startswith(("int", "uint", "float", "double")):
+            elif bool(g["is_num"].iloc[0]):
                 # numeric: combine on the numeric partials (string
                 # min/max would be lexicographic — '9' > '10'), render
                 # int-typed results without a decimal point to match
@@ -5398,7 +5425,11 @@ class IndexSearcher:
             for name in specs:
                 out[name] = pd.Series(dtype=np.float64)
             return out
-        fields = self._fetch_doc_fields(hits)
+        fields = self._fetch_doc_fields(hits).drop_duplicates(
+            subset=list(self.key_cols), keep="first")
+        # dedup on key first: a re-appended doc (add-without-delete)
+        # appears in several segments; an un-deduped merge would expand
+        # the frame past len(hits) and crash the column assignment
         m = hits.merge(fields, on=list(self.key_cols), how="left",
                        suffixes=("", "__src"))
 

@@ -843,7 +843,9 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
                 not all(isinstance(t, str) and t for t in toks):
             raise ValueError("[sparse_vector] needs 'tokens': "
                              "{token: weight, ...}")
-        pairs = [(t, float(w)) for t, w in toks.items()]
+        pairs = sorted((t, float(w)) for t, w in toks.items())
+        if any(w <= 0 for _, w in pairs):
+            raise ValueError("[sparse_vector] weights must be > 0")
         return {"type": "sparse_vector", "tokens": pairs,
                 "k": int(spec.get("k", 10))}
     if clause == "terms_set":

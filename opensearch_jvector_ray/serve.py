@@ -356,12 +356,17 @@ class SearchService:
         """Warm sparse_vector (neural_sparse) serving: the (token,
         weight) lists ride the term_weights path against the cached
         postings with the linear-tf kernel — frame-identical to
-        IndexSearcher.sparse_vector_search (pytest-pinned)."""
-        texts = {qid: "" for qid in queries}
+        IndexSearcher.sparse_vector_search (pytest-pinned; same
+        weight>0 validation and token-sorted summation order)."""
+        norm = {}
+        for qid, tw in queries.items():
+            pairs = sorted((str(t), float(w)) for t, w in tw)
+            if any(w <= 0 for _, w in pairs):
+                raise ValueError("sparse_vector weights must be > 0")
+            norm[qid] = pairs
+        texts = {qid: "" for qid in norm}
         return self.search(texts, k=k, filter=filter,
-                           term_weights={qid: list(tw)
-                                         for qid, tw in queries.items()},
-                           linear_tf=True)
+                           term_weights=norm, linear_tf=True)
 
     @property
     def agg(self) -> "_ServedAggSearcher":

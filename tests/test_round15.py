@@ -331,6 +331,79 @@ def test_dedup_against_drops_only_seen_fingerprints():
     assert sorted(out["doc_id"]) == [11]
 
 
+def test_mget_found_true_for_null_store_value(tmp_path):
+    """found reflects KEY presence, not null-ness of a stored column."""
+    tbl = generate_conversations(np.arange(20))
+    role = tbl["role"].to_pylist()
+    role[0] = None
+    tbl = tbl.set_column(tbl.column_names.index("role"), "role",
+                         pa.array(role, type=pa.string()))
+    d = str(tmp_path / "nullstore")
+    build_index(rd.from_arrow(tbl), d, EngineConfig(num_segments=2),
+                IndexSpec())
+    s = IndexSearcher(d)
+    key = (tbl["conv_id"][0].as_py(), tbl["turn_idx"][0].as_py())
+    out = s.mget([key])
+    assert out["found"].tolist() == [True]
+    assert pd.isna(out["role"][0])
+
+
+def test_script_fields_tolerates_reappended_duplicate_keys(idx,
+                                                           tmp_path):
+    import shutil
+    d = str(tmp_path / "dup")
+    shutil.copytree(idx, d)
+    add_segments(d, rd.from_arrow(generate_conversations(
+        np.arange(150))))          # same keys again (add-without-delete)
+    s = IndexSearcher(d)
+    hits = s.search({"q": "tool call"}, k=8)
+    out = s.script_fields(hits, {"twice": {"op": "mul",
+                                           "left": "doc_len",
+                                           "right": 2}})
+    assert len(out) == len(hits)
+
+
+def test_sparse_vector_rejects_nonpositive_weights(idx):
+    from opensearch_jvector_ray.query_dsl import parse_query
+    s = IndexSearcher(idx)
+    with pytest.raises(ValueError, match="> 0"):
+        s.sparse_vector_search({"q": [("tool", 0.0)]}, k=5)
+    with pytest.raises(ValueError, match="> 0"):
+        parse_query({"sparse_vector": {"tokens": {"tool": -1.0}}})
+
+
+def test_field_stats_halffloat_combines_numerically(tmp_path):
+    """A float16 stored column must take the NUMERIC combine branch —
+    lexicographic string min/max would invert '10.5' vs '9.5'."""
+    from opensearch_jvector_ray.query import _field_stats_task
+    seg = tmp_path / "seg"
+    seg.mkdir()
+    ppq.write_table(
+        pa.table({"h": pa.array(np.array([9.5, 10.5], dtype=np.float16),
+                                type=pa.float16())}),
+        str(seg / "docs.parquet"))
+    out = _field_stats_task(
+        pa.table({"seg_dir": [str(seg)]}), ["h"]).to_pandas()
+    assert bool(out["is_num"][0])
+    assert out["min_num"][0] == 9.5 and out["max_num"][0] == 10.5
+
+
+def test_null_text_rows_survive_corpus_and_dedup_paths():
+    from opensearch_jvector_ray.pipelines.corpus import (
+        bpe_merge_candidates, pretoken_counts,
+    )
+    from opensearch_jvector_ray.pipelines.dedup import dedup_against
+    cfg = EngineConfig()
+    tbl = pa.table({"doc_id": [1, 2, 3],
+                    "text": ["ab ab", None, "cd"]})
+    pc_out = pretoken_counts(rd.from_arrow(tbl))
+    assert int(pc_out[pc_out["token"] == "ab"]["cnt"].iloc[0]) == 2
+    assert len(bpe_merge_candidates(rd.from_arrow(tbl), top_k=3)) >= 1
+    out = dedup_against(rd.from_arrow(tbl), ["nothex", None], cfg,
+                        "doc_id", "text").to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2, 3]   # NULL text kept
+
+
 def test_rollover_generations_and_resume(tmp_path):
     from opensearch_jvector_ray.aliases import RolloverWriter
     from opensearch_jvector_ray.stages.build import IndexSpec
