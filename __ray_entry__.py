@@ -69,6 +69,7 @@ from opensearch_jvector_ray.oracles import (
     pricing_summary_sql, quality_sql, repetition_sql, term_stats_sql,
     token_count_sql, conversation_sql, turn_dedup_sql, lm_xent_sql,
     context_pairs_sql, validate_conversations_sql,
+    response_latency_sql,
     lm_xent_transfer_sql,
     dsir_weights_sql,
     sparse_vector_sql,
@@ -2944,6 +2945,18 @@ def _q_conversation_validate(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("conv_id").reset_index(drop=True)
 
 
+def _q_response_latency(sf_dir: str) -> pd.DataFrame:
+    # per-response latency: ts delta from the preceding user turn (one
+    # conv_id shuffle + shifted diff; exact integer microseconds)
+    from opensearch_jvector_ray.sources.tables import transcripts_path
+    ds = rd.read_parquet(transcripts_path(sf_dir))
+    out = tr_pl.response_latency(ds).to_pandas()
+    out["turn_idx"] = out["turn_idx"].astype(np.int64)
+    out["latency_us"] = out["latency_us"].astype(np.int64)
+    return out.sort_values(["conv_id", "turn_idx"]) \
+        .reset_index(drop=True)
+
+
 def _q_dsir_weights(sf_dir: str) -> pd.DataFrame:
     # DSIR importance weights (unigram-feature variant): target LM =
     # documents corpus, source LM = the transcript turns themselves;
@@ -3311,6 +3324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "context_pairs": _q_context_pairs,
         "response_novelty": _q_response_novelty,
         "conversation_validate": _q_conversation_validate,
+        "response_latency": _q_response_latency,
         "conversations_bm25": _q_conversations_bm25,
         "turn_dedup": _q_turn_dedup,
         "tool_usage_stats": _q_tool_usage,
@@ -3762,6 +3776,7 @@ def oracle_sql() -> dict[str, str]:
         "terms_lookup": _terms_lookup_oracle(),
         "incremental_dedup": _incremental_dedup_oracle(),
         "rollover_search": _rollover_oracle(),
+        "response_latency": response_latency_sql(_transcript_arms()),
         "alias_search": bm25_sql(BM25_QUERIES, BM25_K, CFG,
                                  filter_sql=filter_spec_sql(
                                      ALIAS_FILTER_SPEC)),

@@ -5460,3 +5460,26 @@ SELECT query_id, rank, {id_col}, distance_km
 FROM r WHERE rank <= {k}
 ORDER BY query_id, rank
 """
+
+
+def response_latency_sql(arms: "list[tuple[str, int]]") -> str:
+    """Oracle for transcripts.response_latency: lag window over
+    (conv_id, turn_idx); a turn qualifies iff its previous turn's role
+    is 'user' (the first turn's NULL prev_role never qualifies —
+    matching the engine's same-conversation mask); latency = exact
+    integer microsecond delta on both sides."""
+    cte = transcripts_arms_cte(arms, "conv_id, turn_idx, role, ts")
+    return f"""
+WITH {cte},
+ordered AS (
+  SELECT conv_id, turn_idx, role,
+         lag(role) OVER w AS prev_role,
+         epoch_us(ts) - epoch_us(lag(ts) OVER w) AS latency_us
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role,
+       CAST(latency_us AS BIGINT) AS latency_us
+FROM ordered WHERE prev_role = 'user'
+ORDER BY conv_id, turn_idx
+"""

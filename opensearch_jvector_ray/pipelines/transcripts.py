@@ -410,3 +410,43 @@ def turn_dedup(ds: "rd.Dataset", cfg: EngineConfig,
     hashed = ds.select_columns(["conv_id", "turn_idx", "text"]) \
                .map_batches(stage, batch_format="pyarrow")
     return hash_copartition(hashed, "text_hash", bucket, num_parts)
+
+
+def response_latency(ds: "rd.Dataset",
+                     num_parts: int = 64) -> "rd.Dataset":
+    """Per-response latency analytics (agent/transcript ops): for every
+    turn whose PREVIOUS turn (by turn_idx within the conversation) is a
+    'user' turn, the elapsed microseconds since that user turn — the
+    "how long did the assistant/tool take to come back" signal a
+    serving or SFT-curation pipeline slices by.
+
+    ONE conv_id shuffle (hash co-partition), per-bucket work is a
+    lexsort + one shifted diff — integer microseconds end to end, so
+    the DuckDB lag-window oracle is exact.  Returns (conv_id, turn_idx,
+    role, latency_us) for qualifying turns only (the first turn of a
+    conversation and turns following non-user turns emit nothing)."""
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        conv = df["conv_id"].to_numpy()
+        order = np.lexsort((df["turn_idx"].to_numpy(), conv))
+        conv = conv[order]
+        turn = df["turn_idx"].to_numpy()[order]
+        role = df["role"].to_numpy()[order]
+        ts = df["ts"].to_numpy()[order].astype("datetime64[us]") \
+            .astype(np.int64)
+        n = len(conv)
+        same = np.zeros(n, dtype=bool)
+        same[1:] = conv[1:] == conv[:-1]
+        prev_user = np.zeros(n, dtype=bool)
+        prev_user[1:] = (role[:-1] == "user") & same[1:]
+        lat = np.zeros(n, dtype=np.int64)
+        lat[1:] = ts[1:] - ts[:-1]
+        keep = prev_user
+        return pd.DataFrame({
+            "conv_id": conv[keep],
+            "turn_idx": turn[keep].astype(np.int64),
+            "role": role[keep],
+            "latency_us": lat[keep],
+        })
+
+    prepped = ds.select_columns(["conv_id", "turn_idx", "role", "ts"])
+    return hash_copartition(prepped, "conv_id", bucket, num_parts)

@@ -404,6 +404,29 @@ def test_null_text_rows_survive_corpus_and_dedup_paths():
     assert sorted(out["doc_id"]) == [1, 2, 3]   # NULL text kept
 
 
+def test_response_latency_rules():
+    from opensearch_jvector_ray.pipelines.transcripts import (
+        response_latency,
+    )
+    base = np.datetime64("2025-01-01T00:00:00", "us")
+    tbl = pa.table({
+        "conv_id": ["a"] * 4 + ["b"] * 2,
+        "turn_idx": [0, 1, 2, 3, 0, 1],
+        "role": ["user", "assistant", "tool", "assistant",
+                 "assistant", "user"],
+        "ts": pa.array([base, base + 1_500_000, base + 2_000_000,
+                        base + 2_250_000, base, base + 99],
+                       type=pa.timestamp("us")),
+    })
+    out = response_latency(rd.from_arrow(tbl), num_parts=2).to_pandas()
+    out = out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    # only turns whose PREVIOUS turn is a user turn qualify: a/1 only
+    # (a/2 follows assistant, a/3 follows tool, b/0 is first, b/1
+    # follows assistant)
+    assert list(zip(out["conv_id"], out["turn_idx"],
+                    out["latency_us"])) == [("a", 1, 1_500_000)]
+
+
 def test_rollover_generations_and_resume(tmp_path):
     from opensearch_jvector_ray.aliases import RolloverWriter
     from opensearch_jvector_ray.stages.build import IndexSpec
