@@ -251,7 +251,8 @@ class SearchService:
     """Driver-side handle: create once, search many times."""
 
     def __init__(self, index_dir: str, num_shards: int = 8,
-                 term_cache_size: int = 50_000):
+                 term_cache_size: int = 50_000,
+                 request_cache_size: int = 256):
         meta = read_json(os.path.join(index_dir, CONFIG_NAME))
         self.cfg = EngineConfig.from_json(meta["config"])
         self.stats = read_json(os.path.join(index_dir, STATS_NAME))
@@ -270,6 +271,31 @@ class SearchService:
             for s in shards]
         self._assigned = set(seg_dirs)
         self._shard_sizes = [len(s) for s in shards]
+        # request cache [OpenSearch shard-request-cache public
+        # semantics, service-level]: LRU over the FULL request key,
+        # invalidated wholesale on refresh() (a refresh changes the
+        # visible segment set and the global stats, so every cached
+        # frame is stale by definition)
+        self._req_cache: OrderedDict[tuple, pd.DataFrame] = OrderedDict()
+        self._req_cache_size = int(request_cache_size)
+        self._req_hits = 0
+        self._req_misses = 0
+
+    @staticmethod
+    def _req_key(queries, k, filter, term_weights, linear_tf):
+        if filter is not None:
+            # pyarrow expressions stringify deterministically; None
+            # stays None
+            filter = str(filter)
+        tw = None if term_weights is None else tuple(
+            (qid, tuple(map(tuple, tws)))
+            for qid, tws in sorted(term_weights.items()))
+        return (tuple(sorted(queries.items())), int(k), filter, tw,
+                bool(linear_tf))
+
+    def request_cache_stats(self) -> dict:
+        return {"hits": self._req_hits, "misses": self._req_misses,
+                "entries": len(self._req_cache)}
 
     def refresh(self) -> int:
         """NRT refresh [OpenSearch refresh public semantics]: pick up
@@ -286,6 +312,7 @@ class SearchService:
         self.dict_dir = resolve_dict_dir(self.index_dir)   # latest gen
         self._agg_facade = None     # facade captures stats/segments:
         #                             rebuild lazily after a refresh
+        self._req_cache.clear()     # every cached frame is now stale
         seg_root = os.path.join(self.index_dir, SEGMENTS_DIR)
         seg_dirs = sorted(os.path.join(seg_root, d)
                           for d in os.listdir(seg_root)
@@ -332,7 +359,19 @@ class SearchService:
         so the warm actors serve the whole multi-term expansion family
         (prefix/fuzzy/regexp/wildcard/boosts) — callers expand against
         the dictionary once (IndexSearcher.expand_*) and reuse the
-        weighted list across many warm queries."""
+        weighted list across many warm queries.
+
+        Results are served from the request cache when the FULL request
+        key matches a previous call (frame returned as a copy so
+        callers can't mutate the cached entry); refresh() clears the
+        cache."""
+        key = self._req_key(queries, k, filter, term_weights, linear_tf)
+        hit = self._req_cache.get(key)
+        if hit is not None:
+            self._req_cache.move_to_end(key)
+            self._req_hits += 1
+            return hit.copy()
+        self._req_misses += 1
         prepared = self._prepare(queries, k, term_weights)
         avgdl = float(self.stats["avgdl"] or 1.0)
         futures = [a.search.remote(prepared, k, avgdl, filter,
@@ -348,7 +387,12 @@ class SearchService:
             ascending=[True, False] + [True] * len(self.key_cols),
             kind="mergesort").groupby("query_id", sort=False).head(k)
         df["rank"] = df.groupby("query_id", sort=False).cumcount() + 1
-        return df[["query_id", "rank", *self.key_cols, "score"]].reset_index(drop=True)
+        out = df[["query_id", "rank", *self.key_cols,
+                  "score"]].reset_index(drop=True)
+        self._req_cache[key] = out.copy()
+        while len(self._req_cache) > self._req_cache_size:
+            self._req_cache.popitem(last=False)
+        return out
 
     def sparse_vector_search(self,
                              queries: "dict[str, list[tuple[str, float]]]",

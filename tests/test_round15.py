@@ -427,6 +427,43 @@ def test_response_latency_rules():
                     out["latency_us"])) == [("a", 1, 1_500_000)]
 
 
+def test_request_cache_hit_identity_and_refresh_invalidation(idx,
+                                                             tmp_path):
+    import shutil
+
+    from opensearch_jvector_ray.serve import SearchService
+    d = str(tmp_path / "svc")
+    shutil.copytree(idx, d)
+    svc = SearchService(d, num_shards=2)
+    try:
+        q = {"q": "tool call"}
+        a = svc.search(q, k=8)
+        assert svc.request_cache_stats()["misses"] == 1
+        b = svc.search(q, k=8)
+        st = svc.request_cache_stats()
+        assert st["hits"] == 1
+        pd.testing.assert_frame_equal(a, b)
+        # a mutated result must not poison the cache (copies out/in)
+        b.loc[0, "score"] = -1.0
+        pd.testing.assert_frame_equal(svc.search(q, k=8), a)
+        # different k = different key
+        svc.search(q, k=5)
+        assert svc.request_cache_stats()["misses"] == 2
+        # refresh invalidates: appended docs change the result
+        extra = generate_conversations(np.arange(150, 200))
+        add_segments(d, rd.from_arrow(extra))
+        svc.refresh()
+        assert svc.request_cache_stats()["entries"] == 0
+        c = svc.search(q, k=8)
+        fresh = SearchService(d, num_shards=2)
+        try:
+            pd.testing.assert_frame_equal(c, fresh.search(q, k=8))
+        finally:
+            fresh.shutdown()
+    finally:
+        svc.shutdown()
+
+
 def test_rollover_generations_and_resume(tmp_path):
     from opensearch_jvector_ray.aliases import RolloverWriter
     from opensearch_jvector_ray.stages.build import IndexSpec

@@ -25,9 +25,13 @@ def test_service_matches_index_searcher(tmp_path):
     try:
         out1 = svc.search(QUERIES, k=12)
         pd.testing.assert_frame_equal(base, out1, atol=1e-12)
-        # second search hits the decoded-postings cache; results identical
+        # an IDENTICAL request is now served by the request cache
         out2 = svc.search(QUERIES, k=12)
         pd.testing.assert_frame_equal(out1, out2)
+        assert svc.request_cache_stats()["hits"] == 1
+        # a different k misses the request cache but hits the actors'
+        # decoded-postings cache (same terms)
+        svc.search(QUERIES, k=5)
         stats = svc.cache_stats()
         assert sum(s["hits"] for s in stats) > 0
         assert sum(s["cached_terms"] for s in stats) > 0
