@@ -75,6 +75,26 @@ def resolve_dict_dir(index_dir: str, gen: int | None = None) -> str:
     return os.path.join(root, f"{DICT_GEN_PREFIX}{gens[-1]:010d}")
 
 
+def vacuum_dictionary(index_dir: str, keep: int = 1) -> list[int]:
+    """Remove all but the newest ``keep`` dictionary generations (the
+    commit-point vacuum: long-lived append streams otherwise accumulate
+    one immutable generation per refresh).  NEVER call while a PIT
+    handle opened against an older generation is still in use — like
+    Lucene's deletion policy, liveness is the caller's contract (the
+    default keep=1 is safe once all readers are current).  The legacy
+    flat files are left untouched.  Returns the dropped generation
+    numbers."""
+    import shutil
+    if keep < 1:
+        raise ValueError("keep must be >= 1")
+    gens = dict_generations(index_dir)
+    drop = gens[:-keep] if len(gens) > keep else []
+    for g in drop:
+        shutil.rmtree(resolve_dict_dir(index_dir, gen=g),
+                      ignore_errors=True)
+    return drop
+
+
 def dict_read_paths(dict_dir: str) -> "str | list[str]":
     """What to hand ``pq.read_table`` for a resolved dictionary dir.
 

@@ -427,6 +427,29 @@ def test_response_latency_rules():
                     out["latency_us"])) == [("a", 1, 1_500_000)]
 
 
+def test_vacuum_dictionary_keeps_newest(idx, tmp_path):
+    import shutil
+
+    from opensearch_jvector_ray.state.manifest import vacuum_dictionary
+    d = str(tmp_path / "vac")
+    shutil.copytree(idx, d)
+    add_segments(d, rd.from_arrow(_extra(150, 170)))
+    add_segments(d, rd.from_arrow(_extra(170, 190)),
+                 lineage={"b": 2})
+    gens = dict_generations(d)
+    assert len(gens) >= 3
+    before = IndexSearcher(d).search(QUERIES, k=8)
+    dropped = vacuum_dictionary(d, keep=1)
+    assert dropped == gens[:-1]
+    assert dict_generations(d) == [gens[-1]]
+    # current readers are unaffected
+    pd.testing.assert_frame_equal(
+        IndexSearcher(d).search(QUERIES, k=8).reset_index(drop=True),
+        before.reset_index(drop=True))
+    with pytest.raises(ValueError):
+        vacuum_dictionary(d, keep=0)
+
+
 def test_request_cache_hit_identity_and_refresh_invalidation(idx,
                                                              tmp_path):
     import shutil
