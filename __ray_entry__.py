@@ -1544,6 +1544,19 @@ ORDER BY h.query_id, h.rank
 """
 
 
+def _q_approx_terms(sf_dir: str) -> pd.DataFrame:
+    # approximate terms agg (Misra-Gries heavy hitters, the
+    # high-cardinality scale path): rows-only — the summary depends on
+    # partitioning; exactness of guaranteed buckets and the error
+    # bound are pytest-gated (test_round15), facet_counts carries the
+    # hard SQL gate
+    from opensearch_jvector_ray.sources.tables import transcripts_index
+    s = IndexSearcher(transcripts_index(sf_dir))
+    return s.approx_terms_agg(TRANSCRIPT_QUERIES, field="tool",
+                              min_score=FACET_MIN_SCORE, size=8,
+                              capacity=256)
+
+
 def _q_tdigest_percentiles(sf_dir: str) -> pd.DataFrame:
     # approximate percentiles (t-digest, the high-cardinality scale
     # path): rows-only — the sketch depends on partitioning; accuracy
@@ -3238,6 +3251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "count_api": _q_count_api,
         "alias_search": _q_alias_search,
         "tdigest_percentiles": _q_tdigest_percentiles,
+        "approx_terms": _q_approx_terms,
         "script_fields": _q_script_fields,
         "terms_lookup": _q_terms_lookup,
         "incremental_dedup": _q_incremental_dedup,

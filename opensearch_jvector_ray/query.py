@@ -606,6 +606,22 @@ def _agg_partial(agg: dict, docs: pa.Table, ords: np.ndarray,
             "partial": pa.array([pickle.dumps((m, w))],
                                 type=pa.binary()),
         })
+    if agg["kind"] == "mg_terms":
+        # approximate heavy-hitters partial [Misra-Gries, mergeable-
+        # summaries rule — functions/heavyhitters.py]: O(capacity)
+        # counters per segment regardless of field cardinality — the
+        # scale path next to the exact value-count facet partials
+        import pickle
+
+        from opensearch_jvector_ray.functions import heavyhitters as hh
+        v = vals.drop_null()
+        summ = hh.mg_from_values(
+            v.to_numpy(zero_copy_only=False), agg["capacity"])
+        return pa.table({
+            "query_id": pa.array([qid], type=pa.string()),
+            "partial": pa.array([pickle.dumps((summ, len(v)))],
+                                type=pa.binary()),
+        })
     if agg["kind"] == "missing":
         # missing aggregation partial [OpenSearch missing-agg public
         # semantics]: count of qualifying docs whose field is absent.
@@ -4174,6 +4190,41 @@ class IndexSearcher:
                 rows.append((qid, p, td.quantile(m, w, p)))
         return pd.DataFrame(rows, columns=["query_id", "percent",
                                            "value"])
+
+    def approx_terms_agg(self, queries: dict[str, str], field: str,
+                         min_score: float, size: int = 10,
+                         capacity: int = 1024) -> pd.DataFrame:
+        """Approximate terms aggregation via Misra-Gries heavy hitters
+        [the mergeable-summaries scale path — see
+        functions/heavyhitters.py]: each segment ships an O(capacity)
+        counter summary of the match set's field values regardless of
+        field cardinality; the driver merges summaries with the
+        pointwise-add + trim rule and emits the top ``size`` buckets
+        with (count_lower, max_error, guaranteed) — guaranteed=True
+        buckets are provably in the true top-k.  Deterministic: trim
+        ties are (count desc, value asc) and summary merging is
+        arrival-order-free (pytest-pinned).  Rows-only driver entry —
+        the exact facet_counts carries the hard SQL gate."""
+        import pickle
+
+        from opensearch_jvector_ray.functions import heavyhitters as hh
+        df = self._agg_fanout(queries,
+                              {"kind": "mg_terms", "col": field,
+                               "capacity": int(capacity)},
+                              min_score, None, None)
+        frames = []
+        for qid in sorted(queries):
+            parts, total = [], 0
+            if not df.empty:
+                for b in df[df["query_id"] == qid]["partial"]:
+                    summ, n = pickle.loads(b)
+                    parts.append(summ)
+                    total += int(n)
+            merged = hh.mg_merge(parts, int(capacity))
+            top = hh.mg_topk(merged, size, total, int(capacity))
+            top.insert(0, "query_id", qid)
+            frames.append(top)
+        return pd.concat(frames, ignore_index=True)
 
     def count(self, queries: dict[str, str],
               min_score: float = 0.0) -> pd.DataFrame:

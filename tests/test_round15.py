@@ -427,6 +427,50 @@ def test_response_latency_rules():
                     out["latency_us"])) == [("a", 1, 1_500_000)]
 
 
+def test_misra_gries_bounds_and_merge_invariance():
+    from opensearch_jvector_ray.functions import heavyhitters as hh
+    rng = np.random.default_rng(3)
+    # Zipf-ish: value i appears ~ N / (i+1)
+    vals = np.concatenate([np.full(20000 // (i + 1), f"v{i:03d}")
+                           for i in range(200)])
+    rng.shuffle(vals)
+    cap = 64
+    parts = [hh.mg_from_values(c, cap) for c in np.array_split(vals, 7)]
+    merged = hh.mg_merge(parts, cap)
+    assert len(merged) <= cap
+    true = pd.Series(vals).value_counts()
+    err = len(vals) // (cap + 1)
+    for v, est in merged.items():
+        t = int(true[v])
+        assert t - err <= est <= t, (v, est, t, err)
+    # every value with true count > N/(cap+1) is present
+    for v, t in true.items():
+        if t > err:
+            assert v in merged, (v, t, err)
+    # merge is arrival-order-free
+    merged2 = hh.mg_merge(list(reversed(parts)), cap)
+    assert merged == merged2
+    # guaranteed buckets are truly in the top-k
+    top = hh.mg_topk(merged, 10, len(vals), cap)
+    true_top10 = set(true.sort_values(ascending=False).index[:10])
+    for r in top.itertuples():
+        if r.guaranteed:
+            assert r.value in true_top10
+
+
+def test_approx_terms_agg_matches_exact_on_low_cardinality(idx):
+    s = IndexSearcher(idx)
+    q = {"q": "tool call"}
+    approx = s.approx_terms_agg(q, field="role", min_score=0.3,
+                                size=5, capacity=512)
+    exact = s.facet_counts(q, facet_col="role", min_score=0.3, size=5)
+    # capacity >> cardinality: counts are exact and guaranteed
+    a = dict(zip(approx["value"], approx["count_lower"]))
+    e = dict(zip(exact["role"], exact["doc_count"]))
+    assert a == e
+    assert approx["guaranteed"].all() or len(a) <= 1
+
+
 def test_vacuum_dictionary_keeps_newest(idx, tmp_path):
     import shutil
 
