@@ -484,6 +484,8 @@ class _ServedAggSearcher:
     # the borrowed method works unchanged off seg_dirs (cold read)
     global_stats_agg = _IS.global_stats_agg
     count = _IS.count                 # warm: rides _agg_fanout below
+    tdigest_percentiles_agg = _IS.tdigest_percentiles_agg   # warm
+    approx_terms_agg = _IS.approx_terms_agg                 # warm
     # sidecar-only reads (no postings): borrowed unchanged, cold read
     children_terms_agg = _IS.children_terms_agg
     field_stats = _IS.field_stats

@@ -628,6 +628,16 @@ def test_warm_facade_round15_frame_identity(idx):
             s.field_stats(["role", "doc_len"]))
         keys = [("conv-0000001", 0), ("conv-0000002", 1)]
         pd.testing.assert_frame_equal(svc.agg.mget(keys), s.mget(keys))
+        pd.testing.assert_frame_equal(
+            svc.agg.tdigest_percentiles_agg(cq, "doc_len", [0.5],
+                                            min_score=0.0),
+            s.tdigest_percentiles_agg(cq, "doc_len", [0.5],
+                                      min_score=0.0))
+        pd.testing.assert_frame_equal(
+            svc.agg.approx_terms_agg(cq, field="role", min_score=0.3,
+                                     size=5, capacity=512),
+            s.approx_terms_agg(cq, field="role", min_score=0.3,
+                               size=5, capacity=512))
     finally:
         svc.shutdown()
 
