@@ -43,7 +43,7 @@ from opensearch_jvector_ray.oracles import (
     weighted_avg_sql, bucket_metric_sql, adjacency_matrix_sql,
     string_stats_sql, matrix_stats_sql, date_range_sql,
     span_near_sql, constant_score_sql, boosting_query_sql,
-    percolate_sql, semdedup_sql,
+    percolate_sql, percolate_filtered_sql, semdedup_sql,
     events_sessionize_sql, events_window_sql, exact_dedup_sql,
     byte_knn_sql, corpus_clean_sql, embedding_dups_sql, ivf_fixed_sql, revenue_by_nation_sql, simhash_sql,
     revenue_by_region_brand_sql, top_order_revenue_sql, transcripts_bm25_sql,
@@ -217,6 +217,31 @@ def _q_percolate(sf_dir: str) -> pd.DataFrame:
 
 PERC_PHRASES = {"pp1": "stream column", "pp2": "window join",
                 "pp3": "order sort"}
+
+# filter-context percolation: text + metadata predicate per registered
+# query; pfq3 is a pure-filter query body (text analyzes to nothing)
+PERC_FILTERED_Q = {"pfq1": "window batch", "pfq2": "customer scan",
+                   "pfq3": "the and of"}
+PERC_FILTERED_F = {
+    "pfq1": {"terms": {"lang": ["en"]}},
+    "pfq2": {"range": {"n_chars": {"gte": 400}}},
+    "pfq3": {"bool": {"must": [{"terms": {"source": ["src3"]}},
+                               {"range": {"n_chars": {"lt": 600}}}]}},
+}
+
+
+def _q_percolate_filtered(sf_dir: str) -> pd.DataFrame:
+    # percolator with filter-context clauses (the full query-body
+    # shape): text EXISTS ANDed with the M7 structured filter; pfq3 is
+    # a pure-filter body
+    from opensearch_jvector_ray.pipelines.percolate import percolate
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "text", "lang", "source",
+                             "n_chars"])
+    out = percolate(ds, PERC_FILTERED_Q, CFG, match_mode="any",
+                    filters=PERC_FILTERED_F).to_pandas()
+    return (out.sort_values(["doc_id", "query_id"])
+               .reset_index(drop=True))
 
 
 def _q_percolate_phrase(sf_dir: str) -> pd.DataFrame:
@@ -3339,6 +3364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "response_novelty": _q_response_novelty,
         "conversation_validate": _q_conversation_validate,
         "response_latency": _q_response_latency,
+        "percolate_filtered": _q_percolate_filtered,
         "conversations_bm25": _q_conversations_bm25,
         "turn_dedup": _q_turn_dedup,
         "tool_usage_stats": _q_tool_usage,
@@ -3791,6 +3817,8 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup": _incremental_dedup_oracle(),
         "rollover_search": _rollover_oracle(),
         "response_latency": response_latency_sql(_transcript_arms()),
+        "percolate_filtered": percolate_filtered_sql(
+            PERC_FILTERED_Q, PERC_FILTERED_F, CFG),
         "alias_search": bm25_sql(BM25_QUERIES, BM25_K, CFG,
                                  filter_sql=filter_spec_sql(
                                      ALIAS_FILTER_SPEC)),

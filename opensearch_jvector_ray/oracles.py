@@ -5483,3 +5483,46 @@ SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role,
 FROM ordered WHERE prev_role = 'user'
 ORDER BY conv_id, turn_idx
 """
+
+
+def percolate_filtered_sql(queries: dict[str, str],
+                           filters: "dict[str, dict]",
+                           cfg: EngineConfig,
+                           table: str = "documents",
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> str:
+    """Oracle for pipelines.percolate with filter-context clauses
+    (match_mode='any'): per query, shared-term EXISTS ANDed with the
+    SAME structured filter spec's SQL predicate (filter_spec_sql — ONE
+    spec drives both sides, the M7 rule); a query with no surviving
+    text terms is a pure-filter arm."""
+    from opensearch_jvector_ray.pipelines.percolate import (
+        compile_queries,
+    )
+    compiled = compile_queries(queries, cfg)
+    arms = []
+    for qid in sorted(queries):
+        terms = compiled.get(qid)
+        spec = filters.get(qid)
+        conds = []
+        if terms:
+            tl = ", ".join(sql_quote(t) for t in terms)
+            conds.append(
+                f"EXISTS (SELECT 1 FROM toks t WHERE "
+                f"t.{id_col} = __f.{id_col} AND t.term IN ({tl}))")
+        if spec is not None:
+            conds.append(f"({filter_spec_sql(spec)})")
+        if not conds:
+            continue                  # no text, no filter: matches nothing
+        arms.append(f"SELECT {id_col}, {sql_quote(qid)} AS query_id "
+                    f"FROM {table} __f WHERE "
+                    f"{' AND '.join(conds)}")
+    union = "\nUNION ALL\n".join(arms) if arms else \
+        f"SELECT {id_col}, '' AS query_id FROM {table} WHERE false"
+    return f"""
+WITH {toks_cte(cfg, table, id_col, text_col)}
+SELECT {id_col}, query_id FROM (
+{union}
+)
+ORDER BY {id_col}, query_id
+"""

@@ -53,13 +53,35 @@ def compile_queries(queries: dict[str, str], cfg: EngineConfig,
 
 def _percolate_batch(batch: pa.Table, *, compiled: dict[str, list[str]],
                      cfg: EngineConfig, id_col: str, text_col: str,
-                     match_mode: str) -> pa.Table:
+                     match_mode: str,
+                     filter_exprs: dict | None = None) -> pa.Table:
     stream = tokenize(batch[text_col], cfg)
     doc_idx = stream.doc_idx
     ids = batch[id_col]
     out_ids: list[pa.Array] = []
     out_qids: list[str] = []
     n_rows = 0
+    # filter-context clauses: one vectorized row-mask per filtered
+    # query per batch (the search path's __ord trick); a query's text
+    # matches then intersect with its allowed row set
+    allowed: dict[str, np.ndarray] = {}
+    if filter_exprs:
+        with_ord = batch.append_column(
+            "__ord", pa.array(np.arange(batch.num_rows,
+                                        dtype=np.int64)))
+        for fq, expr in filter_exprs.items():
+            allowed[fq] = with_ord.filter(expr)["__ord"].to_numpy(
+                zero_copy_only=False)
+    # pure-filter queries (no surviving text terms): match = the
+    # filter mask itself — the percolator's filter-only query body
+    for fq in sorted(allowed):
+        if fq in compiled:
+            continue
+        rows = allowed[fq]
+        if len(rows):
+            out_ids.append(ids.take(pa.array(rows.astype(np.int64))))
+            out_qids.extend([fq] * len(rows))
+            n_rows += len(rows)
     if match_mode == "phrase":
         # exact-phrase percolation [Lucene PhraseQuery predicate on the
         # percolator side]: a doc matches iff the analyzed sequence
@@ -86,6 +108,10 @@ def _percolate_batch(batch: pa.Table, *, compiled: dict[str, list[str]],
             if acc is None or not len(acc):
                 continue
             rows = np.unique(acc // big)
+            if qid in allowed:
+                rows = np.intersect1d(rows, allowed[qid])
+                if not len(rows):
+                    continue
             out_ids.append(ids.take(pa.array(rows.astype(np.int64))))
             out_qids.extend([qid] * len(rows))
             n_rows += len(rows)
@@ -117,6 +143,8 @@ def _percolate_batch(batch: pa.Table, *, compiled: dict[str, list[str]],
             uniq = np.unique(pair)
             d, cnt = np.unique(uniq // len(qterms), return_counts=True)
             rows = d[cnt == len(qterms)]
+        if qid in allowed:
+            rows = np.intersect1d(rows, allowed[qid])
         if len(rows):
             out_ids.append(ids.take(pa.array(rows.astype(np.int64))))
             out_qids.extend([qid] * len(rows))
@@ -135,14 +163,33 @@ def _percolate_batch(batch: pa.Table, *, compiled: dict[str, list[str]],
 def percolate(ds: "rd.Dataset", queries: dict[str, str],
               cfg: EngineConfig, id_col: str = "doc_id",
               text_col: str = "text",
-              match_mode: str = "any") -> "rd.Dataset":
+              match_mode: str = "any",
+              filters: "dict[str, dict] | None" = None) -> "rd.Dataset":
     """Match the registered ``queries`` against every doc of ``ds``;
-    returns a Dataset of (id_col, query_id) match pairs."""
+    returns a Dataset of (id_col, query_id) match pairs.
+
+    ``filters`` (qid -> filter-context spec, the M7 structured object
+    ``query_dsl.compile_filter`` validates) ANDs a metadata predicate
+    into that query — the percolator's full query-body reality (text
+    clause + filter clause).  A query whose text analyzes to NOTHING
+    but carries a filter is a pure-filter percolation (matches = the
+    filter mask).  Specs compile eagerly driver-side; the compiled
+    expressions broadcast once per task."""
     if match_mode not in ("any", "all", "phrase"):
         raise ValueError("match_mode must be any|all|phrase")
     compiled = compile_queries(queries, cfg,
                                phrase=(match_mode == "phrase"))
+    filter_exprs = None
+    if filters:
+        from opensearch_jvector_ray.query_dsl import compile_filter
+        unknown = set(filters) - set(queries)
+        if unknown:
+            raise ValueError(f"filters for unregistered queries: "
+                             f"{sorted(unknown)}")
+        filter_exprs = {qid: compile_filter(spec)
+                        for qid, spec in sorted(filters.items())}
     return ds.map_batches(
         _percolate_batch, batch_format="pyarrow",
         fn_kwargs={"compiled": compiled, "cfg": cfg, "id_col": id_col,
-                   "text_col": text_col, "match_mode": match_mode})
+                   "text_col": text_col, "match_mode": match_mode,
+                   "filter_exprs": filter_exprs})

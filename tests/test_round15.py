@@ -471,6 +471,29 @@ def test_approx_terms_agg_matches_exact_on_low_cardinality(idx):
     assert approx["guaranteed"].all() or len(a) <= 1
 
 
+def test_percolate_filter_context_rules():
+    from opensearch_jvector_ray.pipelines.percolate import percolate
+    cfg = EngineConfig()
+    docs = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["alpha beta", "alpha", "beta gamma", "the of"],
+        "grade": [10, 50, 10, 10],
+    })
+    q = {"a": "alpha", "b": "beta", "c": "the of and"}
+    f = {"a": {"range": {"grade": {"lt": 20}}},
+         "c": {"range": {"grade": {"gte": 40}}}}
+    out = percolate(rd.from_arrow(docs), q, cfg, match_mode="any",
+                    filters=f).to_pandas()
+    pairs = sorted(zip(out["doc_id"], out["query_id"]))
+    # a: alpha docs with grade<20 -> doc 1 only (doc 2 filtered out)
+    # b: unfiltered beta docs -> 1, 3
+    # c: pure filter (all stopwords) -> grade>=40 -> doc 2
+    assert pairs == [(1, "a"), (1, "b"), (2, "c"), (3, "b")]
+    with pytest.raises(ValueError, match="unregistered"):
+        percolate(rd.from_arrow(docs), q, cfg,
+                  filters={"zz": {"range": {"grade": {"lt": 1}}}})
+
+
 def test_vacuum_dictionary_keeps_newest(idx, tmp_path):
     import shutil
 
