@@ -22,19 +22,21 @@ import numpy as np
 import pandas as pd
 
 
-def mg_from_values(values: np.ndarray, capacity: int
-                   ) -> "dict[str, int]":
+def mg_from_values(values: np.ndarray, capacity: int) -> dict:
     """Build a capacity-m summary from raw values: exact per-batch
     counts (one np.unique) then ONE trim — equivalent to running the
-    streaming algorithm over the batch, cheaper and deterministic."""
+    streaming algorithm over the batch, cheaper and deterministic.
+    Values keep their NATIVE Python type (ints stay ints), so the
+    (count desc, value asc) trim/tie order matches the exact facet
+    agg's — stringified keys would rank '10' < '2'."""
     if capacity < 1:
         raise ValueError("capacity must be >= 1")
     vals, counts = np.unique(np.asarray(values), return_counts=True)
-    return _trim({str(v): int(c) for v, c in zip(vals, counts)},
-                 capacity)
+    return _trim({(v.item() if hasattr(v, "item") else v): int(c)
+                  for v, c in zip(vals, counts)}, capacity)
 
 
-def _trim(counters: "dict[str, int]", capacity: int) -> "dict[str, int]":
+def _trim(counters: dict, capacity: int) -> dict:
     if len(counters) <= capacity:
         return counters
     # (count desc, value asc) order; subtract the (m+1)-th count
@@ -43,8 +45,7 @@ def _trim(counters: "dict[str, int]", capacity: int) -> "dict[str, int]":
     return {v: c - cut for v, c in items[:capacity] if c - cut > 0}
 
 
-def mg_merge(parts: "list[dict[str, int]]", capacity: int
-             ) -> "dict[str, int]":
+def mg_merge(parts: "list[dict]", capacity: int) -> dict:
     """Mergeable-summaries rule: pointwise counter addition, one trim.
     Associative up to the shared deterministic trim order, so partial
     arrival order is irrelevant (pytest-pinned)."""
@@ -55,7 +56,7 @@ def mg_merge(parts: "list[dict[str, int]]", capacity: int
     return _trim(acc, capacity)
 
 
-def mg_topk(summary: "dict[str, int]", k: int,
+def mg_topk(summary: dict, k: int,
             total: int, capacity: int) -> pd.DataFrame:
     """Top-k buckets with the per-value error bound: estimate is a
     LOWER bound on the true count; true count <= estimate + N/(m+1)
@@ -67,7 +68,7 @@ def mg_topk(summary: "dict[str, int]", k: int,
     top = items[:k]
     next_ub = (items[k][1] + err) if len(items) > k else err
     return pd.DataFrame({
-        "value": [v for v, _ in top],
+        "value": [v for v, _ in top],      # native dtype preserved
         "count_lower": np.array([c for _, c in top], dtype=np.int64),
         "max_error": np.int64(err),
         "guaranteed": np.array([c > next_ub for _, c in top],

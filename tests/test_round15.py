@@ -458,6 +458,22 @@ def test_misra_gries_bounds_and_merge_invariance():
             assert r.value in true_top10
 
 
+def test_misra_gries_native_numeric_values():
+    """Non-string fields keep native dtype and NUMERIC tie order —
+    stringified keys would rank '10' < '2' lexicographically."""
+    from opensearch_jvector_ray.functions import heavyhitters as hh
+    vals = np.array([1, 2, 2, 10, 10, 10, 7], dtype=np.int64)
+    summ = hh.mg_from_values(vals, 8)
+    assert summ == {1: 1, 2: 2, 10: 3, 7: 1}
+    assert all(isinstance(v, int) for v in summ)
+    # count-tied values 2 and 10 (both 2 after an extra 10-drop):
+    # numeric asc keeps 2 before 10 under capacity pressure
+    tied = hh._trim({2: 5, 10: 5, 99: 1}, 2)
+    assert list(tied) == [2, 10]
+    top = hh.mg_topk({2: 5, 10: 5}, 2, 10, 8)
+    assert top["value"].tolist() == [2, 10]
+
+
 def test_approx_terms_agg_matches_exact_on_low_cardinality(idx):
     s = IndexSearcher(idx)
     q = {"q": "tool call"}
