@@ -833,6 +833,87 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
             raise ValueError("[pinned] needs 'ids': [id, ...]")
         return {"type": "pinned", "query": spec["query"],
                 "ids": list(ids), "k": int(spec.get("k", 10))}
+    if clause == "count":
+        # {"count": {"query": "..."}} — the _count API
+        _require_known(clause, spec, {"query", "min_score"})
+        if not isinstance(spec.get("query"), str) or not spec["query"]:
+            raise ValueError("[count] needs a non-empty 'query'")
+        return {"type": "count", "query": spec["query"],
+                "min_score": float(spec.get("min_score", 0.0))}
+    if clause == "mget":
+        # {"mget": {"keys": [[k1, k2], ...]}} — stored-field fetch
+        _require_known(clause, spec, {"keys"})
+        keys = spec.get("keys")
+        if not isinstance(keys, list) or not keys:
+            raise ValueError("[mget] needs a non-empty 'keys' list")
+        return {"type": "mget",
+                "keys": [tuple(k) if isinstance(k, (list, tuple))
+                         else k for k in keys]}
+    if clause == "field_stats":
+        _require_known(clause, spec, {"fields"})
+        fields = spec.get("fields")
+        if not isinstance(fields, list) or not fields or \
+                not all(isinstance(f, str) and f for f in fields):
+            raise ValueError("[field_stats] needs 'fields': [col, ...]")
+        return {"type": "field_stats", "fields": list(fields)}
+    if clause == "children_agg":
+        # {"children_agg": {"parents": [...], "field": col, "size": 10}}
+        _require_known(clause, spec, {"parents", "field", "size"})
+        parents = spec.get("parents")
+        if not isinstance(parents, list) or not parents:
+            raise ValueError("[children_agg] needs a non-empty "
+                             "'parents' id list")
+        if not isinstance(spec.get("field"), str) or not spec["field"]:
+            raise ValueError("[children_agg] needs a 'field' column")
+        return {"type": "children_agg", "parents": list(parents),
+                "field": spec["field"],
+                "size": int(spec.get("size", 10))}
+    if clause == "percentiles_approx":
+        # t-digest percentiles: fractions in (0, 1]
+        _require_known(clause, spec, {"query", "field", "percents",
+                                      "min_score", "compression"})
+        if not isinstance(spec.get("query"), str) or not spec["query"]:
+            raise ValueError("[percentiles_approx] needs a 'query'")
+        if not isinstance(spec.get("field"), str) or not spec["field"]:
+            raise ValueError("[percentiles_approx] needs a 'field'")
+        ps = spec.get("percents")
+        if not isinstance(ps, list) or not ps:
+            raise ValueError("[percentiles_approx] needs 'percents'")
+        return {"type": "percentiles_approx", "query": spec["query"],
+                "field": spec["field"],
+                "percents": [float(p) for p in ps],
+                "min_score": float(spec.get("min_score", 0.0)),
+                "compression": float(spec.get("compression", 200.0))}
+    if clause == "terms_approx":
+        # Misra-Gries heavy-hitters terms agg
+        _require_known(clause, spec, {"query", "field", "size",
+                                      "min_score", "capacity"})
+        if not isinstance(spec.get("query"), str) or not spec["query"]:
+            raise ValueError("[terms_approx] needs a 'query'")
+        if not isinstance(spec.get("field"), str) or not spec["field"]:
+            raise ValueError("[terms_approx] needs a 'field'")
+        return {"type": "terms_approx", "query": spec["query"],
+                "field": spec["field"],
+                "size": int(spec.get("size", 10)),
+                "min_score": float(spec.get("min_score", 0.0)),
+                "capacity": int(spec.get("capacity", 1024))}
+    if clause == "geo_distance":
+        # {"geo_distance": {"lat": .., "lon": .., "k": 10,
+        #                   "radius_km": ..}} over a coords Dataset
+        _require_known(clause, spec, {"lat", "lon", "k", "radius_km",
+                                      "id_col", "lat_col", "lon_col"})
+        for f in ("lat", "lon"):
+            if not isinstance(spec.get(f), (int, float)):
+                raise ValueError(f"[geo_distance] needs numeric {f!r}")
+        return {"type": "geo_distance",
+                "lat": float(spec["lat"]), "lon": float(spec["lon"]),
+                "k": int(spec.get("k", 10)),
+                "radius_km": (float(spec["radius_km"])
+                              if spec.get("radius_km") is not None
+                              else None),
+                "id_col": spec.get("id_col", "event_id"),
+                "lat_col": spec.get("lat_col", "lat"),
+                "lon_col": spec.get("lon_col", "lon")}
     if clause == "sparse_vector":
         # {"sparse_vector": {"tokens": {tok: weight, ...}, "k": 10}} —
         # neural_sparse analog: literal post-analysis tokens with
@@ -1466,6 +1547,50 @@ def execute_query(body: dict[str, Any], *, searcher=None, vector_ds=None,
         return searcher.pinned_search({query_id: spec["query"]},
                                       {query_id: spec["ids"]},
                                       k=spec["k"])
+    if spec["type"] == "count":
+        if searcher is None:
+            raise ValueError("[count] needs searcher=")
+        return searcher.count({query_id: spec["query"]},
+                              min_score=spec["min_score"])
+    if spec["type"] == "mget":
+        if searcher is None:
+            raise ValueError("[mget] needs searcher=")
+        return searcher.mget(spec["keys"])
+    if spec["type"] == "field_stats":
+        if searcher is None:
+            raise ValueError("[field_stats] needs searcher=")
+        return searcher.field_stats(spec["fields"])
+    if spec["type"] == "children_agg":
+        if searcher is None:
+            raise ValueError("[children_agg] needs searcher=")
+        return searcher.children_terms_agg(
+            {query_id: spec["parents"]}, field=spec["field"],
+            size=spec["size"])
+    if spec["type"] == "percentiles_approx":
+        if searcher is None:
+            raise ValueError("[percentiles_approx] needs searcher=")
+        return searcher.tdigest_percentiles_agg(
+            {query_id: spec["query"]}, spec["field"], spec["percents"],
+            min_score=spec["min_score"],
+            compression=spec["compression"])
+    if spec["type"] == "terms_approx":
+        if searcher is None:
+            raise ValueError("[terms_approx] needs searcher=")
+        return searcher.approx_terms_agg(
+            {query_id: spec["query"]}, field=spec["field"],
+            min_score=spec["min_score"], size=spec["size"],
+            capacity=spec["capacity"])
+    if spec["type"] == "geo_distance":
+        if vector_ds is None:
+            raise ValueError("[geo_distance] needs vector_ds= (a "
+                             "coords Dataset)")
+        from opensearch_jvector_ray.pipelines.geo import (
+            geo_distance_topk,
+        )
+        return geo_distance_topk(
+            vector_ds, {query_id: (spec["lat"], spec["lon"])},
+            spec["k"], id_col=spec["id_col"], lat_col=spec["lat_col"],
+            lon_col=spec["lon_col"], radius_km=spec["radius_km"])
     if spec["type"] == "sparse_vector":
         if searcher is None:
             raise ValueError("[sparse_vector] needs searcher=")

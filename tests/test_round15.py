@@ -487,6 +487,50 @@ def test_approx_terms_agg_matches_exact_on_low_cardinality(idx):
     assert approx["guaranteed"].all() or len(a) <= 1
 
 
+def test_new_dsl_clauses_identity(idx):
+    """Each round-15 DSL clause routes to its engine method with
+    frame identity."""
+    from opensearch_jvector_ray.query_dsl import execute_query
+    s = IndexSearcher(idx)
+    cases = [
+        ({"count": {"query": "tool call"}},
+         s.count({"q": "tool call"})),
+        ({"mget": {"keys": [["conv-0000001", 0]]}},
+         s.mget([("conv-0000001", 0)])),
+        ({"field_stats": {"fields": ["role"]}},
+         s.field_stats(["role"])),
+        ({"children_agg": {"parents": ["conv-0000001",
+                                       "conv-0000002"],
+                           "field": "tool"}},
+         s.children_terms_agg({"q": ["conv-0000001",
+                                     "conv-0000002"]}, field="tool")),
+        ({"percentiles_approx": {"query": "tool call",
+                                 "field": "doc_len",
+                                 "percents": [0.5]}},
+         s.tdigest_percentiles_agg({"q": "tool call"}, "doc_len",
+                                   [0.5], min_score=0.0)),
+        ({"terms_approx": {"query": "tool call", "field": "role",
+                           "min_score": 0.3}},
+         s.approx_terms_agg({"q": "tool call"}, field="role",
+                            min_score=0.3)),
+    ]
+    for body, expect in cases:
+        got = execute_query(body, searcher=s, query_id="q")
+        pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                      expect.reset_index(drop=True))
+    # geo clause over an explicit coords Dataset
+    from opensearch_jvector_ray.pipelines.geo import geo_distance_topk
+    coords = pa.table({"event_id": np.arange(50, dtype=np.int64),
+                       "lat": np.linspace(-60, 60, 50),
+                       "lon": np.linspace(-150, 150, 50)})
+    body = {"geo_distance": {"lat": 10.0, "lon": 20.0, "k": 5}}
+    got = execute_query(body, vector_ds=rd.from_arrow(coords),
+                        query_id="g")
+    expect = geo_distance_topk(rd.from_arrow(coords),
+                               {"g": (10.0, 20.0)}, 5)
+    pd.testing.assert_frame_equal(got, expect)
+
+
 def test_percolate_filter_context_rules():
     from opensearch_jvector_ray.pipelines.percolate import percolate
     cfg = EngineConfig()
