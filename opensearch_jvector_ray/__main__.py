@@ -13,6 +13,11 @@ Usage (each subcommand owns a Ray session; on a cluster, submit with
   python -m opensearch_jvector_ray merge  --index DIR --out DIR
          [--merge-factor N]
   python -m opensearch_jvector_ray stats  --index DIR
+  python -m opensearch_jvector_ray alias  --index DIR --op put|delete|
+         list|search [--name N] [--filter JSON] [--query qid=text]
+  python -m opensearch_jvector_ray vacuum --index DIR [--keep N]
+  python -m opensearch_jvector_ray mget   --index DIR --key K[,K2] ...
+  python -m opensearch_jvector_ray count  --index DIR --query qid=text
   python -m opensearch_jvector_ray synth  --out DIR --convs N
   python -m opensearch_jvector_ray knn-build  --input FILE --index DIR
          --engine graph|ivf|pq [--num-parts N] [--cells K]
@@ -109,6 +114,30 @@ def main(argv: list[str] | None = None) -> int:
     rs = sub.add_parser("restore")
     rs.add_argument("--snapshot", required=True)
     rs.add_argument("--index", required=True)
+
+    al = sub.add_parser("alias")
+    al.add_argument("--index", required=True)
+    al.add_argument("--op", required=True,
+                    choices=["put", "delete", "list", "search"])
+    al.add_argument("--name")
+    al.add_argument("--filter", help="filter-context spec as JSON")
+    al.add_argument("--query", action="append", default=[],
+                    help="qid=text (repeatable, search op)")
+    al.add_argument("--k", type=int, default=10)
+
+    vc = sub.add_parser("vacuum")
+    vc.add_argument("--index", required=True)
+    vc.add_argument("--keep", type=int, default=1)
+
+    mg = sub.add_parser("mget")
+    mg.add_argument("--index", required=True)
+    mg.add_argument("--key", action="append", required=True,
+                    help="comma-joined composite key (repeatable)")
+
+    ct = sub.add_parser("count")
+    ct.add_argument("--index", required=True)
+    ct.add_argument("--query", action="append", required=True,
+                    help="qid=text (repeatable)")
 
     sy = sub.add_parser("synth")
     sy.add_argument("--out", default="/tmp/ojr_synth")
@@ -327,6 +356,48 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(json.dumps(restore_index(args.snapshot, args.index)))
             return 0
+        elif args.cmd == "alias":
+            from opensearch_jvector_ray.aliases import (
+                delete_alias, get_aliases, put_alias, search_alias,
+            )
+            if args.op == "put":
+                spec = json.loads(args.filter) if args.filter else None
+                put_alias(args.index, args.name, spec)
+                print(json.dumps({"put": args.name}))
+            elif args.op == "delete":
+                delete_alias(args.index, args.name)
+                print(json.dumps({"deleted": args.name}))
+            elif args.op == "list":
+                print(json.dumps(get_aliases(args.index)))
+            else:
+                qs = dict(q.split("=", 1) for q in args.query)
+                print(search_alias(args.index, args.name, qs,
+                                   k=args.k).to_string(index=False))
+        elif args.cmd == "vacuum":
+            from opensearch_jvector_ray.state.manifest import (
+                vacuum_dictionary,
+            )
+            print(json.dumps(
+                {"dropped": vacuum_dictionary(args.index,
+                                              keep=args.keep)}))
+        elif args.cmd == "mget":
+            from opensearch_jvector_ray.query import IndexSearcher
+            s_ = IndexSearcher(args.index)
+            keys = []
+            for k in args.key:
+                parts = k.split(",")
+                typed = []
+                for p, kc in zip(parts, s_.key_cols):
+                    typed.append(int(p) if p.lstrip("-").isdigit()
+                                 else p)
+                keys.append(tuple(typed) if len(typed) > 1
+                            else typed[0])
+            print(s_.mget(keys).to_string(index=False))
+        elif args.cmd == "count":
+            from opensearch_jvector_ray.query import IndexSearcher
+            qs = dict(q.split("=", 1) for q in args.query)
+            print(IndexSearcher(args.index).count(qs)
+                  .to_string(index=False))
         elif args.cmd == "synth":
             from opensearch_jvector_ray.synth import synth_parquet
             path = synth_parquet(args.convs, root=args.out)
