@@ -1512,6 +1512,41 @@ ORDER BY doc_id
 """
 
 
+SEARCH_PIPELINE_SPEC = {
+    "request": [
+        {"filter_query": {"filter": {"terms": {"lang": ["en", "fr"]}}}},
+        {"oversample": {"factor": 2.0}},
+    ],
+    "response": [
+        {"truncate_hits": {"size": 5}},
+        {"rename_field": {"field": "doc_id", "target_field": "id"}},
+    ],
+}
+
+
+def _q_search_pipeline(sf_dir: str) -> pd.DataFrame:
+    # search pipeline (OpenSearch search-pipeline processors): request
+    # side ANDs a filter + oversamples k, response side truncates and
+    # renames — oracle = filtered BM25 top-5 with the renamed id column
+    from opensearch_jvector_ray.search_pipeline import (
+        compile_search_pipeline, run_search,
+    )
+    s = IndexSearcher(documents_index(sf_dir))
+    out = run_search(s, BM25_QUERIES, BM25_K,
+                     compile_search_pipeline(SEARCH_PIPELINE_SPEC))
+    out = out.copy()
+    out["score"] = np.round(out["score"].astype(np.float64), 6)
+    return out
+
+
+def _search_pipeline_oracle() -> str:
+    inner = bm25_sql(BM25_QUERIES, 5, CFG,
+                     filter_sql=filter_spec_sql(
+                         {"terms": {"lang": ["en", "fr"]}}))
+    return (f"SELECT query_id, rank, doc_id AS id, score "
+            f"FROM ({inner}) ORDER BY query_id, rank")
+
+
 TL_DOC_ID = 7            # terms-lookup source document
 
 
@@ -3365,6 +3400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversation_validate": _q_conversation_validate,
         "response_latency": _q_response_latency,
         "percolate_filtered": _q_percolate_filtered,
+        "search_pipeline": _q_search_pipeline,
         "conversations_bm25": _q_conversations_bm25,
         "turn_dedup": _q_turn_dedup,
         "tool_usage_stats": _q_tool_usage,
@@ -3819,6 +3855,7 @@ def oracle_sql() -> dict[str, str]:
         "response_latency": response_latency_sql(_transcript_arms()),
         "percolate_filtered": percolate_filtered_sql(
             PERC_FILTERED_Q, PERC_FILTERED_F, CFG),
+        "search_pipeline": _search_pipeline_oracle(),
         "alias_search": bm25_sql(BM25_QUERIES, BM25_K, CFG,
                                  filter_sql=filter_spec_sql(
                                      ALIAS_FILTER_SPEC)),

@@ -487,6 +487,49 @@ def test_approx_terms_agg_matches_exact_on_low_cardinality(idx):
     assert approx["guaranteed"].all() or len(a) <= 1
 
 
+def test_search_pipeline_processors(idx):
+    from opensearch_jvector_ray.query_dsl import compile_filter
+    from opensearch_jvector_ray.search_pipeline import (
+        compile_search_pipeline, run_search,
+    )
+    s = IndexSearcher(idx)
+    pipe = compile_search_pipeline({
+        "request": [{"filter_query":
+                     {"filter": {"terms": {"role": ["assistant"]}}}},
+                    {"oversample": {"factor": 2.0}}],
+        "response": [{"truncate_hits": {"size": 3}},
+                     {"rename_field": {"field": "score",
+                                       "target_field": "relevance"}}],
+    })
+    out = run_search(s, {"q": "tool call"}, 6, pipe)
+    manual = s.search({"q": "tool call"}, k=12,
+                      filter=compile_filter(
+                          {"terms": {"role": ["assistant"]}}))
+    manual = manual.groupby("query_id", sort=False).head(3) \
+        .reset_index(drop=True)
+    manual["rank"] = manual.groupby("query_id", sort=False) \
+        .cumcount() + 1
+    manual = manual.rename(columns={"score": "relevance"})
+    pd.testing.assert_frame_equal(out, manual)
+    # collapse keeps the best hit per value
+    pipe2 = compile_search_pipeline(
+        {"response": [{"collapse": {"field": "conv_id"}}]})
+    c = run_search(s, {"q": "tool call"}, 10, pipe2)
+    assert c.groupby(["query_id", "conv_id"]).size().max() == 1
+    # strict validation
+    for bad in ({}, {"request": [{"nope": {}}]},
+                {"request": [{"oversample": {"factor": 0.5}}]},
+                {"response": [{"truncate_hits": {"size": 0}}]},
+                {"request": [{"filter_query": {"filter":
+                                               {"bogus": {}}}}]}):
+        with pytest.raises(ValueError):
+            compile_search_pipeline(bad)
+    with pytest.raises(ValueError, match="filter"):
+        run_search(s, {"q": "x"}, 5, pipe,
+                   filter=compile_filter(
+                       {"terms": {"role": ["user"]}}))
+
+
 def test_new_dsl_clauses_identity(idx):
     """Each round-15 DSL clause routes to its engine method with
     frame identity."""
