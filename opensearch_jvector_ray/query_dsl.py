@@ -1870,3 +1870,19 @@ def execute_query(body: dict[str, Any], *, searcher=None, vector_ds=None,
                             filter_expr=filter_expr,
                             min_score=spec["min_score"],
                             max_distance=spec["max_distance"])
+
+
+def validate_query(body: "dict[str, Any]") -> "dict[str, Any]":
+    """_validate/query API [OpenSearch validate public semantics,
+    explain=true form]: strict-parse a query body WITHOUT executing it;
+    returns {"valid": bool, "explanation": normalized spec | error
+    text}.  Parsing is the same eager path every execute_query call
+    takes, so valid=True here means the body will not fail validation
+    at search time."""
+    try:
+        spec = parse_query(body)
+    except (ValueError, TypeError, KeyError) as e:
+        return {"valid": False, "explanation": str(e)}
+    safe = {k: (v.tolist() if hasattr(v, "tolist") else v)
+            for k, v in spec.items()}
+    return {"valid": True, "explanation": safe}

@@ -487,6 +487,16 @@ def test_approx_terms_agg_matches_exact_on_low_cardinality(idx):
     assert approx["guaranteed"].all() or len(a) <= 1
 
 
+def test_validate_query_api():
+    from opensearch_jvector_ray.query_dsl import validate_query
+    ok = validate_query({"match": {"query": "alpha beta", "k": 5}})
+    assert ok["valid"] and ok["explanation"]["type"] == "match"
+    bad = validate_query({"match": {"query": ""}})
+    assert not bad["valid"] and "query" in bad["explanation"]
+    bad2 = validate_query({"nope": {}})
+    assert not bad2["valid"] and "unknown query clause" in         bad2["explanation"]
+
+
 def test_search_pipeline_processors(idx):
     from opensearch_jvector_ray.query_dsl import compile_filter
     from opensearch_jvector_ray.search_pipeline import (
