@@ -1534,9 +1534,7 @@ def _q_search_pipeline(sf_dir: str) -> pd.DataFrame:
     s = IndexSearcher(documents_index(sf_dir))
     out = run_search(s, BM25_QUERIES, BM25_K,
                      compile_search_pipeline(SEARCH_PIPELINE_SPEC))
-    out = out.copy()
-    out["score"] = np.round(out["score"].astype(np.float64), 6)
-    return out
+    return _round_hits(out)
 
 
 def _search_pipeline_oracle() -> str:

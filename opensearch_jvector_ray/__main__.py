@@ -360,6 +360,10 @@ def main(argv: list[str] | None = None) -> int:
             from opensearch_jvector_ray.aliases import (
                 delete_alias, get_aliases, put_alias, search_alias,
             )
+            if args.op in ("put", "delete", "search") and not args.name:
+                p.error(f"alias --op {args.op} needs --name")
+            if args.op == "search" and not args.query:
+                p.error("alias --op search needs --query qid=text")
             if args.op == "put":
                 spec = json.loads(args.filter) if args.filter else None
                 put_alias(args.index, args.name, spec)
@@ -381,15 +385,28 @@ def main(argv: list[str] | None = None) -> int:
                 {"dropped": vacuum_dictionary(args.index,
                                               keep=args.keep)}))
         elif args.cmd == "mget":
+            import os as _os
+
+            import pyarrow as _pa
+            import pyarrow.parquet as _pq
+
             from opensearch_jvector_ray.query import IndexSearcher
+            from opensearch_jvector_ray.state.manifest import DOCS_NAME
             s_ = IndexSearcher(args.index)
+            # type key parts by the INDEX's key-column schema (a digit
+            # heuristic would coerce digit-like string keys like
+            # '0042' to int and miss the doc); arity is enforced
+            schema = _pq.read_schema(
+                _os.path.join(s_.seg_dirs[0], DOCS_NAME))
+            ktypes = [schema.field(kc).type for kc in s_.key_cols]
             keys = []
             for k in args.key:
                 parts = k.split(",")
-                typed = []
-                for p, kc in zip(parts, s_.key_cols):
-                    typed.append(int(p) if p.lstrip("-").isdigit()
-                                 else p)
+                if len(parts) != len(s_.key_cols):
+                    p.error(f"--key {k!r} has {len(parts)} parts; the "
+                            f"index key is {list(s_.key_cols)}")
+                typed = [int(v) if _pa.types.is_integer(t) else v
+                         for v, t in zip(parts, ktypes)]
                 keys.append(tuple(typed) if len(typed) > 1
                             else typed[0])
             print(s_.mget(keys).to_string(index=False))

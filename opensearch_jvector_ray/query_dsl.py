@@ -844,8 +844,10 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
         # {"mget": {"keys": [[k1, k2], ...]}} — stored-field fetch
         _require_known(clause, spec, {"keys"})
         keys = spec.get("keys")
-        if not isinstance(keys, list) or not keys:
-            raise ValueError("[mget] needs a non-empty 'keys' list")
+        if not isinstance(keys, list) or not keys or any(
+                isinstance(k, (list, tuple)) and not k for k in keys):
+            raise ValueError("[mget] needs a non-empty 'keys' list of "
+                             "non-empty keys")
         return {"type": "mget",
                 "keys": [tuple(k) if isinstance(k, (list, tuple))
                          else k for k in keys]}
@@ -877,8 +879,12 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
         if not isinstance(spec.get("field"), str) or not spec["field"]:
             raise ValueError("[percentiles_approx] needs a 'field'")
         ps = spec.get("percents")
-        if not isinstance(ps, list) or not ps:
-            raise ValueError("[percentiles_approx] needs 'percents'")
+        if not isinstance(ps, list) or not ps or any(
+                not (0.0 < float(q_) <= 1.0) for q_ in ps):
+            raise ValueError("[percentiles_approx] needs 'percents' as "
+                             "fractions in (0, 1] — the search-time "
+                             "rule, checked here so validate_query's "
+                             "valid=True holds at execution")
         return {"type": "percentiles_approx", "query": spec["query"],
                 "field": spec["field"],
                 "percents": [float(p) for p in ps],
@@ -892,11 +898,15 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
             raise ValueError("[terms_approx] needs a 'query'")
         if not isinstance(spec.get("field"), str) or not spec["field"]:
             raise ValueError("[terms_approx] needs a 'field'")
+        size_ = int(spec.get("size", 10))
+        cap_ = int(spec.get("capacity", 1024))
+        if size_ < 1 or cap_ < 1:
+            raise ValueError("[terms_approx] size and capacity must "
+                             "be >= 1")
         return {"type": "terms_approx", "query": spec["query"],
-                "field": spec["field"],
-                "size": int(spec.get("size", 10)),
+                "field": spec["field"], "size": size_,
                 "min_score": float(spec.get("min_score", 0.0)),
-                "capacity": int(spec.get("capacity", 1024))}
+                "capacity": cap_}
     if clause == "geo_distance":
         # {"geo_distance": {"lat": .., "lon": .., "k": 10,
         #                   "radius_km": ..}} over a coords Dataset
@@ -905,6 +915,8 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
         for f in ("lat", "lon"):
             if not isinstance(spec.get(f), (int, float)):
                 raise ValueError(f"[geo_distance] needs numeric {f!r}")
+        if int(spec.get("k", 10)) < 1:
+            raise ValueError("[geo_distance] k must be >= 1")
         return {"type": "geo_distance",
                 "lat": float(spec["lat"]), "lon": float(spec["lon"]),
                 "k": int(spec.get("k", 10)),
@@ -1268,7 +1280,9 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
                 "max_distance": spec.get("max_distance"),
                 "filter": flt}
     raise ValueError(f"unknown query clause {clause!r} (supported: "
-                     f"match, bool, knn, sparse_vector, "
+                     f"match, bool, knn, sparse_vector, count, mget, "
+                     f"field_stats, children_agg, percentiles_approx, "
+                     f"terms_approx, geo_distance, "
                      f"more_like_this, prefix, fuzzy, "
                      f"facets, stats_agg, histogram, range_agg, "
                      f"date_histogram, auto_date_histogram, top_hits, "

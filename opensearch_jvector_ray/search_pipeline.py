@@ -43,7 +43,11 @@ def compile_search_pipeline(spec: "dict[str, Any]") -> dict:
                          "'response' processor lists")
     out = {"request": [], "response": []}
     for side, known in (("request", _REQUEST), ("response", _RESPONSE)):
-        for p in spec.get(side, []):
+        procs = spec.get(side, [])
+        if not isinstance(procs, list):
+            raise ValueError(f"'{side}' must be a processor LIST, "
+                             f"got {type(procs).__name__}")
+        for p in procs:
             if not isinstance(p, dict) or len(p) != 1:
                 raise ValueError(f"each {side} processor must be a "
                                  f"one-key object, got {p!r}")
@@ -59,10 +63,18 @@ def compile_search_pipeline(spec: "dict[str, Any]") -> dict:
                     compile_filter,
                 )
                 compile_filter(body["filter"])    # eager validation
-            if name == "oversample" and float(body["factor"]) < 1.0:
+            if name == "oversample" and \
+                    not (float(body["factor"]) >= 1.0):
+                # 'not >=' also rejects NaN (all NaN comparisons are
+                # False) — a NaN factor would crash inside run_search
                 raise ValueError("[oversample] factor must be >= 1")
             if name == "truncate_hits" and int(body["size"]) < 1:
                 raise ValueError("[truncate_hits] size must be >= 1")
+            if name == "rename_field" and body["field"] in (
+                    "query_id", "rank"):
+                # structural columns later processors groupby on
+                raise ValueError("[rename_field] cannot rename the "
+                                 "structural query_id/rank columns")
             out[side].append((name, dict(body)))
     return out
 

@@ -529,7 +529,12 @@ def test_search_pipeline_processors(idx):
     # strict validation
     for bad in ({}, {"request": [{"nope": {}}]},
                 {"request": [{"oversample": {"factor": 0.5}}]},
+                {"request": [{"oversample": {"factor": float("nan")}}]},
+                {"request": None},
                 {"response": [{"truncate_hits": {"size": 0}}]},
+                {"response": [{"rename_field":
+                               {"field": "query_id",
+                                "target_field": "qid"}}]},
                 {"request": [{"filter_query": {"filter":
                                                {"bogus": {}}}}]}):
         with pytest.raises(ValueError):
