@@ -1672,6 +1672,21 @@ def _q_bpe_train(sf_dir: str) -> pd.DataFrame:
     return bpe_train(ds, num_merges=25, text_col="text")
 
 
+def _q_bpe_encode(sf_dir: str) -> pd.DataFrame:
+    # tokenizer-apply: encode the corpus with the merges bpe_train fit
+    # on it (rank-greedy application; distinct-token-bounded work) —
+    # rows-only: iterative like bpe_train; the reference-pinned pytest
+    # covers the application rule
+    from opensearch_jvector_ray.pipelines.corpus import (
+        bpe_encode, bpe_train,
+    )
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    merges = bpe_train(ds, num_merges=25, text_col="text")
+    out = bpe_encode(ds, merges).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 INGEST_PIPELINE = [
     {"gsub": {"field": "text", "pattern": "[0-9]+",
               "replacement": "#"}},
@@ -3306,6 +3321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "children_agg": _q_children_agg,
         "ingest_simulate": _q_ingest_simulate,
         "bpe_train": _q_bpe_train,
+        "bpe_encode": _q_bpe_encode,
         "count_api": _q_count_api,
         "alias_search": _q_alias_search,
         "tdigest_percentiles": _q_tdigest_percentiles,

@@ -500,3 +500,69 @@ def bpe_train(ds: "rd.Dataset", num_merges: int,
     return pd.DataFrame(merges, columns=["merge_idx", "left", "right",
                                          "cnt"]).astype(
         {"merge_idx": np.int64, "cnt": np.int64})
+
+
+def bpe_encode(ds: "rd.Dataset", merges, id_col: str = "doc_id",
+               text_col: str = "text", *,
+               pattern: str | None = None) -> "rd.Dataset":
+    """Apply a trained BPE merge list (``bpe_train``'s output order) to
+    a corpus and return per-doc encoded-token counts — the budget
+    metric a data pipeline slices on after fitting a tokenizer
+    [Sennrich et al. 2016 apply step; GPT-2 rank-greedy application:
+    repeatedly fuse the LOWEST-RANK adjacent pair].
+
+    Per batch: pre-tokens via ONE findall, np.unique collapses to
+    DISTINCT tokens, each distinct token is encoded ONCE (the merge
+    loop is bounded by distinct-token count x token length, never
+    corpus size), and counts map back to docs with one searchsorted
+    gather.  The merge table broadcasts once per task (fn_kwargs).
+    Output: (id_col, n_bpe_tokens int64)."""
+    import re as _re
+
+    from opensearch_jvector_ray.pipelines.textstats import BPE_PATTERN
+    if hasattr(merges, "itertuples"):      # bpe_train DataFrame
+        ranks = {(r.left, r.right): i
+                 for i, r in enumerate(merges.itertuples(index=False))}
+    else:
+        ranks = {(la, rb): i for i, (la, rb) in enumerate(merges)}
+    pat_s = pattern if pattern is not None else BPE_PATTERN
+
+    def encode_len(tok: str) -> int:
+        word = list(tok)
+        while len(word) > 1:
+            best, bi = None, -1
+            for i, pair in enumerate(zip(word, word[1:])):
+                r = ranks.get(pair)
+                if r is not None and (best is None or r < best):
+                    best, bi = r, i
+            if best is None:
+                break
+            word[bi:bi + 2] = [word[bi] + word[bi + 1]]
+        return len(word)
+
+    def apply(batch: pa.Table) -> pa.Table:
+        pat = _re.compile(pat_s)
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        vals = texts.to_pylist()
+        per_doc = np.zeros(batch.num_rows, dtype=np.int64)
+        all_toks: list[str] = []
+        doc_of: list[int] = []
+        for i, t in enumerate(vals):
+            if t is None:
+                continue
+            toks = pat.findall(t)
+            all_toks.extend(toks)
+            doc_of.extend([i] * len(toks))
+        if all_toks:
+            arr = np.asarray(all_toks, dtype=object)
+            uniq, inv = np.unique(arr, return_inverse=True)
+            lens = np.fromiter((encode_len(u) for u in uniq),
+                               dtype=np.int64, count=len(uniq))
+            np.add.at(per_doc, np.asarray(doc_of), lens[inv])
+        return pa.table({id_col: batch[id_col],
+                         "n_bpe_tokens": pa.array(per_doc)})
+
+    return (ds.select_columns([id_col, text_col])
+              .map_batches(apply, batch_format="pyarrow"))

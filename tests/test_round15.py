@@ -844,6 +844,45 @@ def test_bpe_train_caps_are_deterministic():
         capped.loc[0, ["left", "right"]].tolist()
 
 
+def test_bpe_encode_applies_trained_merges():
+    from opensearch_jvector_ray.pipelines.corpus import (
+        bpe_encode, bpe_train,
+    )
+    texts = ["the the the cat cat sat", "thence thesis other cats"]
+    tbl = pa.table({"doc_id": [1, 2], "text": texts})
+    merges = bpe_train(rd.from_arrow(tbl), num_merges=8)
+    out = bpe_encode(rd.from_arrow(tbl), merges).to_pandas() \
+        .set_index("doc_id")
+    # naive rank-greedy reference per pre-token
+    import re
+
+    from opensearch_jvector_ray.pipelines.textstats import BPE_PATTERN
+    ranks = {(r.left, r.right): i
+             for i, r in enumerate(merges.itertuples(index=False))}
+
+    def ref_len(tok):
+        w = list(tok)
+        while len(w) > 1:
+            cands = [(ranks[p], i) for i, p in enumerate(zip(w, w[1:]))
+                     if p in ranks]
+            if not cands:
+                break
+            _, i = min(cands)
+            w[i:i + 2] = [w[i] + w[i + 1]]
+        return len(w)
+
+    for did, t in zip([1, 2], texts):
+        gold = sum(ref_len(tok) for tok in re.findall(BPE_PATTERN, t))
+        assert out.loc[did, "n_bpe_tokens"] == gold
+    # merges strictly compress vs character count
+    charlen = sum(len(tok) for tok in re.findall(BPE_PATTERN, texts[0]))
+    assert out.loc[1, "n_bpe_tokens"] < charlen
+    # no merges = character-level encoding
+    none = bpe_encode(rd.from_arrow(tbl), []).to_pandas() \
+        .set_index("doc_id")
+    assert none.loc[1, "n_bpe_tokens"] == charlen
+
+
 def test_ingest_pipeline_chain_and_validation():
     from opensearch_jvector_ray.pipelines.ingest import (
         compile_pipeline, simulate,
