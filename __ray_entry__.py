@@ -869,6 +869,22 @@ RANK_FEATURE_SPEC = {"kind": "saturation", "field": "n_chars",
                      "pivot": 500.0, "boost": 0.8}
 DIST_FEATURE_SPEC = {"kind": "distance", "field": "n_chars",
                      "origin": 600.0, "pivot": 150.0, "boost": 1.5}
+# rank_features (plural): contributions summed in LIST order on both
+# sides (engine sequential accumulation == SQL left-assoc '+')
+RANK_FEATURES_SPEC = {"kind": "sum", "features": [
+    {"kind": "saturation", "field": "n_chars", "pivot": 500.0,
+     "boost": 0.5},
+    {"kind": "distance", "field": "n_chars", "origin": 800.0,
+     "pivot": 100.0, "boost": 0.3},
+]}
+
+
+def _q_bm25_rank_features(sf_dir: str) -> pd.DataFrame:
+    # rank_features (multi-feature additive): two per-doc feature
+    # contributions summed in list order, added to the BM25 sum
+    s = IndexSearcher(documents_index(sf_dir))
+    return _round_hits(s.search(BM25_QUERIES, k=BM25_K,
+                                rank_feature=RANK_FEATURES_SPEC))
 # pinned ids: 999999 exists at no scale (exercises the existence
 # probe); 7/123 exist at every scale; q4 reorders q1's pins
 PINNED_IDS = {"q1": [7, 123, 999999], "q2": [42], "q4": [123, 7]}
@@ -3249,6 +3265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_sorted": _q_bm25_sorted,
         "bm25_function_score": _q_bm25_function_score,
         "bm25_rank_feature": _q_bm25_rank_feature,
+        "bm25_rank_features": _q_bm25_rank_features,
         "bm25_distance_feature": _q_bm25_distance_feature,
         "bm25_pinned": _q_bm25_pinned,
         "bm25_terms_set": _q_bm25_terms_set,
@@ -3826,6 +3843,11 @@ def oracle_sql() -> dict[str, str]:
         "bm25_rank_feature": bm25_sql(
             BM25_QUERIES, BM25_K, CFG,
             score_add_sql=rank_feature_add_sql(RANK_FEATURE_SPEC)),
+        "bm25_rank_features": bm25_sql(
+            BM25_QUERIES, BM25_K, CFG,
+            score_add_sql=" + ".join(
+                f"({rank_feature_add_sql(f)})"
+                for f in RANK_FEATURES_SPEC["features"])),
         "bm25_distance_feature": bm25_sql(
             BM25_QUERIES, BM25_K, CFG,
             score_add_sql=rank_feature_add_sql(DIST_FEATURE_SPEC)),

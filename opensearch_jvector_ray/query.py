@@ -1011,6 +1011,21 @@ def _doc_addend(docs: pa.Table, spec: dict) -> np.ndarray:
     Both forms are division/multiply chains of IEEE doubles — bit-exact
     between numpy and the generated SQL (no libm)."""
     kind = spec["kind"]
+    if kind == "sum":
+        # rank_features (plural) [OpenSearch rank_features field public
+        # semantics]: multiple per-doc feature contributions summed in
+        # LIST ORDER (sequential accumulation — the pinned-summation
+        # rule; the oracle's left-associative '+' chain matches)
+        feats = spec.get("features")
+        if not isinstance(feats, list) or not feats:
+            raise ValueError("rank_features sum needs a non-empty "
+                             "'features' list")
+        if any(f.get("kind") == "sum" for f in feats):
+            raise ValueError("rank_features cannot nest")
+        out = _doc_addend(docs, feats[0])
+        for f in feats[1:]:
+            out = out + _doc_addend(docs, f)
+        return out
     v = _field_as_float(docs, spec["field"])
     boost = float(spec.get("boost", 1.0))
     if boost <= 0:

@@ -487,6 +487,38 @@ def test_approx_terms_agg_matches_exact_on_low_cardinality(idx):
     assert approx["guaranteed"].all() or len(a) <= 1
 
 
+def test_rank_features_sum_order_and_validation(idx):
+    s = IndexSearcher(idx)
+    spec = {"kind": "sum", "features": [
+        {"kind": "saturation", "field": "doc_len", "pivot": 10.0,
+         "boost": 0.5},
+        {"kind": "distance", "field": "turn_idx", "origin": 2.0,
+         "pivot": 1.0, "boost": 0.25},
+    ]}
+    out = s.search({"q": "tool call"}, k=8, rank_feature=spec)
+    base = s.search({"q": "tool call"}, min_score=1e-12)  # all matches
+    f1 = s.search({"q": "tool call"}, k=50,
+                  rank_feature=spec["features"][0])
+    # the summed addend equals applying each feature's delta: check one
+    # hit's score = base + d1 + d2 computed from stored fields
+    fields = s._fetch_doc_fields(out).set_index(["conv_id",
+                                                 "turn_idx"])
+    bmap = {(r.conv_id, r.turn_idx): r.score for r in base.itertuples()}
+    for r in out.itertuples():
+        dl = float(fields.loc[(r.conv_id, r.turn_idx), "doc_len"])
+        d1 = 0.5 * (dl / (dl + 10.0))
+        d2 = 0.25 * (1.0 / (1.0 + abs(float(r.turn_idx) - 2.0)))
+        assert abs(r.score - (bmap[(r.conv_id, r.turn_idx)]
+                              + d1 + d2)) < 1e-9
+    assert not f1.equals(out)
+    with pytest.raises(ValueError, match="nest"):
+        s.search({"q": "tool"}, k=3, rank_feature={
+            "kind": "sum", "features": [spec]})
+    with pytest.raises(ValueError, match="features"):
+        s.search({"q": "tool"}, k=3, rank_feature={
+            "kind": "sum", "features": []})
+
+
 def test_validate_query_api():
     from opensearch_jvector_ray.query_dsl import validate_query
     ok = validate_query({"match": {"query": "alpha beta", "k": 5}})
