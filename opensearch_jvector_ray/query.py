@@ -2506,6 +2506,22 @@ def _docs_stats_task(batch: pa.Table, field: str) -> pa.Table:
                      for k, vv in rows.items()})
 
 
+def _mget_task(batch: pa.Table, flt) -> pa.Table:
+    """Pushed-down sidecar read for mget's many-segment fan-out: only
+    rows matching the key filter leave the task (result-sized)."""
+    parts = []
+    schema = None
+    for d in batch["seg_dir"].to_pylist():
+        t = pq.read_table(os.path.join(d, DOCS_NAME), filters=flt)
+        schema = t.schema
+        if t.num_rows:
+            parts.append(t)
+    if not parts:
+        # schema-stable empty output (block schemas must agree)
+        return schema.empty_table() if schema is not None             else pa.table({})
+    return pa.concat_tables(parts)
+
+
 def _field_stats_task(batch: pa.Table, fields: list[str]) -> pa.Table:
     """Per-segment field-stats partial: for each requested stored field,
     (type name, non-null count, min/max) — numerics also ship float64
@@ -4303,11 +4319,27 @@ class IndexSearcher:
             return pd.DataFrame()
         key0 = self.key_cols[0]
         flt = [(key0, "in", sorted({k[0] for k in norm}))]
-        parts = []
-        for d in self.seg_dirs:
-            t = pq.read_table(os.path.join(d, DOCS_NAME), filters=flt)
-            if t.num_rows:
-                parts.append(t.to_pandas())
+        if len(self.seg_dirs) > 16:
+            # many segments: fan the pushed-down reads out as Ray tasks
+            # (a driver-serial loop would pay O(segments) read latency —
+            # the 100k-segment shape); each task returns only matching
+            # rows, so the gather is result-sized
+            seg_ds = rd.from_items([{"seg_dir": d}
+                                    for d in self.seg_dirs])
+            out_t = seg_ds.map_batches(_mget_task,
+                                       fn_kwargs={"flt": flt},
+                                       batch_format="pyarrow",
+                                       batch_size=1)
+            parts = [b.to_pandas() for b in
+                     out_t.iter_batches(batch_format="pyarrow")
+                     if b.num_rows]
+        else:
+            parts = []
+            for d in self.seg_dirs:
+                t = pq.read_table(os.path.join(d, DOCS_NAME),
+                                  filters=flt)
+                if t.num_rows:
+                    parts.append(t.to_pandas())
         req = pd.DataFrame(norm, columns=list(self.key_cols))
         req["__order"] = np.arange(len(req), dtype=np.int64)
         if parts:

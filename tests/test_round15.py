@@ -155,6 +155,21 @@ def test_mget_requested_order_and_found_flag(idx):
         pd.isna(out.loc[1, "doc_len"])
 
 
+def test_mget_many_segment_fanout(tmp_path):
+    """>16 segments takes the Ray-task fan-out path (driver-serial
+    reads would pay O(segments) latency); results identical."""
+    d = str(tmp_path / "many")
+    build_index(rd.from_arrow(generate_conversations(np.arange(300))),
+                d, EngineConfig(num_segments=20), IndexSpec())
+    s = IndexSearcher(d)
+    assert len(s.seg_dirs) > 16
+    keys = [("conv-0000002", 1), ("conv-9999999", 0),
+            ("conv-0000000", 0)]
+    out = s.mget(keys)
+    assert out["found"].tolist() == [True, False, True]
+    assert list(zip(out["conv_id"], out["turn_idx"])) == keys
+
+
 def test_field_stats_matches_brute_force(idx):
     s = IndexSearcher(idx)
     out = s.field_stats(["role", "doc_len"]).set_index("field")
