@@ -70,6 +70,7 @@ from opensearch_jvector_ray.oracles import (
     token_count_sql, conversation_sql, turn_dedup_sql, lm_xent_sql,
     context_pairs_sql, validate_conversations_sql,
     response_latency_sql,
+    tool_transitions_sql,
     lm_xent_transfer_sql,
     dsir_weights_sql,
     sparse_vector_sql,
@@ -3047,6 +3048,17 @@ def _q_conversation_validate(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("conv_id").reset_index(drop=True)
 
 
+def _q_tool_transitions(sf_dir: str) -> pd.DataFrame:
+    # tool-transition matrix: (prev_tool -> tool) counts over each
+    # conversation's tool-bearing turn subsequence (skip rule shared
+    # with the oracle's filtered lag window)
+    from opensearch_jvector_ray.sources.tables import transcripts_path
+    ds = rd.read_parquet(transcripts_path(sf_dir))
+    out = tr_pl.tool_transitions(ds).to_pandas()
+    out["n_transitions"] = out["n_transitions"].astype(np.int64)
+    return out.sort_values(["prev_tool", "tool"])         .reset_index(drop=True)
+
+
 def _q_response_latency(sf_dir: str) -> pd.DataFrame:
     # per-response latency: ts delta from the preceding user turn (one
     # conv_id shuffle + shifted diff; exact integer microseconds)
@@ -3430,6 +3442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "response_novelty": _q_response_novelty,
         "conversation_validate": _q_conversation_validate,
         "response_latency": _q_response_latency,
+        "tool_transitions": _q_tool_transitions,
         "percolate_filtered": _q_percolate_filtered,
         "search_pipeline": _q_search_pipeline,
         "conversations_bm25": _q_conversations_bm25,
@@ -3889,6 +3902,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup": _incremental_dedup_oracle(),
         "rollover_search": _rollover_oracle(),
         "response_latency": response_latency_sql(_transcript_arms()),
+        "tool_transitions": tool_transitions_sql(_transcript_arms()),
         "percolate_filtered": percolate_filtered_sql(
             PERC_FILTERED_Q, PERC_FILTERED_F, CFG),
         "search_pipeline": _search_pipeline_oracle(),

@@ -5526,3 +5526,25 @@ SELECT {id_col}, query_id FROM (
 )
 ORDER BY {id_col}, query_id
 """
+
+
+def tool_transitions_sql(arms: "list[tuple[str, int]]") -> str:
+    """Oracle for transcripts.tool_transitions: lag over the
+    tool-bearing subsequence per conversation (non-tool turns are
+    SKIPPED, not chain breaks — the filtered-window rule), counts per
+    (prev_tool, tool)."""
+    cte = transcripts_arms_cte(arms, "conv_id, turn_idx, tool")
+    return f"""
+WITH {cte},
+toolseq AS (
+  SELECT conv_id, turn_idx, tool,
+         lag(tool) OVER (PARTITION BY conv_id
+                         ORDER BY turn_idx) AS prev_tool
+  FROM transcripts
+  WHERE tool IS NOT NULL AND tool <> ''
+)
+SELECT prev_tool, tool, count(*)::BIGINT AS n_transitions
+FROM toolseq WHERE prev_tool IS NOT NULL
+GROUP BY prev_tool, tool
+ORDER BY prev_tool, tool
+"""

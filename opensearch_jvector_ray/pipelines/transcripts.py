@@ -450,3 +450,48 @@ def response_latency(ds: "rd.Dataset",
 
     prepped = ds.select_columns(["conv_id", "turn_idx", "role", "ts"])
     return hash_copartition(prepped, "conv_id", bucket, num_parts)
+
+
+def tool_transitions(ds: "rd.Dataset",
+                     num_parts: int = 64) -> "rd.Dataset":
+    """Tool-transition matrix (agent-trajectory analytics): counts of
+    (prev_tool -> tool) transitions over consecutive TOOL-BEARING turns
+    within each conversation — the "which tool follows which" signal an
+    agent-pipeline curriculum or router slices on.  Turns without a
+    tool ('' sentinel or NULL) are skipped, not transition breaks: the
+    chain runs over the conversation's tool-bearing subsequence (the
+    lag-over-filtered-window rule the oracle shares).
+
+    ONE conv_id shuffle; per bucket a lexsort + one shifted compare;
+    per-bucket output is transition-pair-bounded (tools x tools), and
+    ONE tiny groupby merges bucket partials.  Returns
+    (prev_tool, tool, n_transitions)."""
+    from ray.data.aggregate import Sum
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["tool"].notna() & (df["tool"] != "")
+        df = df[m]
+        if df.empty:
+            return pd.DataFrame({"prev_tool": pd.Series(dtype=object),
+                                 "tool": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype=np.int64)})
+        conv = df["conv_id"].to_numpy()
+        order = np.lexsort((df["turn_idx"].to_numpy(), conv))
+        conv = conv[order]
+        tool = df["tool"].to_numpy()[order]
+        same = np.zeros(len(conv), dtype=bool)
+        same[1:] = conv[1:] == conv[:-1]
+        prev = np.empty_like(tool)
+        prev[1:] = tool[:-1]
+        keep = same
+        out = pd.DataFrame({"prev_tool": prev[keep],
+                            "tool": tool[keep]})
+        g = out.groupby(["prev_tool", "tool"], sort=False) \
+            .size().rename("n").reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    prepped = ds.select_columns(["conv_id", "turn_idx", "tool"])
+    partials = hash_copartition(prepped, "conv_id", bucket, num_parts)
+    return (partials.groupby(["prev_tool", "tool"])
+                    .aggregate(Sum("n", alias_name="n_transitions")))

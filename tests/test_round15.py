@@ -419,6 +419,25 @@ def test_null_text_rows_survive_corpus_and_dedup_paths():
     assert sorted(out["doc_id"]) == [1, 2, 3]   # NULL text kept
 
 
+def test_tool_transitions_skip_rule():
+    from opensearch_jvector_ray.pipelines.transcripts import (
+        tool_transitions,
+    )
+    tbl = pa.table({
+        "conv_id": ["a"] * 5 + ["b"] * 2,
+        "turn_idx": [0, 1, 2, 3, 4, 0, 1],
+        "tool": ["s", "", "g", None, "s", "g", "g"],
+    })
+    out = tool_transitions(rd.from_arrow(tbl), num_parts=2) \
+        .to_pandas().sort_values(["prev_tool", "tool"]) \
+        .reset_index(drop=True)
+    # conv a tool subsequence: s -> g -> s (blank/None SKIPPED, not a
+    # break); conv b: g -> g
+    got = {(r.prev_tool, r.tool): r.n_transitions
+           for r in out.itertuples()}
+    assert got == {("s", "g"): 1, ("g", "s"): 1, ("g", "g"): 1}
+
+
 def test_response_latency_rules():
     from opensearch_jvector_ray.pipelines.transcripts import (
         response_latency,
