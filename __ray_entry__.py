@@ -1722,6 +1722,30 @@ def _q_ingest_simulate(sf_dir: str):
     return simulate(ds, INGEST_PIPELINE)
 
 
+def _q_ingest_json(sf_dir: str):
+    # json_extract ingest processor (flat-object subset): ONE shared
+    # RE2 pattern extracts props.k, then convert -> int64; oracle uses
+    # the SAME pattern string via regexp_extract (named group = group 1)
+    from opensearch_jvector_ray.pipelines.ingest import simulate
+    ds = read_table(sf_dir, "events", columns=["event_id", "props"])
+    out = simulate(ds, [
+        {"json_extract": {"field": "props", "key": "k",
+                          "target_field": "k_val"}},
+        {"convert": {"field": "k_val", "type": "integer"}},
+        {"remove": {"field": "props"}},
+    ])
+    return out
+
+
+def _ingest_json_oracle() -> str:
+    from opensearch_jvector_ray.oracles import sql_quote
+    from opensearch_jvector_ray.pipelines.ingest import json_key_pattern
+    pat = sql_quote(json_key_pattern("k"))
+    return (f"SELECT event_id, CAST(NULLIF(trim(trim("
+            f"regexp_extract(props, {pat}, 1)), '\"') , '') AS BIGINT)"
+            f" AS k_val FROM events ORDER BY event_id")
+
+
 def _q_children_agg(sf_dir: str) -> pd.DataFrame:
     # children aggregation: parents = top conversations per query;
     # terms counts over the child turns' tool field (missing = NULL or
@@ -3349,6 +3373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_distance": _q_geo_distance,
         "children_agg": _q_children_agg,
         "ingest_simulate": _q_ingest_simulate,
+        "ingest_json": _q_ingest_json,
         "bpe_train": _q_bpe_train,
         "bpe_encode": _q_bpe_encode,
         "count_api": _q_count_api,
@@ -3897,6 +3922,7 @@ def oracle_sql() -> dict[str, str]:
         "has_parent_expand": _has_parent_oracle(),
         "children_agg": _children_agg_oracle(),
         "count_api": _count_api_oracle(),
+        "ingest_json": _ingest_json_oracle(),
         "script_fields": _script_fields_oracle(),
         "terms_lookup": _terms_lookup_oracle(),
         "incremental_dedup": _incremental_dedup_oracle(),

@@ -17,6 +17,12 @@ Supported processors (all public OpenSearch ingest semantics):
   {"trim":      {"field": f}}
   {"gsub":      {"field": f, "pattern": p, "replacement": r}}
   {"convert":   {"field": f, "type": "integer"|"double"|"string"}}
+  {"json_extract": {"field": f, "key": k, "target_field": g}}
+      flat-object subset of the OpenSearch `json` processor: extract
+      the scalar at top-level ``key`` from a JSON string column with
+      ONE shared RE2 pattern (quotes/space trimmed) — the same regex
+      string the generated SQL consumes, so both sides agree even on
+      malformed rows (no match -> NULL)
 
 Processors execute in list order; each sees the previous one's output
 (the OpenSearch chain rule).  Validation is eager and strict (unknown
@@ -32,6 +38,7 @@ import pyarrow.compute as pc
 
 _KNOWN = {
     "set": {"field", "value"},
+    "json_extract": {"field", "key", "target_field"},
     "remove": {"field"},
     "rename": {"field", "target_field"},
     "lowercase": {"field"},
@@ -42,6 +49,14 @@ _KNOWN = {
 }
 _CONVERT_TYPES = {"integer": pa.int64(), "double": pa.float64(),
                   "string": pa.string()}
+
+
+def json_key_pattern(key: str) -> str:
+    """The ONE RE2 pattern both the engine kernel and the generated SQL
+    use for flat json_extract: value = everything up to the next comma
+    or closing brace (named group for pyarrow, group 1 for DuckDB's
+    regexp_extract — same regex body)."""
+    return f'"{key}"\\s*:\\s*(?P<v>[^,}}]+)'
 
 
 def compile_pipeline(processors: "list[dict[str, Any]]"):
@@ -72,6 +87,12 @@ def compile_pipeline(processors: "list[dict[str, Any]]"):
         if name == "convert" and body["type"] not in _CONVERT_TYPES:
             raise ValueError(f"[convert] type must be one of "
                              f"{sorted(_CONVERT_TYPES)}")
+        if name == "json_extract":
+            k = body.get("key")
+            if not isinstance(k, str) or not k or any(
+                    c in k for c in '"\\{}[],:'):
+                raise ValueError("[json_extract] key must be a plain "
+                                 "string (no JSON structural chars)")
         for key in ("field", "target_field"):
             if key in _KNOWN[name] and (
                     not isinstance(body.get(key), str) or not body[key]):
@@ -122,6 +143,14 @@ def compile_pipeline(processors: "list[dict[str, Any]]"):
                         _col(batch, b["field"]),
                         pattern=b["pattern"],
                         replacement=b["replacement"]))
+            elif name == "json_extract":
+                pat = json_key_pattern(b["key"])
+                m = pc.extract_regex(_col(batch, b["field"]), pat)
+                raw = pc.struct_field(m, "v")
+                # trim surrounding whitespace then one layer of quotes
+                raw = pc.utf8_trim_whitespace(raw)
+                raw = pc.utf8_trim(raw, '"')
+                batch = batch.append_column(b["target_field"], raw)
             elif name == "convert":
                 batch = _replace(
                     batch, b["field"],

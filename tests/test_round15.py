@@ -982,6 +982,23 @@ def test_ingest_pipeline_chain_and_validation():
             compile_pipeline(bad)
 
 
+def test_ingest_json_extract_rules():
+    from opensearch_jvector_ray.pipelines.ingest import (
+        compile_pipeline,
+    )
+    fn = compile_pipeline([{"json_extract":
+                            {"field": "p", "key": "k",
+                             "target_field": "v"}}])
+    t = pa.table({"p": ['{"k": 87}', '{"k": "str val", "z": 1}',
+                        '{"z": 3}', '{"kk": 5, "k": 2}', None]})
+    assert fn(t)["v"].to_pylist() == ["87", "str val", None, "2",
+                                      None]
+    with pytest.raises(ValueError, match="structural"):
+        compile_pipeline([{"json_extract":
+                           {"field": "p", "key": 'a"b',
+                            "target_field": "v"}}])
+
+
 def test_children_terms_agg_brute_force(idx):
     s = IndexSearcher(idx)
     tbl = generate_conversations(np.arange(150))
