@@ -1722,6 +1722,30 @@ def _q_ingest_simulate(sf_dir: str):
     return simulate(ds, INGEST_PIPELINE)
 
 
+def _q_ingest_transform(sf_dir: str):
+    # script (painless-arithmetic subset) + conditional drop ingest
+    # processors: drop zh docs, derive n3 = n_chars*3 (int64) and
+    # ratio = n3/n_chars (ONE division -> float64)
+    from opensearch_jvector_ray.pipelines.ingest import simulate
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "lang", "n_chars"])
+    return simulate(ds, [
+        {"drop": {"field": "lang", "equals": "zh"}},
+        {"script": {"op": "mul", "left": "n_chars", "right": 3,
+                    "target_field": "n3"}},
+        {"script": {"op": "div", "left": "n3", "right": "n_chars",
+                    "target_field": "ratio"}},
+    ])
+
+
+def _ingest_transform_oracle() -> str:
+    return ("SELECT doc_id, lang, n_chars, "
+            "CAST(n_chars * 3 AS BIGINT) AS n3, "
+            "CAST(n_chars * 3 AS DOUBLE) / n_chars AS ratio "
+            "FROM documents "
+            "WHERE NOT coalesce(lang = 'zh', false) ORDER BY doc_id")
+
+
 def _q_ingest_json(sf_dir: str):
     # json_extract ingest processor (flat-object subset): ONE shared
     # RE2 pattern extracts props.k, then convert -> int64; oracle uses
@@ -3374,6 +3398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "children_agg": _q_children_agg,
         "ingest_simulate": _q_ingest_simulate,
         "ingest_json": _q_ingest_json,
+        "ingest_transform": _q_ingest_transform,
         "bpe_train": _q_bpe_train,
         "bpe_encode": _q_bpe_encode,
         "count_api": _q_count_api,
@@ -3923,6 +3948,7 @@ def oracle_sql() -> dict[str, str]:
         "children_agg": _children_agg_oracle(),
         "count_api": _count_api_oracle(),
         "ingest_json": _ingest_json_oracle(),
+        "ingest_transform": _ingest_transform_oracle(),
         "script_fields": _script_fields_oracle(),
         "terms_lookup": _terms_lookup_oracle(),
         "incremental_dedup": _incremental_dedup_oracle(),

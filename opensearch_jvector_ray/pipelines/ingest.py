@@ -17,6 +17,14 @@ Supported processors (all public OpenSearch ingest semantics):
   {"trim":      {"field": f}}
   {"gsub":      {"field": f, "pattern": p, "replacement": r}}
   {"convert":   {"field": f, "type": "integer"|"double"|"string"}}
+  {"script":    {"op": "add"|"sub"|"mul"|"div", "left": x,
+                 "right": y, "target_field": g}}
+      arithmetic over columns/constants (the painless-arithmetic
+      subset; div -> float64 via ONE division, integral ops stay
+      int64 — the script_fields rule)
+  {"drop":      {"field": f, "equals": v}}
+      drop documents whose field equals v (the conditional drop
+      processor; NULL never equals anything, so NULL rows are kept)
   {"json_extract": {"field": f, "key": k, "target_field": g}}
       flat-object subset of the OpenSearch `json` processor: extract
       the scalar at top-level ``key`` from a JSON string column with
@@ -38,6 +46,8 @@ import pyarrow.compute as pc
 
 _KNOWN = {
     "set": {"field", "value"},
+    "script": {"op", "left", "right", "target_field"},
+    "drop": {"field", "equals"},
     "json_extract": {"field", "key", "target_field"},
     "remove": {"field"},
     "rename": {"field", "target_field"},
@@ -87,6 +97,9 @@ def compile_pipeline(processors: "list[dict[str, Any]]"):
         if name == "convert" and body["type"] not in _CONVERT_TYPES:
             raise ValueError(f"[convert] type must be one of "
                              f"{sorted(_CONVERT_TYPES)}")
+        if name == "script" and body.get("op") not in ("add", "sub",
+                                                       "mul", "div"):
+            raise ValueError("[script] op must be add|sub|mul|div")
         if name == "json_extract":
             k = body.get("key")
             if not isinstance(k, str) or not k or any(
@@ -143,6 +156,29 @@ def compile_pipeline(processors: "list[dict[str, Any]]"):
                         _col(batch, b["field"]),
                         pattern=b["pattern"],
                         replacement=b["replacement"]))
+            elif name == "script":
+                import numpy as np
+                ops = {"add": np.add, "sub": np.subtract,
+                       "mul": np.multiply, "div": np.divide}
+
+                def operand(x):
+                    if isinstance(x, str):
+                        return _col(batch, x).to_numpy(
+                            zero_copy_only=False)
+                    return x
+                v = ops[b["op"]](operand(b["left"]),
+                                 operand(b["right"]))
+                if b["op"] == "div":
+                    v = np.asarray(v, dtype=np.float64)
+                elif np.issubdtype(np.asarray(v).dtype, np.integer):
+                    v = np.asarray(v, dtype=np.int64)
+                batch = batch.append_column(b["target_field"],
+                                            pa.array(v))
+            elif name == "drop":
+                col = _col(batch, b["field"])
+                eq = pc.equal(col, b["equals"])
+                keep = pc.invert(pc.fill_null(eq, False))
+                batch = batch.filter(keep)
             elif name == "json_extract":
                 pat = json_key_pattern(b["key"])
                 m = pc.extract_regex(_col(batch, b["field"]), pat)

@@ -982,6 +982,29 @@ def test_ingest_pipeline_chain_and_validation():
             compile_pipeline(bad)
 
 
+def test_ingest_script_and_drop_processors():
+    from opensearch_jvector_ray.pipelines.ingest import (
+        compile_pipeline,
+    )
+    fn = compile_pipeline([
+        {"drop": {"field": "lang", "equals": "zh"}},
+        {"script": {"op": "mul", "left": "n", "right": 3,
+                    "target_field": "n3"}},
+        {"script": {"op": "div", "left": "n3", "right": "n",
+                    "target_field": "r"}},
+    ])
+    t = pa.table({"lang": ["en", "zh", None], "n": [2, 5, 4]})
+    o = fn(t)
+    # NULL never equals the drop value -> kept
+    assert o["lang"].to_pylist() == ["en", None]
+    assert o["n3"].to_pylist() == [6, 12] and         o["n3"].type == pa.int64()
+    assert o["r"].to_pylist() == [3.0, 3.0] and         o["r"].type == pa.float64()
+    with pytest.raises(ValueError, match="op must be"):
+        compile_pipeline([{"script": {"op": "pow", "left": 1,
+                                      "right": 2,
+                                      "target_field": "x"}}])
+
+
 def test_ingest_json_extract_rules():
     from opensearch_jvector_ray.pipelines.ingest import (
         compile_pipeline,
