@@ -3054,6 +3054,115 @@ def _q_conversations_bm25(sf_dir: str) -> pd.DataFrame:
     return out[["query_id", "rank", "conv_id", "score"]]
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def _q_events_funnel(sf_dir: str) -> pd.DataFrame:
+    # ordered funnel: per user the furthest step reached, each step
+    # strictly after the previous step's first qualifying occurrence
+    # (chained-min rule; integer microsecond comparisons)
+    from opensearch_jvector_ray.pipelines.relational import (
+        events_funnel,
+    )
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type", "ts"])
+    out = events_funnel(ds, FUNNEL_STEPS).to_pandas()
+    out["user_id"] = out["user_id"].astype(np.int64)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def _events_funnel_oracle() -> str:
+    s1, s2, s3 = FUNNEL_STEPS
+    return f"""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = '{s1}' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+  WHERE e.event_type = '{s2}' GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+  WHERE e.event_type = '{s3}' GROUP BY e.user_id
+)
+SELECT s1.user_id,
+       CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                 WHEN s2.user_id IS NOT NULL THEN 2
+                 ELSE 1 END AS BIGINT) AS steps_completed
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+ORDER BY s1.user_id
+"""
+
+
+def _q_conversation_dedup(sf_dir: str) -> pd.DataFrame:
+    # conversation-LEVEL exact dedup (assemble -> fingerprint group):
+    # the turn-level dedup's sibling for whole-thread re-crawls; PLANTED
+    # duplicates (convs whose id ends in '0' re-appended as dup-<id>)
+    # make the gate bite — n_dups = 2 for those groups on both sides
+    import pyarrow as pa
+
+    from opensearch_jvector_ray.pipelines.dedup import exact_dedup
+    from opensearch_jvector_ray.pipelines.transcripts import (
+        assemble_conversations,
+    )
+    from opensearch_jvector_ray.sources.tables import (
+        TRANSCRIPTS_CFG, transcripts_path,
+    )
+    ds = rd.read_parquet(transcripts_path(sf_dir))
+    convs = assemble_conversations(ds).select_columns(
+        ["conv_id", "conv_text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        keep = pc.ends_with(batch["conv_id"], "0")
+        dups = batch.filter(keep)
+        if dups.num_rows:
+            pref = pc.binary_join_element_wise(
+                pa.array(["dup-"] * dups.num_rows), dups["conv_id"]
+                .combine_chunks() if isinstance(dups["conv_id"],
+                                                pa.ChunkedArray)
+                else dups["conv_id"], "")
+            dups = dups.set_column(0, "conv_id", pref)
+            return pa.concat_tables([batch, dups])
+        return batch
+
+    planted = convs.map_batches(plant, batch_format="pyarrow")
+    out = exact_dedup(planted, TRANSCRIPTS_CFG, "conv_id",
+                      "conv_text").to_pandas()
+    out["n_dups"] = out["n_dups"].astype(np.int64)
+    return out.sort_values("text_hash").reset_index(drop=True)
+
+
+def _conversation_dedup_oracle() -> str:
+    from opensearch_jvector_ray.oracles import (
+        exact_dedup_sql, transcripts_arms_cte,
+    )
+    from opensearch_jvector_ray.sources.tables import TRANSCRIPTS_CFG
+    cte = transcripts_arms_cte(_transcript_arms(),
+                               "conv_id, turn_idx, role, text")
+    inner = exact_dedup_sql(TRANSCRIPTS_CFG, table="planted",
+                            id_col="conv_id", text_col="conv_text",
+                            id_cast=None)
+    return f"""
+WITH {cte},
+conversations AS (
+  SELECT conv_id,
+         string_agg(role || ': ' || text, chr(10)
+                    ORDER BY turn_idx) AS conv_text
+  FROM transcripts GROUP BY conv_id
+),
+planted AS (
+  SELECT conv_id, conv_text FROM conversations
+  UNION ALL
+  SELECT 'dup-' || conv_id, conv_text FROM conversations
+  WHERE conv_id LIKE '%0'
+)
+{inner}
+"""
+
+
 def _q_conversation_assemble(sf_dir: str) -> pd.DataFrame:
     from opensearch_jvector_ray.sources.tables import transcripts_path
     ds = rd.read_parquet(transcripts_path(sf_dir))
@@ -3488,6 +3597,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": _q_dsir_weights,
         # transcript-corpus assembly / unit dedup (input_hint shape)
         "conversation_assemble": _q_conversation_assemble,
+        "conversation_dedup": _q_conversation_dedup,
+        "events_funnel": _q_events_funnel,
         "context_pairs": _q_context_pairs,
         "response_novelty": _q_response_novelty,
         "conversation_validate": _q_conversation_validate,
@@ -3955,6 +4066,8 @@ def oracle_sql() -> dict[str, str]:
         "rollover_search": _rollover_oracle(),
         "response_latency": response_latency_sql(_transcript_arms()),
         "tool_transitions": tool_transitions_sql(_transcript_arms()),
+        "conversation_dedup": _conversation_dedup_oracle(),
+        "events_funnel": _events_funnel_oracle(),
         "percolate_filtered": percolate_filtered_sql(
             PERC_FILTERED_Q, PERC_FILTERED_F, CFG),
         "search_pipeline": _search_pipeline_oracle(),

@@ -3008,10 +3008,12 @@ FROM {table} ORDER BY {id_col}
 
 
 def exact_dedup_sql(cfg: EngineConfig, table: str = "documents",
-                    id_col: str = "doc_id", text_col: str = "text") -> str:
+                    id_col: str = "doc_id", text_col: str = "text",
+                    id_cast: "str | None" = "BIGINT") -> str:
+    cast = f"::{id_cast}" if id_cast else ""
     return f"""
 SELECT md5({norm_text_expr(cfg, text_col)}) AS text_hash,
-       min({id_col})::BIGINT AS canonical_id,
+       min({id_col}){cast} AS canonical_id,
        count(*)::BIGINT AS n_dups
 FROM {table} GROUP BY 1 ORDER BY text_hash
 """

@@ -556,3 +556,53 @@ def quantile_summary(ds: "rd.Dataset", col: str,
         idx = int(np.searchsorted(cum, t, side="left"))
         rows.append((float(q), float(agg["value"].iloc[idx])))
     return pd.DataFrame(rows, columns=["quantile", "value"])
+
+
+def events_funnel(ds: "rd.Dataset", steps: "list[str]",
+                  key_col: str = "user_id", type_col: str = "event_type",
+                  ts_col: str = "ts",
+                  num_parts: int = DEFAULT_PARTS) -> "rd.Dataset":
+    """Ordered funnel analysis [the standard product-analytics funnel:
+    per user, how many of the given steps happened in order, each
+    strictly AFTER the previous step's first qualifying occurrence].
+
+    Step i's timestamp is the MIN ts of a ``steps[i]`` event strictly
+    later than step i-1's timestamp (the chained-min rule — the SQL
+    oracle builds the same chain with per-step min-join CTEs; integer
+    microsecond comparisons, no fp).  Users with no step-1 event emit
+    nothing.  ONE user-key shuffle; per bucket the loop is over STEPS
+    (a handful), each a vectorized groupby-min — never per user.
+    Returns (key_col, steps_completed int64)."""
+    if not steps or any(not isinstance(s_, str) or not s_
+                        for s_ in steps):
+        raise ValueError("steps must be a non-empty list of event "
+                         "types")
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        prev = None
+        completed = None
+        for i, step in enumerate(steps):
+            sub = df[df[type_col] == step]
+            if prev is not None:
+                sub = sub.merge(prev.rename("__pt"),
+                                left_on=key_col, right_index=True)
+                sub = sub[sub[ts_col] > sub["__pt"]]
+            cur = sub.groupby(key_col)[ts_col].min()
+            if i == 0:
+                completed = pd.Series(1, index=cur.index,
+                                      dtype=np.int64)
+            else:
+                completed.loc[completed.index.isin(cur.index)] = i + 1
+            if cur.empty:
+                break
+            prev = cur
+        if completed is None or completed.empty:
+            return pd.DataFrame({key_col: pd.Series(dtype=np.int64),
+                                 "steps_completed":
+                                 pd.Series(dtype=np.int64)})
+        out = completed.rename("steps_completed").reset_index()
+        out["steps_completed"] = out["steps_completed"].astype(np.int64)
+        return out
+
+    prepped = ds.select_columns([key_col, type_col, ts_col])
+    return hash_copartition(prepped, key_col, bucket, num_parts)

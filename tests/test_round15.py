@@ -419,6 +419,34 @@ def test_null_text_rows_survive_corpus_and_dedup_paths():
     assert sorted(out["doc_id"]) == [1, 2, 3]   # NULL text kept
 
 
+def test_events_funnel_chained_min_rule():
+    from opensearch_jvector_ray.pipelines.relational import (
+        events_funnel,
+    )
+    base = np.datetime64("2025-01-01T00:00:00", "us")
+    us = lambda n: base + np.timedelta64(n, "s")  # noqa: E731
+    tbl = pa.table({
+        "user_id": [1, 1, 1, 2, 2, 2, 3, 4, 4],
+        "event_type": ["view", "click", "purchase",    # full funnel
+                       "click", "view", "purchase",    # click BEFORE
+                       "view",                         # view only
+                       "purchase", "view"],            # purchase first
+        "ts": pa.array([us(0), us(1), us(2),
+                        us(0), us(1), us(2),
+                        us(0), us(0), us(1)],
+                       type=pa.timestamp("us")),
+    })
+    out = events_funnel(rd.from_arrow(tbl),
+                        ["view", "click", "purchase"],
+                        num_parts=2).to_pandas()
+    got = dict(zip(out["user_id"], out["steps_completed"]))
+    # user 2's click precedes the first view -> only step 1; user 2's
+    # purchase is after view but click never qualifies, so chain stops
+    assert got == {1: 3, 2: 1, 3: 1, 4: 1}
+    with pytest.raises(ValueError):
+        events_funnel(rd.from_arrow(tbl), [])
+
+
 def test_tool_transitions_skip_rule():
     from opensearch_jvector_ray.pipelines.transcripts import (
         tool_transitions,
