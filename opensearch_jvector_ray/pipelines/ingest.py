@@ -65,8 +65,12 @@ def json_key_pattern(key: str) -> str:
     """The ONE RE2 pattern both the engine kernel and the generated SQL
     use for flat json_extract: value = everything up to the next comma
     or closing brace (named group for pyarrow, group 1 for DuckDB's
-    regexp_extract — same regex body)."""
-    return f'"{key}"\\s*:\\s*(?P<v>[^,}}]+)'
+    regexp_extract — same regex body).  The key is re.escape'd:
+    an unescaped '(' would both crash pyarrow (unnamed group) and
+    SHIFT DuckDB's capture-group numbering — breaking the shared-
+    pattern invariant silently."""
+    import re as _re
+    return f'"{_re.escape(key)}"\\s*:\\s*(?P<v>[^,}}]+)'
 
 
 def compile_pipeline(processors: "list[dict[str, Any]]"):
@@ -97,9 +101,15 @@ def compile_pipeline(processors: "list[dict[str, Any]]"):
         if name == "convert" and body["type"] not in _CONVERT_TYPES:
             raise ValueError(f"[convert] type must be one of "
                              f"{sorted(_CONVERT_TYPES)}")
-        if name == "script" and body.get("op") not in ("add", "sub",
-                                                       "mul", "div"):
-            raise ValueError("[script] op must be add|sub|mul|div")
+        if name == "script":
+            if body.get("op") not in ("add", "sub", "mul", "div"):
+                raise ValueError("[script] op must be add|sub|mul|div")
+            if not any(isinstance(body.get(o), str)
+                       for o in ("left", "right")):
+                # two constants would yield a scalar, not a column —
+                # fail at build time (the eager-validation contract)
+                raise ValueError("[script] needs at least one COLUMN "
+                                 "operand")
         if name == "json_extract":
             k = body.get("key")
             if not isinstance(k, str) or not k or any(
@@ -157,23 +167,26 @@ def compile_pipeline(processors: "list[dict[str, Any]]"):
                         pattern=b["pattern"],
                         replacement=b["replacement"]))
             elif name == "script":
-                import numpy as np
-                ops = {"add": np.add, "sub": np.subtract,
-                       "mul": np.multiply, "div": np.divide}
+                # Arrow kernels, not numpy: to_numpy would promote a
+                # nullable int column to float64-with-NaN, breaking the
+                # 'integral ops stay int64' rule AND NULL propagation
+                # (the oracle's BIGINT arithmetic emits NULL)
+                kernels = {"add": pc.add, "sub": pc.subtract,
+                           "mul": pc.multiply, "div": pc.divide}
 
                 def operand(x):
-                    if isinstance(x, str):
-                        return _col(batch, x).to_numpy(
-                            zero_copy_only=False)
-                    return x
-                v = ops[b["op"]](operand(b["left"]),
-                                 operand(b["right"]))
+                    return _col(batch, x) if isinstance(x, str) \
+                        else pa.scalar(x)
+                l, r = operand(b["left"]), operand(b["right"])
                 if b["op"] == "div":
-                    v = np.asarray(v, dtype=np.float64)
-                elif np.issubdtype(np.asarray(v).dtype, np.integer):
-                    v = np.asarray(v, dtype=np.int64)
-                batch = batch.append_column(b["target_field"],
-                                            pa.array(v))
+                    # ONE float64 division (IEEE semantics), never the
+                    # Arrow integer-division kernel
+                    l = pc.cast(l, pa.float64())
+                    r = pc.cast(r, pa.float64())
+                v = kernels[b["op"]](l, r)
+                if pa.types.is_integer(v.type):
+                    v = pc.cast(v, pa.int64())     # width-stable
+                batch = batch.append_column(b["target_field"], v)
             elif name == "drop":
                 col = _col(batch, b["field"])
                 eq = pc.equal(col, b["equals"])
@@ -183,9 +196,14 @@ def compile_pipeline(processors: "list[dict[str, Any]]"):
                 pat = json_key_pattern(b["key"])
                 m = pc.extract_regex(_col(batch, b["field"]), pat)
                 raw = pc.struct_field(m, "v")
-                # trim surrounding whitespace then one layer of quotes
+                # trim surrounding whitespace then one layer of quotes;
+                # an empty extracted value normalizes to NULL — the
+                # oracle's NULLIF rule, and '' would crash a downstream
+                # convert-to-integer where the oracle yields NULL
                 raw = pc.utf8_trim_whitespace(raw)
                 raw = pc.utf8_trim(raw, '"')
+                raw = pc.if_else(pc.equal(raw, ""),
+                                 pa.scalar(None, pa.string()), raw)
                 batch = batch.append_column(b["target_field"], raw)
             elif name == "convert":
                 batch = _replace(

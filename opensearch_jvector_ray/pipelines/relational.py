@@ -597,7 +597,10 @@ def events_funnel(ds: "rd.Dataset", steps: "list[str]",
                 break
             prev = cur
         if completed is None or completed.empty:
-            return pd.DataFrame({key_col: pd.Series(dtype=np.int64),
+            # empty frame inherits the INPUT key dtype — a hardcoded
+            # int64 would clash with string-keyed funnels when another
+            # bucket emits rows (block schemas must unify)
+            return pd.DataFrame({key_col: df[key_col].iloc[:0],
                                  "steps_completed":
                                  pd.Series(dtype=np.int64)})
         out = completed.rename("steps_completed").reset_index()

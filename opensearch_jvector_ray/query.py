@@ -2513,6 +2513,8 @@ def _mget_task(batch: pa.Table, flt) -> pa.Table:
     schema = None
     for d in batch["seg_dir"].to_pylist():
         t = pq.read_table(os.path.join(d, DOCS_NAME), filters=flt)
+        t = t.append_column("__seg", pa.array([d] * t.num_rows,
+                                              type=pa.string()))
         schema = t.schema
         if t.num_rows:
             parts.append(t)
@@ -4323,7 +4325,11 @@ class IndexSearcher:
             # many segments: fan the pushed-down reads out as Ray tasks
             # (a driver-serial loop would pay O(segments) read latency —
             # the 100k-segment shape); each task returns only matching
-            # rows, so the gather is result-sized
+            # rows, so the gather is result-sized.  Rows carry their
+            # segment dir and the combine sorts on it BEFORE the
+            # duplicate-key drop — task completion order is arbitrary
+            # (preserve_order defaults off), and the first-segment
+            # duplicate rule must not depend on it
             seg_ds = rd.from_items([{"seg_dir": d}
                                     for d in self.seg_dirs])
             out_t = seg_ds.map_batches(_mget_task,
@@ -4333,6 +4339,11 @@ class IndexSearcher:
             parts = [b.to_pandas() for b in
                      out_t.iter_batches(batch_format="pyarrow")
                      if b.num_rows]
+            if parts:
+                allp = pd.concat(parts, ignore_index=True)
+                allp = allp.sort_values("__seg",
+                                        kind="mergesort")
+                parts = [allp.drop(columns="__seg")]
         else:
             parts = []
             for d in self.seg_dirs:

@@ -445,6 +445,15 @@ def test_events_funnel_chained_min_rule():
     assert got == {1: 3, 2: 1, 3: 1, 4: 1}
     with pytest.raises(ValueError):
         events_funnel(rd.from_arrow(tbl), [])
+    # string keys + an all-empty bucket: empty frames inherit dtype
+    tbl2 = pa.table({"sid": ["a", "a", "zz"],
+                     "event_type": ["view", "click", "error"],
+                     "ts": pa.array([us(0), us(1), us(0)],
+                                    type=pa.timestamp("us"))})
+    out2 = events_funnel(rd.from_arrow(tbl2),
+                         ["view", "click"], key_col="sid",
+                         num_parts=4).to_pandas()
+    assert dict(zip(out2["sid"], out2["steps_completed"])) == {"a": 2}
 
 
 def test_tool_transitions_skip_rule():
@@ -1044,6 +1053,15 @@ def test_ingest_json_extract_rules():
                         '{"z": 3}', '{"kk": 5, "k": 2}', None]})
     assert fn(t)["v"].to_pylist() == ["87", "str val", None, "2",
                                       None]
+    # empty json value normalizes to NULL (the oracle's NULLIF rule)
+    assert fn(pa.table({"p": ['{"k": ""}']}))["v"].to_pylist() == \
+        [None]
+    # regex-metachar keys are escaped, not group-shifting
+    fn2 = compile_pipeline([{"json_extract":
+                             {"field": "p", "key": "a(b)c",
+                              "target_field": "v"}}])
+    assert fn2(pa.table({"p": ['{"a(b)c": 7}']}))["v"].to_pylist() \
+        == ["7"]
     with pytest.raises(ValueError, match="structural"):
         compile_pipeline([{"json_extract":
                            {"field": "p", "key": 'a"b',
