@@ -222,6 +222,35 @@ def run_bench() -> dict:
 
     timed("query_sparse_count_30", do_new4)
 
+    # -- phase 3a4: round-15 analytics/ingest ops over the transcripts
+    # and events-shaped tables (funnel, transitions, processor chain,
+    # incremental dedup) ---------------------------------------------------
+    def do_new5():
+        from opensearch_jvector_ray.pipelines.ingest import simulate
+        from opensearch_jvector_ray.pipelines.relational import (
+            events_funnel,
+        )
+        from opensearch_jvector_ray.pipelines.transcripts import (
+            response_latency, tool_transitions,
+        )
+        tds = rd.read_parquet(tpath)
+        tool_transitions(tds).count()
+        response_latency(tds).count()
+        ev = rd.read_parquet(tpath).map_batches(
+            lambda b: b.select(["conv_id", "role", "ts"])
+                       .rename_columns(["user_id", "event_type",
+                                        "ts"]),
+            batch_format="pyarrow")
+        events_funnel(ev, ["user", "assistant"],
+                      key_col="user_id").count()
+        simulate(rd.read_parquet(tpath), [
+            {"uppercase": {"field": "role"}},
+            {"gsub": {"field": "text", "pattern": "[0-9]+",
+                      "replacement": "#"}},
+        ]).count()
+
+    timed("corpus_analytics_10", do_new5)
+
     # -- phase 3b: persistent serving (warm actors + postings cache) ------
     from opensearch_jvector_ray.serve import SearchService
     svc = SearchService(merged_dir, num_shards=min(8, NUM_CPUS))
