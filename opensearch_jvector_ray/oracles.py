@@ -4892,8 +4892,12 @@ def pinned_sql(queries: dict[str, str], pinned: dict[str, list],
                k: int, cfg: EngineConfig, table: str = "documents",
                id_col: str = "doc_id", text_col: str = "text") -> str:
     """Oracle for IndexSearcher.pinned_search: existing pinned ids
-    first in their GIVEN order with NULL scores, organic BM25 hits
-    (pinned excluded) after, first k rows."""
+    first in their GIVEN order with the -1.0 sentinel score, organic
+    BM25 hits (pinned excluded) after, first k rows.  The sentinel (not
+    NULL) is deliberate: a NULL on the SQL side vs NaN on the engine
+    side survives a pandas value compare but not an Arrow-level hash
+    (null mask vs NaN payload) — the round-4 driver gate caught exactly
+    that.  Position is the contract either way."""
     max_p = max((len(v) for v in pinned.values()), default=0)
     inner = bm25_sql(queries, k + max_p, cfg, table=table,
                      id_col=id_col, text_col=text_col)
@@ -4919,7 +4923,7 @@ org AS (
 ),
 u AS (
   SELECT query_id, 0 AS grp, pos AS ord1, {id_col},
-         NULL::DOUBLE AS score
+         -1.0::DOUBLE AS score
   FROM pe
   UNION ALL
   SELECT query_id, 1, rank, {id_col}, score FROM org

@@ -5847,9 +5847,12 @@ class IndexSearcher:
         query, the given doc ids are promoted to the top in their GIVEN
         order (ids absent from the corpus are skipped); organic BM25
         hits follow, excluding the pinned ids, until ``k`` total rows.
-        Pinned hits carry a NULL (NaN) score — OpenSearch's descending
-        sentinel scores are an implementation detail, position is the
-        contract; organic hits keep their ROUND-6 BM25 score.
+        Pinned hits carry the -1.0 sentinel score — OpenSearch's huge
+        descending sentinel scores are an implementation detail,
+        position is the contract; organic hits keep their ROUND-6 BM25
+        score.  A float sentinel (not NaN/NULL) keeps the engine and
+        the SQL oracle hash-identical at the Arrow level (NaN payload
+        vs null mask differ even when a pandas compare passes).
         Single-key-column indexes only.
 
         Distribution shape: organic ranking is the standard per-segment
@@ -5878,7 +5881,7 @@ class IndexSearcher:
             org = org[~org[kc].isin(pins)]
             pf = pd.DataFrame({"query_id": [qid] * len(pins),
                                kc: pins,
-                               "score": [np.nan] * len(pins)})
+                               "score": [-1.0] * len(pins)})
             of = org[["query_id", kc, "score"]].copy()
             of["score"] = np.round(of["score"].astype(np.float64), 6)
             outq = pd.concat([pf, of], ignore_index=True).head(k)

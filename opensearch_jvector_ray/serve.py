@@ -389,9 +389,10 @@ class SearchService:
         df["rank"] = df.groupby("query_id", sort=False).cumcount() + 1
         out = df[["query_id", "rank", *self.key_cols,
                   "score"]].reset_index(drop=True)
-        self._req_cache[key] = out.copy()
-        while len(self._req_cache) > self._req_cache_size:
-            self._req_cache.popitem(last=False)
+        if self._req_cache_size > 0:
+            self._req_cache[key] = out.copy()
+            while len(self._req_cache) > self._req_cache_size:
+                self._req_cache.popitem(last=False)
         return out
 
     def sparse_vector_search(self,

@@ -423,7 +423,9 @@ def test_pinned_search_order(idx):
     out = s.pinned_search(Q, {"q": pins}, k=8)
     kept_pins = [p for p in pins if p < N]
     assert list(out["doc_id"][:len(kept_pins)]) == kept_pins
-    assert out["score"][:len(kept_pins)].isna().all()
+    # pinned rows carry the -1.0 sentinel (not NaN/NULL): keeps the
+    # engine and the SQL oracle hash-identical at the Arrow level
+    assert (out["score"][:len(kept_pins)] == -1.0).all()
     organic = [d for d in base["doc_id"] if d not in kept_pins]
     assert list(out["doc_id"][len(kept_pins):]) == \
         organic[:8 - len(kept_pins)]
