@@ -1469,8 +1469,13 @@ def significant_terms_sql(queries: dict[str, str], min_score: float,
     return f"""
 WITH hits AS ({inner}),
 fg AS (
+  -- NULL-valued matched docs are excluded from fg buckets AND fg_tot:
+  -- the engine's foreground partial counts only_valid (pyarrow count),
+  -- so a doc missing the field contributes to neither (it still counts
+  -- in bg_tot — the corpus row count)
   SELECT h.query_id, d.{field} AS {field}, count(*)::BIGINT AS doc_count
   FROM hits h JOIN {table} d USING ({id_col})
+  WHERE d.{field} IS NOT NULL
   GROUP BY h.query_id, d.{field}
 ),
 fgt AS (

@@ -5160,8 +5160,12 @@ class IndexSearcher:
         if not frames:
             return pd.DataFrame(columns=[field, "bg_count"])
         df = pd.concat(frames, ignore_index=True)
-        return (df.groupby(field, sort=True)["bg_count"].sum()
-                  .reset_index())
+        # dropna=False: the NULL bucket must survive the cross-segment
+        # merge so bg_tot stays the TRUE corpus row count (the oracle's
+        # count(*)); pandas' default dropna would silently shrink
+        # bg_tot on a nullable field (latent JLH drift)
+        return (df.groupby(field, sort=True, dropna=False)["bg_count"]
+                  .sum().reset_index())
 
     def _agg_fanout(self, queries: dict[str, str], agg: dict,
                     min_score: float,
@@ -6118,7 +6122,11 @@ class IndexSearcher:
             else:
                 if not after:
                     return
-                page = self.search(queries, k=page_size,
+                # restrict to the still-live queries: a qid absent from
+                # search_after runs with NO boundary, so passing an
+                # exhausted query again would re-yield its first page
+                live = {qid: queries[qid] for qid in after}
+                page = self.search(live, k=page_size,
                                    search_after=after)
             if page.empty:
                 return

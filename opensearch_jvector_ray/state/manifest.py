@@ -280,7 +280,18 @@ def restore_index(snap_path: str, index_dir: str) -> dict:
     os.makedirs(index_dir, exist_ok=True)
     with tarfile.open(snap_path, "r") as tf:
         meta = _json.loads(tf.extractfile("_SNAPSHOT.json").read())
-        names = {m.name for m in tf.getmembers()} - {"_SNAPSHOT.json"}
+        members = tf.getmembers()
+        for m in members:
+            # explicit path-safety floor (the manifest itself rides in
+            # the tar, so the set compare below can't vouch for it):
+            # regular files with relative, traversal-free names only —
+            # same invariant filter="data" enforces, but validated
+            # unconditionally so the pre-3.11.4 fallback extract is
+            # covered too
+            if not m.isfile() or os.path.isabs(m.name) \
+                    or ".." in m.name.split("/"):
+                raise ValueError(f"unsafe snapshot member: {m.name!r}")
+        names = {m.name for m in members} - {"_SNAPSHOT.json"}
         want = {rel for rel, _ in meta["files"]}
         if names != want:
             raise ValueError(f"snapshot file set mismatch: "
@@ -288,10 +299,9 @@ def restore_index(snap_path: str, index_dir: str) -> dict:
         try:
             tf.extractall(index_dir, filter="data")
         except TypeError:
-            # filter= needs Python >= 3.11.4 / 3.10.12; the member set
-            # was validated against the manifest above, and snapshots
-            # are created by create_snapshot with relative paths, so a
-            # plain extract is safe on older patch releases
+            # filter= needs Python >= 3.11.4 / 3.10.12; members were
+            # explicitly validated above (regular, relative,
+            # traversal-free), so a plain extract is equivalent there
             tf.extractall(index_dir)
     for rel, size in meta["files"]:
         p = os.path.join(index_dir, rel)

@@ -1,0 +1,127 @@
+"""Round-5 hardening block: nullable-field significant_terms vs the
+DuckDB oracle (the bg_tot / fg_tot null-bucket contract), snapshot
+member path-safety, and the scan()/pinned regressions' sibling checks.
+"""
+
+import io
+import os
+import tarfile
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from opensearch_jvector_ray.config import EngineConfig
+from opensearch_jvector_ray.oracles import significant_terms_sql
+from opensearch_jvector_ray.query import IndexSearcher
+from opensearch_jvector_ray.stages.build import IndexSpec, build_index
+from opensearch_jvector_ray.state.manifest import (
+    restore_index, snapshot_index,
+)
+
+CFG = EngineConfig(num_segments=3)
+
+TEXTS = ["alpha beta sort merge", "alpha gamma merge sort",
+         "beta gamma sort merge scan", "alpha beta gamma",
+         "gamma delta sort", "alpha scan", "beta merge sort",
+         "delta eps sort merge", "alpha delta merge", "beta delta"] * 4
+N = len(TEXTS)
+# nullable stored field: every 5th doc has NO source (and several of
+# those match the query terms, exercising the fg null exclusion AND
+# the bg_tot count(*) rule at once)
+SOURCES = [None if i % 5 == 0 else ("web", "book", "code")[i % 3]
+           for i in range(N)]
+
+
+def _corpus() -> pa.Table:
+    return pa.table({
+        "doc_id": pa.array(list(range(N)), type=pa.int64()),
+        "text": pa.array(TEXTS, type=pa.string()),
+        "source": pa.array(SOURCES, type=pa.string()),
+    })
+
+
+@pytest.fixture(scope="module")
+def idx(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("r16") / "idx")
+    build_index(rd.from_arrow(_corpus()), out, CFG,
+                IndexSpec(text_col="text", key_cols=("doc_id",),
+                          store_cols=("source",), ts_col=""))
+    return out
+
+
+QUERIES = {"q1": "alpha merge", "q2": "delta sort"}
+MS = 1e-9
+
+
+def test_significant_terms_nullable_field_oracle(idx):
+    # the engine excludes NULL-valued matched docs from fg buckets and
+    # fg_tot (pyarrow only_valid counts) but keeps them in bg_tot (the
+    # corpus row count via count_all); the generated oracle must agree
+    # on BOTH rules — this was latent JLH drift while every gate field
+    # was non-null
+    s = IndexSearcher(idx)
+    got = s.significant_terms_agg(QUERIES, field="source",
+                                  min_score=MS, size=10)
+    assert not got.empty
+    assert got["source"].notna().all()          # no NULL bucket rows
+    con = duckdb.connect()
+    con.register("docs", _corpus())
+    sql = significant_terms_sql(QUERIES, MS, "source", 10, CFG,
+                                table="docs", id_col="doc_id",
+                                text_col="text")
+    exp = con.sql(sql).df()
+    g = got.sort_values(["query_id", "source"]).reset_index(drop=True)
+    e = exp.sort_values(["query_id", "source"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        g[["query_id", "source", "doc_count", "bg_count", "score"]],
+        e[["query_id", "source", "doc_count", "bg_count", "score"]],
+        check_dtype=False, atol=0, rtol=0)
+    # bg_tot sanity straight from the engine's background partial:
+    # must equal the TRUE corpus row count, nulls included
+    bg = s._field_value_counts("source")
+    assert int(bg["bg_count"].sum()) == N
+
+
+def _tar_with_member(path: str, name: str, mode: int = 0o644,
+                     typ=tarfile.REGTYPE) -> None:
+    with tarfile.open(path, "w") as tf:
+        meta = b'{"segments": [], "files": []}'
+        ti = tarfile.TarInfo("_SNAPSHOT.json")
+        ti.size = len(meta)
+        tf.addfile(ti, io.BytesIO(meta))
+        ti = tarfile.TarInfo(name)
+        ti.type = typ
+        if typ == tarfile.REGTYPE:
+            ti.size = 3
+            tf.addfile(ti, io.BytesIO(b"abc"))
+        else:
+            ti.linkname = "/etc/passwd"
+            tf.addfile(ti)
+
+
+@pytest.mark.parametrize("member,typ", [
+    ("../evil.bin", tarfile.REGTYPE),
+    ("/abs/evil.bin", tarfile.REGTYPE),
+    ("seg=0/link", tarfile.SYMTYPE),
+])
+def test_restore_rejects_unsafe_members(tmp_path, member, typ):
+    snap = str(tmp_path / "bad.tar")
+    _tar_with_member(snap, member, typ=typ)
+    with pytest.raises(ValueError, match="unsafe snapshot member"):
+        restore_index(snap, str(tmp_path / "out"))
+
+
+def test_snapshot_restore_roundtrip_still_works(idx, tmp_path):
+    snap = str(tmp_path / "snap.tar")
+    snapshot_index(idx, snap)
+    out = str(tmp_path / "restored")
+    res = restore_index(snap, out)
+    assert res["ok"]
+    s0, s1 = IndexSearcher(idx), IndexSearcher(out)
+    a = s0.search(QUERIES, k=10)
+    b = s1.search(QUERIES, k=10)
+    pd.testing.assert_frame_equal(a, b)

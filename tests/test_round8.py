@@ -461,6 +461,23 @@ def test_scan_pages_tile_ranking(idx):
         full[["query_id", "conv_id", "turn_idx", "score"]])
 
 
+def test_scan_mixed_exhaustion_no_requery(idx):
+    # regression: a query that exhausts on a SHORT page is dropped from
+    # the search_after boundary map; the next page must not include it
+    # at all (a qid without a boundary would re-run from the top and
+    # re-yield its first page — duplicate rows)
+    s = IndexSearcher(idx)
+    q = {"small": "eps", "big": "alpha beta gamma delta"}
+    pages = list(s.scan(q, page_size=3))
+    stitched = pd.concat(pages, ignore_index=True)
+    for qid, text in q.items():
+        got = stitched[stitched["query_id"] == qid]
+        full = s.search({qid: text}, k=N)
+        assert not got["conv_id"].duplicated().any()
+        assert list(got["conv_id"]) == list(full["conv_id"])
+        assert list(got["score"]) == list(full["score"])
+
+
 def test_constant_boosting_dsl(idx):
     s = IndexSearcher(idx)
     got = execute_query({"constant_score": {"query": "alpha", "k": 4,
