@@ -572,10 +572,13 @@ def run_ann_sweep() -> dict:
         path = _data_path(n)
         res: dict = {}
         num_parts = 1 if n <= 2000 else (4 if n <= 20000 else 8)
-        # sqrt(n)/2 cells, ~25% probed: IID-gaussian data has no cluster
-        # structure, the IVF worst case — recall here is the honest floor
+        # sqrt(n)/2 cells, ~50% probed: IID-gaussian data has no cluster
+        # structure, the IVF worst case — recall here is the honest
+        # floor.  50% (was 25% through r04) because the probe set is the
+        # recall CEILING for IVF-PQ (exact within probed cells): 25%
+        # capped IVF at 0.635 @100k, under the reference's 0.75 floor
         n_cent = max(8, int(n ** 0.5) // 2)
-        n_probe = max(2, n_cent // 4)
+        n_probe = max(2, n_cent // 2)
 
         def ds():
             return rd.read_parquet(path)
@@ -666,14 +669,17 @@ def run_ann_sweep() -> dict:
         pq_pl.build_ivfpq_index(ds(), pdir, n_centroids=n_cent,
                                 m_subspaces=min(16, dim // 4), n_codes=256)
         b = time.perf_counter() - t0
+        # oversample=None -> the engine's dimension-based default +
+        # min(10000, max(100, ceil(k*os))) first-pass clamp
+        # (RescoreContext.java:17-97) — the sweep measures the DEFAULTS
         qsec = _timed_query(lambda: pq_pl.ivfpq_topk(
-            pdir, queries, k, n_probe=n_probe, oversample=4.0))
+            pdir, queries, k, n_probe=n_probe))
         res["ivfpq"] = {
             "build_sec": round(b, 2),
             "query_ms_per_op": round(qsec / n_q * 1e3, 3),
             "recall_at_10": _recall(
-                pq_pl.ivfpq_topk(pdir, queries, k, n_probe=n_probe,
-                                 oversample=4.0), truth)}
+                pq_pl.ivfpq_topk(pdir, queries, k, n_probe=n_probe),
+                truth)}
 
         # merge A/B at the largest size (the merge_times_*.png analog).
         # OJR_ANN_MERGE: "1"/"both" = A/B both modes; "incremental" or

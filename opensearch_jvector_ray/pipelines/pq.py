@@ -51,6 +51,32 @@ def derive_pq_subspaces(dim: int, target: int = 8) -> int:
     return 1
 
 
+def default_oversample(dim: int) -> float:
+    """Dimension-based default rescore oversample — the reference's rule
+    verbatim (`RescoreContext.java:28-36`): 1x for dim >= 1000 (rerank
+    gains little), 2x for 768 <= dim < 1000, 3x below 768 (aggressive
+    compression needs a wider exact-rerank net)."""
+    if dim >= 1000:
+        return 1.0
+    if dim >= 768:
+        return 2.0
+    return 3.0
+
+
+def first_pass_k(k: int, oversample: float | None, dim: int) -> int:
+    """Candidates surviving the approximate first pass: k' =
+    min(10000, max(100, ceil(k * oversample))) — the reference's
+    firstPassK clamp (`RescoreContext.java:17-97`).  The max(100, ...)
+    floor is the load-bearing part at small k: k=10 x 4.0 = 40
+    candidates measured recall 0.353 at 100k IID-gaussian (ANN_SWEEP_
+    r04); the floor alone lifts the exact-rerank net to 100 per batch.
+    ``oversample=None`` means not-user-provided -> the dimension rule.
+    The cap keeps the exact rerank bounded regardless of user input."""
+    if oversample is None:
+        oversample = default_oversample(dim)
+    return max(k, min(10_000, max(100, int(np.ceil(k * oversample)))))
+
+
 def _kmeans_subspaces(X: np.ndarray, m_subspaces: int, n_codes: int,
                       iters: int = 10, seed: int = 42) -> np.ndarray:
     """Per-subspace k-means codebook (m_subspaces, k, d/m) over rows X.
@@ -249,13 +275,17 @@ def _adc_lut(book: np.ndarray, q: np.ndarray, metric: str) -> np.ndarray:
 
 def pq_rerank_topk(source: "rd.Dataset | str",
                    queries: dict[str, np.ndarray], k: int, *,
-                   oversample: float = 4.0, metric: str = "cosine",
+                   oversample: float | None = None,
+                   metric: str = "cosine",
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    codebook: np.ndarray | None = None,
                    round_decimals: int | None = None) -> pd.DataFrame:
     """Two-phase PQ search: ADC-approximate first pass prunes each batch to
-    k' = ceil(k*oversample) candidates, exact metric scores ONLY those
-    (vectors are co-resident in the batch), driver merges exact partials.
+    k' = first_pass_k(k, oversample, dim) candidates (the reference's
+    min(10000, max(100, ceil(k*oversample))) clamp with the
+    dimension-based default when ``oversample`` is None), exact metric
+    scores ONLY those (vectors are co-resident in the batch), driver
+    merges exact partials.
 
     ``source`` is a built index dir (reads codes; skips re-encoding) or a
     raw Dataset (codes computed on the fly from ``codebook``)."""
@@ -281,7 +311,7 @@ def pq_rerank_topk(source: "rd.Dataset | str",
     luts = np.stack([_adc_lut(book, qmat[i], metric)
                      for i in range(len(qids))])
     payload_ref = ray.put((book, qmat, luts))
-    k_prime = max(k, int(np.ceil(k * oversample)))
+    k_prime = first_pass_k(k, oversample, book.shape[0] * book.shape[2])
     approx_best = metric != "l2"        # l2 LUT is a distance: lower=better
 
     def score_batch(batch: pa.Table) -> pa.Table:
@@ -409,7 +439,7 @@ def build_ivfpq_index(ds: "rd.Dataset", index_dir: str, *,
 
 
 def ivfpq_topk(index_dir: str, queries: dict[str, np.ndarray], k: int, *,
-               n_probe: int = 4, oversample: float = 4.0,
+               n_probe: int = 4, oversample: float | None = None,
                metric: str = "cosine", id_col: str = "vec_id",
                vec_col: str = "embedding",
                round_decimals: int | None = None,
@@ -427,7 +457,8 @@ def ivfpq_topk(index_dir: str, queries: dict[str, np.ndarray], k: int, *,
        same rule as the IVF oracle);
     2. FIRST PASS over the probed cells reading ONLY (id, codes): per
        batch, ADC lookup-sum scores for every probing query, partial
-       approx top-k' (k' = ceil(k*oversample)); the driver merges the
+       approx top-k' (k' = first_pass_k(k, oversample, dim) — the
+       reference's clamped rescore rule); the driver merges the
        BOUNDED partials to a global approx top-k' candidate set per
        query — approx scores pick candidates, never final ranks;
     3. SECOND PASS reads (id, vector) of the probed cells and
@@ -458,7 +489,7 @@ def ivfpq_topk(index_dir: str, queries: dict[str, np.ndarray], k: int, *,
     empty = pd.DataFrame(columns=["query_id", "rank", id_col, "score"])
     if not paths:
         return empty
-    k_prime = max(k, int(np.ceil(k * oversample)))
+    k_prime = first_pass_k(k, oversample, book.shape[0] * book.shape[2])
     luts = np.stack([_adc_lut(book, qmat[i], metric)
                      for i in range(len(qids))])
     approx_best = metric != "l2"
