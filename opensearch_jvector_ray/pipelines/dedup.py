@@ -889,7 +889,10 @@ def minhash_lsh_dedup(ds: "rd.Dataset", cfg: EngineConfig, id_col: str,
                       shingle_k: int = 3, threshold: float = 0.6,
                       concurrency: int = 2,
                       bucket_cap: int = 512,
-                      uf_max_pairs: int = 2_000_000) -> pd.DataFrame:
+                      uf_max_pairs: int = 2_000_000,
+                      as_dataset: bool = False,
+                      driver_result_cap: int = 20_000_000
+                      ) -> "pd.DataFrame | rd.Dataset":
     """Near-duplicate clusters by MinHash+LSH.
 
     Returns a DataFrame (id, cluster_id) for every doc that belongs to a
@@ -904,6 +907,14 @@ def minhash_lsh_dedup(ds: "rd.Dataset", cfg: EngineConfig, id_col: str,
     grows with the corpus) the distributed ``pairs_components``
     propagation takes over, bit-identical clusters (pytest-gated), with
     the verified pairs staying in the object store throughout.
+
+    ``as_dataset=True`` returns the (id, cluster_id) labels as a
+    Dataset instead of pandas — the 100-TB shape, where the clustered-
+    doc count itself is corpus-scale and the caller anti-joins /
+    writes it without ever landing it on the driver.  With the default
+    pandas return, ``driver_result_cap`` bounds the materialization:
+    more clustered docs than the cap raises instead of silently
+    building a corpus-sized driver frame.
     """
     pairs = minhash_candidate_pairs(ds, cfg, id_col, text_col,
                                     num_perm=num_perm, bands=bands,
@@ -932,13 +943,30 @@ def minhash_lsh_dedup(ds: "rd.Dataset", cfg: EngineConfig, id_col: str,
             _verify, batch_format="pyarrow").materialize()
     n_verified = verified_ds.count()
     if not n_verified:
+        if as_dataset:
+            return rd.from_arrow(pa.table(
+                {id_col: pa.array([], type=_ds_schema(
+                    verified_ds).field("id_a").type),
+                 "cluster_id": pa.array([], type=_ds_schema(
+                     verified_ds).field("id_a").type)}))
         return pd.DataFrame(columns=[id_col, "cluster_id"])
     if n_verified > uf_max_pairs:
         # scale path: the verified set is too big to pull to the driver
         # — distributed min-label propagation; only the RESULT (one row
-        # per clustered doc) lands here
-        out = pairs_components(verified_ds).to_pandas()
-        out.columns = [id_col, "cluster_id"]
+        # per clustered doc) lands here, and only under the cap
+        labels = pairs_components(verified_ds)
+        labels = labels.map_batches(
+            lambda t: t.rename_columns([id_col, "cluster_id"]),
+            batch_format="pyarrow")
+        if as_dataset:
+            return labels
+        n_labels = labels.count()
+        if n_labels > driver_result_cap:
+            raise ValueError(
+                f"{n_labels} clustered docs exceed driver_result_cap="
+                f"{driver_result_cap}; pass as_dataset=True and keep "
+                f"the labels distributed (anti-join / write_parquet)")
+        out = labels.to_pandas()
         return out.sort_values(id_col).reset_index(drop=True)
     verified = [(a, b)
                 for t in verified_ds.iter_batches(batch_format="pyarrow")
@@ -958,7 +986,8 @@ def minhash_lsh_dedup(ds: "rd.Dataset", cfg: EngineConfig, id_col: str,
     members = sorted(parent)
     out = pd.DataFrame({id_col: members,
                         "cluster_id": [find(m) for m in members]})
-    return out.reset_index(drop=True)
+    out = out.reset_index(drop=True)
+    return rd.from_pandas(out) if as_dataset else out
 
 
 def ngram_jaccard_pairs(ds: "rd.Dataset", cfg: EngineConfig, id_col: str,

@@ -407,3 +407,14 @@ def test_minhash_scale_path_identical_to_driver_union_find():
     pd.testing.assert_frame_equal(
         drv.reset_index(drop=True), dist.reset_index(drop=True))
     assert len(drv) >= 80 * 0.5              # every planted dup clustered
+    # the 100-TB shape: labels stay a Dataset (no driver materialization)
+    lab_ds = dd.minhash_lsh_dedup(ds, CFG, "doc_id", "text",
+                                  threshold=0.9, uf_max_pairs=0,
+                                  as_dataset=True)
+    lab = lab_ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(lab, drv.reset_index(drop=True),
+                                  check_dtype=False)
+    # the driver-side cliff is now an explicit error, not an OOM
+    with pytest.raises(ValueError, match="driver_result_cap"):
+        dd.minhash_lsh_dedup(ds, CFG, "doc_id", "text", threshold=0.9,
+                             uf_max_pairs=0, driver_result_cap=3)
