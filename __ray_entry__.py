@@ -3403,6 +3403,34 @@ def _q_multimodal_video(sf_dir: str) -> pd.DataFrame:
                 "motion"]]
 
 
+def _q_multimodal_mp4(sf_dir: str) -> pd.DataFrame:
+    # REAL MP4/ISO-BMFF demux (pure-Python box walk + H.264 SPS parse,
+    # pipelines/mp4.py): container-metadata features over a table of
+    # genuine MP4 payloads; the returned dims/counts are cross-checked
+    # against the synth table's own metadata struct so the entry
+    # self-validates beyond the rows-only driver check
+    from opensearch_jvector_ray.pipelines import mp4 as mp4_pl
+    tbl = mp4_pl.synth_mp4_table(120)
+    out = mm_pl.decode_features(rd.from_arrow(tbl), fake=False).to_pandas()
+    out = out.sort_values("media_id").reset_index(drop=True)
+    feats = np.stack(out["feature"].to_numpy())
+    meta = tbl["meta"].to_pylist()
+    assert feats[:, 0].astype(np.int64).tolist() == \
+        [m["n_frames"] for m in meta]
+    assert feats[:, 1].astype(np.int64).tolist() == \
+        [m["width"] for m in meta]
+    assert feats[:, 2].astype(np.int64).tolist() == \
+        [m["height"] for m in meta]
+    out["n_frames"] = feats[:, 0].astype(np.int64)
+    out["width"] = feats[:, 1].astype(np.int64)
+    out["height"] = feats[:, 2].astype(np.int64)
+    out["fps"] = np.round(feats[:, 4].astype(np.float64), 3)
+    out["keyframe_ratio"] = np.round(feats[:, 5].astype(np.float64), 4)
+    out["bitrate_mbps"] = np.round(feats[:, 8].astype(np.float64), 4)
+    return out[["media_id", "kind", "n_frames", "width", "height",
+                "fps", "keyframe_ratio", "bitrate_mbps"]]
+
+
 def _q_multimodal(sf_dir: str) -> pd.DataFrame:
     # ALL kinds decode for REAL now: WAV via stdlib wave, PNG via the
     # stdlib-zlib decoder, video via the OJRV PNG-frame container
@@ -3658,6 +3686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_audio_features": _q_multimodal_audio,
         "multimodal_image_features": _q_multimodal_image,
         "multimodal_video_features": _q_multimodal_video,
+        "multimodal_mp4_features": _q_multimodal_mp4,
     }
 
 

@@ -14,13 +14,18 @@ Codec status (honest):
     stdlib-zlib decoder implemented from the public PNG specification
     (RFC 2083 §6: None/Sub/Up/Average/Paeth unfiltering) and featurized
     (dims, channel means, luma stats + pooled luma profile);
-  - **video: REAL for the repo's own container** — an ``OJRV``
+  - **video: REAL for OJRV and MP4 containers** — the repo's ``OJRV``
     length-prefixed PNG-frame stream (motion-JPEG-style, built from the
     PNG codec above) decodes with true frame-sampling semantics
-    (first/middle/last frame decode + luma motion estimate).  Foreign
-    containers (mp4/h264 etc.) still raise ``NotImplementedError``
-    honestly — they need ffmpeg, which this environment lacks —
-    unless constructed with ``fake=True``.
+    (first/middle/last frame decode + luma motion estimate); MP4/ISO-
+    BMFF containers are DEMUXED for real by ``pipelines.mp4`` (pure-
+    Python box walk + H.264 SPS parse — coded dims incl. cropping,
+    frame count, fps, keyframes, per-sample sizes) and featurized from
+    container metadata (resolution/duration/fps/bitrate/keyframe
+    density/size-variance motion proxy — the curation signals a
+    training pipeline filters on).  H.264 PIXEL decode honestly still
+    needs ffmpeg, which this environment lacks; other containers raise
+    ``NotImplementedError`` unless constructed with ``fake=True``.
 
 Design notes for 100 TB operation (why this shape):
   - binary payloads are large -> ``batch_size`` here defaults SMALL (64)
@@ -185,9 +190,9 @@ def video_frames(payload: bytes) -> list[bytes]:
     import struct
     if payload[:4] != VIDEO_MAGIC:
         raise NotImplementedError(
-            "foreign video containers (mp4/h264/...) need ffmpeg, which "
-            "is unavailable here; OJRV (length-prefixed PNG frames) "
-            "decodes for real")
+            "pixel-level frame extraction is OJRV-only; MP4 containers "
+            "demux for real via pipelines.mp4 (mp4_parse/mp4_features) "
+            "but H.264 pixel decode needs ffmpeg, unavailable here")
     (nf,) = struct.unpack(">I", payload[4:8])
     pos, out = 8, []
     for _ in range(nf):
@@ -314,7 +319,14 @@ class DecodeStub:
     def _decode_video(self, payload: bytes) -> np.ndarray:
         """REAL frame-sample decode for OJRV containers: decode first /
         middle / last frames, features = [n_frames, w, h, per-sample
-        luma means, motion (mean |last - first| luma delta)]."""
+        luma means, motion (mean |last - first| luma delta)].  MP4
+        containers take the demux-real path: features come from the
+        parsed container/SPS metadata (pipelines.mp4), not pixels."""
+        from opensearch_jvector_ray.pipelines.mp4 import (
+            is_mp4, mp4_features,
+        )
+        if is_mp4(payload):
+            return mp4_features(payload, self.feature_dim)
         pngs = video_frames(payload)
         nf = len(pngs)
         sample = sorted({0, nf // 2, nf - 1})

@@ -1,0 +1,109 @@
+"""MP4/H.264-SPS demux tests: writer->parser round-trips on the synth
+container, SPS bit-exact round-trips incl. cropping, and the multimodal
+decode path over a real-container table."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from opensearch_jvector_ray.pipelines import mp4 as m4
+from opensearch_jvector_ray.pipelines import multimodal as mm
+
+
+def test_sps_roundtrip_aligned():
+    sps = m4.sps_encode(1920, 1088)
+    got = m4.sps_parse(sps)
+    assert (got["width"], got["height"]) == (1920, 1088)
+    assert got["profile_idc"] == 66
+
+
+@pytest.mark.parametrize("w,h", [(1920, 1080), (1280, 720), (640, 360),
+                                 (100, 50), (16, 16), (3840, 2160)])
+def test_sps_roundtrip_cropped(w, h):
+    got = m4.sps_parse(m4.sps_encode(w, h))
+    assert (got["width"], got["height"]) == (w, h)
+
+
+def test_sps_rejects_odd_dims_and_non_sps():
+    with pytest.raises(ValueError, match="even"):
+        m4.sps_encode(641, 360)
+    with pytest.raises(ValueError, match="SPS"):
+        m4.sps_parse(b"\x68\xce\x38\x80")      # a PPS, not an SPS
+
+
+def test_exp_golomb_roundtrip():
+    w = m4._BitWriter()
+    vals = [0, 1, 2, 7, 8, 255, 1000]
+    svals = [0, 1, -1, 5, -5, 200, -200]
+    for v in vals:
+        w.ue(v)
+    for v in svals:
+        w.se(v)
+    r = m4._BitReader(w.rbsp_bytes())
+    assert [r.ue() for _ in vals] == vals
+    assert [r.se() for _ in svals] == svals
+
+
+def test_mp4_roundtrip_metadata():
+    sizes = [500, 700, 900, 1100, 1300, 1500, 1700, 1900, 2100, 2300]
+    payload = m4.mp4_bytes(1280, 720, sizes, fps=25.0, keyframe_every=4)
+    got = m4.mp4_parse(payload)
+    assert got["brand"] == "isom"
+    assert got["codec"] == "avc1"
+    assert (got["width"], got["height"]) == (1280, 720)
+    assert got["n_frames"] == 10
+    assert got["fps"] == pytest.approx(25.0, rel=1e-3)
+    assert got["duration_sec"] == pytest.approx(10 / 25.0, abs=2e-3)
+    assert got["sample_sizes"].tolist() == sizes
+    assert got["keyframes"].tolist() == [1, 5, 9]
+    assert got["sps"]["profile_idc"] == 66
+
+
+def test_mp4_parse_rejects_foreign():
+    with pytest.raises(ValueError, match="mp4"):
+        m4.mp4_parse(b"\x00" * 64)
+    with pytest.raises(ValueError, match="mp4"):
+        m4.mp4_parse(mm.video_bytes(
+            [np.zeros((8, 8, 3), dtype=np.uint8)]))
+
+
+def test_mp4_features_planted_values():
+    sizes = [1000] * 50
+    payload = m4.mp4_bytes(640, 360, sizes, fps=25.0, keyframe_every=10)
+    f = m4.mp4_features(payload, feature_dim=16)
+    assert f[:5].tolist() == [50.0, 640.0, 360.0,
+                              pytest.approx(2.0, abs=1e-2),
+                              pytest.approx(25.0, rel=1e-3)]
+    assert f[5] == pytest.approx(5 / 50)          # keyframe ratio
+    assert f[6] == pytest.approx(1.0)             # mean sample kB
+    assert f[7] == pytest.approx(0.0)             # std (uniform sizes)
+    # bitrate: 50 kB * 8 / 2 s = 0.2 Mbps
+    assert f[8] == pytest.approx(0.2, rel=1e-2)
+
+
+def test_decode_features_over_mp4_table():
+    tbl = m4.synth_mp4_table(40, seed=9)
+    out = mm.decode_features(rd.from_arrow(tbl), fake=False).to_pandas()
+    assert len(out) == 40
+    feats = np.stack(out.sort_values("media_id").feature.to_numpy())
+    meta = tbl["meta"].to_pylist()
+    np.testing.assert_array_equal(feats[:, 0],
+                                  [m["n_frames"] for m in meta])
+    np.testing.assert_array_equal(feats[:, 1],
+                                  [m["width"] for m in meta])
+    np.testing.assert_array_equal(feats[:, 2],
+                                  [m["height"] for m in meta])
+    assert (feats[:, 4] > 0).all()                # fps present
+
+
+def test_mixed_ojrv_and_mp4_batch():
+    """One decode stage handles both container families in one batch."""
+    ojrv = mm.synth_video_table(5, seed=3)
+    mp4t = m4.synth_mp4_table(5, seed=3)
+    mp4t = mp4t.set_column(0, "media_id",
+                           pa.array(np.arange(5, 10, dtype=np.int64)))
+    both = pa.concat_tables([ojrv, mp4t])
+    out = mm.decode_features(rd.from_arrow(both), fake=False).to_pandas()
+    assert len(out) == 10
+    assert out["feature"].map(len).eq(16).all()
