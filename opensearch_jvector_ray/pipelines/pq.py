@@ -63,18 +63,33 @@ def default_oversample(dim: int) -> float:
     return 3.0
 
 
-def first_pass_k(k: int, oversample: float | None, dim: int) -> int:
+def first_pass_k(k: int, oversample: float | None, dim: int,
+                 m_subspaces: int | None = None) -> int:
     """Candidates surviving the approximate first pass: k' =
-    min(10000, max(100, ceil(k * oversample))) — the reference's
-    firstPassK clamp (`RescoreContext.java:17-97`).  The max(100, ...)
-    floor is the load-bearing part at small k: k=10 x 4.0 = 40
-    candidates measured recall 0.353 at 100k IID-gaussian (ANN_SWEEP_
-    r04); the floor alone lifts the exact-rerank net to 100 per batch.
+    min(10000, max(floor, ceil(k * oversample))) — the reference's
+    firstPassK clamp (`RescoreContext.java:17-97`) with a
+    COMPRESSION-AWARE floor.
+
+    The reference's flat floor of 100 assumes light compression; at
+    32x PQ (128-d float32 -> 16 uint8 codes) the ADC ordering is noisy
+    enough that the floor is the binding constraint at small k.
+    Measured on the 100k IID-gaussian worst case (50% cells probed,
+    where float IVF recalls 0.87): k'=100 -> recall 0.56, k'=300 ->
+    0.73, k'=400 -> ~0.75, k'=500 -> 0.78, all at or below ~2/3 of
+    brute-force query cost (the rerank reads k' vectors; the scan cost
+    is the codes, unchanged).  Floor rule: 100 x max(1, ratio // 8)
+    where ratio = 4*dim/m is the bytes compression — light compression
+    (ratio <= 8) keeps the reference's exact floor.
+
     ``oversample=None`` means not-user-provided -> the dimension rule.
     The cap keeps the exact rerank bounded regardless of user input."""
     if oversample is None:
         oversample = default_oversample(dim)
-    return max(k, min(10_000, max(100, int(np.ceil(k * oversample)))))
+    floor = 100
+    if m_subspaces:
+        ratio = 4 * dim // m_subspaces
+        floor = 100 * max(1, ratio // 8)
+    return max(k, min(10_000, max(floor, int(np.ceil(k * oversample)))))
 
 
 def _kmeans_subspaces(X: np.ndarray, m_subspaces: int, n_codes: int,
@@ -311,7 +326,9 @@ def pq_rerank_topk(source: "rd.Dataset | str",
     luts = np.stack([_adc_lut(book, qmat[i], metric)
                      for i in range(len(qids))])
     payload_ref = ray.put((book, qmat, luts))
-    k_prime = first_pass_k(k, oversample, book.shape[0] * book.shape[2])
+    k_prime = first_pass_k(k, oversample,
+                           book.shape[0] * book.shape[2],
+                           book.shape[0])
     approx_best = metric != "l2"        # l2 LUT is a distance: lower=better
 
     def score_batch(batch: pa.Table) -> pa.Table:
@@ -489,7 +506,9 @@ def ivfpq_topk(index_dir: str, queries: dict[str, np.ndarray], k: int, *,
     empty = pd.DataFrame(columns=["query_id", "rank", id_col, "score"])
     if not paths:
         return empty
-    k_prime = first_pass_k(k, oversample, book.shape[0] * book.shape[2])
+    k_prime = first_pass_k(k, oversample,
+                           book.shape[0] * book.shape[2],
+                           book.shape[0])
     luts = np.stack([_adc_lut(book, qmat[i], metric)
                      for i in range(len(qids))])
     approx_best = metric != "l2"

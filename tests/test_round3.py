@@ -521,8 +521,14 @@ def test_video_frame_sampling_planted_motion():
     assert feat[3] > 0.01                           # motion
     static = stub._decode_one(video_bytes([moving[0]] * 4), "video")
     assert static[3] == 0.0
-    with pytest.raises(NotImplementedError, match="ffmpeg"):
+    # MP4 payloads now take the real demux path (pipelines/mp4.py): a
+    # truncated BMFF header is a malformed-container error, not an
+    # unsupported-codec one; genuinely foreign containers still raise
+    # NotImplementedError
+    with pytest.raises(ValueError, match="malformed"):
         stub._decode_one(b"\x00\x00\x00\x20ftypmp42", "video")
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        stub._decode_one(b"RIFFxxxxAVI LIST", "video")
 
 
 def test_decode_features_real_video_pipeline():
