@@ -86,6 +86,37 @@ def test_significant_terms_nullable_field_oracle(idx):
     assert int(bg["bg_count"].sum()) == N
 
 
+def test_pii_redact_rules():
+    from opensearch_jvector_ray.pipelines.pii import (
+        pii_filter, pii_redact,
+    )
+    texts = ["mail a.b+c@ex-ample.co.uk and x@y.io",
+             "ssn 123-45-6789 ip 10.0.0.1 call +14155551234",
+             "clean text 1.2.3 1234-56-7890 +123",
+             "edge 999.999.999.999 a@b.c"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(4), type=pa.int64()),
+        "text": pa.array(texts)}))
+    out = (pii_redact(ds).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["n_email"].tolist() == [2, 0, 0, 0]
+    assert out["n_ssn"].tolist() == [0, 1, 0, 0]
+    # 999.999... still matches the \d{1,3} quad (detection, not
+    # validation — the curation posture: over-redact, never leak)
+    assert out["n_ipv4"].tolist() == [0, 1, 0, 1]
+    assert out["n_phone"].tolist() == [0, 1, 0, 0]
+    assert out["n_pii"].tolist() == [2, 3, 0, 1]
+    assert out["redacted"].tolist() == [
+        "mail <EMAIL> and <EMAIL>",
+        "ssn <SSN> ip <IP> call <PHONE>",
+        "clean text 1.2.3 1234-56-7890 +123",
+        "edge <IP> a@b.c"]
+    kept = pii_filter(ds).to_pandas()
+    assert kept["doc_id"].tolist() == [2]
+    kept2 = pii_filter(ds, max_pii=2).to_pandas()
+    assert sorted(kept2["doc_id"].tolist()) == [0, 2, 3]
+
+
 def _tar_with_member(path: str, name: str, mode: int = 0o644,
                      typ=tarfile.REGTYPE) -> None:
     with tarfile.open(path, "w") as tf:
