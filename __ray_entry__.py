@@ -35,7 +35,7 @@ from opensearch_jvector_ray.oracles import (
     top_metrics_sql, percentile_ranks_sql,
     mad_sql, boxplot_sql, t_test_sql, vw_histogram_sql,
     global_stats_sql, sampler_sql, diversified_sampler_sql,
-    rank_feature_add_sql, pinned_sql, pii_sql, combined_fields_sql,
+    rank_feature_add_sql, pinned_sql, combined_fields_sql,
     span_or_near_sql, span_not_sql, matched_queries_sql,
     span_multi_sql,
     span_within_sql, span_containing_sql, span_ordered_sql,
@@ -3431,36 +3431,6 @@ def _q_multimodal_mp4(sf_dir: str) -> pd.DataFrame:
                 "fps", "keyframe_ratio", "bitrate_mbps"]]
 
 
-def _q_pii_redact(sf_dir: str) -> pd.DataFrame:
-    # PII detection/redaction (pipelines/pii.py): planted-PII-augmented
-    # text -> per-kind counts (on the ORIGINAL text) + sequentially
-    # redacted string; pyarrow and DuckDB both compile RE2, so the
-    # redacted STRING is value-exact across engines (one pattern list,
-    # two backends)
-    import pyarrow as pa
-
-    from opensearch_jvector_ray.pipelines.pii import pii_redact
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def _aug(batch: "pa.Table") -> "pa.Table":
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        keep = ids < 400
-        batch = batch.filter(pa.array(keep))
-        ids = ids[keep]
-        # bounded gate augmentation (<=400 rows), mirrored symbol-for-
-        # symbol by the oracle's SQL || chain
-        aug = [f"{t} doc{i}@example.com 10.{i % 256}.0.1 "
-               f"+14155550{i % 100:03d} 123-45-6789"
-               for t, i in zip(batch["text"].to_pylist(), ids)]
-        return pa.table({"doc_id": batch["doc_id"],
-                         "text": pa.array(aug, type=pa.string())})
-
-    out = pii_redact(ds.map_batches(_aug, batch_format="pyarrow"))
-    out = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
-    return out[["doc_id", "n_email", "n_ssn", "n_ipv4", "n_phone",
-                "n_pii", "redacted"]]
-
-
 def _q_multimodal(sf_dir: str) -> pd.DataFrame:
     # ALL kinds decode for REAL now: WAV via stdlib wave, PNG via the
     # stdlib-zlib decoder, video via the OJRV PNG-frame container
@@ -3575,7 +3545,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "script_fields": _q_script_fields,
         "terms_lookup": _q_terms_lookup,
         "incremental_dedup": _q_incremental_dedup,
-        "pii_redact": _q_pii_redact,
         "rollover_search": _q_rollover_search,
         "bm25_vw_histogram": _q_bm25_vw_histogram,
         "bm25_global_stats": _q_bm25_global_stats,
@@ -4123,7 +4092,6 @@ def oracle_sql() -> dict[str, str]:
         "script_fields": _script_fields_oracle(),
         "terms_lookup": _terms_lookup_oracle(),
         "incremental_dedup": _incremental_dedup_oracle(),
-        "pii_redact": pii_sql(),
         "rollover_search": _rollover_oracle(),
         "response_latency": response_latency_sql(_transcript_arms()),
         "tool_transitions": tool_transitions_sql(_transcript_arms()),

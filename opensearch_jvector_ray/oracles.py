@@ -5560,39 +5560,3 @@ GROUP BY prev_tool, tool
 ORDER BY prev_tool, tool
 """
 
-
-def pii_sql(table: str = "documents", id_col: str = "doc_id",
-            text_col: str = "text", max_id: int = 400) -> str:
-    """Oracle for pipelines.pii.pii_redact over PLANTED-PII-augmented
-    text: the augmentation expression, the per-kind count rule (counts
-    on the ORIGINAL text — kind independence), and the SEQUENTIAL
-    replacement order are all shared with the engine; both engines
-    compile RE2, so the redacted STRING is value-exact, not just the
-    counts.  Pattern strings come verbatim from pii.PII_PATTERNS —
-    one list, two backends (the repo's one-spec rule)."""
-    from opensearch_jvector_ray.pipelines.pii import PII_PATTERNS
-    aug = (f"{text_col} || ' doc' || CAST({id_col} AS VARCHAR)"
-           f" || '@example.com 10.' || CAST({id_col} % 256 AS VARCHAR)"
-           f" || '.0.1 +14155550'"
-           f" || lpad(CAST({id_col} % 100 AS VARCHAR), 3, '0')"
-           f" || ' 123-45-6789'")
-    expr = "aug"
-    for _, pattern, repl in PII_PATTERNS:
-        expr = f"regexp_replace({expr}, '{pattern}', '{repl}', 'g')"
-    counts = ",\n       ".join(
-        f"len(regexp_extract_all(aug, '{pattern}'))::BIGINT AS n_{kind}"
-        for kind, pattern, _ in PII_PATTERNS)
-    total = " + ".join(f"len(regexp_extract_all(aug, '{pattern}'))"
-                       for _, pattern, _ in PII_PATTERNS)
-    return f"""
-WITH src AS (
-  SELECT {id_col}, {aug} AS aug
-  FROM {table} WHERE {id_col} < {int(max_id)}
-)
-SELECT {id_col},
-       {counts},
-       ({total})::BIGINT AS n_pii,
-       {expr} AS redacted
-FROM src
-ORDER BY {id_col}
-"""

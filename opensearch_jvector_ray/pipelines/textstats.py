@@ -362,6 +362,27 @@ def pii_scrub_stage(id_col: str, text_col: str,
     return fn
 
 
+def pii_filter(ds: "rd.Dataset", *, text_col: str = "text",
+               max_pii: int = 0, patterns=PII_PATTERNS) -> "rd.Dataset":
+    """Strict-curation sibling of ``pii_scrub_stage``: DROP documents
+    with more than ``max_pii`` total PII hits (counts under the same
+    sequential-pattern rule the scrubber and its oracle use) — original
+    columns pass through untouched.  One streaming pass, no shuffle."""
+    def _f(batch: pa.Table) -> pa.Table:
+        cur = batch[text_col]
+        if isinstance(cur, pa.ChunkedArray):
+            cur = cur.combine_chunks()
+        total = None
+        for _, pat, repl in patterns:
+            c = pc.cast(pc.count_substring_regex(cur, pattern=pat),
+                        pa.int64())
+            total = c if total is None else pc.add(total, c)
+            cur = pc.replace_substring_regex(cur, pattern=pat,
+                                             replacement=repl)
+        return batch.filter(pc.less_equal(total, max_pii))
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
 _KW_IDF_CACHE: dict = {}
 
 

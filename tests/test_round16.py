@@ -86,35 +86,30 @@ def test_significant_terms_nullable_field_oracle(idx):
     assert int(bg["bg_count"].sum()) == N
 
 
-def test_pii_redact_rules():
-    from opensearch_jvector_ray.pipelines.pii import (
-        pii_filter, pii_redact,
+def test_pii_filter_sibling_of_scrub():
+    # pii_filter drops docs by TOTAL hit count under the same
+    # sequential-pattern counting rule pii_scrub_stage (and its DuckDB
+    # oracle) uses; everything else passes through untouched
+    from opensearch_jvector_ray.pipelines.textstats import (
+        pii_filter, pii_scrub_stage,
     )
     texts = ["mail a.b+c@ex-ample.co.uk and x@y.io",
-             "ssn 123-45-6789 ip 10.0.0.1 call +14155551234",
-             "clean text 1.2.3 1234-56-7890 +123",
+             "ip 10.0.0.1 call +1 415 555 1234",
+             "clean text 1.2.3 +123",
              "edge 999.999.999.999 a@b.c"]
-    ds = rd.from_arrow(pa.table({
-        "doc_id": pa.array(range(4), type=pa.int64()),
-        "text": pa.array(texts)}))
-    out = (pii_redact(ds).to_pandas()
-           .sort_values("doc_id").reset_index(drop=True))
-    assert out["n_email"].tolist() == [2, 0, 0, 0]
-    assert out["n_ssn"].tolist() == [0, 1, 0, 0]
-    # 999.999... still matches the \d{1,3} quad (detection, not
-    # validation — the curation posture: over-redact, never leak)
-    assert out["n_ipv4"].tolist() == [0, 1, 0, 1]
-    assert out["n_phone"].tolist() == [0, 1, 0, 0]
-    assert out["n_pii"].tolist() == [2, 3, 0, 1]
-    assert out["redacted"].tolist() == [
-        "mail <EMAIL> and <EMAIL>",
-        "ssn <SSN> ip <IP> call <PHONE>",
-        "clean text 1.2.3 1234-56-7890 +123",
-        "edge <IP> a@b.c"]
+    tbl = pa.table({"doc_id": pa.array(range(4), type=pa.int64()),
+                    "text": pa.array(texts)})
+    ds = rd.from_arrow(tbl)
+    scrub = pii_scrub_stage("doc_id", "text")(tbl).to_pandas()
+    totals = sum(scrub[c] for c in scrub.columns
+                 if c.startswith("n_"))
     kept = pii_filter(ds).to_pandas()
-    assert kept["doc_id"].tolist() == [2]
-    kept2 = pii_filter(ds, max_pii=2).to_pandas()
-    assert sorted(kept2["doc_id"].tolist()) == [0, 2, 3]
+    assert sorted(kept["doc_id"]) == \
+        sorted(scrub["doc_id"][totals == 0])
+    assert list(kept.columns) == ["doc_id", "text"]   # untouched rows
+    kept2 = pii_filter(ds, max_pii=1).to_pandas()
+    assert sorted(kept2["doc_id"]) == \
+        sorted(scrub["doc_id"][totals <= 1])
 
 
 def _tar_with_member(path: str, name: str, mode: int = 0o644,
