@@ -340,7 +340,19 @@ def is_mp4(payload: bytes) -> bool:
 
 def mp4_parse(payload: bytes) -> dict:
     """Demux an MP4: container metadata + the parsed SPS of the first
-    video track.  Raises ValueError on a non-BMFF payload."""
+    video track.  Raises ValueError on a non-BMFF payload AND on any
+    truncated/corrupt container (struct/index errors from damaged bytes
+    are normalized to ValueError — a decode stage at corpus scale must
+    see ONE error type for bad payloads, not crash-shaped ones)."""
+    try:
+        return _mp4_parse_inner(payload)
+    except ValueError:
+        raise
+    except (struct.error, IndexError, OverflowError, MemoryError) as ex:
+        raise ValueError(f"truncated/corrupt mp4: {ex}") from ex
+
+
+def _mp4_parse_inner(payload: bytes) -> dict:
     if not is_mp4(payload):
         raise ValueError("not an ISO-BMFF (mp4) payload")
     end = len(payload)

@@ -293,9 +293,19 @@ class DecodeStub:
     output schema) is production-shaped.
     """
 
-    def __init__(self, feature_dim: int = 16, fake: bool = False):
+    def __init__(self, feature_dim: int = 16, fake: bool = False,
+                 on_error: str = "raise"):
+        if on_error not in ("raise", "skip", "null"):
+            raise ValueError("on_error must be raise|skip|null")
         self.feature_dim = feature_dim
         self.fake = fake
+        # corpus-scale posture: a crawl WILL contain corrupt payloads;
+        # one bad row must not kill the batch (or the whole pipeline
+        # under max_errored_blocks=0).  "skip" drops bad rows, "null"
+        # keeps them with a NULL feature (curation can count/inspect),
+        # "raise" (default) keeps the strict test/gate behavior.
+        self.on_error = on_error
+        self.n_errors = 0      # per-actor counter (stats surface)
         # stateful setup happens ONCE per actor (codec contexts, models)
 
     def _decode_one(self, payload: bytes, kind: str) -> np.ndarray:
@@ -383,21 +393,40 @@ class DecodeStub:
         return out[: self.feature_dim].astype(np.float32)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = [self._decode_one(p, k) for p, k in
-                 zip(batch["payload"].to_pylist(), batch["kind"].to_pylist())]
-        mat = np.stack(feats) if feats else np.zeros((0, self.feature_dim), np.float32)
+        feats: list = []
+        ok = np.ones(batch.num_rows, dtype=bool)
+        for i, (p, k) in enumerate(zip(batch["payload"].to_pylist(),
+                                       batch["kind"].to_pylist())):
+            try:
+                feats.append(self._decode_one(p, k))
+            except Exception:
+                if self.on_error == "raise":
+                    raise
+                self.n_errors += 1
+                if self.on_error == "null":
+                    feats.append(None)
+                else:                               # skip
+                    ok[i] = False
+        if self.on_error == "skip" and not ok.all():
+            batch = batch.filter(pa.array(ok))
         return pa.table({
             "media_id": batch["media_id"],
             "kind": batch["kind"],
-            "feature": pa.array(list(mat), type=pa.list_(pa.float32())),
+            "feature": pa.array(
+                [None if f is None else list(f) for f in feats],
+                type=pa.list_(pa.float32())),
         })
 
 
 def decode_features(ds, *, feature_dim: int = 16, fake: bool = False,
-                    concurrency: int = 2, batch_size: int = 64):
-    """media table -> (media_id, kind, feature list<float32>)."""
+                    concurrency: int = 2, batch_size: int = 64,
+                    on_error: str = "raise"):
+    """media table -> (media_id, kind, feature list<float32>).
+    ``on_error``: "raise" (strict, default), "skip" (drop corrupt
+    payload rows), "null" (keep the row, NULL feature)."""
     return ds.map_batches(DecodeStub, batch_format="pyarrow",
                           batch_size=batch_size, concurrency=concurrency,
                           num_cpus=1,
                           fn_constructor_kwargs={"feature_dim": feature_dim,
-                                                 "fake": fake})
+                                                 "fake": fake,
+                                                 "on_error": on_error})

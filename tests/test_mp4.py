@@ -97,6 +97,57 @@ def test_decode_features_over_mp4_table():
     assert (feats[:, 4] > 0).all()                # fps present
 
 
+def test_mp4_parse_corruption_fuzz_single_error_type():
+    """Damaged containers must surface as ValueError only — a decode
+    stage at corpus scale needs ONE error type for bad payloads, never
+    struct.error/IndexError crash shapes."""
+    rng = np.random.default_rng(17)
+    good = m4.mp4_bytes(640, 368, [800] * 12, fps=30.0)
+    for _ in range(60):
+        bad = bytearray(good)
+        mode = rng.integers(0, 3)
+        if mode == 0:                                 # truncate
+            bad = bad[: int(rng.integers(9, len(bad)))]
+        elif mode == 1:                               # byte flips
+            for _ in range(int(rng.integers(1, 8))):
+                bad[int(rng.integers(0, len(bad)))] = int(
+                    rng.integers(0, 256))
+        else:                                         # size-field smash
+            off = int(rng.integers(0, len(bad) - 4))
+            bad[off: off + 4] = rng.integers(
+                0, 256, 4, dtype=np.uint8).tobytes()
+        try:
+            m4.mp4_parse(bytes(bad))
+        except ValueError:
+            pass                                      # the contract
+        # (a mutation that stays parseable is fine too)
+
+
+def test_decode_features_on_error_modes():
+    tbl = m4.synth_mp4_table(6, seed=2)
+    bad = b"\x00\x00\x00\x20ftyp" + b"\x99" * 8      # truncated BMFF
+    payloads = tbl["payload"].to_pylist()
+    payloads[2] = bad
+    tbl = tbl.set_column(2, "payload",
+                         pa.array(payloads, type=pa.binary()))
+    ds = rd.from_arrow(tbl)
+    with pytest.raises(Exception):                   # strict default
+        mm.decode_features(ds, fake=False).to_pandas()
+    skipped = mm.decode_features(ds, fake=False,
+                                 on_error="skip").to_pandas()
+    assert sorted(skipped["media_id"]) == [0, 1, 3, 4, 5]
+    # consume as Arrow: a list<float32> column with nulls is exactly
+    # what Arrow represents natively (pandas' tensor-extension cast
+    # can't hold ragged nulls — that's a pandas limitation, not ours)
+    nt = pa.concat_tables(list(
+        mm.decode_features(ds, fake=False, on_error="null")
+        .iter_batches(batch_format="pyarrow")))
+    nt = nt.take(pa.compute.sort_indices(nt["media_id"]))
+    assert nt.num_rows == 6
+    assert nt["feature"].combine_chunks().is_null().to_pylist() == [
+        False, False, True, False, False, False]
+
+
 def test_mixed_ojrv_and_mp4_batch():
     """One decode stage handles both container families in one batch."""
     ojrv = mm.synth_video_table(5, seed=3)
