@@ -56,6 +56,10 @@ class SegmentShardActor:
         self.hits = 0
         self.misses = 0
 
+    def ping(self) -> int:
+        """Liveness probe for the respawn path."""
+        return len(self.segs)
+
     def add_segments(self, seg_dirs: list[str]) -> int:
         """NRT refresh [OpenSearch refresh public semantics]: load newly
         flushed segments into the warm actor — existing segment state
@@ -270,6 +274,10 @@ class SearchService:
                 s, self.cfg.to_json(), self.key_cols, term_cache_size)
             for s in shards]
         self._assigned = set(seg_dirs)
+        self._shards = [list(s) for s in shards]   # per-actor segment
+        #   assignment — the respawn path rebuilds a dead actor from it
+        self._term_cache_size = term_cache_size
+        self.respawns = 0
         self._shard_sizes = [len(s) for s in shards]
         # request cache [OpenSearch shard-request-cache public
         # semantics, service-level]: LRU over the FULL request key,
@@ -325,9 +333,48 @@ class SearchService:
             i = int(np.argmin(self._shard_sizes))
             futures.append(self.actors[i].add_segments.remote([d]))
             self._shard_sizes[i] += 1
+            self._shards[i].append(d)
             self._assigned.add(d)
         ray.get(futures)
         return len(new)
+
+    def _respawn_dead(self) -> int:
+        """Replace dead shard actors (node/OOM kill) from the recorded
+        per-actor segment assignment — the serve-side analog of replica
+        recovery.  Cold caches on the replacement; correctness
+        unaffected (segments are immutable, global stats live on the
+        driver)."""
+        n = 0
+        pings = [(i, a.ping.remote()) for i, a in enumerate(self.actors)]
+        for i, p in pings:
+            try:
+                ray.get(p, timeout=10)
+            except Exception:
+                self.actors[i] = SegmentShardActor.options(
+                    num_cpus=1).remote(self._shards[i],
+                                       self.cfg.to_json(),
+                                       self.key_cols,
+                                       self._term_cache_size)
+                n += 1
+        if n:
+            self.respawns += n
+            self._agg_facade = None        # facade holds actor handles
+        return n
+
+    def _gather(self, make_futures) -> list:
+        """ray.get over per-actor futures with ONE transparent
+        respawn-and-retry on actor death.  ``make_futures`` is called
+        with the (possibly replaced) actor list each attempt, so a
+        retry re-fans the WHOLE request — shard results are partial
+        frames, never safe to mix across attempts."""
+        from ray.exceptions import RayActorError
+        for attempt in (0, 1):
+            try:
+                return ray.get(make_futures(self.actors))
+            except RayActorError:
+                if attempt or not self._respawn_dead():
+                    raise
+        raise AssertionError("unreachable")
 
     # dictionary lookup identical to IndexSearcher (global stats)
     def _prepare(self, queries: dict[str, str], k: int,
@@ -374,10 +421,10 @@ class SearchService:
         self._req_misses += 1
         prepared = self._prepare(queries, k, term_weights)
         avgdl = float(self.stats["avgdl"] or 1.0)
-        futures = [a.search.remote(prepared, k, avgdl, filter,
-                                   linear_tf)
-                   for a in self.actors]
-        tables = [t for t in ray.get(futures) if t.num_rows]
+        results = self._gather(
+            lambda acts: [a.search.remote(prepared, k, avgdl, filter,
+                                          linear_tf) for a in acts])
+        tables = [t for t in results if t.num_rows]
         if not tables:
             df = pd.DataFrame(columns=["query_id", *self.key_cols, "score"])
         else:
@@ -429,7 +476,8 @@ class SearchService:
         return self._agg_facade
 
     def cache_stats(self) -> list[dict]:
-        return ray.get([a.cache_stats.remote() for a in self.actors])
+        return self._gather(
+            lambda acts: [a.cache_stats.remote() for a in acts])
 
     def shutdown(self) -> None:
         for a in self.actors:
@@ -539,10 +587,11 @@ class _ServedAggSearcher:
             # only needed for empty-table synthesis, which the facade
             # handles by returning an empty DataFrame
             pass
-        futures = [a.agg_partial.remote(prepared, agg,
-                                        float(min_score), avgdl)
-                   for a in self._svc.actors]
-        tables = [t for t in ray.get(futures)
+        results = self._svc._gather(
+            lambda acts: [a.agg_partial.remote(prepared, agg,
+                                               float(min_score), avgdl)
+                          for a in acts])
+        tables = [t for t in results
                   if t is not None and t.num_rows]
         if not tables:
             return pd.DataFrame()

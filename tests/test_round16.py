@@ -197,6 +197,28 @@ def test_graph_merge_keeps_recall_on_realistic_embeddings(tmp_path):
     assert post >= 0.75, (pre, post)
 
 
+def test_serve_respawns_dead_shard_actor(idx):
+    """Replica-recovery analog: ray.kill a shard actor, the next search
+    transparently respawns it from the recorded per-actor segment
+    assignment and returns frames identical to the healthy service
+    (cold caches, same ranking)."""
+    import ray
+
+    from opensearch_jvector_ray.serve import SearchService
+    svc = SearchService(idx, num_shards=2, request_cache_size=0)
+    before = svc.search(QUERIES, k=8)
+    ray.kill(svc.actors[0])
+    after = svc.search(QUERIES, k=8)
+    pd.testing.assert_frame_equal(before, after)
+    assert svc.respawns == 1
+    # aggregations fan out through the same retry path
+    ray.kill(svc.actors[1])
+    facet = svc.agg.facet_counts(QUERIES, "source", MS)
+    assert svc.respawns == 2
+    assert not facet.empty
+    svc.shutdown()
+
+
 def test_snapshot_restore_roundtrip_still_works(idx, tmp_path):
     snap = str(tmp_path / "snap.tar")
     snapshot_index(idx, snap)
