@@ -411,6 +411,11 @@ def build_index(source: "rd.Dataset | str | list[str]", index_dir: str,
       required): hash(conv_id) -> groupby -> per-group build.  LWW and
       nested/parent operators need all rows of a key in one segment.
     """
+    if mode not in ("auto", "fragments", "staged", "shuffle"):
+        # an unknown mode must fail loudly: it used to fall through
+        # every physical-plan branch and "finish" an EMPTY index
+        raise ValueError(f"unknown build mode {mode!r} "
+                         f"(auto|fragments|staged|shuffle)")
     spec = spec or IndexSpec()
     t0 = time.perf_counter()
     os.makedirs(index_dir, exist_ok=True)

@@ -197,6 +197,16 @@ def test_graph_merge_keeps_recall_on_realistic_embeddings(tmp_path):
     assert post >= 0.75, (pre, post)
 
 
+def test_build_rejects_unknown_mode(tmp_path):
+    # an unknown mode used to fall through every physical-plan branch
+    # and "finish" an EMPTY index — must fail eagerly instead
+    with pytest.raises(ValueError, match="unknown build mode"):
+        build_index(rd.from_arrow(_corpus()), str(tmp_path / "x"),
+                    CFG, IndexSpec(text_col="text", key_cols=("doc_id",),
+                                   store_cols=(), ts_col=""),
+                    mode="fragment")
+
+
 def test_serve_respawns_dead_shard_actor(idx):
     """Replica-recovery analog: ray.kill a shard actor, the next search
     transparently respawns it from the recorded per-actor segment
