@@ -5618,6 +5618,14 @@ class IndexSearcher:
         return no rows (the resume token is required).  taat only.
         """
         cfg = self.cfg
+        if mode not in ("taat", "wand", "phrase", "boolean", "span",
+                        "span_or", "span_first", "span_not",
+                        "span_within", "span_containing",
+                        "span_ordered"):
+            # a typo'd mode used to fall through the per-segment
+            # dispatch into plain scoring — silently wrong semantics,
+            # the empty-index-build bug's sibling
+            raise ValueError(f"unknown search mode {mode!r}")
         if score_mode not in ("bm25", "linear_tf"):
             raise ValueError(f"score_mode must be bm25|linear_tf, got "
                              f"{score_mode!r}")

@@ -461,7 +461,10 @@ def test_span_wc_validation(idx):
     with pytest.raises(ValueError, match="little"):
         s.search({"q": "alpha"}, k=5, mode="span_within")
     with pytest.raises(ValueError, match="slop"):
-        s.search({"q": "a b"}, k=5, mode="match", slop=2)
+        s.search({"q": "a b"}, k=5, mode="taat", slop=2)
+    # a typo'd mode is rejected eagerly, never silently re-scored
+    with pytest.raises(ValueError, match="unknown search mode"):
+        s.search({"q": "a b"}, k=5, mode="match")
     with pytest.raises(ValueError, match="does not support"):
         parse_query({"span_within": {"query": "a b", "end": 3}})
     # zero-df member (little or big) matches nothing, doesn't raise
