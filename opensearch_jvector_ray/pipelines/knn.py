@@ -27,14 +27,23 @@ import ray.data as rd
 
 from opensearch_jvector_ray.functions import scoring
 
-METRICS: dict[str, tuple[Callable, Callable, bool]] = {
+class _MetricTable(dict):
+    """dict with a helpful error: a typo'd metric name lists the valid
+    vocabulary instead of a bare KeyError."""
+
+    def __missing__(self, key):
+        raise ValueError(f"unknown metric {key!r} "
+                         f"(valid: {sorted(self)})")
+
+
+METRICS: "dict[str, tuple[Callable, Callable, bool]]" = _MetricTable({
     # name -> (raw kernel, lucene score translation, higher_is_better_raw)
     "l2": (scoring.l2_squared, scoring.l2_score, False),
     "cosine": (scoring.cosine_similarity, scoring.cosine_score, True),
     "innerproduct": (scoring.inner_product, scoring.inner_product_score, True),
     "l1": (scoring.l1_norm, scoring.l1_score, False),
     "linf": (scoring.linf_norm, scoring.linf_score, False),
-}
+})
 
 
 def _partial_topk(ids: np.ndarray, score: np.ndarray,
