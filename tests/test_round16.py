@@ -197,6 +197,76 @@ def test_graph_merge_keeps_recall_on_realistic_embeddings(tmp_path):
     assert post >= 0.75, (pre, post)
 
 
+def test_scan_randomized_tiling(idx):
+    """Seeded randomized scan: random page sizes and query mixes with
+    wildly different ranking lengths must tile the full ranking exactly
+    — no duplicates, no gaps (the round-5 mixed-exhaustion fix under
+    randomized shapes)."""
+    s = IndexSearcher(idx)
+    rng = np.random.default_rng(23)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "scan",
+             "merge", "sort"]
+    for trial in range(6):
+        qs = {f"q{j}": " ".join(rng.choice(vocab,
+                                           size=rng.integers(1, 4),
+                                           replace=False))
+              for j in range(int(rng.integers(1, 4)))}
+        page = int(rng.integers(1, 9))
+        pages = list(s.scan(qs, page_size=page))
+        assert all(len(p.groupby("query_id")) <= len(qs) for p in pages)
+        stitched = (pd.concat(pages, ignore_index=True)
+                    if pages else pd.DataFrame(
+                        columns=["query_id", "doc_id", "score"]))
+        for qid, text in qs.items():
+            got = stitched[stitched["query_id"] == qid]
+            full = s.search({qid: text}, k=N)
+            assert not got["doc_id"].duplicated().any(), (trial, qid)
+            assert list(got["doc_id"]) == list(full["doc_id"]), \
+                (trial, qid, page)
+            assert list(got["score"]) == list(full["score"])
+
+
+def test_significant_terms_randomized_null_fractions(tmp_path):
+    """Seeded randomized nullable-field JLH: random null fractions and
+    corpus shapes, engine vs DuckDB oracle value-exact every draw."""
+    rng = np.random.default_rng(31)
+    for trial in range(3):
+        n = int(rng.integers(60, 140)) * 2
+        words = ["alpha", "beta", "gamma", "delta", "merge", "sort"]
+        texts = [" ".join(rng.choice(words, size=6))
+                 for _ in range(n)]
+        null_frac = float(rng.uniform(0.05, 0.5))
+        srcs = [None if rng.random() < null_frac
+                else str(rng.choice(["web", "book", "code"]))
+                for _ in range(n)]
+        tbl = pa.table({
+            "doc_id": pa.array(list(range(n)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+            "source": pa.array(srcs, type=pa.string()),
+        })
+        out = str(tmp_path / f"sig{trial}")
+        build_index(rd.from_arrow(tbl), out, CFG,
+                    IndexSpec(text_col="text", key_cols=("doc_id",),
+                              store_cols=("source",), ts_col=""))
+        s = IndexSearcher(out)
+        got = s.significant_terms_agg({"q": "alpha merge"},
+                                      field="source", min_score=MS,
+                                      size=10)
+        con = duckdb.connect()
+        con.register("docs", tbl)
+        exp = con.sql(significant_terms_sql(
+            {"q": "alpha merge"}, MS, "source", 10, CFG, table="docs",
+            id_col="doc_id", text_col="text")).df()
+        g = got.sort_values(["query_id", "source"]).reset_index(drop=True)
+        e = exp.sort_values(["query_id", "source"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            g[["query_id", "source", "doc_count", "bg_count", "score"]],
+            e[["query_id", "source", "doc_count", "bg_count", "score"]],
+            check_dtype=False, atol=0, rtol=0)
+        assert int(s._field_value_counts("source")["bg_count"].sum()) \
+            == n, trial
+
+
 def test_build_rejects_unknown_mode(tmp_path):
     # an unknown mode used to fall through every physical-plan branch
     # and "finish" an EMPTY index — must fail eagerly instead
