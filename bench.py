@@ -509,7 +509,10 @@ def run_ann_sweep() -> dict:
     incremental-vs-rebuild graph merge (the `merge_times_*.png` analog).
 
     Env knobs: OJR_ANN_SIZES (csv, default "1000,10000,100000"),
-    OJR_ANN_DIM (default 128), OJR_ANN_MERGE=0 to skip the merge A/B.
+    OJR_ANN_DIM (default 128), OJR_ANN_MERGE=0 to skip the merge A/B,
+    OJR_ANN_KIND = "gaussian" (default — the IID adversarial floor) or
+    "lowdim" (ambient dim with intrinsic dim ~16 + same-distribution
+    queries — the realistic embedding shape; see BASELINE round 5).
     """
     import numpy as np
     import pyarrow as pa
@@ -528,6 +531,10 @@ def run_ann_sweep() -> dict:
     sizes = [int(s) for s in os.environ.get(
         "OJR_ANN_SIZES", "1000,10000,100000").split(",")]
     dim = int(os.environ.get("OJR_ANN_DIM", "128"))
+    kind = os.environ.get("OJR_ANN_KIND", "gaussian")
+    if kind not in ("gaussian", "lowdim"):
+        raise ValueError(f"OJR_ANN_KIND must be gaussian|lowdim, "
+                         f"got {kind!r}")
     k, n_q = 10, 100
     os.makedirs(BENCH_ROOT, exist_ok=True)
 
@@ -535,11 +542,24 @@ def run_ann_sweep() -> dict:
     queries = {f"q{i:03d}": rng.standard_normal(dim).astype(np.float32)
                for i in range(n_q)}
 
+    def _gen(n: int) -> np.ndarray:
+        g = np.random.default_rng(1000 + n)
+        if kind == "lowdim":
+            # realistic embedding shape: intrinsic dim ~16 (latent
+            # gaussian x fixed projection + 5% ambient noise)
+            d_lat = 16
+            proj = g.standard_normal((d_lat, dim)) / np.sqrt(d_lat)
+            return (g.standard_normal((n, d_lat)) @ proj
+                    + 0.05 * g.standard_normal((n, dim))
+                    ).astype(np.float32)
+        return g.standard_normal((n, dim)).astype(np.float32)
+
     def _data_path(n: int) -> str:
-        path = os.path.join(BENCH_ROOT, f"ann_data_{n}_{dim}.parquet")
+        suffix = "" if kind == "gaussian" else f"_{kind}"
+        path = os.path.join(BENCH_ROOT,
+                            f"ann_data_{n}_{dim}{suffix}.parquet")
         if not os.path.exists(path):
-            g = np.random.default_rng(1000 + n)
-            mat = g.standard_normal((n, dim)).astype(np.float32)
+            mat = _gen(n)
             tbl = pa.table({
                 "vec_id": pa.array(np.arange(n, dtype=np.int64)),
                 "embedding": pa.FixedSizeListArray.from_arrays(
@@ -548,6 +568,17 @@ def run_ann_sweep() -> dict:
             })
             # many row groups so read_parquet yields parallel blocks
             papq.write_table(tbl, path, row_group_size=4096)
+        if kind == "lowdim":
+            # queries from the data distribution (every public ANN
+            # benchmark's shape) — perturbed corpus points
+            qrng = np.random.default_rng(7)
+            tq = papq.read_table(path, columns=["embedding"])
+            emb = tq["embedding"].combine_chunks()
+            picks = qrng.choice(n, n_q, replace=False)
+            for i, s_ in enumerate(picks):
+                queries[f"q{i:03d}"] = (
+                    np.asarray(emb[int(s_)].as_py(), dtype=np.float32)
+                    + 0.1 * qrng.standard_normal(dim).astype(np.float32))
         return path
 
     def _recall(df, truth) -> float:
@@ -567,6 +598,7 @@ def run_ann_sweep() -> dict:
     rd.range(NUM_CPUS * 2000).map_batches(
         lambda b: {"x": [sum(b["id"])]}, batch_size=1000).count()
 
+    tag = "" if kind == "gaussian" else f"_{kind}"
     out: dict = {}
     for n in sizes:
         path = _data_path(n)
@@ -596,7 +628,7 @@ def run_ann_sweep() -> dict:
         # all take the exact chunked-BLAS construction path, which is
         # both cheaper than descent and candidate-perfect on this
         # IID-gaussian corpus (the NN-descent hard case)
-        gdir = os.path.join(BENCH_ROOT, f"ann_graph_{n}")
+        gdir = os.path.join(BENCH_ROOT, f"ann_graph_{n}{tag}")
         shutil.rmtree(gdir, ignore_errors=True)
         t0 = time.perf_counter()
         graph_pl.build_graph_index(ds(), gdir, num_parts=num_parts)
@@ -615,7 +647,7 @@ def run_ann_sweep() -> dict:
 
         # graph + PQ traversal (pq_min_rows=1024: the reference's PQ
         # threshold — 1k-corpus partitions skip quantization, same rule)
-        qdir = os.path.join(BENCH_ROOT, f"ann_graphpq_{n}")
+        qdir = os.path.join(BENCH_ROOT, f"ann_graphpq_{n}{tag}")
         shutil.rmtree(qdir, ignore_errors=True)
         t0 = time.perf_counter()
         graph_pl.build_graph_index(ds(), qdir, num_parts=num_parts,
@@ -632,7 +664,7 @@ def run_ann_sweep() -> dict:
 
         # graph + NVQ traversal (companded 8-bit scalar codes, per-row
         # affine gather-sum correction — the reference's NVQ family)
-        ndir = os.path.join(BENCH_ROOT, f"ann_graphnvq_{n}")
+        ndir = os.path.join(BENCH_ROOT, f"ann_graphnvq_{n}{tag}")
         shutil.rmtree(ndir, ignore_errors=True)
         t0 = time.perf_counter()
         graph_pl.build_graph_index(ds(), ndir, num_parts=num_parts,
@@ -648,7 +680,7 @@ def run_ann_sweep() -> dict:
                 truth)}
 
         # IVF (persisted cell layout, prune-at-the-read)
-        idir = os.path.join(BENCH_ROOT, f"ann_ivf_{n}")
+        idir = os.path.join(BENCH_ROOT, f"ann_ivf_{n}{tag}")
         shutil.rmtree(idir, ignore_errors=True)
         t0 = time.perf_counter()
         knn_pl.build_ivf_index(ds(), idir, n_centroids=n_cent)
@@ -663,7 +695,7 @@ def run_ann_sweep() -> dict:
                 truth)}
 
         # IVF-PQ (codes-only ADC first pass + exact rerank)
-        pdir = os.path.join(BENCH_ROOT, f"ann_ivfpq_{n}")
+        pdir = os.path.join(BENCH_ROOT, f"ann_ivfpq_{n}{tag}")
         shutil.rmtree(pdir, ignore_errors=True)
         t0 = time.perf_counter()
         pq_pl.build_ivfpq_index(ds(), pdir, n_centroids=n_cent,
@@ -699,7 +731,7 @@ def run_ann_sweep() -> dict:
             m_reps = max(1, int(os.environ.get("OJR_ANN_MERGE_REPEATS",
                                                "3")))
             for mode in modes:
-                dst = os.path.join(BENCH_ROOT, f"ann_merge_{mode}_{n}")
+                dst = os.path.join(BENCH_ROOT, f"ann_merge_{mode}_{n}{tag}")
                 samples = []
                 for _ in range(m_reps):
                     shutil.rmtree(dst, ignore_errors=True)
@@ -726,7 +758,8 @@ def run_ann_sweep() -> dict:
               file=sys.stderr, flush=True)
 
     ray.shutdown()
-    return {"metric": "ann_sweep", "unit": "mixed", "dim": dim, "k": k,
+    return {"metric": "ann_sweep", "unit": "mixed", "dim": dim,
+            "kind": kind, "k": k,
             "n_queries": n_q, "num_cpus": NUM_CPUS, "sizes": out}
 
 
