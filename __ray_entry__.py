@@ -63,7 +63,7 @@ from opensearch_jvector_ray.oracles import (
     hash_sample_sql, hash_split_sql, lang_id_sql, minhash_exact_sql,
     mix_sources_sql, bpe_count_sql, bpe_merges_sql, gopher_filter_sql,
     tool_usage_sql,
-    ngram_exact_sql, pii_scrub_sql, decontaminate_sql, self_overlap_sql,
+    ngram_exact_sql, pii_scrub_sql, pii_filter_sql, decontaminate_sql, self_overlap_sql,
     quantile_sql, range_join_sql,
     pack_chunks_sql, phrase_sql,
     pricing_summary_sql, quality_sql, repetition_sql, term_stats_sql,
@@ -2434,6 +2434,40 @@ def _q_pii_scrub(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_pii_filter(sf_dir: str) -> pd.DataFrame:
+    # strict-curation sibling: survivors of max_pii=0 over the SAME
+    # planted augmentation (the first N_PLANT_PII docs carry planted
+    # PII and must be dropped; the natural corpus survives) — the
+    # filter counts under the same sequential rule as the scrubber
+    import pyarrow as pa
+
+    from opensearch_jvector_ray.pipelines.textstats import pii_filter
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(batch: "pa.Table") -> "pa.Table":
+        ids = batch["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        txt = batch["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        suff = pc.binary_join_element_wise(
+            " contact user", pc.cast(ids, pa.string()),
+            "@example.com node 10.20.30.40 call +1 415 555 ",
+            pc.cast(pc.add(ids, 1000), pa.string()), "")
+        aug = pc.if_else(pc.less(ids, N_PLANT_PII),
+                         pc.binary_join_element_wise(txt, suff, ""), txt)
+        return batch.set_column(batch.column_names.index("text"),
+                                "text", aug)
+
+    out = (pii_filter(ds.map_batches(plant, batch_format="pyarrow"),
+                      text_col="text", max_pii=0)
+           .select_columns(["doc_id"]).to_pandas())
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_corpus_decontaminate(sf_dir: str) -> pd.DataFrame:
     # benchmark decontamination: docs sharing any word 3-gram with the
     # held-out set (doc_id % 101 == 7) are flagged; broadcast benchmark
@@ -3617,6 +3651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_exact": _q_minhash_exact,
         "ngram_jaccard_exact": _q_ngram_exact,
         "pii_scrub": _q_pii_scrub,
+        "pii_filter": _q_pii_filter,
         "corpus_decontaminate": _q_corpus_decontaminate,
         "ngram_self_overlap": _q_self_overlap,
         "gopher_filter": _q_gopher_filter,
@@ -4315,6 +4350,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup_exact": minhash_exact_sql(N_PLANT_MH, MH_PLANT_OFFSET),
         "ngram_jaccard_exact": ngram_exact_sql(N_PLANT_MH, MH_PLANT_OFFSET),
         "pii_scrub": pii_scrub_sql(ts_pl.PII_PATTERNS, N_PLANT_PII),
+        "pii_filter": pii_filter_sql(ts_pl.PII_PATTERNS, N_PLANT_PII),
         "corpus_decontaminate": decontaminate_sql(
             CFG, DECON_MODULUS, DECON_RESIDUE),
         "ngram_self_overlap": self_overlap_sql(CFG),

@@ -574,7 +574,9 @@ def run_ann_sweep() -> dict:
             qrng = np.random.default_rng(7)
             tq = papq.read_table(path, columns=["embedding"])
             emb = tq["embedding"].combine_chunks()
-            picks = qrng.choice(n, n_q, replace=False)
+            # corpora smaller than the query batch sample WITH
+            # replacement (choice(replace=False) would raise)
+            picks = qrng.choice(n, n_q, replace=n < n_q)
             for i, s_ in enumerate(picks):
                 queries[f"q{i:03d}"] = (
                     np.asarray(emb[int(s_)].as_py(), dtype=np.float32)

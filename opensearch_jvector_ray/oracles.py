@@ -3221,6 +3221,32 @@ def pii_scrub_sql(patterns, n_plant: int, table: str = "documents",
             f"ORDER BY {id_col}")
 
 
+def pii_filter_sql(patterns, n_plant: int, max_pii: int = 0,
+                   table: str = "documents", id_col: str = "doc_id",
+                   text_col: str = "text") -> str:
+    """Mirrors ``textstats.pii_filter``: survivors (total PII hits <=
+    ``max_pii``) of the SAME planted augmentation under the SAME
+    sequential counting rule as pii_scrub_sql; NULL text counts zero
+    hits and survives (COALESCE mirrors the engine's fill_null)."""
+    aug = pii_aug_expr(n_plant, id_col, text_col)
+    ctes = [f"s0 AS (SELECT {id_col}, {aug} AS t FROM {table})"]
+    prev, seen = "s0", []
+    for i, (name, pat, repl) in enumerate(patterns, 1):
+        p = sql_quote(pat)
+        carry = "".join(f"n_{n}, " for n in seen)
+        ctes.append(
+            f"s{i} AS (SELECT {id_col}, {carry}"
+            f"len(regexp_extract_all(t, {p}))::BIGINT AS n_{name}, "
+            f"regexp_replace(t, {p}, {sql_quote(repl)}, 'g') AS t "
+            f"FROM {prev})")
+        prev, seen = f"s{i}", seen + [name]
+    total = " + ".join(f"COALESCE(n_{n}, 0)" for n in seen)
+    return (f"WITH {', '.join(ctes)}\n"
+            f"SELECT {id_col} FROM {prev} "
+            f"WHERE ({total}) <= {int(max_pii)} "
+            f"ORDER BY {id_col}")
+
+
 def decontaminate_sql(cfg: EngineConfig, modulus: int, residue: int,
                       shingle_k: int = 3, table: str = "documents",
                       id_col: str = "doc_id", text_col: str = "text") -> str:

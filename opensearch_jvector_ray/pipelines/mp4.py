@@ -236,10 +236,45 @@ def _full(typ: bytes, version: int, flags: int, payload: bytes) -> bytes:
 _MIN_PPS = b"\x68\xce\x38\x80"
 
 
+def _audio_trak_stub(n_samples: int = 40, rate: int = 48000) -> bytes:
+    """Minimal mp4a AUDIO trak (hdlr 'soun') — prepended before the
+    video trak by the audio_first synth mode so the parser's
+    first-VIDEO-trak selection is exercised against the common real
+    mux order."""
+    mp4a = _box(b"mp4a", b"\x00" * 6 + struct.pack(">H", 1)
+                + b"\x00" * 8
+                + struct.pack(">HHI", 2, 16, 0)
+                + struct.pack(">I", rate << 16))
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + mp4a)
+    stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n_samples, 1024))
+    stsc = _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n_samples, 1))
+    stsz = _full(b"stsz", 0, 0, struct.pack(">II", 256, n_samples))
+    stco = _full(b"stco", 0, 0, struct.pack(">II", 1, 0))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    url = _full(b"url ", 0, 1, b"")
+    dref = _full(b"dref", 0, 0, struct.pack(">I", 1) + url)
+    dinf = _box(b"dinf", dref)
+    smhd = _full(b"smhd", 0, 0, struct.pack(">HH", 0, 0))
+    minf = _box(b"minf", smhd + dinf + stbl)
+    hdlr = _full(b"hdlr", 0, 0, struct.pack(">I", 0) + b"soun"
+                 + b"\x00" * 12 + b"SoundHandler\x00")
+    mdhd = _full(b"mdhd", 0, 0, struct.pack(">IIIIHH", 0, 0, rate,
+                                            n_samples * 1024,
+                                            0x55C4, 0))
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _full(b"tkhd", 0, 3, struct.pack(">IIIII", 0, 0, 2, 0, 0)
+                 + b"\x00" * 8 + struct.pack(">hhhh", 0, 0, 0x0100, 0)
+                 + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0,
+                               0, 0, 0x40000000)
+                 + struct.pack(">II", 0, 0))
+    return _box(b"trak", tkhd + mdia)
+
+
 def mp4_bytes(width: int, height: int, sample_sizes: list[int], *,
               fps: float = 25.0, keyframe_every: int = 8,
               media_timescale: int = 12800,
-              payload_fill: int = 0x41) -> bytes:
+              payload_fill: int = 0x41,
+              audio_first: bool = False) -> bytes:
     """Write a minimal REAL MP4: ftyp + mdat (fill bytes standing in for
     coded AVC samples — the container metadata is what this module
     reads back) + a complete moov with one avc1 video track whose avcC
@@ -295,12 +330,14 @@ def mp4_bytes(width: int, height: int, sample_sizes: list[int], *,
                                0, 0, 0x40000000)
                  + struct.pack(">II", width << 16, height << 16))
     trak = _box(b"trak", tkhd + mdia)
+    if audio_first:
+        trak = _audio_trak_stub() + trak
     mvhd = _full(b"mvhd", 0, 0, struct.pack(">IIII", 0, 0, movie_ts,
                                             movie_dur)
                  + struct.pack(">IH", 0x00010000, 0x0100) + b"\x00" * 10
                  + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0,
                                0, 0, 0x40000000)
-                 + b"\x00" * 24 + struct.pack(">I", 2))
+                 + b"\x00" * 24 + struct.pack(">I", 3))
     moov = _box(b"moov", mvhd + trak)
     return ftyp + mdat + moov
 
@@ -367,15 +404,33 @@ def _mp4_parse_inner(payload: bytes) -> dict:
     else:
         movie_ts, movie_dur = struct.unpack_from(">II", payload, hb + 12)
 
-    db, de = _find(payload, mb, me, b"trak", b"mdia", b"mdhd")
+    # the first VIDEO trak, not the first trak: real muxes commonly
+    # put the audio trak first, and resolving stbl inside an mp4a trak
+    # would silently read audio fields as video dims (hdlr handler_type
+    # is the spec's discriminator, 14496-12 8.4.3)
+    vtrak = None
+    for typ, b_, e_ in _walk(payload, mb, me):
+        if typ != b"trak":
+            continue
+        try:
+            hh, _ = _find(payload, b_, e_, b"mdia", b"hdlr")
+        except ValueError:
+            continue
+        if payload[hh + 8: hh + 12] == b"vide":
+            vtrak = (b_, e_)
+            break
+    if vtrak is None:
+        raise ValueError("no video trak (hdlr 'vide') in moov")
+    vb, ve = vtrak
+
+    db, de = _find(payload, vb, ve, b"mdia", b"mdhd")
     ver = payload[db]
     if ver == 1:
         media_ts, media_dur = struct.unpack_from(">IQ", payload, db + 20)
     else:
         media_ts, media_dur = struct.unpack_from(">II", payload, db + 12)
 
-    sb, se_ = _find(payload, mb, me, b"trak", b"mdia", b"minf",
-                    b"stbl")
+    sb, se_ = _find(payload, vb, ve, b"mdia", b"minf", b"stbl")
     eb, ee = _find(payload, sb, se_, b"stsd")
     # first sample entry sits after version/flags + entry_count
     _, entry_b, entry_e = next(_walk(payload, eb + 8, ee))

@@ -305,7 +305,6 @@ class DecodeStub:
         # keeps them with a NULL feature (curation can count/inspect),
         # "raise" (default) keeps the strict test/gate behavior.
         self.on_error = on_error
-        self.n_errors = 0      # per-actor counter (stats surface)
         # stateful setup happens ONCE per actor (codec contexts, models)
 
     def _decode_one(self, payload: bytes, kind: str) -> np.ndarray:
@@ -400,9 +399,11 @@ class DecodeStub:
             try:
                 feats.append(self._decode_one(p, k))
             except Exception:
+                # error counting: "null" mode callers count NULL
+                # features in the OUTPUT (observable, survives the
+                # stage); a per-actor counter would be discarded state
                 if self.on_error == "raise":
                     raise
-                self.n_errors += 1
                 if self.on_error == "null":
                     feats.append(None)
                 else:                               # skip

@@ -81,15 +81,22 @@ def first_pass_k(k: int, oversample: float | None, dim: int,
     where ratio = 4*dim/m is the bytes compression — light compression
     (ratio <= 8) keeps the reference's exact floor.
 
-    ``oversample=None`` means not-user-provided -> the dimension rule.
-    The cap keeps the exact rerank bounded regardless of user input."""
-    if oversample is None:
-        oversample = default_oversample(dim)
+    ``oversample=None`` means not-user-provided -> the dimension rule,
+    and the 10000 cap applies (bounds the DEFAULT rerank).  An EXPLICIT
+    oversample is trusted uncapped — deliberate deviation from the
+    reference, which clamps user values too: the repo's
+    degenerate-exact contract (full probe + oversample covering the
+    corpus == brute force, the driver-gate identity) requires that an
+    explicit full-corpus oversample really scan the corpus."""
     floor = 100
     if m_subspaces:
         ratio = 4 * dim // m_subspaces
         floor = 100 * max(1, ratio // 8)
-    return max(k, min(10_000, max(floor, int(np.ceil(k * oversample)))))
+    if oversample is None:
+        oversample = default_oversample(dim)
+        return max(k, min(10_000,
+                          max(floor, int(np.ceil(k * oversample)))))
+    return max(k, floor, int(np.ceil(k * oversample)))
 
 
 def _kmeans_subspaces(X: np.ndarray, m_subspaces: int, n_codes: int,

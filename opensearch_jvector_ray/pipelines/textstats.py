@@ -379,6 +379,11 @@ def pii_filter(ds: "rd.Dataset", *, text_col: str = "text",
             total = c if total is None else pc.add(total, c)
             cur = pc.replace_substring_regex(cur, pattern=pat,
                                              replacement=repl)
+        # NULL text has zero PII hits and must be KEPT (count_substring
+        # propagates null through the comparison and Table.filter would
+        # silently DROP the row otherwise — pii_scrub_stage passes null
+        # rows through, the filter must agree)
+        total = pc.fill_null(total, 0)
         return batch.filter(pc.less_equal(total, max_pii))
     return ds.map_batches(_f, batch_format="pyarrow")
 

@@ -6130,11 +6130,10 @@ class IndexSearcher:
             else:
                 if not after:
                     return
-                # restrict to the still-live queries: a qid absent from
-                # search_after runs with NO boundary, so passing an
-                # exhausted query again would re-yield its first page
-                live = {qid: queries[qid] for qid in after}
-                page = self.search(live, k=page_size,
+                # search() itself drops queries absent from the
+                # search_after map (the resume token is required), so
+                # exhausted queries never re-run — pass the full dict
+                page = self.search(queries, k=page_size,
                                    search_after=after)
             if page.empty:
                 return

@@ -338,42 +338,47 @@ class SearchService:
         ray.get(futures)
         return len(new)
 
-    def _respawn_dead(self) -> int:
-        """Replace dead shard actors (node/OOM kill) from the recorded
-        per-actor segment assignment — the serve-side analog of replica
-        recovery.  Cold caches on the replacement; correctness
-        unaffected (segments are immutable, global stats live on the
-        driver)."""
-        n = 0
-        pings = [(i, a.ping.remote()) for i, a in enumerate(self.actors)]
-        for i, p in pings:
-            try:
-                ray.get(p, timeout=10)
-            except Exception:
-                self.actors[i] = SegmentShardActor.options(
-                    num_cpus=1).remote(self._shards[i],
-                                       self.cfg.to_json(),
-                                       self.key_cols,
-                                       self._term_cache_size)
-                n += 1
-        if n:
-            self.respawns += n
-            self._agg_facade = None        # facade holds actor handles
-        return n
+    def _respawn(self, dead: list[int]) -> None:
+        """Replace the given shard actors from the recorded per-actor
+        segment assignment — the serve-side analog of replica recovery.
+        Cold caches on the replacement; correctness unaffected
+        (segments are immutable, global stats live on the driver)."""
+        for i in dead:
+            self.actors[i] = SegmentShardActor.options(
+                num_cpus=1).remote(self._shards[i], self.cfg.to_json(),
+                                   self.key_cols, self._term_cache_size)
+        self.respawns += len(dead)
+        self._agg_facade = None            # facade holds actor handles
 
     def _gather(self, make_futures) -> list:
         """ray.get over per-actor futures with ONE transparent
-        respawn-and-retry on actor death.  ``make_futures`` is called
-        with the (possibly replaced) actor list each attempt, so a
-        retry re-fans the WHOLE request — shard results are partial
-        frames, never safe to mix across attempts."""
+        respawn-and-retry on actor death.  Dead actors are identified
+        PER FUTURE — only an actor whose own future raised
+        RayActorError is replaced, so a busy-but-healthy sibling
+        crunching a long request is never killed by a liveness probe.
+        ``make_futures`` is called with the (possibly replaced) actor
+        list each attempt: a retry re-fans the WHOLE request — shard
+        results are partial frames, never safe to mix across
+        attempts."""
         from ray.exceptions import RayActorError
         for attempt in (0, 1):
+            futures = make_futures(self.actors)
             try:
-                return ray.get(make_futures(self.actors))
+                return ray.get(futures)
             except RayActorError:
-                if attempt or not self._respawn_dead():
+                if attempt:
                     raise
+                dead = []
+                for i, f in enumerate(futures):
+                    try:
+                        ray.get(f)
+                    except RayActorError:
+                        dead.append(i)
+                    except Exception:
+                        pass           # task error, actor alive
+                if not dead:
+                    raise
+                self._respawn(dead)
         raise AssertionError("unreachable")
 
     # dictionary lookup identical to IndexSearcher (global stats)

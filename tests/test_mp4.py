@@ -60,6 +60,30 @@ def test_mp4_roundtrip_metadata():
     assert got["sps"]["profile_idc"] == 66
 
 
+def test_mp4_audio_first_mux_order_selects_video_trak():
+    """Real muxes commonly put the audio trak first: the parser must
+    select the first VIDEO trak (hdlr 'vide'), never read mp4a fields
+    as video dims."""
+    sizes = [900] * 20
+    plain = m4.mp4_parse(m4.mp4_bytes(1280, 720, sizes, fps=30.0))
+    afirst = m4.mp4_parse(m4.mp4_bytes(1280, 720, sizes, fps=30.0,
+                                       audio_first=True))
+    for key in ("width", "height", "n_frames", "fps", "codec"):
+        assert afirst[key] == plain[key], key
+    assert afirst["sample_sizes"].tolist() == sizes
+
+
+def test_first_pass_k_cap_only_on_defaults():
+    from opensearch_jvector_ray.pipelines.pq import first_pass_k
+    # defaults: dimension rule + compression floor + 10000 cap
+    assert first_pass_k(10, None, 128, 16) == 400
+    assert first_pass_k(10_000, None, 128, 8) == 10_000   # capped
+    # EXPLICIT oversample is trusted uncapped — the degenerate-exact
+    # (full-corpus first pass == brute force) gate contract
+    assert first_pass_k(10, 5_000.0, 128, 16) == 50_000
+    assert first_pass_k(10, 1.0, 128, 16) == 400          # floor holds
+
+
 def test_mp4_parse_rejects_foreign():
     with pytest.raises(ValueError, match="mp4"):
         m4.mp4_parse(b"\x00" * 64)

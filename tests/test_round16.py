@@ -110,6 +110,13 @@ def test_pii_filter_sibling_of_scrub():
     kept2 = pii_filter(ds, max_pii=1).to_pandas()
     assert sorted(kept2["doc_id"]) == \
         sorted(scrub["doc_id"][totals <= 1])
+    # NULL text = zero hits = KEPT (count_substring propagates null
+    # through the comparison; an unfilled mask would silently DROP it)
+    nds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": pa.array(["a@b.co leak", None], type=pa.string())}))
+    nkept = pii_filter(nds).to_pandas()
+    assert nkept["doc_id"].tolist() == [1]
 
 
 def _tar_with_member(path: str, name: str, mode: int = 0o644,
