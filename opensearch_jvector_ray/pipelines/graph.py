@@ -73,7 +73,7 @@ def _unitize(vecs: np.ndarray) -> np.ndarray:
     return (vecs / norms[:, None]).astype(np.float32)
 
 
-def _entry_set(n_valid: int, rng_seed: int = 42,
+def _entry_set(n_valid: int,
                n_entries: int | None = None) -> list[int]:
     """Deterministic spread of entry points over [0, n_valid), sized
     ~sqrt(n) (capped 512) by default: on clustered data the beam only
@@ -90,7 +90,7 @@ def _entry_set(n_valid: int, rng_seed: int = 42,
     return sorted({int(j * stride) for j in range(n_entries)})
 
 
-def _beam_batch(unit: np.ndarray, nbrs: np.ndarray, n_nbrs: np.ndarray,
+def _beam_batch(unit: np.ndarray, nbrs: np.ndarray,
                 entries: list[int], Q: np.ndarray, ef: int,
                 n_valid: int | None = None,
                 lut: np.ndarray | None = None,
@@ -417,7 +417,7 @@ def _reciprocal_link_batch(unit: np.ndarray, nbrs: np.ndarray,
 
 
 def _wave_search_select(unit: np.ndarray, nbrs: np.ndarray,
-                        n_nbrs: np.ndarray, entries: list[int],
+                        entries: list[int],
                         lo: int, hi: int, ef: int, n_valid: int,
                         m_degree: int, alpha: float, quant
                         ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -429,7 +429,7 @@ def _wave_search_select(unit: np.ndarray, nbrs: np.ndarray,
     lut = codes = affine = None
     if quant is not None:
         lut, codes, affine = _quant_lut_codes(quant, Q)
-    D, V = _beam_batch(unit, nbrs, n_nbrs, entries, Q, ef,
+    D, V = _beam_batch(unit, nbrs, entries, Q, ef,
                        n_valid=n_valid, lut=lut, codes=codes,
                        affine=affine)
     return _forward_select(unit, D, V, m_degree, alpha)
@@ -507,22 +507,21 @@ def bulk_insert(unit: np.ndarray, nbrs: np.ndarray, n_nbrs: np.ndarray,
                     else max(mem_cap, built // 8))
             wave = int(min(built, n - built, qcap))
         idx = np.arange(built, built + wave)
-        entries = _entry_set(built, seed)
+        entries = _entry_set(built)
         if t <= 1 or wave <= max(mem_cap, min_slice):
             tgts, dsel, counts = _wave_search_select(
-                unit, nbrs, n_nbrs, entries, built, built + wave,
+                unit, nbrs, entries, built, built + wave,
                 ef_construction, built, m_degree, alpha, quant)
             reselect_exec = None
         else:
             nbrs_ref = ray.put(nbrs)
-            nn_ref = ray.put(n_nbrs)
             # slices: >= min_slice rows each (beam-iteration fixed
             # costs amortize), <= mem_cap rows (visited budget)
             nslices = max(min(t, -(-wave // min_slice)),
                           -(-wave // mem_cap))
             futs = [
                 _wave_search_remote.remote(
-                    unit_ref, nbrs_ref, nn_ref, entries,
+                    unit_ref, nbrs_ref, entries,
                     int(s[0]), int(s[-1]) + 1, ef_construction,
                     built, m_degree, alpha, quant_ref)
                 for s in np.array_split(idx, nslices) if len(s)]
@@ -1199,7 +1198,8 @@ def _write_part(out: str, ids: np.ndarray, vecs: np.ndarray,
                 pq_codes: np.ndarray | None = None,
                 bq_codes: np.ndarray | None = None,
                 nvq_params: tuple | None = None,
-                mbq_params: tuple | None = None) -> None:
+                mbq_params: tuple | None = None,
+                unit: np.ndarray | None = None) -> None:
     os.makedirs(out, exist_ok=True)
     nbrs = _ensure_cycle(np.ascontiguousarray(nbrs))
     # offsets-math ListArrays, no per-row Python: vectors are a flat
@@ -1236,7 +1236,8 @@ def _write_part(out: str, ids: np.ndarray, vecs: np.ndarray,
         thresholds, codes = mbq_params
         np.savez(os.path.join(out, MBQ_NAME), thresholds=thresholds,
                  codes=codes)
-    unit = _unitize(vecs)
+    if unit is None:                # callers with it in hand pass it —
+        unit = _unitize(vecs)       # this box is bandwidth-bound
     entries = sorted({_medoid(unit), *_entry_set(len(ids))})
     with open(os.path.join(out, "_META"), "w") as f:
         json.dump({"entries": entries, "n": int(len(ids))}, f)
@@ -1504,6 +1505,7 @@ def merge_graph_index(src_dir: str, dst_dir: str, *, merge_factor: int = 4,
             else:
                 ids0 = np.empty(0, dtype=np.int64)
             pre_q = None
+            unit_m = None       # unitized merged rows, computed once
             if len(ids0) == 0:                   # rebuild branch
                 tbl = pa.concat_tables(
                     [t.select([id_col, vec_col]) for t in tbls])
@@ -1588,9 +1590,15 @@ def merge_graph_index(src_dir: str, dst_dir: str, *, merge_factor: int = 4,
             # merged rows; BQ is training-free, so bits are just repacked;
             # unquantized inputs merge to an unquantized part
             book = codes = bqc = nvqp = mbqp = None
+            if unit_m is None and len(ids):
+                # one unitize pass for quant encode AND the medoid/
+                # entry computation in _write_part (this box is
+                # memory-bandwidth-bound — redundant full-matrix
+                # traversals are the cost that shows)
+                unit_m = _unitize(vecs)
             mq = pre_q if pre_q is not None else (
                 _merge_quant(_load_part_quant(dirs[lead]),
-                             _unitize(vecs), refine_quant_iters)
+                             unit_m, refine_quant_iters)
                 if len(ids) else None)
             if mq is not None:
                 if mq[0] == "pq":
@@ -1603,7 +1611,7 @@ def merge_graph_index(src_dir: str, dst_dir: str, *, merge_factor: int = 4,
                     bqc = mq[1]
             _write_part(out, ids, vecs, nbrs, id_col, vec_col,
                         pq_book=book, pq_codes=codes, bq_codes=bqc,
-                        nvq_params=nvqp, mbq_params=mbqp)
+                        nvq_params=nvqp, mbq_params=mbqp, unit=unit_m)
             out_parts.append(gid)
         return pa.table({"gid": pa.array(out_parts, type=pa.int32())})
 
@@ -1626,10 +1634,18 @@ def add_to_graph_index(new_ds: "rd.Dataset", index_dir: str) -> None:
     rows into the FROZEN existing graph (wave-batched beam+link — work
     scales with the new rows, not the partition).  Quantized partitions
     re-encode with their EXISTING codebook (refine-never-retrain).
-    IDEMPOTENT: incoming ids already present in a partition are dropped,
-    so an interrupted or repeated add never duplicates.  Files are
-    replaced via tmp + atomic rename (graph first, then meta — stale
-    meta entries are a valid subset, never wrong)."""
+
+    IDEMPOTENT + GLOBAL dedup: incoming ids already LIVE anywhere in
+    the index are dropped (a pushed-down id probe per partition — a
+    merge changes num_parts, so the hash route alone cannot vouch for
+    absence).  UPDATE = DELETE + INSERT really works: an incoming id
+    that is currently TOMBSTONED is revived — its dead rows are
+    physically compacted out of whichever partitions hold them (edge
+    remap), the new row inserts, and the tombstone clears LAST (a crash
+    at any point re-runs to the same state).  Files are replaced via
+    tmp + atomic rename with the GRAPH LAST (quant sidecars first: a
+    codes matrix longer than the graph is unreadable rows, shorter
+    would crash the quantized beam)."""
     import shutil
     with open(os.path.join(index_dir, META_NAME)) as f:
         meta = json.load(f)
@@ -1653,49 +1669,110 @@ def add_to_graph_index(new_ds: "rd.Dataset", index_dir: str) -> None:
         total_cpus = 1
     insert_tasks = max(1, total_cpus // max(1, num_parts))
 
+    # driver pre-pass (incoming-id-bounded): where do incoming ids
+    # already live, and which are tombstoned awaiting revival?
+    from opensearch_jvector_ray.pipelines.knn import (
+        TOMBSTONES_NAME, _load_tombstones,
+    )
+    import glob as _globmod
+    stage_files = _globmod.glob(os.path.join(stage, "**", "*.parquet"),
+                                recursive=True)
+    if not stage_files:                   # empty add: nothing to do
+        shutil.rmtree(stage, ignore_errors=True)
+        return
+    inc = pq.read_table(stage_files, columns=[id_col])
+    incoming = set(int(i) for i in inc[id_col].to_pylist())
+    tomb_arr = _load_tombstones(index_dir, id_col)
+    tombs = set(int(i) for i in tomb_arr.tolist()) \
+        if tomb_arr is not None else set()
+    revive = incoming & tombs
+    present_live: set = set()
+    revive_by_part: dict[int, list[int]] = {}
+    if incoming:
+        inc_list = sorted(incoming)
+        for p in range(num_parts):
+            gp = os.path.join(index_dir, f"part={p}", "graph.parquet")
+            if not os.path.exists(gp):
+                continue
+            hit = set(int(x) for x in pq.read_table(
+                gp, columns=[id_col],
+                filters=[(id_col, "in", inc_list)])[id_col].to_pylist())
+            present_live |= hit - tombs
+            rv = sorted(hit & revive)
+            if rv:
+                revive_by_part[p] = rv
+    present_arr = np.array(sorted(present_live), dtype=np.int64)
+
     def add_part(batch: pa.Table) -> pa.Table:
         done = []
         for part in batch["part"].to_pylist():
             pdir = os.path.join(stage, f"__part={part}")
-            if not os.path.isdir(pdir):
+            dead_here = np.array(revive_by_part.get(part, ()),
+                                 dtype=np.int64)
+            if os.path.isdir(pdir):
+                tnew = pq.read_table(pdir, columns=[id_col, vec_col])
+            else:
+                tnew = pa.table({id_col: pa.array([], type=pa.int64()),
+                                 vec_col: pa.array([])})
+            if tnew.num_rows == 0 and len(dead_here) == 0:
                 continue
-            tnew = pq.read_table(pdir, columns=[id_col, vec_col])
             out = os.path.join(index_dir, f"part={part}")
             gpath = os.path.join(out, "graph.parquet")
             if os.path.exists(gpath):
                 tbl = pq.read_table(gpath)
                 ids0, vecs0, nbrs0, n_nbrs0 = _compact_leading(
-                    tbl, None, id_col, vec_col, m_degree)
-                fresh = ~np.isin(
-                    tnew[id_col].to_numpy(zero_copy_only=False), ids0)
+                    tbl, dead_here if len(dead_here) else None,
+                    id_col, vec_col, m_degree)
+                tn_ids = tnew[id_col].to_numpy(zero_copy_only=False)
+                fresh = ~(np.isin(tn_ids, ids0)
+                          | np.isin(tn_ids, present_arr))
                 tnew = tnew.filter(pa.array(fresh))
             else:
                 ids0 = np.empty(0, dtype=np.int64)
-            if tnew.num_rows == 0:
+                if tnew.num_rows:
+                    tn_ids = tnew[id_col].to_numpy(zero_copy_only=False)
+                    tnew = tnew.filter(pa.array(
+                        ~np.isin(tn_ids, present_arr)))
+            if tnew.num_rows == 0 and len(dead_here) == 0:
                 continue
-            order = np.argsort(tnew[id_col].to_numpy(zero_copy_only=False),
-                               kind="stable")
-            tnew = tnew.take(pa.array(order))
-            ids_n = tnew[id_col].to_numpy(
-                zero_copy_only=False).astype(np.int64)
-            vecs_n = _vecs_from_batch(tnew, vec_col)
-            if len(ids0) == 0:           # partition had no rows yet
-                ids, vecs = ids_n, vecs_n
-                nbrs = build_graph(
-                    vecs, m_degree=m_degree, ef_construction=ef_c,
-                    build_degree_mult=meta.get("build_degree_mult", 1),
-                    method=meta.get("method", "auto"),
-                    n_tasks=insert_tasks)
+            if tnew.num_rows == 0 and len(ids0) == 0:
+                # revival compacted the partition EMPTY and nothing
+                # routes here: drop the physical files
+                shutil.rmtree(out, ignore_errors=True)
+                done.append(part)
+                continue
+            if tnew.num_rows == 0:
+                # revival-compaction-only rewrite: the remapped edges
+                # from _compact_leading ARE the new graph
+                ids, vecs, nbrs = ids0, vecs0, nbrs0
             else:
-                ids = np.concatenate([ids0, ids_n])
-                vecs = np.concatenate([vecs0, vecs_n])
-                nbrs = np.full((len(ids), m_degree), -1, dtype=np.int32)
-                nbrs[: len(ids0), : nbrs0.shape[1]] = nbrs0
-                n_nbrs = np.zeros(len(ids), dtype=np.int32)
-                n_nbrs[: len(ids0)] = n_nbrs0
-                bulk_insert(_unitize(vecs), nbrs, n_nbrs, len(ids0),
-                            m_degree=m_degree, ef_construction=ef_c,
-                            n_tasks=insert_tasks)
+                order = np.argsort(
+                    tnew[id_col].to_numpy(zero_copy_only=False),
+                    kind="stable")
+                tnew = tnew.take(pa.array(order))
+                ids_n = tnew[id_col].to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                vecs_n = _vecs_from_batch(tnew, vec_col)
+                if len(ids0) == 0:       # partition had no rows yet
+                    ids, vecs = ids_n, vecs_n
+                    nbrs = build_graph(
+                        vecs, m_degree=m_degree, ef_construction=ef_c,
+                        build_degree_mult=meta.get("build_degree_mult",
+                                                   1),
+                        method=meta.get("method", "auto"),
+                        n_tasks=insert_tasks)
+                else:
+                    ids = np.concatenate([ids0, ids_n])
+                    vecs = np.concatenate([vecs0, vecs_n])
+                    nbrs = np.full((len(ids), m_degree), -1,
+                                   dtype=np.int32)
+                    nbrs[: len(ids0), : nbrs0.shape[1]] = nbrs0
+                    n_nbrs = np.zeros(len(ids), dtype=np.int32)
+                    n_nbrs[: len(ids0)] = n_nbrs0
+                    bulk_insert(_unitize(vecs), nbrs, n_nbrs,
+                                len(ids0), m_degree=m_degree,
+                                ef_construction=ef_c,
+                                n_tasks=insert_tasks)
             book = codes = bqc = nvqp = mbqp = None
             part_q = _load_part_quant(out)
             if part_q is not None:
@@ -1721,7 +1798,12 @@ def add_to_graph_index(new_ds: "rd.Dataset", index_dir: str) -> None:
                         pq_book=book, pq_codes=codes, bq_codes=bqc,
                         nvq_params=nvqp, mbq_params=mbqp)
             os.makedirs(out, exist_ok=True)
-            os.replace(os.path.join(tmp, "graph.parquet"), gpath)
+            # quant sidecars BEFORE the graph: a crash in between
+            # leaves codes LONGER than the graph (unread rows, safe);
+            # the old order left them shorter — the quantized beam
+            # would IndexError and the idempotent re-run could never
+            # repair it (graph already showed the new ids).  The graph
+            # replace is the commit point; _META last.
             if book is not None:
                 os.replace(os.path.join(tmp, PQ_NAME),
                            os.path.join(out, PQ_NAME))
@@ -1734,6 +1816,7 @@ def add_to_graph_index(new_ds: "rd.Dataset", index_dir: str) -> None:
             if mbqp is not None:
                 os.replace(os.path.join(tmp, MBQ_NAME),
                            os.path.join(out, MBQ_NAME))
+            os.replace(os.path.join(tmp, "graph.parquet"), gpath)
             os.replace(os.path.join(tmp, "_META"),
                        os.path.join(out, "_META"))
             shutil.rmtree(tmp, ignore_errors=True)
@@ -1743,6 +1826,18 @@ def add_to_graph_index(new_ds: "rd.Dataset", index_dir: str) -> None:
     (rd.from_items([{"part": p} for p in range(num_parts)])
        .map_batches(add_part, batch_format="pyarrow", batch_size=1)
        .materialize())
+    if revive:
+        # clear revived ids LAST: until this point the tombstone kept
+        # masking any partially-applied state, and a crash re-runs the
+        # whole add to the same fixpoint (remove dead rows -> insert
+        # new row -> clear)
+        remain = sorted(tombs - revive)
+        tomb_path = os.path.join(index_dir, TOMBSTONES_NAME)
+        tmp_t = tomb_path + ".tmp"
+        pq.write_table(pa.table({id_col: pa.array(remain,
+                                                  type=pa.int64())}),
+                       tmp_t)
+        os.replace(tmp_t, tomb_path)
     shutil.rmtree(stage, ignore_errors=True)
 
 
@@ -1826,7 +1921,7 @@ def _part_pool_search(ids, vecs, unit, nbrs, n_nbrs, entries, part_pq,
                 sel_ids, sel_sc = _select(ids[rows], score)
                 out.append((qi, sel_ids, sel_sc))
             return out
-    _, V = _beam_batch(unit, nbrs, n_nbrs, entries=entries, Q=Qn,
+    _, V = _beam_batch(unit, nbrs, entries=entries, Q=Qn,
                        ef=ef_eff, lut=lut, codes=codes, affine=affine)
     for qi in range(len(Qn)):
         cand = V[qi][V[qi] >= 0]
@@ -1906,20 +2001,39 @@ class GraphShardActor:
 class GraphSearchService:
     """N long-lived actors, each owning a static subset of partitions;
     results are identical to ``graph_topk`` (same beam, rescore and tie
-    rules) — asserted by tests."""
+    rules) — asserted by tests — AS OF the last open/refresh: actors
+    decode partition graphs once, so an add/merge performed afterwards
+    is invisible until ``refresh()``; tombstones, by contrast, are
+    re-read every search (the live-docs rule), so deletes apply
+    immediately."""
 
     def __init__(self, index_dir: str, num_shards: int = 4):
         with open(os.path.join(index_dir, META_NAME)) as f:
             meta = json.load(f)
         self.index_dir = index_dir
+        self.num_shards = num_shards
         self.id_col, self.vec_col = meta["id_col"], meta["vec_col"]
-        parts = sorted(os.path.join(index_dir, d)
-                       for d in os.listdir(index_dir)
+        self._open_actors()
+
+    def _open_actors(self) -> None:
+        parts = sorted(os.path.join(self.index_dir, d)
+                       for d in os.listdir(self.index_dir)
                        if d.startswith("part="))
-        n = max(1, min(num_shards, len(parts)))
+        n = max(1, min(self.num_shards, len(parts)))
         shards = [parts[i::n] for i in range(n)]
-        self.actors = [GraphShardActor.remote(s, self.id_col, self.vec_col)
+        self.actors = [GraphShardActor.remote(s, self.id_col,
+                                              self.vec_col)
                        for s in shards if s]
+
+    def refresh(self) -> None:
+        """Re-open the index at its CURRENT on-disk state (NRT refresh
+        analog): actors are recreated over the current partition list.
+        Cold caches on the replacements — partition graphs are decoded
+        actor-side at init, and an in-place warm reload would have to
+        diff file states per partition; recreate is the simple correct
+        form."""
+        self.shutdown()
+        self._open_actors()
 
     def search(self, queries: dict[str, np.ndarray], k: int | None, *,
                ef_search: int = 64, metric: str = "cosine",
@@ -1933,6 +2047,9 @@ class GraphSearchService:
                 raise ValueError("pass min_score OR max_distance, not both "
                                  "(KNNQueryBuilder.java:438-472)")
             min_score = scoring.distance_to_min_score(metric, max_distance)
+        if k is None and min_score is None:
+            raise ValueError("k is required unless min_score/"
+                             "max_distance selects radial mode")
         qids = sorted(queries)
         qmat = np.stack([queries[q] for q in qids]).astype(np.float64)
         filt = (ray.put(np.asarray(filter_ids))       # ship ONCE, not
@@ -2006,6 +2123,12 @@ def graph_topk(index_dir: str, queries: dict[str, np.ndarray],
             raise ValueError("pass min_score OR max_distance, not both "
                              "(KNNQueryBuilder.java:438-472)")
         min_score = scoring.distance_to_min_score(metric, max_distance)
+    if k is None and min_score is None:
+        # validate at the entry point: k=None without a radial
+        # predicate used to surface as an opaque TypeError inside the
+        # remote task's _partial_topk
+        raise ValueError("k is required unless min_score/max_distance "
+                         "selects radial mode")
     with open(os.path.join(index_dir, META_NAME)) as f:
         meta = json.load(f)
     id_col, vec_col = meta["id_col"], meta["vec_col"]

@@ -328,15 +328,31 @@ class SearchService:
         new = [d for d in seg_dirs if d not in self._assigned]
         if not new:
             return 0
-        futures = []
+        # bookkeeping is recorded per segment only AFTER the actor
+        # confirms the load — marking first would strand a segment
+        # forever if add_segments fails while the actor survives
+        # (every later refresh would see it as already assigned)
+        pending = []
         for d in new:
             i = int(np.argmin(self._shard_sizes))
-            futures.append(self.actors[i].add_segments.remote([d]))
-            self._shard_sizes[i] += 1
+            pending.append((i, d, self.actors[i].add_segments.remote([d])))
+            self._shard_sizes[i] += 1    # route subsequent segs evenly
+        n_ok = 0
+        first_err = None
+        for i, d, f in pending:
+            try:
+                ray.get(f)
+            except Exception as ex:
+                self._shard_sizes[i] -= 1
+                first_err = first_err or ex
+                continue
             self._shards[i].append(d)
             self._assigned.add(d)
-        ray.get(futures)
-        return len(new)
+            n_ok += 1
+        if first_err is not None:
+            raise first_err              # retryable: unconfirmed segs
+            #                              stay unassigned
+        return n_ok
 
     def _respawn(self, dead: list[int]) -> None:
         """Replace the given shard actors from the recorded per-actor
@@ -576,6 +592,11 @@ class _ServedAggSearcher:
 
     def _agg_fanout(self, queries, agg, min_score, term_weights,
                     concurrency) -> pd.DataFrame:
+        if self._docs_schema is None:
+            # zero segments (NRT service created before the first
+            # flush): the batch path returns an empty frame here —
+            # the warm path must agree, not crash on the schema check
+            return pd.DataFrame()
         named = [agg[ck] for ck in ("col", "val_col", "w_col", "col_y")
                  if ck in agg]
         named += list(agg.get("cols", ()))
@@ -587,11 +608,6 @@ class _ServedAggSearcher:
         prepared = self._svc._prepare(queries, self.cfg.default_k,
                                       term_weights)
         avgdl = float(self.stats["avgdl"] or 1.0)
-        if "col" in agg:
-            # _agg_partial consumes typed columns directly; agg_type is
-            # only needed for empty-table synthesis, which the facade
-            # handles by returning an empty DataFrame
-            pass
         results = self._svc._gather(
             lambda acts: [a.agg_partial.remote(prepared, agg,
                                                float(min_score), avgdl)

@@ -306,6 +306,123 @@ def test_serve_respawns_dead_shard_actor(idx):
     svc.shutdown()
 
 
+def _vec_table_r16(vecs: np.ndarray, ids=None) -> pa.Table:
+    n = len(vecs)
+    if ids is None:
+        ids = np.arange(n, dtype=np.int64)
+    return pa.table({
+        "vec_id": pa.array(np.asarray(ids, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, v)) for v in vecs]),
+    })
+
+
+def test_graph_update_delete_then_readd_revives(tmp_path):
+    """update = delete + insert must really work on the graph index: a
+    tombstoned id re-added with a NEW vector becomes searchable with
+    the new vector's ranking (the dead row is physically compacted
+    out, the tombstone clears) — it used to be silently dropped by the
+    idempotence check and stay masked forever."""
+    from opensearch_jvector_ray.pipelines import graph as graph_pl
+    from opensearch_jvector_ray.pipelines import knn as knn_pl
+    rng = np.random.default_rng(41)
+    vecs = rng.standard_normal((120, 16)).astype(np.float32)
+    idx = str(tmp_path / "g")
+    graph_pl.build_graph_index(rd.from_arrow(_vec_table_r16(vecs)), idx,
+                               num_parts=3, m_degree=8,
+                               ef_construction=32)
+    victim = 7
+    graph_pl.delete_from_graph_index(idx, [victim])
+    new_vec = rng.standard_normal(16).astype(np.float32)
+    graph_pl.add_to_graph_index(
+        rd.from_arrow(_vec_table_r16(new_vec[None, :], ids=[victim])),
+        idx)
+    vecs2 = vecs.copy()
+    vecs2[victim] = new_vec
+    queries = {"q0": new_vec.astype(np.float64),
+               "q1": vecs[40].astype(np.float64)}
+    exact = knn_pl.brute_force_topk(
+        rd.from_arrow(_vec_table_r16(vecs2)), queries, 10,
+        metric="cosine", round_decimals=6)
+    got = graph_pl.graph_topk(idx, queries, 10, ef_search=len(vecs2),
+                              round_decimals=6)
+    pd.testing.assert_frame_equal(got, exact)
+    # the revived id ranks FIRST for its own vector (not masked)
+    assert got[got.query_id == "q0"].iloc[0]["vec_id"] == victim
+    # tombstone sidecar cleared
+    from opensearch_jvector_ray.pipelines.knn import _load_tombstones
+    t = _load_tombstones(idx, "vec_id")
+    assert t is None or victim not in set(t.tolist())
+
+
+def test_graph_add_after_merge_no_duplicates(tmp_path):
+    """A merge changes num_parts, so the add path cannot trust the
+    hash route for idempotence: re-adding ids that already live in the
+    merged index must be a global no-op (it used to duplicate them in
+    a different partition)."""
+    import glob
+
+    import pyarrow.parquet as pq_mod
+
+    from opensearch_jvector_ray.pipelines import graph as graph_pl
+    from opensearch_jvector_ray.pipelines import knn as knn_pl
+    rng = np.random.default_rng(43)
+    vecs = rng.standard_normal((160, 16)).astype(np.float32)
+    idx = str(tmp_path / "g")
+    graph_pl.build_graph_index(rd.from_arrow(_vec_table_r16(vecs)), idx,
+                               num_parts=4, m_degree=8,
+                               ef_construction=32)
+    merged = str(tmp_path / "m")
+    graph_pl.merge_graph_index(idx, merged, merge_factor=2,
+                               mode="incremental")
+    # re-add an overlapping slice (an interrupted-ingest replay)
+    graph_pl.add_to_graph_index(
+        rd.from_arrow(_vec_table_r16(vecs[30:60],
+                                     ids=np.arange(30, 60))), merged)
+    all_ids = []
+    for f in glob.glob(os.path.join(merged, "part=*", "graph.parquet")):
+        all_ids.extend(pq_mod.read_table(
+            f, columns=["vec_id"])["vec_id"].to_pylist())
+    assert len(all_ids) == len(set(all_ids)) == len(vecs)
+    queries = {"q": vecs[31].astype(np.float64)}
+    exact = knn_pl.brute_force_topk(
+        rd.from_arrow(_vec_table_r16(vecs)), queries, 10,
+        metric="cosine", round_decimals=6)
+    got = graph_pl.graph_topk(merged, queries, 10,
+                              ef_search=len(vecs), round_decimals=6)
+    pd.testing.assert_frame_equal(got, exact)
+
+
+def test_graph_service_refresh_sees_added_rows(tmp_path):
+    """GraphSearchService actors decode graphs at open; refresh()
+    re-opens at the current on-disk state so post-open adds become
+    visible (deletes were already live via the tombstone re-read)."""
+    from opensearch_jvector_ray.pipelines import graph as graph_pl
+    rng = np.random.default_rng(47)
+    vecs = rng.standard_normal((90, 16)).astype(np.float32)
+    idx = str(tmp_path / "g")
+    graph_pl.build_graph_index(
+        rd.from_arrow(_vec_table_r16(vecs[:60])), idx, num_parts=2,
+        m_degree=8, ef_construction=32)
+    svc = graph_pl.GraphSearchService(idx, num_shards=2)
+    try:
+        queries = {"q": vecs[70].astype(np.float64)}
+        before = svc.search(queries, 5, ef_search=90)
+        graph_pl.add_to_graph_index(
+            rd.from_arrow(_vec_table_r16(vecs[60:],
+                                         ids=np.arange(60, 90))), idx)
+        stale = svc.search(queries, 5, ef_search=90)
+        pd.testing.assert_frame_equal(stale, before)   # documented
+        svc.refresh()
+        fresh = svc.search(queries, 5, ef_search=90)
+        direct = graph_pl.graph_topk(idx, queries, 5, ef_search=90)
+        pd.testing.assert_frame_equal(fresh, direct)
+        assert int(fresh.iloc[0]["vec_id"]) == 70
+        with pytest.raises(ValueError, match="radial"):
+            svc.search(queries, None, ef_search=90)
+    finally:
+        svc.shutdown()
+
+
 def test_snapshot_restore_roundtrip_still_works(idx, tmp_path):
     snap = str(tmp_path / "snap.tar")
     snapshot_index(idx, snap)

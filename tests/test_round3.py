@@ -253,7 +253,7 @@ def test_graph_full_beam_reaches_every_node(tmp_path):
     nbrs = _ensure_cycle(build_graph(vecs, m_degree=6))
     unit = _unitize(vecs)
     n_nbrs = (nbrs >= 0).sum(axis=1).astype(np.int32)
-    D, V = _beam_batch(unit, nbrs, n_nbrs, [0], unit[:1], ef=len(vecs))
+    D, V = _beam_batch(unit, nbrs, [0], unit[:1], ef=len(vecs))
     assert set(V[0].tolist()) == set(range(len(vecs)))
 
 
@@ -618,7 +618,7 @@ def test_graph_full_beam_exactness_randomized():
         n_nbrs = (nbrs >= 0).sum(axis=1).astype(np.int32)
         q = vecs[int(rng.integers(0, n))]
         qn = (q / (np.linalg.norm(q) or 1.0)).astype(np.float64)
-        _, V = _beam_batch(unit, nbrs, n_nbrs, [0], qn[None, :], ef=n)
+        _, V = _beam_batch(unit, nbrs, [0], qn[None, :], ef=n)
         got = set(V[0][V[0] >= 0].tolist())
         assert got == set(range(n)), \
             f"trial {trial}: full beam missed {set(range(n)) - got}"
