@@ -123,6 +123,21 @@ def _assign_segments(batch: pa.Table, spec: IndexSpec, num_segments: int,
     return batch
 
 
+def build_fingerprint(cfg: EngineConfig, spec: IndexSpec) -> str:
+    """Segment-identity fingerprint: config AND spec.  Resume must
+    invalidate when text_col/key_cols/store_cols/ts_col change, not
+    just the analyzer/codec config — a spec change would otherwise
+    silently reuse segments whose postings index a DIFFERENT column
+    while config.json advertises the new spec."""
+    import hashlib
+    import json as _json
+    spec_j = _json.dumps({"t": spec.text_col, "k": list(spec.key_cols),
+                          "s": list(spec.store_cols),
+                          "ts": spec.ts_col}, sort_keys=True)
+    return (cfg.fingerprint() + "-s"
+            + hashlib.md5(spec_j.encode()).hexdigest()[:10])
+
+
 def _last_write_wins(group: pa.Table, spec: IndexSpec) -> pa.Table:
     """Keep the newest row per key (rows already sorted by key asc, ts asc).
 
@@ -142,6 +157,22 @@ def _last_write_wins(group: pa.Table, spec: IndexSpec) -> pa.Table:
     return group.filter(pa.array(keep))
 
 
+def delete_key_strings(deletes: "Sequence[tuple]", tbl: pa.Table,
+                       spec: IndexSpec) -> pa.Array:
+    """Encode delete-key tuples with the SAME Arrow cast-to-string rule
+    ``_composite_key`` applies to the table side — Python ``str()``
+    formats floats ('1.0' vs Arrow '1'), bools ('True' vs 'true') and
+    timestamps differently, so a str()-built set silently never matches
+    non-string/int key columns (deletes reported but not applied)."""
+    parts = []
+    for pos, kc in enumerate(spec.key_cols):
+        arr = pa.array([key[pos] for key in deletes], type=tbl[kc].type)
+        parts.append(pc.cast(arr, pa.string()))
+    if len(parts) == 1:
+        return parts[0]
+    return pc.binary_join_element_wise(*parts, "\x1f")
+
+
 def _apply_tombstones(group: pa.Table, spec: IndexSpec,
                       deletes: Sequence[tuple] | None) -> pa.Table:
     """Anti-join against the (broadcast, small) tombstone key set (D2:
@@ -149,8 +180,7 @@ def _apply_tombstones(group: pa.Table, spec: IndexSpec,
     if not deletes:
         return group
     key_strs = _composite_key(group, spec)
-    del_set = pa.array([
-        "\x1f".join(str(p) for p in key) for key in deletes], type=pa.string())
+    del_set = delete_key_strings(deletes, group, spec)
     mask = pc.invert(pc.is_in(key_strs, value_set=del_set))
     return group.filter(mask)
 
@@ -225,7 +255,7 @@ def make_segment_builder(index_dir: str, cfg: EngineConfig, spec: IndexSpec,
             num_terms=postings.num_rows,
             num_postings=int(pc.sum(postings["df"]).as_py() or 0),
             rows_in=rows_in,
-            config_fingerprint=cfg.fingerprint(),
+            config_fingerprint=build_fingerprint(cfg, spec),
             lineage={**(lineage or {}), **(lineage_extra or {})},
             timings_sec={k: round(v, 4) for k, v in timer.timings.items()},
         )
@@ -441,7 +471,8 @@ def build_index(source: "rd.Dataset | str | list[str]", index_dir: str,
     # below for the fragments path.
     prior = completed_segments(index_dir)
     done = frozenset(s for s, m in prior.items()
-                     if m.config_fingerprint == cfg.fingerprint())
+                     if m.config_fingerprint == build_fingerprint(cfg,
+                                                                  spec))
     n_skipped = len(done)
 
     if mode == "staged":
@@ -457,9 +488,22 @@ def build_index(source: "rd.Dataset | str | list[str]", index_dir: str,
         ds = source if not is_paths else rd.read_parquet(resolve_parquet_paths(source))
         ds = ds.select_columns(spec.all_cols())
         staging = os.path.join(index_dir, "_staging")
-        if not os.path.exists(os.path.join(staging, "_DONE")):
-            # a crash mid-write leaves partial files with no _DONE; a rerun
-            # that appended into them would duplicate rows — start clean
+        done_path = os.path.join(staging, "_DONE")
+        # _DONE is stamped with the fingerprint the staging was written
+        # under: a crash-then-reconfigure rerun (different num_segments
+        # or spec) must re-stage, not build from a stale P-way
+        # partitioning while recording the new partition lineage
+        stamp = {"ok": True, "fp": build_fingerprint(cfg, spec),
+                 "num_segments": cfg.num_segments}
+        prior_stamp = None
+        if os.path.exists(done_path):
+            try:
+                prior_stamp = read_json(done_path)
+            except Exception:
+                prior_stamp = None
+        if (prior_stamp or {}).get("fp") != stamp["fp"]:
+            # covers both crash-mid-write (no _DONE) and stale-config
+            # staging — start clean either way
             if os.path.isdir(staging):
                 import shutil as _sh
                 _sh.rmtree(staging, ignore_errors=True)
@@ -468,7 +512,7 @@ def build_index(source: "rd.Dataset | str | list[str]", index_dir: str,
                                       "num_segments": cfg.num_segments,
                                       "done": frozenset()}) \
               .write_parquet(staging, partition_cols=[SEG_COL])
-            write_json_atomic(os.path.join(staging, "_DONE"), {"ok": True})
+            write_json_atomic(done_path, stamp)
         builder = make_segment_builder(
             index_dir, cfg, spec,
             {**(lineage or {}), "partition": _hash_partition_lineage(cfg, spec)},
@@ -548,7 +592,7 @@ def build_index(source: "rd.Dataset | str | list[str]", index_dir: str,
             # consume: per-segment one-row summaries (tiny)
             shuffled.take_all()
 
-    return _finish_index(index_dir, cfg, t0, n_skipped)
+    return _finish_index(index_dir, cfg, spec, t0, n_skipped)
 
 
 def _append_journal_path(index_dir: str, fp: str) -> str:
@@ -607,7 +651,7 @@ def add_segments(index_dir: str, source: "rd.Dataset | str | list[str]",
                      ts_col=meta["spec"]["ts_col"])
     prior = completed_segments(index_dir)
     mixed = sorted(s for s, m in prior.items()
-                   if m.config_fingerprint != cfg.fingerprint())
+                   if m.config_fingerprint != build_fingerprint(cfg, spec))
     if mixed:
         raise ValueError(f"index dir {index_dir!r} has segments {mixed} "
                          f"with a foreign config fingerprint — refusing "
@@ -626,7 +670,7 @@ def add_segments(index_dir: str, source: "rd.Dataset | str | list[str]",
         write_json_atomic(jpath, journal)     # journal BEFORE building
     if journal.get("complete"):
         # idempotent re-append: everything already built; refresh only
-        return _finish_index(index_dir, cfg, t0, len(prior))
+        return _finish_index(index_dir, cfg, spec, t0, len(prior))
 
     if is_paths:
         total_rows = sum(pq.read_metadata(p).num_rows for p in paths)
@@ -636,13 +680,29 @@ def add_segments(index_dir: str, source: "rd.Dataset | str | list[str]",
         for it in plan:
             it["seg"] += base
         todo = []
+        collisions = []
         for it in plan:
             m = prior.get(it["seg"])
             if m is not None and m.lineage.get("fragment") == {
                     "file": it["file"], "rg_lo": it["rg_lo"],
                     "rg_hi": it["rg_hi"]}:
                 continue                      # resume: already appended
+            if m is not None:
+                # a DIFFERENT append occupied this journalled id range
+                # (interleaved appends after a crash) — overwriting
+                # would destroy the other append's docs while its
+                # journal claims complete
+                collisions.append(it["seg"])
+                continue
             todo.append(it)
+        if collisions:
+            raise ValueError(
+                f"append journal base {base} collides with segments "
+                f"{collisions} built by a different append — the "
+                f"journalled id range was taken by an interleaved "
+                f"append; re-run with a distinct lineage= to journal "
+                f"a fresh base (or delete the stale journal "
+                f"{jpath!r})")
         if todo:
             (rd.from_items(todo)
                .map_batches(make_fragment_builder(index_dir, cfg, spec,
@@ -673,7 +733,9 @@ def add_segments(index_dir: str, source: "rd.Dataset | str | list[str]",
                    pc.add(b[SEG_COL], base)), batch_format="pyarrow")
                .write_parquet(staging, partition_cols=[SEG_COL]))
             write_json_atomic(os.path.join(staging, "_DONE"), {"ok": True})
-        builder = make_segment_builder(index_dir, cfg, spec, lineage)
+        builder = make_segment_builder(
+            index_dir, cfg, spec,
+            {**(lineage or {}), "append_fp": fp})
 
         def build_staged(batch: pa.Table) -> pa.Table:
             out = []
@@ -691,6 +753,15 @@ def add_segments(index_dir: str, source: "rd.Dataset | str | list[str]",
         seg_ids = sorted(
             int(d.split("=")[1]) for d in os.listdir(staging)
             if d.startswith(f"{SEG_COL}="))
+        collisions = [s for s in seg_ids
+                      if s in prior
+                      and prior[s].lineage.get("append_fp") != fp]
+        if collisions:
+            raise ValueError(
+                f"append journal base {base} collides with segments "
+                f"{collisions} built by a different append; re-run "
+                f"with a distinct lineage= (or delete the stale "
+                f"journal {jpath!r})")
         todo = [{"seg": s} for s in seg_ids if s not in prior]
         if todo:
             rd.from_items(todo).map_batches(
@@ -699,14 +770,16 @@ def add_segments(index_dir: str, source: "rd.Dataset | str | list[str]",
         _sh.rmtree(staging, ignore_errors=True)
         n_skipped = len(prior)
     write_json_atomic(jpath, {**journal, "complete": True})
-    return _finish_index(index_dir, cfg, t0, n_skipped)
+    return _finish_index(index_dir, cfg, spec, t0, n_skipped)
 
 
-def _finish_index(index_dir: str, cfg: EngineConfig, t0: float,
+def _finish_index(index_dir: str, cfg: EngineConfig,
+                  spec: IndexSpec, t0: float,
                   n_skipped: int) -> BuildResult:
     manifests = completed_segments(index_dir)
     mixed = sorted(s for s, m in manifests.items()
-                   if m.config_fingerprint != cfg.fingerprint())
+                   if m.config_fingerprint != build_fingerprint(cfg,
+                                                                spec))
     if mixed:
         # only reachable when a foreign-config segment was never re-planned
         # (e.g. num_segments shrank): refuse to publish a mixed index

@@ -44,6 +44,7 @@ from opensearch_jvector_ray.postings import (
     POSTINGS_SCHEMA, encode_posting_arrays,
 )
 from opensearch_jvector_ray.stages.build import (
+    build_fingerprint,
     POSTINGS_ROW_GROUP, IndexSpec, aggregate_dictionary,
 )
 from opensearch_jvector_ray.state.manifest import (
@@ -54,13 +55,19 @@ from opensearch_jvector_ray.state.manifest import (
 
 def plan_merge_groups(manifests: dict[int, Any], merge_factor: int) -> list[list[int]]:
     """Group input segments largest-first (leading-reader analog) so merge
-    tasks are balanced; each group has up to ``merge_factor`` segments."""
+    tasks are balanced; each group has up to ``merge_factor`` segments.
+    The member cap is ENFORCED, not advisory: it is what bounds a merge
+    task's file fan-in and working set — balancing by doc count alone
+    would pack dozens of small segments into one group under size skew
+    (one 9M segment + 999 tiny ones) and silently void the bound."""
     by_size = sorted(manifests, key=lambda s: -manifests[s].num_docs)
     n_groups = max(1, (len(by_size) + merge_factor - 1) // merge_factor)
     groups: list[list[int]] = [[] for _ in range(n_groups)]
     sizes = [0] * n_groups
-    for seg in by_size:                      # greedy balance by doc count
-        g = sizes.index(min(sizes))
+    for seg in by_size:   # greedy: smallest total WITH capacity left
+        g = min((i for i in range(n_groups)
+                 if len(groups[i]) < merge_factor),
+                key=lambda i: sizes[i])
         groups[g].append(seg)
         sizes[g] += manifests[seg].num_docs
     return [sorted(g) for g in groups if g]
@@ -409,7 +416,7 @@ def _bulk_merge_group(src_dirs: list[str], dst_dir: str, cfg: EngineConfig,
         num_terms=postings_tbl.num_rows,
         num_postings=int(pc.sum(postings_tbl["df"]).as_py() or 0),
         rows_in=int(docs_all.num_rows),
-        config_fingerprint=cfg.fingerprint(),
+        config_fingerprint=build_fingerprint(cfg, spec),
         lineage={"merged_from": [os.path.basename(d) for d in src_dirs],
                  "strategy": "bulk"},
         timings_sec={k: round(v, 4) for k, v in timer.timings.items()},
@@ -417,7 +424,8 @@ def _bulk_merge_group(src_dirs: list[str], dst_dir: str, cfg: EngineConfig,
 
 
 def _merge_group(src_dirs: list[str], dst_dir: str, cfg: EngineConfig,
-                 spec: IndexSpec, deletes_keys: pa.Array | None) -> SegmentManifest:
+                 spec: IndexSpec,
+                 deletes: "Sequence[tuple] | None") -> SegmentManifest:
     timer = StageTimer()
     timer.start("read_docs")
     docs_tables = [_drop_key_rank(pq.read_table(os.path.join(d, DOCS_NAME)))
@@ -433,10 +441,16 @@ def _merge_group(src_dirs: list[str], dst_dir: str, cfg: EngineConfig,
         if docs_all.num_rows else np.zeros(0, dtype=np.int64)
 
     keep_mask = np.ones(docs_all.num_rows, dtype=bool)
-    if deletes_keys is not None and docs_all.num_rows:
-        from opensearch_jvector_ray.stages.build import _composite_key
-        mask = pc.invert(pc.is_in(_composite_key(docs_all, spec),
-                                  value_set=deletes_keys))
+    if deletes and docs_all.num_rows:
+        # both sides of the anti-join encode through the SAME Arrow
+        # cast (delete_key_strings) — str()-built keys never matched
+        # float/bool/timestamp key columns
+        from opensearch_jvector_ray.stages.build import (
+            _composite_key, delete_key_strings,
+        )
+        mask = pc.invert(pc.is_in(
+            _composite_key(docs_all, spec),
+            value_set=delete_key_strings(deletes, docs_all, spec)))
         keep_mask = mask.to_numpy(zero_copy_only=False)
 
     kept_rows = np.flatnonzero(keep_mask)
@@ -551,7 +565,7 @@ def _merge_group(src_dirs: list[str], dst_dir: str, cfg: EngineConfig,
         num_terms=postings_tbl.num_rows,
         num_postings=int(pc.sum(postings_tbl["df"]).as_py() or 0),
         rows_in=int(docs_all.num_rows),
-        config_fingerprint=cfg.fingerprint(),
+        config_fingerprint=build_fingerprint(cfg, spec),
         lineage={"merged_from": [os.path.basename(d) for d in src_dirs]},
         timings_sec={k: round(v, 4) for k, v in timer.timings.items()},
     )
@@ -578,11 +592,24 @@ def merge_index(src_index_dir: str, dst_index_dir: str,
     write_json_atomic(os.path.join(dst_index_dir, CONFIG_NAME),
                       {**meta, "num_segments": len(groups)})
     done = completed_segments(dst_index_dir)
-
-    del_keys = None
-    if deletes:
-        del_keys = pa.array(["\x1f".join(str(p) for p in key) for key in deletes],
-                            type=pa.string())
+    # resume trusts a finished gid ONLY if it was merged from exactly
+    # the group the CURRENT plan assigns it (the build-side stale-
+    # segment rule): a crash-then-replan (source appended, different
+    # merge_factor) re-groups, and silently keeping old-grouping
+    # outputs duplicates/loses docs in the published stats+dictionary
+    stale = []
+    for gid, m in done.items():
+        want = ([os.path.basename(segment_dir(src_index_dir, s))
+                 for s in groups[gid]] if gid < len(groups) else None)
+        have = m.lineage.get("merged_from")
+        if want is None or sorted(have or []) != sorted(want):
+            stale.append(gid)
+    if stale:
+        raise ValueError(
+            f"merge destination {dst_index_dir!r} holds segments "
+            f"{sorted(stale)} merged under a DIFFERENT grouping than "
+            f"the current plan (source or merge_factor changed?) — "
+            f"refusing to mix; use a fresh dst dir or delete them")
 
     items = [{"gid": gid,
               "src_dirs": [segment_dir(src_index_dir, s) for s in group]}
@@ -598,10 +625,11 @@ def merge_index(src_index_dir: str, dst_index_dir: str,
             # (varint patches one varint per run; pfor re-packs one block
             # per run — blk_n records the irregular boundaries);
             # deletes -> full decode+rebuild
-            if del_keys is None:
+            if not deletes:
                 m = _bulk_merge_group(list(src_dirs), dst, cfg, spec)
             else:
-                m = _merge_group(list(src_dirs), dst, cfg, spec, del_keys)
+                m = _merge_group(list(src_dirs), dst, cfg, spec,
+                                 list(deletes))
             m.seg = gid
             m.write(dst)
             out.append(gid)

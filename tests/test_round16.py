@@ -274,6 +274,85 @@ def test_significant_terms_randomized_null_fractions(tmp_path):
             == n, trial
 
 
+def test_resume_invalidates_on_spec_change(tmp_path):
+    """Segment fingerprints cover the SPEC, not just the config: a
+    re-run into the same dir with a different text_col must REBUILD
+    (resume finds no matching segments) — it used to silently reuse
+    postings built over the other column while config.json advertised
+    the new spec."""
+    from opensearch_jvector_ray.query import IndexSearcher
+    out = str(tmp_path / "idx")
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(30)), type=pa.int64()),
+        "text": pa.array(["alpha beta"] * 30),
+        "summary": pa.array(["gamma delta"] * 30),
+    })
+    build_index(rd.from_arrow(tbl), out, CFG,
+                IndexSpec(text_col="text", key_cols=("doc_id",),
+                          store_cols=(), ts_col=""))
+    res = build_index(rd.from_arrow(tbl), out, CFG,
+                      IndexSpec(text_col="summary",
+                                key_cols=("doc_id",),
+                                store_cols=(), ts_col=""))
+    assert res.segments_built > 0          # NOT a skipped resume
+    s = IndexSearcher(out)
+    assert len(s.search({"q": "gamma"}, min_score=0.0)) == 30
+    assert len(s.search({"q": "alpha"}, min_score=0.0)) == 0
+
+
+def test_deletes_apply_to_float_and_timestamp_keys(tmp_path):
+    """Tombstone keys route through the SAME Arrow cast as the table
+    side: str(1.0)='1.0' vs Arrow '1' used to make deletes silently
+    no-ops on non-string/int key columns."""
+    from opensearch_jvector_ray.query import IndexSearcher
+    out = str(tmp_path / "fidx")
+    tbl = pa.table({
+        "fkey": pa.array([float(i) for i in range(20)],
+                         type=pa.float64()),
+        "text": pa.array(["alpha beta"] * 20),
+    })
+    build_index(rd.from_arrow(tbl), out, CFG,
+                IndexSpec(text_col="text", key_cols=("fkey",),
+                          store_cols=(), ts_col=""),
+                deletes=[(3.0,), (7.0,)])
+    hits = IndexSearcher(out).search({"q": "alpha"}, min_score=0.0)
+    assert len(hits) == 18
+    assert 3.0 not in set(hits["fkey"]) and 7.0 not in set(hits["fkey"])
+
+
+def test_plan_merge_groups_enforces_member_cap():
+    from opensearch_jvector_ray.stages.merge import plan_merge_groups
+
+    class M:                                  # manifest stub
+        def __init__(self, n):
+            self.num_docs = n
+
+    sizes = {0: 9_000_000, **{i: 1_000 for i in range(1, 16)}}
+    groups = plan_merge_groups({k: M(v) for k, v in sizes.items()},
+                               merge_factor=4)
+    assert all(len(g) <= 4 for g in groups), groups
+    assert sorted(s for g in groups for s in g) == sorted(sizes)
+
+
+def test_merge_resume_rejects_stale_grouping(tmp_path):
+    """A dst dir holding segments merged under a DIFFERENT grouping
+    (source appended / merge_factor changed between runs) must refuse
+    instead of silently mixing old-grouping outputs into the published
+    stats and dictionary."""
+    from opensearch_jvector_ray.stages.merge import merge_index
+    src = str(tmp_path / "src")
+    build_index(rd.from_arrow(_corpus()), src, CFG,
+                IndexSpec(text_col="text", key_cols=("doc_id",),
+                          store_cols=(), ts_col=""))
+    dst = str(tmp_path / "dst")
+    merge_index(src, dst, merge_factor=2)
+    # same dst, different factor -> every done gid's membership differs
+    with pytest.raises(ValueError, match="DIFFERENT grouping"):
+        merge_index(src, dst, merge_factor=3)
+    # re-running the SAME plan stays a clean no-op resume
+    merge_index(src, dst, merge_factor=2)
+
+
 def test_build_rejects_unknown_mode(tmp_path):
     # an unknown mode used to fall through every physical-plan branch
     # and "finish" an EMPTY index — must fail eagerly instead
