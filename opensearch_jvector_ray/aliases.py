@@ -33,6 +33,30 @@ def get_aliases(index_dir: str) -> dict[str, Any]:
     return read_json(p) if os.path.exists(p) else {}
 
 
+class _alias_lock:
+    """flock over the aliases file: put/delete are read-modify-write
+    sequences — write_json_atomic makes each WRITE atomic, but two
+    concurrent mutators would still read the same base dict and the
+    last write would silently drop the other's alias.  Same-host
+    drivers are the realistic concurrency here (alias mutation is a
+    control-plane op); cross-host coordination stays out of scope."""
+
+    def __init__(self, index_dir: str):
+        self._path = _path(index_dir) + ".lock"
+
+    def __enter__(self):
+        import fcntl
+        self._f = open(self._path, "w")
+        fcntl.flock(self._f, fcntl.LOCK_EX)
+        return self
+
+    def __exit__(self, *exc):
+        import fcntl
+        fcntl.flock(self._f, fcntl.LOCK_UN)
+        self._f.close()
+        return False
+
+
 def put_alias(index_dir: str, name: str,
               filter_spec: dict | None = None) -> None:
     """Create or replace an alias.  The filter spec (if any) is
@@ -42,17 +66,19 @@ def put_alias(index_dir: str, name: str,
         raise ValueError("alias name must be a non-empty string")
     if filter_spec is not None:
         compile_filter(filter_spec)       # strict validation
-    aliases = get_aliases(index_dir)
-    aliases[name] = {"filter": filter_spec}
-    write_json_atomic(_path(index_dir), aliases)
+    with _alias_lock(index_dir):
+        aliases = get_aliases(index_dir)
+        aliases[name] = {"filter": filter_spec}
+        write_json_atomic(_path(index_dir), aliases)
 
 
 def delete_alias(index_dir: str, name: str) -> None:
-    aliases = get_aliases(index_dir)
-    if name not in aliases:
-        raise KeyError(f"no alias {name!r} on {index_dir!r}")
-    del aliases[name]
-    write_json_atomic(_path(index_dir), aliases)
+    with _alias_lock(index_dir):
+        aliases = get_aliases(index_dir)
+        if name not in aliases:
+            raise KeyError(f"no alias {name!r} on {index_dir!r}")
+        del aliases[name]
+        write_json_atomic(_path(index_dir), aliases)
 
 
 class RolloverWriter:

@@ -191,7 +191,9 @@ def parse_simple_query_string(text: str, cfg: EngineConfig,
                 clauses.append({"occur": occur, "kind": "phrase",
                                 "words": words})
         elif u.endswith("*"):
-            stem = u[:-1].lower()
+            # respect cfg.lowercase — a force-lowered stem can never
+            # match a case-sensitive index's vocabulary
+            stem = u[:-1].lower() if cfg.lowercase else u[:-1]
             if not stem:
                 raise ValueError("empty prefix stem: bare '*' not "
                                  "allowed (allowLeadingWildcard=false)")
@@ -244,6 +246,11 @@ def parse_boosted_query(text: str, cfg: EngineConfig,
             else:
                 if val < 0:
                     raise ValueError(f"negative boost in {chunk!r}")
+                import math
+                if not math.isfinite(val):
+                    # 'fast^nan' would poison every matching doc's
+                    # score and make the tie order arbitrary
+                    raise ValueError(f"non-finite boost in {chunk!r}")
                 boost, chunk = val, stem
         for t in analyze_query(chunk, cfg):
             if t not in weights:
@@ -287,7 +294,7 @@ def parse_prefix_query(text: str, cfg: EngineConfig,
     prefixes: list[str] = []
     for chunk in text.split():
         if chunk.endswith("*"):
-            stem = chunk[:-1].lower()
+            stem = chunk[:-1].lower() if cfg.lowercase else chunk[:-1]
             if not stem:
                 raise ValueError("empty prefix stem: bare '*' not allowed")
             if stem not in prefixes:

@@ -70,6 +70,37 @@ def _distinct_pair_rows(raw: "rd.Dataset", extra_col: str | None = None,
     ``_UNION_MAX_PAIRS`` and fall back to a groupby exchange."""
     import ray as _ray
 
+    id_type = _ds_schema(raw).field("id_a").type
+    if not pa.types.is_integer(id_type):
+        # string (or other non-int) doc ids: the structured-dtype numpy
+        # path below is int64-only — per-block pandas distinct + one
+        # union task keeps the same off-driver shape
+        cols = ["id_a", "id_b"] + ([extra_col] if extra_col else [])
+
+        @_ray.remote
+        def _blk_unique_any(t: pa.Table):
+            if not t.num_rows:
+                return None
+            return t.select(cols).to_pandas().drop_duplicates()
+
+        @_ray.remote
+        def _distinct_any(*dfs) -> pa.Table:
+            dfs = [d for d in dfs if d is not None and len(d)]
+            if not dfs:
+                out = {"id_a": pa.array([], type=id_type),
+                       "id_b": pa.array([], type=id_type)}
+                if extra_col:
+                    out[extra_col] = pa.array(
+                        [], type=extra_type or pa.int64())
+                return pa.table(out)
+            u = (pd.concat(dfs, ignore_index=True).drop_duplicates()
+                 .sort_values(["id_a", "id_b"]))
+            return pa.Table.from_pandas(u, preserve_index=False)
+
+        ref = _distinct_any.remote(
+            *[_blk_unique_any.remote(r) for r in raw.to_arrow_refs()])
+        return rd.from_arrow_refs([ref])
+
     fields = [("a", np.int64), ("b", np.int64)]
     if extra_col:
         fields.append(("x", np.int64))
@@ -646,7 +677,19 @@ def minhash_candidate_pairs(ds: "rd.Dataset", cfg: EngineConfig, id_col: str,
         -> distinct across bands via per-block unique + ONE union task
            (pair rows are candidate-sized, so no second hash shuffle —
            the result stays in the object store as one Arrow block)
+
+    ``concurrency`` is accepted for signature stability but is
+    DELIBERATELY unused: the signer is pure math with no per-actor
+    state, so it runs on the unbounded task pool — capping it would
+    only idle CPUs.  (Documented rather than removed: callers thread
+    it through and an API break buys nothing.)
     """
+    if num_perm % bands:
+        # the signer reshapes (n_docs, bands, num_perm // bands): a
+        # non-divisible pair used to surface as a remote-task reshape
+        # traceback instead of a clear parameter error
+        raise ValueError(f"num_perm={num_perm} must be divisible by "
+                         f"bands={bands}")
     rows_per_band = num_perm // bands
     rng = np.random.default_rng(42)
     perm_a = rng.integers(1, int(_MERSENNE), size=num_perm, dtype=np.uint64)

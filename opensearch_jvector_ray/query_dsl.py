@@ -320,7 +320,13 @@ def compile_filter(spec: dict):
         if not isinstance(body, dict) or "field" not in body:
             raise ValueError("[exists] needs {'field': name}")
         return pc.field(body["field"]).is_valid()
-    # bool
+    # bool — DELIBERATE deviation from OpenSearch filter-context:
+    # `should` here is a REQUIRED OR-group ANDed with must/must_not.
+    # OpenSearch silently ignores should when must is present
+    # (minimum_should_match defaults to 0) — a filter clause that does
+    # nothing is a footgun; this engine makes it bite.  The generated
+    # oracle (oracles.filter_spec_sql) implements the SAME rule, so
+    # the two backends never drift.
     expr = None
     legal = {"must", "must_not", "should"}
     unknown = sorted(set(body) - legal)
@@ -421,6 +427,17 @@ def parse_query(body: dict[str, Any]) -> dict[str, Any]:
                     not all(isinstance(t, str) for t in terms):
                 raise ValueError(f"[bool] '{part}' must be a list of "
                                  f"term strings")
+            for t in terms:
+                # the dispatch round-trips through the '+term -term'
+                # text syntax: whitespace would split one term into
+                # two clauses and a leading +/- would silently change
+                # clause membership — reject eagerly (strict DSL rule)
+                if not t or t != t.strip() or any(c.isspace()
+                                                 for c in t) \
+                        or t[0] in "+-":
+                    raise ValueError(
+                        f"[bool] '{part}' term {t!r} must be a single "
+                        f"bare term (no whitespace, no leading +/-)")
             out[part] = list(terms)
         if not (out["must"] or out["should"]):
             raise ValueError("[bool] needs at least one must/should term")
@@ -1741,7 +1758,7 @@ def execute_query(body: dict[str, Any], *, searcher=None, vector_ds=None,
         if spec["kind"] == "typo":
             return searcher.suggest_fuzzy(spec["text"], n=spec["n"],
                                           max_edits=spec["max_edits"])
-        return searcher.suggest_phrase({"s": spec["text"]},
+        return searcher.suggest_phrase({query_id: spec["text"]},
                                        max_edits=spec["max_edits"])
     if spec["type"] == "has_child":
         if searcher is None:

@@ -62,13 +62,27 @@ def get_metrics_actor():
 _ACTOR_CACHE = None   # per-process handle: get_metrics_actor() is a
                       # SYNCHRONOUS GCS RPC — calling it per segment
                       # task adds tail latency to every query fan-out
+_CACHE_USES = 0
+# fire-and-forget updates never surface an actor death (.remote()
+# returns an ObjectRef; the failure is async and nothing gets it), so
+# a dead metrics actor would silently eat counters forever.  A cheap
+# periodic re-resolve bounds the loss window to _CACHE_TTL_CALLS
+# updates instead of paying the GCS RPC on every call.
+_CACHE_TTL_CALLS = 512
 
 
 def incr(updates: dict[str, int]) -> None:
     """Fire-and-forget counter update (never blocks the scoring path).
     The actor handle is cached per worker process; a stale handle (new
-    cluster in the same process) is dropped and re-resolved once."""
-    global _ACTOR_CACHE
+    cluster in the same process) is dropped and re-resolved once, and
+    the cache expires every ``_CACHE_TTL_CALLS`` calls so a dead actor
+    (whose async task failures fire-and-forget never observes) costs a
+    bounded number of lost updates, not all of them."""
+    global _ACTOR_CACHE, _CACHE_USES
+    _CACHE_USES += 1
+    if _CACHE_USES >= _CACHE_TTL_CALLS:
+        _ACTOR_CACHE = None
+        _CACHE_USES = 0
     for _ in range(2):
         try:
             if _ACTOR_CACHE is None:

@@ -353,6 +353,56 @@ def test_merge_resume_rejects_stale_grouping(tmp_path):
     merge_index(src, dst, merge_factor=2)
 
 
+def test_minhash_dedup_string_ids():
+    """The whole dedup family must accept string doc ids — the distinct
+    pair path used to crash on a hardcoded int64 structured dtype."""
+    from opensearch_jvector_ray.pipelines import dedup as dd
+    texts = ["alpha beta gamma delta epsilon zeta"] * 3 + \
+            ["eta theta iota kappa lambda mu"] * 3 + \
+            ["nu xi omicron pi rho sigma"]
+    tbl = pa.table({"url": pa.array([f"u{i:03d}" for i in range(7)]),
+                    "text": pa.array(texts)})
+    out = dd.minhash_lsh_dedup(rd.from_arrow(tbl), CFG, "url", "text",
+                               threshold=0.9)
+    got = dict(zip(out["url"], out["cluster_id"]))
+    assert got == {"u000": "u000", "u001": "u000", "u002": "u000",
+                   "u003": "u003", "u004": "u003", "u005": "u003"}
+    with pytest.raises(ValueError, match="divisible"):
+        dd.minhash_lsh_dedup(rd.from_arrow(tbl), CFG, "url", "text",
+                             num_perm=64, bands=12)
+
+
+def test_parser_validation_round16():
+    from opensearch_jvector_ray.analyze import (
+        parse_boosted_query, parse_prefix_query,
+    )
+    from opensearch_jvector_ray.query_dsl import parse_query
+    with pytest.raises(ValueError, match="non-finite"):
+        parse_boosted_query("fast^nan merge", CFG)
+    with pytest.raises(ValueError, match="non-finite"):
+        parse_boosted_query("fast^inf", CFG)
+    # structured bool terms round-trip through the +/- text syntax:
+    # whitespace or leading +/- would silently change clause membership
+    for bad in (["-foo"], ["+foo"], ["new york"], [" x"], [""]):
+        with pytest.raises(ValueError, match="bare term"):
+            parse_query({"bool": {"must": bad}})
+    # prefix stems respect cfg.lowercase (case-sensitive configs)
+    cs = EngineConfig(num_segments=1, lowercase=False)
+    tw, prefixes = parse_prefix_query("Serv* data", cs)
+    assert prefixes == ["Serv"]
+    tw, prefixes = parse_prefix_query("Serv* data", CFG)
+    assert prefixes == ["serv"]
+
+
+def test_alias_concurrent_mutations_keep_both(tmp_path, idx):
+    """put_alias is read-modify-write under a file lock: interleaved
+    mutators must not lose each other's aliases."""
+    from opensearch_jvector_ray.aliases import get_aliases, put_alias
+    for i in range(4):
+        put_alias(idx, f"a{i}")
+    assert set(get_aliases(idx)) >= {"a0", "a1", "a2", "a3"}
+
+
 def test_build_rejects_unknown_mode(tmp_path):
     # an unknown mode used to fall through every physical-plan branch
     # and "finish" an EMPTY index — must fail eagerly instead

@@ -557,10 +557,12 @@ def test_suggest_dsl_clauses(idx):
     t = execute_query({"suggest": {"typo": "alpah", "max_edits": 2}},
                       searcher=s)
     pd.testing.assert_frame_equal(t, s.suggest_fuzzy("alpah", 10, 2))
+    # phrase results key by the CALLER's query_id (every other dispatch
+    # does; the hardcoded "s" broke query_id joins)
     ph = execute_query({"suggest": {"phrase": "alpah gama"}},
-                       searcher=s)
+                       searcher=s, query_id="q7")
     pd.testing.assert_frame_equal(
-        ph, s.suggest_phrase({"s": "alpah gama"}, max_edits=2))
+        ph, s.suggest_phrase({"q7": "alpah gama"}, max_edits=2))
     for bad in ({"suggest": {}},
                 {"suggest": {"prefix": "a", "typo": "b"}},
                 {"suggest": {"prefix": ""}},
