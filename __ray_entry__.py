@@ -314,7 +314,7 @@ def _q_bm25_decay_recency(sf_dir: str) -> pd.DataFrame:
     out = _round_hits(s.search(TRANSCRIPT_QUERIES, k=10,
                                score_fn=DECAY_SPEC))
     out["doc_id"] = (out["conv_id"] + ":" +
-                     out["turn_idx"].astype(int).astype(str).str.zfill(4))
+                     out["turn_idx"].astype(int).astype(str).str.zfill(10))
     return out[["query_id", "rank", "doc_id", "score"]]
 
 
@@ -921,7 +921,7 @@ def _q_bm25_terms_set(sf_dir: str) -> pd.DataFrame:
     out = _round_hits(s.search(TRANSCRIPT_QUERIES, k=10,
                                terms_set={"field": "turn_idx"}))
     out["doc_id"] = (out["conv_id"] + ":" +
-                     out["turn_idx"].astype(int).astype(str).str.zfill(4))
+                     out["turn_idx"].astype(int).astype(str).str.zfill(10))
     return out[["query_id", "rank", "doc_id", "score"]]
 
 
@@ -3049,7 +3049,7 @@ def _q_transcripts_bm25(sf_dir: str) -> pd.DataFrame:
     # zero-padded composite key: lexicographic order == (conv_id, turn_idx)
     # order, so the oracle's string tie-break matches the engine's
     out["doc_id"] = (out["conv_id"] + ":" +
-                     out["turn_idx"].astype(int).astype(str).str.zfill(4))
+                     out["turn_idx"].astype(int).astype(str).str.zfill(10))
     return out[["query_id", "rank", "doc_id", "score"]]
 
 

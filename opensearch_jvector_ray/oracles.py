@@ -704,12 +704,12 @@ def date_histogram_sql(queries: dict[str, str], min_score: float,
     (cumulative_sum | derivative) mirrors the engine's window column
     over the PRESENT buckets in order."""
     prefix = transcripts_arms_cte(
-        arms, "conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0')"
+        arms, "conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 10, '0')"
               " AS doc_id, text")
     inner = bm25_sql(queries, 0, cfg, table="transcripts", id_col="doc_id",
                      prefix_cte=prefix, min_score=min_score)
     outer = transcripts_arms_cte(
-        arms, "conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0')"
+        arms, "conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 10, '0')"
               " AS doc_id, ts")
     pipe_col = ""
     if pipeline == "cumulative_sum":
@@ -823,12 +823,12 @@ def bucket_metric_sql(queries: dict[str, str], min_score: float,
     sums/extremes, avg = the single sum/count division; min/max_bucket's
     bucket_key = the SMALLEST bucket ts among the extremes)."""
     prefix = transcripts_arms_cte(
-        arms, "conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0')"
+        arms, "conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 10, '0')"
               " AS doc_id, text")
     inner = bm25_sql(queries, 0, cfg, table="transcripts", id_col="doc_id",
                      prefix_cte=prefix, min_score=min_score)
     outer = transcripts_arms_cte(
-        arms, "conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0')"
+        arms, "conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 10, '0')"
               " AS doc_id, ts")
     b_cte = f"""b AS (
   SELECT h.query_id,
@@ -1153,12 +1153,12 @@ def date_range_sql(queries: dict[str, str], min_score: float,
     index: zero-filled query x range grid, [lo, hi) on exact TIMESTAMP
     bounds (the engine compares the identical epoch-us integers)."""
     prefix = transcripts_arms_cte(
-        arms, "conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0')"
+        arms, "conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 10, '0')"
               " AS doc_id, text")
     inner = bm25_sql(queries, 0, cfg, table="transcripts", id_col="doc_id",
                      prefix_cte=prefix, min_score=min_score)
     outer = transcripts_arms_cte(
-        arms, "conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0')"
+        arms, "conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 10, '0')"
               " AS doc_id, ts")
     q_rows = ",\n       ".join(f"({sql_quote(q)})" for q in sorted(queries))
     r_rows = ",\n       ".join(
@@ -3821,7 +3821,7 @@ def transcripts_bm25_sql(queries: dict[str, str], k: int, cfg: EngineConfig,
     order equals the engine's (conv_id, turn_idx) tie order.
     """
     prefix = transcripts_arms_cte(
-        arms, "conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0')"
+        arms, "conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 10, '0')"
               " AS doc_id, text")
     return bm25_sql(queries, k, cfg, table="transcripts", id_col="doc_id",
                     prefix_cte=prefix)
@@ -3836,7 +3836,7 @@ def transcripts_fscore_sql(queries: dict[str, str], k: int,
     score_fn spec (ts fields go through epoch_us — the same int64-us
     view the engine's _doc_boost takes)."""
     prefix = transcripts_arms_cte(
-        arms, "conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0')"
+        arms, "conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 10, '0')"
               " AS doc_id, text, ts")
     mul = function_score_mul_sql(score_fn, is_ts=True)
     return bm25_sql(queries, k, cfg, table="transcripts", id_col="doc_id",
@@ -3859,7 +3859,7 @@ def has_child_sql(queries: dict[str, str], k: int, cfg: EngineConfig,
     assert score_mode in ("max", "sum", "avg", "count")
     prefix = transcripts_arms_cte(
         arms, "conv_id, conv_id || ':' || "
-              "lpad(CAST(turn_idx AS VARCHAR), 4, '0') AS doc_id, text")
+              "lpad(CAST(turn_idx AS VARCHAR), 10, '0') AS doc_id, text")
     inner = bm25_sql(queries, 0, cfg, table="transcripts",
                      id_col="doc_id", prefix_cte=prefix,
                      min_score=1e-300, emit_raw=True)
@@ -3895,7 +3895,7 @@ ORDER BY query_id, rank
 def _transcripts_conv_map(arms: list[tuple[str, int]]) -> str:
     sel = "\n  UNION ALL\n".join(
         f"  SELECT conv_id, conv_id || ':' || "
-        f"lpad(CAST(turn_idx AS VARCHAR), 4, '0') AS doc_id\n"
+        f"lpad(CAST(turn_idx AS VARCHAR), 10, '0') AS doc_id\n"
         f"  FROM read_parquet('{path}/*.parquet')\n"
         f"  WHERE (SELECT count(*) FROM lineitem) = {int(n)}"
         for path, n in arms)
@@ -4051,7 +4051,7 @@ aug AS (
     AND turn_idx = 1
 ),
 h AS (
-  SELECT conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0')
+  SELECT conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 10, '0')
            AS doc_id,
          md5({norm_text_expr(cfg)}) AS text_hash
   FROM aug
@@ -4106,7 +4106,7 @@ q AS (SELECT term,
              CAST(floor(ln((cw + 1.0) / denom) * {MICRO!r}) AS BIGINT) AS qm
       FROM voc, tot),
 docs AS (
-  SELECT conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0')
+  SELECT conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 10, '0')
            AS doc_id, text
   FROM transcripts
 ),
@@ -4164,7 +4164,7 @@ q_t AS (SELECT term,
                AS qm
         FROM voc_t, tot_t),
 docs AS (
-  SELECT conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0')
+  SELECT conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 10, '0')
            AS doc_id, text
   FROM transcripts
 ),
@@ -4436,7 +4436,13 @@ def hash_split_sql(splits: dict[str, float], salt: str = "",
     pref = f"substr(md5({sql_quote(salt)} || {id_col}::VARCHAR), 1, 4)"
     for lab in labels[:-1]:
         acc += float(splits[lab])
-        edge = sample_threshold_hex(min(acc, 1.0))
+        if acc >= 1.0:
+            # full-coverage arm claims everything left — mirrors the
+            # engine's edge=None rule ('pref < ffff' would leak hash
+            # prefix 'ffff' rows past a 100%-covering label)
+            arms.append(f"WHEN TRUE THEN {sql_quote(lab)}")
+            continue
+        edge = sample_threshold_hex(acc)
         arms.append(f"WHEN {pref} < {sql_quote(edge)} "
                     f"THEN {sql_quote(lab)}")
     case = ("CASE " + " ".join(arms) +
@@ -4981,13 +4987,13 @@ def terms_set_sql(queries: dict[str, str], k: int, cfg: EngineConfig,
     standard BM25 sum.  n_query_terms per query is computed from the
     SAME analyzer the engine uses and embedded as values."""
     prefix = transcripts_arms_cte(
-        arms, "conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0')"
+        arms, "conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 10, '0')"
               " AS doc_id, text")
     inner = bm25_sql(queries, 0, cfg, table="transcripts",
                      id_col="doc_id", prefix_cte=prefix,
                      min_score=1e-300, emit_raw=True)
     outer = transcripts_arms_cte(
-        arms, "conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0')"
+        arms, "conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 10, '0')"
               f" AS doc_id, text, {required_field}")
     qt_rows, nt_rows = [], []
     for qid, text in sorted(queries.items()):
@@ -5041,13 +5047,13 @@ def cumulative_cardinality_sql(queries: dict[str, str],
     buckets (exactly the engine's min-bucket rule; NULLs excluded from
     the distinct count, included in doc_count)."""
     prefix = transcripts_arms_cte(
-        arms, "conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0')"
+        arms, "conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 10, '0')"
               " AS doc_id, text")
     inner = bm25_sql(queries, 0, cfg, table="transcripts",
                      id_col="doc_id", prefix_cte=prefix,
                      min_score=min_score)
     outer = transcripts_arms_cte(
-        arms, "conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0')"
+        arms, "conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 10, '0')"
               f" AS doc_id, ts, {field}")
     return f"""
 WITH {outer},
@@ -5086,13 +5092,13 @@ def missing_agg_sql(queries: dict[str, str], min_score: float,
     '' (the engine's string-sidecar absent sentinel), zero-filled per
     query like the engine's always-present missing bucket."""
     prefix = transcripts_arms_cte(
-        arms, "conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0')"
+        arms, "conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 10, '0')"
               " AS doc_id, text")
     inner = bm25_sql(queries, 0, cfg, table="transcripts",
                      id_col="doc_id", prefix_cte=prefix,
                      min_score=min_score)
     outer = transcripts_arms_cte(
-        arms, "conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0')"
+        arms, "conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 10, '0')"
               f" AS doc_id, {field}")
     return f"""
 WITH {outer},
@@ -5172,13 +5178,13 @@ def value_count_sql(queries: dict[str, str], min_score: float,
     NOT NULL and not '' (the complement of missing_agg's rule),
     zero-filled per query like the engine's always-present row."""
     prefix = transcripts_arms_cte(
-        arms, "conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0')"
+        arms, "conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 10, '0')"
               " AS doc_id, text")
     inner = bm25_sql(queries, 0, cfg, table="transcripts",
                      id_col="doc_id", prefix_cte=prefix,
                      min_score=min_score)
     outer = transcripts_arms_cte(
-        arms, "conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0')"
+        arms, "conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 10, '0')"
               f" AS doc_id, {field}")
     return f"""
 WITH {outer},
@@ -5279,13 +5285,13 @@ def auto_date_histogram_sql(queries: dict[str, str], min_score: float,
     chooser verifies the interval CHOICE itself, not just the chosen
     histogram."""
     prefix = transcripts_arms_cte(
-        arms, "conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0')"
+        arms, "conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 10, '0')"
               " AS doc_id, text")
     inner = bm25_sql(queries, 0, cfg, table="transcripts",
                      id_col="doc_id", prefix_cte=prefix,
                      min_score=min_score)
     outer = transcripts_arms_cte(
-        arms, "conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0')"
+        arms, "conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 10, '0')"
               " AS doc_id, ts")
     t = int(target_buckets)
     return f"""

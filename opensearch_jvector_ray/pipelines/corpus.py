@@ -131,7 +131,14 @@ def hash_split(ds: "rd.Dataset", id_col: str,
     edges, acc = [], 0.0
     for lab in labels:
         acc += float(splits[lab])
-        edges.append(sample_threshold_hex(min(acc, 1.0)))
+        # a cumulative fraction of 1.0 claims EVERYTHING left (edge
+        # None): sample_threshold_hex clamps to 'ffff', and the strict
+        # `pref < 'ffff'` would leak the ~1/65536 of rows whose hash
+        # prefix IS 'ffff' past a 100%-covering non-last label (the
+        # rate>=1.0 full-keep rule hash_sample/mix_sources already
+        # have; the oracle emits WHEN TRUE for the same arm)
+        edges.append(None if acc >= 1.0
+                     else sample_threshold_hex(acc))
 
     def assign(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -145,7 +152,8 @@ def hash_split(ds: "rd.Dataset", id_col: str,
         out = np.full(len(pref), labels[-1], dtype=object)
         claimed = np.zeros(len(pref), dtype=bool)
         for lab, edge in zip(labels[:-1], edges[:-1]):
-            take = ~claimed & (pref < edge)
+            take = ~claimed if edge is None else (~claimed
+                                                  & (pref < edge))
             out[take] = lab
             claimed |= take
         return batch.append_column(out_col, pa.array(out, type=pa.string()))

@@ -23,6 +23,26 @@ import numpy as np
 import pandas as pd
 
 
+def _fuse_tail(parts: "list[pd.Series]", id_col: str,
+               k: int) -> pd.DataFrame:
+    """Shared fusion tail (oracle-parity-critical — keep ONE copy):
+    outer-join the per-retriever contribution series, sum in LIST ORDER
+    (left-assoc, the oracle's ``+`` chain of COALESCEs — bit-equal fp),
+    rank on (score desc, id asc), top-k with 1-based ranks."""
+    wide = pd.concat(parts, axis=1)           # outer join across lists
+    score = wide[0].fillna(0.0)
+    for i in range(1, len(parts)):
+        score = score + wide[i].fillna(0.0)   # pinned fp order
+    out = score.rename("score").reset_index()
+    out = out.sort_values(["query_id", "score", id_col],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+    out = out.groupby("query_id", sort=False).head(k)
+    out["rank"] = out.groupby("query_id", sort=False).cumcount() + 1
+    return out[["query_id", "rank", id_col,
+                "score"]].reset_index(drop=True)
+
+
 def rrf_fuse(result_lists: Sequence[pd.DataFrame], id_col: str, k: int,
              k0: float = 60.0) -> pd.DataFrame:
     """Fuse ranked result lists by RRF.
@@ -37,17 +57,7 @@ def rrf_fuse(result_lists: Sequence[pd.DataFrame], id_col: str, k: int,
         c = df[["query_id", id_col, "rank"]].copy()
         c["__c"] = 1.0 / (float(k0) + c["rank"].astype(np.float64))
         parts.append(c.set_index(["query_id", id_col])["__c"].rename(i))
-    wide = pd.concat(parts, axis=1)           # outer join across lists
-    score = wide[0].fillna(0.0)
-    for i in range(1, len(parts)):
-        score = score + wide[i].fillna(0.0)   # pinned fp order
-    out = score.rename("score").reset_index()
-    out = out.sort_values(["query_id", "score", id_col],
-                          ascending=[True, False, True],
-                          kind="mergesort")
-    out = out.groupby("query_id", sort=False).head(k)
-    out["rank"] = out.groupby("query_id", sort=False).cumcount() + 1
-    return out[["query_id", "rank", id_col, "score"]].reset_index(drop=True)
+    return _fuse_tail(parts, id_col, k)
 
 
 def hybrid_search(searcher, emb_ds,
@@ -100,17 +110,7 @@ def linear_fuse(result_lists: Sequence[pd.DataFrame], id_col: str,
                      / (mx.to_numpy() - mn.to_numpy()), 1.0)
         c["__n"] = ws[i] * n
         parts.append(c.set_index(["query_id", id_col])["__n"].rename(i))
-    wide = pd.concat(parts, axis=1)           # outer join across lists
-    score = wide[0].fillna(0.0)
-    for i in range(1, len(parts)):
-        score = score + wide[i].fillna(0.0)   # pinned fp order
-    out = score.rename("score").reset_index()
-    out = out.sort_values(["query_id", "score", id_col],
-                          ascending=[True, False, True],
-                          kind="mergesort")
-    out = out.groupby("query_id", sort=False).head(k)
-    out["rank"] = out.groupby("query_id", sort=False).cumcount() + 1
-    return out[["query_id", "rank", id_col, "score"]].reset_index(drop=True)
+    return _fuse_tail(parts, id_col, k)
 
 
 def hybrid_linear_search(searcher, emb_ds,

@@ -129,8 +129,14 @@ def lm_score_stage(lm: UnigramLM, cfg: EngineConfig, id_col: str,
         n_rows = batch.num_rows
         idx = pc.index_in(flat, value_set=vocab).fill_null(-1) \
                 .to_numpy(zero_copy_only=False)
-        qvals = np.where(idx >= 0, qmicro[np.maximum(idx, 0)],
-                         np.int64(q_oov)).astype(np.float64)
+        if qmicro.size == 0:
+            # empty-vocabulary LM (all-empty training corpus): every
+            # token is OOV — np.where evaluates both branches, so the
+            # gather below would IndexError on the size-0 LUT
+            qvals = np.full(len(idx), float(q_oov))
+        else:
+            qvals = np.where(idx >= 0, qmicro[np.maximum(idx, 0)],
+                             np.int64(q_oov)).astype(np.float64)
         # integer-valued weights, per-doc magnitudes << 2^53: the bincount
         # float accumulation is EXACT, hence order-free
         micro = np.bincount(parents, weights=qvals, minlength=n_rows)
@@ -194,8 +200,12 @@ def dsir_stage(lm_target: UnigramLM, lm_source: UnigramLM,
             .to_numpy(zero_copy_only=False)
         is_ = pc.index_in(flat, value_set=vocab_s).fill_null(-1) \
             .to_numpy(zero_copy_only=False)
-        qt = np.where(it >= 0, q_t[np.maximum(it, 0)], np.int64(oov_t))
-        qs = np.where(is_ >= 0, q_s[np.maximum(is_, 0)], np.int64(oov_s))
+        qt = (np.full(len(it), np.int64(oov_t)) if q_t.size == 0
+              else np.where(it >= 0, q_t[np.maximum(it, 0)],
+                            np.int64(oov_t)))
+        qs = (np.full(len(is_), np.int64(oov_s)) if q_s.size == 0
+              else np.where(is_ >= 0, q_s[np.maximum(is_, 0)],
+                            np.int64(oov_s)))
         # integer-valued weights, per-doc magnitudes << 2^53: exact
         micro = np.bincount(parents, weights=(qt - qs).astype(np.float64),
                             minlength=n_rows)

@@ -164,9 +164,22 @@ def revenue_by_region_brand(lineitem: "rd.Dataset", part_path: str,
     sk = supp["s_suppkey"].to_numpy(zero_copy_only=False)
     sn = supp["s_nationkey"].to_numpy(zero_copy_only=False)
     so = np.argsort(sk, kind="stable")
-    # collapse supplier -> region INDEX before broadcasting
-    npos = np.searchsorted(nk[no], sn[so])
-    sreg = rk_pos = np.searchsorted(rk[ro], nreg[no][npos])
+    # collapse supplier -> region INDEX before broadcasting; the probes
+    # are VALIDATED like the part/supplier probes below — an unclamped
+    # miss either IndexErrors (key beyond the table) or silently
+    # resolves to the NEXT nation/region, misattributing revenue
+    npos = np.clip(np.searchsorted(nk[no], sn[so]), 0, len(nk) - 1)
+    if not np.array_equal(nk[no][npos], sn[so]):
+        missing = sorted(set(sn[so][nk[no][npos] != sn[so]].tolist()))
+        raise ValueError(f"supplier nationkeys {missing[:5]} missing "
+                         f"from the nation table")
+    sreg = np.clip(np.searchsorted(rk[ro], nreg[no][npos]),
+                   0, len(rk) - 1)
+    if not np.array_equal(rk[ro][sreg], nreg[no][npos]):
+        missing = sorted(set(
+            nreg[no][npos][rk[ro][sreg] != nreg[no][npos]].tolist()))
+        raise ValueError(f"nation regionkeys {missing[:5]} missing "
+                         f"from the region table")
     lookup_ref = ray.put((pk[po], bidx[po], sk[so], sreg,
                           brands, rnames[ro]))
 
@@ -242,7 +255,7 @@ def events_window_agg(ds: "rd.Dataset") -> pd.DataFrame:
                                         "n_events", "sum_value"]])
 
 
-def events_sessionize(ds: "rd.Dataset", gap_minutes: int = 30) -> pd.DataFrame:
+def events_sessionize(ds: "rd.Dataset", gap_minutes: int = 30) -> "rd.Dataset":
     """Session windows (gap-based) per user: a new session starts when the
     gap to the previous event exceeds ``gap_minutes``.
 
@@ -362,7 +375,7 @@ def top_order_revenue(orders: "rd.Dataset", lineitem: "rd.Dataset",
     return out[["o_orderkey", "o_orderdate", "revenue"]]
 
 
-def events_asof_orders(events: "rd.Dataset", orders: "rd.Dataset") -> pd.DataFrame:
+def events_asof_orders(events: "rd.Dataset", orders: "rd.Dataset") -> "rd.Dataset":
     """As-of join (custom operator b-category): for every event, the
     latest order of the same customer at or before the event time.
 
@@ -550,6 +563,11 @@ def quantile_summary(ds: "rd.Dataset", col: str,
     agg = agg.sort_values("value").reset_index(drop=True)
     cum = agg["n"].to_numpy().cumsum()
     total = int(cum[-1]) if len(cum) else 0
+    if total == 0:
+        # empty / all-NaN input: quantiles are undefined — NaN rows
+        # beat the IndexError the searchsorted probe used to raise
+        return pd.DataFrame([(float(q), float("nan")) for q in qs],
+                            columns=["quantile", "value"])
     rows = []
     for q in qs:
         t = max(1, math.ceil(q * total))

@@ -137,15 +137,57 @@ def fingerprint_stage(cfg: EngineConfig, id_col: str, text_col: str):
     md5(array_to_string(list_filter(regexp_split_to_array(lower(text), P),
     x -> x <> ''), ' '))."""
     def fn(batch: pa.Table) -> pa.Table:
-        lists = _token_lists(batch[text_col].combine_chunks()
-                             if isinstance(batch[text_col], pa.ChunkedArray)
-                             else batch[text_col], cfg)
+        col = batch[text_col]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        lists = _token_lists(col, cfg)
         joined = pc.binary_join(lists, " ")
-        fps = [hashlib.md5(s.encode()).hexdigest() if s is not None else None
-               for s in joined.to_pylist()]
+        # NULL text fingerprints to NULL — _token_lists rebuilds the
+        # list column without a validity mask, so the joined string for
+        # a null row is '' (not None) and would hash identically to an
+        # EMPTY-text doc, while the oracle's md5(NULL) propagates NULL
+        # (the CLAUDE.md no-drift rule); gate on the INPUT's validity
+        valid = pc.is_valid(col).to_pylist()
+        fps = [hashlib.md5(s.encode()).hexdigest() if v else None
+               for s, v in zip(joined.to_pylist(), valid)]
         return pa.table({id_col: batch[id_col],
                          "fingerprint": pa.array(fps, type=pa.string())})
     return fn
+
+
+def _distinct_token_bigram_counts(parents: np.ndarray, flat: pa.Array,
+                                  n: int
+                                  ) -> tuple[np.ndarray, np.ndarray]:
+    """(distinct tokens per doc, distinct word-bigrams per doc) —
+    the ONE copy of the exactness-critical method shared by
+    repetition_stage and gopher_filter_stage: Arrow dictionary-encode
+    (per-batch integer codes, no hash collisions, so the DuckDB
+    string-distinct oracle matches bit-for-bit) -> lexsort ->
+    first-in-run counts; bigram keys pack the code pair into one int64
+    (V^2 < 2^63 for any realistic per-batch vocab), a window is valid
+    iff both tokens share a parent doc."""
+    enc = flat.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def distinct_per_doc(doc: np.ndarray, key: np.ndarray) -> np.ndarray:
+        if not len(doc):
+            return np.zeros(n, dtype=np.int64)
+        order = np.lexsort((key, doc))
+        d_s, k_s = doc[order], key[order]
+        first = np.ones(len(d_s), dtype=bool)
+        first[1:] = (d_s[1:] != d_s[:-1]) | (k_s[1:] != k_s[:-1])
+        return np.bincount(d_s[first], minlength=n).astype(np.int64)
+
+    dt = distinct_per_doc(parents, codes)
+    if len(codes) >= 2:
+        v = np.int64(len(enc.dictionary) + 1)
+        same = parents[1:] == parents[:-1]
+        bg = (codes[:-1] * v + codes[1:])[same]
+        bd = parents[:-1][same]
+        db = distinct_per_doc(bd, bg)
+    else:
+        db = np.zeros(n, dtype=np.int64)
+    return dt, db
 
 
 def repetition_stage(cfg: EngineConfig, id_col: str, text_col: str):
@@ -170,31 +212,7 @@ def repetition_stage(cfg: EngineConfig, id_col: str, text_col: str):
         counts = pc.list_value_length(lists).to_numpy(
             zero_copy_only=False).astype(np.int64)
 
-        enc = flat.dictionary_encode()
-        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-
-        def distinct_per_doc(doc: np.ndarray, key: np.ndarray) -> np.ndarray:
-            if not len(doc):
-                return np.zeros(n, dtype=np.int64)
-            order = np.lexsort((key, doc))
-            d_s, k_s = doc[order], key[order]
-            first = np.ones(len(d_s), dtype=bool)
-            first[1:] = (d_s[1:] != d_s[:-1]) | (k_s[1:] != k_s[:-1])
-            return np.bincount(d_s[first], minlength=n).astype(np.int64)
-
-        dt = distinct_per_doc(parents, codes)
-
-        # bigram key: code pair packed into one int64 (V^2 < 2^63 for any
-        # realistic per-batch vocab); a window is valid iff both tokens
-        # share a parent doc
-        if len(codes) >= 2:
-            v = np.int64(len(enc.dictionary) + 1)
-            same = parents[1:] == parents[:-1]
-            bg = (codes[:-1] * v + codes[1:])[same]
-            bd = parents[:-1][same]
-            db = distinct_per_doc(bd, bg)
-        else:
-            db = np.zeros(n, dtype=np.int64)
+        dt, db = _distinct_token_bigram_counts(parents, flat, n)
         nb = np.maximum(counts - 1, 0)
 
         tok_ratio = np.where(counts > 0,
@@ -276,29 +294,11 @@ def gopher_filter_stage(cfg: EngineConfig, id_col: str, text_col: str,
                               minlength=n).astype(np.float64)
         alpha_ratio = n_alpha / safe
 
-        # distinct tokens / bigrams per doc (the repetition_stage method:
-        # dictionary-encode -> lexsort -> first-in-run counts; exact)
-        enc = flat.dictionary_encode()
-        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-
-        def distinct_per_doc(doc: np.ndarray, key: np.ndarray) -> np.ndarray:
-            if not len(doc):
-                return np.zeros(n, dtype=np.int64)
-            order = np.lexsort((key, doc))
-            d_s, k_s = doc[order], key[order]
-            first = np.ones(len(d_s), dtype=bool)
-            first[1:] = (d_s[1:] != d_s[:-1]) | (k_s[1:] != k_s[:-1])
-            return np.bincount(d_s[first], minlength=n).astype(np.int64)
-
-        dt = distinct_per_doc(parents, codes).astype(np.float64)
-        if len(codes) >= 2:
-            v = np.int64(len(enc.dictionary) + 1)
-            same = parents[1:] == parents[:-1]
-            bg = (codes[:-1] * v + codes[1:])[same]
-            bd = parents[:-1][same]
-            db = distinct_per_doc(bd, bg).astype(np.float64)
-        else:
-            db = np.zeros(n, dtype=np.float64)
+        # distinct tokens / bigrams per doc — the shared helper (ONE
+        # copy of the exactness-critical method)
+        dt_i, db_i = _distinct_token_bigram_counts(parents, flat, n)
+        dt = dt_i.astype(np.float64)
+        db = db_i.astype(np.float64)
         nb = np.maximum(nt - 1, 0)
         dup_tok = np.where(nt > 0, 1.0 - dt / safe, 0.0)
         dup_big = np.where(nb > 0,

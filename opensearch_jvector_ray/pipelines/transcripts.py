@@ -43,7 +43,11 @@ SEP = "\n"
 
 
 def _doc_key(conv: pa.Array, turn_idx: pa.Array) -> pa.Array:
-    padded = pc.utf8_lpad(pc.cast(turn_idx, pa.string()), 4, "0")
+    # pad width 10 covers the full int32 range: the lexicographic-==-
+    # numeric invariant used to break at turn_idx >= 10000 (the 4-wide
+    # pad left '10000' longer than '9999' but smaller lexically);
+    # width is mirrored by every oracle lpad
+    padded = pc.utf8_lpad(pc.cast(turn_idx, pa.string()), 10, "0")
     return pc.binary_join_element_wise(conv, padded, ":")
 
 
@@ -132,8 +136,15 @@ def context_response_pairs(ds: "rd.Dataset",
         idx = np.arange(n, dtype=np.int64)
         sel = np.flatnonzero((role == "assistant") & (idx > conv_start))
         if not len(sel):
-            return pd.DataFrame({"conv_id": [], "turn_idx": [],
-                                 "context": [], "response": []})
+            # TYPED empty frame: object-dtype empties convert to Arrow
+            # null-typed columns and rely on schema promotion to unify
+            # with other buckets' string/int64 blocks (the events_funnel
+            # hazard note)
+            return pd.DataFrame({
+                "conv_id": pd.Series([], dtype=object),
+                "turn_idx": pd.Series([], dtype=np.int64),
+                "context": pd.Series([], dtype=object),
+                "response": pd.Series([], dtype=object)})
         lo = np.maximum(conv_start[sel], sel - K)
         lens = sel - lo
         total = int(lens.sum())
@@ -188,9 +199,12 @@ def response_novelty(ds: "rd.Dataset", cfg: EngineConfig,
                 - np.repeat(np.cumsum(lens) - lens, lens))
 
     def bucket(df: pd.DataFrame) -> pd.DataFrame:
-        cols = {"conv_id": [], "turn_idx": [], "resp_distinct": [],
-                "novel_distinct": [], "novelty": []}
-        empty = pd.DataFrame(cols)
+        empty = pd.DataFrame({
+            "conv_id": pd.Series([], dtype=object),
+            "turn_idx": pd.Series([], dtype=np.int64),
+            "resp_distinct": pd.Series([], dtype=np.int64),
+            "novel_distinct": pd.Series([], dtype=np.int64),
+            "novelty": pd.Series([], dtype=np.float64)})
         conv = df["conv_id"].to_numpy()
         order = np.lexsort((df["turn_idx"].to_numpy(), conv))
         conv = conv[order]

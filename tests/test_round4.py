@@ -120,13 +120,13 @@ def test_turn_dedup_flags_planted_copies():
     assert len(got) == len(base) + 2  # two planted copies
     by = dict(zip(got["doc_id"], got["keep"]))
     # planted copies keep=0, originals keep=1
-    assert by["dupe-0000000:0001"] == 0 and by["conv-0000000:0001"] == 1
-    assert by["dupe-0000097:0001"] == 0 and by["conv-0000097:0001"] == 1
+    assert by["dupe-0000000:0000000001"] == 0 and by["conv-0000000:0000000001"] == 1
+    assert by["dupe-0000097:0000000001"] == 0 and by["conv-0000097:0000000001"] == 1
     # natural dup: min doc key wins
-    assert by["conv-0000000:0000"] == 1 and by["conv-0000001:0000"] == 0
+    assert by["conv-0000000:0000000000"] == 1 and by["conv-0000001:0000000000"] == 0
     # hashes agree between original and planted copy
     h = dict(zip(got["doc_id"], got["text_hash"]))
-    assert h["dupe-0000000:0001"] == h["conv-0000000:0001"]
+    assert h["dupe-0000000:0000000001"] == h["conv-0000000:0000000001"]
 
 
 def test_turn_dedup_normalizes_punctuation_and_case():

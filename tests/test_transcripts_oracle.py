@@ -20,7 +20,7 @@ QUERIES = {"t1": "zebra quantum nebula", "t2": "data model search index",
 
 
 def _padded_key(df: pd.DataFrame) -> pd.Series:
-    return df["conv_id"] + ":" + df["turn_idx"].astype(int).astype(str).str.zfill(4)
+    return df["conv_id"] + ":" + df["turn_idx"].astype(int).astype(str).str.zfill(10)
 
 
 def _oracle_con():
@@ -28,7 +28,7 @@ def _oracle_con():
     con = duckdb.connect()
     con.sql(f"""
 CREATE VIEW transcripts AS
-SELECT conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0') AS doc_id,
+SELECT conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 10, '0') AS doc_id,
        text
 FROM read_parquet('{path}/*.parquet')""")
     return con
