@@ -61,4 +61,4 @@ def test_entry_smoke():
     # the planted phrase must hit its planted positions (golden answer);
     # doc_id is the padded composite key conv_id:turn_idx
     t1 = df[df.query_id == "t1"]
-    assert len(t1) > 0 and all(t1.doc_id.str.endswith(":0001"))
+    assert len(t1) > 0 and all(t1.doc_id.str.endswith(":0000000001"))
