@@ -1260,6 +1260,13 @@ def _sort_key_numeric(docs: pa.Table, field: str) -> np.ndarray:
         vals = col.to_numpy(zero_copy_only=False)
         _, codes = np.unique(vals, return_inverse=True)
         return codes.astype(np.int64)
+    if pa.types.is_integer(col.type):
+        # keep integers exact: a float64 cast collapses values that
+        # differ only beyond 2^53, and the wrong doc would never leave
+        # the segment (the top_metrics partial's documented hazard);
+        # uint64 stays uint64 — an int64 cast would wrap values > 2^63
+        vals = col.to_numpy(zero_copy_only=False)
+        return vals if vals.dtype == np.uint64 else vals.astype(np.int64)
     return col.to_numpy(zero_copy_only=False).astype(np.float64)
 
 
@@ -1435,15 +1442,24 @@ class SegmentSearcher:
         rows: dict[str, dict] = {}
         for i in range(postings.num_rows):
             rows[postings["term"][i].as_py()] = {
-                c: postings[c][i].as_py() if c not in ("ords_enc", "tfs_enc", "pos_enc")
-                else postings[c][i].as_py()
+                c: postings[c][i].as_py()
                 for c in postings.column_names}
+        # eager full decode ONLY for the modes that consume it (taat/
+        # rescore/boolean/synonym/sqs/dismax): phrase/span modes do
+        # their own positional decode from ``rows``, and WAND's whole
+        # point is block-lazy skipping — an up-front O(total postings)
+        # decode made wand_blocks_pruned savings fictional
         decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
-        for t, r in rows.items():
-            decoded[t] = decode_posting_list(
-                r["ords_enc"], r["tfs_enc"], codec=p.get("codec", "varint"),
-                df=r["df"], block_size=p.get("block_size", 128),
-                blk_n=r.get("blk_n"))
+        if p["mode"] not in ("phrase_prefix", "phrase", "span",
+                             "span_or", "span_not", "span_within",
+                             "span_containing", "span_ordered",
+                             "span_first", "wand"):
+            for t, r in rows.items():
+                decoded[t] = decode_posting_list(
+                    r["ords_enc"], r["tfs_enc"],
+                    codec=p.get("codec", "varint"),
+                    df=r["df"], block_size=p.get("block_size", 128),
+                    blk_n=r.get("blk_n"))
 
         out_qid: list[str] = []
         out_ord: list[np.ndarray] = []
@@ -2448,8 +2464,11 @@ class SegmentSearcher:
                         np.zeros(0, dtype=np.float64))
             tie_of = (lambda o: o) if tie is None else (lambda o: tie[o])
             sk = sort_key[candidates]
-            order = np.lexsort((tie_of(candidates),
-                                -sk if sort_desc else sk))
+            if sort_desc:
+                # integer keys flip via bitwise complement: -sk wraps
+                # at int64.min / any uint64, ~sk is exact and monotone
+                sk = ~sk if sk.dtype.kind in "iu" else -sk
+            order = np.lexsort((tie_of(candidates), sk))
             sel = candidates[order[:n]]
             return sel, scores[sel]
         return _topk_from_scores(scores, candidates, k, tie)
@@ -3485,9 +3504,16 @@ class IndexSearcher:
         semantics] over the radial match set: doc counts per
         floor(value/interval)*interval bucket, ordered (query_id, bucket
         ASC).  Exact for |value| < 2^53 (the DOUBLE-floor rule shared
-        with the oracle)."""
+        with the oracle).  INTEGER intervals only (documented subset):
+        the bucket column is int64 on both sides — a fractional
+        interval would produce fractional bucket keys whose int64
+        truncation (engine) and BIGINT rounding (DuckDB) disagree."""
         if interval <= 0:
             raise ValueError("interval must be positive")
+        if float(interval) != float(int(interval)):
+            raise ValueError(f"interval must be a whole number, got "
+                             f"{interval!r} (int64 bucket keys on both "
+                             f"engine and oracle sides)")
         df = self._agg_fanout(queries,
                               {"kind": "hist", "col": value_col,
                                "interval": float(interval)},
@@ -3888,6 +3914,12 @@ class IndexSearcher:
         rows = []
         for qid, g in df.groupby("query_id", sort=True):
             vc = (g.groupby(value_col, sort=True)["doc_count"].sum())
+            if vc.empty or int(vc.sum()) == 0:
+                # all-NULL match set: the terms partial ships a
+                # (qid, null, 0) row whose NaN key the groupby drops —
+                # quantiles undefined, emit no rows (the sibling aggs'
+                # HAVING count(col) > 0 rule)
+                continue
             if pd.api.types.is_datetime64_any_dtype(vc.index):
                 # ts columns report their epoch int in the stored unit
                 vc.index = vc.index.astype("int64")
@@ -5725,8 +5757,13 @@ class IndexSearcher:
         if min_score is not None:
             # radial is an UNCAPPED score>=theta predicate (O5), streamed
             # per segment — k and the K_MAX guard do not apply
-            if mode not in ("taat",):
-                raise ValueError("min_score radial search requires mode='taat'")
+            if mode not in ("taat",) or rescore_oversample is not None:
+                # rescore flips mode AFTER this check and its branch
+                # returns before the radial filter — min_score would be
+                # SILENTLY ignored, the one conflicting option that
+                # wasn't rejected
+                raise ValueError("min_score radial search requires "
+                                 "mode='taat' (no rescore)")
             k = k or cfg.default_k
         else:
             k = k or cfg.default_k
@@ -6297,6 +6334,15 @@ class IndexSearcher:
             # diverge from the hit set's analysis
             raise ValueError("matched_positions supports modes "
                              "taat/wand/rescore/phrase, not boolean")
+        if search_kwargs.get("term_weights") is not None:
+            # same divergence class as boolean: hits would come from
+            # the pre-expanded weighted terms while the term-prep below
+            # re-analyzes the raw TEXT — expansion terms would be
+            # missing from positions/explain (and sparse_vector's empty
+            # texts would silently return nothing)
+            raise ValueError("matched_positions does not support "
+                             "term_weights (expanded-term searches "
+                             "analyze differently than the raw text)")
         hits = _hits if _hits is not None \
             else self.search(queries, k=k, **search_kwargs)
         cols = ["query_id", *self.key_cols, "term", "pos"]
