@@ -374,6 +374,8 @@ def main(argv: list[str] | None = None) -> int:
             elif args.op == "list":
                 print(json.dumps(get_aliases(args.index)))
             else:
+                if any("=" not in q for q in args.query):
+                    p.error("--query takes qid=text pairs")
                 qs = dict(q.split("=", 1) for q in args.query)
                 print(search_alias(args.index, args.name, qs,
                                    k=args.k).to_string(index=False))
@@ -412,6 +414,8 @@ def main(argv: list[str] | None = None) -> int:
             print(s_.mget(keys).to_string(index=False))
         elif args.cmd == "count":
             from opensearch_jvector_ray.query import IndexSearcher
+            if any("=" not in q for q in args.query):
+                p.error("--query takes qid=text pairs")
             qs = dict(q.split("=", 1) for q in args.query)
             print(IndexSearcher(args.index).count(qs)
                   .to_string(index=False))

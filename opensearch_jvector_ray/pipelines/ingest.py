@@ -132,22 +132,34 @@ def compile_pipeline(processors: "list[dict[str, Any]]"):
     def _replace(batch: pa.Table, f: str, arr) -> pa.Table:
         return batch.set_column(batch.column_names.index(f), f, arr)
 
+    def _put(batch: pa.Table, f: str, arr) -> pa.Table:
+        # overwrite-or-append: a bare append_column on an existing name
+        # would create a silent DUPLICATE column (Arrow allows them)
+        if f in batch.column_names:
+            return _replace(batch, f, arr)
+        return batch.append_column(f, arr)
+
     def apply(batch: pa.Table) -> pa.Table:
         for name, b in specs:
             if name == "set":
                 v = b["value"]
-                arr = pa.array([v] * batch.num_rows)
-                if b["field"] in batch.column_names:
-                    batch = _replace(batch, b["field"], arr)
-                else:
-                    batch = batch.append_column(b["field"], arr)
+                # pin the type from the constant: inferring from
+                # [v] * 0 on an empty block yields null type and the
+                # stream's schemas diverge
+                arr = pa.array([v] * batch.num_rows,
+                               type=pa.scalar(v).type)
+                batch = _put(batch, b["field"], arr)
             elif name == "remove":
                 batch = batch.drop_columns([b["field"]])
             elif name == "rename":
-                names = [b["target_field"] if n == b["field"] else n
-                         for n in batch.column_names]
                 if b["field"] not in batch.column_names:
                     raise KeyError(f"rename: no field {b['field']!r}")
+                if b["target_field"] in batch.column_names:
+                    raise KeyError(f"rename: target {b['target_field']!r} "
+                                   f"already exists (OpenSearch rename "
+                                   f"fails rather than shadowing)")
+                names = [b["target_field"] if n == b["field"] else n
+                         for n in batch.column_names]
                 batch = batch.rename_columns(names)
             elif name == "lowercase":
                 batch = _replace(batch, b["field"],
@@ -186,7 +198,7 @@ def compile_pipeline(processors: "list[dict[str, Any]]"):
                 v = kernels[b["op"]](l, r)
                 if pa.types.is_integer(v.type):
                     v = pc.cast(v, pa.int64())     # width-stable
-                batch = batch.append_column(b["target_field"], v)
+                batch = _put(batch, b["target_field"], v)
             elif name == "drop":
                 col = _col(batch, b["field"])
                 eq = pc.equal(col, b["equals"])
@@ -204,7 +216,7 @@ def compile_pipeline(processors: "list[dict[str, Any]]"):
                 raw = pc.utf8_trim(raw, '"')
                 raw = pc.if_else(pc.equal(raw, ""),
                                  pa.scalar(None, pa.string()), raw)
-                batch = batch.append_column(b["target_field"], raw)
+                batch = _put(batch, b["target_field"], raw)
             elif name == "convert":
                 batch = _replace(
                     batch, b["field"],

@@ -197,8 +197,9 @@ def byte_topk(ds: "rd.Dataset", queries: dict[str, np.ndarray],
     qv = {q: scoring.validate_byte_vector(v) for q, v in queries.items()}
 
     def to_int8(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch
+        # no empty-batch early-out: the int8 cast must apply to EVERY
+        # block or an empty block keeps the float list type and the
+        # stream's schemas diverge
         vecs = scoring.validate_byte_vector(_vecs_from_batch(batch, vec_col))
         n, d = vecs.shape
         offs = pa.array(np.arange(0, (n + 1) * d, max(d, 1),
@@ -314,6 +315,9 @@ def _kmeans_rows(X: np.ndarray, n_centroids: int, iters: int = 10,
                  seed: int = 42) -> np.ndarray:
     """Lloyd k-means over rows X (the single-task trainer core shared by
     ``train_centroids`` and the fused IVF-PQ trainer)."""
+    if len(X) == 0:
+        raise ValueError("cannot train centroids on an empty dataset "
+                         "(no vectors reached the trainer sample)")
     rng = np.random.default_rng(seed)
     k = min(n_centroids, max(1, len(X)))
     cent = X[rng.choice(len(X), size=k, replace=False)].copy()
@@ -594,24 +598,38 @@ def compact_ivf_index(index_dir: str, dst_dir: str,
     import os
     os.makedirs(dst_dir, exist_ok=True)
     dead = _load_tombstones(index_dir, id_col)
-    for cdir in sorted(globmod.glob(os.path.join(index_dir, "cell=*"))):
-        name = os.path.basename(cdir)
-        out = os.path.join(dst_dir, name)
-        final = os.path.join(out, "data.parquet")
-        # resume checkpoint is the DATA FILE, not the dir: a crash between
-        # makedirs and write_table must not look complete on rerun
-        if os.path.exists(final):
-            continue
-        tbl = pq.read_table(cdir)
-        if dead is not None:
-            keep = ~np.isin(tbl[id_col].to_numpy(zero_copy_only=False), dead)
-            tbl = tbl.filter(pa.array(keep))
-        if "cell" in tbl.column_names:      # partition col re-read inline
-            tbl = tbl.drop_columns(["cell"])
-        os.makedirs(out, exist_ok=True)
-        tmp = final + ".tmp"
-        pq.write_table(tbl, tmp)
-        os.replace(tmp, final)              # atomic publish
+    dead_ref = ray.put(dead)
+
+    def compact(batch: pa.Table) -> pa.Table:
+        dead_ids = ray.get(dead_ref)
+        for cdir in batch["dir"].to_pylist():
+            out = os.path.join(dst_dir, os.path.basename(cdir))
+            final = os.path.join(out, "data.parquet")
+            # resume checkpoint is the DATA FILE, not the dir: a crash
+            # between makedirs and write must not look complete on rerun
+            if os.path.exists(final):
+                continue
+            tbl = pq.read_table(cdir)
+            if dead_ids is not None:
+                keep = ~np.isin(tbl[id_col].to_numpy(zero_copy_only=False),
+                                dead_ids)
+                tbl = tbl.filter(pa.array(keep))
+            if "cell" in tbl.column_names:  # partition col re-read inline
+                tbl = tbl.drop_columns(["cell"])
+            os.makedirs(out, exist_ok=True)
+            tmp = final + ".tmp"
+            pq.write_table(tbl, tmp)
+            os.replace(tmp, final)          # atomic publish
+        return batch
+
+    cdirs = sorted(globmod.glob(os.path.join(index_dir, "cell=*")))
+    if cdirs:
+        # one Ray task per cell — the docstring's cell-parallel promise
+        # (this was a sequential driver loop, the same tiny-file-era
+        # shape _stage_and_compact_cells already fixed for builds)
+        (rd.from_items([{"dir": d} for d in cdirs])
+           .map_batches(compact, batch_format="pyarrow", batch_size=1)
+           .materialize())
     np.save(os.path.join(dst_dir, "_centroids.npy"),
             np.load(os.path.join(index_dir, "_centroids.npy")))
 
@@ -678,8 +696,10 @@ def ivf_index_topk(index_dir: str, queries: dict[str, np.ndarray],
         if keep is not None:
             batch = batch.filter(pa.array(keep))
             if batch.num_rows == 0:
+                # id type mirrors the input column (string ids included)
+                # so empty blocks never diverge from scored blocks
                 return pa.table({"query_id": pa.array([], type=pa.string()),
-                                 id_col: pa.array([], type=pa.int64()),
+                                 id_col: pa.array([], type=batch[id_col].type),
                                  "score": pa.array([], type=pa.float64())})
         vecs = _vecs_from_batch(batch, vec_col)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
@@ -825,7 +845,10 @@ class IvfSearchService:
         futs = [a.search.remote(qids, qmat, probe_sets, k, metric,
                                 round_decimals, min_score, allow, dref)
                 for a in self.actors]
-        out = pd.concat(ray.get(futs), ignore_index=True)
+        parts = ray.get(futs)
+        out = (pd.concat(parts, ignore_index=True) if parts
+               else pd.DataFrame(columns=["query_id", self.id_col,
+                                          "score"]))
         if out.empty:
             return pd.DataFrame(
                 columns=["query_id", "rank", self.id_col, "score"])

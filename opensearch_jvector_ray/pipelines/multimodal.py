@@ -374,6 +374,12 @@ class DecodeStub:
         import io
         import wave as wave_mod
         with wave_mod.open(io.BytesIO(payload), "rb") as w:
+            if w.getsampwidth() != 2:
+                # 8/24/32-bit PCM would silently misparse as i2 garbage;
+                # raising routes the row through on_error like any other
+                # corrupt payload
+                raise ValueError(f"only PCM16 WAV is supported, got "
+                                 f"sampwidth={w.getsampwidth()}")
             rate = w.getframerate()
             n = w.getnframes()
             pcm = np.frombuffer(w.readframes(n), dtype="<i2")

@@ -108,6 +108,9 @@ def _kmeans_subspaces(X: np.ndarray, m_subspaces: int, n_codes: int,
     if d % m_subspaces != 0:
         raise ValueError(f"dim {d} not divisible by m={m_subspaces}")
     dsub = d // m_subspaces
+    if len(X) == 0:
+        raise ValueError("cannot train a PQ codebook on an empty dataset "
+                         "(no vectors reached the trainer sample)")
     rng = np.random.default_rng(seed)
     k = min(n_codes, len(X))
     book = np.zeros((m_subspaces, k, dsub), dtype=np.float64)
@@ -144,7 +147,8 @@ def train_pq_codebook(ds: "rd.Dataset", *, m_subspaces: int = 8,
     @ray.remote
     def _train(*blocks) -> np.ndarray:
         mats = [_vecs_from_batch(b, vec_col) for b in blocks if b.num_rows]
-        X = np.concatenate(mats)
+        X = (np.concatenate(mats) if mats
+             else np.zeros((0, m_subspaces)))   # clean empty-data error
         return _kmeans_subspaces(X, m_subspaces, n_codes, iters=iters,
                                  seed=seed)
 
@@ -172,8 +176,9 @@ def _train_ivfpq(ds: "rd.Dataset", *, n_centroids: int, m_subspaces: int,
 
     @ray.remote
     def _train(*blocks) -> tuple[np.ndarray, np.ndarray]:
-        X = np.concatenate([_vecs_from_batch(b, vec_col)
-                            for b in blocks if b.num_rows])
+        mats = [_vecs_from_batch(b, vec_col) for b in blocks if b.num_rows]
+        X = (np.concatenate(mats) if mats
+             else np.zeros((0, m_subspaces)))   # clean empty-data error
         return (_kmeans_rows(X, n_centroids, iters=iters, seed=seed),
                 _kmeans_subspaces(X, m_subspaces, n_codes, iters=iters,
                                   seed=seed))
@@ -340,8 +345,9 @@ def pq_rerank_topk(source: "rd.Dataset | str",
 
     def score_batch(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
+            # id type mirrors the input column (string ids included)
             return pa.table({"query_id": pa.array([], type=pa.string()),
-                             id_col: pa.array([], type=pa.int64()),
+                             id_col: pa.array([], type=batch[id_col].type),
                              "score": pa.array([], type=pa.float64())})
         book_, qm, luts_ = ray.get(payload_ref)
         vecs = _vecs_from_batch(batch, vec_col)
@@ -532,7 +538,7 @@ def ivfpq_topk(index_dir: str, queries: dict[str, np.ndarray], k: int, *,
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         if len(ids) == 0:                # reshape(0, -1) raises
             return pa.table({"query_id": pa.array([], type=pa.string()),
-                             id_col: pa.array([], type=pa.int64()),
+                             id_col: pa.array([], type=batch[id_col].type),
                              "approx": pa.array([], type=pa.float64())})
         raw = b"".join(batch["codes"].to_pylist())
         codes = np.frombuffer(raw, dtype=np.uint8).reshape(len(ids), -1)

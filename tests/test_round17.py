@@ -139,3 +139,94 @@ def test_matched_positions_rejects_term_weights(idx):
     with pytest.raises(ValueError, match="term_weights"):
         s.matched_positions({"q": "alpha"}, k=5,
                             term_weights={"q": [("alpha", 2.0)]})
+
+
+# ---------------------------------------------------------------------------
+# seventh pass: knn/pq/multimodal/ingest findings
+# ---------------------------------------------------------------------------
+
+def test_ingest_no_duplicate_columns_and_typed_set():
+    from opensearch_jvector_ray.pipelines.ingest import compile_pipeline
+    t = pa.table({"a": pa.array([1, 2], type=pa.int64()),
+                  "b": pa.array([10, 20], type=pa.int64())})
+    # script writing INTO an existing column must replace, not append a
+    # silent duplicate (Arrow allows duplicate names)
+    fn = compile_pipeline([
+        {"script": {"op": "add", "left": "a", "right": "b",
+                    "target_field": "b"}}])
+    out = fn(t)
+    assert out.column_names == ["a", "b"]
+    assert out["b"].to_pylist() == [11, 22]
+    # set pins the type from the constant: an EMPTY block must carry the
+    # same schema as populated blocks (null-type inference drift)
+    fn2 = compile_pipeline([{"set": {"field": "c", "value": "x"}}])
+    empty = fn2(t.slice(0, 0))
+    full = fn2(t)
+    assert empty.schema.field("c").type == full.schema.field("c").type \
+        == pa.string()
+    # rename onto an existing name fails (no shadowing)
+    fn3 = compile_pipeline([{"rename": {"field": "a", "target_field": "b"}}])
+    with pytest.raises(KeyError, match="already exists"):
+        fn3(t)
+
+
+def test_wav_sampwidth_guard_routes_through_on_error():
+    import io
+    import wave as wave_mod
+    from opensearch_jvector_ray.pipelines import multimodal as mm
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)              # 8-bit PCM: unsupported
+        w.setframerate(8000)
+        w.writeframes(bytes(64))
+    stub = mm.DecodeStub(on_error="raise")
+    with pytest.raises(ValueError, match="PCM16"):
+        stub._decode_audio(buf.getvalue())
+    # and the stage-level "null" mode keeps the row with a NULL feature
+    t = pa.table({"media_id": pa.array([0], type=pa.int64()),
+                  "kind": pa.array(["audio"]),
+                  "payload": pa.array([buf.getvalue()], type=pa.binary())})
+    out = mm.DecodeStub(on_error="null")(t)
+    assert out["feature"].null_count == 1
+
+
+def test_trainer_rejects_empty_dataset():
+    from opensearch_jvector_ray.pipelines import knn as knn_pl
+    empty = rd.from_arrow(pa.table({
+        "vec_id": pa.array([], type=pa.int64()),
+        "embedding": pa.array([], type=pa.list_(pa.float64()))}))
+    with pytest.raises(Exception, match="empty dataset"):
+        knn_pl.train_centroids(empty, 4, "embedding")
+
+
+def test_byte_topk_survives_empty_block():
+    from opensearch_jvector_ray.pipelines import knn as knn_pl
+    vecs = [[1.0, 2.0], [3.0, -4.0], [5.0, 6.0]]
+    t = pa.table({"vec_id": pa.array([0, 1, 2], type=pa.int64()),
+                  "embedding": pa.array(vecs,
+                                        type=pa.list_(pa.float64()))})
+    ds = rd.from_arrow(t.slice(0, 0)).union(rd.from_arrow(t))
+    out = knn_pl.byte_topk(ds, {"q": np.array([1.0, 2.0])}, 2, metric="l2")
+    assert out["vec_id"].tolist()[0] == 0      # exact self-match first
+
+
+def test_compact_ivf_index_parallel_path(tmp_path):
+    from opensearch_jvector_ray.pipelines import knn as knn_pl
+    rng = np.random.default_rng(3)
+    n = 200
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(rng.standard_normal((n, 4)).tolist(),
+                              type=pa.list_(pa.float64()))})
+    idx = str(tmp_path / "ivf")
+    knn_pl.build_ivf_index(rd.from_arrow(t), idx, n_centroids=4)
+    knn_pl.delete_from_ivf_index(idx, [0, 5, 7])
+    dst = str(tmp_path / "ivf2")
+    knn_pl.compact_ivf_index(idx, dst)         # now Ray-task parallel
+    q = {"q": np.asarray(t["embedding"][1].as_py(), dtype=np.float64)}
+    a = knn_pl.ivf_index_topk(idx, q, 5, n_probe=4)
+    b = knn_pl.ivf_index_topk(dst, q, 5, n_probe=4)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert not set(b["vec_id"]) & {0, 5, 7}    # tombstones dropped
