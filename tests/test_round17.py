@@ -230,3 +230,30 @@ def test_compact_ivf_index_parallel_path(tmp_path):
     pd.testing.assert_frame_equal(a.reset_index(drop=True),
                                   b.reset_index(drop=True))
     assert not set(b["vec_id"]) & {0, 5, 7}    # tombstones dropped
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303])
+def test_sort_by_field_randomized_int64(tmp_path, seed):
+    # randomized: arbitrary int64 magnitudes (incl. beyond 2^53), random
+    # direction, multi-segment — engine order must equal python's exact
+    # integer sort with (field dir, doc key asc) tie-break
+    rng = np.random.default_rng(seed)
+    n = 80
+    mag = rng.choice([1 << 10, 1 << 40, 1 << 53, 1 << 60], size=n)
+    vals = (rng.integers(-4, 5, size=n).astype(object) * mag.astype(object)
+            + rng.integers(0, 3, size=n).astype(object))
+    vals = [int(v) for v in vals]
+    t = pa.table({"doc_id": pa.array(list(range(n)), type=pa.int64()),
+                  "text": pa.array(["alpha"] * n, type=pa.string()),
+                  "v": pa.array(vals, type=pa.int64())})
+    out = str(tmp_path / "idx")
+    build_index(rd.from_arrow(t), out, EngineConfig(num_segments=4),
+                IndexSpec(text_col="text", key_cols=("doc_id",),
+                          store_cols=("v",), ts_col=""))
+    s = IndexSearcher(out)
+    for order in ("asc", "desc"):
+        got = s.search({"q": "alpha"}, k=n, sort=("v", order))
+        exp = sorted(range(n),
+                     key=lambda i: (-vals[i] if order == "desc"
+                                    else vals[i], i))
+        assert got["doc_id"].tolist() == exp, (order, seed)
