@@ -1,9 +1,9 @@
 """Table sources: testdata parquet readers + cached index builds.
 
 Index builds for the driver's ``queries()`` calls are cached under
-/tmp keyed by (sf_dir basename, config fingerprint) — the per-partition
-manifests make a half-built cache self-healing (build resumes), and a
-config change changes the key.
+/tmp keyed by (sf_dir basename, config fingerprint, index-spec tag) —
+the per-partition manifests make a half-built cache self-healing (build
+resumes), and a config OR spec change changes the key.
 """
 
 from __future__ import annotations
@@ -39,10 +39,23 @@ def _index_complete(index_dir: str) -> bool:
     return os.path.exists(os.path.join(index_dir, STATS_NAME))
 
 
+def _spec_tag(spec: IndexSpec) -> str:
+    """Cache-key component for the INDEX SPEC: the cfg fingerprint alone
+    left a stale-cache hole — a code-side spec change (text_col /
+    key_cols / store_cols) with a surviving /tmp cache would serve the
+    OLD columns, because the caller-side completeness check skips
+    build_index (whose own resume logic is spec-aware but never runs)."""
+    import hashlib
+    s = repr((spec.text_col, tuple(spec.key_cols),
+              tuple(spec.store_cols), spec.ts_col))
+    return hashlib.md5(s.encode()).hexdigest()[:8]
+
+
 def documents_index(sf_dir: str) -> str:
     """Build (once) the BM25 index over the documents table."""
     key = os.path.basename(os.path.normpath(sf_dir))
-    idx = os.path.join(CACHE_ROOT, f"docidx_{key}_{DOCUMENTS_CFG.fingerprint()}")
+    idx = os.path.join(CACHE_ROOT, f"docidx_{key}_{DOCUMENTS_CFG.fingerprint()}"
+                       f"_{_spec_tag(DOCUMENTS_SPEC)}")
     if not _index_complete(idx):
         src = os.path.join(sf_dir, "documents.parquet")
         build_index(src, idx, DOCUMENTS_CFG, DOCUMENTS_SPEC,
@@ -59,7 +72,8 @@ def documents_index_stemmed(sf_dir: str) -> str:
     minimal-english s-stemmer analyzer (stop -> stem chain)."""
     key = os.path.basename(os.path.normpath(sf_dir))
     idx = os.path.join(CACHE_ROOT,
-                       f"docidx_{key}_{DOCUMENTS_STEM_CFG.fingerprint()}")
+                       f"docidx_{key}_{DOCUMENTS_STEM_CFG.fingerprint()}"
+                       f"_{_spec_tag(DOCUMENTS_SPEC)}")
     if not _index_complete(idx):
         src = os.path.join(sf_dir, "documents.parquet")
         build_index(src, idx, DOCUMENTS_STEM_CFG, DOCUMENTS_SPEC,
@@ -75,7 +89,8 @@ def documents_field_index(sf_dir: str, field: str) -> str:
                      store_cols=(), ts_col="")
     key = os.path.basename(os.path.normpath(sf_dir))
     idx = os.path.join(
-        CACHE_ROOT, f"docidx_{key}_f{field}_{DOCUMENTS_CFG.fingerprint()}")
+        CACHE_ROOT, f"docidx_{key}_f{field}_{DOCUMENTS_CFG.fingerprint()}"
+                    f"_{_spec_tag(spec)}")
     if not _index_complete(idx):
         src = os.path.join(sf_dir, "documents.parquet")
         build_index(src, idx, DOCUMENTS_CFG, spec,
@@ -90,7 +105,8 @@ def transcripts_path(sf_dir: str) -> str:
 
 def transcripts_index(sf_dir: str) -> str:
     key = os.path.basename(os.path.normpath(sf_dir))
-    idx = os.path.join(CACHE_ROOT, f"tridx_{key}_{TRANSCRIPTS_CFG.fingerprint()}")
+    idx = os.path.join(CACHE_ROOT, f"tridx_{key}_{TRANSCRIPTS_CFG.fingerprint()}"
+                       f"_{_spec_tag(TRANSCRIPTS_SPEC)}")
     if not _index_complete(idx):
         path = transcripts_path(sf_dir)
         build_index(path, idx, TRANSCRIPTS_CFG, TRANSCRIPTS_SPEC,
@@ -140,7 +156,8 @@ def conversations_index(sf_dir: str) -> str:
                 shutil.rmtree(conv_dir, ignore_errors=True)
                 os.rename(tmp, conv_dir)
     idx = os.path.join(CACHE_ROOT,
-                       f"convidx_{key}_{TRANSCRIPTS_CFG.fingerprint()}")
+                       f"convidx_{key}_{TRANSCRIPTS_CFG.fingerprint()}"
+                       f"_{_spec_tag(CONVERSATIONS_SPEC)}")
     if not _index_complete(idx):
         build_index(conv_dir, idx, TRANSCRIPTS_CFG, CONVERSATIONS_SPEC,
                     lineage={"source": conv_dir})
