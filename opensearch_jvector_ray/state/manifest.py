@@ -15,7 +15,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from dataclasses import dataclass, field, asdict
+from dataclasses import dataclass, field, fields, asdict
 from typing import Any
 
 MANIFEST_NAME = "manifest.json"
@@ -139,7 +139,12 @@ class SegmentManifest:
     @classmethod
     def read(cls, seg_dir: str) -> "SegmentManifest":
         with open(os.path.join(seg_dir, MANIFEST_NAME)) as f:
-            return cls(**json.load(f))
+            data = json.load(f)
+        # forward-compat (the BWC contract's read side): a manifest
+        # written by a NEWER engine may carry extra fields — ignore
+        # them instead of TypeError-ing the whole resume set
+        known = {fl.name for fl in fields(cls)}
+        return cls(**{k: v for k, v in data.items() if k in known})
 
 
 def completed_segments(index_dir: str) -> dict[int, SegmentManifest]:
@@ -181,10 +186,12 @@ def verify_index(index_dir: str) -> dict:
     manifests = completed_segments(index_dir)
     for seg, m in sorted(manifests.items()):
         d = segment_dir(index_dir, seg)
-        for fname in (DOCS_NAME, POSTINGS_NAME):
-            if not os.path.exists(os.path.join(d, fname)):
-                errors.append(f"seg={seg}: missing {fname}")
-                continue
+        missing = [fname for fname in (DOCS_NAME, POSTINGS_NAME)
+                   if not os.path.exists(os.path.join(d, fname))]
+        if missing:
+            errors.extend(f"seg={seg}: missing {fname}"
+                          for fname in missing)
+            continue          # the cross-checks below would just re-fail
         try:
             docs_md = pq_.read_metadata(os.path.join(d, DOCS_NAME))
             if docs_md.num_rows != m.num_docs:

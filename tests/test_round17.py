@@ -257,3 +257,28 @@ def test_sort_by_field_randomized_int64(tmp_path, seed):
                      key=lambda i: (-vals[i] if order == "desc"
                                     else vals[i], i))
         assert got["doc_id"].tolist() == exp, (order, seed)
+
+
+def test_manifest_forward_compat_and_audit(tmp_path, idx):
+    import json, os, shutil
+    from opensearch_jvector_ray.state.manifest import (
+        MANIFEST_NAME, SegmentManifest, verify_index,
+    )
+    work = str(tmp_path / "fc")
+    shutil.copytree(idx, work)
+    segs = sorted(os.listdir(os.path.join(work, "segments")))
+    seg0 = os.path.join(work, "segments", segs[0])
+    mpath = os.path.join(seg0, MANIFEST_NAME)
+    data = json.load(open(mpath))
+    data["future_field_from_v9"] = {"x": 1}   # newer-engine extra key
+    json.dump(data, open(mpath, "w"))
+    m = SegmentManifest.read(seg0)            # must not TypeError
+    assert m.num_docs == data["num_docs"]
+    assert verify_index(work)["ok"]
+    # missing-file audit: one clean error, no duplicate 'unreadable'
+    os.remove(os.path.join(seg0, "postings.parquet"))
+    rep = verify_index(work)
+    assert not rep["ok"]
+    tag = f"seg={int(segs[0].split('=')[1])}:"     # dir pads, error doesn't
+    errs = [e for e in rep["errors"] if e.startswith(tag)]
+    assert len(errs) == 1 and "missing" in errs[0]
