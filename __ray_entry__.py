@@ -75,6 +75,7 @@ from opensearch_jvector_ray.oracles import (
     dsir_weights_sql,
     sparse_vector_sql,
     geo_distance_sql,
+    geo_bbox_sql,
 )
 from opensearch_jvector_ray.pipelines import dedup as dedup_pl
 from opensearch_jvector_ray.pipelines import knn as knn_pl
@@ -1812,6 +1813,30 @@ def _q_geo_distance(sf_dir: str) -> pd.DataFrame:
         .map_batches(coords, batch_format="pyarrow")
     return geo_distance_topk(ds, GEO_QUERIES, GEO_K,
                              radius_km=GEO_RADIUS_KM)
+
+
+# geo_bounding_box boxes over the same derived coordinates; geo4
+# crosses the dateline (left > right) to pin the antimeridian OR-rule
+GEO_BOXES = {"geo3": (60.0, -30.0, 20.0, 45.0),
+             "geo4": (10.0, 160.0, -25.0, -150.0)}
+
+
+def _q_geo_bbox(sf_dir: str) -> pd.DataFrame:
+    # geo_bounding_box filter: inclusive edges, dateline-crossing OR
+    # rule, (query_id, id asc) — exact comparisons on derived coords
+    from opensearch_jvector_ray.pipelines.geo import geo_bounding_box
+
+    def coords(batch):
+        import pyarrow as pa
+        ev = batch["event_id"].to_numpy(zero_copy_only=False)
+        lat = ((ev * 9973) % 18000).astype(np.float64) / 100.0 - 90.0
+        lon = ((ev * 7919) % 36000).astype(np.float64) / 100.0 - 180.0
+        return batch.append_column("lat", pa.array(lat)) \
+                    .append_column("lon", pa.array(lon))
+
+    ds = read_table(sf_dir, "events", columns=["event_id"]) \
+        .map_batches(coords, batch_format="pyarrow")
+    return geo_bounding_box(ds, GEO_BOXES)
 
 
 def _q_sparse_vector(sf_dir: str) -> pd.DataFrame:
@@ -3566,6 +3591,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "field_stats": _q_field_stats,
         "sparse_vector": _q_sparse_vector,
         "geo_distance": _q_geo_distance,
+        "geo_bbox": _q_geo_bbox,
         "children_agg": _q_children_agg,
         "ingest_simulate": _q_ingest_simulate,
         "ingest_json": _q_ingest_json,
@@ -4230,6 +4256,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_distance": geo_distance_sql(GEO_QUERIES, GEO_K,
                                          GEO_LAT_SQL, GEO_LON_SQL,
                                          radius_km=GEO_RADIUS_KM),
+        "geo_bbox": geo_bbox_sql(GEO_BOXES, GEO_LAT_SQL, GEO_LON_SQL),
         "bm25_vw_histogram": vw_histogram_sql(
             BM25_QUERIES, FACET_MIN_SCORE, STATS_COL, VW_HIST_BUCKETS,
             CFG),

@@ -5592,3 +5592,29 @@ GROUP BY prev_tool, tool
 ORDER BY prev_tool, tool
 """
 
+
+
+def geo_bbox_sql(boxes: "dict[str, tuple[float, float, float, float]]",
+                 lat_expr: str, lon_expr: str,
+                 table: str = "events", id_col: str = "event_id") -> str:
+    """geo_bounding_box oracle: inclusive-edge box membership with the
+    engine's dateline rule (left > right -> lon >= left OR lon <= right,
+    pipelines/geo.geo_bounding_box) — exact comparisons only."""
+    preds = []
+    for qid, (top, left, bottom, right) in sorted(boxes.items()):
+        lon_pred = (f"(lon >= {float(left)!r} AND lon <= {float(right)!r})"
+                    if left <= right else
+                    f"(lon >= {float(left)!r} OR lon <= {float(right)!r})")
+        preds.append(
+            f"SELECT {sql_quote(qid)} AS query_id, {id_col} FROM pts\n"
+            f"  WHERE lat <= {float(top)!r} AND lat >= {float(bottom)!r}"
+            f" AND {lon_pred}")
+    un = "\n  UNION ALL\n".join(preds)
+    return f"""
+WITH pts AS (
+  SELECT {id_col}, {lat_expr} AS lat, {lon_expr} AS lon FROM {table}
+)
+SELECT query_id, {id_col} FROM (
+  {un}
+)
+ORDER BY query_id, {id_col}"""

@@ -104,3 +104,54 @@ def geo_distance_topk(ds, queries: "dict[str, tuple[float, float]]",
     out = out.groupby("query_id", sort=False).head(k)
     out["rank"] = out.groupby("query_id", sort=False).cumcount() + 1
     return out[cols].reset_index(drop=True)
+
+
+def geo_bounding_box(ds, boxes: "dict[str, tuple[float, float, float, float]]",
+                     id_col: str = "event_id",
+                     lat_col: str = "lat", lon_col: str = "lon"
+                     ) -> pd.DataFrame:
+    """geo_bounding_box filter [OpenSearch public semantics]: rows whose
+    point lies inside each (top, left, bottom, right) box, INCLUSIVE
+    edges; a box with left > right CROSSES THE DATELINE and matches
+    lon >= left OR lon <= right (the antimeridian rule).  Returns
+    (query_id, id_col) ordered (query_id, id asc) — box membership is
+    exact comparisons only, so the SQL oracle mirrors it verbatim."""
+    for qid, (top, left, bottom, right) in boxes.items():
+        if bottom > top:
+            raise ValueError(f"box {qid!r}: bottom {bottom} > top {top}")
+    items = sorted((qid, float(t), float(l), float(b), float(r))
+                   for qid, (t, l, b, r) in boxes.items())
+    bref = ray.put(items)
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        bxs = ray.get(bref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        lat = batch[lat_col].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        lon = batch[lon_col].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        out_q, out_id = [], []
+        for qid, top, left, bottom, right in bxs:
+            m = (lat <= top) & (lat >= bottom)
+            if left <= right:
+                m &= (lon >= left) & (lon <= right)
+            else:                       # dateline-crossing box
+                m &= (lon >= left) | (lon <= right)
+            sel = ids[m]
+            out_q.extend([qid] * len(sel))
+            out_id.append(sel)
+        if not out_q:
+            return pa.table({
+                "query_id": pa.array([], type=pa.string()),
+                id_col: pa.array([], type=batch[id_col].type)})
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.string()),
+            id_col: pa.array(np.concatenate(out_id))})
+
+    parts = ds.map_batches(score_batch, batch_format="pyarrow",
+                           batch_size=8192).to_pandas()
+    cols = ["query_id", id_col]
+    if parts.empty:
+        return pd.DataFrame(columns=cols)
+    return (parts.sort_values(cols, kind="mergesort")
+                 .reset_index(drop=True)[cols])

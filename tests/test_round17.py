@@ -282,3 +282,30 @@ def test_manifest_forward_compat_and_audit(tmp_path, idx):
     tag = f"seg={int(segs[0].split('=')[1])}:"     # dir pads, error doesn't
     errs = [e for e in rep["errors"] if e.startswith(tag)]
     assert len(errs) == 1 and "missing" in errs[0]
+
+
+def test_geo_bounding_box_dateline():
+    import duckdb
+    from opensearch_jvector_ray.pipelines.geo import geo_bounding_box
+    rng = np.random.default_rng(9)
+    n = 400
+    t = pa.table({"event_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "lat": pa.array(rng.uniform(-90, 90, n)),
+                  "lon": pa.array(rng.uniform(-180, 180, n))})
+    boxes = {"b1": (60.0, -30.0, 20.0, 45.0),
+             "dl": (10.0, 160.0, -25.0, -150.0)}   # crosses the dateline
+    got = geo_bounding_box(rd.from_arrow(t), boxes)
+    con = duckdb.connect()
+    con.register("pts0", t)
+    exp = con.sql("""
+        SELECT 'b1' AS query_id, event_id FROM pts0
+          WHERE lat BETWEEN 20.0 AND 60.0 AND lon BETWEEN -30.0 AND 45.0
+        UNION ALL
+        SELECT 'dl', event_id FROM pts0
+          WHERE lat BETWEEN -25.0 AND 10.0
+            AND (lon >= 160.0 OR lon <= -150.0)
+        ORDER BY query_id, event_id""").df()
+    assert (exp["query_id"] == "dl").any()         # dateline box non-empty
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    with pytest.raises(ValueError, match="bottom"):
+        geo_bounding_box(rd.from_arrow(t), {"bad": (0.0, 0.0, 5.0, 5.0)})
