@@ -309,3 +309,33 @@ def test_geo_bounding_box_dateline():
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     with pytest.raises(ValueError, match="bottom"):
         geo_bounding_box(rd.from_arrow(t), {"bad": (0.0, 0.0, 5.0, 5.0)})
+
+
+def test_wand_prunes_blocks_with_lazy_decode(tmp_path):
+    # skewed corpus: a rare high-idf term confined to the tail of the
+    # ordinal space lets WAND's block-max bound skip whole blocks of
+    # the common term; wand_blocks_pruned must actually move (the
+    # lazy-decode gate is what makes the skip a real saving)
+    from opensearch_jvector_ray.state import metrics
+    cfg = EngineConfig(num_segments=1, block_size=8)
+    n = 400
+    # ordinals are key-sorted: docs 0..7 are SHORT (high per-doc score,
+    # they fill the heap and set theta), every later block is LONG docs
+    # whose blk_min_dl-based upper bound sits below theta
+    long_tail = " ".join(f"filler{j}" for j in range(40))
+    texts = [f"common {long_tail}"] * n
+    for i in range(8):
+        texts[i] = "common"
+    t = pa.table({"doc_id": pa.array(list(range(n)), type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string())})
+    out = str(tmp_path / "widx")
+    build_index(rd.from_arrow(t), out, cfg,
+                IndexSpec(text_col="text", key_cols=("doc_id",),
+                          store_cols=(), ts_col=""))
+    metrics.reset()
+    s = IndexSearcher(out)
+    got = s.search({"q": "common"}, k=5, mode="wand")
+    exp = s.search({"q": "common"}, k=5, mode="taat")
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  exp.reset_index(drop=True))
+    assert metrics.snapshot().get("wand_blocks_pruned", 0) > 0
