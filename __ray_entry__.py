@@ -76,6 +76,7 @@ from opensearch_jvector_ray.oracles import (
     sparse_vector_sql,
     geo_distance_sql,
     geo_bbox_sql,
+    geo_polygon_sql,
 )
 from opensearch_jvector_ray.pipelines import dedup as dedup_pl
 from opensearch_jvector_ray.pipelines import knn as knn_pl
@@ -1839,6 +1840,34 @@ def _q_geo_bbox(sf_dir: str) -> pd.DataFrame:
     return geo_bounding_box(ds, GEO_BOXES)
 
 
+# geo_polygon vertices over the derived coordinates: a triangle and a
+# non-convex quad (concavity exercises the parity rule, not just a
+# bounding test)
+GEO_POLYGONS = {
+    "pg1": [(50.0, -20.0), (70.0, 10.0), (30.0, 30.0)],
+    "pg2": [(-10.0, 100.0), (20.0, 120.0), (-5.0, 110.0),
+            (25.0, 160.0), (-30.0, 150.0)],
+}
+
+
+def _q_geo_polygon(sf_dir: str) -> pd.DataFrame:
+    # geo_polygon query: division-free crossing parity, bit-identical
+    # arithmetic on both sides
+    from opensearch_jvector_ray.pipelines.geo import geo_polygon
+
+    def coords(batch):
+        import pyarrow as pa
+        ev = batch["event_id"].to_numpy(zero_copy_only=False)
+        lat = ((ev * 9973) % 18000).astype(np.float64) / 100.0 - 90.0
+        lon = ((ev * 7919) % 36000).astype(np.float64) / 100.0 - 180.0
+        return batch.append_column("lat", pa.array(lat)) \
+                    .append_column("lon", pa.array(lon))
+
+    ds = read_table(sf_dir, "events", columns=["event_id"]) \
+        .map_batches(coords, batch_format="pyarrow")
+    return geo_polygon(ds, GEO_POLYGONS)
+
+
 def _q_sparse_vector(sf_dir: str) -> pd.DataFrame:
     # neural-sparse-style query: sum(weight * tf) over (token, weight)
     # pairs — the linear_tf kernel over the ordinary segment fan-out
@@ -3592,6 +3621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparse_vector": _q_sparse_vector,
         "geo_distance": _q_geo_distance,
         "geo_bbox": _q_geo_bbox,
+        "geo_polygon": _q_geo_polygon,
         "children_agg": _q_children_agg,
         "ingest_simulate": _q_ingest_simulate,
         "ingest_json": _q_ingest_json,
@@ -4257,6 +4287,8 @@ def oracle_sql() -> dict[str, str]:
                                          GEO_LAT_SQL, GEO_LON_SQL,
                                          radius_km=GEO_RADIUS_KM),
         "geo_bbox": geo_bbox_sql(GEO_BOXES, GEO_LAT_SQL, GEO_LON_SQL),
+        "geo_polygon": geo_polygon_sql(GEO_POLYGONS, GEO_LAT_SQL,
+                                       GEO_LON_SQL),
         "bm25_vw_histogram": vw_histogram_sql(
             BM25_QUERIES, FACET_MIN_SCORE, STATS_COL, VW_HIST_BUCKETS,
             CFG),

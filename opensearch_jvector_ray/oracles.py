@@ -5618,3 +5618,40 @@ SELECT query_id, {id_col} FROM (
   {un}
 )
 ORDER BY query_id, {id_col}"""
+
+
+def geo_polygon_sql(polygons: "dict[str, list[tuple[float, float]]]",
+                    lat_expr: str, lon_expr: str,
+                    table: str = "events",
+                    id_col: str = "event_id") -> str:
+    """geo_polygon oracle: the engine's DIVISION-FREE crossing-parity
+    test unrolled per edge (pipelines/geo.geo_polygon — cond on the
+    y-straddle, sign of the cross product vs edge direction), summed
+    and reduced mod 2.  Every arithmetic step is one IEEE double op in
+    the engine's exact order, so membership is bit-identical."""
+    parts = []
+    for qid, verts in sorted(polygons.items()):
+        vs = [(float(la), float(lo)) for la, lo in verts]
+        n_v = len(vs)
+        edges = []
+        for i in range(n_v):
+            y1, x1 = vs[i]
+            y2, x2 = vs[(i + 1) % n_v]
+            edges.append(
+                f"(CASE WHEN (({y1!r} > lat) <> ({y2!r} > lat)) AND "
+                f"((((lon - {x1!r}) * ({y2!r} - {y1!r}) "
+                f"- (lat - {y1!r}) * ({x2!r} - {x1!r})) < 0) "
+                f"= ({y2!r} > {y1!r})) THEN 1 ELSE 0 END)")
+        total = "\n       + ".join(edges)
+        parts.append(
+            f"SELECT {sql_quote(qid)} AS query_id, {id_col} FROM pts\n"
+            f"  WHERE ({total}) % 2 = 1")
+    un = "\n  UNION ALL\n".join(parts)
+    return f"""
+WITH pts AS (
+  SELECT {id_col}, {lat_expr} AS lat, {lon_expr} AS lon FROM {table}
+)
+SELECT query_id, {id_col} FROM (
+  {un}
+)
+ORDER BY query_id, {id_col}"""

@@ -155,3 +155,64 @@ def geo_bounding_box(ds, boxes: "dict[str, tuple[float, float, float, float]]",
         return pd.DataFrame(columns=cols)
     return (parts.sort_values(cols, kind="mergesort")
                  .reset_index(drop=True)[cols])
+
+
+def geo_polygon(ds, polygons: "dict[str, list[tuple[float, float]]]",
+                id_col: str = "event_id",
+                lat_col: str = "lat", lon_col: str = "lon"
+                ) -> pd.DataFrame:
+    """geo_polygon query [OpenSearch public semantics]: rows whose point
+    falls inside each polygon (list of (lat, lon) vertices, closed
+    implicitly), by ray-casting crossing parity.
+
+    FP rule: the crossing test is DIVISION-FREE — per edge,
+    ``cond = (y1 > lat) != (y2 > lat)`` and
+    ``t = (lon - x1)*(y2 - y1) - (lat - y1)*(x2 - x1)`` with a crossing
+    iff ``cond AND ((t < 0) == (y2 > y1))`` — every operation is a
+    single IEEE double op mirrored symbol-for-symbol by the SQL oracle
+    (oracles.geo_polygon_sql), so membership is bit-identical on both
+    sides.  Points exactly on an edge follow the formula's parity (the
+    shared tie rule).  Returns (query_id, id_col) ordered
+    (query_id, id asc)."""
+    for qid, verts in polygons.items():
+        if len(verts) < 3:
+            raise ValueError(f"polygon {qid!r} needs >= 3 vertices")
+    items = sorted((qid, [(float(la), float(lo)) for la, lo in verts])
+                   for qid, verts in polygons.items())
+    pref = ray.put(items)
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        polys = ray.get(pref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        lat = batch[lat_col].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        lon = batch[lon_col].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        out_q, out_id = [], []
+        for qid, verts in polys:
+            cnt = np.zeros(len(ids), dtype=np.int64)
+            n_v = len(verts)
+            for i in range(n_v):
+                y1, x1 = verts[i]
+                y2, x2 = verts[(i + 1) % n_v]
+                cond = (y1 > lat) != (y2 > lat)
+                t = (lon - x1) * (y2 - y1) - (lat - y1) * (x2 - x1)
+                cnt += (cond & ((t < 0) == (y2 > y1))).astype(np.int64)
+            sel = ids[(cnt % 2) == 1]
+            out_q.extend([qid] * len(sel))
+            out_id.append(sel)
+        if not out_q:
+            return pa.table({
+                "query_id": pa.array([], type=pa.string()),
+                id_col: pa.array([], type=batch[id_col].type)})
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.string()),
+            id_col: pa.array(np.concatenate(out_id))})
+
+    parts = ds.map_batches(score_batch, batch_format="pyarrow",
+                           batch_size=8192).to_pandas()
+    cols = ["query_id", id_col]
+    if parts.empty:
+        return pd.DataFrame(columns=cols)
+    return (parts.sort_values(cols, kind="mergesort")
+                 .reset_index(drop=True)[cols])

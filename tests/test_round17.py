@@ -339,3 +339,43 @@ def test_wand_prunes_blocks_with_lazy_decode(tmp_path):
     pd.testing.assert_frame_equal(got.reset_index(drop=True),
                                   exp.reset_index(drop=True))
     assert metrics.snapshot().get("wand_blocks_pruned", 0) > 0
+
+
+def test_geo_polygon_crossing_parity():
+    from opensearch_jvector_ray.pipelines.geo import geo_polygon
+    rng = np.random.default_rng(23)
+    n = 500
+    t = pa.table({"event_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "lat": pa.array(rng.uniform(-40, 80, n)),
+                  "lon": pa.array(rng.uniform(-60, 60, n))})
+    tri = [(50.0, -20.0), (70.0, 10.0), (30.0, 30.0)]
+    concave = [(-10.0, -40.0), (20.0, -20.0), (-5.0, -30.0),
+               (25.0, 10.0), (-30.0, 0.0)]
+    got = geo_polygon(rd.from_arrow(t), {"tri": tri, "cc": concave})
+
+    def inside(poly, la, lo):
+        # independent classic ray-cast WITH division (random continuous
+        # points never land on boundaries, so the two formulations agree)
+        c = False
+        nv = len(poly)
+        for i in range(nv):
+            y1, x1 = poly[i]
+            y2, x2 = poly[(i + 1) % nv]
+            if (y1 > la) != (y2 > la):
+                xint = x1 + (la - y1) * (x2 - x1) / (y2 - y1)
+                if lo < xint:
+                    c = not c
+        return c
+
+    lat = t["lat"].to_numpy()
+    lon = t["lon"].to_numpy()
+    exp_rows = []
+    for qid, poly in (("cc", concave), ("tri", tri)):
+        for i in range(n):
+            if inside(poly, lat[i], lon[i]):
+                exp_rows.append((qid, i))
+    exp = pd.DataFrame(sorted(exp_rows), columns=["query_id", "event_id"])
+    assert len(exp) > 10                       # both polygons non-empty
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    with pytest.raises(ValueError, match="3 vertices"):
+        geo_polygon(rd.from_arrow(t), {"bad": [(0.0, 0.0), (1.0, 1.0)]})
