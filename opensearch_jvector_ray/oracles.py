@@ -5655,3 +5655,32 @@ SELECT query_id, {id_col} FROM (
   {un}
 )
 ORDER BY query_id, {id_col}"""
+
+
+def geotile_grid_sql(zoom: int, size: int, lat_expr: str, lon_expr: str,
+                     table: str = "events") -> str:
+    """geotile_grid oracle: the OSM slippy-tile formulas in the
+    ENGINE'S exact op order (pipelines/geo.geotile_grid) — (lon+180)
+    /360*2^z and (1 - ln(tan(r) + 1/cos(r))/pi)/2*2^z through the same
+    libm, clamped to [0, 2^z-1], mercator-bound filter, (doc_count
+    desc, tile asc) top ``size``."""
+    z = int(zoom)
+    f = float(1 << z)
+    return f"""
+WITH pts AS (
+  SELECT {lat_expr} AS lat, {lon_expr} AS lon FROM {table}
+),
+tiles AS (
+  SELECT {z} || '/' ||
+         CAST(LEAST(GREATEST(floor((lon + 180.0) / 360.0 * {f!r}),
+                             0.0), {f!r} - 1.0) AS BIGINT) || '/' ||
+         CAST(LEAST(GREATEST(floor((1.0 - ln(tan(lat * 0.017453292519943295)
+                             + 1.0 / cos(lat * 0.017453292519943295)) / pi())
+                             / 2.0 * {f!r}), 0.0), {f!r} - 1.0)
+              AS BIGINT) AS tile
+  FROM pts WHERE abs(lat) <= 85.0511287798066
+)
+SELECT tile, count(*) AS doc_count FROM tiles
+GROUP BY tile
+ORDER BY doc_count DESC, tile ASC
+LIMIT {int(size)}"""

@@ -216,3 +216,63 @@ def geo_polygon(ds, polygons: "dict[str, list[tuple[float, float]]]",
         return pd.DataFrame(columns=cols)
     return (parts.sort_values(cols, kind="mergesort")
                  .reset_index(drop=True)[cols])
+
+
+MERCATOR_LAT_MAX = 85.0511287798066
+
+
+def geotile_grid(ds, zoom: int, size: int = 100,
+                 lat_col: str = "lat", lon_col: str = "lon"
+                 ) -> pd.DataFrame:
+    """geotile_grid aggregation [OpenSearch public semantics]: bucket
+    points into web-mercator "z/x/y" map tiles and count, top ``size``
+    buckets ordered (doc_count desc, tile asc).
+
+    Tile math (the OSM slippy-tile formulas, shared op order with the
+    SQL oracle — every step one IEEE double op through the same libm):
+      x = floor((lon + 180) / 360 * 2^z)
+      y = floor((1 - ln(tan(r) + 1/cos(r)) / pi) / 2 * 2^z), r = radians(lat)
+    clamped into [0, 2^z - 1]; points beyond the mercator latitude
+    bound (|lat| > 85.0511287798066) are excluded — the OpenSearch
+    rule.  Per batch: vectorized tile ids + one np.unique partial
+    (tile-distinct-sized); ONE small groupby merges partials."""
+    if not (0 <= int(zoom) <= 29):
+        raise ValueError(f"zoom must be in [0, 29], got {zoom}")
+    z = int(zoom)
+    f = float(1 << z)
+    import pyarrow as _pa
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lat = batch[lat_col].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        lon = batch[lon_col].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        keep = np.abs(lat) <= MERCATOR_LAT_MAX
+        lat, lon = lat[keep], lon[keep]
+        if not len(lat):
+            return pa.table({"tile": pa.array([], type=_pa.string()),
+                             "doc_count": pa.array([], type=_pa.int64())})
+        x = np.floor((lon + 180.0) / 360.0 * f)
+        # pinned deg->rad constant (shared with the SQL): radians() on
+        # another engine could be lat*pi/180 in a different op order
+        r = lat * 0.017453292519943295
+        y = np.floor((1.0 - np.log(np.tan(r) + 1.0 / np.cos(r))
+                      / np.pi) / 2.0 * f)
+        xi = np.clip(x, 0.0, f - 1.0).astype(np.int64)
+        yi = np.clip(y, 0.0, f - 1.0).astype(np.int64)
+        code = xi * (1 << z) + yi
+        u, c = np.unique(code, return_counts=True)
+        tiles = [f"{z}/{v // (1 << z)}/{v % (1 << z)}" for v in u.tolist()]
+        return pa.table({"tile": pa.array(tiles, type=_pa.string()),
+                         "doc_count": pa.array(c.astype(np.int64))})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("tile").sum("doc_count"))
+    out = agg.to_pandas().rename(columns={"sum(doc_count)": "doc_count"})
+    if out.empty:
+        return pd.DataFrame(columns=["tile", "doc_count"])
+    out["doc_count"] = out["doc_count"].astype(np.int64)
+    out = out.sort_values(["doc_count", "tile"],
+                          ascending=[False, True],
+                          kind="mergesort").head(size)
+    return out.reset_index(drop=True)[["tile", "doc_count"]]

@@ -379,3 +379,31 @@ def test_geo_polygon_crossing_parity():
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     with pytest.raises(ValueError, match="3 vertices"):
         geo_polygon(rd.from_arrow(t), {"bad": [(0.0, 0.0), (1.0, 1.0)]})
+
+
+def test_geotile_grid_known_tiles_and_bounds():
+    import math
+    from opensearch_jvector_ray.pipelines.geo import geotile_grid
+    pts = [(0.0, 0.0), (0.0, 0.0), (51.5, -0.1),        # London dupes
+           (51.5, -0.1), (51.5, -0.1), (-33.9, 151.2),  # Sydney
+           (89.9, 10.0), (-89.9, 10.0)]                 # beyond mercator
+    t = pa.table({"lat": pa.array([p[0] for p in pts]),
+                  "lon": pa.array([p[1] for p in pts])})
+    out = geotile_grid(rd.from_arrow(t), 4, size=10)
+    # independent slippy-tile reference (asinh form, equivalent away
+    # from cell boundaries)
+    def ref(la, lo, z):
+        n = 1 << z
+        x = int((lo + 180.0) / 360.0 * n)
+        y = int((1.0 - math.asinh(math.tan(math.radians(la)))
+                 / math.pi) / 2.0 * n)
+        return f"{z}/{x}/{y}"
+    exp = {}
+    for la, lo in pts:
+        if abs(la) <= 85.0511287798066:
+            exp[ref(la, lo, 4)] = exp.get(ref(la, lo, 4), 0) + 1
+    assert dict(zip(out["tile"], out["doc_count"])) == exp
+    assert int(out["doc_count"].sum()) == 6      # 2 polar pts excluded
+    assert out["doc_count"].is_monotonic_decreasing
+    with pytest.raises(ValueError, match="zoom"):
+        geotile_grid(rd.from_arrow(t), 31)
