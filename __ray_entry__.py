@@ -78,6 +78,7 @@ from opensearch_jvector_ray.oracles import (
     geo_bbox_sql,
     geo_polygon_sql,
     geotile_grid_sql,
+    geohash_grid_sql,
 )
 from opensearch_jvector_ray.pipelines import dedup as dedup_pl
 from opensearch_jvector_ray.pipelines import knn as knn_pl
@@ -1891,6 +1892,27 @@ def _q_geotile_grid(sf_dir: str) -> pd.DataFrame:
     return geotile_grid(ds, GEOTILE_ZOOM, size=GEOTILE_SIZE)
 
 
+GEOHASH_PRECISION = 2
+GEOHASH_SIZE = 60
+
+
+def _q_geohash_grid(sf_dir: str) -> pd.DataFrame:
+    # geohash_grid aggregation: integer bit-interleave bucketing
+    from opensearch_jvector_ray.pipelines.geo import geohash_grid
+
+    def coords(batch):
+        import pyarrow as pa
+        ev = batch["event_id"].to_numpy(zero_copy_only=False)
+        lat = ((ev * 9973) % 18000).astype(np.float64) / 100.0 - 90.0
+        lon = ((ev * 7919) % 36000).astype(np.float64) / 100.0 - 180.0
+        return batch.append_column("lat", pa.array(lat)) \
+                    .append_column("lon", pa.array(lon))
+
+    ds = read_table(sf_dir, "events", columns=["event_id"]) \
+        .map_batches(coords, batch_format="pyarrow")
+    return geohash_grid(ds, GEOHASH_PRECISION, size=GEOHASH_SIZE)
+
+
 def _q_sparse_vector(sf_dir: str) -> pd.DataFrame:
     # neural-sparse-style query: sum(weight * tf) over (token, weight)
     # pairs — the linear_tf kernel over the ordinary segment fan-out
@@ -3646,6 +3668,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_bbox": _q_geo_bbox,
         "geo_polygon": _q_geo_polygon,
         "geotile_grid": _q_geotile_grid,
+        "geohash_grid": _q_geohash_grid,
         "children_agg": _q_children_agg,
         "ingest_simulate": _q_ingest_simulate,
         "ingest_json": _q_ingest_json,
@@ -4314,6 +4337,8 @@ def oracle_sql() -> dict[str, str]:
         "geo_polygon": geo_polygon_sql(GEO_POLYGONS, GEO_LAT_SQL,
                                        GEO_LON_SQL),
         "geotile_grid": geotile_grid_sql(GEOTILE_ZOOM, GEOTILE_SIZE,
+                                         GEO_LAT_SQL, GEO_LON_SQL),
+        "geohash_grid": geohash_grid_sql(GEOHASH_PRECISION, GEOHASH_SIZE,
                                          GEO_LAT_SQL, GEO_LON_SQL),
         "bm25_vw_histogram": vw_histogram_sql(
             BM25_QUERIES, FACET_MIN_SCORE, STATS_COL, VW_HIST_BUCKETS,

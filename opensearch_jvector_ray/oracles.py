@@ -5684,3 +5684,48 @@ SELECT tile, count(*) AS doc_count FROM tiles
 GROUP BY tile
 ORDER BY doc_count DESC, tile ASC
 LIMIT {int(size)}"""
+
+
+def geohash_grid_sql(precision: int, size: int, lat_expr: str,
+                     lon_expr: str, table: str = "events") -> str:
+    """geohash_grid oracle: the engine's integer bit-interleave unrolled
+    (pipelines/geo.geohash_grid — binary subdivision, longitude-first
+    MSB interleave, base32 chars).  Integer math only, so exact."""
+    p = int(precision)
+    n_bits = 5 * p
+    n_x = (n_bits + 1) // 2
+    n_y = n_bits // 2
+    fx, fy = float(1 << n_x), float(1 << n_y)
+    bits = []
+    for j in range(n_bits):
+        if j % 2 == 0:
+            src, sh = "xq", n_x - 1 - j // 2
+        else:
+            src, sh = "yq", n_y - 1 - (j - 1) // 2
+        bits.append(f"(({src} >> {sh}) & 1) * {1 << (n_bits - 1 - j)}")
+    code = "\n         + ".join(bits)
+    alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+    chars = " || ".join(
+        f"substr('{alphabet}', CAST(((code >> {5 * (p - 1 - g)}) & 31) "
+        f"AS INTEGER) + 1, 1)" for g in range(p))
+    return f"""
+WITH pts AS (
+  SELECT {lat_expr} AS lat, {lon_expr} AS lon FROM {table}
+),
+q AS (
+  SELECT CAST(LEAST(GREATEST(floor((lon + 180.0) / 360.0 * {fx!r}),
+                             0.0), {fx!r} - 1.0) AS BIGINT) AS xq,
+         CAST(LEAST(GREATEST(floor((lat + 90.0) / 180.0 * {fy!r}),
+                             0.0), {fy!r} - 1.0) AS BIGINT) AS yq
+  FROM pts
+),
+codes AS (
+  SELECT ({code}) AS code FROM q
+),
+hashes AS (
+  SELECT {chars} AS geohash FROM codes
+)
+SELECT geohash, count(*) AS doc_count FROM hashes
+GROUP BY geohash
+ORDER BY doc_count DESC, geohash ASC
+LIMIT {int(size)}"""

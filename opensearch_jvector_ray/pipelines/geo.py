@@ -276,3 +276,65 @@ def geotile_grid(ds, zoom: int, size: int = 100,
                           ascending=[False, True],
                           kind="mergesort").head(size)
     return out.reset_index(drop=True)[["tile", "doc_count"]]
+
+
+GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_grid(ds, precision: int, size: int = 100,
+                 lat_col: str = "lat", lon_col: str = "lon"
+                 ) -> pd.DataFrame:
+    """geohash_grid aggregation [OpenSearch public semantics]: bucket
+    points by base32 geohash cell at ``precision`` chars, count, top
+    ``size`` ordered (doc_count desc, hash asc).
+
+    Geohash is pure INTEGER math (binary subdivision + bit interleave,
+    longitude first), so membership is exact on both sides:
+      xq = floor((lon + 180) / 360 * 2^ceil(5p/2))   (clamped)
+      yq = floor((lat + 90) / 180 * 2^floor(5p/2))
+    interleaved MSB-first into 5p bits -> base32 chars.  The SQL oracle
+    unrolls the same bit sum (oracles.geohash_grid_sql)."""
+    p = int(precision)
+    if not (1 <= p <= 9):
+        raise ValueError(f"precision must be in [1, 9], got {precision}")
+    n_bits = 5 * p
+    n_x = (n_bits + 1) // 2
+    n_y = n_bits // 2
+    fx, fy = float(1 << n_x), float(1 << n_y)
+    import pyarrow as _pa
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lat = batch[lat_col].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        lon = batch[lon_col].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        if not len(lat):
+            return pa.table({"geohash": pa.array([], type=_pa.string()),
+                             "doc_count": pa.array([], type=_pa.int64())})
+        xq = np.clip(np.floor((lon + 180.0) / 360.0 * fx),
+                     0.0, fx - 1.0).astype(np.int64)
+        yq = np.clip(np.floor((lat + 90.0) / 180.0 * fy),
+                     0.0, fy - 1.0).astype(np.int64)
+        code = np.zeros(len(lat), dtype=np.int64)
+        for j in range(n_bits):          # j=0 is the MSB, longitude first
+            if j % 2 == 0:
+                bit = (xq >> (n_x - 1 - j // 2)) & 1
+            else:
+                bit = (yq >> (n_y - 1 - (j - 1) // 2)) & 1
+            code |= bit << (n_bits - 1 - j)
+        u, c = np.unique(code, return_counts=True)
+        hashes = ["".join(GEOHASH32[(v >> (5 * (p - 1 - g))) & 31]
+                          for g in range(p)) for v in u.tolist()]
+        return pa.table({"geohash": pa.array(hashes, type=_pa.string()),
+                         "doc_count": pa.array(c.astype(np.int64))})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("geohash").sum("doc_count"))
+    out = agg.to_pandas().rename(columns={"sum(doc_count)": "doc_count"})
+    if out.empty:
+        return pd.DataFrame(columns=["geohash", "doc_count"])
+    out["doc_count"] = out["doc_count"].astype(np.int64)
+    out = out.sort_values(["doc_count", "geohash"],
+                          ascending=[False, True],
+                          kind="mergesort").head(size)
+    return out.reset_index(drop=True)[["geohash", "doc_count"]]

@@ -407,3 +407,18 @@ def test_geotile_grid_known_tiles_and_bounds():
     assert out["doc_count"].is_monotonic_decreasing
     with pytest.raises(ValueError, match="zoom"):
         geotile_grid(rd.from_arrow(t), 31)
+
+
+def test_geohash_grid_canonical_and_counts():
+    from opensearch_jvector_ray.pipelines.geo import geohash_grid
+    pts = [(57.64911, 10.40744)] * 3 + [(0.0, 0.0)] * 2 + [(-25.4, 131.0)]
+    t = pa.table({"lat": pa.array([p[0] for p in pts]),
+                  "lon": pa.array([p[1] for p in pts])})
+    out = geohash_grid(rd.from_arrow(t), 5, size=10)
+    got = dict(zip(out["geohash"], out["doc_count"]))
+    # u4pru is the canonical geohash.org test vector for this point
+    assert got["u4pru"] == 3
+    assert got["s0000"] == 2                   # (0,0) cell
+    assert sum(got.values()) == 6
+    with pytest.raises(ValueError, match="precision"):
+        geohash_grid(rd.from_arrow(t), 0)
