@@ -79,6 +79,7 @@ from opensearch_jvector_ray.oracles import (
     geo_polygon_sql,
     geotile_grid_sql,
     geohash_grid_sql,
+    geo_centroid_sql,
 )
 from opensearch_jvector_ray.pipelines import dedup as dedup_pl
 from opensearch_jvector_ray.pipelines import knn as knn_pl
@@ -1913,6 +1914,26 @@ def _q_geohash_grid(sf_dir: str) -> pd.DataFrame:
     return geohash_grid(ds, GEOHASH_PRECISION, size=GEOHASH_SIZE)
 
 
+def _q_geo_centroid(sf_dir: str) -> pd.DataFrame:
+    # geo_centroid aggregation: scaled-int64 exact summation (order-
+    # free), one division at the end — the derived coords are 2-decimal
+    from opensearch_jvector_ray.pipelines.geo import geo_centroid
+
+    def coords(batch):
+        import pyarrow as pa
+        ev = batch["event_id"].to_numpy(zero_copy_only=False)
+        lat = ((ev * 9973) % 18000).astype(np.float64) / 100.0 - 90.0
+        lon = ((ev * 7919) % 36000).astype(np.float64) / 100.0 - 180.0
+        return batch.append_column("lat", pa.array(lat)) \
+                    .append_column("lon", pa.array(lon))
+
+    ds = read_table(sf_dir, "events", columns=["event_id"]) \
+        .map_batches(coords, batch_format="pyarrow")
+    out = geo_centroid(ds, decimals=2)
+    out["count"] = out["count"].astype(np.int64)
+    return out
+
+
 def _q_sparse_vector(sf_dir: str) -> pd.DataFrame:
     # neural-sparse-style query: sum(weight * tf) over (token, weight)
     # pairs — the linear_tf kernel over the ordinary segment fan-out
@@ -3669,6 +3690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_polygon": _q_geo_polygon,
         "geotile_grid": _q_geotile_grid,
         "geohash_grid": _q_geohash_grid,
+        "geo_centroid": _q_geo_centroid,
         "children_agg": _q_children_agg,
         "ingest_simulate": _q_ingest_simulate,
         "ingest_json": _q_ingest_json,
@@ -4340,6 +4362,8 @@ def oracle_sql() -> dict[str, str]:
                                          GEO_LAT_SQL, GEO_LON_SQL),
         "geohash_grid": geohash_grid_sql(GEOHASH_PRECISION, GEOHASH_SIZE,
                                          GEO_LAT_SQL, GEO_LON_SQL),
+        "geo_centroid": geo_centroid_sql(GEO_LAT_SQL, GEO_LON_SQL,
+                                         decimals=2),
         "bm25_vw_histogram": vw_histogram_sql(
             BM25_QUERIES, FACET_MIN_SCORE, STATS_COL, VW_HIST_BUCKETS,
             CFG),

@@ -5729,3 +5729,21 @@ SELECT geohash, count(*) AS doc_count FROM hashes
 GROUP BY geohash
 ORDER BY doc_count DESC, geohash ASC
 LIMIT {int(size)}"""
+
+
+def geo_centroid_sql(lat_expr: str, lon_expr: str,
+                     table: str = "events", decimals: int = 2) -> str:
+    """geo_centroid oracle: the engine's scaled-int64 exact summation
+    (pipelines/geo.geo_centroid — integer adds are associative, so no
+    ordered aggregate is needed) with ONE final division, round(6)."""
+    scale = float(10 ** int(decimals))
+    return f"""
+WITH pts AS (
+  SELECT {lat_expr} AS lat, {lon_expr} AS lon FROM {table}
+)
+SELECT round(CAST(SUM(CAST(round(lat * {scale!r}) AS BIGINT)) AS DOUBLE)
+             / ({scale!r} * count(*)), 6) AS lat,
+       round(CAST(SUM(CAST(round(lon * {scale!r}) AS BIGINT)) AS DOUBLE)
+             / ({scale!r} * count(*)), 6) AS lon,
+       count(*) AS "count"
+FROM pts"""

@@ -338,3 +338,40 @@ def geohash_grid(ds, precision: int, size: int = 100,
                           ascending=[False, True],
                           kind="mergesort").head(size)
     return out.reset_index(drop=True)[["geohash", "doc_count"]]
+
+
+def geo_centroid(ds, lat_col: str = "lat", lon_col: str = "lon",
+                 decimals: int = 2) -> pd.DataFrame:
+    """geo_centroid aggregation [OpenSearch public semantics:
+    arithmetic mean of the points].
+
+    Distributed-exactness contract: inputs must ALREADY be quantized to
+    ``decimals`` places (the scaled values are integers up to fp noise,
+    so numpy's rint and the oracle's round agree — a true .5 tie would
+    split half-even vs half-up and is outside the contract).  Sums run
+    as SCALED int64 — integer addition is associative, so the result is
+    independent of Ray's block arrival order (a float partial-sum tree
+    would drift by ulps run-to-run and against the oracle's ordered
+    SUM).  The mean divides ONCE at the end; output rounds to 6dp.
+    Returns one row (lat, lon, count)."""
+    scale = float(10 ** int(decimals))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lat = batch[lat_col].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        lon = batch[lon_col].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        sl = np.rint(lat * scale).astype(np.int64).sum()
+        sn = np.rint(lon * scale).astype(np.int64).sum()
+        return pa.table({"sl": pa.array([int(sl)], type=pa.int64()),
+                         "sn": pa.array([int(sn)], type=pa.int64()),
+                         "n": pa.array([len(lat)], type=pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n = int(agg["n"].sum())
+    if n == 0:
+        return pd.DataFrame({"lat": [], "lon": [], "count": []})
+    return pd.DataFrame({
+        "lat": [round(float(agg["sl"].sum()) / (scale * n), 6)],
+        "lon": [round(float(agg["sn"].sum()) / (scale * n), 6)],
+        "count": [n]})

@@ -422,3 +422,25 @@ def test_geohash_grid_canonical_and_counts():
     assert sum(got.values()) == 6
     with pytest.raises(ValueError, match="precision"):
         geohash_grid(rd.from_arrow(t), 0)
+
+
+def test_geo_centroid_order_free_exact():
+    from opensearch_jvector_ray.pipelines.geo import geo_centroid
+    rng = np.random.default_rng(31)
+    n = 300
+    lat = np.round(rng.uniform(-90, 90, n), 2)    # the quantized contract
+    lon = np.round(rng.uniform(-180, 180, n), 2)
+    t = pa.table({"lat": pa.array(lat), "lon": pa.array(lon)})
+    a = geo_centroid(rd.from_arrow(t), decimals=2)
+    # permuted + re-blocked input: scaled-int sums are associative so
+    # the centroid is bit-identical regardless of block order
+    perm = rng.permutation(n)
+    t2 = pa.table({"lat": pa.array(lat[perm]), "lon": pa.array(lon[perm])})
+    ds2 = (rd.from_arrow(t2.slice(0, 37))
+           .union(rd.from_arrow(t2.slice(37))))
+    b = geo_centroid(ds2, decimals=2)
+    pd.testing.assert_frame_equal(a, b)
+    # exact expected value via python integers
+    exp_lat = round(sum(int(round(v * 100)) for v in lat) / (100.0 * n), 6)
+    assert float(a["lat"][0]) == exp_lat
+    assert int(a["count"][0]) == n
